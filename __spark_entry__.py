@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on sf0.001; ``queries()`` /
+``oracle_sql()`` expose the registry in xcube_spark/queries/* — one
+entry per implemented operator from SURVEY.md §2 (plus the pipeline
+extensions), each with a DuckDB oracle where SQL can express it.
 """
 
 from __future__ import annotations
@@ -13,26 +12,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from xcube_spark.queries import load_all
+
+_REGISTRY = load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's signature pipeline (SURVEY §7.1) —
+    subset ∧ bbox ∧ time -> per-time-step aggregation — on the
+    synthesized fixture cube, plus nothing driver-side but the scan of
+    /root/testdata/sf0.001 to prove IO wiring."""
+    sf_dir = "/root/testdata/sf0.001"
+    # touch the driver tables (IO smoke) ...
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    # ... and run the flagship cube query
+    return _REGISTRY["cube_select_timeseries"].fn(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.sql for name, q in _REGISTRY.items() if q.sql is not None}

@@ -1,0 +1,59 @@
+"""Benchmark harness: runs the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints one JSON
+line with per-query wall-clock seconds.
+
+Timing = full query wall time (plan + execute + collect), the same
+thing the DuckDB baseline pays.  A warmup pass primes the JVM/session;
+reported numbers are the median of N runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from xcube_spark.queries import load_all
+    from xcube_spark.session import get_session
+
+    registry = load_all()
+    bench_set = {n: q for n, q in registry.items() if q.bench}
+    spark = get_session(app_name="xcube_spark-bench")
+
+    # warm the session (JVM JIT, parquet footer cache)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    results: dict[str, float] = {}
+    for name, q in bench_set.items():
+        times = []
+        q.fn(spark, sf_dir).collect()  # warmup run (not timed)
+        for _ in range(repeats):
+            t0 = time.time()
+            q.fn(spark, sf_dir).collect()
+            times.append(time.time() - t0)
+        results[name] = round(statistics.median(times), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "median_query_seconds",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (xcube is a raster engine); these are the
+driver-mandated LLM-pipeline extensions, designed Spark-first for the
+100 TB case:
+
+- **exact_dedup** — hash-groupBy on normalized content; one shuffle on
+  a short digest key, skew-free by construction (md5 is uniform).
+- **minhash LSH** — shingle -> minhash signature -> band -> bucket
+  join.  The self-join happens only *within* band buckets, so the
+  quadratic blow-up is bounded by bucket size; band keys are digests
+  (uniform) and candidate verification touches only candidate pairs.
+- **simhash** — 64-bit fingerprint from token hashes; near-dups have
+  small Hamming distance; bucketing on bit-chunks gives the scalable
+  candidate generation.
+- **embedding near-dup** — cosine-over-threshold pairs via LSH-style
+  bucketing (see similarity.py) or brute force for small sides.
+
+Determinism contract: all hashing is md5-based (not Spark's murmur) so
+every step is reproducible cross-engine — the DuckDB oracle in
+queries/text_pipeline.py runs the *same* pipeline in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokenization with positions -> (id, pos, tok).
+    posexplode is a generator projection: narrow, no shuffle."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    )
+
+
+def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word k-shingles per document -> (id, shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signature(
+    shingle_df: DataFrame, num_hashes: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature as ``num_hashes`` lexicographic-min md5 digests.
+
+    min(md5(shingle || '#' || seed)) is an order-statistic sketch of the
+    shingle set — identical estimator to integer minhash, but exactly
+    reproducible in any engine with md5.  One groupBy shuffle keyed by
+    doc id; all hashes computed map-side in a single projection.
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return shingle_df.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFrame:
+    """Fold the signature into band digests -> (id, band, band_key)."""
+    hash_cols = [c for c in sig.columns if c != id_col]
+    rows_per_band = len(hash_cols) // num_bands
+    assert rows_per_band * num_bands == len(hash_cols)
+    bands = []
+    for b in range(num_bands):
+        cols = hash_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs from band-bucket collisions.
+
+    The equi-join on (band, band_key) co-partitions both sides; bucket
+    sizes bound the pair fan-out.  At scale, a pre-aggregated bucket
+    histogram can cap monster buckets (skew guard) before the join.
+    """
+    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, on=["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    shingle_df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs only.
+
+    Joins shingle sets onto the (small) candidate set — the expensive
+    exact measure never runs on the full cross product.
+    """
+    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sh_a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> signature -> band
+    -> bucket join -> exact-Jaccard verify -> threshold."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
+    cands = lsh_candidate_pairs(lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col)
+    return jaccard_verify(sh, cands, id_col=id_col).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+def exact_dedup_map(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: map every doc to the canonical (min-id) doc with the
+    same content digest -> (id, digest, canonical_id, group_size)."""
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.regexp_replace(F.trim(content), r"\s+", " "))
+    h = docs.select(F.col(id_col), F.md5(content).alias("digest"))
+    groups = h.groupBy("digest").agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return h.join(groups, "digest").select(id_col, "digest", "canonical_id", "group_size")
+
+
+def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash from md5 token digests -> (id, simhash BIGINT).
+
+    Each distinct token contributes +1/-1 per bit position (bit taken
+    from the token's md5); the fingerprint sign-aggregates the votes.
+    Pure built-ins: the md5 hex is sliced into 16 nibble columns and
+    vote sums are conditional aggregates — no Python UDF in the path.
+    """
+    toks = (
+        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    # each hex nibble carries 4 bits -> 16 nibbles cover 64 bits
+    votes = [
+        F.sum(
+            F.when(
+                F.conv(F.substring("h", 1 + n, 1), 16, 10).cast("int")
+                .bitwiseAND(F.lit(1 << b)) != 0,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{n * 4 + b}")
+        for n in range(16)
+        for b in range(4)
+    ]
+    sig = toks.groupBy(id_col).agg(*votes)
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+    return sig.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 8, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dups: bucket on 16-bit chunks (pigeonhole: any pair
+    within Hamming distance <= 3*chunks/4 collides on some chunk; with
+    4 chunks and d<=8 most near-dups collide), verify exact Hamming."""
+    sig = simhash(docs, text_col=text_col, id_col=id_col)
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
+    )
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Driver-mandated extension (no xcube counterpart).  Two physical paths:
+
+- **brute-force top-k**: broadcast the (small) query set against the
+  corpus, compute cosine with built-in higher-order array functions
+  (``zip_with`` + ``aggregate`` — JVM-side, no Python), rank per query
+  with a window.  Correct baseline at any corpus size: one streaming
+  pass, shuffle only on |queries| * k candidate rows.
+- **LSH-bucketed (random hyperplanes)**: sign-sketch each vector into a
+  B-bit bucket key; only same-bucket (plus multi-probe neighbor) pairs
+  are compared.  At 100 TB this bounds the join fan-out the same way
+  minhash banding does for text.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import Column
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries x corpus scan.
+
+    Output: (query_id, vec_id, cosine, rank<=k).  The only shuffle is
+    the per-query window rank over candidate rows; with AQE the
+    pre-rank local top-k prune keeps that shuffle tiny.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python LCG —
+    no numpy needed at plan-build time, reproducible everywhere)."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _ in range(n_planes):
+        vec = []
+        for _ in range(dim):
+            # Park–Miller minimal standard LCG
+            state = (state * 48271) % 2147483647
+            u1 = state / 2147483647
+            state = (state * 48271) % 2147483647
+            u2 = state / 2147483647
+            # Box–Muller gaussian
+            vec.append(
+                math.sqrt(-2.0 * math.log(max(u1, 1e-12)))
+                * math.cos(2.0 * math.pi * u2)
+            )
+        planes.append(vec)
+    return planes
+
+
+def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-sketch bucket id: bit b = sign(vec . plane_b)."""
+    acc = F.lit(0).cast("long")
+    for b, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda v, w: v * w),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return acc
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors sharing the hyperplane
+    bucket with the query (single-probe).  Recall grows with fewer
+    planes / multi-probing; the scale win is that each corpus row joins
+    at most one bucket."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", lsh_bucket_key(F.col(vec_col), planes))
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        lsh_bucket_key(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").where(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup detection: bucket self-join + verify.
+    Same LSH bound: candidate pairs only within buckets."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_key(F.col(vec_col), planes).alias("__bucket"),
+    )
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "__bucket"
+    )
+    return (
+        a.join(b, "__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

@@ -1,0 +1,221 @@
+"""Cube-operator coverage queries, oracle-checked end to end.
+
+Strategy: both engines *generate the identical deterministic cube* —
+Spark via ``new_cube`` (one spark.range + column math), DuckDB via the
+``new_cube_sql`` twin with bit-identical float operation order — then
+apply the operator under test.  This makes genuinely cube-shaped
+operators (subsetting, subsampling, pyramids, masksets, extraction
+joins) verifiable through the driver's DuckDB hash gate even though the
+driver's tables are relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import DEFAULT_VARIABLES, new_cube, new_cube_sql
+from xcube_spark.operators.extract import get_cube_values_for_points
+from xcube_spark.operators.select import select_subset
+from xcube_spark.operators.subsampling import subsample_dataset
+from xcube_spark.operators.timeseries import get_time_series
+from xcube_spark.queries import query
+
+#: the canonical fixture cube: 360 x 180 x 5 (new.py:13-41 defaults)
+GRID = CubeGrid()
+#: deterministic variables only (A, C, flags) — the seeded-random B is
+#: exercised in pytest, not through the cross-engine oracle
+SPARK_VARS = {k: v for k, v in DEFAULT_VARIABLES.items() if k != "B"}
+CUBE_CTE = f"WITH cube AS ({new_cube_sql(GRID)})"
+
+
+def _cube(spark):
+    return new_cube(spark, GRID, variables=SPARK_VARS)
+
+
+@query(
+    "cube_select_timeseries",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT time,
+               ROUND(AVG(A), 6) AS A_mean,
+               ROUND(MIN(A), 6) AS A_min,
+               ROUND(MAX(A), 6) AS A_max,
+               COUNT(A) AS A_count
+        FROM cube
+        WHERE x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20
+          AND time >= TIMESTAMP '2010-01-02'
+        GROUP BY time
+    """,
+    bench=True,
+)
+def cube_select_timeseries(spark, sf_dir):
+    """The flagship pipeline (SURVEY §7.1): select_subset (vars ∧ bbox ∧
+    time, select.py:26-63) -> get_time_series (timeseries.py:50)."""
+    cube = select_subset(
+        _cube(spark),
+        var_names=["A"],
+        bbox=[10.0, 10.0, 20.0, 20.0],
+        time_range=("2010-01-02T00:00:00", None),
+    )
+    return get_time_series(cube, ["A"], agg_methods=("mean", "min", "max", "count")) \
+        .select("time",
+                F.round("A_mean", 6).alias("A_mean"),
+                F.round("A_min", 6).alias("A_min"),
+                F.round("A_max", 6).alias("A_max"),
+                "A_count")
+
+
+@query(
+    "cube_subsample_blocks",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i,
+               CAST(y_i // 3 AS INT) AS y_i,
+               CAST(x_i // 3 AS INT) AS x_i,
+               ROUND(AVG(A), 6) AS A_mean,
+               ROUND(MAX(A), 6) AS A_max,
+               COUNT(*) AS n
+        FROM cube
+        GROUP BY 1, 2, 3
+    """,
+)
+def cube_subsample_blocks(spark, sf_dir):
+    """subsample_dataset k x k block aggregation (subsampling.py:17-264)."""
+    out = subsample_dataset(
+        _cube(spark).select("t_i", "y_i", "x_i", "A"),
+        factor=3,
+        agg_methods={"A": ("mean", "max")},
+    )
+    return out.select(
+        "t_i", "y_i", "x_i",
+        F.round("A_mean", 6).alias("A_mean"),
+        F.round("A_max", 6).alias("A_max"),
+        "n",
+    )
+
+
+@query(
+    "cube_level_pyramid",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(*) AS n_cells,
+               ROUND(SUM(A), 4) AS A_checksum
+        FROM cube
+        WHERE y_i % 4 = 0 AND x_i % 4 = 0
+        GROUP BY t_i
+    """,
+)
+def cube_level_pyramid(spark, sf_dir):
+    """compute_levels decimation (level.py:31-137): level 2 keeps every
+    4th row/col ([::2, ::2] twice, mldataset/abc.py:19-31); the filter
+    is a pure predicate -> no shuffle before the tiny checksum agg."""
+    lvl2 = _cube(spark).where((F.col("y_i") % 4 == 0) & (F.col("x_i") % 4 == 0))
+    return lvl2.groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum("A"), 4).alias("A_checksum"),
+    )
+
+
+@query(
+    "cube_maskset_flags",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i,
+               COUNT(*) FILTER ((flags & 1) != 0 AND (flags & 2) = 0)
+                   AS n_clear_land,
+               ROUND(AVG(CASE WHEN (flags & 1) != 0 AND (flags & 2) = 0
+                              THEN A END), 6) AS A_clear_land_mean
+        FROM cube
+        GROUP BY t_i
+    """,
+)
+def cube_maskset_flags(spark, sf_dir):
+    """MaskSet semantics (maskset.py:165-196): named boolean masks from
+    CF flag attrs via bitwise ops — land AND NOT cloud here."""
+    from xcube_spark.operators.maskset import MaskSet
+
+    cube = _cube(spark)
+    masks = MaskSet("flags", flag_masks=[1, 2, 4],
+                    flag_meanings="land cloud invalid")
+    clear_land = masks["land"] & ~masks["cloud"]
+    return cube.groupBy("t_i").agg(
+        F.count(F.when(clear_land, 1)).alias("n_clear_land"),
+        F.round(F.avg(F.when(clear_land, F.col("A"))), 6).alias(
+            "A_clear_land_mean"
+        ),
+    )
+
+
+@query(
+    "cube_vars_to_dim",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT var, ROUND(SUM(data), 4) AS total, COUNT(*) AS n
+        FROM (
+            SELECT 'A' AS var, A AS data FROM cube
+            UNION ALL
+            SELECT 'C' AS var, C AS data FROM cube
+        )
+        GROUP BY var
+    """,
+)
+def cube_vars_to_dim(spark, sf_dir):
+    """vars_to_dim (vars2dim.py:10-46): melt variables into a 'var'
+    dimension — Spark's stack() unpivot, then a checksum aggregate."""
+    from xcube_spark.operators.vars2dim import vars_to_dim
+
+    long = vars_to_dim(_cube(spark), var_names=["A", "C"])
+    return long.groupBy("var").agg(
+        F.round(F.sum("data"), 4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_POINTS_SQL = """
+    SELECT CAST(range AS BIGINT) AS id,
+           to_timestamp({t0} + (range % 8) * 86400.0 + 21600.0)::TIMESTAMP
+               AS time,
+           (-95.0 + (range * 23 % 190) + 0.5) AS lat,
+           (-190.0 + (range * 37 % 380) + 0.5) AS lon
+    FROM range(400)
+""".format(t0=GRID.t_start.timestamp())
+
+
+@query(
+    "cube_extract_points",
+    sql=f"""
+        {CUBE_CTE},
+        points AS ({_POINTS_SQL}),
+        indexed AS (
+            SELECT id, time, lat, lon,
+                   CASE WHEN lat >= -90 AND lat < 90
+                        THEN CAST(FLOOR((lat - (-90.0)) / 1.0) AS INT) END AS y_i,
+                   CASE WHEN lon >= -180 AND lon < 180
+                        THEN CAST(FLOOR((lon - (-180.0)) / 1.0) AS INT) END AS x_i,
+                   CASE WHEN (range % 8) < 5 THEN CAST(range % 8 AS INT) END AS t_i
+            FROM (SELECT *, CAST(id AS BIGINT) AS range FROM points)
+        )
+        SELECT p.id, ROUND(c.A, 6) AS A, c.C AS C
+        FROM indexed p LEFT JOIN cube c
+          ON p.t_i = c.t_i AND p.y_i = c.y_i AND p.x_i = c.x_i
+    """,
+)
+def cube_extract_points(spark, sf_dir):
+    """get_cube_values_for_points (extract.py:30-125): nearest-cell
+    gather as a broadcast equi-join on computed indices; out-of-coverage
+    points (spatial or temporal) yield NULLs (extract.py:334-338)."""
+    pts = spark.range(400).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(GRID.t_start.timestamp())
+            + (F.col("id") % 8) * 86400.0
+            + 21600.0
+        ).alias("time"),
+        (F.lit(-95.0) + (F.col("id") * 23 % 190) + 0.5).alias("lat"),
+        (F.lit(-190.0) + (F.col("id") * 37 % 380) + 0.5).alias("lon"),
+    )
+    out = get_cube_values_for_points(
+        _cube(spark), GRID, pts, var_names=["A", "C"]
+    )
+    return out.select("id", F.round("A", 6).alias("A"), "C")

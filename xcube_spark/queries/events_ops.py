@@ -1,0 +1,280 @@
+"""Aggregation-operator coverage on the driver's ``events`` table.
+
+Each query is the relational face of a SURVEY §2.5 operator applied to
+the events stream table (event-time ``ts``, value ``value``): time
+series extraction, temporal resampling (down + up), statistics with
+histogram, sessionization (the batch shape of the streaming session
+window), and distinct/dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from xcube_spark.queries import query, tbl
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_timeseries_daily",
+    sql="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS time,
+               ROUND(AVG(value), 6) AS value_mean,
+               ROUND(MEDIAN(value), 6) AS value_median,
+               ROUND(STDDEV_POP(value), 6) AS value_std,
+               ROUND(MIN(value), 6) AS value_min,
+               ROUND(MAX(value), 6) AS value_max,
+               COUNT(value) AS value_count
+        FROM events
+        GROUP BY 1
+    """,
+    bench=True,
+)
+def events_timeseries_daily(spark, sf_dir):
+    """get_time_series (timeseries.py:50-205) on events: one hash-agg
+    shuffle keyed by day; exact distributed median via percentile."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("time")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_median"),
+        F.round(F.stddev_pop("value"), 6).alias("value_std"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.count("value").alias("value_count"),
+    )
+
+
+@query(
+    "events_resample_weekly",
+    sql="""
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS time,
+               ROUND(SUM(value), 4) AS value_sum,
+               ROUND(AVG(value), 6) AS value_mean,
+               ROUND(arg_min(value, event_id), 6) AS value_first,
+               ROUND(arg_max(value, event_id), 6) AS value_last,
+               COUNT(*) AS value_count
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_resample_weekly(spark, sf_dir):
+    """resample_in_time downsampling (resampling/temporal.py:17-161) to
+    weekly frequency with methods sum/mean/first/last/count; first/last
+    are order-aware -> min_by/max_by on the unique append key."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("week", "ts").alias("time")).agg(
+        F.round(F.sum("value"), 4).alias("value_sum"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.round(F.min_by("value", "event_id"), 6).alias("value_first"),
+        F.round(F.max_by("value", "event_id"), 6).alias("value_last"),
+        F.count(F.lit(1)).alias("value_count"),
+    )
+
+
+@query(
+    "events_statistics",
+    sql="""
+        SELECT event_type,
+               COUNT(value) AS count,
+               ROUND(MIN(value), 6) AS minimum,
+               ROUND(MAX(value), 6) AS maximum,
+               ROUND(AVG(value), 6) AS mean,
+               ROUND(STDDEV_POP(value), 6) AS deviation
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def events_statistics(spark, sf_dir):
+    """compute_statistics (webapi/statistics/controllers.py:30-141):
+    count/min/max/mean/deviation per group."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("value").alias("count"),
+        F.round(F.min("value"), 6).alias("minimum"),
+        F.round(F.max("value"), 6).alias("maximum"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_pop("value"), 6).alias("deviation"),
+    )
+
+
+@query(
+    "events_histogram",
+    sql="""
+        WITH rng AS (
+            SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+        )
+        SELECT LEAST(CAST(FLOOR((value - lo) / (hi - lo) * 100) AS INT), 99)
+                   AS bucket,
+               COUNT(*) AS frequency
+        FROM events, rng
+        GROUP BY 1
+    """,
+)
+def events_histogram(spark, sf_dir):
+    """The statistics API's 100-bin density histogram
+    (webapi/statistics/controllers.py:100-141).  The global [lo, hi]
+    range is a scalar agg broadcast into the bucketing expression —
+    two scans, no wide shuffle (bucket cardinality <= 100)."""
+    ev = tbl(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 100)
+        .cast("int"),
+        F.lit(99),
+    )
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+
+@query(
+    "events_sessionization",
+    sql="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS session_value,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Batch sessionization with a 30-min inactivity gap — the batch
+    twin of the streaming session window (SURVEY §2.14).  One shuffle on
+    user_id serves both window functions and the final aggregate."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.min("ts").alias("session_start"),
+    )
+
+
+@query(
+    "events_dedup_latest",
+    sql="""
+        SELECT user_id, event_type,
+               arg_max(value, event_id) AS value,
+               CAST(arg_max(ts, event_id) AS TIMESTAMP) AS ts
+        FROM events
+        GROUP BY user_id, event_type
+    """,
+)
+def events_dedup_latest(spark, sf_dir):
+    """Keyed dedup keeping the latest record (streaming dropDuplicates
+    analog, SURVEY §2.12 'Distinct'): one hash-agg, no window sort."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max_by("value", "event_id").alias("value"),
+        F.max_by("ts", "event_id").alias("ts"),
+    )
+
+
+@query(
+    "events_pivot_vars",
+    sql="""
+        SELECT user_id,
+               ROUND(COALESCE(SUM(value) FILTER (event_type = 'click'), 0), 4) AS click,
+               ROUND(COALESCE(SUM(value) FILTER (event_type = 'error'), 0), 4) AS error,
+               ROUND(COALESCE(SUM(value) FILTER (event_type = 'purchase'), 0), 4) AS purchase,
+               ROUND(COALESCE(SUM(value) FILTER (event_type = 'signup'), 0), 4) AS signup,
+               ROUND(COALESCE(SUM(value) FILTER (event_type = 'view'), 0), 4) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def events_pivot_vars(spark, sf_dir):
+    """vars_to_dim inverse (vars2dim.py:10-46): pivot the 'var' dim back
+    into one column per variable.  Explicit pivot values -> single-pass
+    pivot, no extra distinct job."""
+    ev = tbl(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 4))
+    )
+    for t in _EVENT_TYPES:
+        out = out.withColumn(t, F.coalesce(F.col(t), F.lit(0.0)))
+    return out
+
+
+@query(
+    "events_upsample_ffill",
+    sql="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS time
+            FROM bounds
+        ), hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
+                   ROUND(AVG(value), 6) AS value_mean
+            FROM events GROUP BY 1
+        )
+        SELECT g.time,
+               last_value(h.value_mean IGNORE NULLS)
+                   OVER (ORDER BY g.time ROWS UNBOUNDED PRECEDING) AS value_ffill
+        FROM grid g LEFT JOIN hourly h ON g.time = h.time
+    """,
+)
+def events_upsample_ffill(spark, sf_dir):
+    """resample_in_time upsampling with forward-fill (cli/resample.py:18-32
+    'ffill'): dense time grid left-joined to sparse aggregates, gaps
+    filled by last non-null over an ordered window.  The grid is tiny
+    (one row per hour) so the join broadcasts."""
+    ev = tbl(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("time")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+        F.round(F.avg("value"), 6).alias("value_mean")
+    )
+    w = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(hourly, on="time", how="left")
+        .withColumn("value_ffill", F.last("value_mean", ignorenulls=True).over(w))
+        .select("time", "value_ffill")
+    )

@@ -1,0 +1,204 @@
+"""Relational coverage queries on the driver's TPC-H-ish star schema.
+
+These exercise the engine's join/aggregate/sort surface (SURVEY §2.12:
+sorts/limits/set-ops are free in Spark; joins appear in the reference
+only as point-extraction alignment, §2.4).  Plans are deliberately
+broadcast-aware: dimension tables (region/nation/supplier/part at these
+scales) broadcast; only fact-fact joins shuffle on their keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.queries import query, tbl
+
+
+@query(
+    "q1_pricing_summary",
+    sql="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(AVG(l_quantity), 6) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 6) AS avg_price,
+               ROUND(AVG(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy agg; map-side partial agg makes
+    the shuffle carry only |flag x status| groups."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    sql="""
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    bench=True,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter -> broadcast join -> top-k
+    (TakeOrderedAndProject, no global sort materialization)."""
+    c = tbl(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = tbl(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = tbl(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    sql="""
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                        AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+    """,
+    bench=True,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: star join; every dimension side broadcasts, so the
+    only shuffle is the final small groupBy."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    l = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "top_customers_by_revenue",
+    sql="""
+        SELECT c.c_custkey, c.c_name,
+               ROUND(SUM(o.o_totalprice), 4) AS total_spent,
+               COUNT(*) AS n_orders
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def top_customers_by_revenue(spark, sf_dir):
+    """max_valids-style top-k trimming (webapi/timeseries/controllers.py:268):
+    ORDER BY ... LIMIT N -> TakeOrderedAndProject."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "merge_union_concat",
+    sql="""
+        SELECT o_orderkey AS key, 'order' AS kind, o_totalprice AS amount
+        FROM orders WHERE o_totalprice > 400000
+        UNION ALL
+        SELECT l_orderkey AS key, 'line' AS kind,
+               l_extendedprice AS amount
+        FROM lineitem WHERE l_extendedprice > 90000
+    """,
+)
+def merge_union_concat(spark, sf_dir):
+    """xr.concat analog — UNION ALL along a discriminator dim
+    (SURVEY §2.12, vars2dim.py:42 / dsio.py:342)."""
+    o = tbl(spark, sf_dir, "orders").where("o_totalprice > 400000").select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("order").alias("kind"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    l = tbl(spark, sf_dir, "lineitem").where("l_extendedprice > 90000").select(
+        F.col("l_orderkey").alias("key"),
+        F.lit("line").alias("kind"),
+        F.col("l_extendedprice").alias("amount"),
+    )
+    return o.unionByName(l)

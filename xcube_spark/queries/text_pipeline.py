@@ -1,0 +1,230 @@
+"""Training-data pipeline coverage queries (documents + embeddings).
+
+The DuckDB oracles replicate each pipeline *exactly* — md5-based
+hashing makes minhash/LSH reproducible cross-engine (see
+pipeline/dedup.py docstring), so even the approximate algorithms are
+hash-checked end to end, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.pipeline.dedup import exact_dedup_map, minhash_near_dup_pairs
+from xcube_spark.pipeline.similarity import knn_bruteforce
+from xcube_spark.pipeline.text import fingerprint
+from xcube_spark.queries import query, tbl
+
+
+@query(
+    "doc_exact_dedup",
+    sql=r"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS digest
+            FROM documents
+        ), g AS (
+            SELECT digest, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS group_size
+            FROM h GROUP BY digest
+        )
+        SELECT h.doc_id, h.digest, g.canonical_id, g.group_size
+        FROM h JOIN g USING (digest)
+    """,
+)
+def doc_exact_dedup(spark, sf_dir):
+    """Exact dedup via normalized-content digest (hash-groupBy; one
+    shuffle on a uniform short key)."""
+    return exact_dedup_map(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_minhash_near_dups",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, lst[i + 1] AS tok, i AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS lst
+                  FROM documents),
+                 unnest(range(len(lst))) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), sig AS (
+            SELECT doc_id,
+                   MIN(md5(shingle || '#0')) AS h0,
+                   MIN(md5(shingle || '#1')) AS h1,
+                   MIN(md5(shingle || '#2')) AS h2,
+                   MIN(md5(shingle || '#3')) AS h3,
+                   MIN(md5(shingle || '#4')) AS h4,
+                   MIN(md5(shingle || '#5')) AS h5,
+                   MIN(md5(shingle || '#6')) AS h6,
+                   MIN(md5(shingle || '#7')) AS h7
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band,
+                   md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_key
+            FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_key
+            FROM sig
+        ), cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS c
+            FROM cands c
+            JOIN sh x ON x.doc_id = c.id_a
+            JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT i.id_a, i.id_b,
+               ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.id_a
+        JOIN sizes sb ON sb.doc_id = i.id_b
+        WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+    """,
+    bench=True,
+)
+def doc_minhash_near_dups(spark, sf_dir):
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard verified
+    (shingle -> md5 minhash -> band -> bucket join -> verify)."""
+    out = minhash_near_dup_pairs(
+        tbl(spark, sf_dir, "documents"),
+        k=3, num_hashes=8, num_bands=2, threshold=0.8,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "doc_token_stats",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(DISTINCT tok) AS n_unique,
+               ROUND(AVG(length(tok)), 6) AS mean_word_len,
+               ROUND(COUNT(*) FILTER (tok IN ('the', 'a', 'of', 'and',
+                     'to', 'in', 'is', 'that', 'it', 'for')) * 1.0
+                     / COUNT(*), 6) AS stopword_ratio
+        FROM toks
+        GROUP BY doc_id
+    """,
+)
+def doc_token_stats(spark, sf_dir):
+    """Token counting + quality features (pipeline/text.py): whitespace
+    tokens, distinct count, mean token length, stopword ratio."""
+    from xcube_spark.pipeline.text import STOPWORDS
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_unique"),
+        F.round(F.avg(F.length("tok")), 6).alias("mean_word_len"),
+        F.round(
+            F.count(F.when(F.array_contains(sw, F.col("tok")), 1))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    sql="""
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_sort(list_distinct(
+                       string_split(lower(trim(text)), ' '))),
+                   ' ')) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order/repetition-invariant content fingerprint (md5 over the
+    sorted distinct token set)."""
+    return fingerprint(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "emb_knn_cosine",
+    sql="""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM c, q
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """,
+    bench=True,
+)
+def emb_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (similarity-search baseline): broadcast
+    query set, JVM-side zip_with/aggregate dot products, window rank."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_bruteforce(emb, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@query(
+    "emb_centroid_by_label",
+    sql="""
+        WITH e AS (
+            SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), pos AS (
+            SELECT label, i AS dim, v[i + 1] AS val
+            FROM e, unnest(range(len(v))) AS u(i)
+        )
+        SELECT label, CAST(dim AS INT) AS dim,
+               ROUND(AVG(val), 6) AS centroid,
+               COUNT(*) AS n
+        FROM pos GROUP BY label, dim
+    """,
+)
+def emb_centroid_by_label(spark, sf_dir):
+    """Per-label centroid of the embedding column — the aggregation
+    shape of IVF coarse quantization (cluster assign + mean)."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pos = emb.select("label", F.posexplode("v").alias("dim", "val"))
+    return pos.groupBy("label", "dim").agg(
+        F.round(F.avg("val"), 6).alias("centroid"),
+        F.count(F.lit(1)).alias("n"),
+    )

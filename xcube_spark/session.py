@@ -1,0 +1,60 @@
+"""SparkSession factory with cube-engine defaults.
+
+The defaults are chosen for the driver's local[32] single-JVM test rig
+but are the same knobs that matter on a 1000-executor cluster:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing),
+- Arrow on (pandas_udf / mapInPandas hot paths are Arrow-batched),
+- shuffle partitions sized to the rig (overridable via env),
+- broadcast threshold raised so dimension tables (axis tables, nation,
+  region, features) always broadcast rather than shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": "16g",
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
+}
+
+
+def get_session(
+    app_name: str = "xcube_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the same CPU count — on a real
+    cluster you would size this to ~2-3x total cores and let AQE
+    coalesce; both are honored here.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.default.parallelism"] = str(cpus)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
