@@ -1,0 +1,112 @@
+"""Expression compiler tests — mirrors the reference's transpiler tests
+(xcube/util/expression.py dialect; test/util/test_expression.py style)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.functions.expression import (
+    ExprError,
+    compile_expr,
+    split_var_assignment,
+)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [(1.0, 4.0, 0.5, 3), (2.0, 9.0, -0.5, 6), (3.0, 16.0, 0.0, 5)],
+        "a double, b double, c double, f int",
+    )
+
+
+def _one(df, expr, **names):
+    return df.select(compile_expr(expr, names or None).alias("r")).collect()
+
+
+def test_arithmetic(df):
+    rows = _one(df, "a + b * 2 - c / 0.5")
+    assert [r["r"] for r in rows] == [8.0, 21.0, 35.0]
+
+
+def test_power_and_funcs(df):
+    rows = _one(df, "sqrt(b) + power(a, 2)")
+    assert [r["r"] for r in rows] == [3.0, 7.0, 13.0]
+
+
+def test_comparison_chain(df):
+    rows = _one(df, "1 <= a < 3")
+    assert [r["r"] for r in rows] == [True, True, False]
+
+
+def test_bool_ops_rewrite(df):
+    # and/or/not -> &,|,~ (expression.py:78+ rewrite rules)
+    rows = _one(df, "a > 1 and not (b > 10) or c > 0")
+    assert [r["r"] for r in rows] == [True, True, False]
+
+
+def test_where_and_ifexp(df):
+    assert [r["r"] for r in _one(df, "where(c > 0, a, b)")] == [1.0, 9.0, 16.0]
+    assert [r["r"] for r in _one(df, "a if c > 0 else b")] == [1.0, 9.0, 16.0]
+
+
+def test_min_max_to_least_greatest(df):
+    # min/max -> fmin/fmax -> least/greatest (expression.py:10-41)
+    assert [r["r"] for r in _one(df, "min(a, c)")] == [0.5, -0.5, 0.0]
+    assert [r["r"] for r in _one(df, "max(a, c)")] == [1.0, 2.0, 3.0]
+
+
+def test_np_prefix_and_constants(df):
+    rows = _one(df, "np.cos(pi) + a")
+    assert [round(r["r"], 9) for r in rows] == [0.0, 1.0, 2.0]
+
+
+def test_bitwise_flags(df):
+    rows = _one(df, "(f & 2) != 0")
+    assert [r["r"] for r in rows] == [True, True, False]
+
+
+def test_clip_isnan(df):
+    assert [r["r"] for r in _one(df, "clip(c, 0, 1)")] == [0.5, 0.0, 0.0]
+    # engine NaN->NULL policy (SURVEY §4): div-by-zero yields NULL (SQL),
+    # the relational face of the reference's NaN missing-value
+    assert [r["r"] for r in _one(df, "isnull(a / 0 * 0)")] == [True, True, True]
+    assert [r["r"] for r in _one(df, "isnan(sqrt(0 - a))")] == [True, True, True]
+
+
+def test_explicit_namespace(df):
+    rows = df.select(
+        compile_expr("x * 2", {"x": F.col("a")}).alias("r")
+    ).collect()
+    assert [r["r"] for r in rows] == [2.0, 4.0, 6.0]
+
+
+def test_sandbox_rejections():
+    for bad in (
+        "__import__('os')",
+        "a.__class__",
+        "open('/etc/passwd')",
+        "[x for x in y]",
+        "lambda: 1",
+        "f'{a}'",
+    ):
+        with pytest.raises(ExprError):
+            compile_expr(bad)
+
+
+def test_unknown_function():
+    with pytest.raises(ExprError, match="unknown function"):
+        compile_expr("frobnicate(a)")
+
+
+def test_split_var_assignment():
+    assert split_var_assignment("B = B3 / B4") == ("B", "B3 / B4")
+    assert split_var_assignment("B3 / B4") == (None, "B3 / B4")
+
+
+def test_constant_expr(df):
+    rows = _one(df, "2 * pi")
+    assert [round(r["r"], 9) for r in rows] == [round(2 * math.pi, 9)] * 3

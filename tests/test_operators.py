@@ -1,0 +1,193 @@
+"""Operator tests: evaluate, temporal resample/upsample, statistics,
+histogram, levels, subsample, maskset, vars2dim, extract."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.evaluate import evaluate_dataset
+from xcube_spark.operators.extract import get_cube_values_for_points
+from xcube_spark.operators.levels import compute_levels, num_levels, select_level
+from xcube_spark.operators.maskset import MaskSet, parse_bit_mask
+from xcube_spark.operators.statistics import (
+    compute_histogram,
+    compute_statistics,
+    stretch_range,
+)
+from xcube_spark.operators.subsampling import subsample_dataset
+from xcube_spark.operators.temporal import resample_in_time, upsample_in_time
+from xcube_spark.operators.vars2dim import dim_to_vars, vars_to_dim
+
+GRID = CubeGrid(width=8, height=4, time_periods=6, x_res=45.0, y_res=45.0)
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    df = new_cube(spark, GRID, variables={"A": lambda ns: ns["t_i"].cast("double") + 0.125 * ns["x_i"], "C": 2.0}).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_evaluate_dataset(cube):
+    out = evaluate_dataset(
+        cube,
+        {
+            "D": {"expression": "A * 2 + C"},
+            "E": {"expression": "D + 1"},  # depends on computed D
+            "F": {
+                "expression": "A",
+                "valid_pixel_expression": "A > 1",
+            },
+        },
+    )
+    row = out.where("t_i=1 AND x_i=4 AND y_i=0").collect()[0]
+    assert row["D"] == (1 + 0.5) * 2 + 2.0
+    assert row["E"] == row["D"] + 1
+    assert row["F"] == 1.5
+    masked = out.where("t_i=0 AND x_i=0")
+    assert all(r["F"] is None for r in masked.collect())  # A=0 -> invalid
+
+
+def test_evaluate_assignment_syntax(cube):
+    out = evaluate_dataset(cube, {"_": {"expression": "G = A + C"}})
+    assert "G" in out.columns
+
+
+def test_resample_downsample_2d(cube):
+    # 6 daily steps -> 2-day windows = 3 groups per cell
+    out = resample_in_time(cube, "2D", methods=("mean", "min", "max", "count"))
+    assert out.select("time").distinct().count() == 3
+    cell = out.where("y_i=0 AND x_i=0").orderBy("time").collect()
+    assert [r["A_mean"] for r in cell] == [0.5, 2.5, 4.5]
+    assert [r["A_count"] for r in cell] == [2, 2, 2]
+
+
+def test_resample_all(cube):
+    out = resample_in_time(cube, "all", methods=("mean", "sum"))
+    cell = out.where("y_i=0 AND x_i=0").collect()[0]
+    assert cell["A_mean"] == 2.5  # mean over t of t
+    assert cell["time"] is None
+
+
+def test_resample_first_last_arg(cube):
+    out = resample_in_time(cube, "3D", methods=("first", "last", "argmax"))
+    cell = out.where("y_i=0 AND x_i=0").orderBy("time").collect()
+    assert [r["A_first"] for r in cell] == [0.0, 3.0]
+    assert [r["A_last"] for r in cell] == [2.0, 5.0]
+    # argmax returns the time of the max value
+    assert cell[0]["A_argmax"] == datetime(2010, 1, 3, 12)
+
+
+def test_upsample_ffill_interpolate(spark):
+    series = spark.createDataFrame(
+        [
+            (datetime(2020, 1, 1), 1.0),
+            (datetime(2020, 1, 3), 5.0),
+            (datetime(2020, 1, 5), None),
+            (datetime(2020, 1, 7), 9.0),
+        ],
+        "time timestamp, v double",
+    )
+    ff = upsample_in_time(series, "1D", "ffill").orderBy("time").collect()
+    assert [r["v"] for r in ff] == [1.0, 1.0, 5.0, 5.0, 5.0, 5.0, 9.0]
+    bf = upsample_in_time(series, "1D", "bfill").orderBy("time").collect()
+    assert [r["v"] for r in bf] == [1.0, 5.0, 5.0, 9.0, 9.0, 9.0, 9.0]
+    ip = upsample_in_time(series, "1D", "interpolate").orderBy("time").collect()
+    assert [r["v"] for r in ip] == [1.0, 3.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    nr = upsample_in_time(series, "1D", "nearest").orderBy("time").collect()
+    assert [r["v"] for r in nr] == [1.0, 1.0, 5.0, 5.0, 5.0, 9.0, 9.0]
+    af = upsample_in_time(series, "1D", "asfreq").orderBy("time").collect()
+    assert [r["v"] for r in af] == [1.0, None, 5.0, None, None, None, 9.0]
+
+
+def test_compute_statistics_and_histogram(cube):
+    stats = compute_statistics(cube, "A", mask=F.col("t_i") == 0).collect()[0]
+    assert stats["count"] == 32
+    assert stats["minimum"] == 0.0
+    assert stats["maximum"] == 0.875
+    assert math.isclose(stats["mean"], 0.4375)
+    hist = compute_histogram(cube, "A", bins=10)
+    assert hist.agg(F.sum("frequency")).collect()[0][0] == GRID.size
+    assert hist.count() <= 10
+    # expression input works too
+    stats2 = compute_statistics(cube, "A * 2").collect()[0]
+    assert stats2["maximum"] == (5 + 0.875) * 2
+
+
+def test_stretch_range(cube):
+    lo, hi = stretch_range(cube, "A", "minmax")
+    assert (lo, hi) == (0.0, 5.875)
+    lo2, hi2 = stretch_range(cube, "A", "2sigma")
+    assert lo2 < 2.9375 < hi2
+
+
+def test_levels(spark, cube):
+    assert num_levels(CubeGrid(width=1024, height=512), tile_size=256) == 3
+    levels = compute_levels(cube, GRID, num=3)
+    assert len(levels) == 3
+    l1, g1 = levels[1]
+    assert g1.width == 4 and g1.height == 2
+    assert l1.count() == 4 * 2 * 6
+    # decimation keeps even source cells: A at l1 (x_i=1) == A at l0 (x_i=2)
+    v = l1.where("t_i=0 AND y_i=0 AND x_i=1").collect()[0]["A"]
+    assert v == 0.125 * 2
+    grids = [g for _, g in levels]
+    assert select_level(grids, GRID.x_res) == 0
+    assert select_level(grids, GRID.x_res * 2) == 1
+    assert select_level(grids, GRID.x_res * 100) == 2
+
+
+def test_subsample_first_fastpath(cube):
+    out = subsample_dataset(cube, factor=2, agg_methods="first")
+    assert out.count() == GRID.size // 4
+    v = out.where("t_i=0 AND y_i=0 AND x_i=1").collect()[0]["A"]
+    assert v == 0.125 * 2  # source x_i=2
+
+
+def test_subsample_glob_methods(cube):
+    out = subsample_dataset(cube, factor=2, agg_methods={"A*": ("mean", "mode"), "C": "median"})
+    assert {"A_mean", "A_mode", "C_median", "n"} <= set(out.columns)
+
+
+def test_maskset_bits():
+    assert parse_bit_mask("3b") == 8
+    assert parse_bit_mask("1b-4b") == 0b11110
+    with pytest.raises(ValueError):
+        parse_bit_mask("xb")
+
+
+def test_maskset_values(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,), (3,)], "q int")
+    ms = MaskSet("q", flag_values=[0, 1, 2, 3], flag_meanings="clear land water cloud")
+    got = df.select(ms["water"].alias("m")).collect()
+    assert [r["m"] for r in got] == [False, False, True, False]
+
+
+def test_vars2dim_roundtrip(cube):
+    long = vars_to_dim(cube, ["A", "C"])
+    assert long.count() == GRID.size * 2
+    back = dim_to_vars(long, ["A", "C"])
+    assert back.count() == GRID.size
+    r = back.where("t_i=1 AND y_i=0 AND x_i=2").collect()[0]
+    assert r["A"] == 1.25 and r["C"] == 2.0
+
+
+def test_extract_points_outer_semantics(spark, cube):
+    pts = spark.createDataFrame(
+        [
+            (0, datetime(2010, 1, 1, 12), 10.0, 10.0),     # inside
+            (1, datetime(2010, 1, 1, 12), 200.0, 10.0),    # lat out of range
+            (2, datetime(2030, 1, 1, 12), 10.0, 10.0),     # time out of range
+        ],
+        "id long, time timestamp, lat double, lon double",
+    )
+    out = get_cube_values_for_points(cube, GRID, pts, ["A"]).orderBy("id").collect()
+    assert out[0]["A"] is not None
+    assert out[1]["A"] is None and out[2]["A"] is None

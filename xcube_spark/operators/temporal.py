@@ -1,0 +1,194 @@
+"""Temporal resampling — xcube/core/resampling/temporal.py:17-161.
+
+``resample_in_time``: resample the time dimension to a frequency.
+
+- **Downsampling** (frequency coarser than data): per-window aggregation
+  with methods all/any/argmax/argmin/count/first/last/min/max/mean/
+  median/percentile_<p>/std/sum/var (cli/resample.py:18-32).  Spark
+  mapping: ``groupBy(date_trunc | window(time, freq))`` + agg exprs —
+  one partially-aggregated shuffle keyed by window start.
+- **Upsampling** (frequency finer than data): asfreq/ffill/bfill/pad/
+  nearest/interpolate.  Spark mapping: dense target axis (``sequence``)
+  left-joined to the data, gaps filled with ordered-window functions
+  (``last(ignorenulls)`` / ``first`` over following rows / linear
+  interpolation from both).
+
+Output columns follow the reference's ``{var}_{method}`` naming
+(temporal.py:117-140); aggregations skip NULLs = skipna=True parity
+(temporal.py:154).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: downsampling frequency units -> Spark date_trunc/window specs
+_FREQ = {
+    "H": "hour",
+    "D": "day",
+    "W": "week",
+    "M": "month",
+    "Q": "quarter",
+    "Y": "year",
+}
+
+_PERCENTILE_RE = re.compile(r"^percentile_(\d+(?:\.\d+)?)$")
+
+
+def _down_agg(var: str, method: str) -> Column:
+    c = F.col(var)
+    m = _PERCENTILE_RE.match(method)
+    if m:
+        q = float(m.group(1)) / 100.0
+        return F.expr(f"percentile({var}, {q})").alias(f"{var}_{method}")
+    e = {
+        "all": F.min(c.cast("boolean")),
+        "any": F.max(c.cast("boolean")),
+        "count": F.count(c),
+        "first": F.min_by(c, F.col("time")),
+        "last": F.max_by(c, F.col("time")),
+        "min": F.min(c),
+        "max": F.max(c),
+        "argmax": F.max_by(F.col("time"), c),
+        "argmin": F.min_by(F.col("time"), c),
+        "mean": F.avg(c),
+        "median": F.expr(f"percentile({var}, 0.5)"),
+        "std": F.stddev_pop(c),
+        "var": F.var_pop(c),
+        "sum": F.sum(c),
+    }.get(method)
+    if e is None:
+        raise ValueError(f"unsupported downsampling method {method!r}")
+    return e.alias(f"{var}_{method}")
+
+
+def parse_frequency(frequency: str) -> tuple[int, str]:
+    """'8D' -> (8, 'D'); 'D' -> (1, 'D'); 'all' handled by caller."""
+    m = re.match(r"^(\d*)([HDWMQY])$", frequency)
+    if not m:
+        raise ValueError(f"invalid frequency {frequency!r}")
+    return int(m.group(1) or 1), m.group(2)
+
+
+def resample_in_time(
+    cube: DataFrame,
+    frequency: str,
+    methods: Sequence[str] = ("mean",),
+    var_names: Iterable[str] | None = None,
+    time_name: str = "time",
+) -> DataFrame:
+    """Downsample to ``frequency`` (e.g. '1D', '2W', 'M', 'all') with one
+    or more aggregation methods; outputs ``{var}_{method}`` columns and
+    the window-start ``time`` column (temporal.py:17-161)."""
+    from xcube_spark.cube.grid import var_names as cube_vars
+
+    vars_ = list(var_names) if var_names is not None else cube_vars(cube)
+    group_keys = [c for c in ("t_i", "y_i", "x_i") if c in cube.columns]
+    group_keys = [k for k in group_keys if k != "t_i"]  # time folds away
+
+    if frequency == "all":
+        key = F.lit(None).cast("timestamp").alias("time")
+        grouped = cube.groupBy(*group_keys) if group_keys else cube.groupBy()
+        aggs = [_down_agg(v, m) for v in vars_ for m in methods]
+        out = grouped.agg(*aggs)
+        return out.select(key, *out.columns)
+
+    n, unit = parse_frequency(frequency)
+    if n == 1:
+        key = F.date_trunc(_FREQ[unit], F.col(time_name)).alias("time")
+    else:
+        if unit not in ("H", "D", "W"):
+            raise ValueError(
+                f"multiples only supported for H/D/W frequencies, got {frequency!r}"
+            )
+        secs = {"H": 3600, "D": 86400, "W": 7 * 86400}[unit] * n
+        # fixed-width windows anchored at the epoch
+        key = F.timestamp_seconds(
+            (F.floor(F.col(time_name).cast("double") / secs) * secs).cast("long")
+        ).alias("time")
+
+    aggs = [_down_agg(v, m) for v in vars_ for m in methods]
+    return cube.groupBy(key, *group_keys).agg(*aggs)
+
+
+def upsample_in_time(
+    series: DataFrame,
+    frequency: str,
+    method: str = "ffill",
+    var_names: Iterable[str] | None = None,
+    time_name: str = "time",
+) -> DataFrame:
+    """Upsample a (time-keyed) series to a finer frequency.
+
+    Methods (cli/resample.py:18-32): asfreq (introduce NULL gaps),
+    ffill/pad, bfill, nearest, interpolate (linear in time).
+
+    The dense axis comes from ``sequence(min, max, interval)`` — an
+    axis-table build, tiny next to the data; the join then broadcasts.
+    Assumes a per-time-step series (the output of a prior aggregation),
+    matching the reference, which upsamples along time only.
+    """
+    vars_ = (
+        list(var_names)
+        if var_names is not None
+        else [c for c in series.columns if c != time_name]
+    )
+    n, unit = parse_frequency(frequency)
+    interval = F.expr(f"INTERVAL {n} {_FREQ[unit].upper()}")
+    bounds = series.agg(
+        F.min(time_name).alias("lo"), F.max(time_name).alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", interval)).alias(time_name)
+    )
+    joined = grid.join(series, on=time_name, how="left")
+
+    if method == "asfreq":
+        return joined
+
+    w_prev = Window.orderBy(time_name).rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy(time_name).rowsBetween(0, Window.unboundedFollowing)
+
+    out = joined
+    for v in vars_:
+        c = F.col(v)
+        if method in ("ffill", "pad"):
+            filled = F.last(c, ignorenulls=True).over(w_prev)
+        elif method == "bfill":
+            filled = F.first(c, ignorenulls=True).over(w_next)
+        elif method == "nearest":
+            pt = F.max(F.when(c.isNotNull(), F.col(time_name))).over(w_prev)
+            nt = F.min(F.when(c.isNotNull(), F.col(time_name))).over(w_next)
+            pv = F.last(c, ignorenulls=True).over(w_prev)
+            nv = F.first(c, ignorenulls=True).over(w_next)
+            t = F.col(time_name).cast("double")
+            filled = F.when(c.isNotNull(), c).otherwise(
+                F.when(
+                    nt.isNull()
+                    | (
+                        pt.isNotNull()
+                        & ((t - pt.cast("double")) <= (nt.cast("double") - t))
+                    ),
+                    pv,
+                ).otherwise(nv)
+            )
+        elif method == "interpolate":
+            pt = F.max(F.when(c.isNotNull(), F.col(time_name))).over(w_prev)
+            nt = F.min(F.when(c.isNotNull(), F.col(time_name))).over(w_next)
+            pv = F.last(c, ignorenulls=True).over(w_prev)
+            nv = F.first(c, ignorenulls=True).over(w_next)
+            t = F.col(time_name).cast("double")
+            frac = (t - pt.cast("double")) / (nt.cast("double") - pt.cast("double"))
+            filled = F.when(c.isNotNull(), c).otherwise(
+                F.when(pt.isNull(), nv)
+                .when(nt.isNull(), pv)
+                .otherwise(pv + (nv - pv) * frac)
+            )
+        else:
+            raise ValueError(f"unsupported upsampling method {method!r}")
+        out = out.withColumn(v, filled)
+    return out

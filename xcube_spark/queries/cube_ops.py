@@ -172,6 +172,81 @@ def cube_vars_to_dim(spark, sf_dir):
     )
 
 
+@query(
+    "cube_evaluate_expr",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i,
+               ROUND(SUM(CASE WHEN A > 2.5 THEN sqrt(A) * 2
+                              ELSE C END), 4) AS D_sum,
+               COUNT(CASE WHEN (flags & 1) != 0
+                          THEN CASE WHEN A > 2.5 THEN sqrt(A) * 2
+                                    ELSE C END END) AS D_valid_land
+        FROM cube
+        GROUP BY t_i
+    """,
+)
+def cube_evaluate_expr(spark, sf_dir):
+    """evaluate_dataset (evaluate.py:16-152) + expression compiler
+    (util/expression.py transpile dialect): computed variable with
+    where()/sqrt(), masked aggregate via MaskSet-style flag predicate —
+    all compiled to Columns, zero Python in the executed plan."""
+    from xcube_spark.operators.evaluate import evaluate_dataset
+
+    cube = evaluate_dataset(
+        _cube(spark),
+        {"D": {"expression": "where(A > 2.5, sqrt(A) * 2, C)"}},
+    )
+    return cube.groupBy("t_i").agg(
+        F.round(F.sum("D"), 4).alias("D_sum"),
+        F.count(F.when(F.col("flags").bitwiseAND(1) != 0, F.col("D"))).alias(
+            "D_valid_land"
+        ),
+    )
+
+
+@query(
+    "cube_resample_time_2d",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT to_timestamp(FLOOR(epoch(time) / 172800) * 172800)::TIMESTAMP
+                   AS time,
+               CAST(y_i // 30 AS INT) AS y_i,
+               CAST(x_i // 30 AS INT) AS x_i,
+               ROUND(AVG(A), 6) AS A_mean,
+               ROUND(quantile_cont(A, 0.9), 6) AS A_percentile_90,
+               ROUND(STDDEV_POP(A), 6) AS A_std,
+               COUNT(A) AS A_count
+        FROM cube
+        GROUP BY 1, 2, 3
+    """,
+)
+def cube_resample_time_2d(spark, sf_dir):
+    """resample_in_time (resampling/temporal.py:17-161) at a 2-day
+    frequency with mean/percentile_90/std/count, composed with spatial
+    blocking — the epoch-anchored window key is pure column math, so
+    the whole thing is one partial-aggregated shuffle."""
+    from xcube_spark.operators.temporal import resample_in_time
+
+    blocked = _cube(spark).select(
+        "time",
+        (F.col("y_i") / 30).cast("int").alias("y_i"),
+        (F.col("x_i") / 30).cast("int").alias("x_i"),
+        "A",
+    )
+    out = resample_in_time(
+        blocked, "2D", methods=("mean", "percentile_90", "std", "count"),
+        var_names=["A"],
+    )
+    return out.select(
+        "time", "y_i", "x_i",
+        F.round("A_mean", 6).alias("A_mean"),
+        F.round("A_percentile_90", 6).alias("A_percentile_90"),
+        F.round("A_std", 6).alias("A_std"),
+        "A_count",
+    )
+
+
 _POINTS_SQL = """
     SELECT CAST(range AS BIGINT) AS id,
            to_timestamp({t0} + (range % 8) * 86400.0 + 21600.0)::TIMESTAMP

@@ -17,6 +17,10 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # numpy float-math parity with the reference (x/0 -> inf/NaN, not an
+    # error); registry queries stay ANSI-safe so the driver's session
+    # setting doesn't matter for the oracle gate
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
