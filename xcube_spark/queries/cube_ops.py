@@ -247,6 +247,71 @@ def cube_resample_time_2d(spark, sf_dir):
     )
 
 
+@query(
+    "cube_mask_geometry_timeseries",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT time,
+               ROUND(AVG(CASE WHEN x >= 0 AND y >= 0 AND x + y < 40
+                              THEN A END), 6) AS A_mean,
+               COUNT(CASE WHEN x >= 0 AND y >= 0 AND x + y < 40
+                          THEN A END) AS A_count
+        FROM cube
+        WHERE x BETWEEN 0 AND 40 AND y BETWEEN 0 AND 40
+        GROUP BY time
+    """,
+)
+def cube_mask_geometry_timeseries(spark, sf_dir):
+    """mask_dataset_by_geometry (geom.py:284-399) + get_time_series:
+    the Spark side masks with the generic ray-casting pandas UDF over a
+    triangle polygon; the oracle states the triangle's analytic
+    half-plane predicate — cross-engine agreement validates the
+    point-in-polygon kernel itself, not just the aggregation."""
+    from xcube_spark.operators.geom import mask_dataset_by_geometry
+    from xcube_spark.operators.timeseries import get_time_series
+
+    masked = mask_dataset_by_geometry(
+        _cube(spark), "POLYGON((0 0, 40 0, 0 40, 0 0))", var_names=["A"]
+    )
+    ts = get_time_series(masked, ["A"], agg_methods=("mean", "count"))
+    return ts.select(
+        "time", F.round("A_mean", 6).alias("A_mean"), "A_count"
+    )
+
+
+@query(
+    "cube_rasterize_features",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT CASE WHEN x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20 THEN 2
+                    WHEN x >= 0 AND y >= 0 AND x + y < 40 THEN 1
+               END AS class_id,
+               COUNT(*) AS n_cells,
+               ROUND(AVG(A), 6) AS A_mean
+        FROM cube
+        WHERE t_i = 0
+        GROUP BY 1
+    """,
+)
+def cube_rasterize_features(spark, sf_dir):
+    """rasterize_features (geom.py:51-236): burn class_id from two
+    overlapping features (triangle, then box — later feature wins, the
+    reference's sequential-burn order), then aggregate per class."""
+    from xcube_spark.operators.geom import rasterize_features
+
+    feats = [
+        {"geometry": "POLYGON((0 0, 40 0, 0 40, 0 0))", "class_id": 1},
+        {"geometry": (10.0, 10.0, 20.0, 20.0), "class_id": 2},
+    ]
+    burned = rasterize_features(
+        _cube(spark).where(F.col("t_i") == 0), feats, ["class_id"]
+    )
+    return burned.groupBy("class_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.avg("A"), 6).alias("A_mean"),
+    )
+
+
 _POINTS_SQL = """
     SELECT CAST(range AS BIGINT) AS id,
            to_timestamp({t0} + (range % 8) * 86400.0 + 21600.0)::TIMESTAMP
