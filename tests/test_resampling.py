@@ -1,0 +1,158 @@
+"""Spatial resampling tests: affine gather (nearest + bilinear),
+integer downscale routing, rectify ij-lookup, reproject round-trip,
+and the resample_in_space dispatcher (xcube test_affine/test_rectify
+analog — small deterministic cubes, exact expected values)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.resampling import (
+    affine_transform_dataset,
+    rectify_dataset,
+    reproject_dataset,
+    resample_in_space,
+)
+from xcube_spark.operators.resampling.reproject import (
+    _lonlat_to_mercator,
+    _mercator_to_lonlat,
+)
+from xcube_spark.operators.resampling.spatial import _integer_factor
+
+SRC = CubeGrid(width=8, height=8, time_periods=2, x_start=0.0, y_start=0.0,
+               x_res=1.0, y_res=1.0)
+# ramp variable: v = 10*y_i + x_i, exactly recoverable
+VARS = {"v": lambda ns: (10 * ns["y_i"] + ns["x_i"]).cast("double")}
+
+
+@pytest.fixture(scope="module")
+def src_cube(spark):
+    return new_cube(spark, SRC, VARS).cache()
+
+
+def _lookup(df, t_i, y_i, x_i):
+    rows = df.where(
+        (F.col("t_i") == t_i) & (F.col("y_i") == y_i) & (F.col("x_i") == x_i)
+    ).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_affine_identity_nearest(spark, src_cube):
+    out = affine_transform_dataset(src_cube, SRC, SRC, spline_orders=0)
+    assert out.count() == SRC.size
+    r = _lookup(out, 1, 3, 5)
+    assert r["v"] == 35.0
+
+
+def test_affine_shift_nearest(spark, src_cube):
+    # target shifted by exactly one source cell: v(target i) = v(src i+1)
+    tgt = CubeGrid(width=6, height=6, time_periods=2, x_start=1.0,
+                   y_start=1.0, x_res=1.0, y_res=1.0)
+    out = affine_transform_dataset(src_cube, SRC, tgt, spline_orders=0)
+    r = _lookup(out, 0, 2, 2)
+    assert r["v"] == 10 * 3 + 3  # src (3,3)
+
+
+def test_affine_bilinear_halfcell(spark, src_cube):
+    # target centers fall exactly between 4 source centers ->
+    # bilinear = mean of the 4 corners of the ramp = ramp at midpoint
+    tgt = CubeGrid(width=7, height=7, time_periods=2, x_start=0.5,
+                   y_start=0.5, x_res=1.0, y_res=1.0)
+    out = affine_transform_dataset(src_cube, SRC, tgt, spline_orders=1)
+    r = _lookup(out, 0, 2, 3)
+    # target center (y=3.0, x=4.0) -> frac idx (2.5, 3.5): corners
+    # v in {(2,3),(2,4),(3,3),(3,4)} = {23,24,33,34}, mean = 28.5
+    assert r["v"] == pytest.approx(28.5)
+
+
+def test_affine_upsample_2x_nearest(spark, src_cube):
+    tgt = CubeGrid(width=16, height=16, time_periods=2, x_start=0.0,
+                   y_start=0.0, x_res=0.5, y_res=0.5)
+    out = affine_transform_dataset(src_cube, SRC, tgt, spline_orders=0)
+    assert out.count() == tgt.size
+    # target (y_i=4, x_i=6) center = (2.25, 3.25) -> src (2, 3)
+    r = _lookup(out, 0, 4, 6)
+    assert r["v"] == 23.0
+
+
+def test_integer_factor_detection():
+    tgt = CubeGrid(width=4, height=4, time_periods=2, x_start=0.0,
+                   y_start=0.0, x_res=2.0, y_res=2.0)
+    assert _integer_factor(SRC, tgt) == 2
+    off = CubeGrid(width=4, height=4, time_periods=2, x_start=0.5,
+                   y_start=0.0, x_res=2.0, y_res=2.0)
+    assert _integer_factor(SRC, off) is None
+
+
+def test_resample_in_space_downscale_route(spark, src_cube):
+    tgt = CubeGrid(width=4, height=4, time_periods=2, x_start=0.0,
+                   y_start=0.0, x_res=2.0, y_res=2.0)
+    out = resample_in_space(src_cube, SRC, tgt)
+    r = _lookup(out, 0, 0, 0)
+    # block mean of {0,1,10,11} = 5.5
+    assert r["v"] == pytest.approx(5.5)
+
+
+def test_resample_in_space_noop(spark, src_cube):
+    assert resample_in_space(src_cube, SRC, SRC) is src_cube
+
+
+def test_rectify_swath(spark):
+    # irregular source: lon/lat are a rotated-ish function of (y_i, x_i);
+    # here simply offset so each source center lands inside one target cell
+    cube = new_cube(spark, SRC, VARS)
+    swath = cube.withColumns({
+        "lon": F.col("x") + 0.1,
+        "lat": F.col("y") - 0.1,
+    })
+    tgt = CubeGrid(width=8, height=8, time_periods=2, x_start=0.0,
+                   y_start=0.0, x_res=1.0, y_res=1.0)
+    out = rectify_dataset(swath, tgt, var_names=["v"])
+    assert out.count() == tgt.size
+    # source center (y=3.5,x=5.5) -> swath (lon=5.6, lat=3.4) -> target
+    # cell (y_i=3, x_i=5): nearest source = v(3,5)=35
+    r = _lookup(out, 1, 3, 5)
+    assert r["v"] == 35.0
+
+
+def test_mercator_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(l, p) for l in (-170.0, 0.0, 45.0) for p in (-60.0, 0.0, 70.0)],
+        "lon double, lat double",
+    )
+    mx, my = _lonlat_to_mercator(F.col("lon"), F.col("lat"))
+    lon2, lat2 = _mercator_to_lonlat(mx, my)
+    rows = df.select(F.col("lon"), F.col("lat"),
+                     lon2.alias("lon2"), lat2.alias("lat2")).collect()
+    for r in rows:
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-9)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-9)
+
+
+def test_reproject_4326_to_3857(spark, src_cube):
+    # target: web-mercator box covering the source's lower-left quarter
+    merc = CubeGrid(
+        width=4, height=4, time_periods=2,
+        x_start=0.0, y_start=0.0,
+        x_res=111319.49079327358, y_res=111319.49079327358,  # ~1 deg
+        crs="EPSG:3857",
+    )
+    out = reproject_dataset(src_cube, SRC, merc)
+    assert out.count() == merc.size
+    # target cell (0,0) center ~ (0.5 deg, ~0.5 deg lat) -> src (0,0)
+    r = _lookup(out, 0, 0, 0)
+    assert r["v"] == 0.0
+
+
+def test_reproject_dispatch(spark, src_cube):
+    merc = CubeGrid(width=2, height=2, time_periods=2, x_start=0.0,
+                    y_start=0.0, x_res=222638.98, y_res=222638.98,
+                    crs="EPSG:3857")
+    out = resample_in_space(src_cube, SRC, merc)
+    assert out.count() == merc.size

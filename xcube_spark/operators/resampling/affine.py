@@ -1,0 +1,204 @@
+"""Affine spatial resampling — xcube/core/resampling/affine.py:24-392.
+
+``affine_transform_dataset``: resample a regular-grid cube onto another
+regular grid in the same CRS (pure scale + offset between the two
+pixel spaces).
+
+Spark mapping (SURVEY §2.6): the **target-driven gather join** —
+1. synthesize the target cell table (pure ``spark.range`` math, like
+   ``new_cube``);
+2. compute each target cell's *fractional source index* with the affine
+   Column expression (no UDF; the reference's
+   ``dask_image.ndinterp.affine_transform`` call graph collapses into
+   two multiplies and an add per axis);
+3. gather:
+   - **nearest** (spline order 0; the int/bool default,
+     affine.py:152-158): round to int index, single equi-join on
+     ``(t_i, y_i, x_i)``;
+   - **bilinear** (order 1, float default): join the 4 neighbor cells
+     and blend with the fractional weights — expressed as one explode
+     of 4 weighted index tuples followed by the same equi-join and a
+     weighted-sum aggregation (NaN-aware: weights renormalize over
+     non-null neighbors, the reference's ``recover_nan`` trick,
+     affine.py:290-311);
+4. **integer-factor downscale** (the ``da.coarsen`` path,
+   affine.py:62-98): block aggregation via subsample_dataset instead of
+   a gather — one partial-agg shuffle.
+
+The source side keeps its (t_i, y_i, x_i) layout, so with a cells table
+sorted on those keys the gather join sort-merges without extra exchange
+(or broadcasts the target index table when it is the small side).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+
+
+def _target_index_table(spark: SparkSession, target: CubeGrid) -> DataFrame:
+    """Target cells with their (fractional) source-space coordinates
+    attached later; one narrow spark.range projection."""
+    plane = target.width * target.height
+    base = spark.range(target.size)
+    t_i = (F.col("id") / plane).cast("int")
+    rem = F.col("id") % plane
+    y_i = (rem / target.width).cast("int")
+    x_i = (rem % target.width).cast("int")
+    return base.select(
+        t_i.alias("t_i"), y_i.alias("y_i"), x_i.alias("x_i")
+    ).select(
+        "t_i",
+        "y_i",
+        "x_i",
+        target.time_center_expr(F.col("t_i")).alias("time"),
+        target.y_center_expr(F.col("y_i")).alias("y"),
+        target.x_center_expr(F.col("x_i")).alias("x"),
+    )
+
+
+def _source_frac_index(source: CubeGrid, coord: Column, axis: str) -> Column:
+    """Fractional source pixel index of a coordinate (affine inverse):
+    i = (coord - origin) / res - 0.5 (cell centers at half-pixels)."""
+    if axis == "x":
+        return (coord - F.lit(source.x_start)) / F.lit(source.x_res) - 0.5
+    if source.inverse_y:
+        return (F.lit(source.y_end) - coord) / F.lit(source.y_res) - 0.5
+    return (coord - F.lit(source.y_start)) / F.lit(source.y_res) - 0.5
+
+
+def affine_transform_dataset(
+    cube: DataFrame,
+    source: CubeGrid,
+    target: CubeGrid,
+    var_names: Iterable[str] | None = None,
+    spline_orders: int | Mapping[str, int] | None = None,
+) -> DataFrame:
+    """Resample ``cube`` from grid ``source`` onto grid ``target``.
+
+    ``spline_orders``: 0 (nearest) or 1 (bilinear), scalar or per-var
+    (the reference's ``var_configs`` spline_order, spatial.py:62-98;
+    orders 2-5 are not supported — they are grid-global convolutions
+    that don't fit a bounded gather, and the reference itself defaults
+    to 0/1 for all dtypes).
+    """
+    from xcube_spark.cube.grid import var_names as cube_vars
+
+    spark = cube.sparkSession
+    vars_ = list(var_names) if var_names is not None else cube_vars(cube)
+    if spline_orders is None:
+        orders = {v: 1 if dict(cube.dtypes)[v] in ("double", "float") else 0
+                  for v in vars_}
+    elif isinstance(spline_orders, int):
+        orders = {v: spline_orders for v in vars_}
+    else:
+        orders = {v: spline_orders.get(v, 1) for v in vars_}
+    bad = {v: o for v, o in orders.items() if o not in (0, 1)}
+    if bad:
+        raise ValueError(f"unsupported spline orders {bad}; only 0/1")
+
+    tgt = _target_index_table(spark, target)
+    fx = _source_frac_index(source, F.col("x"), "x")
+    fy = _source_frac_index(source, F.col("y"), "y")
+    tgt = tgt.withColumns({"__fx": fx, "__fy": fy})
+
+    src_cells = cube.select(
+        F.col("t_i").alias("__st"),
+        F.col("y_i").alias("__sy"),
+        F.col("x_i").alias("__sx"),
+        *vars_,
+    )
+
+    nearest_vars = [v for v in vars_ if orders[v] == 0]
+    linear_vars = [v for v in vars_ if orders[v] == 1]
+    out = tgt
+
+    if nearest_vars:
+        nearest = tgt.select(
+            "t_i", "y_i", "x_i",
+            F.round("__fy").cast("int").alias("__sy"),
+            F.round("__fx").cast("int").alias("__sx"),
+        )
+        # equi-join on computed indices (the extract.py:321 rewrite)
+        joined = nearest.join(
+            src_cells.select("__st", "__sy", "__sx", *nearest_vars),
+            on=[
+                F.col("t_i") == F.col("__st"),
+                nearest["__sy"] == src_cells["__sy"],
+                nearest["__sx"] == src_cells["__sx"],
+            ],
+            how="left",
+        ).select("t_i", "y_i", "x_i", *nearest_vars)
+        out = out.join(joined, on=["t_i", "y_i", "x_i"], how="left")
+
+    if linear_vars:
+        # 4-neighbor gather: explode (dy, dx) in {0,1}^2 with bilinear
+        # weights, equi-join, weighted sum renormalized over non-null
+        # neighbors (recover_nan, affine.py:290-311)
+        y0 = F.floor("__fy").cast("int")
+        x0 = F.floor("__fx").cast("int")
+        wy = F.col("__fy") - y0
+        wx = F.col("__fx") - x0
+        corners = F.array(
+            *[
+                F.struct(
+                    (y0 + dy).alias("__sy"),
+                    (x0 + dx).alias("__sx"),
+                    (
+                        (wy if dy else (1 - wy)) * (wx if dx else (1 - wx))
+                    ).alias("__w"),
+                )
+                for dy in (0, 1)
+                for dx in (0, 1)
+            ]
+        )
+        expl = tgt.select(
+            "t_i", "y_i", "x_i", F.explode(corners).alias("c")
+        ).select(
+            "t_i", "y_i", "x_i",
+            F.col("c.__sy").alias("__sy"),
+            F.col("c.__sx").alias("__sx"),
+            F.col("c.__w").alias("__w"),
+        )
+        joined = expl.join(
+            src_cells.select("__st", "__sy", "__sx", *linear_vars),
+            on=[
+                F.col("t_i") == F.col("__st"),
+                expl["__sy"] == src_cells["__sy"],
+                expl["__sx"] == src_cells["__sx"],
+            ],
+            how="left",
+        )
+        aggs = []
+        for v in linear_vars:
+            num = F.sum(F.when(F.col(v).isNotNull(), F.col("__w") * F.col(v)))
+            den = F.sum(F.when(F.col(v).isNotNull(), F.col("__w")))
+            aggs.append(
+                F.when(den > 1e-12, num / den).alias(v)
+            )
+        blended = joined.groupBy("t_i", "y_i", "x_i").agg(*aggs)
+        out = out.join(blended, on=["t_i", "y_i", "x_i"], how="left")
+
+    return out.select("t_i", "y_i", "x_i", "time", "y", "x", *vars_)
+
+
+def downscale_dataset(
+    cube: DataFrame,
+    factor: int,
+    agg: str = "mean",
+) -> DataFrame:
+    """Integer-divisor downscale (the coarsen path, affine.py:62-98):
+    block aggregation, nanmean default -> NULL-skipping avg.  Keeps the
+    plain variable names (the coarsen path does not rename, unlike
+    resample_in_time's ``var_<method>`` convention)."""
+    from xcube_spark.cube.grid import var_names as cube_vars
+    from xcube_spark.operators.subsampling import subsample_dataset
+
+    vars_ = cube_vars(cube)
+    out = subsample_dataset(cube, factor=factor, agg_methods=agg)
+    renames = {f"{v}_{agg}": v for v in vars_ if f"{v}_{agg}" in out.columns}
+    return out.withColumnsRenamed(renames).drop("n")

@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         cube_ops,
         events_ops,
         relational,
+        resampling_ops,
         text_pipeline,
     )
 

@@ -1,0 +1,200 @@
+"""Spatial-resampling coverage queries (SURVEY §2.6), oracle-checked.
+
+Same strategy as cube_ops: both engines synthesize the identical
+deterministic cube, then the oracle re-derives the *expected gather*
+with plain SQL index math — an independent re-statement of the
+semantics, not a re-run of the implementation:
+
+- affine nearest: target grid aligned to the source -> the gather is an
+  exact index shift, expressible as one SQL join;
+- affine bilinear: target offset by half a cell -> every target center
+  sits exactly between 4 source centers with weight 1/4 each;
+- rectify: a swath whose per-pixel lon/lat are the grid coords shifted
+  by a constant -> the ij-lookup is an index translation;
+- reproject: EPSG:3857 target over an EPSG:4326 source with the
+  closed-form Web-Mercator inverse written directly in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.resampling import (
+    affine_transform_dataset,
+    rectify_dataset,
+    reproject_dataset,
+)
+from xcube_spark.queries import query
+from xcube_spark.queries.cube_ops import CUBE_CTE, GRID, SPARK_VARS
+
+
+def _cube_a(spark):
+    return new_cube(spark, GRID, variables=SPARK_VARS).select(
+        "t_i", "y_i", "x_i", "time", "y", "x", "A"
+    )
+
+
+# ---- affine nearest: aligned shift ------------------------------------
+
+_TGT_N = CubeGrid(width=120, height=60, time_periods=GRID.time_periods,
+                  x_start=10.0, y_start=10.0, x_res=1.0, y_res=1.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days)
+
+
+@query(
+    "cube_affine_nearest",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 7200 AS INT) AS t_i,
+                   CAST((range % 7200) // 120 AS INT) AS y_i,
+                   CAST(range % 120 AS INT) AS x_i
+            FROM range({_TGT_N.size})
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(ROUND(((10.0 + (x_i + 0.5) * 1.0) - -180.0) / 1.0
+                              - 0.5) AS INT) AS sx,
+                   CAST(ROUND(((10.0 + (y_i + 0.5) * 1.0) - -90.0) / 1.0
+                              - 0.5) AS INT) AS sy
+            FROM tgt
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_affine_nearest(spark, sf_dir):
+    """affine_transform_dataset, spline order 0 (affine.py:24-392):
+    target grid aligned to the source -> pure index-shift gather."""
+    out = affine_transform_dataset(_cube_a(spark), GRID, _TGT_N,
+                                   spline_orders=0)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- affine bilinear: half-cell offset --------------------------------
+
+_TGT_B = CubeGrid(width=100, height=50, time_periods=GRID.time_periods,
+                  x_start=10.5, y_start=10.5, x_res=1.0, y_res=1.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days)
+
+
+@query(
+    "cube_affine_bilinear",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 5000 AS INT) AS t_i,
+                   CAST((range % 5000) // 100 AS INT) AS y_i,
+                   CAST(range % 100 AS INT) AS x_i
+            FROM range({_TGT_B.size})
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR(((10.5 + (x_i + 0.5) * 1.0) - -180.0) / 1.0
+                              - 0.5) AS INT) AS x0,
+                   CAST(FLOOR(((10.5 + (y_i + 0.5) * 1.0) - -90.0) / 1.0
+                              - 0.5) AS INT) AS y0
+            FROM tgt
+        )
+        SELECT f.t_i, f.y_i, f.x_i,
+               ROUND((c00.A + c01.A + c10.A + c11.A) * 0.25, 6) AS A
+        FROM f
+        JOIN cube c00 ON c00.t_i = f.t_i AND c00.y_i = f.y0
+                     AND c00.x_i = f.x0
+        JOIN cube c01 ON c01.t_i = f.t_i AND c01.y_i = f.y0
+                     AND c01.x_i = f.x0 + 1
+        JOIN cube c10 ON c10.t_i = f.t_i AND c10.y_i = f.y0 + 1
+                     AND c10.x_i = f.x0
+        JOIN cube c11 ON c11.t_i = f.t_i AND c11.y_i = f.y0 + 1
+                     AND c11.x_i = f.x0 + 1
+    """,
+)
+def cube_affine_bilinear(spark, sf_dir):
+    """affine_transform_dataset, spline order 1: target centers midway
+    between 4 source centers -> weights exactly 1/4 (affine.py:290-311
+    recover_nan weighting, fully-valid case)."""
+    out = affine_transform_dataset(_cube_a(spark), GRID, _TGT_B,
+                                   spline_orders=1)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- rectify: constant-shift swath ------------------------------------
+
+
+@query(
+    "cube_rectify_swath",
+    sql=f"""
+        {CUBE_CTE},
+        grid AS (
+            SELECT CAST(range // {GRID.width * GRID.height} AS INT) AS t_i,
+                   CAST((range % {GRID.width * GRID.height})
+                        // {GRID.width} AS INT) AS y_i,
+                   CAST(range % {GRID.width} AS INT) AS x_i
+            FROM range({GRID.size})
+        )
+        SELECT g.t_i, g.y_i, g.x_i, ROUND(c.A, 6) AS A
+        FROM grid g LEFT JOIN cube c
+          ON c.t_i = g.t_i AND c.y_i = g.y_i + 1 AND c.x_i = g.x_i - 1
+    """,
+)
+def cube_rectify_swath(spark, sf_dir):
+    """rectify_dataset (rectify.py:23-852): swath lon/lat = grid coords
+    shifted by (+0.6, -1.1) degrees -> the ij-lookup reduces to the
+    index translation (ty, tx) <- (ty + 1, tx - 1), which the oracle
+    re-derives as a join; unmapped border rows stay NULL."""
+    swath = _cube_a(spark).withColumns({
+        "lon": F.col("x") + 0.6,
+        "lat": F.col("y") - 1.1,
+    })
+    out = rectify_dataset(swath, GRID, var_names=["A"])
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: Web-Mercator target -----------------------------------
+
+_MERC = CubeGrid(width=36, height=20, time_periods=GRID.time_periods,
+                 x_start=-2_000_000.0, y_start=-2_000_000.0,
+                 x_res=200_000.0, y_res=200_000.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="EPSG:3857")
+
+
+@query(
+    "cube_reproject_mercator",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 720 AS INT) AS t_i,
+                   CAST((range % 720) // 36 AS INT) AS y_i,
+                   CAST(range % 36 AS INT) AS x_i
+            FROM range({_MERC.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   (-2000000.0 + (x_i + 0.5) * 200000.0)
+                       / 111319.49079327358 AS lon,
+                   degrees(atan((exp((-2000000.0 + (y_i + 0.5) * 200000.0)
+                                     / 6378137.0)
+                                 - exp(-((-2000000.0 + (y_i + 0.5)
+                                          * 200000.0) / 6378137.0))) / 2))
+                       AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_mercator(spark, sf_dir):
+    """reproject_dataset (reproject.py:27-507): EPSG:3857 target grid
+    over the EPSG:4326 source; the oracle applies the closed-form
+    Web-Mercator inverse (sinh written as (e^z - e^-z)/2) and re-derives
+    the nearest gather.  Index math is ulp-robust: target centers land
+    well inside source cells."""
+    out = reproject_dataset(_cube_a(spark), GRID, _MERC)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
