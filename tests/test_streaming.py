@@ -1,0 +1,80 @@
+"""Streaming tests: each drained AvailableNow stream must equal its
+batch twin over the same finite data (exactly-once), plus watermark /
+state-contract unit checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.queries import tbl
+from xcube_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_table,
+    session_window_stats,
+    streaming_dedup,
+    windowed_stats,
+)
+from xcube_spark.streaming.stateful import running_user_totals
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_windowed_equals_batch(spark, sf_dir):
+    stream = windowed_stats(read_events_stream(spark, sf_dir), window="1 day")
+    got = run_stream_to_table(stream, output_mode="complete")
+
+    ev = tbl(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 6).alias("value_mean"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "value_mean", "value_sum")
+    )
+    cols = ("window_start", "event_type", "n", "value_mean", "value_sum")
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_session_window_equals_batch(spark, sf_dir):
+    stream = session_window_stats(read_events_stream(spark, sf_dir),
+                                  gap="30 minutes")
+    got = run_stream_to_table(stream, output_mode="complete")
+
+    ev = tbl(spark, sf_dir, "events")
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("value_sum"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                "n_events", "value_sum")
+    )
+    cols = ("user_id", "session_start", "n_events", "value_sum")
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streaming_dedup_matches_distinct(spark, sf_dir):
+    stream = streaming_dedup(read_events_stream(spark, sf_dir),
+                             keys=["user_id", "event_type"], watermark=None)
+    got = run_stream_to_table(stream, output_mode="append") \
+        .select("user_id", "event_type")
+    want = tbl(spark, sf_dir, "events").select("user_id", "event_type") \
+        .distinct()
+    assert _rows(got, "user_id", "event_type") == \
+        _rows(want, "user_id", "event_type")
+
+
+def test_stateful_totals_equal_batch(spark, sf_dir):
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    got = run_stream_to_table(stream, output_mode="update")
+    want = (
+        tbl(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4)
+             .alias("value_sum"))
+    )
+    cols = ("user_id", "n_events", "value_sum")
+    assert _rows(got, *cols) == _rows(want, *cols)

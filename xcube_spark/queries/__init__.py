@@ -68,6 +68,7 @@ def load_all() -> dict[str, Query]:
         events_ops,
         relational,
         resampling_ops,
+        streaming_ops,
         text_pipeline,
     )
 

@@ -1,0 +1,146 @@
+"""Streaming coverage queries (SURVEY §2.14) — oracle-checked.
+
+Each query builds a Structured Streaming pipeline over the events
+parquet, drains it with ``Trigger.AvailableNow`` into a memory sink,
+and returns the materialized batch result.  Correctness leans on
+Spark's exactly-once guarantee: a finite stream processed to
+completion must equal the equivalent batch query, which DuckDB states
+independently.
+
+Output modes per operator class:
+- tumbling/sliding/session window aggs -> ``complete`` (all windows;
+  session windows reject update mode);
+- custom state (applyInPandasWithState) -> ``update`` (the finite
+  stream is one micro-batch, so every key emits exactly its final
+  state);
+- stateful dedup -> ``append`` (first-seen rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.queries import query
+from xcube_spark.streaming.events import (
+    read_events_stream,
+    run_stream_to_table,
+    session_window_stats,
+    sliding_window_stats,
+    streaming_dedup,
+    windowed_stats,
+)
+from xcube_spark.streaming.stateful import running_user_totals
+
+
+@query(
+    "stream_windowed_daily",
+    sql="""
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 6) AS value_mean,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def stream_windowed_daily(spark, sf_dir):
+    """Tumbling 1-day event-time windows with a 1-hour watermark."""
+    stream = windowed_stats(read_events_stream(spark, sf_dir),
+                            window="1 day", watermark="1 hour")
+    return run_stream_to_table(stream, output_mode="complete")
+
+
+@query(
+    "stream_sliding_12h",
+    sql="""
+        WITH b AS (
+            SELECT time_bucket(INTERVAL '12 hours', ts) AS window_start,
+                   value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '12 hours', ts)
+                     - INTERVAL '12 hours' AS window_start,
+                   value
+            FROM events
+        )
+        SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+               COUNT(*) AS n,
+               ROUND(AVG(value), 6) AS value_mean
+        FROM b
+        GROUP BY 1
+    """,
+)
+def stream_sliding_12h(spark, sf_dir):
+    """Sliding 1-day windows every 12 hours: each event lands in two
+    windows; the oracle re-derives the two covering window starts."""
+    stream = sliding_window_stats(read_events_stream(spark, sf_dir),
+                                  window="1 day", slide="12 hours")
+    return run_stream_to_table(stream, output_mode="complete")
+
+
+@query(
+    "stream_session_per_user",
+    sql="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS value_sum
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def stream_session_per_user(spark, sf_dir):
+    """Gap-merged session windows (F.session_window, 30-min gap); the
+    oracle rebuilds identical sessions with the lag/cumsum idiom."""
+    stream = session_window_stats(read_events_stream(spark, sf_dir),
+                                  gap="30 minutes")
+    return run_stream_to_table(stream, output_mode="complete")
+
+
+@query(
+    "stream_dedup_first",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_first(spark, sf_dir):
+    """Stateful drop-duplicates on (user_id, event_type): the appended
+    first-seen rows project to exactly the distinct key set."""
+    stream = streaming_dedup(read_events_stream(spark, sf_dir),
+                             keys=["user_id", "event_type"],
+                             watermark=None)
+    out = run_stream_to_table(stream, output_mode="append")
+    return out.select("user_id", "event_type")
+
+
+@query(
+    "stream_stateful_user_totals",
+    sql="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(SUM(COALESCE(value, 0.0)), 4) AS value_sum
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    """Custom per-key state machine via applyInPandasWithState: running
+    per-user totals whose final emission equals the batch groupBy."""
+    stream = running_user_totals(read_events_stream(spark, sf_dir))
+    out = run_stream_to_table(stream, output_mode="update")
+    return out.select(
+        "user_id", "n_events", F.round("value_sum", 4).alias("value_sum")
+    )

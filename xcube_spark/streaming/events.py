@@ -1,0 +1,170 @@
+"""Structured Streaming over the events table — SURVEY §2.14.
+
+The reference has no streaming engine; its closest analog is the
+incremental time-slice append (xcube/core/timeslice.py:62-131) and the
+server's dataset auto-reload.  This module is the additive Spark-native
+surface the driver's north star asks for:
+
+- ``read_events_stream``: file-source stream over the events parquet
+  (micro-batched via ``maxFilesPerTrigger``; at scale this is a Kafka /
+  object-store listing source — the transformations are source-agnostic).
+- event-time **tumbling / sliding windows** with watermark-based
+  late-data handling (``F.window`` + ``withWatermark``);
+- **session windows** (``F.session_window``, dynamic gap-merged);
+- **stateful dedup** (``dropDuplicates`` / ``dropDuplicatesWithinWatermark``
+  — the watermark bounds the dedup state so it cannot grow unboundedly);
+- ``run_stream_to_table``: drive any of the above with
+  ``Trigger.AvailableNow`` into a memory sink and hand back the batch
+  result — which is how the oracle gate checks streaming semantics:
+  a finite stream processed to completion must agree with the batch
+  query over the same data (exactly-once).
+
+Scale notes: every aggregation here keys state by (window x group key),
+so state size is bounded by watermark horizon x key cardinality, not by
+stream length; shuffle partitioning is by group key — the same
+layout/skew reasoning as the batch aggs.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events table schema (TESTDATA.md); file streams require an explicit
+#: schema — there is no inference pass at stream start.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) reads as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming scan of the events parquet with a proper event-time
+    ``ts`` column (nanos -> microsecond timestamp, identical to the
+    batch ``tbl()`` normalization)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source lists a *directory*; a single-file layout
+    # streams via a glob filter over its parent
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_stats(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 6).alias("value_mean"),
+            F.round(F.sum(value_col), 4).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "value_mean", "value_sum")
+    )
+
+
+def sliding_window_stats(
+    events: DataFrame,
+    window: str = "1 day",
+    slide: str = "12 hours",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows — each event lands in
+    window/slide windows; state is still bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(value_col), 6).alias("value_mean"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "value_mean")
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows: events closer than ``gap`` merge into
+    one session (F.session_window — gap-merged dynamic windows, the
+    streaming analog of the batch lag/cumsum sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Stateful drop-duplicates on ``keys``.  With a watermark the state
+    is pruned as event time advances (dropDuplicatesWithinWatermark);
+    without one the state grows with key cardinality — only safe for
+    bounded key domains."""
+    keys = keys or ["event_id"]
+    if watermark is not None:
+        return events.withWatermark("ts", watermark) \
+            .dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (Trigger.AvailableNow)
+    into a memory sink; return the materialized batch result.
+
+    This is the oracle bridge: a finite stream drained with AvailableNow
+    must produce exactly the batch answer — Spark's exactly-once
+    guarantee, checked against DuckDB by the driver gate."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
