@@ -1,0 +1,184 @@
+"""Sources & maintenance tests: IO facade round-trips, store contract,
+time-slice maintenance (logical + physical), chunk ops, normalize,
+verify (xcube test/core/test_dsio.py / test_store / test_timeslice /
+test_chunk / test_normalize / test_verify analogs)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.maintenance import (
+    chunk_dataset,
+    get_empty_dataset_chunks,
+    normalize_dataset,
+    optimize_dataset,
+    prune_dataset,
+    verify_cube,
+)
+from xcube_spark.sources import (
+    append_time_slice,
+    find_time_slice,
+    guess_format,
+    insert_time_slice,
+    new_data_store,
+    open_dataset,
+    replace_time_slice,
+    update_time_slice,
+    write_dataset,
+)
+from xcube_spark.sources.store import describe_dataframe
+
+GRID = CubeGrid(width=8, height=4, time_periods=4, x_res=45.0, y_res=45.0,
+                chunks=(1, 2, 4))
+VARS = {"v": lambda ns: (10 * ns["t_i"] + ns["x_i"]).cast("double")}
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    return new_cube(spark, GRID, VARS).cache()
+
+
+# ---- dsio -------------------------------------------------------------
+
+
+def test_guess_format():
+    assert guess_format("/a/b/cube.parquet") == "parquet"
+    assert guess_format("/a/b/points.csv") == "csv"
+    assert guess_format("/a/b/feed.jsonl") == "json"
+    assert guess_format("/a/b/whatever") == "parquet"
+
+
+def test_roundtrip_parquet_csv(spark, cube, tmp_path):
+    for fmt in ("parquet", "csv"):
+        path = str(tmp_path / f"rt.{fmt}")
+        write_dataset(cube, path)
+        back = open_dataset(spark, path)
+        assert back.count() == cube.count()
+        got = back.agg(F.sum("v")).collect()[0][0]
+        want = cube.agg(F.sum("v")).collect()[0][0]
+        assert got == pytest.approx(want)
+
+
+# ---- store ------------------------------------------------------------
+
+
+def test_fs_store_contract(spark, cube, tmp_path):
+    store = new_data_store("file", spark, root=str(tmp_path / "store"))
+    assert list(store.get_data_ids()) == []
+    store.write_data(cube, "cube.parquet")
+    assert store.has_data("cube.parquet")
+    assert list(store.search_data("cube")) == ["cube.parquet"]
+    assert store.open_data("cube.parquet").count() == GRID.size
+    desc = store.describe_data("cube.parquet")
+    assert desc.num_rows == GRID.size
+    assert desc.dims == {"t_i": 4, "y_i": 4, "x_i": 8}
+    assert desc.bbox == (-157.5, -67.5, 157.5, 67.5)
+    (v,) = [d for d in desc.variables if d.name == "v"]
+    assert v.n_valid == GRID.size and v.vmin == 0.0 and v.vmax == 37.0
+    store.delete_data("cube.parquet")
+    assert not store.has_data("cube.parquet")
+    with pytest.raises(FileNotFoundError):
+        store.open_data("cube.parquet")
+
+
+def test_memory_store_contract(spark, cube):
+    store = new_data_store("memory", spark)
+    store.write_data(cube, "c1")
+    assert store.has_data("c1")
+    assert store.open_data("c1").count() == GRID.size
+    store.delete_data("c1")
+    assert not store.has_data("c1")
+
+
+# ---- time slices ------------------------------------------------------
+
+
+def _slice(spark, t_i, fill):
+    g = CubeGrid(**{**GRID.__dict__, "time_periods": t_i + 1})
+    s = new_cube(spark, g, {"v": float(fill)}).where(F.col("t_i") == t_i)
+    return s
+
+
+def test_find_time_slice(spark, cube):
+    t_exact = GRID.t_center(2)
+    assert find_time_slice(cube, t_exact) == (2, "replace")
+    assert find_time_slice(cube, "2009-01-01") == (0, "insert")
+    assert find_time_slice(cube, "2011-01-01") == (4, "append")
+
+
+def test_logical_slice_ops(spark, cube):
+    plane = GRID.width * GRID.height
+    app = append_time_slice(cube, _slice(spark, 4, 99.0))
+    assert app.count() == GRID.size + plane
+    assert app.where(F.col("t_i") == 4).agg(F.min("v")).collect()[0][0] == 99.0
+
+    ins = insert_time_slice(cube, _slice(spark, 1, 77.0), t_i=1)
+    assert ins.count() == GRID.size + plane
+    assert ins.where(F.col("t_i") == 1).agg(F.min("v")).collect()[0][0] == 77.0
+    # previous slice 1 shifted to 2: its v = 10*1 + x_i
+    assert ins.where(F.col("t_i") == 2).agg(F.min("v")).collect()[0][0] == 10.0
+
+    rep = replace_time_slice(cube, _slice(spark, 2, 55.0), t_i=2)
+    assert rep.count() == GRID.size
+    assert rep.where(F.col("t_i") == 2).agg(F.max("v")).collect()[0][0] == 55.0
+
+
+def test_physical_partition_overwrite(spark, cube, tmp_path):
+    path = str(tmp_path / "cube_parts")
+    cube.write.partitionBy("t_i").parquet(path)
+    update_time_slice(spark, path, _slice(spark, 2, 55.0), mode="replace")
+    back = spark.read.parquet(path)
+    assert back.count() == GRID.size
+    assert back.where("t_i = 2").agg(F.max("v")).collect()[0][0] == 55.0
+    assert back.where("t_i = 1").agg(F.min("v")).collect()[0][0] == 10.0
+    # append a new slice -> only new partition added
+    update_time_slice(spark, path, _slice(spark, 4, 99.0), mode="append")
+    assert spark.read.parquet(path).count() == GRID.size + GRID.width * GRID.height
+
+
+# ---- chunk ops --------------------------------------------------------
+
+
+def test_chunk_and_empty_chunks(spark):
+    cube = new_cube(spark, GRID, {
+        # chunk (1,2,4): all-NULL wherever t_i=0 and y_i<2 and x_i<4
+        "v": lambda ns: F.when(
+            (ns["t_i"] == 0) & (ns["y_i"] < 2) & (ns["x_i"] < 4),
+            F.lit(None).cast("double"),
+        ).otherwise(F.lit(1.0)),
+    })
+    keyed = chunk_dataset(cube, GRID)
+    assert "chunk_id" in keyed.columns
+    empty = get_empty_dataset_chunks(cube, GRID)
+    assert empty.count() == 1
+
+    pruned = prune_dataset(cube, GRID)
+    assert pruned.count() == GRID.size - 1 * 2 * 4
+    assert optimize_dataset(pruned, 2).rdd.getNumPartitions() == 2
+
+
+# ---- normalize + verify ----------------------------------------------
+
+
+def test_normalize_lon_and_y(spark):
+    g360 = CubeGrid(width=8, height=4, time_periods=2, x_start=0.0,
+                    x_res=45.0, y_res=45.0, inverse_y=True)
+    cube = new_cube(spark, g360, {"v": 1.0})
+    out, g = normalize_dataset(cube, g360)
+    assert g.x_start == -180.0 and not g.inverse_y
+    assert verify_cube(out, g) == []
+    xs = [r[0] for r in out.select("x").distinct().collect()]
+    assert min(xs) == -157.5 and max(xs) == 157.5
+
+
+def test_verify_cube_reports(spark, cube):
+    assert verify_cube(cube, GRID) == []
+    bad = cube.withColumn("x", F.col("x") + 1.0)
+    assert any("x != center" in r for r in verify_cube(bad, GRID))
+    dup = cube.unionByName(cube.limit(5))
+    assert any("duplicate" in r for r in verify_cube(dup, GRID))

@@ -1,0 +1,167 @@
+"""Maintenance & canonicalization operators — SURVEY §2.10.
+
+chunk_dataset / rechunk (core/chunk.py:15-46, schema.py:432-533),
+empty-chunk discovery + pruning (chunk.py:49-86, cli/prune.py:22-98),
+optimize/compact (core/optimize.py:15-80), the normalize pass
+(core/normalize.py:45-947 — the deterministic column-transform subset
+that applies to the cells model), and verify_cube
+(core/verify.py:14-75).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid, var_names
+
+
+# ---- chunking ---------------------------------------------------------
+
+
+def chunk_dataset(cube: DataFrame, grid: CubeGrid,
+                  chunks: tuple[int, int, int] | None = None) -> DataFrame:
+    """chunk_dataset (chunk.py:15-46): attach/recompute the chunk key
+    and repartition on it — rechunk ≡ repartition (SURVEY §1.8).
+    The partition count follows the chunk-grid cardinality so one
+    shuffle partition holds ~one chunk's rows."""
+    g = grid if chunks is None else CubeGrid(
+        **{**grid.__dict__, "chunks": chunks}
+    )
+    ct, cy, cx = g.chunks
+    n_chunks = (
+        ((g.time_periods + ct - 1) // ct)
+        * ((g.height + cy - 1) // cy)
+        * ((g.width + cx - 1) // cx)
+    )
+    keyed = cube.withColumn(
+        "chunk_id", g.chunk_id_expr(F.col("t_i"), F.col("y_i"), F.col("x_i"))
+    )
+    return keyed.repartition(max(1, n_chunks), "chunk_id")
+
+
+def get_empty_dataset_chunks(cube: DataFrame, grid: CubeGrid) -> DataFrame:
+    """Find all-NULL chunks (chunk.py:49-86): one partial agg keyed by
+    chunk id — ``every(var IS NULL)`` per variable, a chunk is empty if
+    every variable is all-NULL."""
+    vars_ = var_names(cube)
+    key = grid.chunk_id_expr(F.col("t_i"), F.col("y_i"), F.col("x_i"))
+    per_var = [F.every(F.col(v).isNull()).alias(f"{v}_empty") for v in vars_]
+    agg = cube.groupBy(key.alias("chunk_id")).agg(*per_var)
+    all_empty: Column = F.lit(True)
+    for v in vars_:
+        all_empty = all_empty & F.col(f"{v}_empty")
+    return agg.where(all_empty).select("chunk_id")
+
+
+def prune_dataset(cube: DataFrame, grid: CubeGrid) -> DataFrame:
+    """xcube prune (cli/prune.py:22-98): drop rows of all-NULL chunks.
+    Broadcast the (tiny) empty-chunk set into an anti-join; at read
+    time, absent chunks mean fill-value/NULL — COALESCE semantics
+    (SURVEY §4: don't materialize all-null cell rows)."""
+    empty = get_empty_dataset_chunks(cube, grid)
+    key = grid.chunk_id_expr(F.col("t_i"), F.col("y_i"), F.col("x_i"))
+    return cube.withColumn("__ck", key).join(
+        F.broadcast(empty.withColumnRenamed("chunk_id", "__ck")),
+        on="__ck",
+        how="left_anti",
+    ).drop("__ck")
+
+
+def optimize_dataset(cube: DataFrame, target_partitions: int) -> DataFrame:
+    """optimize_dataset (optimize.py:15-80): compaction.  The Zarr
+    metadata-consolidation half is native to parquet footers/catalog
+    stats; the small-files half is a coalesce to the target layout."""
+    return cube.coalesce(max(1, target_partitions))
+
+
+# ---- normalization (normalize.py:45-947, cells-model subset) ----------
+
+
+def normalize_lon(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
+    """0..360 -> -180..180 longitude normalization (normalize.py:389):
+    shift coords and re-index so x stays monotonic from -180."""
+    if grid.x_start >= -180.0 + 1e-12 and grid.x_end <= 180.0 + 1e-12:
+        return cube, grid
+    half = grid.width // 2
+    out = cube.withColumns(
+        {
+            "x": F.when(F.col("x") >= 180.0, F.col("x") - 360.0)
+            .otherwise(F.col("x")),
+            "x_i": (F.col("x_i") + half) % grid.width,
+        }
+    )
+    new_grid = CubeGrid(**{**grid.__dict__, "x_start": -180.0})
+    return out, new_grid
+
+
+def normalize_inverse_y(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
+    """Reverse a decreasing y axis (normalize.py:444): flip indices,
+    coords unchanged per cell."""
+    if not grid.inverse_y:
+        return cube, grid
+    out = cube.withColumn("y_i", F.lit(grid.height - 1) - F.col("y_i"))
+    new_grid = CubeGrid(**{**grid.__dict__, "inverse_y": False})
+    return out, new_grid
+
+
+def normalize_dataset(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
+    """The canonicalization pipeline (normalize.py:45-90) for the cells
+    model: lon shift + y-axis flip + canonical column order."""
+    cube, grid = normalize_lon(cube, grid)
+    cube, grid = normalize_inverse_y(cube, grid)
+    dims = [c for c in ("t_i", "y_i", "x_i", "time", "y", "x")
+            if c in cube.columns]
+    return cube.select(*dims, *var_names(cube)), grid
+
+
+# ---- verification (verify.py:14-75) -----------------------------------
+
+
+def verify_cube(cube: DataFrame, grid: CubeGrid) -> list[str]:
+    """Structural validation returning a report list (empty = valid):
+    index ranges, duplicate cells, coordinate/index consistency —
+    the CHECK-constraint queries of SURVEY §2.10, one aggregate scan."""
+    report: list[str] = []
+    required = ["t_i", "y_i", "x_i", "time", "y", "x"]
+    missing = [c for c in required if c not in cube.columns]
+    if missing:
+        return [f"missing dimension columns: {missing}"]
+
+    x_err = F.abs(grid.x_center_expr(F.col("x_i")) - F.col("x")) > 1e-9
+    y_err = F.abs(grid.y_center_expr(F.col("y_i")) - F.col("y")) > 1e-9
+    row = cube.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("t_i", "y_i", "x_i").alias("n_keys"),
+        F.min("t_i").alias("t_lo"), F.max("t_i").alias("t_hi"),
+        F.min("y_i").alias("y_lo"), F.max("y_i").alias("y_hi"),
+        F.min("x_i").alias("x_lo"), F.max("x_i").alias("x_hi"),
+        F.sum(x_err.cast("long")).alias("bad_x"),
+        F.sum(y_err.cast("long")).alias("bad_y"),
+    ).collect()[0]
+
+    if row["n"] != row["n_keys"]:
+        report.append(
+            f"duplicate cells: {row['n'] - row['n_keys']} of {row['n']}"
+        )
+    if row["t_lo"] is not None and (
+        row["t_lo"] < 0 or row["t_hi"] >= grid.time_periods
+    ):
+        report.append(f"t_i out of range [0, {grid.time_periods})")
+    if row["y_lo"] is not None and (row["y_lo"] < 0 or row["y_hi"] >= grid.height):
+        report.append(f"y_i out of range [0, {grid.height})")
+    if row["x_lo"] is not None and (row["x_lo"] < 0 or row["x_hi"] >= grid.width):
+        report.append(f"x_i out of range [0, {grid.width})")
+    if row["bad_x"]:
+        report.append(f"{row['bad_x']} cells with x != center(x_i)")
+    if row["bad_y"]:
+        report.append(f"{row['bad_y']} cells with y != center(y_i)")
+    return report
+
+
+def assert_cube(cube: DataFrame, grid: CubeGrid) -> DataFrame:
+    """assert_cube (verify.py:14-30): raise on an invalid cube."""
+    report = verify_cube(cube, grid)
+    if report:
+        raise ValueError("not a valid cube: " + "; ".join(report))
+    return cube

@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
     from xcube_spark.queries import (  # noqa: F401
         cube_ops,
         events_ops,
+        maintenance_ops,
         relational,
         resampling_ops,
         streaming_ops,

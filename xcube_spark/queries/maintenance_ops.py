@@ -1,0 +1,140 @@
+"""Maintenance & store coverage queries (SURVEY §2.1, §2.10) —
+oracle-checked: empty-chunk discovery, time-slice replace, lon
+normalization, and the dataset descriptor aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube, new_cube_sql
+from xcube_spark.operators.maintenance import (
+    get_empty_dataset_chunks,
+    normalize_dataset,
+)
+from xcube_spark.queries import query
+from xcube_spark.queries.cube_ops import CUBE_CTE, GRID, SPARK_VARS
+
+
+@query(
+    "cube_empty_chunks",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT CAST((t_i // 1) * 8 + (y_i // 90) * 4 + (x_i // 90)
+                    AS BIGINT) AS chunk_id
+        FROM cube
+        GROUP BY 1
+        HAVING bool_and(CASE WHEN t_i = 0 AND y_i < 90 AND x_i < 90
+                             THEN NULL ELSE A END IS NULL)
+    """,
+)
+def cube_empty_chunks(spark, sf_dir):
+    """get_empty_dataset_chunks (chunk.py:49-86): the default chunk grid
+    (1, 90, 90) tiles the 360x180x5 cube into 40 chunks; NULLing the
+    t=0 lower-left chunk makes exactly one all-NULL chunk."""
+    cube = new_cube(spark, GRID, variables=SPARK_VARS).withColumn(
+        "A",
+        F.when(
+            (F.col("t_i") == 0) & (F.col("y_i") < 90) & (F.col("x_i") < 90),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("A")),
+    ).select("t_i", "y_i", "x_i", "time", "y", "x", "A")
+    return get_empty_dataset_chunks(cube, GRID)
+
+
+@query(
+    "cube_timeslice_replace",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(*) AS n,
+               ROUND(SUM(CASE WHEN t_i = 2 THEN -1.0 ELSE A END), 4) + 0.0
+                   AS A_checksum
+        FROM cube
+        GROUP BY t_i
+    """,
+)
+def cube_timeslice_replace(spark, sf_dir):
+    """replace_time_slice (timeslice.py:113-131): swap slice t_i=2 for a
+    constant slice; per-slice checksums prove old rows dropped, new rows
+    present, other slices untouched."""
+    from xcube_spark.sources.timeslice import replace_time_slice
+
+    cube = new_cube(spark, GRID, variables=SPARK_VARS).select(
+        "t_i", "y_i", "x_i", "time", "y", "x", "A"
+    )
+    repl = new_cube(spark, GRID, variables={"A": -1.0}).where(
+        F.col("t_i") == 2
+    ).select("t_i", "y_i", "x_i", "time", "y", "x", "A")
+    out = replace_time_slice(cube, repl, t_i=2)
+    # + 0.0 canonicalizes IEEE negative zero (the t=0 slice checksum is
+    # a symmetric sum that lands on -0.0 in one engine, +0.0 in the other)
+    return out.groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("A"), 4) + F.lit(0.0)).alias("A_checksum"),
+    )
+
+
+_G360 = CubeGrid(x_start=0.0)
+
+
+@query(
+    "cube_normalize_lon",
+    sql=f"""
+        WITH cube AS ({new_cube_sql(_G360)})
+        SELECT CAST((x_i + 180) % 360 AS INT) AS x_i,
+               ROUND(CAST(CASE WHEN x >= 180.0 THEN x - 360.0 ELSE x END
+                          AS DOUBLE), 6) AS x,
+               ROUND(SUM(A), 4) AS A_checksum
+        FROM cube
+        GROUP BY 1, 2
+    """,
+)
+def cube_normalize_lon(spark, sf_dir):
+    """normalize_dataset lon shift (normalize.py:389): a 0..360 cube
+    re-indexed to -180..180; per-column checksums prove the shift is a
+    pure relabeling (values travel with their cells)."""
+    cube = new_cube(spark, _G360, variables=SPARK_VARS)
+    out, _ = normalize_dataset(cube, _G360)
+    return out.groupBy("x_i", F.round("x", 6).alias("x")).agg(
+        F.round(F.sum("A"), 4).alias("A_checksum")
+    )
+
+
+@query(
+    "cube_descriptor",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT COUNT(*) AS num_rows,
+               COUNT(DISTINCT t_i) AS n_time,
+               COUNT(DISTINCT y_i) AS n_y,
+               COUNT(DISTINCT x_i) AS n_x,
+               ROUND(CAST(MIN(x) AS DOUBLE), 6) AS x_min,
+               ROUND(CAST(MAX(x) AS DOUBLE), 6) AS x_max,
+               ROUND(CAST(MIN(y) AS DOUBLE), 6) AS y_min,
+               ROUND(CAST(MAX(y) AS DOUBLE), 6) AS y_max,
+               CAST(MIN(time) AS TIMESTAMP) AS t_min,
+               CAST(MAX(time) AS TIMESTAMP) AS t_max,
+               COUNT(A) AS A_valid,
+               ROUND(MIN(A), 6) AS A_min, ROUND(MAX(A), 6) AS A_max
+        FROM cube
+    """,
+)
+def cube_descriptor(spark, sf_dir):
+    """describe_data's one-scan aggregate (store/descriptor.py:180):
+    dims, bbox, time range, per-variable summary in a single job."""
+    cube = new_cube(spark, GRID, variables=SPARK_VARS)
+    return cube.agg(
+        F.count(F.lit(1)).alias("num_rows"),
+        F.count_distinct("t_i").alias("n_time"),
+        F.count_distinct("y_i").alias("n_y"),
+        F.count_distinct("x_i").alias("n_x"),
+        F.round(F.min("x"), 6).alias("x_min"),
+        F.round(F.max("x"), 6).alias("x_max"),
+        F.round(F.min("y"), 6).alias("y_min"),
+        F.round(F.max("y"), 6).alias("y_max"),
+        F.min("time").alias("t_min"),
+        F.max("time").alias("t_max"),
+        F.count("A").alias("A_valid"),
+        F.round(F.min("A"), 6).alias("A_min"),
+        F.round(F.max("A"), 6).alias("A_max"),
+    )
