@@ -1,0 +1,121 @@
+"""compute_dataset (applyInPandas user functions) and multimodal
+pipeline tests (payload plumbing, byte features, fake decode, frame
+sampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.compute import align_cubes, compute_dataset
+from xcube_spark.pipeline.multimodal import (
+    attach_payload,
+    byte_histogram,
+    decode_image,
+    sample_frames,
+)
+
+GRID = CubeGrid(width=8, height=4, time_periods=2, x_res=45.0, y_res=45.0,
+                chunks=(1, 2, 4))
+
+
+def test_compute_dataset_single(spark):
+    cube = new_cube(spark, GRID, {"v": lambda ns: ns["x_i"].cast("double")})
+
+    def double_plus(v, coords):
+        assert "y_i" in coords
+        return v * 2.0 + 1.0
+
+    out = compute_dataset(double_plus, cube, grid=GRID, var_name="w",
+                          input_var_names=["v"])
+    rows = out.where("t_i = 0 AND y_i = 0").orderBy("x_i").collect()
+    assert [r["w"] for r in rows] == [1.0, 3.0, 5.0, 7.0, 9.0, 11.0, 13.0, 15.0]
+
+
+def test_compute_dataset_multi_cube(spark):
+    a = new_cube(spark, GRID, {"a": lambda ns: ns["x_i"].cast("double")})
+    b = new_cube(spark, GRID, {"b": lambda ns: ns["y_i"].cast("double")})
+
+    def add(a_arr, b_arr, coords):
+        return a_arr + b_arr
+
+    out = compute_dataset(add, a, b, grid=GRID, var_name="s",
+                          input_var_names=["a", "b"])
+    assert out.count() == GRID.size
+    r = out.where("t_i = 1 AND y_i = 3 AND x_i = 5").collect()[0]
+    assert r["s"] == 8.0
+
+
+def test_compute_dataset_params(spark):
+    cube = new_cube(spark, GRID, {"v": 1.0})
+
+    def scale(v, coords, factor=1.0):
+        return v * factor
+
+    out = compute_dataset(scale, cube, grid=GRID, var_name="w",
+                          input_var_names=["v"],
+                          input_params={"factor": 10.0})
+    assert out.agg(F.sum("w")).collect()[0][0] == 10.0 * GRID.size
+
+
+def test_align_cubes_inner(spark):
+    a = new_cube(spark, GRID, {"a": 1.0})
+    b = new_cube(spark, GRID, {"b": 2.0}).where(F.col("t_i") == 0)
+    out = align_cubes(a, b)
+    assert out.count() == GRID.size // 2
+    assert set(out.columns) >= {"a", "b", "time", "y", "x"}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "x" * 1000)],
+        "doc_id long, text string",
+    )
+
+
+def test_attach_payload_meta(spark, docs):
+    mm = attach_payload(docs)
+    r = {x["doc_id"]: x for x in mm.select("doc_id", "meta.*").collect()}
+    assert r[1]["byte_len"] == 11
+    assert r[3]["byte_len"] == 1000
+    assert len(r[2]["digest"]) == 32
+
+
+def test_byte_histogram(spark, docs):
+    mm = attach_payload(docs)
+    hist = {r["doc_id"]: r["hist"] for r in byte_histogram(mm).collect()}
+    # "abc" = 0x61,0x62,0x63 -> all in bin 6
+    assert hist[2][6] == 3 and sum(hist[2]) == 3
+    # "hello world": 10 letters in bin 6/7 + 1 space in bin 2
+    assert hist[1][2] == 1 and sum(hist[1]) == 11
+
+
+def test_decode_image_fake_and_gate(spark, docs):
+    mm = attach_payload(docs)
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            decode_image(mm)  # real path gated
+    out = {r["doc_id"]: r for r in decode_image(mm, fake=True).collect()}
+    assert out[2]["width"] == 3 % 64 + 1 and out[2]["channels"] == 3
+    assert out[2]["mean_byte"] == pytest.approx((0x61 + 0x62 + 0x63) / 3)
+
+
+def test_sample_frames(spark, docs):
+    mm = attach_payload(docs)
+    frames = sample_frames(mm, frame_bytes=256, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # 1000 bytes -> 4 frames -> keep idx 0, 2
+    assert sorted(by_doc[3]) == [0, 2]
+    assert by_doc[1] == [0]

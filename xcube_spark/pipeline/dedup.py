@@ -200,7 +200,9 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     sig = toks.groupBy(id_col).agg(*votes)
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        acc = acc + F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        acc = acc + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return sig.select(F.col(id_col), acc.alias("simhash"))
 
 

@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         cube_ops,
         events_ops,
         maintenance_ops,
+        pipeline_ops,
         relational,
         resampling_ops,
         streaming_ops,

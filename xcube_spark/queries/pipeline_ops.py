@@ -1,0 +1,345 @@
+"""Pipeline-extension coverage queries: compute-UDF, language ID,
+quality scoring, SimHash near-dups, LSH similarity search, embedding
+near-dup pairs, multimodal payload metadata and byte-histogram
+features.  Oracle SQL for the hash-heavy operators is *generated* by
+the same Python loops that build the Column expressions — both engines
+state the algorithm once, structurally."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.pipeline.dedup import simhash_near_dup_pairs
+from xcube_spark.pipeline.multimodal import attach_payload, byte_histogram
+from xcube_spark.pipeline.similarity import (
+    _hyperplanes,
+    embedding_near_dup_pairs,
+    knn_lsh,
+)
+from xcube_spark.pipeline.text import STOPWORDS, language_id, quality_score
+from xcube_spark.queries import query, tbl
+
+
+# ---- compute-UDF (SURVEY §2.9) ----------------------------------------
+
+
+@query(
+    "cube_compute_udf",
+    sql=None,  # placeholder replaced below (uses cube CTE)
+)
+def cube_compute_udf(spark, sf_dir):
+    """compute_dataset (compute.py:28-365): user numpy cube_func
+    ``D = A * 2 + 0.5`` applied chunk-parallel via applyInPandas."""
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.compute import compute_dataset
+    from xcube_spark.queries.cube_ops import GRID, SPARK_VARS
+
+    cube = new_cube(spark, GRID, variables=SPARK_VARS).select(
+        "t_i", "y_i", "x_i", "time", "y", "x", "A"
+    )
+
+    def cube_func(a, coords):
+        return a * 2.0 + 0.5
+
+    out = compute_dataset(cube_func, cube, grid=GRID, var_name="D",
+                          input_var_names=["A"])
+    return out.select("t_i", "y_i", "x_i", F.round("D", 6).alias("D"))
+
+
+def _fix_compute_sql():
+    from xcube_spark.queries import REGISTRY
+    from xcube_spark.queries.cube_ops import CUBE_CTE
+
+    REGISTRY["cube_compute_udf"].sql = f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i, ROUND(A * 2.0 + 0.5, 6) AS D FROM cube
+    """
+
+
+_fix_compute_sql()
+
+
+# ---- text: language id + quality --------------------------------------
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+
+
+_LANG_SCORES = ",\n".join(
+    f"len(list_filter(toks, t -> t IN ({_sw_list(lang)}))) AS s_{lang}"
+    for lang in STOPWORDS
+)
+_LANG_GUESS = (
+    "CASE "
+    + " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in STOPWORDS
+    )
+    + " ELSE 'und' END"
+)
+
+
+@query(
+    "doc_language_id",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   string_split(lower(trim(text)), ' ') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang, {_LANG_SCORES}
+            FROM toks
+        ), best AS (
+            SELECT doc_id, lang,
+                   greatest(s_en, s_fr, s_de, s_es) AS best,
+                   s_en, s_fr, s_de, s_es
+            FROM scored
+        )
+        SELECT lang, {_LANG_GUESS} AS lang_guess, COUNT(*) AS n
+        FROM best
+        GROUP BY 1, 2
+    """,
+)
+def doc_language_id(spark, sf_dir):
+    """language_id (pipeline/text.py): stopword-hit argmax, confusion
+    matrix against the table's true lang label."""
+    out = language_id(tbl(spark, sf_dir, "documents"))
+    return out.groupBy("lang", "lang_guess").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_quality_score",
+    sql=r"""
+        WITH f AS (
+            SELECT doc_id,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(list_filter(string_split(lower(trim(text)), ' '),
+                       t -> t IN ('the','a','of','and','to','in','is',
+                                  'that','it','for')))
+                       / greatest(len(string_split(lower(trim(text)), ' ')),
+                                  1) AS sw_ratio
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+                   least(n_tokens / 100.0, 1.0) * 0.4
+                   + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                   + least(sw_ratio * 5.0, 1.0) * 0.3
+               END, 6) AS quality
+        FROM f
+    """,
+)
+def doc_quality_score(spark, sf_dir):
+    """quality_score (pipeline/text.py): Gopher/C4-style heuristics —
+    token count, punctuation soup, stopword presence."""
+    out = quality_score(tbl(spark, sf_dir, "documents"))
+    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+# ---- simhash near-dups (generated SQL twin) ---------------------------
+
+_NIBBLE = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+_VOTES = ",\n".join(
+    "SUM(CASE WHEN (({nib}) & {bit}) != 0 THEN 1 ELSE -1 END) AS v{i}".format(
+        nib=_NIBBLE.format(pos=n + 1), bit=1 << b, i=n * 4 + b
+    )
+    for n in range(16)
+    for b in range(4)
+)
+# bit 63 of a signed 64-bit fingerprint carries value -2^63
+_ACC = " + ".join(
+    f"CASE WHEN v{i} > 0 THEN CAST({(1 << i) if i < 63 else -(1 << 63)} "
+    f"AS BIGINT) ELSE 0 END"
+    for i in range(64)
+)
+
+
+@query(
+    "doc_simhash_pairs",
+    sql=f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            WHERE length(tok) > 0
+        ), hashed AS (
+            SELECT doc_id, md5(tok) AS h FROM toks
+        ), votes AS (
+            SELECT doc_id, {_VOTES}
+            FROM hashed GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {_ACC} AS simhash FROM votes
+        ), chunks AS (
+            SELECT doc_id, simhash, c.chunk,
+                   (simhash >> (c.chunk * 16)) & 65535 AS key
+            FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.simhash AS sig_a, b.simhash AS sig_b
+            FROM chunks a JOIN chunks b
+              ON a.chunk = b.chunk AND a.key = b.key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               bit_count(xor(sig_a, sig_b)) AS hamming
+        FROM pairs
+        WHERE bit_count(xor(sig_a, sig_b)) <= 6
+    """,
+)
+def doc_simhash_pairs(spark, sf_dir):
+    """simhash_near_dup_pairs (pipeline/dedup.py): 64-bit md5-vote
+    SimHash, 16-bit-chunk pigeonhole buckets, exact Hamming verify.
+    The oracle runs the identical bit algebra generated by the same
+    Python loops."""
+    return simhash_near_dup_pairs(tbl(spark, sf_dir, "documents"),
+                                  max_hamming=6)
+
+
+# ---- embedding LSH: approximate knn + near-dup pairs ------------------
+
+_PLANES = _hyperplanes(64, 8, seed=42)
+
+
+def _bucket_sql(vec: str) -> str:
+    terms = []
+    for b, p in enumerate(_PLANES):
+        lits = ", ".join(repr(x) for x in p)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "emb_knn_lsh",
+    sql=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket FROM c
+            WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM c JOIN q USING (bucket)
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_knn_lsh(spark, sf_dir):
+    """knn_lsh (pipeline/similarity.py): single-probe sign-sketch LSH —
+    each corpus vector joins exactly one bucket (the scale path next to
+    the brute-force baseline emb_knn_cosine)."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_lsh(emb, queries, k=10)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+@query(
+    "emb_near_dup_pairs",
+    sql=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))) AS cos
+            FROM c a JOIN c b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM pairs WHERE cos >= 0.3
+    """,
+)
+def emb_near_dup_pairs(spark, sf_dir):
+    """embedding_near_dup_pairs: LSH bucket self-join + cosine-threshold
+    verify — embedding-space near-duplicate detection (threshold tuned
+    to the synthetic corpus, whose max pairwise cosine is ~0.49)."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---- multimodal -------------------------------------------------------
+
+
+@query(
+    "doc_multimodal_meta",
+    sql="""
+        SELECT doc_id,
+               length(text) AS byte_len,
+               md5(text) AS digest
+        FROM documents
+    """,
+)
+def doc_multimodal_meta(spark, sf_dir):
+    """attach_payload (pipeline/multimodal.py): binary payload + typed
+    metadata struct.  The corpus is ASCII, so byte length == char
+    length and md5(utf8 bytes) == DuckDB's md5(text)."""
+    mm = attach_payload(tbl(spark, sf_dir, "documents"))
+    return mm.select("doc_id",
+                     F.col("meta.byte_len").alias("byte_len"),
+                     F.col("meta.digest").alias("digest"))
+
+
+_BIN_SUMS = ",\n".join(
+    "SUM(length(regexp_replace(text, '[^\\x{lo:02x}-\\x{hi:02x}]', '', 'g')))"
+    " AS bin_{b}".format(lo=b * 16, hi=b * 16 + 15, b=b)
+    for b in range(8)
+)
+_BIN_ROWS = " UNION ALL ".join(
+    f"SELECT {b} AS bin, CAST(COALESCE(bin_{b}, 0) AS BIGINT) AS total FROM s"
+    for b in range(8)
+)
+
+
+@query(
+    "doc_byte_histogram",
+    sql=f"""
+        WITH s AS (
+            SELECT {_BIN_SUMS}
+            FROM documents
+        )
+        {_BIN_ROWS}
+    """,
+)
+def doc_byte_histogram(spark, sf_dir):
+    """byte_histogram (pipeline/multimodal.py): mapInPandas numpy
+    feature extraction over the binary column; corpus-level per-bin
+    totals cross-check the Arrow path against SQL character-class
+    counts (ASCII corpus: bytes == chars; bins 8..15 are empty and
+    excluded from both sides)."""
+    mm = attach_payload(tbl(spark, sf_dir, "documents"))
+    hist = byte_histogram(mm, bins=16)
+    return (
+        hist.select(F.posexplode("hist").alias("bin", "cnt"))
+        .where(F.col("bin") < 8)
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("total"))
+    )
