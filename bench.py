@@ -33,6 +33,9 @@ def main() -> None:
 
     results: dict[str, float] = {}
     for name, q in bench_set.items():
+        # drop the previous query's persisted intermediates so cached
+        # partitions and GC pressure don't leak across measurements
+        spark.catalog.clearCache()
         times = []
         q.fn(spark, sf_dir).collect()  # warmup run (not timed)
         for _ in range(repeats):

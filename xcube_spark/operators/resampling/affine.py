@@ -117,12 +117,20 @@ def affine_transform_dataset(
     linear_vars = [v for v in vars_ if orders[v] == 1]
     out = tgt
 
+    # the synthesized target index table is bounded by the requested
+    # output size (usually << source) and comes from spark.range with
+    # no stats, so the planner would sort-merge by default — hint the
+    # broadcast explicitly; the big source side then never shuffles
+    broadcast_tgt = target.size <= 4_000_000
+
     if nearest_vars:
         nearest = tgt.select(
             "t_i", "y_i", "x_i",
             F.round("__fy").cast("int").alias("__sy"),
             F.round("__fx").cast("int").alias("__sx"),
         )
+        if broadcast_tgt:
+            nearest = F.broadcast(nearest)
         # equi-join on computed indices (the extract.py:321 rewrite)
         joined = nearest.join(
             src_cells.select("__st", "__sy", "__sx", *nearest_vars),
@@ -164,6 +172,8 @@ def affine_transform_dataset(
             F.col("c.__sx").alias("__sx"),
             F.col("c.__w").alias("__w"),
         )
+        if broadcast_tgt:
+            expl = F.broadcast(expl)
         joined = expl.join(
             src_cells.select("__st", "__sy", "__sx", *linear_vars),
             on=[

@@ -119,8 +119,13 @@ def rectify_dataset(
         F.col("x_i").alias("__ssx"),
         *vars_,
     )
+    mapped = grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
+    if target.width * target.height * 8 <= 4_000_000:
+        # the mapped target (ints only) is broadcast-sized -> the big
+        # source side never shuffles for the gather
+        mapped = F.broadcast(mapped)
     gathered = (
-        grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
+        mapped
         .join(
             src_vals,
             on=[

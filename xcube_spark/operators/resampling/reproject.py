@@ -145,6 +145,10 @@ def reproject_dataset(
         F.col("x_i").alias("__ssx"),
         *vars_,
     )
+    # target table is bounded by the requested output size and has no
+    # stats (spark.range) — broadcast it so the source never shuffles
+    if target.size <= 4_000_000:
+        tgt = F.broadcast(tgt)
     joined = tgt.join(
         src_cells,
         on=[

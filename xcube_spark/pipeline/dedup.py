@@ -45,10 +45,17 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     sh = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
     )
+    # explode amplifies rows ~tokens-per-doc x, so input-byte-based
+    # file splitting underestimates the work: spread docs across the
+    # cluster BEFORE the fan-out (a small shuffle of raw docs buys
+    # full-width parallelism for the shingle/hash stages)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # array_distinct already dedups within the doc, so the exploded
+    # (id, shingle) rows are unique by construction — no distinct
+    # shuffle needed (the whole shingle stage is a narrow map)
     return (
-        docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        spread.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.length("shingle") > 0)
-        .distinct()
     )
 
 
@@ -97,8 +104,11 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFram
     """
     a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    # the band table is docs x bands rows of short digests — small
+    # relative to the corpus; broadcasting one side avoids shuffling
+    # both (at extreme corpus sizes drop the hint and let AQE decide)
     return (
-        a.join(b, on=["band", "band_key"])
+        a.join(F.broadcast(b), on=["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -110,28 +120,31 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard similarity for candidate pairs only.
 
-    Joins shingle sets onto the (small) candidate set — the expensive
-    exact measure never runs on the full cross product.
+    The candidate set is small by construction, so: semi-join the
+    shingle table down to candidate docs (broadcast), pack each
+    survivor's shingles into one array row, then join the pair list
+    against two array columns and intersect.  The full shingle table is
+    scanned once and shuffled only for the per-candidate-doc pack —
+    the expensive exact measure never touches the non-candidate corpus.
     """
-    sizes = shingle_df.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_a = shingle_df.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = shingle_df.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    packed = (
+        shingle_df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    pa = packed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    pb = packed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
-        )
+        pairs.join(F.broadcast(pa), "id_a")
+        .join(F.broadcast(pb), "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
     )
 
 
@@ -145,10 +158,19 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> band
-    -> bucket join -> exact-Jaccard verify -> threshold."""
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    -> bucket join -> exact-Jaccard verify -> threshold.
+
+    The shingle table feeds the signature branch, the verify pack, and
+    (via broadcast builds, which each run their own job) the candidate
+    set — without a persist the explode/hash chain re-executes once per
+    consumer.  Persisting ``sh`` and ``cands`` caps the chain at one
+    execution each; on a cluster these are the natural checkpoint
+    points of the dedup DAG."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
-    cands = lsh_candidate_pairs(lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col)
+    cands = lsh_candidate_pairs(
+        lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col
+    ).persist()
     return jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -174,36 +196,45 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash from md5 token digests -> (id, simhash BIGINT).
 
-    Each distinct token contributes +1/-1 per bit position (bit taken
-    from the token's md5); the fingerprint sign-aggregates the votes.
-    Pure built-ins: the md5 hex is sliced into 16 nibble columns and
-    vote sums are conditional aggregates — no Python UDF in the path.
+    Every token occurrence contributes +1/-1 per bit position (bit
+    taken from the token's md5) — the frequency-weighted Charikar
+    variant, which also avoids a distinct shuffle: the token stream
+    flows straight from the explode into the vote aggregation.
+    Pure built-ins — no Python UDF in the path.
     """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = (
-        docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        spread.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .where(F.length("tok") > 0)
-        .distinct()
         .withColumn("h", F.md5(F.col("tok")))
+        # decode the 16 leading hex chars ONCE into two 32-bit words;
+        # every per-bit vote below is then a shift+mask, not a substring
+        # + base-16 parse (64x fewer conv calls per token)
+        .withColumn("w0", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .withColumn("w1", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
     )
-    # each hex nibble carries 4 bits -> 16 nibbles cover 64 bits
-    votes = [
-        F.sum(
-            F.when(
-                F.conv(F.substring("h", 1 + n, 1), 16, 10).cast("int")
-                .bitwiseAND(F.lit(1 << b)) != 0,
-                1,
-            ).otherwise(-1)
-        ).alias(f"v{n * 4 + b}")
-        for n in range(16)
-        for b in range(4)
-    ]
-    sig = toks.groupBy(id_col).agg(*votes)
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        acc = acc + F.when(
-            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return sig.select(F.col(id_col), acc.alias("simhash"))
+    # fingerprint bit i (nibble n = i//4, nibble-bit b = i%4) is set iff
+    # set-bit votes outnumber clear-bit votes: sum(bit)*2 > count.
+    # Hex char n is the HIGH nibble of its word, so nibble n of word w
+    # sits at shift 28-4*(n%8), and bit b of that nibble at +b.
+    # All 64 vote aggregates and the fingerprint fold are built as
+    # parsed SQL strings: constructing them as nested Column calls costs
+    # hundreds of driver round-trips per plan build (measured ~2.5s of
+    # pure plan construction), the strings parse in one call each.
+    def bit_sql(i: int) -> str:
+        n, b = i // 4, i % 4
+        w = "w0" if n < 8 else "w1"
+        return f"shiftright({w}, {28 - 4 * (n % 8) + b}) & 1"
+
+    aggs = [F.expr(f"sum({bit_sql(i)})").alias(f"s{i}") for i in range(bits)]
+    aggs.append(F.expr("count(*)").alias("cnt"))
+    sig = toks.groupBy(id_col).agg(*aggs)
+    acc_sql = " + ".join(
+        f"(CASE WHEN s{i} * 2 > cnt THEN {(1 << i) if i < 63 else -(1 << 63)}L"
+        " ELSE 0L END)"
+        for i in range(bits)
+    )
+    return sig.select(F.col(id_col), F.expr(acc_sql).alias("simhash"))
 
 
 def simhash_near_dup_pairs(
@@ -212,8 +243,12 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dups: bucket on 16-bit chunks (pigeonhole: any pair
     within Hamming distance <= 3*chunks/4 collides on some chunk; with
-    4 chunks and d<=8 most near-dups collide), verify exact Hamming."""
-    sig = simhash(docs, text_col=text_col, id_col=id_col)
+    4 chunks and d<=8 most near-dups collide), verify exact Hamming.
+
+    The signature table feeds both sides of the bucket self-join (and
+    the broadcast build runs its own job), so persist it — the vote
+    aggregation runs once, not three times."""
+    sig = simhash(docs, text_col=text_col, id_col=id_col).persist()
     chunks = sig.select(
         id_col,
         "simhash",
@@ -238,7 +273,7 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
     )
     pairs = (
-        a.join(b, ["chunk", "key"])
+        a.join(F.broadcast(b), ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()

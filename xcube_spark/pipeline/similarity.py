@@ -95,17 +95,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-sketch bucket id: bit b = sign(vec . plane_b)."""
-    acc = F.lit(0).cast("long")
+def lsh_bucket_key(vec_col: str, planes: list[list[float]]) -> Column:
+    """Sign-sketch bucket id: bit b = sign(vec . plane_b).
+
+    Takes the vector *column name* and builds ONE parsed SQL expression:
+    the plane literals are n_planes x dim values, and building them as
+    individual ``F.lit`` Columns costs thousands of driver round-trips
+    at plan-construction time — the string parses in a single call and
+    produces the identical expression tree."""
+    terms = []
     for b, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in p]), lambda v, w: v * w),
-            F.lit(0.0),
-            lambda a, v: a + v,
+        lits = ", ".join(repr(x) for x in p)
+        proj = (
+            f"aggregate(zip_with(`{vec_col}`, array({lits}), "
+            f"(v, w) -> v * w), 0.0D, (a, v) -> a + v)"
         )
-        acc = acc + F.when(proj >= 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return acc
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << b}L ELSE 0L END")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def knn_lsh(
@@ -124,11 +130,11 @@ def knn_lsh(
     planes / multi-probing; the scale win is that each corpus row joins
     at most one bucket."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket_key(F.col(vec_col), planes))
+    c = corpus.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        lsh_bucket_key(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
     scored = c.join(F.broadcast(q), "__bucket").where(
         F.col(id_col) != F.col(query_id_col)
@@ -155,7 +161,7 @@ def embedding_near_dup_pairs(
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket_key(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "__bucket"

@@ -44,11 +44,26 @@ def query(name: str, sql: str | None = None, bench: bool = False):
     return deco
 
 
+_TBL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table.  The events table is written with
     nanosecond parquet timestamps, which Spark only reads as raw longs
     (legacy nanosAsLong conf); normalize to a proper TimestampType
-    column (microsecond truncation — identical to DuckDB's cast)."""
+    column (microsecond truncation — identical to DuckDB's cast).
+
+    DataFrames are memoized per (session, dir, table): re-reading the
+    same parquet repeats file listing + scan analysis (~0.2s of pure
+    overhead per query build); the cached immutable plan skips both."""
+    key = (id(spark), sf_dir, name)
+    if key in _TBL_CACHE:
+        return _TBL_CACHE[key]
+    _TBL_CACHE[key] = df = _load_tbl(spark, sf_dir, name)
+    return df
+
+
+def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -74,4 +89,25 @@ def load_all() -> dict[str, Query]:
         text_pipeline,
     )
 
+    for name in BENCH_SET:
+        REGISTRY[name].bench = True
     return REGISTRY
+
+
+#: the headline bench set (bench.py): one representative per operator
+#: family — flagship cube pipeline, temporal resample, event-time agg,
+#: relational star agg, the dedup family (exact / minhash / simhash),
+#: text quality + fingerprint, multimodal byte features, vector knn.
+BENCH_SET = (
+    "cube_select_timeseries",
+    "cube_resample_time_2d",
+    "events_timeseries_daily",
+    "q1_pricing_summary",
+    "doc_exact_dedup",
+    "doc_minhash_near_dups",
+    "doc_simhash_pairs",
+    "doc_quality_score",
+    "doc_byte_histogram",
+    "doc_fingerprint",
+    "emb_knn_cosine",
+)

@@ -47,7 +47,6 @@ def _cube(spark):
           AND time >= TIMESTAMP '2010-01-02'
         GROUP BY time
     """,
-    bench=True,
 )
 def cube_select_timeseries(spark, sf_dir):
     """The flagship pipeline (SURVEY §7.1): select_subset (vars ∧ bbox ∧

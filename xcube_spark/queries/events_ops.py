@@ -30,7 +30,6 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
         FROM events
         GROUP BY 1
     """,
-    bench=True,
 )
 def events_timeseries_daily(spark, sf_dir):
     """get_time_series (timeseries.py:50-205) on events: one hash-agg

@@ -161,7 +161,7 @@ _ACC = " + ".join(
     "doc_simhash_pairs",
     sql=f"""
         WITH toks AS (
-            SELECT DISTINCT doc_id, tok
+            SELECT doc_id, tok
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                   FROM documents)
             WHERE length(tok) > 0

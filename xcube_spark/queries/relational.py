@@ -30,7 +30,6 @@ from xcube_spark.queries import query, tbl
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    bench=True,
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy groupBy agg; map-side partial agg makes
@@ -77,7 +76,6 @@ def q1_pricing_summary(spark, sf_dir):
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    bench=True,
 )
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective dim filter -> broadcast join -> top-k
@@ -119,7 +117,6 @@ def q3_shipping_priority(spark, sf_dir):
         WHERE r.r_name = 'ASIA'
         GROUP BY n.n_name
     """,
-    bench=True,
 )
 def q5_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 shape: star join; every dimension side broadcasts, so the

@@ -93,7 +93,6 @@ def doc_exact_dedup(spark, sf_dir):
         JOIN sizes sb ON sb.doc_id = i.id_b
         WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
     """,
-    bench=True,
 )
 def doc_minhash_near_dups(spark, sf_dir):
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified
@@ -185,7 +184,6 @@ def doc_fingerprint(spark, sf_dir):
         SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
         FROM ranked WHERE rank <= 10
     """,
-    bench=True,
 )
 def emb_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-k (similarity-search baseline): broadcast
