@@ -1,0 +1,72 @@
+"""CLI smoke tests: in-process main() calls over a temp cube (the
+xcube test/cli pattern without subprocess overhead)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from xcube_spark.cli import main
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+
+GRID = CubeGrid(width=8, height=4, time_periods=3, x_res=45.0, y_res=45.0)
+GRID_ARGS = ["--width", "8", "--height", "4", "--time-periods", "3",
+             "--x-res", "45.0", "--y-res", "45.0"]
+
+
+@pytest.fixture(scope="module")
+def cube_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "cube.parquet")
+    new_cube(spark, GRID, {"v": 1.5}).write.parquet(path)
+    return path
+
+
+def test_cli_dump(cube_path, capsys):
+    assert main(["dump", cube_path]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 96" in out and "var v:" in out
+
+
+def test_cli_verify_ok(cube_path, capsys):
+    assert main(["verify", cube_path, *GRID_ARGS]) == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_verify_bad_grid(cube_path, capsys):
+    # wrong grid declaration -> structural failure, exit 1
+    assert main(["verify", cube_path, "--width", "4", "--height", "4",
+                 "--time-periods", "3"]) == 1
+
+
+def test_cli_subsample_and_resample(spark, cube_path, tmp_path):
+    out = str(tmp_path / "sub.parquet")
+    assert main(["subsample", cube_path, "-k", "2", "-o", out]) == 0
+    assert spark.read.parquet(out).count() == 3 * 2 * 4
+
+    out2 = str(tmp_path / "res.parquet")
+    assert main(["resample", cube_path, "-F", "all", "-o", out2]) == 0
+    assert spark.read.parquet(out2).count() == 8 * 4
+
+
+def test_cli_genpts(spark, cube_path, tmp_path):
+    out = str(tmp_path / "pts.parquet")
+    assert main(["genpts", cube_path, "-n", "50", "-o", out, *GRID_ARGS]) == 0
+    assert spark.read.parquet(out).count() == 50
+
+
+def test_cli_gen(spark, cube_path, tmp_path, capsys):
+    req = {
+        "input_path": cube_path,
+        "cube_config": {
+            "variable_names": ["v"],
+            "spatial_factor": 2,
+            "output_path": str(tmp_path / "gen.parquet"),
+        },
+    }
+    req_path = str(tmp_path / "req.json")
+    with open(req_path, "w") as f:
+        json.dump(req, f)
+    assert main(["gen", req_path, *GRID_ARGS]) == 0
+    assert spark.read.parquet(str(tmp_path / "gen.parquet")).count() == 3 * 2 * 4

@@ -1,0 +1,121 @@
+"""Tiling scheme / compute_tiles / RGBA + gen2 generator pipeline +
+genpts tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import gen_points, new_cube
+from xcube_spark.operators.tiles import (
+    TilingScheme,
+    compute_rgba_tile,
+    compute_tiles,
+    select_tile_level,
+)
+from xcube_spark.pipeline.generator import CubeGeneratorRequest, generate_cube
+
+GRID = CubeGrid()  # 360x180x5, 1-degree
+VARS = {"A": lambda ns: ns["t_i"].cast("double") + 0.1 * ns["y"] + 0.01 * ns["x"]}
+
+
+@pytest.fixture(scope="module")
+def cube(spark):
+    return new_cube(spark, GRID, VARS).cache()
+
+
+def test_tiling_scheme_math():
+    ts = TilingScheme.geographic()
+    assert ts.num_tiles(0) == (2, 1)
+    assert ts.num_tiles(2) == (8, 4)
+    assert ts.resolution(0) == pytest.approx(180.0 / 256)
+    # 1-degree data is adequately served at the level where res <= 1 deg
+    assert ts.level_for_resolution(1.0) == 0
+    assert ts.level_for_resolution(180.0 / 256 / 4) == 2
+    assert ts.tile_bbox(1, 0, 0) == (-180.0, 0.0, -90.0, 90.0)
+    assert ts.tile_bbox(1, 3, 1) == (90.0, -90.0, 180.0, 0.0)
+
+
+def test_select_tile_level(spark, cube):
+    levels = [(GRID, cube), (GRID.level(1), cube), (GRID.level(2), cube)]
+    ts = TilingScheme.geographic()
+    # zoom 0: res 0.703 deg/px -> coarsest adequate level is L... x_res
+    # candidates are 1, 2, 4 deg; only 1-deg (L0) is <= 0.703? no ->
+    # fallback stays finest
+    g, _ = select_tile_level(levels, ts, zoom=3)
+    assert g.x_res == 1.0  # zoom 3 res ~0.088 deg -> full resolution
+
+
+def test_compute_tiles(spark, cube):
+    ts = TilingScheme.geographic()
+    # level 1 tile (0, 0) = lon [-180, -90), lat [0, 90)
+    tile = compute_tiles(cube, GRID, ts, level=1, tx=0, ty=0, t_i=0)
+    rows = tile.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("px").alias("px0"), F.max("px").alias("px1"),
+        F.min("py").alias("py0"), F.max("py").alias("py1"),
+    ).collect()[0]
+    assert rows["n"] == 90 * 90  # 90x90 one-degree cells
+    assert rows["px0"] >= 0 and rows["px1"] < 256
+    assert rows["py0"] >= 0 and rows["py1"] < 256
+
+
+def test_rgba_tile(spark, cube):
+    ts = TilingScheme.geographic()
+    tile = compute_tiles(cube, GRID, ts, level=1, tx=0, ty=0, t_i=0)
+    rgba = compute_rgba_tile(tile, "A", vmin=-10.0, vmax=10.0)
+    row = rgba.agg(
+        F.min("r"), F.max("r"), F.min("a"), F.max("g"), F.max("b")
+    ).collect()[0]
+    assert 0 <= row[0] <= row[1] <= 255
+    assert row[2] == 255  # no NULLs -> fully opaque
+
+
+def test_generator_pipeline(spark, cube):
+    req = CubeGeneratorRequest(
+        variable_names=["A"],
+        bbox=[0.0, 0.0, 40.0, 40.0],
+        time_range=("2010-01-02T00:00:00", None),
+        spatial_factor=2,
+    )
+    out, out_grid = generate_cube(spark, cube, GRID, req)
+    assert out_grid.x_res == 2.0
+    # 40x40 deg -> 20x20 blocks, 4 remaining time steps
+    assert out.count() == 20 * 20 * 4
+    assert "A" in out.columns
+
+
+def test_generator_with_time_and_code(spark, cube):
+    req = CubeGeneratorRequest(
+        variable_names=["A"],
+        time_period="1W",
+        user_code=lambda df: df.withColumn("A2", F.col("A") * 2),
+    )
+    out, _ = generate_cube(spark, cube, GRID, req)
+    assert "A2" in out.columns
+    assert out.where(F.col("A2") != 2 * F.col("A")).count() == 0
+
+
+def test_generator_from_dict_and_write(spark, cube, tmp_path):
+    req = CubeGeneratorRequest.from_dict({
+        "cube_config": {
+            "variable_names": ["A"],
+            "bbox": [0.0, 0.0, 10.0, 10.0],
+            "output_path": str(tmp_path / "gen.parquet"),
+        }
+    })
+    out, _ = generate_cube(spark, cube, GRID, req)
+    back = spark.read.parquet(str(tmp_path / "gen.parquet"))
+    assert back.count() == out.count() == 10 * 10 * 5
+
+
+def test_gen_points(spark):
+    pts = gen_points(spark, GRID, 1000, seed=7)
+    assert pts.count() == 1000
+    r = pts.agg(F.min("lon"), F.max("lon"), F.min("lat"), F.max("lat")).collect()[0]
+    assert r[0] >= -180 and r[1] < 180 and r[2] >= -90 and r[3] < 90
+    # deterministic per seed
+    a = pts.agg(F.sum("lon")).collect()[0][0]
+    b = gen_points(spark, GRID, 1000, seed=7).agg(F.sum("lon")).collect()[0][0]
+    assert a == b

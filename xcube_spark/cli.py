@@ -1,0 +1,202 @@
+"""sparkcube CLI — the reference's command surface (SURVEY §2.13,
+xcube/plugin.py:224-247) as a thin dispatcher over engine functions.
+
+Each subcommand loads a cells-table dataset, applies one operator, and
+writes/prints the result — job entry points, not a new API layer:
+
+    sparkcube dump CUBE.parquet
+    sparkcube verify CUBE.parquet --width 360 --height 180 --time-periods 5
+    sparkcube extract CUBE.parquet POINTS.csv -o OUT.parquet
+    sparkcube resample CUBE.parquet -F 1W -M mean -o OUT.parquet
+    sparkcube subsample CUBE.parquet -k 2 -o OUT.parquet
+    sparkcube levels CUBE.parquet -n 3 -o OUT_DIR
+    sparkcube optimize CUBE.parquet -o OUT.parquet --partitions 8
+    sparkcube genpts CUBE.parquet -n 100 -o OUT.csv
+    sparkcube gen REQUEST.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from xcube_spark.cube.grid import CubeGrid
+
+
+def _grid_from_args(args) -> CubeGrid:
+    return CubeGrid(
+        width=args.width, height=args.height, time_periods=args.time_periods,
+        x_start=args.x_start, y_start=args.y_start,
+        x_res=args.x_res, y_res=args.y_res,
+    )
+
+
+def _add_grid_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--width", type=int, default=360)
+    p.add_argument("--height", type=int, default=180)
+    p.add_argument("--time-periods", type=int, default=5)
+    p.add_argument("--x-start", type=float, default=-180.0)
+    p.add_argument("--y-start", type=float, default=-90.0)
+    p.add_argument("--x-res", type=float, default=1.0)
+    p.add_argument("--y-res", type=float, default=1.0)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sparkcube")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("dump", help="describe a dataset (xcube dump)")
+    p.add_argument("input")
+
+    p = sub.add_parser("verify", help="structural cube validation")
+    p.add_argument("input")
+    _add_grid_args(p)
+
+    p = sub.add_parser("extract", help="cube values for points")
+    p.add_argument("input")
+    p.add_argument("points")
+    p.add_argument("-o", "--output", required=True)
+    _add_grid_args(p)
+
+    p = sub.add_parser("resample", help="temporal resampling")
+    p.add_argument("input")
+    p.add_argument("-F", "--frequency", default="1W")
+    p.add_argument("-M", "--method", default="mean")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("subsample", help="k x k spatial subsampling")
+    p.add_argument("input")
+    p.add_argument("-k", "--factor", type=int, default=2)
+    p.add_argument("-M", "--method", default="mean")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("levels", help="build pyramid levels")
+    p.add_argument("input")
+    p.add_argument("-n", "--num-levels", type=int, default=3)
+    p.add_argument("-o", "--output", required=True)
+    _add_grid_args(p)
+
+    p = sub.add_parser("optimize", help="compact a dataset")
+    p.add_argument("input")
+    p.add_argument("--partitions", type=int, default=8)
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("genpts", help="random test points from a cube")
+    p.add_argument("input")
+    p.add_argument("-n", "--num-points", type=int, default=100)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("-o", "--output", required=True)
+    _add_grid_args(p)
+
+    p = sub.add_parser("gen", help="run a cube-generation request (gen2)")
+    p.add_argument("request", help="JSON request file; input_path + "
+                   "cube_config keys")
+    _add_grid_args(p)
+
+    args = ap.parse_args(argv)
+
+    from xcube_spark.session import get_session
+    from xcube_spark.sources.dsio import open_dataset, write_dataset
+
+    spark = get_session(app_name=f"sparkcube-{args.cmd}")
+
+    if args.cmd == "dump":
+        from xcube_spark.sources.store import describe_dataframe
+
+        df = open_dataset(spark, args.input)
+        df.printSchema()
+        desc = describe_dataframe(args.input, df)
+        print(f"rows: {desc.num_rows}")
+        print(f"dims: {desc.dims}")
+        print(f"bbox: {desc.bbox}")
+        print(f"time: {desc.time_range}")
+        for v in desc.variables:
+            print(f"var {v.name}: {v.dtype} valid={v.n_valid} "
+                  f"min={v.vmin} max={v.vmax}")
+        return 0
+
+    if args.cmd == "verify":
+        from xcube_spark.operators.maintenance import verify_cube
+
+        report = verify_cube(open_dataset(spark, args.input),
+                             _grid_from_args(args))
+        if report:
+            print("INVALID CUBE:")
+            for r in report:
+                print(f"- {r}")
+            return 1
+        print("OK")
+        return 0
+
+    if args.cmd == "extract":
+        from xcube_spark.operators.extract import get_cube_values_for_points
+
+        cube = open_dataset(spark, args.input)
+        points = open_dataset(spark, args.points)
+        out = get_cube_values_for_points(cube, _grid_from_args(args), points)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "resample":
+        from xcube_spark.operators.temporal import resample_in_time
+
+        out = resample_in_time(open_dataset(spark, args.input),
+                               args.frequency, methods=(args.method,))
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "subsample":
+        from xcube_spark.operators.subsampling import subsample_dataset
+
+        out = subsample_dataset(open_dataset(spark, args.input),
+                                factor=args.factor, agg_methods=args.method)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "levels":
+        from xcube_spark.operators.levels import compute_levels
+
+        cube = open_dataset(spark, args.input)
+        levels = compute_levels(cube, _grid_from_args(args),
+                                num=args.num_levels)
+        for lvl, (df, _g) in enumerate(levels):
+            write_dataset(df, f"{args.output}/L{lvl}", mode="overwrite")
+        return 0
+
+    if args.cmd == "optimize":
+        from xcube_spark.operators.maintenance import optimize_dataset
+
+        out = optimize_dataset(open_dataset(spark, args.input),
+                               args.partitions)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "genpts":
+        from xcube_spark.cube.new import gen_points
+
+        out = gen_points(spark, _grid_from_args(args), args.num_points,
+                         seed=args.seed)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "gen":
+        from xcube_spark.pipeline.generator import (
+            CubeGeneratorRequest,
+            generate_cube,
+        )
+
+        with open(args.request) as f:
+            req_dict = json.load(f)
+        cube = open_dataset(spark, req_dict["input_path"])
+        req = CubeGeneratorRequest.from_dict(req_dict)
+        out, _ = generate_cube(spark, cube, _grid_from_args(args), req)
+        if not req.output_path:
+            print(f"rows: {out.count()}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -149,3 +149,34 @@ def new_cube_sql(grid: CubeGrid, variables: Mapping[str, str] | None = None) -> 
         )
         SELECT t_i, y_i, x_i, time, y, x, {var_sql} FROM dims
     """
+
+
+def gen_points(
+    spark: SparkSession,
+    grid: CubeGrid,
+    n: int,
+    seed: int = 42,
+    frac_outside: float = 0.0,
+) -> DataFrame:
+    """Random test points over a cube's extent — ``xcube genpts``
+    (cli/genpts.py:28-88): n rows of (point_id, time, lat, lon), seeded
+    uniform within the grid bbox/time span; ``frac_outside`` widens the
+    sampling box so some points fall off-grid (the reference's
+    out-of-range fixture knob).  Pure spark.range + rand — distributed,
+    deterministic per seed."""
+    pad_x = (grid.x_end - grid.x_start) * frac_outside
+    pad_y = (grid.y_end - grid.y_start) * frac_outside
+    t0 = grid.t_start.timestamp()
+    span = grid.time_periods * grid.t_freq_days * 86400.0
+    return spark.range(n).select(
+        F.col("id").alias("point_id"),
+        F.timestamp_seconds(
+            F.lit(t0) + F.rand(seed) * F.lit(span * (1 + frac_outside))
+        ).alias("time"),
+        (F.lit(grid.y_start - pad_y)
+         + F.rand(seed + 1) * F.lit(grid.y_end - grid.y_start + 2 * pad_y)
+         ).alias("lat"),
+        (F.lit(grid.x_start - pad_x)
+         + F.rand(seed + 2) * F.lit(grid.x_end - grid.x_start + 2 * pad_x)
+         ).alias("lon"),
+    )

@@ -1,0 +1,132 @@
+"""Cube generation pipeline — xcube gen2 (core/gen2/*, SURVEY §3.2).
+
+The reference turns a declarative JSON/YAML request into a fixed stage
+pipeline: open -> subset -> resample_t -> resample_xy -> combine ->
+user code -> metadata -> write (core/gen2/local/generator.py:96-206).
+Spark-first, the stages collapse into ONE composed DataFrame plan that
+Catalyst optimizes as a whole — subsetting pushes into the scan,
+resamples fuse where possible — and the writer triggers execution,
+exactly the reference's lazy-until-write contract.
+
+``CubeGeneratorRequest`` mirrors the reference's ``CubeConfig``
+(core/gen2/config.py:125-170): variable_names, bbox, time_range,
+time_period, spatial downscale factor, plus optional user code
+(callable, the CubeUserCodeExecutor analog) and output path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xcube_spark.cube.grid import CubeGrid
+
+
+@dataclass
+class CubeGeneratorRequest:
+    """Declarative cube request (core/gen2/config.py:125-170)."""
+
+    variable_names: list[str] | None = None
+    bbox: list[float] | None = None  # [x1, y1, x2, y2]
+    time_range: tuple[str | None, str | None] | None = None
+    time_period: str | None = None  # e.g. "1W" -> resample_in_time
+    time_agg: str = "mean"
+    spatial_factor: int | None = None  # k -> k x k block downscale
+    spatial_agg: str = "mean"
+    user_code: Callable[[DataFrame], DataFrame] | None = None
+    output_path: str | None = None
+    output_format: str | None = None
+    metadata: Mapping[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "CubeGeneratorRequest":
+        """Parse the JSON-ish request shape (cube_config subset)."""
+        cc = dict(d.get("cube_config", d))
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in cc.items() if k in known})
+
+
+def generate_cube(
+    spark: SparkSession,
+    cube: DataFrame,
+    grid: CubeGrid,
+    request: CubeGeneratorRequest,
+) -> tuple[DataFrame, CubeGrid]:
+    """Run the gen2 stage pipeline over an opened cube.
+
+    Stage order mirrors generator.py:96-206; every stage is a pure
+    DataFrame transform, so the returned plan executes once at write
+    (or whenever the caller acts on it)."""
+    from xcube_spark.operators.compute import align_cubes  # noqa: F401
+    from xcube_spark.operators.select import select_subset
+    from xcube_spark.operators.subsampling import subsample_dataset
+    from xcube_spark.operators.temporal import resample_in_time
+
+    out = cube
+    out_grid = grid
+
+    # CubeSubsetter (local/subsetter.py:21)
+    if request.variable_names or request.bbox or request.time_range:
+        out = select_subset(
+            out,
+            var_names=request.variable_names,
+            bbox=request.bbox,
+            time_range=request.time_range,
+        )
+
+    # CubeResamplerT (local/resamplert.py:14)
+    if request.time_period:
+        vars_ = request.variable_names
+        out = resample_in_time(
+            out, request.time_period, methods=(request.time_agg,),
+            var_names=vars_,
+        )
+        # resample renames var -> var_<agg> (temporal.py:129); restore
+        # the declared names so downstream stages see a cube
+        for v in (vars_ or []):
+            renamed = f"{v}_{request.time_agg}"
+            if renamed in out.columns:
+                out = out.withColumnRenamed(renamed, v)
+
+    # CubeResamplerXY (local/resamplerxy.py:16)
+    if request.spatial_factor and request.spatial_factor > 1:
+        k = request.spatial_factor
+        if request.time_period:
+            # after temporal resample the time axis is (time), not t_i;
+            # block-aggregate on the spatial indices only
+            from pyspark.sql import functions as F
+
+            vars_ = [c for c in out.columns
+                     if c not in ("time", "t_i", "y_i", "x_i", "y", "x")]
+            out = out.groupBy(
+                "time",
+                F.floor(F.col("y_i") / k).cast("int").alias("y_i"),
+                F.floor(F.col("x_i") / k).cast("int").alias("x_i"),
+            ).agg(*[
+                getattr(F, "avg" if request.spatial_agg == "mean"
+                        else request.spatial_agg)(v).alias(v)
+                for v in vars_
+            ])
+        else:
+            out = subsample_dataset(out, factor=k,
+                                    agg_methods=request.spatial_agg)
+            for v in (request.variable_names or []):
+                renamed = f"{v}_{request.spatial_agg}"
+                if renamed in out.columns:
+                    out = out.withColumnRenamed(renamed, v)
+        out_grid = out_grid.downsampled(k)
+
+    # CubeUserCodeExecutor (local/usercode.py:24)
+    if request.user_code is not None:
+        out = request.user_code(out)
+
+    # CubeWriter (local/writer.py) — where execution happens
+    if request.output_path:
+        from xcube_spark.sources.dsio import write_dataset
+
+        write_dataset(out, request.output_path,
+                      format_name=request.output_format, mode="overwrite")
+
+    return out, out_grid

@@ -85,6 +85,7 @@ def load_all() -> dict[str, Query]:
         pipeline_ops,
         relational,
         resampling_ops,
+        serving_ops,
         streaming_ops,
         text_pipeline,
     )

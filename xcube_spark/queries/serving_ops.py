@@ -1,0 +1,100 @@
+"""Serving-layer coverage queries (SURVEY §2.11, §3.2): tile pipeline
+(LOD/bbox/pixel-mapping + RGBA colormap) and the gen2 generator
+request pipeline — oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.new import new_cube
+from xcube_spark.operators.tiles import (
+    DEFAULT_STOPS,
+    TilingScheme,
+    compute_rgba_tile,
+    compute_tiles,
+)
+from xcube_spark.pipeline.generator import CubeGeneratorRequest, generate_cube
+from xcube_spark.queries import query
+from xcube_spark.queries.cube_ops import CUBE_CTE, GRID, SPARK_VARS
+
+_TS = TilingScheme.geographic()
+_RES = 90.0 / 256  # level-1 resolution
+
+
+def _channel_sql(channel: int) -> str:
+    """The same piecewise-linear colormap the Column builder emits."""
+    expr = f"{float(DEFAULT_STOPS[0][1][channel])}"
+    for (p0, c0), (p1, c1) in zip(DEFAULT_STOPS, DEFAULT_STOPS[1:]):
+        seg = (
+            f"({float(c0[channel])} + ((norm - {p0}) / {p1 - p0})"
+            f" * {float(c1[channel] - c0[channel])})"
+        )
+        expr = f"CASE WHEN norm >= {p0} THEN {seg} ELSE {expr} END"
+    return f"CAST(ROUND({expr}) AS INT)"
+
+
+@query(
+    "cube_tile_rgba",
+    sql=f"""
+        {CUBE_CTE},
+        tile AS (
+            SELECT CAST(FLOOR((x - -180.0) / {_RES}) AS INT) AS px,
+                   CAST(FLOOR((90.0 - y) / {_RES}) AS INT) AS py,
+                   A
+            FROM cube
+            WHERE x >= -180.0 AND x < -90.0 AND y >= 0.0 AND y < 90.0
+              AND t_i = 0
+        ), n AS (
+            SELECT px, py,
+                   least(greatest((CAST(A AS DOUBLE) - -10.0) / 20.0, 0.0),
+                         1.0) AS norm,
+                   A
+            FROM tile
+        )
+        SELECT px, py,
+               {_channel_sql(0)} AS r,
+               {_channel_sql(1)} AS g,
+               {_channel_sql(2)} AS b,
+               CASE WHEN A IS NULL THEN 0 ELSE 255 END AS a
+        FROM n
+    """,
+)
+def cube_tile_rgba(spark, sf_dir):
+    """compute_tiles + compute_rgba_tile (tile.py:39-538): geographic
+    level-1 tile (0,0), bbox-filtered cells mapped to tile pixels, then
+    colormapped; the oracle re-derives the pixel mapping and the
+    piecewise colormap from the same stop table."""
+    cube = new_cube(spark, GRID, variables=SPARK_VARS).select(
+        "t_i", "y_i", "x_i", "time", "y", "x", "A"
+    )
+    tile = compute_tiles(cube, GRID, _TS, level=1, tx=0, ty=0, t_i=0)
+    return compute_rgba_tile(tile, "A", vmin=-10.0, vmax=10.0)
+
+
+@query(
+    "gen_request_pipeline",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i,
+               CAST(y_i // 2 AS INT) AS y_i,
+               CAST(x_i // 2 AS INT) AS x_i,
+               ROUND(AVG(A), 6) AS A
+        FROM cube
+        WHERE x BETWEEN 0.0 AND 40.0 AND y BETWEEN 0.0 AND 40.0
+          AND time >= TIMESTAMP '2010-01-02'
+        GROUP BY 1, 2, 3
+    """,
+)
+def gen_request_pipeline(spark, sf_dir):
+    """generate_cube (gen2, generator.py:96-206): declarative request ->
+    subset (vars ∧ bbox ∧ time) -> 2x2 spatial block aggregation, one
+    composed Catalyst plan."""
+    cube = new_cube(spark, GRID, variables=SPARK_VARS)
+    req = CubeGeneratorRequest(
+        variable_names=["A"],
+        bbox=[0.0, 0.0, 40.0, 40.0],
+        time_range=("2010-01-02T00:00:00", None),
+        spatial_factor=2,
+    )
+    out, _ = generate_cube(spark, cube, GRID, req)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
