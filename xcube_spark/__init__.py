@@ -17,10 +17,11 @@ pipeline    large-scale training-data ops (dedup, similarity, text)
 streaming   Structured Streaming surface (additive; no ref counterpart)
 """
 
+from xcube_spark.cube.accessor import SparkCube
 from xcube_spark.cube.grid import CubeGrid
 from xcube_spark.cube.new import new_cube
 from xcube_spark.session import get_session
 
 __version__ = "0.1.0"
 
-__all__ = ["CubeGrid", "new_cube", "get_session", "__version__"]
+__all__ = ["CubeGrid", "SparkCube", "new_cube", "get_session", "__version__"]

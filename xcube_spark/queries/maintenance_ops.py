@@ -138,3 +138,44 @@ def cube_descriptor(spark, sf_dir):
         F.round(F.min("A"), 6).alias("A_min"),
         F.round(F.max("A"), 6).alias("A_max"),
     )
+
+
+@query(
+    "cube_chunk_store",
+    sql="""
+        WITH idx AS (
+            SELECT CAST(range // 64800 AS INT) AS t_i,
+                   CAST((range % 64800) // 360 AS INT) AS y_i,
+                   CAST(range % 360 AS INT) AS x_i
+            FROM range(324000)
+        )
+        SELECT t_i, COUNT(*) AS n,
+               ROUND(SUM(CAST(t_i * 1000.0 + y_i * 10.0 + x_i AS DOUBLE)),
+                     4) AS V_checksum
+        FROM idx
+        WHERE y_i < 90
+        GROUP BY t_i
+    """,
+)
+def cube_chunk_store(spark, sf_dir):
+    """Virtual chunk-computed dataset (chunkstore.py:36-224 /
+    zarrstore/generic.py): a generator DataFrame whose chunks are
+    synthesized on demand by a user get_data callable; the subset
+    filter proves cells stream out of compute correctly."""
+    import numpy as np
+
+    from xcube_spark.queries.cube_ops import GRID
+    from xcube_spark.sources.chunkstore import open_chunk_store
+
+    def get_data(chunk_idx, bounds):
+        t0, t1, y0, y1, x0, x1 = bounds
+        tt, yy, xx = np.meshgrid(
+            np.arange(t0, t1), np.arange(y0, y1), np.arange(x0, x1),
+            indexing="ij")
+        return {"V": tt * 1000.0 + yy * 10.0 + xx}
+
+    virt = open_chunk_store(spark, GRID, get_data, ["V"])
+    return virt.where(F.col("y_i") < 90).groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("V"), 4).alias("V_checksum"),
+    )
