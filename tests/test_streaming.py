@@ -78,3 +78,67 @@ def test_stateful_totals_equal_batch(spark, sf_dir):
     )
     cols = ("user_id", "n_events", "value_sum")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_append_stream_to_cube(spark, tmp_path_factory):
+    """Micro-batch time-slice append: stream slices into a partitioned
+    cube and verify partition-level replace semantics."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.streaming.writer import append_stream_to_cube
+
+    tmp = tmp_path_factory.mktemp("swriter")
+    grid = CubeGrid(width=8, height=4, time_periods=3, x_res=45.0, y_res=45.0)
+    src_path = str(tmp / "incoming")
+    cube_path = str(tmp / "cube")
+
+    # two "granules" arriving as flat files (the file source lists
+    # files, not nested parquet dataset directories)
+    import glob
+    import os
+    import shutil
+
+    cube = new_cube(spark, grid, {"v": 1.0})
+    os.makedirs(src_path)
+
+    def land(df, name):
+        staging = str(tmp / f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(f"{staging}/part-*.parquet")[0]
+        shutil.move(part, f"{src_path}/{name}.parquet")
+
+    land(cube.where(F.col("t_i") < 2), "g1")
+    land(cube.where(F.col("t_i") == 2), "g2")
+
+    stream = (
+        spark.readStream.schema(cube.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_path)
+    )
+    q = append_stream_to_cube(stream, cube_path, str(tmp / "ckpt"))
+    q.awaitTermination()
+
+    back = spark.read.parquet(cube_path)
+    assert back.count() == grid.size
+    assert back.select("t_i").distinct().count() == 3
+
+    # replace one slice through the same sink
+    repl_dir = str(tmp / "repl")
+    os.makedirs(repl_dir)
+    repl = new_cube(spark, grid, {"v": 9.0}).where(F.col("t_i") == 1)
+    staging = str(tmp / "stage_r1")
+    repl.coalesce(1).write.parquet(staging)
+    shutil.move(glob.glob(f"{staging}/part-*.parquet")[0],
+                f"{repl_dir}/r1.parquet")
+    stream2 = (
+        spark.readStream.schema(cube.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(repl_dir)
+    )
+    q2 = append_stream_to_cube(stream2, cube_path, str(tmp / "ckpt2"),
+                               mode="replace")
+    q2.awaitTermination()
+    back2 = spark.read.parquet(cube_path)
+    assert back2.count() == grid.size
+    assert back2.where("t_i = 1").agg(F.min("v")).collect()[0][0] == 9.0
+    assert back2.where("t_i = 0").agg(F.max("v")).collect()[0][0] == 1.0
