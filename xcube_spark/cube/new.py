@@ -75,6 +75,9 @@ def new_cube(
     Equivalent to ``new_cube(width=W, height=H, time_periods=T,
     variables=...)`` (xcube/core/new.py:13-41) in the long cells model.
     """
+    from xcube_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     grid = grid or CubeGrid(**grid_kwargs)
     if variables is None:
         variables = DEFAULT_VARIABLES

@@ -56,6 +56,9 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DataFrames are memoized per (session, dir, table): re-reading the
     same parquet repeats file listing + scan analysis (~0.2s of pure
     overhead per query build); the cached immutable plan skips both."""
+    from xcube_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
     key = (id(spark), sf_dir, name)
     if key in _TBL_CACHE:
         return _TBL_CACHE[key]

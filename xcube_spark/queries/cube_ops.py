@@ -358,3 +358,85 @@ def cube_extract_points(spark, sf_dir):
         _cube(spark), GRID, pts, var_names=["A", "C"]
     )
     return out.select("id", F.round("A", 6).alias("A"), "C")
+
+
+@query(
+    "cube_label_subset",
+    sql=f"""
+        {CUBE_CTE},
+        masked AS (
+            SELECT t_i, y_i, x_i,
+                   CASE WHEN t_i = 1 AND x_i < 300 THEN NULL ELSE A END AS A
+            FROM cube
+        ), keep AS (
+            SELECT t_i
+            FROM masked
+            GROUP BY t_i
+            HAVING AVG(CASE WHEN A IS NULL THEN 1.0 ELSE 0.0 END) <= 0.5
+        )
+        SELECT m.t_i, COUNT(*) AS n, COUNT(m.A) AS n_valid
+        FROM masked m JOIN keep USING (t_i)
+        GROUP BY m.t_i
+    """,
+)
+def cube_label_subset(spark, sf_dir):
+    """select_label_subset (select.py:221-347): drop time slices with
+    > 50% NaN — slice t=1 is 5/6 NULL and must disappear; per-slice
+    aggregate + broadcast semi join."""
+    from xcube_spark.operators.select import select_label_subset
+
+    masked = _cube(spark).select(
+        "t_i", "y_i", "x_i",
+        F.when((F.col("t_i") == 1) & (F.col("x_i") < 300), None)
+        .otherwise(F.col("A")).alias("A"),
+    )
+    # keep slices where the NULL fraction <= 50%: count valid per slice
+    counts = masked.groupBy("t_i").agg(
+        (F.avg(F.col("A").isNull().cast("double")) <= 0.5).alias("__ok")
+    )
+    kept = select_label_subset(
+        masked.join(F.broadcast(counts), "t_i"), "t_i",
+        F.col("__ok"), keep_if="all",
+    )
+    return kept.groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n"), F.count("A").alias("n_valid")
+    )
+
+
+@query(
+    "cube_timeseries_max_valids",
+    sql=f"""
+        {CUBE_CTE},
+        masked AS (
+            SELECT time, CASE WHEN t_i >= 3 THEN NULL ELSE A END AS A
+            FROM cube
+            WHERE x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20
+        ), series AS (
+            SELECT time, ROUND(AVG(A), 6) AS A_mean, COUNT(A) AS A_count
+            FROM masked GROUP BY time
+        ), newest AS (
+            SELECT * FROM series
+            WHERE A_count > 0
+            ORDER BY time DESC LIMIT 2
+        )
+        SELECT * FROM newest ORDER BY time
+    """,
+)
+def cube_timeseries_max_valids(spark, sf_dir):
+    """The max_valids trimming of the timeseries API
+    (webapi/timeseries/controllers.py:268-333): drop all-null steps,
+    keep the N newest valid entries scanning backwards, restore
+    ascending order — sort+limit (TakeOrderedAndProject), no full sort."""
+    from xcube_spark.operators.timeseries import get_time_series
+
+    masked = _cube(spark).where(
+        F.col("x").between(10, 20) & F.col("y").between(10, 20)
+    ).select(
+        "time",
+        F.when(F.col("t_i") >= 3, None).otherwise(F.col("A")).alias("A"),
+    )
+    series = get_time_series(masked, ["A"], agg_methods=("mean", "count")) \
+        .select("time", F.round("A_mean", 6).alias("A_mean"), "A_count")
+    newest = series.where(F.col("A_count") > 0) \
+        .orderBy(F.desc("time")).limit(2)
+    return newest.orderBy("time")

@@ -62,3 +62,24 @@ def get_session(
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+#: conf the engine depends on that is settable at RUNTIME on any session
+#: (a driver-owned session may default to ANSI mode or a local timezone;
+#: the oracle comparisons assume UTC windows and non-ANSI float math)
+_RUNTIME_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine conf to an externally created
+    session (idempotent, cheap)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
