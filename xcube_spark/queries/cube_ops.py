@@ -29,8 +29,17 @@ SPARK_VARS = {k: v for k, v in DEFAULT_VARIABLES.items() if k != "B"}
 CUBE_CTE = f"WITH cube AS ({new_cube_sql(GRID)})"
 
 
+_CUBE_CACHE: dict[int, object] = {}
+
+
 def _cube(spark):
-    return new_cube(spark, GRID, variables=SPARK_VARS)
+    """Memoized per session: the synthesized fixture cube's plan is
+    identical across queries, and rebuilding it costs ~0.3s of driver
+    round-trips per call (same rationale as ``tbl``'s cache)."""
+    key = id(spark)
+    if key not in _CUBE_CACHE:
+        _CUBE_CACHE[key] = new_cube(spark, GRID, variables=SPARK_VARS)
+    return _CUBE_CACHE[key]
 
 
 @query(
@@ -440,3 +449,75 @@ def cube_timeseries_max_valids(spark, sf_dir):
     newest = series.where(F.col("A_count") > 0) \
         .orderBy(F.desc("time")).limit(2)
     return newest.orderBy("time")
+
+
+@query(
+    "cube_timeseries_multi_geom",
+    sql=f"""
+        {CUBE_CTE},
+        geoms AS (
+            SELECT * FROM (VALUES
+                (0, 10.0, 10.0, 20.0, 20.0),
+                (1, -60.0, -30.0, -40.0, -10.0),
+                (2, 100.0, 40.0, 140.0, 70.0)
+            ) AS g(geom_id, x1, y1, x2, y2)
+        )
+        SELECT g.geom_id, c.time,
+               ROUND(AVG(c.A), 6) AS A_mean,
+               COUNT(c.A) AS A_count
+        FROM cube c JOIN geoms g
+          ON c.x BETWEEN g.x1 AND g.x2 AND c.y BETWEEN g.y1 AND g.y2
+        GROUP BY g.geom_id, c.time
+    """,
+)
+def cube_timeseries_multi_geom(spark, sf_dir):
+    """The timeseries web API's batch-over-geometries shape
+    (webapi/timeseries/controllers.py:32-335): N region series in ONE
+    pass — broadcast the geometry table, containment theta-join, single
+    groupBy(geom, time) shuffle instead of N separate queries."""
+    geoms = spark.createDataFrame(
+        [(0, 10.0, 10.0, 20.0, 20.0),
+         (1, -60.0, -30.0, -40.0, -10.0),
+         (2, 100.0, 40.0, 140.0, 70.0)],
+        "geom_id INT, x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE",
+    )
+    joined = _cube(spark).join(
+        F.broadcast(geoms),
+        F.col("x").between(F.col("x1"), F.col("x2"))
+        & F.col("y").between(F.col("y1"), F.col("y2")),
+    )
+    return joined.groupBy("geom_id", "time").agg(
+        F.round(F.avg("A"), 6).alias("A_mean"),
+        F.count("A").alias("A_count"),
+    )
+
+
+@query(
+    "events_set_ops",
+    sql="""
+        WITH heavy AS (
+            SELECT DISTINCT user_id FROM events WHERE value > 150
+        ), errors AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+        )
+        SELECT 'both' AS grp, COUNT(*) AS n
+        FROM (SELECT user_id FROM heavy INTERSECT SELECT user_id FROM errors)
+        UNION ALL
+        SELECT 'heavy_only' AS grp, COUNT(*) AS n
+        FROM (SELECT user_id FROM heavy EXCEPT SELECT user_id FROM errors)
+    """,
+)
+def events_set_ops(spark, sf_dir):
+    """INTERSECT/EXCEPT (SURVEY §2.12 — absent in the reference, free
+    in Spark SQL): high-value users vs error-affected users."""
+    from xcube_spark.queries import tbl
+
+    ev = tbl(spark, sf_dir, "events")
+    heavy = ev.where(F.col("value") > 150).select("user_id").distinct()
+    errors = ev.where(F.col("event_type") == "error") \
+        .select("user_id").distinct()
+    both = heavy.intersect(errors).agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("both").alias("grp"), "n")
+    only = heavy.exceptAll(errors).agg(F.count(F.lit(1)).alias("n")) \
+        .select(F.lit("heavy_only").alias("grp"), "n")
+    return both.unionByName(only)
