@@ -343,3 +343,125 @@ def doc_byte_histogram(spark, sf_dir):
         .groupBy("bin")
         .agg(F.sum("cnt").alias("total"))
     )
+
+
+# ---- IVF similarity search --------------------------------------------
+
+
+@query(
+    "emb_knn_ivf",
+    sql="""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 16
+        ), assigned AS (
+            SELECT vec_id, v,
+                   arg_min(cid, list_distance(v, cv)) AS cell
+            FROM c, cents
+            GROUP BY vec_id, v
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5
+        ), probes AS (
+            SELECT query_id, qv, cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY list_distance(qv, cv), cid)
+                       AS prank
+            FROM q, cents
+        ), scored AS (
+            SELECT p.query_id, a.vec_id,
+                   list_dot_product(a.v, p.qv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(p.qv, p.qv))) AS cos
+            FROM assigned a
+            JOIN (SELECT * FROM probes WHERE prank <= 2) p USING (cell)
+            WHERE a.vec_id != p.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_knn_ivf(spark, sf_dir):
+    """knn_ivf (pipeline/similarity.py): inverted-file approximate knn —
+    nearest-centroid cells (L2 argmin against a broadcast centroid
+    table), 2-probe search brute-forcing only the probed lists.  The
+    oracle replays the same quantize/probe/rank algebra."""
+    from xcube_spark.pipeline.similarity import knn_ivf
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.where(F.col("vec_id") < 16)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivf(emb, queries, cents, k=10, n_probe=2)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---- standalone n-gram Jaccard ----------------------------------------
+
+
+@query(
+    "doc_ngram_jaccard",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, lst[i + 1] AS tok, i AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS lst
+                  FROM documents),
+                 unnest(range(len(lst))) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE c / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def doc_ngram_jaccard(spark, sf_dir):
+    """Direct pairwise n-gram (3-shingle) Jaccard on a bounded candidate
+    set — the exact-similarity building block that minhash/LSH
+    approximate; the shared-shingle join only materializes pairs with
+    at least one common shingle, never the full cross product."""
+    from xcube_spark.pipeline.dedup import shingles
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .where(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
