@@ -1,0 +1,111 @@
+"""Property-based invariants (hypothesis): these hold for EVERY grid
+configuration, not just the fixtures — the class of guarantee unit
+examples can't give.  Examples are kept small and few because every
+check runs a Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import gen_points, new_cube
+from xcube_spark.operators.maintenance import normalize_dataset, verify_cube
+from xcube_spark.operators.resampling.affine import affine_transform_dataset
+from xcube_spark.operators.subsampling import subsample_dataset
+from xcube_spark.sources.timeslice import insert_time_slice, replace_time_slice
+
+SETTINGS = dict(max_examples=5, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+grids = st.builds(
+    CubeGrid,
+    width=st.integers(2, 12),
+    height=st.integers(2, 8),
+    time_periods=st.integers(1, 4),
+    x_start=st.sampled_from([-180.0, 0.0]),
+    inverse_y=st.booleans(),
+    x_res=st.just(10.0),
+    y_res=st.just(10.0),
+)
+
+VAR = {"v": lambda ns: (ns["t_i"] * 1000 + ns["y_i"] * 100 + ns["x_i"])
+       .cast("double")}
+
+
+@given(grid=grids)
+@settings(**SETTINGS)
+def test_normalize_preserves_cells(spark, grid):
+    """normalize is a pure relabeling: cell count and value checksum
+    are invariant, and the result verifies against its new grid."""
+    cube = new_cube(spark, grid, VAR)
+    out, out_grid = normalize_dataset(cube, grid)
+    a = cube.agg(F.count("*"), F.sum("v")).collect()[0]
+    b = out.agg(F.count("*"), F.sum("v")).collect()[0]
+    assert (a[0], a[1]) == (b[0], b[1])
+    assert verify_cube(out, out_grid) == []
+
+
+@given(grid=grids, k=st.integers(2, 3))
+@settings(**SETTINGS)
+def test_subsample_partitions_cells(spark, grid, k):
+    """k x k blocks partition the plane: per-block counts sum to the
+    total and every block mean lies within the global [min, max]."""
+    cube = new_cube(spark, grid, VAR)
+    out = subsample_dataset(cube.select("t_i", "y_i", "x_i", "v"),
+                            factor=k, agg_methods={"v": ("mean",)})
+    row = out.agg(F.sum("n"), F.min("v_mean"), F.max("v_mean")).collect()[0]
+    lohi = cube.agg(F.min("v"), F.max("v")).collect()[0]
+    assert row[0] == grid.size
+    assert lohi[0] <= row[1] <= row[2] <= lohi[1]
+
+
+@given(grid=grids)
+@settings(**SETTINGS)
+def test_affine_identity(spark, grid):
+    """Nearest-resampling a cube onto its own grid returns the same
+    values at every cell."""
+    cube = new_cube(spark, grid, VAR)
+    out = affine_transform_dataset(cube, grid, grid, spline_orders=0)
+    diff = out.alias("o").join(
+        cube.alias("c"), on=["t_i", "y_i", "x_i"]
+    ).where(F.col("o.v") != F.col("c.v"))
+    assert diff.count() == 0
+
+
+@given(grid=grids)
+@settings(**SETTINGS)
+def test_timeslice_algebra(spark, grid):
+    """insert grows the cube by one plane and shifts indices
+    contiguously; replace keeps the size fixed."""
+    cube = new_cube(spark, grid, VAR)
+    plane = grid.width * grid.height
+    sl = new_cube(spark, grid, {"v": -1.0}).where(F.col("t_i") == 0)
+
+    ins = insert_time_slice(cube, sl, t_i=0)
+    assert ins.count() == grid.size + plane
+    tis = [r[0] for r in ins.select("t_i").distinct().orderBy("t_i").collect()]
+    assert tis == list(range(grid.time_periods + 1))
+
+    rep = replace_time_slice(cube, sl, t_i=0)
+    assert rep.count() == grid.size
+    assert rep.where("t_i = 0").agg(F.max("v")).collect()[0][0] == -1.0
+
+
+@given(grid=grids, n=st.integers(1, 50), seed=st.integers(0, 10))
+@settings(**SETTINGS)
+def test_gen_points_in_bounds(spark, grid, n, seed):
+    """Generated points stay inside the grid bbox and map to valid cell
+    indices under the coordinate->index expressions."""
+    pts = gen_points(spark, grid, n, seed=seed)
+    mapped = pts.select(
+        grid.x_index_expr(F.col("lon")).alias("xi"),
+        grid.y_index_expr(F.col("lat")).alias("yi"),
+    )
+    bad = mapped.where(
+        F.col("xi").isNull() | F.col("yi").isNull()
+        | (F.col("xi") < 0) | (F.col("xi") >= grid.width)
+        | (F.col("yi") < 0) | (F.col("yi") >= grid.height)
+    )
+    assert bad.count() == 0

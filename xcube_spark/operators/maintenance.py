@@ -80,8 +80,18 @@ def optimize_dataset(cube: DataFrame, target_partitions: int) -> DataFrame:
 
 def normalize_lon(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
     """0..360 -> -180..180 longitude normalization (normalize.py:389):
-    shift coords and re-index so x stays monotonic from -180."""
-    if grid.x_start >= -180.0 + 1e-12 and grid.x_end <= 180.0 + 1e-12:
+    shift coords and re-index so x stays monotonic from -180.
+
+    Applies only to the global 0..360 convention the reference handles
+    (full 360-degree span starting at 0); anything already within
+    [-180, 180] — including grids starting exactly at -180 — is
+    returned unchanged."""
+    is_0_360 = (
+        abs(grid.x_start) < 1e-9
+        and abs(grid.x_end - 360.0) < 1e-9
+        and grid.width % 2 == 0
+    )
+    if not is_0_360:
         return cube, grid
     half = grid.width // 2
     out = cube.withColumns(
