@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 #: downsampling frequency units -> Spark date_trunc/window specs
 _FREQ = {
+    "min": "minute",
+    "T": "minute",
     "H": "hour",
     "D": "day",
     "W": "week",
@@ -67,8 +69,9 @@ def _down_agg(var: str, method: str) -> Column:
 
 
 def parse_frequency(frequency: str) -> tuple[int, str]:
-    """'8D' -> (8, 'D'); 'D' -> (1, 'D'); 'all' handled by caller."""
-    m = re.match(r"^(\d*)([HDWMQY])$", frequency)
+    """'8D' -> (8, 'D'); 'D' -> (1, 'D'); '30min'/'30T' -> (30, 'min');
+    'all' handled by caller."""
+    m = re.match(r"^(\d*)(min|[THDWMQY])$", frequency)
     if not m:
         raise ValueError(f"invalid frequency {frequency!r}")
     return int(m.group(1) or 1), m.group(2)

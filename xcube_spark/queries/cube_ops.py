@@ -521,3 +521,37 @@ def events_set_ops(spark, sf_dir):
     only = heavy.exceptAll(errors).agg(F.count(F.lit(1)).alias("n")) \
         .select(F.lit("heavy_only").alias("grp"), "n")
     return both.unionByName(only)
+
+
+@query(
+    "cube_statistics_expression",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT COUNT(*) AS count,
+               ROUND(MIN(A * 2.0 + C), 6) AS minimum,
+               ROUND(MAX(A * 2.0 + C), 6) AS maximum,
+               ROUND(AVG(A * 2.0 + C), 6) AS mean,
+               ROUND(stddev_pop(A * 2.0 + C), 6) AS deviation
+        FROM cube
+        WHERE x BETWEEN -10.0 AND 30.0 AND y BETWEEN -10.0 AND 30.0
+    """,
+)
+def cube_statistics_expression(spark, sf_dir):
+    """compute_statistics over a compiled EXPRESSION x geometry
+    (webapi/statistics/controllers.py:30-141): the server's
+    var-or-expression surface — the expression compiles to a Column,
+    the bbox mask prunes before one aggregate pass."""
+    from xcube_spark.operators.statistics import compute_statistics
+
+    stats = compute_statistics(
+        _cube(spark),
+        "A * 2 + C",
+        mask=F.col("x").between(-10.0, 30.0) & F.col("y").between(-10.0, 30.0),
+    )
+    return stats.select(
+        "count",
+        F.round("minimum", 6).alias("minimum"),
+        F.round("maximum", 6).alias("maximum"),
+        F.round("mean", 6).alias("mean"),
+        F.round("deviation", 6).alias("deviation"),
+    )

@@ -277,3 +277,59 @@ def events_upsample_ffill(spark, sf_dir):
         .withColumn("value_ffill", F.last("value_mean", ignorenulls=True).over(w))
         .select("time", "value_ffill")
     )
+
+
+@query(
+    "events_upsample_interp",
+    sql="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 30 MINUTE))
+                AS time
+            FROM bounds
+        ), hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
+                   ROUND(AVG(value), 6) AS v
+            FROM events GROUP BY 1
+        ), joined AS (
+            SELECT g.time, h.v,
+                   last_value(h.v IGNORE NULLS) OVER wp AS pv,
+                   first_value(h.v IGNORE NULLS) OVER wn AS nv,
+                   last_value(CASE WHEN h.v IS NOT NULL THEN g.time END
+                              IGNORE NULLS) OVER wp AS pt,
+                   first_value(CASE WHEN h.v IS NOT NULL THEN g.time END
+                               IGNORE NULLS) OVER wn AS nt
+            FROM grid g LEFT JOIN hourly h ON g.time = h.time
+            WINDOW wp AS (ORDER BY g.time ROWS UNBOUNDED PRECEDING),
+                   wn AS (ORDER BY g.time
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT time,
+               ROUND(CASE WHEN v IS NOT NULL THEN v
+                          WHEN pt IS NULL THEN nv
+                          WHEN nt IS NULL THEN pv
+                          ELSE pv + (nv - pv)
+                               * (epoch(time) - epoch(pt))
+                               / (epoch(nt) - epoch(pt))
+                     END, 4) AS value_interp
+        FROM joined
+    """,
+)
+def events_upsample_interp(spark, sf_dir):
+    """resample_in_time upsampling with linear interpolation
+    (cli/resample.py:18-32 'interpolate'): a 30-minute dense grid over
+    hourly means; gap values blend the previous/next valid samples by
+    time fraction — two ordered windows, no self-join."""
+    from xcube_spark.operators.temporal import upsample_in_time
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    out = upsample_in_time(hourly, "30min", method="interpolate")
+    # 4 decimals: half-gap midpoints of 6-decimal inputs land exactly on
+    # 1e-7 boundaries where the engines' rounding can disagree
+    return out.select("time", F.round("v", 4).alias("value_interp"))
