@@ -191,3 +191,45 @@ def test_extract_points_outer_semantics(spark, cube):
     out = get_cube_values_for_points(cube, GRID, pts, ["A"]).orderBy("id").collect()
     assert out[0]["A"] is not None
     assert out[1]["A"] is None and out[2]["A"] is None
+
+
+def test_extract_irregular_axes(spark):
+    """Irregular-axis extraction: range-join lookup against bounds
+    tables must agree with the closed-form regular path, and handle an
+    actually non-equidistant axis."""
+    from xcube_spark.operators.extract import (
+        get_cube_values_for_points_irregular,
+        get_dataset_indexes_irregular,
+    )
+
+    grid = CubeGrid(width=8, height=4, time_periods=3, x_res=45.0, y_res=45.0)
+    cube = new_cube(spark, grid, {"v": lambda ns: (
+        ns["t_i"] * 100 + ns["y_i"] * 10 + ns["x_i"]).cast("double")})
+
+    pts = spark.createDataFrame(
+        [(0, "2010-01-01 12:00:00", -80.0, -170.0),
+         (1, "2010-01-03 01:00:00", 60.0, 100.0),
+         (2, "2010-01-02 00:30:00", 200.0, 0.0)],  # lat out of range
+        "point_id long, time string, lat double, lon double",
+    ).withColumn("time", F.to_timestamp("time"))
+
+    out = get_cube_values_for_points_irregular(
+        cube, pts, grid.y_axis(spark), grid.x_axis(spark),
+        grid.time_axis(spark),
+    )
+    rows = {r["point_id"]: r for r in out.collect()}
+    assert rows[0]["v"] == 0 * 100 + 0 * 10 + 0
+    assert rows[1]["v"] == 2 * 100 + 3 * 10 + 6
+    assert rows[2]["v"] is None and rows[2]["y_i"] is None
+
+    # genuinely irregular axis: exponential bin edges
+    edges = [0.0, 1.0, 3.0, 7.0, 15.0]
+    axis = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(4)],
+        "k_i int, k_lo double, k_hi double",
+    )
+    p2 = spark.createDataFrame(
+        [(0, 0.5), (1, 2.9), (2, 7.0), (3, 20.0)], "pid long, k double")
+    got = {r["pid"]: r["k_i"] for r in get_dataset_indexes_irregular(
+        p2, axis, "k", "k_i").collect()}
+    assert got == {0: 0, 1: 1, 2: 3, 3: None}

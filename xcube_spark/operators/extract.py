@@ -98,3 +98,63 @@ def get_cube_values_for_points(
     if not include_indexes:
         out = out.drop(*INDEX_COLS)
     return out
+
+
+def get_dataset_indexes_irregular(
+    points: DataFrame,
+    axis: DataFrame,
+    coord_name: str,
+    index_name: str,
+) -> DataFrame:
+    """Point coordinate -> cell index against an IRREGULAR axis — the
+    bounds-interval lookup of get_dataset_indexes (extract.py:321-414)
+    when the axis is not equidistant and the closed-form floor() math
+    doesn't apply.
+
+    ``axis`` is a bounds table ``(<index_name>, <coord>_lo, <coord>_hi)``
+    (SURVEY §1.8 axis tables).  The lookup is a **range join**
+    ``p.coord >= lo AND p.coord < hi`` with the axis broadcast: axis
+    tables are metadata-sized (one row per label), so every executor
+    resolves its points locally — no shuffle of the points, and out-of-
+    range points keep a NULL index (the reference's -1/NaN contract).
+    """
+    lo, hi = f"{coord_name}_lo", f"{coord_name}_hi"
+    # keep only (index, lo, hi) from the axis so a center column (e.g.
+    # ``y`` in CubeGrid.y_axis) can't shadow the points' coordinate
+    bounds = axis.select(index_name, lo, hi)
+    cond = (F.col(coord_name) >= F.col(lo)) & (F.col(coord_name) < F.col(hi))
+    joined = points.join(F.broadcast(bounds), on=cond, how="left")
+    return joined.drop(lo, hi)
+
+
+def get_cube_values_for_points_irregular(
+    cube: DataFrame,
+    points: DataFrame,
+    y_axis: DataFrame,
+    x_axis: DataFrame,
+    t_axis: DataFrame,
+    var_names: Iterable[str] | None = None,
+    y_name: str = "lat",
+    x_name: str = "lon",
+    time_name: str = "time",
+) -> DataFrame:
+    """get_cube_values_for_points over irregular axes: three broadcast
+    range joins resolve (t_i, y_i, x_i), then the same gather equi-join
+    as the regular path.  Axis bounds tables use the coord names
+    ``y``/``x``/``time`` with ``_lo``/``_hi`` suffixes."""
+    vars_ = list(var_names) if var_names is not None else cube_var_names(cube)
+
+    pts = points.withColumnRenamed(y_name, "y") if y_name != "y" else points
+    pts = pts.withColumnRenamed(x_name, "x") if x_name != "x" else pts
+    pts = get_dataset_indexes_irregular(pts, y_axis, "y", "y_i")
+    pts = get_dataset_indexes_irregular(pts, x_axis, "x", "x_i")
+    if time_name != "time":
+        pts = pts.withColumnRenamed(time_name, "time")
+    pts = get_dataset_indexes_irregular(pts, t_axis, "time", "t_i")
+
+    gathered = pts.join(
+        cube.select(*INDEX_COLS, *vars_),
+        on=list(INDEX_COLS),
+        how="left",
+    )
+    return gathered

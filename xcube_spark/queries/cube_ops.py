@@ -555,3 +555,48 @@ def cube_statistics_expression(spark, sf_dir):
         F.round("mean", 6).alias("mean"),
         F.round("deviation", 6).alias("deviation"),
     )
+
+
+@query(
+    "cube_extract_irregular",
+    sql=f"""
+        {CUBE_CTE},
+        pts AS (
+            SELECT CAST(range AS BIGINT) AS point_id,
+                   (-180.0 + ((range * 37) % 360) + 0.5) AS lon,
+                   (-90.0 + ((range * 53) % 180) + 0.5) AS lat,
+                   to_timestamp(1262304000.0 + ((range % 5) * 86400.0)
+                                + 43200.0)::TIMESTAMP AS time
+            FROM range(200)
+        )
+        SELECT p.point_id, ROUND(c.A, 6) AS A
+        FROM pts p LEFT JOIN cube c
+          ON c.t_i = CAST(FLOOR(((epoch(p.time) - 1262304000.0) / 86400.0)
+                                / 1.0) AS INT)
+         AND c.y_i = CAST(FLOOR((p.lat - -90.0) / 1.0) AS INT)
+         AND c.x_i = CAST(FLOOR((p.lon - -180.0) / 1.0) AS INT)
+    """,
+)
+def cube_extract_irregular(spark, sf_dir):
+    """Irregular-axis extraction (extract.py:321-414 bounds-interval
+    path): broadcast range joins against the grid's bounds tables.  The
+    fixture grid IS regular, so the oracle resolves the same points
+    with the closed-form floor() math — the range-join implementation
+    must agree with the index arithmetic it generalizes."""
+    from xcube_spark.operators.extract import (
+        get_cube_values_for_points_irregular,
+    )
+
+    pts = spark.range(200).select(
+        F.col("id").alias("point_id"),
+        (F.lit(-180.0) + (F.col("id") * 37) % 360 + 0.5).alias("lon"),
+        (F.lit(-90.0) + (F.col("id") * 53) % 180 + 0.5).alias("lat"),
+        F.timestamp_seconds(
+            F.lit(1262304000.0) + (F.col("id") % 5) * 86400.0 + 43200.0
+        ).alias("time"),
+    )
+    out = get_cube_values_for_points_irregular(
+        _cube(spark), pts, GRID.y_axis(spark), GRID.x_axis(spark),
+        GRID.time_axis(spark), var_names=["A"],
+    )
+    return out.select("point_id", F.round("A", 6).alias("A"))
