@@ -44,7 +44,13 @@ def query(name: str, sql: str | None = None, bench: bool = False):
     return deco
 
 
-_TBL_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+import weakref
+
+#: weak-keyed by session so a recreated session at a reused id can
+#: never alias a dead session's cached plans
+_TBL_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -59,10 +65,11 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from xcube_spark.session import ensure_runtime_confs
 
     ensure_runtime_confs(spark)
-    key = (id(spark), sf_dir, name)
-    if key in _TBL_CACHE:
-        return _TBL_CACHE[key]
-    _TBL_CACHE[key] = df = _load_tbl(spark, sf_dir, name)
+    per_session = _TBL_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in per_session:
+        return per_session[key]
+    per_session[key] = df = _load_tbl(spark, sf_dir, name)
     return df
 
 

@@ -11,6 +11,8 @@ driver's tables are relational.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import functions as F
 
 from xcube_spark.cube.grid import CubeGrid
@@ -29,17 +31,16 @@ SPARK_VARS = {k: v for k, v in DEFAULT_VARIABLES.items() if k != "B"}
 CUBE_CTE = f"WITH cube AS ({new_cube_sql(GRID)})"
 
 
-_CUBE_CACHE: dict[int, object] = {}
+_CUBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _cube(spark):
-    """Memoized per session: the synthesized fixture cube's plan is
-    identical across queries, and rebuilding it costs ~0.3s of driver
-    round-trips per call (same rationale as ``tbl``'s cache)."""
-    key = id(spark)
-    if key not in _CUBE_CACHE:
-        _CUBE_CACHE[key] = new_cube(spark, GRID, variables=SPARK_VARS)
-    return _CUBE_CACHE[key]
+    """Memoized per session (weak-keyed, like ``tbl``'s cache): the
+    synthesized fixture cube's plan is identical across queries, and
+    rebuilding it costs ~0.3s of driver round-trips per call."""
+    if spark not in _CUBE_CACHE:
+        _CUBE_CACHE[spark] = new_cube(spark, GRID, variables=SPARK_VARS)
+    return _CUBE_CACHE[spark]
 
 
 @query(
@@ -600,3 +601,38 @@ def cube_extract_irregular(spark, sf_dir):
         GRID.time_axis(spark), var_names=["A"],
     )
     return out.select("point_id", F.round("A", 6).alias("A"))
+
+
+@query(
+    "cube_histogram_stretch",
+    sql=f"""
+        {CUBE_CTE},
+        stats AS (
+            SELECT AVG(A) AS mu, stddev_pop(A) AS sigma FROM cube
+        ), rng AS (
+            SELECT mu - 2 * sigma AS lo, mu + 2 * sigma AS hi FROM stats
+        )
+        SELECT CAST(LEAST(FLOOR((A - lo) / ((hi - lo) / 20.0)), 19) AS INT)
+                   AS bucket,
+               COUNT(*) AS n
+        FROM cube, rng
+        WHERE A >= lo AND A <= hi
+        GROUP BY 1
+    """,
+)
+def cube_histogram_stretch(spark, sf_dir):
+    """Color-mapping histogram + 2-sigma stretch (tile.py:540-608): the
+    stretch range comes from one stats pass (scalar subquery -> literal
+    fold), then a 20-bin width-bucket histogram over the clamped range —
+    two scans, no shuffle beyond the tiny bucket agg."""
+    cube = _cube(spark)
+    mu, sigma = cube.agg(F.avg("A"), F.stddev_pop("A")).collect()[0]
+    lo, hi = mu - 2 * sigma, mu + 2 * sigma
+    width = (hi - lo) / 20.0
+    bucket = F.least(F.floor((F.col("A") - F.lit(lo)) / F.lit(width)),
+                     F.lit(19)).cast("int")
+    return (
+        cube.where((F.col("A") >= lo) & (F.col("A") <= hi))
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
