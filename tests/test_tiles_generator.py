@@ -119,3 +119,36 @@ def test_gen_points(spark):
     a = pts.agg(F.sum("lon")).collect()[0][0]
     b = gen_points(spark, GRID, 1000, seed=7).agg(F.sum("lon")).collect()[0][0]
     assert a == b
+
+
+def test_coverage_param_parsing():
+    from xcube_spark.operators.coverages import parse_coverage_params
+
+    req = parse_coverage_params({
+        "subset": 'lat(10:20),lon(-5:5),time("2010-01-02":"2010-01-04")',
+        "scale-factor": "2",
+        "properties": "A,C",
+    })
+    assert req.bbox == [-5.0, 10.0, 5.0, 20.0]
+    assert req.time_range == ("2010-01-02", "2010-01-04")
+    assert req.scale_factor == 2 and req.properties == ["A", "C"]
+
+    open_ended = parse_coverage_params({"subset": 'time("2010-01-03":*)'})
+    assert open_ended.time_range == ("2010-01-03", None)
+
+    override = parse_coverage_params({
+        "subset": "lat(0:1),lon(0:1)", "bbox": "1,2,3,4"})
+    assert override.bbox == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_execute_coverage_request(spark, cube):
+    from xcube_spark.operators.coverages import execute_coverage_request
+
+    out, g = execute_coverage_request(cube, GRID, {
+        "subset": "lat(0:40),lon(0:40)",
+        "scale-factor": "2",
+        "properties": "A",
+    })
+    assert g.x_res == 2.0
+    assert out.count() == 20 * 20 * GRID.time_periods
+    assert "A" in out.columns

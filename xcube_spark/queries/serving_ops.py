@@ -98,3 +98,36 @@ def gen_request_pipeline(spark, sf_dir):
     )
     out, _ = generate_cube(spark, cube, GRID, req)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+@query(
+    "cube_coverage_request",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i,
+               CAST(y_i // 2 AS INT) AS y_i,
+               CAST(x_i // 2 AS INT) AS x_i,
+               ROUND(AVG(A), 6) AS A
+        FROM cube
+        WHERE x BETWEEN -20.0 AND 20.0 AND y BETWEEN 0.0 AND 40.0
+          AND time >= TIMESTAMP '2010-01-03'
+        GROUP BY 1, 2, 3
+    """,
+)
+def cube_coverage_request(spark, sf_dir):
+    """OWS Coverages request execution (ows/coverages/controllers.py:54,
+    request.py:25-110): the `subset=lat(..),lon(..),time(..)` +
+    `scale-factor` + `properties` grammar compiled to the subset +
+    downscale plan."""
+    from xcube_spark.operators.coverages import execute_coverage_request
+
+    out, _ = execute_coverage_request(
+        new_cube(spark, GRID, variables=SPARK_VARS),
+        GRID,
+        {
+            "subset": 'lon(-20:20),lat(0:40),time("2010-01-03":*)',
+            "scale-factor": "2",
+            "properties": "A",
+        },
+    )
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
