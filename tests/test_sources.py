@@ -182,3 +182,24 @@ def test_verify_cube_reports(spark, cube):
     assert any("x != center" in r for r in verify_cube(bad, GRID))
     dup = cube.unionByName(cube.limit(5))
     assert any("duplicate" in r for r in verify_cube(dup, GRID))
+
+
+def test_prune_then_read_with_fill(spark):
+    """The empty-chunk round trip: prune deletes all-NULL chunks, the
+    fill-aware reader re-densifies with the declared fill value."""
+    from xcube_spark.operators.maintenance import read_with_fill
+
+    cube = new_cube(spark, GRID, {
+        "v": lambda ns: F.when(
+            (ns["t_i"] == 0) & (ns["y_i"] < 2) & (ns["x_i"] < 4),
+            F.lit(None).cast("double"),
+        ).otherwise(F.lit(1.0)),
+    })
+    pruned = prune_dataset(cube, GRID)
+    assert pruned.count() == GRID.size - 8
+
+    dense = read_with_fill(pruned, GRID, fill_values={"v": -9999.0})
+    assert dense.count() == GRID.size
+    filled = dense.where(F.col("v") == -9999.0)
+    assert filled.count() == 8
+    assert dense.where(F.col("v").isNull()).count() == 0

@@ -175,3 +175,37 @@ def assert_cube(cube: DataFrame, grid: CubeGrid) -> DataFrame:
     if report:
         raise ValueError("not a valid cube: " + "; ".join(report))
     return cube
+
+
+def read_with_fill(
+    cube: DataFrame,
+    grid: CubeGrid,
+    fill_values: "dict[str, float] | None" = None,
+) -> DataFrame:
+    """Re-densify a pruned cube at read time — the fill-value contract
+    of SURVEY §4: empty chunks are never materialized (prune_dataset
+    deletes them, Zarr serves fill_value for absent chunks at
+    chunk.py:49-86 / cli/prune.py:54); a reader that needs the dense
+    grid joins the synthesized cell table and COALESCEs the fill.
+
+    The dense side is a narrow spark.range projection (no IO) and the
+    join keys match the cells layout, so the stored side streams
+    without an extra shuffle; fill defaults to NULL (NaN-as-missing
+    stays NULL per the engine's NaN policy)."""
+    from xcube_spark.cube.new import new_cube
+
+    vars_ = var_names(cube)
+    fills = fill_values or {}
+    dense = new_cube(cube.sparkSession, grid, variables={})
+    joined = dense.join(
+        cube.select("t_i", "y_i", "x_i", *vars_),
+        on=["t_i", "y_i", "x_i"],
+        how="left",
+    )
+    out_cols = [F.col(c) for c in ("t_i", "y_i", "x_i", "time", "y", "x")]
+    for v in vars_:
+        c = F.col(v)
+        if v in fills:
+            c = F.coalesce(c, F.lit(fills[v]))
+        out_cols.append(c.alias(v))
+    return joined.select(*out_cols)
