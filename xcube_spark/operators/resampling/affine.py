@@ -122,10 +122,14 @@ def affine_transform_dataset(
     # no stats, so the planner would sort-merge by default — hint the
     # broadcast explicitly; the big source side then never shuffles
     broadcast_tgt = target.size <= 4_000_000
+    # with a single gather family the target's coords ride through the
+    # gather join itself — no join-back onto the target table
+    single_family = bool(nearest_vars) != bool(linear_vars)
 
     if nearest_vars:
         nearest = tgt.select(
             "t_i", "y_i", "x_i",
+            *(("time", "y", "x") if single_family else ()),
             F.round("__fy").cast("int").alias("__sy"),
             F.round("__fx").cast("int").alias("__sx"),
         )
@@ -140,8 +144,15 @@ def affine_transform_dataset(
                 nearest["__sx"] == src_cells["__sx"],
             ],
             how="left",
-        ).select("t_i", "y_i", "x_i", *nearest_vars)
-        out = out.join(joined, on=["t_i", "y_i", "x_i"], how="left")
+        )
+        if single_family:
+            return joined.select(
+                "t_i", "y_i", "x_i", "time", "y", "x", *nearest_vars
+            )
+        out = out.join(
+            joined.select("t_i", "y_i", "x_i", *nearest_vars),
+            on=["t_i", "y_i", "x_i"], how="left",
+        )
 
     if linear_vars:
         # 4-neighbor gather: explode (dy, dx) in {0,1}^2 with bilinear
@@ -164,10 +175,11 @@ def affine_transform_dataset(
                 for dx in (0, 1)
             ]
         )
+        coord_cols = ("time", "y", "x") if single_family else ()
         expl = tgt.select(
-            "t_i", "y_i", "x_i", F.explode(corners).alias("c")
+            "t_i", "y_i", "x_i", *coord_cols, F.explode(corners).alias("c")
         ).select(
-            "t_i", "y_i", "x_i",
+            "t_i", "y_i", "x_i", *coord_cols,
             F.col("c.__sy").alias("__sy"),
             F.col("c.__sx").alias("__sx"),
             F.col("c.__w").alias("__w"),
@@ -183,7 +195,9 @@ def affine_transform_dataset(
             ],
             how="left",
         )
-        aggs = []
+        # the 4 corner rows of a target cell carry identical coords, so
+        # first() re-attaches them without a join-back
+        aggs = [F.first(c).alias(c) for c in coord_cols]
         for v in linear_vars:
             num = F.sum(F.when(F.col(v).isNotNull(), F.col("__w") * F.col(v)))
             den = F.sum(F.when(F.col(v).isNotNull(), F.col("__w")))
@@ -191,6 +205,10 @@ def affine_transform_dataset(
                 F.when(den > 1e-12, num / den).alias(v)
             )
         blended = joined.groupBy("t_i", "y_i", "x_i").agg(*aggs)
+        if single_family:
+            return blended.select(
+                "t_i", "y_i", "x_i", "time", "y", "x", *linear_vars
+            )
         out = out.join(blended, on=["t_i", "y_i", "x_i"], how="left")
 
     return out.select("t_i", "y_i", "x_i", "time", "y", "x", *vars_)
