@@ -203,3 +203,41 @@ def test_prune_then_read_with_fill(spark):
     filled = dense.where(F.col("v") == -9999.0)
     assert filled.count() == 8
     assert dense.where(F.col("v").isNull()).count() == 0
+
+
+def test_cube_layout_footer_stats(spark, tmp_path):
+    """The layout contract, checked against the actual parquet footers:
+    every data file covers a narrow y_i band, so bbox predicates can
+    skip most files/row groups via min/max stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from xcube_spark.sources.layout import open_cube_layout, write_cube_layout
+
+    grid = CubeGrid(width=32, height=32, time_periods=4, x_res=11.25,
+                    y_res=5.625, chunks=(2, 8, 8))
+    cube = new_cube(spark, grid, {"v": 1.0})
+    path = str(tmp_path / "layout")
+    write_cube_layout(cube, path, grid, files_per_partition=4)
+
+    # time partitioning: one dir per 2-step time chunk
+    parts = sorted(glob.glob(f"{path}/t_part=*"))
+    assert len(parts) == 2
+
+    # each file's y_i span must be a narrow band, and the bands must
+    # tile the axis (union of spans covers 0..31 with little overlap)
+    spans = []
+    for f in glob.glob(f"{path}/t_part=*/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = min(md.row_group(g).column(idx["y_i"]).statistics.min
+                 for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx["y_i"]).statistics.max
+                 for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+        assert hi - lo < grid.height / 2  # narrow band, not full axis
+
+    back = open_cube_layout(spark, path)
+    assert back.count() == grid.size
+    assert "t_part" not in back.columns
