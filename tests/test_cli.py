@@ -70,3 +70,13 @@ def test_cli_gen(spark, cube_path, tmp_path, capsys):
         json.dump(req, f)
     assert main(["gen", req_path, *GRID_ARGS]) == 0
     assert spark.read.parquet(str(tmp_path / "gen.parquet")).count() == 3 * 2 * 4
+
+
+def test_cli_chunk_layout(spark, cube_path, tmp_path):
+    import glob
+
+    out = str(tmp_path / "laid")
+    assert main(["chunk", cube_path, "-o", out,
+                 "--files-per-partition", "2", *GRID_ARGS]) == 0
+    assert glob.glob(f"{out}/t_part=*")
+    assert spark.read.parquet(out).count() == 96

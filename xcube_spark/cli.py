@@ -77,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", required=True)
     _add_grid_args(p)
 
+    p = sub.add_parser("chunk", help="rewrite with the pruning layout")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--files-per-partition", type=int, default=8)
+    _add_grid_args(p)
+
     p = sub.add_parser("optimize", help="compact a dataset")
     p.add_argument("input")
     p.add_argument("--partitions", type=int, default=8)
@@ -162,6 +168,15 @@ def main(argv: list[str] | None = None) -> int:
                                 num=args.num_levels)
         for lvl, (df, _g) in enumerate(levels):
             write_dataset(df, f"{args.output}/L{lvl}", mode="overwrite")
+        return 0
+
+    if args.cmd == "chunk":
+        from xcube_spark.sources.layout import write_cube_layout
+
+        write_cube_layout(open_dataset(spark, args.input), args.output,
+                          _grid_from_args(args),
+                          files_per_partition=args.files_per_partition,
+                          mode="overwrite")
         return 0
 
     if args.cmd == "optimize":

@@ -197,6 +197,19 @@ class SparkCube:
 
     # ---- persistence --------------------------------------------------
 
+    def write_layout(self, path: str, files_per_partition: int = 8,
+                     mode: str = "error") -> "SparkCube":
+        """Materialize with the pruning-friendly physical layout
+        (sources/layout.py: coarse-time partitions + spatial bands)."""
+        from xcube_spark.cube.metadata import write_meta
+        from xcube_spark.sources.layout import write_cube_layout
+
+        write_cube_layout(self.df, path, self.grid,
+                          files_per_partition=files_per_partition, mode=mode)
+        if self.attrs:
+            write_meta(path, self.attrs)
+        return self
+
     def write(self, path: str, format_name: str | None = None,
               mode: str = "error", partition_by: list[str] | None = None,
               **options) -> "SparkCube":
