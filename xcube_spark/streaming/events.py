@@ -101,7 +101,10 @@ def sliding_window_stats(
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(value_col), 6).alias("value_mean"),
+            # 4 decimals: window means of thousands-scale values at 6
+            # decimals sit within float-summation noise of the rounding
+            # boundary across engines
+            F.round(F.avg(value_col), 4).alias("value_mean"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "value_mean")
     )
