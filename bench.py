@@ -18,7 +18,7 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
     from xcube_spark.queries import load_all
