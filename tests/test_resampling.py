@@ -156,3 +156,38 @@ def test_reproject_dispatch(spark, src_cube):
                     crs="EPSG:3857")
     out = resample_in_space(src_cube, SRC, merc)
     assert out.count() == merc.size
+
+
+def test_rectify_idw_constant_and_blend(spark):
+    """IDW rectification: a constant field blends to the constant; a
+    dense 2x source grid blends 4 pixels per target cell, and a linear
+    field stays within its neighbors' range."""
+    dense = CubeGrid(width=16, height=16, time_periods=1, x_start=0.0,
+                     y_start=0.0, x_res=0.5, y_res=0.5)
+    tgt = CubeGrid(width=8, height=8, time_periods=1, x_start=0.0,
+                   y_start=0.0, x_res=1.0, y_res=1.0)
+
+    const = new_cube(spark, dense, {"v": 7.5}).withColumns(
+        {"lon": F.col("x"), "lat": F.col("y")})
+    out = rectify_dataset(const, tgt, var_names=["v"], interpolation="idw")
+    assert out.count() == tgt.width * tgt.height
+    vals = {r["v"] for r in out.collect()}
+    assert vals == {7.5}
+
+    lin = new_cube(spark, dense, {
+        "v": lambda ns: (ns["y"] * 10 + ns["x"]).cast("double")
+    }).withColumns({"lon": F.col("x"), "lat": F.col("y")})
+    out2 = rectify_dataset(lin, tgt, var_names=["v"], interpolation="idw")
+    # target cell (0,0) covers the 4 dense pixels at (0.25/0.75)^2:
+    # values {2.75, 3.25, 7.75, 8.25}, symmetric weights -> mean 5.5
+    r = out2.where("y_i = 0 AND x_i = 0").collect()[0]
+    assert r["v"] == pytest.approx(5.5)
+
+
+def test_rectify_idw_rejects_output_ij(spark):
+    cube = new_cube(spark, SRC, VARS).withColumns(
+        {"lon": F.col("x"), "lat": F.col("y")})
+    with pytest.raises(ValueError):
+        rectify_dataset(cube, SRC, interpolation="idw", output_ij=True)
+    with pytest.raises(ValueError):
+        rectify_dataset(cube, SRC, interpolation="cubic")

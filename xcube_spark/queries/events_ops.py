@@ -333,3 +333,92 @@ def events_upsample_interp(spark, sf_dir):
     # 4 decimals: half-gap midpoints of 6-decimal inputs land exactly on
     # 1e-7 boundaries where the engines' rounding can disagree
     return out.select("time", F.round("v", 4).alias("value_interp"))
+
+
+@query(
+    "events_upsample_bfill_nearest",
+    sql="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 30 MINUTE))
+                AS time
+            FROM bounds
+        ), hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
+                   ROUND(AVG(value), 6) AS v
+            FROM events GROUP BY 1
+        ), joined AS (
+            SELECT g.time, h.v,
+                   last_value(h.v IGNORE NULLS) OVER wp AS pv,
+                   first_value(h.v IGNORE NULLS) OVER wn AS nv,
+                   last_value(CASE WHEN h.v IS NOT NULL THEN g.time END
+                              IGNORE NULLS) OVER wp AS pt,
+                   first_value(CASE WHEN h.v IS NOT NULL THEN g.time END
+                               IGNORE NULLS) OVER wn AS nt
+            FROM grid g LEFT JOIN hourly h ON g.time = h.time
+            WINDOW wp AS (ORDER BY g.time ROWS UNBOUNDED PRECEDING),
+                   wn AS (ORDER BY g.time
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT time,
+               nv AS value_bfill,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN nt IS NULL THEN pv
+                    WHEN pt IS NOT NULL
+                         AND (epoch(time) - epoch(pt))
+                             <= (epoch(nt) - epoch(time)) THEN pv
+                    ELSE nv
+               END AS value_nearest
+        FROM joined
+    """,
+)
+def events_upsample_bfill_nearest(spark, sf_dir):
+    """resample_in_time upsampling, bfill + nearest methods
+    (cli/resample.py:18-32): backward fill takes the next valid sample,
+    nearest picks the time-closer of the neighbors (ties -> previous,
+    matching the reference's left-biased rule)."""
+    from xcube_spark.operators.temporal import upsample_in_time
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+        F.round(F.avg("value"), 6).alias("v")
+    )
+    bf = upsample_in_time(hourly, "30min", method="bfill") \
+        .withColumnRenamed("v", "value_bfill")
+    nr = upsample_in_time(hourly, "30min", method="nearest") \
+        .withColumnRenamed("v", "value_nearest")
+    return bf.join(nr, "time")
+
+
+@query(
+    "events_grouping_sets",
+    sql="""
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP)
+                             AS VARCHAR), '<all>') AS day,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                                (event_type), ())
+    """,
+)
+def events_grouping_sets(spark, sf_dir):
+    """GROUPING SETS rollup — absent in the reference (SURVEY §2.5:
+    'come free in Spark when we expose SQL'): per (type, day), per type,
+    and grand-total aggregates with exact distinct users in one pass."""
+    ev = tbl(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_gs")
+    return spark.sql("""
+        SELECT COALESCE(event_type, '<all>') AS event_type,
+               COALESCE(CAST(date_trunc('day', ts) AS STRING), '<all>')
+                   AS day,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM __events_gs
+        GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
+                                (event_type), ())
+    """)

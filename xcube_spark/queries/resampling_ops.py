@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xcube_spark.cube.grid import CubeGrid
-from xcube_spark.cube.new import new_cube
+from xcube_spark.cube.new import new_cube, new_cube_sql
 from xcube_spark.operators.resampling import (
     affine_transform_dataset,
     rectify_dataset,
@@ -198,3 +198,36 @@ def cube_reproject_mercator(spark, sf_dir):
     well inside source cells."""
     out = reproject_dataset(_cube_a(spark), GRID, _MERC)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- rectify: inverse-distance blend over a dense swath ---------------
+
+_DENSE = CubeGrid(width=720, height=360, time_periods=1,
+                  x_res=0.5, y_res=0.5, t_start=GRID.t_start,
+                  t_freq_days=GRID.t_freq_days)
+_TGT_R = CubeGrid(width=360, height=180, time_periods=1,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days)
+
+
+@query(
+    "cube_rectify_idw",
+    sql=f"""
+        WITH cube AS ({new_cube_sql(_DENSE)})
+        SELECT CAST(FLOOR((x - -180.0) / 1.0) AS INT) AS x_i,
+               CAST(FLOOR((y - -90.0) / 1.0) AS INT) AS y_i,
+               ROUND(AVG(A), 6) AS A
+        FROM cube
+        GROUP BY 1, 2
+    """,
+)
+def cube_rectify_idw(spark, sf_dir):
+    """rectify_dataset interpolation='idw' (the fractional-blend mode,
+    rectify.py:20): a 2x-dense swath puts 4 source pixels in every
+    target cell at equal center distance, so the inverse-distance blend
+    reduces exactly to their mean — which the oracle states directly."""
+    dense = new_cube(spark, _DENSE, variables=SPARK_VARS).select(
+        "t_i", "y_i", "x_i", "time", "y", "x", "A"
+    ).withColumns({"lon": F.col("x"), "lat": F.col("y")})
+    out = rectify_dataset(dense, _TGT_R, var_names=["A"],
+                          interpolation="idw")
+    return out.select("x_i", "y_i", F.round("A", 6).alias("A"))
