@@ -83,6 +83,65 @@ def test_timeseries_partial_aggregation(spark, layout_path):
     assert "partial_avg" in plan or "partial_average" in plan
 
 
+def test_dedup_has_no_corpus_broadcast_hint(spark):
+    """The LSH dedup self-joins must carry NO broadcast hint: every
+    side is corpus-derived (band table, chunk table, packed shingle
+    arrays), so a forced broadcast is an OOM at 100 TB.  AQE may still
+    *choose* broadcast at runtime when a side fits — the assertion is
+    on the optimized logical plan, where only explicit hints appear."""
+    from xcube_spark.pipeline.dedup import (minhash_near_dup_pairs,
+                                            simhash_near_dup_pairs)
+    from xcube_spark.pipeline.similarity import embedding_near_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(8)],
+        ["doc_id", "text"])
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        ["vec_id", "embedding"])
+    for df in (minhash_near_dup_pairs(docs),
+               simhash_near_dup_pairs(docs),
+               embedding_near_dup_pairs(emb, threshold=0.3)):
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" not in opt.lower()
+
+
+def test_histogram_stretch_is_single_action(spark, layout_path):
+    """Stretch-range + histogram + RGBA must be ONE Spark action: plan
+    construction launches zero jobs (no .collect() round-trips), the
+    range rides along as a broadcast scalar subquery."""
+    from xcube_spark.operators.statistics import with_stretch_range
+    from xcube_spark.operators.tiles import compute_rgba_tile_auto
+
+    cube = spark.read.parquet(layout_path)
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-check", "plan construction must not run jobs")
+    try:
+        ranged = with_stretch_range(cube, "v", "2sigma")
+        tile = cube.select("t_i", F.col("x_i").alias("px"),
+                           F.col("y_i").alias("py"), "v")
+        rgba = compute_rgba_tile_auto(tile, "v")
+        assert "lo" in ranged.columns and "r" in rgba.columns
+        jobs = sc.statusTracker().getJobIdsForGroup("lazy-check")
+        assert len(jobs) == 0, f"plan construction ran jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+    assert rgba.count() > 0  # and the fused plan executes
+
+
+def test_lsh_bucket_skew_cap(spark):
+    """Buckets above max_bucket_size are dropped before pairing, so one
+    pathological bucket cannot fan out O(n^2) candidate pairs."""
+    from xcube_spark.pipeline.dedup import lsh_bands, lsh_candidate_pairs
+
+    sig = spark.createDataFrame(
+        [(i, "samekey") for i in range(6)] + [(10, "other"), (11, "other")],
+        ["doc_id", "h0"])
+    bands = lsh_bands(sig, num_bands=1)
+    assert lsh_candidate_pairs(bands, max_bucket_size=4).count() == 1
+    assert lsh_candidate_pairs(bands, max_bucket_size=None).count() == 16
+
+
 def test_extract_join_is_equi_not_range(spark, layout_path):
     """Nearest-cell extraction must plan as an equi-join on computed
     indices (the extract.py:321 rewrite), never a range/cartesian join."""

@@ -79,23 +79,53 @@ def compute_histogram(
     )
 
 
+def stretch_range_df(
+    df: DataFrame, var: str | Column, how: str = "2sigma"
+) -> DataFrame:
+    """Color-mapping value range (core/tile.py:540-608) as a ONE-ROW
+    DataFrame ``(lo, hi)``: '2sigma' -> mean ± 2·std; 'minmax' -> exact
+    extremes; 'p2-p98' percentile stretch via approx_percentile.
+
+    Lazy by construction: crossJoin(broadcast(...)) this against the
+    consumer (histogram, RGBA normalize) and the whole stretch+render
+    runs as one Spark action — no driver round-trip per request.  The
+    reference recomputes stretch ranges inline per tile request
+    (tile.py:540-608); folding it into the render plan beats that."""
+    c = compile_expr(var) if isinstance(var, str) else var
+    if how == "minmax":
+        return df.agg(F.min(c).cast("double").alias("lo"),
+                      F.max(c).cast("double").alias("hi"))
+    if how == "2sigma":
+        return df.agg(
+            (F.avg(c) - 2 * F.stddev_pop(c)).alias("lo"),
+            (F.avg(c) + 2 * F.stddev_pop(c)).alias("hi"),
+        )
+    if how == "p2-p98":
+        return df.agg(
+            F.percentile_approx(c, 0.02).cast("double").alias("lo"),
+            F.percentile_approx(c, 0.98).cast("double").alias("hi"),
+        )
+    raise ValueError(f"unknown stretch {how!r}")
+
+
+def with_stretch_range(
+    df: DataFrame, var: str | Column, how: str = "2sigma",
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Attach ``lo``/``hi`` stretch columns to every row of ``df`` via
+    a broadcast of the one-row range aggregate (the scalar-subquery
+    shape) — single-action composition for histogram/tile pipelines.
+    ``stats_df`` overrides the source the range is computed from (e.g.
+    compute the stretch on the full variable but apply per-tile)."""
+    rng = stretch_range_df(stats_df if stats_df is not None else df, var, how)
+    return df.crossJoin(F.broadcast(rng))
+
+
 def stretch_range(
     df: DataFrame, var: str | Column, how: str = "2sigma"
 ) -> tuple[float, float]:
-    """Color-mapping value range (core/tile.py:540-608): '2sigma' ->
-    mean ± 2·std; 'minmax' -> exact extremes; 'p2-p98' percentile
-    stretch via approx_percentile (distributed, no eager load)."""
-    c = compile_expr(var) if isinstance(var, str) else var
-    if how == "minmax":
-        row = df.agg(F.min(c), F.max(c)).collect()[0]
-        return float(row[0]), float(row[1])
-    if how == "2sigma":
-        row = df.agg(F.avg(c).alias("m"), F.stddev_pop(c).alias("s")).collect()[0]
-        return float(row["m"] - 2 * row["s"]), float(row["m"] + 2 * row["s"])
-    if how == "p2-p98":
-        row = df.agg(
-            F.percentile_approx(c, 0.02).alias("lo"),
-            F.percentile_approx(c, 0.98).alias("hi"),
-        ).collect()[0]
-        return float(row["lo"]), float(row["hi"])
-    raise ValueError(f"unknown stretch {how!r}")
+    """Driver-side convenience: collect the stretch range as floats.
+    One job; prefer stretch_range_df/with_stretch_range inside query
+    plans so the range never round-trips through the driver."""
+    row = stretch_range_df(df, var, how).collect()[0]
+    return float(row["lo"]), float(row["hi"])

@@ -161,10 +161,32 @@ def compute_rgba_tile(
     """value -> RGBA columns (tile.py:355-538): clamp-normalize to
     [vmin, vmax] (the stretch range from compute_statistics /
     stretch_range), interpolate the colormap, NULL -> transparent."""
+    return _rgba_select(tile_cells, var, F.lit(vmin), F.lit(vmax))
+
+
+def compute_rgba_tile_auto(
+    tile_cells: DataFrame,
+    var: str,
+    how: str = "2sigma",
+    stats_df: DataFrame | None = None,
+) -> DataFrame:
+    """Like compute_rgba_tile but the stretch range is computed inside
+    the plan (broadcast one-row crossJoin), so stretch + normalize +
+    colormap is a single Spark action — no driver round-trip per tile
+    request.  ``stats_df`` computes the range over a wider domain (e.g.
+    the whole variable, not just this tile), matching the reference's
+    dataset-level color ranges (tile.py:540-608)."""
+    from xcube_spark.operators.statistics import with_stretch_range
+
+    ranged = with_stretch_range(tile_cells, var, how, stats_df=stats_df)
+    return _rgba_select(ranged, var, F.col("lo"), F.col("hi"))
+
+
+def _rgba_select(cells: DataFrame, var: str, vmin: Column, vmax: Column) -> DataFrame:
     v = F.col(var)
-    norm = (v - F.lit(vmin)) / F.lit(vmax - vmin)
+    norm = (v - vmin) / (vmax - vmin)
     norm = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
-    return tile_cells.select(
+    return cells.select(
         "px", "py",
         _channel_expr(norm, 0).alias("r"),
         _channel_expr(norm, 1).alias("g"),

@@ -23,8 +23,31 @@ queries/text_pipeline.py runs the *same* pipeline in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Default skew guard for LSH bucket self-joins: buckets with more
+#: members than this are dropped before pairing.  A bucket of n docs
+#: fans out n*(n-1)/2 pairs, so one pathological bucket (boilerplate,
+#: empty strings, template spam) can dominate the whole job; docs in
+#: such buckets are near-certain duplicates of *something* and are
+#: better handled by the exact-dedup pass.  Mirrored verbatim in the
+#: DuckDB oracle SQL so results stay hash-identical cross-engine.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
+
+def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) -> DataFrame:
+    """Drop rows in over-sized buckets.  The window shuffle partitions
+    by the bucket key — the same key the subsequent self-join uses, so
+    the exchange is reused, not added."""
+    if max_bucket_size is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
+    )
 
 
 def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -95,20 +118,25 @@ def lsh_bands(sig: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFra
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Distinct candidate pairs from band-bucket collisions.
 
     The equi-join on (band, band_key) co-partitions both sides; bucket
-    sizes bound the pair fan-out.  At scale, a pre-aggregated bucket
-    histogram can cap monster buckets (skew guard) before the join.
+    sizes bound the pair fan-out, and the skew guard drops monster
+    buckets before pairing.  No broadcast hint: the band table is
+    O(corpus x bands), so a forced broadcast would OOM at scale —
+    this is a plain shuffle join, and AQE still picks broadcast at
+    runtime when the side actually fits.
     """
-    a = bands_df.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = bands_df.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    # the band table is docs x bands rows of short digests — small
-    # relative to the corpus; broadcasting one side avoids shuffling
-    # both (at extreme corpus sizes drop the hint and let AQE decide)
+    capped = _cap_buckets(bands_df, ["band", "band_key"], max_bucket_size)
+    a = capped.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = capped.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
-        a.join(F.broadcast(b), on=["band", "band_key"])
+        a.join(b, on=["band", "band_key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -121,11 +149,16 @@ def jaccard_verify(
     """Exact Jaccard similarity for candidate pairs only.
 
     The candidate set is small by construction, so: semi-join the
-    shingle table down to candidate docs (broadcast), pack each
-    survivor's shingles into one array row, then join the pair list
-    against two array columns and intersect.  The full shingle table is
-    scanned once and shuffled only for the per-candidate-doc pack —
-    the expensive exact measure never touches the non-candidate corpus.
+    shingle table down to candidate docs, pack each survivor's shingles
+    into one array row, then join the pair list against two array
+    columns and intersect.  The full shingle table is scanned once and
+    shuffled only for the per-candidate-doc pack — the expensive exact
+    measure never touches the non-candidate corpus.
+
+    No broadcast hints: the candidate-id list and especially the packed
+    shingle arrays (MBs per row for long docs) grow with the corpus, so
+    a forced broadcast is an OOM at scale.  These are equi-joins on doc
+    ids — AQE broadcasts at runtime iff the built side actually fits.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
@@ -133,7 +166,7 @@ def jaccard_verify(
         .distinct()
     )
     packed = (
-        shingle_df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        shingle_df.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
         .agg(F.collect_list("shingle").alias("sh"))
     )
@@ -142,8 +175,8 @@ def jaccard_verify(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     return (
-        pairs.join(F.broadcast(pa), "id_a")
-        .join(F.broadcast(pb), "id_b")
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard"))
     )
 
@@ -156,6 +189,7 @@ def minhash_near_dup_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> band
     -> bucket join -> exact-Jaccard verify -> threshold.
@@ -169,7 +203,8 @@ def minhash_near_dup_pairs(
     sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(
-        lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col
+        lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
+        max_bucket_size=max_bucket_size,
     ).persist()
     return jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
@@ -240,14 +275,16 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 8, text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """SimHash near-dups: bucket on 16-bit chunks (pigeonhole: any pair
     within Hamming distance <= 3*chunks/4 collides on some chunk; with
     4 chunks and d<=8 most near-dups collide), verify exact Hamming.
 
-    The signature table feeds both sides of the bucket self-join (and
-    the broadcast build runs its own job), so persist it — the vote
-    aggregation runs once, not three times."""
+    The signature table feeds both sides of the bucket self-join, so
+    persist it — the vote aggregation runs once, not twice.  The chunk
+    table is O(corpus x 4), so no broadcast hint (AQE decides); the
+    skew guard drops pathological buckets before pairing."""
     sig = simhash(docs, text_col=text_col, id_col=id_col).persist()
     chunks = sig.select(
         id_col,
@@ -266,6 +303,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key"
     )
@@ -273,7 +311,7 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
     )
     pairs = (
-        a.join(F.broadcast(b), ["chunk", "key"])
+        a.join(b, ["chunk", "key"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()

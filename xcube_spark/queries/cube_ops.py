@@ -622,17 +622,17 @@ def cube_extract_irregular(spark, sf_dir):
 )
 def cube_histogram_stretch(spark, sf_dir):
     """Color-mapping histogram + 2-sigma stretch (tile.py:540-608): the
-    stretch range comes from one stats pass (scalar subquery -> literal
-    fold), then a 20-bin width-bucket histogram over the clamped range —
-    two scans, no shuffle beyond the tiny bucket agg."""
-    cube = _cube(spark)
-    mu, sigma = cube.agg(F.avg("A"), F.stddev_pop("A")).collect()[0]
-    lo, hi = mu - 2 * sigma, mu + 2 * sigma
-    width = (hi - lo) / 20.0
-    bucket = F.least(F.floor((F.col("A") - F.lit(lo)) / F.lit(width)),
+    stretch range rides along as a broadcast one-row crossJoin (the
+    scalar-subquery shape), so stretch + histogram is ONE Spark action —
+    no driver round-trip between the stats pass and the bucket agg."""
+    from xcube_spark.operators.statistics import with_stretch_range
+
+    ranged = with_stretch_range(_cube(spark), "A", "2sigma")
+    width = (F.col("hi") - F.col("lo")) / 20.0
+    bucket = F.least(F.floor((F.col("A") - F.col("lo")) / width),
                      F.lit(19)).cast("int")
     return (
-        cube.where((F.col("A") >= lo) & (F.col("A") <= hi))
+        ranged.where((F.col("A") >= F.col("lo")) & (F.col("A") <= F.col("hi")))
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

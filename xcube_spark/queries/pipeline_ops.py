@@ -176,10 +176,14 @@ _ACC = " + ".join(
             SELECT doc_id, simhash, c.chunk,
                    (simhash >> (c.chunk * 16)) & 65535 AS key
             FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c
+        ), capped AS (
+            -- skew guard: mirrors dedup.DEFAULT_MAX_BUCKET_SIZE
+            SELECT doc_id, simhash, chunk, key FROM chunks
+            QUALIFY COUNT(*) OVER (PARTITION BY chunk, key) <= 1000
         ), pairs AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                    a.simhash AS sig_a, b.simhash AS sig_b
-            FROM chunks a JOIN chunks b
+            FROM capped a JOIN capped b
               ON a.chunk = b.chunk AND a.key = b.key
              AND a.doc_id < b.doc_id
         )

@@ -72,9 +72,13 @@ def doc_exact_dedup(spark, sf_dir):
             SELECT doc_id, 1 AS band,
                    md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) AS band_key
             FROM sig
+        ), capped AS (
+            -- skew guard: mirrors dedup.DEFAULT_MAX_BUCKET_SIZE
+            SELECT doc_id, band, band_key FROM bands
+            QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= 1000
         ), cands AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM bands a JOIN bands b
+            FROM capped a JOIN capped b
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         ), sizes AS (
