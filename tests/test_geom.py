@@ -144,3 +144,9 @@ def test_find_places(spark):
     assert {r["feature_id"] for r in got.collect()} == {0, 2}
     got2 = find_places(feats, query_geometry=(0, 0, 100, 100), query_expr="score > 4")
     assert {r["feature_id"] for r in got2.collect()} == {1, 2}
+
+
+def test_parse_wkt_bare_decimal_coords():
+    """'.5' / '5.' are valid WKT numbers and must not be truncated."""
+    g = parse_wkt("POLYGON((.5 5., 1.5 .25, 1e1 -.5, .5 5.))")
+    assert g["coordinates"][0][:3] == [(0.5, 5.0), (1.5, 0.25), (10.0, -0.5)]

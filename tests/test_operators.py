@@ -233,3 +233,21 @@ def test_extract_irregular_axes(spark):
     got = {r["pid"]: r["k_i"] for r in get_dataset_indexes_irregular(
         p2, axis, "k", "k_i").collect()}
     assert got == {0: 0, 1: 1, 2: 3, 3: None}
+
+
+def test_resample_first_last_skipna(spark):
+    """first/last skip NULLs (xarray .first()/.last() parity): a NULL at
+    the window edge must not shadow the first/last valid value."""
+    rows = [
+        (0, "2010-01-01", None), (0, "2010-01-02", 5.0),
+        (0, "2010-01-03", 7.0), (0, "2010-01-04", None),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, v) for i, (_, ts, v) in enumerate(rows)],
+        "t_i int, ts string, A double",
+    ).select(
+        F.lit(0).alias("y_i"), F.lit(0).alias("x_i"),
+        F.col("t_i"), F.to_timestamp("ts").alias("time"), "A",
+    )
+    out = resample_in_time(df, "1W", methods=("first", "last")).collect()
+    assert out[0]["A_first"] == 5.0 and out[0]["A_last"] == 7.0

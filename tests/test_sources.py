@@ -241,3 +241,11 @@ def test_cube_layout_footer_stats(spark, tmp_path):
     back = open_cube_layout(spark, path)
     assert back.count() == grid.size
     assert "t_part" not in back.columns
+
+
+def test_find_time_slice_empty_cube(spark):
+    """An empty cube reports append-at-0 instead of TypeError."""
+    from xcube_spark.sources.timeslice import find_time_slice
+
+    empty = spark.createDataFrame([], "t_i int, time timestamp")
+    assert find_time_slice(empty, "2010-01-01") == (0, "append")

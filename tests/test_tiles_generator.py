@@ -152,3 +152,17 @@ def test_execute_coverage_request(spark, cube):
     assert g.x_res == 2.0
     assert out.count() == 20 * 20 * GRID.time_periods
     assert "A" in out.columns
+
+
+def test_coverage_single_axis_subset():
+    """A subset naming only one spatial axis still constrains that axis
+    (the missing axis gets the full numeric extent, not a dropped bbox)."""
+    from xcube_spark.operators.coverages import parse_coverage_params
+
+    req = parse_coverage_params({"subset": "lat(10:20)"})
+    assert req.bbox is not None
+    assert req.bbox[1] == 10.0 and req.bbox[3] == 20.0
+    assert req.bbox[0] == float("-inf") and req.bbox[2] == float("inf")
+
+    req2 = parse_coverage_params({"subset": "lon(-5:5)"})
+    assert req2.bbox[0] == -5.0 and req2.bbox[2] == 5.0

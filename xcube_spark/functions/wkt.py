@@ -27,7 +27,10 @@ _WKT_RE = re.compile(r"^\s*(\w+)\s*(.*)$", re.S)
 
 
 def _parse_numbers(text: str) -> list[float]:
-    return [float(t) for t in re.findall(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", text)]
+    # accepts '.5', '5.', '5', '5.0', exponents — a digits-before-dot
+    # requirement would silently truncate valid WKT coordinates
+    return [float(t) for t in
+            re.findall(r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", text)]
 
 
 def _parse_ring_list(text: str) -> list[Ring]:

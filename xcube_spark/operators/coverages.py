@@ -69,9 +69,17 @@ def parse_coverage_params(params: dict[str, str]) -> CoverageRequest:
             else:
                 req.extra_subsets[axis] = (lo, hi)
 
-    if x["lo"] is not None and y["lo"] is not None:
-        req.bbox = [float(x["lo"]), float(y["lo"]),
-                    float(x["hi"]), float(y["hi"])]
+    if x["lo"] is not None or y["lo"] is not None:
+        # a single-axis subset still constrains that axis (the reference
+        # applies per-axis subsets independently): substitute the full
+        # numeric extent for the missing axis instead of dropping both
+        inf = float("inf")
+        req.bbox = [
+            float(x["lo"]) if x["lo"] is not None else -inf,
+            float(y["lo"]) if y["lo"] is not None else -inf,
+            float(x["hi"]) if x["hi"] is not None else inf,
+            float(y["hi"]) if y["hi"] is not None else inf,
+        ]
 
     if "bbox" in params:
         vals = [float(v) for v in params["bbox"].split(",")]

@@ -141,8 +141,12 @@ def rectify_dataset(
             (F.col("id") % target.width).cast("int").alias("x_i"),
         )
     )
-    # all (time, target cell) combinations; time axis is shared
+    # all (time, target cell) combinations; time axis is shared.  The
+    # count is one tiny agg job (distinct of a partition-level int) and
+    # feeds the broadcast cost model below — `mapped` is T x plane, so
+    # sizing it from the plane alone undercounts by the time factor.
     times = source.select("t_i").distinct()
+    n_times = times.count()
     grid = times.crossJoin(tgt_plane)
 
     src_vals = source.select(
@@ -152,9 +156,11 @@ def rectify_dataset(
         *vars_,
     )
     mapped = grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
-    if target.width * target.height * 8 * lookup_k <= 4_000_000:
-        # the mapped target (ints only) is broadcast-sized -> the big
-        # source side never shuffles for the gather
+    if n_times * target.width * target.height * 8 * lookup_k <= 4_000_000:
+        # the mapped target (ints only) is broadcast-sized even at T
+        # time steps -> the big source side never shuffles for the
+        # gather; past the cap it stays a shuffle join (AQE may still
+        # downgrade it to broadcast from runtime stats)
         mapped = F.broadcast(mapped)
     joined = mapped.join(
         src_vals,

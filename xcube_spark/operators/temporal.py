@@ -51,8 +51,12 @@ def _down_agg(var: str, method: str) -> Column:
         "all": F.min(c.cast("boolean")),
         "any": F.max(c.cast("boolean")),
         "count": F.count(c),
-        "first": F.min_by(c, F.col("time")),
-        "last": F.max_by(c, F.col("time")),
+        # skipna parity with xarray's resample .first()/.last(): order
+        # only over rows where the value is non-null (a NULL ordering
+        # key excludes the row from min_by/max_by), so the first/last
+        # VALID value wins, not a NULL that happens to sit at the edge
+        "first": F.min_by(c, F.when(c.isNotNull(), F.col("time"))),
+        "last": F.max_by(c, F.when(c.isNotNull(), F.col("time"))),
         "min": F.min(c),
         "max": F.max(c),
         "argmax": F.max_by(F.col("time"), c),

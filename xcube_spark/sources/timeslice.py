@@ -39,6 +39,8 @@ def find_time_slice(cube: DataFrame, time_value) -> tuple[int, str]:
     ).collect()[0]
     if row["exact"] is not None:
         return int(row["exact"]), "replace"
+    if row["last"] is None:  # empty cube: first slice appends at 0
+        return 0, "append"
     if row["after"] is None:
         return int(row["last"]) + 1, "append"
     return int(row["after"]), "insert"
