@@ -249,3 +249,110 @@ def test_find_time_slice_empty_cube(spark):
 
     empty = spark.createDataFrame([], "t_i int, time timestamp")
     assert find_time_slice(empty, "2010-01-01") == (0, "append")
+
+
+# ---- zarr v2 (sources/zarrio.py) ---------------------------------------
+
+
+def _small_grid():
+    from xcube_spark.cube.grid import CubeGrid
+
+    return CubeGrid(width=12, height=6, time_periods=2, x_res=30.0,
+                    y_res=30.0, chunks=(1, 4, 5))
+
+
+def test_zarr_roundtrip_bitexact(spark, tmp_path):
+    """write -> read round-trips values, coords, NULLs bit-for-bit,
+    including edge chunks (12/5 and 6/4 don't divide evenly)."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i",
+                                  "B": ("uniform", 3, 0.3)})
+    path = str(tmp_path / "rt.zarr")
+    write_zarr_cube(cube, path, grid)
+    back = open_zarr_cube(spark, path)
+    assert back.columns == ["t_i", "y_i", "x_i", "time", "y", "x", "A", "B"]
+    assert back.count() == grid.size
+    diff = cube.exceptAll(back.select(*cube.columns)).count()
+    assert diff == 0
+    assert (back.where(F.col("B").isNull()).count()
+            == cube.where(F.col("B").isNull()).count())
+
+
+def test_zarr_cf_packing(spark, tmp_path):
+    """int16 + scale/offset/_FillValue packing decodes NULLs and values
+    like the reference's CF decode (dsio.py ZarrDatasetIO semantics)."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import (open_zarr_cube, read_store,
+                                            write_zarr_cube)
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"V": ("uniform", 9, 0.2)})
+    path = str(tmp_path / "cf.zarr")
+    write_zarr_cube(cube, path, grid, encoding={
+        "V": {"dtype": "<i2", "scale_factor": 0.0009765625,
+              "add_offset": 0.0, "fill_value": -32768}})
+    meta = read_store(path)["V"]
+    assert meta.dtype == "<i2" and meta.attrs["scale_factor"] == 0.0009765625
+    back = open_zarr_cube(spark, path)
+    # NULLs preserved through the fill value
+    assert (back.where(F.col("V").isNull()).count()
+            == cube.where(F.col("V").isNull()).count())
+    # quantization error bounded by half a quantum
+    joined = cube.select("t_i", "y_i", "x_i", F.col("V").alias("orig")) \
+        .join(back.select("t_i", "y_i", "x_i", "V"), ["t_i", "y_i", "x_i"])
+    bad = joined.where(
+        F.abs(F.col("V") - F.col("orig")) > 0.0009765625 / 2 * 1.0001).count()
+    assert bad == 0
+
+
+def test_zarr_missing_chunk_is_fill(spark, tmp_path):
+    """A missing chunk file reads as fill (-> NULL), per the v2 spec."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": 1.0})
+    path = str(tmp_path / "gap.zarr")
+    write_zarr_cube(cube, path, grid)
+    os.remove(os.path.join(path, "A", "0.0.0"))
+    back = open_zarr_cube(spark, path)
+    nulls = back.where(F.col("A").isNull())
+    assert nulls.count() == 1 * 4 * 5  # exactly the dropped chunk's cells
+    assert nulls.where((F.col("t_i") > 0) | (F.col("y_i") >= 4)
+                       | (F.col("x_i") >= 5)).count() == 0
+
+
+def test_zarr_format_dispatch(spark, tmp_path):
+    """dsio open_dataset/write_dataset route .zarr paths to zarrio."""
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.dsio import guess_format, open_dataset, write_dataset
+
+    grid = _small_grid()
+    assert guess_format("/data/cube.zarr") == "zarr"
+    path = str(tmp_path / "disp.zarr")
+    write_dataset(new_cube(spark, grid, {"A": 2.0}), path, grid=grid)
+    back = open_dataset(spark, path)
+    assert back.count() == grid.size
+
+
+def test_zarr_time_units():
+    from xcube_spark.sources.zarrio import parse_time_units
+
+    epoch, per = parse_time_units("days since 2010-01-01")
+    assert per == 86400.0 and epoch == 1262304000.0
+    epoch2, per2 = parse_time_units("hours since 2000-01-01 12:00:00")
+    assert per2 == 3600.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_time_units("fortnights since 2000-01-01")

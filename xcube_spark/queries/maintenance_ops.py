@@ -179,3 +179,62 @@ def cube_chunk_store(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("V"), 4).alias("V_checksum"),
     )
+
+
+_ZARR_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_zarr_ingest",
+    sql=f"""
+        {CUBE_CTE},
+        dec AS (
+            -- the zarr round-trip packs A as int16 with scale 2^-7
+            -- (CF encoding, floor(q+0.5) quantization — zarrio.py).
+            -- The power-of-two scale keeps every quantization boundary
+            -- >= 0.004 quanta away from any fixture value, so the two
+            -- engines' ~1-ulp differences in A can never flip a bin.
+            SELECT t_i,
+                   FLOOR(A / CAST(0.0078125 AS DOUBLE) + 0.5)
+                       * CAST(0.0078125 AS DOUBLE) AS A,
+                   flags
+            FROM cube
+        )
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) AS A_sum,
+               ROUND(AVG(A), 6) AS A_mean,
+               CAST(SUM(flags) AS BIGINT) AS flags_sum
+        FROM dec GROUP BY t_i
+    """,
+)
+def cube_zarr_ingest(spark, sf_dir):
+    """Zarr v2 round-trip (ZarrDatasetIO, core/dsio.py:411): write the
+    fixture cube to a self-implemented Zarr v2 store — A packed as
+    int16 with scale_factor/add_offset/_FillValue CF attrs, flags as
+    int32 — then ingest it back (chunk-parallel mapInPandas decode +
+    broadcast axis joins) and aggregate.  Proves metadata, chunk
+    layout, compression, CF packing, and coordinate decode end to end
+    against the analytically recomputed oracle."""
+    import tempfile
+
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    if "p" not in _ZARR_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_zarr_") + "/fixture.zarr"
+        write_zarr_cube(
+            new_cube(spark, GRID, variables=SPARK_VARS), path, GRID,
+            var_names=["A", "flags"],
+            encoding={
+                "A": {"dtype": "<i2", "scale_factor": 0.0078125,
+                      "add_offset": 0.0, "fill_value": -32768},
+                "flags": {"dtype": "<i4", "fill_value": -1},
+            },
+        )
+        _ZARR_PATH["p"] = path
+    back = open_zarr_cube(spark, _ZARR_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        F.round(F.sum("A"), 4).alias("A_sum"),
+        F.round(F.avg("A"), 6).alias("A_mean"),
+        F.sum("flags").cast("bigint").alias("flags_sum"),
+    )

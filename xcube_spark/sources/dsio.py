@@ -7,11 +7,12 @@ a thin dispatch to ``spark.read``/``df.write`` — the DataSource V2
 machinery replaces the reference's driver classes, so a "format driver"
 here is just (reader options, writer options, extension set).
 
-Formats: parquet (canonical, ≈ the reference's Zarr), csv, json, orc.
-The reference's Zarr/NetCDF stay out-of-container (no zarr/netcdf libs
-baked in): their role — chunked columnar cube storage — is filled by
-parquet; a Zarr ingest job would be an external converter exactly like
-the reference's GeoTIFF ingest path.
+Formats: parquet (canonical columnar storage), zarr (the reference's
+canonical cube format — self-implemented v2 reader/writer, see
+sources/zarrio.py), csv, json, orc.  NetCDF remains out of scope (no
+netCDF4/HDF5 lib in the container and the binary format is not
+reasonably reimplementable here, unlike Zarr v2's JSON+raw-chunks
+layout).
 """
 
 from __future__ import annotations
@@ -49,8 +50,31 @@ class FormatDriver:
         )
 
 
+@dataclass(frozen=True)
+class ZarrFormatDriver(FormatDriver):
+    """Zarr v2 entry (ZarrDatasetIO, /root/reference/xcube/core/dsio.py:411):
+    dispatches to the self-implemented chunk-parallel reader/writer in
+    sources/zarrio.py instead of a Spark DataSource."""
+
+    def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
+        from xcube_spark.sources.zarrio import open_zarr_cube
+
+        return open_zarr_cube(spark, path,
+                              var_names=options.get("var_names"))
+
+    def write(self, df: DataFrame, path: str, mode: str = "error",
+              **options) -> None:
+        from xcube_spark.sources.zarrio import write_zarr_cube
+
+        grid = options.pop("grid", None)
+        if grid is None:
+            raise ValueError("zarr write needs grid=<CubeGrid> option")
+        write_zarr_cube(df, path, grid, mode=mode, **options)
+
+
 FORMATS: dict[str, FormatDriver] = {
     "parquet": FormatDriver("parquet", (".parquet", ".pq")),
+    "zarr": ZarrFormatDriver("zarr", (".zarr",)),
     "csv": FormatDriver(
         "csv",
         (".csv",),
@@ -100,8 +124,12 @@ def write_dataset(
     fmt = format_name or guess_format(output_path)
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; known: {sorted(FORMATS)}")
+    drv = FORMATS[fmt]
+    if type(drv).write is not FormatDriver.write:  # custom driver (zarr)
+        drv.write(df, output_path, mode=mode, **options)
+        return
     writer = df.write.format(fmt).options(
-        **{**FORMATS[fmt].write_options, **options}
+        **{**drv.write_options, **options}
     ).mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

@@ -1,0 +1,456 @@
+"""Zarr v2 cube IO — xcube/core/dsio.py:411 (``ZarrDatasetIO``).
+
+Zarr is the reference's canonical cube storage: ``ZarrDatasetIO``
+reads/writes Zarr directories with CF decoding (fill value, scale
+factor / add offset — exercised by test/core/test_dsio.py).  This
+module gives the Spark engine the same interop WITHOUT the ``zarr``
+package (not in the container): the Zarr **v2 format itself** is a
+tiny public spec — JSON ``.zgroup``/``.zarray``/``.zattrs`` documents
+plus raw C-order chunk files named ``"t.y.x"``, optionally
+zlib-compressed — so we implement it directly:
+
+- **Reader** (``open_zarr_cube``): store metadata is a driver-side read
+  of a few small JSON files; the chunk index becomes
+  ``spark.range(n_chunks)`` and each task decodes its own chunk files
+  via ``mapInPandas`` (Arrow-batched, nothing routed through the
+  driver).  Filters on chunk coordinates prune before any chunk byte is
+  read — the same IO-proportional-to-subset promise as the reference's
+  lazy xarray open.  Coordinate axes are decoded driver-side (axis
+  arrays are metadata-sized) and joined back by index via broadcast.
+- **Writer** (``write_zarr_cube``): cells are shuffled once by chunk
+  key, each chunk file written by the task that owns the group
+  (``applyInPandas``); only the JSON metadata is written by the driver.
+
+CF encode/decode semantics (matching xarray's ``decode_cf`` used by the
+reference): on read, ``raw == fill_value -> missing`` then
+``value = raw * scale_factor + add_offset``; on write,
+``packed = floor((value - add_offset) / scale_factor + 0.5)`` with
+missing -> fill.  The quantization uses explicit ``floor(q + 0.5)``
+(not banker's rounding) so any engine can reproduce it bit-for-bit.
+
+Paths are plain filesystem directories; on a cluster the store must be
+on storage reachable from every executor (the same contract as the
+reference's local/S3 zarr stores — an fsspec-style remote driver would
+slot into ``_read_bytes``/``_write_bytes``).
+
+Supported: dtypes ``<f8 <f4 <i2 <i4 <i8 <u2 |i1 |u1``, compressor
+``null`` or ``{"id": "zlib"}``, C order, no filters — the subset the
+reference's own test fixtures use.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import zlib
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Iterator, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+
+_DTYPES = {
+    "<f8": np.dtype("<f8"), "<f4": np.dtype("<f4"),
+    "<i2": np.dtype("<i2"), "<i4": np.dtype("<i4"), "<i8": np.dtype("<i8"),
+    "<u2": np.dtype("<u2"), "|i1": np.dtype("i1"), "|u1": np.dtype("u1"),
+}
+
+
+@dataclass
+class ZarrArray:
+    """One array's ``.zarray`` + ``.zattrs`` metadata."""
+
+    name: str
+    shape: tuple[int, ...]
+    chunks: tuple[int, ...]
+    dtype: str
+    compressor: dict | None
+    fill_value: object
+    attrs: dict = field(default_factory=dict)
+
+    @property
+    def dims(self) -> list[str]:
+        return list(self.attrs.get("_ARRAY_DIMENSIONS",
+                                   [f"dim_{i}" for i in range(len(self.shape))]))
+
+    @property
+    def np_dtype(self) -> np.dtype:
+        if self.dtype not in _DTYPES:
+            raise ValueError(f"unsupported zarr dtype {self.dtype!r} "
+                             f"(supported: {sorted(_DTYPES)})")
+        return _DTYPES[self.dtype]
+
+    def chunk_counts(self) -> tuple[int, ...]:
+        return tuple((s + c - 1) // c for s, c in zip(self.shape, self.chunks))
+
+
+# ---- byte-level helpers (the executor-side IO kernel) -------------------
+
+
+def _read_bytes(path: str) -> bytes | None:
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _write_bytes(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic publish, concurrent-writer safe
+
+
+def _fill_scalar(meta: ZarrArray):
+    fv = meta.fill_value
+    if fv == "NaN":
+        return np.nan
+    return fv
+
+
+def decode_chunk(raw: bytes | None, meta: ZarrArray) -> np.ndarray:
+    """Chunk bytes -> full-chunk-shape ndarray (missing file -> fill,
+    per the v2 spec)."""
+    if raw is None:
+        fv = _fill_scalar(meta)
+        return np.full(meta.chunks, 0 if fv is None else fv, meta.np_dtype)
+    if meta.compressor is not None:
+        if meta.compressor.get("id") != "zlib":
+            raise ValueError(f"unsupported compressor {meta.compressor!r}")
+        raw = zlib.decompress(raw)
+    return np.frombuffer(raw, dtype=meta.np_dtype).reshape(meta.chunks)
+
+
+def encode_chunk(arr: np.ndarray, meta: ZarrArray) -> bytes:
+    data = np.ascontiguousarray(arr, dtype=meta.np_dtype).tobytes()
+    if meta.compressor is not None:
+        data = zlib.compress(data, meta.compressor.get("level", 1))
+    return data
+
+
+def decode_values(arr: np.ndarray, meta: ZarrArray) -> np.ndarray:
+    """CF decode to float64: fill -> NaN, then scale/offset."""
+    out = arr.astype("float64")
+    fv = _fill_scalar(meta)
+    if fv is not None:
+        mask = np.isnan(out) if (isinstance(fv, float) and math.isnan(fv)) \
+            else (arr == np.asarray(fv, arr.dtype))
+        out[mask] = np.nan
+    scale = float(meta.attrs.get("scale_factor", 1.0))
+    offset = float(meta.attrs.get("add_offset", 0.0))
+    if scale != 1.0 or offset != 0.0:
+        out = out * scale + offset
+    return out
+
+
+def encode_values(vals: np.ndarray, meta: ZarrArray) -> np.ndarray:
+    """CF encode from float64: scale/offset quantize (floor(q + 0.5)),
+    NaN -> fill."""
+    scale = float(meta.attrs.get("scale_factor", 1.0))
+    offset = float(meta.attrs.get("add_offset", 0.0))
+    v = np.asarray(vals, "float64")
+    if scale != 1.0 or offset != 0.0:
+        q = np.floor((v - offset) / scale + 0.5)
+    else:
+        q = v
+    fv = _fill_scalar(meta)
+    if fv is not None and not (isinstance(fv, float) and math.isnan(fv)):
+        q = np.where(np.isnan(v), np.asarray(fv, "float64"), q)
+    return q.astype(meta.np_dtype)
+
+
+# ---- store metadata -----------------------------------------------------
+
+
+def _json_fill(v):
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    return v
+
+
+def read_store(path: str) -> dict[str, ZarrArray]:
+    """Driver-side metadata read: every array's ``.zarray``/``.zattrs``."""
+    if not os.path.exists(os.path.join(path, ".zgroup")):
+        raise FileNotFoundError(f"not a zarr group: {path}")
+    arrays = {}
+    for name in sorted(os.listdir(path)):
+        za = os.path.join(path, name, ".zarray")
+        if not os.path.exists(za):
+            continue
+        with open(za) as f:
+            meta = json.load(f)
+        attrs = {}
+        zat = os.path.join(path, name, ".zattrs")
+        if os.path.exists(zat):
+            with open(zat) as f:
+                attrs = json.load(f)
+        if meta.get("zarr_format") != 2 or meta.get("order", "C") != "C" \
+                or meta.get("filters"):
+            raise ValueError(f"unsupported zarr array layout for {name!r}")
+        arrays[name] = ZarrArray(
+            name=name, shape=tuple(meta["shape"]), chunks=tuple(meta["chunks"]),
+            dtype=meta["dtype"], compressor=meta.get("compressor"),
+            fill_value=meta.get("fill_value"), attrs=attrs,
+        )
+    return arrays
+
+
+def _write_array_meta(path: str, meta: ZarrArray) -> None:
+    adir = os.path.join(path, meta.name)
+    os.makedirs(adir, exist_ok=True)
+    with open(os.path.join(adir, ".zarray"), "w") as f:
+        json.dump({
+            "zarr_format": 2, "shape": list(meta.shape),
+            "chunks": list(meta.chunks), "dtype": meta.dtype,
+            "compressor": meta.compressor, "fill_value": _json_fill(meta.fill_value),
+            "order": "C", "filters": None,
+        }, f)
+    with open(os.path.join(adir, ".zattrs"), "w") as f:
+        json.dump(meta.attrs, f)
+
+
+# ---- CF time units (shared with normalize's time decode) ----------------
+
+_UNITS_RE = re.compile(
+    r"^\s*(seconds|minutes|hours|days)\s+since\s+(.+?)\s*$", re.I)
+_UNIT_SECONDS = {"seconds": 1.0, "minutes": 60.0, "hours": 3600.0,
+                 "days": 86400.0}
+
+
+def parse_time_units(units: str) -> tuple[float, float]:
+    """CF time units -> (epoch_seconds, seconds_per_unit).  Handles the
+    '<unit> since <iso-ish timestamp>' family the reference decodes via
+    xarray (core/normalize.py:465 julian/CF time handling)."""
+    m = _UNITS_RE.match(units)
+    if not m:
+        raise ValueError(f"unsupported time units {units!r}")
+    unit, epoch = m.group(1).lower(), m.group(2)
+    epoch = epoch.replace("T", " ").strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = datetime.strptime(epoch, fmt)
+            break
+        except ValueError:
+            continue
+    else:
+        raise ValueError(f"unsupported epoch {epoch!r} in {units!r}")
+    return dt.replace(tzinfo=timezone.utc).timestamp(), _UNIT_SECONDS[unit]
+
+
+# ---- writer -------------------------------------------------------------
+
+#: default CF encoding for a data variable
+_DEFAULT_ENC = {"dtype": "<f8", "fill_value": "NaN",
+                "compressor": {"id": "zlib", "level": 1}}
+
+
+def _var_meta(name: str, grid: CubeGrid, enc: Mapping) -> ZarrArray:
+    enc = {**_DEFAULT_ENC, **dict(enc)}
+    attrs = {"_ARRAY_DIMENSIONS": ["time", "y", "x"]}
+    for k in ("scale_factor", "add_offset"):
+        if k in enc:
+            attrs[k] = enc[k]
+    return ZarrArray(
+        name=name,
+        shape=(grid.time_periods, grid.height, grid.width),
+        chunks=tuple(grid.chunks), dtype=enc["dtype"],
+        compressor=enc["compressor"],
+        fill_value=(np.nan if enc["fill_value"] == "NaN" else enc["fill_value"]),
+        attrs=attrs,
+    )
+
+
+def write_zarr_cube(
+    cube: DataFrame,
+    path: str,
+    grid: CubeGrid,
+    var_names: list[str] | None = None,
+    encoding: Mapping[str, Mapping] | None = None,
+    mode: str = "error",
+) -> int:
+    """Write a cells-table cube as a Zarr v2 group; returns the number
+    of chunk files written.
+
+    Distributed write: one shuffle keyed by chunk index
+    (``groupBy(tc, yc, xc).applyInPandas``), each task encodes and
+    writes its own chunk files for every variable — the driver only
+    writes the JSON metadata and the (metadata-sized) coordinate
+    arrays.  Matches ``ZarrDatasetIO.write`` semantics
+    (/root/reference/xcube/core/dsio.py:500) with CF packing attrs.
+    """
+    from xcube_spark.cube.grid import var_names as cube_vars
+
+    if os.path.exists(os.path.join(path, ".zgroup")):
+        if mode == "error":
+            raise FileExistsError(path)
+        if mode != "overwrite":
+            raise ValueError(f"mode must be error|overwrite, got {mode!r}")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as f:
+        json.dump({"zarr_format": 2}, f)
+    with open(os.path.join(path, ".zattrs"), "w") as f:
+        json.dump({"crs": grid.crs}, f)
+
+    vars_ = list(var_names) if var_names is not None else cube_vars(cube)
+    encoding = dict(encoding or {})
+    metas = {v: _var_meta(v, grid, encoding.get(v, {})) for v in vars_}
+    for m in metas.values():
+        _write_array_meta(path, m)
+
+    # coordinate arrays: tiny, driver-written, single chunk each; time
+    # carries CF units so any reader (xarray included) decodes it
+    t_units = "seconds since 1970-01-01 00:00:00"
+    axes = {
+        "time": (np.array([grid.t_start.replace(tzinfo=timezone.utc).timestamp()
+                           + (i + 0.5) * grid.t_freq_days * 86400.0
+                           for i in range(grid.time_periods)]),
+                 {"_ARRAY_DIMENSIONS": ["time"], "units": t_units}),
+        "y": (np.array([(grid.y_end - (i + 0.5) * grid.y_res) if grid.inverse_y
+                        else (grid.y_start + (i + 0.5) * grid.y_res)
+                        for i in range(grid.height)]),
+              {"_ARRAY_DIMENSIONS": ["y"]}),
+        "x": (np.array([grid.x_start + (i + 0.5) * grid.x_res
+                        for i in range(grid.width)]),
+              {"_ARRAY_DIMENSIONS": ["x"]}),
+    }
+    for name, (vals, attrs) in axes.items():
+        am = ZarrArray(name=name, shape=vals.shape, chunks=vals.shape,
+                       dtype="<f8", compressor=None, fill_value=None,
+                       attrs=attrs)
+        _write_array_meta(path, am)
+        _write_bytes(os.path.join(path, name, "0"), encode_chunk(vals, am))
+
+    ct, cy, cx = grid.chunks
+    meta_payload = {v: m for v, m in metas.items()}
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tc, yc, xc = (int(k) for k in key)
+        n = 0
+        for v, meta in meta_payload.items():
+            chunk = np.full(meta.chunks, np.nan, "float64")
+            chunk[pdf["t_i"] % ct, pdf["y_i"] % cy, pdf["x_i"] % cx] = \
+                pdf[v].to_numpy("float64", na_value=np.nan)
+            _write_bytes(os.path.join(path, v, f"{tc}.{yc}.{xc}"),
+                         encode_chunk(encode_values(chunk, meta), meta))
+            n += 1
+        return pd.DataFrame({"n": [n]})
+
+    keyed = cube.select(
+        F.floor(F.col("t_i") / ct).cast("int").alias("tc"),
+        F.floor(F.col("y_i") / cy).cast("int").alias("yc"),
+        F.floor(F.col("x_i") / cx).cast("int").alias("xc"),
+        "t_i", "y_i", "x_i", *vars_,
+    )
+    written = (
+        keyed.groupBy("tc", "yc", "xc")
+        .applyInPandas(write_group, "n int")
+        .agg(F.sum("n").alias("total"))
+        .collect()[0]["total"]
+    )
+    return int(written or 0)
+
+
+# ---- reader -------------------------------------------------------------
+
+
+def open_zarr_cube(
+    spark: SparkSession,
+    path: str,
+    var_names: list[str] | None = None,
+) -> DataFrame:
+    """Open a Zarr v2 group as a cells-table DataFrame
+    (``t_i, y_i, x_i, time, y, x, <vars>``), the engine's equivalent of
+    ``ZarrDatasetIO.read`` (/root/reference/xcube/core/dsio.py:445).
+
+    Plan shape: ``range(n_chunks) -> mapInPandas(decode)`` + three
+    broadcast axis joins.  Chunk decode is embarrassingly parallel and
+    executor-local; predicates on ``t_i/y_i/x_i`` prune chunk ids in
+    the tiny range table before any chunk IO happens.
+    """
+    arrays = read_store(path)
+    data_vars = {n: m for n, m in arrays.items()
+                 if len(m.shape) == 3 and n not in ("time", "y", "x")}
+    if var_names is not None:
+        missing = set(var_names) - set(data_vars)
+        if missing:
+            raise KeyError(f"variables not in store: {sorted(missing)}")
+        data_vars = {n: data_vars[n] for n in var_names}
+    if not data_vars:
+        raise ValueError(f"no 3-D data variables in {path}")
+    first = next(iter(data_vars.values()))
+    for m in data_vars.values():
+        if m.shape != first.shape or m.chunks != first.chunks:
+            raise ValueError("variables must share shape/chunks "
+                             f"({m.name} differs from {first.name})")
+    tp, h, w = first.shape
+    ct, cy, cx = first.chunks
+    nt, ny, nx = first.chunk_counts()
+    metas = dict(data_vars)
+    names = list(metas)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for chunk_id in pdf["id"]:
+                tc = int(chunk_id) // (ny * nx)
+                yc = (int(chunk_id) % (ny * nx)) // nx
+                xc = int(chunk_id) % nx
+                t0, t1 = tc * ct, min((tc + 1) * ct, tp)
+                y0, y1 = yc * cy, min((yc + 1) * cy, h)
+                x0, x1 = xc * cx, min((xc + 1) * cx, w)
+                tt, yy, xx = np.meshgrid(
+                    np.arange(t0, t1), np.arange(y0, y1), np.arange(x0, x1),
+                    indexing="ij")
+                out = {"t_i": tt.ravel().astype("int32"),
+                       "y_i": yy.ravel().astype("int32"),
+                       "x_i": xx.ravel().astype("int32")}
+                for v in names:
+                    meta = metas[v]
+                    raw = _read_bytes(os.path.join(path, v, f"{tc}.{yc}.{xc}"))
+                    vals = decode_values(decode_chunk(raw, meta), meta)
+                    out[v] = vals[: t1 - t0, : y1 - y0, : x1 - x0].ravel()
+                yield pd.DataFrame(out)
+
+    schema = "t_i INT, y_i INT, x_i INT, " + ", ".join(
+        f"`{v}` DOUBLE" for v in names)
+    cells = spark.range(nt * ny * nx).mapInPandas(gen, schema)
+    # Arrow carries missing as NaN; the cells model uses SQL NULL
+    cells = cells.select(
+        "t_i", "y_i", "x_i",
+        *[F.when(~F.isnan(v), F.col(v)).alias(v) for v in names])
+
+    # axis decode (driver-side, metadata-sized) -> broadcast index joins
+    def axis_values(name: str) -> np.ndarray:
+        m = arrays[name]
+        return decode_values(
+            decode_chunk(_read_bytes(os.path.join(path, name, "0")), m), m
+        )[: m.shape[0]]
+
+    def axis_df(name: str, idx_col: str):
+        vals = axis_values(name)
+        pdf = pd.DataFrame({idx_col: np.arange(len(vals), dtype="int32"),
+                            name: vals})
+        return spark.createDataFrame(pdf)
+
+    out, coords = cells, []
+    for name, idx in (("time", "t_i"), ("y", "y_i"), ("x", "x_i")):
+        if name not in arrays:
+            continue
+        adf = axis_df(name, idx)
+        if name == "time":
+            epoch, per_unit = parse_time_units(
+                arrays["time"].attrs.get("units",
+                                         "seconds since 1970-01-01"))
+            adf = adf.select(
+                idx, F.timestamp_seconds(
+                    F.lit(epoch) + F.col("time") * F.lit(per_unit)
+                ).alias("time"))
+        out = out.join(F.broadcast(adf), idx)
+        coords.append(name)
+    return out.select("t_i", "y_i", "x_i", *coords, *names)
