@@ -191,3 +191,58 @@ def test_rectify_idw_rejects_output_ij(spark):
         rectify_dataset(cube, SRC, interpolation="idw", output_ij=True)
     with pytest.raises(ValueError):
         rectify_dataset(cube, SRC, interpolation="cubic")
+
+
+def test_rectify_bilinear_fractional_parity(spark):
+    """Quarter-cell-shifted swath: every target center sits at
+    fractional (u, v) = (0.75, 0.75), so bilinear must reproduce the
+    reference's 4-corner blend exactly (rectify.py:799-810)."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.rectify import rectify_dataset
+
+    grid = CubeGrid(width=10, height=6, time_periods=2, x_res=1.0,
+                    y_res=1.0, x_start=0.0, y_start=0.0)
+    cube = new_cube(spark, grid,
+                    {"V": "CAST(t_i * 1000 + y_i * 100 + x_i AS DOUBLE)"})
+    swath = cube.withColumns({"lon": F.col("x") + 0.25,
+                              "lat": F.col("y") + 0.25})
+    out = rectify_dataset(swath, grid, var_names=["V"],
+                          interpolation="bilinear")
+    rows = {(r["t_i"], r["y_i"], r["x_i"]): r["V"] for r in out.collect()}
+    assert len(rows) == grid.size
+    for (t, J, I), got in rows.items():
+        if I == 0 or J == 0:
+            assert got is None
+            continue
+        v00 = t * 1000 + (J - 1) * 100 + (I - 1)
+        v10 = t * 1000 + J * 100 + (I - 1)
+        vu0 = v00 + 0.75 * 1.0
+        vu1 = v10 + 0.75 * 1.0
+        assert got == pytest.approx(vu0 + 0.75 * (vu1 - vu0), abs=1e-9)
+
+
+def test_rectify_triangular_rotated_swath(spark):
+    """A rotated swath exercises the genuine triangle inversion (both
+    triangles, uv tolerance): every rectified value must lie within the
+    hull of its source neighborhood, and coverage must be dense away
+    from the swath border."""
+    import math
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.rectify import rectify_dataset
+
+    grid = CubeGrid(width=16, height=16, time_periods=1, x_res=1.0,
+                    y_res=1.0, x_start=0.0, y_start=0.0)
+    c, s = math.cos(0.2), math.sin(0.2)
+    cube = new_cube(spark, grid, {"V": "CAST(y_i + x_i AS DOUBLE)"})
+    swath = cube.withColumns({
+        "lon": F.col("x") * c - F.col("y") * s + 3.0,
+        "lat": F.col("x") * s + F.col("y") * c,
+    })
+    out = rectify_dataset(swath, grid, var_names=["V"],
+                          interpolation="triangular")
+    vals = [r["V"] for r in out.collect() if r["V"] is not None]
+    assert len(vals) > 100  # dense coverage inside the rotated footprint
+    assert min(vals) >= 0.0 and max(vals) <= 30.0  # inside the data hull

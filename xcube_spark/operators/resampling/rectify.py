@@ -24,15 +24,24 @@ lookup, rectify.py:36):
 
 Interpolation modes (rectify.py:20 nearest/triangular/bilinear):
 - ``nearest``: min_by reduction, one source pixel per target cell;
-- ``idw``: the relational stand-in for the reference's fractional
-  triangular/bilinear blends — keep the k nearest covering source
-  pixels per target cell (rank-k lookup) and blend with
-  inverse-squared-distance weights.  Same physical shape (one ranked
-  reduction + one gather join), converges to the reference's blend as
-  source density grows.
+- ``idw``: a fast relational blend — keep the k nearest covering
+  source pixels per target cell (rank-k lookup) and blend with
+  inverse-squared-distance weights;
+- ``triangular`` / ``bilinear``: **value parity with the reference's
+  fractional kernels** (rectify.py:469-852).  The fractional ij-lookup
+  re-expresses ``_compute_ij_images_for_source_line`` relationally:
+  source quads (adjacent pixel centers) are built with one window
+  ``lead`` over x plus one self-join on the next y line, each quad
+  explodes over the target pixels its bbox covers, and the barycentric
+  inversion of the two triangles (p0,p1,p2)/(p3,p2,p1) is pure Column
+  arithmetic producing fractional ``(src_i_f, src_j_f)``.  Ties follow
+  the reference's scan order (first quad in (j, i) order wins).  The
+  value gather then blends the 4 surrounding source pixels with the
+  reference's exact formulas (``:779-810``).
 
-Scale: both steps are linear scans + one shuffle whose key cardinality
-is the *target* size; no cross products, no per-row Python.
+Scale: every step is a linear scan + a shuffle keyed by source or
+target indices; the quad explode fan-out is bounded by the
+source/target resolution ratio; no cross products, no per-row Python.
 """
 
 from __future__ import annotations
@@ -98,6 +107,215 @@ def compute_ij_lookup(
     )
 
 
+def _clamp01(c):
+    return F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0))
+
+
+def compute_ij_lookup_fractional(
+    source: DataFrame,
+    target: CubeGrid,
+    lon_name: str = "lon",
+    lat_name: str = "lat",
+    uv_delta: float = 1e-3,
+) -> DataFrame:
+    """Fractional ij-lookup: (y_i, x_i) target index -> fractional
+    source coords (src_i_f, src_j_f), value-parity with the reference's
+    triangle inversion (rectify.py:469-586).
+
+    Relational re-expression: quads from adjacent source pixel centers
+    (lead over x + self-join on y+1), explode over covered target
+    pixels, invert triangle A=(p0,p1,p2) then B=(p3,p2,p1) with the
+    same determinant/uv formulas and ``uv_delta`` tolerance, clamp u,v
+    to [0,1], and resolve multi-quad coverage with the reference's scan
+    order (lowest (j, i) quad wins — its loop writes first and keeps
+    the first value)."""
+    from pyspark.sql import Window
+
+    geo = source.select(
+        F.col("y_i").alias("sj"), F.col("x_i").alias("si"),
+        F.col(lon_name).alias("gx"), F.col(lat_name).alias("gy"),
+    ).dropDuplicates(["sj", "si"])
+
+    w = Window.partitionBy("sj").orderBy("si")
+    rowed = geo.select(
+        "sj", "si", "gx", "gy",
+        F.lead("si").over(w).alias("si_n"),
+        F.lead("gx").over(w).alias("gx_r"),
+        F.lead("gy").over(w).alias("gy_r"),
+    ).where(F.col("si_n") == F.col("si") + 1)
+    r0, r1 = rowed.alias("r0"), rowed.alias("r1")
+    quads = r0.join(
+        r1,
+        (F.col("r0.sj") + 1 == F.col("r1.sj"))
+        & (F.col("r0.si") == F.col("r1.si")),
+    ).select(
+        F.col("r0.sj").alias("sj"), F.col("r0.si").alias("si"),
+        F.col("r0.gx").alias("p0x"), F.col("r0.gy").alias("p0y"),
+        F.col("r0.gx_r").alias("p1x"), F.col("r0.gy_r").alias("p1y"),
+        F.col("r1.gx").alias("p2x"), F.col("r1.gy").alias("p2y"),
+        F.col("r1.gx_r").alias("p3x"), F.col("r1.gy_r").alias("p3y"),
+    )
+
+    # target pixel bbox per quad (dst_pi/dst_pj min/max, rectify.py:510)
+    xoff, xsc = float(target.x_start), float(target.x_res)
+    if target.inverse_y:
+        yoff, ysc = float(target.y_end), -float(target.y_res)
+    else:
+        yoff, ysc = float(target.y_start), float(target.y_res)
+
+    def pix_i(px):
+        return F.floor((px - F.lit(xoff)) / F.lit(xsc)).cast("int")
+
+    def pix_j(py):
+        return F.floor((py - F.lit(yoff)) / F.lit(ysc)).cast("int")
+
+    i_lo = F.greatest(pix_i(F.least("p0x", "p1x", "p2x", "p3x")), F.lit(0))
+    i_hi = F.least(pix_i(F.greatest("p0x", "p1x", "p2x", "p3x")),
+                   F.lit(target.width - 1))
+    js = [pix_j(F.col(c)) for c in ("p0y", "p1y", "p2y", "p3y")]
+    j_lo = F.greatest(F.least(*js), F.lit(0))
+    j_hi = F.least(F.greatest(*js), F.lit(target.height - 1))
+
+    cand = (
+        quads.where((i_lo <= i_hi) & (j_lo <= j_hi))
+        .withColumn("x_i", F.explode(F.sequence(i_lo, i_hi)))
+        .withColumn("y_i", F.explode(F.sequence(j_lo, j_hi)))
+    )
+    dx = F.lit(xoff) + (F.col("x_i") + F.lit(0.5)) * F.lit(xsc)
+    dy = F.lit(yoff) + (F.col("y_i") + F.lit(0.5)) * F.lit(ysc)
+
+    # triangle inversion, identical algebra to _fdet/_fu/_fv
+    # (rectify.py:815-843); NaN determinants count as degenerate
+    def det(ax, ay, bx, by, cx_, cy_):
+        return F.nanvl((ax - bx) * (ay - cy_) - (ax - cx_) * (ay - by),
+                       F.lit(0.0))
+
+    def fu(px0, py0, px2, py2):
+        return (px0 - dx) * (py0 - py2) - (py0 - dy) * (px0 - px2)
+
+    def fv(px0, py0, px1, py1):
+        return (py0 - dy) * (px0 - px1) - (px0 - dx) * (py0 - py1)
+
+    p = {n: F.col(n) for n in ("p0x", "p0y", "p1x", "p1y",
+                               "p2x", "p2y", "p3x", "p3y")}
+    det_a = det(p["p0x"], p["p0y"], p["p1x"], p["p1y"], p["p2x"], p["p2y"])
+    det_b = det(p["p3x"], p["p3y"], p["p2x"], p["p2y"], p["p1x"], p["p1y"])
+    u_a = fu(p["p0x"], p["p0y"], p["p2x"], p["p2y"]) / det_a
+    v_a = fv(p["p0x"], p["p0y"], p["p1x"], p["p1y"]) / det_a
+    u_b = fu(p["p3x"], p["p3y"], p["p1x"], p["p1y"]) / det_b
+    v_b = fv(p["p3x"], p["p3y"], p["p2x"], p["p2y"]) / det_b
+
+    lo, hi = F.lit(-uv_delta), F.lit(1.0 + 2 * uv_delta)
+    ok_a = (det_a != 0.0) & (u_a >= lo) & (v_a >= lo) & (u_a + v_a <= hi)
+    ok_b = (det_b != 0.0) & (u_b >= lo) & (v_b >= lo) & (u_b + v_b <= hi)
+
+    src_i_f = F.when(ok_a, F.col("si") + _clamp01(u_a)) \
+        .when(ok_b, F.col("si") + 1 - _clamp01(u_b))
+    src_j_f = F.when(ok_a, F.col("sj") + _clamp01(v_a)) \
+        .when(ok_b, F.col("sj") + 1 - _clamp01(v_b))
+
+    hits = cand.select(
+        "y_i", "x_i", "sj", "si",
+        src_i_f.alias("src_i_f"), src_j_f.alias("src_j_f"),
+    ).where(F.col("src_i_f").isNotNull())
+
+    # first-writer-wins in the reference's (j, i) scan order
+    return hits.groupBy("y_i", "x_i").agg(
+        F.min_by(F.struct("src_i_f", "src_j_f"),
+                 F.struct("sj", "si")).alias("s")
+    ).select("y_i", "x_i", F.col("s.src_i_f").alias("src_i_f"),
+             F.col("s.src_j_f").alias("src_j_f"))
+
+
+def _rectify_fractional(
+    source: DataFrame,
+    target: CubeGrid,
+    vars_: list[str],
+    lon_name: str,
+    lat_name: str,
+    interpolation: str,
+    ij_lookup: DataFrame | None,
+    uv_delta: float,
+) -> DataFrame:
+    """triangular/bilinear rectification: fractional lookup + 4-corner
+    gather + the reference's exact blend formulas (rectify.py:779-810)."""
+    spark = source.sparkSession
+    lookup = ij_lookup if ij_lookup is not None else \
+        compute_ij_lookup_fractional(source, target, lon_name, lat_name,
+                                     uv_delta=uv_delta)
+
+    geo = source.select(F.col("y_i").alias("sj"), F.col("x_i").alias("si"))
+    dims = geo.agg(F.max("si").alias("max_i"), F.max("sj").alias("max_j"))
+    lookup = lookup.crossJoin(F.broadcast(dims))
+
+    i0 = F.floor("src_i_f").cast("int")
+    j0 = F.floor("src_j_f").cast("int")
+    u = F.col("src_i_f") - i0
+    v = F.col("src_j_f") - j0
+    i1 = F.least(i0 + 1, F.col("max_i"))  # _iclamp at the image edge
+    j1 = F.least(j0 + 1, F.col("max_j"))
+
+    tgt_plane = spark.range(target.width * target.height).select(
+        (F.col("id") / target.width).cast("int").alias("y_i"),
+        (F.col("id") % target.width).cast("int").alias("x_i"),
+    )
+    times = source.select("t_i").distinct()
+    grid = times.crossJoin(tgt_plane)
+    mapped = grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
+
+    # 4-corner gather: explode_outer keeps unmapped target cells alive
+    corners = F.array(*[
+        F.struct(F.lit(tag).alias("tag"), jj.alias("jj"), ii.alias("ii"))
+        for tag, (jj, ii) in enumerate([(j0, i0), (j0, i1), (j1, i0), (j1, i1)])
+    ])
+    exploded = mapped.select(
+        "t_i", "y_i", "x_i", u.alias("__u"), v.alias("__v"),
+        F.explode_outer(F.when(F.col("src_i_f").isNotNull(), corners)).alias("c"),
+    ).select("t_i", "y_i", "x_i", "__u", "__v",
+             F.col("c.tag").alias("tag"),
+             F.col("c.jj").alias("jj"), F.col("c.ii").alias("ii"))
+
+    src_vals = source.select(
+        F.col("t_i").alias("__st"), F.col("y_i").alias("__ssy"),
+        F.col("x_i").alias("__ssx"), *vars_)
+    joined = exploded.join(
+        src_vals,
+        on=[F.col("t_i") == F.col("__st"), F.col("jj") == F.col("__ssy"),
+            F.col("ii") == F.col("__ssx")],
+        how="left",
+    )
+    pivots = []
+    for var in vars_:
+        for tag in range(4):
+            pivots.append(F.max(F.when(F.col("tag") == tag, F.col(var)))
+                          .alias(f"__{var}_{tag}"))
+    cells = joined.groupBy("t_i", "y_i", "x_i", "__u", "__v").agg(*pivots)
+
+    outs = []
+    for var in vars_:
+        v00, v01, v10, v11 = [F.col(f"__{var}_{t}") for t in range(4)]
+        uu, vv = F.col("__u"), F.col("__v")
+        if interpolation == "bilinear":
+            vu0 = v00 + uu * (v01 - v00)
+            vu1 = v10 + uu * (v11 - v10)
+            blend = vu0 + vv * (vu1 - vu0)
+        else:  # triangular
+            blend = F.when(
+                uu + vv < 1.0,
+                v00 + uu * (v01 - v00) + vv * (v10 - v00),
+            ).otherwise(
+                v11 + (1.0 - uu) * (v10 - v11) + (1.0 - vv) * (v01 - v11)
+            )
+        outs.append(blend.alias(var))
+
+    return cells.select(
+        "t_i", "y_i", "x_i",
+        target.y_center_expr(F.col("y_i")).alias("y"),
+        target.x_center_expr(F.col("x_i")).alias("x"),
+        *outs,
+    )
+
+
 def rectify_dataset(
     source: DataFrame,
     target: CubeGrid,
@@ -108,6 +326,7 @@ def rectify_dataset(
     output_ij: bool = False,
     interpolation: str = "nearest",
     k: int = 4,
+    uv_delta: float = 1e-3,
 ) -> DataFrame:
     """Rectify an irregular-coords cube onto ``target``.
 
@@ -116,15 +335,25 @@ def rectify_dataset(
     Pass a precomputed ``ij_lookup`` to amortize the geometry reduction
     across calls; ``output_ij=True`` keeps the source indices in the
     output (the reference's ``output_ij_names``, nearest mode only).
-    ``interpolation='idw'`` blends the ``k`` nearest covering source
-    pixels with 1/d2 weights (see module docstring)."""
+    ``interpolation``: 'nearest' (min_by lookup), 'idw' (k-nearest
+    1/d2 blend), or the reference's fractional 'triangular'/'bilinear'
+    (rectify.py:20, value parity — see module docstring).  For the
+    fractional modes a precomputed ``ij_lookup`` must come from
+    :func:`compute_ij_lookup_fractional`."""
     from xcube_spark.cube.grid import var_names as cube_vars
 
-    if interpolation not in ("nearest", "idw"):
-        raise ValueError(f"interpolation must be nearest|idw, "
-                         f"got {interpolation!r}")
-    if interpolation == "idw" and output_ij:
+    if interpolation not in ("nearest", "idw", "triangular", "bilinear"):
+        raise ValueError("interpolation must be nearest|idw|triangular|"
+                         f"bilinear, got {interpolation!r}")
+    if interpolation != "nearest" and output_ij:
         raise ValueError("output_ij only applies to nearest mode")
+    if interpolation in ("triangular", "bilinear"):
+        vars_ = list(var_names) if var_names is not None else [
+            v for v in cube_vars(source) if v not in (lon_name, lat_name)
+        ]
+        return _rectify_fractional(source, target, vars_, lon_name,
+                                   lat_name, interpolation, ij_lookup,
+                                   uv_delta)
     lookup_k = 1 if interpolation == "nearest" else k
     vars_ = list(var_names) if var_names is not None else [
         v for v in cube_vars(source) if v not in (lon_name, lat_name)

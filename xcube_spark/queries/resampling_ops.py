@@ -231,3 +231,57 @@ def cube_rectify_idw(spark, sf_dir):
     out = rectify_dataset(dense, _TGT_R, var_names=["A"],
                           interpolation="idw")
     return out.select("x_i", "y_i", F.round("A", 6).alias("A"))
+
+
+# ---- rectify: fractional bilinear parity -------------------------------
+
+#: integer-valued fixture variable: bilinear blends at u=v=0.75 become
+#: dyadic rationals (k/16) with <= 4 decimal digits, so ROUND(...,6)
+#: can never sit on a rounding boundary for either engine
+_BILIN_VAR = {"V": "CAST(t_i * 1000000 + y_i * 1000 + x_i AS DOUBLE)"}
+
+
+@query(
+    "cube_rectify_bilinear",
+    sql=f"""
+        WITH cube AS ({new_cube_sql(GRID, _BILIN_VAR)}),
+        grid AS (
+            SELECT CAST(range // {GRID.width * GRID.height} AS INT) AS t_i,
+                   CAST((range % {GRID.width * GRID.height})
+                        // {GRID.width} AS INT) AS y_i,
+                   CAST(range % {GRID.width} AS INT) AS x_i
+            FROM range({GRID.size})
+        ), b AS (
+            SELECT g.t_i, g.y_i, g.x_i,
+                   c00.V AS v00, c01.V AS v01, c10.V AS v10, c11.V AS v11
+            FROM grid g
+            LEFT JOIN cube c00 ON c00.t_i = g.t_i
+                 AND c00.y_i = g.y_i - 1 AND c00.x_i = g.x_i - 1
+            LEFT JOIN cube c01 ON c01.t_i = g.t_i
+                 AND c01.y_i = g.y_i - 1 AND c01.x_i = g.x_i
+            LEFT JOIN cube c10 ON c10.t_i = g.t_i
+                 AND c10.y_i = g.y_i AND c10.x_i = g.x_i - 1
+            LEFT JOIN cube c11 ON c11.t_i = g.t_i
+                 AND c11.y_i = g.y_i AND c11.x_i = g.x_i
+        )
+        SELECT t_i, y_i, x_i,
+               ROUND((v00 + 0.75 * (v01 - v00))
+                     + 0.75 * ((v10 + 0.75 * (v11 - v10))
+                               - (v00 + 0.75 * (v01 - v00))), 6) AS V
+        FROM b
+    """,
+)
+def cube_rectify_bilinear(spark, sf_dir):
+    """rectify_dataset interpolation='bilinear' — value parity with the
+    reference's fractional kernel (rectify.py:20, :743-813): a swath
+    shifted by a quarter cell puts every target center at fractional
+    source coords (u, v) = (0.75, 0.75), so the triangle inversion must
+    yield exactly those weights and the 4-corner blend must reproduce
+    the reference's formula — which the oracle states literally, with
+    the four corner gathers as SQL joins.  Border rows have no covering
+    quad and stay NULL."""
+    swath = new_cube(spark, GRID, variables=_BILIN_VAR).withColumns(
+        {"lon": F.col("x") + 0.25, "lat": F.col("y") + 0.25})
+    out = rectify_dataset(swath, GRID, var_names=["V"],
+                          interpolation="bilinear")
+    return out.select("t_i", "y_i", "x_i", F.round("V", 6).alias("V"))
