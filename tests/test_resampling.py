@@ -246,3 +246,37 @@ def test_rectify_triangular_rotated_swath(spark):
     vals = [r["V"] for r in out.collect() if r["V"] is not None]
     assert len(vals) > 100  # dense coverage inside the rotated footprint
     assert min(vals) >= 0.0 and max(vals) <= 30.0  # inside the data hull
+
+
+def test_utm_roundtrip_and_anchors(spark):
+    """Krueger-series UTM: forward(inverse) round-trips to <1e-7 deg;
+    the central meridian maps to easting 500000 and the equator to
+    northing 0; northing at 45N equals k0 x meridian arc (published
+    geodesy value 4982950.4 m)."""
+    from xcube_spark.operators.resampling.reproject import (
+        _lonlat_to_utm_fn, _utm_to_lonlat_fn, get_transform, parse_utm_crs,
+        utm_crs)
+
+    assert utm_crs(33) == "EPSG:32633" and utm_crs(19, south=True) == "EPSG:32719"
+    assert parse_utm_crs("EPSG:32719") == (19, True)
+    assert parse_utm_crs("EPSG:4326") is None
+    assert get_transform("EPSG:32633", "EPSG:4326") is not None
+
+    fwd, inv = _lonlat_to_utm_fn(33, False), _utm_to_lonlat_fn(33, False)
+    pts = spark.createDataFrame(
+        [(15.0, 0.0), (15.0, 45.0), (12.5, 41.9), (17.9, -36.1)],
+        ["lon", "lat"])
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    proj = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    rows = proj.select("lon", "lat", "x", "y", lon2.alias("lon2"),
+                       lat2.alias("lat2")).collect()
+    for r in rows:
+        assert r["lon2"] == pytest.approx(r["lon"], abs=1e-7)
+        assert r["lat2"] == pytest.approx(r["lat"], abs=1e-7)
+    anchors = {(15.0, 0.0): (500000.0, 0.0), (15.0, 45.0): (500000.0, 4982950.4)}
+    for r in rows:
+        if (r["lon"], r["lat"]) in anchors:
+            ex, ey = anchors[(r["lon"], r["lat"])]
+            assert r["x"] == pytest.approx(ex, abs=0.5)
+            assert r["y"] == pytest.approx(ey, abs=0.5)

@@ -30,6 +30,7 @@ cell indices which are co-located with the cells-table layout.
 from __future__ import annotations
 
 import math
+import re
 from typing import Callable, Iterable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -62,6 +63,142 @@ def _identity(x: Column, y: Column) -> tuple[Column, Column]:
     return x, y
 
 
+# ---- transverse Mercator / UTM (closed-form Krueger series) -----------
+#
+# The reference reprojects UTM scenes — the most common satellite
+# product CRS — through pyproj (core/gridmapping/transform.py).  pyproj
+# is not in this container, so the ellipsoidal transverse-Mercator
+# forward/inverse is implemented directly from the published
+# Krueger/Karney series (public math; 3rd order in n — truncation error
+# ~1e-4 m over the UTM domain, far below any satellite pixel).  Pure
+# Column expressions: the whole transform stays inside whole-stage
+# codegen, no UDF, no library.
+
+_F_WGS84 = 1.0 / 298.257223563
+_N3 = _F_WGS84 / (2.0 - _F_WGS84)  # third flattening n
+_E_WGS84 = math.sqrt(_F_WGS84 * (2.0 - _F_WGS84))  # eccentricity
+#: rectifying radius A = a/(1+n) (1 + n^2/4 + n^4/64)
+_A_RECT = _R / (1.0 + _N3) * (1.0 + _N3 ** 2 / 4.0 + _N3 ** 4 / 64.0)
+_K0 = 0.9996
+#: Krueger series coefficients (3rd order in n)
+_ALPHA = (
+    _N3 / 2.0 - 2.0 * _N3 ** 2 / 3.0 + 5.0 * _N3 ** 3 / 16.0,
+    13.0 * _N3 ** 2 / 48.0 - 3.0 * _N3 ** 3 / 5.0,
+    61.0 * _N3 ** 3 / 240.0,
+)
+_BETA = (
+    _N3 / 2.0 - 2.0 * _N3 ** 2 / 3.0 + 37.0 * _N3 ** 3 / 96.0,
+    _N3 ** 2 / 48.0 + _N3 ** 3 / 15.0,
+    17.0 * _N3 ** 3 / 480.0,
+)
+_DELTA = (
+    2.0 * _N3 - 2.0 * _N3 ** 2 / 3.0 - 2.0 * _N3 ** 3,
+    7.0 * _N3 ** 2 / 3.0 - 8.0 * _N3 ** 3 / 5.0,
+    56.0 * _N3 ** 3 / 15.0,
+)
+
+_UTM_RE = re.compile(r"^EPSG:32([67])(\d\d)$")
+
+
+def parse_utm_crs(crs: str) -> tuple[int, bool] | None:
+    """'EPSG:326NN'/'EPSG:327NN' -> (zone, south) or None."""
+    m = _UTM_RE.match(crs.upper())
+    if not m:
+        return None
+    zone = int(m.group(2))
+    if not 1 <= zone <= 60:
+        return None
+    return zone, m.group(1) == "7"
+
+
+def utm_crs(zone: int, south: bool = False) -> str:
+    return f"EPSG:32{7 if south else 6}{zone:02d}"
+
+
+def _utm_lon0(zone: int) -> float:
+    return float(zone * 6 - 183)
+
+
+def _lonlat_to_utm_fn(zone: int, south: bool) -> ColumnTransform:
+    lon0 = _utm_lon0(zone)
+    fn = 10_000_000.0 if south else 0.0
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(lon0))
+        phi = F.radians(lat)
+        sphi = F.sin(phi)
+        t = F.sinh(F.atanh(sphi) - F.lit(_E_WGS84)
+                   * F.atanh(F.lit(_E_WGS84) * sphi))
+        clam = F.cos(lam)
+        xip = F.atan2(t, clam)
+        etap = F.asinh(F.sin(lam) / F.sqrt(t * t + clam * clam))
+        xi, eta = xip, etap
+        for j, a in enumerate(_ALPHA, start=1):
+            xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xip) \
+                * F.cosh(F.lit(2.0 * j) * etap)
+            eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xip) \
+                * F.sinh(F.lit(2.0 * j) * etap)
+        x = F.lit(_K0 * _A_RECT) * eta + F.lit(500_000.0)
+        y = F.lit(_K0 * _A_RECT) * xi + F.lit(fn)
+        return x, y
+
+    return fwd
+
+
+def _utm_to_lonlat_fn(zone: int, south: bool) -> ColumnTransform:
+    lon0 = _utm_lon0(zone)
+    fn = 10_000_000.0 if south else 0.0
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xi = (y - F.lit(fn)) / F.lit(_K0 * _A_RECT)
+        eta = (x - F.lit(500_000.0)) / F.lit(_K0 * _A_RECT)
+        xip, etap = xi, eta
+        for j, b in enumerate(_BETA, start=1):
+            xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) \
+                * F.cosh(F.lit(2.0 * j) * eta)
+            etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) \
+                * F.sinh(F.lit(2.0 * j) * eta)
+        chi = F.asin(F.sin(xip) / F.cosh(etap))
+        phi = chi
+        for j, d in enumerate(_DELTA, start=1):
+            phi = phi + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+        lam = F.atan2(F.sinh(etap), F.cos(xip))
+        return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def utm_inverse_sql(x_expr: str, y_expr: str, zone: int,
+                    south: bool = False) -> tuple[str, str]:
+    """The SAME inverse series as SQL strings (for DuckDB oracles):
+    sinh/cosh written as exp-halves, asin/atan2 as built-ins.  Returns
+    (lon_sql, lat_sql)."""
+    lon0 = _utm_lon0(zone)
+    fn = 10_000_000.0 if south else 0.0
+    k = repr(_K0 * _A_RECT)
+    xi = f"(({y_expr}) - {fn!r}) / {k}"
+    eta = f"(({x_expr}) - 500000.0) / {k}"
+
+    def sinh(z):
+        return f"((exp({z}) - exp(-({z}))) / 2)"
+
+    def cosh(z):
+        return f"((exp({z}) + exp(-({z}))) / 2)"
+
+    xip, etap = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xip = f"({xip} - {b!r} * sin(2.0 * {j} * ({xi})) " \
+              f"* {cosh(f'2.0 * {j} * ({eta})')})"
+        etap = f"({etap} - {b!r} * cos(2.0 * {j} * ({xi})) " \
+               f"* {sinh(f'2.0 * {j} * ({eta})')})"
+    chi = f"asin(sin({xip}) / {cosh(etap)})"
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = f"({phi} + {d!r} * sin(2.0 * {j} * ({chi})))"
+    lam = f"atan2({sinh(etap)}, cos({xip}))"
+    return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
+
+
 #: registry of pure-Column CRS transforms (target CRS -> source CRS)
 COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:4326", "EPSG:4326"): _identity,
@@ -80,6 +217,19 @@ def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
     key = (src_crs, dst_crs)
     if key in COLUMN_TRANSFORMS:
         return COLUMN_TRANSFORMS[key]
+    # UTM zones resolve closed-form (no registry entry per zone)
+    src_utm, dst_utm = parse_utm_crs(src_crs), parse_utm_crs(dst_crs)
+    if src_utm and dst_crs.upper() == "EPSG:4326":
+        return _utm_to_lonlat_fn(*src_utm)
+    if dst_utm and src_crs.upper() == "EPSG:4326":
+        return _lonlat_to_utm_fn(*dst_utm)
+    if src_utm and dst_utm:
+        inv, fwd = _utm_to_lonlat_fn(*src_utm), _lonlat_to_utm_fn(*dst_utm)
+
+        def chain(x: Column, y: Column) -> tuple[Column, Column]:
+            return fwd(*inv(x, y))
+
+        return chain
     try:  # pragma: no cover - pyproj absent in the build container
         import numpy as np  # noqa: F401
         import pandas as pd

@@ -233,6 +233,60 @@ def cube_rectify_idw(spark, sf_dir):
     return out.select("x_i", "y_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: UTM (transverse Mercator) target ----------------------
+
+from xcube_spark.operators.resampling.reproject import utm_inverse_sql
+
+_UTM = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=200_000.0, y_start=3_800_000.0,
+                x_res=20_000.0, y_res=20_000.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:32633")
+
+_UTM_LON, _UTM_LAT = utm_inverse_sql(
+    "(200000.0 + (x_i + 0.5) * 20000.0)",
+    "(3800000.0 + (y_i + 0.5) * 20000.0)", zone=33)
+
+
+@query(
+    "cube_reproject_utm",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_UTM.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_UTM_LON} AS lon,
+                   {_UTM_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_utm(spark, sf_dir):
+    """reproject_dataset onto a UTM zone-33 grid — the reference's most
+    common real reprojection (core/gridmapping/transform.py, pyproj
+    CRS).  The closed-form Krueger-series transverse-Mercator inverse
+    (reproject.py:_utm_to_lonlat_fn; public geodesy math, 3rd order in
+    the third flattening) runs as pure Column arithmetic; the oracle
+    states the identical series in SQL (utm_inverse_sql) and re-derives
+    the nearest gather.  Target centers land well inside 1-degree
+    source cells, so sub-ulp libm differences between engines cannot
+    flip an index."""
+    out = reproject_dataset(_cube_a(spark), GRID, _UTM)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
