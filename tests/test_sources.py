@@ -356,3 +356,52 @@ def test_zarr_time_units():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         parse_time_units("fortnights since 2000-01-01")
+
+
+def test_decode_julian_time(spark):
+    """JD -> calendar date (normalize.py:465): JD 2451545.0 is
+    2000-01-01 noon -> date 2000-01-01; the attribute gate only fires
+    on 'time in julian days'."""
+    from datetime import datetime
+
+    from xcube_spark.operators.maintenance import decode_julian_time
+
+    df = spark.createDataFrame([(2451545.0,), (2451545.5,)], ["time"])
+    out = decode_julian_time(df, "time",
+                             attrs={"units": "Time in Julian days"})
+    got = sorted(r["time"] for r in out.collect())
+    assert got == [datetime(2000, 1, 1), datetime(2000, 1, 2)]
+    # non-julian attrs leave the column untouched
+    same = decode_julian_time(df, "time", attrs={"units": "seconds"})
+    assert sorted(r["time"] for r in same.collect()) == [2451545.0, 2451545.5]
+
+
+def test_normalize_2d_coords(spark):
+    """Equi-rectangular 2-D lat/lon collapse to 1-D axes; irregular
+    grids just drop the 2-D columns (normalize.py:330)."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.maintenance import normalize_2d_coords
+
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0)
+    cube = new_cube(spark, grid, {"A": 1.0})
+    # regular: lat depends only on y_i, lon only on x_i
+    reg = cube.withColumns({
+        "lat": F.col("y_i") * 2.0 + 0.5,
+        "lon": F.col("x_i") * 3.0 - 1.0,
+    })
+    out = normalize_2d_coords(reg)
+    assert "lat" not in out.columns and "lon" not in out.columns
+    row = out.where((F.col("y_i") == 2) & (F.col("x_i") == 5)).first()
+    assert row["y"] == 4.5 and row["x"] == 14.0
+    # irregular: collapse refused, 2-D columns dropped
+    irr = cube.withColumns({
+        "lat": F.col("y_i") * 2.0 + F.col("x_i") * 0.1,
+        "lon": F.col("x_i") * 3.0,
+    })
+    out2 = normalize_2d_coords(irr)
+    assert "lat" not in out2.columns
+    assert out2.select("y").distinct().count() == grid.height  # unchanged

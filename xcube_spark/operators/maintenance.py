@@ -115,9 +115,90 @@ def normalize_inverse_y(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, Cub
     return out, new_grid
 
 
+#: JD 2440587.5 = 1970-01-01T00:00 (unix epoch)
+_JD_EPOCH = 2440587.5
+
+
+def decode_julian_time(
+    cube: DataFrame,
+    jd_col: str = "time",
+    attrs: dict | None = None,
+) -> DataFrame:
+    """Julian-day -> datetime time decode (normalize.py:465
+    ``_normalize_jd2datetime``).
+
+    The reference triggers on ``units``/``long_name`` equal to
+    ``'time in julian days'`` and converts each JD to the *calendar
+    date* (``jd2gcal`` + ``datetime(y, m, d)`` — midnight, day
+    precision).  Same here: pass ``attrs`` to reproduce the gate, or
+    call directly to force the decode.  Pure Column math: unix seconds
+    = (jd - 2440587.5) * 86400, truncated to the civil day (the JD day
+    starts at noon, which the epoch offset accounts for)."""
+    if attrs is not None:
+        units = str(attrs.get("units") or attrs.get("long_name") or "")
+        if units.lower().strip() != "time in julian days":
+            return cube
+    ts = F.timestamp_seconds(
+        (F.col(jd_col) - F.lit(_JD_EPOCH)) * F.lit(86400.0))
+    return cube.withColumn(jd_col, F.date_trunc("DAY", ts))
+
+
+def normalize_2d_coords(
+    cube: DataFrame,
+    lat_name: str = "lat",
+    lon_name: str = "lon",
+    tol: float = 1e-6,
+) -> DataFrame:
+    """2-D -> 1-D coordinate collapse (normalize.py:330
+    ``_normalize_lat_lon_2d``).
+
+    If per-cell ``lat(y, x)``/``lon(y, x)`` columns actually span an
+    equi-rectangular grid — lat constant along x, lon constant along y
+    (within ``tol``, the reference's allclose) — replace the cube's
+    ``y``/``x`` coordinate columns with the collapsed per-axis values
+    and drop the 2-D columns.  Otherwise the 2-D columns are dropped
+    and the cube returned as-is (the reference drops them in either
+    case; an irregular grid then needs rectify_dataset).
+
+    One small aggregate decides regularity (axis-sized result); the
+    collapse itself is two broadcast axis joins — no data-sized shuffle.
+    """
+    if lat_name not in cube.columns or lon_name not in cube.columns:
+        return cube
+    # per-axis spread: regular iff every y_i row has one lat value and
+    # every x_i column one lon value
+    lat_spread = (
+        cube.groupBy("y_i")
+        .agg((F.max(lat_name) - F.min(lat_name)).alias("d"))
+        .agg(F.max("d").alias("d")).collect()[0]["d"]
+    )
+    lon_spread = (
+        cube.groupBy("x_i")
+        .agg((F.max(lon_name) - F.min(lon_name)).alias("d"))
+        .agg(F.max("d").alias("d")).collect()[0]["d"]
+    )
+    if lat_spread is None or lon_spread is None \
+            or lat_spread > tol or lon_spread > tol:
+        return cube.drop(lat_name, lon_name)
+    y_axis = cube.groupBy("y_i").agg(F.min(lat_name).alias("__lat"))
+    x_axis = cube.groupBy("x_i").agg(F.min(lon_name).alias("__lon"))
+    out = (
+        cube.drop(lat_name, lon_name)
+        .join(F.broadcast(y_axis), "y_i")
+        .join(F.broadcast(x_axis), "x_i")
+    )
+    cols = {"y": F.col("__lat"), "x": F.col("__lon")}
+    return out.withColumns(cols).drop("__lat", "__lon")
+
+
 def normalize_dataset(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
     """The canonicalization pipeline (normalize.py:45-90) for the cells
-    model: lon shift + y-axis flip + canonical column order."""
+    model: 2-D coord collapse + lon shift + y-axis flip + canonical
+    column order.  (Julian time decode is attribute-gated — see
+    decode_julian_time — and applies at ingest when the metadata
+    sidecar carries 'time in julian days'.)"""
+    if "lat" in cube.columns and "lon" in cube.columns:
+        cube = normalize_2d_coords(cube)
     cube, grid = normalize_lon(cube, grid)
     cube, grid = normalize_inverse_y(cube, grid)
     dims = [c for c in ("t_i", "y_i", "x_i", "time", "y", "x")

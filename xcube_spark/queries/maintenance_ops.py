@@ -181,6 +181,44 @@ def cube_chunk_store(spark, sf_dir):
     )
 
 
+@query(
+    "cube_normalize_time",
+    sql=f"""
+        {CUBE_CTE},
+        jd AS (
+            SELECT t_i, y_i, x_i, A,
+                   (2455197.0 + t_i * 2 + 0.75) AS jdn
+            FROM cube
+        ), dec AS (
+            SELECT CAST(date_trunc('day',
+                        to_timestamp((jdn - 2440587.5) * 86400.0))
+                        AS TIMESTAMP) AS time,
+                   A
+            FROM jd
+        )
+        SELECT time, COUNT(*) AS n,
+               ROUND(AVG(A), 6) + 0.0 AS A_mean  -- kill IEEE -0.0
+        FROM dec GROUP BY time
+    """,
+)
+def cube_normalize_time(spark, sf_dir):
+    """Julian-day time decode (normalize.py:465 _normalize_jd2datetime):
+    a 'time in julian days' axis (JD numbers with a fraction past noon)
+    decodes to calendar-date timestamps; the oracle restates the same
+    epoch arithmetic.  Covers the attribute gate and the civil-day
+    truncation (JD days start at noon)."""
+    from xcube_spark.operators.maintenance import decode_julian_time
+
+    cube = new_cube(spark, GRID, variables=SPARK_VARS).withColumn(
+        "jdn", F.lit(2455197.0) + F.col("t_i") * 2 + F.lit(0.75))
+    dec = decode_julian_time(cube, "jdn",
+                             attrs={"units": "time in julian days"})
+    return dec.groupBy(F.col("jdn").alias("time")).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.avg("A"), 6) + F.lit(0.0)).alias("A_mean"),
+    )
+
+
 _ZARR_PATH: dict[str, str] = {}
 
 
