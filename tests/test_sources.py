@@ -405,3 +405,108 @@ def test_normalize_2d_coords(spark):
     out2 = normalize_2d_coords(irr)
     assert "lat" not in out2.columns
     assert out2.select("y").distinct().count() == grid.height  # unchanged
+
+
+# ---- vector features (sources/features.py) -----------------------------
+
+
+def test_geojson_feature_collection(spark, tmp_path):
+    """FeatureCollection -> WKT-features DataFrame; feeds find_places."""
+    import json
+
+    from xcube_spark.operators.geom import find_places
+    from xcube_spark.sources.features import open_geojson_features
+
+    fc = {"type": "FeatureCollection", "features": [
+        {"type": "Feature", "id": "p1",
+         "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+         "properties": {"name": "alpha", "pop": 100}},
+        {"type": "Feature",
+         "geometry": {"type": "Polygon",
+                      "coordinates": [[[0, 0], [4, 0], [4, 4], [0, 4],
+                                       [0, 0]]]},
+         "properties": {"name": "beta", "pop": 7}},
+        {"type": "Feature", "id": "p3",
+         "geometry": {"type": "MultiPolygon",
+                      "coordinates": [[[[30, 30], [32, 30], [32, 32],
+                                        [30, 30]]]]},
+         "properties": {"name": "gamma", "pop": 3}},
+    ]}
+    path = str(tmp_path / "places.geojson")
+    with open(path, "w") as f:
+        json.dump(fc, f)
+    feats = open_geojson_features(spark, path)
+    assert set(feats.columns) == {"feature_id", "geometry", "name", "pop"}
+    assert feats.count() == 3
+    wkts = {r["feature_id"]: r["geometry"] for r in feats.collect()}
+    assert wkts["p1"] == "POINT(10.0 20.0)"
+    assert wkts["1"].startswith("POLYGON((0 0, 4 0")
+    # bbox query through find_places
+    hits = find_places(feats, query_geometry=[0.0, 0.0, 11.0, 21.0])
+    assert sorted(r["name"] for r in hits.collect()) == ["alpha", "beta"]
+
+
+def test_geojson_ndjson_distributed(spark, tmp_path):
+    """Newline-delimited features parse via the distributed text path."""
+    import json
+
+    from xcube_spark.sources.features import open_geojson_features
+
+    path = str(tmp_path / "seq.geojson")
+    with open(path, "w") as f:
+        for i in range(25):
+            f.write(json.dumps({
+                "type": "Feature", "id": i,
+                "geometry": {"type": "Point",
+                             "coordinates": [float(i), float(-i)]},
+                "properties": {"k": i}}) + "\n")
+    feats = open_geojson_features(spark, path)
+    assert feats.count() == 25
+    assert feats.columns == ["feature_id", "geometry", "properties"]
+
+
+def test_shapefile_roundtrip(spark, tmp_path):
+    """A minimal hand-built .shp/.dbf pair parses into WKT features
+    (point + polygon with hole; N/C dbf fields)."""
+    import struct
+
+    from xcube_spark.sources.features import open_shapefile_features
+
+    def shp_header(length_words, shape_type):
+        h = struct.pack(">7i", 9994, 0, 0, 0, 0, 0, length_words)
+        h += struct.pack("<2i", 1000, shape_type)
+        h += struct.pack("<8d", 0, 0, 10, 10, 0, 0, 0, 0)
+        return h
+
+    # record 1: point (2,3); record 2: polygon with hole
+    rec1 = struct.pack("<i2d", 1, 2.0, 3.0)
+    outer = [(0, 0), (0, 8), (8, 8), (8, 0), (0, 0)]   # clockwise
+    hole = [(2, 2), (4, 2), (4, 4), (2, 4), (2, 2)]    # ccw
+    pts = outer + hole
+    rec2 = struct.pack("<i", 5) + struct.pack("<4d", 0, 0, 8, 8)
+    rec2 += struct.pack("<2i", 2, len(pts)) + struct.pack("<2i", 0, 5)
+    for x, y in pts:
+        rec2 += struct.pack("<2d", float(x), float(y))
+    body = b""
+    for i, rec in enumerate((rec1, rec2), start=1):
+        body += struct.pack(">2i", i, len(rec) // 2) + rec
+    shp_path = str(tmp_path / "f.shp")
+    with open(shp_path, "wb") as f:
+        f.write(shp_header((100 + len(body)) // 2, 5) + body)
+    # dbf: NAME (C,8), VAL (N,5)
+    dbf = struct.pack("<B3Bi2H20x", 3, 24, 1, 1, 2, 32 + 32 * 2 + 1, 1 + 8 + 5)
+    dbf += b"NAME\x00\x00\x00\x00\x00\x00\x00C\x00\x00\x00\x00" + bytes([8]) + b"\x00" * 15
+    dbf += b"VAL\x00\x00\x00\x00\x00\x00\x00\x00N\x00\x00\x00\x00" + bytes([5]) + b"\x00" * 15
+    dbf += b"\x0d"
+    dbf += b" " + b"first   " + b"   42"
+    dbf += b" " + b"second  " + b"    7"
+    with open(str(tmp_path / "f.dbf"), "wb") as f:
+        f.write(dbf)
+
+    feats = open_shapefile_features(spark, shp_path)
+    rows = {r["feature_id"]: r for r in feats.collect()}
+    assert rows["0"]["geometry"] == "POINT(2.0 3.0)"
+    assert rows["0"]["NAME"] == "first" and rows["0"]["VAL"] == 42
+    g = rows["1"]["geometry"]
+    assert g.startswith("POLYGON((0.0 0.0") and g.count("(") == 3  # hole ring
+    assert rows["1"]["VAL"] == 7

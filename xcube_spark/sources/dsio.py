@@ -72,9 +72,29 @@ class ZarrFormatDriver(FormatDriver):
         write_zarr_cube(df, path, grid, mode=mode, **options)
 
 
+@dataclass(frozen=True)
+class FeatureFormatDriver(FormatDriver):
+    """Vector-feature entries (GeoJSON / ESRI Shapefile accessors,
+    /root/reference/xcube/plugin.py:91-218): read-only dispatch to the
+    WKT-features readers in sources/features.py."""
+
+    def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
+        from xcube_spark.sources import features
+
+        if self.name == "shapefile":
+            return features.open_shapefile_features(spark, path)
+        return features.open_geojson_features(spark, path)
+
+    def write(self, df: DataFrame, path: str, mode: str = "error",
+              **options) -> None:
+        raise ValueError(f"{self.name} driver is read-only")
+
+
 FORMATS: dict[str, FormatDriver] = {
     "parquet": FormatDriver("parquet", (".parquet", ".pq")),
     "zarr": ZarrFormatDriver("zarr", (".zarr",)),
+    "geojson": FeatureFormatDriver("geojson", (".geojson",)),
+    "shapefile": FeatureFormatDriver("shapefile", (".shp",)),
     "csv": FormatDriver(
         "csv",
         (".csv",),
