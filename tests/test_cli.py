@@ -80,3 +80,44 @@ def test_cli_chunk_layout(spark, cube_path, tmp_path):
                  "--files-per-partition", "2", *GRID_ARGS]) == 0
     assert glob.glob(f"{out}/t_part=*")
     assert spark.read.parquet(out).count() == 96
+
+
+def test_cli_vars2dim(spark, cube_path, tmp_path):
+    out = str(tmp_path / "v2d.parquet")
+    assert main(["vars2dim", cube_path, "-o", out]) == 0
+    df = spark.read.parquet(out)
+    assert "var" in df.columns and "value" in df.columns
+    assert df.count() == GRID.size  # one variable -> same row count
+
+
+def test_cli_prune(spark, cube_path, tmp_path):
+    out = str(tmp_path / "pruned.parquet")
+    assert main(["prune", cube_path, "-o", out, *GRID_ARGS]) == 0
+    assert spark.read.parquet(out).count() == GRID.size  # nothing empty
+
+
+def test_cli_patch(spark, cube_path, tmp_path):
+    from xcube_spark.cube.metadata import read_meta
+
+    patch_file = str(tmp_path / "patch.json")
+    with open(patch_file, "w") as f:
+        json.dump({"title": "patched", "institution": "test"}, f)
+    out = str(tmp_path / "patched.parquet")
+    assert main(["patch", cube_path, patch_file, "-o", out]) == 0
+    meta = read_meta(out)
+    assert meta["title"] == "patched"
+    assert spark.read.parquet(out).count() == GRID.size
+
+
+def test_cli_rectify(spark, cube_path, tmp_path):
+    import pyspark.sql.functions as F
+
+    swath_path = str(tmp_path / "swath.parquet")
+    swath = new_cube(spark, GRID, {"v": 2.0}).withColumns(
+        {"lon": F.col("x"), "lat": F.col("y")})
+    swath.write.parquet(swath_path)
+    out = str(tmp_path / "rect.parquet")
+    assert main(["rectify", swath_path, "-o", out, *GRID_ARGS]) == 0
+    df = spark.read.parquet(out)
+    assert df.count() == GRID.size
+    assert df.where(F.col("v") == 2.0).count() == GRID.size

@@ -100,6 +100,31 @@ def main(argv: list[str] | None = None) -> int:
                    "cube_config keys")
     _add_grid_args(p)
 
+    p = sub.add_parser("rectify", help="rectify swath coords onto the grid")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--interpolation", default="nearest",
+                   choices=["nearest", "idw", "triangular", "bilinear"])
+    p.add_argument("--lon-name", default="lon")
+    p.add_argument("--lat-name", default="lat")
+    _add_grid_args(p)
+
+    p = sub.add_parser("prune", help="drop all-empty chunks")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    _add_grid_args(p)
+
+    p = sub.add_parser("patch", help="patch dataset metadata attrs")
+    p.add_argument("input")
+    p.add_argument("patch_file", help="JSON attrs patch")
+    p.add_argument("-o", "--output", required=True)
+
+    p = sub.add_parser("vars2dim", help="fold variables into a dimension")
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--dim-name", default="var")
+    p.add_argument("--value-name", default="value")
+
     args = ap.parse_args(argv)
 
     from xcube_spark.session import get_session
@@ -192,6 +217,44 @@ def main(argv: list[str] | None = None) -> int:
 
         out = gen_points(spark, _grid_from_args(args), args.num_points,
                          seed=args.seed)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "rectify":
+        from xcube_spark.operators.resampling.rectify import rectify_dataset
+
+        out = rectify_dataset(open_dataset(spark, args.input),
+                              _grid_from_args(args),
+                              lon_name=args.lon_name,
+                              lat_name=args.lat_name,
+                              interpolation=args.interpolation)
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "prune":
+        from xcube_spark.operators.maintenance import prune_dataset
+
+        out = prune_dataset(open_dataset(spark, args.input),
+                            _grid_from_args(args))
+        write_dataset(out, args.output, mode="overwrite")
+        return 0
+
+    if args.cmd == "patch":
+        from xcube_spark.cube.metadata import edit_metadata
+
+        with open(args.patch_file) as f:
+            patch = json.load(f)
+        df = open_dataset(spark, args.input)
+        write_dataset(df, args.output, mode="overwrite")
+        edit_metadata(args.output, patch)
+        return 0
+
+    if args.cmd == "vars2dim":
+        from xcube_spark.operators.vars2dim import vars_to_dim
+
+        out = vars_to_dim(open_dataset(spark, args.input),
+                          dim_name=args.dim_name,
+                          data_name=args.value_name)
         write_dataset(out, args.output, mode="overwrite")
         return 0
 
