@@ -216,15 +216,22 @@ def exact_dedup_map(
     normalize: bool = True,
 ) -> DataFrame:
     """Exact dedup: map every doc to the canonical (min-id) doc with the
-    same content digest -> (id, digest, canonical_id, group_size)."""
+    same content digest -> (id, digest, canonical_id, group_size).
+
+    Window form, not groupBy+join-back: both need one shuffle on the
+    digest, but the join form evaluates the normalize+md5 projection
+    over the raw text TWICE (once per join side) — at corpus scale the
+    text scan dominates, so halving it roughly halves the query."""
     content = F.col(text_col)
     if normalize:
         content = F.lower(F.regexp_replace(F.trim(content), r"\s+", " "))
     h = docs.select(F.col(id_col), F.md5(content).alias("digest"))
-    groups = h.groupBy("digest").agg(
-        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    w = Window.partitionBy("digest")
+    return h.select(
+        id_col, "digest",
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
-    return h.join(groups, "digest").select(id_col, "digest", "canonical_id", "group_size")
 
 
 def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",

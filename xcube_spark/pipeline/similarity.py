@@ -49,9 +49,14 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast queries x corpus scan.
 
-    Output: (query_id, vec_id, cosine, rank<=k).  The only shuffle is
-    the per-query window rank over candidate rows; with AQE the
-    pre-rank local top-k prune keeps that shuffle tiny.
+    Output: (query_id, vec_id, cosine, rank<=k).  The distance math is
+    all JVM-side (zip_with/aggregate); a **per-partition top-k
+    combine** (Arrow-batched bounded prune, the map-side-combine analog
+    for rank) cuts the rank shuffle from |corpus| x |queries| candidate
+    rows down to at most partitions x |queries| x k — the global
+    window then ranks a metadata-sized set.  Any row in a partition's
+    true top-k is also in its Arrow batch's top-k, so the prune is
+    lossless.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -64,11 +69,19 @@ def knn_bruteforce(
             cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
         )
     )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.sort_values("cosine", ascending=False)
+                       .groupby(query_id_col, sort=False).head(k))
+
+    pruned = scored.mapInPandas(local_topk, scored.schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
 
