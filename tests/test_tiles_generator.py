@@ -166,3 +166,75 @@ def test_coverage_single_axis_subset():
 
     req2 = parse_coverage_params({"subset": "lon(-5:5)"})
     assert req2.bbox[0] == -5.0 and req2.bbox[2] == 5.0
+
+
+# ---- multi-level datasets (operators/mldataset.py) ---------------------
+
+
+def test_base_mldataset_lazy_levels(spark):
+    """Levels build on first access only; grids follow the halving rule."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.mldataset import BaseMultiLevelDataset
+
+    grid = CubeGrid(width=20, height=10, time_periods=2, x_res=18.0,
+                    y_res=18.0)
+    mlds = BaseMultiLevelDataset(new_cube(spark, grid, {"v": 1.0}), grid,
+                                 num_levels=3)
+    assert mlds.num_levels == 3
+    assert [g.width for g in mlds.grids] == [20, 10, 5]
+    assert mlds._cache == {}          # nothing built yet
+    l2 = mlds.get_dataset(2)
+    assert l2.count() == 5 * 3 * 2    # ceil(10/4)=3 rows
+    assert set(mlds._cache) == {0, 1, 2}  # built through the chain
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        mlds.get_dataset(3)
+
+
+def test_combined_and_computed_mldataset(spark):
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.mldataset import (BaseMultiLevelDataset,
+                                                 CombinedMultiLevelDataset,
+                                                 ComputedMultiLevelDataset)
+
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0)
+    a = BaseMultiLevelDataset(new_cube(spark, grid, {"a": 1.0}), grid, 2)
+    b = BaseMultiLevelDataset(new_cube(spark, grid, {"b": 2.0}), grid, 2)
+    comb = CombinedMultiLevelDataset([a, b])
+    l0 = comb.get_dataset(0)
+    assert {"a", "b"} <= set(l0.columns)
+    assert l0.count() == grid.size
+
+    def doubled(inputs, index):
+        return inputs[0].get_dataset(index).withColumn(
+            "a2", F.col("a") * 2)
+
+    comp = ComputedMultiLevelDataset(doubled, [a], 2, grid)
+    assert comp.get_dataset(1).where(F.col("a2") == 2.0).count() > 0
+
+
+def test_fs_mldataset_roundtrip(spark, tmp_path):
+    """write_mldataset -> .levels dir (+ .zlevels spec) -> lazy reopen."""
+    import os
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.mldataset import (BaseMultiLevelDataset,
+                                                 FsMultiLevelDataset,
+                                                 write_mldataset)
+
+    grid = CubeGrid(width=16, height=8, time_periods=2, x_res=22.5,
+                    y_res=22.5)
+    src = BaseMultiLevelDataset(new_cube(spark, grid, {"v": 3.0}), grid, 3)
+    path = str(tmp_path / "pyramid.levels")
+    write_mldataset(src, path)
+    assert os.path.exists(os.path.join(path, ".zlevels"))
+    back = FsMultiLevelDataset(spark, path)
+    assert back.num_levels == 3
+    assert back.grid(1).width == 8 and back.grid(1).x_res == 45.0
+    assert back.get_dataset(2).count() == src.get_dataset(2).count()
