@@ -119,3 +119,66 @@ def test_sample_frames(spark, docs):
     # 1000 bytes -> 4 frames -> keep idx 0, 2
     assert sorted(by_doc[3]) == [0, 2]
     assert by_doc[1] == [0]
+
+
+# ---- compute-op registry (pipeline/ops.py) -----------------------------
+
+
+def test_op_registry_schema_and_invoke(spark):
+    """@operation/@op_param derive a JSON schema from the signature,
+    validate requests, and dispatch to the DataFrame op."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.pipeline.ops import OP_REGISTRY
+
+    info = OP_REGISTRY.get_op("spatial_subset")
+    schema = info.params_schema
+    assert schema["properties"]["bbox"]["type"] == "array"
+    assert schema["properties"]["bbox"]["title"] == "Bounding box"
+    assert "bbox" in schema["required"]
+
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0)
+    cube = new_cube(spark, grid, {"v": 1.0})
+    out = OP_REGISTRY.invoke("spatial_subset", cube,
+                             {"bbox": [-180.0, -90.0, 0.0, 0.0]})
+    assert 0 < out.count() < grid.size
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="missing required"):
+        OP_REGISTRY.invoke("spatial_subset", cube, {})
+    with _pytest.raises(ValueError, match="unknown parameter"):
+        OP_REGISTRY.invoke("spatial_subset", cube,
+                           {"bbox": [0, 0, 1, 1], "nope": 1})
+    with _pytest.raises(KeyError):
+        OP_REGISTRY.get_op("never_registered")
+
+
+def test_op_registry_custom_op(spark):
+    from pyspark.sql import DataFrame, functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.pipeline.ops import OpRegistry, op_param, operation
+
+    reg = OpRegistry()
+
+    @operation(op_registry=reg)
+    @op_param("factor", op_registry=reg, description="scale factor")
+    def scale_var(dataset: DataFrame, factor: float = 2.0) -> DataFrame:
+        """Multiply v by factor."""
+        return dataset.withColumn("v", F.col("v") * factor)
+
+    info = reg.get_op("scale_var")
+    assert info.params_schema["properties"]["factor"]["default"] == 2.0
+    assert info.params_schema["required"] == []
+    grid = CubeGrid(width=4, height=2, time_periods=1, x_res=90.0,
+                    y_res=90.0)
+    out = reg.invoke("scale_var", new_cube(spark, grid, {"v": 3.0}),
+                     {"factor": 10.0})
+    assert out.select(F.min("v")).first()[0] == 30.0
+    # type validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="must be number"):
+        reg.invoke("scale_var", new_cube(spark, grid, {"v": 1.0}),
+                   {"factor": "big"})
