@@ -110,3 +110,34 @@ def test_split_var_assignment():
 def test_constant_expr(df):
     rows = _one(df, "2 * pi")
     assert [round(r["r"], 9) for r in rows] == [round(2 * math.pi, 9)] * 3
+
+
+# ---- CF calendars (functions/cftime.py) --------------------------------
+
+
+def test_cf_calendar_decode(spark):
+    """noleap/360_day decode with pure Column math; 360_day Feb 29/30
+    clamp to Feb 28 (documented lossy mapping)."""
+    from datetime import datetime
+
+    from xcube_spark.functions.cftime import decode_cf_time
+
+    df = spark.createDataFrame([(0.0,), (59.0,), (364.0,), (365.0,)], ["t"])
+    got = {r["t"]: (r["nl"], r["d360"]) for r in df.select(
+        "t",
+        decode_cf_time(F.col("t"), "days since 2000-01-01",
+                       "noleap").alias("nl"),
+        decode_cf_time(F.col("t"), "days since 2000-01-01",
+                       "360_day").alias("d360"),
+    ).collect()}
+    assert got[0.0] == (datetime(2000, 1, 1), datetime(2000, 1, 1))
+    assert got[59.0] == (datetime(2000, 3, 1), datetime(2000, 2, 28))
+    assert got[364.0] == (datetime(2000, 12, 31), datetime(2001, 1, 5))
+    assert got[365.0] == (datetime(2001, 1, 1), datetime(2001, 1, 6))
+    # hour units + standard calendar passthrough
+    row = df.limit(1).select(decode_cf_time(
+        F.lit(36.0), "hours since 2000-01-01", "standard").alias("x")).first()
+    assert row["x"] == datetime(2000, 1, 2, 12, 0)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unsupported CF calendar"):
+        decode_cf_time(F.col("t"), "days since 2000-01-01", "julian")

@@ -444,12 +444,14 @@ def open_zarr_cube(
             continue
         adf = axis_df(name, idx)
         if name == "time":
-            epoch, per_unit = parse_time_units(
-                arrays["time"].attrs.get("units",
-                                         "seconds since 1970-01-01"))
+            from xcube_spark.functions.cftime import decode_cf_time
+
             adf = adf.select(
-                idx, F.timestamp_seconds(
-                    F.lit(epoch) + F.col("time") * F.lit(per_unit)
+                idx, decode_cf_time(
+                    F.col("time"),
+                    arrays["time"].attrs.get("units",
+                                             "seconds since 1970-01-01"),
+                    arrays["time"].attrs.get("calendar"),
                 ).alias("time"))
         out = out.join(F.broadcast(adf), idx)
         coords.append(name)
