@@ -141,3 +141,21 @@ def test_cf_calendar_decode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported CF calendar"):
         decode_cf_time(F.col("t"), "days since 2000-01-01", "julian")
+
+
+def test_validate_expression_api(spark):
+    """Dry-run validate (controllers.py:24): mean over a 2-cell probe;
+    unknown names and bad syntax raise ExprError."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.functions.expression import ExprError, validate_expression
+
+    grid = CubeGrid(width=4, height=2, time_periods=1, x_res=90.0,
+                    y_res=90.0)
+    cube = new_cube(spark, grid, {"A": 2.0, "B": 3.0})
+    out = validate_expression(cube, "A * B + 1")
+    assert out["result"] == 7.0
+    with pytest.raises(ExprError, match="unknown variable"):
+        validate_expression(cube, "A * nosuchvar")
+    with pytest.raises(ExprError):
+        validate_expression(cube, "A +* B")

@@ -510,3 +510,26 @@ def test_shapefile_roundtrip(spark, tmp_path):
     g = rows["1"]["geometry"]
     assert g.startswith("POLYGON((0.0 0.0") and g.count("(") == 3  # hole ring
     assert rows["1"]["VAL"] == 7
+
+
+def test_zarr_cf_grid_mapping(spark, tmp_path):
+    """The store carries a CF grid-mapping variable; CRS round-trips
+    through the CF attrs for 4326/3857/UTM."""
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping,
+                                            read_store, write_zarr_cube)
+
+    grid = _small_grid()
+    path = str(tmp_path / "cf_gm.zarr")
+    write_zarr_cube(new_cube(spark, grid, {"A": 1.0}), path, grid)
+    arrays = read_store(path)
+    gm = arrays["crs"].attrs
+    assert gm["grid_mapping_name"] == "latitude_longitude"
+    assert arrays["A"].attrs["grid_mapping"] == "crs"
+    assert crs_from_grid_mapping(gm) == "EPSG:4326"
+    for crs in ("EPSG:3857", "EPSG:32633", "EPSG:32719"):
+        attrs = cf_grid_mapping_attrs(crs)
+        assert crs_from_grid_mapping(attrs) == crs
+        attrs.pop("epsg_code")  # derive from parameters alone
+        assert crs_from_grid_mapping(attrs) == crs

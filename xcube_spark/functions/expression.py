@@ -265,3 +265,35 @@ def compile_expr(
     if not isinstance(out, Column):
         out = F.lit(out)
     return out
+
+
+def validate_expression(cube, expr: str) -> dict:
+    """Server expressions validate API
+    (webapi/expressions/controllers.py:24 ``validate_expression``): the
+    reference evaluates the expression on a 2-cell dataset slice and
+    returns the mean — catching name, type, and runtime errors before a
+    full evaluation is committed.  Same here: compile (syntax +
+    whitelist), reject unknown variable names against the cube's
+    schema, then evaluate over ``limit(2)`` — a one-task probe job.
+
+    Returns ``{"result": <mean>}``; raises :class:`ExprError` with the
+    reference's error semantics otherwise.
+    """
+    import ast as _ast
+
+    try:
+        tree = _ast.parse(expr.strip(), mode="eval")
+    except SyntaxError as e:
+        raise ExprError(f"invalid expression: {e}") from e
+    known = set(cube.columns) | set(CONSTANTS) | set(FUNCTIONS)
+    unknown = sorted({n.id for n in _ast.walk(tree)
+                      if isinstance(n, _ast.Name) and n.id not in known})
+    if unknown:
+        raise ExprError(f"unknown variable(s) {', '.join(unknown)!s} — "
+                        f"dataset has {sorted(cube.columns)}")
+    col = compile_expr(expr)
+    try:
+        row = cube.limit(2).agg(F.avg(col.cast("double"))).collect()[0]
+    except Exception as e:  # runtime/type errors surface as ExprError
+        raise ExprError(str(e)) from e
+    return {"result": row[0]}

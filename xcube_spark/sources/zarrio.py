@@ -244,6 +244,59 @@ def parse_time_units(units: str) -> tuple[float, float]:
     return dt.replace(tzinfo=timezone.utc).timestamp(), _UNIT_SECONDS[unit]
 
 
+# ---- CF grid mapping (cf-conventions grid_mapping variable) -------------
+
+_WGS84_ELLIPSOID = {"semi_major_axis": 6378137.0,
+                    "inverse_flattening": 298.257223563}
+
+
+def cf_grid_mapping_attrs(crs: str) -> dict:
+    """CRS -> CF grid-mapping attributes (the reference's cfconv
+    encode, xcube/core/gridmapping + util CF helpers): the ``crs``
+    variable any CF reader (xarray/rioxarray) understands."""
+    from xcube_spark.operators.resampling.reproject import parse_utm_crs
+
+    code = crs.upper()
+    if code == "EPSG:4326":
+        return {"grid_mapping_name": "latitude_longitude",
+                "epsg_code": crs, **_WGS84_ELLIPSOID}
+    if code == "EPSG:3857":
+        return {"grid_mapping_name": "mercator",
+                "standard_parallel": 0.0,
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0, "false_northing": 0.0,
+                "epsg_code": crs, **_WGS84_ELLIPSOID}
+    utm = parse_utm_crs(code)
+    if utm:
+        zone, south = utm
+        return {"grid_mapping_name": "transverse_mercator",
+                "longitude_of_central_meridian": float(zone * 6 - 183),
+                "latitude_of_projection_origin": 0.0,
+                "scale_factor_at_central_meridian": 0.9996,
+                "false_easting": 500_000.0,
+                "false_northing": 10_000_000.0 if south else 0.0,
+                "epsg_code": crs, **_WGS84_ELLIPSOID}
+    return {"grid_mapping_name": "unknown", "epsg_code": crs}
+
+
+def crs_from_grid_mapping(attrs: Mapping) -> str:
+    """CF grid-mapping attrs -> CRS string (decode side): prefer the
+    recorded EPSG code, else re-derive from the mapping parameters."""
+    if "epsg_code" in attrs:
+        return str(attrs["epsg_code"])
+    name = attrs.get("grid_mapping_name", "")
+    if name == "latitude_longitude":
+        return "EPSG:4326"
+    if name == "mercator":
+        return "EPSG:3857"
+    if name == "transverse_mercator":
+        lon0 = float(attrs.get("longitude_of_central_meridian", 0.0))
+        zone = int(round((lon0 + 183.0) / 6.0))
+        south = float(attrs.get("false_northing", 0.0)) > 0
+        return f"EPSG:32{7 if south else 6}{zone:02d}"
+    raise ValueError(f"cannot derive CRS from grid mapping {dict(attrs)!r}")
+
+
 # ---- writer -------------------------------------------------------------
 
 #: default CF encoding for a data variable
@@ -253,7 +306,8 @@ _DEFAULT_ENC = {"dtype": "<f8", "fill_value": "NaN",
 
 def _var_meta(name: str, grid: CubeGrid, enc: Mapping) -> ZarrArray:
     enc = {**_DEFAULT_ENC, **dict(enc)}
-    attrs = {"_ARRAY_DIMENSIONS": ["time", "y", "x"]}
+    attrs = {"_ARRAY_DIMENSIONS": ["time", "y", "x"],
+             "grid_mapping": "crs"}
     for k in ("scale_factor", "add_offset"):
         if k in enc:
             attrs[k] = enc[k]
@@ -326,6 +380,16 @@ def write_zarr_cube(
                        attrs=attrs)
         _write_array_meta(path, am)
         _write_bytes(os.path.join(path, name, "0"), encode_chunk(vals, am))
+
+    # CF grid-mapping variable: a 1-element array carrying the CRS
+    # attributes (cfconv encode — any CF reader resolves grid_mapping)
+    crs_meta = ZarrArray(name="crs", shape=(1,), chunks=(1,), dtype="|i1",
+                         compressor=None, fill_value=None,
+                         attrs={"_ARRAY_DIMENSIONS": ["crs"],
+                                **cf_grid_mapping_attrs(grid.crs)})
+    _write_array_meta(path, crs_meta)
+    _write_bytes(os.path.join(path, "crs", "0"),
+                 encode_chunk(np.zeros(1, "i1"), crs_meta))
 
     ct, cy, cx = grid.chunks
     meta_payload = {v: m for v, m in metas.items()}
