@@ -182,3 +182,39 @@ def test_op_registry_custom_op(spark):
     with _pytest.raises(ValueError, match="must be number"):
         reg.invoke("scale_var", new_cube(spark, grid, {"v": 1.0}),
                    {"factor": "big"})
+
+
+# ---- gen1 input processors (pipeline/iproc.py) -------------------------
+
+
+def test_gen1_input_processors(spark):
+    """Registry dispatch + the gen1 append loop: default processor
+    normalizes, swath processor routes through rectification, slices
+    stack along t_i."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.pipeline.iproc import (INPUT_PROCESSORS,
+                                            find_input_processor,
+                                            gen1_process_inputs)
+
+    assert {"default", "swath"} <= set(INPUT_PROCESSORS)
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        find_input_processor("sentinel99")
+
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0)
+    s1 = new_cube(spark, grid, {"v": 1.0})
+    s2 = new_cube(spark, grid, {"v": 2.0})
+    cube = gen1_process_inputs([(s1, grid), (s2, grid)], grid)
+    assert cube.count() == 2 * grid.size
+    assert cube.where(F.col("t_i") == 1).agg(
+        F.min("v")).first()[0] == 2.0
+
+    # swath path: per-pixel coords aligned with the grid -> identity
+    sw = s1.withColumns({"lon": F.col("x"), "lat": F.col("y")})
+    out = gen1_process_inputs([(sw, grid)], grid, processor="swath",
+                              var_names=["v"])
+    assert out.where(F.col("v") == 1.0).count() == grid.size
