@@ -533,3 +533,62 @@ def test_zarr_cf_grid_mapping(spark, tmp_path):
         assert crs_from_grid_mapping(attrs) == crs
         attrs.pop("epsg_code")  # derive from parameters alone
         assert crs_from_grid_mapping(attrs) == crs
+
+
+# ---- GeoTIFF (sources/geotiff.py) --------------------------------------
+
+
+def test_geotiff_roundtrip(spark, tmp_path):
+    """Tiled DEFLATE multi-band float64 GeoTIFF round-trips bit-exact,
+    NULLs through GDAL_NODATA, georef through scale+tiepoint."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.geotiff import (_read_ifds, open_geotiff_cube,
+                                             write_geotiff)
+
+    grid = CubeGrid(width=50, height=30, time_periods=1, x_res=1.0,
+                    y_res=1.0, x_start=10.0, y_start=40.0)
+    cube = new_cube(spark, grid, {"A": "CAST(y_i * 100 + x_i AS DOUBLE)",
+                                  "B": ("uniform", 5, 0.2)})
+    path = str(tmp_path / "rt.tif")
+    write_geotiff(cube, path, ["A", "B"], width=50, height=30, tile=16,
+                  x_start=10.0, y_end=70.0, res=1.0, epsg=4326)
+    ifd = _read_ifds(path)[0]
+    assert ifd.tiled and ifd.crs == "EPSG:4326" and ifd.nodata == -9999.0
+    back = open_geotiff_cube(spark, path, band_names=["A", "B"])
+    assert back.count() == 1500
+    j = cube.select("y_i", "x_i", "A", "B").join(
+        back.select("y_i", "x_i", F.col("A").alias("A2"),
+                    F.col("B").alias("B2")), ["y_i", "x_i"])
+    assert j.where(F.col("A") != F.col("A2")).count() == 0
+    assert j.where(F.col("B").isNull() != F.col("B2").isNull()).count() == 0
+    r = back.where((F.col("y_i") == 0) & (F.col("x_i") == 0)).first()
+    assert (r["y"], r["x"]) == (69.5, 10.5)
+
+
+def test_geotiff_format_dispatch(spark, tmp_path):
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.dsio import guess_format, open_dataset, write_dataset
+
+    assert guess_format("/data/scene.tif") == "geotiff"
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0)
+    path = str(tmp_path / "d.tif")
+    write_dataset(new_cube(spark, grid, {"v": 7.0}), path,
+                  var_names=["v"], width=8, height=4)
+    back = open_dataset(spark, path, band_names=["v"])
+    assert back.count() == 32
+
+
+def test_geotiff_unsupported_features(tmp_path):
+    import pytest as _pytest
+
+    from xcube_spark.sources.geotiff import _read_ifds
+
+    bad = tmp_path / "x.tif"
+    bad.write_bytes(b"GARBAGE!")
+    with _pytest.raises(ValueError, match="not a TIFF"):
+        _read_ifds(str(bad))

@@ -219,6 +219,48 @@ def cube_normalize_time(spark, sf_dir):
     )
 
 
+_GEOTIFF_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_geotiff_ingest",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT y_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) AS A_sum,
+               ROUND(AVG(A), 6) + 0.0 AS A_mean
+        FROM cube WHERE t_i = 0
+        GROUP BY y_i
+    """,
+)
+def cube_geotiff_ingest(spark, sf_dir):
+    """GeoTIFF round-trip (plugin.py geotiff accessors / rioxarray
+    openers): the fixture cube's t=0 plane written as a tiled DEFLATE
+    float64 GeoTIFF (GeoKeys, GDAL_NODATA, tiepoint georeferencing),
+    re-ingested chunk-parallel, and aggregated per row — float64 bands
+    round-trip bit-exactly, so the oracle recomputes from the cube
+    definition directly."""
+    import tempfile
+
+    from xcube_spark.sources.geotiff import open_geotiff_cube, write_geotiff
+
+    if "p" not in _GEOTIFF_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_tif_") + "/plane.tif"
+        plane = new_cube(spark, GRID, variables=SPARK_VARS) \
+            .where(F.col("t_i") == 0)
+        write_geotiff(plane, path, ["A"], width=GRID.width,
+                      height=GRID.height, tile=128,
+                      x_start=GRID.x_start, y_end=GRID.y_end,
+                      res=GRID.x_res, epsg=4326)
+        _GEOTIFF_PATH["p"] = path
+    back = open_geotiff_cube(spark, _GEOTIFF_PATH["p"], band_names=["A"])
+    return back.groupBy("y_i").agg(
+        F.count("A").alias("n"),
+        F.round(F.sum("A"), 4).alias("A_sum"),
+        (F.round(F.avg("A"), 6) + F.lit(0.0)).alias("A_mean"),
+    )
+
+
 _ZARR_PATH: dict[str, str] = {}
 
 

@@ -73,6 +73,30 @@ class ZarrFormatDriver(FormatDriver):
 
 
 @dataclass(frozen=True)
+class GeoTiffFormatDriver(FormatDriver):
+    """GeoTIFF/COG entry (plugin.py:91-218 geotiff accessors,
+    store/fs/impl/geotiff.py): self-implemented classic-TIFF subset
+    reader (sources/geotiff.py), chunk-parallel like zarr."""
+
+    def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
+        from xcube_spark.sources.geotiff import open_geotiff_cube
+
+        return open_geotiff_cube(
+            spark, path, level=options.get("level", 0),
+            band_names=options.get("band_names"))
+
+    def write(self, df: DataFrame, path: str, mode: str = "error",
+              **options) -> None:
+        from xcube_spark.sources.geotiff import write_geotiff
+
+        required = {"var_names", "width", "height"}
+        missing = required - set(options)
+        if missing:
+            raise ValueError(f"geotiff write needs options {sorted(missing)}")
+        write_geotiff(df, path, **options)
+
+
+@dataclass(frozen=True)
 class FeatureFormatDriver(FormatDriver):
     """Vector-feature entries (GeoJSON / ESRI Shapefile accessors,
     /root/reference/xcube/plugin.py:91-218): read-only dispatch to the
@@ -95,6 +119,7 @@ FORMATS: dict[str, FormatDriver] = {
     "zarr": ZarrFormatDriver("zarr", (".zarr",)),
     "geojson": FeatureFormatDriver("geojson", (".geojson",)),
     "shapefile": FeatureFormatDriver("shapefile", (".shp",)),
+    "geotiff": GeoTiffFormatDriver("geotiff", (".tif", ".tiff")),
     "csv": FormatDriver(
         "csv",
         (".csv",),
