@@ -592,3 +592,29 @@ def test_geotiff_unsupported_features(tmp_path):
     bad.write_bytes(b"GARBAGE!")
     with _pytest.raises(ValueError, match="not a TIFF"):
         _read_ifds(str(bad))
+
+
+def test_geotiff_cog_overviews(spark, tmp_path):
+    """A COG-style file (overview IFDs) opens as a lazy pyramid."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.geotiff import open_geotiff_levels, write_geotiff
+
+    grid = CubeGrid(width=32, height=16, time_periods=1, x_res=1.0,
+                    y_res=1.0, x_start=0.0, y_start=0.0)
+    cube = new_cube(spark, grid, {"v": "CAST(y_i * 32 + x_i AS DOUBLE)"})
+    path = str(tmp_path / "cog.tif")
+    write_geotiff(cube, path, ["v"], width=32, height=16, tile=8,
+                  x_start=0.0, y_end=16.0, res=1.0, overviews=2)
+    mlds = open_geotiff_levels(spark, path, band_names=["v"])
+    assert mlds.num_levels == 3
+    assert mlds.grid(0).width == 32 and mlds.grid(1).width == 16
+    assert mlds.get_dataset(0).count() == 32 * 16
+    l1 = mlds.get_dataset(1)
+    assert l1.count() == 16 * 8
+    # decimation: overview (0,0) = base (0,0)
+    assert l1.where((F.col("y_i") == 0) & (F.col("x_i") == 0))\
+        .first()["v"] == 0.0
+    assert mlds.get_dataset(2).count() == 8 * 4

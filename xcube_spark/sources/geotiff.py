@@ -325,11 +325,13 @@ def write_geotiff(
     nodata: float = -9999.0,
     epsg: int = 4326,
     compress: bool = True,
+    overviews: int = 0,
 ) -> None:
     """Minimal tiled float64 GeoTIFF writer (DEFLATE, GeoKeys,
-    GDAL_NODATA) — collects the raster driver-side, so intended for
-    level tiles / test fixtures, not cube-scale export (that path is
-    parquet/zarr)."""
+    GDAL_NODATA; ``overviews`` extra IFDs of 2x-decimated data makes
+    the output a Cloud-Optimized-style pyramid) — collects the raster
+    driver-side, so intended for level tiles / test fixtures, not
+    cube-scale export (that path is parquet/zarr)."""
     rows = cube.select("y_i", "x_i", *var_names).collect()
     n_bands = len(var_names)
     img = np.full((height, width, n_bands), nodata, "<f8")
@@ -338,101 +340,101 @@ def write_geotiff(
             if r[v] is not None:
                 img[r["y_i"], r["x_i"], bi] = r[v]
 
-    ta = (width + tile - 1) // tile
-    td = (height + tile - 1) // tile
-    blocks = []
-    for ty in range(td):
-        for tx in range(ta):
-            block = np.full((tile, tile, n_bands), nodata, "<f8")
-            part = img[ty * tile:(ty + 1) * tile,
-                       tx * tile:(tx + 1) * tile, :]
-            block[:part.shape[0], :part.shape[1], :] = part
-            raw = block.tobytes()
-            blocks.append(zlib.compress(raw, 6) if compress else raw)
+    planes = [img]
+    for _ in range(overviews):
+        planes.append(planes[-1][::2, ::2, :])
 
-    def entry(tag, typ, vals):
-        return tag, typ, vals
+    def plane_blocks(p: np.ndarray) -> list[bytes]:
+        h, w = p.shape[:2]
+        out = []
+        for ty in range((h + tile - 1) // tile):
+            for tx in range((w + tile - 1) // tile):
+                block = np.full((tile, tile, n_bands), nodata, "<f8")
+                part = p[ty * tile:(ty + 1) * tile,
+                         tx * tile:(tx + 1) * tile, :]
+                block[:part.shape[0], :part.shape[1], :] = part
+                raw = block.tobytes()
+                out.append(zlib.compress(raw, 6) if compress else raw)
+        return out
 
     geo_keys = [1, 1, 0, 3,
                 1024, 0, 1, 2 if epsg < 32600 else 1,  # model type
                 (2048 if epsg < 32600 else 3072), 0, 1, epsg,
                 1025, 0, 1, 1]  # RasterPixelIsArea
     nodata_s = f"{nodata}".encode() + b"\0"
-    tags = [
-        entry(_T_WIDTH, 3, [width]), entry(_T_HEIGHT, 3, [height]),
-        entry(_T_BITS, 3, [64] * n_bands),
-        entry(_T_COMPRESSION, 3, [8 if compress else 1]),
-        entry(_T_PHOTO, 3, [1]),
-        entry(_T_SAMPLES, 3, [n_bands]),
-        entry(_T_PLANAR, 3, [1]),
-        entry(_T_TILE_W, 3, [tile]), entry(_T_TILE_H, 3, [tile]),
-        entry(_T_TILE_OFFSETS, 4, None),   # patched below
-        entry(_T_TILE_COUNTS, 4, [len(b) for b in blocks]),
-        entry(_T_SAMPLE_FORMAT, 3, [3] * n_bands),
-        entry(_T_PIXEL_SCALE, 12, [res, res, 0.0]),
-        entry(_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x_start, y_end, 0.0]),
-        entry(_T_GEO_KEYS, 3, geo_keys),
-        entry(_T_GDAL_NODATA, 2, nodata_s),
-    ]
-    tags.sort(key=lambda t: t[0])
 
-    # layout: header(8) + IFD + out-of-line tag data + blocks
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(tags) + 4
-    data_off = ifd_off + ifd_size
-    out_of_line = []
-    patched = []
-    n_blocks = len(blocks)
-    # reserve out-of-line space (tile offsets patched after layout)
-    for tag, typ, vals in tags:
-        if tag == _T_TILE_OFFSETS:
-            vals = [0] * n_blocks
-        if typ == 2:
-            size, pack = len(vals), bytes(vals)
-        else:
-            fmt = {3: "H", 4: "I", 12: "d"}[typ]
-            size = len(vals) * struct.calcsize(fmt)
-            pack = struct.pack(f"<{len(vals)}{fmt}", *vals)
-        patched.append((tag, typ, vals, size, pack))
-    inline_cursor = data_off
-    entries = []
-    for tag, typ, vals, size, pack in patched:
-        if size <= 4:
-            entries.append((tag, typ, vals, pack.ljust(4, b"\0"), None))
-        else:
-            entries.append((tag, typ, vals, struct.pack("<I", inline_cursor),
-                            inline_cursor))
-            out_of_line.append((inline_cursor, size))
-            inline_cursor += size
-    blocks_off = inline_cursor
-    offs, cur = [], blocks_off
-    for b in blocks:
-        offs.append(cur)
-        cur += len(b)
+    def plane_tags(p: np.ndarray, level: int, blocks: list[bytes]):
+        h, w = p.shape[:2]
+        tags = [
+            (_T_WIDTH, 3, [w]), (_T_HEIGHT, 3, [h]),
+            (_T_BITS, 3, [64] * n_bands),
+            (_T_COMPRESSION, 3, [8 if compress else 1]),
+            (_T_PHOTO, 3, [1]),
+            (_T_SAMPLES, 3, [n_bands]),
+            (_T_PLANAR, 3, [1]),
+            (_T_TILE_W, 3, [tile]), (_T_TILE_H, 3, [tile]),
+            (_T_TILE_OFFSETS, 4, [0] * len(blocks)),  # patched at layout
+            (_T_TILE_COUNTS, 4, [len(b) for b in blocks]),
+            (_T_SAMPLE_FORMAT, 3, [3] * n_bands),
+            (_T_PIXEL_SCALE, 12, [res * (2 ** level), res * (2 ** level),
+                                  0.0]),
+            (_T_TIEPOINT, 12, [0.0, 0.0, 0.0, x_start, y_end, 0.0]),
+            (_T_GEO_KEYS, 3, geo_keys),
+            (_T_GDAL_NODATA, 2, nodata_s),
+        ]
+        tags.sort(key=lambda t: t[0])
+        return tags
 
-    buf = bytearray(b"II*\0" + struct.pack("<I", ifd_off))
-    buf += struct.pack("<H", len(entries))
-    payload = {}
-    for (tag, typ, vals, val4, pos) in entries:
-        if tag == _T_TILE_OFFSETS:
-            vals = offs
+    def pack_vals(typ: int, vals) -> bytes:
         if typ == 2:
-            pack = bytes(vals)
-        else:
-            fmt = {3: "H", 4: "I", 12: "d"}[typ]
-            pack = struct.pack(f"<{len(vals)}{fmt}", *vals)
-        cnt = len(vals)
-        buf += struct.pack("<HHI", tag, typ, cnt)
-        if pos is None:
-            buf += pack.ljust(4, b"\0")
-        else:
-            buf += val4
-            payload[pos] = pack
-    buf += struct.pack("<I", 0)  # no next IFD
-    for pos in sorted(payload):
-        assert len(buf) == pos, (len(buf), pos)
-        buf += payload[pos]
-    for b in blocks:
-        buf += b
+            return bytes(vals)
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        return struct.pack(f"<{len(vals)}{fmt}", *vals)
+
+    # ---- layout: header, then per plane [IFD, out-of-line data,
+    # blocks], each IFD's next-pointer chaining to the following one
+    all_blocks = [plane_blocks(p) for p in planes]
+    cursor = 8
+    ifd_offsets = []
+    layouts = []  # (tags, data_off, blocks_off) per plane
+    for level, (p, blocks) in enumerate(zip(planes, all_blocks)):
+        tags = plane_tags(p, level, blocks)
+        ifd_offsets.append(cursor)
+        data_off = cursor + 2 + 12 * len(tags) + 4
+        oo_size = sum(len(pack_vals(t, v)) for _, t, v in tags
+                      if len(pack_vals(t, v)) > 4)
+        blocks_off = data_off + oo_size
+        layouts.append((tags, data_off, blocks_off))
+        cursor = blocks_off + sum(len(b) for b in blocks)
+
+    buf = bytearray(b"II*\0" + struct.pack("<I", ifd_offsets[0]))
+    for level, ((tags, data_off, blocks_off), blocks) in enumerate(
+            zip(layouts, all_blocks)):
+        # patch tile offsets now that the block base is known
+        offs, cur = [], blocks_off
+        for b in blocks:
+            offs.append(cur)
+            cur += len(b)
+        assert len(buf) == ifd_offsets[level]
+        buf += struct.pack("<H", len(tags))
+        oo_cursor = data_off
+        oo_payload = bytearray()
+        for tag, typ, vals in tags:
+            if tag == _T_TILE_OFFSETS:
+                vals = offs
+            pack = pack_vals(typ, vals)
+            buf += struct.pack("<HHI", tag, typ, len(vals))
+            if len(pack) <= 4:
+                buf += pack.ljust(4, b"\0")
+            else:
+                buf += struct.pack("<I", oo_cursor)
+                oo_cursor += len(pack)
+                oo_payload += pack
+        next_ifd = ifd_offsets[level + 1] if level + 1 < len(ifd_offsets) \
+            else 0
+        buf += struct.pack("<I", next_ifd)
+        buf += oo_payload
+        for b in blocks:
+            buf += b
     with open(path, "wb") as f:
         f.write(bytes(buf))
