@@ -618,3 +618,28 @@ def test_geotiff_cog_overviews(spark, tmp_path):
     assert l1.where((F.col("y_i") == 0) & (F.col("x_i") == 0))\
         .first()["v"] == 0.0
     assert mlds.get_dataset(2).count() == 8 * 4
+
+
+def test_kerchunk_reference_store(spark, tmp_path):
+    """kerchunk refs over a zarr store: packed-blob byte ranges and
+    inline metadata resolve to the identical cube."""
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import (open_kerchunk_cube,
+                                            open_zarr_cube,
+                                            write_kerchunk_refs,
+                                            write_zarr_cube)
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": "CAST(t_i * 10 + y_i AS DOUBLE)",
+                                  "B": ("uniform", 11, 0.3)})
+    zp = str(tmp_path / "src.zarr")
+    write_zarr_cube(cube, zp, grid)
+    refs_path = str(tmp_path / "refs.json")
+    blob = str(tmp_path / "packed.bin")
+    n = write_kerchunk_refs(zp, refs_path, pack=blob)
+    assert n > 10
+    direct = open_zarr_cube(spark, zp)
+    virtual = open_kerchunk_cube(spark, refs_path)
+    assert virtual.columns == direct.columns
+    assert direct.exceptAll(virtual).count() == 0
+    assert virtual.count() == grid.size
