@@ -643,3 +643,55 @@ def test_kerchunk_reference_store(spark, tmp_path):
     assert virtual.columns == direct.columns
     assert direct.exceptAll(virtual).count() == 0
     assert virtual.count() == grid.size
+
+
+# ---- classic NetCDF (sources/netcdf3.py) -------------------------------
+
+
+def test_netcdf3_roundtrip(spark, tmp_path):
+    """CDF-1 write -> read round-trips values, coords, CF time, NULLs."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.netcdf3 import (open_netcdf_cube,
+                                             read_netcdf_header,
+                                             write_netcdf_cube)
+
+    grid = CubeGrid(width=20, height=10, time_periods=3, x_res=18.0,
+                    y_res=18.0)
+    cube = new_cube(spark, grid,
+                    {"A": "CAST(t_i * 1000 + y_i * 20 + x_i AS DOUBLE)",
+                     "B": ("uniform", 3, 0.25)})
+    path = str(tmp_path / "rt.nc")
+    write_netcdf_cube(cube, path, grid)
+    nc = read_netcdf_header(path)
+    assert [d[0] for d in nc.dims] == ["time", "lat", "lon"]
+    assert nc.gattrs["Conventions"] == "CF-1.8"
+    back = open_netcdf_cube(spark, path)
+    cols = ["t_i", "y_i", "x_i", "time", "y", "x", "A", "B"]
+    assert back.columns == cols
+    assert cube.select(*cols).exceptAll(back.select(*cols)).count() == 0
+    assert (back.where(F.col("B").isNull()).count()
+            == cube.where(F.col("B").isNull()).count())
+
+
+def test_netcdf3_format_dispatch_and_errors(spark, tmp_path):
+    import pytest as _pytest
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.dsio import guess_format, open_dataset, write_dataset
+    from xcube_spark.sources.netcdf3 import read_netcdf_header
+
+    assert guess_format("/data/cube.nc") == "netcdf"
+    grid = CubeGrid(width=8, height=4, time_periods=2, x_res=45.0,
+                    y_res=45.0)
+    path = str(tmp_path / "d.nc")
+    write_dataset(new_cube(spark, grid, {"v": 5.0}), path, grid=grid)
+    assert open_dataset(spark, path).count() == grid.size
+
+    bad = tmp_path / "x.nc"
+    bad.write_bytes(b"\x89HDF\r\n")  # netCDF4/HDF5 magic
+    with _pytest.raises(ValueError, match="not a classic NetCDF"):
+        read_netcdf_header(str(bad))

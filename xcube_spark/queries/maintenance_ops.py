@@ -219,6 +219,42 @@ def cube_normalize_time(spark, sf_dir):
     )
 
 
+_NETCDF_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_netcdf_ingest",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) + 0.0 AS A_sum,
+               ROUND(AVG(A), 6) + 0.0 AS A_mean
+        FROM cube GROUP BY t_i
+    """,
+)
+def cube_netcdf_ingest(spark, sf_dir):
+    """Classic-NetCDF round-trip (Netcdf4DatasetIO, core/dsio.py:359):
+    the fixture cube written as CDF-1 (CF time units, _FillValue),
+    re-ingested plane-parallel, aggregated per time step — float64
+    variables round-trip bit-exactly, so the oracle recomputes from
+    the cube definition directly."""
+    import tempfile
+
+    from xcube_spark.sources.netcdf3 import open_netcdf_cube, write_netcdf_cube
+
+    if "p" not in _NETCDF_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_nc_") + "/fixture.nc"
+        write_netcdf_cube(new_cube(spark, GRID, variables=SPARK_VARS),
+                          path, GRID, var_names=["A"])
+        _NETCDF_PATH["p"] = path
+    back = open_netcdf_cube(spark, _NETCDF_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        (F.round(F.sum("A"), 4) + F.lit(0.0)).alias("A_sum"),
+        (F.round(F.avg("A"), 6) + F.lit(0.0)).alias("A_mean"),
+    )
+
+
 _GEOTIFF_PATH: dict[str, str] = {}
 
 

@@ -73,6 +73,28 @@ class ZarrFormatDriver(FormatDriver):
 
 
 @dataclass(frozen=True)
+class NetcdfFormatDriver(FormatDriver):
+    """Classic NetCDF entry (Netcdf4DatasetIO,
+    /root/reference/xcube/core/dsio.py:359): self-implemented CDF-1/2
+    reader/writer (sources/netcdf3.py); netCDF4/HDF5 out of scope."""
+
+    def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
+        from xcube_spark.sources.netcdf3 import open_netcdf_cube
+
+        return open_netcdf_cube(spark, path,
+                                var_names=options.get("var_names"))
+
+    def write(self, df: DataFrame, path: str, mode: str = "error",
+              **options) -> None:
+        from xcube_spark.sources.netcdf3 import write_netcdf_cube
+
+        grid = options.pop("grid", None)
+        if grid is None:
+            raise ValueError("netcdf write needs grid=<CubeGrid> option")
+        write_netcdf_cube(df, path, grid, **options)
+
+
+@dataclass(frozen=True)
 class GeoTiffFormatDriver(FormatDriver):
     """GeoTIFF/COG entry (plugin.py:91-218 geotiff accessors,
     store/fs/impl/geotiff.py): self-implemented classic-TIFF subset
@@ -120,6 +142,7 @@ FORMATS: dict[str, FormatDriver] = {
     "geojson": FeatureFormatDriver("geojson", (".geojson",)),
     "shapefile": FeatureFormatDriver("shapefile", (".shp",)),
     "geotiff": GeoTiffFormatDriver("geotiff", (".tif", ".tiff")),
+    "netcdf": NetcdfFormatDriver("netcdf", (".nc", ".cdf")),
     "csv": FormatDriver(
         "csv",
         (".csv",),
