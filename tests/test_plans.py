@@ -153,3 +153,30 @@ def test_extract_join_is_equi_not_range(spark, layout_path):
     plan = _plan(get_cube_values_for_points(cube, GRID, pts))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zarr_chunk_pushdown(spark, tmp_path):
+    """cell_bounds prunes chunk ids in the range table BEFORE any chunk
+    IO: with a corrupted out-of-bounds chunk file the pruned read still
+    succeeds (proof the chunk was never fetched), and results equal the
+    post-hoc filter."""
+    import os
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = CubeGrid(width=16, height=8, time_periods=4, x_res=22.5,
+                    y_res=22.5, chunks=(1, 4, 8))
+    cube = new_cube(spark, grid, {"v": "CAST(t_i AS DOUBLE)"})
+    path = str(tmp_path / "p.zarr")
+    write_zarr_cube(cube, path, grid)
+    full = open_zarr_cube(spark, path)
+    want = full.where((F.col("t_i") <= 1) & (F.col("y_i") >= 4)).collect()
+    # corrupt a chunk that only t_i>=2 reads touch
+    with open(os.path.join(path, "v", "3.0.0"), "wb") as f:
+        f.write(b"NOT A CHUNK")
+    pruned = open_zarr_cube(spark, path,
+                            cell_bounds={"t_i": (0, 1), "y_i": (4, 7)})
+    got = pruned.collect()
+    assert len(got) == len(want) == 2 * 4 * 16
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}

@@ -60,7 +60,8 @@ class ZarrFormatDriver(FormatDriver):
         from xcube_spark.sources.zarrio import open_zarr_cube
 
         return open_zarr_cube(spark, path,
-                              var_names=options.get("var_names"))
+                              var_names=options.get("var_names"),
+                              cell_bounds=options.get("cell_bounds"))
 
     def write(self, df: DataFrame, path: str, mode: str = "error",
               **options) -> None:

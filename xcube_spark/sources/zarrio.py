@@ -428,6 +428,7 @@ def open_zarr_cube(
     spark: SparkSession,
     path: str,
     var_names: list[str] | None = None,
+    cell_bounds: Mapping[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Open a Zarr v2 group as a cells-table DataFrame
     (``t_i, y_i, x_i, time, y, x, <vars>``), the engine's equivalent of
@@ -435,15 +436,21 @@ def open_zarr_cube(
 
     Plan shape: ``range(n_chunks) -> mapInPandas(decode)`` + three
     broadcast axis joins.  Chunk decode is embarrassingly parallel and
-    executor-local; predicates on ``t_i/y_i/x_i`` prune chunk ids in
-    the tiny range table before any chunk IO happens.
-    """
+    executor-local.
+
+    **Chunk pushdown**: a predicate on ``t_i/y_i/x_i`` applied *after*
+    the open cannot cross the Python decode stage, so pass
+    ``cell_bounds={"t_i": (lo, hi), ...}`` (inclusive cell-index
+    ranges) to prune chunk ids in the tiny range table — only
+    intersecting chunks are ever fetched, and the exact cell filter is
+    re-applied after decode (IO proportional to the subset, the
+    reference's lazy-open promise)."""
     arrays = read_store(path)
 
     def fetch(key: str) -> bytes | None:
         return _read_bytes(os.path.join(path, key))
 
-    return _open_cells(spark, arrays, fetch, var_names, path)
+    return _open_cells(spark, arrays, fetch, var_names, path, cell_bounds)
 
 
 def _open_cells(
@@ -452,6 +459,7 @@ def _open_cells(
     fetch,
     var_names: list[str] | None,
     label: str,
+    cell_bounds: Mapping[str, tuple[int, int]] | None = None,
 ) -> DataFrame:
     """Shared reader core over a ``fetch(key) -> bytes | None`` store
     abstraction (directory stores and kerchunk reference stores)."""
@@ -499,7 +507,20 @@ def _open_cells(
 
     schema = "t_i INT, y_i INT, x_i INT, " + ", ".join(
         f"`{v}` DOUBLE" for v in names)
-    cells = spark.range(nt * ny * nx).mapInPandas(gen, schema)
+    rng = spark.range(nt * ny * nx)
+    if cell_bounds:
+        tc = (F.col("id") / (ny * nx)).cast("int")
+        yc = ((F.col("id") % (ny * nx)) / nx).cast("int")
+        xc = (F.col("id") % nx).cast("int")
+        for axis, ccol, csize in (("t_i", tc, ct), ("y_i", yc, cy),
+                                  ("x_i", xc, cx)):
+            if axis in cell_bounds:
+                lo, hi = cell_bounds[axis]
+                rng = rng.where(ccol.between(lo // csize, hi // csize))
+    cells = rng.mapInPandas(gen, schema)
+    if cell_bounds:  # exact cell filter after the chunk-level prune
+        for axis, (lo, hi) in cell_bounds.items():
+            cells = cells.where(F.col(axis).between(lo, hi))
     # Arrow carries missing as NaN; the cells model uses SQL NULL
     cells = cells.select(
         "t_i", "y_i", "x_i",
