@@ -109,3 +109,26 @@ def test_gen_points_in_bounds(spark, grid, n, seed):
         | (F.col("yi") < 0) | (F.col("yi") >= grid.height)
     )
     assert bad.count() == 0
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B, B~C collapse into one cluster even though A~C was never a
+    pair; chains longer than one propagation round converge; canonical
+    filter keeps exactly one doc per cluster."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.dedup import (dedup_keep_canonical,
+                                            near_dup_clusters)
+
+    # two components: a 5-chain (1-2-3-4-5) and a pair (10-11)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], ["id_a", "id_b"])
+    clusters = near_dup_clusters(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 5, 10, 11, 99]],
+        ["doc_id", "text"])
+    kept = dedup_keep_canonical(docs, clusters)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 99]

@@ -234,6 +234,75 @@ def exact_dedup_map(
     )
 
 
+def near_dup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: (doc_id, cluster_id) where
+    cluster_id is the minimum doc id of the connected component.
+
+    This is the step an actual dedup pipeline needs after candidate
+    pairs — "keep one canonical doc per near-dup group" requires the
+    transitive closure, not the pair list (A~B, B~C must collapse to
+    one cluster even though A~C was never emitted).
+
+    Algorithm: hash-to-min label propagation — each iteration every
+    node takes the min label among itself and its neighbors (one
+    equi-join + one partial-agg shuffle per round, both keyed by node
+    id), converging in O(component diameter) rounds with a one-scalar
+    convergence check per round.  Near-dup components are shallow
+    (dup clusters, not social graphs), so 3-5 rounds is typical; the
+    iteration cap bounds pathological chains.  This is the standard
+    scalable connected-components shape — no driver-side graph, no
+    per-row Python.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").union(neighbor_min)
+            .groupBy("node").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Filter the corpus to one canonical doc per near-dup cluster:
+    drop every clustered doc except the cluster's min-id member
+    (unclustered docs pass through untouched) — the apply step of the
+    dedup pipeline.  One left join on the (small) cluster map."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")) \
+        .select(F.col("doc_id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")
+
+
 def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash from md5 token digests -> (id, simhash BIGINT).

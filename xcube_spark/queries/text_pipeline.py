@@ -39,10 +39,10 @@ def doc_exact_dedup(spark, sf_dir):
     return exact_dedup_map(tbl(spark, sf_dir, "documents"))
 
 
-@query(
-    "doc_minhash_near_dups",
-    sql="""
-        WITH toks AS (
+#: shared CTE chain of the minhash pipeline (tokens -> shingles ->
+#: signatures -> bands -> skew-capped buckets -> candidate pairs ->
+#: exact-Jaccard stats); reused by the pairs and clusters oracles
+_MINHASH_CTES = """toks AS (
             SELECT doc_id, lst[i + 1] AS tok, i AS pos
             FROM (SELECT doc_id, string_split(text, ' ') AS lst
                   FROM documents),
@@ -89,7 +89,13 @@ def doc_exact_dedup(spark, sf_dir):
             JOIN sh x ON x.doc_id = c.id_a
             JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
             GROUP BY c.id_a, c.id_b
-        )
+        )"""
+
+
+@query(
+    "doc_minhash_near_dups",
+    sql=f"""
+        WITH {_MINHASH_CTES}
         SELECT i.id_a, i.id_b,
                ROUND(i.c * 1.0 / (sa.n + sb.n - i.c), 6) AS jaccard
         FROM inter i
@@ -106,6 +112,55 @@ def doc_minhash_near_dups(spark, sf_dir):
         k=3, num_hashes=8, num_bands=2, threshold=0.8,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "doc_dedup_clusters",
+    sql=f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach AS (
+            -- transitive closure: min reachable id = component label
+            SELECT a AS node, a AS label FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        ), comp AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.cluster_id, COUNT(*) AS cluster_size,
+               MIN(c.doc_id) AS canonical_id
+        FROM comp c GROUP BY c.cluster_id
+    """,
+)
+def doc_dedup_clusters(spark, sf_dir):
+    """near_dup_clusters (pipeline/dedup.py): resolve minhash near-dup
+    pairs into connected components via hash-to-min label propagation
+    (one join + one partial-agg shuffle per round, convergence checked
+    with a one-scalar probe) — the transitive-closure step a real
+    dedup pipeline needs before dropping non-canonical docs.  The
+    oracle restates the closure as a recursive CTE over the same
+    pair set."""
+    from xcube_spark.pipeline.dedup import near_dup_clusters
+
+    pairs = minhash_near_dup_pairs(
+        tbl(spark, sf_dir, "documents"),
+        k=3, num_hashes=8, num_bands=2, threshold=0.8,
+    )
+    clusters = near_dup_clusters(pairs)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
 
 
 @query(
