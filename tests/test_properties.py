@@ -132,3 +132,32 @@ def test_near_dup_clusters_transitive(spark):
         ["doc_id", "text"])
     kept = dedup_keep_canonical(docs, clusters)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 99]
+
+
+def test_train_ivf_centroids(spark):
+    """Deterministic Lloyd k-means: two well-separated blobs recover
+    their centers; the trained table plugs into knn_ivf."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.similarity import (ivf_assign, knn_ivf,
+                                                 train_ivf_centroids)
+
+    rows = []
+    for i in range(20):  # blob A around (0, 0), blob B around (10, 10)
+        rows.append((i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 3) * 0.01]))
+        rows.append((100 + i, [10.0 + (i % 5) * 0.01, 10.0 + (i % 3) * 0.01]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(emb, k=2, iterations=4)
+    got = sorted([r["embedding"] for r in cents.collect()],
+                 key=lambda v: v[0])
+    assert abs(got[0][0] - 0.02) < 0.05 and abs(got[1][0] - 10.02) < 0.05
+    # assignment separates the blobs perfectly
+    assigned = ivf_assign(emb, cents)
+    cells = assigned.select(
+        (F.col("vec_id") < 100).alias("blob"), "cell").distinct()
+    assert cells.count() == 2
+    # and the index serves queries
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = knn_ivf(emb, q, cents, k=3, n_probe=1)
+    assert [r["vec_id"] for r in out.orderBy("rank").collect()][0] < 100

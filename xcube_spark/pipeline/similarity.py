@@ -225,6 +225,51 @@ def embedding_near_dup_pairs(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means over the
+    embedding column, fully deterministic (seeds = the k lowest-id
+    vectors, fixed iteration count).
+
+    Each iteration is one distributed assign (broadcast centroids,
+    min_by argmin — no corpus shuffle) plus one partial-agg mean per
+    (cell, dimension); the k x dim centroid table round-trips through
+    the driver between iterations, which is the textbook k-means shape
+    (model small, data big).  Returns (vec_id, embedding) centroid rows
+    compatible with :func:`ivf_assign`/:func:`knn_ivf`."""
+    centroids = (
+        corpus.orderBy(id_col).limit(k)
+        .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                .cast("long").alias(id_col),
+                F.col(vec_col))
+    )
+    spark = corpus.sparkSession
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, centroids, id_col=id_col,
+                              vec_col=vec_col)
+        dims = assigned.select(
+            "cell", F.posexplode(vec_col).alias("__d", "__v"))
+        means = (
+            dims.groupBy("cell", "__d").agg(F.avg("__v").alias("__m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("__d", "__m"))).alias("__dm"))
+            .select(F.col("cell").alias(id_col),
+                    F.transform("__dm", lambda s: s["__m"]).alias(vec_col))
+        )
+        # model round-trip: k x dim floats through the driver
+        rows = means.collect()
+        if not rows:
+            break
+        centroids = spark.createDataFrame(rows, means.schema)
+    return centroids
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
