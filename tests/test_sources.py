@@ -695,3 +695,25 @@ def test_netcdf3_format_dispatch_and_errors(spark, tmp_path):
     bad.write_bytes(b"\x89HDF\r\n")  # netCDF4/HDF5 magic
     with _pytest.raises(ValueError, match="not a classic NetCDF"):
         read_netcdf_header(str(bad))
+
+
+def test_normalize_zonal_to_grid(spark):
+    """Zonal-mean rows broadcast across a derived lon axis
+    (normalize.py:236); already-gridded data passes through."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.operators.maintenance import normalize_zonal_to_grid
+
+    zonal = spark.createDataFrame(
+        [(0, i, -90.0 + (i + 0.5) * 45.0, float(i)) for i in range(4)],
+        "t_i int, y_i int, y double, m double")
+    out, grid = normalize_zonal_to_grid(zonal, y_res=45.0)
+    assert grid.width == 8
+    assert out.count() == 4 * 8
+    assert out.columns == ["t_i", "y_i", "x_i", "y", "x", "m"]
+    row = out.where((F.col("y_i") == 2) & (F.col("x_i") == 0)).first()
+    assert row["m"] == 2.0 and row["x"] == -157.5
+    # gridded input passes through untouched
+    same, _ = normalize_zonal_to_grid(out, CubeGrid())
+    assert same is out

@@ -191,6 +191,41 @@ def normalize_2d_coords(
     return out.withColumns(cols).drop("__lat", "__lon")
 
 
+def normalize_zonal_to_grid(
+    zonal: DataFrame,
+    grid: CubeGrid | None = None,
+    y_res: float | None = None,
+) -> tuple[DataFrame, CubeGrid]:
+    """Zonal-mean -> 2-D grid normalization (normalize.py:236
+    ``_normalize_zonal_lat_lon``): a dataset with only latitude rows
+    (``t_i, y_i, [time, y], <vars>`` — no x) broadcasts each zonal
+    value across a full longitude axis at the latitude resolution,
+    exactly the reference's per-latitude fill.
+
+    Spark shape: crossJoin with the (tiny, broadcast) x-axis table —
+    a narrow W-times fan-out, no shuffle of the zonal data."""
+    from pyspark.sql import functions as _F
+
+    if "x_i" in zonal.columns or "x" in zonal.columns:
+        return zonal, grid
+    if grid is None:
+        if y_res is None:
+            raise ValueError("need grid or y_res to derive the lon axis")
+        width = int(round(360.0 / y_res))
+        grid = CubeGrid(width=width, height=int(round(180.0 / y_res)),
+                        x_res=y_res, y_res=y_res)
+    spark = zonal.sparkSession
+    x_axis = spark.range(grid.width).select(
+        _F.col("id").cast("int").alias("x_i"),
+        grid.x_center_expr(_F.col("id").cast("int")).alias("x"),
+    )
+    out = zonal.crossJoin(_F.broadcast(x_axis))
+    dims = [c for c in ("t_i", "y_i", "x_i", "time", "y", "x")
+            if c in out.columns]
+    others = [c for c in out.columns if c not in dims]
+    return out.select(*dims, *others), grid
+
+
 def normalize_dataset(cube: DataFrame, grid: CubeGrid) -> tuple[DataFrame, CubeGrid]:
     """The canonicalization pipeline (normalize.py:45-90) for the cells
     model: 2-D coord collapse + lon shift + y-axis flip + canonical
