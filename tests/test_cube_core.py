@@ -128,3 +128,19 @@ def test_time_series_bbox_and_nulls(cube):
     ts = get_time_series(cube, ["B"], agg_methods=("count",), bbox=[0, 0, 60, 40])
     for row in ts.collect():
         assert row["B_count"] < 6 * 4  # ~30% NULLs are skipped
+
+
+def test_select_subset_antimeridian_bbox(spark):
+    """bbox with x1 > x2 crosses the anti-meridian: both sides of the
+    dateline are selected (reference's split-bounds behavior), and the
+    predicate stays a pushable OR of ranges."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.select import select_spatial_subset
+
+    grid = CubeGrid(width=36, height=4, time_periods=1, x_res=10.0,
+                    y_res=45.0)
+    cube = new_cube(spark, grid, {"v": 1.0})
+    out = select_spatial_subset(cube, bbox=[160.0, -90.0, -160.0, 90.0])
+    xs = sorted({r["x"] for r in out.collect()})
+    assert xs == [-175.0, -165.0, 165.0, 175.0]

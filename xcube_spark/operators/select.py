@@ -53,9 +53,14 @@ def select_spatial_subset(
         raise ValueError("exactly one of bbox / ij_bbox must be given")
     if bbox is not None:
         x1, y1, x2, y2 = bbox
-        return df.where(
-            F.col(x_name).between(x1, x2) & F.col(y_name).between(y1, y2)
-        )
+        if x1 > x2:
+            # anti-meridian crossing (the reference's
+            # get_box_split_bounds_geometry split, geom.py:573-580):
+            # two x ranges OR-ed — still a pushable parquet filter
+            x_pred = (F.col(x_name) >= x1) | (F.col(x_name) <= x2)
+        else:
+            x_pred = F.col(x_name).between(x1, x2)
+        return df.where(x_pred & F.col(y_name).between(y1, y2))
     i1, j1, i2, j2 = ij_bbox
     return df.where(
         F.col("x_i").between(i1, i2) & F.col("y_i").between(j1, j2)
