@@ -53,6 +53,11 @@ from pyspark.sql import functions as F
 
 from xcube_spark.cube.grid import CubeGrid
 
+# cost-model cap for forcing a broadcast of the target-plane-sized
+# ij-lookup: grids past this estimated size stay shuffle joins (AQE can
+# still pick broadcast from runtime stats, but we never force an OOM)
+_BROADCAST_CAP_BYTES = 64_000_000
+
 
 def compute_ij_lookup(
     source: DataFrame,
@@ -261,7 +266,13 @@ def _rectify_fractional(
     )
     times = source.select("t_i").distinct()
     grid = times.crossJoin(tgt_plane)
-    mapped = grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
+    # lookup has one row per covered target pixel (y_i, x_i + two
+    # doubles ~ 32 B) — broadcast only while the whole target plane
+    # fits the cost cap; a large grid stays a shuffle join and AQE may
+    # still downgrade it from runtime stats.
+    if target.width * target.height * 32 <= _BROADCAST_CAP_BYTES:
+        lookup = F.broadcast(lookup)
+    mapped = grid.join(lookup, on=["y_i", "x_i"], how="left")
 
     # 4-corner gather: explode_outer keeps unmapped target cells alive
     corners = F.array(*[
@@ -384,7 +395,12 @@ def rectify_dataset(
         F.col("x_i").alias("__ssx"),
         *vars_,
     )
-    mapped = grid.join(F.broadcast(lookup), on=["y_i", "x_i"], how="left")
+    # lookup is target-plane-sized (one row per covered pixel); same
+    # cost-cap guard as the fractional path — never force a broadcast
+    # that grows with the target grid.
+    if target.width * target.height * 16 * lookup_k <= _BROADCAST_CAP_BYTES:
+        lookup = F.broadcast(lookup)
+    mapped = grid.join(lookup, on=["y_i", "x_i"], how="left")
     if n_times * target.width * target.height * 8 * lookup_k <= 4_000_000:
         # the mapped target (ints only) is broadcast-sized even at T
         # time steps -> the big source side never shuffles for the

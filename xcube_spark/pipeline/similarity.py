@@ -87,8 +87,14 @@ def knn_bruteforce(
                 np.linalg.norm(v, axis=1) * np.linalg.norm(qv, axis=1))
             qid = b.column(query_id_col)
             # bounded local top-k per query within the batch (lossless:
-            # a partition's true top-k survives its batch's top-k)
-            order = np.lexsort((-cos,
+            # a partition's true top-k survives its batch's top-k).
+            # id is the final sort key so the local order is the SAME
+            # total order as the global window (cosine desc, id asc) —
+            # without it, exact-cosine ties at the k boundary could keep
+            # a larger-id row the global ranking would have dropped.
+            ids = np.asarray(
+                b.column(id_col).to_numpy(zero_copy_only=False))
+            order = np.lexsort((ids, -cos,
                                 np.asarray(qid.to_numpy(zero_copy_only=False))))
             keep_idx = []
             last_q, taken = None, 0

@@ -75,16 +75,33 @@ def open_geojson_features(spark: SparkSession, path: str) -> DataFrame:
     are metadata-sized); a newline-delimited file (one Feature per
     line) parses **distributed**: ``spark.read.text`` splits the file,
     each task JSON-decodes its own lines via mapInPandas."""
+    # a FeatureCollection is valid with its members in ANY order (the
+    # "type" key may come after "features"), so sniffing the head is
+    # unreliable — try a full-document parse and fall back to the
+    # distributed NDJSON path only when that fails.  Fast path: when
+    # the FIRST LINE alone is a complete Feature object the file is
+    # newline-delimited; skip the driver-side whole-file load.
     with open(path, "r", encoding="utf-8") as f:
-        head = f.read(4096).lstrip()
-    if head.startswith("{") and '"FeatureCollection"' in head.split("features")[0]:
-        with open(path, "r", encoding="utf-8") as f:
-            fc = json.load(f)
+        first_line = f.readline().strip().rstrip(",")
+    try:
+        head_obj = json.loads(first_line)
+    except json.JSONDecodeError:
+        head_obj = None
+    fc = None
+    if not (isinstance(head_obj, dict) and head_obj.get("type") == "Feature"):
+        try:
+            with open(path, "r", encoding="utf-8") as f:
+                fc = json.load(f)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            fc = None
+    if isinstance(fc, dict) and fc.get("type") == "FeatureCollection":
         rows = [_feature_row(feat, i)
                 for i, feat in enumerate(fc.get("features", []))]
         if not rows:
             raise ValueError(f"no features in {path}")
         return spark.createDataFrame(pd.DataFrame(rows))
+    if isinstance(fc, dict) and fc.get("type") == "Feature":
+        return spark.createDataFrame(pd.DataFrame([_feature_row(fc, 0)]))
 
     lines = spark.read.text(path)
 

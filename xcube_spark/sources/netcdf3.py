@@ -103,46 +103,65 @@ class _Cursor:
         return out
 
 
-def read_netcdf_header(path: str) -> NcFile:
+def read_netcdf_header(path: str, _buf: int = 1 << 20) -> NcFile:
     """Driver-side header parse (CDF-1 32-bit / CDF-2 64-bit offsets)."""
     with open(path, "rb") as f:
-        data = f.read(1 << 20)  # headers are KBs; 1 MB is generous
+        data = f.read(_buf)  # headers are KBs; 1 MB is generous
     if data[:3] != b"CDF" or data[3] not in (1, 2):
         raise ValueError(f"not a classic NetCDF file: {path} "
                          "(netCDF4/HDF5 is out of scope)")
     v64 = data[3] == 2
     c = _Cursor(data)
     c.o = 4
-    numrecs = c.u32()  # -1 = STREAMING
-    dims: list[tuple[str, int]] = []
-    tag, n = c.u32(), c.u32()
-    if tag == _NC_DIMENSION:
-        for _ in range(n):
-            dims.append((c.name(), c.u32()))
-    elif not (tag == 0 and n == 0):
-        raise ValueError("malformed NetCDF dimension list")
-    gattrs = c.att_list()
-    variables: dict[str, NcVar] = {}
-    tag, n = c.u32(), c.u32()
-    recsize = 0
-    if tag == _NC_VARIABLE:
-        for _ in range(n):
-            name = c.name()
-            nd = c.u32()
-            dimids = [c.u32() for _ in range(nd)]
-            attrs = c.att_list()
-            nc_type = c.u32()
-            vsize = c.u32()
-            begin = c.u64() if v64 else c.u32()
-            is_rec = bool(dimids) and dims[dimids[0]][1] == 0
-            variables[name] = NcVar(name=name, dims=dimids,
-                                    dtype=_NC_TYPES[nc_type], vsize=vsize,
-                                    begin=begin, attrs=attrs,
-                                    is_record=is_rec)
-            if is_rec:
-                recsize += vsize
-    elif not (tag == 0 and n == 0):
-        raise ValueError("malformed NetCDF variable list")
+    try:
+        numrecs = c.u32()  # -1 = STREAMING
+        dims: list[tuple[str, int]] = []
+        tag, n = c.u32(), c.u32()
+        if tag == _NC_DIMENSION:
+            for _ in range(n):
+                dims.append((c.name(), c.u32()))
+        elif not (tag == 0 and n == 0):
+            raise ValueError("malformed NetCDF dimension list")
+        gattrs = c.att_list()
+        variables: dict[str, NcVar] = {}
+        tag, n = c.u32(), c.u32()
+        recsize = 0
+        rec_vars: list[NcVar] = []
+        if tag == _NC_VARIABLE:
+            for _ in range(n):
+                name = c.name()
+                nd = c.u32()
+                dimids = [c.u32() for _ in range(nd)]
+                attrs = c.att_list()
+                nc_type = c.u32()
+                vsize = c.u32()
+                begin = c.u64() if v64 else c.u32()
+                is_rec = bool(dimids) and dims[dimids[0]][1] == 0
+                var = NcVar(name=name, dims=dimids,
+                            dtype=_NC_TYPES[nc_type], vsize=vsize,
+                            begin=begin, attrs=attrs, is_record=is_rec)
+                variables[name] = var
+                if is_rec:
+                    rec_vars.append(var)
+                    recsize += vsize
+        elif not (tag == 0 and n == 0):
+            raise ValueError("malformed NetCDF variable list")
+    except (struct.error, IndexError) as e:
+        if len(data) == _buf and os.path.getsize(path) > _buf:
+            # header larger than the read buffer — parse ran off the
+            # end; re-read with a bigger window instead of surfacing a
+            # confusing struct error
+            return read_netcdf_header(path, _buf=_buf * 16)
+        raise ValueError(f"malformed classic-NetCDF header: {path}") from e
+    if len(rec_vars) == 1:
+        # spec special rule: with exactly ONE record variable its
+        # record slots are packed with NO 4-byte padding — the padded
+        # vsize overstates the stride for i1/i2/S1 element types
+        v = rec_vars[0]
+        nelem = 1
+        for d in v.dims[1:]:
+            nelem *= dims[d][1]
+        recsize = nelem * v.dtype.itemsize
     return NcFile(dims=dims, gattrs=gattrs, variables=variables,
                   numrecs=max(numrecs, 0), recsize=recsize)
 

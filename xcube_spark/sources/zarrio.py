@@ -346,6 +346,11 @@ def write_zarr_cube(
             raise FileExistsError(path)
         if mode != "overwrite":
             raise ValueError(f"mode must be error|overwrite, got {mode!r}")
+        # 'w' replaces the store (reference ZarrDatasetIO 'w' mode): a
+        # sparser rewrite over the same chunk grid must not read back
+        # the previous write's stale chunk files as current data
+        import shutil
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     with open(os.path.join(path, ".zgroup"), "w") as f:
         json.dump({"zarr_format": 2}, f)
