@@ -166,7 +166,12 @@ def events_sessionization(spark, sf_dir):
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                # ts may arrive as TIMESTAMP_NTZ (micros parquet) or
+                # TIMESTAMP (nanos-as-long normalization); NTZ has no
+                # direct long cast, so hop via ltz — lossless under the
+                # session's UTC timezone
+                F.col("ts").cast("timestamp_ltz").cast("long")
+                - F.lag("ts").over(w).cast("timestamp_ltz").cast("long")
                 > 30 * 60
             ),
             1,

@@ -53,18 +53,53 @@ def read_events_stream(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """Streaming scan of the events parquet with a proper event-time
-    ``ts`` column (nanos -> microsecond timestamp, identical to the
-    batch ``tbl()`` normalization)."""
+    ``ts`` column, identical to the batch ``tbl()`` normalization.
+
+    File streams require an explicit schema, but the driver's testdata
+    has shipped ``ts`` both as TIMESTAMP(NANOS) (reads as long under
+    the legacy conf) and as TIMESTAMP(MICROS) — so probe the parquet
+    footer once with a batch reader and match its physical type.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source lists a *directory*; a single-file layout
     # streams via a glob filter over its parent
+    footer = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
+    )
+    ts_is_long = isinstance(footer["ts"].dataType, T.LongType)
+    if ts_is_long:
+        schema = EVENTS_SCHEMA
+    else:
+        # watermarks demand TIMESTAMP (with local tz); the parquet's
+        # NTZ micros read as identical instants under the UTC session tz
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.TimestampType())
+                if f.name == "ts"
+                else f
+                for f in footer.fields
+            ]
+        )
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def _ntz(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast timestamp columns back to TIMESTAMP_NTZ so streaming results
+    compare bit-for-bit with the batch twins (which read the parquet's
+    NTZ micros directly); the UTC session tz makes the cast lossless."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampNTZType()))
+    return df
 
 
 def windowed_stats(
@@ -84,6 +119,7 @@ def windowed_stats(
         )
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n", "value_mean", "value_sum")
+        .transform(_ntz, "window_start")
     )
 
 
@@ -107,6 +143,7 @@ def sliding_window_stats(
             F.round(F.avg(value_col), 4).alias("value_mean"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "value_mean")
+        .transform(_ntz, "window_start")
     )
 
 
@@ -131,6 +168,7 @@ def session_window_stats(
             "n_events",
             "value_sum",
         )
+        .transform(_ntz, "session_start")
     )
 
 
@@ -145,9 +183,12 @@ def streaming_dedup(
     bounded key domains."""
     keys = keys or ["event_id"]
     if watermark is not None:
-        return events.withWatermark("ts", watermark) \
-            .dropDuplicatesWithinWatermark(keys)
-    return events.dropDuplicates(keys)
+        return _ntz(
+            events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys),
+            "ts",
+        )
+    return _ntz(events.dropDuplicates(keys), "ts")
 
 
 def run_stream_to_table(
