@@ -1,0 +1,134 @@
+"""Corpus-curation operators (pipeline/curation.py).
+
+Semantics pinned on tiny hand-computed fixtures; the sf-scale
+hash-match against DuckDB lives in queries/curation_ops.py.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.pipeline.curation import (
+    assign_split,
+    decontaminate,
+    det_hash,
+    domain_mix,
+    ngrams,
+    pack_sequences,
+    pii_redact,
+    repetition_stats,
+)
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngrams_distinct_and_short_docs(spark):
+    df = docs(spark, [(1, "a b c a b c"), (2, "x y"), (3, "solo")])
+    got = {
+        (r.doc_id, r.ngram)
+        for r in ngrams(df, n=3).collect()
+    }
+    # doc 1: 4 positional trigrams but only 3 distinct; docs 2/3 too short
+    assert got == {
+        (1, "a b c"), (1, "b c a"), (1, "c a b"),
+    }
+
+
+def test_decontaminate_counts_distinct_gram_hits(spark):
+    corpus = docs(spark, [
+        (1, "the quick brown fox jumps"),   # shares 'the quick brown'
+        (2, "entirely different words here"),
+    ])
+    bench = docs(spark, [(100, "the quick brown cat")])
+    out = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in decontaminate(corpus, bench, n=3).collect()}
+    assert out == {1: (1, True), 2: (0, False)}
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "a b a b": words 4 distinct 2 -> dup_word 0.5
+    # bigrams [a b, b a, a b]: top 'a b' x2 of 3 -> 2/3
+    # trigrams [a b a, b a b]: distinct 2 of 2 -> dup_tri 0.0
+    df = docs(spark, [(1, "a b a b")])
+    r = repetition_stats(df).collect()[0]
+    assert r.dup_word_frac == pytest.approx(0.5)
+    assert r.top_bigram_frac == pytest.approx(2 / 3)
+    assert r.dup_trigram_frac == pytest.approx(0.0)
+
+
+def test_repetition_stats_degenerate_docs(spark):
+    df = docs(spark, [(1, "word"), (2, "x x")])
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].top_bigram_frac == 0.0  # no bigrams
+    assert rows[1].dup_trigram_frac == 0.0
+    assert rows[2].dup_word_frac == pytest.approx(0.5)
+    assert rows[2].top_bigram_frac == pytest.approx(1.0)  # 'x x' x1 of 1
+
+
+def test_pii_redact_cascade(spark):
+    df = docs(spark, [
+        (1, "mail bob@corp.io or 10.0.0.1 acct 123456789012 end"),
+        (2, "clean text"),
+    ])
+    rows = {r.doc_id: r for r in pii_redact(df).collect()}
+    r = rows[1]
+    assert (r.n_emails, r.n_ipv4, r.n_long_digits) == (1, 1, 1)
+    assert r.text_redacted == "mail <EMAIL> or <IP> acct <NUM> end"
+    r2 = rows[2]
+    assert (r2.n_emails, r2.n_ipv4, r2.n_long_digits) == (0, 0, 0)
+    assert r2.text_redacted == "clean text"
+
+
+def test_assign_split_stable_under_growth(spark):
+    small = docs(spark, [(i, "t") for i in range(50)])
+    big = docs(spark, [(i, "t") for i in range(200)])
+    s_small = {r.doc_id: r.split for r in assign_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in assign_split(big).collect()}
+    # growing the corpus never reassigns an existing doc
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) <= {"train", "val", "test"}
+
+
+def test_domain_mix_deterministic_rates(spark):
+    rows = [(i, "t", "keep_half" if i % 2 else "keep_all")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = domain_mix(df, {"keep_half": 0.5}, default_rate=1.0)
+    out = kept.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in out}
+    assert counts["keep_all"] == 200          # default rate keeps all
+    assert 60 <= counts.get("keep_half", 0) <= 140  # ~0.5 of 200
+    # idempotent: same ids survive a re-run
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in domain_mix(df, {"keep_half": 0.5}).collect()
+    )
+
+
+def test_pack_sequences_budget_and_offsets(spark):
+    df = docs(spark, [(i, " ".join(["w"] * 10)) for i in range(100)])
+    out = pack_sequences(df, max_tokens=32, n_shards=4).collect()
+    assert len(out) == 100
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault((r.shard, r.seq_id), []).append(r)
+    for (shard, seq), members in by_seq.items():
+        # fluid next-fit: sequence starts below budget, may overflow
+        # by at most the last doc
+        members.sort(key=lambda r: r.offset)
+        assert members[0].offset < 32
+        for a, b in zip(members, members[1:]):
+            assert b.offset == a.offset + a.n_tokens
+    # shard assignment is the deterministic hash
+    for r in out:
+        assert r.shard == (r.doc_id * 2654435761) % (2**32) % 4
+
+
+def test_det_hash_matches_python(spark):
+    df = spark.range(0, 1000).select(
+        "id", det_hash(F.col("id")).alias("h")
+    )
+    for r in df.collect():
+        assert r.h == (r.id * 2654435761) % (2**32)

@@ -1,0 +1,322 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+Complements `pipeline/text.py` (per-doc features) and
+`pipeline/dedup.py` (near-dup removal) with the remaining stages a
+production pretraining pipeline runs between raw crawl and tokenizer:
+
+- **decontamination** — drop/flag corpus documents that share word
+  n-grams with an evaluation benchmark (the standard 13-gram-overlap
+  test-set leak check, here with a configurable n);
+- **repetition stats** — Gopher-style intra-document repetition
+  signals (duplicate-line fraction, top-bigram mass, duplicate-trigram
+  fraction) used as quality filters;
+- **PII redaction** — regexp scrubbing of emails / IPv4s / long digit
+  runs with per-doc hit counts;
+- **deterministic splits** — stable train/val/test assignment from a
+  multiplicative integer hash of the doc id (no RNG: re-running the
+  pipeline on a grown corpus never reshuffles old docs);
+- **domain mixing** — per-source sampling rates applied with the same
+  deterministic hash (reproducible weighted downsampling);
+- **sequence packing** — assign documents to fixed-token-budget
+  training sequences with a shard-parallel prefix-sum ("fluid"
+  next-fit: each bin overflows by at most one document, the standard
+  SQL-only approximation).
+
+Scale notes.  Everything here is built-in-function SQL (JVM-side,
+codegen): no Python row path, no collect.  Decontamination is an
+equi-join on n-gram strings — the benchmark side is tiny (an eval
+suite is O(10^5) n-grams) and broadcastable, so the corpus streams
+through map-side; repetition/PII/split/mix are embarrassingly parallel
+projections; packing shuffles once on the shard key and runs one
+window per shard partition.
+
+The arithmetic hash (Knuth multiplicative, mod 2^32) is chosen over
+md5/xxhash because every engine evaluates 64-bit integer arithmetic
+identically — the DuckDB oracles replicate it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative hash constant (2654435761 = 2^32 / phi).
+HASH_MULT = 2654435761
+HASH_MOD = 2**32
+
+
+def det_hash(col: Column) -> Column:
+    """Deterministic 32-bit mix of an integer column: engine-portable
+    (pure int64 arithmetic — no overflow below ~3.4e9 ids) and
+    decorrelated from sequential id order."""
+    return (col.cast("long") * F.lit(HASH_MULT)) % F.lit(HASH_MOD)
+
+
+# --------------------------------------------------------------------------
+# decontamination
+
+
+def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode each document into its word n-grams (distinct per doc).
+
+    One `posexplode` + (n-1) self-equi-joins on (doc_id, pos) would
+    also work, but a single `transform` over the token array builds
+    every n-gram without a join or re-shuffle — the array stays inside
+    one row until the final explode.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: F.sequence(0, -k) would generate a *descending* sequence,
+    # so short docs must yield an empty gram array explicitly
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Flag corpus docs sharing > `max_hits` distinct word n-grams with
+    the benchmark set (test-set leakage check; production runs use
+    n=13 over eval suites).
+
+    Plan shape: benchmark n-grams are deduplicated then joined to
+    corpus n-grams on the gram string.  The benchmark side is small by
+    construction (eval suites, not corpora) — AQE broadcasts it, so the
+    corpus never shuffles; the per-doc hit count is a partial
+    aggregation on doc_id.  Returns (doc_id, n_hits, contaminated) for
+    every corpus doc (docs with no hits included, n_hits = 0).
+    """
+    bench_grams = ngrams(benchmark, text_col, n).select("ngram").distinct()
+    hits = (
+        ngrams(corpus, text_col, n)
+        .join(bench_grams, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > max_hits).alias("contaminated"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# repetition filters (Gopher-style)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (Gopher Table A1 analogs):
+
+    - ``dup_word_frac``   — 1 - distinct/total words;
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram / total bigrams (only the max count is reported, so ties
+      need no break);
+    - ``dup_trigram_frac``— 1 - distinct/total word trigrams.
+
+    All three are array expressions inside one projection — no
+    explode, no shuffle; documents with < n words get 0.0.
+
+    Performance shape: higher-order array functions evaluate
+    interpreted (no codegen), so the top-bigram count must be a
+    SINGLE aggregate pass over the sorted bigram array — a run-length
+    max.  The naive transform-over-distinct with a nested filter
+    re-materializes the bigram array once per distinct gram
+    (quadratic interpreted eval; measured 35 ms/doc on 50-word docs
+    vs <1 ms for the linear pass).
+    """
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_words = F.size(toks)
+
+    def gram_arr(n: int) -> Column:
+        return F.when(
+            n_words >= n,
+            F.transform(
+                F.sequence(F.lit(0), n_words - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bi = gram_arr(2)
+    tri = gram_arr(3)
+    # most-frequent-bigram mass == longest equal-run in the sorted
+    # bigram array: one linear aggregate, each element visited once
+    top_bi = F.aggregate(
+        F.array_sort(bi),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return docs.select(
+        "doc_id",
+        F.when(n_words > 0, 1.0 - F.size(F.array_distinct(toks)) / n_words)
+        .otherwise(0.0)
+        .alias("dup_word_frac"),
+        F.when(F.size(bi) > 0, top_bi / F.size(bi))
+        .otherwise(0.0)
+        .alias("top_bigram_frac"),
+        F.when(F.size(tri) > 0, 1.0 - F.size(F.array_distinct(tri)) / F.size(tri))
+        .otherwise(0.0)
+        .alias("dup_trigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+
+#: portable regexes (same semantics in Java regex and RE2/DuckDB):
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "long_digits": r"\b[0-9]{9,}\b",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII shapes, keeping per-class hit counts for audit.
+
+    Pure regexp projection (codegen, no shuffle).  Patterns are
+    intentionally dialect-portable; a production pass would add
+    locale-specific phone formats and checksum-validated credit cards
+    (Luhn needs one `aggregate` over digit arrays — same machinery).
+    Redaction order is fixed (email → ipv4 → digit runs) so counts are
+    well-defined when classes overlap.
+    """
+    t = F.col(text_col)
+    out = docs.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["email"]), 0))
+    )
+    red = F.regexp_replace(t, PII_PATTERNS["email"], "<EMAIL>")
+    out = out.withColumn(
+        "n_ipv4", F.size(F.regexp_extract_all(red, F.lit(PII_PATTERNS["ipv4"]), 0))
+    )
+    red = F.regexp_replace(red, PII_PATTERNS["ipv4"], "<IP>")
+    out = out.withColumn(
+        "n_long_digits",
+        F.size(F.regexp_extract_all(red, F.lit(PII_PATTERNS["long_digits"]), 0)),
+    )
+    red = F.regexp_replace(red, PII_PATTERNS["long_digits"], "<NUM>")
+    return out.withColumn("text_redacted", red)
+
+
+# --------------------------------------------------------------------------
+# deterministic splits + domain mixing
+
+
+def assign_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Stable train/val/test assignment: bucket = det_hash(id) % 10000
+    compared against cumulative weight boundaries.  Adding new docs
+    never moves an existing doc between splits (no RNG, no ordering
+    dependence) — the property training pipelines need for
+    reproducible eval sets.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    bucket = det_hash(F.col(id_col)) % 10000
+    expr = None
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = list(weights)[-1]
+    return docs.withColumn("split", expr.otherwise(last))
+
+
+def domain_mix(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic weighted downsampling per domain/source: keep a
+    doc iff det_hash(id) % 10000 < rate(source) * 10000.  One
+    projection + filter — the sampling decision never shuffles, and
+    re-runs are idempotent (same ids survive).
+    """
+    rate = None
+    for src, r in rates.items():
+        cond = F.col(source_col) == src
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(default_rate) if rate is not None else F.lit(default_rate)
+    bucket = det_hash(F.col(id_col)) % 10000
+    return docs.where(bucket < (rate * 10000).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# sequence packing
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document a (shard, seq_id, offset) placement packing
+    documents into fixed-token-budget training sequences.
+
+    Docs are sharded by det_hash(id) % n_shards and packed in id order
+    within the shard via an exclusive prefix sum: ``seq_id =
+    floor(cumsum_before / max_tokens)`` — the "fluid" next-fit
+    approximation in which a sequence can overflow by at most one
+    document (exact next-fit is inherently sequential; the fluid form
+    is the standard distributed relaxation, and the overflow is
+    trimmed/truncated by the tokenizer stage downstream).
+
+    One shuffle (by shard), one window per shard partition.  With
+    n_shards ≈ cluster cores × small constant, each shard's window is
+    an in-memory sort of corpus/n_shards rows — no global sort.
+    """
+    n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    sharded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (det_hash(F.col(id_col)) % n_shards).alias("shard"),
+        n_tok.alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sharded.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(before / max_tokens).alias("seq_id"),
+        (before % max_tokens).alias("offset"),
+    )

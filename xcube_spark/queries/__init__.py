@@ -90,6 +90,7 @@ def load_all() -> dict[str, Query]:
     the populated registry."""
     from xcube_spark.queries import (  # noqa: F401
         cube_ops,
+        curation_ops,
         events_ops,
         maintenance_ops,
         pipeline_ops,

@@ -1,0 +1,262 @@
+"""Corpus-curation coverage queries (documents table).
+
+Each query exercises one stage of `pipeline/curation.py` — the
+between-crawl-and-tokenizer operators of a pretraining data pipeline —
+against a DuckDB oracle that replicates the arithmetic bit-for-bit.
+The deterministic Knuth-multiplicative hash (pure int64 arithmetic)
+was chosen precisely so oracles can restate it in portable SQL; see
+the module docstring in curation.py for scale notes per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.pipeline.curation import (
+    assign_split,
+    decontaminate,
+    domain_mix,
+    pack_sequences,
+    pii_redact,
+    repetition_stats,
+)
+from xcube_spark.queries import query, tbl
+
+#: shared DuckDB tokenization — must match F.split(F.trim(text), r"\s+")
+_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+@query(
+    "doc_decontaminate",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   lst[i + 1] || ' ' || lst[i + 2] || ' ' || lst[i + 3]
+                       AS ngram
+            FROM toks, unnest(range(len(lst) - 2)) AS u(i)
+            WHERE len(lst) >= 3
+        ), bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT g.doc_id, COUNT(*) AS n_hits
+            FROM grams g JOIN bench USING (ngram)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
+    """,
+)
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark-overlap decontamination (SURVEY LLM-pipeline family):
+    every doc's distinct word-3-gram overlap with an eval set (docs
+    with id % 97 == 0 stand in for the benchmark).  The benchmark gram
+    table is eval-suite-sized — AQE broadcasts it, the corpus never
+    shuffles for the probe; hit counting is one partial agg on doc_id."""
+    docs = tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=3)
+
+
+@query(
+    "doc_repetition_stats",
+    sql=rf"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS toks,
+                   len({_TOKS}) AS n_words
+            FROM documents
+        ), bi AS (
+            SELECT doc_id, toks[i + 1] || ' ' || toks[i + 2] AS g
+            FROM base, unnest(range(n_words - 1)) AS u(i)
+            WHERE n_words >= 2
+        ), tri AS (
+            SELECT doc_id,
+                   toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                       AS g
+            FROM base, unnest(range(n_words - 2)) AS u(i)
+            WHERE n_words >= 3
+        ), bistats AS (
+            SELECT doc_id, MAX(c) AS top_bi, CAST(SUM(c) AS BIGINT) AS n_bi
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM bi
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ), tristats AS (
+            SELECT doc_id, COUNT(DISTINCT g) AS d_tri, COUNT(*) AS n_tri
+            FROM tri GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               ROUND(CASE WHEN n_words > 0
+                          THEN CAST(1 AS DOUBLE)
+                               - CAST(len(list_distinct(toks)) AS DOUBLE)
+                                 / n_words
+                          ELSE CAST(0 AS DOUBLE) END, 6) AS dup_word_frac,
+               ROUND(COALESCE(CAST(top_bi AS DOUBLE) / n_bi,
+                              CAST(0 AS DOUBLE)), 6) AS top_bigram_frac,
+               ROUND(COALESCE(CAST(1 AS DOUBLE)
+                              - CAST(d_tri AS DOUBLE) / n_tri,
+                              CAST(0 AS DOUBLE)), 6) AS dup_trigram_frac
+        FROM base b
+        LEFT JOIN bistats USING (doc_id)
+        LEFT JOIN tristats USING (doc_id)
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals; pure array
+    expressions in one projection (no explode, no shuffle) vs the
+    oracle's explode-and-aggregate restatement of the same counts."""
+    out = repetition_stats(tbl(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+    )
+
+
+#: deterministic PII injection so the redactor has real work at any sf
+#: (the synthetic corpus is digit-free word salad) — both engines
+#: append the same suffixes, keyed on doc_id
+_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' mail u' || doc_id || '@ex.com' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' ip 192.168.0.' || (doc_id % 250) ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' acct 900000000' || (doc_id % 10) ELSE '' END
+"""
+
+
+@query(
+    "doc_pii_redact",
+    sql=rf"""
+        WITH injected AS (
+            SELECT doc_id, {_INJECT_SQL} AS text FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+                   AS n_emails,
+               len(regexp_extract_all(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                       '<EMAIL>', 'g'),
+                   '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b')) AS n_ipv4,
+               len(regexp_extract_all(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                           '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b',
+                       '<IP>', 'g'),
+                   '\b[0-9]{{9,}}\b')) AS n_long_digits,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+                           '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b',
+                       '<IP>', 'g'),
+                   '\b[0-9]{{9,}}\b', '<NUM>', 'g') AS text_redacted
+        FROM injected
+    """,
+)
+def doc_pii_redact(spark, sf_dir):
+    """PII scrub with per-class audit counts.  Deterministic synthetic
+    PII is appended first (the fixture corpus is digit-free), then the
+    email -> ipv4 -> digit-run redaction cascade runs as a pure regexp
+    projection — codegen'd, shuffle-free, trivially scale-safe."""
+    docs = tbl(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(did % 5 == 0,
+                   F.concat(F.lit(" mail u"), did.cast("string"),
+                            F.lit("@ex.com"))).otherwise(""),
+            F.when(did % 7 == 0,
+                   F.concat(F.lit(" ip 192.168.0."),
+                            (did % 250).cast("string"))).otherwise(""),
+            F.when(did % 11 == 0,
+                   F.concat(F.lit(" acct 900000000"),
+                            (did % 10).cast("string"))).otherwise(""),
+        ),
+    )
+    return pii_redact(injected).select(
+        "doc_id", "n_emails", "n_ipv4", "n_long_digits", "text_redacted"
+    )
+
+
+@query(
+    "doc_split_mix",
+    sql="""
+        WITH b AS (
+            SELECT doc_id, source,
+                   ((doc_id * 2654435761) % 4294967296) % 10000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, source,
+               CASE WHEN bucket < 9800 THEN 'train'
+                    WHEN bucket < 9900 THEN 'val'
+                    ELSE 'test' END AS split,
+               bucket < CAST(CASE source
+                                 WHEN 'src0' THEN 0.5
+                                 WHEN 'src1' THEN 0.25
+                                 ELSE 1.0 END * 10000 AS BIGINT) AS kept
+        FROM b
+    """,
+)
+def doc_split_mix(spark, sf_dir):
+    """Deterministic train/val/test assignment + per-domain weighted
+    downsampling.  Both decisions are projections over the same
+    multiplicative hash — no RNG, no shuffle, idempotent re-runs (a
+    grown corpus never reshuffles previously assigned docs)."""
+    docs = tbl(spark, sf_dir, "documents")
+    split = assign_split(docs)
+    kept = domain_mix(docs, {"src0": 0.5, "src1": 0.25}).select(
+        "doc_id", F.lit(True).alias("kept")
+    )
+    return (
+        split.select("doc_id", "source", "split")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id", "source", "split",
+            F.coalesce("kept", F.lit(False)).alias("kept"),
+        )
+    )
+
+
+@query(
+    "doc_pack_sequences",
+    sql=rf"""
+        WITH s AS (
+            SELECT doc_id,
+                   ((doc_id * 2654435761) % 4294967296) % 32 AS shard,
+                   len({_TOKS}) AS n_tokens
+            FROM documents
+        ), w AS (
+            SELECT doc_id, shard, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS bef
+            FROM s
+        )
+        SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
+               CAST(FLOOR(bef / CAST(2048 AS DOUBLE)) AS BIGINT) AS seq_id,
+               bef % 2048 AS seq_offset
+        FROM w
+    """,
+)
+def doc_pack_sequences(spark, sf_dir):
+    """Shard-parallel sequence packing (fluid next-fit prefix sum):
+    one shuffle on the shard key, one window per shard partition —
+    never a global sort.  Each 2048-token training sequence overflows
+    by at most one document (trimmed downstream by the tokenizer)."""
+    out = pack_sequences(tbl(spark, sf_dir, "documents"),
+                         max_tokens=2048, n_shards=32)
+    return out.withColumnRenamed("offset", "seq_offset")
