@@ -132,3 +132,89 @@ def test_det_hash_matches_python(spark):
     )
     for r in df.collect():
         assert r.h == (r.id * 2654435761) % (2**32)
+
+
+# ---- product quantization (pipeline/similarity.py) ---------------------
+
+
+def test_pq_encode_shapes_and_determinism(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import pq_codebook, pq_encode
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cb = pq_codebook(emb, m=4, dsub=16, ksub=16)
+    assert cb.count() == 4 * 16
+    enc = pq_encode(emb, cb, m=4, dsub=16)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r.codes) == 4
+        assert all(0 <= c < 16 for c in r.codes)
+    # codebook members encode to themselves (distance 0 to own entry)
+    own = {r.vec_id: r.codes for r in rows if r.vec_id < 16}
+    for vid, codes in own.items():
+        assert codes == [vid] * 4
+
+
+def test_pq_knn_beats_random_recall(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import knn_bruteforce, knn_pq
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = knn_bruteforce(emb, queries, k=10)
+    approx = knn_pq(emb, queries, k=10)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    n = emb.count()
+    recall = len(e & a) / len(e)
+    # PQ with a sampled codebook is crude but must far exceed the
+    # random-baseline expectation of k/n
+    assert recall > 5 * (10 / n)
+
+
+def test_train_pq_codebooks_reduces_error(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import (
+        pq_codebook, pq_encode, train_pq_codebooks)
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).limit(200)
+
+    def qerror(cb):
+        # mean squared distance of each subvector to its chosen code
+        sv = F.slice(F.col("embedding"), F.col("sub") * 16 + 1, 16)
+        d2 = (
+            F.aggregate(F.zip_with(sv, F.col("cvec"),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, v: acc + v))
+        scored = emb.join(F.broadcast(cb)).groupBy("vec_id", "sub").agg(
+            F.min(d2).alias("best"))
+        return scored.agg(F.avg("best")).collect()[0][0]
+
+    seed_err = qerror(pq_codebook(emb, m=4, dsub=16, ksub=16))
+    trained = train_pq_codebooks(emb, m=4, dsub=16, ksub=16, iterations=2)
+    assert trained.count() == 64
+    assert qerror(trained) <= seed_err + 1e-12
+
+
+def test_substring_dedup_flags_copied_spans(spark):
+    from xcube_spark.pipeline.curation import substring_dedup_stats
+
+    span = " ".join(f"w{i}" for i in range(10))
+    df = docs(spark, [
+        (1, span + " tail1 tail2"),          # original
+        (2, "lead " + span),                 # copies the span
+        (3, "all fresh words here nothing repeated at all ok fine"),
+        (4, "short doc"),                    # < window tokens
+    ])
+    rows = {r.doc_id: r for r in
+            substring_dedup_stats(df, window=10).collect()}
+    assert rows[1].n_windows == 3 and rows[1].n_dup == 0  # first occurrence
+    assert rows[2].n_dup >= 1                             # copied span
+    assert rows[3].n_dup == 0
+    assert rows[4].n_windows == 0 and rows[4].dup_frac == 0.0

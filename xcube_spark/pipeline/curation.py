@@ -320,3 +320,71 @@ def pack_sequences(
         F.floor(before / max_tokens).alias("seq_id"),
         (before % max_tokens).alias("offset"),
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring duplication (rolling-window approximation)
+
+
+def substring_dedup_stats(
+    docs: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication stats: every ``window``-token span
+    is hashed; a span whose hash first occurred at an earlier
+    (doc_id, pos) counts as duplicated text.  This is the shuffle-
+    friendly relaxation of suffix-array substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    a suffix array finds *maximal* repeats, the rolling window finds
+    all repeats of length >= window — same removal policy downstream.
+
+    Plan shape at 100 TB: explode to one row per span (corpus x
+    ~n_tokens skinny rows of (id, pos, 16-byte hash)), one shuffle on
+    the uniform span hash for first-occurrence, one map-side-combinable
+    agg back on doc_id.  No pairwise joins, no skew (hash keys are
+    uniform by construction; a pathological repeated span caps at its
+    occurrence count, not corpus size).
+
+    Returns (doc_id, n_windows, n_dup, dup_frac) for every doc; docs
+    shorter than ``window`` tokens report zeros.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= window,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - window),
+            lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "__g")
+    ).select(id_col, "pos", F.md5("__g").alias("__h"))
+    first = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+        .alias("__first")
+    )
+    marked = wins.join(first, "__h").select(
+        id_col,
+        (
+            (F.col("__first.d") != F.col(id_col))
+            | (F.col("__first.p") != F.col("pos"))
+        ).cast("int").alias("__dup"),
+    )
+    per = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("__dup").alias("n_dup"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+            F.round(
+                F.coalesce(F.col("n_dup") / F.col("n_windows"), F.lit(0.0)), 6
+            ).alias("dup_frac"),
+        )
+    )

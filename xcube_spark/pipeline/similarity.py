@@ -347,3 +347,221 @@ def knn_ivf(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+# --------------------------------------------------------------------------
+# product quantization (PQ)
+
+
+def _d2_dot_identity(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot identity |a|^2 - 2 a.b + |b|^2.
+
+    Chosen over a fold of squared differences because every term is a
+    ``dot`` (left-to-right multiply-add) — the exact arithmetic DuckDB's
+    ``list_dot_product`` performs, so oracle SQL reproduces the same
+    IEEE doubles bit-for-bit (the proven cosine-oracle recipe)."""
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sampled PQ codebook: the ``ksub`` lowest-id vectors, split into
+    ``m`` subspaces of ``dsub`` dims -> rows (sub, cid, cvec).
+
+    Sampling gives a deterministic, oracle-restatable codebook (ids
+    double as code indexes 0..ksub-1); :func:`train_pq_codebooks`
+    refines it with Lloyd iterations when recall matters more than
+    reproducibility."""
+    subs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(s).alias("sub"),
+                F.slice(F.col(vec_col), s * dsub + 1, dsub).alias("cvec"),
+            )
+            for s in range(m)
+        ])
+    ).alias("e")
+    return (
+        corpus.where(F.col(id_col) < ksub)
+        .select(F.col(id_col).cast("int").alias("cid"), subs)
+        .select("e.sub", "cid", "e.cvec")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    dsub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` one-byte codes: per subspace, the
+    lexicographic-min (d2, cid) codebook entry — deterministic under
+    exact-distance ties (duplicate vectors produce identical codes).
+
+    The compression step of the 100 TB path: a 64-dim float vector
+    (256 B) becomes m=4 codes (4 B); the encoded corpus is what ADC
+    search scans.  One broadcast join (codebook is m*ksub rows) + one
+    shuffle on ``id_col`` — same shape as :func:`ivf_assign`."""
+    sv = F.slice(F.col(vec_col), F.col("sub") * dsub + 1, dsub)
+    scored = corpus.join(F.broadcast(codebook)).select(
+        id_col,
+        "sub",
+        F.struct(
+            _d2_dot_identity(sv, F.col("cvec")).alias("d"),
+            F.col("cid"),
+        ).alias("__dc"),
+    )
+    aggs = [
+        F.min(F.when(F.col("sub") == s, F.col("__dc")))
+        .getField("cid")
+        .alias(f"__c{s}")
+        for s in range(m)
+    ]
+    return (
+        scored.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col,
+            F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
+        )
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame | None = None,
+    k: int = 10,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ approximate top-k via asymmetric distance computation (ADC).
+
+    Each query precomputes an m x ksub table of exact subspace
+    distances to the codebook; the encoded corpus is then scanned with
+    pure table lookups — ``element_at`` into the broadcast per-query
+    flattened table, one addition per subspace, no vector math per
+    corpus row.  At 100 TB this is the classic memory-bound ANN scan:
+    the corpus side holds 4 bytes/vector of codes instead of 256 B of
+    floats, queries broadcast, nothing corpus-sized shuffles (the rank
+    window sees only locally-pruned candidates via AQE).
+
+    Output: (query_id, vec_id, pq_d2 [approx squared L2], rank<=k).
+    """
+    cb = codebook if codebook is not None else pq_codebook(
+        corpus, m=m, dsub=dsub, ksub=ksub, id_col=id_col, vec_col=vec_col
+    )
+    enc = pq_encode(corpus, cb, m=m, dsub=dsub,
+                    id_col=id_col, vec_col=vec_col)
+
+    qsv = F.slice(F.col(vec_col), F.col("sub") * dsub + 1, dsub)
+    dtable = (
+        queries.select(F.col(query_id_col), F.col(vec_col))
+        .join(F.broadcast(cb))
+        .select(
+            query_id_col,
+            F.struct(
+                "sub", "cid",
+                _d2_dot_identity(qsv, F.col("cvec")).alias("qd2"),
+            ).alias("__e"),
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__e")), lambda e: e["qd2"]
+            ).alias("__dt")  # flat (sub, cid) -> index sub*ksub+cid
+        )
+    )
+
+    paired = enc.join(F.broadcast(dtable)).where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    ad2 = None
+    for s in range(m):
+        term = F.element_at(
+            "__dt", (F.lit(s * ksub + 1) + F.element_at("codes", s + 1))
+            .cast("int")
+        )
+        ad2 = term if ad2 is None else ad2 + term  # fixed l-to-r order
+    scored = paired.select(
+        query_id_col, id_col, ad2.alias("pq_d2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("pq_d2"), F.asc(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Refine the sampled codebook with per-subspace Lloyd iterations
+    (the production PQ trainer; :func:`pq_codebook` seeds it).
+
+    All m subspaces train in ONE distributed job per iteration: the
+    corpus explodes into (sub, subvector) rows once, assignment is a
+    broadcast join + lexicographic-min like :func:`pq_encode`, and new
+    centroids are a partial agg per (sub, cell, dim).  The m*ksub*dsub
+    model round-trips through the driver between iterations (model
+    small, data big — the k-means contract)."""
+    spark = corpus.sparkSession
+    cb = pq_codebook(corpus, m=m, dsub=dsub, ksub=ksub,
+                     id_col=id_col, vec_col=vec_col)
+    subrows = corpus.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"),
+                     F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                     .alias("sv"))
+            for s in range(m)
+        ])).alias("e"),
+    ).select(id_col, "e.sub", "e.sv")
+    for _ in range(iterations):
+        assigned = (
+            subrows.join(F.broadcast(cb), "sub")
+            .select(
+                id_col, "sub", "sv",
+                F.struct(
+                    _d2_dot_identity(F.col("sv"), F.col("cvec")).alias("d"),
+                    F.col("cid"),
+                ).alias("__dc"),
+            )
+            .groupBy(id_col, "sub", "sv")
+            .agg(F.min("__dc").getField("cid").alias("cell"))
+        )
+        means = (
+            assigned.select("sub", "cell",
+                            F.posexplode("sv").alias("__d", "__v"))
+            .groupBy("sub", "cell", "__d")
+            .agg(F.avg("__v").alias("__m"))
+            .groupBy("sub", "cell")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("__d", "__m"))).alias("__dm"))
+            .select("sub", F.col("cell").alias("cid"),
+                    F.transform("__dm", lambda s: s["__m"]).alias("cvec"))
+        )
+        rows = means.collect()  # model round-trip: m*ksub*dsub floats
+        if not rows:
+            break
+        cb = spark.createDataFrame(rows, means.schema)
+    return cb

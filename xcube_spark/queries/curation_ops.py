@@ -260,3 +260,44 @@ def doc_pack_sequences(spark, sf_dir):
     out = pack_sequences(tbl(spark, sf_dir, "documents"),
                          max_tokens=2048, n_shards=32)
     return out.withColumnRenamed("offset", "seq_offset")
+
+
+@query(
+    "doc_substring_dedup",
+    sql=rf"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(lst[(i + 1):(i + 10)], ' ')) AS h
+            FROM t, unnest(range(len(lst) - 9)) AS u(i)
+            WHERE len(lst) >= 10
+        ), first AS (
+            SELECT h, min(struct_pack(d := doc_id, p := pos)) AS f
+            FROM wins GROUP BY h
+        ), marked AS (
+            SELECT w.doc_id,
+                   CASE WHEN f.d != w.doc_id OR f.p != w.pos
+                        THEN 1 ELSE 0 END AS dup
+            FROM wins w JOIN first USING (h)
+        ), per AS (
+            SELECT doc_id, COUNT(*) AS n_windows,
+                   CAST(SUM(dup) AS BIGINT) AS n_dup
+            FROM marked GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_windows, 0) AS BIGINT) AS n_windows,
+               CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup,
+               ROUND(COALESCE(CAST(n_dup AS DOUBLE) / n_windows,
+                              CAST(0 AS DOUBLE)), 6) AS dup_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+def doc_substring_dedup(spark, sf_dir):
+    """Exact-substring duplication stats (rolling 10-token window
+    hashes, global first-occurrence): the distributed relaxation of
+    suffix-array substring dedup — one uniform-key shuffle on the span
+    hash, one doc_id agg, no pairwise joins at any corpus size."""
+    from xcube_spark.pipeline.curation import substring_dedup_stats
+
+    return substring_dedup_stats(tbl(spark, sf_dir, "documents"), window=10)

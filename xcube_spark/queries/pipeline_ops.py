@@ -469,3 +469,81 @@ def doc_ngram_jaccard(spark, sf_dir):
         .where(jac >= 0.8)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---- product-quantized ANN (ADC scan) ---------------------------------
+
+
+@query(
+    "emb_knn_pq",
+    sql="""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), subs AS (
+            SELECT CAST(unnest(range(4)) AS INT) AS sub
+        ), cb AS (
+            SELECT sub, CAST(vec_id AS INT) AS cid,
+                   v[(sub * 16 + 1):(sub * 16 + 16)] AS cv
+            FROM c, subs WHERE vec_id < 16
+        ), sv AS (
+            SELECT vec_id, sub,
+                   v[(sub * 16 + 1):(sub * 16 + 16)] AS sv
+            FROM c, subs
+        ), enc AS (
+            -- lexicographic (d2, cid) min == deterministic argmin
+            SELECT vec_id, sub,
+                   min(struct_pack(
+                       d := list_dot_product(sv, sv)
+                            - 2 * list_dot_product(sv, cv)
+                            + list_dot_product(cv, cv),
+                       cid := cid)).cid AS code
+            FROM sv JOIN cb USING (sub)
+            GROUP BY vec_id, sub
+        ), dt AS (
+            SELECT q.vec_id AS query_id, cb.sub, cb.cid,
+                   list_dot_product(q.sv, q.sv)
+                   - 2 * list_dot_product(q.sv, cb.cv)
+                   + list_dot_product(cb.cv, cb.cv) AS qd2
+            FROM (SELECT * FROM sv WHERE vec_id < 5) q, cb
+            WHERE cb.sub = q.sub
+        ), adc AS (
+            SELECT d.query_id, e.vec_id,
+                   MAX(CASE WHEN e.sub = 0 THEN qd2 END) AS d0,
+                   MAX(CASE WHEN e.sub = 1 THEN qd2 END) AS d1,
+                   MAX(CASE WHEN e.sub = 2 THEN qd2 END) AS d2,
+                   MAX(CASE WHEN e.sub = 3 THEN qd2 END) AS d3
+            FROM enc e
+            JOIN dt d ON d.sub = e.sub AND d.cid = e.code
+            WHERE e.vec_id != d.query_id
+            GROUP BY d.query_id, e.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id,
+                   ((d0 + d1) + d2) + d3 AS ad2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ((d0 + d1) + d2) + d3, vec_id) AS rank
+            FROM adc
+        )
+        SELECT query_id, vec_id, ROUND(ad2, 4) AS pq_d2, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_knn_pq(spark, sf_dir):
+    """knn_pq (pipeline/similarity.py): product-quantization ANN — the
+    64-dim corpus compresses to 4 one-byte codes against a sampled
+    16-entry-per-subspace codebook; search is an asymmetric-distance
+    (ADC) table-lookup scan.  The oracle replays codebook, encode, and
+    the fixed-order 4-term ADC sum; both engines compute subspace
+    distances with the same left-to-right dot-product identity, so the
+    approximate distances hash-match at 4 decimals."""
+    from xcube_spark.pipeline.similarity import knn_pq
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_pq(emb, queries, k=10, m=4, dsub=16, ksub=16)
+    return out.select("query_id", "vec_id",
+                      F.round("pq_d2", 4).alias("pq_d2"), "rank")
