@@ -280,3 +280,50 @@ def test_utm_roundtrip_and_anchors(spark):
             ex, ey = anchors[(r["lon"], r["lat"])]
             assert r["x"] == pytest.approx(ex, abs=0.5)
             assert r["y"] == pytest.approx(ey, abs=0.5)
+
+
+def test_polar_stereographic_roundtrip_and_known_values(spark):
+    from pyspark.sql import functions as F
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    pts = spark.createDataFrame(
+        [(-45.0, 70.0), (10.0, 75.0), (-100.0, 62.0)],
+        "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:3413")
+    inv = get_transform("EPSG:3413", "EPSG:4326")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    lon2, lat2 = inv(x.alias("x"), y.alias("y"))
+    rows = pts.select("lon", "lat", x.alias("x"), y.alias("y"),
+                      lon2.alias("lon2"), lat2.alias("lat2")).collect()
+    for r in rows:
+        assert abs(r.lon2 - r.lon) < 1e-6 and abs(r.lat2 - r.lat) < 1e-6
+    # published behavior: the standard parallel on the central meridian
+    # lies on the negative y axis (NSIDC north grid)
+    origin = {(-45.0): rows[0]}[rows[0].lon]
+    assert abs(origin.x) < 1e-6 and origin.y < -2_000_000
+
+    sfwd = get_transform("EPSG:4326", "EPSG:3031")
+    sx, sy = sfwd(F.col("lon"), F.col("lat"))
+    s = spark.createDataFrame([(45.0, -80.0)], "lon double, lat double") \
+        .select(sx.alias("x"), sy.alias("y")).collect()[0]
+    # EPSG:3031 at (45E, 80S): x == y == ~770166.18 m (Snyder south aspect)
+    assert abs(s.x - 770166.179) < 0.01 and abs(s.y - 770166.179) < 0.01
+
+
+def test_get_transform_chains_through_lonlat(spark):
+    from pyspark.sql import functions as F
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    # mercator -> polar chains via the 4326 hop
+    chain = get_transform("EPSG:3857", "EPSG:3413")
+    direct = get_transform("EPSG:4326", "EPSG:3413")
+    pts = spark.createDataFrame([(10.0, 75.0)], "lon double, lat double")
+    mx = F.col("lon") * 6378137.0 * 3.141592653589793 / 180.0
+    import math
+    my = (F.log(F.tan(F.lit(math.pi / 4) + F.radians(F.col("lat")) / 2))
+          * 6378137.0)
+    cx, cy = chain(mx, my)
+    dx, dy = direct(F.col("lon"), F.col("lat"))
+    r = pts.select(cx.alias("cx"), cy.alias("cy"),
+                   dx.alias("dx"), dy.alias("dy")).collect()[0]
+    assert abs(r.cx - r.dx) < 1e-4 and abs(r.cy - r.dy) < 1e-4

@@ -199,6 +199,105 @@ def utm_inverse_sql(x_expr: str, y_expr: str, zone: int,
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
 
 
+# ---- polar stereographic (EPSG:3413 / EPSG:3031) ----------------------
+#
+# The polar satellite CRSs (NSIDC Sea Ice stereographics) — ellipsoidal
+# polar stereographic from Snyder 1987 (public math, eqs. 21-33..41 and
+# the 3-5 chi->phi series).  Same design as UTM above: pure Column
+# forward/inverse plus an identical-arithmetic SQL twin for oracles.
+
+_E2 = _E_WGS84 ** 2
+#: chi -> phi series coefficients (Snyder eq. 3-5, 4th order in e^2)
+_PS_SERIES = (
+    _E2 / 2.0 + 5.0 * _E2 ** 2 / 24.0 + _E2 ** 3 / 12.0
+    + 13.0 * _E2 ** 4 / 360.0,
+    7.0 * _E2 ** 2 / 48.0 + 29.0 * _E2 ** 3 / 240.0
+    + 811.0 * _E2 ** 4 / 11520.0,
+    7.0 * _E2 ** 3 / 120.0 + 81.0 * _E2 ** 4 / 1120.0,
+    4279.0 * _E2 ** 4 / 161280.0,
+)
+
+#: crs -> (south, |lat_ts| deg, lon0 deg)
+PS_PARAMS: dict[str, tuple[bool, float, float]] = {
+    "EPSG:3413": (False, 70.0, -45.0),  # NSIDC North / Greenland
+    "EPSG:3031": (True, 71.0, 0.0),     # Antarctic Polar Stereographic
+}
+
+
+def _ps_consts(lat_ts: float) -> tuple[float, float]:
+    """(m_ts, t_ts) at the standard parallel (Snyder 14-15, 15-9)."""
+    phi = math.radians(lat_ts)
+    s = math.sin(phi)
+    m_ts = math.cos(phi) / math.sqrt(1.0 - _E2 * s * s)
+    t_ts = math.tan(math.pi / 4.0 - phi / 2.0) * (
+        (1.0 + _E_WGS84 * s) / (1.0 - _E_WGS84 * s)
+    ) ** (_E_WGS84 / 2.0)
+    return m_ts, t_ts
+
+
+def _lonlat_to_ps_fn(crs: str) -> ColumnTransform:
+    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
+    m_ts, t_ts = _ps_consts(lat_ts)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(lon0))
+        phi = F.radians(F.lit(-1.0) * lat if south else lat)
+        s = F.lit(_E_WGS84) * F.sin(phi)
+        t = F.tan(F.lit(math.pi / 4.0) - phi / 2) * F.pow(
+            (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(_E_WGS84 / 2.0)
+        )
+        rho = F.lit(_R * m_ts / t_ts) * t
+        # north: pole at origin, y negative along lon0 (Snyder 21-30/31)
+        # south aspect: y positive along lon0 (Snyder 21-26/27 mirrored)
+        if south:
+            return rho * F.sin(lam), rho * F.cos(lam)
+        return rho * F.sin(lam), rho * F.cos(lam) * F.lit(-1.0)
+
+    return fwd
+
+
+def _ps_to_lonlat_fn(crs: str) -> ColumnTransform:
+    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
+    m_ts, t_ts = _ps_consts(lat_ts)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        rho = F.sqrt(x * x + y * y)
+        t = rho * F.lit(t_ts / (_R * m_ts))
+        chi = F.lit(math.pi / 2.0) - 2 * F.atan(t)
+        phi = chi
+        for j, c in enumerate(_PS_SERIES, start=1):
+            phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * chi)
+        lam = F.atan2(x, y if south else y * F.lit(-1.0))
+        lat = F.degrees(phi)
+        return (
+            F.lit(lon0) + F.degrees(lam),
+            lat * F.lit(-1.0) if south else lat,
+        )
+
+    return inv
+
+
+def ps_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME polar-stereographic inverse as SQL strings (for DuckDB
+    oracles).  Returns (lon_sql, lat_sql)."""
+    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
+    m_ts, t_ts = _ps_consts(lat_ts)
+    x = f"({x_expr})"
+    y = f"({y_expr})"
+    rho = f"sqrt({x} * {x} + {y} * {y})"
+    t = f"({rho} * {t_ts / (_R * m_ts)!r})"
+    chi = f"({math.pi / 2.0!r} - 2 * atan({t}))"
+    phi = chi
+    for j, c in enumerate(_PS_SERIES, start=1):
+        phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({chi})))"
+    lam = f"atan2({x}, {y if south else f'({y} * -1.0)'})"
+    lat = f"degrees({phi})"
+    return (
+        f"({lon0!r} + degrees({lam}))",
+        f"({lat} * -1.0)" if south else lat,
+    )
+
+
 #: registry of pure-Column CRS transforms (target CRS -> source CRS)
 COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:4326", "EPSG:4326"): _identity,
@@ -206,6 +305,36 @@ COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:3857", "EPSG:4326"): _mercator_to_lonlat,
     ("EPSG:4326", "EPSG:3857"): _lonlat_to_mercator,
 }
+
+
+def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
+    """Closed-form transform from ``crs`` into EPSG:4326, if known."""
+    up = crs.upper()
+    if up == "EPSG:4326":
+        return _identity
+    if up == "EPSG:3857":
+        return _mercator_to_lonlat
+    if up in PS_PARAMS:
+        return _ps_to_lonlat_fn(up)
+    utm = parse_utm_crs(up)
+    if utm:
+        return _utm_to_lonlat_fn(*utm)
+    return None
+
+
+def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
+    """Closed-form transform from EPSG:4326 into ``crs``, if known."""
+    up = crs.upper()
+    if up == "EPSG:4326":
+        return _identity
+    if up == "EPSG:3857":
+        return _lonlat_to_mercator
+    if up in PS_PARAMS:
+        return _lonlat_to_ps_fn(up)
+    utm = parse_utm_crs(up)
+    if utm:
+        return _lonlat_to_utm_fn(*utm)
+    return None
 
 
 def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
@@ -217,17 +346,19 @@ def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
     key = (src_crs, dst_crs)
     if key in COLUMN_TRANSFORMS:
         return COLUMN_TRANSFORMS[key]
-    # UTM zones resolve closed-form (no registry entry per zone)
-    src_utm, dst_utm = parse_utm_crs(src_crs), parse_utm_crs(dst_crs)
-    if src_utm and dst_crs.upper() == "EPSG:4326":
-        return _utm_to_lonlat_fn(*src_utm)
-    if dst_utm and src_crs.upper() == "EPSG:4326":
-        return _lonlat_to_utm_fn(*dst_utm)
-    if src_utm and dst_utm:
-        inv, fwd = _utm_to_lonlat_fn(*src_utm), _lonlat_to_utm_fn(*dst_utm)
+    # any pair that closed-form-resolves through lon/lat chains via a
+    # 4326 hop (UTM zones and polar stereographics have no per-CRS
+    # registry entries — they parse/lookup here)
+    to_ll = _to_lonlat_fn(src_crs)
+    from_ll = _from_lonlat_fn(dst_crs)
+    if to_ll is not None and from_ll is not None:
+        if dst_crs.upper() == "EPSG:4326":
+            return to_ll
+        if src_crs.upper() == "EPSG:4326":
+            return from_ll
 
         def chain(x: Column, y: Column) -> tuple[Column, Column]:
-            return fwd(*inv(x, y))
+            return from_ll(*to_ll(x, y))
 
         return chain
     try:  # pragma: no cover - pyproj absent in the build container

@@ -287,6 +287,59 @@ def cube_reproject_utm(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: polar stereographic (EPSG:3413) target ----------------
+
+from xcube_spark.operators.resampling.reproject import ps_inverse_sql
+
+_PS = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+               x_start=-800_000.0, y_start=-3_300_000.0,
+               x_res=40_000.0, y_res=40_000.0,
+               t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+               crs="EPSG:3413")
+
+_PS_LON, _PS_LAT = ps_inverse_sql(
+    "(-800000.0 + (x_i + 0.5) * 40000.0)",
+    "(-3300000.0 + (y_i + 0.5) * 40000.0)", crs="EPSG:3413")
+
+
+@query(
+    "cube_reproject_polar",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_PS.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_PS_LON} AS lon,
+                   {_PS_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_polar(spark, sf_dir):
+    """reproject_dataset onto an NSIDC polar-stereographic grid
+    (EPSG:3413, Snyder ellipsoidal closed form — reproject.py
+    _ps_to_lonlat_fn): the polar satellite CRS the reference handles
+    through pyproj.  Pure Column inverse inside codegen; the oracle
+    states the identical chi -> phi series in SQL (ps_inverse_sql).
+    Target centers (lat 59-75N over Greenland) land well inside
+    1-degree source cells, so sub-ulp libm differences cannot flip a
+    gather index."""
+    out = reproject_dataset(_cube_a(spark), GRID, _PS)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
