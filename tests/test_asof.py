@@ -1,0 +1,88 @@
+"""asof_join (operators/asof.py) and audio_features (multimodal)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from xcube_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, "A", _ts(10, 0), 100.0),
+         (2, "A", _ts(10, 30), 101.0),
+         (3, "B", _ts(10, 15), 50.0),
+         (4, "A", _ts(9, 0), 99.0)],      # before any quote
+        "trade_id long, sym string, ts timestamp, px double")
+    quotes = spark.createDataFrame(
+        [("A", _ts(9, 55), 99.5),
+         ("A", _ts(10, 30), 100.5),       # equal-ts quote
+         ("B", _ts(10, 0), 49.5)],
+        "sym string, ts timestamp, quote double")
+    return trades, quotes
+
+
+def test_asof_backward_inclusive_and_unmatched(spark):
+    trades, quotes = _frames(spark)
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="ts", by=["sym"]).collect()}
+    assert out[1].quote == 99.5
+    assert out[2].quote == 100.5          # equal ts matches (inclusive)
+    assert out[3].quote == 49.5
+    assert out[4].quote is None           # nothing at-or-before
+    assert out[4].px == 99.0              # left row preserved
+    assert len(out) == 4
+
+
+def test_asof_forward(spark):
+    trades, quotes = _frames(spark)
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="ts", by=["sym"],
+                     direction="forward").collect()}
+    assert out[4].quote == 99.5           # earliest at-or-after 9:00
+    assert out[1].quote == 100.5          # next quote after 10:00
+    assert out[2].quote == 100.5          # equal ts matches forward too
+
+
+def test_asof_tolerance(spark):
+    trades, quotes = _frames(spark)
+    out = {r.trade_id: r for r in
+           asof_join(trades, quotes, on="ts", by=["sym"],
+                     tolerance_seconds=10 * 60).collect()}
+    assert out[1].quote == 99.5           # 5 min gap, inside
+    assert out[3].quote is None           # 15 min gap, outside
+    assert out[3].ts_right is None
+
+
+def test_asof_column_collision_suffix(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 1.0)], "id long, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [(9, _ts(9), 2.0)], "id long, ts timestamp, value double")
+    out = asof_join(left, right.withColumnRenamed("id", "rid"),
+                    on="ts").collect()[0]
+    assert out.value == 1.0 and out.value_right == 2.0
+    assert out.rid == 9 and out.ts_right == _ts(9)
+
+
+def test_audio_features_matches_numpy(spark):
+    import numpy as np
+    from xcube_spark.pipeline.multimodal import attach_payload, audio_features
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "x"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in
+            audio_features(attach_payload(docs), frame=2).collect()}
+    s = np.frombuffer(b"abcdefgh", dtype="<i2").astype(np.int64)
+    assert rows[1].n_samples == 4 and rows[1].n_frames == 2
+    assert rows[1].peak == int(np.abs(s).max())
+    assert rows[1].sum_sq == int((s * s).sum())
+    assert rows[2].n_samples == 0          # 1 byte -> no full sample
+    assert rows[3].n_samples == 0 and rows[3].sum_sq == 0

@@ -169,3 +169,55 @@ def sample_frames(
             )
 
     return mm.select(id_col, payload_col).mapInPandas(sample, out_schema)
+
+
+def audio_features(
+    mm: DataFrame,
+    frame: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio feature extraction over binary payloads: interpret each
+    payload as 16-bit little-endian PCM and emit per-track stats —
+    sample count, frame count, peak amplitude, total energy (sum of
+    squared samples) and clip count (|s| >= 30000).
+
+    Like :func:`byte_histogram` this is the library-free member of the
+    audio family: the ``np.frombuffer`` -> vectorized-stats shape is
+    exactly what a real resample/spectrogram stage does after a codec
+    decode, and every output is an exact integer so oracles can
+    restate the decode byte-by-byte (no float summation order).
+
+    Scale: Arrow-batched ``mapInArrow``; payloads never visit the
+    driver; one shuffle-free pass."""
+    import pyarrow as pa
+
+    out_schema = (
+        f"{id_col} BIGINT, n_samples BIGINT, n_frames BIGINT, "
+        "peak BIGINT, sum_sq BIGINT, n_clipped BIGINT"
+    )
+
+    def extract(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            ids, ns, nf, pk, sq, cl = [], [], [], [], [], []
+            id_arr = b.column(id_col).to_pylist()
+            pay = b.column(payload_col).to_pylist()
+            for i, data in zip(id_arr, pay):
+                buf = bytes(data or b"")
+                samples = np.frombuffer(
+                    buf[: (len(buf) // 2) * 2], dtype="<i2"
+                ).astype(np.int64)
+                ids.append(i)
+                ns.append(len(samples))
+                nf.append(-(-len(samples) // frame) if len(samples) else 0)
+                pk.append(int(np.abs(samples).max()) if len(samples) else 0)
+                sq.append(int((samples * samples).sum()))
+                cl.append(int((np.abs(samples) >= 30000).sum()))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(x, type=pa.int64())
+                 for x in (ids, ns, nf, pk, sq, cl)],
+                names=[id_col, "n_samples", "n_frames", "peak",
+                       "sum_sq", "n_clipped"],
+            )
+
+    return mm.select(id_col, payload_col).mapInArrow(extract, out_schema)

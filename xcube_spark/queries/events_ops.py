@@ -427,3 +427,51 @@ def events_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)),
                                 (event_type), ())
     """)
+
+
+@query(
+    "events_asof_value",
+    sql="""
+        WITH l AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+        ), r AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT l.event_id, l.user_id, l.ts,
+               ROUND(l.value, 6) AS value,
+               r.ts AS ts_right,
+               r.event_id AS event_id_right,
+               ROUND(r.value, 6) AS value_right
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_value(spark, sf_dir):
+    """asof_join (operators/asof.py): every click gets the latest
+    at-or-before purchase of the same user — the point-in-time lookup
+    of feature-store pipelines.  Spark runs the union-window form (one
+    shuffle, no candidate pairs); the oracle is DuckDB's NATIVE
+    ``ASOF LEFT JOIN``, a fully independent restatement of the
+    semantics.
+
+    Tie semantics pinned by the test: DuckDB ASOF uses l.ts >= r.ts
+    (inclusive), matched by ordering right rows before left rows at
+    equal timestamps."""
+    from xcube_spark.operators.asof import asof_join
+
+    ev = tbl(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        "ts_right", "event_id_right",
+        F.round("value_right", 6).alias("value_right"),
+    )

@@ -547,3 +547,51 @@ def emb_knn_pq(spark, sf_dir):
     out = knn_pq(emb, queries, k=10, m=4, dsub=16, ksub=16)
     return out.select("query_id", "vec_id",
                       F.round("pq_d2", 4).alias("pq_d2"), "rank")
+
+
+# ---- audio features over binary payloads ------------------------------
+
+
+@query(
+    "doc_audio_features",
+    sql="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   CAST(length(text) // 2 AS BIGINT) AS ns
+            FROM documents
+        ), smp AS (
+            SELECT doc_id,
+                   CAST(ord(substring(text, 2 * i + 1, 1))
+                        + 256 * ord(substring(text, 2 * i + 2, 1))
+                        AS BIGINT) AS s
+            FROM t, unnest(range(ns)) AS u(i)
+        ), agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_samples,
+                   MAX(abs(s)) AS peak,
+                   CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+                   CAST(SUM(CASE WHEN abs(s) >= 30000 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped
+            FROM smp GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(COALESCE(n_samples, 0) AS BIGINT) AS n_samples,
+               CAST(CEIL(COALESCE(n_samples, 0) / 64.0) AS BIGINT)
+                   AS n_frames,
+               CAST(COALESCE(peak, 0) AS BIGINT) AS peak,
+               CAST(COALESCE(sum_sq, 0) AS BIGINT) AS sum_sq,
+               CAST(COALESCE(n_clipped, 0) AS BIGINT) AS n_clipped
+        FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def doc_audio_features(spark, sf_dir):
+    """audio_features (pipeline/multimodal.py): payloads decoded as
+    16-bit little-endian PCM inside Arrow batches; every output is an
+    exact integer (count / peak / energy / clip count), so the oracle
+    restates the decode byte-by-byte with no float-summation-order
+    hazard.  The ASCII corpus makes byte == codepoint, letting SQL
+    read the same bytes with ord(substring(...))."""
+    from xcube_spark.pipeline.multimodal import attach_payload, audio_features
+
+    mm = attach_payload(tbl(spark, sf_dir, "documents"), mime="audio/pcm")
+    return audio_features(mm, frame=64)
