@@ -142,3 +142,29 @@ def test_append_stream_to_cube(spark, tmp_path_factory):
     assert back2.count() == grid.size
     assert back2.where("t_i = 1").agg(F.min("v")).collect()[0][0] == 9.0
     assert back2.where("t_i = 0").agg(F.max("v")).collect()[0][0] == 1.0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from xcube_spark.queries import tbl
+    from xcube_spark.streaming.events import (
+        read_events_stream, run_stream_to_table, stream_stream_interval_join)
+
+    out = run_stream_to_table(
+        stream_stream_interval_join(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    got = {(r.event_id, r.event_id_r) for r in out.collect()}
+
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"))
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("eid_r"), F.col("user_id").alias("uid_r"),
+        F.col("ts").alias("ts_r"))
+    batch = c.join(p, (F.col("user_id") == F.col("uid_r"))
+                   & (F.col("ts_r") >= F.col("ts"))
+                   & (F.col("ts_r") <= F.col("ts")
+                      + F.expr("INTERVAL 1 HOUR")))
+    want = {(r.event_id, r.eid_r) for r in batch.collect()}
+    assert got == want and len(got) > 0

@@ -475,3 +475,67 @@ def events_asof_value(spark, sf_dir):
         "ts_right", "event_id_right",
         F.round("value_right", 6).alias("value_right"),
     )
+
+
+@query(
+    "events_rolling_1h",
+    sql="""
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               ROUND(AVG(value) OVER w, 6) AS value_mean_1h,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def events_rolling_1h(spark, sf_dir):
+    """Rolling event-time aggregate: per user, the mean/count over the
+    trailing hour at every event — the feature-engineering window shape
+    ('activity in the last N minutes').  One shuffle on user_id; the
+    RANGE frame is a per-partition sorted scan with an O(1) sliding
+    accumulator in both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round(F.avg("value").over(w), 6).alias("value_mean_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "events_stratified_sample",
+    sql="""
+        SELECT event_id, event_type, sample_rank
+        FROM (
+            SELECT event_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+                       AS sample_rank
+            FROM events
+        )
+        WHERE sample_rank <= 100
+    """,
+)
+def events_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: exactly 100 rows per stratum,
+    chosen by ranking on a hash of the id (pseudo-random but
+    reproducible and engine-portable — no RNG, re-runs and oracles
+    agree).  One shuffle on the stratum key; for corpus-scale strata
+    the rank window is the standard top-k-per-group shape with
+    partial top-k pushdown (WindowGroupLimit)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    )
+    return (
+        ev.select("event_id", "event_type",
+                  F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= 100)
+    )

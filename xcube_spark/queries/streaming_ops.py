@@ -144,3 +144,37 @@ def stream_stateful_user_totals(spark, sf_dir):
     return out.select(
         "user_id", "n_events", F.round("value_sum", 4).alias("value_sum")
     )
+
+
+@query(
+    "stream_click_purchase_join",
+    sql="""
+        SELECT c.event_id, c.user_id,
+               CAST(c.ts AS TIMESTAMP) AS ts,
+               p.event_id AS event_id_r,
+               CAST(p.ts AS TIMESTAMP) AS ts_r,
+               ROUND(p.value, 6) AS value_r
+        FROM events c
+        JOIN events p
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_click_purchase_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/events.py
+    stream_stream_interval_join): clicks pair with same-user purchases
+    within the next hour; both sides watermarked so buffered state is
+    evictable (O(rate x window)).  Drained with AvailableNow the finite
+    stream must equal the batch interval join the oracle states."""
+    from xcube_spark.streaming.events import (
+        read_events_stream, stream_stream_interval_join)
+
+    ev = read_events_stream(spark, sf_dir)
+    out = stream_stream_interval_join(ev)
+    return run_stream_to_table(
+        out.select("event_id", "user_id", "ts", "event_id_r", "ts_r",
+                   F.round("value_r", 6).alias("value_r")),
+        output_mode="append",
+    )

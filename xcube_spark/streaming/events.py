@@ -212,3 +212,43 @@ def run_stream_to_table(
     q.awaitTermination()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def stream_stream_interval_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    join_window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every left event pairs
+    with the same user's right events inside [ts, ts + join_window].
+
+    The canonical Structured Streaming two-stream pattern: BOTH sides
+    carry a watermark and the join condition bounds event-time skew,
+    so each side's buffered state is evictable once the other side's
+    watermark passes the interval — state is O(rate x window), not
+    O(stream).  Shuffle keys on user_id (equi part of the condition);
+    the time bound prunes within partitions.
+    """
+    l = (
+        events.where(F.col("event_type") == left_type)
+        .select(F.col("event_id"), F.col("user_id"), F.col("ts"),
+                F.col("value"))
+        .withWatermark("ts", watermark)
+    )
+    r = (
+        events.where(F.col("event_type") == right_type)
+        .select(F.col("event_id").alias("event_id_r"),
+                F.col("user_id").alias("user_id_r"),
+                F.col("ts").alias("ts_r"),
+                F.col("value").alias("value_r"))
+        .withWatermark("ts_r", watermark)
+    )
+    joined = l.join(
+        r,
+        (F.col("user_id") == F.col("user_id_r"))
+        & (F.col("ts_r") >= F.col("ts"))
+        & (F.col("ts_r") <= F.col("ts") + F.expr(f"INTERVAL {join_window}")),
+    ).select("event_id", "user_id", "ts", "event_id_r", "ts_r", "value_r")
+    return _ntz(joined, "ts", "ts_r")
