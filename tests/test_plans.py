@@ -180,3 +180,51 @@ def test_zarr_chunk_pushdown(spark, tmp_path):
     got = pruned.collect()
     assert len(got) == len(want) == 2 * 4 * 16
     assert {tuple(r) for r in got} == {tuple(r) for r in want}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    import datetime as dt
+    from xcube_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7, dt.datetime(2024, 1, 1, 10), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    right = spark.createDataFrame(
+        [(7, dt.datetime(2024, 1, 1, 9), 2.0)],
+        "user_id long, ts timestamp, quote double")
+    plan = _plan(asof_join(left, right, on="ts", by=["user_id"]))
+    # the union-window form: exactly ONE exchange (on the by key) —
+    # a theta range-join would show a nested-loop / cartesian product
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_pq_search_broadcasts_queries_not_corpus(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import knn_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(knn_pq(emb, queries, k=10))
+    # ADC scan: the corpus side must stream (never sit under a
+    # BroadcastExchange); only codebook/dtable broadcasts appear, and
+    # every broadcast subtree is rooted at a LIMIT/filtered-small input
+    assert "BroadcastExchange" in plan  # codebook + per-query tables
+    # corpus rows reach the join via encode (partial_min agg), which
+    # can only be on the streamed side of a broadcast hash join
+    assert "partial_min" in plan or "partial min" in plan.lower()
+
+
+def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id")
+    q = ev.select("event_id", "event_type",
+                  F.row_number().over(w).alias("r")).where(F.col("r") <= 100)
+    # Spark inserts WindowGroupLimit: each partition pre-prunes to the
+    # top 100 per group before the shuffle — the rank shuffle carries
+    # at most groups x 100 x partitions rows, not the corpus
+    assert "WindowGroupLimit" in _plan(q)
