@@ -108,8 +108,9 @@ def load_all() -> dict[str, Query]:
 
 #: the headline bench set (bench.py): one representative per operator
 #: family — flagship cube pipeline, temporal resample, event-time agg,
-#: relational star agg, the dedup family (exact / minhash / simhash),
-#: text quality + fingerprint, multimodal byte features, vector knn.
+#: relational star agg, the dedup family (exact / minhash / simhash /
+#: substring), text quality + fingerprint, multimodal byte features,
+#: vector knn (exact + PQ), and the as-of point-in-time join.
 BENCH_SET = (
     "cube_select_timeseries",
     "cube_resample_time_2d",
@@ -118,8 +119,11 @@ BENCH_SET = (
     "doc_exact_dedup",
     "doc_minhash_near_dups",
     "doc_simhash_pairs",
+    "doc_substring_dedup",
     "doc_quality_score",
     "doc_byte_histogram",
     "doc_fingerprint",
     "emb_knn_cosine",
+    "emb_knn_pq",
+    "events_asof_value",
 )

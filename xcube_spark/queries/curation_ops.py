@@ -301,3 +301,108 @@ def doc_substring_dedup(spark, sf_dir):
     from xcube_spark.pipeline.curation import substring_dedup_stats
 
     return substring_dedup_stats(tbl(spark, sf_dir, "documents"), window=10)
+
+
+@query(
+    "doc_curation_pipeline",
+    sql=rf"""
+        WITH q AS (
+            SELECT doc_id, text,
+                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   ROUND(CASE WHEN len(string_split(trim(text), ' ')) < 5
+                         THEN 0.0 ELSE
+                       least(len(string_split(trim(text), ' ')) / 100.0,
+                             1.0) * 0.4
+                       + (1.0 - least(
+                             length(regexp_replace(text,
+                                 '[^!-/:-@\[-`{{-~]', '', 'g'))
+                             / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+                       + least(len(list_filter(
+                             string_split(lower(trim(text)), ' '),
+                             t -> t IN ('the','a','of','and','to','in','is',
+                                        'that','it','for')))
+                             / greatest(len(string_split(lower(trim(text)),
+                                            ' ')), 1) * 5.0, 1.0) * 0.3
+                   END, 6) AS quality
+            FROM documents
+        ), kept AS (
+            SELECT doc_id, text, n_tokens FROM q WHERE quality >= 0.5
+        ), canon AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       md5(lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g'))) AS digest
+                FROM documents)
+            QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY digest)
+        ), k2 AS (
+            SELECT kept.* FROM kept JOIN canon USING (doc_id)
+        ), benchg AS (
+            SELECT DISTINCT lst[i + 1] || ' ' || lst[i + 2] || ' '
+                       || lst[i + 3] AS ngram
+            FROM (SELECT {_TOKS} AS lst FROM documents
+                  WHERE doc_id % 97 = 0) t,
+                 unnest(range(len(lst) - 2)) AS u(i)
+            WHERE len(lst) >= 3
+        ), cg AS (
+            SELECT DISTINCT doc_id,
+                   lst[i + 1] || ' ' || lst[i + 2] || ' ' || lst[i + 3]
+                       AS ngram
+            FROM (SELECT doc_id, {_TOKS} AS lst FROM k2) t,
+                 unnest(range(len(lst) - 2)) AS u(i)
+            WHERE len(lst) >= 3
+        ), contam AS (
+            SELECT DISTINCT cg.doc_id FROM cg JOIN benchg USING (ngram)
+        ), final AS (
+            SELECT k2.doc_id, k2.n_tokens,
+                   ((k2.doc_id * 2654435761) % 4294967296) % 10000 AS bucket
+            FROM k2 LEFT JOIN contam c USING (doc_id)
+            WHERE c.doc_id IS NULL
+        )
+        SELECT CASE WHEN bucket < 9800 THEN 'train'
+                    WHEN bucket < 9900 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM final GROUP BY 1
+    """,
+)
+def doc_curation_pipeline(spark, sf_dir):
+    """The composed curation chain end to end — quality gate (rounded
+    score >= 0.5), exact-dedup canonical filter, benchmark
+    decontamination, deterministic split assignment — reduced to
+    per-split doc/token totals.  One DAG: every stage is a projection
+    or a broadcastable join over the streaming corpus except the two
+    doc_id-keyed aggregations, so the whole pipeline is 3 shuffles
+    regardless of corpus size.  The oracle restates all four stages in
+    a single CTE chain."""
+    from xcube_spark.pipeline.curation import assign_split, decontaminate
+    from xcube_spark.pipeline.dedup import exact_dedup_map
+    from xcube_spark.pipeline.text import quality_score
+
+    docs = tbl(spark, sf_dir, "documents")
+    q = quality_score(docs).select(
+        "doc_id", "text", "n_tokens",
+        F.round("quality", 6).alias("__q"),
+    )
+    kept = q.where(F.col("__q") >= 0.5).drop("__q")
+    canon = (
+        exact_dedup_map(docs)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    k2 = kept.join(canon, "doc_id")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    clean = (
+        decontaminate(k2, bench, n=3)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    final = k2.join(clean, "doc_id")
+    return (
+        assign_split(final)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
