@@ -161,3 +161,53 @@ def test_train_ivf_centroids(spark):
         F.col("vec_id").alias("query_id"), "embedding")
     out = knn_ivf(emb, q, cents, k=3, n_probe=1)
     assert [r["vec_id"] for r in out.orderBy("rank").collect()][0] < 100
+
+
+@given(
+    max_tokens=st.integers(8, 256),
+    n_docs=st.integers(1, 60),
+    seed=st.integers(0, 3),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_invariants(spark, max_tokens, n_docs, seed):
+    """For ANY corpus/budget: placement is a bijection over docs, every
+    sequence starts under budget, and offsets form exact prefix sums
+    in id order within (shard, seq)."""
+    from xcube_spark.pipeline.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 7 + seed) % 40)))
+            for i in range(n_docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=max_tokens, n_shards=4).collect()
+    assert sorted(r.doc_id for r in out) == list(range(n_docs))
+    groups: dict = {}
+    for r in out:
+        groups.setdefault((r.shard, r.seq_id), []).append(r)
+    for members in groups.values():
+        members.sort(key=lambda r: r.doc_id)
+        assert members[0].offset < max_tokens
+        run = members[0].offset
+        for m in members:
+            assert m.offset == run
+            run += m.n_tokens
+
+
+@given(
+    weights=st.sampled_from([
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        {"train": 0.98, "val": 0.01, "test": 0.01},
+        {"a": 0.5, "b": 0.5},
+    ]),
+    n=st.integers(10, 400),
+)
+@settings(**SETTINGS)
+def test_assign_split_partitions_every_doc(spark, weights, n):
+    """Splits partition the corpus: every doc gets exactly one split
+    drawn from the weight keys, independent of corpus size."""
+    from xcube_spark.pipeline.curation import assign_split
+
+    df = spark.createDataFrame(
+        [(i, "t") for i in range(n)], "doc_id long, text string")
+    out = assign_split(df, weights=weights).collect()
+    assert len(out) == n
+    assert {r.split for r in out} <= set(weights)
