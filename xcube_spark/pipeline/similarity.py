@@ -353,14 +353,33 @@ def knn_ivf(
 # product quantization (PQ)
 
 
-def _d2_dot_identity(a: Column, b: Column) -> Column:
-    """Squared L2 via the dot identity |a|^2 - 2 a.b + |b|^2.
+def _d2_unrolled(a: Column, b: Column, dsub: int) -> Column:
+    """Squared L2 as an UNROLLED fixed-order sum:
+    ``((a1-b1)^2 + (a2-b2)^2) + ...`` left to right.
 
-    Chosen over a fold of squared differences because every term is a
-    ``dot`` (left-to-right multiply-add) — the exact arithmetic DuckDB's
-    ``list_dot_product`` performs, so oracle SQL reproduces the same
-    IEEE doubles bit-for-bit (the proven cosine-oracle recipe)."""
-    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    Two properties matter here: (1) ``element_at`` and arithmetic are
+    whole-stage-codegen'd, while higher-order folds
+    (``zip_with``/``aggregate``) evaluate interpreted — the unrolled
+    form is ~10x faster on the encode join's |corpus| x m*ksub rows;
+    (2) the oracle SQL states the literally identical expression
+    (``(sv[1]-cv[1])*(sv[1]-cv[1]) + ...``), so both engines produce
+    bit-identical IEEE doubles — these distances appear in OUTPUT
+    (ADC sums), not just in orderings."""
+    out = None
+    for d in range(dsub):
+        t = (F.element_at(a, d + 1) - F.element_at(b, d + 1)) * (
+            F.element_at(a, d + 1) - F.element_at(b, d + 1)
+        )
+        out = t if out is None else out + t
+    return out
+
+
+def _d2_sql(a: str, b: str, dsub: int) -> str:
+    """The SQL twin of :func:`_d2_unrolled` (same order, same ops)."""
+    return " + ".join(
+        f"({a}[{d + 1}] - {b}[{d + 1}]) * ({a}[{d + 1}] - {b}[{d + 1}])"
+        for d in range(dsub)
+    )
 
 
 def pq_codebook(
@@ -415,7 +434,7 @@ def pq_encode(
         id_col,
         "sub",
         F.struct(
-            _d2_dot_identity(sv, F.col("cvec")).alias("d"),
+            _d2_unrolled(sv, F.col("cvec"), dsub).alias("d"),
             F.col("cid"),
         ).alias("__dc"),
     )
@@ -474,7 +493,7 @@ def knn_pq(
             query_id_col,
             F.struct(
                 "sub", "cid",
-                _d2_dot_identity(qsv, F.col("cvec")).alias("qd2"),
+                _d2_unrolled(qsv, F.col("cvec"), dsub).alias("qd2"),
             ).alias("__e"),
         )
         .groupBy(query_id_col)
@@ -542,7 +561,8 @@ def train_pq_codebooks(
             .select(
                 id_col, "sub", "sv",
                 F.struct(
-                    _d2_dot_identity(F.col("sv"), F.col("cvec")).alias("d"),
+                    _d2_unrolled(F.col("sv"), F.col("cvec"), dsub)
+                    .alias("d"),
                     F.col("cid"),
                 ).alias("__dc"),
             )

@@ -490,20 +490,18 @@ def doc_ngram_jaccard(spark, sf_dir):
                    v[(sub * 16 + 1):(sub * 16 + 16)] AS sv
             FROM c, subs
         ), enc AS (
-            -- lexicographic (d2, cid) min == deterministic argmin
+            -- lexicographic (d2, cid) min == deterministic argmin;
+            -- d2 is the UNROLLED fixed-order sum matching the Spark
+            -- side's _d2_unrolled bit for bit
             SELECT vec_id, sub,
                    min(struct_pack(
-                       d := list_dot_product(sv, sv)
-                            - 2 * list_dot_product(sv, cv)
-                            + list_dot_product(cv, cv),
+                       d := (sv[1] - cv[1]) * (sv[1] - cv[1]) + (sv[2] - cv[2]) * (sv[2] - cv[2]) + (sv[3] - cv[3]) * (sv[3] - cv[3]) + (sv[4] - cv[4]) * (sv[4] - cv[4]) + (sv[5] - cv[5]) * (sv[5] - cv[5]) + (sv[6] - cv[6]) * (sv[6] - cv[6]) + (sv[7] - cv[7]) * (sv[7] - cv[7]) + (sv[8] - cv[8]) * (sv[8] - cv[8]) + (sv[9] - cv[9]) * (sv[9] - cv[9]) + (sv[10] - cv[10]) * (sv[10] - cv[10]) + (sv[11] - cv[11]) * (sv[11] - cv[11]) + (sv[12] - cv[12]) * (sv[12] - cv[12]) + (sv[13] - cv[13]) * (sv[13] - cv[13]) + (sv[14] - cv[14]) * (sv[14] - cv[14]) + (sv[15] - cv[15]) * (sv[15] - cv[15]) + (sv[16] - cv[16]) * (sv[16] - cv[16]),
                        cid := cid)).cid AS code
             FROM sv JOIN cb USING (sub)
             GROUP BY vec_id, sub
         ), dt AS (
             SELECT q.vec_id AS query_id, cb.sub, cb.cid,
-                   list_dot_product(q.sv, q.sv)
-                   - 2 * list_dot_product(q.sv, cb.cv)
-                   + list_dot_product(cb.cv, cb.cv) AS qd2
+                   (q.sv[1] - cb.cv[1]) * (q.sv[1] - cb.cv[1]) + (q.sv[2] - cb.cv[2]) * (q.sv[2] - cb.cv[2]) + (q.sv[3] - cb.cv[3]) * (q.sv[3] - cb.cv[3]) + (q.sv[4] - cb.cv[4]) * (q.sv[4] - cb.cv[4]) + (q.sv[5] - cb.cv[5]) * (q.sv[5] - cb.cv[5]) + (q.sv[6] - cb.cv[6]) * (q.sv[6] - cb.cv[6]) + (q.sv[7] - cb.cv[7]) * (q.sv[7] - cb.cv[7]) + (q.sv[8] - cb.cv[8]) * (q.sv[8] - cb.cv[8]) + (q.sv[9] - cb.cv[9]) * (q.sv[9] - cb.cv[9]) + (q.sv[10] - cb.cv[10]) * (q.sv[10] - cb.cv[10]) + (q.sv[11] - cb.cv[11]) * (q.sv[11] - cb.cv[11]) + (q.sv[12] - cb.cv[12]) * (q.sv[12] - cb.cv[12]) + (q.sv[13] - cb.cv[13]) * (q.sv[13] - cb.cv[13]) + (q.sv[14] - cb.cv[14]) * (q.sv[14] - cb.cv[14]) + (q.sv[15] - cb.cv[15]) * (q.sv[15] - cb.cv[15]) + (q.sv[16] - cb.cv[16]) * (q.sv[16] - cb.cv[16]) AS qd2
             FROM (SELECT * FROM sv WHERE vec_id < 5) q, cb
             WHERE cb.sub = q.sub
         ), adc AS (
