@@ -199,3 +199,79 @@ def merge_union_concat(spark, sf_dir):
         F.col("l_extendedprice").alias("amount"),
     )
     return o.unionByName(l)
+
+
+@query(
+    "q6_forecast_revenue",
+    sql="""
+        SELECT ROUND(CAST(SUM(l_extendedprice * l_discount) AS DOUBLE), 4)
+                   AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure filter+aggregate scan — every
+    predicate (date range, discount band, quantity cap) must reach the
+    parquet reader as a PushedFilter, making this the pushdown
+    benchmark: at 100 TB it reads only row groups whose min/max stats
+    intersect the band."""
+    li = tbl(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q18_large_orders",
+    sql="""
+        WITH big AS (
+            SELECT l_orderkey, ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2)
+                       AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+               ROUND(o.o_totalprice, 2) AS o_totalprice,
+               b.total_qty
+        FROM big b
+        JOIN orders o ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume orders): aggregate-then-join — the
+    HAVING filter shrinks lineitem to the rare big orders BEFORE any
+    join, so both joins see a filtered build side AQE can broadcast;
+    the anti-pattern (join first, aggregate after) would shuffle the
+    full fact table twice."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
