@@ -218,3 +218,24 @@ def test_substring_dedup_flags_copied_spans(spark):
     assert rows[2].n_dup >= 1                             # copied span
     assert rows[3].n_dup == 0
     assert rows[4].n_windows == 0 and rows[4].dup_frac == 0.0
+
+
+def test_incremental_dedup_equals_batch(spark):
+    from xcube_spark.pipeline.dedup import (
+        exact_dedup_state, incremental_exact_dedup)
+
+    all_docs = docs(spark, [
+        (1, "alpha beta"), (2, "alpha  beta "),   # same after normalize
+        (3, "gamma"), (4, "delta"), (5, "GAMMA"), (6, "unique new"),
+    ])
+    old = all_docs.where(F.col("doc_id") <= 3)
+    new = all_docs.where(F.col("doc_id") > 3)
+    merged = incremental_exact_dedup(exact_dedup_state(old), new)
+    batch = exact_dedup_state(all_docs)
+    m = {r.digest: (r.canonical_id, r.group_size) for r in merged.collect()}
+    b = {r.digest: (r.canonical_id, r.group_size) for r in batch.collect()}
+    assert m == b
+    # digest-only batches merge too (batch with an existing dup)
+    again = incremental_exact_dedup(
+        merged, docs(spark, [(7, "alpha beta")]))
+    assert {r.canonical_id: r.group_size for r in again.collect()}[1] == 3

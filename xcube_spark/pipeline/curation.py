@@ -59,23 +59,34 @@ def det_hash(col: Column) -> Column:
 def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Explode each document into its word n-grams (distinct per doc).
 
-    One `posexplode` + (n-1) self-equi-joins on (doc_id, pos) would
-    also work, but a single `transform` over the token array builds
-    every n-gram without a join or re-shuffle — the array stays inside
-    one row until the final explode.
+    Built as ``posexplode`` + ``lead(tok, k)`` + ``concat_ws`` — every
+    operator whole-stage-codegen'd (same rationale as
+    :func:`substring_dedup_stats`: the array form with ``transform``
+    over ``slice``+``array_join`` computes identical strings but
+    higher-order lambdas evaluate interpreted and dominate at corpus
+    scale).  Docs shorter than ``n`` tokens yield no rows (the last
+    lead is null for every position).
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # guard: F.sequence(0, -k) would generate a *descending* sequence,
-    # so short docs must yield an empty gram array explicitly
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "__tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", k).over(w) for k in range(1, n)
+    ]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("ngram"),
+            F.lead("__tok", n - 1).over(w).alias("__full"),
+        )
+        .where(F.col("__full").isNotNull())
+        .select("doc_id", "ngram")
+        .distinct()
     )
 
 

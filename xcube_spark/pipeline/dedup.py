@@ -396,3 +396,74 @@ def simhash_near_dup_pairs(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------------------------------------------------
+# incremental dedup (streaming-append contract)
+
+
+def exact_dedup_state(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """The compact dedup index a production pipeline persists between
+    batches: one row per distinct content digest ->
+    (digest, canonical_id, group_size)."""
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.regexp_replace(F.trim(content), r"\s+", " "))
+    return (
+        docs.select(F.col(id_col), F.md5(content).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def incremental_exact_dedup(
+    state: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Merge a NEW batch into an existing dedup state without touching
+    the already-processed corpus — the incremental contract a
+    streaming-append pipeline needs ("don't recompute the world per
+    batch").
+
+    The batch digests once (one scan of the batch only), pre-aggregates
+    per digest (min id + count — map-side combinable), and full-outer
+    merges with the state on the digest key.  Merged canonical is the
+    min across both sides, so the result is EXACTLY the state a batch
+    recompute over old+new would produce (order-insensitive,
+    idempotent for re-delivered batches only if the upstream dedups
+    deliveries — an exactly-once source or dropDuplicates on id).
+
+    Scale: the only corpus-sized input is ``state`` (one row per
+    distinct digest, smaller than the corpus).  Persist it bucketed by
+    digest and the merge join is co-partitioned — the per-batch cost
+    is then O(batch) shuffle + a bucket-local join, independent of
+    corpus size."""
+    delta = exact_dedup_state(new_docs, text_col=text_col, id_col=id_col,
+                              normalize=normalize).select(
+        "digest",
+        F.col("canonical_id").alias("__new_min"),
+        F.col("group_size").alias("__new_cnt"),
+    )
+    return (
+        state.join(delta, "digest", "full_outer")
+        .select(
+            "digest",
+            F.least(
+                F.coalesce("canonical_id", "__new_min"),
+                F.coalesce("__new_min", "canonical_id"),
+            ).alias("canonical_id"),
+            (
+                F.coalesce("group_size", F.lit(0))
+                + F.coalesce("__new_cnt", F.lit(0))
+            ).alias("group_size"),
+        )
+    )

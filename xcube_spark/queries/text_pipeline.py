@@ -285,3 +285,34 @@ def emb_centroid_by_label(spark, sf_dir):
         F.round(F.avg("val"), 6).alias("centroid"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "doc_incremental_dedup",
+    sql=r"""
+        WITH h AS (
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                       AS digest
+            FROM documents
+        )
+        SELECT digest, MIN(doc_id) AS canonical_id,
+               COUNT(*) AS group_size
+        FROM h GROUP BY digest
+    """,
+)
+def doc_incremental_dedup(spark, sf_dir):
+    """incremental_exact_dedup (pipeline/dedup.py): the corpus is
+    split into an 'already processed' part (doc_id < 400 per 500 docs)
+    whose compact digest state is built once, and a 'new batch' merged
+    into it WITHOUT rescanning the old corpus.  The oracle is the
+    batch recompute over everything — passing means the incremental
+    merge is exactly equivalent to recomputation, which is the whole
+    contract."""
+    from xcube_spark.pipeline.dedup import (
+        exact_dedup_state, incremental_exact_dedup)
+
+    docs = tbl(spark, sf_dir, "documents")
+    cut = 400  # sf0.01 has 500 docs; any prefix/suffix split works
+    state = exact_dedup_state(docs.where(F.col("doc_id") < cut))
+    return incremental_exact_dedup(state, docs.where(F.col("doc_id") >= cut))
