@@ -496,10 +496,14 @@ def events_rolling_1h(spark, sf_dir):
     RANGE frame is a per-partition sorted scan with an O(1) sliding
     accumulator in both engines."""
     ev = tbl(spark, sf_dir, "events")
+    # order by epoch MICROseconds: the driver's timestamps carry
+    # sub-second precision, and DuckDB's RANGE INTERVAL frame compares
+    # at full precision — a seconds-truncated ordering key silently
+    # shifts events sitting within 1s of the trailing-hour boundary
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp_ltz").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp_ltz")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts",
