@@ -717,3 +717,57 @@ def test_normalize_zonal_to_grid(spark):
     # gridded input passes through untouched
     same, _ = normalize_zonal_to_grid(out, CubeGrid())
     assert same is out
+
+
+def test_zarr_v3_roundtrip_and_layout(spark, tmp_path):
+    """zarr_format=3 writes the v3 layout (zarr.json docs, c/i/j/k
+    chunk keys, gzip codec) and round-trips bit-for-bit; read_store
+    dispatches on the root document."""
+    import json
+    import os
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import (
+        open_zarr_cube, read_store, write_zarr_cube)
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i",
+                                  "B": ("uniform", 3, 0.3)})
+    path = str(tmp_path / "rt.zarr3")
+    write_zarr_cube(cube, path, grid, zarr_format=3)
+
+    root = json.load(open(os.path.join(path, "zarr.json")))
+    assert root["zarr_format"] == 3 and root["node_type"] == "group"
+    aj = json.load(open(os.path.join(path, "A", "zarr.json")))
+    assert aj["data_type"] == "float64"  # default encoding
+    assert aj["chunk_key_encoding"]["configuration"]["separator"] == "/"
+    # default zlib compressor becomes the v3 gzip codec
+    assert [c["name"] for c in aj["codecs"]] == ["bytes", "gzip"]
+    assert os.path.exists(os.path.join(path, "A", "c", "0", "0", "0"))
+    assert not os.path.exists(os.path.join(path, "A", "0.0.0"))
+    assert aj["dimension_names"] == ["time", "y", "x"]
+
+    metas = read_store(path)
+    assert metas["A"].zarr_format == 3
+
+    back = open_zarr_cube(spark, path)
+    assert back.count() == grid.size
+    assert cube.select("t_i", "y_i", "x_i", "A", "B").exceptAll(
+        back.select("t_i", "y_i", "x_i", "A", "B")).count() == 0
+
+
+def test_zarr_v3_uncompressed_float(spark, tmp_path):
+    """v3 with explicit float64/no-compressor encoding: raw little-
+    endian chunks under c/ keys, fill handled via NaN."""
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i"})
+    path = str(tmp_path / "raw.zarr3")
+    write_zarr_cube(cube, path, grid, zarr_format=3, encoding={
+        "A": {"dtype": "<f8", "compressor": None, "fill_value": "NaN",
+              "scale_factor": 1.0, "add_offset": 0.0}})
+    back = open_zarr_cube(spark, path)
+    assert cube.select("t_i", "y_i", "x_i", "A").exceptAll(
+        back.select("t_i", "y_i", "x_i", "A")).count() == 0

@@ -354,3 +354,57 @@ def cube_zarr_ingest(spark, sf_dir):
         F.round(F.avg("A"), 6).alias("A_mean"),
         F.sum("flags").cast("bigint").alias("flags_sum"),
     )
+
+
+_ZARR3_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_zarr_v3_ingest",
+    sql=f"""
+        {CUBE_CTE},
+        dec AS (
+            SELECT t_i,
+                   FLOOR(A / CAST(0.0078125 AS DOUBLE) + 0.5)
+                       * CAST(0.0078125 AS DOUBLE) AS A,
+                   flags
+            FROM cube
+        )
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) AS A_sum,
+               ROUND(AVG(A), 6) AS A_mean,
+               CAST(SUM(flags) AS BIGINT) AS flags_sum
+        FROM dec GROUP BY t_i
+    """,
+)
+def cube_zarr_v3_ingest(spark, sf_dir):
+    """Zarr v3 round-trip: same CF-packed fixture as cube_zarr_ingest
+    but written in the v3 layout (root/array zarr.json documents,
+    c/i/j/k chunk keys, bytes+gzip codec chain — zarrio.py
+    _read_store_v3/_write_array_meta) and ingested back through the
+    shared chunk-parallel reader core.  Same analytic oracle: the
+    quantization math is format-independent."""
+    import tempfile
+
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    if "p" not in _ZARR3_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_zarr3_") + "/fixture.zarr"
+        write_zarr_cube(
+            new_cube(spark, GRID, variables=SPARK_VARS), path, GRID,
+            var_names=["A", "flags"],
+            encoding={
+                "A": {"dtype": "<i2", "scale_factor": 0.0078125,
+                      "add_offset": 0.0, "fill_value": -32768},
+                "flags": {"dtype": "<i4", "fill_value": -1},
+            },
+            zarr_format=3,
+        )
+        _ZARR3_PATH["p"] = path
+    back = open_zarr_cube(spark, _ZARR3_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        F.round(F.sum("A"), 4).alias("A_sum"),
+        F.round(F.avg("A"), 6).alias("A_mean"),
+        F.sum("flags").cast("bigint").alias("flags_sum"),
+    )

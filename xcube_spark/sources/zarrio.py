@@ -63,9 +63,18 @@ _DTYPES = {
 }
 
 
+#: v3 ``data_type`` names -> v2 dtype codes (the internal currency)
+_V3_DTYPES = {
+    "float64": "<f8", "float32": "<f4", "int16": "<i2", "int32": "<i4",
+    "int64": "<i8", "uint16": "<u2", "int8": "|i1", "uint8": "|u1",
+}
+_V2_TO_V3 = {v: k for k, v in _V3_DTYPES.items()}
+
+
 @dataclass
 class ZarrArray:
-    """One array's ``.zarray`` + ``.zattrs`` metadata."""
+    """One array's metadata (v2 ``.zarray``+``.zattrs`` or v3
+    ``zarr.json``; ``dtype`` always holds the v2 code internally)."""
 
     name: str
     shape: tuple[int, ...]
@@ -74,6 +83,14 @@ class ZarrArray:
     compressor: dict | None
     fill_value: object
     attrs: dict = field(default_factory=dict)
+    zarr_format: int = 2
+
+    def chunk_key(self, *idx: int) -> str:
+        """Chunk file key relative to the array dir: v2 ``i.j.k``,
+        v3 default encoding ``c/i/j/k``."""
+        if self.zarr_format == 3:
+            return "c/" + "/".join(str(i) for i in idx)
+        return ".".join(str(i) for i in idx)
 
     @property
     def dims(self) -> list[str]:
@@ -102,6 +119,7 @@ def _read_bytes(path: str) -> bytes | None:
 
 
 def _write_bytes(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)  # v3 c/ nesting
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -122,16 +140,27 @@ def decode_chunk(raw: bytes | None, meta: ZarrArray) -> np.ndarray:
         fv = _fill_scalar(meta)
         return np.full(meta.chunks, 0 if fv is None else fv, meta.np_dtype)
     if meta.compressor is not None:
-        if meta.compressor.get("id") != "zlib":
+        cid = meta.compressor.get("id")
+        if cid == "zlib":
+            raw = zlib.decompress(raw)
+        elif cid == "gzip":  # the v3 core codec (RFC 1952 framing)
+            import gzip
+
+            raw = gzip.decompress(raw)
+        else:
             raise ValueError(f"unsupported compressor {meta.compressor!r}")
-        raw = zlib.decompress(raw)
     return np.frombuffer(raw, dtype=meta.np_dtype).reshape(meta.chunks)
 
 
 def encode_chunk(arr: np.ndarray, meta: ZarrArray) -> bytes:
     data = np.ascontiguousarray(arr, dtype=meta.np_dtype).tobytes()
     if meta.compressor is not None:
-        data = zlib.compress(data, meta.compressor.get("level", 1))
+        if meta.compressor.get("id") == "gzip":
+            import gzip
+
+            data = gzip.compress(data, meta.compressor.get("level", 1))
+        else:
+            data = zlib.compress(data, meta.compressor.get("level", 1))
     return data
 
 
@@ -175,8 +204,64 @@ def _json_fill(v):
     return v
 
 
+def _read_store_v3(path: str) -> dict[str, ZarrArray]:
+    """v3 layout: root ``zarr.json`` group doc, per-array
+    ``<name>/zarr.json`` with inline attributes and a codec chain."""
+    arrays = {}
+    for name in sorted(os.listdir(path)):
+        aj = os.path.join(path, name, "zarr.json")
+        if not os.path.exists(aj):
+            continue
+        with open(aj) as f:
+            meta = json.load(f)
+        if meta.get("node_type") != "array":
+            continue
+        if meta.get("zarr_format") != 3:
+            raise ValueError(f"unsupported zarr_format in {name!r}")
+        grid_cfg = meta.get("chunk_grid", {})
+        if grid_cfg.get("name") != "regular":
+            raise ValueError(f"unsupported chunk grid for {name!r}")
+        key_enc = meta.get("chunk_key_encoding",
+                           {"name": "default"})
+        if key_enc.get("name") != "default" or key_enc.get(
+                "configuration", {}).get("separator", "/") != "/":
+            raise ValueError(f"unsupported chunk key encoding for {name!r}")
+        codecs = list(meta.get("codecs", []))
+        if not codecs or codecs[0].get("name") != "bytes" or codecs[0].get(
+                "configuration", {}).get("endian", "little") != "little":
+            raise ValueError(f"unsupported codec chain for {name!r}")
+        compressor = None
+        for c in codecs[1:]:
+            if c.get("name") == "gzip":
+                compressor = {"id": "gzip",
+                              "level": c.get("configuration", {})
+                              .get("level", 1)}
+            else:
+                raise ValueError(f"unsupported codec {c!r} for {name!r}")
+        if meta.get("data_type") not in _V3_DTYPES:
+            raise ValueError(f"unsupported data_type for {name!r}")
+        attrs = dict(meta.get("attributes", {}))
+        if meta.get("dimension_names"):
+            attrs.setdefault("_ARRAY_DIMENSIONS",
+                             list(meta["dimension_names"]))
+        arrays[name] = ZarrArray(
+            name=name, shape=tuple(meta["shape"]),
+            chunks=tuple(grid_cfg["configuration"]["chunk_shape"]),
+            dtype=_V3_DTYPES[meta["data_type"]], compressor=compressor,
+            fill_value=meta.get("fill_value"), attrs=attrs, zarr_format=3,
+        )
+    return arrays
+
+
 def read_store(path: str) -> dict[str, ZarrArray]:
-    """Driver-side metadata read: every array's ``.zarray``/``.zattrs``."""
+    """Driver-side metadata read; dispatches on the store layout
+    (v2 ``.zgroup`` vs v3 root ``zarr.json``)."""
+    root_v3 = os.path.join(path, "zarr.json")
+    if os.path.exists(root_v3):
+        with open(root_v3) as f:
+            root = json.load(f)
+        if root.get("zarr_format") == 3 and root.get("node_type") == "group":
+            return _read_store_v3(path)
     if not os.path.exists(os.path.join(path, ".zgroup")):
         raise FileNotFoundError(f"not a zarr group: {path}")
     arrays = {}
@@ -205,6 +290,28 @@ def read_store(path: str) -> dict[str, ZarrArray]:
 def _write_array_meta(path: str, meta: ZarrArray) -> None:
     adir = os.path.join(path, meta.name)
     os.makedirs(adir, exist_ok=True)
+    if meta.zarr_format == 3:
+        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        if meta.compressor is not None:
+            codecs.append({"name": "gzip", "configuration": {
+                "level": meta.compressor.get("level", 1)}})
+        attrs = {k: v for k, v in meta.attrs.items()
+                 if k != "_ARRAY_DIMENSIONS"}
+        with open(os.path.join(adir, "zarr.json"), "w") as f:
+            json.dump({
+                "zarr_format": 3, "node_type": "array",
+                "shape": list(meta.shape),
+                "data_type": _V2_TO_V3[meta.dtype],
+                "chunk_grid": {"name": "regular", "configuration": {
+                    "chunk_shape": list(meta.chunks)}},
+                "chunk_key_encoding": {"name": "default", "configuration": {
+                    "separator": "/"}},
+                "codecs": codecs,
+                "fill_value": _json_fill(meta.fill_value),
+                "attributes": attrs,
+                "dimension_names": meta.dims,
+            }, f)
+        return
     with open(os.path.join(adir, ".zarray"), "w") as f:
         json.dump({
             "zarr_format": 2, "shape": list(meta.shape),
@@ -328,9 +435,12 @@ def write_zarr_cube(
     var_names: list[str] | None = None,
     encoding: Mapping[str, Mapping] | None = None,
     mode: str = "error",
+    zarr_format: int = 2,
 ) -> int:
-    """Write a cells-table cube as a Zarr v2 group; returns the number
-    of chunk files written.
+    """Write a cells-table cube as a Zarr group (v2 default, or the
+    v3 layout with ``zarr_format=3``: root/array ``zarr.json`` docs,
+    ``c/i/j/k`` chunk keys, bytes+gzip codec chain); returns the
+    number of chunk files written.
 
     Distributed write: one shuffle keyed by chunk index
     (``groupBy(tc, yc, xc).applyInPandas``), each task encodes and
@@ -341,7 +451,10 @@ def write_zarr_cube(
     """
     from xcube_spark.cube.grid import var_names as cube_vars
 
-    if os.path.exists(os.path.join(path, ".zgroup")):
+    if zarr_format not in (2, 3):
+        raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
+    if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
+            os.path.join(path, "zarr.json")):
         if mode == "error":
             raise FileExistsError(path)
         if mode != "overwrite":
@@ -352,14 +465,30 @@ def write_zarr_cube(
         import shutil
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ".zgroup"), "w") as f:
-        json.dump({"zarr_format": 2}, f)
-    with open(os.path.join(path, ".zattrs"), "w") as f:
-        json.dump({"crs": grid.crs}, f)
+    if zarr_format == 3:
+        with open(os.path.join(path, "zarr.json"), "w") as f:
+            json.dump({"zarr_format": 3, "node_type": "group",
+                       "attributes": {"crs": grid.crs}}, f)
+    else:
+        with open(os.path.join(path, ".zgroup"), "w") as f:
+            json.dump({"zarr_format": 2}, f)
+        with open(os.path.join(path, ".zattrs"), "w") as f:
+            json.dump({"crs": grid.crs}, f)
+
+    def _fmt(meta: ZarrArray) -> ZarrArray:
+        meta.zarr_format = zarr_format
+        if zarr_format == 3 and meta.compressor is not None:
+            # v3's core compression codec is gzip (RFC 1952), not raw
+            # zlib — switch so encode_chunk frames to what the
+            # metadata declares
+            meta.compressor = {"id": "gzip",
+                               "level": meta.compressor.get("level", 1)}
+        return meta
 
     vars_ = list(var_names) if var_names is not None else cube_vars(cube)
     encoding = dict(encoding or {})
-    metas = {v: _var_meta(v, grid, encoding.get(v, {})) for v in vars_}
+    metas = {v: _fmt(_var_meta(v, grid, encoding.get(v, {})))
+             for v in vars_}
     for m in metas.values():
         _write_array_meta(path, m)
 
@@ -382,18 +511,20 @@ def write_zarr_cube(
     for name, (vals, attrs) in axes.items():
         am = ZarrArray(name=name, shape=vals.shape, chunks=vals.shape,
                        dtype="<f8", compressor=None, fill_value=None,
-                       attrs=attrs)
+                       attrs=attrs, zarr_format=zarr_format)
         _write_array_meta(path, am)
-        _write_bytes(os.path.join(path, name, "0"), encode_chunk(vals, am))
+        _write_bytes(os.path.join(path, name, am.chunk_key(0)),
+                     encode_chunk(vals, am))
 
     # CF grid-mapping variable: a 1-element array carrying the CRS
     # attributes (cfconv encode — any CF reader resolves grid_mapping)
     crs_meta = ZarrArray(name="crs", shape=(1,), chunks=(1,), dtype="|i1",
                          compressor=None, fill_value=None,
                          attrs={"_ARRAY_DIMENSIONS": ["crs"],
-                                **cf_grid_mapping_attrs(grid.crs)})
+                                **cf_grid_mapping_attrs(grid.crs)},
+                         zarr_format=zarr_format)
     _write_array_meta(path, crs_meta)
-    _write_bytes(os.path.join(path, "crs", "0"),
+    _write_bytes(os.path.join(path, "crs", crs_meta.chunk_key(0)),
                  encode_chunk(np.zeros(1, "i1"), crs_meta))
 
     ct, cy, cx = grid.chunks
@@ -406,8 +537,9 @@ def write_zarr_cube(
             chunk = np.full(meta.chunks, np.nan, "float64")
             chunk[pdf["t_i"] % ct, pdf["y_i"] % cy, pdf["x_i"] % cx] = \
                 pdf[v].to_numpy("float64", na_value=np.nan)
-            _write_bytes(os.path.join(path, v, f"{tc}.{yc}.{xc}"),
-                         encode_chunk(encode_values(chunk, meta), meta))
+            ck = os.path.join(path, v, meta.chunk_key(tc, yc, xc))
+            os.makedirs(os.path.dirname(ck), exist_ok=True)
+            _write_bytes(ck, encode_chunk(encode_values(chunk, meta), meta))
             n += 1
         return pd.DataFrame({"n": [n]})
 
@@ -505,7 +637,7 @@ def _open_cells(
                        "x_i": xx.ravel().astype("int32")}
                 for v in names:
                     meta = metas[v]
-                    raw = fetch(f"{v}/{tc}.{yc}.{xc}")
+                    raw = fetch(f"{v}/{metas[v].chunk_key(tc, yc, xc)}")
                     vals = decode_values(decode_chunk(raw, meta), meta)
                     out[v] = vals[: t1 - t0, : y1 - y0, : x1 - x0].ravel()
                 yield pd.DataFrame(out)
@@ -535,7 +667,7 @@ def _open_cells(
     def axis_values(name: str) -> np.ndarray:
         m = arrays[name]
         return decode_values(
-            decode_chunk(fetch(f"{name}/0"), m), m
+            decode_chunk(fetch(f"{name}/{m.chunk_key(0)}"), m), m
         )[: m.shape[0]]
 
     def axis_df(name: str, idx_col: str):
