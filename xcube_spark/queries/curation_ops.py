@@ -370,11 +370,15 @@ def doc_curation_pipeline(spark, sf_dir):
     """The composed curation chain end to end — quality gate (rounded
     score >= 0.5), exact-dedup canonical filter, benchmark
     decontamination, deterministic split assignment — reduced to
-    per-split doc/token totals.  One DAG: every stage is a projection
-    or a broadcastable join over the streaming corpus except the two
-    doc_id-keyed aggregations, so the whole pipeline is 3 shuffles
-    regardless of corpus size.  The oracle restates all four stages in
-    a single CTE chain."""
+    per-split doc/token totals.  Shuffle story (pre-AQE plan shows 9
+    hash exchanges; the corpus-sized ones): one on the content digest
+    (dedup window), one per doc_id equi-join with the canonical /
+    clean id sets (co-partitionable — a production pipeline bucketing
+    its doc table by doc_id elides them), and the n-gram
+    lead-window + distinct pair.  The benchmark probe side is
+    eval-suite-sized and broadcasts at runtime; quality and split are
+    pure projections.  The oracle restates all four stages in a
+    single CTE chain."""
     from xcube_spark.pipeline.curation import assign_split, decontaminate
     from xcube_spark.pipeline.dedup import exact_dedup_map
     from xcube_spark.pipeline.text import quality_score
