@@ -239,3 +239,22 @@ def test_incremental_dedup_equals_batch(spark):
     again = incremental_exact_dedup(
         merged, docs(spark, [(7, "alpha beta")]))
     assert {r.canonical_id: r.group_size for r in again.collect()}[1] == 3
+
+
+def test_lsh_multiprobe_recall_not_worse(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import knn_bruteforce, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in knn_bruteforce(emb, queries, k=10).collect()}
+    single = {(r.query_id, r.vec_id)
+              for r in knn_lsh(emb, queries, k=10).collect()}
+    multi = {(r.query_id, r.vec_id)
+             for r in knn_lsh(emb, queries, k=10,
+                              probe_radius=1).collect()}
+    # multi-probe widens the candidate set, so recall vs the exact
+    # answer can only improve (same planes, superset of buckets)
+    assert len(multi & exact) >= len(single & exact)

@@ -177,11 +177,16 @@ def knn_lsh(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    probe_radius: int = 0,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing the hyperplane
-    bucket with the query (single-probe).  Recall grows with fewer
-    planes / multi-probing; the scale win is that each corpus row joins
-    at most one bucket."""
+    bucket with the query.  ``probe_radius=1`` enables multi-probe:
+    the QUERY side also probes every bucket at Hamming distance 1
+    (each sign bit flipped), trading a (1 + n_planes)-fold growth of
+    the tiny broadcast query table for recall — the corpus side still
+    joins exactly one bucket per row, which is the scale invariant."""
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
     planes = _hyperplanes(dim, n_planes, seed)
     c = corpus.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
     q = queries.select(
@@ -189,6 +194,20 @@ def knn_lsh(
         F.col(vec_col).alias("__qvec"),
         lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
+    if probe_radius == 1:
+        # a corpus vector occupies ONE bucket, so a probe list with
+        # distinct buckets can never duplicate a (query, corpus) pair
+        probes = F.concat(
+            F.array(F.col("__bucket")),
+            F.array(*[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(n_planes)
+            ]),
+        )
+        q = q.select(
+            query_id_col, "__qvec",
+            F.explode(probes).alias("__bucket"),
+        )
     scored = c.join(F.broadcast(q), "__bucket").where(
         F.col(id_col) != F.col(query_id_col)
     ).select(

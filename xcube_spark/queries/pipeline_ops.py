@@ -593,3 +593,53 @@ def doc_audio_features(spark, sf_dir):
 
     mm = attach_payload(tbl(spark, sf_dir, "documents"), mime="audio/pcm")
     return audio_features(mm, frame=64)
+
+
+@query(
+    "emb_knn_lsh_multiprobe",
+    sql=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ), q0 AS (
+            SELECT vec_id AS query_id, v AS qv, bucket FROM c
+            WHERE vec_id < 5
+        ), q AS (
+            SELECT query_id, qv,
+                   CASE WHEN i = 0 THEN bucket
+                        ELSE xor(bucket, CAST(1 << (i - 1) AS BIGINT))
+                   END AS bucket
+            FROM q0, unnest(range(9)) AS u(i)
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM c JOIN q USING (bucket)
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_knn_lsh_multiprobe(spark, sf_dir):
+    """knn_lsh with probe_radius=1 (multi-probe): the query side also
+    searches every bucket one sign-flip away, recovering neighbors
+    that landed just across a hyperplane.  Corpus rows still join
+    exactly one bucket — only the broadcast query table grows
+    (x (1 + n_planes)), so the scale shape is unchanged."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_lsh(emb, queries, k=10, probe_radius=1)
+    return out.select("query_id", "vec_id",
+                      F.round("cosine", 6).alias("cosine"), "rank")
