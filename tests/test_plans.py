@@ -228,3 +228,33 @@ def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
     # top 100 per group before the shuffle — the rank shuffle carries
     # at most groups x 100 x partitions rows, not the corpus
     assert "WindowGroupLimit" in _plan(q)
+
+
+def test_bucketed_join_elides_exchanges(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key merge with ZERO exchanges —
+    the storage contract behind the incremental dedup / curation
+    claims ('bucket the doc table and the per-batch join is
+    bucket-local')."""
+    from xcube_spark.sources.layout import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_bucketed_table(docs.select("doc_id", "text"),
+                             "bt_docs", n_buckets=8)
+        write_bucketed_table(docs.select("doc_id", "n_chars"),
+                             "bt_meta", n_buckets=8)
+        joined = spark.table("bt_docs").join(spark.table("bt_meta"),
+                                             "doc_id")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # control: the same join from plain parquet shuffles both sides
+        control = docs.select("doc_id", "text").join(
+            docs.select("doc_id", "n_chars"), "doc_id")
+        assert "Exchange hashpartitioning" in _plan(control)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_meta")
