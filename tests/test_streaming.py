@@ -168,3 +168,34 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
                       + F.expr("INTERVAL 1 HOUR")))
     want = {(r.event_id, r.eid_r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """A document stream drained through the foreachBatch dedup sink
+    yields exactly the batch-recomputed state, across micro-batches."""
+    from xcube_spark.pipeline.dedup import exact_dedup_state
+    from xcube_spark.streaming.dedup_sink import (
+        run_incremental_dedup_stream)
+
+    rows = [(i, f"text {i % 7}") for i in range(60)]  # 7 digest groups
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    all_docs.where("doc_id < 30").coalesce(1).write.parquet(
+        src + "/part=a")
+    all_docs.where("doc_id >= 30").coalesce(1).write.parquet(
+        src + "/part=b")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    final = run_incremental_dedup_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "ckpt"))
+    got = {r.digest: (r.canonical_id, r.group_size)
+           for r in final.collect()}
+    want = {r.digest: (r.canonical_id, r.group_size)
+            for r in exact_dedup_state(all_docs).collect()}
+    assert got == want and len(got) == 7

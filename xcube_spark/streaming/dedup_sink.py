@@ -1,0 +1,90 @@
+"""Streaming incremental dedup — foreachBatch state maintenance.
+
+Connects Structured Streaming to ``pipeline/dedup.py``'s incremental
+contract: a stream of new documents updates the persisted exact-dedup
+state (digest -> canonical_id, group_size) once per micro-batch, so
+the dedup index is always current WITHOUT ever rescanning the
+processed corpus.  This is the streaming-append twin of the batch
+`doc_incremental_dedup` equivalence query.
+
+State storage here is versioned parquet directories with a pointer
+file (atomic on a local/posix store: the pointer is os.replace'd).
+On a cluster the state would live in a transactional keyed table
+(bucketed by digest, per write_bucketed_table, so each batch's merge
+join is bucket-local); the merge algebra is identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from xcube_spark.pipeline.dedup import incremental_exact_dedup
+
+STATE_SCHEMA = T.StructType([
+    T.StructField("digest", T.StringType()),
+    T.StructField("canonical_id", T.LongType()),
+    T.StructField("group_size", T.LongType()),
+])
+
+
+def _pointer(state_dir: str) -> str:
+    return os.path.join(state_dir, "_CURRENT")
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current state, or an empty frame before the first batch."""
+    ptr = _pointer(state_dir)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            version = f.read().strip()
+        return spark.read.parquet(os.path.join(state_dir, version))
+    return spark.createDataFrame([], STATE_SCHEMA)
+
+
+def _publish(state: DataFrame, state_dir: str, batch_id: int) -> None:
+    version = f"v{batch_id}"
+    state.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+    tmp = _pointer(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, _pointer(state_dir))  # atomic pointer swap
+
+
+def run_incremental_dedup_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Drain ``doc_stream`` (a streaming DataFrame of documents) into
+    the dedup state with ``Trigger.AvailableNow``; returns the final
+    state DataFrame.
+
+    Each micro-batch costs one batch-sized shuffle plus the
+    digest-keyed merge join — independent of how much corpus the
+    state already summarizes.  foreachBatch gives exactly-once
+    per-batch semantics via the checkpoint: a replayed batch
+    re-publishes the same version directory (idempotent overwrite),
+    not a double-count."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        state = read_dedup_state(spark, state_dir)
+        merged = incremental_exact_dedup(
+            state, batch_df, text_col=text_col, id_col=id_col
+        )
+        _publish(merged, state_dir, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_dedup_state(doc_stream.sparkSession, state_dir)
