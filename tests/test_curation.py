@@ -258,3 +258,19 @@ def test_lsh_multiprobe_recall_not_worse(spark, sf_dir):
     # multi-probe widens the candidate set, so recall vs the exact
     # answer can only improve (same planes, superset of buckets)
     assert len(multi & exact) >= len(single & exact)
+
+
+def test_luhn_card_detection(spark):
+    from xcube_spark.pipeline.curation import detect_card_numbers
+
+    df = docs(spark, [
+        (1, "pay with 4539578763621486 now"),        # valid Luhn
+        (2, "fake number 4539578763621487 here"),    # checksum off by 1
+        (3, "short 12345678 run"),                   # < 13 digits
+        (4, "two cards 4539578763621486 and 6011000990139424"),
+    ])
+    rows = {r.doc_id: r for r in detect_card_numbers(df).collect()}
+    assert rows[1].has_card and rows[1].n_card_numbers == 1
+    assert not rows[2].has_card and rows[2].n_digit_runs == 1
+    assert not rows[3].has_card and rows[3].n_digit_runs == 0
+    assert rows[4].n_card_numbers == 2

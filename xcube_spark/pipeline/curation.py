@@ -419,3 +419,54 @@ def substring_dedup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a digit-string column (payment-card
+    validation): sum from the RIGHT, doubling every second digit and
+    folding >9 down by 9; valid iff the total is divisible by 10.
+
+    One ``aggregate`` over a per-row digit array (bounded at 19
+    digits, so the interpreted-HOF cost is negligible — the corpus
+    hot-path rule targets unbounded arrays).  The fold is position-
+    aware via a (sum, index) struct accumulator.
+    """
+    rev = F.reverse(digits)
+    arr = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda i: F.substring(rev, i, 1).cast("int"),
+    )
+    folded = F.aggregate(
+        arr,
+        F.struct(F.lit(0).alias("s"), F.lit(0).alias("i")),
+        lambda acc, d: F.struct(
+            (
+                acc.s
+                + F.when(acc.i % 2 == 1,
+                         F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+                .otherwise(d)
+            ).alias("s"),
+            (acc.i + 1).alias("i"),
+        ),
+        lambda acc: acc.s,
+    )
+    return (F.length(digits) >= 13) & (folded % 10 == 0)
+
+
+def detect_card_numbers(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Flag documents containing Luhn-valid 13-19 digit runs (the
+    checksum kills ~90% of random digit-run false positives).  Pure
+    projection: extract candidate runs with one regexp, validate each
+    with the bounded Luhn fold, count survivors."""
+    runs = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"\b[0-9]{13,19}\b"), 0
+    )
+    valid = F.filter(runs, luhn_valid)
+    return docs.select(
+        "doc_id",
+        F.size(runs).alias("n_digit_runs"),
+        F.size(valid).alias("n_card_numbers"),
+        (F.size(valid) > 0).alias("has_card"),
+    )
