@@ -771,3 +771,58 @@ def test_zarr_v3_uncompressed_float(spark, tmp_path):
     back = open_zarr_cube(spark, path)
     assert cube.select("t_i", "y_i", "x_i", "A").exceptAll(
         back.select("t_i", "y_i", "x_i", "A")).count() == 0
+
+
+def test_zorder_layout_prunes_square_bboxes_better(spark, tmp_path):
+    """Z-order files bound BOTH x and y extents, so a compact bbox
+    intersects fewer files than with the y-band layout (whose files
+    span full x). Checked against the real parquet footer stats."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.layout import write_cube_layout, z_order_key
+
+    grid = CubeGrid(width=64, height=64, time_periods=1, x_res=5.625,
+                    y_res=2.8125)
+    cube = new_cube(spark, grid, {"v": 1.0})
+    bands_path = str(tmp_path / "bands")
+    z_path = str(tmp_path / "zorder")
+    write_cube_layout(cube, bands_path, grid, files_per_partition=64)
+    write_cube_layout(cube, z_path, grid, files_per_partition=64,
+                      layout="zorder")
+
+    bbox = (16, 31, 16, 31)  # 16x16 window
+
+    def files_hit(path):
+        hit = total = 0
+        for f in _glob.glob(f"{path}/**/*.parquet", recursive=True):
+            md = pq.read_metadata(f)
+            idx = {md.schema.column(i).name: i
+                   for i in range(md.schema.names.__len__())}
+            xmin = min(md.row_group(g).column(idx["x_i"]).statistics.min
+                       for g in range(md.num_row_groups))
+            xmax = max(md.row_group(g).column(idx["x_i"]).statistics.max
+                       for g in range(md.num_row_groups))
+            ymin = min(md.row_group(g).column(idx["y_i"]).statistics.min
+                       for g in range(md.num_row_groups))
+            ymax = max(md.row_group(g).column(idx["y_i"]).statistics.max
+                       for g in range(md.num_row_groups))
+            total += 1
+            if not (xmax < bbox[0] or xmin > bbox[1]
+                    or ymax < bbox[2] or ymin > bbox[3]):
+                hit += 1
+        return hit, total
+
+    bh, bt = files_hit(bands_path)
+    zh, zt = files_hit(z_path)
+    assert bt == zt  # same file budget
+    assert zh < bh   # Morton clustering prunes more files
+
+    # correctness unaffected: key is a pure bijection of (x, y) order
+    from pyspark.sql import functions as F
+    back = spark.read.parquet(z_path)
+    assert back.count() == grid.size
+    k = cube.select(z_order_key(F.col("x_i"), F.col("y_i")).alias("z"))
+    assert k.distinct().count() == grid.size

@@ -26,6 +26,29 @@ from pyspark.sql import functions as F
 from xcube_spark.cube.grid import CubeGrid
 
 
+def z_order_key(x: "F.Column", y: "F.Column") -> "F.Column":
+    """Morton (Z-order) interleave of two 16-bit cell indices into one
+    32-bit sort key — pure integer Column arithmetic (codegen'd), the
+    standard magic-number bit spread.
+
+    Sorting by this key clusters spatially-near cells in the SAME
+    parquet files/row groups in BOTH axes, so square-ish bbox
+    predicates prune via footer min/max stats in x AND y.  The y-band
+    layout (default) is better for full-width scans; Z-order wins for
+    compact windows — ``write_cube_layout(layout="zorder")`` picks it.
+    """
+
+    def spread(v):
+        v = v.cast("long")
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        return v
+
+    return spread(x).bitwiseOR(F.shiftleft(spread(y), 1))
+
+
 def write_cube_layout(
     cube: DataFrame,
     path: str,
@@ -33,24 +56,39 @@ def write_cube_layout(
     time_partition_size: int | None = None,
     files_per_partition: int = 8,
     mode: str = "error",
+    layout: str = "bands",
 ) -> None:
-    """Write ``cube`` with the pruning-friendly layout.
+    """Write ``cube`` with a pruning-friendly layout.
 
     ``time_partition_size`` defaults to the grid's time chunk;
-    ``files_per_partition`` controls the y-band count (one file per
-    band per time partition) — size it so a band is ~100-500 MB at the
-    target scale."""
+    ``files_per_partition`` controls the file count per time
+    partition — size it so a file is ~100-500 MB at the target scale.
+    ``layout``: "bands" (default — narrow y-bands sorted by x; best
+    for full-width scans) or "zorder" (Morton-interleaved sort; best
+    for square-ish bbox windows, see :func:`z_order_key`)."""
+    if layout not in ("bands", "zorder"):
+        raise ValueError(f"layout must be bands|zorder, got {layout!r}")
     k = time_partition_size or grid.chunks[0]
     keyed = cube.withColumn(
         "t_part", (F.col("t_i") / F.lit(k)).cast("int")
     )
-    banded = (
-        keyed.repartitionByRange(
-            max(1, files_per_partition), "t_part", F.col("y_i")
+    if layout == "zorder":
+        zkey = z_order_key(F.col("x_i"), F.col("y_i"))
+        arranged = (
+            keyed.withColumn("__z", zkey)
+            .repartitionByRange(
+                max(1, files_per_partition), "t_part", F.col("__z"))
+            .sortWithinPartitions("t_part", "__z")
+            .drop("__z")
         )
-        .sortWithinPartitions("t_part", "y_i", "x_i")
-    )
-    banded.write.mode(mode).partitionBy("t_part").parquet(path)
+    else:
+        arranged = (
+            keyed.repartitionByRange(
+                max(1, files_per_partition), "t_part", F.col("y_i")
+            )
+            .sortWithinPartitions("t_part", "y_i", "x_i")
+        )
+    arranged.write.mode(mode).partitionBy("t_part").parquet(path)
 
 
 def open_cube_layout(spark: SparkSession, path: str) -> DataFrame:
