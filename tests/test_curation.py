@@ -274,3 +274,23 @@ def test_luhn_card_detection(spark):
     assert not rows[2].has_card and rows[2].n_digit_runs == 1
     assert not rows[3].has_card and rows[3].n_digit_runs == 0
     assert rows[4].n_card_numbers == 2
+
+
+def test_substring_dedup_clean_removes_copied_span(spark):
+    from xcube_spark.pipeline.curation import substring_dedup_clean
+
+    span = " ".join(f"w{i}" for i in range(10))
+    df = docs(spark, [
+        (1, span + " tail1 tail2"),
+        (2, "lead " + span + " after"),   # copies the span
+        (3, "short doc"),
+    ])
+    rows = {r.doc_id: r for r in
+            substring_dedup_clean(df, window=10).collect()}
+    # first occurrence untouched
+    assert rows[1].text_clean == span + " tail1 tail2"
+    # the copied 10-token span is excised; untouched neighbors survive
+    assert rows[2].text_clean == "lead after"
+    assert rows[2].n_tokens_kept == 2
+    # sub-window docs pass through whole
+    assert rows[3].text_clean == "short doc"

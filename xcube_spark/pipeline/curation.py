@@ -470,3 +470,82 @@ def detect_card_numbers(
         F.size(valid).alias("n_card_numbers"),
         (F.size(valid) > 0).alias("has_card"),
     )
+
+
+def substring_dedup_clean(
+    docs: DataFrame,
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove duplicated spans, keeping first occurrences — the
+    removal stage of exact-substring dedup (Lee et al. 2021): every
+    token covered by a window whose hash first occurred at an earlier
+    (doc_id, pos) is dropped, and the document is rebuilt from the
+    surviving tokens.
+
+    Same plan skeleton as :func:`substring_dedup_stats` (codegen'd
+    lead-window hashes, one uniform shuffle on the span hash) plus a
+    coverage pass: a token at position p is covered iff some dup
+    window starts in [p-window+1, p] — one MAX over a ROWS frame (the
+    token table has every position, so ROWS == RANGE), then an
+    order-preserving rebuild per doc.  Returns
+    (doc_id, n_tokens_kept, text_clean) for every doc.
+    """
+    from pyspark.sql import Window as W
+
+    toks_tbl = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "__tok"),
+    )
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", k).over(w) for k in range(1, window)
+    ]
+    wins = (
+        toks_tbl.select(
+            id_col, "pos",
+            F.concat_ws(" ", *parts).alias("__g"),
+            F.lead("__tok", window - 1).over(w).alias("__full"),
+        )
+        .where(F.col("__full").isNotNull())
+        .select(id_col, "pos", F.md5("__g").alias("__h"))
+    )
+    first = wins.groupBy("__h").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
+        .alias("__first")
+    )
+    dup = (
+        wins.join(first, "__h")
+        .where(
+            (F.col("__first.d") != F.col(id_col))
+            | (F.col("__first.p") != F.col("pos"))
+        )
+        .select(id_col, "pos", F.lit(1).alias("__fl"))
+    )
+    flagged = toks_tbl.join(dup, [id_col, "pos"], "left")
+    cov = F.max(F.coalesce("__fl", F.lit(0))).over(
+        w.rowsBetween(-(window - 1), 0)
+    )
+    kept = flagged.withColumn("__cov", cov).where(F.col("__cov") == 0)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+            .alias("n_tokens_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -410,3 +410,56 @@ def doc_curation_pipeline(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "doc_substring_dedup_clean",
+    sql=rf"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), tok AS (
+            SELECT doc_id, i AS pos, lst[i + 1] AS tok
+            FROM t, unnest(range(len(lst))) AS u(i)
+        ), wins AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(lst[(i + 1):(i + 10)], ' ')) AS h
+            FROM t, unnest(range(len(lst) - 9)) AS u(i)
+            WHERE len(lst) >= 10
+        ), first AS (
+            SELECT h, min(struct_pack(d := doc_id, p := pos)) AS f
+            FROM wins GROUP BY h
+        ), dup AS (
+            SELECT w.doc_id, w.pos
+            FROM wins w JOIN first USING (h)
+            WHERE f.d != w.doc_id OR f.p != w.pos
+        ), flag AS (
+            SELECT tok.doc_id, tok.pos, tok.tok,
+                   CASE WHEN d.pos IS NOT NULL THEN 1 ELSE 0 END AS fl
+            FROM tok LEFT JOIN dup d USING (doc_id, pos)
+        ), cov AS (
+            SELECT doc_id, pos, tok,
+                   MAX(fl) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN 9 PRECEDING
+                                      AND CURRENT ROW) AS c
+            FROM flag
+        ), kept AS (
+            SELECT doc_id, COUNT(*) AS n,
+                   string_agg(tok, ' ' ORDER BY pos) AS txt
+            FROM cov WHERE c = 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n, 0) AS BIGINT) AS n_tokens_kept,
+               COALESCE(txt, '') AS text_clean
+        FROM documents d LEFT JOIN kept USING (doc_id)
+    """,
+)
+def doc_substring_dedup_clean(spark, sf_dir):
+    """substring_dedup_clean (pipeline/curation.py): the REMOVAL stage
+    of exact-substring dedup — tokens covered by any window whose hash
+    first occurred earlier are dropped and the doc is rebuilt in
+    order.  The oracle replays window hashing, first-occurrence
+    attribution, ROWS-frame coverage, and the ordered string
+    re-aggregation."""
+    from xcube_spark.pipeline.curation import substring_dedup_clean
+
+    return substring_dedup_clean(tbl(spark, sf_dir, "documents"), window=10)
