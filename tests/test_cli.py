@@ -121,3 +121,18 @@ def test_cli_rectify(spark, cube_path, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == GRID.size
     assert df.where(F.col("v") == 2.0).count() == GRID.size
+
+
+def test_cli_curate(spark, sf_dir, tmp_path, capsys):
+    from xcube_spark.cli import main
+
+    out = str(tmp_path / "curated.parquet")
+    rc = main(["curate", f"{sf_dir}/documents.parquet", "-o", out,
+               "--min-quality", "0.5", "--substring-window", "10"])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert {"doc_id", "text", "split"} <= set(res.columns)
+    assert 0 < res.count() <= spark.read.parquet(
+        f"{sf_dir}/documents.parquet").count()
+    assert set(r.split for r in res.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}

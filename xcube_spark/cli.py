@@ -125,6 +125,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--dim-name", default="var")
     p.add_argument("--value-name", default="value")
 
+    p = sub.add_parser("curate", help="run the corpus-curation chain "
+                       "(quality gate, exact dedup, PII redaction, "
+                       "splits) over a documents table")
+    p.add_argument("input", help="parquet with doc_id/text columns")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--substring-window", type=int, default=0,
+                   help="if > 0, also excise duplicated spans of this "
+                        "many tokens (Lee et al. substring dedup)")
+
     args = ap.parse_args(argv)
 
     from xcube_spark.session import get_session
@@ -247,6 +257,30 @@ def main(argv: list[str] | None = None) -> int:
         df = open_dataset(spark, args.input)
         write_dataset(df, args.output, mode="overwrite")
         edit_metadata(args.output, patch)
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from xcube_spark.pipeline.curation import (
+            assign_split, pii_redact, substring_dedup_clean)
+        from xcube_spark.pipeline.dedup import exact_dedup_map
+        from xcube_spark.pipeline.text import quality_score
+
+        docs = open_dataset(spark, args.input)
+        q = quality_score(docs).where(
+            F.round("quality", 6) >= args.min_quality)
+        canon = exact_dedup_map(docs).where(
+            F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+        kept = q.join(canon, "doc_id").select("doc_id", "text")
+        if args.substring_window > 0:
+            cleaned = substring_dedup_clean(
+                kept, window=args.substring_window)
+            kept = cleaned.where(F.col("n_tokens_kept") > 0).select(
+                "doc_id", F.col("text_clean").alias("text"))
+        out = assign_split(pii_redact(kept).select(
+            "doc_id", F.col("text_redacted").alias("text")))
+        write_dataset(out, args.output, mode="overwrite")
         return 0
 
     if args.cmd == "vars2dim":
