@@ -294,3 +294,24 @@ def test_substring_dedup_clean_removes_copied_span(spark):
     assert rows[2].n_tokens_kept == 2
     # sub-window docs pass through whole
     assert rows[3].text_clean == "short doc"
+
+
+def test_ivfpq_recall_and_shape(spark, sf_dir):
+    from xcube_spark.pipeline.similarity import knn_bruteforce, knn_ivfpq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in knn_bruteforce(emb, queries, k=10).collect()}
+    approx = knn_ivfpq(emb, queries, k=10).collect()
+    a = {(r.query_id, r.vec_id) for r in approx}
+    n = emb.count()
+    # beats random by a wide margin; per-query ranks are dense 1..k
+    assert len(a & exact) / len(exact) > 5 * (10 / n)
+    by_q: dict = {}
+    for r in approx:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -604,3 +604,134 @@ def train_pq_codebooks(
             break
         cb = spark.createDataFrame(rows, means.schema)
     return cb
+
+
+def knn_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the combined index (the FAISS ``IVFPQ`` shape) — a
+    coarse quantizer routes each vector to its nearest-centroid cell,
+    PQ encodes the RESIDUAL (vector minus its centroid), and search
+    probes ``n_probe`` cells scanning only their inverted lists with
+    per-(query, cell) ADC tables over the query's residual.
+
+    Residual encoding is what makes the combination work: residuals
+    cluster near the origin, so a small shared codebook quantizes them
+    far better than raw vectors.  At 100 TB the scan cost is
+    |corpus| * n_probe / n_cells table lookups — both the IVF pruning
+    and the PQ compression multiply.
+
+    Determinism contract: centroids / codebooks are the lowest-id
+    vectors ('sampled', oracle-restatable); every argmin is a
+    lexicographic (d2, id) struct-min; all distances are unrolled
+    fixed-order sums (:func:`_d2_unrolled`), so approximate distances
+    hash-match cross-engine.  Output: (query_id, vec_id, pq_d2,
+    rank<=k)."""
+    dim = m * dsub
+    cents = corpus.where(F.col(id_col) < n_cells).select(
+        F.col(id_col).cast("int").alias("__ccid"),
+        F.col(vec_col).alias("__cvec"),
+    )
+    full_dc = F.struct(
+        _d2_unrolled(F.col(vec_col), F.col("__cvec"), dim).alias("d"),
+        F.col("__ccid"),
+    )
+    assigned = (
+        corpus.join(F.broadcast(cents))
+        .select(id_col, vec_col, full_dc.alias("__dc"))
+        .groupBy(id_col, vec_col)
+        .agg(F.min("__dc").getField("__ccid").alias("cell"))
+    )
+    res = assigned.join(
+        F.broadcast(cents), F.col("cell") == F.col("__ccid")
+    ).select(
+        id_col, "cell",
+        F.zip_with(F.col(vec_col), F.col("__cvec"),
+                   lambda a, b: a - b).alias("__rv"),
+    )
+    rcb = (
+        res.where(F.col(id_col) < ksub)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("__rv", s * dsub + 1, dsub).alias("cvec"),
+                )
+                for s in range(m)
+            ])).alias("e"),
+        )
+        .select("e.sub", "cid", "e.cvec")
+    )
+    sv = F.slice(F.col("__rv"), F.col("sub") * dsub + 1, dsub)
+    enc_scored = res.join(F.broadcast(rcb)).select(
+        id_col, "cell", "sub",
+        F.struct(_d2_unrolled(sv, F.col("cvec"), dsub).alias("d"),
+                 F.col("cid")).alias("__dc"),
+    )
+    enc = enc_scored.groupBy(id_col, "cell").agg(*[
+        F.min(F.when(F.col("sub") == s, F.col("__dc")))
+        .getField("cid").alias(f"__c{s}")
+        for s in range(m)
+    ]).select(
+        id_col, "cell",
+        F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
+    )
+
+    q = queries.select(F.col(query_id_col), F.col(vec_col))
+    qscored = q.join(F.broadcast(cents)).select(
+        query_id_col, vec_col, "__ccid", "__cvec",
+        _d2_unrolled(F.col(vec_col), F.col("__cvec"), dim).alias("__qd"),
+    )
+    qw = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__qd"), F.asc("__ccid"))
+    probes = (
+        qscored.withColumn("__pr", F.row_number().over(qw))
+        .where(F.col("__pr") <= n_probe)
+        .select(
+            query_id_col,
+            F.col("__ccid").alias("cell"),
+            F.zip_with(F.col(vec_col), F.col("__cvec"),
+                       lambda a, b: a - b).alias("__qrv"),
+        )
+    )
+    qsv = F.slice(F.col("__qrv"), F.col("sub") * dsub + 1, dsub)
+    dtable = (
+        probes.join(F.broadcast(rcb))
+        .select(
+            query_id_col, "cell",
+            F.struct("sub", "cid",
+                     _d2_unrolled(qsv, F.col("cvec"), dsub).alias("qd2"))
+            .alias("__e"),
+        )
+        .groupBy(query_id_col, "cell")
+        .agg(F.transform(F.array_sort(F.collect_list("__e")),
+                         lambda e: e["qd2"]).alias("__dt"))
+    )
+
+    paired = enc.join(F.broadcast(dtable), "cell").where(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    ad2 = None
+    for s in range(m):
+        term = F.element_at(
+            "__dt",
+            (F.lit(s * ksub + 1) + F.element_at("codes", s + 1)).cast("int"),
+        )
+        ad2 = term if ad2 is None else ad2 + term
+    scored = paired.select(query_id_col, id_col, ad2.alias("pq_d2"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("pq_d2"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

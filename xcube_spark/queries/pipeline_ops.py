@@ -643,3 +643,107 @@ def emb_knn_lsh_multiprobe(spark, sf_dir):
     out = knn_lsh(emb, queries, k=10, probe_radius=1)
     return out.select("query_id", "vec_id",
                       F.round("cosine", 6).alias("cosine"), "rank")
+
+
+
+# ---- IVF-PQ combined index --------------------------------------------
+
+from xcube_spark.pipeline.similarity import _d2_sql
+
+_D64_AC = _d2_sql("c.v", "cents.cv", 64)
+_D64_QC = _d2_sql("q.v", "ct.cv", 64)
+_D16_ENC = _d2_sql("sv", "cv", 16)
+
+
+@query(
+    "emb_knn_ivfpq",
+    sql=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT CAST(vec_id AS INT) AS ccid, v AS cv
+            FROM c WHERE vec_id < 8
+        ), assigned AS (
+            SELECT vec_id, v,
+                   min(struct_pack(d := {_D64_AC}, cid := ccid)).cid AS cell
+            FROM c, cents GROUP BY vec_id, v
+        ), res AS (
+            SELECT a.vec_id, a.cell,
+                   [a.v[i + 1] - ct.cv[i + 1] FOR i IN range(64)] AS rv
+            FROM assigned a JOIN cents ct ON ct.ccid = a.cell
+        ), subs AS (
+            SELECT CAST(unnest(range(4)) AS INT) AS sub
+        ), rsv AS (
+            SELECT vec_id, cell, sub,
+                   rv[(sub * 16 + 1):(sub * 16 + 16)] AS sv
+            FROM res, subs
+        ), rcb AS (
+            SELECT sub, CAST(vec_id AS INT) AS cid, sv AS cv
+            FROM rsv WHERE vec_id < 16
+        ), enc AS (
+            SELECT vec_id, cell, sub,
+                   min(struct_pack(d := {_D16_ENC}, cid := cid)).cid AS code
+            FROM rsv JOIN rcb USING (sub)
+            GROUP BY vec_id, cell, sub
+        ), probes AS (
+            SELECT query_id, ccid AS cell, qv, cv FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, ct.ccid, ct.cv,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_D64_QC}, ct.ccid) AS pr
+                FROM (SELECT * FROM c WHERE vec_id < 5) q, cents ct
+            ) WHERE pr <= 2
+        ), qres AS (
+            SELECT query_id, cell,
+                   [qv[i + 1] - cv[i + 1] FOR i IN range(64)] AS qrv
+            FROM probes
+        ), qsv AS (
+            SELECT query_id, cell, sub,
+                   qrv[(sub * 16 + 1):(sub * 16 + 16)] AS sv
+            FROM qres, subs
+        ), dt AS (
+            SELECT query_id, cell, sub, cid, {_D16_ENC} AS qd2
+            FROM qsv JOIN rcb USING (sub)
+        ), adc AS (
+            SELECT d.query_id, e.vec_id,
+                   MAX(CASE WHEN e.sub = 0 THEN qd2 END) AS d0,
+                   MAX(CASE WHEN e.sub = 1 THEN qd2 END) AS d1,
+                   MAX(CASE WHEN e.sub = 2 THEN qd2 END) AS d2,
+                   MAX(CASE WHEN e.sub = 3 THEN qd2 END) AS d3
+            FROM enc e
+            JOIN dt d ON d.cell = e.cell AND d.sub = e.sub
+                     AND d.cid = e.code
+            WHERE e.vec_id != d.query_id
+            GROUP BY d.query_id, e.vec_id
+        ), ranked AS (
+            SELECT query_id, vec_id,
+                   ((d0 + d1) + d2) + d3 AS ad2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ((d0 + d1) + d2) + d3, vec_id) AS rank
+            FROM adc
+        )
+        SELECT query_id, vec_id, ROUND(ad2, 4) AS pq_d2, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_knn_ivfpq(spark, sf_dir):
+    """knn_ivfpq (pipeline/similarity.py): the combined FAISS-style
+    index — coarse nearest-centroid routing (8 cells), PQ over the
+    RESIDUALS (vector minus centroid), 2-probe search scanning only
+    probed inverted lists with per-(query, cell) ADC tables.  Every
+    argmin is a lexicographic struct-min and every distance an
+    unrolled fixed-order sum, so the oracle reproduces the
+    approximate distances bit-for-bit at 4 decimals."""
+    from xcube_spark.pipeline.similarity import knn_ivfpq
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivfpq(emb, queries, k=10, n_cells=8, n_probe=2,
+                    m=4, dsub=16, ksub=16)
+    return out.select("query_id", "vec_id",
+                      F.round("pq_d2", 4).alias("pq_d2"), "rank")
