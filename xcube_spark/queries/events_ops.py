@@ -543,3 +543,92 @@ def events_stratified_sample(spark, sf_dir):
                   F.row_number().over(w).alias("sample_rank"))
         .where(F.col("sample_rank") <= 100)
     )
+
+
+@query(
+    "events_funnel",
+    sql="""
+        WITH stages AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                   min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN ts END)
+                       AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CASE WHEN t_signup IS NULL THEN 0
+                    WHEN t_click IS NULL OR t_click < t_signup THEN 1
+                    WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+                    ELSE 3 END AS funnel_stage
+        FROM stages
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel analysis (signup -> click -> purchase): how far
+    each user progresses through the sequence IN ORDER, from the
+    first-occurrence timestamp of each step.  One conditional-min
+    aggregation on user_id (map-side combinable) + a pure projection —
+    the standard one-shuffle funnel shape at any scale."""
+    ev = tbl(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(*[
+        F.min(F.when(F.col("event_type") == s, F.col("ts")))
+        .alias(f"t_{s}")
+        for s in ("signup", "click", "purchase")
+    ])
+    stage = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_click").isNull()
+              | (F.col("t_click") < F.col("t_signup")), 1)
+        .when(F.col("t_purchase").isNull()
+              | (F.col("t_purchase") < F.col("t_click")), 2)
+        .otherwise(3)
+    )
+    return stages.select("user_id", stage.alias("funnel_stage"))
+
+
+@query(
+    "events_cohort_retention",
+    sql="""
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                       AS cohort_week
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week,
+                                        CAST(date_trunc('week', e.ts)
+                                             AS TIMESTAMP)) / 7.0)
+                        AS INT) AS week_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT cohort_week, week_offset,
+               COUNT(*) AS n_active_users
+        FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity week, counted
+    per week-offset of subsequent activity — the product-analytics
+    staple.  Two shuffles (first-event agg on user_id; the final
+    cohort x offset agg is tiny); the distinct dedupes multiple events
+    in the same (user, week) to one activity row."""
+    ev = tbl(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")),
+                           F.col("cohort_week")) / 7.0
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
