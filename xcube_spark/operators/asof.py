@@ -76,11 +76,17 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     # right rows sort before left rows at equal ts (backward joins are
-    # at-or-before inclusive); forward runs the mirrored order
+    # at-or-before inclusive); forward runs the mirrored order.
+    # Ties among right rows sharing the same (by, ts) are broken by the
+    # payload struct itself (struct comparison is field-by-field, so it
+    # is a total order over the row): last() then deterministically
+    # picks the MAX payload struct — the same winner on every run and
+    # partitioning, not whichever row the shuffle happened to order
+    # last.  Rule: equal-timestamp right rows resolve to pick-max.
     if direction == "backward":
-        order = [F.col(on).asc(), F.col("__tag").asc()]
+        order = [F.col(on).asc(), F.col("__tag").asc(), F.col("__r").asc()]
     else:
-        order = [F.col(on).desc(), F.col("__tag").asc()]
+        order = [F.col(on).desc(), F.col("__tag").asc(), F.col("__r").asc()]
     w = (
         Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
     ).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)

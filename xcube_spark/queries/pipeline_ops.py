@@ -557,12 +557,18 @@ def emb_knn_pq(spark, sf_dir):
             SELECT doc_id, text,
                    CAST(length(text) // 2 AS BIGINT) AS ns
             FROM documents
-        ), smp AS (
+        ), raw AS (
             SELECT doc_id,
                    CAST(ord(substring(text, 2 * i + 1, 1))
                         + 256 * ord(substring(text, 2 * i + 2, 1))
-                        AS BIGINT) AS s
+                        AS BIGINT) AS u
             FROM t, unnest(range(ns)) AS u(i)
+        ), smp AS (
+            -- SIGNED little-endian int16, matching the Spark side's
+            -- '<i2' decode: values >= 0x8000 wrap negative
+            SELECT doc_id,
+                   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+            FROM raw
         ), agg AS (
             SELECT doc_id,
                    COUNT(*) AS n_samples,
@@ -587,8 +593,9 @@ def doc_audio_features(spark, sf_dir):
     16-bit little-endian PCM inside Arrow batches; every output is an
     exact integer (count / peak / energy / clip count), so the oracle
     restates the decode byte-by-byte with no float-summation-order
-    hazard.  The ASCII corpus makes byte == codepoint, letting SQL
-    read the same bytes with ord(substring(...))."""
+    hazard.  The oracle applies the same SIGNED int16 wrap
+    (u >= 0x8000 -> u - 0x10000) as the '<i2' numpy decode, so a
+    non-ASCII high byte in the corpus cannot silently diverge."""
     from xcube_spark.pipeline.multimodal import attach_payload, audio_features
 
     mm = attach_payload(tbl(spark, sf_dir, "documents"), mime="audio/pcm")

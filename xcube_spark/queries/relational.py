@@ -261,10 +261,17 @@ def q18_large_orders(spark, sf_dir):
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders")
     cust = tbl(spark, sf_dir, "customer")
+    # filter on the RAW sum (mirrors the oracle's HAVING SUM(...) > 150),
+    # then round for output — filtering the rounded value would diverge
+    # for per-order sums in (150, 150.005)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
-        .where(F.col("total_qty") > 150)
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        .where(F.col("__raw_qty") > 150)
+        .select(
+            "l_orderkey",
+            F.round(F.col("__raw_qty").cast("double"), 2).alias("total_qty"),
+        )
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)

@@ -34,13 +34,20 @@ def _pointer(state_dir: str) -> str:
     return os.path.join(state_dir, "_CURRENT")
 
 
-def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Current state, or an empty frame before the first batch."""
+def _current_version(state_dir: str) -> int | None:
+    """Batch id of the last published state, or None before batch 0."""
     ptr = _pointer(state_dir)
     if os.path.exists(ptr):
         with open(ptr) as f:
-            version = f.read().strip()
-        return spark.read.parquet(os.path.join(state_dir, version))
+            return int(f.read().strip().lstrip("v"))
+    return None
+
+
+def read_dedup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Current state, or an empty frame before the first batch."""
+    version = _current_version(state_dir)
+    if version is not None:
+        return spark.read.parquet(os.path.join(state_dir, f"v{version}"))
     return spark.createDataFrame([], STATE_SCHEMA)
 
 
@@ -66,14 +73,25 @@ def run_incremental_dedup_stream(
 
     Each micro-batch costs one batch-sized shuffle plus the
     digest-keyed merge join — independent of how much corpus the
-    state already summarizes.  foreachBatch gives exactly-once
-    per-batch semantics via the checkpoint: a replayed batch
-    re-publishes the same version directory (idempotent overwrite),
-    not a double-count."""
+    state already summarizes.  foreachBatch alone gives at-least-once
+    delivery: after a crash between ``_publish`` and the checkpoint
+    commit, Spark replays the batch, and because
+    ``incremental_exact_dedup`` ADDS group counts, re-merging an
+    already-applied batch would double-count.  The guard below makes
+    the sink exactly-once: the pointer file records the batch id of
+    the last applied batch, and a replayed batch whose id is already
+    (or older than) the published version is skipped — the published
+    state is exactly the post-batch state the first attempt wrote."""
     os.makedirs(state_dir, exist_ok=True)
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            # Replay of a batch already folded into the published
+            # state (crash after _publish, before checkpoint commit):
+            # merging again would double group_size — skip.
+            return
         state = read_dedup_state(spark, state_dir)
         merged = incremental_exact_dedup(
             state, batch_df, text_col=text_col, id_col=id_col
