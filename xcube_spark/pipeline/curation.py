@@ -312,9 +312,9 @@ def pack_sequences(
     """
     n_tok = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
     sharded = docs.select(
-        F.col(id_col).alias("doc_id"),
-        (det_hash(F.col(id_col)) % n_shards).alias("shard"),
-        n_tok.alias("n_tokens"),
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        (det_hash(F.col(id_col)) % n_shards).cast("bigint").alias("shard"),
+        n_tok.cast("int").alias("n_tokens"),
     )
     from pyspark.sql import Window
 
@@ -323,13 +323,21 @@ def pack_sequences(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # pure INTEGER arithmetic end-to-end (bigint DIV / %): no double
+    # ever enters the plan, so no value-formatting ambiguity can reach
+    # a downstream hasher
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
     return sharded.select(
         "doc_id",
         "shard",
         "n_tokens",
-        F.floor(before / max_tokens).alias("seq_id"),
-        (before % max_tokens).alias("offset"),
+        before.alias("__bef"),
+    ).select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr(f"__bef DIV {int(max_tokens)}").cast("bigint").alias("seq_id"),
+        (F.col("__bef") % max_tokens).cast("bigint").alias("offset"),
     )
 
 

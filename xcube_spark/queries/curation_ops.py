@@ -246,9 +246,11 @@ def doc_split_mix(spark, sf_dir):
                             AND 1 PRECEDING), 0) AS bef
             FROM s
         )
-        SELECT doc_id, shard, CAST(n_tokens AS INT) AS n_tokens,
-               CAST(FLOOR(bef / CAST(2048 AS DOUBLE)) AS BIGINT) AS seq_id,
-               bef % 2048 AS seq_offset
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(shard AS BIGINT) AS shard,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(CAST(bef AS BIGINT) // 2048 AS BIGINT) AS seq_id,
+               CAST(CAST(bef AS BIGINT) % 2048 AS BIGINT) AS seq_offset
         FROM w
     """,
 )
