@@ -327,3 +327,51 @@ def test_get_transform_chains_through_lonlat(spark):
     r = pts.select(cx.alias("cx"), cy.alias("cy"),
                    dx.alias("dx"), dy.alias("dy")).collect()[0]
     assert abs(r.cx - r.dx) < 1e-4 and abs(r.cy - r.dy) < 1e-4
+
+
+def test_laea_3035_known_points_and_roundtrip(spark):
+    """ETRS89-LAEA (EPSG:3035): the projection center maps exactly to
+    the false origin; (5E, 50N) matches the published sample
+    coordinate; forward->inverse round-trips below 1e-7 degrees."""
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    fwd = get_transform("EPSG:4326", "EPSG:3035")
+    inv = get_transform("EPSG:3035", "EPSG:4326")
+    pts = spark.createDataFrame(
+        [(10.0, 52.0), (5.0, 50.0), (25.0, 60.0), (-5.0, 40.0)],
+        "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    proj = pts.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    rows = proj.select("lon", "lat", "x", "y",
+                       lon2.alias("lon2"), lat2.alias("lat2")).collect()
+    by_lon = {r.lon: r for r in rows}
+    assert abs(by_lon[10.0].x - 4_321_000.0) < 1e-6
+    assert abs(by_lon[10.0].y - 3_210_000.0) < 1e-6
+    # published EPSG:3035 sample point (5E, 50N)
+    assert abs(by_lon[5.0].x - 3_962_799.451) < 0.01
+    assert abs(by_lon[5.0].y - 2_999_718.853) < 0.01
+    for r in rows:
+        assert abs(r.lon2 - r.lon) < 1e-7 and abs(r.lat2 - r.lat) < 1e-7
+
+
+def test_laea_inverse_sql_twin_matches_column_inverse(spark):
+    """laea_inverse_sql restates the Column inverse exactly (DuckDB)."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        get_transform, laea_inverse_sql)
+
+    inv = get_transform("EPSG:3035", "EPSG:4326")
+    pts = [(4_000_000.0, 2_800_000.0), (4_500_000.0, 3_500_000.0),
+           (3_300_000.0, 2_300_000.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    lon, lat = inv(F.col("x"), F.col("y"))
+    got = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+    lon_sql, lat_sql = laea_inverse_sql("x", "y", "EPSG:3035")
+    con = duckdb.connect()
+    for (px, py), r in zip(pts, got):
+        o = con.execute(
+            f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, ? AS y)",
+            [px, py]).fetchone()
+        assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10

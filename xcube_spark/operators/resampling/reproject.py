@@ -298,6 +298,147 @@ def ps_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     )
 
 
+# ---- Lambert azimuthal equal-area (EPSG:3035 and kin) -----------------
+#
+# The reference's most common European target grid (ETRS89-LAEA) goes
+# through pyproj (core/gridmapping/transform.py).  Ellipsoidal LAEA from
+# Snyder 1987 (public math: eqs. 3-12 authalic latitude, 24-2..24-31 for
+# the oblique aspect, 3-18 for the beta -> phi series).  Same design as
+# UTM/polar above: pure Column forward/inverse + identical-arithmetic
+# SQL twin for oracles.
+
+#: GRS80 ellipsoid (ETRS89 datum): negligibly different from WGS84, but
+#: stated precisely so both engines run the same constants
+_F_GRS80 = 1.0 / 298.257222101
+_E2_G = _F_GRS80 * (2.0 - _F_GRS80)
+_E_G = math.sqrt(_E2_G)
+#: beta -> phi series (Snyder eq. 3-18)
+_LAEA_SERIES = (
+    _E2_G / 3.0 + 31.0 * _E2_G ** 2 / 180.0 + 517.0 * _E2_G ** 3 / 5040.0,
+    23.0 * _E2_G ** 2 / 360.0 + 251.0 * _E2_G ** 3 / 3780.0,
+    761.0 * _E2_G ** 3 / 45360.0,
+)
+
+#: crs -> (lat0 deg, lon0 deg, false easting, false northing)
+LAEA_PARAMS: dict[str, tuple[float, float, float, float]] = {
+    "EPSG:3035": (52.0, 10.0, 4_321_000.0, 3_210_000.0),  # ETRS89-LAEA
+}
+
+
+def _q_auth(sin_phi: float) -> float:
+    """Authalic q (Snyder eq. 3-12) at a scalar sin(phi)."""
+    return (1.0 - _E2_G) * (
+        sin_phi / (1.0 - _E2_G * sin_phi * sin_phi)
+        - (1.0 / (2.0 * _E_G))
+        * math.log((1.0 - _E_G * sin_phi) / (1.0 + _E_G * sin_phi))
+    )
+
+
+def _laea_consts(lat0: float) -> tuple[float, float, float, float]:
+    """(q_p, beta1, R_q, D) for the projection center latitude."""
+    q_p = _q_auth(1.0)
+    q1 = _q_auth(math.sin(math.radians(lat0)))
+    beta1 = math.asin(q1 / q_p)
+    r_q = _R * math.sqrt(q_p / 2.0)
+    s0 = math.sin(math.radians(lat0))
+    m1 = math.cos(math.radians(lat0)) / math.sqrt(1.0 - _E2_G * s0 * s0)
+    d = _R * m1 / (r_q * math.cos(beta1))
+    return q_p, beta1, r_q, d
+
+
+def _lonlat_to_laea_fn(crs: str) -> ColumnTransform:
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
+    q_p, beta1, r_q, d = _laea_consts(lat0)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(lon0))
+        s = F.sin(F.radians(lat))
+        q = F.lit(1.0 - _E2_G) * (
+            s / (F.lit(1.0) - F.lit(_E2_G) * s * s)
+            - F.lit(1.0 / (2.0 * _E_G))
+            * F.log((F.lit(1.0) - F.lit(_E_G) * s)
+                    / (F.lit(1.0) + F.lit(_E_G) * s))
+        )
+        beta = F.asin(F.least(F.greatest(q / F.lit(q_p), F.lit(-1.0)),
+                              F.lit(1.0)))
+        cb, sb = F.cos(beta), F.sin(beta)
+        b = F.lit(r_q) * F.sqrt(
+            F.lit(2.0) / (F.lit(1.0) + F.lit(sb1) * sb
+                          + F.lit(cb1) * cb * F.cos(lam))
+        )
+        x = F.lit(fe) + b * F.lit(d) * cb * F.sin(lam)
+        y = F.lit(fn) + (b / F.lit(d)) * (
+            F.lit(cb1) * sb - F.lit(sb1) * cb * F.cos(lam)
+        )
+        return x, y
+
+    return fwd
+
+
+def _laea_to_lonlat_fn(crs: str) -> ColumnTransform:
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
+    q_p, beta1, r_q, d = _laea_consts(lat0)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xd = (x - F.lit(fe)) / F.lit(d)
+        yd = F.lit(d) * (y - F.lit(fn))
+        rho = F.sqrt(xd * xd + yd * yd)
+        ce = F.lit(2.0) * F.asin(
+            F.least(rho / F.lit(2.0 * r_q), F.lit(1.0)))
+        # rho == 0 -> projection center (guarded: sin(ce)/rho is 0/0)
+        qv = F.lit(q_p) * (
+            F.cos(ce) * F.lit(sb1)
+            + F.when(rho == 0.0, F.lit(0.0))
+            .otherwise(yd * F.sin(ce) * F.lit(cb1) / rho)
+        )
+        beta = F.asin(F.least(F.greatest(qv / F.lit(q_p), F.lit(-1.0)),
+                              F.lit(1.0)))
+        phi = beta
+        for j, c in enumerate(_LAEA_SERIES, start=1):
+            phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * beta)
+        lam = F.atan2(
+            (x - F.lit(fe)) * F.sin(ce),
+            F.lit(d) * rho * F.cos(ce) * F.lit(cb1)
+            - F.lit(d) * yd * F.sin(ce) * F.lit(sb1),
+        )
+        lon = F.lit(lon0) + F.degrees(
+            F.when(rho == 0.0, F.lit(0.0)).otherwise(lam))
+        lat = F.degrees(
+            F.when(rho == 0.0, F.lit(math.radians(lat0))).otherwise(phi))
+        return lon, lat
+
+    return inv
+
+
+def laea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME LAEA inverse as SQL strings (for DuckDB oracles).
+    Returns (lon_sql, lat_sql).  No rho == 0 guard: oracle grids never
+    place a cell center exactly on the projection center."""
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
+    q_p, beta1, r_q, d = _laea_consts(lat0)
+    sb1, cb1 = math.sin(beta1), math.cos(beta1)
+    # DOUBLE casts: DuckDB types numeric literals as DECIMAL, and the
+    # rho**2 products overflow DECIMAL(38) without them
+    x_expr = f"CAST({x_expr} AS DOUBLE)"
+    y_expr = f"CAST({y_expr} AS DOUBLE)"
+    xd = f"((({x_expr}) - {fe!r}) / {d!r})"
+    yd = f"({d!r} * (({y_expr}) - {fn!r}))"
+    rho = f"sqrt({xd} * {xd} + {yd} * {yd})"
+    ce = f"(2.0 * asin(least({rho} / {2.0 * r_q!r}, 1.0)))"
+    qv = f"({q_p!r} * (cos({ce}) * {sb1!r} " \
+         f"+ {yd} * sin({ce}) * {cb1!r} / {rho}))"
+    beta = f"asin(least(greatest({qv} / {q_p!r}, -1.0), 1.0))"
+    phi = beta
+    for j, c in enumerate(_LAEA_SERIES, start=1):
+        phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({beta})))"
+    lam = f"atan2((({x_expr}) - {fe!r}) * sin({ce}), " \
+          f"{d!r} * {rho} * cos({ce}) * {cb1!r} " \
+          f"- {d!r} * {yd} * sin({ce}) * {sb1!r})"
+    return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
+
+
 #: registry of pure-Column CRS transforms (target CRS -> source CRS)
 COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:4326", "EPSG:4326"): _identity,
@@ -316,6 +457,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _mercator_to_lonlat
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
+    if up in LAEA_PARAMS:
+        return _laea_to_lonlat_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _utm_to_lonlat_fn(*utm)
@@ -331,6 +474,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_mercator
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
+    if up in LAEA_PARAMS:
+        return _lonlat_to_laea_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _lonlat_to_utm_fn(*utm)
