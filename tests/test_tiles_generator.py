@@ -238,3 +238,76 @@ def test_fs_mldataset_roundtrip(spark, tmp_path):
     assert back.num_levels == 3
     assert back.grid(1).width == 8 and back.grid(1).x_res == 45.0
     assert back.get_dataset(2).count() == src.get_dataset(2).count()
+
+
+# ---- volumes endpoint twin --------------------------------------------
+
+
+def test_extract_volume_brick_and_nrrd_roundtrip(spark):
+    """extract_volume + volume_nrrd_bytes reproduce the reference
+    endpoint's payload: C-order float32 values with the y axis flipped
+    (top row first), NaN -> 0, and the exact NRRD header."""
+    import gzip
+    import struct
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.volumes import (
+        extract_volume, nrrd_header, volume_nrrd_bytes, volume_shape)
+
+    grid = CubeGrid(width=6, height=4, time_periods=2)
+    var = {"V": "CASE WHEN x_i = 0 AND y_i = 0 THEN NULL "
+                "ELSE CAST(t_i * 100 + y_i * 10 + x_i AS DOUBLE) END"}
+    cube = new_cube(spark, grid, variables=var)
+    shape = volume_shape(grid)
+    assert shape == (2, 4, 6)
+    vox = extract_volume(cube, grid, "V")
+    blob = volume_nrrd_bytes(vox, shape, encoding="raw")
+    header = nrrd_header(shape, "raw").encode()
+    assert blob.startswith(header)
+    vals = struct.unpack("<48f", blob[len(header):])
+    # C-order (t, j, x); j=0 is the TOP row = y_i 3; NaN cell (t,y,x)=
+    # (*,0,0) sits at j=3, x=0 and reads 0.0
+    assert vals[0] == 30.0             # t=0, y_i=3, x_i=0
+    assert vals[3 * 6 + 0] == 0.0      # t=0, y_i=0, x_i=0 (NULL -> 0)
+    assert vals[3 * 6 + 1] == 1.0      # t=0, y_i=0, x_i=1
+    assert vals[24 + 0] == 130.0       # t=1, y_i=3, x_i=0
+    # gz encoding wraps the same bytes
+    gz = volume_nrrd_bytes(vox, shape, encoding="gz")
+    gz_header = nrrd_header(shape, "gz").encode()
+    assert gzip.decompress(gz[len(gz_header):]) == blob[len(header):]
+
+
+def test_extract_volume_voxel_cap_raises_before_reading(spark):
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.volumes import extract_volume
+
+    grid = CubeGrid(width=6, height=4, time_periods=2)
+    cube = new_cube(spark, grid, variables={"V": "CAST(1 AS DOUBLE)"})
+    with pytest.raises(ValueError, match="Volume too large"):
+        extract_volume(cube, grid, "V", max_voxel_count=10)
+
+
+def test_extract_volume_bbox_time_subset_indices(spark):
+    """Subset-relative indices: bbox/time trims re-base t_i/x_i to 0 and
+    j counts down from the top of the SUBSET."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.volumes import extract_volume, volume_shape
+
+    grid = CubeGrid(width=10, height=8, time_periods=3,
+                    x_start=0.0, y_start=0.0)
+    cube = new_cube(spark, grid, variables={
+        "V": "CAST(t_i * 1000 + y_i * 10 + x_i AS DOUBLE)"})
+    bbox = (2.0, 1.0, 6.0, 5.0)   # x centers 2.5..5.5, y centers 1.5..4.5
+    tr = ("2010-01-02", "2010-01-03")
+    assert volume_shape(grid, bbox, tr) == (2, 4, 4)
+    rows = {(r.t_i, r.j, r.x_i): r.value
+            for r in extract_volume(cube, grid, "V", bbox, tr).collect()}
+    assert len(rows) == 2 * 4 * 4
+    assert min(k[0] for k in rows) == 0 and max(k[0] for k in rows) == 1
+    # top render row (j=0) is the highest selected y index (y_i=4);
+    # t_i=0 is source t_i=1 (first center inside the range)
+    assert rows[(0, 0, 0)] == 1000 + 4 * 10 + 2
+    assert rows[(1, 3, 3)] == 2000 + 1 * 10 + 5
