@@ -311,3 +311,70 @@ def test_extract_volume_bbox_time_subset_indices(spark):
     # t_i=0 is source t_i=1 (first center inside the range)
     assert rows[(0, 0, 0)] == 1000 + 4 * 10 + 2
     assert rows[(1, 3, 3)] == 2000 + 1 * 10 + 5
+
+
+# ---- PNG tile bytes + colormap registry -------------------------------
+
+
+def test_render_tile_png_roundtrips_channel_values(spark):
+    """PNG bytes decode back to exactly the oracle-checked RGBA channel
+    values; uncovered pixels stay transparent background."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.tiles import (
+        TilingScheme, compute_rgba_tile, compute_tiles, decode_rgba_png,
+        render_tile_png)
+
+    grid = CubeGrid()
+    cube = new_cube(spark, grid, variables={
+        "A": "CAST(t_i AS DOUBLE) + 0.1 * y + 0.01 * x"})
+    scheme = TilingScheme.geographic()
+    cells = compute_tiles(cube, grid, scheme, level=0, tx=0, ty=0,
+                          var_names=["A"], t_i=0)
+    rgba = compute_rgba_tile(cells, "A", vmin=-10.0, vmax=10.0)
+    png = render_tile_png(rgba, tile_size=256)
+    w, h, pix = decode_rgba_png(png)
+    assert (w, h) == (256, 256)
+    rows = rgba.collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        o = 4 * (r.py * 256 + r.px)
+        assert tuple(pix[o:o + 4]) == (r.r, r.g, r.b, r.a)
+    # level-0 geographic tile 0 maps 1 cube cell per ~1.4 px: covered
+    # pixel count equals the distinct (px,py) set; the rest transparent
+    covered = {(r.px, r.py) for r in rows}
+    n_opaque = sum(1 for i in range(256 * 256) if pix[4 * i + 3] == 255)
+    assert n_opaque == len(covered)
+
+
+def test_colormap_registry_lookup_reverse_register():
+    from xcube_spark.operators.tiles import (
+        COLORMAPS, get_colormap, register_colormap)
+
+    vir = get_colormap("viridis")
+    assert vir[0][1] == (68, 1, 84) and vir[-1][1] == (253, 231, 37)
+    # _r reversal flips both positions and order
+    vr = get_colormap("viridis_r")
+    assert vr[0] == (0.0, (253, 231, 37)) and vr[-1] == (1.0, (68, 1, 84))
+    assert [p for p, _ in vr] == sorted(p for p, _ in vr)
+    # unknown name falls back to the default map (reference provider)
+    assert get_colormap("no_such_map") == COLORMAPS["default"]
+    register_colormap("custom2", [(1.0, (9, 9, 9)), (0.0, (1, 2, 3))])
+    assert get_colormap("custom2")[0] == (0.0, (1, 2, 3))
+
+
+def test_rgba_named_cmap_and_log_norm(spark):
+    """gray colormap is an exact ramp (easy closed form), and log norm
+    places the geometric midpoint at gray 127/128."""
+    from xcube_spark.operators.tiles import compute_rgba_tile
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 10.0), (2, 0, 100.0), (3, 0, None)],
+        "px int, py int, A double")
+    out = {r.px: r for r in compute_rgba_tile(
+        cells, "A", vmin=1.0, vmax=100.0,
+        cmap_name="gray", cmap_norm="log").collect()}
+    assert (out[0].r, out[0].g, out[0].b, out[0].a) == (0, 0, 0, 255)
+    assert (out[2].r, out[2].g, out[2].b, out[2].a) == (255, 255, 255, 255)
+    assert out[1].r in (127, 128) and out[1].r == out[1].g == out[1].b
+    assert out[3].a == 0

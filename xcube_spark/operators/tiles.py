@@ -142,26 +142,20 @@ DEFAULT_STOPS = [
 ]
 
 
-def _channel_expr(norm: Column, channel: int) -> Column:
-    """Piecewise-linear interpolation of one RGB channel over the stops."""
-    expr = F.lit(float(DEFAULT_STOPS[0][1][channel]))
-    for (p0, c0), (p1, c1) in zip(DEFAULT_STOPS, DEFAULT_STOPS[1:]):
-        frac = (norm - F.lit(p0)) / F.lit(p1 - p0)
-        seg = F.lit(float(c0[channel])) + frac * F.lit(float(c1[channel] - c0[channel]))
-        expr = F.when(norm >= p0, seg).otherwise(expr)
-    return F.round(expr).cast("int")
-
-
 def compute_rgba_tile(
     tile_cells: DataFrame,
     var: str,
     vmin: float,
     vmax: float,
+    cmap_name: str = "default",
+    cmap_norm: str = "lin",
 ) -> DataFrame:
     """value -> RGBA columns (tile.py:355-538): clamp-normalize to
     [vmin, vmax] (the stretch range from compute_statistics /
-    stretch_range), interpolate the colormap, NULL -> transparent."""
-    return _rgba_select(tile_cells, var, F.lit(vmin), F.lit(vmax))
+    stretch_range), interpolate the named colormap (lin or log norm),
+    NULL -> transparent."""
+    return _rgba_select(tile_cells, var, F.lit(vmin), F.lit(vmax),
+                        cmap_name=cmap_name, cmap_norm=cmap_norm)
 
 
 def compute_rgba_tile_auto(
@@ -182,14 +176,208 @@ def compute_rgba_tile_auto(
     return _rgba_select(ranged, var, F.col("lo"), F.col("hi"))
 
 
-def _rgba_select(cells: DataFrame, var: str, vmin: Column, vmax: Column) -> DataFrame:
+def _rgba_select(
+    cells: DataFrame,
+    var: str,
+    vmin: Column,
+    vmax: Column,
+    cmap_name: str = "default",
+    cmap_norm: str = "lin",
+) -> DataFrame:
     v = F.col(var)
-    norm = (v - vmin) / (vmax - vmin)
+    if cmap_norm == "log":
+        # log normalization (reference cmap_norm='log', tile.py:365):
+        # values <= 0 clamp to vmin before the log
+        norm = (F.log(F.greatest(v, vmin)) - F.log(vmin)) / (
+            F.log(vmax) - F.log(vmin))
+    elif cmap_norm == "lin":
+        norm = (v - vmin) / (vmax - vmin)
+    else:
+        raise ValueError(f"cmap_norm must be 'lin' or 'log': {cmap_norm!r}")
     norm = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
+    stops = get_colormap(cmap_name)
     return cells.select(
         "px", "py",
-        _channel_expr(norm, 0).alias("r"),
-        _channel_expr(norm, 1).alias("g"),
-        _channel_expr(norm, 2).alias("b"),
+        _stop_channel_expr(norm, stops, 0).alias("r"),
+        _stop_channel_expr(norm, stops, 1).alias("g"),
+        _stop_channel_expr(norm, stops, 2).alias("b"),
         F.when(v.isNull(), 0).otherwise(255).alias("a"),
     )
+
+
+# ---- named colormap registry ------------------------------------------
+#
+# The reference resolves cmap_name through matplotlib's registry
+# (util/cmaps.py:321-476, DEFAULT_CMAP_NAME='viridis').  matplotlib is
+# not in this container, so the registry here carries the WELL-KNOWN
+# anchor colors of the common maps (public values) as piecewise-linear
+# stop lists — same registry surface (named lookup, '_r' reversal,
+# custom registration), approximate ramps.  Rendering stays pure
+# Column arithmetic whatever the map.
+
+#: name -> [(position 0..1, (r, g, b)), ...] sorted by position
+COLORMAPS: dict[str, list[tuple[float, tuple[int, int, int]]]] = {
+    "default": DEFAULT_STOPS,
+    "viridis": [
+        (0.0, (68, 1, 84)), (0.25, (59, 82, 139)), (0.5, (33, 145, 140)),
+        (0.75, (94, 201, 98)), (1.0, (253, 231, 37)),
+    ],
+    "plasma": [
+        (0.0, (13, 8, 135)), (0.25, (126, 3, 168)), (0.5, (204, 71, 120)),
+        (0.75, (248, 149, 64)), (1.0, (240, 249, 33)),
+    ],
+    "magma": [
+        (0.0, (0, 0, 4)), (0.25, (81, 18, 124)), (0.5, (183, 55, 121)),
+        (0.75, (252, 137, 97)), (1.0, (252, 253, 191)),
+    ],
+    "inferno": [
+        (0.0, (0, 0, 4)), (0.25, (87, 16, 110)), (0.5, (188, 55, 84)),
+        (0.75, (249, 142, 9)), (1.0, (252, 255, 164)),
+    ],
+    "cividis": [
+        (0.0, (0, 32, 76)), (0.25, (74, 74, 108)), (0.5, (124, 123, 120)),
+        (0.75, (187, 173, 108)), (1.0, (255, 234, 70)),
+    ],
+    "gray": [(0.0, (0, 0, 0)), (1.0, (255, 255, 255))],
+    "jet": [
+        (0.0, (0, 0, 131)), (0.125, (0, 60, 170)), (0.375, (5, 255, 255)),
+        (0.625, (255, 255, 0)), (0.875, (250, 0, 0)), (1.0, (128, 0, 0)),
+    ],
+    "coolwarm": [
+        (0.0, (59, 76, 192)), (0.5, (221, 221, 221)), (1.0, (180, 4, 38)),
+    ],
+    "RdBu": [
+        (0.0, (103, 0, 31)), (0.5, (247, 247, 247)), (1.0, (5, 48, 97)),
+    ],
+}
+
+
+def register_colormap(
+    name: str, stops: list[tuple[float, tuple[int, int, int]]]
+) -> None:
+    """Custom colormap registration (util/cmaps.py:368-381)."""
+    COLORMAPS[name] = sorted(stops)
+
+
+def get_colormap(name: str) -> list[tuple[float, tuple[int, int, int]]]:
+    """Resolve a colormap by name; ``<name>_r`` reverses (the
+    reference's reversed-map registration, cmaps.py:454-459).
+    Unknown names fall back to the default map like the reference's
+    provider (cmaps.py:399)."""
+    if name in COLORMAPS:
+        return COLORMAPS[name]
+    if name.endswith("_r") and name[:-2] in COLORMAPS:
+        base = COLORMAPS[name[:-2]]
+        return [(1.0 - p, c) for p, c in reversed(base)]
+    return COLORMAPS["default"]
+
+
+def _stop_channel_expr(
+    norm: Column,
+    stops: list[tuple[float, tuple[int, int, int]]],
+    channel: int,
+) -> Column:
+    """Piecewise-linear interpolation of one RGB channel over arbitrary
+    stops (generalization of ``_channel_expr``)."""
+    expr = F.lit(float(stops[0][1][channel]))
+    for (p0, c0), (p1, c1) in zip(stops, stops[1:]):
+        frac = (norm - F.lit(p0)) / F.lit(p1 - p0)
+        seg = F.lit(float(c0[channel])) + frac * F.lit(
+            float(c1[channel] - c0[channel]))
+        expr = F.when(norm >= p0, seg).otherwise(expr)
+    return F.round(expr).cast("int")
+
+
+# ---- PNG encode (driver-side, pure zlib) ------------------------------
+#
+# The reference encodes the RGBA array via PIL (core/tile.py:758-763).
+# PIL is not in this container, so the PNG container is written
+# directly — signature + IHDR + IDAT (zlib-compressed scanlines,
+# filter 0) + IEND, the same self-written-format approach as the
+# repo's NetCDF/GeoTIFF/Zarr codecs.  Driver-side by design: a tile is
+# a bounded response payload (tile_size^2 pixels), never corpus-sized.
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_rgba_png(rgba_rows: bytes, width: int, height: int) -> bytes:
+    """RGBA8 pixel bytes (row-major, ``4 * width * height``) -> PNG."""
+    import struct
+    import zlib
+
+    if len(rgba_rows) != 4 * width * height:
+        raise ValueError(
+            f"expected {4 * width * height} RGBA bytes, got {len(rgba_rows)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgba_rows[y * 4 * width:(y + 1) * 4 * width]
+        for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_rgba_png(data: bytes) -> tuple[int, int, bytes]:
+    """Minimal inverse of :func:`encode_rgba_png` (filter-0 RGBA8 only)
+    — used by tests and by the kerchunk-style readback path.  Returns
+    (width, height, rgba_rows)."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bits, ctype = struct.unpack(">IIBB", body[:10])
+            if (bits, ctype) != (8, 6):
+                raise ValueError("only RGBA8 supported")
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = 1 + 4 * width
+    rows = []
+    for y in range(height):
+        line = raw[y * stride:(y + 1) * stride]
+        if line[0] != 0:
+            raise ValueError("only filter 0 supported")
+        rows.append(line[1:])
+    return width, height, b"".join(rows)
+
+
+def render_tile_png(
+    rgba_df: DataFrame,
+    tile_size: int = 256,
+    background: tuple[int, int, int, int] = (0, 0, 0, 0),
+) -> bytes:
+    """Collect an RGBA tile DataFrame (``px, py, r, g, b, a`` — the
+    output of :func:`compute_rgba_tile`) into PNG bytes.  Pixels not
+    covered by any cell keep ``background`` (transparent), matching
+    the reference's NaN -> alpha-0 tiles.
+
+    DRIVER-SIDE by construction: the collect is bounded by
+    ``tile_size**2`` rows (a single response tile), not by cube size.
+    """
+    buf = bytearray(background * (tile_size * tile_size))
+    for row in rgba_df.select("px", "py", "r", "g", "b", "a").collect():
+        if 0 <= row.px < tile_size and 0 <= row.py < tile_size:
+            o = 4 * (row.py * tile_size + row.px)
+            buf[o:o + 4] = bytes(
+                (row.r & 255, row.g & 255, row.b & 255, row.a & 255))
+    return encode_rgba_png(bytes(buf), tile_size, tile_size)
