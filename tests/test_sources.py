@@ -826,3 +826,21 @@ def test_zorder_layout_prunes_square_bboxes_better(spark, tmp_path):
     assert back.count() == grid.size
     k = cube.select(z_order_key(F.col("x_i"), F.col("y_i")).alias("z"))
     assert k.distinct().count() == grid.size
+
+
+def test_driver_side_writers_refuse_big_cubes(spark, tmp_path):
+    """write_geotiff / write_netcdf_cube are fixture-scale writers: a
+    cube above the cell cap raises with a pointer to the distributed
+    zarr/parquet path BEFORE collecting anything."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.sources.geotiff import write_geotiff
+    from xcube_spark.sources.netcdf3 import write_netcdf_cube
+
+    empty = spark.createDataFrame(
+        [], "t_i int, y_i int, x_i int, A double")
+    with pytest.raises(ValueError, match="write_zarr_cube"):
+        write_geotiff(empty, str(tmp_path / "x.tif"), ["A"],
+                      width=100_000, height=100_000)
+    big = CubeGrid(width=100_000, height=100_000, time_periods=10)
+    with pytest.raises(ValueError, match="write_zarr_cube"):
+        write_netcdf_cube(empty, str(tmp_path / "x.nc"), big)

@@ -36,6 +36,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: driver-side raster writers refuse above this many cells — they
+#: collect() the full raster, so they are scoped to tiles/fixtures;
+#: bulk export goes through the DISTRIBUTED zarr/parquet writers
+#: (zarrio.write_zarr_cube applyInPandas / parquet layout writer)
+MAX_DRIVER_CELLS = 64_000_000  # 64M cells ~ 512 MB of float64
+
+
+def _guard_driver_collect(n_cells: int, fn_name: str) -> None:
+    if n_cells > MAX_DRIVER_CELLS:
+        raise ValueError(
+            f"{fn_name} is a DRIVER-SIDE writer for tiles/fixtures and "
+            f"refuses {n_cells} cells (cap {MAX_DRIVER_CELLS}); export "
+            "big cubes with the distributed writers instead: "
+            "write_zarr_cube (sources/zarrio.py) or the parquet layout "
+            "writer (sources/layout.py)"
+        )
+
 # TIFF tag ids (TIFF 6.0 / GeoTIFF specs)
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTO = 258, 259, 262
@@ -332,6 +349,7 @@ def write_geotiff(
     the output a Cloud-Optimized-style pyramid) — collects the raster
     driver-side, so intended for level tiles / test fixtures, not
     cube-scale export (that path is parquet/zarr)."""
+    _guard_driver_collect(width * height * len(var_names), "write_geotiff")
     rows = cube.select("y_i", "x_i", *var_names).collect()
     n_bands = len(var_names)
     img = np.full((height, width, n_bands), nodata, "<f8")

@@ -342,6 +342,9 @@ def write_netcdf_cube(
 
     vars_ = list(var_names) if var_names is not None else cube_vars(cube)
     tp, h, w = grid.time_periods, grid.height, grid.width
+    from xcube_spark.sources.geotiff import _guard_driver_collect
+
+    _guard_driver_collect(tp * h * w * len(vars_), "write_netcdf_cube")
     fill = -9.0e33
     planes = {n: np.full(tp * h * w, fill, ">f8") for n in vars_}
     for r in cube.select("t_i", "y_i", "x_i", *vars_).collect():
