@@ -140,7 +140,83 @@ def test_cf_calendar_decode(spark):
     assert row["x"] == datetime(2000, 1, 2, 12, 0)
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unsupported CF calendar"):
-        decode_cf_time(F.col("t"), "days since 2000-01-01", "julian")
+        decode_cf_time(F.col("t"), "days since 2000-01-01", "lunar")
+
+
+def test_cf_calendar_all_leap_decode(spark):
+    """all_leap/366_day: February always 29 days; Feb 29 of a Gregorian
+    non-leap year clamps to Feb 28."""
+    from datetime import datetime
+
+    from xcube_spark.functions.cftime import decode_cf_time
+
+    df = spark.createDataFrame(
+        [(0.0,), (59.0,), (60.0,), (365.0,), (366.0,)], ["t"])
+    got = {r["t"]: (r["al"], r["al01"]) for r in df.select(
+        "t",
+        decode_cf_time(F.col("t"), "days since 2000-01-01",
+                       "all_leap").alias("al"),
+        decode_cf_time(F.col("t"), "days since 2001-01-01",
+                       "366_day").alias("al01"),
+    ).collect()}
+    # 2000 IS a Gregorian leap year -> Feb 29 survives; 2001 is not ->
+    # day 59 (Feb 29 in the model calendar) clamps to Feb 28
+    assert got[0.0] == (datetime(2000, 1, 1), datetime(2001, 1, 1))
+    assert got[59.0] == (datetime(2000, 2, 29), datetime(2001, 2, 28))
+    assert got[60.0] == (datetime(2000, 3, 1), datetime(2001, 3, 1))
+    assert got[365.0] == (datetime(2000, 12, 31), datetime(2001, 12, 31))
+    assert got[366.0] == (datetime(2001, 1, 1), datetime(2002, 1, 1))
+
+
+def _julian_ymd(y0, m0, d0, days):
+    """Independent scalar reimplementation of the proleptic-Julian
+    date walk (the test oracle): step day-by-day with the 4-year rule."""
+    cum = [31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    y, m, d = y0, m0, d0
+    for _ in range(days):
+        mlen = cum[m - 1] + (1 if m == 2 and y % 4 == 0 else 0)
+        d += 1
+        if d > mlen:
+            d, m = 1, m + 1
+            if m > 12:
+                m, y = 1, y + 1
+    return y, m, d
+
+
+def test_cf_calendar_julian_decode(spark):
+    """julian: leap every 4th year including century years; labels map
+    to Gregorian labels, Julian-only Feb 29 (1900) clamps to Feb 28."""
+    from datetime import datetime
+
+    from xcube_spark.functions.cftime import decode_cf_time
+
+    df = spark.createDataFrame(
+        [(0.0,), (58.0,), (59.0,), (60.0,), (1000.0,), (1461.0,)], ["t"])
+    got = {r["t"]: (r["j00"], r["j1900"]) for r in df.select(
+        "t",
+        decode_cf_time(F.col("t"), "days since 2000-01-01",
+                       "julian").alias("j00"),
+        decode_cf_time(F.col("t"), "days since 1900-01-01",
+                       "julian").alias("j1900"),
+    ).collect()}
+    # 2000: leap in BOTH calendars -> Feb 29 survives
+    assert got[59.0][0] == datetime(2000, 2, 29)
+    assert got[60.0][0] == datetime(2000, 3, 1)
+    # 1900: Julian leap, Gregorian NOT -> day 59 = Feb 29 clamps to 28
+    assert got[58.0][1] == datetime(1900, 2, 28)
+    assert got[59.0][1] == datetime(1900, 2, 28)
+    assert got[60.0][1] == datetime(1900, 3, 1)
+    # spot-check multi-year offsets against the independent day-walk
+    for t in (1000.0, 1461.0):
+        for (y0, col) in ((2000, 0), (1900, 1)):
+            y, m, d = _julian_ymd(y0, 1, 1, int(t))
+            exp = datetime(y, m, min(d, 28) if (m == 2 and d == 29
+                           and not (y % 4 == 0 and (y % 100 != 0
+                           or y % 400 == 0))) else d)
+            assert got[t][col] == exp, (t, y0)
+    # 1461 days = exactly one Julian quadrennium
+    assert got[1461.0][0] == datetime(2004, 1, 1)
+    assert got[1461.0][1] == datetime(1904, 1, 1)
 
 
 def test_validate_expression_api(spark):

@@ -13,7 +13,15 @@ decode with pure Column math into proleptic-Gregorian timestamps:
 - ``360_day``: every month 30 days — day 29/30 of February does not
   exist in the Gregorian calendar and is **clamped to Feb 28** (a
   documented lossy mapping; the reference keeps cftime objects, which
-  TimestampType cannot represent).
+  TimestampType cannot represent);
+- ``all_leap`` / ``366_day``: every year 366 days (February always
+  29); Feb 29 of a Gregorian non-leap year clamps to Feb 28;
+- ``julian``: the proleptic Julian calendar — leap every 4th year, no
+  century rule.  Decoding is LABEL-preserving (like cftime/xarray
+  comparisons, which order by Y-M-D labels): Julian-calendar
+  (year, month, day) labels map to the same Gregorian labels, with
+  Feb 29 of Julian-only leap years (1900, 2100, ...) clamped to
+  Feb 28.
 
 All arithmetic is Column expressions (no UDF): the CASE chain over 12
 cumulative month lengths folds into whole-stage codegen.
@@ -27,8 +35,14 @@ from pyspark.sql import functions as F
 from xcube_spark.sources.zarrio import parse_time_units
 
 _NOLEAP_CUM = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+_ALLLEAP_CUM = [0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335]
 
 _STANDARD = {"standard", "gregorian", "proleptic_gregorian", "", None}
+
+
+def _greg_leap(year: Column) -> Column:
+    """Gregorian leap-year predicate as a Column."""
+    return ((year % 4 == 0) & (year % 100 != 0)) | (year % 400 == 0)
 
 
 def _epoch_ymd(units: str) -> tuple[int, int, int, float]:
@@ -60,6 +74,11 @@ def decode_cf_time(value: Column, units: str,
     if cal == "360_day":
         return _fixed_year_decode(value, units, year_days=360,
                                   month_cum=[30 * i for i in range(12)])
+    if cal in ("all_leap", "366_day"):
+        return _fixed_year_decode(value, units, year_days=366,
+                                  month_cum=_ALLLEAP_CUM)
+    if cal == "julian":
+        return _julian_decode(value, units)
     raise ValueError(f"unsupported CF calendar {calendar!r}")
 
 
@@ -84,6 +103,9 @@ def _fixed_year_decode(value: Column, units: str, year_days: int,
     dom = doy - _cum_expr(month, month_cum) + 1
     if year_days == 360:  # Feb 29/30 have no Gregorian image
         dom = F.when(month == 2, F.least(dom, F.lit(28))).otherwise(dom)
+    if year_days == 366:  # Feb 29 only exists in Gregorian leap years
+        dom = F.when((month == 2) & (dom == 29) & ~_greg_leap(year),
+                     F.lit(28)).otherwise(dom)
     ts = F.make_timestamp(
         year, month, dom,
         (day_secs / 3600).cast("int"),
@@ -91,6 +113,56 @@ def _fixed_year_decode(value: Column, units: str, year_days: int,
         (day_secs % 60).cast("double"),
     )
     return ts
+
+
+def _julian_days_before_year(year: int) -> int:
+    """Days in Julian-calendar years [0, year): 365/year + one leap day
+    per multiple of 4 (proleptic, year 0 leap)."""
+    return 365 * year + (year + 3) // 4
+
+
+def _julian_decode(value: Column, units: str) -> Column:
+    """Proleptic-Julian calendar decode: quadrennium arithmetic (1461
+    days per 4 years, the leap year first), then the leap-aware month
+    CASE chain — all Column math."""
+    _, per_unit = parse_time_units(units)
+    y0, m0, d0, s0 = _epoch_ymd(units)
+    ep_leap = y0 % 4 == 0
+    ep_days = (_julian_days_before_year(y0) + _NOLEAP_CUM[m0 - 1]
+               + (1 if ep_leap and m0 > 2 else 0) + (d0 - 1))
+
+    total = (F.lit(float(ep_days)) + F.lit(s0 / 86400.0)
+             + value * F.lit(per_unit / 86400.0))
+    day = F.floor(total).cast("long")
+    day_secs = F.round((total - day) * F.lit(86400.0)).cast("long")
+
+    quad = F.floor(day / 1461).cast("long")
+    r = (day - quad * 1461).cast("int")  # 0..1460; year 0 of quad leap
+    a = F.when(r < 366, F.lit(0)) \
+        .otherwise(F.lit(1) + F.floor((r - 366) / 365).cast("int"))
+    year = (quad * 4 + a).cast("int")
+    is_leap = a == 0
+    doy = F.when(is_leap, r).otherwise(r - 366 - (a - 1) * 365)
+
+    # leap-aware month: cum[m] gains 1 for months after February
+    month = F.lit(1)
+    for m in range(2, 13):
+        cum = F.lit(_NOLEAP_CUM[m - 1]) + F.when(
+            is_leap & F.lit(m > 2), F.lit(1)).otherwise(F.lit(0))
+        month = F.when(doy >= cum, F.lit(m)).otherwise(month)
+    cum_m = _cum_expr(month, _NOLEAP_CUM) + F.when(
+        is_leap & (month > 2), F.lit(1)).otherwise(F.lit(0))
+    dom = doy - cum_m + 1
+    # Feb 29 of a Julian-only leap year (e.g. 1900) has no Gregorian
+    # image -> clamp (documented lossy label mapping)
+    dom = F.when((month == 2) & (dom == 29) & ~_greg_leap(year),
+                 F.lit(28)).otherwise(dom)
+    return F.make_timestamp(
+        year, month, dom,
+        (day_secs / 3600).cast("int"),
+        ((day_secs % 3600) / 60).cast("int"),
+        (day_secs % 60).cast("double"),
+    )
 
 
 def _cum_expr(month: Column, month_cum: list[int]) -> Column:
