@@ -375,3 +375,96 @@ def test_laea_inverse_sql_twin_matches_column_inverse(spark):
             f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, ? AS y)",
             [px, py]).fetchone()
         assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10
+
+
+# ---- bicubic (order-3) affine upsampling ------------------------------
+
+
+def _cr_scalar(s):
+    s = abs(s)
+    if s <= 1:
+        return 1.5 * s**3 - 2.5 * s**2 + 1
+    if s < 2:
+        return -0.5 * s**3 + 2.5 * s**2 - 4 * s + 2
+    return 0.0
+
+
+def test_affine_bicubic_exact_parity_with_independent_kernel(spark):
+    """spline_orders=3: 16-neighbor Catmull-Rom gather matches an
+    independent scalar reimplementation exactly (1e-9) on a
+    deterministic cube, and reproduces source values exactly at
+    integer positions (interpolating kernel)."""
+    import math as m
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+
+    src_grid = CubeGrid(width=12, height=12, time_periods=1,
+                        x_start=0.0, y_start=0.0, x_res=1.0, y_res=1.0)
+    # deterministic, smoothly varying, not polynomial
+    var = {"V": "CAST(sin(0.7 * x_i + 0.3) * 10 + 0.5 * y_i * y_i "
+                "+ 0.1 * x_i * y_i AS DOUBLE)"}
+    cube = new_cube(spark, src_grid, variables=var)
+    src = {(r.y_i, r.x_i): r.V
+           for r in cube.select("y_i", "x_i", "V").collect()}
+
+    tgt_grid = CubeGrid(width=12, height=12, time_periods=1,
+                        x_start=2.0, y_start=2.0, x_res=0.5, y_res=0.5)
+    out = affine_transform_dataset(cube, src_grid, tgt_grid,
+                                   var_names=["V"], spline_orders=3)
+    got = {(r.y_i, r.x_i): r.V for r in out.collect()}
+    assert len(got) == 12 * 12
+
+    for (yi, xi), v in got.items():
+        fy = (2.0 + (yi + 0.5) * 0.5) / 1.0 - 0.5
+        fx = (2.0 + (xi + 0.5) * 0.5) / 1.0 - 0.5
+        y0, x0 = m.floor(fy), m.floor(fx)
+        ty, tx = fy - y0, fx - x0
+        exp = sum(
+            _cr_scalar(dy - ty) * _cr_scalar(dx - tx)
+            * src[(y0 + dy, x0 + dx)]
+            for dy in (-1, 0, 1, 2) for dx in (-1, 0, 1, 2)
+        )
+        assert v == pytest.approx(exp, abs=1e-9), (yi, xi)
+
+    # integer-position targets reproduce the source exactly
+    aligned = CubeGrid(width=8, height=8, time_periods=1,
+                       x_start=2.0, y_start=2.0, x_res=1.0, y_res=1.0)
+    out2 = affine_transform_dataset(cube, src_grid, aligned,
+                                    var_names=["V"], spline_orders=3)
+    for r in out2.collect():
+        assert r.V == pytest.approx(src[(r.y_i + 2, r.x_i + 2)], abs=1e-9)
+
+
+def test_affine_bicubic_quadratic_reproduction(spark):
+    """Cubic convolution with a=-0.5 has approximation order 3: a
+    quadratic field is reproduced EXACTLY at fractional positions."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+
+    src_grid = CubeGrid(width=16, height=16, time_periods=1,
+                        x_start=0.0, y_start=0.0, x_res=1.0, y_res=1.0)
+    # f(i, j) = i^2 - 2 i j + 3 j (degree 2 in the index coordinates)
+    var = {"V": "CAST(x_i * x_i - 2 * x_i * y_i + 3 * y_i AS DOUBLE)"}
+    cube = new_cube(spark, src_grid, variables=var)
+    tgt_grid = CubeGrid(width=16, height=16, time_periods=1,
+                        x_start=3.0, y_start=3.0, x_res=0.5, y_res=0.5)
+    out = affine_transform_dataset(cube, src_grid, tgt_grid,
+                                   var_names=["V"], spline_orders=3)
+    for r in out.collect():
+        fx = 3.0 + (r.x_i + 0.5) * 0.5 - 0.5
+        fy = 3.0 + (r.y_i + 0.5) * 0.5 - 0.5
+        assert r.V == pytest.approx(fx * fx - 2 * fx * fy + 3 * fy,
+                                    abs=1e-9), (r.y_i, r.x_i)
+
+
+def test_affine_spline_orders_2_4_5_still_rejected(spark):
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+
+    g = CubeGrid(width=4, height=4, time_periods=1)
+    cube = new_cube(spark, g, variables={"V": 1.0})
+    for order in (2, 4, 5):
+        with pytest.raises(ValueError, match="only 0/1/3"):
+            affine_transform_dataset(cube, g, g, var_names=["V"],
+                                     spline_orders=order)

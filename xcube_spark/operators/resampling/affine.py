@@ -80,11 +80,14 @@ def affine_transform_dataset(
 ) -> DataFrame:
     """Resample ``cube`` from grid ``source`` onto grid ``target``.
 
-    ``spline_orders``: 0 (nearest) or 1 (bilinear), scalar or per-var
-    (the reference's ``var_configs`` spline_order, spatial.py:62-98;
-    orders 2-5 are not supported — they are grid-global convolutions
-    that don't fit a bounded gather, and the reference itself defaults
-    to 0/1 for all dtypes).
+    ``spline_orders``: 0 (nearest), 1 (bilinear) or 3 (bicubic —
+    16-neighbor Catmull-Rom convolution, the classic a=-0.5 bicubic
+    kernel; an interpolating stand-in for the reference's order-3
+    spline, affine.py:152-158 via dask_image), scalar or per-var (the
+    reference's ``var_configs`` spline_order, spatial.py:62-98).
+    Orders 2/4/5 are not supported — true B-spline orders require a
+    grid-global prefilter that doesn't fit a bounded gather, and the
+    reference itself defaults to 0/1 for all dtypes.
     """
     from xcube_spark.cube.grid import var_names as cube_vars
 
@@ -97,9 +100,9 @@ def affine_transform_dataset(
         orders = {v: spline_orders for v in vars_}
     else:
         orders = {v: spline_orders.get(v, 1) for v in vars_}
-    bad = {v: o for v, o in orders.items() if o not in (0, 1)}
+    bad = {v: o for v, o in orders.items() if o not in (0, 1, 3)}
     if bad:
-        raise ValueError(f"unsupported spline orders {bad}; only 0/1")
+        raise ValueError(f"unsupported spline orders {bad}; only 0/1/3")
 
     tgt = _target_index_table(spark, target)
     fx = _source_frac_index(source, F.col("x"), "x")
@@ -115,6 +118,7 @@ def affine_transform_dataset(
 
     nearest_vars = [v for v in vars_ if orders[v] == 0]
     linear_vars = [v for v in vars_ if orders[v] == 1]
+    cubic_vars = [v for v in vars_ if orders[v] == 3]
     out = tgt
 
     # the synthesized target index table is bounded by the requested
@@ -124,7 +128,8 @@ def affine_transform_dataset(
     broadcast_tgt = target.size <= 4_000_000
     # with a single gather family the target's coords ride through the
     # gather join itself — no join-back onto the target table
-    single_family = bool(nearest_vars) != bool(linear_vars)
+    single_family = sum(
+        map(bool, (nearest_vars, linear_vars, cubic_vars))) == 1
 
     if nearest_vars:
         nearest = tgt.select(
@@ -154,10 +159,46 @@ def affine_transform_dataset(
             on=["t_i", "y_i", "x_i"], how="left",
         )
 
+    def weighted_gather(family_vars: list[str], corners: Column) -> DataFrame:
+        """Explode weighted neighbor tuples, equi-join the source
+        cells, and blend with NaN-renormalized weights (recover_nan,
+        affine.py:290-311) — shared by the bilinear (4-corner) and
+        bicubic (16-neighbor) families."""
+        coord_cols = ("time", "y", "x") if single_family else ()
+        expl = tgt.select(
+            "t_i", "y_i", "x_i", *coord_cols, F.explode(corners).alias("c")
+        ).select(
+            "t_i", "y_i", "x_i", *coord_cols,
+            F.col("c.__sy").alias("__sy"),
+            F.col("c.__sx").alias("__sx"),
+            F.col("c.__w").alias("__w"),
+        )
+        if broadcast_tgt:
+            expl = F.broadcast(expl)
+        joined = expl.join(
+            src_cells.select("__st", "__sy", "__sx", *family_vars),
+            on=[
+                F.col("t_i") == F.col("__st"),
+                expl["__sy"] == src_cells["__sy"],
+                expl["__sx"] == src_cells["__sx"],
+            ],
+            how="left",
+        )
+        # the corner rows of a target cell carry identical coords, so
+        # first() re-attaches them without a join-back
+        aggs = [F.first(c).alias(c) for c in coord_cols]
+        for v in family_vars:
+            num = F.sum(F.when(F.col(v).isNotNull(), F.col("__w") * F.col(v)))
+            den = F.sum(F.when(F.col(v).isNotNull(), F.col("__w")))
+            # abs(): bicubic weights can be negative, so a valid
+            # near-complete stencil may sum slightly below 1
+            aggs.append(
+                F.when(F.abs(den) > 1e-12, num / den).alias(v)
+            )
+        return joined.groupBy("t_i", "y_i", "x_i").agg(*aggs)
+
     if linear_vars:
-        # 4-neighbor gather: explode (dy, dx) in {0,1}^2 with bilinear
-        # weights, equi-join, weighted sum renormalized over non-null
-        # neighbors (recover_nan, affine.py:290-311)
+        # 4-neighbor gather: (dy, dx) in {0,1}^2 with bilinear weights
         y0 = F.floor("__fy").cast("int")
         x0 = F.floor("__fx").cast("int")
         wy = F.col("__fy") - y0
@@ -175,39 +216,46 @@ def affine_transform_dataset(
                 for dx in (0, 1)
             ]
         )
-        coord_cols = ("time", "y", "x") if single_family else ()
-        expl = tgt.select(
-            "t_i", "y_i", "x_i", *coord_cols, F.explode(corners).alias("c")
-        ).select(
-            "t_i", "y_i", "x_i", *coord_cols,
-            F.col("c.__sy").alias("__sy"),
-            F.col("c.__sx").alias("__sx"),
-            F.col("c.__w").alias("__w"),
-        )
-        if broadcast_tgt:
-            expl = F.broadcast(expl)
-        joined = expl.join(
-            src_cells.select("__st", "__sy", "__sx", *linear_vars),
-            on=[
-                F.col("t_i") == F.col("__st"),
-                expl["__sy"] == src_cells["__sy"],
-                expl["__sx"] == src_cells["__sx"],
-            ],
-            how="left",
-        )
-        # the 4 corner rows of a target cell carry identical coords, so
-        # first() re-attaches them without a join-back
-        aggs = [F.first(c).alias(c) for c in coord_cols]
-        for v in linear_vars:
-            num = F.sum(F.when(F.col(v).isNotNull(), F.col("__w") * F.col(v)))
-            den = F.sum(F.when(F.col(v).isNotNull(), F.col("__w")))
-            aggs.append(
-                F.when(den > 1e-12, num / den).alias(v)
-            )
-        blended = joined.groupBy("t_i", "y_i", "x_i").agg(*aggs)
+        blended = weighted_gather(linear_vars, corners)
         if single_family:
             return blended.select(
                 "t_i", "y_i", "x_i", "time", "y", "x", *linear_vars
+            )
+        out = out.join(blended, on=["t_i", "y_i", "x_i"], how="left")
+
+    if cubic_vars:
+        # 16-neighbor gather: (dy, dx) in {-1,0,1,2}^2 with separable
+        # Catmull-Rom weights w(|o - frac|) — the cubic-convolution
+        # kernel (a = -0.5); weights sum to exactly 1 on a full stencil
+        y0 = F.floor("__fy").cast("int")
+        x0 = F.floor("__fx").cast("int")
+        ty = F.col("__fy") - y0
+        tx = F.col("__fx") - x0
+
+        def cr(dist: Column) -> Column:
+            s = F.abs(dist)
+            s2, s3 = s * s, s * s * s
+            return (
+                F.when(s <= 1, 1.5 * s3 - 2.5 * s2 + 1)
+                .when(s < 2, -0.5 * s3 + 2.5 * s2 - 4 * s + 2)
+                .otherwise(F.lit(0.0))
+            )
+
+        corners = F.array(
+            *[
+                F.struct(
+                    (y0 + dy).alias("__sy"),
+                    (x0 + dx).alias("__sx"),
+                    (cr(F.lit(dy) - ty) * cr(F.lit(dx) - tx)).alias("__w"),
+                )
+                for dy in (-1, 0, 1, 2)
+                for dx in (-1, 0, 1, 2)
+            ]
+        )
+        blended = weighted_gather(cubic_vars, corners)
+        if single_family:
+            return blended.select(
+                "t_i", "y_i", "x_i", "time", "y", "x", *cubic_vars
             )
         out = out.join(blended, on=["t_i", "y_i", "x_i"], how="left")
 

@@ -95,6 +95,7 @@ PRIORITY_ORDER = (
     # round-4 additions (never sampled yet)
     "cube_reproject_laea",
     "cube_volume_brick",
+    "cube_affine_bicubic",
     "cube_zarr_v3_ingest", "emb_knn_pq", "doc_audio_features",
     "emb_knn_lsh_multiprobe", "emb_knn_ivfpq", "q6_forecast_revenue",
     "q18_large_orders", "cube_rectify_swath", "cube_reproject_mercator",

@@ -447,3 +447,77 @@ def cube_rectify_bilinear(spark, sf_dir):
     out = rectify_dataset(swath, GRID, var_names=["V"],
                           interpolation="bilinear")
     return out.select("t_i", "y_i", "x_i", F.round("V", 6).alias("V"))
+
+
+# ---- affine bicubic: fixed-fraction Catmull-Rom parity ----------------
+
+#: at a constant fractional offset t=0.75 the separable Catmull-Rom
+#: weights are exact dyadic rationals (denominator 128): w(1.75),
+#: w(0.75), w(0.25), w(1.25) for source offsets -1, 0, 1, 2
+def _cr_w(s: float) -> float:
+    s = abs(s)
+    if s <= 1:
+        return 1.5 * s**3 - 2.5 * s**2 + 1
+    return -0.5 * s**3 + 2.5 * s**2 - 4 * s + 2 if s < 2 else 0.0
+
+
+_CUBIC_T = 0.75
+_CUBIC_W = {o: _cr_w(o - _CUBIC_T) for o in (-1, 0, 1, 2)}
+
+#: quarter-offset target: y centers -49.75+j -> fy = 39.75+j,
+#: x centers -99.75+i -> fx = 79.75+i; stencils fully interior
+_CUBIC_TGT = CubeGrid(width=50, height=40, time_periods=GRID.time_periods,
+                      x_start=-100.25, y_start=-50.25, x_res=1.0, y_res=1.0,
+                      t_start=GRID.t_start, t_freq_days=GRID.t_freq_days)
+
+_CUBIC_JOINS = "\n".join(
+    f"            LEFT JOIN cube c{dy + 1}{dx + 1} ON c{dy + 1}{dx + 1}.t_i"
+    f" = g.t_i AND c{dy + 1}{dx + 1}.y_i = g.sy + {dy}"
+    f" AND c{dy + 1}{dx + 1}.x_i = g.sx + {dx}"
+    for dy in (-1, 0, 1, 2) for dx in (-1, 0, 1, 2)
+)
+_CUBIC_SUM = " + ".join(
+    f"{_CUBIC_W[dy] * _CUBIC_W[dx]!r} * c{dy + 1}{dx + 1}.V"
+    for dy in (-1, 0, 1, 2) for dx in (-1, 0, 1, 2)
+)
+
+
+@query(
+    "cube_affine_bicubic",
+    sql=f"""
+        WITH cube AS ({new_cube_sql(GRID, _BILIN_VAR)}),
+        tgt AS (
+            SELECT CAST(range // {_CUBIC_TGT.width * _CUBIC_TGT.height}
+                        AS INT) AS t_i,
+                   CAST((range % {_CUBIC_TGT.width * _CUBIC_TGT.height})
+                        // {_CUBIC_TGT.width} AS INT) AS y_i,
+                   CAST(range % {_CUBIC_TGT.width} AS INT) AS x_i
+            FROM range({_CUBIC_TGT.size})
+        ), g AS (
+            SELECT t_i, y_i, x_i,
+                   39 + y_i AS sy, 79 + x_i AS sx
+            FROM tgt
+        )
+        SELECT g.t_i, g.y_i, g.x_i,
+               CAST(ROUND(({_CUBIC_SUM}) * 16384) AS BIGINT) AS v_scaled
+        FROM g
+{_CUBIC_JOINS}
+    """,
+)
+def cube_affine_bicubic(spark, sf_dir):
+    """affine_transform_dataset spline_orders=3 (the reference's
+    order-3 spline path, affine.py:152-158): 16-neighbor separable
+    Catmull-Rom gather.  A quarter-cell-offset target makes every
+    stencil fraction exactly 0.75, so all 16 weights are dyadic
+    rationals (denominator 16384 after the outer product) and the
+    integer-valued fixture blends to EXACT multiples of 1/16384 —
+    scaling by 16384 yields exact BIGINTs on both engines, no float
+    formatting can diverge.  The oracle restates the convolution as 16
+    literal-weight SQL joins."""
+    cube = new_cube(spark, GRID, variables=_BILIN_VAR)
+    out = affine_transform_dataset(cube, GRID, _CUBIC_TGT,
+                                   var_names=["V"], spline_orders=3)
+    return out.select(
+        "t_i", "y_i", "x_i",
+        F.round(F.col("V") * 16384).cast("long").alias("v_scaled"),
+    )
