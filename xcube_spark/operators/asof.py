@@ -9,7 +9,8 @@ feature-store / market-data pipelines ("value as of event time").
 Physical strategy — the union-window form, NOT a range join:
 
 1. tag both inputs and union them (right rows carry a struct of their
-   payload, left rows a null struct);
+   payload; left columns ride as plain columns, null-filled on right
+   rows — only the carried right payload needs the struct);
 2. one window per ``by`` key ordered by (ts, tag):
    ``last(struct, ignorenulls)`` carries the most recent right payload
    forward onto each left row;
@@ -58,6 +59,10 @@ def asof_join(
     }
     ts_name = on + suffix if on + suffix not in left.columns else "__asof_ts"
 
+    # left columns ride the union as PLAIN columns (null-filled on the
+    # right rows by allowMissingColumns) — no struct pack/unpack for
+    # the left side; only the right payload needs the struct, because
+    # last(..., ignorenulls) carries exactly one column
     r = right.select(
         *by,
         F.col(on),
@@ -67,13 +72,9 @@ def asof_join(
             *[F.col(c).alias(out_names[c]) for c in payload],
         ).alias("__r"),
     )
-    rtype = r.schema["__r"].dataType.simpleString()
     l = left.select(
-        *by,
-        F.col(on),
+        *[F.col(c) for c in left.columns],
         F.lit(1).alias("__tag"),
-        F.lit(None).cast(rtype).alias("__r"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
     )
     # right rows sort before left rows at equal ts (backward joins are
     # at-or-before inclusive); forward runs the mirrored order.
@@ -90,10 +91,7 @@ def asof_join(
     w = (
         Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
     ).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    unioned = r.select(*by, on, "__tag", "__r",
-                       F.lit(None).cast(l.schema["__l"].dataType
-                                        .simpleString()).alias("__l")) \
-        .unionByName(l)
+    unioned = r.unionByName(l, allowMissingColumns=True)
     carried = unioned.withColumn(
         "__m", F.last("__r", ignorenulls=True).over(w)
     ).where(F.col("__tag") == 1)
@@ -107,7 +105,7 @@ def asof_join(
         within = gap <= F.lit(float(tolerance_seconds))
 
     matched = F.col("__m").isNotNull() & within
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols = [F.col(c) for c in left.columns]
     out_cols.append(
         F.when(matched, F.col("__m.__rts")).alias(ts_name)
     )

@@ -249,12 +249,19 @@ def near_dup_clusters(
     Algorithm: hash-to-min label propagation — each iteration every
     node takes the min label among itself and its neighbors (one
     equi-join + one partial-agg shuffle per round, both keyed by node
-    id), converging in O(component diameter) rounds with a one-scalar
-    convergence check per round.  Near-dup components are shallow
-    (dup clusters, not social graphs), so 3-5 rounds is typical; the
-    iteration cap bounds pathological chains.  This is the standard
-    scalable connected-components shape — no driver-side graph, no
-    per-row Python.
+    id), converging in O(component diameter) rounds.  Near-dup
+    components are shallow (dup clusters, not social graphs), so 3-5
+    rounds is typical; the iteration cap bounds pathological chains.
+    This is the standard scalable connected-components shape — no
+    driver-side graph, no per-row Python.
+
+    Convergence detection costs one SCALAR aggregate on the round's
+    own result — labels only ever decrease, so the label sum is
+    strictly monotone and "sum unchanged == fixpoint"; the previous
+    implementation's extra equi-join against the prior labels (a
+    whole second job per round) is gone.  Each round still
+    materializes through its persist (chaining rounds lazily was
+    measured SLOWER: AQE re-plans the doubled DAG at every action).
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.union(
@@ -265,6 +272,10 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    # decimal(38,0) sum: exact and overflow-free for any realistic id
+    # domain (10^38 >> n_nodes * max_id)
+    label_sum = F.sum(F.col("label").cast("decimal(28,0)"))
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
@@ -275,16 +286,14 @@ def near_dup_clusters(
             .groupBy("node").agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
+        # one action per round: materializes the persist AND returns
+        # the convergence scalar — no separate changed-count job
+        s = new_labels.agg(label_sum).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and s == prev_sum:
             break
+        prev_sum = s
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
 
