@@ -844,3 +844,90 @@ def test_driver_side_writers_refuse_big_cubes(spark, tmp_path):
     big = CubeGrid(width=100_000, height=100_000, time_periods=10)
     with pytest.raises(ValueError, match="write_zarr_cube"):
         write_netcdf_cube(empty, str(tmp_path / "x.nc"), big)
+
+
+# ---- cloud store params (round-4: reference fs-store surface) ----------
+
+
+def test_store_params_schema_and_option_validation(spark):
+    from xcube_spark.sources.store import (
+        get_data_store_params_schema, validate_storage_options)
+
+    s3 = get_data_store_params_schema("s3")
+    props = s3["properties"]["storage_options"]["properties"]
+    assert "anon" in props and "key" in props and "secret" in props
+    assert "endpoint_url" in props["client_kwargs"]["properties"]
+    assert get_data_store_params_schema("file")["required"] == ["root"]
+
+    validate_storage_options({"anon": True, "extra_ok": 1}, "s3")
+    with pytest.raises(TypeError, match="anon must be boolean"):
+        validate_storage_options({"anon": "yes"}, "s3")
+    with pytest.raises(TypeError, match="client_kwargs.endpoint_url"):
+        validate_storage_options(
+            {"client_kwargs": {"endpoint_url": 7}}, "s3")
+
+
+def test_s3_store_options_reach_hadoop_conf(spark):
+    """The param plumbing: every documented s3 option lands on its
+    fs.s3a.* Hadoop key (no bucket needed to verify the mapping)."""
+    from xcube_spark.sources.store import new_data_store
+
+    store = new_data_store(
+        "s3", spark, root="my-bucket/prefix",
+        storage_options={
+            "anon": False, "key": "AKIATEST", "secret": "s3cr3t",
+            "use_ssl": True, "requester_pays": False,
+            "client_kwargs": {"endpoint_url": "http://localhost:9000",
+                              "region_name": "eu-central-1"},
+        })
+    assert store.root == "s3a://my-bucket/prefix"
+    conf = spark._jsc.hadoopConfiguration()
+    assert conf.get("fs.s3a.access.key") == "AKIATEST"
+    assert conf.get("fs.s3a.secret.key") == "s3cr3t"
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.endpoint.region") == "eu-central-1"
+    assert conf.get("fs.s3a.connection.ssl.enabled") == "true"
+    assert conf.get("fs.s3a.requester.pays.enabled") == "false"
+
+
+def test_fs_store_file_uri_twin_hadoop_path(spark, cube, tmp_path):
+    """A file:// root drives the SAME Hadoop FileSystem code path a
+    cloud bucket uses: list/has/open/delete all through the JVM FS."""
+    from xcube_spark.sources.store import new_data_store
+
+    store = new_data_store("file", spark,
+                           root=f"file://{tmp_path}/cloudtwin")
+    assert store._use_hadoop
+    assert list(store.get_data_ids()) == []
+    store.write_data(cube, "c.parquet")
+    assert store.has_data("c.parquet")
+    assert list(store.get_data_ids()) == ["c.parquet"]
+    assert store.open_data("c.parquet").count() == cube.count()
+    store.delete_data("c.parquet")
+    assert not store.has_data("c.parquet")
+    with pytest.raises(FileNotFoundError):
+        store.delete_data("c.parquet")
+
+
+def test_fs_store_read_only_and_include_exclude(spark, cube, tmp_path):
+    from xcube_spark.sources.store import new_data_store
+
+    rw = new_data_store("file", spark, root=str(tmp_path / "s"))
+    rw.write_data(cube, "a.parquet")
+    rw.write_data(cube, "b.csv")
+
+    ro = new_data_store("file", spark, root=str(tmp_path / "s"),
+                        read_only=True)
+    assert sorted(ro.get_data_ids()) == ["a.parquet", "b.csv"]
+    with pytest.raises(PermissionError, match="read-only"):
+        ro.write_data(cube, "x.parquet")
+    with pytest.raises(PermissionError, match="read-only"):
+        ro.delete_data("a.parquet")
+
+    filt = new_data_store("file", spark, root=str(tmp_path / "s"),
+                          includes="*.parquet")
+    assert list(filt.get_data_ids()) == ["a.parquet"]
+    assert not filt.has_data("b.csv")
+    excl = new_data_store("file", spark, root=str(tmp_path / "s"),
+                          excludes=["*.csv"])
+    assert list(excl.get_data_ids()) == ["a.parquet"]

@@ -6,9 +6,14 @@ search data ids.  Two concrete stores:
 
 - ``FsDataStore``: a filesystem root of datasets (one parquet dataset
   per data id) — the analog of the fsspec family
-  (core/store/fs/store.py:67,814).  Cloud roots (s3a://, abfss://) ride
-  on Hadoop FS connectors for free, which is why the reference's six
-  protocol stores collapse into one class here.
+  (core/store/fs/store.py:67,814), with the reference's param surface
+  (read_only, includes/excludes, storage_options).  Roots with a URI
+  scheme run through the Hadoop FileSystem API.
+- ``S3DataStore`` / ``AbfsDataStore``: protocol stores whose
+  storage-option schemas mirror the reference's accessors
+  (core/store/fs/impl/fs.py:40-170) and plumb into ``fs.s3a.*`` /
+  ``fs.azure.*`` Hadoop conf — the scan itself stays the ordinary
+  distributed read.
 - ``MemoryDataStore``: registered temp views (core/store/memory.py
   analog) over ``spark.catalog``.
 
@@ -138,25 +143,187 @@ class MutableDataStore(DataStore):
         raise NotImplementedError
 
 
+#: per-protocol storage-option schemas — the reference's
+#: ``get_storage_options_schema`` surface (core/store/fs/impl/fs.py:
+#: 40-170, S3FsAccessor/AzureFsAccessor), restated as plain JSON-schema
+#: dicts.  Options validate against these before any conf is touched.
+STORAGE_OPTIONS_SCHEMAS: dict[str, dict] = {
+    "file": {"type": "object", "properties": {}},
+    "s3": {
+        "type": "object",
+        "properties": {
+            "anon": {"type": "boolean",
+                     "title": "Connect anonymously (public buckets)"},
+            "key": {"type": "string", "title": "AWS access key id"},
+            "secret": {"type": "string", "title": "AWS secret access key"},
+            "token": {"type": "string", "title": "Session token"},
+            "use_ssl": {"type": "boolean", "default": True},
+            "requester_pays": {"type": "boolean", "default": False},
+            "client_kwargs": {
+                "type": "object",
+                "properties": {
+                    "endpoint_url": {"type": "string", "format": "uri",
+                                     "title": "Alternative endpoint URL"},
+                    "region_name": {"type": "string",
+                                    "title": "AWS region name"},
+                },
+            },
+        },
+    },
+    "abfs": {
+        "type": "object",
+        "properties": {
+            "anon": {"type": "boolean"},
+            "account_name": {"type": "string",
+                             "title": "Azure storage account name"},
+            "account_key": {"type": "string",
+                            "title": "Azure storage account key"},
+        },
+    },
+}
+
+_JSON_TYPES = {"boolean": bool, "string": str, "object": dict}
+
+
+def validate_storage_options(options: dict, protocol: str) -> None:
+    """Validate options against the protocol schema: known keys
+    type-check (one level of nesting); unknown keys pass through like
+    the reference's ``additional_properties=True``."""
+    schema = STORAGE_OPTIONS_SCHEMAS.get(protocol)
+    if schema is None:
+        raise ValueError(f"no storage-options schema for {protocol!r}")
+
+    def check(opts: dict, props: dict, where: str) -> None:
+        for k, v in opts.items():
+            spec = props.get(k)
+            if spec is None:
+                continue
+            want = _JSON_TYPES.get(spec.get("type"))
+            if want is not None and not isinstance(v, want):
+                raise TypeError(
+                    f"storage option {where}{k} must be "
+                    f"{spec['type']}, got {type(v).__name__}")
+            if spec.get("type") == "object" and "properties" in spec:
+                check(v, spec["properties"], f"{where}{k}.")
+
+    check(options, schema["properties"], "")
+
+
+def get_data_store_params_schema(store_id: str) -> dict:
+    """The store's parameter schema (the reference's
+    ``get_data_store_params_schema``, core/store/store.py): root +
+    flags + the protocol's storage options."""
+    if store_id == "memory":
+        return {"type": "object", "properties": {}}
+    proto = store_id if store_id in STORAGE_OPTIONS_SCHEMAS else "file"
+    return {
+        "type": "object",
+        "properties": {
+            "root": {"type": "string", "title": "Root or base directory"},
+            "read_only": {"type": "boolean", "default": False},
+            "includes": {"type": "array", "items": {"type": "string"},
+                         "title": "Wildcards of included data ids"},
+            "excludes": {"type": "array", "items": {"type": "string"},
+                         "title": "Wildcards of excluded data ids"},
+            "storage_options": STORAGE_OPTIONS_SCHEMAS[proto],
+        },
+        "required": ["root"],
+    }
+
+
 class FsDataStore(MutableDataStore):
     """Filesystem store: each data id is a dataset path under ``root``
-    (format from the id's extension, parquet default)."""
+    (format from the id's extension, parquet default).
 
-    def __init__(self, spark: SparkSession, root: str):
+    Matches the reference's ``FsDataStore`` param surface
+    (core/store/fs/store.py:814-860): ``read_only``, ``includes`` /
+    ``excludes`` wildcard filters on data ids, and per-protocol
+    ``storage_options`` (validated against
+    :data:`STORAGE_OPTIONS_SCHEMAS` and plumbed into the Hadoop conf
+    by the protocol subclasses).  Roots with a URI scheme
+    (``s3a://...``, ``file:///...``) run list/exists/delete through
+    the Hadoop FileSystem API — the exact same code path a cloud
+    bucket uses, so the ``file://`` twin genuinely exercises the
+    cloud path."""
+
+    protocol = "file"
+
+    def __init__(self, spark: SparkSession, root: str,
+                 read_only: bool = False,
+                 includes: list[str] | str | None = None,
+                 excludes: list[str] | str | None = None,
+                 storage_options: dict | None = None):
         self.spark = spark
-        self.root = root.rstrip("/")
+        self.read_only = read_only
+        self.includes = [includes] if isinstance(includes, str) \
+            else list(includes or [])
+        self.excludes = [excludes] if isinstance(excludes, str) \
+            else list(excludes or [])
+        options = dict(storage_options or {})
+        validate_storage_options(options, self.protocol)
+        self._apply_storage_options(options)
+        self.root = self._qualify_root(root).rstrip("/")
+
+    # -- protocol hooks --------------------------------------------------
+
+    def _qualify_root(self, root: str) -> str:
+        return root
+
+    def _apply_storage_options(self, options: dict) -> None:
+        if options:
+            raise ValueError(
+                f"{self.protocol} store takes no storage options: "
+                f"{sorted(options)}")
+
+    # -- id filtering (reference store.py:780-811) -----------------------
+
+    def _included(self, data_id: str) -> bool:
+        import fnmatch
+
+        if any(fnmatch.fnmatch(data_id, p) for p in self.excludes):
+            return False
+        if not self.includes:
+            return True
+        return any(fnmatch.fnmatch(data_id, p) for p in self.includes)
+
+    # -- hadoop-fs plumbing ----------------------------------------------
+
+    @property
+    def _use_hadoop(self) -> bool:
+        return "://" in self.root
+
+    def _hfs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        return jvm, path.getFileSystem(
+            self.spark._jsc.hadoopConfiguration())
 
     def _path(self, data_id: str) -> str:
         return f"{self.root}/{data_id}"
 
     def get_data_ids(self) -> Iterator[str]:
-        if not os.path.isdir(self.root):
+        if self._use_hadoop:
+            jvm, fs = self._hfs()
+            root = jvm.org.apache.hadoop.fs.Path(self.root)
+            if not fs.exists(root):
+                return
+            names = sorted(st.getPath().getName()
+                           for st in fs.listStatus(root))
+        elif os.path.isdir(self.root):
+            names = sorted(os.listdir(self.root))
+        else:
             return
-        for name in sorted(os.listdir(self.root)):
-            if not name.startswith(("_", ".")):
+        for name in names:
+            if not name.startswith(("_", ".")) and self._included(name):
                 yield name
 
     def has_data(self, data_id: str) -> bool:
+        if not self._included(data_id):
+            return False
+        if self._use_hadoop:
+            jvm, fs = self._hfs()
+            return fs.exists(
+                jvm.org.apache.hadoop.fs.Path(self._path(data_id)))
         return os.path.exists(self._path(data_id))
 
     def open_data(self, data_id: str, **options) -> DataFrame:
@@ -164,12 +331,26 @@ class FsDataStore(MutableDataStore):
             raise FileNotFoundError(f"data id not found: {data_id}")
         return open_dataset(self.spark, self._path(data_id), **options)
 
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise PermissionError(
+                f"store is read-only (root {self.root})")
+
     def write_data(self, df: DataFrame, data_id: str, mode: str = "error",
                    **options) -> str:
+        self._check_writable()
         write_dataset(df, self._path(data_id), mode=mode, **options)
         return data_id
 
     def delete_data(self, data_id: str) -> None:
+        self._check_writable()
+        if self._use_hadoop:
+            jvm, fs = self._hfs()
+            p = jvm.org.apache.hadoop.fs.Path(self._path(data_id))
+            if not fs.exists(p):
+                raise FileNotFoundError(f"data id not found: {data_id}")
+            fs.delete(p, True)
+            return
         import shutil
 
         path = self._path(data_id)
@@ -179,6 +360,65 @@ class FsDataStore(MutableDataStore):
             shutil.rmtree(path)
         else:
             os.remove(path)
+
+
+class S3DataStore(FsDataStore):
+    """S3 store: the reference's ``s3`` fsspec store
+    (core/store/fs/impl/fs.py:40-120) on Spark's S3A connector —
+    storage options map onto ``fs.s3a.*`` Hadoop conf keys, the scan
+    itself is the ordinary distributed parquet read."""
+
+    protocol = "s3"
+
+    def _qualify_root(self, root: str) -> str:
+        return root if "://" in root else f"s3a://{root}"
+
+    def _apply_storage_options(self, options: dict) -> None:
+        conf = self.spark._jsc.hadoopConfiguration()
+        anon = options.get("anon")
+        if anon:
+            conf.set("fs.s3a.aws.credentials.provider",
+                     "org.apache.hadoop.fs.s3a."
+                     "AnonymousAWSCredentialsProvider")
+        if "key" in options:
+            conf.set("fs.s3a.access.key", options["key"])
+        if "secret" in options:
+            conf.set("fs.s3a.secret.key", options["secret"])
+        if "token" in options:
+            conf.set("fs.s3a.session.token", options["token"])
+            conf.set("fs.s3a.aws.credentials.provider",
+                     "org.apache.hadoop.fs.s3a."
+                     "TemporaryAWSCredentialsProvider")
+        if "use_ssl" in options:
+            conf.set("fs.s3a.connection.ssl.enabled",
+                     str(bool(options["use_ssl"])).lower())
+        if "requester_pays" in options:
+            conf.set("fs.s3a.requester.pays.enabled",
+                     str(bool(options["requester_pays"])).lower())
+        ck = options.get("client_kwargs", {})
+        if "endpoint_url" in ck:
+            conf.set("fs.s3a.endpoint", ck["endpoint_url"])
+            conf.set("fs.s3a.path.style.access", "true")
+        if "region_name" in ck:
+            conf.set("fs.s3a.endpoint.region", ck["region_name"])
+
+
+class AbfsDataStore(FsDataStore):
+    """Azure Blob store (reference ``abfs`` accessor,
+    core/store/fs/impl/fs.py:125-170) on Spark's ABFS connector."""
+
+    protocol = "abfs"
+
+    def _qualify_root(self, root: str) -> str:
+        return root if "://" in root else f"abfss://{root}"
+
+    def _apply_storage_options(self, options: dict) -> None:
+        conf = self.spark._jsc.hadoopConfiguration()
+        name = options.get("account_name")
+        if name and "account_key" in options:
+            conf.set(
+                f"fs.azure.account.key.{name}.dfs.core.windows.net",
+                options["account_key"])
 
 
 class MemoryDataStore(MutableDataStore):
@@ -217,7 +457,8 @@ class MemoryDataStore(MutableDataStore):
 
 
 #: store registry (the reference's extension point, plugin.py:82-145)
-_STORES = {"file": FsDataStore, "memory": MemoryDataStore}
+_STORES = {"file": FsDataStore, "memory": MemoryDataStore,
+           "s3": S3DataStore, "abfs": AbfsDataStore}
 
 
 def new_data_store(store_id: str, spark: SparkSession, **params) -> DataStore:
