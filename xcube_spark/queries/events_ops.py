@@ -319,7 +319,7 @@ def events_upsample_ffill(spark, sf_dir):
                           ELSE pv + (nv - pv)
                                * (epoch(time) - epoch(pt))
                                / (epoch(nt) - epoch(pt))
-                     END, 4) AS value_interp
+                     END + 1e-9, 4) AS value_interp
         FROM joined
     """,
 )
@@ -335,9 +335,13 @@ def events_upsample_interp(spark, sf_dir):
         F.round(F.avg("value"), 6).alias("v")
     )
     out = upsample_in_time(hourly, "30min", method="interpolate")
-    # 4 decimals: half-gap midpoints of 6-decimal inputs land exactly on
-    # 1e-7 boundaries where the engines' rounding can disagree
-    return out.select("time", F.round("v", 4).alias("value_interp"))
+    # 4 decimals with a 1e-9 nudge: half-gap midpoints of 6-decimal
+    # inputs land exactly on .00005 half boundaries where the engines'
+    # rounding of the *same* double can disagree; the nudge moves the
+    # boundary away from those cluster points on both sides
+    return out.select(
+        "time", F.round(F.col("v") + F.lit(1e-9), 4).alias("value_interp")
+    )
 
 
 @query(

@@ -66,7 +66,7 @@ def stream_windowed_daily(spark, sf_dir):
         )
         SELECT CAST(window_start AS TIMESTAMP) AS window_start,
                COUNT(*) AS n,
-               ROUND(AVG(value), 4) AS value_mean
+               ROUND(AVG(value) + 1e-9, 4) AS value_mean
         FROM b
         GROUP BY 1
     """,

@@ -137,10 +137,11 @@ def sliding_window_stats(
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # 4 decimals: window means of thousands-scale values at 6
-            # decimals sit within float-summation noise of the rounding
-            # boundary across engines
-            F.round(F.avg(value_col), 4).alias("value_mean"),
+            # 4 decimals with a 1e-9 nudge: window means can land exactly
+            # on a .00005 half boundary, where cross-engine float noise
+            # (~1e-12) flips the rounded digit; the nudge moves the
+            # boundary away from those cluster points on both sides
+            F.round(F.avg(value_col) + F.lit(1e-9), 4).alias("value_mean"),
         )
         .select(F.col("w.start").alias("window_start"), "n", "value_mean")
         .transform(_ntz, "window_start")
