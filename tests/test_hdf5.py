@@ -1,0 +1,180 @@
+"""netCDF-4 / HDF5 IO (sources/hdf5.py) — reference parity target
+Netcdf4DatasetIO (/root/reference/xcube/core/dsio.py:359)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.cube.grid import CubeGrid
+from xcube_spark.cube.new import new_cube
+from xcube_spark.sources.hdf5 import (H5File, open_netcdf4_cube,
+                                      read_h5_array, write_hdf5,
+                                      write_netcdf4_cube)
+
+
+def _fixture_spec(chunked=True):
+    rng = np.random.RandomState(7)
+    t = np.arange(3, dtype="<f8") * 86400.0
+    lat = np.linspace(-80.0, 80.0, 9)
+    lon = np.linspace(-170.0, 170.0, 18)
+    A = rng.rand(3, 9, 18)
+    B = (rng.rand(3, 9, 18) * 100).astype("<i4")
+    spec = {
+        "time": {"data": t, "dims": ["time"],
+                 "attrs": {"units": "seconds since 1970-01-01"}},
+        "lat": {"data": lat, "dims": ["lat"],
+                "attrs": {"units": "degrees_north"}},
+        "lon": {"data": lon, "dims": ["lon"],
+                "attrs": {"units": "degrees_east"}},
+        "A": {"data": A, "dims": ["time", "lat", "lon"],
+              "attrs": {"_FillValue": -9.0e33, "long_name": "var A"},
+              **({"chunks": (1, 4, 7)} if chunked else {})},
+        "B": {"data": B, "dims": ["time", "lat", "lon"],
+              "attrs": {"scale_factor": 0.5, "add_offset": 1.0}},
+    }
+    return spec, A, B
+
+
+def test_h5_low_level_roundtrip(tmp_path):
+    """Writer -> reader: shapes, dtypes, chunk layout, filters,
+    attributes (string/scalar/list), dimension-scale wiring through
+    the global heap, root attrs, exact values."""
+    path = str(tmp_path / "t.nc")
+    spec, A, B = _fixture_spec()
+    write_hdf5(path, spec, gattrs={"Conventions": "CF-1.8", "title": "x"})
+
+    f = H5File(path)
+    assert sorted(f.datasets) == ["A", "B", "lat", "lon", "time"]
+    assert f.root_attrs == {"Conventions": "CF-1.8", "title": "x"}
+
+    dsA = f.datasets["A"]
+    assert dsA.shape == (3, 9, 18)
+    assert dsA.dtype == np.dtype("<f8")
+    assert dsA.layout == "chunked"
+    assert dsA.chunk_shape == (1, 4, 7)
+    # shuffle (elem size) then deflate (level)
+    assert [fid for fid, _ in dsA.filters] == [2, 1]
+    assert dsA.attrs["long_name"] == "var A"
+    # DIMENSION_LIST object references resolved back to dataset names
+    assert dsA.attrs["DIMENSION_LIST"] == ["time", "lat", "lon"]
+    assert f.datasets["lat"].attrs["CLASS"] == "DIMENSION_SCALE"
+    assert f.datasets["lat"].attrs["NAME"] == "lat"
+    # 3*3*3 chunk grid (9/4 -> 3, 18/7 -> 3)
+    assert len(f.chunks(dsA)) == 3 * 3 * 3
+
+    a2, attrs = read_h5_array(path, "A")
+    assert attrs["_FillValue"] == -9.0e33
+    assert np.array_equal(A, a2)
+    b2, battrs = read_h5_array(path, "B")
+    assert battrs["scale_factor"] == 0.5
+    assert np.array_equal(B, b2)
+    t2, tattrs = read_h5_array(path, "time")
+    assert tattrs["units"] == "seconds since 1970-01-01"
+    assert np.array_equal(t2, spec["time"]["data"])
+
+
+def test_h5_contiguous_roundtrip(tmp_path):
+    path = str(tmp_path / "c.nc")
+    spec, A, _ = _fixture_spec(chunked=False)
+    write_hdf5(path, spec)
+    assert H5File(path).datasets["A"].layout == "contiguous"
+    a2, _ = read_h5_array(path, "A")
+    assert np.array_equal(A, a2)
+
+
+def test_h5_not_hdf5_error(tmp_path):
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"CDF\x01" + b"\0" * 64)
+    with pytest.raises(ValueError, match="not an HDF5 file"):
+        H5File(str(p))
+
+
+GRID = CubeGrid(width=20, height=10, time_periods=3, x_res=18.0,
+                y_res=18.0, chunks=(1, 5, 10))
+
+
+def test_netcdf4_cube_roundtrip(spark):
+    """Cube -> netCDF-4 -> cube: values, coords, CF time, NULLs."""
+    import tempfile
+
+    cube = new_cube(spark, GRID,
+                    {"A": "CAST(t_i * 1000 + y_i * 20 + x_i AS DOUBLE)",
+                     "B": ("uniform", 3, 0.25)})
+    path = tempfile.mkdtemp(prefix="h5cube_") + "/rt.nc"
+    write_netcdf4_cube(cube, path, GRID)
+    back = open_netcdf4_cube(spark, path)
+    cols = ["t_i", "y_i", "x_i", "time", "y", "x", "A", "B"]
+    assert back.columns == cols
+    assert cube.select(*cols).exceptAll(back.select(*cols)).count() == 0
+    assert (back.where(F.col("B").isNull()).count()
+            == cube.where(F.col("B").isNull()).count())
+
+
+def test_netcdf4_unaligned_chunk_grids(spark, tmp_path):
+    """Variables with different chunk grids fall back to the pivot
+    path and still round-trip exactly."""
+    rng = np.random.RandomState(1)
+    t = np.arange(2, dtype="<f8") * 86400.0
+    lat = np.linspace(-45.0, 45.0, 6)
+    lon = np.linspace(-90.0, 90.0, 8)
+    A = rng.rand(2, 6, 8)
+    B = rng.rand(2, 6, 8)
+    path = str(tmp_path / "mixed.nc")
+    write_hdf5(path, {
+        "time": {"data": t, "dims": ["time"],
+                 "attrs": {"units": "seconds since 1970-01-01"}},
+        "lat": {"data": lat, "dims": ["lat"]},
+        "lon": {"data": lon, "dims": ["lon"]},
+        "A": {"data": A, "dims": ["time", "lat", "lon"],
+              "chunks": (1, 3, 4)},
+        "B": {"data": B, "dims": ["time", "lat", "lon"]},  # contiguous
+    })
+    back = open_netcdf4_cube(spark, path)
+    got = np.full((2, 6, 8), np.nan)
+    gob = np.full((2, 6, 8), np.nan)
+    for r in back.collect():
+        got[r["t_i"], r["y_i"], r["x_i"]] = r["A"]
+        gob[r["t_i"], r["y_i"], r["x_i"]] = r["B"]
+    assert np.allclose(got, A)
+    assert np.allclose(gob, B)
+
+
+def test_netcdf4_facade_dispatch(spark, tmp_path):
+    """dsio facade sniffs the HDF5 magic and the default .nc write
+    produces netCDF-4."""
+    from xcube_spark.sources.dsio import open_dataset, write_dataset
+
+    path = str(tmp_path / "d.nc")
+    write_dataset(new_cube(spark, GRID, {"v": 5.0}), path, grid=GRID)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89HDF\r\n\x1a\n"
+    assert open_dataset(spark, path).count() == GRID.size
+
+    # classic still reachable via format_version=3
+    p3 = str(tmp_path / "d3.nc")
+    write_dataset(new_cube(spark, GRID, {"v": 5.0}), p3, grid=GRID,
+                  format_version=3)
+    with open(p3, "rb") as f:
+        assert f.read(3) == b"CDF"
+    assert open_dataset(spark, p3).count() == GRID.size
+
+
+def test_h5_cf_scale_offset_decode(spark, tmp_path):
+    """scale_factor/add_offset + _FillValue CF decoding on read."""
+    raw = np.array([[[0, 1], [2, -128]]], dtype="<i1")
+    path = str(tmp_path / "sc.nc")
+    write_hdf5(path, {
+        "time": {"data": np.array([0.0]), "dims": ["time"],
+                 "attrs": {"units": "seconds since 1970-01-01"}},
+        "lat": {"data": np.array([0.0, 1.0]), "dims": ["lat"]},
+        "lon": {"data": np.array([0.0, 1.0]), "dims": ["lon"]},
+        "p": {"data": raw, "dims": ["time", "lat", "lon"],
+              "attrs": {"_FillValue": np.int8(-128),
+                        "scale_factor": 0.1, "add_offset": 5.0}},
+    })
+    rows = {(r["y_i"], r["x_i"]): r["p"]
+            for r in open_netcdf4_cube(spark, str(path)).collect()}
+    assert rows[(0, 0)] == pytest.approx(5.0)
+    assert rows[(0, 1)] == pytest.approx(5.1)
+    assert rows[(1, 0)] == pytest.approx(5.2)
+    assert rows[(1, 1)] is None  # fill -> NULL

@@ -93,6 +93,7 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     "doc_pack_sequences",
     # round-4 additions (never sampled yet)
+    "cube_netcdf4_ingest",
     "cube_reproject_laea",
     "cube_volume_brick",
     "cube_affine_bicubic",

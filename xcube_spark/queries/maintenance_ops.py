@@ -255,6 +255,47 @@ def cube_netcdf_ingest(spark, sf_dir):
     )
 
 
+_NETCDF4_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_netcdf4_ingest",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) + 0.0 AS A_sum,
+               ROUND(AVG(A), 6) + 0.0 AS A_mean,
+               CAST(SUM(flags) AS BIGINT) AS flags_sum
+        FROM cube GROUP BY t_i
+    """,
+)
+def cube_netcdf4_ingest(spark, sf_dir):
+    """netCDF-4/HDF5 round-trip (Netcdf4DatasetIO, core/dsio.py:359):
+    the fixture cube written as a self-implemented HDF5 file
+    (superblock v0, dimension scales + DIMENSION_LIST global-heap
+    refs, chunked + shuffle + deflate variables), re-ingested
+    chunk-parallel (wide, shuffle-free task plan), aggregated per time
+    step — float64 variables round-trip bit-exactly, so the oracle
+    recomputes from the cube definition directly."""
+    import tempfile
+
+    from xcube_spark.sources.hdf5 import (open_netcdf4_cube,
+                                          write_netcdf4_cube)
+
+    if "p" not in _NETCDF4_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_h5_") + "/fixture.nc"
+        write_netcdf4_cube(new_cube(spark, GRID, variables=SPARK_VARS),
+                           path, GRID, var_names=["A", "flags"])
+        _NETCDF4_PATH["p"] = path
+    back = open_netcdf4_cube(spark, _NETCDF4_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        (F.round(F.sum("A"), 4) + F.lit(0.0)).alias("A_sum"),
+        (F.round(F.avg("A"), 6) + F.lit(0.0)).alias("A_mean"),
+        F.sum("flags").cast("bigint").alias("flags_sum"),
+    )
+
+
 _GEOTIFF_PATH: dict[str, str] = {}
 
 

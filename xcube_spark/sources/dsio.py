@@ -9,10 +9,10 @@ here is just (reader options, writer options, extension set).
 
 Formats: parquet (canonical columnar storage), zarr (the reference's
 canonical cube format — self-implemented v2 reader/writer, see
-sources/zarrio.py), csv, json, orc.  NetCDF remains out of scope (no
-netCDF4/HDF5 lib in the container and the binary format is not
-reasonably reimplementable here, unlike Zarr v2's JSON+raw-chunks
-layout).
+sources/zarrio.py), csv, json, orc, netcdf.  A ``.nc`` path is
+sniffed by magic number: classic CDF-1/2 goes through
+sources/netcdf3.py, netCDF-4/HDF5 through the self-implemented HDF5
+parser in sources/hdf5.py.
 """
 
 from __future__ import annotations
@@ -75,24 +75,38 @@ class ZarrFormatDriver(FormatDriver):
 
 @dataclass(frozen=True)
 class NetcdfFormatDriver(FormatDriver):
-    """Classic NetCDF entry (Netcdf4DatasetIO,
-    /root/reference/xcube/core/dsio.py:359): self-implemented CDF-1/2
-    reader/writer (sources/netcdf3.py); netCDF4/HDF5 out of scope."""
+    """NetCDF entry (Netcdf4DatasetIO,
+    /root/reference/xcube/core/dsio.py:359): magic-number dispatch
+    between the self-implemented classic CDF-1/2 reader/writer
+    (sources/netcdf3.py) and the self-implemented netCDF-4/HDF5
+    parser (sources/hdf5.py)."""
 
     def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
-        from xcube_spark.sources.netcdf3 import open_netcdf_cube
+        with open(path, "rb") as f:
+            magic = f.read(8)
+        if magic[:3] == b"CDF":
+            from xcube_spark.sources.netcdf3 import open_netcdf_cube
 
-        return open_netcdf_cube(spark, path,
-                                var_names=options.get("var_names"))
+            return open_netcdf_cube(spark, path,
+                                    var_names=options.get("var_names"))
+        from xcube_spark.sources.hdf5 import open_netcdf4_cube
+
+        return open_netcdf4_cube(spark, path,
+                                 var_names=options.get("var_names"))
 
     def write(self, df: DataFrame, path: str, mode: str = "error",
               **options) -> None:
-        from xcube_spark.sources.netcdf3 import write_netcdf_cube
-
         grid = options.pop("grid", None)
         if grid is None:
             raise ValueError("netcdf write needs grid=<CubeGrid> option")
-        write_netcdf_cube(df, path, grid, **options)
+        if options.pop("format_version", 4) == 3:
+            from xcube_spark.sources.netcdf3 import write_netcdf_cube
+
+            write_netcdf_cube(df, path, grid, **options)
+        else:
+            from xcube_spark.sources.hdf5 import write_netcdf4_cube
+
+            write_netcdf4_cube(df, path, grid, **options)
 
 
 @dataclass(frozen=True)
