@@ -468,3 +468,131 @@ def test_affine_spline_orders_2_4_5_still_rejected(spark):
         with pytest.raises(ValueError, match="only 0/1/3"):
             affine_transform_dataset(cube, g, g, var_names=["V"],
                                      spline_orders=order)
+
+
+# ---- LCC / Albers / sinusoidal closed forms ---------------------------
+
+
+def test_lcc_2154_invariants_and_roundtrip(spark):
+    """RGF93 / Lambert-93 (EPSG:2154): the projection center maps
+    exactly to the false origin; the local scale factor equals 1 on
+    both standard parallels (the defining property of the secant
+    cone); forward -> inverse round-trips below 1e-9 degrees."""
+    import math
+
+    from xcube_spark.operators.resampling.reproject import (
+        _E2_G, _R, get_transform)
+
+    fwd = get_transform("EPSG:4326", "EPSG:2154")
+    inv = get_transform("EPSG:2154", "EPSG:4326")
+    d = 1e-4
+    pts = [(3.0, 46.5), (2.3488, 48.8534), (-1.55, 47.2), (7.75, 48.58),
+           (3.0, 44.0), (3.0 + d, 44.0), (3.0, 49.0), (3.0 + d, 49.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    rows = proj.select("lon", "lat", "x", "y", lon2.alias("lon2"),
+                       lat2.alias("lat2")).collect()
+    by = {(r.lon, r.lat): r for r in rows}
+    c = by[(3.0, 46.5)]
+    assert abs(c.x - 700_000.0) < 1e-6 and abs(c.y - 6_600_000.0) < 1e-6
+    for lat_sp in (44.0, 49.0):
+        a, b = by[(3.0, lat_sp)], by[(3.0 + d, lat_sp)]
+        map_d = math.hypot(b.x - a.x, b.y - a.y)
+        s = math.sin(math.radians(lat_sp))
+        ground = (_R * math.cos(math.radians(lat_sp))
+                  / math.sqrt(1 - _E2_G * s * s) * math.radians(d))
+        assert abs(map_d / ground - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r.lon2 - r.lon) < 1e-9 and abs(r.lat2 - r.lat) < 1e-9
+
+
+def test_albers_5070_equal_area_and_roundtrip(spark):
+    """NAD83 / Conus Albers (EPSG:5070): the numeric Jacobian of the
+    forward map equals the ellipsoidal area element everywhere (the
+    defining equal-area property), the center maps to (0, 0), and
+    forward -> inverse round-trips below 1e-7 degrees."""
+    import math
+
+    from xcube_spark.operators.resampling.reproject import (
+        _E2_G, _R, get_transform)
+
+    fwd = get_transform("EPSG:4326", "EPSG:5070")
+    inv = get_transform("EPSG:5070", "EPSG:4326")
+    d = 1e-4
+    base = [(-100.0, 40.0), (-80.0, 30.0), (-110.0, 48.0)]
+    pts = [(-96.0, 23.0)]
+    for lon, lat in base:
+        pts += [(lon, lat), (lon + d, lat), (lon, lat + d)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    rows = proj.select("lon", "lat", "x", "y", lon2.alias("lon2"),
+                       lat2.alias("lat2")).collect()
+    by = {(r.lon, r.lat): r for r in rows}
+    c = by[(-96.0, 23.0)]
+    assert abs(c.x) < 1e-6 and abs(c.y) < 1e-6
+    for lon, lat in base:
+        p0, pl, pp = by[(lon, lat)], by[(lon + d, lat)], by[(lon, lat + d)]
+        jac = abs((pl.x - p0.x) * (pp.y - p0.y)
+                  - (pp.x - p0.x) * (pl.y - p0.y))
+        s = math.sin(math.radians(lat))
+        m_rad = _R * (1 - _E2_G) / (1 - _E2_G * s * s) ** 1.5
+        nu = _R / math.sqrt(1 - _E2_G * s * s)
+        area = m_rad * nu * math.cos(math.radians(lat)) * math.radians(d) ** 2
+        assert abs(jac / area - 1.0) < 1e-5
+    for r in rows:
+        assert abs(r.lon2 - r.lon) < 1e-7 and abs(r.lat2 - r.lat) < 1e-7
+
+
+def test_sinusoidal_modis_analytic(spark):
+    """MODIS sinusoidal (ESRI:54008): x = R lam cos(phi), y = R phi —
+    checked against the literal closed form and round-tripped."""
+    import math
+
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    R = 6_371_007.181
+    fwd = get_transform("EPSG:4326", "ESRI:54008")
+    inv = get_transform("ESRI:54008", "EPSG:4326")
+    pts = [(90.0, 45.0), (10.0, -30.0), (-120.0, 60.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    for r in proj.select("*", lon2.alias("lon2"),
+                         lat2.alias("lat2")).collect():
+        ex = R * math.radians(r.lon) * math.cos(math.radians(r.lat))
+        ey = R * math.radians(r.lat)
+        assert abs(r.x - ex) < 1e-6 and abs(r.y - ey) < 1e-6
+        assert abs(r.lon2 - r.lon) < 1e-12 and abs(r.lat2 - r.lat) < 1e-12
+
+
+def test_lcc_aea_inverse_sql_twins_match_column_inverse(spark):
+    """lcc_inverse_sql / aea_inverse_sql restate the Column inverses
+    exactly (DuckDB vs Spark below 1e-10 degrees)."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        aea_inverse_sql, get_transform, lcc_inverse_sql)
+
+    con = duckdb.connect()
+    for crs, sql_fn, pts in [
+            ("EPSG:2154", lcc_inverse_sql,
+             [(700_000.0, 6_600_000.0), (350_000.0, 6_300_000.0),
+              (1_050_000.0, 6_900_000.0)]),
+            ("EPSG:5070", aea_inverse_sql,
+             [(0.0, 1_000_000.0), (-1_500_000.0, 2_000_000.0),
+              (1_200_000.0, 400_000.0)])]:
+        inv = get_transform(crs, "EPSG:4326")
+        df = spark.createDataFrame(pts, "x double, y double")
+        lon, lat = inv(F.col("x"), F.col("y"))
+        got = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+        lon_sql, lat_sql = sql_fn("x", "y", crs)
+        for (px, py), r in zip(pts, got):
+            o = con.execute(
+                f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, ? AS y)",
+                [px, py]).fetchone()
+            assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10

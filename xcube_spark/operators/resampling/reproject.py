@@ -439,6 +439,222 @@ def laea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
 
 
+# ---- Lambert conformal conic 2SP (EPSG:2154 / 3034 and kin) -----------
+#
+# National grids (France RGF93-LCC, ETRS89-LCC Europe) the reference
+# reaches through pyproj.  Ellipsoidal LCC-2SP from Snyder 1987
+# (public math: eqs. 14-15 m, 15-9 t, 15-1..15-11 forward/inverse, 3-5
+# chi -> phi series).  Pure Column + identical-arithmetic SQL twin.
+
+#: chi -> phi series on GRS80 (same Snyder 3-5 shape as _PS_SERIES)
+_CHI_SERIES_G = (
+    _E2_G / 2.0 + 5.0 * _E2_G ** 2 / 24.0 + _E2_G ** 3 / 12.0
+    + 13.0 * _E2_G ** 4 / 360.0,
+    7.0 * _E2_G ** 2 / 48.0 + 29.0 * _E2_G ** 3 / 240.0
+    + 811.0 * _E2_G ** 4 / 11520.0,
+    7.0 * _E2_G ** 3 / 120.0 + 81.0 * _E2_G ** 4 / 1120.0,
+    4279.0 * _E2_G ** 4 / 161280.0,
+)
+
+#: crs -> (lat1, lat2, lat0, lon0, false easting, false northing), GRS80
+LCC_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
+    "EPSG:2154": (44.0, 49.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
+    "EPSG:3034": (35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
+}
+
+
+def _lcc_m(phi: float) -> float:
+    s = math.sin(phi)
+    return math.cos(phi) / math.sqrt(1.0 - _E2_G * s * s)
+
+
+def _lcc_t(phi: float) -> float:
+    s = math.sin(phi)
+    return math.tan(math.pi / 4.0 - phi / 2.0) * (
+        (1.0 + _E_G * s) / (1.0 - _E_G * s)) ** (_E_G / 2.0)
+
+
+def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float]:
+    """(n, a*Fc, rho0, lon0, fe, fn) for the CRS (Snyder 15-3/15-2/15-1a)."""
+    lat1, lat2, lat0, lon0, fe, fn = LCC_PARAMS[crs.upper()]
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    n = (math.log(_lcc_m(p1)) - math.log(_lcc_m(p2))) / (
+        math.log(_lcc_t(p1)) - math.log(_lcc_t(p2)))
+    af = _R * _lcc_m(p1) / (n * _lcc_t(p1) ** n)
+    rho0 = af * _lcc_t(p0) ** n
+    return n, af, rho0, lon0, fe, fn
+
+
+def _lonlat_to_lcc_fn(crs: str) -> ColumnTransform:
+    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        phi = F.radians(lat)
+        s = F.lit(_E_G) * F.sin(phi)
+        t = F.tan(F.lit(math.pi / 4.0) - phi / 2) * F.pow(
+            (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(_E_G / 2.0))
+        rho = F.lit(af) * F.pow(t, F.lit(n))
+        th = F.lit(n) * F.radians(lon - F.lit(lon0))
+        return (F.lit(fe) + rho * F.sin(th),
+                F.lit(fn) + F.lit(rho0) - rho * F.cos(th))
+
+    return fwd
+
+
+def _lcc_to_lonlat_fn(crs: str) -> ColumnTransform:
+    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xd = x - F.lit(fe)
+        yd = F.lit(rho0) - (y - F.lit(fn))
+        # both registered CRSs have n > 0: rho' carries n's sign directly
+        rho = F.sqrt(xd * xd + yd * yd)
+        t = F.pow(rho / F.lit(af), F.lit(1.0 / n))
+        chi = F.lit(math.pi / 2.0) - 2 * F.atan(t)
+        phi = chi
+        for j, c in enumerate(_CHI_SERIES_G, start=1):
+            phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * chi)
+        lam = F.atan2(xd, yd) / F.lit(n)
+        return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def lcc_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME LCC-2SP inverse as SQL strings (for DuckDB oracles)."""
+    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+    xd = f"(CAST({x_expr} AS DOUBLE) - {fe!r})"
+    yd = f"({rho0!r} - (CAST({y_expr} AS DOUBLE) - {fn!r}))"
+    rho = f"sqrt({xd} * {xd} + {yd} * {yd})"
+    t = f"pow({rho} / {af!r}, {1.0 / n!r})"
+    chi = f"({math.pi / 2.0!r} - 2 * atan({t}))"
+    phi = chi
+    for j, c in enumerate(_CHI_SERIES_G, start=1):
+        phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({chi})))"
+    lam = f"(atan2({xd}, {yd}) / {n!r})"
+    return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
+
+
+# ---- Albers equal-area conic (EPSG:5070 CONUS) ------------------------
+#
+# The US analysis grid (NAD83 / Conus Albers) — ellipsoidal Albers from
+# Snyder 1987 (eqs. 14-3..14-11 with the authalic beta -> phi 3-18
+# series, shared with LAEA above).  GRS80 ellipsoid.
+
+#: crs -> (lat1, lat2, lat0, lon0, false easting, false northing)
+AEA_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
+    "EPSG:5070": (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+}
+
+
+def _aea_consts(crs: str) -> tuple[float, float, float, float, float, float]:
+    """(n, C, rho0, lon0, fe, fn) (Snyder 14-14/14-13/14-12a)."""
+    lat1, lat2, lat0, lon0, fe, fn = AEA_PARAMS[crs.upper()]
+    p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+    m1, m2 = _lcc_m(p1), _lcc_m(p2)
+    q1 = _q_auth(math.sin(p1))
+    q2 = _q_auth(math.sin(p2))
+    q0 = _q_auth(math.sin(p0))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    c = m1 * m1 + n * q1
+    rho0 = _R * math.sqrt(c - n * q0) / n
+    return n, c, rho0, lon0, fe, fn
+
+
+def _lonlat_to_aea_fn(crs: str) -> ColumnTransform:
+    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        s = F.sin(F.radians(lat))
+        q = F.lit(1.0 - _E2_G) * (
+            s / (F.lit(1.0) - F.lit(_E2_G) * s * s)
+            - F.lit(1.0 / (2.0 * _E_G))
+            * F.log((F.lit(1.0) - F.lit(_E_G) * s)
+                    / (F.lit(1.0) + F.lit(_E_G) * s)))
+        rho = F.lit(_R) * F.sqrt(F.lit(c) - F.lit(n) * q) / F.lit(n)
+        th = F.lit(n) * F.radians(lon - F.lit(lon0))
+        return (F.lit(fe) + rho * F.sin(th),
+                F.lit(fn) + F.lit(rho0) - rho * F.cos(th))
+
+    return fwd
+
+
+def _aea_to_lonlat_fn(crs: str) -> ColumnTransform:
+    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
+    q_p = _q_auth(1.0)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xd = x - F.lit(fe)
+        yd = F.lit(rho0) - (y - F.lit(fn))
+        rho = F.sqrt(xd * xd + yd * yd)
+        q = (F.lit(c) - rho * rho * F.lit(n * n / (_R * _R))) / F.lit(n)
+        beta = F.asin(F.least(F.greatest(q / F.lit(q_p), F.lit(-1.0)),
+                              F.lit(1.0)))
+        phi = beta
+        for j, cc in enumerate(_LAEA_SERIES, start=1):
+            phi = phi + F.lit(cc) * F.sin(F.lit(2.0 * j) * beta)
+        lam = F.atan2(xd, yd) / F.lit(n)
+        return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def aea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME Albers inverse as SQL strings (for DuckDB oracles)."""
+    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
+    q_p = _q_auth(1.0)
+    xd = f"(CAST({x_expr} AS DOUBLE) - {fe!r})"
+    yd = f"({rho0!r} - (CAST({y_expr} AS DOUBLE) - {fn!r}))"
+    rho2 = f"({xd} * {xd} + {yd} * {yd})"
+    q = f"(({c!r} - {rho2} * {n * n / (_R * _R)!r}) / {n!r})"
+    beta = f"asin(least(greatest({q} / {q_p!r}, -1.0), 1.0))"
+    phi = beta
+    for j, cc in enumerate(_LAEA_SERIES, start=1):
+        phi = f"({phi} + {cc!r} * sin(2.0 * {j} * ({beta})))"
+    lam = f"(atan2({xd}, {yd}) / {n!r})"
+    return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
+
+
+# ---- sinusoidal (MODIS grid, ESRI:54008) ------------------------------
+#
+# The MODIS land-product tiling CRS: spherical sinusoidal on the
+# authalic radius (x = R lam cos(phi), y = R phi).
+
+#: crs aliases -> sphere radius (MODIS SR-ORG:6974 uses 6371007.181)
+SINU_PARAMS: dict[str, float] = {
+    "ESRI:54008": 6_371_007.181,
+    "SR-ORG:6974": 6_371_007.181,
+}
+
+
+def _lonlat_to_sinu_fn(crs: str) -> ColumnTransform:
+    r = SINU_PARAMS[crs.upper()]
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        return (F.lit(r) * F.radians(lon) * F.cos(F.radians(lat)),
+                F.lit(r) * F.radians(lat))
+
+    return fwd
+
+
+def _sinu_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r = SINU_PARAMS[crs.upper()]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        phi = y / F.lit(r)
+        return F.degrees(x / (F.lit(r) * F.cos(phi))), F.degrees(phi)
+
+    return inv
+
+
+def sinu_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME sinusoidal inverse as SQL strings (for DuckDB oracles)."""
+    r = SINU_PARAMS[crs.upper()]
+    phi = f"(CAST({y_expr} AS DOUBLE) / {r!r})"
+    lon = f"degrees(CAST({x_expr} AS DOUBLE) / ({r!r} * cos({phi})))"
+    return lon, f"degrees({phi})"
+
+
 #: registry of pure-Column CRS transforms (target CRS -> source CRS)
 COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:4326", "EPSG:4326"): _identity,
@@ -459,6 +675,12 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _ps_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
         return _laea_to_lonlat_fn(up)
+    if up in LCC_PARAMS:
+        return _lcc_to_lonlat_fn(up)
+    if up in AEA_PARAMS:
+        return _aea_to_lonlat_fn(up)
+    if up in SINU_PARAMS:
+        return _sinu_to_lonlat_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _utm_to_lonlat_fn(*utm)
@@ -476,6 +698,12 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_ps_fn(up)
     if up in LAEA_PARAMS:
         return _lonlat_to_laea_fn(up)
+    if up in LCC_PARAMS:
+        return _lonlat_to_lcc_fn(up)
+    if up in AEA_PARAMS:
+        return _lonlat_to_aea_fn(up)
+    if up in SINU_PARAMS:
+        return _lonlat_to_sinu_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _lonlat_to_utm_fn(*utm)

@@ -94,6 +94,8 @@ PRIORITY_ORDER = (
     "doc_pack_sequences",
     # round-4 additions (never sampled yet)
     "cube_netcdf4_ingest",
+    "cube_reproject_lcc",
+    "cube_reproject_albers",
     "cube_reproject_laea",
     "cube_volume_brick",
     "cube_affine_bicubic",

@@ -395,6 +395,112 @@ def cube_reproject_laea(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: RGF93 / Lambert-93 (EPSG:2154) target ------------------
+
+from xcube_spark.operators.resampling.reproject import lcc_inverse_sql
+
+_LCC = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=200_000.0, y_start=6_100_000.0,
+                x_res=25_000.0, y_res=25_000.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:2154")
+
+_LCC_LON, _LCC_LAT = lcc_inverse_sql(
+    "(200000.0 + (x_i + 0.5) * 25000.0)",
+    "(6100000.0 + (y_i + 0.5) * 25000.0)", crs="EPSG:2154")
+
+
+@query(
+    "cube_reproject_lcc",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_LCC.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_LCC_LON} AS lon,
+                   {_LCC_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_lcc(spark, sf_dir):
+    """reproject_dataset onto the French national grid (RGF93 /
+    Lambert-93, EPSG:2154) — a Lambert-conformal-conic-2SP national
+    CRS the reference reaches through pyproj
+    (core/gridmapping/transform.py:8-9).  Ellipsoidal LCC-2SP from
+    Snyder 1987 (eqs. 15-1..15-11 + the chi -> phi 3-5 series) as
+    pure Column arithmetic inside codegen; the oracle states the
+    identical inverse in SQL (lcc_inverse_sql).  The 25 km target
+    centers sit well away from any 1-degree source cell edge, so
+    sub-ulp libm differences cannot flip a gather index."""
+    out = reproject_dataset(_cube_a(spark), GRID, _LCC)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: NAD83 / Conus Albers (EPSG:5070) target ----------------
+
+from xcube_spark.operators.resampling.reproject import aea_inverse_sql
+
+_AEA = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=-1_973_000.0, y_start=307_000.0,
+                x_res=99_000.0, y_res=61_000.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:5070")
+
+#: off-round grid origin/steps: keeps every re-projected center
+#: >= 1.9e-4 deg from any 1-degree source cell edge
+_AEA_LON, _AEA_LAT = aea_inverse_sql(
+    "(-1973000.0 + (x_i + 0.5) * 99000.0)",
+    "(307000.0 + (y_i + 0.5) * 61000.0)", crs="EPSG:5070")
+
+
+@query(
+    "cube_reproject_albers",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_AEA.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_AEA_LON} AS lon,
+                   {_AEA_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_albers(spark, sf_dir):
+    """reproject_dataset onto the CONUS analysis grid (NAD83 / Conus
+    Albers, EPSG:5070) — ellipsoidal Albers equal-area conic from
+    Snyder 1987 (eqs. 14-3..14-11 + the authalic beta -> phi 3-18
+    series, shared with the LAEA path) as pure Column arithmetic; the
+    oracle states the identical inverse in SQL (aea_inverse_sql)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _AEA)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
