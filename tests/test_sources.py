@@ -931,3 +931,87 @@ def test_fs_store_read_only_and_include_exclude(spark, cube, tmp_path):
     excl = new_data_store("file", spark, root=str(tmp_path / "s"),
                           excludes=["*.csv"])
     assert list(excl.get_data_ids()) == ["a.parquet"]
+
+
+# ---- Sentinel-3 product directories (sources/sentinel3.py) -------------
+
+
+def _fake_s3_product(tmp_path):
+    """A Sentinel-3-shaped product: geo_coordinates.nc with scaled
+    int32 2-D lon/lat (the real products' encoding) + two band files."""
+    import numpy as np
+
+    from xcube_spark.sources.hdf5 import write_hdf5
+
+    prod = tmp_path / "S3A_OL_1_EFR____fake.SEN3"
+    prod.mkdir()
+    h, w = 12, 16
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    lon = 5.0 + xx * 0.1 + yy * 0.01
+    lat = 45.0 - yy * 0.1 + xx * 0.01
+    write_hdf5(str(prod / "geo_coordinates.nc"), {
+        "longitude": {"data": np.round(lon / 1e-6).astype("<i4"),
+                      "attrs": {"scale_factor": 1e-6},
+                      "chunks": (6, 8)},
+        "latitude": {"data": np.round(lat / 1e-6).astype("<i4"),
+                     "attrs": {"scale_factor": 1e-6},
+                     "chunks": (6, 8)},
+    })
+    rad = (yy * 100 + xx).astype("<f8")
+    write_hdf5(str(prod / "Oa01_radiance.nc"), {
+        "Oa01_radiance": {"data": rad, "attrs": {"_FillValue": -1.0},
+                          "chunks": (6, 8)},
+    })
+    mask = ((xx + yy) % 2).astype("<i1")
+    write_hdf5(str(prod / "quality_flags.nc"), {
+        "quality_flags": {"data": mask},  # contiguous: mixed layout
+        "scalar_junk": {"data": np.arange(3, dtype="<f8")},  # ignored
+    })
+    return prod, lon, lat, rad, mask
+
+
+def test_sentinel3_product_open(spark, tmp_path):
+    import numpy as np
+
+    from xcube_spark.sources.sentinel3 import (is_sentinel3_product,
+                                               open_sentinel3_product)
+
+    prod, lon, lat, rad, mask = _fake_s3_product(tmp_path)
+    assert is_sentinel3_product(str(prod))
+    assert not is_sentinel3_product(str(tmp_path))
+    sw = open_sentinel3_product(spark, str(prod))
+    assert sw.columns == ["y_i", "x_i", "lon", "lat", "Oa01_radiance",
+                          "quality_flags"]
+    got = {(r["y_i"], r["x_i"]): r for r in sw.collect()}
+    assert len(got) == 12 * 16
+    for (yi, xi) in [(0, 0), (5, 7), (11, 15), (6, 3)]:
+        r = got[(yi, xi)]
+        assert abs(r["lon"] - lon[yi, xi]) < 1e-5
+        assert abs(r["lat"] - lat[yi, xi]) < 1e-5
+        assert r["Oa01_radiance"] == rad[yi, xi]
+        assert r["quality_flags"] == mask[yi, xi]
+
+
+def test_sentinel3_rectify_pipeline(spark, tmp_path):
+    """The registered sentinel3 processor feeds the swath through
+    gen1 rectification onto a regular grid (reference gen.py flow)."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.pipeline.iproc import (Sentinel3InputProcessor,
+                                            find_input_processor,
+                                            gen1_process_inputs)
+
+    from pyspark.sql import functions as F
+
+    prod, lon, lat, rad, _ = _fake_s3_product(tmp_path)
+    sw = Sentinel3InputProcessor.open(spark, str(prod),
+                                      var_names=["Oa01_radiance"]) \
+        .withColumn("t_i", F.lit(0))  # single-time granule slice
+    proc = find_input_processor("sentinel3")
+    assert proc.get_reprojection_info(sw).per_pixel
+    grid = CubeGrid(width=8, height=6, time_periods=1, x_start=5.0,
+                    y_start=43.7, x_res=0.2, y_res=0.2)
+    cube = gen1_process_inputs([(sw, grid)], grid,
+                               processor="sentinel3",
+                               var_names=["Oa01_radiance"])
+    rows = cube.where(cube.Oa01_radiance.isNotNull()).count()
+    assert rows > 10  # swath covers part of the target grid

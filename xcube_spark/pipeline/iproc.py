@@ -100,6 +100,23 @@ class SwathInputProcessor(InputProcessor):
         return ReprojectionInfo(xy_names=(xn, yn), per_pixel=True)
 
 
+class Sentinel3InputProcessor(SwathInputProcessor):
+    """Sentinel-3 OLCI/SLSTR products (the reference's SENTINEL3
+    processor, plugin.py:33-40 + core/sentinel3.py): a product
+    directory of netCDF-4 files with 2-D per-pixel geolocation in
+    geo_coordinates.nc, opened through the self-implemented HDF5
+    reader and rectified onto the target grid."""
+
+    name = "sentinel3"
+    description = "Sentinel-3 OLCI/SLSTR L1/L2 product directories"
+
+    @staticmethod
+    def open(spark, path: str, var_names: list[str] | None = None):
+        from xcube_spark.sources.sentinel3 import open_sentinel3_product
+
+        return open_sentinel3_product(spark, path, var_names=var_names)
+
+
 #: the processor registry (the reference's extension point)
 INPUT_PROCESSORS: dict[str, type[InputProcessor]] = {}
 
@@ -111,6 +128,7 @@ def register_input_processor(cls: type[InputProcessor]) -> type[InputProcessor]:
 
 register_input_processor(DefaultInputProcessor)
 register_input_processor(SwathInputProcessor)
+register_input_processor(Sentinel3InputProcessor)
 
 
 def find_input_processor(name: str, **parameters: Any) -> InputProcessor:
