@@ -596,3 +596,151 @@ def test_lcc_aea_inverse_sql_twins_match_column_inverse(spark):
                 f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, ? AS y)",
                 [px, py]).fetchone()
             assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10
+
+
+# ---- true B-spline orders 2/4/5 (resampling/bspline.py) ----------------
+
+
+def _bspline_numpy_oracle(data, order, fy, fx):
+    """Independent restatement: dense np.linalg.solve of the mirror
+    coefficient system (vs the module's banded LU) + direct basis
+    evaluation — scipy map_coordinates semantics without scipy."""
+    import numpy as np
+
+    from xcube_spark.operators.resampling.bspline import BSPLINE_BANDS
+
+    def solve_dense(x):
+        band = BSPLINE_BANDS[order]
+        p = max(band)
+        n = len(x)
+        A = np.zeros((n, n))
+        for i in range(n):
+            for k in range(-p, p + 1):
+                w = band.get(abs(k), 0.0)
+                if not w:
+                    continue
+                j = i + k
+                while j < 0 or j > n - 1:
+                    j = -j if j < 0 else 2 * (n - 1) - j
+                A[i, j] += w
+        return np.linalg.solve(A, x)
+
+    def basis(s):
+        a = abs(s)
+        if order == 2:
+            if a <= 0.5:
+                return 0.75 - a * a
+            if a <= 1.5:
+                return (a - 1.5) ** 2 / 2
+            return 0.0
+        if order == 4:
+            if a <= 0.5:
+                return 115 / 192 - a * a * 5 / 8 + a ** 4 / 4
+            if a <= 1.5:
+                return (55 + 20 * a - 120 * a * a + 80 * a ** 3
+                        - 16 * a ** 4) / 96
+            if a <= 2.5:
+                return (2.5 - a) ** 4 / 24
+            return 0.0
+        if order == 5:
+            if a <= 1:
+                return 11 / 20 - a * a / 2 + a ** 4 / 4 - a ** 5 / 12
+            if a <= 2:
+                return (17 / 40 + a * 5 / 8 - a * a * 7 / 4
+                        + a ** 3 * 5 / 4 - a ** 4 * 3 / 8 + a ** 5 / 24)
+            if a <= 3:
+                return (3 - a) ** 5 / 120
+            return 0.0
+        raise ValueError(order)
+
+    import numpy as np
+    h, w = data.shape
+    c = np.apply_along_axis(solve_dense, 1, data)
+    c = np.apply_along_axis(solve_dense, 0, c)
+    half = (order + 1) // 2 if order % 2 else order // 2
+    anchor = (lambda f: int(np.floor(f))) if order % 2 \
+        else (lambda f: int(np.round(f)))
+    offs = (range(-(order // 2), order // 2 + 2) if order % 2
+            else range(-(order // 2), order // 2 + 1))
+    out = np.zeros((len(fy), len(fx)))
+    for iy, f_y in enumerate(fy):
+        y0 = anchor(f_y)
+        for ix, f_x in enumerate(fx):
+            x0 = anchor(f_x)
+            acc = 0.0
+            for dy in offs:
+                sy = y0 + dy
+                sy = -sy if sy < 0 else (2 * (h - 1) - sy
+                                         if sy > h - 1 else sy)
+                for dx in offs:
+                    sx = x0 + dx
+                    sx = -sx if sx < 0 else (2 * (w - 1) - sx
+                                             if sx > w - 1 else sx)
+                    acc += (basis(dy - (f_y - y0)) * basis(dx - (f_x - x0))
+                            * c[sy, sx])
+            out[iy, ix] = acc
+    return out
+
+
+def test_bspline_identity_and_upsample_parity(spark):
+    """Orders 2/4/5: resampling onto the source grid reproduces the
+    input exactly (the interpolation property proves the prefilter
+    inverts the basis), and a half-cell-offset upsample matches the
+    independent dense-solve oracle at 1e-9."""
+    import numpy as np
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.affine import (
+        affine_transform_dataset)
+
+    src = CubeGrid(width=16, height=12, time_periods=1, x_res=22.5,
+                   y_res=15.0)
+    expr = "CAST(sin(y_i * 0.7) * 10 + cos(x_i * 0.3) * 5 AS DOUBLE)"
+    cube = new_cube(spark, src, {"A": expr})
+    data = np.zeros((12, 16))
+    for r in cube.collect():
+        data[r["y_i"], r["x_i"]] = r["A"]
+
+    tgt = CubeGrid(width=20, height=16, time_periods=1,
+                   x_start=-135.0, y_start=-60.0, x_res=11.25, y_res=7.5)
+    # fractional source indices of the target centers (center-aligned)
+    fx = [((-135.0 + (i + 0.5) * 11.25) - (-180.0)) / 22.5 - 0.5
+          for i in range(20)]
+    fy = [((-60.0 + (i + 0.5) * 7.5) - (-90.0)) / 15.0 - 0.5
+          for i in range(16)]
+
+    for order in (2, 4, 5):
+        ident = affine_transform_dataset(cube, src, src,
+                                         spline_orders=order)
+        got = {(r["y_i"], r["x_i"]): r["A"] for r in ident.collect()}
+        for (yi, xi), v in got.items():
+            assert abs(v - data[yi, xi]) < 1e-9, (order, yi, xi)
+
+        up = affine_transform_dataset(cube, src, tgt, spline_orders=order)
+        want = _bspline_numpy_oracle(data, order, fy, fx)
+        for r in up.collect():
+            assert abs(r["A"] - want[r["y_i"], r["x_i"]]) < 1e-9, \
+                (order, r["y_i"], r["x_i"])
+
+
+def test_bspline_mixed_order_families(spark):
+    """Per-var spline orders spanning nearest + true-B-spline
+    families compose through the join-back path."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.affine import (
+        affine_transform_dataset)
+
+    src = CubeGrid(width=12, height=8, time_periods=1, x_res=30.0,
+                   y_res=22.5)
+    cube = new_cube(spark, src, {
+        "A": "CAST(y_i * 12 + x_i AS DOUBLE)",
+        "B": "CAST(y_i - x_i AS DOUBLE)"})
+    out = affine_transform_dataset(cube, src, src,
+                                   spline_orders={"A": 0, "B": 2})
+    rows = {(r["y_i"], r["x_i"]): r for r in out.collect()}
+    assert len(rows) == 12 * 8
+    for (yi, xi), r in rows.items():
+        assert r["A"] == yi * 12 + xi
+        assert abs(r["B"] - (yi - xi)) < 1e-9

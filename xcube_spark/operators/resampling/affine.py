@@ -80,14 +80,14 @@ def affine_transform_dataset(
 ) -> DataFrame:
     """Resample ``cube`` from grid ``source`` onto grid ``target``.
 
-    ``spline_orders``: 0 (nearest), 1 (bilinear) or 3 (bicubic —
+    ``spline_orders``: 0 (nearest), 1 (bilinear), 3 (bicubic —
     16-neighbor Catmull-Rom convolution, the classic a=-0.5 bicubic
     kernel; an interpolating stand-in for the reference's order-3
-    spline, affine.py:152-158 via dask_image), scalar or per-var (the
-    reference's ``var_configs`` spline_order, spatial.py:62-98).
-    Orders 2/4/5 are not supported — true B-spline orders require a
-    grid-global prefilter that doesn't fit a bounded gather, and the
-    reference itself defaults to 0/1 for all dtypes.
+    spline, affine.py:152-158 via dask_image), or 2/4/5 (TRUE B-spline
+    interpolation with the distributed mirror-boundary prefilter,
+    resampling/bspline.py — scipy ``map_coordinates`` semantics);
+    scalar or per-var (the reference's ``var_configs`` spline_order,
+    spatial.py:62-98).
     """
     from xcube_spark.cube.grid import var_names as cube_vars
 
@@ -100,9 +100,9 @@ def affine_transform_dataset(
         orders = {v: spline_orders for v in vars_}
     else:
         orders = {v: spline_orders.get(v, 1) for v in vars_}
-    bad = {v: o for v, o in orders.items() if o not in (0, 1, 3)}
+    bad = {v: o for v, o in orders.items() if o not in (0, 1, 2, 3, 4, 5)}
     if bad:
-        raise ValueError(f"unsupported spline orders {bad}; only 0/1/3")
+        raise ValueError(f"unsupported spline orders {bad}; only 0..5")
 
     tgt = _target_index_table(spark, target)
     fx = _source_frac_index(source, F.col("x"), "x")
@@ -119,6 +119,8 @@ def affine_transform_dataset(
     nearest_vars = [v for v in vars_ if orders[v] == 0]
     linear_vars = [v for v in vars_ if orders[v] == 1]
     cubic_vars = [v for v in vars_ if orders[v] == 3]
+    bspline_vars = {o: [v for v in vars_ if orders[v] == o]
+                    for o in (2, 4, 5) if any(orders[v] == o for v in vars_)}
     out = tgt
 
     # the synthesized target index table is bounded by the requested
@@ -128,8 +130,8 @@ def affine_transform_dataset(
     broadcast_tgt = target.size <= 4_000_000
     # with a single gather family the target's coords ride through the
     # gather join itself — no join-back onto the target table
-    single_family = sum(
-        map(bool, (nearest_vars, linear_vars, cubic_vars))) == 1
+    single_family = (sum(map(bool, (nearest_vars, linear_vars, cubic_vars)))
+                     + len(bspline_vars)) == 1
 
     if nearest_vars:
         nearest = tgt.select(
@@ -258,6 +260,20 @@ def affine_transform_dataset(
                 "t_i", "y_i", "x_i", "time", "y", "x", *cubic_vars
             )
         out = out.join(blended, on=["t_i", "y_i", "x_i"], how="left")
+
+    for o, family in bspline_vars.items():
+        # true B-spline orders (scipy parity): distributed prefilter +
+        # basis gather (resampling/bspline.py)
+        from xcube_spark.operators.resampling.bspline import (
+            bspline_transform_dataset)
+
+        blended = bspline_transform_dataset(cube, source, target, o,
+                                            var_names=family)
+        if single_family:
+            return blended
+        out = out.join(
+            blended.select("t_i", "y_i", "x_i", *family),
+            on=["t_i", "y_i", "x_i"], how="left")
 
     return out.select("t_i", "y_i", "x_i", "time", "y", "x", *vars_)
 
