@@ -178,3 +178,73 @@ def test_h5_cf_scale_offset_decode(spark, tmp_path):
     assert rows[(0, 1)] == pytest.approx(5.1)
     assert rows[(1, 0)] == pytest.approx(5.2)
     assert rows[(1, 1)] is None  # fill -> NULL
+
+
+# ---- multi-granule virtualization (sources/virtualize.py) --------------
+
+
+def _granules(tmp_path, n_granules=3, steps=2, h=10, w=14):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    lat = np.linspace(-45, 45, h)
+    lon = np.linspace(-90, 90, w)
+    paths, truth = [], []
+    for g in range(n_granules):
+        t = (np.arange(steps) + g * steps) * 86400.0
+        A = rng.rand(steps, h, w)
+        truth.append(A)
+        p = str(tmp_path / f"gran_{g}.nc")
+        write_hdf5(p, {
+            "time": {"data": t, "dims": ["time"],
+                     "attrs": {"units": "seconds since 2020-01-01"}},
+            "lat": {"data": lat, "dims": ["lat"]},
+            "lon": {"data": lon, "dims": ["lon"]},
+            "A": {"data": A, "dims": ["time", "lat", "lon"],
+                  "attrs": {"_FillValue": -9.0e33}, "chunks": (1, 5, 7)},
+        })
+        paths.append(p)
+    return paths, np.concatenate(truth, axis=0)
+
+
+def test_virtualize_mf_roundtrip(spark, tmp_path):
+    """Granules scanned distributed, concatenated along time into one
+    kerchunk refs doc (time-sorted regardless of input order), opened
+    chunk-parallel with exact values and decoded CF time."""
+    import datetime
+
+    import numpy as np
+
+    from xcube_spark.sources.virtualize import virtualize_netcdf4_mf
+    from xcube_spark.sources.zarrio import open_kerchunk_cube
+
+    paths, want = _granules(tmp_path)
+    refs = str(tmp_path / "mf.json")
+    n = virtualize_netcdf4_mf(spark, [paths[2], paths[0], paths[1]], refs)
+    assert n == 6 * 2 * 2  # 6 time chunks x 2x2 spatial chunks
+    cube = open_kerchunk_cube(spark, refs)
+    rows = cube.collect()
+    assert len(rows) == want.size
+    assert max(abs(r["A"] - want[r["t_i"], r["y_i"], r["x_i"]])
+               for r in rows) == 0.0
+    t0 = min((r["t_i"], r["time"]) for r in rows)
+    assert t0 == (0, datetime.datetime(2020, 1, 1))
+
+
+def test_virtualize_mf_heterogeneous_rejected(spark, tmp_path):
+    import numpy as np
+
+    from xcube_spark.sources.virtualize import virtualize_netcdf4_mf
+
+    paths, _ = _granules(tmp_path, n_granules=1)
+    bad = str(tmp_path / "bad.nc")
+    write_hdf5(bad, {
+        "time": {"data": np.array([99.0]), "dims": ["time"],
+                 "attrs": {"units": "seconds since 2020-01-01"}},
+        "lat": {"data": np.linspace(-10, 10, 4), "dims": ["lat"]},
+        "lon": {"data": np.linspace(-10, 10, 5), "dims": ["lon"]},
+        "A": {"data": np.zeros((1, 4, 5)), "dims": ["time", "lat", "lon"]},
+    })
+    with pytest.raises(ValueError, match="different grid"):
+        virtualize_netcdf4_mf(spark, paths + [bad],
+                              str(tmp_path / "x.json"))

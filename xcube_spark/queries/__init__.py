@@ -94,6 +94,7 @@ PRIORITY_ORDER = (
     "doc_pack_sequences",
     # round-4 additions (never sampled yet)
     "cube_netcdf4_ingest",
+    "cube_netcdf4_mf_virtual",
     "cube_reproject_lcc",
     "cube_reproject_albers",
     "cube_reproject_laea",

@@ -296,6 +296,62 @@ def cube_netcdf4_ingest(spark, sf_dir):
     )
 
 
+_MF_REFS_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_netcdf4_mf_virtual",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) + 0.0 AS A_sum,
+               ROUND(AVG(A), 6) + 0.0 AS A_mean
+        FROM cube GROUP BY t_i
+    """,
+)
+def cube_netcdf4_mf_virtual(spark, sf_dir):
+    """Multi-granule virtualization (the kerchunk workflow the
+    reference consumes via its reference store): the fixture cube
+    split into three netCDF-4 granules along time (2+2+1 steps),
+    scanned DISTRIBUTED (mapInPandas HDF5 metadata parse,
+    sources/virtualize.py), concatenated into one kerchunk refs doc,
+    and opened chunk-parallel through open_kerchunk_cube — float64
+    round-trips bit-exactly, so the oracle recomputes from the cube
+    definition."""
+    import tempfile
+    from dataclasses import replace
+    from datetime import timedelta
+
+    from xcube_spark.sources.hdf5 import write_netcdf4_cube
+    from xcube_spark.sources.virtualize import virtualize_netcdf4_mf
+    from xcube_spark.sources.zarrio import open_kerchunk_cube
+
+    if "p" not in _MF_REFS_PATH:
+        d = tempfile.mkdtemp(prefix="xcube_spark_mf_")
+        cube = new_cube(spark, GRID, variables=SPARK_VARS)
+        paths, off = [], 0
+        for g, steps in enumerate((2, 2, 1)):
+            sub = replace(
+                GRID, time_periods=steps,
+                t_start=GRID.t_start
+                + timedelta(days=off * GRID.t_freq_days))
+            part = cube.where(F.col("t_i").between(off, off + steps - 1)) \
+                .withColumn("t_i", F.col("t_i") - F.lit(off))
+            p = f"{d}/granule_{g}.nc"
+            write_netcdf4_cube(part, p, sub, var_names=["A"])
+            paths.append(p)
+            off += steps
+        refs = f"{d}/refs.json"
+        virtualize_netcdf4_mf(spark, list(reversed(paths)), refs)
+        _MF_REFS_PATH["p"] = refs
+    back = open_kerchunk_cube(spark, _MF_REFS_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        (F.round(F.sum("A"), 4) + F.lit(0.0)).alias("A_sum"),
+        (F.round(F.avg("A"), 6) + F.lit(0.0)).alias("A_mean"),
+    )
+
+
 _GEOTIFF_PATH: dict[str, str] = {}
 
 

@@ -34,7 +34,8 @@ reference's local/S3 zarr stores — an fsspec-style remote driver would
 slot into ``_read_bytes``/``_write_bytes``).
 
 Supported: dtypes ``<f8 <f4 <i2 <i4 <i8 <u2 |i1 |u1``, compressor
-``null`` or ``{"id": "zlib"}``, C order, no filters — the subset the
+``null`` or ``{"id": "zlib"}``, C order, filters ``null`` or a
+``shuffle`` chain (what HDF5 virtualization emits) — the subset the
 reference's own test fixtures use.
 """
 
@@ -84,6 +85,9 @@ class ZarrArray:
     fill_value: object
     attrs: dict = field(default_factory=dict)
     zarr_format: int = 2
+    #: numcodecs-style filter chain; only ``shuffle`` is supported —
+    #: the one needed to virtualize HDF5 shuffle+deflate chunks
+    filters: list | None = None
 
     def chunk_key(self, *idx: int) -> str:
         """Chunk file key relative to the array dir: v2 ``i.j.k``,
@@ -149,6 +153,14 @@ def decode_chunk(raw: bytes | None, meta: ZarrArray) -> np.ndarray:
             raw = gzip.decompress(raw)
         else:
             raise ValueError(f"unsupported compressor {meta.compressor!r}")
+    for f in reversed(meta.filters or []):
+        if f.get("id") == "shuffle":
+            n = int(f.get("elementsize", meta.np_dtype.itemsize))
+            nel = len(raw) // n
+            arr = np.frombuffer(raw[:nel * n], "u1")
+            raw = arr.reshape(n, nel).T.tobytes() + raw[nel * n:]
+        else:
+            raise ValueError(f"unsupported zarr filter {f!r}")
     return np.frombuffer(raw, dtype=meta.np_dtype).reshape(meta.chunks)
 
 
@@ -721,8 +733,9 @@ def read_kerchunk_store(refs_path: str) -> tuple[dict[str, ZarrArray], dict]:
             continue
         name = key[: -len("/.zarray")]
         meta = load_json(key)
+        flt = meta.get("filters") or None
         if meta.get("zarr_format") != 2 or meta.get("order", "C") != "C" \
-                or meta.get("filters"):
+                or (flt and any(f.get("id") != "shuffle" for f in flt)):
             raise ValueError(f"unsupported zarr array layout for {name!r}")
         arrays[name] = ZarrArray(
             name=name, shape=tuple(meta["shape"]),
@@ -730,6 +743,7 @@ def read_kerchunk_store(refs_path: str) -> tuple[dict[str, ZarrArray], dict]:
             compressor=meta.get("compressor"),
             fill_value=meta.get("fill_value"),
             attrs=load_json(f"{name}/.zattrs") or {},
+            filters=flt,
         )
     if not arrays:
         raise ValueError(f"no zarr arrays referenced in {refs_path}")
