@@ -458,14 +458,16 @@ def test_affine_bicubic_quadratic_reproduction(spark):
                                     abs=1e-9), (r.y_i, r.x_i)
 
 
-def test_affine_spline_orders_2_4_5_still_rejected(spark):
+def test_affine_spline_order_out_of_range_rejected(spark):
+    """Orders 2/4/5 route to the true-B-spline path now; anything
+    outside scipy's 0..5 range still raises."""
     from xcube_spark.cube.grid import CubeGrid
     from xcube_spark.cube.new import new_cube
 
     g = CubeGrid(width=4, height=4, time_periods=1)
     cube = new_cube(spark, g, variables={"V": 1.0})
-    for order in (2, 4, 5):
-        with pytest.raises(ValueError, match="only 0/1/3"):
+    for order in (-1, 6):
+        with pytest.raises(ValueError, match="only 0..5"):
             affine_transform_dataset(cube, g, g, var_names=["V"],
                                      spline_orders=order)
 
