@@ -315,3 +315,35 @@ def test_ivfpq_recall_and_shape(spark, sf_dir):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in by_q.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_semdedup_keep_rule(spark):
+    """SemDeDup drops the higher-centroid-similarity member of each
+    within-cell near-dup pair and never compares across cells."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.similarity import semdedup
+
+    # two well-separated cells; in cell 0, b ~ c (near-dups) with c
+    # closer to the centroid -> c dropped, b kept; d is its own cell
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # centroid cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),        # centroid cell 1
+        (10, [0.9, 0.1, 0.0, 0.0]),       # b: cell 0, off-center
+        (11, [0.95, 0.05, 0.0, 0.0]),     # c: cell 0, near-dup of b,
+                                          #    closer to centroid
+        (12, [0.1, 0.9, 0.0, 0.0]),       # d: cell 1 twin of b -- a
+                                          #    near-dup only cross-cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.where(F.col("vec_id") < 2)
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, cents, threshold=0.97).collect()}
+    assert out[10]["cell"] == 0 and out[12]["cell"] == 1
+    # the centroids themselves near-dup their cell twins at 0.97? no:
+    # cos(centroid, b) ~ 0.993 -> centroid/b/c all mutually near-dup;
+    # kept = lowest cent_sim = b (vec_id 10)
+    assert not out[10]["is_dup"]
+    assert out[11]["is_dup"]
+    # cross-cell twin untouched despite cos(b, d) < threshold anyway
+    assert not out[12]["is_dup"]

@@ -250,6 +250,57 @@ def embedding_near_dup_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    clustering embeddings and dropping near-duplicates WITHIN each
+    cluster.
+
+    A vector is marked duplicate when a same-cell vector exists with
+    cosine >= ``threshold`` and higher keep-priority; the paper's rule
+    keeps the member with the LOWEST cosine similarity to its cluster
+    centroid (the most marginal exemplar), ties broken on id.
+
+    Returns ``(id, cell, cent_sim, is_dup)`` — filter ``~is_dup`` for
+    the kept corpus.
+
+    Scale: the all-pairs computation is confined to one cell
+    (k-means cells are ~corpus/k) and runs as a cell-key equi-join —
+    no corpus broadcast, no global cartesian; cells shuffle once on
+    the cell key.  Oversized cells (skew) should raise k — the
+    trainer is :func:`train_ivf_centroids`."""
+    cents = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("__cvec"))
+    a = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col) \
+        .join(F.broadcast(cents), "cell") \
+        .select(id_col, vec_col, "cell",
+                cosine(F.col(vec_col), F.col("__cvec")).alias("cent_sim"))
+    left = a.select(F.col(id_col).alias("__ia"),
+                    F.col(vec_col).alias("__va"),
+                    "cell", F.col("cent_sim").alias("__ca"))
+    right = a.select(F.col(id_col).alias("__ib"),
+                     F.col(vec_col).alias("__vb"),
+                     "cell", F.col("cent_sim").alias("__cb"))
+    dups = (
+        left.join(right, "cell")
+        .where(F.col("__ia") != F.col("__ib"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+        .where((F.col("__cb") < F.col("__ca"))
+               | ((F.col("__cb") == F.col("__ca"))
+                  & (F.col("__ib") < F.col("__ia"))))
+        .select(F.col("__ia").alias(id_col))
+        .distinct()
+    )
+    return a.join(dups.withColumn("__dup", F.lit(True)), id_col, "left") \
+        .select(id_col, "cell", "cent_sim",
+                F.coalesce(F.col("__dup"), F.lit(False)).alias("is_dup"))
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     k: int,

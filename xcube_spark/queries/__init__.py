@@ -95,6 +95,7 @@ PRIORITY_ORDER = (
     # round-4 additions (never sampled yet)
     "cube_netcdf4_ingest",
     "cube_netcdf4_mf_virtual",
+    "emb_semdedup",
     "cube_reproject_lcc",
     "cube_reproject_albers",
     "cube_reproject_laea",

@@ -290,6 +290,58 @@ def emb_near_dup_pairs(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@query(
+    "emb_semdedup",
+    sql="""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT vec_id AS cid, v AS cv FROM c WHERE vec_id < 8
+        ), assigned AS (
+            SELECT vec_id, v,
+                   arg_min(cid, list_distance(v, cv)) AS cell
+            FROM c, cents
+            GROUP BY vec_id, v
+        ), aa AS (
+            SELECT a.vec_id, a.v, a.cell,
+                   list_dot_product(a.v, ct.cv)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(ct.cv, ct.cv))) AS cent_sim
+            FROM assigned a JOIN cents ct ON a.cell = ct.cid
+        ), dups AS (
+            SELECT DISTINCT x.vec_id
+            FROM aa x JOIN aa y
+              ON x.cell = y.cell AND x.vec_id != y.vec_id
+            WHERE list_dot_product(x.v, y.v)
+                  / (sqrt(list_dot_product(x.v, x.v))
+                     * sqrt(list_dot_product(y.v, y.v))) >= 0.25
+              AND (y.cent_sim < x.cent_sim
+                   OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+        )
+        SELECT aa.vec_id, cell, ROUND(cent_sim, 6) AS cent_sim,
+               aa.vec_id IN (SELECT vec_id FROM dups) AS is_dup
+        FROM aa
+    """,
+)
+def emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup by k-means cell +
+    within-cell cosine, keeping the lowest-centroid-similarity member
+    of each near-dup pair (pipeline/similarity.py semdedup).  Fixed
+    seed centroids (vec_id < 8, like the IVF oracle family) keep the
+    clustering restateable in SQL; 0.25 threshold tuned to the
+    synthetic corpus (max pairwise cosine ~0.49).  All pair work is
+    cell-confined — no corpus cartesian."""
+    from xcube_spark.pipeline.similarity import semdedup
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = emb.where(F.col("vec_id") < 8)
+    out = semdedup(emb, cents, threshold=0.25)
+    return out.select("vec_id", "cell",
+                      F.round("cent_sim", 6).alias("cent_sim"), "is_dup")
+
+
 # ---- multimodal -------------------------------------------------------
 
 
