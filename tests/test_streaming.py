@@ -199,3 +199,63 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
     want = {r.digest: (r.canonical_id, r.group_size)
             for r in exact_dedup_state(all_docs).collect()}
     assert got == want and len(got) == 7
+
+
+# ---- streaming granule ingest (streaming/granules.py) ------------------
+
+
+def test_streaming_granule_ingest_incremental(spark, tmp_path):
+    """Two arrival waves of netCDF-4 granules: each availableNow pass
+    scans only the new files, the virtual cube grows along time, and
+    values match the batch-virtualized truth exactly."""
+    import numpy as np
+
+    from xcube_spark.sources.hdf5 import write_hdf5
+    from xcube_spark.sources.zarrio import open_kerchunk_cube
+    from xcube_spark.streaming.granules import (read_granule_state,
+                                                run_granule_ingest_stream)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    refs = str(tmp_path / "virtual.json")
+    rng = np.random.RandomState(9)
+    h, w = 6, 8
+    lat = np.linspace(-30, 30, h)
+    lon = np.linspace(-60, 60, w)
+    truth = {}
+
+    def granule(g):
+        t = np.array([g * 86400.0])
+        A = rng.rand(1, h, w)
+        truth[g] = A[0]
+        write_hdf5(str(watch / f"g{g}.nc"), {
+            "time": {"data": t, "dims": ["time"],
+                     "attrs": {"units": "seconds since 2021-01-01"}},
+            "lat": {"data": lat, "dims": ["lat"]},
+            "lon": {"data": lon, "dims": ["lon"]},
+            "A": {"data": A, "dims": ["time", "lat", "lon"],
+                  "chunks": (1, 3, 4)},
+        })
+
+    def run():
+        q = run_granule_ingest_stream(
+            spark, str(watch), refs, str(tmp_path / "state"),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    granule(0)
+    granule(1)
+    run()
+    cube = open_kerchunk_cube(spark, refs)
+    assert cube.count() == 2 * h * w
+
+    granule(2)
+    run()
+    cube = open_kerchunk_cube(spark, refs)
+    rows = cube.collect()
+    assert len(rows) == 3 * h * w
+    assert max(abs(r["A"] - truth[r["t_i"]][r["y_i"], r["x_i"]])
+               for r in rows) == 0.0
+    # state holds exactly one scan per granule (idempotent appends)
+    st = read_granule_state(spark, str(tmp_path / "state"))
+    assert st.where(st.kind == "axes").count() == 3

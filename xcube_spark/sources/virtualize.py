@@ -146,6 +146,13 @@ def virtualize_netcdf4_mf(
     the reference count; open with ``open_kerchunk_cube``."""
     rows = scan_netcdf4_granules(spark, paths, var_names,
                                  time_dim, y_dim, x_dim).collect()
+    return assemble_refs(rows, refs_path)
+
+
+def assemble_refs(rows, refs_path: str) -> int:
+    """Build the combined kerchunk refs document from (already
+    collected) scan rows — shared by the batch virtualizer and the
+    streaming granule-ingest sink."""
     chunks: dict[str, list] = {}
     metas: dict[tuple[str, str], dict] = {}
     axes: dict[str, dict] = {}
