@@ -136,3 +136,28 @@ def test_cli_curate(spark, sf_dir, tmp_path, capsys):
         f"{sf_dir}/documents.parquet").count()
     assert set(r.split for r in res.select("split").distinct().collect()) \
         <= {"train", "val", "test"}
+
+
+def test_cli_virtualize(spark, tmp_path):
+    import json
+
+    import numpy as np
+
+    from xcube_spark.cli import main
+    from xcube_spark.sources.hdf5 import write_hdf5
+
+    for g in range(2):
+        write_hdf5(str(tmp_path / f"g{g}.nc"), {
+            "time": {"data": np.array([g * 86400.0]), "dims": ["time"],
+                     "attrs": {"units": "seconds since 2021-01-01"}},
+            "lat": {"data": np.linspace(-10, 10, 4), "dims": ["lat"]},
+            "lon": {"data": np.linspace(-10, 10, 5), "dims": ["lon"]},
+            "A": {"data": np.ones((1, 4, 5)) * g,
+                  "dims": ["time", "lat", "lon"], "chunks": (1, 4, 5)},
+        })
+    refs = str(tmp_path / "v.json")
+    assert main(["virtualize", str(tmp_path / "g0.nc"),
+                 str(tmp_path / "g1.nc"), "-o", refs]) == 0
+    doc = json.load(open(refs))
+    assert "A/.zarray" in doc["refs"]
+    assert json.loads(doc["refs"]["A/.zarray"])["shape"] == [2, 4, 5]

@@ -135,12 +135,29 @@ def main(argv: list[str] | None = None) -> int:
                    help="if > 0, also excise duplicated spans of this "
                         "many tokens (Lee et al. substring dedup)")
 
+    p = sub.add_parser("virtualize", help="scan netCDF-4 granules into "
+                       "one kerchunk refs doc (distributed metadata "
+                       "scan, time concatenation)")
+    p.add_argument("inputs", nargs="+", help="granule .nc paths")
+    p.add_argument("-o", "--output", required=True,
+                   help="refs JSON output path")
+    p.add_argument("--var", action="append", dest="variables",
+                   help="restrict to these variables (repeatable)")
+
     args = ap.parse_args(argv)
 
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
 
     spark = get_session(app_name=f"sparkcube-{args.cmd}")
+
+    if args.cmd == "virtualize":
+        from xcube_spark.sources.virtualize import virtualize_netcdf4_mf
+
+        n = virtualize_netcdf4_mf(spark, args.inputs, args.output,
+                                  var_names=args.variables)
+        print(f"{n} chunk references -> {args.output}")
+        return 0
 
     if args.cmd == "dump":
         from xcube_spark.sources.store import describe_dataframe
