@@ -258,3 +258,50 @@ def test_bucketed_join_elides_exchanges(spark, sf_dir, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_meta")
+
+
+def test_semdedup_no_corpus_broadcast_and_cell_join(spark):
+    """SemDeDup's pair stage is a cell-key equi-join of two
+    corpus-derived sides: only the (k-row) centroid table may carry a
+    broadcast hint; the corpus never does, and there is no cartesian
+    product anywhere in the plan."""
+    from xcube_spark.pipeline.similarity import semdedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), 1.0, 0.5, 0.1]) for i in range(16)],
+        ["vec_id", "embedding"])
+    cents = emb.where(emb.vec_id < 2)
+    out = semdedup(emb, cents, threshold=0.9)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "cartesian" not in opt.lower()
+    # the only broadcast hints are the two centroid attaches
+    assert opt.lower().count("repartition") == 0
+
+
+def test_netcdf4_read_plan_shuffle_free(spark, tmp_path):
+    """The aligned netCDF-4 cube read is MapInPandas over the task
+    table plus broadcast axis joins — no hash-partition exchange of
+    cube-sized data anywhere in the physical plan."""
+    import numpy as np
+
+    from xcube_spark.sources.hdf5 import open_netcdf4_cube, write_hdf5
+
+    path = str(tmp_path / "p.nc")
+    write_hdf5(path, {
+        "time": {"data": np.arange(2.0) * 86400, "dims": ["time"],
+                 "attrs": {"units": "seconds since 1970-01-01"}},
+        "lat": {"data": np.linspace(-10, 10, 6), "dims": ["lat"]},
+        "lon": {"data": np.linspace(-10, 10, 8), "dims": ["lon"]},
+        "A": {"data": np.ones((2, 6, 8)), "dims": ["time", "lat", "lon"],
+              "chunks": (1, 3, 4)},
+        "B": {"data": np.zeros((2, 6, 8)),
+              "dims": ["time", "lat", "lon"], "chunks": (1, 3, 4)},
+    })
+    cube = open_netcdf4_cube(spark, path)
+    phys = cube._jdf.queryExecution().executedPlan().toString()
+    # broadcast exchanges for the 3 axis joins are fine; the only
+    # allowed shuffle is the bounded task-table round-robin
+    import re
+
+    hash_exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", phys)
+    assert not hash_exchanges, hash_exchanges
