@@ -118,3 +118,46 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.col(id_col),
         F.md5(F.array_join(toks, " ")).alias("fingerprint"),
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level TF-IDF keyword extraction: per-document top-``k``
+    tokens by ``tf * (ln((N + 1) / (df + 1)) + 1)`` (the smoothed
+    scikit-style idf), ties broken on the token string.
+
+    Scale shape: one partial-agg shuffle builds per-(doc, token) term
+    frequencies, a second builds the token document-frequency table;
+    the corpus-size scalar rides as a broadcast scalar subquery (no
+    driver round-trip) and the DF table joins back on the token key —
+    at 100 TB the vocabulary table shards across the cluster instead
+    of assuming it fits one executor."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count("*").alias("df"))  # tf rows are (doc, token)-distinct
+    n_docs = docs.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "score")
+    )

@@ -96,6 +96,7 @@ PRIORITY_ORDER = (
     "cube_netcdf4_ingest",
     "cube_netcdf4_mf_virtual",
     "emb_semdedup",
+    "doc_tfidf_keywords",
     "cube_reproject_lcc",
     "cube_reproject_albers",
     "cube_reproject_laea",

@@ -316,3 +316,45 @@ def doc_incremental_dedup(spark, sf_dir):
     cut = 400  # sf0.01 has 500 docs; any prefix/suffix split works
     state = exact_dedup_state(docs.where(F.col("doc_id") < cut))
     return incremental_exact_dedup(state, docs.where(F.col("doc_id") >= cut))
+
+
+@query(
+    "doc_tfidf_keywords",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks WHERE token != '' GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), n AS (SELECT COUNT(*) AS nn FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   tf.tf * (ln((nn + 1.0) / (df + 1.0)) + 1.0) AS score
+            FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, token, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, token) AS rank
+            FROM scored
+        )
+        SELECT doc_id, rank, token, ROUND(score, 6) AS score
+        FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_tfidf_keywords(spark, sf_dir):
+    """Corpus-level TF-IDF keyword extraction (pipeline/text.py
+    tfidf_keywords): per-doc top-3 tokens by the smoothed
+    tf * idf — two partial-agg shuffles (term frequencies, the
+    document-frequency vocabulary table) + a token-key join back; the
+    oracle replays the identical algebra.  Score ties (equal (tf, df)
+    pairs) produce bit-identical doubles in both engines, so the
+    (score DESC, token) ranking cannot diverge."""
+    from xcube_spark.pipeline.text import tfidf_keywords
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = tfidf_keywords(docs, k=3)
+    return out.select("doc_id", "rank", "token",
+                      F.round("score", 6).alias("score"))
