@@ -248,3 +248,26 @@ def test_virtualize_mf_heterogeneous_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="different grid"):
         virtualize_netcdf4_mf(spark, paths + [bad],
                               str(tmp_path / "x.json"))
+
+
+def test_virtualize_parquet_refs_roundtrip(spark, tmp_path):
+    """Parquet-refs variant: chunk references computed and written
+    fully distributed (no driver refs map), opened back with exact
+    values and one metadata-sized shuffle."""
+    import numpy as np
+
+    from xcube_spark.sources.virtualize import (
+        open_kerchunk_parquet_cube, virtualize_netcdf4_mf_parquet)
+
+    paths, want = _granules(tmp_path)
+    refs_dir = str(tmp_path / "prefs")
+    virtualize_netcdf4_mf_parquet(spark, [paths[1], paths[2], paths[0]],
+                                  refs_dir)
+    cube = open_kerchunk_parquet_cube(spark, refs_dir)
+    rows = cube.collect()
+    assert len(rows) == want.size
+    assert max(abs(r["A"] - want[r["t_i"], r["y_i"], r["x_i"]])
+               for r in rows) == 0.0
+    # refs table itself is queryable metadata
+    refs = spark.read.parquet(refs_dir)
+    assert refs.where(refs.inline.isNull()).count() == 6 * 2 * 2
