@@ -869,7 +869,9 @@ def test_store_params_schema_and_option_validation(spark):
 
 def test_s3_store_options_reach_hadoop_conf(spark):
     """The param plumbing: every documented s3 option lands on its
-    fs.s3a.* Hadoop key (no bucket needed to verify the mapping)."""
+    BUCKET-scoped fs.s3a.bucket.<name>.* Hadoop key, so two stores
+    with different credentials/endpoints never clobber each other in
+    the session-global configuration."""
     from xcube_spark.sources.store import new_data_store
 
     store = new_data_store(
@@ -882,12 +884,24 @@ def test_s3_store_options_reach_hadoop_conf(spark):
         })
     assert store.root == "s3a://my-bucket/prefix"
     conf = spark._jsc.hadoopConfiguration()
-    assert conf.get("fs.s3a.access.key") == "AKIATEST"
-    assert conf.get("fs.s3a.secret.key") == "s3cr3t"
-    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
-    assert conf.get("fs.s3a.endpoint.region") == "eu-central-1"
-    assert conf.get("fs.s3a.connection.ssl.enabled") == "true"
-    assert conf.get("fs.s3a.requester.pays.enabled") == "false"
+    pre = "fs.s3a.bucket.my-bucket"
+    assert conf.get(f"{pre}.access.key") == "AKIATEST"
+    assert conf.get(f"{pre}.secret.key") == "s3cr3t"
+    assert conf.get(f"{pre}.endpoint") == "http://localhost:9000"
+    assert conf.get(f"{pre}.endpoint.region") == "eu-central-1"
+    assert conf.get(f"{pre}.connection.ssl.enabled") == "true"
+    assert conf.get(f"{pre}.requester.pays.enabled") == "false"
+    # a second store on another bucket leaves this one untouched
+    new_data_store(
+        "s3", spark, root="other-bucket",
+        storage_options={"anon": True, "client_kwargs": {
+            "endpoint_url": "http://minio:9000"}})
+    assert conf.get(f"{pre}.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.bucket.other-bucket.endpoint") \
+        == "http://minio:9000"
+    assert conf.get(
+        "fs.s3a.bucket.other-bucket.aws.credentials.provider"
+    ).endswith("AnonymousAWSCredentialsProvider")
 
 
 def test_fs_store_file_uri_twin_hadoop_path(spark, cube, tmp_path):

@@ -92,6 +92,10 @@ def _fixed_year_decode(value: Column, units: str, year_days: int,
              + value * F.lit(per_unit / 86400.0))
     day = F.floor(total).cast("long")
     day_secs = F.round((total - day) * F.lit(86400.0)).cast("long")
+    # values within float noise below midnight round to 86400 — carry
+    # into the day so make_timestamp never sees hour 24
+    day = day + F.floor(day_secs / 86400).cast("long")
+    day_secs = F.pmod(day_secs, F.lit(86400))
 
     year = F.floor(day / year_days).cast("int")
     doy = (day - year.cast("long") * year_days).cast("int")
@@ -135,6 +139,10 @@ def _julian_decode(value: Column, units: str) -> Column:
              + value * F.lit(per_unit / 86400.0))
     day = F.floor(total).cast("long")
     day_secs = F.round((total - day) * F.lit(86400.0)).cast("long")
+    # values within float noise below midnight round to 86400 — carry
+    # into the day so make_timestamp never sees hour 24
+    day = day + F.floor(day_secs / 86400).cast("long")
+    day_secs = F.pmod(day_secs, F.lit(86400))
 
     quad = F.floor(day / 1461).cast("long")
     r = (day - quad * 1461).cast("int")  # 0..1460; year 0 of quad leap

@@ -210,8 +210,14 @@ def bspline_transform_dataset(
     })
 
     def mirror(idx: Column, size: int) -> Column:
-        return F.when(idx < 0, -idx).when(
-            idx > size - 1, 2 * (size - 1) - idx).otherwise(idx)
+        # exact repeated reflection in closed form (period 2(size-1)),
+        # so even grids narrower than the stencil fold correctly —
+        # matching solve_coeff_line's fold loop
+        if size == 1:
+            return F.lit(0)
+        period = 2 * (size - 1)
+        m = F.pmod(idx, F.lit(period))
+        return F.least(m, F.lit(period) - m)
 
     corners = F.array(*[
         F.struct(

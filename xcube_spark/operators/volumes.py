@@ -49,6 +49,18 @@ def _index_range(start: float, res: float, n: int,
     return i1, i2
 
 
+def _y_index_range(grid: CubeGrid, y1: float, y2: float) -> tuple[int, int]:
+    """Inclusive y_i range for [y1, y2] on either axis orientation:
+    inverse_y grids index downward from y_end (center of row j is
+    y_end - (j + 0.5) * res)."""
+    if not grid.inverse_y:
+        return _index_range(grid.y_start, grid.y_res, grid.height, y1, y2)
+    j1 = max(0, int(math.ceil((grid.y_end - y2) / grid.y_res - 0.5)))
+    j2 = min(grid.height - 1,
+             int(math.floor((grid.y_end - y1) / grid.y_res - 0.5)))
+    return j1, j2
+
+
 def volume_shape(
     grid: CubeGrid,
     bbox: Sequence[float] | None = None,
@@ -58,7 +70,7 @@ def volume_shape(
     if bbox is not None:
         x1, y1, x2, y2 = bbox
         i1, i2 = _index_range(grid.x_start, grid.x_res, grid.width, x1, x2)
-        j1, j2 = _index_range(grid.y_start, grid.y_res, grid.height, y1, y2)
+        j1, j2 = _y_index_range(grid, y1, y2)
     else:
         i1, i2 = 0, grid.width - 1
         j1, j2 = 0, grid.height - 1
@@ -109,7 +121,7 @@ def extract_volume(
     if bbox is not None:
         x1, y1, x2, y2 = bbox
         i1, _ = _index_range(grid.x_start, grid.x_res, grid.width, x1, x2)
-        j1, j2 = _index_range(grid.y_start, grid.y_res, grid.height, y1, y2)
+        j1, j2 = _y_index_range(grid, y1, y2)
         out = out.where(
             F.col("x").between(x1, x2) & F.col("y").between(y1, y2))
     else:
@@ -123,10 +135,14 @@ def extract_volume(
                        if grid.t_center(t) < _as_dt(start))
         if end is not None:
             out = out.where(F.col("time") < F.lit(widen_end_date(end)))
+    # top render row = northernmost selected cell: the max y_i on an
+    # ascending-y grid, the MIN y_i when the grid's j axis already
+    # points down (inverse_y) — then no flip is needed
+    j_expr = (F.col("y_i") - F.lit(j1)) if grid.inverse_y \
+        else (F.lit(j2) - F.col("y_i"))
     return out.select(
         (F.col("t_i") - t_lo).cast("int").alias("t_i"),
-        # j-axis-down flip: top render row = max selected y index
-        (F.lit(j2) - F.col("y_i")).cast("int").alias("j"),
+        j_expr.cast("int").alias("j"),
         (F.col("x_i") - i1).cast("int").alias("x_i"),
         F.coalesce(F.col(var_name).cast("float"), F.lit(0.0)).alias("value"),
     )
@@ -183,6 +199,11 @@ def volume_nrrd_bytes(
         .select("value")
         .collect()
     )
+    if len(rows) != nt * ny * nx:
+        raise ValueError(
+            f"voxel table has {len(rows)} rows but the header shape "
+            f"{shape} needs {nt * ny * nx}: the brick is sparse or "
+            "mis-shaped; densify missing cells before NRRD encode")
     data = struct.pack(f"<{len(rows)}f", *(r.value for r in rows))
     if encoding == "gz":
         data = gzip.compress(data)

@@ -272,9 +272,13 @@ def near_dup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
-    # decimal(38,0) sum: exact and overflow-free for any realistic id
-    # domain (10^38 >> n_nodes * max_id)
-    label_sum = F.sum(F.col("label").cast("decimal(28,0)"))
+    # type-agnostic fingerprint: xxhash64 of the label (ids may be
+    # strings, e.g. digest keys), summed exactly in decimal(38,0).
+    # Labels are per-node monotone non-increasing, so ANY change
+    # changes the label multiset, and thus this sum (up to a ~2^-64
+    # hash-sum collision — negligible against max_iterations rounds)
+    label_sum = F.sum(
+        F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
     prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (

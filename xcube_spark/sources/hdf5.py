@@ -630,9 +630,13 @@ def decode_chunk(raw: bytes, filters: list, fmask: int,
         .reshape(chunk_shape)
 
 
-def read_h5_array(path: str, name: str) -> tuple[np.ndarray, dict]:
-    """Driver-side full read of one dataset (tests / small coords)."""
-    f = H5File(path)
+def read_h5_array(path: str, name: str,
+                  h5: "H5File | None" = None) -> tuple[np.ndarray, dict]:
+    """Full read of one dataset (tests / small coords).  Pass an
+    already-parsed ``h5`` to skip re-walking the file's metadata —
+    callers holding an H5File (cube glue, granule scans) read N
+    arrays with ONE metadata parse."""
+    f = h5 if h5 is not None else H5File(path)
     ds = f.datasets[name]
     if not isinstance(ds.dtype, np.dtype):
         raise ValueError(f"{name}: non-numeric dataset")
@@ -806,17 +810,18 @@ def open_netcdf4_cube(
         *[F.when(~F.isnan(n), F.col(n)).alias(n) for n in names])
 
     return _attach_axes(spark, path, cells, scales,
-                        (time_dim, y_dim, x_dim), names)
+                        (time_dim, y_dim, x_dim), names, h5=h5)
 
 
-def _attach_axes(spark, path, cells, scales, dims, names) -> DataFrame:
+def _attach_axes(spark, path, cells, scales, dims, names,
+                 h5=None) -> DataFrame:
     """Broadcast-join the 1-D coordinate axes (+ CF time decode)."""
     from xcube_spark.functions.cftime import decode_cf_time
 
     for dim_name, idx_col, out_col in ((dims[0], "t_i", "time"),
                                        (dims[1], "y_i", "y"),
                                        (dims[2], "x_i", "x")):
-        vals, attrs = read_h5_array(path, scales[dim_name])
+        vals, attrs = read_h5_array(path, scales[dim_name], h5=h5)
         adf = spark.createDataFrame(pd.DataFrame({
             idx_col: np.arange(len(vals), dtype="int32"),
             out_col: vals.astype("float64")}))
@@ -875,7 +880,7 @@ def _open_unaligned(spark, path, regions, meta, names, shape, h5, scales,
     cells = cells.select(
         "t_i", "y_i", "x_i",
         *[F.when(~F.isnan(n), F.col(n)).alias(n) for n in names])
-    return _attach_axes(spark, path, cells, scales, dims, names)
+    return _attach_axes(spark, path, cells, scales, dims, names, h5=h5)
 
 
 # ---------------------------------------------------------------------------

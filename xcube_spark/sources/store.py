@@ -261,8 +261,8 @@ class FsDataStore(MutableDataStore):
             else list(excludes or [])
         options = dict(storage_options or {})
         validate_storage_options(options, self.protocol)
-        self._apply_storage_options(options)
         self.root = self._qualify_root(root).rstrip("/")
+        self._apply_storage_options(options)
 
     # -- protocol hooks --------------------------------------------------
 
@@ -374,33 +374,40 @@ class S3DataStore(FsDataStore):
         return root if "://" in root else f"s3a://{root}"
 
     def _apply_storage_options(self, options: dict) -> None:
+        # per-BUCKET S3A keys (fs.s3a.bucket.<name>.*): the Hadoop
+        # config is session-global, so plain fs.s3a.* keys from two
+        # stores would clobber each other (last-writer-wins creds /
+        # endpoint).  Bucket scoping keeps each store's options
+        # isolated, exactly what the S3A connector provides for this.
         conf = self.spark._jsc.hadoopConfiguration()
+        bucket = self.root.split("://", 1)[-1].split("/", 1)[0]
+        pre = f"fs.s3a.bucket.{bucket}"
         anon = options.get("anon")
         if anon:
-            conf.set("fs.s3a.aws.credentials.provider",
+            conf.set(f"{pre}.aws.credentials.provider",
                      "org.apache.hadoop.fs.s3a."
                      "AnonymousAWSCredentialsProvider")
         if "key" in options:
-            conf.set("fs.s3a.access.key", options["key"])
+            conf.set(f"{pre}.access.key", options["key"])
         if "secret" in options:
-            conf.set("fs.s3a.secret.key", options["secret"])
+            conf.set(f"{pre}.secret.key", options["secret"])
         if "token" in options:
-            conf.set("fs.s3a.session.token", options["token"])
-            conf.set("fs.s3a.aws.credentials.provider",
+            conf.set(f"{pre}.session.token", options["token"])
+            conf.set(f"{pre}.aws.credentials.provider",
                      "org.apache.hadoop.fs.s3a."
                      "TemporaryAWSCredentialsProvider")
         if "use_ssl" in options:
-            conf.set("fs.s3a.connection.ssl.enabled",
+            conf.set(f"{pre}.connection.ssl.enabled",
                      str(bool(options["use_ssl"])).lower())
         if "requester_pays" in options:
-            conf.set("fs.s3a.requester.pays.enabled",
+            conf.set(f"{pre}.requester.pays.enabled",
                      str(bool(options["requester_pays"])).lower())
         ck = options.get("client_kwargs", {})
         if "endpoint_url" in ck:
-            conf.set("fs.s3a.endpoint", ck["endpoint_url"])
-            conf.set("fs.s3a.path.style.access", "true")
+            conf.set(f"{pre}.endpoint", ck["endpoint_url"])
+            conf.set(f"{pre}.path.style.access", "true")
         if "region_name" in ck:
-            conf.set("fs.s3a.endpoint.region", ck["region_name"])
+            conf.set(f"{pre}.endpoint.region", ck["region_name"])
 
 
 class AbfsDataStore(FsDataStore):

@@ -109,9 +109,10 @@ def scan_netcdf4_granules(spark: SparkSession, paths: list[str],
                                                   "scale_factor",
                                                   "add_offset")},
                                  })))
-                tvals, tattrs = read_h5_array(path, scales[time_dim])
-                yvals, _ = read_h5_array(path, scales[yd])
-                xvals, _ = read_h5_array(path, scales[xd])
+                tvals, tattrs = read_h5_array(path, scales[time_dim],
+                                              h5=h5)
+                yvals, _ = read_h5_array(path, scales[yd], h5=h5)
+                xvals, _ = read_h5_array(path, scales[xd], h5=h5)
                 rows.append((path, "axes", "", 0, 0, 0, 0, 0, json.dumps({
                     "t": tvals.astype("float64").tolist(),
                     "y": yvals.astype("float64").tolist(),
@@ -149,21 +150,10 @@ def virtualize_netcdf4_mf(
     return assemble_refs(rows, refs_path)
 
 
-def assemble_refs(rows, refs_path: str) -> int:
-    """Build the combined kerchunk refs document from (already
-    collected) scan rows — shared by the batch virtualizer and the
-    streaming granule-ingest sink."""
-    chunks: dict[str, list] = {}
-    metas: dict[tuple[str, str], dict] = {}
-    axes: dict[str, dict] = {}
-    for r in rows:
-        if r["kind"] == "chunk":
-            chunks.setdefault(r["path"], []).append(r)
-        elif r["kind"] == "meta":
-            metas[(r["path"], r["var"])] = json.loads(r["info"])
-        else:
-            axes[r["path"]] = json.loads(r["info"])
-
+def _plan_virtual(metas: dict, axes: dict):
+    """Shared validation + layout planning for both refs formats:
+    granule time ordering, axis/codec homogeneity, chunk-layout
+    uniformity, and the time-chunk tiling constraint."""
     order = sorted(axes, key=lambda p: axes[p]["t"][0])
     if not order:
         raise ValueError("no granules scanned")
@@ -184,7 +174,6 @@ def assemble_refs(rows, refs_path: str) -> int:
         raise ValueError(
             f"variables must share one chunk layout, got {shapes} "
             "(pass var_names to select a uniform subset)")
-
     t_offsets: dict[str, int] = {}
     total_t = 0
     for p in order:
@@ -196,38 +185,64 @@ def assemble_refs(rows, refs_path: str) -> int:
             raise ValueError(
                 f"granule {p}: time chunk {ct} does not tile the "
                 "concatenation boundaries")
-
     h, w = len(first["y"]), len(first["x"])
-    refs: dict[str, object] = {".zgroup": json.dumps({"zarr_format": 2})}
+    return order, first, var_meta, t_offsets, total_t, h, w
+
+
+def _metadata_entries(order, axes, first, var_meta, total_t, h, w):
+    """All inline (key, payload) metadata entries of the virtual cube:
+    .zgroup, axis arrays (base64) and per-variable .zarray/.zattrs —
+    shared by the JSON and parquet refs writers."""
+    out = [(".zgroup", json.dumps({"zarr_format": 2}))]
 
     def inline(name: str, vals: list, attrs: dict) -> None:
         arr = np.asarray(vals, "<f8")
-        refs[f"{name}/.zarray"] = json.dumps({
+        out.append((f"{name}/.zarray", json.dumps({
             "zarr_format": 2, "shape": [len(vals)], "chunks": [len(vals)],
             "dtype": "<f8", "compressor": None, "filters": None,
-            "fill_value": None, "order": "C"})
-        refs[f"{name}/.zattrs"] = json.dumps(attrs)
-        refs[f"{name}/0"] = "base64:" + base64.b64encode(
-            arr.tobytes()).decode("ascii")
+            "fill_value": None, "order": "C"})))
+        out.append((f"{name}/.zattrs", json.dumps(attrs)))
+        out.append((f"{name}/0", "base64:" + base64.b64encode(
+            arr.tobytes()).decode("ascii")))
 
-    all_t = [t for p in order for t in axes[p]["t"]]
-    inline("time", all_t, {"_ARRAY_DIMENSIONS": ["time"],
-                           "units": first["t_units"],
-                           **({"calendar": first["t_calendar"]}
-                              if first["t_calendar"] else {})})
+    inline("time", [t for p in order for t in axes[p]["t"]],
+           {"_ARRAY_DIMENSIONS": ["time"], "units": first["t_units"],
+            **({"calendar": first["t_calendar"]}
+               if first["t_calendar"] else {})})
     inline("y", first["y"], {"_ARRAY_DIMENSIONS": ["y"]})
     inline("x", first["x"], {"_ARRAY_DIMENSIONS": ["x"]})
-
-    count = 0
     for v, m in var_meta.items():
-        ct_, cy, cx = m["chunks"]
-        refs[f"{v}/.zarray"] = json.dumps({
+        out.append((f"{v}/.zarray", json.dumps({
             "zarr_format": 2, "shape": [total_t, h, w],
             "chunks": m["chunks"], "dtype": m["dtype"],
             "compressor": m["compressor"], "filters": m["filters"],
-            "fill_value": m["attrs"].get("_FillValue"), "order": "C"})
-        refs[f"{v}/.zattrs"] = json.dumps(
-            {"_ARRAY_DIMENSIONS": ["time", "y", "x"], **m["attrs"]})
+            "fill_value": m["attrs"].get("_FillValue"), "order": "C"})))
+        out.append((f"{v}/.zattrs", json.dumps(
+            {"_ARRAY_DIMENSIONS": ["time", "y", "x"], **m["attrs"]})))
+    return out
+
+
+def assemble_refs(rows, refs_path: str) -> int:
+    """Build the combined kerchunk refs document from (already
+    collected) scan rows — shared by the batch virtualizer and the
+    streaming granule-ingest sink."""
+    chunks: dict[str, list] = {}
+    metas: dict[tuple[str, str], dict] = {}
+    axes: dict[str, dict] = {}
+    for r in rows:
+        if r["kind"] == "chunk":
+            chunks.setdefault(r["path"], []).append(r)
+        elif r["kind"] == "meta":
+            metas[(r["path"], r["var"])] = json.loads(r["info"])
+        else:
+            axes[r["path"]] = json.loads(r["info"])
+    order, first, var_meta, t_offsets, total_t, h, w = \
+        _plan_virtual(metas, axes)
+    refs: dict[str, object] = dict(
+        _metadata_entries(order, axes, first, var_meta, total_t, h, w))
+    count = 0
+    for v, m in var_meta.items():
+        ct_, cy, cx = m["chunks"]
         for p in order:
             off = t_offsets[p]
             for r in chunks.get(p, []):
@@ -238,7 +253,6 @@ def assemble_refs(rows, refs_path: str) -> int:
                 refs[key] = [f"file://{p}", int(r["addr"]),
                              int(r["nbytes"])]
                 count += 1
-
     with open(refs_path, "w") as f:
         json.dump({"version": 1, "refs": refs}, f)
     return count
@@ -281,54 +295,11 @@ def virtualize_netcdf4_mf_parquet(
             metas[(r["path"], r["var"])] = json.loads(r["info"])
         else:
             axes[r["path"]] = json.loads(r["info"])
-    order = sorted(axes, key=lambda p: axes[p]["t"][0])
-    first = axes[order[0]]
-    for p in order[1:]:
-        if (axes[p]["y"] != first["y"] or axes[p]["x"] != first["x"]
-                or axes[p]["t_units"] != first["t_units"]):
-            raise ValueError(f"granule {p} has a different grid/axes")
-    var_meta: dict[str, dict] = {}
-    for (p, v), m in metas.items():
-        ref = var_meta.setdefault(v, m)
-        if (m["chunks"] != ref["chunks"] or m["dtype"] != ref["dtype"]
-                or m["filters"] != ref["filters"]
-                or m["compressor"] != ref["compressor"]):
-            raise ValueError(f"granule {p} chunking/codec differs for {v}")
-    t_offsets, total_t = {}, 0
-    for p in order:
-        t_offsets[p] = total_t
-        total_t += len(axes[p]["t"])
-    h, w = len(first["y"]), len(first["x"])
-
-    meta_rows = []
-
-    def inline_row(key: str, payload: str) -> None:
-        meta_rows.append((key, None, 0, 0, payload))
-
-    inline_row(".zgroup", json.dumps({"zarr_format": 2}))
-    for name, vals, attrs in (
-            ("time", [t for p in order for t in axes[p]["t"]],
-             {"_ARRAY_DIMENSIONS": ["time"], "units": first["t_units"],
-              **({"calendar": first["t_calendar"]}
-                 if first["t_calendar"] else {})}),
-            ("y", first["y"], {"_ARRAY_DIMENSIONS": ["y"]}),
-            ("x", first["x"], {"_ARRAY_DIMENSIONS": ["x"]})):
-        arr = np.asarray(vals, "<f8")
-        inline_row(f"{name}/.zarray", json.dumps({
-            "zarr_format": 2, "shape": [len(vals)], "chunks": [len(vals)],
-            "dtype": "<f8", "compressor": None, "filters": None,
-            "fill_value": None, "order": "C"}))
-        inline_row(f"{name}/.zattrs", json.dumps(attrs))
-        inline_row(f"{name}/0", "base64:" + base64.b64encode(
-            arr.tobytes()).decode("ascii"))
-    for v, m in var_meta.items():
-        inline_row(f"{v}/.zarray", json.dumps({
-            "zarr_format": 2, "shape": [total_t, h, w],
-            "chunks": m["chunks"], "dtype": m["dtype"],
-            "compressor": m["compressor"], "filters": m["filters"],
-            "fill_value": m["attrs"].get("_FillValue"), "order": "C"}))
-        inline_row(f"{v}/.zattrs", json.dumps(
-            {"_ARRAY_DIMENSIONS": ["time", "y", "x"], **m["attrs"]}))
+    order, first, var_meta, t_offsets, total_t, h, w = \
+        _plan_virtual(metas, axes)
+    meta_rows = [(key, None, 0, 0, payload) for key, payload in
+                 _metadata_entries(order, axes, first, var_meta,
+                                   total_t, h, w)]
 
     # distributed key computation: broadcast the tiny (path -> t_off)
     # and (var -> chunk grid) tables, never collect the chunk rows
