@@ -310,21 +310,25 @@ def doc_substring_dedup(spark, sf_dir):
     sql=rf"""
         WITH q AS (
             SELECT doc_id, text,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
-                   ROUND(CASE WHEN len(string_split(trim(text), ' ')) < 5
+                   len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_tokens,
+                   ROUND(CASE WHEN len(regexp_split_to_array(
+                             trim(text), '\s+')) < 5
                          THEN 0.0 ELSE
-                       least(len(string_split(trim(text), ' ')) / 100.0,
-                             1.0) * 0.4
+                       least(len(regexp_split_to_array(trim(text), '\s+'))
+                             / 100.0, 1.0) * 0.4
                        + (1.0 - least(
                              length(regexp_replace(text,
                                  '[^!-/:-@\[-`{{-~]', '', 'g'))
                              / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
                        + least(len(list_filter(
-                             string_split(lower(trim(text)), ' '),
+                             regexp_split_to_array(lower(trim(text)),
+                                                   '\s+'),
                              t -> t IN ('the','a','of','and','to','in','is',
                                         'that','it','for')))
-                             / greatest(len(string_split(lower(trim(text)),
-                                            ' ')), 1) * 5.0, 1.0) * 0.3
+                             / greatest(len(regexp_split_to_array(
+                                   lower(trim(text)), '\s+')), 1)
+                             * 5.0, 1.0) * 0.3
                    END, 6) AS quality
             FROM documents
         ), kept AS (

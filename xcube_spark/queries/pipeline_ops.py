@@ -82,10 +82,10 @@ _LANG_GUESS = (
 
 @query(
     "doc_language_id",
-    sql=f"""
+    sql=rf"""
         WITH toks AS (
             SELECT doc_id, lang,
-                   string_split(lower(trim(text)), ' ') AS toks
+                   regexp_split_to_array(lower(trim(text)), '\s+') AS toks
             FROM documents
         ), scored AS (
             SELECT doc_id, lang, {_LANG_SCORES}
@@ -113,13 +113,16 @@ def doc_language_id(spark, sf_dir):
     sql=r"""
         WITH f AS (
             SELECT doc_id,
-                   len(string_split(trim(text), ' ')) AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '\s+'))
+                       AS n_tokens,
                    length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))
                        / greatest(length(text), 1) AS punct_ratio,
-                   len(list_filter(string_split(lower(trim(text)), ' '),
+                   len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
                        t -> t IN ('the','a','of','and','to','in','is',
                                   'that','it','for')))
-                       / greatest(len(string_split(lower(trim(text)), ' ')),
+                       / greatest(len(regexp_split_to_array(
+                                      lower(trim(text)), '\s+')),
                                   1) AS sw_ratio
             FROM documents
         )

@@ -205,11 +205,11 @@ def doc_token_stats(spark, sf_dir):
 
 @query(
     "doc_fingerprint",
-    sql="""
+    sql=r"""
         SELECT doc_id,
                md5(array_to_string(
                    list_sort(list_distinct(
-                       string_split(lower(trim(text)), ' '))),
+                       regexp_split_to_array(lower(trim(text)), '\s+'))),
                    ' ')) AS fingerprint
         FROM documents
     """,
@@ -322,7 +322,8 @@ def doc_incremental_dedup(spark, sf_dir):
     "doc_tfidf_keywords",
     sql="""
         WITH toks AS (
-            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
             FROM documents
         ), tf AS (
             SELECT doc_id, token, COUNT(*) AS tf
