@@ -180,6 +180,106 @@ def test_h5_cf_scale_offset_decode(spark, tmp_path):
     assert rows[(1, 1)] is None  # fill -> NULL
 
 
+# ---- unallocated / sparse storage (defined-but-never-written vars) -----
+
+
+def _axes_spec(t=2, h=4, w=6):
+    return {
+        "time": {"data": np.arange(t, dtype="<f8") * 86400.0,
+                 "dims": ["time"],
+                 "attrs": {"units": "seconds since 1970-01-01"}},
+        "lat": {"data": np.linspace(-30.0, 30.0, h), "dims": ["lat"]},
+        "lon": {"data": np.linspace(-60.0, 60.0, w), "dims": ["lon"]},
+    }
+
+
+def test_h5_unallocated_chunked(tmp_path):
+    """A chunked variable whose B-tree address is undefined (defined
+    but never written, as libhdf5 leaves it under late allocation) has
+    zero chunks and reads as all-fill — not a garbage B-tree walk."""
+    A = np.zeros((2, 4, 6))
+    path = str(tmp_path / "u.nc")
+    write_hdf5(path, {**_axes_spec(),
+                      "A": {"data": A, "dims": ["time", "lat", "lon"],
+                            "chunks": (1, 2, 3), "unallocated": True,
+                            "fillvalue": np.nan}})
+    f = H5File(path)
+    assert f.chunks(f.datasets["A"]) == []
+    a2, _ = read_h5_array(path, "A")
+    assert a2.shape == (2, 4, 6)
+    assert np.isnan(a2).all()
+
+
+def test_h5_unallocated_contiguous(tmp_path):
+    """Contiguous variable with an undefined data address reads as a
+    full fill-value array instead of crashing in frombuffer."""
+    A = np.zeros((2, 4, 6))
+    path = str(tmp_path / "uc.nc")
+    write_hdf5(path, {**_axes_spec(),
+                      "A": {"data": A, "dims": ["time", "lat", "lon"],
+                            "unallocated": True, "fillvalue": -7.5}})
+    a2, _ = read_h5_array(path, "A")
+    assert (a2 == -7.5).all()
+
+
+def test_h5_sparse_chunks_read(tmp_path):
+    """Chunk coordinates absent from the B-tree come back as fill, the
+    allocated chunks exactly."""
+    rng = np.random.RandomState(3)
+    A = rng.rand(2, 4, 6)
+    path = str(tmp_path / "sp.nc")
+    write_hdf5(path, {**_axes_spec(),
+                      "A": {"data": A, "dims": ["time", "lat", "lon"],
+                            "chunks": (1, 2, 3), "fillvalue": np.nan,
+                            "skip_chunks": {(0, 2, 3), (1, 0, 0)}}})
+    f = H5File(path)
+    assert len(f.chunks(f.datasets["A"])) == 2 * 2 * 2 - 2
+    a2, _ = read_h5_array(path, "A")
+    exp = A.copy()
+    exp[0:1, 2:4, 3:6] = np.nan
+    exp[1:2, 0:2, 0:3] = np.nan
+    assert np.allclose(a2, exp, equal_nan=True)
+
+
+def test_netcdf4_cube_sparse_fill_aligned(spark, tmp_path):
+    """open_netcdf4_cube (aligned fast path): cells of a missing chunk
+    still exist in the output, fill-valued -> NULL, matching the zarr
+    reader and the reference's netCDF4/xarray semantics."""
+    rng = np.random.RandomState(4)
+    A = rng.rand(3, 4, 6)
+    path = str(tmp_path / "spc.nc")
+    write_hdf5(path, {**_axes_spec(t=3),
+                      "A": {"data": A, "dims": ["time", "lat", "lon"],
+                            "chunks": (1, 4, 6), "fillvalue": np.nan,
+                            "skip_chunks": {(1, 0, 0)}}})
+    back = open_netcdf4_cube(spark, path)
+    assert back.count() == 3 * 4 * 6
+    assert back.where("t_i = 1 AND A IS NOT NULL").count() == 0
+    got = np.full((3, 4, 6), np.nan)
+    for r in back.where("t_i != 1").collect():
+        got[r["t_i"], r["y_i"], r["x_i"]] = r["A"]
+    assert np.allclose(got[[0, 2]], A[[0, 2]])
+
+
+def test_netcdf4_cube_sparse_fill_unaligned(spark, tmp_path):
+    """Pivot fallback path: one var sparse-chunked, one contiguous —
+    missing cells of the sparse var are NULL, the dense var complete."""
+    rng = np.random.RandomState(6)
+    A = rng.rand(2, 4, 6)
+    B = rng.rand(2, 4, 6)
+    path = str(tmp_path / "spu.nc")
+    write_hdf5(path, {**_axes_spec(),
+                      "A": {"data": A, "dims": ["time", "lat", "lon"],
+                            "chunks": (1, 2, 3), "fillvalue": np.nan,
+                            "skip_chunks": {(0, 0, 0)}},
+                      "B": {"data": B, "dims": ["time", "lat", "lon"]}})
+    back = open_netcdf4_cube(spark, path)
+    assert back.count() == 2 * 4 * 6
+    assert back.where(
+        "t_i = 0 AND y_i < 2 AND x_i < 3 AND A IS NOT NULL").count() == 0
+    assert back.where("B IS NULL").count() == 0
+
+
 # ---- multi-granule virtualization (sources/virtualize.py) --------------
 
 

@@ -253,8 +253,11 @@ class H5File:
             start, length = blocks[bi]
             b = self.r.at(start, length)
             p = 0
-            # chunk ends with gap + 4-byte checksum
-            while p + 4 + track <= len(b) - 4:
+            # chunk-0 size excludes the trailing checksum, and the
+            # continuation buffers below are already trimmed to clen-8
+            # (OCHK signature + checksum), so scan the full buffer; stop
+            # only when fewer than one message header remains.
+            while p + 4 + track <= len(b):
                 mtype = b[p]
                 msize = self._u(b, p + 1, 2)
                 p += 4 + track
@@ -522,6 +525,12 @@ class H5File:
         r = _Reader(self.path)
         try:
             kind = ds.chunk_index[0]
+            # A defined-but-never-written variable stores the undefined
+            # address in its layout message: there are no chunks at all.
+            # Readers must see "zero chunks" (all cells fill-valued), not
+            # a garbage B-tree walk (matches h5py/netCDF4 semantics).
+            if ds.chunk_index[1] == _UNDEF:
+                return []
             if kind == "btree1":
                 out: list = []
                 self._walk_chunk_btree(r, ds.chunk_index[1], len(ds.shape),
@@ -630,6 +639,21 @@ def decode_chunk(raw: bytes, filters: list, fmask: int,
         .reshape(chunk_shape)
 
 
+def _fill_scalar(dtype: np.dtype, fill_bytes: bytes | None,
+                 attrs: dict | None = None):
+    """Fill value for unallocated storage: the HDF5 fill-value message
+    if present, else the netCDF ``_FillValue`` attribute, else NaN for
+    floats / 0 for ints (the h5py default)."""
+    if fill_bytes is not None and len(fill_bytes) == dtype.itemsize:
+        return np.frombuffer(fill_bytes, dtype)[0]
+    if attrs and "_FillValue" in attrs:
+        try:
+            return dtype.type(np.asarray(attrs["_FillValue"]).ravel()[0])
+        except (TypeError, ValueError):
+            pass
+    return dtype.type(np.nan) if dtype.kind == "f" else dtype.type(0)
+
+
 def read_h5_array(path: str, name: str,
                   h5: "H5File | None" = None) -> tuple[np.ndarray, dict]:
     """Full read of one dataset (tests / small coords).  Pass an
@@ -646,12 +670,17 @@ def read_h5_array(path: str, name: str,
     r = _Reader(path)
     try:
         if ds.layout == "contiguous":
+            if ds.data_addr == _UNDEF:  # defined but never written
+                return (np.full(ds.shape,
+                                _fill_scalar(ds.dtype, ds.fill, ds.attrs),
+                                ds.dtype), ds.attrs)
             n = int(np.prod(ds.shape)) * ds.dtype.itemsize
             arr = np.frombuffer(r.at(ds.data_addr, n), ds.dtype)
             return arr.reshape(ds.shape), ds.attrs
-        out = np.empty(ds.shape, ds.dtype)
-        if ds.fill is not None and len(ds.fill) == ds.dtype.itemsize:
-            out[...] = np.frombuffer(ds.fill, ds.dtype)[0]
+        # pre-fill so chunk coordinates absent from the index (sparse /
+        # partially-written variables) come back as fill, not garbage
+        out = np.full(ds.shape, _fill_scalar(ds.dtype, ds.fill, ds.attrs),
+                      ds.dtype)
         for coords, addr, nbytes, fmask in f.chunks(ds):
             chunk = decode_chunk(r.at(addr, nbytes), ds.filters, fmask,
                                  ds.dtype, ds.chunk_shape)
@@ -739,14 +768,32 @@ def open_netcdf4_cube(
     regions: dict[tuple[int, int, int], dict[str, tuple[int, int, int]]] = {}
     for n, ds in data_vars.items():
         if ds.layout == "chunked":
+            seen: set = set()
             for coords, addr, nbytes, fmask in h5.chunks(ds):
                 regions.setdefault(tuple(coords), {})[n] = (
                     addr, nbytes, fmask)
+                seen.add(tuple(coords))
+            # chunk coordinates absent from the index (sparse archive /
+            # never-written regions) become fill pseudo-chunks (addr -1)
+            # so output cells exist with the fill value — the semantics
+            # the netCDF4/xarray stack and our zarr reader both give.
+            cgrid = [(s + c - 1) // c
+                     for s, c in zip(ds.shape, ds.chunk_shape)]
+            if len(seen) < int(np.prod(cgrid)):
+                for coord in np.ndindex(*cgrid):
+                    off = tuple(c * s for c, s in
+                                zip(coord, ds.chunk_shape))
+                    if off not in seen:
+                        regions.setdefault(off, {})[n] = (-1, 0, 0)
         elif ds.layout == "contiguous":
-            plane = h * w * ds.dtype.itemsize
-            for t in range(tp):
-                regions.setdefault((t, 0, 0), {})[n] = (
-                    ds.data_addr + t * plane, plane, 0)
+            if ds.data_addr == _UNDEF:  # defined but never written
+                for t in range(tp):
+                    regions.setdefault((t, 0, 0), {})[n] = (-1, 0, 0)
+            else:
+                plane = h * w * ds.dtype.itemsize
+                for t in range(tp):
+                    regions.setdefault((t, 0, 0), {})[n] = (
+                        ds.data_addr + t * plane, plane, 0)
         else:
             raise ValueError(f"{n}: compact layout is not a cube variable")
     aligned = all(len(vs) == len(names) for vs in regions.values())
@@ -756,7 +803,8 @@ def open_netcdf4_cube(
             ds.filters if ds.layout == "chunked" else [],
             {k: v for k, v in ds.attrs.items()
              if k in ("_FillValue", "missing_value", "scale_factor",
-                      "add_offset")})
+                      "add_offset")},
+            _fill_scalar(ds.dtype, ds.fill, ds.attrs))
         for n, ds in data_vars.items()
     }
     if not aligned:
@@ -781,11 +829,14 @@ def open_netcdf4_cube(
                     grids = None
                     for part in r.parts:
                         n = part["var"]
-                        dt, cshape, filters, cf = meta[n]
-                        f.seek(part["addr"])
-                        arr = decode_chunk(
-                            f.read(int(part["nbytes"])), filters,
-                            int(part["fmask"]), np.dtype(dt), cshape)
+                        dt, cshape, filters, cf, fillv = meta[n]
+                        if part["addr"] < 0:  # unallocated: fill chunk
+                            arr = np.full(cshape, fillv, np.dtype(dt))
+                        else:
+                            f.seek(part["addr"])
+                            arr = decode_chunk(
+                                f.read(int(part["nbytes"])), filters,
+                                int(part["fmask"]), np.dtype(dt), cshape)
                         ct = min(cshape[0], tp - r.t0)
                         cy = min(cshape[1], h - r.y0)
                         cx = min(cshape[2], w - r.x0)
@@ -853,10 +904,14 @@ def _open_unaligned(spark, path, regions, meta, names, shape, h5, scales,
         with open(path, "rb") as f:
             for pdf in batches:
                 for r in pdf.itertuples():
-                    dt, cshape, filters, cf = meta[r.var]
-                    f.seek(r.addr)
-                    arr = decode_chunk(f.read(int(r.nbytes)), filters,
-                                       int(r.fmask), np.dtype(dt), cshape)
+                    dt, cshape, filters, cf, fillv = meta[r.var]
+                    if r.addr < 0:  # unallocated: fill chunk
+                        arr = np.full(cshape, fillv, np.dtype(dt))
+                    else:
+                        f.seek(r.addr)
+                        arr = decode_chunk(f.read(int(r.nbytes)), filters,
+                                           int(r.fmask), np.dtype(dt),
+                                           cshape)
                     ct = min(cshape[0], tp - r.t0)
                     cy = min(cshape[1], h - r.y0)
                     cx = min(cshape[2], w - r.x0)
@@ -994,8 +1049,14 @@ def write_hdf5(path: str, datasets: dict, gattrs: dict | None = None) -> None:
     names; their own entries must exist and be 1-D), ``attrs``,
     ``chunks`` (tuple -> chunked + shuffle + deflate) — mirroring what
     the reference's ``Netcdf4DatasetIO.write`` produces through
-    xarray/netCDF4 (core/dsio.py:359)."""
+    xarray/netCDF4 (core/dsio.py:359).  Fixture knobs mirroring files
+    libhdf5 produces with late allocation: ``unallocated`` (layout
+    address stays undefined — variable defined but never written),
+    ``skip_chunks`` (set of chunk-offset tuples left out of the chunk
+    B-tree — partially-written variable), ``fillvalue`` (scalar for
+    the fill-value message; default 0)."""
     out = _Out()
+    out.addrs["undef"] = _UNDEF
     names = sorted(datasets)
     dim_names = [n for n in names if "dims" not in datasets[n]
                  or datasets[n].get("dims") == [n]]
@@ -1060,7 +1121,7 @@ def write_hdf5(path: str, datasets: dict, gattrs: dict | None = None) -> None:
         chunks = spec.get("chunks")
         msgs = [_msg(0x0001, _sp_message(arr.shape)),
                 _msg(0x0003, _dt_message(arr.dtype))]
-        fill = np.zeros(1, arr.dtype).tobytes()
+        fill = np.full(1, spec.get("fillvalue", 0), arr.dtype).tobytes()
         msgs.append(_msg(0x0005, struct.pack("<BBBBI", 2, 1, 0, 1,
                                              len(fill)) + fill))
         if chunks is None:
@@ -1108,10 +1169,12 @@ def write_hdf5(path: str, datasets: dict, gattrs: dict | None = None) -> None:
             msize = struct.unpack_from("<H", oh, off + 2)[0]
             body_at = base + off + 8
             if mtype == 0x0008:
-                if chunks is None:
-                    out.patches.append((body_at + 2, f"data:{n}"))
+                if spec.get("unallocated"):
+                    key = "undef"
                 else:
-                    out.patches.append((body_at + 3, f"btree:{n}"))
+                    key = f"data:{n}" if chunks is None else f"btree:{n}"
+                out.patches.append(
+                    (body_at + (2 if chunks is None else 3), key))
             if mtype == 0x000C and dims and dims != [n]:
                 # DIMENSION_LIST: locate data section of the attr
                 b = oh[off + 8:off + 8 + msize]
@@ -1160,13 +1223,18 @@ def write_hdf5(path: str, datasets: dict, gattrs: dict | None = None) -> None:
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
         chunks = spec.get("chunks")
+        if spec.get("unallocated"):
+            continue
         if chunks is None:
             out.mark(f"data:{n}")
             out.write(arr.tobytes())
             continue
+        skip = {tuple(s) for s in spec.get("skip_chunks") or ()}
         grid = [(s + c - 1) // c for s, c in zip(arr.shape, chunks)]
         entries = []
         for coord in np.ndindex(*grid):
+            if tuple(c * s for c, s in zip(coord, chunks)) in skip:
+                continue
             sel = tuple(slice(c * s, min((c + 1) * s, d))
                         for c, s, d in zip(coord, chunks, arr.shape))
             block = np.zeros(chunks, arr.dtype)
