@@ -371,3 +371,33 @@ def test_virtualize_parquet_refs_roundtrip(spark, tmp_path):
     # refs table itself is queryable metadata
     refs = spark.read.parquet(refs_dir)
     assert refs.where(refs.inline.isNull()).count() == 6 * 2 * 2
+
+
+def test_parquet_refs_missing_chunks_fill(spark, tmp_path):
+    """Sparse archive: chunk-reference rows deleted from the refs
+    table (as an unwritten chunk would leave them) still yield their
+    cells, fill-valued -> NULL, instead of dropping coordinates or
+    failing on a missing schema column."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xcube_spark.sources.virtualize import (
+        open_kerchunk_parquet_cube, virtualize_netcdf4_mf_parquet)
+
+    paths, want = _granules(tmp_path)
+    refs_dir = str(tmp_path / "prefs_all")
+    virtualize_netcdf4_mf_parquet(spark, paths, refs_dir)
+    sparse_dir = str(tmp_path / "prefs_sparse")
+    # drop every reference of one chunk coordinate (t-chunk 1) and, for
+    # another coordinate (t-chunk 2), the only variable's reference
+    spark.read.parquet(refs_dir).where(
+        F.col("inline").isNotNull()
+        | ~F.col("key").rlike(r"^A/(1|2)\.")
+    ).write.parquet(sparse_dir)
+
+    cube = open_kerchunk_parquet_cube(spark, sparse_dir)
+    assert cube.count() == want.size  # no dropped coordinates
+    assert cube.where("t_i IN (1, 2) AND A IS NOT NULL").count() == 0
+    rows = cube.where("t_i NOT IN (1, 2)").collect()
+    assert max(abs(r["A"] - want[r["t_i"], r["y_i"], r["x_i"]])
+               for r in rows) == 0.0

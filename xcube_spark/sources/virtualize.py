@@ -386,7 +386,7 @@ def open_kerchunk_parquet_cube(
 
     key = F.split(F.col("key"), "/")
     coord = F.split(key.getItem(1), r"\.")
-    tasks = (
+    chunk_refs = (
         refs.where(F.col("inline").isNull())
         .where(key.getItem(0).isin(names))
         .select(key.getItem(0).alias("var"),
@@ -398,6 +398,18 @@ def open_kerchunk_parquet_cube(
         .agg(F.collect_list(
             F.struct("var", "url", "offset", "length")).alias("parts"))
     )
+    # Left-join the ref rows onto the FULL chunk grid so coordinates
+    # with no reference at all (unwritten chunks of a sparse archive)
+    # still emit fill rows; per-variable gaps are filled in gen() below.
+    # The grid enumeration is a distributed range, not a driver loop.
+    ntc = (tp + ct - 1) // ct
+    nyc = (h + cy - 1) // cy
+    nxc = (w + cx - 1) // cx
+    grid = spark.range(ntc * nyc * nxc).select(
+        (F.col("id") / (nyc * nxc)).cast("int").alias("tc"),
+        ((F.col("id") / nxc) % nyc).cast("int").alias("yc"),
+        (F.col("id") % nxc).cast("int").alias("xc"))
+    tasks = grid.join(chunk_refs, ["tc", "yc", "xc"], "left")
     metas = {n: data_vars[n] for n in names}
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -413,7 +425,9 @@ def open_kerchunk_parquet_cube(
                 out = {"t_i": tt.ravel().astype("int32"),
                        "y_i": yy.ravel().astype("int32"),
                        "x_i": xx.ravel().astype("int32")}
-                for part in r.parts:
+                parts = r.parts if isinstance(
+                    r.parts, (list, np.ndarray)) else []
+                for part in parts:
                     m = metas[part["var"]]
                     p = part["url"].removeprefix("file://")
                     fh = handles.setdefault(p, open(p, "rb"))
@@ -422,6 +436,12 @@ def open_kerchunk_parquet_cube(
                     vals = decode_values(decode_chunk(raw, m), m)
                     out[part["var"]] = \
                         vals[: t1 - t0, : y1 - y0, : x1 - x0].ravel()
+                for n in names:  # vars with no ref at this coordinate
+                    if n not in out:
+                        m = metas[n]
+                        vals = decode_values(decode_chunk(None, m), m)
+                        out[n] = \
+                            vals[: t1 - t0, : y1 - y0, : x1 - x0].ravel()
                 yield pd.DataFrame(out)
 
     schema = "t_i INT, y_i INT, x_i INT, " + ", ".join(
