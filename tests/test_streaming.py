@@ -259,3 +259,57 @@ def test_streaming_granule_ingest_incremental(spark, tmp_path):
     # state holds exactly one scan per granule (idempotent appends)
     st = read_granule_state(spark, str(tmp_path / "state"))
     assert st.where(st.kind == "axes").count() == 3
+
+
+def test_streaming_granule_quarantine(spark, tmp_path):
+    """A granule with an incompatible grid and one that is not HDF5 at
+    all are quarantined BEFORE the state append: the stream keeps
+    running, the state stays clean, later good granules still land."""
+    import numpy as np
+
+    from xcube_spark.sources.hdf5 import write_hdf5
+    from xcube_spark.sources.zarrio import open_kerchunk_cube
+    from xcube_spark.streaming.granules import (read_granule_quarantine,
+                                                read_granule_state,
+                                                run_granule_ingest_stream)
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    refs = str(tmp_path / "virtual.json")
+    rng = np.random.RandomState(11)
+    h, w = 4, 6
+
+    def granule(g, hh=h, ww=w):
+        write_hdf5(str(watch / f"g{g}.nc"), {
+            "time": {"data": np.array([g * 86400.0]), "dims": ["time"],
+                     "attrs": {"units": "seconds since 2021-01-01"}},
+            "lat": {"data": np.linspace(-30, 30, hh), "dims": ["lat"]},
+            "lon": {"data": np.linspace(-60, 60, ww), "dims": ["lon"]},
+            "A": {"data": rng.rand(1, hh, ww),
+                  "dims": ["time", "lat", "lon"], "chunks": (1, 2, 3)},
+        })
+
+    def run():
+        q = run_granule_ingest_stream(
+            spark, str(watch), refs, str(tmp_path / "state"),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    granule(0)
+    run()
+    granule(1, hh=3, ww=5)             # wrong grid
+    (watch / "g2.nc").write_bytes(b"\x89HDF\r\n\x1a\ngarbage")  # corrupt
+    granule(3)                          # good, arrives with the bad ones
+    run()
+    granule(4)                          # next wave still works
+    run()
+
+    cube = open_kerchunk_cube(spark, refs)
+    assert cube.count() == 3 * h * w   # granules 0, 3, 4
+    st = read_granule_state(spark, str(tmp_path / "state"))
+    assert st.where(st.kind == "axes").count() == 3
+    q = {r["path"].rsplit("/", 1)[-1]: r["error"]
+         for r in read_granule_quarantine(
+             spark, str(tmp_path / "state")).collect()}
+    assert set(q) == {"g1.nc", "g2.nc"}
+    assert "different grid" in q["g1.nc"]

@@ -52,75 +52,88 @@ def _zarr_codecs(filters: list) -> tuple[list | None, dict | None]:
 def scan_netcdf4_granules(spark: SparkSession, paths: list[str],
                           var_names: list[str] | None = None,
                           time_dim: str = "time", y_dim: str = "lat",
-                          x_dim: str = "lon"):
+                          x_dim: str = "lon",
+                          capture_errors: bool = False):
     """Distributed granule metadata scan: one task per batch of paths
-    parses HDF5 metadata and emits chunk/axis/meta rows."""
+    parses HDF5 metadata and emits chunk/axis/meta rows.
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    With ``capture_errors`` a granule that fails to parse emits one
+    ``kind='error'`` row (info = message) instead of failing the whole
+    job — the streaming ingest quarantines those paths."""
+
+    def scan_one(path: str) -> list:
         from xcube_spark.sources.hdf5 import H5File, _var_dims, read_h5_array
 
+        h5 = H5File(path)
+        scales = {n.rsplit("/", 1)[-1]: n
+                  for n, d in h5.datasets.items()
+                  if d.attrs.get("CLASS") == "DIMENSION_SCALE"}
+        yd = y_dim if y_dim in scales else "y"
+        xd = x_dim if x_dim in scales else "x"
+        want = [time_dim, yd, xd]
+        rows = []
+        for n, ds in h5.datasets.items():
+            short = n.rsplit("/", 1)[-1]
+            if _var_dims(ds) != want:
+                continue
+            if var_names is not None and short not in var_names:
+                continue
+            tp, h, w = ds.shape
+            if ds.layout == "chunked":
+                cshape = ds.chunk_shape
+                for coords, addr, nb, fmask in h5.chunks(ds):
+                    if fmask:
+                        raise ValueError(
+                            f"{path}:{short}: partial filter "
+                            "masks are not virtualizable")
+                    rows.append((path, "chunk", short, *coords,
+                                 addr, nb, None))
+                filters = ds.filters
+            else:
+                cshape = (1, h, w)
+                plane = h * w * ds.dtype.itemsize
+                for t in range(tp):
+                    rows.append((path, "chunk", short, t, 0, 0,
+                                 ds.data_addr + t * plane, plane,
+                                 None))
+                filters = []
+            flt, comp = _zarr_codecs(filters)
+            rows.append((path, "meta", short, 0, 0, 0, 0, 0,
+                         json.dumps({
+                             "shape": list(ds.shape),
+                             "chunks": list(cshape),
+                             "dtype": ds.dtype.str,
+                             "filters": flt,
+                             "compressor": comp,
+                             "attrs": {
+                                 k: v for k, v in ds.attrs.items()
+                                 if k in ("_FillValue",
+                                          "missing_value",
+                                          "scale_factor",
+                                          "add_offset")},
+                         })))
+        tvals, tattrs = read_h5_array(path, scales[time_dim], h5=h5)
+        yvals, _ = read_h5_array(path, scales[yd], h5=h5)
+        xvals, _ = read_h5_array(path, scales[xd], h5=h5)
+        rows.append((path, "axes", "", 0, 0, 0, 0, 0, json.dumps({
+            "t": tvals.astype("float64").tolist(),
+            "y": yvals.astype("float64").tolist(),
+            "x": xvals.astype("float64").tolist(),
+            "t_units": tattrs.get("units",
+                                  "seconds since 1970-01-01"),
+            "t_calendar": tattrs.get("calendar"),
+        })))
+        return rows
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for path in pdf["path"]:
-                h5 = H5File(path)
-                scales = {n.rsplit("/", 1)[-1]: n
-                          for n, d in h5.datasets.items()
-                          if d.attrs.get("CLASS") == "DIMENSION_SCALE"}
-                yd = y_dim if y_dim in scales else "y"
-                xd = x_dim if x_dim in scales else "x"
-                want = [time_dim, yd, xd]
-                rows = []
-                for n, ds in h5.datasets.items():
-                    short = n.rsplit("/", 1)[-1]
-                    if _var_dims(ds) != want:
-                        continue
-                    if var_names is not None and short not in var_names:
-                        continue
-                    tp, h, w = ds.shape
-                    if ds.layout == "chunked":
-                        cshape = ds.chunk_shape
-                        for coords, addr, nb, fmask in h5.chunks(ds):
-                            if fmask:
-                                raise ValueError(
-                                    f"{path}:{short}: partial filter "
-                                    "masks are not virtualizable")
-                            rows.append((path, "chunk", short, *coords,
-                                         addr, nb, None))
-                        filters = ds.filters
-                    else:
-                        cshape = (1, h, w)
-                        plane = h * w * ds.dtype.itemsize
-                        for t in range(tp):
-                            rows.append((path, "chunk", short, t, 0, 0,
-                                         ds.data_addr + t * plane, plane,
-                                         None))
-                        filters = []
-                    flt, comp = _zarr_codecs(filters)
-                    rows.append((path, "meta", short, 0, 0, 0, 0, 0,
-                                 json.dumps({
-                                     "shape": list(ds.shape),
-                                     "chunks": list(cshape),
-                                     "dtype": ds.dtype.str,
-                                     "filters": flt,
-                                     "compressor": comp,
-                                     "attrs": {
-                                         k: v for k, v in ds.attrs.items()
-                                         if k in ("_FillValue",
-                                                  "missing_value",
-                                                  "scale_factor",
-                                                  "add_offset")},
-                                 })))
-                tvals, tattrs = read_h5_array(path, scales[time_dim],
-                                              h5=h5)
-                yvals, _ = read_h5_array(path, scales[yd], h5=h5)
-                xvals, _ = read_h5_array(path, scales[xd], h5=h5)
-                rows.append((path, "axes", "", 0, 0, 0, 0, 0, json.dumps({
-                    "t": tvals.astype("float64").tolist(),
-                    "y": yvals.astype("float64").tolist(),
-                    "x": xvals.astype("float64").tolist(),
-                    "t_units": tattrs.get("units",
-                                          "seconds since 1970-01-01"),
-                    "t_calendar": tattrs.get("calendar"),
-                })))
+                try:
+                    rows = scan_one(path)
+                except Exception as e:  # noqa: BLE001 — quarantined
+                    if not capture_errors:
+                        raise
+                    rows = [(path, "error", "", 0, 0, 0, 0, 0, str(e))]
                 yield pd.DataFrame(
                     rows, columns=["path", "kind", "var", "t0", "y0",
                                    "x0", "addr", "nbytes", "info"])
@@ -222,10 +235,8 @@ def _metadata_entries(order, axes, first, var_meta, total_t, h, w):
     return out
 
 
-def assemble_refs(rows, refs_path: str) -> int:
-    """Build the combined kerchunk refs document from (already
-    collected) scan rows — shared by the batch virtualizer and the
-    streaming granule-ingest sink."""
+def _group_scan_rows(rows):
+    """Scan rows -> (chunks-by-path, metas, axes) dicts."""
     chunks: dict[str, list] = {}
     metas: dict[tuple[str, str], dict] = {}
     axes: dict[str, dict] = {}
@@ -234,8 +245,24 @@ def assemble_refs(rows, refs_path: str) -> int:
             chunks.setdefault(r["path"], []).append(r)
         elif r["kind"] == "meta":
             metas[(r["path"], r["var"])] = json.loads(r["info"])
-        else:
+        elif r["kind"] == "axes":
             axes[r["path"]] = json.loads(r["info"])
+    return chunks, metas, axes
+
+
+def validate_scan_rows(rows) -> None:
+    """Raise ValueError if the scan rows do not form one coherent
+    virtual cube (grid/codec/chunk-tiling homogeneity) — the
+    pre-commit check of the streaming granule ingest."""
+    _, metas, axes = _group_scan_rows(rows)
+    _plan_virtual(metas, axes)
+
+
+def assemble_refs(rows, refs_path: str) -> int:
+    """Build the combined kerchunk refs document from (already
+    collected) scan rows — shared by the batch virtualizer and the
+    streaming granule-ingest sink."""
+    chunks, metas, axes = _group_scan_rows(rows)
     order, first, var_meta, t_offsets, total_t, h, w = \
         _plan_virtual(metas, axes)
     refs: dict[str, object] = dict(

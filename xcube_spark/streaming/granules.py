@@ -15,7 +15,14 @@ archive size.
 Exactly-once: the streaming checkpoint dedups batch delivery, and the
 scan-state append is made idempotent by anti-joining already-ingested
 paths, so a replayed batch is a no-op (same discipline as the
-incremental-dedup sink's replay guard)."""
+incremental-dedup sink's replay guard).
+
+Bad-granule isolation: a granule that fails to parse, or whose
+grid/codec/chunking is incompatible with the already-committed state,
+is QUARANTINED (recorded under ``state_dir/quarantine`` with the
+error) *before* anything is appended to the scan state — one bad file
+can neither wedge the stream nor poison the persisted state into a
+permanently-failing assemble."""
 
 from __future__ import annotations
 
@@ -26,17 +33,32 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from xcube_spark.sources.virtualize import (_SCAN_SCHEMA, assemble_refs,
-                                            scan_netcdf4_granules)
+                                            scan_netcdf4_granules,
+                                            validate_scan_rows)
 
 
 def _state_path(state_dir: str) -> str:
     return os.path.join(state_dir, "granule_scan")
 
 
+def _quarantine_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "quarantine")
+
+
 def read_granule_state(spark: SparkSession, state_dir: str) -> DataFrame:
     p = _state_path(state_dir)
     if not os.path.exists(p):
         return spark.createDataFrame([], _SCAN_SCHEMA)
+    return spark.read.parquet(p)
+
+
+def read_granule_quarantine(spark: SparkSession,
+                            state_dir: str) -> DataFrame:
+    """Quarantined granules: (path, error, batch_id)."""
+    p = _quarantine_path(state_dir)
+    if not os.path.exists(p):
+        return spark.createDataFrame(
+            [], "path STRING, error STRING, batch_id LONG")
     return spark.read.parquet(p)
 
 
@@ -69,15 +91,51 @@ def run_granule_ingest_stream(
                  for r in batch_df.select("path").collect()]
         if not paths:
             return
-        state = read_granule_state(spark, state_dir)
-        seen = {r["path"] for r in
-                state.select("path").distinct().collect()}
-        new = [p for p in paths if p not in seen]
-        if new:  # replay of a committed batch -> no-op
-            scan_netcdf4_granules(spark, new, var_names) \
-                .write.mode("append").parquet(_state_path(state_dir))
-        rows = read_granule_state(spark, state_dir).collect()
-        assemble_refs(rows, refs_path)
+        # ONE state collect per batch (metadata-sized rows): reused for
+        # the replay guard, the validation base and the final assemble.
+        state_rows = read_granule_state(spark, state_dir).collect()
+        seen = {r["path"] for r in state_rows}
+        new = sorted(p for p in set(paths) if p not in seen)
+        accepted: list = []
+        rejected: list[tuple[str, str]] = []
+        if new:  # empty -> replay of a committed batch -> no-op
+            scanned = scan_netcdf4_granules(
+                spark, new, var_names, capture_errors=True).collect()
+            by_path: dict[str, list] = {}
+            for r in scanned:
+                by_path.setdefault(r["path"], []).append(r)
+            # validate each granule against committed state + the
+            # batch's already-accepted granules BEFORE persisting, so
+            # an incompatible file is quarantined instead of poisoning
+            # the scan state into a permanently-failing assemble.
+            base = list(state_rows)
+            for p in new:
+                rows_p = by_path.get(p, [])
+                err = next((r["info"] for r in rows_p
+                            if r["kind"] == "error"), None)
+                if err is None:
+                    try:
+                        validate_scan_rows(base + rows_p)
+                    except ValueError as e:
+                        err = str(e)
+                if err is not None:
+                    rejected.append((p, err))
+                    continue
+                base += rows_p
+                accepted.extend(rows_p)
+            if accepted:
+                spark.createDataFrame(accepted, _SCAN_SCHEMA) \
+                    .coalesce(1) \
+                    .write.mode("append").parquet(_state_path(state_dir))
+            if rejected:
+                spark.createDataFrame(
+                    [(p, e, batch_id) for p, e in rejected],
+                    "path STRING, error STRING, batch_id LONG",
+                ).coalesce(1).write.mode("append") \
+                    .parquet(_quarantine_path(state_dir))
+        have = state_rows + accepted
+        if have and (accepted or not os.path.exists(refs_path)):
+            assemble_refs(have, refs_path)
 
     writer = (
         files.writeStream.foreachBatch(ingest)
