@@ -347,3 +347,31 @@ def test_semdedup_keep_rule(spark):
     assert out[11]["is_dup"]
     # cross-cell twin untouched despite cos(b, d) < threshold anyway
     assert not out[12]["is_dup"]
+
+
+def test_semdedup_cell_size_cap(spark):
+    """The hard cell-size cap bounds the within-cell pair join: one
+    mega-cell (all members mutual near-dups) is deterministically
+    sliced into (cent_sim, id)-ranked sub-buckets of max_cell_size, so
+    the join fans out O(cells/cap * cap^2) pairs and each slice keeps
+    its own most-marginal exemplar — ceil(n/cap) keepers instead of 1,
+    never an O(n^2) explosion."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.similarity import semdedup
+
+    n, cap = 40, 10
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    cents = emb.where(F.col("vec_id") == 0)
+
+    exact = semdedup(emb, cents, threshold=0.9, max_cell_size=None)
+    assert exact.where(~F.col("is_dup")).count() == 1
+
+    capped = semdedup(emb, cents, threshold=0.9, max_cell_size=cap)
+    assert capped.where(~F.col("is_dup")).count() == n // cap
+    assert capped.count() == n  # every member still present
+    # the pair join is keyed on (cell, sub), not cell alone
+    opt = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "__sub" in opt

@@ -256,6 +256,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic dedup by
     clustering embeddings and dropping near-duplicates WITHIN each
@@ -271,23 +272,41 @@ def semdedup(
 
     Scale: the all-pairs computation is confined to one cell
     (k-means cells are ~corpus/k) and runs as a cell-key equi-join —
-    no corpus broadcast, no global cartesian; cells shuffle once on
-    the cell key.  Oversized cells (skew) should raise k — the
-    trainer is :func:`train_ivf_centroids`."""
+    no corpus broadcast, no global cartesian.  ``max_cell_size`` is a
+    HARD skew bound (same role as the LSH bucket cap,
+    ``dedup._cap_buckets``): members of an oversized cell are ranked
+    by ``(cent_sim, id)`` and deterministically sub-bucketed into
+    slices of at most ``max_cell_size``; the pairwise join runs within
+    ``(cell, sub)``, so one boilerplate mega-cluster costs
+    O(|cell|/cap * cap^2), never O(|cell|^2).  Each slice keeps its
+    own most-marginal exemplar (~|cell|/cap keepers instead of 1 for
+    a fully-duplicated cell) — the standard bounded relaxation.
+    ``None`` disables the cap (exact within-cell semantics)."""
+    from pyspark.sql.window import Window
+
     cents = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("__cvec"))
     a = ivf_assign(corpus, centroids, id_col=id_col, vec_col=vec_col) \
         .join(F.broadcast(cents), "cell") \
         .select(id_col, vec_col, "cell",
                 cosine(F.col(vec_col), F.col("__cvec")).alias("cent_sim"))
-    left = a.select(F.col(id_col).alias("__ia"),
-                    F.col(vec_col).alias("__va"),
-                    "cell", F.col("cent_sim").alias("__ca"))
-    right = a.select(F.col(id_col).alias("__ib"),
-                     F.col(vec_col).alias("__vb"),
-                     "cell", F.col("cent_sim").alias("__cb"))
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell").orderBy("cent_sim", id_col)
+        a_j = a.withColumn(
+            "__sub",
+            ((F.row_number().over(w) - 1) / F.lit(max_cell_size))
+            .cast("int"))
+    else:
+        a_j = a.withColumn("__sub", F.lit(0))
+    join_keys = ["cell", "__sub"]
+    left = a_j.select(F.col(id_col).alias("__ia"),
+                      F.col(vec_col).alias("__va"),
+                      *join_keys, F.col("cent_sim").alias("__ca"))
+    right = a_j.select(F.col(id_col).alias("__ib"),
+                       F.col(vec_col).alias("__vb"),
+                       *join_keys, F.col("cent_sim").alias("__cb"))
     dups = (
-        left.join(right, "cell")
+        left.join(right, join_keys)
         .where(F.col("__ia") != F.col("__ib"))
         .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
         .where((F.col("__cb") < F.col("__ca"))

@@ -305,16 +305,22 @@ def emb_near_dup_pairs(spark, sf_dir):
                    arg_min(cid, list_distance(v, cv)) AS cell
             FROM c, cents
             GROUP BY vec_id, v
-        ), aa AS (
+        ), aa0 AS (
             SELECT a.vec_id, a.v, a.cell,
                    list_dot_product(a.v, ct.cv)
                    / (sqrt(list_dot_product(a.v, a.v))
                       * sqrt(list_dot_product(ct.cv, ct.cv))) AS cent_sim
             FROM assigned a JOIN cents ct ON a.cell = ct.cid
+        ), aa AS (
+            -- skew cap twin: deterministic sub-bucket of size 10000
+            SELECT *, (ROW_NUMBER() OVER (PARTITION BY cell
+                       ORDER BY cent_sim, vec_id) - 1) // 10000 AS sub
+            FROM aa0
         ), dups AS (
             SELECT DISTINCT x.vec_id
             FROM aa x JOIN aa y
-              ON x.cell = y.cell AND x.vec_id != y.vec_id
+              ON x.cell = y.cell AND x.sub = y.sub
+              AND x.vec_id != y.vec_id
             WHERE list_dot_product(x.v, y.v)
                   / (sqrt(list_dot_product(x.v, x.v))
                      * sqrt(list_dot_product(y.v, y.v))) >= 0.25
