@@ -71,6 +71,53 @@ def test_asof_column_collision_suffix(spark):
     assert out.rid == 9 and out.ts_right == _ts(9)
 
 
+def test_asof_keyless_bucketed_equivalence(spark):
+    """Keyless as-of: the time-range-bucketed path returns exactly the
+    single-partition reference result — backward and forward, with
+    equal-ts ties, empty buckets to carry across, and rows before any
+    right row — and the plan partitions by the bucket key (no
+    single-task funnel)."""
+    import random
+
+    random.seed(20)
+    lrows = [(i, _ts(9 + i % 12, (7 * i) % 60)) for i in range(150)]
+    # right rows clustered early so later quantile buckets are empty
+    # on the right side (exercises the cross-bucket carry), plus an
+    # equal-ts pair to exercise the pick-max tie rule
+    rrows = [(_ts(9, (3 * j) % 45), float(j)) for j in range(40)]
+    rrows += [(_ts(10, 30), 900.0), (_ts(10, 30), 901.0)]
+    left = spark.createDataFrame(lrows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(rrows, "ts timestamp, val double")
+
+    for direction in ("backward", "forward"):
+        ref = {r.event_id: (r.val, r.ts_right) for r in asof_join(
+            left, right, on="ts", direction=direction,
+            num_buckets=None).collect()}
+        got = {r.event_id: (r.val, r.ts_right) for r in asof_join(
+            left, right, on="ts", direction=direction,
+            num_buckets=8).collect()}
+        assert got == ref, direction
+
+    plan = asof_join(left, right, on="ts", num_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__bkt" in plan
+
+
+def test_asof_keyless_tolerance_bucketed(spark):
+    """Tolerance on the keyless bucketed path: carry-in payloads from
+    far-away buckets null out beyond the bound."""
+    left = spark.createDataFrame(
+        [(1, _ts(9, 5)), (2, _ts(15, 0))],
+        "event_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(_ts(9, 0), 1.0)], "ts timestamp, val double")
+    out = {r.event_id: r.val for r in asof_join(
+        left, right, on="ts", tolerance_seconds=600,
+        num_buckets=4).collect()}
+    assert out[1] == 1.0
+    assert out[2] is None
+
+
 def test_audio_features_matches_numpy(spark):
     import numpy as np
     from xcube_spark.pipeline.multimodal import attach_payload, audio_features

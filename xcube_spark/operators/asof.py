@@ -23,12 +23,81 @@ is linear in |L|+|R| and never materializes a candidate pair, which is
 the difference between hours and minutes at 100 TB.  Skewed keys:
 AQE's skew-join split applies to the single shuffle; the window state
 is one struct per row regardless of key width.
+
+KEYLESS joins (``by=()``) do not funnel through one partition: the
+union is split into ``num_buckets`` time-range buckets (quantile
+boundaries from one small stats job), the carry runs per bucket, and
+each bucket's carry-in (the latest right payload from any earlier
+bucket — two tiny aggregates over right rows) is broadcast back and
+coalesced in.  Parallelism ~= num_buckets instead of 1.
 """
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _keyless_carry(unioned: DataFrame, on: str, order: list,
+                   direction: str, num_buckets: int | None) -> DataFrame:
+    """Keyless union-window carry, parallelized by time-range buckets.
+
+    Bucket boundaries are event-time quantiles of the union (one small
+    stats job at plan-build time — the same sampling a range
+    repartition would do).  The prefix-carry then runs per bucket, and
+    the carry-in of each bucket — the winning right payload from all
+    STRICTLY earlier buckets (later, for forward joins) — comes from a
+    per-bucket max + a cumulative max over the tiny bucket table,
+    broadcast back onto the left rows.  Equal timestamps always share
+    a bucket (the bucket is a monotone function of ts), so the
+    inclusive at-or-before tie rules are decided inside the bucket
+    window, never by the carry."""
+    tsd = F.col(on).cast("timestamp_ltz").cast("double")
+    bounds: list[float] = []
+    if num_buckets is not None and num_buckets > 1:
+        probs = [i / num_buckets for i in range(1, num_buckets)]
+        bounds = sorted({
+            b for b in unioned.select(tsd.alias("__tsd"))
+            .approxQuantile("__tsd", probs, 0.01) if b is not None})
+    if not bounds:
+        w = Window.partitionBy(F.lit(1)).orderBy(*order) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        return unioned.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        ).where(F.col("__tag") == 1)
+    bkt = reduce(operator.add,
+                 [(tsd > F.lit(b)).cast("int") for b in bounds])
+    u = unioned.withColumn("__bkt", bkt)
+    w = Window.partitionBy("__bkt").orderBy(*order) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    inb = u.withColumn("__mi", F.last("__r", ignorenulls=True).over(w))
+    # per-bucket winner among right rows: max struct((-)ts, payload) —
+    # backward wants the latest ts, forward the earliest; payload-max
+    # replays the equal-ts pick-max tie rule
+    key = (-tsd) if direction == "forward" else tsd
+    rb = u.where(F.col("__tag") == 0).groupBy("__bkt").agg(
+        F.max(F.struct(key.alias("__k"),
+                       F.col("__r").alias("__p"))).alias("__last"))
+    all_b = unioned.sparkSession.range(len(bounds) + 1).select(
+        F.col("id").cast("int").alias("__bkt"))
+    bkt_order = F.col("__bkt").asc() if direction == "backward" \
+        else F.col("__bkt").desc()
+    wb = Window.orderBy(bkt_order) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        all_b.join(rb, "__bkt", "left")
+        .withColumn("__carry", F.max("__last").over(wb))
+        .select("__bkt", F.col("__carry.__p").alias("__c"))
+    )
+    return (
+        inb.where(F.col("__tag") == 1)
+        .join(F.broadcast(carry), "__bkt", "left")
+        .withColumn("__m", F.coalesce(F.col("__mi"), F.col("__c")))
+        .drop("__bkt", "__mi", "__c")
+    )
 
 
 def asof_join(
@@ -39,6 +108,7 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    num_buckets: int | None = 32,
 ) -> DataFrame:
     """Attach the nearest right row per left row in event time.
 
@@ -48,7 +118,9 @@ def asof_join(
     bound on |left.ts - right.ts| — beyond it the right columns are
     null (the row is kept: left join semantics).  Right payload
     columns are renamed with ``suffix`` on collision with left
-    columns.
+    columns.  ``num_buckets``: keyless-join parallelism (time-range
+    buckets; ``None`` forces the single-partition window — testing
+    only; ignored when ``by`` is given).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward: {direction!r}")
@@ -88,13 +160,16 @@ def asof_join(
         order = [F.col(on).asc(), F.col("__tag").asc(), F.col("__r").asc()]
     else:
         order = [F.col(on).desc(), F.col("__tag").asc(), F.col("__r").asc()]
-    w = (
-        Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
-    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     unioned = r.unionByName(l, allowMissingColumns=True)
-    carried = unioned.withColumn(
-        "__m", F.last("__r", ignorenulls=True).over(w)
-    ).where(F.col("__tag") == 1)
+    if by:
+        w = Window.partitionBy(*by).orderBy(*order) \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        carried = unioned.withColumn(
+            "__m", F.last("__r", ignorenulls=True).over(w)
+        ).where(F.col("__tag") == 1)
+    else:
+        carried = _keyless_carry(unioned, on, order, direction,
+                                 num_buckets)
 
     within = F.lit(True)
     if tolerance_seconds is not None:
