@@ -350,6 +350,18 @@ def test_virtualize_mf_heterogeneous_rejected(spark, tmp_path):
                               str(tmp_path / "x.json"))
 
 
+def test_virtualize_json_refs_granule_cap(spark, tmp_path):
+    """The JSON refs writer collects all chunk refs driver-side; above
+    the granule cap it refuses (before touching any file) and points
+    at the distributed parquet-refs path."""
+    from xcube_spark.sources.virtualize import (MAX_JSON_REFS_GRANULES,
+                                                virtualize_netcdf4_mf)
+
+    fake = [f"/nope/g{i}.nc" for i in range(MAX_JSON_REFS_GRANULES + 1)]
+    with pytest.raises(ValueError, match="parquet"):
+        virtualize_netcdf4_mf(spark, fake, str(tmp_path / "x.json"))
+
+
 def test_virtualize_parquet_refs_roundtrip(spark, tmp_path):
     """Parquet-refs variant: chunk references computed and written
     fully distributed (no driver refs map), opened back with exact

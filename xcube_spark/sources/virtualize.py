@@ -32,6 +32,10 @@ from pyspark.sql import SparkSession
 _SCAN_SCHEMA = ("path STRING, kind STRING, var STRING, t0 INT, y0 INT, "
                 "x0 INT, addr LONG, nbytes LONG, info STRING")
 
+#: JSON-refs assembly is driver-side; beyond this many granules the
+#: parquet-refs path (fully distributed) is the only sane choice.
+MAX_JSON_REFS_GRANULES = 10_000
+
 
 def _zarr_codecs(filters: list) -> tuple[list | None, dict | None]:
     """HDF5 filter pipeline -> (zarr filters, compressor)."""
@@ -157,7 +161,22 @@ def virtualize_netcdf4_mf(
     byte ranges into the original files.  Granules are ordered by
     their first time value; every granule must share the spatial axes,
     variable set and per-variable chunking/codec (asserted).  Returns
-    the reference count; open with ``open_kerchunk_cube``."""
+    the reference count; open with ``open_kerchunk_cube``.
+
+    DRIVER-SIDE refs assembly (the whole chunk-reference table is
+    collected to write one JSON document) — refuses archives above
+    ``MAX_JSON_REFS_GRANULES`` granules; virtualize big archives with
+    :func:`virtualize_netcdf4_mf_parquet`, whose reference table is
+    written fully distributed and whose driver share is O(#granules)
+    metadata only."""
+    if len(paths) > MAX_JSON_REFS_GRANULES:
+        raise ValueError(
+            f"virtualize_netcdf4_mf collects every chunk reference "
+            f"driver-side to write one JSON doc and refuses "
+            f"{len(paths)} granules (cap {MAX_JSON_REFS_GRANULES}); "
+            "use virtualize_netcdf4_mf_parquet - its refs table is "
+            "written fully distributed and opens via "
+            "open_kerchunk_parquet_cube")
     rows = scan_netcdf4_granules(spark, paths, var_names,
                                  time_dim, y_dim, x_dim).collect()
     return assemble_refs(rows, refs_path)
