@@ -32,6 +32,7 @@ def main() -> None:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, q in bench_set.items():
         # drop the previous query's persisted intermediates so cached
         # partitions and GC pressure don't leak across measurements
@@ -43,6 +44,9 @@ def main() -> None:
             q.fn(spark, sf_dir).collect()
             times.append(time.time() - t0)
         results[name] = round(statistics.median(times), 4)
+        # run spread: detects external host load polluting a round's
+        # numbers (a wide max/min gap means re-measure, don't bisect)
+        spread[name] = [round(min(times), 4), round(max(times), 4)]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -52,6 +56,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "min_max": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
