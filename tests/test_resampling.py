@@ -377,6 +377,143 @@ def test_laea_inverse_sql_twin_matches_column_inverse(spark):
         assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10
 
 
+# ---- OSGB National Grid (EPSG:27700) ----------------------------------
+
+
+def _osgb_redfearn_ref(lon_wgs, lat_wgs):
+    """Independent scalar reference for EPSG:27700: the OS guide's own
+    Redfearn-style TM formulas (meridian-arc series in n + nu/rho/eta2
+    terms I..VI) after the same Helmert datum hop — a DIFFERENT
+    algebra from the production Krueger series, so agreement is a real
+    cross-check, not a translation."""
+    import math as m
+
+    aw, fw = 6378137.0, 1.0 / 298.257223563
+    e2w = fw * (2.0 - fw)
+    lam, phi = m.radians(lon_wgs), m.radians(lat_wgs)
+    nu = aw / m.sqrt(1.0 - e2w * m.sin(phi) ** 2)
+    X = nu * m.cos(phi) * m.cos(lam)
+    Y = nu * m.cos(phi) * m.sin(lam)
+    Z = nu * (1.0 - e2w) * m.sin(phi)
+    tx, ty, tz = -446.448, 125.157, -542.060
+    rx, ry, rz = (m.radians(s / 3600.0)
+                  for s in (-0.1502, -0.2470, -0.8421))
+    s = 20.4894e-6
+    Xo = tx + (1 + s) * X - rz * Y + ry * Z
+    Yo = ty + rz * X + (1 + s) * Y - rx * Z
+    Zo = tz - ry * X + rx * Y + (1 + s) * Z
+    a, f = 6377563.396, 1.0 / 299.3249646
+    b = a * (1.0 - f)
+    e2 = f * (2.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    p = m.sqrt(Xo * Xo + Yo * Yo)
+    th = m.atan2(Zo * a, p * b)
+    phi = m.atan2(Zo + ep2 * b * m.sin(th) ** 3,
+                  p - e2 * a * m.cos(th) ** 3)
+    lam = m.atan2(Yo, Xo)
+    # Redfearn TM on Airy (OS guide C.1)
+    F0, phi0, lam0 = 0.9996012717, m.radians(49.0), m.radians(-2.0)
+    E0, N0 = 400_000.0, -100_000.0
+    n = (a - b) / (a + b)
+    dphi, sphi = phi - phi0, phi + phi0
+    M = b * F0 * (
+        (1 + n + 5 / 4 * n**2 + 5 / 4 * n**3) * dphi
+        - (3 * n + 3 * n**2 + 21 / 8 * n**3)
+        * m.sin(dphi) * m.cos(sphi)
+        + (15 / 8 * n**2 + 15 / 8 * n**3)
+        * m.sin(2 * dphi) * m.cos(2 * sphi)
+        - 35 / 24 * n**3 * m.sin(3 * dphi) * m.cos(3 * sphi))
+    nu = a * F0 / m.sqrt(1.0 - e2 * m.sin(phi) ** 2)
+    rho = a * F0 * (1.0 - e2) / (1.0 - e2 * m.sin(phi) ** 2) ** 1.5
+    eta2 = nu / rho - 1.0
+    sp, cp, tp = m.sin(phi), m.cos(phi), m.tan(phi)
+    I = M + N0
+    II = nu / 2 * sp * cp
+    III = nu / 24 * sp * cp**3 * (5 - tp**2 + 9 * eta2)
+    IIIA = nu / 720 * sp * cp**5 * (61 - 58 * tp**2 + tp**4)
+    IV = nu * cp
+    V = nu / 6 * cp**3 * (nu / rho - tp**2)
+    VI = nu / 120 * cp**5 * (5 - 18 * tp**2 + tp**4
+                             + 14 * eta2 - 58 * tp**2 * eta2)
+    P = lam - lam0
+    N = I + II * P**2 + III * P**4 + IIIA * P**6
+    E = E0 + IV * P + V * P**3 + VI * P**5
+    return E, N
+
+
+def test_osgb_tm_core_os_worked_example(spark):
+    """The Airy-TM core reproduces the OS guide's worked example
+    (OSGB36 geodetic 52d39m27.2531sN, 1d43m4.5177sE ->
+    E 651409.903, N 313177.270) to better than a millimetre."""
+    import math as m
+
+    from xcube_spark.operators.resampling.reproject import _osgb_tm_fwd
+
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    df = spark.range(1).select(
+        F.lit(m.radians(lon)).alias("lam"), F.lit(m.radians(lat)).alias("phi"))
+    x, y = _osgb_tm_fwd(F.col("lam"), F.col("phi"))
+    r = df.select(x.alias("E"), y.alias("N")).collect()[0]
+    assert abs(r.E - 651_409.903) < 1e-3
+    assert abs(r.N - 313_177.270) < 1e-3
+
+
+def test_osgb_full_chain_vs_independent_redfearn(spark):
+    """Full WGS84 -> EPSG:27700 chain (Helmert + Bowring + Krueger TM)
+    agrees with the independent Redfearn-formula reference within 5 mm
+    across the OSGB domain, and round-trips below 1e-6 deg (~0.1 m;
+    the residual is the standard first-order Helmert inversion +
+    off-ellipsoid Bowring, both ~mm).  Materialized between stages —
+    a single composed expression tree is the documented codegen
+    blowup."""
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    pts = [(float(lo), float(la))
+           for lo in (-7.0, -5.0, -2.0, 0.5, 1.8)
+           for la in (50.0, 53.5, 57.0, 60.5)]
+    fwd = get_transform("EPSG:4326", "EPSG:27700")
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    got = df.select("lon", "lat", x.alias("E"), y.alias("N")).collect()
+    for r in got:
+        eref, nref = _osgb_redfearn_ref(r.lon, r.lat)
+        assert abs(r.E - eref) < 5e-3, (r.lon, r.lat)
+        assert abs(r.N - nref) < 5e-3, (r.lon, r.lat)
+
+    inv = get_transform("EPSG:27700", "EPSG:4326")
+    back = spark.createDataFrame(
+        [(r.E, r.N, r.lon, r.lat) for r in got],
+        "E double, N double, lon double, lat double")
+    lon2, lat2 = inv(F.col("E"), F.col("N"))
+    for r in back.select("lon", "lat",
+                         lon2.alias("l2"), lat2.alias("p2")).collect():
+        assert abs(r.l2 - r.lon) < 1e-6
+        assert abs(r.p2 - r.lat) < 1e-6
+
+
+def test_osgb_inverse_sql_twin_matches_column_inverse(spark):
+    """osgb_inverse_sql restates the Column inverse exactly (DuckDB)."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        get_transform, osgb_inverse_sql)
+
+    inv = get_transform("EPSG:27700", "EPSG:4326")
+    pts = [(400_000.0, 300_000.0), (137_500.0, 23_400.0),
+           (651_409.903, 313_177.270), (529_090.0, 181_680.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    lon, lat = inv(F.col("x"), F.col("y"))
+    got = df.select(lon.alias("lon"), lat.alias("lat")).collect()
+    lon_sql, lat_sql = osgb_inverse_sql("x", "y")
+    con = duckdb.connect()
+    for (px, py), r in zip(pts, got):
+        o = con.execute(
+            f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, ? AS y)",
+            [px, py]).fetchone()
+        assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10
+
+
 # ---- bicubic (order-3) affine upsampling ------------------------------
 
 

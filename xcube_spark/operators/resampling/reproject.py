@@ -199,6 +199,227 @@ def utm_inverse_sql(x_expr: str, y_expr: str, zone: int,
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
 
 
+# ---- OSGB National Grid (EPSG:27700) ----------------------------------
+#
+# The British national CRS the reference reaches through pyproj: a
+# transverse Mercator with false origin on the AIRY 1830 ellipsoid in
+# the OSGB36 datum.  Two public-math pieces compose it, both as pure
+# Column arithmetic:
+#   * the same Krueger/Karney TM series as UTM above, re-derived for
+#     Airy's third flattening (the series coefficients are functions
+#     of n only — `_tm_series`), with the EPSG:27700 natural origin
+#     (49N, 2W, k0=0.9996012717, FE=400km, FN=-100km);
+#   * the WGS84/ETRS89 <-> OSGB36 datum hop: geodetic -> geocentric
+#     XYZ, the published 7-parameter Helmert (OS "A guide to
+#     coordinate systems in Great Britain", annex; position-vector
+#     convention), and Bowring's closed-form XYZ -> geodetic.
+# Single-Helmert accuracy vs the OSTN15 grid shift is the documented
+# ~3-5 m — the standard non-grid approximation.
+
+def _tm_series(f: float):
+    """Krueger 3rd-order TM series for an ellipsoid of flattening f:
+    (alpha, beta, delta, A/a rectifying ratio)."""
+    n = f / (2.0 - f)
+    alpha = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 5.0 * n ** 3 / 16.0,
+        13.0 * n ** 2 / 48.0 - 3.0 * n ** 3 / 5.0,
+        61.0 * n ** 3 / 240.0,
+    )
+    beta = (
+        n / 2.0 - 2.0 * n ** 2 / 3.0 + 37.0 * n ** 3 / 96.0,
+        n ** 2 / 48.0 + n ** 3 / 15.0,
+        17.0 * n ** 3 / 480.0,
+    )
+    delta = (
+        2.0 * n - 2.0 * n ** 2 / 3.0 - 2.0 * n ** 3,
+        7.0 * n ** 2 / 3.0 - 8.0 * n ** 3 / 5.0,
+        56.0 * n ** 3 / 15.0,
+    )
+    ar = (1.0 + n ** 2 / 4.0 + n ** 4 / 64.0) / (1.0 + n)
+    return alpha, beta, delta, ar
+
+
+_AIRY_A = 6_377_563.396
+_AIRY_F = 1.0 / 299.3249646
+_AIRY_E = math.sqrt(_AIRY_F * (2.0 - _AIRY_F))
+_AIRY_B = _AIRY_A * (1.0 - _AIRY_F)
+_AIRY_EP2 = (_AIRY_A ** 2 - _AIRY_B ** 2) / _AIRY_B ** 2
+_AIRY_ALPHA, _AIRY_BETA, _AIRY_DELTA, _airy_ar = _tm_series(_AIRY_F)
+_AIRY_AR = _AIRY_A * _airy_ar
+
+_WGS_A = _R
+_WGS_E2 = _E_WGS84 ** 2
+_WGS_B = _WGS_A * (1.0 - _F_WGS84)
+_WGS_EP2 = (_WGS_A ** 2 - _WGS_B ** 2) / _WGS_B ** 2
+
+_OSGB_K0 = 0.9996012717
+_OSGB_LON0 = -2.0
+_OSGB_LAT0 = 49.0
+_OSGB_FE = 400_000.0
+_OSGB_FN = -100_000.0
+#: WGS84/ETRS89 -> OSGB36 Helmert (tx, ty, tz [m]; rx, ry, rz [rad];
+#: s [unitless]) — position-vector convention
+_OSGB_HELM = (
+    -446.448, 125.157, -542.060,
+    math.radians(-0.1502 / 3600.0),
+    math.radians(-0.2470 / 3600.0),
+    math.radians(-0.8421 / 3600.0),
+    20.4894e-6,
+)
+
+
+def _tm_xi_scalar(phi: float, e: float, alpha: tuple) -> float:
+    """Rectifying latitude xi of phi at the central meridian (scalar,
+    for the false-northing constant)."""
+    t = math.sinh(math.atanh(math.sin(phi))
+                  - e * math.atanh(e * math.sin(phi)))
+    xip = math.atan(t)
+    return xip + sum(a * math.sin(2.0 * j * xip)
+                     for j, a in enumerate(alpha, start=1))
+
+
+#: northing offset: FN - k0 * M(lat0)
+_OSGB_Y0 = _OSGB_FN - _OSGB_K0 * _AIRY_AR * _tm_xi_scalar(
+    math.radians(_OSGB_LAT0), _AIRY_E, _AIRY_ALPHA)
+
+
+def _osgb_tm_fwd(lam_a: Column, phi_a: Column) -> tuple[Column, Column]:
+    """Airy-TM forward: OSGB36 geodetic radians -> (easting, northing).
+    Exposed separately so tests can pin the OS worked example without
+    the datum hop."""
+    lam = lam_a - F.lit(math.radians(_OSGB_LON0))
+    sphi = F.sin(phi_a)
+    t = F.sinh(F.atanh(sphi) - F.lit(_AIRY_E)
+               * F.atanh(F.lit(_AIRY_E) * sphi))
+    clam = F.cos(lam)
+    xip = F.atan2(t, clam)
+    etap = F.asinh(F.sin(lam) / F.sqrt(t * t + clam * clam))
+    xi, eta = xip, etap
+    for j, a in enumerate(_AIRY_ALPHA, start=1):
+        xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xip) \
+            * F.cosh(F.lit(2.0 * j) * etap)
+        eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xip) \
+            * F.sinh(F.lit(2.0 * j) * etap)
+    x = F.lit(_OSGB_K0 * _AIRY_AR) * eta + F.lit(_OSGB_FE)
+    y = F.lit(_OSGB_K0 * _AIRY_AR) * xi + F.lit(_OSGB_Y0)
+    return x, y
+
+
+def _geodetic_to_xyz(lam: Column, phi: Column, a: float,
+                     e2: float) -> tuple[Column, Column, Column]:
+    sp, cp = F.sin(phi), F.cos(phi)
+    nu = F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(e2) * sp * sp)
+    return (nu * cp * F.cos(lam), nu * cp * F.sin(lam),
+            nu * F.lit(1.0 - e2) * sp)
+
+
+def _xyz_to_geodetic(x: Column, y: Column, z: Column, a: float, b: float,
+                     e2: float, ep2: float) -> tuple[Column, Column]:
+    """Bowring's closed-form (single-shot, mm-accurate near the
+    surface): returns (lam, phi) in radians."""
+    p = F.sqrt(x * x + y * y)
+    th = F.atan2(z * F.lit(a), p * F.lit(b))
+    phi = F.atan2(z + F.lit(ep2 * b) * F.pow(F.sin(th), F.lit(3.0)),
+                  p - F.lit(e2 * a) * F.pow(F.cos(th), F.lit(3.0)))
+    return F.atan2(y, x), phi
+
+
+def _helmert(x: Column, y: Column, z: Column,
+             params: tuple) -> tuple[Column, Column, Column]:
+    tx, ty, tz, rx, ry, rz, s = params
+    m = 1.0 + s
+    return (
+        F.lit(tx) + F.lit(m) * x - F.lit(rz) * y + F.lit(ry) * z,
+        F.lit(ty) + F.lit(rz) * x + F.lit(m) * y - F.lit(rx) * z,
+        F.lit(tz) - F.lit(ry) * x + F.lit(rx) * y + F.lit(m) * z,
+    )
+
+
+_OSGB_HELM_INV = tuple(-v for v in _OSGB_HELM)
+
+
+def _lonlat_to_osgb_fn() -> ColumnTransform:
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        X, Y, Z = _geodetic_to_xyz(F.radians(lon), F.radians(lat),
+                                   _WGS_A, _WGS_E2)
+        Xo, Yo, Zo = _helmert(X, Y, Z, _OSGB_HELM)
+        lam_a, phi_a = _xyz_to_geodetic(Xo, Yo, Zo, _AIRY_A, _AIRY_B,
+                                        _AIRY_E ** 2, _AIRY_EP2)
+        return _osgb_tm_fwd(lam_a, phi_a)
+
+    return fwd
+
+
+def _osgb_to_lonlat_fn() -> ColumnTransform:
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xi = (y - F.lit(_OSGB_Y0)) / F.lit(_OSGB_K0 * _AIRY_AR)
+        eta = (x - F.lit(_OSGB_FE)) / F.lit(_OSGB_K0 * _AIRY_AR)
+        xip, etap = xi, eta
+        for j, b in enumerate(_AIRY_BETA, start=1):
+            xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) \
+                * F.cosh(F.lit(2.0 * j) * eta)
+            etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) \
+                * F.sinh(F.lit(2.0 * j) * eta)
+        chi = F.asin(F.sin(xip) / F.cosh(etap))
+        phi_a = chi
+        for j, d in enumerate(_AIRY_DELTA, start=1):
+            phi_a = phi_a + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+        lam_a = F.lit(math.radians(_OSGB_LON0)) \
+            + F.atan2(F.sinh(etap), F.cos(xip))
+        X, Y, Z = _geodetic_to_xyz(lam_a, phi_a, _AIRY_A, _AIRY_E ** 2)
+        Xw, Yw, Zw = _helmert(X, Y, Z, _OSGB_HELM_INV)
+        lam, phi = _xyz_to_geodetic(Xw, Yw, Zw, _WGS_A, _WGS_B,
+                                    _WGS_E2, _WGS_EP2)
+        return F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def osgb_inverse_sql(x_expr: str, y_expr: str) -> tuple[str, str]:
+    """The SAME EPSG:27700 inverse as SQL strings (for DuckDB
+    oracles): TM-inverse series on Airy, geodetic -> XYZ, inverse
+    Helmert, Bowring back to WGS84.  Returns (lon_sql, lat_sql)."""
+    k = repr(_OSGB_K0 * _AIRY_AR)
+    xi = f"((({y_expr}) - {_OSGB_Y0!r}) / {k})"
+    eta = f"((({x_expr}) - {_OSGB_FE!r}) / {k})"
+
+    def sinh(z):
+        return f"((exp({z}) - exp(-({z}))) / 2)"
+
+    def cosh(z):
+        return f"((exp({z}) + exp(-({z}))) / 2)"
+
+    xip, etap = xi, eta
+    for j, b in enumerate(_AIRY_BETA, start=1):
+        xip = f"({xip} - {b!r} * sin(2.0 * {j} * {xi}) " \
+              f"* {cosh(f'2.0 * {j} * {eta}')})"
+        etap = f"({etap} - {b!r} * cos(2.0 * {j} * {xi}) " \
+               f"* {sinh(f'2.0 * {j} * {eta}')})"
+    chi = f"asin(sin({xip}) / {cosh(etap)})"
+    phi_a = chi
+    for j, d in enumerate(_AIRY_DELTA, start=1):
+        phi_a = f"({phi_a} + {d!r} * sin(2.0 * {j} * ({chi})))"
+    lam_a = f"({math.radians(_OSGB_LON0)!r} " \
+            f"+ atan2({sinh(etap)}, cos({xip})))"
+    # Airy geodetic -> XYZ
+    e2a = _AIRY_E ** 2
+    nu = f"({_AIRY_A!r} / sqrt(1.0 - {e2a!r} * sin({phi_a}) " \
+         f"* sin({phi_a})))"
+    X = f"({nu} * cos({phi_a}) * cos({lam_a}))"
+    Y = f"({nu} * cos({phi_a}) * sin({lam_a}))"
+    Z = f"({nu} * {1.0 - e2a!r} * sin({phi_a}))"
+    tx, ty, tz, rx, ry, rz, s = _OSGB_HELM_INV
+    m = repr(1.0 + s)
+    Xw = f"({tx!r} + {m} * {X} - {rz!r} * {Y} + {ry!r} * {Z})"
+    Yw = f"({ty!r} + {rz!r} * {X} + {m} * {Y} - {rx!r} * {Z})"
+    Zw = f"({tz!r} + (-({ry!r})) * {X} + {rx!r} * {Y} + {m} * {Z})"
+    p = f"sqrt({Xw} * {Xw} + {Yw} * {Yw})"
+    th = f"atan2({Zw} * {_WGS_A!r}, {p} * {_WGS_B!r})"
+    phi = f"atan2({Zw} + {_WGS_EP2 * _WGS_B!r} * pow(sin({th}), 3), " \
+          f"{p} - {_WGS_E2 * _WGS_A!r} * pow(cos({th}), 3))"
+    return f"degrees(atan2({Yw}, {Xw}))", f"degrees({phi})"
+
+
 # ---- polar stereographic (EPSG:3413 / EPSG:3031) ----------------------
 #
 # The polar satellite CRSs (NSIDC Sea Ice stereographics) — ellipsoidal
@@ -681,6 +902,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _aea_to_lonlat_fn(up)
     if up in SINU_PARAMS:
         return _sinu_to_lonlat_fn(up)
+    if up == "EPSG:27700":
+        return _osgb_to_lonlat_fn()
     utm = parse_utm_crs(up)
     if utm:
         return _utm_to_lonlat_fn(*utm)
@@ -704,6 +927,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_aea_fn(up)
     if up in SINU_PARAMS:
         return _lonlat_to_sinu_fn(up)
+    if up == "EPSG:27700":
+        return _lonlat_to_osgb_fn()
     utm = parse_utm_crs(up)
     if utm:
         return _lonlat_to_utm_fn(*utm)

@@ -501,6 +501,64 @@ def cube_reproject_albers(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: OSGB National Grid (EPSG:27700) target ------------------
+
+from xcube_spark.operators.resampling.reproject import osgb_inverse_sql
+
+_OSGB = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=137_000.0, y_start=23_000.0,
+                 x_res=13_700.0, y_res=24_300.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="EPSG:27700")
+
+#: off-round origin/steps keep every re-projected center >= 6.4e-5 deg
+#: from any 1-degree source cell edge (checked with DuckDB)
+_OSGB_LON, _OSGB_LAT = osgb_inverse_sql(
+    "(137000.0 + (x_i + 0.5) * 13700.0)",
+    "(23000.0 + (y_i + 0.5) * 24300.0)")
+
+
+@query(
+    "cube_reproject_osgb",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_OSGB.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_OSGB_LON} AS lon,
+                   {_OSGB_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_osgb(spark, sf_dir):
+    """reproject_dataset onto the British National Grid (OSGB36,
+    EPSG:27700) — a transverse Mercator with false origin on the Airy
+    1830 ellipsoid in a DIFFERENT datum, which the reference reaches
+    through pyproj (core/gridmapping/transform.py:8-9).  The
+    closed-form chain: Krueger TM series re-derived for Airy's
+    flattening + the published 7-parameter Helmert datum hop
+    (WGS84 <-> OSGB36) with Bowring's XYZ->geodetic, all pure Column
+    arithmetic inside codegen; the oracle states the identical inverse
+    in SQL (osgb_inverse_sql).  Target centers sit >= 6.4e-5 deg from
+    any source cell edge, so sub-ulp libm differences cannot flip a
+    gather index."""
+    out = reproject_dataset(_cube_a(spark), GRID, _OSGB)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
