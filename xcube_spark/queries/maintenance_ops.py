@@ -394,6 +394,52 @@ def cube_geotiff_ingest(spark, sf_dir):
     )
 
 
+_JP2_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_jp2_ingest",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT y_i, COUNT(*) AS n,
+               SUM(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_sum,
+               MIN(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_min,
+               MAX(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_max
+        FROM cube WHERE t_i = 0
+        GROUP BY y_i
+    """,
+)
+def cube_jp2_ingest(spark, sf_dir):
+    """JPEG-2000 round-trip (ref plugin.py:102-107 j2k/jp2 openers):
+    the fixture cube's t=0 plane quantized to uint16
+    (round(A*200)+3000), written as a lossless JP2 (self-implemented
+    Part 1 codec: MQ coder, EBCOT Tier-1, tag-tree packets, 5/3 DWT,
+    64x64 tiles), re-ingested tile-parallel and aggregated per row.
+    Reversible coding round-trips the integers exactly, so the oracle
+    recomputes the quantization from the cube definition directly —
+    both engines run the identical double arithmetic (+,*,round), so
+    the quantized values cannot diverge."""
+    import tempfile
+
+    from xcube_spark.sources.jp2 import open_jp2_cube, write_jp2_cube_plane
+
+    if "p" not in _JP2_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_jp2_") + "/plane.jp2"
+        plane = new_cube(spark, GRID, variables=SPARK_VARS) \
+            .where(F.col("t_i") == 0)
+        write_jp2_cube_plane(plane, path, "A", width=GRID.width,
+                             height=GRID.height, scale=200.0,
+                             offset=3000.0, tile=(64, 64))
+        _JP2_PATH["p"] = path
+    back = open_jp2_cube(spark, _JP2_PATH["p"], band_name="A")
+    return back.groupBy("y_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("A").cast("long")).alias("q_sum"),
+        F.min(F.col("A").cast("long")).alias("q_min"),
+        F.max(F.col("A").cast("long")).alias("q_max"),
+    )
+
+
 _ZARR_PATH: dict[str, str] = {}
 
 

@@ -134,6 +134,34 @@ class GeoTiffFormatDriver(FormatDriver):
 
 
 @dataclass(frozen=True)
+class Jpeg2000FormatDriver(FormatDriver):
+    """JPEG-2000 entry (ref plugin.py:102-107 j2k/jp2 openers):
+    self-implemented Part 1 reversible codec (sources/jp2.py),
+    tile-parallel like geotiff."""
+
+    def read(self, spark: SparkSession, path: str, **options) -> DataFrame:
+        from xcube_spark.sources.jp2 import open_jp2_cube
+
+        return open_jp2_cube(
+            spark, path,
+            band_name=options.get("band_name", "band_1"),
+            x_start=options.get("x_start"),
+            y_end=options.get("y_end"),
+            res=options.get("res"),
+            nodata=options.get("nodata"))
+
+    def write(self, df: DataFrame, path: str, mode: str = "error",
+              **options) -> None:
+        from xcube_spark.sources.jp2 import write_jp2_cube_plane
+
+        required = {"var_name", "width", "height"}
+        missing = required - set(options)
+        if missing:
+            raise ValueError(f"jp2 write needs options {sorted(missing)}")
+        write_jp2_cube_plane(df, path, **options)
+
+
+@dataclass(frozen=True)
 class FeatureFormatDriver(FormatDriver):
     """Vector-feature entries (GeoJSON / ESRI Shapefile accessors,
     /root/reference/xcube/plugin.py:91-218): read-only dispatch to the
@@ -157,6 +185,7 @@ FORMATS: dict[str, FormatDriver] = {
     "geojson": FeatureFormatDriver("geojson", (".geojson",)),
     "shapefile": FeatureFormatDriver("shapefile", (".shp",)),
     "geotiff": GeoTiffFormatDriver("geotiff", (".tif", ".tiff")),
+    "jpeg2000": Jpeg2000FormatDriver("jpeg2000", (".jp2", ".j2k")),
     "netcdf": NetcdfFormatDriver("netcdf", (".nc", ".cdf")),
     "csv": FormatDriver(
         "csv",
