@@ -144,12 +144,38 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--var", action="append", dest="variables",
                    help="restrict to these variables (repeatable)")
 
+    p = sub.add_parser("serve", help="HTTP server over a cube "
+                       "(xcube serve; datasets/tiles/timeseries/"
+                       "statistics/coverage routes)")
+    p.add_argument("input")
+    p.add_argument("--id", default="dataset", help="dataset id")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--host", default="127.0.0.1")
+    _add_grid_args(p)
+
     args = ap.parse_args(argv)
 
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
 
     spark = get_session(app_name=f"sparkcube-{args.cmd}")
+
+    if args.cmd == "serve":
+        from xcube_spark.server import CubeServer
+
+        srv = CubeServer(spark)
+        srv.add_dataset(args.id, open_dataset(spark, args.input),
+                        _grid_from_args(args))
+        port = srv.start(host=args.host, port=args.port)
+        print(f"serving {args.id} on http://{args.host}:{port} "
+              "(Ctrl-C to stop)")
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            srv.stop()
+        return 0
 
     if args.cmd == "virtualize":
         from xcube_spark.sources.virtualize import virtualize_netcdf4_mf
