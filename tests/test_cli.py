@@ -161,3 +161,54 @@ def test_cli_virtualize(spark, tmp_path):
     doc = json.load(open(refs))
     assert "A/.zarray" in doc["refs"]
     assert json.loads(doc["refs"]["A/.zarray"])["shape"] == [2, 4, 5]
+
+
+def test_cli_grid_res(capsys):
+    """xcube grid res parity (ref cli/grid.py): exact rational
+    resolutions near a target, with the power-of-two ladder columns."""
+    assert main(["grid", "res", "0.05", "--delta", "1%"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[:4] == ["R_D (%)", "R_NOM", "R_DEN",
+                                     "R (deg)"]
+    # 180/3600 = 0.05 exactly: first row is the exact hit
+    first = out[1].split("\t")
+    assert first[0] == "0.0" and first[5] == "3600"
+    # 3600 = 225 * 2^4
+    assert first[6] == "225" and first[7] == "4"
+
+
+def test_cli_grid_levels(capsys):
+    assert main(["grid", "levels", "3600"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [r.split("\t") for r in out[1:]]
+    assert rows[0][:2] == ["0", "225"]
+    assert rows[-1][:2] == ["4", "3600"]
+    assert float(rows[-1][3]) == 0.05
+
+
+def test_cli_grid_abox(capsys):
+    assert main(["grid", "abox", "--res", "0.5", "--",
+                 "-10.3,2.2,12.7,8.8"]) == 0
+    out = capsys.readouterr().out
+    assert "Adjusted box: -10.5,2.0,13.0,9.0" in out
+    assert "47 x 14 cells" in out
+
+
+def test_gridcalc_functions():
+    from fractions import Fraction
+
+    from xcube_spark.functions.gridcalc import (degrees_to_meters,
+                                                factor_out_two,
+                                                find_close_resolutions,
+                                                meters_to_degrees)
+
+    assert factor_out_two(3600) == (225, 4)
+    assert factor_out_two(1) == (1, 0)
+    assert abs(meters_to_degrees(degrees_to_meters(0.25)) - 0.25) < 1e-12
+    res = find_close_resolutions(0.05, 0.001, int_inv_res=True)
+    assert all(g.res.numerator == 1 for g in res)
+    assert res[0].res == Fraction(1, 20)
+    # every hit factors into a legal pyramid
+    for g in res:
+        assert g.height == g.height_0 * 2 ** g.level
+        assert g.res * g.height == 180

@@ -144,6 +144,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--var", action="append", dest="variables",
                    help="restrict to these variables (repeatable)")
 
+    p = sub.add_parser("grid", help="fixed-Earth-grid resolution "
+                       "calculator (xcube grid res/levels/abox)")
+    p.add_argument("action", choices=["res", "levels", "abox"])
+    p.add_argument("value", help="res: target resolution (deg or Nm); "
+                   "levels: grid height; abox: x1,y1,x2,y2")
+    p.add_argument("--delta", default="2.5%",
+                   help="res: max deviation (deg, Nm or P%%)")
+    p.add_argument("--coverage", type=float, default=180.0)
+    p.add_argument("--tile-max", type=int, default=2500)
+    p.add_argument("--level-min", type=int, default=0)
+    p.add_argument("--int-inv-res", action="store_true")
+    p.add_argument("--num-results", type=int, default=10)
+    p.add_argument("--res", help="abox: grid resolution (deg or Nm)")
+
     p = sub.add_parser("serve", help="HTTP server over a cube "
                        "(xcube serve; datasets/tiles/timeseries/"
                        "statistics/coverage routes)")
@@ -154,6 +168,42 @@ def main(argv: list[str] | None = None) -> int:
     _add_grid_args(p)
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "grid":  # pure arithmetic — no Spark session
+        from fractions import Fraction
+
+        from xcube_spark.functions.gridcalc import (
+            LEVELS_HEADER, RES_HEADER, find_close_resolutions,
+            get_adjusted_box, get_levels, parse_delta, parse_res)
+
+        cov = Fraction(args.coverage).limit_denominator(10**9)
+        if args.action == "res":
+            target = parse_res(args.value)
+            results = find_close_resolutions(
+                target, parse_delta(args.delta, target), cov,
+                max_tile=args.tile_max, min_level=args.level_min,
+                int_inv_res=args.int_inv_res)
+            print("\t".join(RES_HEADER))
+            for g in results[:args.num_results]:
+                print("\t".join(map(str, g.row())))
+            if len(results) > args.num_results:
+                print(f"{len(results) - args.num_results} more...")
+        elif args.action == "levels":
+            print("\t".join(LEVELS_HEADER))
+            for row in get_levels(int(args.value), cov,
+                                  min_levels=args.level_min or None):
+                print("\t".join(map(str, row)))
+        else:  # abox
+            if not args.res:
+                print("abox needs --res", file=sys.stderr)
+                return 2
+            x1, y1, x2, y2 = (float(v) for v in args.value.split(","))
+            res = parse_res(args.res)
+            ax1, ay1, ax2, ay2 = get_adjusted_box(x1, y1, x2, y2, res)
+            print(f"Adjusted box: {ax1},{ay1},{ax2},{ay2}")
+            print(f"Box size: {round((ax2 - ax1) / res)} x "
+                  f"{round((ay2 - ay1) / res)} cells")
+        return 0
 
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
