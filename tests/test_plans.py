@@ -278,6 +278,26 @@ def test_semdedup_no_corpus_broadcast_and_cell_join(spark):
     assert opt.lower().count("repartition") == 0
 
 
+def test_jp2_read_plan_shuffle_free(spark, tmp_path):
+    """The JP2 open is MapInPandas over a bounded tile range — no
+    hash-partition exchange anywhere; each task touches only its own
+    tile's byte range."""
+    import re
+
+    import numpy as np
+
+    from xcube_spark.sources.jp2 import open_jp2_cube, write_jp2
+
+    p = str(tmp_path / "p.jp2")
+    write_jp2(p, np.arange(128 * 192, dtype=np.uint16).reshape(128, 192)
+              % 50000, tile=(64, 64))
+    cube = open_jp2_cube(spark, p)
+    phys = cube._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in phys
+    hash_exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", phys)
+    assert not hash_exchanges, hash_exchanges
+
+
 def test_netcdf4_read_plan_shuffle_free(spark, tmp_path):
     """The aligned netCDF-4 cube read is MapInPandas over the task
     table plus broadcast axis joins — no hash-partition exchange of

@@ -338,41 +338,302 @@ def _helmert(x: Column, y: Column, z: Column,
 _OSGB_HELM_INV = tuple(-v for v in _OSGB_HELM)
 
 
-def _lonlat_to_osgb_fn() -> ColumnTransform:
-    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
-        X, Y, Z = _geodetic_to_xyz(F.radians(lon), F.radians(lat),
-                                   _WGS_A, _WGS_E2)
-        Xo, Yo, Zo = _helmert(X, Y, Z, _OSGB_HELM)
-        lam_a, phi_a = _xyz_to_geodetic(Xo, Yo, Zo, _AIRY_A, _AIRY_B,
-                                        _AIRY_E ** 2, _AIRY_EP2)
-        return _osgb_tm_fwd(lam_a, phi_a)
+class StagedTransform:
+    """A CRS transform evaluated in NAMED stages.
 
-    return fwd
+    Deeply-composed transforms (datum hop + Bowring + TM series) blow
+    up exponentially when written as one Column tree: every reuse of a
+    subexpression copies its whole subtree, and a 2-of-them-deep chain
+    reaches megabyte plans (tens of seconds of Catalyst/codegen per
+    query — measured on EPSG:27700).  Staging materializes each
+    intermediate as an aliased projection column instead; Catalyst's
+    CollapseProject keeps multiply-referenced non-trivial aliases as
+    separate projections, so the plan stays linear in the number of
+    stage expressions.
+
+    ``stages``: list of dicts ``name -> fn(env)`` where ``env`` maps
+    previously-defined names (plus ``__in_x``/``__in_y``) to Columns.
+    The last stage must define ``__out_x`` and ``__out_y``.
+
+    Calling the transform like a plain ``ColumnTransform`` still
+    composes the full inline tree (fine for a handful of rows in
+    tests); ``apply_df`` is the production path.
+    """
+
+    def __init__(self, stages: list[dict]):
+        self.stages = stages
+
+    def __call__(self, x: Column, y: Column) -> tuple[Column, Column]:
+        env = {"__in_x": x, "__in_y": y}
+        for stage in self.stages:
+            env.update({n: fn(env) for n, fn in stage.items()})
+        return env["__out_x"], env["__out_y"]
+
+    def apply_df(self, df, x_expr: Column, y_expr: Column,
+                 out_x: str, out_y: str):
+        names = ["__in_x", "__in_y"]
+        df = df.withColumns({"__in_x": x_expr, "__in_y": y_expr})
+        for stage in self.stages:
+            env = {n: F.col(n) for n in names}
+            df = df.withColumns({n: fn(env) for n, fn in stage.items()})
+            names += list(stage)
+        df = df.withColumns({out_x: F.col("__out_x"),
+                             out_y: F.col("__out_y")})
+        return df.drop(*names)
 
 
-def _osgb_to_lonlat_fn() -> ColumnTransform:
-    def inv(x: Column, y: Column) -> tuple[Column, Column]:
-        xi = (y - F.lit(_OSGB_Y0)) / F.lit(_OSGB_K0 * _AIRY_AR)
-        eta = (x - F.lit(_OSGB_FE)) / F.lit(_OSGB_K0 * _AIRY_AR)
-        xip, etap = xi, eta
+def apply_transform_df(df, transform, x_expr: Column, y_expr: Column,
+                       out_x: str, out_y: str):
+    """Apply a transform onto a DataFrame, staged when it supports it."""
+    if hasattr(transform, "apply_df"):
+        return transform.apply_df(df, x_expr, y_expr, out_x, out_y)
+    sx, sy = transform(x_expr, y_expr)
+    return df.withColumns({out_x: sx, out_y: sy})
+
+
+class _ChainedTransform:
+    """4326-hop composition where at least one leg is staged."""
+
+    def __init__(self, to_ll, from_ll):
+        self.to_ll, self.from_ll = to_ll, from_ll
+
+    def __call__(self, x: Column, y: Column) -> tuple[Column, Column]:
+        return self.from_ll(*self.to_ll(x, y))
+
+    def apply_df(self, df, x_expr, y_expr, out_x: str, out_y: str):
+        df = apply_transform_df(df, self.to_ll, x_expr, y_expr,
+                                "__mid_x", "__mid_y")
+        df = apply_transform_df(df, self.from_ll, F.col("__mid_x"),
+                                F.col("__mid_y"), out_x, out_y)
+        return df.drop("__mid_x", "__mid_y")
+
+
+def _osgb_tm_fwd_stages() -> list[dict]:
+    """Airy-TM forward as stages: env __lam_a/__phi_a -> E/N."""
+    k = _OSGB_K0 * _AIRY_AR
+
+    def s1(env):
+        return {
+            "__tlam": env["__lam_a"] - F.lit(math.radians(_OSGB_LON0)),
+            "__tsp": F.sin(env["__phi_a"]),
+        }
+
+    def s2(env):
+        return {"__tt": F.sinh(F.atanh(env["__tsp"]) - F.lit(_AIRY_E)
+                               * F.atanh(F.lit(_AIRY_E) * env["__tsp"])),
+                "__tcl": F.cos(env["__tlam"])}
+
+    def s3(env):
+        return {
+            "__txip": F.atan2(env["__tt"], env["__tcl"]),
+            "__tetap": F.asinh(F.sin(env["__tlam"]) / F.sqrt(
+                env["__tt"] * env["__tt"]
+                + env["__tcl"] * env["__tcl"])),
+        }
+
+    def s4(env):
+        xi, eta = env["__txip"], env["__tetap"]
+        for j, a in enumerate(_AIRY_ALPHA, start=1):
+            xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * env["__txip"]) \
+                * F.cosh(F.lit(2.0 * j) * env["__tetap"])
+            eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * env["__txip"]) \
+                * F.sinh(F.lit(2.0 * j) * env["__tetap"])
+        return {"__out_x": F.lit(k) * eta + F.lit(_OSGB_FE),
+                "__out_y": F.lit(k) * xi + F.lit(_OSGB_Y0)}
+
+    def pick(fn, name):
+        return lambda env: fn(env)[name]
+
+    return [
+        {"__tlam": pick(s1, "__tlam"), "__tsp": pick(s1, "__tsp")},
+        {"__tt": pick(s2, "__tt"), "__tcl": pick(s2, "__tcl")},
+        {"__txip": pick(s3, "__txip"), "__tetap": pick(s3, "__tetap")},
+        {"__out_x": pick(s4, "__out_x"), "__out_y": pick(s4, "__out_y")},
+    ]
+
+
+def _lonlat_to_osgb_fn() -> "StagedTransform":
+    h = _OSGB_HELM
+    e2a = _AIRY_E ** 2
+
+    stages = [
+        {"__lam": lambda env: F.radians(env["__in_x"]),
+         "__phi": lambda env: F.radians(env["__in_y"])},
+        {"__sp": lambda env: F.sin(env["__phi"]),
+         "__cp": lambda env: F.cos(env["__phi"])},
+        {"__nu": lambda env: F.lit(_WGS_A) / F.sqrt(
+            F.lit(1.0) - F.lit(_WGS_E2) * env["__sp"] * env["__sp"])},
+        {"__X": lambda env: env["__nu"] * env["__cp"]
+            * F.cos(env["__lam"]),
+         "__Y": lambda env: env["__nu"] * env["__cp"]
+            * F.sin(env["__lam"]),
+         "__Z": lambda env: env["__nu"] * F.lit(1.0 - _WGS_E2)
+            * env["__sp"]},
+        {"__Xo": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], h)[0],
+         "__Yo": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], h)[1],
+         "__Zo": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], h)[2]},
+        {"__p": lambda env: F.sqrt(
+            env["__Xo"] * env["__Xo"] + env["__Yo"] * env["__Yo"])},
+        {"__th": lambda env: F.atan2(env["__Zo"] * F.lit(_AIRY_A),
+                                     env["__p"] * F.lit(_AIRY_B))},
+        {"__phi_a": lambda env: F.atan2(
+            env["__Zo"] + F.lit(_AIRY_EP2 * _AIRY_B)
+            * F.pow(F.sin(env["__th"]), F.lit(3.0)),
+            env["__p"] - F.lit(e2a * _AIRY_A)
+            * F.pow(F.cos(env["__th"]), F.lit(3.0))),
+         "__lam_a": lambda env: F.atan2(env["__Yo"], env["__Xo"])},
+    ] + _osgb_tm_fwd_stages()
+    return StagedTransform(stages)
+
+
+def _osgb_to_lonlat_fn() -> "StagedTransform":
+    k = _OSGB_K0 * _AIRY_AR
+    e2a = _AIRY_E ** 2
+    hinv = _OSGB_HELM_INV
+
+    def series_xip(env):
+        xip = env["__xi"]
         for j, b in enumerate(_AIRY_BETA, start=1):
-            xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) \
-                * F.cosh(F.lit(2.0 * j) * eta)
-            etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) \
-                * F.sinh(F.lit(2.0 * j) * eta)
-        chi = F.asin(F.sin(xip) / F.cosh(etap))
-        phi_a = chi
-        for j, d in enumerate(_AIRY_DELTA, start=1):
-            phi_a = phi_a + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
-        lam_a = F.lit(math.radians(_OSGB_LON0)) \
-            + F.atan2(F.sinh(etap), F.cos(xip))
-        X, Y, Z = _geodetic_to_xyz(lam_a, phi_a, _AIRY_A, _AIRY_E ** 2)
-        Xw, Yw, Zw = _helmert(X, Y, Z, _OSGB_HELM_INV)
-        lam, phi = _xyz_to_geodetic(Xw, Yw, Zw, _WGS_A, _WGS_B,
-                                    _WGS_E2, _WGS_EP2)
-        return F.degrees(lam), F.degrees(phi)
+            xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * env["__xi"]) \
+                * F.cosh(F.lit(2.0 * j) * env["__eta"])
+        return xip
 
-    return inv
+    def series_etap(env):
+        etap = env["__eta"]
+        for j, b in enumerate(_AIRY_BETA, start=1):
+            etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * env["__xi"]) \
+                * F.sinh(F.lit(2.0 * j) * env["__eta"])
+        return etap
+
+    def series_phi(env):
+        phi_a = env["__chi"]
+        for j, d in enumerate(_AIRY_DELTA, start=1):
+            phi_a = phi_a + F.lit(d) * F.sin(F.lit(2.0 * j) * env["__chi"])
+        return phi_a
+
+    stages = [
+        {"__xi": lambda env: (env["__in_y"] - F.lit(_OSGB_Y0)) / F.lit(k),
+         "__eta": lambda env: (env["__in_x"] - F.lit(_OSGB_FE))
+            / F.lit(k)},
+        {"__xip": series_xip, "__etap": series_etap},
+        {"__chi": lambda env: F.asin(
+            F.sin(env["__xip"]) / F.cosh(env["__etap"]))},
+        {"__phi_a": series_phi,
+         "__lam_a": lambda env: F.lit(math.radians(_OSGB_LON0))
+            + F.atan2(F.sinh(env["__etap"]), F.cos(env["__xip"]))},
+        {"__sp": lambda env: F.sin(env["__phi_a"]),
+         "__cp": lambda env: F.cos(env["__phi_a"])},
+        {"__nu": lambda env: F.lit(_AIRY_A) / F.sqrt(
+            F.lit(1.0) - F.lit(e2a) * env["__sp"] * env["__sp"])},
+        {"__X": lambda env: env["__nu"] * env["__cp"]
+            * F.cos(env["__lam_a"]),
+         "__Y": lambda env: env["__nu"] * env["__cp"]
+            * F.sin(env["__lam_a"]),
+         "__Z": lambda env: env["__nu"] * F.lit(1.0 - e2a)
+            * env["__sp"]},
+        {"__Xw": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], hinv)[0],
+         "__Yw": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], hinv)[1],
+         "__Zw": lambda env: _helmert(
+            env["__X"], env["__Y"], env["__Z"], hinv)[2]},
+        {"__p": lambda env: F.sqrt(
+            env["__Xw"] * env["__Xw"] + env["__Yw"] * env["__Yw"])},
+        {"__th": lambda env: F.atan2(env["__Zw"] * F.lit(_WGS_A),
+                                     env["__p"] * F.lit(_WGS_B))},
+        {"__out_x": lambda env: F.degrees(
+            F.atan2(env["__Yw"], env["__Xw"])),
+         "__out_y": lambda env: F.degrees(F.atan2(
+            env["__Zw"] + F.lit(_WGS_EP2 * _WGS_B)
+            * F.pow(F.sin(env["__th"]), F.lit(3.0)),
+            env["__p"] - F.lit(_WGS_E2 * _WGS_A)
+            * F.pow(F.cos(env["__th"]), F.lit(3.0))))},
+    ]
+    return StagedTransform(stages)
+
+
+def osgb_inverse_sql_ctes(x_expr: str, y_expr: str,
+                          src: str = "tgt") -> str:
+    """The EPSG:27700 inverse as a chain of CTEs over ``src`` —
+    identical arithmetic to the staged Column transform, one aliased
+    column per intermediate (the monolithic expression form is
+    megabytes of SQL and costs seconds of parse time per query).
+    Emits CTEs ``o1..o9`` and finally ``osgb_ll`` = ``src`` columns +
+    ``lon``/``lat``."""
+    k = repr(_OSGB_K0 * _AIRY_AR)
+
+    def sinh(z):
+        return f"((exp({z}) - exp(-({z}))) / 2)"
+
+    def cosh(z):
+        return f"((exp({z}) + exp(-({z}))) / 2)"
+
+    xip = "__xi"
+    etap = "__eta"
+    for j, b in enumerate(_AIRY_BETA, start=1):
+        xip = f"({xip} - {b!r} * sin(2.0 * {j} * __xi) " \
+              f"* {cosh(f'2.0 * {j} * __eta')})"
+        etap = f"({etap} - {b!r} * cos(2.0 * {j} * __xi) " \
+               f"* {sinh(f'2.0 * {j} * __eta')})"
+    phia = "__chi"
+    for j, d in enumerate(_AIRY_DELTA, start=1):
+        phia = f"({phia} + {d!r} * sin(2.0 * {j} * (__chi)))"
+    e2a = _AIRY_E ** 2
+    tx, ty, tz, rx, ry, rz, s = _OSGB_HELM_INV
+    m = repr(1.0 + s)
+    return f"""o1 AS (
+            SELECT *, ((({y_expr}) - {_OSGB_Y0!r}) / {k}) AS __xi,
+                      ((({x_expr}) - {_OSGB_FE!r}) / {k}) AS __eta
+            FROM {src}
+        ), o2 AS (
+            SELECT *, {xip} AS __xip, {etap} AS __etap FROM o1
+        ), o3 AS (
+            SELECT *, asin(sin(__xip) / {cosh('__etap')}) AS __chi
+            FROM o2
+        ), o4 AS (
+            SELECT *, {phia} AS __phia,
+                   ({math.radians(_OSGB_LON0)!r}
+                    + atan2({sinh('__etap')}, cos(__xip))) AS __lama
+            FROM o3
+        ), o5 AS (
+            SELECT *, sin(__phia) AS __sp, cos(__phia) AS __cp FROM o4
+        ), o6 AS (
+            SELECT *, ({_AIRY_A!r} / sqrt(1.0 - {e2a!r} * __sp * __sp))
+                      AS __nu
+            FROM o5
+        ), o7 AS (
+            SELECT *, (__nu * __cp * cos(__lama)) AS __X,
+                      (__nu * __cp * sin(__lama)) AS __Y,
+                      (__nu * {1.0 - e2a!r} * __sp) AS __Z
+            FROM o6
+        ), o8 AS (
+            SELECT *, ({tx!r} + {m} * __X - {rz!r} * __Y + {ry!r} * __Z)
+                      AS __Xw,
+                      ({ty!r} + {rz!r} * __X + {m} * __Y - {rx!r} * __Z)
+                      AS __Yw,
+                      ({tz!r} - {ry!r} * __X + {rx!r} * __Y + {m} * __Z)
+                      AS __Zw
+            FROM o7
+        ), o9 AS (
+            SELECT *, sqrt(__Xw * __Xw + __Yw * __Yw) AS __p FROM o8
+        ), o10 AS (
+            SELECT *, atan2(__Zw * {_WGS_A!r}, __p * {_WGS_B!r}) AS __th
+            FROM o9
+        ), osgb_ll AS (
+            SELECT * EXCLUDE (__xi, __eta, __xip, __etap, __chi,
+                              __phia, __lama, __sp, __cp, __nu,
+                              __X, __Y, __Z, __Xw, __Yw, __Zw,
+                              __p, __th),
+                   degrees(atan2(__Yw, __Xw)) AS lon,
+                   degrees(atan2(
+                       __Zw + {_WGS_EP2 * _WGS_B!r} * pow(sin(__th), 3),
+                       __p - {_WGS_E2 * _WGS_A!r} * pow(cos(__th), 3)))
+                   AS lat
+            FROM o10
+        )"""
 
 
 def osgb_inverse_sql(x_expr: str, y_expr: str) -> tuple[str, str]:
@@ -955,6 +1216,9 @@ def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
         if src_crs.upper() == "EPSG:4326":
             return from_ll
 
+        if hasattr(to_ll, "apply_df") or hasattr(from_ll, "apply_df"):
+            return _ChainedTransform(to_ll, from_ll)
+
         def chain(x: Column, y: Column) -> tuple[Column, Column]:
             return from_ll(*to_ll(x, y))
 
@@ -1008,14 +1272,16 @@ def reproject_dataset(
     )
     tx = target.x_center_expr(F.col("x_i"))
     ty = target.y_center_expr(F.col("y_i"))
-    sx, sy = transform(tx, ty)
+    # staged transforms (datum-hop CRSs) materialize intermediates as
+    # aliased columns — one Column tree would be exponentially large
+    tgt = apply_transform_df(tgt, transform, tx, ty, "__tsx", "__tsy")
     tgt = tgt.select(
         "t_i", "y_i", "x_i",
         target.time_center_expr(F.col("t_i")).alias("time"),
         ty.alias("y"),
         tx.alias("x"),
-        source.x_index_expr(sx).alias("__sx"),
-        source.y_index_expr(sy).alias("__sy"),
+        source.x_index_expr(F.col("__tsx")).alias("__sx"),
+        source.y_index_expr(F.col("__tsy")).alias("__sy"),
     )
 
     src_cells = cube.select(

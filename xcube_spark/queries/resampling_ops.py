@@ -503,7 +503,7 @@ def cube_reproject_albers(spark, sf_dir):
 
 # ---- reproject: OSGB National Grid (EPSG:27700) target ------------------
 
-from xcube_spark.operators.resampling.reproject import osgb_inverse_sql
+from xcube_spark.operators.resampling.reproject import osgb_inverse_sql_ctes
 
 _OSGB = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
                  x_start=137_000.0, y_start=23_000.0,
@@ -512,8 +512,11 @@ _OSGB = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
                  crs="EPSG:27700")
 
 #: off-round origin/steps keep every re-projected center >= 6.4e-5 deg
-#: from any 1-degree source cell edge (checked with DuckDB)
-_OSGB_LON, _OSGB_LAT = osgb_inverse_sql(
+#: from any 1-degree source cell edge (checked with DuckDB); the
+#: inverse is a staged CTE chain — the monolithic expression form is
+#: megabytes of SQL (same blowup the Column side avoids via
+#: StagedTransform)
+_OSGB_CTES = osgb_inverse_sql_ctes(
     "(137000.0 + (x_i + 0.5) * 13700.0)",
     "(23000.0 + (y_i + 0.5) * 24300.0)")
 
@@ -527,16 +530,11 @@ _OSGB_LON, _OSGB_LAT = osgb_inverse_sql(
                    CAST((range % 1600) // 40 AS INT) AS y_i,
                    CAST(range % 40 AS INT) AS x_i
             FROM range({_OSGB.size})
-        ), ll AS (
-            SELECT t_i, y_i, x_i,
-                   {_OSGB_LON} AS lon,
-                   {_OSGB_LAT} AS lat
-            FROM tgt
-        ), f AS (
+        ), {_OSGB_CTES}, f AS (
             SELECT t_i, y_i, x_i,
                    CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
                    CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
-            FROM ll
+            FROM osgb_ll
         )
         SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
         FROM f LEFT JOIN cube c
