@@ -121,6 +121,24 @@ def test_coverage_subset(served):
     assert status == 413
 
 
+def test_volume_nrrd(served):
+    """NRRD brick: gzip payload decodes to the exact voxel grid."""
+    import gzip
+    import struct as st
+
+    status, ctype, body = _get(
+        f"{served}/volumes/demo/sst?bbox=-30,-30,30,30")
+    assert status == 200 and ctype == "application/octet-stream"
+    head, _, payload = body.partition(b"\n\n")
+    assert b"NRRD0004" in head
+    vals = st.unpack("<{}f".format(3 * 6 * 6), gzip.decompress(payload))
+    assert len(vals) == 108
+    # t=0 top render row (y=25), x=-25: 0 + 2.5 - 0.25
+    assert abs(vals[0] - 2.25) < 1e-6
+    status, _, _ = _get(f"{served}/volumes/demo/sst?bbox=0,0")
+    assert status == 400
+
+
 def test_unknown_routes(served):
     status, _, body = _get(f"{served}/nope")
     assert status == 404

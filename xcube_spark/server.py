@@ -114,6 +114,9 @@ class CubeServer:
             if (len(seg) == 4 and seg[0] == "ogc"
                     and seg[1] == "collections" and seg[3] == "coverage"):
                 return self._json(self._coverage(seg[2], params))
+            if len(seg) == 3 and seg[0] == "volumes":
+                return (200, "application/octet-stream",
+                        self._volume(seg[1], seg[2], params))
             raise ApiError(404, f"unknown route {path!r}")
         except ApiError as e:
             return (e.status, "application/json",
@@ -302,6 +305,33 @@ class CubeServer:
             "rangeset": [[(_iso(v) if isinstance(v, datetime) else v)
                           for v in r] for r in rows],
         }
+
+    def _volume(self, ds_id: str, var: str,
+                params: dict[str, str]) -> bytes:
+        from xcube_spark.operators.volumes import (extract_volume,
+                                                   volume_nrrd_bytes,
+                                                   volume_shape)
+
+        d = self._get(ds_id)
+        bbox = None
+        if "bbox" in params:
+            bbox = [float(v) for v in params["bbox"].split(",")]
+            if len(bbox) != 4:
+                raise ApiError(400, "bbox needs x1,y1,x2,y2")
+        time_range = None
+        if "startDate" in params or "endDate" in params:
+            if not ("startDate" in params and "endDate" in params):
+                raise ApiError(400, "need both startDate and endDate")
+            time_range = (_parse_time(params["startDate"]),
+                          _parse_time(params["endDate"]))
+        try:
+            voxels = extract_volume(d.cube, d.grid, var, bbox=bbox,
+                                    time_range=time_range)
+            shape = volume_shape(d.grid, bbox=bbox, time_range=time_range)
+            return volume_nrrd_bytes(
+                voxels, shape, encoding=params.get("encoding", "gz"))
+        except ValueError as e:
+            raise ApiError(400, str(e)) from e
 
     # ---- HTTP plumbing --------------------------------------------------
 
