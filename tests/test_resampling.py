@@ -514,6 +514,55 @@ def test_osgb_inverse_sql_twin_matches_column_inverse(spark):
         assert abs(o[0] - r.lon) < 1e-10 and abs(o[1] - r.lat) < 1e-10
 
 
+def test_tm_registry_roundtrip_and_sql_twin(spark):
+    """Generic national-TM registry (NZTM/TM35FIN/ETRS89-UTM): exact
+    round-trips, GRS80-vs-WGS84 distinction (EPSG:25832 differs from
+    EPSG:32632 by the ellipsoid, sub-mm but nonzero), and the DuckDB
+    SQL twin matches the Column inverse to 1e-10."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (get_transform,
+                                                            tm_inverse_sql)
+
+    cases = {"EPSG:2193": [(173.0, -41.0), (168.5, -46.2), (178.2, -37.8)],
+             "EPSG:3067": [(27.0, 64.0), (21.5, 60.2), (30.9, 69.5)],
+             "EPSG:25832": [(9.0, 51.0), (6.2, 47.5), (11.9, 54.8)]}
+    for crs, pts in cases.items():
+        fwd = get_transform("EPSG:4326", crs)
+        inv = get_transform(crs, "EPSG:4326")
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        x, y = fwd(F.col("lon"), F.col("lat"))
+        proj = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = inv(F.col("x"), F.col("y"))
+        rows = proj.select("lon", "lat", "x", "y", lon2.alias("l2"),
+                           lat2.alias("p2")).collect()
+        for r in rows:
+            # 3rd-order Krueger truncation: ~1e-4 m, like the UTM path
+            assert abs(r.l2 - r.lon) < 1e-8 and abs(r.p2 - r.lat) < 1e-8
+        lon_sql, lat_sql = tm_inverse_sql("x", "y", crs)
+        con = duckdb.connect()
+        for r in rows:
+            o = con.execute(
+                f"SELECT {lon_sql}, {lat_sql} FROM (SELECT ? AS x, "
+                "? AS y)", [r.x, r.y]).fetchone()
+            assert abs(o[0] - r.l2) < 1e-10 and abs(o[1] - r.p2) < 1e-10
+
+    # NZTM natural origin: (173E, 0N) -> the false origin exactly
+    fwd = get_transform("EPSG:4326", "EPSG:2193")
+    x, y = fwd(F.lit(173.0), F.lit(0.0))
+    r = spark.range(1).select(x.alias("x"), y.alias("y")).collect()[0]
+    assert abs(r.x - 1_600_000.0) < 1e-6
+    assert abs(r.y - 10_000_000.0) < 1e-6
+
+    # GRS80 != WGS84: same parameters, different flattening
+    e25832 = get_transform("EPSG:4326", "EPSG:25832")
+    e32632 = get_transform("EPSG:4326", "EPSG:32632")
+    a = spark.range(1).select(
+        e25832(F.lit(9.5), F.lit(50.0))[1].alias("n1"),
+        e32632(F.lit(9.5), F.lit(50.0))[1].alias("n2")).collect()[0]
+    assert 0.0 < abs(a.n1 - a.n2) < 0.005
+
+
 # ---- bicubic (order-3) affine upsampling ------------------------------
 
 

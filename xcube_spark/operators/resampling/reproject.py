@@ -681,6 +681,117 @@ def osgb_inverse_sql(x_expr: str, y_expr: str) -> tuple[str, str]:
     return f"degrees(atan2({Yw}, {Xw}))", f"degrees({phi})"
 
 
+# ---- generic national transverse-Mercator grids -----------------------
+#
+# TM-based national CRSs on modern geocentric datums (NZGD2000, ETRS89
+# — both coincident with WGS84 at the accuracy relevant here, per the
+# standard null transformation): the SAME Krueger machinery as UTM and
+# OSGB, parameterized by (ellipsoid, natural origin).  No datum hop,
+# so the inline expression stays UTM-sized.
+
+_GRS80_A = 6_378_137.0
+_GRS80_F = 1.0 / 298.257222101
+
+#: crs -> (a, f, lat0, lon0, k0, false easting, false northing)
+TM_PARAMS: dict[str, tuple] = {
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    "EPSG:2193": (_GRS80_A, _GRS80_F, 0.0, 173.0, 0.9996,
+                  1_600_000.0, 10_000_000.0),
+    # ETRS89 / TM35FIN (Finland)
+    "EPSG:3067": (_GRS80_A, _GRS80_F, 0.0, 27.0, 0.9996,
+                  500_000.0, 0.0),
+    # ETRS89 / UTM zones 32N + 33N (the GRS80 twins of EPSG:326xx)
+    "EPSG:25832": (_GRS80_A, _GRS80_F, 0.0, 9.0, 0.9996,
+                   500_000.0, 0.0),
+    "EPSG:25833": (_GRS80_A, _GRS80_F, 0.0, 15.0, 0.9996,
+                   500_000.0, 0.0),
+}
+
+
+def _tm_consts(crs: str) -> dict:
+    a, f, lat0, lon0, k0, fe, fn = TM_PARAMS[crs.upper()]
+    e = math.sqrt(f * (2.0 - f))
+    alpha, beta, delta, ar = _tm_series(f)
+    rect = a * ar
+    y0 = fn - k0 * rect * _tm_xi_scalar(math.radians(lat0), e, alpha)
+    return dict(e=e, alpha=alpha, beta=beta, delta=delta, k=k0 * rect,
+                lon0=lon0, fe=fe, y0=y0)
+
+
+def _lonlat_to_tm_fn(crs: str) -> ColumnTransform:
+    c = _tm_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        sphi = F.sin(phi)
+        t = F.sinh(F.atanh(sphi) - F.lit(c["e"])
+                   * F.atanh(F.lit(c["e"]) * sphi))
+        clam = F.cos(lam)
+        xip = F.atan2(t, clam)
+        etap = F.asinh(F.sin(lam) / F.sqrt(t * t + clam * clam))
+        xi, eta = xip, etap
+        for j, a in enumerate(c["alpha"], start=1):
+            xi = xi + F.lit(a) * F.sin(F.lit(2.0 * j) * xip) \
+                * F.cosh(F.lit(2.0 * j) * etap)
+            eta = eta + F.lit(a) * F.cos(F.lit(2.0 * j) * xip) \
+                * F.sinh(F.lit(2.0 * j) * etap)
+        return (F.lit(c["k"]) * eta + F.lit(c["fe"]),
+                F.lit(c["k"]) * xi + F.lit(c["y0"]))
+
+    return fwd
+
+
+def _tm_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _tm_consts(crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xi = (y - F.lit(c["y0"])) / F.lit(c["k"])
+        eta = (x - F.lit(c["fe"])) / F.lit(c["k"])
+        xip, etap = xi, eta
+        for j, b in enumerate(c["beta"], start=1):
+            xip = xip - F.lit(b) * F.sin(F.lit(2.0 * j) * xi) \
+                * F.cosh(F.lit(2.0 * j) * eta)
+            etap = etap - F.lit(b) * F.cos(F.lit(2.0 * j) * xi) \
+                * F.sinh(F.lit(2.0 * j) * eta)
+        chi = F.asin(F.sin(xip) / F.cosh(etap))
+        phi = chi
+        for j, d in enumerate(c["delta"], start=1):
+            phi = phi + F.lit(d) * F.sin(F.lit(2.0 * j) * chi)
+        lam = F.atan2(F.sinh(etap), F.cos(xip))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def tm_inverse_sql(x_expr: str, y_expr: str,
+                   crs: str) -> tuple[str, str]:
+    """The SAME generic-TM inverse as SQL strings (DuckDB oracles)."""
+    c = _tm_consts(crs)
+    k = repr(c["k"])
+    xi = f"((({y_expr}) - {c['y0']!r}) / {k})"
+    eta = f"((({x_expr}) - {c['fe']!r}) / {k})"
+
+    def sinh(z):
+        return f"((exp({z}) - exp(-({z}))) / 2)"
+
+    def cosh(z):
+        return f"((exp({z}) + exp(-({z}))) / 2)"
+
+    xip, etap = xi, eta
+    for j, b in enumerate(c["beta"], start=1):
+        xip = f"({xip} - {b!r} * sin(2.0 * {j} * {xi}) " \
+              f"* {cosh(f'2.0 * {j} * {eta}')})"
+        etap = f"({etap} - {b!r} * cos(2.0 * {j} * {xi}) " \
+               f"* {sinh(f'2.0 * {j} * {eta}')})"
+    chi = f"asin(sin({xip}) / {cosh(etap)})"
+    phi = chi
+    for j, d in enumerate(c["delta"], start=1):
+        phi = f"({phi} + {d!r} * sin(2.0 * {j} * ({chi})))"
+    lam = f"atan2({sinh(etap)}, cos({xip}))"
+    return f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})"
+
+
 # ---- polar stereographic (EPSG:3413 / EPSG:3031) ----------------------
 #
 # The polar satellite CRSs (NSIDC Sea Ice stereographics) — ellipsoidal
@@ -1165,6 +1276,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _sinu_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
+    if up in TM_PARAMS:
+        return _tm_to_lonlat_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _utm_to_lonlat_fn(*utm)
@@ -1190,6 +1303,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_sinu_fn(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
+    if up in TM_PARAMS:
+        return _lonlat_to_tm_fn(up)
     utm = parse_utm_crs(up)
     if utm:
         return _lonlat_to_utm_fn(*utm)

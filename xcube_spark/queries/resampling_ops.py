@@ -557,6 +557,59 @@ def cube_reproject_osgb(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: NZTM 2000 (EPSG:2193) target ----------------------------
+
+from xcube_spark.operators.resampling.reproject import tm_inverse_sql
+
+_NZTM = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=1_123_000.0, y_start=4_753_000.0,
+                 x_res=21_700.0, y_res=35_300.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="EPSG:2193")
+
+#: off-round origin/steps keep every re-projected center >= 3.5e-4 deg
+#: from any 1-degree source cell edge (checked with DuckDB)
+_NZTM_LON, _NZTM_LAT = tm_inverse_sql(
+    "(1123000.0 + (x_i + 0.5) * 21700.0)",
+    "(4753000.0 + (y_i + 0.5) * 35300.0)", "EPSG:2193")
+
+
+@query(
+    "cube_reproject_nztm",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_NZTM.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_NZTM_LON} AS lon,
+                   {_NZTM_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_nztm(spark, sf_dir):
+    """reproject_dataset onto the New Zealand Transverse Mercator 2000
+    grid (NZGD2000, EPSG:2193) — exercises the generic national-TM
+    registry (TM_PARAMS: the UTM/OSGB Krueger series parameterized by
+    ellipsoid + natural origin; GRS80, 173E, k0=0.9996, 1600/10000 km
+    false origin; NZGD2000 == WGS84 null transformation).  The oracle
+    states the identical inverse in SQL (tm_inverse_sql)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _NZTM)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
