@@ -278,6 +278,31 @@ def test_semdedup_no_corpus_broadcast_and_cell_join(spark):
     assert opt.lower().count("repartition") == 0
 
 
+def test_osgb_reproject_plan_stays_linear(spark):
+    """The staged EPSG:27700 transform keeps the plan linear: the
+    datum-hop inverse as ONE Column tree reached megabytes of plan
+    text (~50 s of Catalyst/codegen per run).  Guard: the optimized
+    plan stringifies under 100 KB and builds in seconds."""
+    import time
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.reproject import reproject_dataset
+
+    src = CubeGrid(width=36, height=18, time_periods=1, x_res=10.0,
+                   y_res=10.0)
+    tgt = CubeGrid(width=8, height=8, time_periods=1,
+                   x_start=137_000.0, y_start=23_000.0,
+                   x_res=60_000.0, y_res=100_000.0, crs="EPSG:27700")
+    cube = new_cube(spark, src, {"A": 1.0})
+    t0 = time.time()
+    out = reproject_dataset(cube, src, tgt)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(opt) < 100_000, len(opt)
+    assert time.time() - t0 < 30
+    assert out.count() == 64
+
+
 def test_jp2_read_plan_shuffle_free(spark, tmp_path):
     """The JP2 open is MapInPandas over a bounded tile range — no
     hash-partition exchange anywhere; each task touches only its own
