@@ -42,10 +42,28 @@ class CubeGeneratorRequest:
 
     @classmethod
     def from_dict(cls, d: Mapping[str, Any]) -> "CubeGeneratorRequest":
-        """Parse the JSON-ish request shape (cube_config subset)."""
+        """Parse the JSON-ish request shape (cube_config subset).
+
+        A ``code_config`` entry (inline_code / file_set + callable_ref,
+        xcube core/gen2/request.py + core/byoa/config.py) resolves to
+        the ``user_code`` stage via :class:`~xcube_spark.pipeline.byoa.
+        CodeConfig`.
+        """
         cc = dict(d.get("cube_config", d))
+        code_cfg = d.get("code_config") or cc.pop("code_config", None)
         known = {f for f in cls.__dataclass_fields__}
-        return cls(**{k: v for k, v in cc.items() if k in known})
+        req = cls(**{k: v for k, v in cc.items() if k in known})
+        if code_cfg is not None and req.user_code is None:
+            from xcube_spark.pipeline.byoa import CodeConfig
+
+            cfg = (code_cfg if isinstance(code_cfg, CodeConfig)
+                   else CodeConfig.from_dict(code_cfg))
+            fn = cfg.get_callable()
+            params = cfg.callable_params
+            req.user_code = (
+                (lambda df: fn(df, **params)) if params else fn
+            )
+        return req
 
 
 def generate_cube(

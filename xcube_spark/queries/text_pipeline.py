@@ -320,7 +320,7 @@ def doc_incremental_dedup(spark, sf_dir):
 
 @query(
     "doc_tfidf_keywords",
-    sql="""
+    sql=r"""
         WITH toks AS (
             SELECT doc_id,
                    UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
