@@ -15,6 +15,9 @@ GRID = CubeGrid(width=36, height=18, time_periods=3, x_res=10.0,
                 y_res=10.0)
 
 
+_SRV: dict = {}
+
+
 @pytest.fixture(scope="module")
 def served(spark):
     cube = new_cube(spark, GRID, {
@@ -24,8 +27,10 @@ def served(spark):
     srv = CubeServer(spark)
     srv.add_dataset("demo", cube, GRID, title="Demo cube")
     port = srv.start()
+    _SRV["srv"] = srv
     yield f"http://127.0.0.1:{port}"
     srv.stop()
+    _SRV.clear()
 
 
 def _get(url):
@@ -143,4 +148,125 @@ def test_unknown_routes(served):
     status, _, body = _get(f"{served}/nope")
     assert status == 404
     status, _, _ = _get(f"{served}/datasets/missing")
+    assert status == 404
+
+
+# ---- round-5 routes: meta/places/expressions/colorbars/WMTS/STAC/
+# compute/S3 (webapi parity) -------------------------------------------
+
+
+def test_service_info(served):
+    out = _get_json(f"{served}/")
+    assert out["name"] == "xcube_spark Server"
+    assert "ows.wmts" in out["apis"] and out["datasets"] >= 1
+
+
+def test_places(spark, served):
+    feats = spark.createDataFrame(
+        [("p1", "POINT (5 5)", "Harbor"),
+         ("p2", "POINT (125 45)", "Far away")],
+        "id string, geometry string, label string")
+    _SRV["srv"].add_place_group("ports", feats, title="Ports")
+
+    groups = _get_json(f"{served}/places")
+    assert groups["placeGroups"][0]["id"] == "ports"
+    fc = _get_json(f"{served}/places/ports?bbox=0,0,20,20")
+    assert [f["properties"]["id"] for f in fc["features"]] == ["p1"]
+    fc2 = _get_json(f"{served}/places/ports")
+    assert len(fc2["features"]) == 2
+
+
+def test_expressions_capabilities_and_validate(served):
+    caps = _get_json(f"{served}/expressions/capabilities")
+    assert "sqrt" in caps["namespace"]["functions"]
+    ok = _get_json(f"{served}/expressions/validate/demo/sst%20*%202")
+    assert "result" in ok
+    status, _ctype, body = _get(
+        f"{served}/expressions/validate/demo/nope%20*%202")
+    assert status == 400 and b"unknown variable" in body
+
+
+def test_colorbars(served):
+    import base64
+
+    out = _get_json(f"{served}/colorbars")
+    names = [n for n, _png in out]
+    assert "viridis" in names and "default" in names
+    png = base64.b64decode(dict(out)["gray"])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_wmts_capabilities_and_tile(served):
+    status, ctype, body = _get(f"{served}/wmts/1.0.0/WMTSCapabilities.xml")
+    assert status == 200 and "xml" in ctype
+    assert b"<ows:Identifier>demo.sst</ows:Identifier>" in body
+    assert b"WorldCRS84Quad" in body
+    status, ctype, body = _get(
+        f"{served}/wmts/1.0.0/tile/demo/sst/0/0/0.png?vmin=0&vmax=12")
+    assert status == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    # KVP form renders the same tile
+    status2, _c, body2 = _get(
+        f"{served}/wmts/kvp?Service=WMTS&Request=GetTile&Layer=demo.sst"
+        "&TileMatrix=0&TileRow=0&TileCol=0&vmin=0&vmax=12")
+    assert status2 == 200 and body2 == body
+
+
+def test_stac_catalog(served):
+    cat = _get_json(f"{served}/ogc")
+    assert cat["type"] == "Catalog"
+    conf = _get_json(f"{served}/ogc/conformance")
+    assert any("stacspec" in c for c in conf["conformsTo"])
+    cols = _get_json(f"{served}/ogc/collections")
+    assert cols["collections"][0]["id"] == "demo"
+    col = _get_json(f"{served}/ogc/collections/demo")
+    assert col["extent"]["spatial"]["bbox"][0] == [-180.0, -90.0,
+                                                   180.0, 90.0]
+    items = _get_json(f"{served}/ogc/collections/demo/items")
+    item = items["features"][0]
+    assert item["id"] == "datacube"
+    assert set(item["properties"]["cube:variables"]) == {"sst", "chl"}
+    single = _get_json(f"{served}/ogc/collections/demo/items/datacube")
+    assert single["id"] == "datacube"
+
+
+def test_compute_operations_and_job(served):
+    import urllib.request
+
+    ops = _get_json(f"{served}/compute/operations")
+    names = [o["operationId"] for o in ops["operations"]]
+    assert "spatial_subset" in names
+    one = _get_json(f"{served}/compute/operations/spatial_subset")
+    assert "bbox" in one["parametersSchema"]["properties"]
+
+    req = urllib.request.Request(
+        f"{served}/compute/jobs",
+        data=json.dumps({
+            "operationId": "spatial_subset",
+            "parameters": {"dataset": "demo", "bbox": [0, 0, 90, 90]},
+            "output": {"datasetId": "demo_sub"},
+        }).encode(),
+        method="PUT", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        job = json.loads(r.read())
+    assert job["state"]["status"] == "completed"
+    assert job["output"]["datasetId"] == "demo_sub"
+    jobs = _get_json(f"{served}/compute/jobs")
+    assert jobs["jobs"][0]["jobId"] == job["jobId"]
+    # the result is now served
+    desc = _get_json(f"{served}/datasets/demo_sub")
+    assert desc["id"] == "demo_sub"
+
+
+def test_s3_bucket(served):
+    status, ctype, body = _get(f"{served}/s3/datasets")
+    assert status == 200 and "xml" in ctype
+    assert b"<Key>demo.zarr/.zgroup</Key>" in body
+    status, _c, zgroup = _get(f"{served}/s3/datasets/demo.zarr/.zgroup")
+    assert status == 200 and json.loads(zgroup)["zarr_format"] == 2
+    status, _c, zarray = _get(f"{served}/s3/datasets/demo.zarr/sst/.zarray")
+    assert status == 200
+    meta = json.loads(zarray)
+    assert meta["shape"] == [3, 18, 36]
+    status, _c, _b = _get(f"{served}/s3/datasets/demo.zarr/nope")
     assert status == 404

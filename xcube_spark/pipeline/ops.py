@@ -97,6 +97,16 @@ class OpInfo:
     def dataset_params(self) -> list[str]:
         return list(self._dataset_params)
 
+    def to_dict(self) -> dict:
+        """JSON shape of GET /compute/operations entries
+        (webapi/compute/controllers.py get_compute_operations)."""
+        return {
+            "operationId": self.name,
+            "description": self.description,
+            "parametersSchema": self.params_schema,
+            "datasetParams": self.dataset_params,
+        }
+
     def update_param_schema(self, name: str, patch: Mapping[str, Any]) -> None:
         self.params_schema["properties"].setdefault(name, {}).update(patch)
 

@@ -8,6 +8,7 @@ dispatches to the already-oracle-checked operators
 Routes (reference parity):
 
 =====================================================  ==============
+``GET /``                                              meta/routes.py:17
 ``GET /datasets``                                      datasets/routes.py:72
 ``GET /datasets/{ds}``                                 datasets/routes.py:121
 ``GET /datasets/{ds}/coords/{dim}``                    datasets/routes.py:141
@@ -15,6 +16,19 @@ Routes (reference parity):
 ``GET /timeseries/{ds}/{var}``                         timeseries/routes.py:23
 ``GET /statistics/{ds}/{var}``                         statistics/routes.py:46
 ``GET /ogc/collections/{ds}/coverage``                 ows/coverages/routes.py:27
+``GET /places``                                        places/routes.py:19
+``GET /places/{placeGroupId}``                         places/routes.py:30
+``GET /colorbars``                                     styles (ex-datasets) api
+``GET /expressions/capabilities``                      expressions/routes.py:20
+``GET /expressions/validate/{ds}/{expr}``              expressions/routes.py:33
+``GET /wmts/1.0.0/WMTSCapabilities.xml``               ows/wmts/routes.py:78
+``GET /wmts/1.0.0/tile/{ds}/{var}/{z}/{y}/{x}.png``    ows/wmts/routes.py:119
+``GET /wmts/kvp?...``                                  ows/wmts/routes.py:178
+``GET /ogc`` (+conformance/collections/items)          ows/stac/routes.py:25-131
+``GET /compute/operations[/{opId}]``                   compute/routes.py:172,184
+``GET|PUT /compute/jobs[/{jobId}]``                    compute/routes.py:197,256
+``GET /s3/{bucket}``                                   s3/routes.py:104
+``GET /s3/{bucket}/{key...}``                          s3/routes.py:149
 =====================================================  ==============
 
 Scale notes: the server holds DataFrames, not data — every request
@@ -67,6 +81,26 @@ def _t_index(grid: CubeGrid, t: datetime) -> int:
     return i
 
 
+def _time_end(grid: CubeGrid) -> datetime:
+    from datetime import timedelta
+
+    return grid.t_start + timedelta(
+        days=grid.time_periods * grid.t_freq_days)
+
+
+def _interp_stops(stops, p: float) -> tuple[int, int, int]:
+    """Piecewise-linear colormap sample at p in [0,1] (driver-side
+    twin of tiles._stop_channel_expr, used only for 256-px legends)."""
+    if p <= stops[0][0]:
+        return stops[0][1]
+    for (p0, c0), (p1, c1) in zip(stops, stops[1:]):
+        if p <= p1:
+            f = (p - p0) / (p1 - p0) if p1 > p0 else 0.0
+            return tuple(int(round(a + f * (b - a)))
+                         for a, b in zip(c0, c1))
+    return stops[-1][1]
+
+
 def _parse_time(s: str) -> datetime:
     s = s.rstrip("Z")
     for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
@@ -84,11 +118,21 @@ class CubeServer:
     def __init__(self, spark):
         self.spark = spark
         self.datasets: dict[str, _Dataset] = {}
+        self.place_groups: dict[str, tuple[DataFrame, str]] = {}
+        self.jobs: dict[int, dict] = {}
+        self._job_seq = 0
+        self._s3_cache: dict[str, str] = {}
         self._httpd: ThreadingHTTPServer | None = None
 
     def add_dataset(self, ds_id: str, cube: DataFrame, grid: CubeGrid,
                     title: str = "") -> None:
         self.datasets[ds_id] = _Dataset(cube, grid, title or ds_id)
+
+    def add_place_group(self, group_id: str, features: DataFrame,
+                        title: str = "") -> None:
+        """Register a features table (WKT ``geometry`` + attribute
+        columns) as a place group (webapi/places/context.py)."""
+        self.place_groups[group_id] = (features, title or group_id)
 
     # ---- dispatch -------------------------------------------------------
 
@@ -97,6 +141,33 @@ class CubeServer:
         """(path, query) -> (status, content_type, body)."""
         try:
             seg = [s for s in path.split("/") if s]
+            if not seg:
+                return self._json(self._service_info())
+            if seg[0] == "places":
+                if len(seg) == 1:
+                    return self._json(self._list_place_groups())
+                if len(seg) == 2:
+                    return self._json(self._places(seg[1], params))
+            if seg == ["colorbars"]:
+                return self._json(self._colorbars())
+            if seg[0] == "expressions":
+                if seg[1:] == ["capabilities"]:
+                    return self._json(self._expr_capabilities())
+                if len(seg) >= 4 and seg[1] == "validate":
+                    # the expression is the raw tail of the path
+                    expr = path.split("/validate/", 1)[1]
+                    expr = expr.split("/", 1)[1]
+                    return self._json(self._expr_validate(seg[2], expr))
+            if seg[0] == "wmts":
+                return self._wmts(seg, params)
+            if seg[0] == "ogc":
+                r = self._stac(seg, params)
+                if r is not None:
+                    return self._json(r)
+            if seg[0] == "compute":
+                return self._json(self._compute_get(seg))
+            if seg[0] == "s3":
+                return self._s3(seg, params)
             if seg == ["datasets"]:
                 return self._json(self._list_datasets())
             if len(seg) == 2 and seg[0] == "datasets":
@@ -333,6 +404,436 @@ class CubeServer:
         except ValueError as e:
             raise ApiError(400, str(e)) from e
 
+    # ---- meta (webapi/meta/routes.py:17) --------------------------------
+
+    def _service_info(self) -> dict:
+        return {
+            "name": "xcube_spark Server",
+            "description": "PySpark-native cube server "
+                           "(xcube server API facade)",
+            "apis": sorted({
+                "meta", "datasets", "tiles", "timeseries", "statistics",
+                "places", "expressions", "styles", "ows.coverages",
+                "ows.wmts", "ows.stac", "compute", "s3", "volumes",
+            }),
+            "serverTime": datetime.now(timezone.utc)
+            .replace(tzinfo=None).isoformat() + "Z",
+            "datasets": len(self.datasets),
+        }
+
+    # ---- places (webapi/places/routes.py:19-41) -------------------------
+
+    def _list_place_groups(self) -> dict:
+        return {"placeGroups": [
+            {"id": k, "title": t, "type": "FeatureCollection"}
+            for k, (_df, t) in sorted(self.place_groups.items())]}
+
+    def _places(self, group_id: str, params: dict[str, str]) -> dict:
+        from xcube_spark.operators.geom import find_places
+
+        if group_id not in self.place_groups:
+            raise ApiError(404, f"place group {group_id!r} not found")
+        df, _title = self.place_groups[group_id]
+        geom = None
+        if "bbox" in params:
+            vals = [float(v) for v in params["bbox"].split(",")]
+            if len(vals) != 4:
+                raise ApiError(400, "bbox needs x1,y1,x2,y2")
+            geom = tuple(vals)
+        try:
+            out = find_places(df, query_geometry=geom,
+                              query_expr=params.get("expr"))
+        except Exception as e:
+            raise ApiError(400, str(e)) from e
+        limit = int(params.get("limit", 1000))
+        rows = out.limit(limit).collect()
+        feats = []
+        for r in rows:
+            d = r.asDict()
+            g = d.pop("geometry", None)
+            feats.append({
+                "type": "Feature",
+                "geometry": {"type": "WKT", "wkt": g},
+                "properties": {k: (_iso(v) if isinstance(v, datetime)
+                                   else v) for k, v in d.items()},
+            })
+        return {"type": "FeatureCollection", "features": feats}
+
+    # ---- colorbars (styles api; util/cmaps.py:321-476) ------------------
+
+    def _colorbars(self) -> list:
+        import base64
+
+        from xcube_spark.operators.tiles import (COLORMAPS, encode_rgba_png,
+                                                 get_colormap)
+
+        out = []
+        for name in sorted(COLORMAPS):
+            stops = get_colormap(name)
+            # 256x1 strip, driver-side interpolation (256 px, bounded)
+            px = bytearray()
+            for i in range(256):
+                p = i / 255.0
+                r, g, b = _interp_stops(stops, p)
+                px += bytes((r, g, b, 255))
+            png = encode_rgba_png(bytes(px), 256, 1)
+            out.append([name, base64.b64encode(png).decode("ascii")])
+        return out
+
+    # ---- expressions (webapi/expressions/routes.py:20-44) ---------------
+
+    def _expr_capabilities(self) -> dict:
+        from xcube_spark.functions.expression import CONSTANTS, FUNCTIONS
+
+        return {
+            "namespace": {
+                "constants": sorted(CONSTANTS),
+                "functions": sorted(FUNCTIONS),
+                "operators": ["+", "-", "*", "/", "%", "**", "==", "!=",
+                              "<", "<=", ">", ">=", "&", "|", "~",
+                              "and", "or", "not", "where", "if-else"],
+                "arrayFunctions": [],
+            }
+        }
+
+    def _expr_validate(self, ds_id: str, expr: str) -> dict:
+        from urllib.parse import unquote
+
+        from xcube_spark.functions.expression import (ExprError,
+                                                      validate_expression)
+
+        d = self._get(ds_id)
+        try:
+            return validate_expression(d.cube, unquote(expr))
+        except ExprError as e:
+            raise ApiError(400, str(e)) from e
+
+    # ---- WMTS (webapi/ows/wmts/routes.py:78-200) ------------------------
+
+    def _wmts(self, seg: list[str], params: dict[str, str]) \
+            -> tuple[int, str, bytes]:
+        if seg[1:] == ["1.0.0", "WMTSCapabilities.xml"]:
+            return (200, "application/xml", self._wmts_capabilities())
+        if (len(seg) == 8 and seg[1] == "1.0.0" and seg[2] == "tile"
+                and seg[7].endswith(".png")):
+            ds_id, var = seg[3], seg[4]
+            z, y = int(seg[5]), int(seg[6])
+            x = int(seg[7][:-4])
+            return (200, "image/png",
+                    self._tile(ds_id, var, z, y, x, params))
+        if seg[1:] == ["kvp"]:
+            kv = {k.lower(): v for k, v in params.items()}
+            if kv.get("request", "").lower() == "getcapabilities":
+                return (200, "application/xml", self._wmts_capabilities())
+            if kv.get("request", "").lower() != "gettile":
+                raise ApiError(400, "Request must be GetTile or "
+                                    "GetCapabilities")
+            layer = kv.get("layer", "")
+            if "." not in layer:
+                raise ApiError(400, "Layer must be <dataset>.<variable>")
+            ds_id, var = layer.split(".", 1)
+            return (200, "image/png", self._tile(
+                ds_id, var, int(kv["tilematrix"]), int(kv["tilerow"]),
+                int(kv["tilecol"]), params))
+        raise ApiError(404, "unknown WMTS route")
+
+    def _wmts_capabilities(self) -> bytes:
+        """Minimal WMTSCapabilities document: one layer per
+        (dataset, variable), WorldCRS84Quad tile matrix set
+        (controllers.py get_capabilities)."""
+        from xml.sax.saxutils import escape
+
+        from xcube_spark.cube.grid import var_names
+
+        layers = []
+        for ds_id, d in sorted(self.datasets.items()):
+            g = d.grid
+            for v in var_names(d.cube):
+                layers.append(
+                    f"<Layer><ows:Title>{escape(d.title)}/{escape(v)}"
+                    f"</ows:Title><ows:Identifier>{escape(ds_id)}."
+                    f"{escape(v)}</ows:Identifier>"
+                    f"<ows:WGS84BoundingBox><ows:LowerCorner>{g.x_start} "
+                    f"{g.y_start}</ows:LowerCorner><ows:UpperCorner>"
+                    f"{g.x_end} {g.y_end}</ows:UpperCorner>"
+                    "</ows:WGS84BoundingBox>"
+                    "<TileMatrixSetLink><TileMatrixSet>WorldCRS84Quad"
+                    "</TileMatrixSet></TileMatrixSetLink>"
+                    "<ResourceURL format=\"image/png\" "
+                    "resourceType=\"tile\" template=\"/wmts/1.0.0/tile/"
+                    f"{escape(ds_id)}/{escape(v)}/"
+                    "{TileMatrix}/{TileRow}/{TileCol}.png\"/>"
+                    "</Layer>")
+        matrices = []
+        for z in range(8):
+            nx, ny = 2 ** (z + 1), 2 ** z
+            res_deg = 180.0 / (ny * 256)
+            scale = res_deg * 111319.49079327358 / 0.00028
+            matrices.append(
+                f"<TileMatrix><ows:Identifier>{z}</ows:Identifier>"
+                f"<ScaleDenominator>{scale}</ScaleDenominator>"
+                "<TopLeftCorner>-180 90</TopLeftCorner>"
+                "<TileWidth>256</TileWidth><TileHeight>256</TileHeight>"
+                f"<MatrixWidth>{nx}</MatrixWidth>"
+                f"<MatrixHeight>{ny}</MatrixHeight></TileMatrix>")
+        doc = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<Capabilities xmlns="http://www.opengis.net/wmts/1.0" '
+            'xmlns:ows="http://www.opengis.net/ows/1.1" version="1.0.0">'
+            "<ows:ServiceIdentification><ows:Title>xcube_spark WMTS"
+            "</ows:Title><ows:ServiceType>OGC WMTS</ows:ServiceType>"
+            "<ows:ServiceTypeVersion>1.0.0</ows:ServiceTypeVersion>"
+            "</ows:ServiceIdentification><Contents>"
+            + "".join(layers)
+            + "<TileMatrixSet><ows:Identifier>WorldCRS84Quad"
+              "</ows:Identifier><ows:SupportedCRS>urn:ogc:def:crs:OGC:"
+              "1.3:CRS84</ows:SupportedCRS>"
+            + "".join(matrices)
+            + "</TileMatrixSet></Contents></Capabilities>")
+        return doc.encode()
+
+    # ---- STAC (webapi/ows/stac/routes.py:25-131) ------------------------
+
+    def _stac(self, seg: list[str], params: dict[str, str]):
+        if seg == ["ogc"]:
+            return {
+                "type": "Catalog", "id": "xcube_spark",
+                "stac_version": "1.0.0",
+                "description": "Data cubes served by xcube_spark",
+                "links": [
+                    {"rel": "self", "href": "/ogc"},
+                    {"rel": "conformance", "href": "/ogc/conformance"},
+                    {"rel": "data", "href": "/ogc/collections"},
+                ],
+            }
+        if seg == ["ogc", "conformance"]:
+            return {"conformsTo": [
+                "https://api.stacspec.org/v1.0.0/core",
+                "http://www.opengis.net/spec/ogcapi-common-1/1.0/conf/core",
+                "http://www.opengis.net/spec/ogcapi-features-1/1.0/conf/core",
+                "http://www.opengis.net/spec/ogcapi-coverages-1/0.0/conf/core",
+            ]}
+        if seg == ["ogc", "collections"]:
+            return {"collections": [
+                self._stac_collection(k)
+                for k in sorted(self.datasets)]}
+        if len(seg) == 3 and seg[1] == "collections":
+            if seg[2] not in self.datasets:
+                raise ApiError(404, f"collection {seg[2]!r} not found")
+            return self._stac_collection(seg[2])
+        if (len(seg) == 4 and seg[1] == "collections"
+                and seg[3] == "items"):
+            return {"type": "FeatureCollection",
+                    "features": [self._stac_item(seg[2])]}
+        if (len(seg) == 5 and seg[1] == "collections"
+                and seg[3] == "items"):
+            if seg[4] != "datacube":
+                raise ApiError(404, f"item {seg[4]!r} not found")
+            return self._stac_item(seg[2])
+        return None  # not a STAC route (e.g. /ogc/.../coverage)
+
+    def _stac_collection(self, ds_id: str) -> dict:
+        d = self._get(ds_id)
+        g = d.grid
+        return {
+            "id": ds_id, "title": d.title,
+            "stac_version": "1.0.0",
+            "extent": {
+                "spatial": {"bbox": [[g.x_start, g.y_start,
+                                      g.x_end, g.y_end]]},
+                "temporal": {"interval": [[_iso(g.t_start),
+                                           _iso(_time_end(g))]]},
+            },
+            "links": [
+                {"rel": "self", "href": f"/ogc/collections/{ds_id}"},
+                {"rel": "items",
+                 "href": f"/ogc/collections/{ds_id}/items"},
+                {"rel": "coverage",
+                 "href": f"/ogc/collections/{ds_id}/coverage"},
+            ],
+        }
+
+    def _stac_item(self, ds_id: str) -> dict:
+        """The reference exposes each dataset as ONE 'datacube' item
+        with datacube-extension dimensions (stac controllers)."""
+        from xcube_spark.cube.grid import var_names
+
+        d = self._get(ds_id)
+        g = d.grid
+        return {
+            "type": "Feature", "id": "datacube",
+            "stac_version": "1.0.0",
+            "stac_extensions": [
+                "https://stac-extensions.github.io/datacube/v2.1.0/schema.json"
+            ],
+            "collection": ds_id,
+            "bbox": [g.x_start, g.y_start, g.x_end, g.y_end],
+            "geometry": {"type": "Polygon", "coordinates": [[
+                [g.x_start, g.y_start], [g.x_end, g.y_start],
+                [g.x_end, g.y_end], [g.x_start, g.y_end],
+                [g.x_start, g.y_start]]]},
+            "properties": {
+                "cube:dimensions": {
+                    "x": {"type": "spatial", "axis": "x",
+                          "extent": [g.x_start, g.x_end]},
+                    "y": {"type": "spatial", "axis": "y",
+                          "extent": [g.y_start, g.y_end]},
+                    "time": {"type": "temporal",
+                             "extent": [_iso(g.t_start),
+                                        _iso(_time_end(g))]},
+                },
+                "cube:variables": {
+                    v: {"type": "data", "dimensions": ["time", "y", "x"]}
+                    for v in var_names(d.cube)
+                },
+            },
+            "assets": {},
+            "links": [],
+        }
+
+    # ---- compute (webapi/compute/routes.py:172-290) ---------------------
+
+    def _compute_get(self, seg: list[str]) -> dict:
+        from xcube_spark.pipeline.ops import OP_REGISTRY
+
+        if seg == ["compute", "operations"]:
+            return {"operations": [
+                info.to_dict() for _n, info in
+                sorted(OP_REGISTRY.ops().items())]}
+        if len(seg) == 3 and seg[1] == "operations":
+            try:
+                return OP_REGISTRY.get_op(seg[2]).to_dict()
+            except KeyError:
+                raise ApiError(404, f"operation {seg[2]!r} not found")
+        if seg == ["compute", "jobs"]:
+            return {"jobs": [self.jobs[j] for j in sorted(self.jobs)]}
+        if len(seg) == 3 and seg[1] == "jobs":
+            try:
+                return self.jobs[int(seg[2])]
+            except (KeyError, ValueError):
+                raise ApiError(404, f"job {seg[2]!r} not found")
+        raise ApiError(404, "unknown compute route")
+
+    def submit_job(self, request: dict) -> dict:
+        """PUT /compute/jobs body (controllers.py put_compute_job):
+        ``{"operationId", "parameters": {...}, "output":
+        {"datasetId", "title"}}``.  Executes synchronously (Spark IS
+        the job runner; plans are lazy so 'running' means planning)
+        and registers the result as a served dataset."""
+        from xcube_spark.pipeline.ops import OP_REGISTRY
+
+        op_id = request.get("operationId")
+        if not op_id:
+            raise ApiError(400, "operationId is required")
+        params = dict(request.get("parameters", {}))
+        out_cfg = dict(request.get("output", {}))
+        self._job_seq += 1
+        job_id = self._job_seq
+        job = {"jobId": job_id, "operationId": op_id,
+               "state": {"status": "running"}}
+        self.jobs[job_id] = job
+        try:
+            info = OP_REGISTRY.get_op(op_id)
+        except KeyError:
+            job["state"] = {"status": "failed",
+                            "error": f"operation {op_id!r} not found"}
+            raise ApiError(404, f"operation {op_id!r} not found")
+        ds_param = (info.dataset_params or [None])[0]
+        in_id = params.pop(ds_param, None) if ds_param else None
+        try:
+            if ds_param is not None:
+                if in_id not in self.datasets:
+                    raise ValueError(
+                        f"parameter {ds_param!r} must name a served "
+                        f"dataset, got {in_id!r}")
+                src = self.datasets[in_id]
+                result = OP_REGISTRY.invoke(op_id, src.cube, params)
+                grid = src.grid
+            else:
+                result = info.fn(**params)
+                grid = None
+            out_id = out_cfg.get("datasetId") or f"job-{job_id}"
+            if grid is not None:
+                self.add_dataset(out_id, result, grid,
+                                 title=out_cfg.get("title", out_id))
+            job["state"] = {"status": "completed"}
+            job["output"] = {"datasetId": out_id}
+        except (ValueError, TypeError) as e:
+            job["state"] = {"status": "failed", "error": str(e)}
+            raise ApiError(400, str(e)) from e
+        return job
+
+    # ---- S3 emulation (webapi/s3/routes.py:104-190) ---------------------
+
+    def _s3_materialize(self, ds_id: str) -> str:
+        """Write the dataset's zarr representation once (distributed
+        write, driver handles only metadata) and serve its keys as
+        bucket objects — the reference's virtual 'datasets' bucket
+        backed by real chunks."""
+        if ds_id not in self._s3_cache:
+            import tempfile
+
+            from xcube_spark.cube.grid import var_names
+            from xcube_spark.sources.zarrio import write_zarr_cube
+
+            d = self._get(ds_id)
+            path = tempfile.mkdtemp(prefix=f"s3-{ds_id}-")
+            write_zarr_cube(d.cube, path, d.grid,
+                            var_names=var_names(d.cube), mode="overwrite")
+            self._s3_cache[ds_id] = path
+        return self._s3_cache[ds_id]
+
+    def _s3(self, seg: list[str], params: dict[str, str]) \
+            -> tuple[int, str, bytes]:
+        import os as _os
+        from xml.sax.saxutils import escape
+
+        if len(seg) < 2 or seg[1] != "datasets":
+            raise ApiError(404, "unknown bucket (use 'datasets')")
+        if len(seg) == 2:
+            # ListObjectsV2 over every registered dataset's zarr keys
+            prefix = params.get("prefix", "")
+            keys = []
+            for ds_id in sorted(self.datasets):
+                zname = f"{ds_id}.zarr"
+                if prefix and not zname.startswith(prefix.split("/")[0]):
+                    continue
+                root = self._s3_materialize(ds_id)
+                for dirpath, _dn, files in _os.walk(root):
+                    for f in files:
+                        rel = _os.path.relpath(
+                            _os.path.join(dirpath, f), root)
+                        key = f"{zname}/{rel.replace(_os.sep, '/')}"
+                        if key.startswith(prefix):
+                            keys.append(
+                                (key, _os.path.getsize(
+                                    _os.path.join(dirpath, f))))
+            body = (
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                "<ListBucketResult><Name>datasets</Name>"
+                f"<Prefix>{escape(prefix)}</Prefix>"
+                f"<KeyCount>{len(keys)}</KeyCount><IsTruncated>false"
+                "</IsTruncated>"
+                + "".join(
+                    f"<Contents><Key>{escape(k)}</Key>"
+                    f"<Size>{n}</Size></Contents>"
+                    for k, n in sorted(keys))
+                + "</ListBucketResult>")
+            return (200, "application/xml", body.encode())
+        key = "/".join(seg[2:])
+        zname, _, rel = key.partition("/")
+        if not zname.endswith(".zarr") or not rel:
+            raise ApiError(404, f"no such key {key!r}")
+        ds_id = zname[:-5]
+        if ds_id not in self.datasets:
+            raise ApiError(404, f"no such key {key!r}")
+        root = self._s3_materialize(ds_id)
+        fpath = _os.path.join(root, rel.replace("/", _os.sep))
+        if not _os.path.isfile(fpath):
+            raise ApiError(404, f"no such key {key!r}")
+        with open(fpath, "rb") as f:
+            return (200, "application/octet-stream", f.read())
+
     # ---- HTTP plumbing --------------------------------------------------
 
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -340,15 +841,41 @@ class CubeServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
-            def do_GET(self):  # noqa: N802 (stdlib API)
-                u = urlsplit(self.path)
-                params = dict(parse_qsl(u.query))
-                status, ctype, body = server.handle(u.path, params)
+            def _reply(self, status, ctype, body):
                 self.send_response(status)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 (stdlib API)
+                u = urlsplit(self.path)
+                params = dict(parse_qsl(u.query))
+                self._reply(*server.handle(u.path, params))
+
+            def do_PUT(self):  # noqa: N802 — PUT /compute/jobs
+                u = urlsplit(self.path)
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n) if n else b"{}"
+                if [s for s in u.path.split("/") if s] != \
+                        ["compute", "jobs"]:
+                    self._reply(404, "application/json",
+                                b'{"error": "unknown PUT route"}')
+                    return
+                try:
+                    job = server.submit_job(json.loads(raw))
+                    self._reply(200, "application/json",
+                                json.dumps(job).encode())
+                except ApiError as e:
+                    self._reply(e.status, "application/json", json.dumps(
+                        {"error": {"status": e.status,
+                                   "message": str(e)}}).encode())
+                except json.JSONDecodeError as e:
+                    self._reply(400, "application/json", json.dumps(
+                        {"error": {"status": 400,
+                                   "message": str(e)}}).encode())
+
+            do_POST = do_PUT  # noqa: N815 — POST accepted as an alias
 
             def log_message(self, *a):  # silence test output
                 pass
