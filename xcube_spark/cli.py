@@ -86,7 +86,10 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("optimize", help="compact a dataset")
     p.add_argument("input")
     p.add_argument("--partitions", type=int, default=8)
-    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-o", "--output")
+    p.add_argument("-C", "--unchunk-coords", action="store_true",
+                   help="in-place: rewrite a zarr store's coordinate "
+                        "arrays as single chunks (cli/optimize.py:31)")
 
     p = sub.add_parser("genpts", help="random test points from a cube")
     p.add_argument("input")
@@ -308,6 +311,17 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "optimize":
+        if args.unchunk_coords:
+            from xcube_spark.sources.zarrio import unchunk_dataset
+
+            done = unchunk_dataset(args.input, coords_only=True)
+            print(f"unchunked: {', '.join(done) if done else '(nothing)'}")
+            if not args.output:
+                return 0
+        if not args.output:
+            print("error: -o/--output is required unless -C alone",
+                  file=sys.stderr)
+            return 2
         from xcube_spark.operators.maintenance import optimize_dataset
 
         out = optimize_dataset(open_dataset(spark, args.input),

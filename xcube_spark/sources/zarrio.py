@@ -837,3 +837,86 @@ def write_kerchunk_refs(zarr_path: str, refs_path: str,
     with open(refs_path, "w") as f:
         json.dump({"version": 1, "refs": refs}, f)
     return len(refs)
+
+
+# ---- unchunk (xcube/core/unchunk.py parity) -----------------------------
+
+#: driver-side assembly guard: unchunking materializes the WHOLE array
+#: in driver memory (the reference does the same via np.full); bigger
+#: arrays should be rewritten distributed via open+write with
+#: chunks=shape instead
+MAX_UNCHUNK_ELEMENTS = 64 * 1024 * 1024
+
+
+def unchunk_dataset(
+    dataset_path: str,
+    var_names: list[str] | None = None,
+    coords_only: bool = False,
+) -> list[str]:
+    """Rewrite selected arrays of a zarr store as ONE chunk, in place
+    (reference ``unchunk_dataset``, core/unchunk.py:15-66; its CLI is
+    ``xcube optimize --unchunk-coords`` for the common case).
+
+    ``coords_only`` restricts to coordinate arrays (1-D arrays named
+    after their own dimension) — the reference's main use: a store
+    whose tiny coordinate arrays were written chunked forces one
+    object-store GET per coordinate chunk at open time; collapsing
+    them to single chunks makes opening O(#arrays).  Returns the
+    names rewritten.
+    """
+    import itertools
+    import shutil
+    from dataclasses import replace
+
+    arrays = read_store(dataset_path)
+    if var_names is not None:
+        unknown = sorted(set(var_names) - set(arrays))
+        if unknown:
+            raise ValueError(
+                f"variable(s) {', '.join(unknown)} not found in "
+                f"{dataset_path!r}")
+    done: list[str] = []
+    for name, meta in sorted(arrays.items()):
+        if var_names is not None and name not in var_names:
+            continue
+        is_coord = len(meta.shape) == 1 and meta.dims == [name]
+        if coords_only and not is_coord:
+            continue
+        if tuple(meta.chunks) == tuple(meta.shape):
+            continue  # already a single chunk
+        n_elem = 1
+        for s in meta.shape:
+            n_elem *= s
+        if n_elem > MAX_UNCHUNK_ELEMENTS:
+            raise ValueError(
+                f"array {name!r} has {n_elem} elements — unchunking "
+                f"assembles it driver-side (cap {MAX_UNCHUNK_ELEMENTS}); "
+                "rewrite it distributed with write_zarr_cube and "
+                "chunks=shape instead")
+        full = np.full(meta.shape, _fill_scalar(meta),
+                       dtype=meta.np_dtype)
+        adir = os.path.join(dataset_path, name)
+        for idx in itertools.product(
+                *[range(c) for c in meta.chunk_counts()]):
+            raw = _read_bytes(os.path.join(adir, meta.chunk_key(*idx)))
+            arr = decode_chunk(raw, meta)
+            sel = tuple(
+                slice(i * c, min((i + 1) * c, s))
+                for i, c, s in zip(idx, meta.chunks, meta.shape))
+            full[sel] = arr[tuple(
+                slice(0, sl.stop - sl.start) for sl in sel)]
+        # drop the old chunk files, then swap metadata + single chunk
+        if meta.zarr_format == 3:
+            shutil.rmtree(os.path.join(adir, "c"), ignore_errors=True)
+        else:
+            for f in os.listdir(adir):
+                if re.fullmatch(r"[0-9]+(\.[0-9]+)*", f):
+                    os.remove(os.path.join(adir, f))
+        new_meta = replace(meta, chunks=tuple(meta.shape))
+        _write_array_meta(dataset_path, new_meta)
+        _write_bytes(
+            os.path.join(adir,
+                         new_meta.chunk_key(*([0] * len(meta.shape)))),
+            encode_chunk(full, new_meta))
+        done.append(name)
+    return done
