@@ -375,3 +375,29 @@ def test_semdedup_cell_size_cap(spark):
     # the pair join is keyed on (cell, sub), not cell alone
     opt = capped._jdf.queryExecution().optimizedPlan().toString()
     assert "__sub" in opt
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    from xcube_spark.pipeline.text import bpe_train_merges
+
+    # corpus: 'ab ab abc' -> words {ab: 2, abc: 1}
+    # step 1: pairs (a,b)x3 -> merge 'ab' (count 3)
+    # step 2: pairs (ab,c)x1 -> merge 'abc' (count 1)
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc")], "doc_id int, text string")
+    out = bpe_train_merges(docs, steps=2).collect()
+    assert [(r.step, r.merge_left, r.merge_right, r.pair_count)
+            for r in out] == [(1, "a", "b", 3), (2, "ab", "c", 1)]
+
+
+def test_bpe_merges_tie_break_and_greedy_overlap(spark):
+    from xcube_spark.pipeline.text import bpe_train_merges
+
+    # 'aaa': pairs (a,a) twice (overlapping count), merge left-to-right
+    # non-overlapping -> 'aa a'; next best pair is (aa, a)
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id int, text string")
+    out = bpe_train_merges(docs, steps=2).collect()
+    assert (out[0].merge_left, out[0].merge_right,
+            out[0].pair_count) == ("a", "a", 2)
+    assert (out[1].merge_left, out[1].merge_right,
+            out[1].pair_count) == ("aa", "a", 1)

@@ -161,3 +161,91 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "token", "score")
     )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Distributed BPE merge training: the first ``steps`` merge rules
+    a byte-pair-encoding tokenizer would learn from the corpus.
+
+    No reference counterpart (driver-mandated LLM-pipeline surface) —
+    this is the corpus-scale half of tokenizer training: per step,
+    count adjacent symbol pairs across the vocabulary (weighted by
+    word frequency), take the (count desc, pair asc) argmax, fuse that
+    pair everywhere, repeat.  Output: (step, merge_left, merge_right,
+    pair_count) — ``steps`` rows, the learned merge table.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    shuffle over words; ~10M rows at 100 TB, Zipf guarantees it), and
+    every iteration is a vocabulary-sized pair count plus a 1-row
+    argmax collect — the per-step driver round-trip is the model, not
+    the data, exactly the k-means/PQ-codebook contract.  Words are
+    symbolized as space-delimited strings, and a merge is one
+    ``replace(sym, ' l r ', ' lr ')``: greedy, left-to-right,
+    non-overlapping — the standard BPE application order, and
+    bit-identical between Spark SQL and DuckDB (the oracle replays the
+    same argmax chain as scalar subqueries).
+
+    Words are restricted to printable ASCII (``'^[!-~]+$'``) so both
+    engines split into the same symbol units regardless of how they
+    index Unicode.
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .where(
+            (F.col("w") != "")
+            & (F.length("w") <= max_word_len)
+            & F.col("w").rlike("^[!-~]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "),
+                 F.lit(" ")).alias("sym"),
+        "freq",
+    ).persist()
+    spark = docs.sparkSession
+    merges = []
+    try:
+        for step in range(1, steps + 1):
+            toks = cur.select(
+                F.split(F.trim(F.col("sym")), " ").alias("__t"), "freq")
+            best = (
+                toks.select(
+                    F.explode(F.expr(
+                        "transform(slice(__t, 1, size(__t) - 1), "
+                        "(x, i) -> struct(x AS l, "
+                        "element_at(__t, i + 2) AS r))")).alias("p"),
+                    "freq")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+            merges.append((step, l, r, int(cnt)))
+            nxt = cur.select(
+                F.replace(
+                    F.col("sym"),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                ).alias("sym"),
+                "freq",
+            ).persist()
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, pair_count long",
+    )

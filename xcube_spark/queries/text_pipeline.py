@@ -359,3 +359,62 @@ def doc_tfidf_keywords(spark, sf_dir):
     out = tfidf_keywords(docs, k=3)
     return out.select("doc_id", "rank", "token",
                       F.round("score", 6).alias("score"))
+
+
+def _bpe_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
+    r"""Generate the chained-CTE DuckDB twin of ``bpe_train_merges``:
+    per step, a pair-count CTE, a 1-row argmax CTE, and a merged-
+    vocabulary CTE whose ``replace`` uses scalar subqueries — the
+    oracle recomputes its own argmax chain with no literals smuggled
+    in from the Spark run."""
+    parts = [f"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+                FROM documents
+            )
+            WHERE w != '' AND length(w) <= {max_word_len}
+              AND regexp_matches(w, '^[!-~]+$')
+            GROUP BY w
+        ), w0 AS (
+            SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS sym, freq
+            FROM words
+        )"""]
+    for s in range(1, steps + 1):
+        p = s - 1
+        parts.append(f""", p{s} AS (
+            SELECT t[i] AS l, t[i + 1] AS r,
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(sym), ' ') AS t, freq
+                  FROM w{p}),
+                 UNNEST(range(1, len(t))) AS u(i)
+            GROUP BY l, r
+        ), b{s} AS (
+            SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1
+        ), w{s} AS (
+            SELECT replace(sym,
+                           ' ' || (SELECT l FROM b{s}) || ' '
+                               || (SELECT r FROM b{s}) || ' ',
+                           ' ' || (SELECT l FROM b{s})
+                               || (SELECT r FROM b{s}) || ' ') AS sym,
+                   freq
+            FROM w{p}
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({s} AS INT) AS step, l AS merge_left, "
+        f"r AS merge_right, cnt AS pair_count FROM b{s}"
+        for s in range(1, steps + 1))
+    return "".join(parts) + "\n" + selects
+
+
+@query("doc_bpe_merges", sql=_bpe_oracle_sql(steps=4))
+def doc_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training: the first 4 merge rules
+    learned from the documents corpus (pipeline/text.py
+    bpe_train_merges — vocabulary-sized iterations, 1-row argmax
+    round-trips)."""
+    from xcube_spark.pipeline.text import bpe_train_merges
+
+    return bpe_train_merges(tbl(spark, sf_dir, "documents"), steps=4)
