@@ -401,3 +401,21 @@ def test_bpe_merges_tie_break_and_greedy_overlap(spark):
             out[0].pair_count) == ("a", "a", 2)
     assert (out[1].merge_left, out[1].merge_right,
             out[1].pair_count) == ("aa", "a", 1)
+
+
+def test_trigram_lm_known_values(spark):
+    import math
+
+    from xcube_spark.pipeline.text import trigram_lm_score
+
+    # corpus trigrams: 'abcd' -> abc, bcd; 'abce' -> abc, bce
+    # model: abc:2, bcd:1, bce:1, total 4
+    docs = spark.createDataFrame(
+        [(1, "abcd"), (2, "abce"), (3, "x")],  # 'x' too short -> dropped
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in trigram_lm_score(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_trigrams == 2
+    expected = round((-math.log(2 / 4) - math.log(1 / 4)) / 2 + 1e-9, 6)
+    assert out[1].avg_nll == expected
+    assert out[2].avg_nll == expected

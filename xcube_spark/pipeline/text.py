@@ -249,3 +249,50 @@ def bpe_train_merges(
         merges,
         "step int, merge_left string, merge_right string, pair_count long",
     )
+
+
+def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram language-model scoring — the CCNet-style
+    quality signal: train a trigram LM on the corpus itself
+    (distributed counting), score each document by its average
+    negative log-likelihood.  High ``avg_nll`` = improbable character
+    sequences = boilerplate/garbage candidates.
+
+    No reference counterpart (driver-mandated LLM-pipeline surface).
+    Scale shape: the MODEL is the distinct-trigram count table —
+    bounded by charset³ (≈1M rows for printable ASCII), broadcastable
+    at any corpus size — so scoring is a broadcast join plus one
+    per-document partial aggregation; the corpus is never shuffled
+    except on ``doc_id`` for its own scores.
+
+    Output: (doc_id, n_trigrams, avg_nll) for documents with at least
+    one trigram.
+    """
+    s = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    tri = (
+        docs.select("doc_id", s.alias("__s"))
+        .where(F.length("__s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.expr(
+                "transform(sequence(1, length(__s) - 2), "
+                "i -> substring(__s, i, 3))")).alias("tri"),
+        )
+    )
+    model = tri.groupBy("tri").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    total = model.agg(F.sum("cnt").cast("long").alias("n"))
+    scored = (
+        tri.join(F.broadcast(model), "tri")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            # 1e-9 nudge before ROUND: moves the 6-decimal rounding
+            # boundary off cross-engine 1-ulp ln/summation differences
+            F.round(
+                F.avg(-F.log(F.col("cnt") * F.lit(1.0) / F.col("n")))
+                + F.lit(1e-9), 6).alias("avg_nll"),
+        )
+    )
+    return scored

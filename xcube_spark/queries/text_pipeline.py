@@ -418,3 +418,35 @@ def doc_bpe_merges(spark, sf_dir):
     from xcube_spark.pipeline.text import bpe_train_merges
 
     return bpe_train_merges(tbl(spark, sf_dir, "documents"), steps=4)
+
+
+@query(
+    "doc_trigram_lm",
+    sql=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+            FROM documents
+        ), tri AS (
+            SELECT doc_id, substring(s, i, 3) AS tri
+            FROM t, unnest(range(1, length(s) - 1)) AS u(i)
+        ), model AS (
+            SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tri GROUP BY tri
+        ), tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM model
+        )
+        SELECT tri.doc_id,
+               COUNT(*) AS n_trigrams,
+               ROUND(AVG(-ln(m.cnt * 1.0 / tot.n)) + 1e-9, 6) AS avg_nll
+        FROM tri JOIN model m USING (tri), tot
+        GROUP BY tri.doc_id
+    """,
+)
+def doc_trigram_lm(spark, sf_dir):
+    """Corpus-trained character-trigram LM scoring (pipeline/text.py
+    trigram_lm_score): broadcastable model table, per-doc avg negative
+    log-likelihood — the CCNet-style quality-filter signal."""
+    from xcube_spark.pipeline.text import trigram_lm_score
+
+    return trigram_lm_score(tbl(spark, sf_dir, "documents"))
