@@ -636,3 +636,37 @@ def events_cohort_retention(spark, sf_dir):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@query(
+    "events_quantiles",
+    sql="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(quantile_cont(value, 0.5) + 1e-9, 6) AS p50,
+               ROUND(quantile_cont(value, 0.9) + 1e-9, 6) AS p90,
+               ROUND(quantile_cont(value, 0.99) + 1e-9, 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+)
+def events_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type: Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, so the values hash-match (with the
+    1e-9 pre-ROUND nudge for boundary-of-6-decimals safety).
+
+    Scale note: exact percentiles sort each group — the right default
+    up to group sizes that fit an executor's spill budget; beyond
+    that, swap ``percentile`` for ``approx_percentile`` (t-digest,
+    partial-aggregatable, no sort) and accept bounded error.  The
+    plan keeps one partial-agg shuffle on the 5-value event_type key.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {p})") + F.lit(1e-9), 6)
+            .alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
