@@ -350,3 +350,31 @@ def test_netcdf4_read_plan_shuffle_free(spark, tmp_path):
 
     hash_exchanges = re.findall(r"Exchange hashpartitioning[^\n]*", phys)
     assert not hash_exchanges, hash_exchanges
+
+
+def test_trigram_lm_broadcasts_model_not_corpus(spark, sf_dir):
+    from xcube_spark.pipeline.text import trigram_lm_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(trigram_lm_score(docs))
+    # the trigram-count MODEL joins as a broadcast (bounded charset^3),
+    # the per-doc score is a partial aggregation — at 100 TB the corpus
+    # never shuffles for the join, only for its own doc_id scores
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_bpe_vocab_collapse_before_iteration(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = (
+        docs.select(F.explode(
+            F.split(F.trim("text"), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w").agg(F.count("*").alias("freq"))
+    )
+    plan = _plan(words)
+    # the corpus collapses to its vocabulary with map-side combine:
+    # the shuffle carries (word, partial_count), NOT corpus tokens
+    assert "partial_count" in plan or "partial count" in plan.lower()
