@@ -1029,3 +1029,43 @@ def test_sentinel3_rectify_pipeline(spark, tmp_path):
                                var_names=["Oa01_radiance"])
     rows = cube.where(cube.Oa01_radiance.isNotNull()).count()
     assert rows > 10  # swath covers part of the target grid
+
+
+def test_data_store_pool(spark, cube, tmp_path):
+    from xcube_spark.sources.store import (DataStoreConfig, DataStorePool,
+                                           MemoryDataStore)
+
+    pool = DataStorePool(spark, {
+        "mem": {"store_id": "memory", "title": "In-session"},
+        "disk": DataStoreConfig("file", {"root": str(tmp_path)}),
+    })
+    assert pool.store_instance_ids == ["disk", "mem"]
+    assert pool.has_store_instance("mem")
+    assert not pool.is_empty
+
+    mem = pool.get_store("mem")
+    assert isinstance(mem, MemoryDataStore)
+    assert pool.get_store("mem") is mem  # cached instance
+
+    # config round-trip + dedup lookup
+    d = pool.to_dict()
+    pool2 = DataStorePool.from_dict(spark, d)
+    assert pool2.store_instance_ids == ["disk", "mem"]
+    assert pool.get_store_instance_id(
+        DataStoreConfig("file", {"root": str(tmp_path)})) == "disk"
+    assert pool.get_store_instance_id(
+        DataStoreConfig("file", {"root": "/elsewhere"})) is None
+
+    # a pool-resolved store is a fully working store
+    disk = pool.get_store("disk")
+    disk.write_data(cube, "pooled.parquet")
+    assert disk.has_data("pooled.parquet")
+    assert pool.get_store("disk").open_data(
+        "pooled.parquet").count() == cube.count()
+
+    pool.remove_store_config("mem")
+    assert not pool.has_store_instance("mem")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown store instance"):
+        pool.get_store("mem")

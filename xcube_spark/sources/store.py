@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Any, Iterator
+from typing import Any, Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -473,3 +473,133 @@ def new_data_store(store_id: str, spark: SparkSession, **params) -> DataStore:
     if store_id not in _STORES:
         raise ValueError(f"unknown store {store_id!r}; known: {sorted(_STORES)}")
     return _STORES[store_id](spark, **params)
+
+
+# ---- store pool (core/store/storepool.py parity) ------------------------
+
+
+class DataStoreConfig:
+    """A named, instantiable store configuration
+    (storepool.py:96-167): store id + params + presentation
+    metadata.  ``DataStorePool`` turns these into live stores on
+    first use."""
+
+    def __init__(self, store_id: str,
+                 store_params: Mapping[str, Any] | None = None,
+                 title: str | None = None,
+                 description: str | None = None):
+        if not store_id:
+            raise ValueError("store_id must be given")
+        self._store_id = store_id
+        self._store_params = dict(store_params or {})
+        self._title = title
+        self._description = description
+
+    @property
+    def store_id(self) -> str:
+        return self._store_id
+
+    @property
+    def store_params(self) -> dict:
+        return dict(self._store_params)
+
+    @property
+    def title(self) -> str | None:
+        return self._title
+
+    @property
+    def description(self) -> str | None:
+        return self._description
+
+    @classmethod
+    def from_dict(cls, d: Mapping[str, Any]) -> "DataStoreConfig":
+        return cls(d["store_id"], d.get("store_params"),
+                   d.get("title"), d.get("description"))
+
+    def to_dict(self) -> dict:
+        out: dict[str, Any] = {"store_id": self._store_id}
+        if self._store_params:
+            out["store_params"] = dict(self._store_params)
+        if self._title:
+            out["title"] = self._title
+        if self._description:
+            out["description"] = self._description
+        return out
+
+
+class DataStorePool:
+    """Named store configs -> lazily instantiated stores
+    (storepool.py:204-330) — how a gen2 request's
+    ``input_config.store_instance_id`` resolves to an opener.
+    Instances are created once and cached; closing the pool drops
+    them."""
+
+    def __init__(self, spark: SparkSession,
+                 store_configs: Mapping[str, DataStoreConfig | Mapping]
+                 | None = None):
+        self._spark = spark
+        self._configs: dict[str, DataStoreConfig] = {}
+        self._instances: dict[str, DataStore] = {}
+        for k, v in (store_configs or {}).items():
+            self.add_store_config(k, v)
+
+    @classmethod
+    def from_dict(cls, spark: SparkSession,
+                  d: Mapping[str, Any]) -> "DataStorePool":
+        return cls(spark, d.get("store_configs", d))
+
+    @property
+    def is_empty(self) -> bool:
+        return not self._configs
+
+    @property
+    def store_instance_ids(self) -> list[str]:
+        return sorted(self._configs)
+
+    def has_store_instance(self, instance_id: str) -> bool:
+        return instance_id in self._configs
+
+    def add_store_config(
+            self, instance_id: str,
+            config: DataStoreConfig | Mapping[str, Any]) -> None:
+        if not isinstance(config, DataStoreConfig):
+            config = DataStoreConfig.from_dict(config)
+        self._configs[instance_id] = config
+        self._instances.pop(instance_id, None)
+
+    def remove_store_config(self, instance_id: str) -> None:
+        if instance_id not in self._configs:
+            raise ValueError(
+                f"unknown store instance {instance_id!r}")
+        del self._configs[instance_id]
+        self._instances.pop(instance_id, None)
+
+    def get_store_config(self, instance_id: str) -> DataStoreConfig:
+        if instance_id not in self._configs:
+            raise ValueError(
+                f"unknown store instance {instance_id!r}")
+        return self._configs[instance_id]
+
+    def get_store(self, instance_id: str) -> DataStore:
+        cfg = self.get_store_config(instance_id)
+        if instance_id not in self._instances:
+            self._instances[instance_id] = new_data_store(
+                cfg.store_id, self._spark, **cfg.store_params)
+        return self._instances[instance_id]
+
+    def get_store_instance_id(
+            self, store_config: DataStoreConfig) -> str | None:
+        """Find an instance id whose config matches (same id+params),
+        the pool's dedup hook (storepool.py:251-266)."""
+        want = (store_config.store_id, store_config.store_params)
+        for iid, cfg in self._configs.items():
+            if (cfg.store_id, cfg.store_params) == want:
+                return iid
+        return None
+
+    def close_all_stores(self) -> None:
+        self._instances.clear()
+
+    def to_dict(self) -> dict:
+        return {"store_configs": {
+            k: v.to_dict() for k, v in sorted(self._configs.items())}}
