@@ -378,3 +378,58 @@ def test_rgba_named_cmap_and_log_norm(spark):
     assert (out[2].r, out[2].g, out[2].b, out[2].a) == (255, 255, 255, 255)
     assert out[1].r in (127, 128) and out[1].r == out[1].g == out[1].b
     assert out[3].a == 0
+
+
+def test_run_cube_generator_end_to_end(spark, tmp_path):
+    """Service-level gen2: pool-resolved inputs, variable-wise combine,
+    stage pipeline, store write (core/gen2/request.py shape)."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.pipeline.generator import run_cube_generator
+    from xcube_spark.sources.store import DataStorePool
+
+    g = CubeGrid(width=8, height=4, time_periods=2, x_res=45.0, y_res=45.0)
+    pool = DataStorePool(spark, {
+        "src": {"store_id": "file", "store_params": {"root": str(tmp_path)}},
+    })
+    store = pool.get_store("src")
+    store.write_data(new_cube(spark, g, {"sst": 10.0}), "a.parquet")
+    store.write_data(new_cube(spark, g, {"chl": 2.0}), "b.parquet")
+
+    out, out_grid = run_cube_generator(spark, {
+        "input_configs": [
+            {"store_instance_id": "src", "data_id": "a.parquet"},
+            {"store_instance_id": "src", "data_id": "b.parquet"},
+        ],
+        "cube_config": {"variable_names": ["sst", "chl"]},
+        "code_config": {
+            "callable_ref": "gen_e2e_mod:halve",
+            "inline_code": (
+                "def halve(df):\n"
+                "    from pyspark.sql import functions as F\n"
+                "    return df.withColumn('sst', F.col('sst') / 2)\n"
+            ),
+        },
+        "output_config": {"store_instance_id": "src",
+                          "data_id": "out.parquet",
+                          "write_params": {"mode": "overwrite"}},
+    }, grid=g, store_pool=pool)
+
+    assert store.has_data("out.parquet")
+    got = store.open_data("out.parquet")
+    row = got.agg({"sst": "max", "chl": "max"}).collect()[0]
+    assert row["max(sst)"] == 5.0 and row["max(chl)"] == 2.0
+    assert got.count() == g.size
+
+
+def test_run_cube_generator_validation(spark):
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.pipeline.generator import run_cube_generator
+
+    g = CubeGrid(width=4, height=2, time_periods=1)
+    with pytest.raises(ValueError, match="one of input_config"):
+        run_cube_generator(spark, {}, grid=g)
+    with pytest.raises(ValueError, match="no store_pool"):
+        run_cube_generator(spark, {
+            "input_config": {"store_instance_id": "x", "data_id": "d"},
+        }, grid=g)

@@ -148,3 +148,74 @@ def generate_cube(
                       format_name=request.output_format, mode="overwrite")
 
     return out, out_grid
+
+
+def run_cube_generator(
+    spark: SparkSession,
+    request: Mapping[str, Any],
+    grid: CubeGrid,
+    store_pool=None,
+):
+    """Service-level gen2 request runner (core/gen2/request.py:25-120 +
+    local/generator.py): resolve ``input_config(s)`` through a
+    :class:`~xcube_spark.sources.store.DataStorePool` (by
+    ``store_instance_id``) or an ad-hoc store (by ``store_id`` +
+    ``store_params``), combine multiple inputs variable-wise on the
+    shared cell grid (the CubesCombiner stage), run the declarative
+    stage pipeline, and write to ``output_config``'s store.
+
+    Returns ``(cube, grid)`` like :func:`generate_cube`; the write —
+    where execution actually happens — occurs only when
+    ``output_config`` is present, preserving lazy-until-write.
+    """
+    from xcube_spark.sources.store import new_data_store
+
+    def _resolve(cfg: Mapping[str, Any]):
+        if "store_instance_id" in cfg:
+            if store_pool is None:
+                raise ValueError(
+                    "store_instance_id given but no store_pool")
+            return store_pool.get_store(cfg["store_instance_id"])
+        return new_data_store(cfg["store_id"], spark,
+                              **cfg.get("store_params", {}))
+
+    ics = request.get("input_configs")
+    if not ics:
+        ic = request.get("input_config")
+        if not ic:
+            raise ValueError(
+                "one of input_config and input_configs must be given")
+        ics = [ic]
+    elif request.get("input_config"):
+        raise ValueError(
+            "input_config and input_configs cannot be given both")
+
+    cubes = []
+    for ic in ics:
+        store = _resolve(ic)
+        cubes.append(
+            store.open_data(ic["data_id"], **ic.get("open_params", {})))
+
+    index_cols = ("t_i", "y_i", "x_i", "time", "y", "x")
+    combined = cubes[0]
+    for other in cubes[1:]:
+        on = [c for c in index_cols
+              if c in combined.columns and c in other.columns]
+        if not on:
+            raise ValueError(
+                "input cubes share no grid index columns to combine on")
+        # variable-wise merge on the shared cell grid: drop the other
+        # side's duplicate non-key columns (first input wins, the
+        # reference combiner's behavior)
+        dup = [c for c in other.columns
+               if c in combined.columns and c not in on]
+        combined = combined.join(other.drop(*dup), on=on, how="inner")
+
+    req = CubeGeneratorRequest.from_dict(request)
+    out, out_grid = generate_cube(spark, combined, grid, req)
+
+    oc = request.get("output_config")
+    if oc:
+        store = _resolve(oc)
+        store.write_data(out, oc["data_id"], **oc.get("write_params", {}))
+    return out, out_grid
