@@ -251,3 +251,29 @@ def test_resample_first_last_skipna(spark):
     )
     out = resample_in_time(df, "1W", methods=("first", "last")).collect()
     assert out[0]["A_first"] == 5.0 and out[0]["A_last"] == 7.0
+
+
+def test_mapped_and_identity_mldataset(spark):
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.mldataset import (BaseMultiLevelDataset,
+                                                 IdentityMultiLevelDataset,
+                                                 MappedMultiLevelDataset)
+
+    grid = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                    y_res=45.0, chunks=(1, 2, 2))
+    base = BaseMultiLevelDataset(new_cube(spark, grid, {"v": 3.0}),
+                                 grid, 2)
+    mapped = MappedMultiLevelDataset(
+        base, lambda df, k=1.0: df.withColumn("v", F.col("v") * k), k=2.0)
+    assert mapped.num_levels == 2
+    assert mapped.get_dataset(0).agg(F.max("v")).collect()[0][0] == 6.0
+    assert mapped.get_dataset(1).agg(F.max("v")).collect()[0][0] == 6.0
+    ident = IdentityMultiLevelDataset(base)
+    assert ident.get_dataset(1).agg(F.max("v")).collect()[0][0] == 3.0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="callable"):
+        MappedMultiLevelDataset(base, "nope")

@@ -193,3 +193,32 @@ def write_mldataset(mlds: MultiLevelDataset, path: str,
         (mlds.get_dataset(i).write.mode("overwrite")
          .partitionBy(*partition_cols)
          .parquet(os.path.join(path, f"L{i}")))
+
+
+class MappedMultiLevelDataset(MultiLevelDataset):
+    """Pyramid with a per-level mapper function applied lazily
+    (mldataset/mapped.py:13-38): wraps another pyramid, level i =
+    ``mapper_fn(source.get_dataset(i))``.  The mapper composes into
+    each level's plan — nothing materializes until the level is
+    acted on."""
+
+    def __init__(self, source: MultiLevelDataset,
+                 mapper_fn: Callable[[DataFrame], DataFrame],
+                 **mapper_params):
+        if not callable(mapper_fn):
+            raise ValueError("mapper_fn must be callable")
+        super().__init__(source.num_levels, source.grid(0))
+        self._source = source
+        self._fn = mapper_fn
+        self._params = dict(mapper_params)
+
+    def _build(self, index: int) -> DataFrame:
+        return self._fn(self._source.get_dataset(index), **self._params)
+
+
+class IdentityMultiLevelDataset(MappedMultiLevelDataset):
+    """The no-op wrapper (mldataset/identity.py) — useful as the
+    default in pipelines that optionally map levels."""
+
+    def __init__(self, source: MultiLevelDataset):
+        super().__init__(source, lambda df: df)
