@@ -1069,3 +1069,38 @@ def test_data_store_pool(spark, cube, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown store instance"):
         pool.get_store("mem")
+
+
+def test_preload_data_persists_and_closes(spark, cube, tmp_path):
+    from xcube_spark.sources.store import (FsDataStore, NullPreloadHandle,
+                                           PreloadStatus)
+
+    store = FsDataStore(spark, root=str(tmp_path))
+    store.write_data(cube, "warm.parquet")
+    store.write_data(cube, "cold.parquet")
+
+    with store.preload_data("warm.parquet") as handle:
+        st = handle.get_state("warm.parquet")
+        assert st.status is PreloadStatus.stopped
+        assert st.progress == 1.0 and st.message == "persisted"
+        df = store.open_data("warm.parquet")
+        assert df.storageLevel.useMemory  # the persisted frame
+        assert df.count() == cube.count()
+        # untouched ids still open fresh
+        assert not store.open_data(
+            "cold.parquet").storageLevel.useMemory
+    # closed -> unpersisted and evicted from the preload cache
+    assert not store.open_data("warm.parquet").storageLevel.useMemory
+
+    # failure is recorded per-dataset, not raised
+    h = store.preload_data("missing.parquet")
+    st = h.get_state("missing.parquet")
+    assert st.status is PreloadStatus.failed
+    assert isinstance(st.exception, FileNotFoundError)
+    h.close()
+
+    # base stores need no preload
+    from xcube_spark.sources.store import MemoryDataStore
+
+    assert isinstance(MemoryDataStore(spark).preload_data("x"),
+                      NullPreloadHandle)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
+from enum import Enum
 from typing import Any, Iterator, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -131,6 +132,15 @@ class DataStore:
         for did in self.get_data_ids():
             if pattern is None or pattern in did:
                 yield did
+
+    def preload_data(self, *data_ids: str, **preload_params
+                     ) -> "PreloadHandle":
+        """Prepare datasets for faster repeated access
+        (core/store/preload.py ``PreloadedDataStore`` contract).  The
+        base store needs no preparation -> ``NullPreloadHandle``;
+        stores that benefit (e.g. :class:`FsDataStore` persisting hot
+        frames into executor memory) override it."""
+        return NullPreloadHandle()
 
 
 class MutableDataStore(DataStore):
@@ -329,7 +339,45 @@ class FsDataStore(MutableDataStore):
     def open_data(self, data_id: str, **options) -> DataFrame:
         if not self.has_data(data_id):
             raise FileNotFoundError(f"data id not found: {data_id}")
+        preloaded = getattr(self, "_preloaded", None)
+        if preloaded is not None and not options and data_id in preloaded:
+            return preloaded[data_id]
         return open_dataset(self.spark, self._path(data_id), **options)
+
+    def preload_data(self, *data_ids: str, blocking: bool = True,
+                     **preload_params) -> PreloadHandle:
+        """Warm datasets into executor memory: each id is opened,
+        ``persist()``-ed and materialized on background threads;
+        subsequent ``open_data`` calls return the persisted frame.
+        Spark's block manager is the cache the reference's preload
+        downloads into a local directory — same contract, platform-
+        native storage.  ``close()``/``cancel()`` unpersists."""
+        if not hasattr(self, "_preloaded"):
+            self._preloaded: dict[str, DataFrame] = {}
+        store = self
+
+        def _load(handle: PreloadHandle, data_id: str) -> None:
+            handle.notify(PreloadState(
+                data_id, status=PreloadStatus.started, progress=0.1,
+                message="opening"))
+            df = store.open_data(data_id).persist()
+            df.count()  # materialize into the block manager
+            store._preloaded[data_id] = df
+            handle.notify(PreloadState(
+                data_id, status=PreloadStatus.stopped, progress=1.0,
+                message="persisted"))
+
+        parent = self
+
+        class _Handle(ExecutorPreloadHandle):
+            def close(self) -> None:
+                for d in data_ids:
+                    df = parent._preloaded.pop(d, None)
+                    if df is not None:
+                        df.unpersist()
+                super().close()
+
+        return _Handle(tuple(data_ids), _load, blocking=blocking)
 
     def _check_writable(self) -> None:
         if self.read_only:
@@ -603,3 +651,127 @@ class DataStorePool:
     def to_dict(self) -> dict:
         return {"store_configs": {
             k: v.to_dict() for k, v in sorted(self._configs.items())}}
+
+
+# ---- preload API (core/store/preload.py parity) -------------------------
+
+
+class PreloadStatus(Enum):
+    """preload.py:18-31."""
+
+    created = "created"
+    started = "started"
+    stopped = "stopped"
+    cancelled = "cancelled"
+    failed = "failed"
+
+
+@dataclass
+class PreloadState:
+    """Mutable per-dataset preload progress (preload.py:34-74)."""
+
+    data_id: str
+    status: PreloadStatus = PreloadStatus.created
+    progress: float = 0.0
+    message: str = ""
+    exception: BaseException | None = None
+
+    def update(self, other: "PreloadState") -> None:
+        if other.status is not None:
+            self.status = other.status
+        if other.progress:
+            self.progress = other.progress
+        if other.message:
+            self.message = other.message
+        if other.exception is not None:
+            self.exception = other.exception
+
+
+class PreloadHandle:
+    """Handle over an in-progress preload (preload.py:77-141);
+    usable as a context manager that closes on exit."""
+
+    def get_state(self, data_id: str) -> PreloadState:
+        raise NotImplementedError
+
+    @property
+    def cancelled(self) -> bool:
+        return False
+
+    def cancel(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+    def notify(self, event: PreloadState) -> None:
+        pass
+
+    def __enter__(self) -> "PreloadHandle":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self.close()
+
+
+class NullPreloadHandle(PreloadHandle):
+    """Returned by stores whose data needs no preloading
+    (preload.py:144-158)."""
+
+    def get_state(self, data_id: str) -> PreloadState:
+        return PreloadState(data_id, status=PreloadStatus.stopped,
+                            progress=1.0)
+
+
+class ExecutorPreloadHandle(PreloadHandle):
+    """Thread-pool preload driver (preload.py:161-260): runs
+    ``preload_fn(handle, data_id)`` per dataset on background threads;
+    ``blocking=True`` waits for completion before returning from the
+    constructor."""
+
+    def __init__(self, data_ids: tuple[str, ...],
+                 preload_fn, blocking: bool = True, max_workers: int = 3):
+        from concurrent.futures import ThreadPoolExecutor, wait
+
+        self._states = {d: PreloadState(d) for d in data_ids}
+        self._cancelled = False
+        self._executor = ThreadPoolExecutor(max_workers=max_workers)
+        self._futures = []
+        for d in data_ids:
+            self._futures.append(
+                self._executor.submit(self._run, preload_fn, d))
+        if blocking:
+            wait(self._futures)
+
+    def _run(self, preload_fn, data_id: str) -> None:
+        st = self._states[data_id]
+        if self._cancelled:
+            st.status = PreloadStatus.cancelled
+            return
+        st.status = PreloadStatus.started
+        try:
+            preload_fn(self, data_id)
+            if st.status is PreloadStatus.started:
+                st.status = PreloadStatus.stopped
+                st.progress = 1.0
+        except BaseException as e:  # noqa: BLE001 — recorded, not raised
+            st.status = PreloadStatus.failed
+            st.exception = e
+
+    def get_state(self, data_id: str) -> PreloadState:
+        return self._states[data_id]
+
+    @property
+    def cancelled(self) -> bool:
+        return self._cancelled
+
+    def cancel(self) -> None:
+        self._cancelled = True
+        for f in self._futures:
+            f.cancel()
+
+    def notify(self, event: PreloadState) -> None:
+        self._states[event.data_id].update(event)
+
+    def close(self) -> None:
+        self._executor.shutdown(wait=False, cancel_futures=True)
