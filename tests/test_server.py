@@ -270,3 +270,12 @@ def test_s3_bucket(served):
     assert meta["shape"] == [3, 18, 36]
     status, _c, _b = _get(f"{served}/s3/datasets/demo.zarr/nope")
     assert status == 404
+
+
+def test_viewer_config(served):
+    cfg = _get_json(f"{served}/viewer/config")
+    ds = cfg["datasets"][0]
+    assert ds["id"] == "demo"
+    assert {v["name"] for v in ds["variables"]} == {"sst", "chl"}
+    assert "viridis" in cfg["colormaps"]
+    assert cfg["apis"]["timeseries"].startswith("/timeseries/")

@@ -1104,3 +1104,32 @@ def test_preload_data_persists_and_closes(spark, cube, tmp_path):
 
     assert isinstance(MemoryDataStore(spark).preload_data("x"),
                       NullPreloadHandle)
+
+
+def test_reference_data_store(spark, cube, tmp_path):
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.store import new_data_store
+    from xcube_spark.sources.zarrio import write_kerchunk_refs, write_zarr_cube
+
+    g = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0, y_res=45.0,
+                 chunks=(1, 2, 4))
+    zpath = str(tmp_path / "a.zarr")
+    write_zarr_cube(new_cube(spark, g, {"v": 7.0}), zpath, g)
+    write_kerchunk_refs(zpath, str(tmp_path / "a.json"))
+
+    store = new_data_store("reference", spark, refs=str(tmp_path))
+    assert list(store.get_data_ids()) == ["a"]
+    assert store.has_data("a") and not store.has_data("b")
+    df = store.open_data("a")
+    assert df.count() == g.size
+    assert df.agg({"v": "max"}).collect()[0][0] == 7.0
+    import pytest as _p
+
+    with _p.raises(FileNotFoundError):
+        store.open_data("nope")
+    # explicit list form
+    from xcube_spark.sources.store import ReferenceDataStore
+
+    store2 = ReferenceDataStore(spark, [str(tmp_path / "a.json")])
+    assert list(store2.get_data_ids()) == ["a"]

@@ -168,6 +168,8 @@ class CubeServer:
                 return self._json(self._compute_get(seg))
             if seg[0] == "s3":
                 return self._s3(seg, params)
+            if seg == ["viewer", "config"]:
+                return self._json(self._viewer_config())
             if seg == ["datasets"]:
                 return self._json(self._list_datasets())
             if len(seg) == 2 and seg[0] == "datasets":
@@ -762,6 +764,37 @@ class CubeServer:
             job["state"] = {"status": "failed", "error": str(e)}
             raise ApiError(400, str(e)) from e
         return job
+
+    # ---- viewer (webapi/viewer configuration surface) -------------------
+
+    def _viewer_config(self) -> dict:
+        """The configuration JSON the reference's viewer app fetches at
+        startup (webapi/viewer/config.py semantics): datasets with
+        their variables/bbox, available colormaps, and the API routes
+        the app should call.  The JS app itself is not shipped — this
+        is the data side of the contract."""
+        from xcube_spark.cube.grid import var_names
+        from xcube_spark.operators.tiles import COLORMAPS
+
+        return {
+            "datasets": [
+                {
+                    "id": k,
+                    "title": d.title,
+                    "bbox": [d.grid.x_start, d.grid.y_start,
+                             d.grid.x_end, d.grid.y_end],
+                    "variables": [
+                        {"name": v,
+                         "tileUrl": f"/tiles/{k}/{v}/{{z}}/{{y}}/{{x}}"}
+                        for v in var_names(d.cube)],
+                }
+                for k, d in sorted(self.datasets.items())
+            ],
+            "colormaps": sorted(COLORMAPS),
+            "apis": {"timeseries": "/timeseries/{dataset}/{variable}",
+                     "statistics": "/statistics/{dataset}/{variable}",
+                     "places": "/places"},
+        }
 
     # ---- S3 emulation (webapi/s3/routes.py:104-190) ---------------------
 

@@ -775,3 +775,44 @@ class ExecutorPreloadHandle(PreloadHandle):
 
     def close(self) -> None:
         self._executor.shutdown(wait=False, cancel_futures=True)
+
+
+class ReferenceDataStore(DataStore):
+    """Kerchunk reference store (core/store/ref/store.py:21-120): a
+    list of reference JSON files (or a directory of them) served as
+    openable datasets — referred NetCDF/HDF5 granules read as if they
+    were Zarr, chunk-parallel, without copying bytes.
+
+    ``refs`` entries may be paths to ``*.json`` reference files or a
+    directory (every ``*.json`` inside becomes a data id).  Data ids
+    are the file stems, like the reference's normalized ref names.
+    """
+
+    def __init__(self, spark: SparkSession, refs: list[str] | str):
+        self.spark = spark
+        if isinstance(refs, str):
+            root = refs
+            refs = sorted(
+                os.path.join(root, f) for f in os.listdir(root)
+                if f.endswith(".json"))
+        self._refs: dict[str, str] = {}
+        for r in refs:
+            stem = os.path.splitext(os.path.basename(r))[0]
+            self._refs[stem] = r
+
+    def get_data_ids(self) -> Iterator[str]:
+        yield from sorted(self._refs)
+
+    def has_data(self, data_id: str) -> bool:
+        return data_id in self._refs
+
+    def open_data(self, data_id: str, **options) -> DataFrame:
+        from xcube_spark.sources.zarrio import open_kerchunk_cube
+
+        if data_id not in self._refs:
+            raise FileNotFoundError(f"data id not found: {data_id}")
+        return open_kerchunk_cube(self.spark, self._refs[data_id],
+                                  **options)
+
+
+_STORES["reference"] = ReferenceDataStore
