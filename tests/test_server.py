@@ -279,3 +279,64 @@ def test_viewer_config(served):
     assert {v["name"] for v in ds["variables"]} == {"sst", "chl"}
     assert "viridis" in cfg["colormaps"]
     assert cfg["apis"]["timeseries"].startswith("/timeseries/")
+
+
+def test_auth_api_key_and_jwt(spark):
+    """webapi/auth parity: bearer API key + HS256 JWT with scope
+    checks; no auth config -> open serving (covered by every other
+    test here)."""
+    import base64
+    import hashlib
+    import hmac
+    import time as _time
+    import urllib.request
+
+    srv = CubeServer(spark, auth={
+        "api_keys": ["sekrit"],
+        "jwt_secret": "hmac-secret",
+        "audience": "cubes",
+        "required_scopes": ["read:datasets"],
+    })
+    cube = new_cube(spark, GRID, {"v": 1.0})
+    srv.add_dataset("d", cube, GRID)
+    port = srv.start()
+    base = f"http://127.0.0.1:{port}"
+
+    def get(url, token=None):
+        req = urllib.request.Request(url)
+        if token:
+            req.add_header("Authorization", f"Bearer {token}")
+        try:
+            with urllib.request.urlopen(req, timeout=60) as r:
+                return r.status
+        except urllib.error.HTTPError as e:
+            return e.code
+
+    def jwt(payload):
+        def b64(b):
+            return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+        h = b64(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+        p = b64(json.dumps(payload).encode())
+        sig = b64(hmac.new(b"hmac-secret", f"{h}.{p}".encode(),
+                           hashlib.sha256).digest())
+        return f"{h}.{p}.{sig}"
+
+    try:
+        assert get(f"{base}/datasets") == 401          # no credential
+        assert get(f"{base}/datasets", "wrong") == 401  # bad key
+        assert get(f"{base}/datasets", "sekrit") == 200  # api key
+        good = jwt({"aud": "cubes", "scope": "read:datasets",
+                    "exp": _time.time() + 60})
+        assert get(f"{base}/datasets", good) == 200
+        expired = jwt({"aud": "cubes", "scope": "read:datasets",
+                       "exp": _time.time() - 60})
+        assert get(f"{base}/datasets", expired) == 401
+        wrong_aud = jwt({"aud": "other", "scope": "read:datasets"})
+        assert get(f"{base}/datasets", wrong_aud) == 401
+        no_scope = jwt({"aud": "cubes", "scope": "other:stuff"})
+        assert get(f"{base}/datasets", no_scope) == 403
+        tampered = good[:-4] + "AAAA"
+        assert get(f"{base}/datasets", tampered) == 401
+    finally:
+        srv.stop()

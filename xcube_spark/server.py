@@ -45,6 +45,7 @@ import json
 import threading
 from dataclasses import dataclass
 from datetime import datetime, timezone
+from typing import Mapping
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlsplit
 
@@ -115,14 +116,78 @@ class CubeServer:
     """Route table + dispatch.  Register cubes with
     :meth:`add_dataset`, then :meth:`start` (tests use port 0)."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, auth: dict | None = None):
+        """``auth`` (webapi/auth parity, config.py AuthConfig):
+        ``{"api_keys": [...]}`` and/or ``{"jwt_secret": "...",
+        "audience": "...", "required_scopes": [...]}`` — requests then
+        need ``Authorization: Bearer <key-or-HS256-JWT>``.  ``None``
+        (the default) serves openly, like a reference deployment with
+        no Authentication block."""
         self.spark = spark
+        self.auth = auth
         self.datasets: dict[str, _Dataset] = {}
         self.place_groups: dict[str, tuple[DataFrame, str]] = {}
         self.jobs: dict[int, dict] = {}
         self._job_seq = 0
         self._s3_cache: dict[str, str] = {}
         self._httpd: ThreadingHTTPServer | None = None
+
+    # ---- auth (webapi/auth/context.py:21-150, HS256 profile) ------------
+
+    def check_auth(self, headers: Mapping[str, str] | None) -> None:
+        """Raise 401/403 unless the request carries a valid bearer
+        credential.  JWTs are verified with stdlib HMAC-SHA256
+        (signature, ``exp``, optional ``aud``) and their ``scope``
+        claim is checked against ``required_scopes`` — the granted-
+        scopes model of the reference's ``get_granted_scopes``."""
+        if not self.auth:
+            return
+        h = {k.lower(): v for k, v in (headers or {}).items()}
+        bearer = h.get("authorization", "")
+        if not bearer.startswith("Bearer "):
+            raise ApiError(401, "missing Authorization: Bearer header")
+        token = bearer[7:].strip()
+        if token in self.auth.get("api_keys", ()):
+            return
+        secret = self.auth.get("jwt_secret")
+        if not secret:
+            raise ApiError(401, "invalid API key")
+        self._verify_jwt(token, secret)
+
+    def _verify_jwt(self, token: str, secret: str) -> dict:
+        import base64
+        import hashlib
+        import hmac
+        import time as _time
+
+        def b64d(s: str) -> bytes:
+            return base64.urlsafe_b64decode(s + "=" * (-len(s) % 4))
+
+        try:
+            head_b64, payload_b64, sig_b64 = token.split(".")
+            header = json.loads(b64d(head_b64))
+            payload = json.loads(b64d(payload_b64))
+            sig = b64d(sig_b64)
+        except Exception:
+            raise ApiError(401, "malformed JWT")
+        if header.get("alg") != "HS256":
+            raise ApiError(401, f"unsupported alg {header.get('alg')!r}")
+        want = hmac.new(secret.encode(),
+                        f"{head_b64}.{payload_b64}".encode(),
+                        hashlib.sha256).digest()
+        if not hmac.compare_digest(sig, want):
+            raise ApiError(401, "bad JWT signature")
+        if "exp" in payload and payload["exp"] < _time.time():
+            raise ApiError(401, "token expired")
+        aud = self.auth.get("audience")
+        if aud and payload.get("aud") != aud:
+            raise ApiError(401, "wrong audience")
+        need = set(self.auth.get("required_scopes", ()))
+        got = set(str(payload.get("scope", "")).split())
+        if need - got:
+            raise ApiError(
+                403, f"missing scope(s): {' '.join(sorted(need - got))}")
+        return payload
 
     def add_dataset(self, ds_id: str, cube: DataFrame, grid: CubeGrid,
                     title: str = "") -> None:
@@ -136,10 +201,12 @@ class CubeServer:
 
     # ---- dispatch -------------------------------------------------------
 
-    def handle(self, path: str, params: dict[str, str]) \
+    def handle(self, path: str, params: dict[str, str],
+               headers: Mapping[str, str] | None = None) \
             -> tuple[int, str, bytes]:
-        """(path, query) -> (status, content_type, body)."""
+        """(path, query[, headers]) -> (status, content_type, body)."""
         try:
+            self.check_auth(headers)
             seg = [s for s in path.split("/") if s]
             if not seg:
                 return self._json(self._service_info())
@@ -884,7 +951,8 @@ class CubeServer:
             def do_GET(self):  # noqa: N802 (stdlib API)
                 u = urlsplit(self.path)
                 params = dict(parse_qsl(u.query))
-                self._reply(*server.handle(u.path, params))
+                self._reply(*server.handle(u.path, params,
+                                           dict(self.headers)))
 
             def do_PUT(self):  # noqa: N802 — PUT /compute/jobs
                 u = urlsplit(self.path)
@@ -896,6 +964,7 @@ class CubeServer:
                                 b'{"error": "unknown PUT route"}')
                     return
                 try:
+                    server.check_auth(dict(self.headers))
                     job = server.submit_job(json.loads(raw))
                     self._reply(200, "application/json",
                                 json.dumps(job).encode())
