@@ -932,3 +932,56 @@ def test_bspline_mixed_order_families(spark):
     for (yi, xi), r in rows.items():
         assert r["A"] == yi * 12 + xi
         assert abs(r["B"] - (yi - xi)) < 1e-9
+
+
+def test_detect_regular_grid_true_and_false(spark):
+    """GridMapping.from_coords regularity sniff (gridmapping/coords.py):
+    affine 2-D coords -> CubeGrid; curvilinear -> None."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.spatial import detect_regular_grid
+
+    g = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0, y_res=45.0)
+    regular = new_cube(spark, g, {"v": 1.0}).withColumns(
+        {"lon": F.col("x"), "lat": F.col("y")})
+    det = detect_regular_grid(regular)
+    assert det is not None
+    assert (det.width, det.height) == (8, 4)
+    assert det.x_res == pytest.approx(45.0)
+    assert det.x_start == pytest.approx(-180.0)
+    assert det.y_start == pytest.approx(-90.0)
+    assert not det.inverse_y
+
+    # decreasing-lat swath detects with inverse_y
+    flipped = new_cube(spark, g, {"v": 1.0}).withColumns(
+        {"lon": F.col("x"), "lat": -F.col("y")})
+    det2 = detect_regular_grid(flipped)
+    assert det2 is not None and det2.inverse_y
+
+    # genuinely curvilinear coords -> None
+    curved = new_cube(spark, g, {"v": 1.0}).withColumns(
+        {"lon": F.col("x") + 0.1 * F.col("y"), "lat": F.col("y")})
+    assert detect_regular_grid(curved) is None
+    # missing coord columns -> None
+    assert detect_regular_grid(new_cube(spark, g, {"v": 1.0})) is None
+
+
+def test_resample_irregular_routes_regular_swath_to_affine(spark):
+    """A secretly-regular swath resamples WITHOUT the rectify lookup:
+    the result must match the plain regular-path output exactly."""
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.operators.resampling.spatial import resample_in_space
+
+    src = CubeGrid(width=8, height=4, time_periods=1, x_res=45.0,
+                   y_res=45.0)
+    dst = CubeGrid(width=4, height=2, time_periods=1, x_res=90.0,
+                   y_res=90.0)
+    cube = new_cube(spark, src, {"v": "CAST(x_i + y_i AS DOUBLE)"})
+    swath = cube.withColumns({"lon": F.col("x"), "lat": F.col("y")})
+
+    via_sniff = resample_in_space(swath, src, dst, irregular=True)
+    via_regular = resample_in_space(cube, src, dst)
+    a = sorted(map(tuple, via_sniff.select("y_i", "x_i", "v").collect()))
+    b = sorted(map(tuple, via_regular.select("y_i", "x_i", "v").collect()))
+    assert a == b and len(a) == dst.width * dst.height

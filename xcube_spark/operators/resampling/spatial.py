@@ -70,6 +70,16 @@ def resample_in_space(
     derived column.
     """
     if irregular:
+        # regularity sniff (GridMapping.from_coords, gridmapping/
+        # coords.py): a swath whose 2-D coords are secretly affine
+        # takes the cheap regular path instead of rectify's geometry
+        # reduction — two metadata-sized probe jobs buy a plan with no
+        # ij-lookup build
+        detected = detect_regular_grid(cube)
+        if detected is not None and detected.crs == target.crs:
+            regular = cube.drop("lon", "lat")
+            return resample_in_space(
+                regular, detected, target, var_names=var_names)
         return rectify_dataset(cube, target, var_names=var_names)
 
     if source.crs != target.crs:
@@ -91,3 +101,63 @@ def resample_in_space(
         return downscale_dataset(cube, factor=k)
 
     return affine_transform_dataset(cube, source, target, var_names=var_names)
+
+
+def detect_regular_grid(
+    source: DataFrame,
+    lon_name: str = "lon",
+    lat_name: str = "lat",
+    tol: float = 1e-9,
+) -> CubeGrid | None:
+    """Sniff whether per-cell 2-D coords are secretly REGULAR —
+    ``GridMapping.from_coords``'s regularity detection (reference
+    xcube/core/gridmapping/coords.py ``new_grid_mapping_from_coords``
+    + ``GridMapping.is_regular``): if lon is affine in ``x_i`` alone
+    and lat affine in ``y_i`` alone (within ``tol``), the swath is a
+    plain grid and the cheap affine path applies instead of rectify's
+    geometry reduction.
+
+    Two metadata-sized aggregate jobs: one for the axis extremes, one
+    for the max residual against the implied affine mapping — the
+    corpus itself never moves.  Returns the detected
+    :class:`CubeGrid` (handles decreasing-lat via ``inverse_y``) or
+    ``None`` if the coords are genuinely curvilinear.
+    """
+    from pyspark.sql import functions as F
+
+    need = {"x_i", "y_i", lon_name, lat_name}
+    if not need <= set(source.columns):
+        return None
+    ext = source.agg(
+        F.max("x_i").alias("nx"), F.max("y_i").alias("ny"),
+        F.min_by(lon_name, "x_i").alias("lon0"),
+        F.max_by(lon_name, "x_i").alias("lon1"),
+        F.min_by(lat_name, "y_i").alias("lat0"),
+        F.max_by(lat_name, "y_i").alias("lat1"),
+    ).collect()[0]
+    if ext["nx"] is None or ext["nx"] < 1 or ext["ny"] < 1:
+        return None
+    dx = (ext["lon1"] - ext["lon0"]) / ext["nx"]
+    dy = (ext["lat1"] - ext["lat0"]) / ext["ny"]
+    if dx <= 0 or dy == 0:
+        return None
+    # residuals against the implied affine mapping, one pass
+    pred_lon = F.lit(ext["lon0"]) + F.col("x_i") * F.lit(dx)
+    pred_lat = F.lit(ext["lat0"]) + F.col("y_i") * F.lit(dy)
+    r = source.agg(
+        F.max(F.abs(F.col(lon_name) - pred_lon)).alias("rx"),
+        F.max(F.abs(F.col(lat_name) - pred_lat)).alias("ry"),
+    ).collect()[0]
+    if r["rx"] > tol or r["ry"] > tol:
+        return None
+    width, height = ext["nx"] + 1, ext["ny"] + 1
+    inverse_y = dy < 0
+    ady = abs(dy)
+    y_min_center = min(ext["lat0"], ext["lat1"])
+    return CubeGrid(
+        width=width, height=height,
+        x_start=ext["lon0"] - dx / 2,
+        y_start=y_min_center - ady / 2,
+        x_res=dx, y_res=ady,
+        inverse_y=inverse_y,
+    )
