@@ -815,3 +815,62 @@ def emb_knn_ivfpq(spark, sf_dir):
                     m=4, dsub=16, ksub=16)
     return out.select("query_id", "vec_id",
                       F.round("pq_d2", 4).alias("pq_d2"), "rank")
+
+
+@query(
+    "emb_quantize_int8",
+    sql="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale
+            FROM v
+        ), c AS (
+            SELECT vec_id, scale,
+                   list_transform(e, x -> CAST(round(x / scale)
+                                               AS BIGINT)) AS codes
+            FROM s
+        )
+        SELECT vec_id,
+               ROUND(scale + 1e-9, 6) AS scale,
+               CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(codes, x -> abs(x)))
+                    AS BIGINT) AS sum_abs_codes,
+               CAST(len(list_filter(codes, x -> abs(x) = 127))
+                    AS BIGINT) AS n_saturated
+        FROM c
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization — the memory-compression
+    step before ANN serving (256 B float vector -> 64 B codes +
+    4 B scale): per vector, scale = max|v|/127, code_i =
+    round(v_i/scale).  Map-only Column math (no UDF, no shuffle);
+    code sums are INTEGER-exact cross-engine, so the oracle hash
+    doesn't ride on float summation order.  Both engines round
+    half-away-from-zero, so code values are bit-identical."""
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = emb.select(
+        "vec_id", "e",
+        (F.array_max(F.transform("e", lambda x: F.abs(x)))
+         / F.lit(127.0)).alias("scale"),
+    ).select(
+        "vec_id", "scale",
+        F.transform(
+            "e", lambda x: F.round(x / F.col("scale")).cast("long")
+        ).alias("codes"),
+    )
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale") + F.lit(1e-9), 6).alias("scale"),
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("sum_codes"),
+        F.aggregate("codes", F.lit(0).cast("long"),
+                    lambda a, x: a + F.abs(x)).alias("sum_abs_codes"),
+        F.size(F.filter("codes", lambda x: F.abs(x) == 127))
+        .cast("long").alias("n_saturated"),
+    )

@@ -450,3 +450,55 @@ def doc_trigram_lm(spark, sf_dir):
     from xcube_spark.pipeline.text import trigram_lm_score
 
     return trigram_lm_score(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_domain_mix_weights",
+    sql=r"""
+        WITH d AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(length(regexp_split_to_array(
+                        trim(text), '\s+'))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM d
+        ), w AS (
+            SELECT source, n_docs, n_tokens,
+                   n_tokens * 1.0 / tot.t AS share,
+                   sqrt(n_tokens * 1.0 / tot.t) AS tempered
+            FROM d, tot
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(share + 1e-9, 6) AS token_share,
+               ROUND(tempered / (SELECT SUM(tempered) FROM w) + 1e-9, 6)
+                   AS mix_weight
+        FROM w
+    """,
+)
+def doc_domain_mix_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing weights (the DoReMi-ish
+    sampling-mix step of a training pipeline): per source domain,
+    token share p_i and the alpha=0.5 tempered weight
+    sqrt(p_i)/sum(sqrt(p_j)) — upweights small domains without
+    swamping the mix.  One partial-agg shuffle on the domain key; the
+    weight table is model-sized output."""
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long").alias("n_tokens"),
+    )
+    tot = d.agg(F.sum("n_tokens").cast("long").alias("t"))
+    w = d.join(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens",
+        (F.col("n_tokens") * 1.0 / F.col("t")).alias("share"),
+        F.sqrt(F.col("n_tokens") * 1.0 / F.col("t")).alias("tempered"),
+    )
+    z = w.agg(F.sum("tempered").alias("z"))
+    return w.join(F.broadcast(z)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("share") + F.lit(1e-9), 6).alias("token_share"),
+        F.round(F.col("tempered") / F.col("z") + F.lit(1e-9), 6)
+        .alias("mix_weight"),
+    )
