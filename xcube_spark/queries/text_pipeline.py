@@ -502,3 +502,56 @@ def doc_domain_mix_weights(spark, sf_dir):
         F.round(F.col("tempered") / F.col("z") + F.lit(1e-9), 6)
         .alias("mix_weight"),
     )
+
+
+@query(
+    "doc_edit_distance_bands",
+    sql="""
+        WITH b AS (
+            SELECT doc_id, text, lang,
+                   CAST(n_chars // 20 AS BIGINT) AS band
+            FROM documents
+            QUALIFY COUNT(*) OVER (PARTITION BY lang, n_chars // 20)
+                    <= 64
+        ), pairs AS (
+            SELECT a.lang, a.band,
+                   levenshtein(a.text, c.text) AS d
+            FROM b a JOIN b c
+              ON a.lang = c.lang AND a.band = c.band
+             AND a.doc_id < c.doc_id
+        )
+        SELECT lang, band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(d) AS BIGINT) AS min_dist,
+               CAST(SUM(d) AS BIGINT) AS sum_dist
+        FROM pairs GROUP BY lang, band
+    """,
+)
+def doc_edit_distance_bands(spark, sf_dir):
+    """Edit-distance near-dup audit, length-banded: candidate pairs
+    are confined to (lang, n_chars//20) buckets with a hard 64-doc
+    bucket cap (the LSH `_cap_buckets` discipline — the quadratic
+    stays bounded per bucket at any corpus size), then JVM built-in
+    ``levenshtein`` scores each pair and integer-exact per-band stats
+    come back.  Both engines implement the same standard DP distance,
+    so the hash match is exact with no float laundering."""
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang",
+        (F.col("n_chars") / 20).cast("long").alias("band"))
+    w = Window.partitionBy("lang", "band")
+    b = (docs.withColumn("__n", F.count(F.lit(1)).over(w))
+         .where(F.col("__n") <= 64).drop("__n"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c, (F.col("a.lang") == F.col("c.lang"))
+        & (F.col("a.band") == F.col("c.band"))
+        & (F.col("a.doc_id") < F.col("c.doc_id"))
+    ).select(
+        F.col("a.lang").alias("lang"), F.col("a.band").alias("band"),
+        F.levenshtein(F.col("a.text"), F.col("c.text")).alias("d"))
+    return pairs.groupBy("lang", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("d").cast("long").alias("min_dist"),
+        F.sum("d").cast("long").alias("sum_dist"))
