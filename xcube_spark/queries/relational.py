@@ -282,3 +282,76 @@ def q18_large_orders(spark, sf_dir):
             "total_qty",
         )
     )
+
+
+@query(
+    "q4_order_priority",
+    sql="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates
+    to a LEFT SEMI join — Catalyst plans a semi hash join keyed on
+    l_orderkey, so the lineitem side carries only the join key + ship
+    date through the shuffle and duplicate matches never multiply
+    rows.  The commit/receipt columns of canonical Q4 aren't in the
+    driver's lineitem; 'shipped after order date' keeps the same
+    correlated-EXISTS plan shape."""
+    o = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    sel = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    matched = sel.join(
+        li,
+        (sel["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > sel["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count"))
+
+
+@query(
+    "q14_promo_revenue",
+    sql="""
+        SELECT ROUND(
+                 100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount)
+                     ELSE 0.0 END)
+                 / SUM(l_extendedprice * (1 - l_discount))
+                 + 1e-9, 4) AS promo_revenue_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): month-filtered lineitem joins the
+    part dimension — small enough to BROADCAST at any lineitem scale,
+    so the only shuffle is the final single-group aggregate's 1-row
+    exchange.  The ship-date filter pushes to the parquet scan."""
+    li = tbl(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.agg(
+        F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev) + F.lit(1e-9),
+                4).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).cast("long").alias("n_items"))
