@@ -670,3 +670,35 @@ def events_quantiles(spark, sf_dir):
             for p in (0.5, 0.9, 0.99)
         ],
     )
+
+
+@query(
+    "events_json_props",
+    sql="""
+        SELECT event_type,
+               CAST(COUNT(k) AS BIGINT) AS n_with_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        GROUP BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured props: JSON path extraction inside the scan
+    projection (``get_json_object`` — JVM-side Jackson, no UDF), then
+    integer-exact per-type stats.  At scale the JSON parse rides the
+    scan (one pass, no shuffle beyond the 5-key partial agg); for hot
+    paths you'd materialize the extracted column into the layout, but
+    the extraction operator itself is shuffle-free."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long").alias("k")
+    return ev.select("event_type", k).groupBy("event_type").agg(
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"))
