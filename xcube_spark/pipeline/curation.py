@@ -400,11 +400,17 @@ def substring_dedup_stats(
         .where(F.col("__full").isNotNull())
         .select(id_col, "pos", F.md5("__g").alias("__h"))
     )
-    first = wins.groupBy("__h").agg(
+    # first-occurrence via a window MIN over the span hash: ONE
+    # exchange of the span table, versus groupBy+join's two (the agg
+    # exchange plus re-shuffling wins into the join) — at 100 TB the
+    # span table is the biggest relation in the query, so halving its
+    # shuffles is the dominant saving
+    wh = W.partitionBy("__h")
+    marked = wins.withColumn(
+        "__first",
         F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
-        .alias("__first")
-    )
-    marked = wins.join(first, "__h").select(
+        .over(wh),
+    ).select(
         id_col,
         (
             (F.col("__first.d") != F.col(id_col))
@@ -520,12 +526,15 @@ def substring_dedup_clean(
         .where(F.col("__full").isNotNull())
         .select(id_col, "pos", F.md5("__g").alias("__h"))
     )
-    first = wins.groupBy("__h").agg(
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
-        .alias("__first")
-    )
+    # window-min over the span hash, not groupBy+join — one exchange
+    # of the span table instead of two (see substring_dedup_stats)
+    wh = W.partitionBy("__h")
     dup = (
-        wins.join(first, "__h")
+        wins.withColumn(
+            "__first",
+            F.min(F.struct(F.col(id_col).alias("d"),
+                           F.col("pos").alias("p"))).over(wh),
+        )
         .where(
             (F.col("__first.d") != F.col(id_col))
             | (F.col("__first.p") != F.col("pos"))
