@@ -211,3 +211,109 @@ def test_assign_split_partitions_every_doc(spark, weights, n):
     out = assign_split(df, weights=weights).collect()
     assert len(out) == n
     assert {r.split for r in out} <= set(weights)
+
+
+# ---- round-5 pure-python invariants (no Spark session needed) --------
+
+
+@given(
+    p=st.floats(min_value=0.0, max_value=1.0,
+                allow_nan=False, allow_infinity=False),
+    name=st.sampled_from(["default", "viridis", "gray", "jet",
+                          "coolwarm", "viridis_r"]),
+)
+def test_colormap_interp_in_range_and_endpoints(p, name):
+    from xcube_spark.operators.tiles import get_colormap
+    from xcube_spark.server import _interp_stops
+
+    stops = get_colormap(name)
+    rgb = _interp_stops(stops, p)
+    assert all(0 <= c <= 255 for c in rgb)
+    assert _interp_stops(stops, 0.0) == stops[0][1]
+    assert _interp_stops(stops, 1.0) == stops[-1][1]
+
+
+@given(data=st.binary(min_size=0, max_size=64))
+def test_jwt_verify_rejects_any_tamper(data):
+    """Flipping any part of a valid HS256 token must 401 — the
+    signature covers header+payload bit-for-bit."""
+    import base64
+    import hashlib
+    import hmac
+    import json as _json
+
+    from xcube_spark.server import ApiError, CubeServer
+
+    srv = CubeServer.__new__(CubeServer)
+    srv.auth = {"jwt_secret": "s3", "api_keys": []}
+
+    def b64(b):
+        return base64.urlsafe_b64encode(b).rstrip(b"=").decode()
+
+    h = b64(_json.dumps({"alg": "HS256"}).encode())
+    p = b64(_json.dumps({"scope": ""}).encode())
+    sig = b64(hmac.new(b"s3", f"{h}.{p}".encode(),
+                       hashlib.sha256).digest())
+    token = f"{h}.{p}.{sig}"
+    srv._verify_jwt(token, "s3")  # the untampered token verifies
+
+    # splice attacker-controlled bytes into the payload: must fail
+    evil = f"{h}.{b64(data)}.{sig}"
+    if b64(data) != p:
+        import pytest as _pytest
+
+        with _pytest.raises(ApiError):
+            srv._verify_jwt(evil, "s3")
+
+
+@given(
+    includes=st.lists(st.sampled_from(["*.py", "*.md", "a*", "*.txt"]),
+                      max_size=2),
+    excludes=st.lists(st.sampled_from(["junk*", "*.pyc", "b*"]),
+                      max_size=2),
+)
+def test_fileset_filters_are_consistent(tmp_path_factory, includes,
+                                        excludes):
+    """keys() == the brute-force fnmatch filter over all files, and a
+    zip of the set contains exactly those keys."""
+    import fnmatch
+    import zipfile
+
+    from xcube_spark.pipeline.byoa import FileSet
+
+    root = tmp_path_factory.mktemp("fs")
+    names = ["a.py", "b.py", "a.md", "junk.pyc", "notes.txt"]
+    for n in names:
+        (root / n).write_text("x")
+    fs = FileSet(str(root), includes=includes or None,
+                 excludes=excludes or None)
+
+    def want(n):
+        if includes and not any(fnmatch.fnmatch(n, p) for p in includes):
+            return False
+        if excludes and any(fnmatch.fnmatch(n, p) for p in excludes):
+            return False
+        return True
+
+    expect = sorted(n for n in names if want(n))
+    assert fs.keys() == expect
+    z = fs.to_local_zip()
+    if expect:
+        with zipfile.ZipFile(z.path) as zf:
+            assert sorted(zf.namelist()) == expect
+
+
+@given(
+    vec=st.lists(st.floats(min_value=-100, max_value=100,
+                           allow_nan=False, width=32),
+                 min_size=1, max_size=16).filter(
+                     lambda v: max(abs(x) for x in v) > 1e-6),
+)
+def test_int8_quantization_bounds(vec):
+    """Pure-python twin of emb_quantize_int8's math: codes stay in
+    [-127, 127] and reconstruction error is bounded by scale/2."""
+    scale = max(abs(x) for x in vec) / 127.0
+    codes = [round(x / scale) for x in vec]
+    assert all(-127 <= c <= 127 for c in codes)
+    assert all(abs(c * scale - x) <= scale / 2 + 1e-9
+               for c, x in zip(codes, vec))
