@@ -355,3 +355,48 @@ def q14_promo_revenue(spark, sf_dir):
         F.round(F.lit(100.00) * F.sum(promo) / F.sum(rev) + F.lit(1e-9),
                 4).alias("promo_revenue_pct"),
         F.count(F.lit(1)).cast("long").alias("n_items"))
+
+
+@query(
+    "q10_returned_items",
+    sql="""
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+                   AS revenue,
+               ROUND(MAX(c_acctbal) + 1e-9, 2) AS acctbal
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): the canonical star-join —
+    lineitem filters on the return flag at the scan, orders prunes the
+    quarter, then the fact side joins broadcast customer+nation dims
+    and a top-20 takes the result.  At 100 TB only the
+    (custkey-grouped) partial aggregate shuffles; TakeOrderedAndProject
+    keeps the sort at the 20-row limit, never a full order-by."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = tbl(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = tbl(spark, sf_dir, "nation")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"]))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev) + F.lit(1e-9), 2).alias("revenue"),
+             F.round(F.max("c_acctbal") + F.lit(1e-9), 2).alias("acctbal"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
