@@ -378,3 +378,34 @@ def test_bpe_vocab_collapse_before_iteration(spark, sf_dir):
     # the corpus collapses to its vocabulary with map-side combine:
     # the shuffle carries (word, partial_count), NOT corpus tokens
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_q10_broadcasts_dims_and_bounds_topk(spark, sf_dir):
+    from xcube_spark.queries import load_all
+
+    q = load_all()["q10_returned_items"]
+    plan = _plan(q.fn(spark, sf_dir))
+    # customer + nation ride broadcast joins; the 20-row result comes
+    # from TakeOrderedAndProject, never a full sort of the aggregate
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_plans_left_semi(spark, sf_dir):
+    from xcube_spark.queries import load_all
+
+    q = load_all()["q4_order_priority"]
+    plan = _plan(q.fn(spark, sf_dir))
+    # EXISTS decorrelates to a semi join: lineitem matches never
+    # multiply order rows
+    assert "LeftSemi" in plan
+
+
+def test_substring_dedup_single_span_exchange(spark, sf_dir):
+    """The window-min rewrite: the span-hash table is exchanged ONCE
+    (hashpartitioning on __h), not re-shuffled into a join."""
+    from xcube_spark.pipeline.curation import substring_dedup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(substring_dedup_stats(docs))
+    assert plan.count("hashpartitioning(__h") == 1
