@@ -1,1 +1,1 @@
-from xcube_spark.pipeline import dedup, similarity, text  # noqa: F401
+from xcube_spark.pipeline import byoa, dedup, similarity, text  # noqa: F401

@@ -6,8 +6,11 @@ from xcube_spark.sources.dsio import (
 )
 from xcube_spark.sources.store import (
     DataStore,
+    DataStoreConfig,
+    DataStorePool,
     FsDataStore,
     MemoryDataStore,
+    ReferenceDataStore,
     new_data_store,
 )
 from xcube_spark.sources.timeslice import (
@@ -24,8 +27,11 @@ __all__ = [
     "open_dataset",
     "write_dataset",
     "DataStore",
+    "DataStoreConfig",
+    "DataStorePool",
     "FsDataStore",
     "MemoryDataStore",
+    "ReferenceDataStore",
     "new_data_store",
     "append_time_slice",
     "find_time_slice",
