@@ -19,9 +19,9 @@ from xcube_spark.queries import query, tbl
     sql="""
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 4) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
                ROUND(AVG(l_quantity), 6) AS avg_qty,
                ROUND(AVG(l_extendedprice), 6) AS avg_price,
                ROUND(AVG(l_discount), 6) AS avg_disc,
@@ -40,9 +40,9 @@ def q1_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
             F.round(
                 F.sum(
@@ -50,7 +50,7 @@ def q1_pricing_summary(spark, sf_dir):
                     * (1 - F.col("l_discount"))
                     * (1 + F.col("l_tax"))
                 ),
-                4,
+                2,
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
