@@ -106,7 +106,7 @@ def q3_shipping_priority(spark, sf_dir):
     "q5_local_supplier_volume",
     sql="""
         SELECT n.n_name,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -139,7 +139,7 @@ def q5_local_supplier_volume(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
