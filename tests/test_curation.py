@@ -419,3 +419,17 @@ def test_trigram_lm_known_values(spark):
     expected = round((-math.log(2 / 4) - math.log(1 / 4)) / 2 + 1e-9, 6)
     assert out[1].avg_nll == expected
     assert out[2].avg_nll == expected
+
+
+def test_bpe_tokenize_counts(spark):
+    from xcube_spark.pipeline.text import bpe_tokenize
+
+    # 'ab ab abc': merges learned = (a,b) then (ab,c)
+    # after both: 'ab' -> 1 symbol, 'abc' -> 1 symbol
+    docs = spark.createDataFrame(
+        [(1, "ab ab abc")], "doc_id int, text string")
+    r = bpe_tokenize(docs, steps=2).collect()[0]
+    assert (r.n_words, r.n_chars_tokens, r.n_bpe_tokens) == (3, 7, 3)
+    # with only one merge, 'abc' is 'ab c' = 2 symbols
+    r1 = bpe_tokenize(docs, steps=1).collect()[0]
+    assert r1.n_bpe_tokens == 4

@@ -296,3 +296,104 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return scored
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 32,
+) -> DataFrame:
+    """Apply the corpus-learned BPE merges: tokenize every document
+    under the vocabulary after ``steps`` merges — the encode half of
+    :func:`bpe_train_merges` (train + apply = the full tokenizer
+    loop).
+
+    Scale shape: training happens on the VOCABULARY (word table, as in
+    training), producing a word -> symbol-count map that is
+    vocabulary-sized and BROADCASTS; tokenizing the corpus is then one
+    broadcast join + a per-doc partial aggregation — the corpus never
+    shuffles for the encode, only for its own doc_id counts.
+
+    Output: (doc_id, n_words, n_chars_tokens, n_bpe_tokens) where
+    ``n_chars_tokens`` is the pre-merge symbol count (= word lengths)
+    and ``n_bpe_tokens`` the post-merge count.  Words outside the
+    printable-ASCII / length filter are excluded from all three counts
+    (same filter as training).
+    """
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+        .where(
+            (F.col("w") != "")
+            & (F.length("w") <= max_word_len)
+            & F.col("w").rlike("^[!-~]+$"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    cur = words.select(
+        "w",
+        F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "),
+                 F.lit(" ")).alias("sym"),
+        "freq",
+    ).persist()
+    merges = []
+    try:
+        for _step in range(steps):
+            toks = cur.select(
+                F.split(F.trim(F.col("sym")), " ").alias("__t"), "freq")
+            best = (
+                toks.select(
+                    F.explode(F.expr(
+                        "transform(slice(__t, 1, size(__t) - 1), "
+                        "(x, i) -> struct(x AS l, "
+                        "element_at(__t, i + 2) AS r))")).alias("p"),
+                    "freq")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r = best[0]["l"], best[0]["r"]
+            merges.append((l, r))
+            nxt = cur.select(
+                "w",
+                F.replace(F.col("sym"), F.lit(f" {l} {r} "),
+                          F.lit(f" {l}{r} ")).alias("sym"),
+                "freq",
+            ).persist()
+            nxt.count()
+            cur.unpersist()
+            cur = nxt
+        vocab = cur.select(
+            "w",
+            F.size(F.split(F.trim("sym"), " ")).cast("long").alias("n_sym"),
+        )
+        doc_words = (
+            docs.select(
+                "doc_id",
+                F.explode(F.split(F.trim(F.col(text_col)),
+                                  r"\s+")).alias("w"))
+            .where(
+                (F.col("w") != "")
+                & (F.length("w") <= max_word_len)
+                & F.col("w").rlike("^[!-~]+$"))
+        )
+        # the final vocab map stays persisted: the returned plan's
+        # broadcast build reads it (vocabulary-sized; the session's
+        # cache policy reclaims it)
+        return (
+            doc_words.join(F.broadcast(vocab), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum(F.length("w")).cast("long").alias("n_chars_tokens"),
+                F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
+            )
+        )
+    except Exception:
+        cur.unpersist()
+        raise

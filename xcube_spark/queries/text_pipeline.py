@@ -555,3 +555,77 @@ def doc_edit_distance_bands(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.min("d").cast("long").alias("min_dist"),
         F.sum("d").cast("long").alias("sum_dist"))
+
+
+def _bpe_tokenize_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
+    r"""Oracle for ``bpe_tokenize``: the same argmax-chain CTEs as
+    :func:`_bpe_oracle_sql` but carrying the source word through each
+    merge, then re-tokenizing every document against the final
+    word -> symbol-count vocabulary."""
+    parts = [f"""
+        WITH words AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+                SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+                FROM documents
+            )
+            WHERE w != '' AND length(w) <= {max_word_len}
+              AND regexp_matches(w, '^[!-~]+$')
+            GROUP BY w
+        ), w0 AS (
+            SELECT w,
+                   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                   || ' ' AS sym, freq
+            FROM words
+        )"""]
+    for s in range(1, steps + 1):
+        p = s - 1
+        parts.append(f""", p{s} AS (
+            SELECT t[i] AS l, t[i + 1] AS r,
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM (SELECT string_split(trim(sym), ' ') AS t, freq
+                  FROM w{p}),
+                 UNNEST(range(1, len(t))) AS u(i)
+            GROUP BY l, r
+        ), b{s} AS (
+            SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1
+        ), w{s} AS (
+            SELECT w, replace(sym,
+                           ' ' || (SELECT l FROM b{s}) || ' '
+                               || (SELECT r FROM b{s}) || ' ',
+                           ' ' || (SELECT l FROM b{s})
+                               || (SELECT r FROM b{s}) || ' ') AS sym,
+                   freq
+            FROM w{p}
+        )""")
+    parts.append(f""", vocab AS (
+            SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+                   AS n_sym
+            FROM w{steps}
+        ), doc_words AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       UNNEST(regexp_split_to_array(trim(text), '\\s+'))
+                       AS w
+                FROM documents
+            )
+            WHERE w != '' AND length(w) <= {max_word_len}
+              AND regexp_matches(w, '^[!-~]+$')
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(length(w)) AS BIGINT) AS n_chars_tokens,
+               CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM doc_words JOIN vocab USING (w)
+        GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@query("doc_bpe_tokenize", sql=_bpe_tokenize_oracle_sql(steps=4))
+def doc_bpe_tokenize(spark, sf_dir):
+    """BPE encode under the corpus-learned merges (pipeline/text.py
+    bpe_tokenize): vocabulary-sized training + broadcast word->count
+    map; per-doc token counts before/after 4 merges."""
+    from xcube_spark.pipeline.text import bpe_tokenize
+
+    return bpe_tokenize(tbl(spark, sf_dir, "documents"), steps=4)
