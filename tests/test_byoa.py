@@ -121,3 +121,36 @@ def test_generator_accepts_code_config(spark):
     })
     out, _ = generate_cube(spark, cube, grid, req)
     assert out.agg({"temp": "max"}).collect()[0][0] == 5.0
+
+
+def test_fileset_sub_path_zip_dir_parity(tmp_path):
+    """sub_path must yield identical keys/contents whether the base is a
+    directory or a zip of that directory (fileset.py sub_path parity)."""
+    root = tmp_path / "proj"
+    (root / "src" / "pkg").mkdir(parents=True)
+    (root / "src" / "pkg" / "mod.py").write_text("X = 1\n")
+    (root / "src" / "top.py").write_text("Y = 2\n")
+    (root / "other.txt").write_text("n/a\n")
+    zip_path = str(tmp_path / "proj.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dn, files in os.walk(root):
+            for f in files:
+                full = os.path.join(dirpath, f)
+                zf.write(full, os.path.relpath(full, root)
+                         .replace(os.sep, "/"))
+
+    fs_dir = FileSet(str(root), sub_path="src")
+    fs_zip = FileSet(zip_path, sub_path="src")
+    assert fs_dir.keys() == fs_zip.keys() == ["pkg/mod.py", "top.py"]
+
+    # materializations agree too
+    out_dir = fs_zip.to_local_dir(str(tmp_path / "out_dir"))
+    assert sorted(FileSet(out_dir.path).keys()) == ["pkg/mod.py", "top.py"]
+    assert (
+        open(os.path.join(out_dir.path, "pkg", "mod.py")).read()
+        == "X = 1\n"
+    )
+    out_zip = fs_zip.to_local_zip(str(tmp_path / "out.zip"))
+    with zipfile.ZipFile(out_zip.path) as zf:
+        assert sorted(zf.namelist()) == ["pkg/mod.py", "top.py"]
+        assert zf.read("pkg/mod.py") == b"X = 1\n"

@@ -340,3 +340,40 @@ def test_auth_api_key_and_jwt(spark):
         assert get(f"{base}/datasets", tampered) == 401
     finally:
         srv.stop()
+
+
+def test_s3_path_traversal_rejected(served):
+    """Attacker-controlled key tails must not escape the zarr root
+    (realpath containment, server.py _s3)."""
+    srv = _SRV["srv"]
+    # via handle() so no client-side URL normalization hides the '..'
+    status, _c, _b = srv.handle(
+        "/s3/datasets/demo.zarr/../../../../etc/passwd", {}, {})
+    assert status == 404
+    status, _c, _b = srv.handle(
+        "/s3/datasets/demo.zarr/sst/../../demo.zarr/.zgroup", {}, {})
+    # normalizes to a legit in-root path -> either fine (200) or 404,
+    # but must never reach outside; plain dotted traversal above is 404.
+    assert status in (200, 404)
+    status, _c, body = srv.handle(
+        "/s3/datasets/demo.zarr/.zgroup", {}, {})
+    assert status == 200  # legit keys still served
+
+
+def test_malformed_params_yield_400_not_thread_death(served):
+    """handle() maps KeyError/ValueError from client input to HTTP 400
+    (not an unhandled exception that kills the request thread)."""
+    # non-numeric tile coords -> ValueError from int()
+    status, ctype, body = _get(f"{served}/tiles/demo/sst/zero/0/0")
+    assert status == 400
+    assert json.loads(body)["error"]["status"] == 400
+    # WMTS KVP GetTile with missing tilematrix/tilerow/tilecol -> KeyError
+    status, _c, body = _get(
+        f"{served}/wmts/kvp?request=GetTile&layer=demo.sst")
+    assert status == 400
+    # non-numeric bbox -> ValueError
+    status, _c, _b = _get(
+        f"{served}/timeseries/demo/sst?bbox=a,b,c,d")
+    assert status == 400
+    # server still alive afterwards
+    assert _get(f"{served}/datasets")[0] == 200

@@ -87,9 +87,19 @@ class FileSet:
         """Relative '/'-separated paths of the accepted files."""
         out: list[str] = []
         if self.is_local_zip():
+            # sub_path applies to zips exactly as to directories: only
+            # entries under the prefix count, and keys are relative to it.
+            prefix = (self.sub_path.strip("/") + "/") if self.sub_path \
+                else ""
             with zipfile.ZipFile(self.path) as zf:
                 for n in zf.namelist():
-                    if not n.endswith("/") and self._accepts(n):
+                    if n.endswith("/"):
+                        continue
+                    if prefix:
+                        if not n.startswith(prefix):
+                            continue
+                        n = n[len(prefix):]
+                    if self._accepts(n):
                         out.append(n)
         elif self.is_local_dir():
             root = (
@@ -111,6 +121,12 @@ class FileSet:
             )
         return sorted(out)
 
+    def _zip_member(self, key: str) -> str:
+        """Original zip member name for a (sub_path-relative) key."""
+        if self.sub_path:
+            return self.sub_path.strip("/") + "/" + key
+        return key
+
     # -- materialization ----------------------------------------------
 
     def to_local_zip(self, zip_path: str | None = None) -> "FileSet":
@@ -119,7 +135,8 @@ class FileSet:
         A zip is the unit ``addPyFile`` ships to every executor, so
         this is the packaging step of ``CodeConfig.install``.
         """
-        if self.is_local_zip() and not (self.includes or self.excludes):
+        if self.is_local_zip() and not (
+                self.includes or self.excludes or self.sub_path):
             return self
         if zip_path is None:
             fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="byoa-")
@@ -136,12 +153,13 @@ class FileSet:
             else:
                 with zipfile.ZipFile(self.path) as src:
                     for key in self.keys():
-                        zf.writestr(key, src.read(key))
+                        zf.writestr(key, src.read(self._zip_member(key)))
         return FileSet(zip_path)
 
     def to_local_dir(self, dir_path: str | None = None) -> "FileSet":
         """Extract (or pass through) to a local directory."""
-        if self.is_local_dir() and not (self.includes or self.excludes):
+        if self.is_local_dir() and not (
+                self.includes or self.excludes or self.sub_path):
             return self
         if dir_path is None:
             dir_path = tempfile.mkdtemp(prefix="byoa-")
@@ -162,7 +180,11 @@ class FileSet:
         else:
             with zipfile.ZipFile(self.path) as zf:
                 for key in self.keys():
-                    zf.extract(key, dir_path)
+                    dst = os.path.join(dir_path, key.replace("/", os.sep))
+                    os.makedirs(os.path.dirname(dst) or dir_path,
+                                exist_ok=True)
+                    with open(dst, "wb") as out_f:
+                        out_f.write(zf.read(self._zip_member(key)))
         return FileSet(dir_path)
 
     # -- JSON ----------------------------------------------------------

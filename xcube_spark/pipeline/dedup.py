@@ -341,21 +341,44 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     # set-bit votes outnumber clear-bit votes: sum(bit)*2 > count.
     # Hex char n is the HIGH nibble of its word, so nibble n of word w
     # sits at shift 28-4*(n%8), and bit b of that nibble at +b.
-    # All 64 vote aggregates and the fingerprint fold are built as
-    # parsed SQL strings: constructing them as nested Column calls costs
-    # hundreds of driver round-trips per plan build (measured ~2.5s of
-    # pure plan construction), the strings parse in one call each.
+    #
+    # SWAR-packed votes: 3 bit counters per 64-bit aggregate at 21-bit
+    # lanes (shifts 0/21/42), so 64 bits need ceil(64/3)=22 sum buffers
+    # + count instead of 65 — Spark's hash aggregate carries one buffer
+    # slot per aggregate expression, and 65 slots dominated the r5
+    # profile (2.1x DuckDB at sf1).  A 21-bit lane holds 2^21-1 ≈ 2.1M
+    # token votes per doc before overflow (far beyond any real doc; a
+    # 100 TB corpus caps doc length well below that at ingest).
+    # All expressions are built as parsed SQL strings: constructing
+    # them as nested Column calls costs hundreds of driver round-trips
+    # per plan build (measured ~2.5s of pure plan construction).
     def bit_sql(i: int) -> str:
         n, b = i // 4, i % 4
         w = "w0" if n < 8 else "w1"
-        return f"shiftright({w}, {28 - 4 * (n % 8) + b}) & 1"
+        return f"(shiftright({w}, {28 - 4 * (n % 8) + b}) & 1)"
 
-    aggs = [F.expr(f"sum({bit_sql(i)})").alias(f"s{i}") for i in range(bits)]
-    aggs.append(F.expr("count(*)").alias("cnt"))
+    lanes = [list(range(j, min(j + 3, bits))) for j in range(0, bits, 3)]
+    aggs = [
+        F.expr(
+            "sum("
+            + " + ".join(
+                bit_sql(i) if k == 0 else f"shiftleft({bit_sql(i)}, {21 * k})"
+                for k, i in enumerate(group)
+            )
+            + f") as p{j}"
+        )
+        for j, group in enumerate(lanes)
+    ]
+    aggs.append(F.expr("count(*) as cnt"))
     sig = toks.groupBy(id_col).agg(*aggs)
+
+    def vote_sql(i: int) -> str:
+        j, k = i // 3, i % 3
+        return f"(shiftright(p{j}, {21 * k}) & {(1 << 21) - 1})"
+
     acc_sql = " + ".join(
-        f"(CASE WHEN s{i} * 2 > cnt THEN {(1 << i) if i < 63 else -(1 << 63)}L"
-        " ELSE 0L END)"
+        f"(CASE WHEN {vote_sql(i)} * 2 > cnt"
+        f" THEN {(1 << i) if i < 63 else -(1 << 63)}L ELSE 0L END)"
         for i in range(bits)
     )
     return sig.select(F.col(id_col), F.expr(acc_sql).alias("simhash"))

@@ -262,6 +262,19 @@ class CubeServer:
             return (e.status, "application/json",
                     json.dumps({"error": {"status": e.status,
                                           "message": str(e)}}).encode())
+        except (KeyError, ValueError, IndexError, TypeError) as e:
+            # Malformed client input (missing KVP params, non-numeric
+            # z/y/x or bbox values, short paths) must yield a 400, not
+            # kill the request thread.
+            return (400, "application/json",
+                    json.dumps({"error": {
+                        "status": 400,
+                        "message": f"bad request: {e!r}"}}).encode())
+        except Exception as e:  # noqa: BLE001 — last-resort 500 mapper
+            return (500, "application/json",
+                    json.dumps({"error": {
+                        "status": 500,
+                        "message": f"internal error: {e!r}"}}).encode())
 
     @staticmethod
     def _json(obj) -> tuple[int, str, bytes]:
@@ -928,7 +941,15 @@ class CubeServer:
         if ds_id not in self.datasets:
             raise ApiError(404, f"no such key {key!r}")
         root = self._s3_materialize(ds_id)
-        fpath = _os.path.join(root, rel.replace("/", _os.sep))
+        # Containment check: the URL tail is attacker-controlled, so resolve
+        # and verify it stays inside the materialized zarr root (rejects
+        # '..' traversal, absolute segments, and symlink escapes).
+        fpath = _os.path.realpath(
+            _os.path.join(root, rel.replace("/", _os.sep)))
+        real_root = _os.path.realpath(root)
+        if fpath != real_root and not fpath.startswith(
+                real_root + _os.sep):
+            raise ApiError(404, f"no such key {key!r}")
         if not _os.path.isfile(fpath):
             raise ApiError(404, f"no such key {key!r}")
         with open(fpath, "rb") as f:

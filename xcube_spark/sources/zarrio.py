@@ -905,18 +905,38 @@ def unchunk_dataset(
                 for i, c, s in zip(idx, meta.chunks, meta.shape))
             full[sel] = arr[tuple(
                 slice(0, sl.stop - sl.start) for sl in sel)]
-        # drop the old chunk files, then swap metadata + single chunk
-        if meta.zarr_format == 3:
-            shutil.rmtree(os.path.join(adir, "c"), ignore_errors=True)
-        else:
-            for f in os.listdir(adir):
-                if re.fullmatch(r"[0-9]+(\.[0-9]+)*", f):
-                    os.remove(os.path.join(adir, f))
+        # Crash-safe swap order: stage the new chunk under a temp name,
+        # switch the metadata, rename the chunk into place, and only then
+        # delete the old chunk files — at no point are the array's bytes
+        # only on disk in a form the (old or new) metadata cannot reach
+        # plus the staged temp file.
         new_meta = replace(meta, chunks=tuple(meta.shape))
+        new_key = new_meta.chunk_key(*([0] * len(meta.shape)))
+        new_path = os.path.join(adir, new_key.replace("/", os.sep))
+        tmp_path = os.path.join(adir, ".unchunk-tmp")
+        _write_bytes(tmp_path, encode_chunk(full, new_meta))
+        old_keys = [
+            meta.chunk_key(*idx)
+            for idx in itertools.product(
+                *[range(c) for c in meta.chunk_counts()])
+        ]
         _write_array_meta(dataset_path, new_meta)
-        _write_bytes(
-            os.path.join(adir,
-                         new_meta.chunk_key(*([0] * len(meta.shape)))),
-            encode_chunk(full, new_meta))
+        os.makedirs(os.path.dirname(new_path), exist_ok=True)
+        os.replace(tmp_path, new_path)
+        for k in old_keys:
+            if k == new_key:
+                continue  # overwritten by the rename above
+            p = os.path.join(adir, k.replace("/", os.sep))
+            if os.path.isfile(p):
+                os.remove(p)
+        if meta.zarr_format == 3:
+            # prune now-empty v3 chunk sub-directories
+            for dirpath, dirnames, filenames in os.walk(
+                    os.path.join(adir, "c"), topdown=False):
+                if not dirnames and not filenames:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
         done.append(name)
     return done
