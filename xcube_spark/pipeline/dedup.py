@@ -397,7 +397,7 @@ def simhash_near_dup_pairs(
     persist it — the vote aggregation runs once, not twice.  The chunk
     table is O(corpus x 4), so no broadcast hint (AQE decides); the
     skew guard drops pathological buckets before pairing."""
-    sig = simhash(docs, text_col=text_col, id_col=id_col).persist()
+    sig = simhash(docs, text_col=text_col, id_col=id_col)
     chunks = sig.select(
         id_col,
         "simhash",
@@ -415,22 +415,46 @@ def simhash_near_dup_pairs(
             )
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    # Persist AFTER the explode+cap, not the signature table: the two
+    # self-join sides then read the capped chunk table from cache, so
+    # the vote aggregation AND the explode+window run once, not twice.
     chunks = _cap_buckets(chunks, ["chunk", "key"], max_bucket_size)
+    # Surviving-chunk bitmask per doc (bit c set iff the doc's chunk-c
+    # row survived the skew cap) — lets the pair emitter below pick ONE
+    # canonical chunk per pair with pure bit math instead of a DISTINCT
+    # shuffle over every candidate pair.
+    chunks = chunks.withColumn(
+        "m",
+        F.sum(F.expr("shiftleft(1, chunk)"))
+        .over(Window.partitionBy(id_col)),
+    ).persist()
     a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "key"
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        F.col("m").alias("m_a"), "chunk", "key"
     )
     b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "key"
-    )
-    pairs = (
-        a.join(b, ["chunk", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col("m").alias("m_b"), "chunk", "key"
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    # Min-chunk attribution replaces DISTINCT: a pair colliding on k
+    # chunks appears k times in the join output; emit it only from the
+    # smallest chunk where BOTH rows survived the cap AND the 16-bit
+    # keys collide.  That emits every qualifying pair exactly once, so
+    # the result SET equals the distinct form — without shuffling the
+    # candidate pairs again.
+    min_chunk = " AND ".join(
+        f"NOT (chunk > {c} AND ((shiftright(m_a & m_b, {c}) & 1) = 1)"
+        f" AND ((shiftright(sig_a, {16 * c}) & 65535)"
+        f" = (shiftright(sig_b, {16 * c}) & 65535)))"
+        for c in range(3)
+    )
+    return (
+        a.join(b, ["chunk", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr(min_chunk))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
     )
 
 
