@@ -433,3 +433,94 @@ def test_bpe_tokenize_counts(spark):
     # with only one merge, 'abc' is 'ab c' = 2 symbols
     r1 = bpe_tokenize(docs, steps=1).collect()[0]
     assert r1.n_bpe_tokens == 4
+
+
+def _ref_bpe(word_freq, steps):
+    """Pure-Python reference BPE (Sennrich-style): per step, count
+    adjacent pairs weighted by frequency, take (count desc, pair asc)
+    argmax, fuse greedy left-to-right.  Independent of the Spark fold."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(1, steps + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), cnt = best
+        merges.append((step, l, r, cnt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == l
+                        and syms[i + 1] == r):
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_adjacent_repeats_merge_every_pair(spark):
+    """Round-5 ADVICE bug: ' a a a a ' must fold to [aa, aa], not
+    [aa, a, a] — the string-replace form consumed the shared delimiter
+    and skipped adjacent repeated pairs."""
+    from xcube_spark.pipeline.text import bpe_tokenize, bpe_train_merges
+
+    docs = spark.createDataFrame([(1, "aaaa")], "doc_id int, text string")
+    out = bpe_train_merges(docs, steps=2).collect()
+    # step 1: (a,a) count 3 -> fuse greedy: [aa, aa]
+    # step 2: (aa,aa) count 1
+    assert [(r.merge_left, r.merge_right, r.pair_count) for r in out] \
+        == [("a", "a", 3), ("aa", "aa", 1)]
+    r = bpe_tokenize(docs, steps=1).collect()[0]
+    assert r.n_bpe_tokens == 2  # [aa, aa], not 3
+
+
+def test_bpe_depth_matches_pure_python_reference(spark):
+    """Self-consistency at depth: steps=12 over a corpus with ties,
+    odd runs, punctuation and cross-word structure must match an
+    independent pure-Python BPE exactly (merges AND tokenized symbol
+    counts), exercising checkpoint_every re-persists."""
+    from collections import Counter
+
+    from xcube_spark.pipeline.text import bpe_tokenize, bpe_train_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "aaaaa bbbb aaaaa",
+        "banana bandana banana",
+        "low lower lowest low low",
+        "a.b a.b a.b! c,d c,d",
+        "mississippi mississippi miss",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    wf = Counter(w for t in texts for w in t.split())
+    ref_merges, ref_vocab = _ref_bpe(dict(wf), steps=12)
+
+    out = bpe_train_merges(docs, steps=12, checkpoint_every=4).collect()
+    got = [(r.step, r.merge_left, r.merge_right, r.pair_count)
+           for r in out]
+    assert got == ref_merges
+
+    # tokenize totals: per-word symbol counts under the final vocab
+    # (ref_vocab keys are symbol tuples whose concatenation is the word)
+    n_sym = {"".join(syms): len(syms) for syms in ref_vocab}
+    exp = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        exp[i] = (len(ws), sum(len(w) for w in ws),
+                  sum(n_sym[w] for w in ws))
+    got_tok = {r.doc_id: (r.n_words, r.n_chars_tokens, r.n_bpe_tokens)
+               for r in bpe_tokenize(docs, steps=12,
+                                     checkpoint_every=4).collect()}
+    assert got_tok == exp

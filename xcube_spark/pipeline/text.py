@@ -163,38 +163,13 @@ def tfidf_keywords(
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame,
-    steps: int = 4,
-    text_col: str = "text",
-    max_word_len: int = 32,
-) -> DataFrame:
-    """Distributed BPE merge training: the first ``steps`` merge rules
-    a byte-pair-encoding tokenizer would learn from the corpus.
-
-    No reference counterpart (driver-mandated LLM-pipeline surface) —
-    this is the corpus-scale half of tokenizer training: per step,
-    count adjacent symbol pairs across the vocabulary (weighted by
-    word frequency), take the (count desc, pair asc) argmax, fuse that
-    pair everywhere, repeat.  Output: (step, merge_left, merge_right,
-    pair_count) — ``steps`` rows, the learned merge table.
-
-    Scale shape: the corpus collapses to its VOCABULARY first (one
-    shuffle over words; ~10M rows at 100 TB, Zipf guarantees it), and
-    every iteration is a vocabulary-sized pair count plus a 1-row
-    argmax collect — the per-step driver round-trip is the model, not
-    the data, exactly the k-means/PQ-codebook contract.  Words are
-    symbolized as space-delimited strings, and a merge is one
-    ``replace(sym, ' l r ', ' lr ')``: greedy, left-to-right,
-    non-overlapping — the standard BPE application order, and
-    bit-identical between Spark SQL and DuckDB (the oracle replays the
-    same argmax chain as scalar subqueries).
-
-    Words are restricted to printable ASCII (``'^[!-~]+$'``) so both
-    engines split into the same symbol units regardless of how they
-    index Unicode.
-    """
-    words = (
+def _bpe_words(docs: DataFrame, text_col: str,
+               max_word_len: int) -> DataFrame:
+    """Corpus -> word-frequency vocabulary (the one corpus-sized
+    shuffle of BPE training).  Words are restricted to printable ASCII
+    (``'^[!-~]+$'``) so Spark and the DuckDB oracle split into the
+    same symbol units regardless of how they index Unicode."""
+    return (
         docs.select(
             F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
         .where(
@@ -204,48 +179,140 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
-    cur = words.select(
+
+
+def bpe_apply_merge(sym: Column, left: str, right: str) -> Column:
+    """Fuse every greedy left-to-right occurrence of the symbol pair
+    ``(left, right)`` in a space-delimited symbol string — standard
+    BPE merge application.
+
+    A left-to-right fold over the symbol array (``F.aggregate``), NOT
+    a string ``replace`` of ``' l r '``: replace consumes the shared
+    space delimiter, so adjacent repeats (``a a a a``) merge only
+    every other occurrence — the round-5 adjacent-pair bug.  The fold
+    fuses ``[a,a,a,a] -> [aa,aa]`` exactly like reference tokenizers
+    (fuse at the first occurrence, continue scanning after it).  A
+    fused symbol never re-fuses within the same step: it would have to
+    equal ``left``, i.e. ``right`` would be empty.
+    """
+    t = F.split(F.trim(sym), " ")
+    rest = F.slice(t, F.lit(2), F.size(t) - F.lit(1))
+    n = len(left)
+
+    def fold(acc: Column, x: Column) -> Column:
+        fuse = (x == F.lit(right)) & (
+            (acc == F.lit(left)) | acc.endswith(F.lit(" " + left)))
+        return F.when(
+            fuse,
+            F.concat(acc.substr(F.lit(1), F.length(acc) - F.lit(n)),
+                     F.lit(left + right)),
+        ).otherwise(F.concat(acc, F.lit(" "), x))
+
+    return F.concat(
+        F.lit(" "), F.aggregate(rest, F.element_at(t, 1), fold), F.lit(" "))
+
+
+def _bpe_pair_argmax(cur: DataFrame):
+    """(count desc, pair asc) argmax over adjacent symbol pairs of the
+    vocabulary, weighted by word frequency.  One job; with map-side
+    partial aggregation the shuffle is distinct-pairs-sized."""
+    toks = cur.select(
+        F.split(F.trim(F.col("sym")), " ").alias("__t"), "freq")
+    return (
+        toks.select(
+            F.explode(F.expr(
+                "transform(slice(__t, 1, size(__t) - 1), "
+                "(x, i) -> struct(x AS l, "
+                "element_at(__t, i + 2) AS r))")).alias("p"),
+            "freq")
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+        .limit(1)
+        .collect()
+    )
+
+
+def _bpe_train_loop(
+    words: DataFrame,
+    steps: int,
+    checkpoint_every: int = 8,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, DataFrame]:
+    """Shared BPE training loop over a word-frequency table.
+
+    Returns ``(merges, vocab, pinned)`` where ``vocab`` is the symbol
+    table after all merges (columns of ``words`` plus ``sym``) and
+    ``pinned`` the currently-persisted ancestor the caller must
+    unpersist when done.
+
+    Scale shape: ONE persist of the vocabulary; each step is a single
+    pair-count argmax job whose input lazily re-applies the merges
+    learned since the last checkpoint (projections over the cache — no
+    shuffle, no materialization).  Every ``checkpoint_every`` steps
+    the folded vocabulary is re-persisted so recompute depth — and
+    expression-tree size — stays bounded; a steps=32k run is
+    steps/checkpoint_every materializations plus one tiny argmax job
+    per step, not a full-vocab rewrite job per step.
+    """
+    base = words.withColumn(
+        "sym",
         F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "),
-                 F.lit(" ")).alias("sym"),
-        "freq",
+                 F.lit(" ")),
     ).persist()
-    spark = docs.sparkSession
-    merges = []
+    cur, pinned = base, base
+    merges: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, steps + 1):
-            toks = cur.select(
-                F.split(F.trim(F.col("sym")), " ").alias("__t"), "freq")
-            best = (
-                toks.select(
-                    F.explode(F.expr(
-                        "transform(slice(__t, 1, size(__t) - 1), "
-                        "(x, i) -> struct(x AS l, "
-                        "element_at(__t, i + 2) AS r))")).alias("p"),
-                    "freq")
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
+            best = _bpe_pair_argmax(cur)
             if not best:
                 break
-            l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-            merges.append((step, l, r, int(cnt)))
-            nxt = cur.select(
-                F.replace(
-                    F.col("sym"),
-                    F.lit(f" {l} {r} "),
-                    F.lit(f" {l}{r} "),
-                ).alias("sym"),
-                "freq",
-            ).persist()
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
-    return spark.createDataFrame(
+            l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append((step, l, r, cnt))
+            cur = cur.withColumn(
+                "sym", bpe_apply_merge(F.col("sym"), l, r))
+            if step % checkpoint_every == 0 and step < steps:
+                nxt = cur.persist()
+                nxt.count()  # materialize before dropping the parent
+                pinned.unpersist()
+                cur, pinned = nxt, nxt
+    except Exception:
+        pinned.unpersist()
+        raise
+    return merges, cur, pinned
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge training: the first ``steps`` merge rules
+    a byte-pair-encoding tokenizer would learn from the corpus.
+
+    No reference counterpart (driver-mandated LLM-pipeline surface) —
+    this is the corpus-scale half of tokenizer training: per step,
+    count adjacent symbol pairs across the vocabulary (weighted by
+    word frequency), take the (count desc, pair asc) argmax, fuse that
+    pair everywhere (greedy left-to-right — see
+    :func:`bpe_apply_merge`), repeat.  Output: (step, merge_left,
+    merge_right, pair_count) — up to ``steps`` rows, the learned merge
+    table (training stops early only when no adjacent pair remains).
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    shuffle over words; ~10M rows at 100 TB, Zipf guarantees it); the
+    iteration is then argmax jobs over the cached vocabulary with
+    lazily-chained merge folds, re-materialized every
+    ``checkpoint_every`` steps (see :func:`_bpe_train_loop`), and a
+    1-row collect per step — the per-step driver round-trip is the
+    model, not the data, exactly the k-means/PQ-codebook contract.
+    """
+    words = _bpe_words(docs, text_col, max_word_len)
+    merges, _vocab, pinned = _bpe_train_loop(
+        words, steps, checkpoint_every)
+    pinned.unpersist()
+    return docs.sparkSession.createDataFrame(
         merges,
         "step int, merge_left string, merge_right string, pair_count long",
     )
@@ -303,11 +370,12 @@ def bpe_tokenize(
     steps: int = 4,
     text_col: str = "text",
     max_word_len: int = 32,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Apply the corpus-learned BPE merges: tokenize every document
     under the vocabulary after ``steps`` merges — the encode half of
     :func:`bpe_train_merges` (train + apply = the full tokenizer
-    loop).
+    loop, sharing :func:`_bpe_train_loop`).
 
     Scale shape: training happens on the VOCABULARY (word table, as in
     training), producing a word -> symbol-count map that is
@@ -321,79 +389,32 @@ def bpe_tokenize(
     printable-ASCII / length filter are excluded from all three counts
     (same filter as training).
     """
-    words = (
+    words = _bpe_words(docs, text_col, max_word_len)
+    _merges, vocab_syms, _pinned = _bpe_train_loop(
+        words, steps, checkpoint_every)
+    vocab = vocab_syms.select(
+        "w",
+        F.size(F.split(F.trim("sym"), " ")).cast("long").alias("n_sym"),
+    )
+    doc_words = (
         docs.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"))
+            "doc_id",
+            F.explode(F.split(F.trim(F.col(text_col)),
+                              r"\s+")).alias("w"))
         .where(
             (F.col("w") != "")
             & (F.length("w") <= max_word_len)
             & F.col("w").rlike("^[!-~]+$"))
-        .groupBy("w")
-        .agg(F.count("*").cast("long").alias("freq"))
     )
-    cur = words.select(
-        "w",
-        F.concat(F.lit(" "), F.array_join(F.split("w", ""), " "),
-                 F.lit(" ")).alias("sym"),
-        "freq",
-    ).persist()
-    merges = []
-    try:
-        for _step in range(steps):
-            toks = cur.select(
-                F.split(F.trim(F.col("sym")), " ").alias("__t"), "freq")
-            best = (
-                toks.select(
-                    F.explode(F.expr(
-                        "transform(slice(__t, 1, size(__t) - 1), "
-                        "(x, i) -> struct(x AS l, "
-                        "element_at(__t, i + 2) AS r))")).alias("p"),
-                    "freq")
-                .groupBy("p.l", "p.r")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            l, r = best[0]["l"], best[0]["r"]
-            merges.append((l, r))
-            nxt = cur.select(
-                "w",
-                F.replace(F.col("sym"), F.lit(f" {l} {r} "),
-                          F.lit(f" {l}{r} ")).alias("sym"),
-                "freq",
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-        vocab = cur.select(
-            "w",
-            F.size(F.split(F.trim("sym"), " ")).cast("long").alias("n_sym"),
+    # the pinned vocab ancestor stays persisted: the returned plan's
+    # broadcast build reads it (vocabulary-sized; the session's cache
+    # policy reclaims it)
+    return (
+        doc_words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars_tokens"),
+            F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
-        doc_words = (
-            docs.select(
-                "doc_id",
-                F.explode(F.split(F.trim(F.col(text_col)),
-                                  r"\s+")).alias("w"))
-            .where(
-                (F.col("w") != "")
-                & (F.length("w") <= max_word_len)
-                & F.col("w").rlike("^[!-~]+$"))
-        )
-        # the final vocab map stays persisted: the returned plan's
-        # broadcast build reads it (vocabulary-sized; the session's
-        # cache policy reclaims it)
-        return (
-            doc_words.join(F.broadcast(vocab), "w")
-            .groupBy("doc_id")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_words"),
-                F.sum(F.length("w")).cast("long").alias("n_chars_tokens"),
-                F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
-            )
-        )
-    except Exception:
-        cur.unpersist()
-        raise
+    )

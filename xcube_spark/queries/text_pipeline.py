@@ -361,14 +361,29 @@ def doc_tfidf_keywords(spark, sf_dir):
                       F.round("score", 6).alias("score"))
 
 
+#: DuckDB twin of pipeline.text.bpe_apply_merge — a list_reduce fold
+#: fusing greedy left-to-right (l, r) occurrences; `b` is the joined
+#: 1-row argmax CTE so no literals are smuggled in from the Spark run.
+_BPE_FOLD = """' ' || list_reduce(string_split(trim(sym), ' '),
+                (acc, x) -> CASE
+                    WHEN x = b.r AND (acc = b.l
+                                      OR ends_with(acc, ' ' || b.l))
+                    THEN substr(acc, 1, length(acc) - length(b.l))
+                         || b.l || b.r
+                    ELSE acc || ' ' || x END) || ' '"""
+
+
 def _bpe_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
     r"""Generate the chained-CTE DuckDB twin of ``bpe_train_merges``:
     per step, a pair-count CTE, a 1-row argmax CTE, and a merged-
-    vocabulary CTE whose ``replace`` uses scalar subqueries — the
-    oracle recomputes its own argmax chain with no literals smuggled
-    in from the Spark run."""
+    vocabulary CTE applying the same greedy left-to-right fold as
+    ``bpe_apply_merge`` — the oracle recomputes its own argmax chain
+    with no literals smuggled in from the Spark run.  Every CTE is
+    MATERIALIZED: DuckDB inlines CTEs by default, and the b{s}
+    references would otherwise re-expand the whole chain exponentially
+    (measured ~12 s at sf0.01 for steps=4)."""
     parts = [f"""
-        WITH words AS (
+        WITH words AS MATERIALIZED (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
                 SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+'))
                        AS w
@@ -377,30 +392,25 @@ def _bpe_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
             WHERE w != '' AND length(w) <= {max_word_len}
               AND regexp_matches(w, '^[!-~]+$')
             GROUP BY w
-        ), w0 AS (
+        ), w0 AS MATERIALIZED (
             SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
                    || ' ' AS sym, freq
             FROM words
         )"""]
     for s in range(1, steps + 1):
         p = s - 1
-        parts.append(f""", p{s} AS (
+        parts.append(f""", p{s} AS MATERIALIZED (
             SELECT t[i] AS l, t[i + 1] AS r,
                    CAST(SUM(freq) AS BIGINT) AS cnt
             FROM (SELECT string_split(trim(sym), ' ') AS t, freq
                   FROM w{p}),
                  UNNEST(range(1, len(t))) AS u(i)
             GROUP BY l, r
-        ), b{s} AS (
+        ), b{s} AS MATERIALIZED (
             SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1
-        ), w{s} AS (
-            SELECT replace(sym,
-                           ' ' || (SELECT l FROM b{s}) || ' '
-                               || (SELECT r FROM b{s}) || ' ',
-                           ' ' || (SELECT l FROM b{s})
-                               || (SELECT r FROM b{s}) || ' ') AS sym,
-                   freq
-            FROM w{p}
+        ), w{s} AS MATERIALIZED (
+            SELECT {_BPE_FOLD} AS sym, freq
+            FROM w{p}, b{s} b
         )""")
     selects = " UNION ALL ".join(
         f"SELECT CAST({s} AS INT) AS step, l AS merge_left, "
@@ -563,7 +573,7 @@ def _bpe_tokenize_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
     merge, then re-tokenizing every document against the final
     word -> symbol-count vocabulary."""
     parts = [f"""
-        WITH words AS (
+        WITH words AS MATERIALIZED (
             SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
                 SELECT UNNEST(regexp_split_to_array(trim(text), '\\s+'))
                        AS w
@@ -572,7 +582,7 @@ def _bpe_tokenize_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
             WHERE w != '' AND length(w) <= {max_word_len}
               AND regexp_matches(w, '^[!-~]+$')
             GROUP BY w
-        ), w0 AS (
+        ), w0 AS MATERIALIZED (
             SELECT w,
                    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
                    || ' ' AS sym, freq
@@ -580,23 +590,18 @@ def _bpe_tokenize_oracle_sql(steps: int = 4, max_word_len: int = 32) -> str:
         )"""]
     for s in range(1, steps + 1):
         p = s - 1
-        parts.append(f""", p{s} AS (
+        parts.append(f""", p{s} AS MATERIALIZED (
             SELECT t[i] AS l, t[i + 1] AS r,
                    CAST(SUM(freq) AS BIGINT) AS cnt
             FROM (SELECT string_split(trim(sym), ' ') AS t, freq
                   FROM w{p}),
                  UNNEST(range(1, len(t))) AS u(i)
             GROUP BY l, r
-        ), b{s} AS (
+        ), b{s} AS MATERIALIZED (
             SELECT l, r, cnt FROM p{s} ORDER BY cnt DESC, l, r LIMIT 1
-        ), w{s} AS (
-            SELECT w, replace(sym,
-                           ' ' || (SELECT l FROM b{s}) || ' '
-                               || (SELECT r FROM b{s}) || ' ',
-                           ' ' || (SELECT l FROM b{s})
-                               || (SELECT r FROM b{s}) || ' ') AS sym,
-                   freq
-            FROM w{p}
+        ), w{s} AS MATERIALIZED (
+            SELECT w, {_BPE_FOLD} AS sym, freq
+            FROM w{p}, b{s} b
         )""")
     parts.append(f""", vocab AS (
             SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
