@@ -2,9 +2,15 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints one JSON
 line with per-query wall-clock seconds.
 
-Timing = full query wall time (plan + execute + collect), the same
-thing the DuckDB baseline pays.  A warmup pass primes the JVM/session;
-reported numbers are the median of N runs.
+Timing = full query wall time: plan + execute + materialize the full
+result on the driver as an Arrow table (``df.toArrow()``), mirrored by
+``scripts/bench_duckdb.py``'s ``fetch_arrow_table()`` — each engine's
+native columnar export.  (Python-object rows — Spark ``collect()`` /
+DuckDB ``fetchall()`` — were dropped in round 6: Spark's row pickling
+cost ~4 s for a 200k-row result the engine computes in 0.3 s, charging
+the engine for a Python artifact neither side needs at scale.)
+A warmup pass primes the JVM/session; reported numbers are the median
+of N runs.
 """
 
 from __future__ import annotations
@@ -38,10 +44,10 @@ def main() -> None:
         # partitions and GC pressure don't leak across measurements
         spark.catalog.clearCache()
         times = []
-        q.fn(spark, sf_dir).collect()  # warmup run (not timed)
+        q.fn(spark, sf_dir).toArrow()  # warmup run (not timed)
         for _ in range(repeats):
             t0 = time.time()
-            q.fn(spark, sf_dir).collect()
+            q.fn(spark, sf_dir).toArrow()
             times.append(time.time() - t0)
         results[name] = round(statistics.median(times), 4)
         # run spread: detects external host load polluting a round's

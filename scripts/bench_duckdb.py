@@ -2,6 +2,11 @@
 runs each bench query's oracle SQL over the given sf dir's parquet,
 median of N repeats, prints one JSON line mirroring bench.py.
 
+Result materialization is ``fetch_arrow_table()`` — DuckDB's native
+columnar export — matching bench.py's ``df.toArrow()`` (round-6
+methodology; Python-object rows charged both engines for an artifact
+neither needs).
+
 Usage: python scripts/bench_duckdb.py [sf_dir] [repeats]
 """
 
@@ -33,11 +38,11 @@ def main() -> None:
     for name, q in registry.items():
         if not q.bench or not q.sql:
             continue
-        con.execute(q.sql).fetchall()  # warmup
+        con.execute(q.sql).fetch_arrow_table()  # warmup
         times = []
         for _ in range(repeats):
             t0 = time.time()
-            con.execute(q.sql).fetchall()
+            con.execute(q.sql).fetch_arrow_table()
             times.append(time.time() - t0)
         results[name] = round(statistics.median(times), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")

@@ -212,3 +212,29 @@ def test_gridcalc_functions():
     for g in res:
         assert g.height == g.height_0 * 2 ** g.level
         assert g.res * g.height == 180
+
+
+def test_cli_compute(spark, cube_path, tmp_path, capsys):
+    """sparkcube compute SCRIPT CUBE (reference cli/compute.py): a user
+    script's compute() runs per chunk and the result lands in a new
+    variable."""
+    script = tmp_path / "user_compute.py"
+    script.write_text(
+        "def compute(v, coords, factor=1.0):\n"
+        "    return v * factor + coords['t_i']\n"
+    )
+    out_path = str(tmp_path / "computed.parquet")
+    assert main([
+        "compute", str(script), cube_path,
+        "--variables", "v", "-p", '{"factor": 2.0}',
+        "-N", "w", "-o", out_path, *GRID_ARGS,
+    ]) == 0
+    df = spark.read.parquet(out_path)
+    assert "w" in df.columns
+    rows = {(r.t_i, r.y_i, r.x_i): r.w for r in df.collect()}
+    assert rows[(0, 0, 0)] == 3.0    # 1.5*2 + 0
+    assert rows[(2, 1, 3)] == 5.0    # 1.5*2 + 2
+    # no compute() in script -> exit 1
+    bad = tmp_path / "bad.py"
+    bad.write_text("x = 1\n")
+    assert main(["compute", str(bad), cube_path, *GRID_ARGS]) == 1

@@ -103,6 +103,23 @@ def main(argv: list[str] | None = None) -> int:
                    "cube_config keys")
     _add_grid_args(p)
 
+    p = sub.add_parser("compute", help="compute a variable from a user "
+                       "script over one or more cubes (xcube compute)")
+    p.add_argument("script", help="Python file defining "
+                   "compute(*arrays, coords, **input_params) -> array")
+    p.add_argument("cubes", nargs="+", help="input cube dataset(s); "
+                   "multiple cubes are aligned on the grid key")
+    p.add_argument("--variables", "--vars", dest="variables",
+                   default=None, help="comma-separated input variables")
+    p.add_argument("-p", "--params", default=None,
+                   help="JSON dict passed as input_params")
+    p.add_argument("-o", "--output", default=None)
+    p.add_argument("-N", "--name", default="output",
+                   help="output variable name")
+    p.add_argument("-D", "--dtype", default="double",
+                   choices=["double", "float", "int", "long"])
+    _add_grid_args(p)
+
     p = sub.add_parser("rectify", help="rectify swath coords onto the grid")
     p.add_argument("input")
     p.add_argument("-o", "--output", required=True)
@@ -411,6 +428,40 @@ def main(argv: list[str] | None = None) -> int:
         req = CubeGeneratorRequest.from_dict(req_dict)
         out, _ = generate_cube(spark, cube, _grid_from_args(args), req)
         if not req.output_path:
+            print(f"rows: {out.count()}")
+        return 0
+
+    if args.cmd == "compute":
+        # reference cli/compute.py: user SCRIPT defines compute(); here
+        # the chunk contract is compute_dataset's (operators/compute.py
+        # :47) — per-chunk numpy arrays + coords dict
+        import importlib.util
+
+        from xcube_spark.operators.compute import compute_dataset
+
+        spec = importlib.util.spec_from_file_location(
+            "sparkcube_user_compute", args.script)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        if not hasattr(mod, "compute"):
+            print(f"error: {args.script} defines no compute() function",
+                  file=sys.stderr)
+            return 1
+        cubes = [open_dataset(spark, c) for c in args.cubes]
+        out = compute_dataset(
+            mod.compute,
+            *cubes,
+            grid=_grid_from_args(args),
+            var_name=args.name,
+            input_var_names=(args.variables.split(",")
+                             if args.variables else None),
+            input_params=(json.loads(args.params)
+                          if args.params else None),
+            output_type=args.dtype,
+        )
+        if args.output:
+            write_dataset(out, args.output, mode="overwrite")
+        else:
             print(f"rows: {out.count()}")
         return 0
 

@@ -40,6 +40,35 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: plan-build bounds memo: (session id, union semantic hash, buckets)
+#: -> quantile boundaries.  Bucket bounds only steer PARALLELISM, never
+#: correctness (any monotone ts bucketing yields the same join result),
+#: so reusing them across plan rebuilds of the same inputs is safe —
+#: and drops the per-build stats job that dominated repeat builds.
+_BOUNDS_MEMO: dict[tuple, list[float]] = {}
+_BOUNDS_MEMO_MAX = 64
+
+
+def _bucket_bounds(unioned: DataFrame, on: str,
+                   num_buckets: int) -> list[float]:
+    tsd = F.col(on).cast("timestamp_ltz").cast("double")
+    try:
+        key = (unioned.sparkSession.sparkContext.applicationId,
+               unioned.semanticHash(), num_buckets)
+    except Exception:  # semanticHash unavailable -> skip memoization
+        key = None
+    if key is not None and key in _BOUNDS_MEMO:
+        return _BOUNDS_MEMO[key]
+    probs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = sorted({
+        b for b in unioned.select(tsd.alias("__tsd"))
+        .approxQuantile("__tsd", probs, 0.01) if b is not None})
+    if key is not None:
+        if len(_BOUNDS_MEMO) >= _BOUNDS_MEMO_MAX:
+            _BOUNDS_MEMO.pop(next(iter(_BOUNDS_MEMO)))
+        _BOUNDS_MEMO[key] = bounds
+    return bounds
+
 
 def _keyless_carry(unioned: DataFrame, on: str, order: list,
                    direction: str, num_buckets: int | None) -> DataFrame:
@@ -58,10 +87,7 @@ def _keyless_carry(unioned: DataFrame, on: str, order: list,
     tsd = F.col(on).cast("timestamp_ltz").cast("double")
     bounds: list[float] = []
     if num_buckets is not None and num_buckets > 1:
-        probs = [i / num_buckets for i in range(1, num_buckets)]
-        bounds = sorted({
-            b for b in unioned.select(tsd.alias("__tsd"))
-            .approxQuantile("__tsd", probs, 0.01) if b is not None})
+        bounds = _bucket_bounds(unioned, on, num_buckets)
     if not bounds:
         w = Window.partitionBy(F.lit(1)).orderBy(*order) \
             .rowsBetween(Window.unboundedPreceding, 0)

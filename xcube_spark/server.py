@@ -128,6 +128,7 @@ class CubeServer:
         self.datasets: dict[str, _Dataset] = {}
         self.place_groups: dict[str, tuple[DataFrame, str]] = {}
         self.jobs: dict[int, dict] = {}
+        self.cubegens: dict[int, dict] = {}
         self._job_seq = 0
         self._s3_cache: dict[str, str] = {}
         self._httpd: ThreadingHTTPServer | None = None
@@ -233,6 +234,8 @@ class CubeServer:
                     return self._json(r)
             if seg[0] == "compute":
                 return self._json(self._compute_get(seg))
+            if seg[0] == "cubegens":
+                return self._json(self._cubegen_get(seg))
             if seg[0] == "s3":
                 return self._s3(seg, params)
             if seg == ["viewer", "config"]:
@@ -845,6 +848,104 @@ class CubeServer:
             raise ApiError(400, str(e)) from e
         return job
 
+    # ---- gen2 remote service (core/gen2/remote/generator.py:36 client
+    # contract: PUT /cubegens submits a request, GET /cubegens/{id}
+    # polls status + progress until succeeded/failed) ---------------------
+
+    def _cubegen_get(self, seg: list[str]) -> dict:
+        if seg == ["cubegens"]:
+            return {"cubegens": [
+                {"cubegenId": g, "status": self.cubegens[g]["status"]}
+                for g in sorted(self.cubegens)]}
+        if len(seg) == 2:
+            try:
+                return dict(self.cubegens[int(seg[1])])
+            except (KeyError, ValueError):
+                raise ApiError(404, f"cubegen {seg[1]!r} not found")
+        raise ApiError(404, "unknown cubegens route")
+
+    def submit_cubegen(self, request: dict) -> dict:
+        """PUT /cubegens body: a gen2 request
+        (``pipeline.generator.CubeGeneratorRequest`` JSON shape).  The
+        input is a SERVED dataset — ``input_config: {"store_id":
+        "served", "data_id": <dataset id>}`` — and the generated cube
+        is registered back under ``output_config.data_id`` (default
+        ``cubegen-<id>``).  Runs on a background thread; clients poll
+        GET /cubegens/{id} (RemoteCubeGenerator does)."""
+        import threading as _threading
+
+        self._job_seq += 1
+        gid = self._job_seq
+        job = {
+            "cubegenId": gid,
+            "status": {"active": True, "succeeded": None, "failed": None},
+            "progress": [],
+            "result": None,
+        }
+        self.cubegens[gid] = job
+        t = _threading.Thread(
+            target=self._run_cubegen, args=(gid, dict(request)),
+            daemon=True)
+        t.start()
+        return {"cubegenId": gid, "status": dict(job["status"])}
+
+    def _run_cubegen(self, gid: int, request: dict) -> None:
+        from xcube_spark.pipeline.generator import (CubeGeneratorRequest,
+                                                    generate_cube)
+        from xcube_spark.util.progress import (ProgressObserver,
+                                               add_progress_observers,
+                                               observe_progress)
+
+        job = self.cubegens[gid]
+        server = self
+
+        class _JobObserver(ProgressObserver):
+            def _snap(self, stack):
+                job["progress"] = [
+                    {"sender": s.label,
+                     "state": {"label": s.label,
+                               "total_work": s.total_work,
+                               "progress": round(s.progress, 6)}}
+                    for s in stack]
+
+            on_begin = on_update = on_end = (
+                lambda self, stack: self._snap(stack))
+
+        try:
+            ic = request.get("input_config") or {}
+            if ic.get("store_id") != "served":
+                raise ValueError(
+                    "input_config.store_id must be 'served' (the "
+                    "service generates from served datasets)")
+            ds_id = ic.get("data_id")
+            if ds_id not in server.datasets:
+                raise ValueError(f"dataset {ds_id!r} not served")
+            src = server.datasets[ds_id]
+            req = CubeGeneratorRequest.from_dict(request)
+            oc = request.get("output_config") or {}
+            out_id = oc.get("data_id") or f"cubegen-{gid}"
+            with add_progress_observers(_JobObserver()):
+                with observe_progress("generating cube", 3) as p:
+                    out, out_grid = generate_cube(
+                        server.spark, src.cube, src.grid, req)
+                    p.worked(1)
+                    n = out.count()  # materialize/validate the plan
+                    p.worked(1)
+                    server.add_dataset(out_id, out, out_grid,
+                                       title=oc.get("title", out_id))
+                    p.worked(1)
+            job["result"] = {"datasetId": out_id, "rows": n,
+                             "message": "cube generated"}
+            job["status"] = {"active": False, "succeeded": True,
+                             "failed": None}
+        except Exception as e:  # noqa: BLE001 — job boundary
+            import traceback as _tbmod
+
+            job["result"] = {"message": str(e),
+                             "traceback": _tbmod.format_exc()}
+            job["status"] = {"active": False, "succeeded": None,
+                             "failed": True}
+
     # ---- viewer (webapi/viewer configuration surface) -------------------
 
     def _viewer_config(self) -> dict:
@@ -975,18 +1076,22 @@ class CubeServer:
                 self._reply(*server.handle(u.path, params,
                                            dict(self.headers)))
 
-            def do_PUT(self):  # noqa: N802 — PUT /compute/jobs
+            def do_PUT(self):  # noqa: N802 — PUT /compute/jobs, /cubegens
                 u = urlsplit(self.path)
                 n = int(self.headers.get("Content-Length", 0))
                 raw = self.rfile.read(n) if n else b"{}"
-                if [s for s in u.path.split("/") if s] != \
-                        ["compute", "jobs"]:
+                seg = [s for s in u.path.split("/") if s]
+                if seg == ["compute", "jobs"]:
+                    submit = server.submit_job
+                elif seg == ["cubegens"]:
+                    submit = server.submit_cubegen
+                else:
                     self._reply(404, "application/json",
                                 b'{"error": "unknown PUT route"}')
                     return
                 try:
                     server.check_auth(dict(self.headers))
-                    job = server.submit_job(json.loads(raw))
+                    job = submit(json.loads(raw))
                     self._reply(200, "application/json",
                                 json.dumps(job).encode())
                 except ApiError as e:
