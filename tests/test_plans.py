@@ -409,3 +409,40 @@ def test_substring_dedup_single_span_exchange(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(substring_dedup_stats(docs))
     assert plan.count("hashpartitioning(__h") == 1
+
+
+def test_q2_scalar_subquery_decorrelates(spark, sf_dir):
+    """The correlated min-price subquery must decorrelate into an
+    aggregate joined on the correlation key — no per-row subquery
+    execution node survives in the physical plan."""
+    from xcube_spark.queries import load_all
+
+    q = load_all()["q2_min_cost_supplier"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "Subquery" not in plan          # decorrelated, not re-executed
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # the min() agg + distinct
+
+
+def test_q16_null_aware_anti_and_distinct_agg(spark, sf_dir):
+    """NOT IN plans an anti join against the excluded suppliers;
+    COUNT(DISTINCT) runs as a two-phase aggregate, and the dims
+    broadcast."""
+    from xcube_spark.queries import load_all
+
+    q = load_all()["q16_supplier_part_cnt"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_q21_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both keyed on
+    l_orderkey; never a cartesian candidate-pair blowup."""
+    from xcube_spark.queries import load_all
+
+    q = load_all()["q21_waiting_supplier"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

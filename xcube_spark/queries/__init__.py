@@ -91,6 +91,25 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-6 additions (never sampled yet)
+    "q2_min_cost_supplier",
+    "q16_supplier_part_cnt",
+    "q21_waiting_supplier",
+    # round-5 additions the driver's round-5 sample missed
+    "cube_jp2_ingest",
+    "cube_reproject_osgb",
+    "cube_reproject_nztm",
+    "doc_bpe_merges",
+    "doc_bpe_tokenize",
+    "doc_trigram_lm",
+    "doc_domain_mix_weights",
+    "doc_edit_distance_bands",
+    "emb_quantize_int8",
+    "events_json_props",
+    "events_quantiles",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
     "doc_pack_sequences",
     # round-4 additions (never sampled yet)
     "cube_netcdf4_ingest",

@@ -400,3 +400,100 @@ def q10_returned_items(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+#: Q2/Q16/Q21 run through spark.sql over temp views on purpose: the
+#: point of these three is the Catalyst DECORRELATION machinery —
+#: correlated scalar subquery -> aggregate+join, NOT IN -> null-aware
+#: anti join, correlated EXISTS/NOT EXISTS -> left-semi/left-anti —
+#: which the DataFrame-API queries never touch.  The SQL text is
+#: dialect-shared: the DuckDB oracle runs the identical statement.
+
+_Q2_SQL = """
+    SELECT DISTINCT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_name, ROUND(l_extendedprice, 2) AS min_price
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+_Q16_SQL = """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+"""
+
+_Q21_SQL = """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+"""
+
+
+def _run_tpch_sql(spark, sf_dir, sql, tables):
+    for t in tables:
+        tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+@query("q2_min_cost_supplier", sql=_Q2_SQL)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier; the driver schema has no
+    partsupp, so lineitem is the part-supplier link): a CORRELATED
+    SCALAR subquery — min European price per part — that Catalyst
+    decorrelates into an aggregate joined back on the correlation key
+    (no per-row re-execution).  The region/nation dims broadcast; the
+    only corpus shuffles are the two partkey aggregations."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q2_SQL,
+        ["part", "lineitem", "supplier", "nation", "region"])
+
+
+@query("q16_supplier_part_cnt", sql=_Q16_SQL)
+def q16_supplier_part_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): DISTINCT
+    aggregation under a NOT IN subquery — Catalyst plans a null-aware
+    LEFT ANTI join against the excluded-supplier set (tiny,
+    broadcast), then a two-phase distinct aggregate on the
+    (brand, type, size) key."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q16_SQL, ["lineitem", "part", "supplier"])
+
+
+@query("q21_waiting_supplier", sql=_Q21_SQL)
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept waiting; lateness =
+    shipped >90 days after order date, the schema's stand-in for
+    receipt>commit): DOUBLE-correlated EXISTS + NOT EXISTS over the
+    same fact table — Catalyst turns them into a left-semi and a
+    left-anti join keyed on l_orderkey, each pruning lineitem to the
+    join key + predicate columns.  No candidate-pair blowup: both
+    existence joins are linear in lineitem."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q21_SQL, ["supplier", "lineitem", "orders"])
