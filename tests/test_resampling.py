@@ -985,3 +985,69 @@ def test_resample_irregular_routes_regular_swath_to_affine(spark):
     a = sorted(map(tuple, via_sniff.select("y_i", "x_i", "v").collect()))
     b = sorted(map(tuple, via_regular.select("y_i", "x_i", "v").collect()))
     assert a == b and len(a) == dst.width * dst.height
+
+
+def test_pyproj_fallback_seam_with_stub(spark, monkeypatch):
+    """The import-gated pyproj pandas_udf path (reproject.py
+    get_transform fallback): simulate pyproj presence with a stub
+    Transformer so the seam has coverage before anyone runs it with
+    the real library.  The stub applies a known affine; the UDF must
+    reproduce it element-wise on executors."""
+    import sys
+    import types
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from xcube_spark.operators.resampling import reproject as rp
+
+    calls = {}
+
+    class _StubTransformer:
+        @staticmethod
+        def transform(x, y):
+            calls["n"] = calls.get("n", 0) + 1
+            return x * 2.0 + 10.0, y * -0.5
+
+    fake = types.ModuleType("pyproj")
+
+    class _TransformerFactory:
+        @staticmethod
+        def from_crs(src, dst, always_xy=False):
+            assert always_xy is True
+            calls["crs"] = (src, dst)
+            return _StubTransformer()
+
+    fake.Transformer = _TransformerFactory
+    monkeypatch.setitem(sys.modules, "pyproj", fake)
+
+    tf = rp.get_transform("ESRI:54009", "ESRI:54012")  # not in registry
+    assert calls["crs"] == ("ESRI:54009", "ESRI:54012")
+    df = spark.createDataFrame(
+        [(float(i), float(i) * 3.0) for i in range(50)], "px double, py double")
+    ox, oy = tf(F.col("px"), F.col("py"))
+    rows = df.select("px", "py", ox.alias("ox"), oy.alias("oy")).collect()
+    for r in rows:
+        assert r.ox == r.px * 2.0 + 10.0
+        assert r.oy == r.py * -0.5
+
+
+def test_pyproj_absent_raises_clear_error(monkeypatch):
+    """Without pyproj, an unregistered CRS pair raises
+    NotImplementedError naming both the pair and the remedy."""
+    import builtins
+    import sys
+
+    from xcube_spark.operators.resampling import reproject as rp
+
+    monkeypatch.delitem(sys.modules, "pyproj", raising=False)
+    real_import = builtins.__import__
+
+    def no_pyproj(name, *a, **k):
+        if name == "pyproj":
+            raise ImportError("No module named 'pyproj'")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_pyproj)
+    with pytest.raises(NotImplementedError, match="ESRI:54009.*pyproj"):
+        rp.get_transform("ESRI:54009", "ESRI:54012")

@@ -377,3 +377,56 @@ def test_malformed_params_yield_400_not_thread_death(served):
     assert status == 400
     # server still alive afterwards
     assert _get(f"{served}/datasets")[0] == 200
+
+
+def test_snap_cpd_colormap_load_and_serve(spark, tmp_path):
+    """SNAP *.cpd palette import (reference util/cmaps.py:682) +
+    breadth of the named registry: loaded maps list on /colorbars and
+    drive tile rendering."""
+    from xcube_spark.operators.tiles import (COLORMAPS, get_colormap,
+                                             load_snap_cpd_colormap)
+
+    cpd = tmp_path / "chl_palette.cpd"
+    cpd.write_text(
+        "# SNAP colour palette\n"
+        "autoDistribute=false\n"
+        "numPoints=3\n"
+        "sample0=0.01\n"
+        "color0=0,0,128\n"
+        "sample1=5.0\n"
+        "color1=0,255,0,255\n"   # 4-component: alpha ignored
+        "sample2=10.0\n"
+        "color2=255,255,0\n"
+    )
+    name = load_snap_cpd_colormap(str(cpd))
+    assert name == "chl_palette"
+    stops = get_colormap(name)
+    assert stops[0] == (0.0, (0, 0, 128))
+    assert stops[-1] == (1.0, (255, 255, 0))
+    assert stops[1][0] == pytest.approx((5.0 - 0.01) / (10.0 - 0.01))
+    # registry breadth: matplotlib-style names present + reversible
+    for m in ("Blues", "Spectral", "turbo", "seismic", "terrain"):
+        assert m in COLORMAPS
+    rev = get_colormap("Blues_r")
+    assert rev[0][1] == COLORMAPS["Blues"][-1][1]
+    # malformed files raise
+    bad = tmp_path / "bad.cpd"
+    bad.write_text("numPoints=2\nsample0=0\ncolor0=1,2\n")
+    with pytest.raises(ValueError):
+        load_snap_cpd_colormap(str(bad))
+
+    # server integration: colormap_files listed by /colorbars and usable
+    srv = CubeServer(spark, colormap_files=[str(cpd)])
+    cube = new_cube(spark, GRID, {"v": 1.0})
+    srv.add_dataset("d", cube, GRID)
+    port = srv.start()
+    try:
+        out = _get_json(f"http://127.0.0.1:{port}/colorbars")
+        names = (out["colormaps"] if isinstance(out, dict)
+                 else out)
+        assert "chl_palette" in str(names) and "Blues" in str(names)
+        status, ctype, body = _get(
+            f"http://127.0.0.1:{port}/tiles/d/v/0/0/0?cmap=chl_palette")
+        assert status == 200 and body[:4] == b"\x89PNG"
+    finally:
+        srv.stop()

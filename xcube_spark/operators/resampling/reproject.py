@@ -1346,8 +1346,14 @@ def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
 
         tf = pyproj.Transformer.from_crs(src_crs, dst_crs, always_xy=True)
 
+        # NOTE: no parameter type hints — this module uses PEP 563
+        # (`from __future__ import annotations`), which stringifies
+        # them and breaks pandas_udf's eval-type inference (caught by
+        # the stub-transformer seam test); hint-less defaults to the
+        # scalar eval type, which is what a Series->DataFrame struct
+        # UDF needs.
         @pandas_udf("struct<x: double, y: double>")
-        def _proj(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        def _proj(x, y):
             xx, yy = tf.transform(x.to_numpy(), y.to_numpy())
             return pd.DataFrame({"x": xx, "y": yy})
 

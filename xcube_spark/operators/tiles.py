@@ -249,6 +249,63 @@ COLORMAPS: dict[str, list[tuple[float, tuple[int, int, int]]]] = {
     "RdBu": [
         (0.0, (103, 0, 31)), (0.5, (247, 247, 247)), (1.0, (5, 48, 97)),
     ],
+    # matplotlib-registry breadth (util/cmaps.py: the reference exposes
+    # the full mpl registry grouped by category; these are the commonly
+    # requested sequential / diverging / cyclic names with their anchor
+    # colors — piecewise-linear between stops, like everything above)
+    "Blues": [(0.0, (247, 251, 255)), (0.5, (106, 174, 214)),
+              (1.0, (8, 48, 107))],
+    "Greens": [(0.0, (247, 252, 245)), (0.5, (116, 196, 118)),
+               (1.0, (0, 68, 27))],
+    "Reds": [(0.0, (255, 245, 240)), (0.5, (251, 106, 74)),
+             (1.0, (103, 0, 13))],
+    "Oranges": [(0.0, (255, 245, 235)), (0.5, (253, 141, 60)),
+                (1.0, (127, 39, 4))],
+    "Purples": [(0.0, (252, 251, 253)), (0.5, (158, 154, 200)),
+                (1.0, (63, 0, 125))],
+    "YlOrRd": [(0.0, (255, 255, 204)), (0.5, (254, 141, 60)),
+               (1.0, (128, 0, 38))],
+    "YlGnBu": [(0.0, (255, 255, 217)), (0.5, (65, 182, 196)),
+               (1.0, (8, 29, 88))],
+    "PuBuGn": [(0.0, (255, 247, 251)), (0.5, (103, 169, 207)),
+               (1.0, (1, 70, 54))],
+    "BrBG": [(0.0, (84, 48, 5)), (0.5, (245, 245, 245)),
+             (1.0, (0, 60, 48))],
+    "PiYG": [(0.0, (142, 1, 82)), (0.5, (247, 247, 247)),
+             (1.0, (39, 100, 25))],
+    "RdYlBu": [(0.0, (165, 0, 38)), (0.5, (255, 255, 191)),
+               (1.0, (49, 54, 149))],
+    "RdYlGn": [(0.0, (165, 0, 38)), (0.5, (255, 255, 191)),
+               (1.0, (0, 104, 55))],
+    "Spectral": [(0.0, (158, 1, 66)), (0.25, (244, 109, 67)),
+                 (0.5, (255, 255, 191)), (0.75, (102, 194, 165)),
+                 (1.0, (94, 79, 162))],
+    "seismic": [(0.0, (0, 0, 76)), (0.25, (0, 0, 255)),
+                (0.5, (255, 255, 255)), (0.75, (255, 0, 0)),
+                (1.0, (128, 0, 0))],
+    "bwr": [(0.0, (0, 0, 255)), (0.5, (255, 255, 255)),
+            (1.0, (255, 0, 0))],
+    "turbo": [(0.0, (48, 18, 59)), (0.25, (62, 156, 254)),
+              (0.5, (70, 247, 131)), (0.75, (249, 186, 56)),
+              (1.0, (122, 4, 3))],
+    "hot": [(0.0, (10, 0, 0)), (0.365, (255, 0, 0)),
+            (0.745, (255, 255, 0)), (1.0, (255, 255, 255))],
+    "cool": [(0.0, (0, 255, 255)), (1.0, (255, 0, 255))],
+    "spring": [(0.0, (255, 0, 255)), (1.0, (255, 255, 0))],
+    "summer": [(0.0, (0, 128, 102)), (1.0, (255, 255, 102))],
+    "autumn": [(0.0, (255, 0, 0)), (1.0, (255, 255, 0))],
+    "winter": [(0.0, (0, 0, 255)), (1.0, (0, 255, 128))],
+    "bone": [(0.0, (0, 0, 1)), (0.375, (81, 81, 113)),
+             (0.75, (166, 198, 198)), (1.0, (255, 255, 255))],
+    "copper": [(0.0, (0, 0, 0)), (1.0, (255, 199, 127))],
+    "terrain": [(0.0, (51, 51, 153)), (0.15, (0, 102, 255)),
+                (0.25, (0, 204, 102)), (0.5, (255, 255, 102)),
+                (0.75, (128, 92, 84)), (1.0, (255, 255, 255))],
+    "ocean": [(0.0, (0, 128, 0)), (0.33, (0, 0, 85)),
+              (0.66, (0, 128, 170)), (1.0, (255, 255, 255))],
+    "rainbow": [(0.0, (128, 0, 255)), (0.25, (0, 180, 235)),
+                (0.5, (128, 255, 165)), (0.75, (255, 180, 0)),
+                (1.0, (255, 0, 0))],
 }
 
 
@@ -257,6 +314,52 @@ def register_colormap(
 ) -> None:
     """Custom colormap registration (util/cmaps.py:368-381)."""
     COLORMAPS[name] = sorted(stops)
+
+
+def load_snap_cpd_colormap(path: str, name: str | None = None) -> str:
+    """Load a SNAP ``*.cpd`` color-palette file into the registry.
+
+    Format (reference util/cmaps.py:682-755): ``key=value`` lines with
+    ``numPoints``, ``sample{i}`` (data value) and ``color{i}``
+    (``r,g,b[,a]``; alpha is ignored — tile opacity comes from data
+    validity).  Sample values are normalized to 0..1 stops over their
+    span, matching the reference's ``matplotlib.colors.Normalize``
+    of the palette range.  Returns the registered name (file basename
+    without extension unless ``name`` is given).
+    """
+    import os as _os
+
+    entries: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=" not in line:
+                raise ValueError(f"illegal SNAP *.cpd format: {path}")
+            k, _, v = line.partition("=")
+            entries[k.strip()] = v.strip()
+    try:
+        num_points = int(entries["numPoints"])
+    except (KeyError, ValueError):
+        raise ValueError(f"illegal SNAP *.cpd format: {path}")
+    points: list[tuple[float, tuple[int, int, int]]] = []
+    for i in range(num_points):
+        try:
+            sample = float(entries[f"sample{i}"])
+            rgba = tuple(int(c) for c in entries[f"color{i}"].split(","))
+        except (KeyError, ValueError):
+            raise ValueError(f"illegal SNAP *.cpd format: {path}")
+        if len(rgba) not in (3, 4):
+            raise ValueError(f"illegal SNAP *.cpd format: {path}")
+        points.append((sample, rgba[:3]))
+    points.sort()
+    lo, hi = points[0][0], points[-1][0]
+    span = (hi - lo) or 1.0
+    stops = [((s - lo) / span, c) for s, c in points]
+    cm_name = name or _os.path.splitext(_os.path.basename(path))[0]
+    register_colormap(cm_name, stops)
+    return cm_name
 
 
 def get_colormap(name: str) -> list[tuple[float, tuple[int, int, int]]]:

@@ -116,13 +116,23 @@ class CubeServer:
     """Route table + dispatch.  Register cubes with
     :meth:`add_dataset`, then :meth:`start` (tests use port 0)."""
 
-    def __init__(self, spark, auth: dict | None = None):
+    def __init__(self, spark, auth: dict | None = None,
+                 colormap_files: list[str] | None = None):
         """``auth`` (webapi/auth parity, config.py AuthConfig):
         ``{"api_keys": [...]}`` and/or ``{"jwt_secret": "...",
         "audience": "...", "required_scopes": [...]}`` — requests then
         need ``Authorization: Bearer <key-or-HS256-JWT>``.  ``None``
         (the default) serves openly, like a reference deployment with
-        no Authentication block."""
+        no Authentication block.
+
+        ``colormap_files``: SNAP ``*.cpd`` palettes loaded into the
+        colormap registry at startup (the reference serve config's
+        ``CustomColorMaps``, util/cmaps.py:666)."""
+        if colormap_files:
+            from xcube_spark.operators.tiles import load_snap_cpd_colormap
+
+            for p in colormap_files:
+                load_snap_cpd_colormap(p)
         self.spark = spark
         self.auth = auth
         self.datasets: dict[str, _Dataset] = {}
