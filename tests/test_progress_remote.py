@@ -128,3 +128,21 @@ def test_cubegen_submit_poll_e2e(spark):
         assert "not served" in bad["result"]["message"]
     finally:
         srv.stop()
+
+
+def test_observe_spark_progress(spark):
+    """The Spark status-tracker sampler (observe_dask_progress twin):
+    a real action under the context manager ends at 100% with at least
+    begin/end events, and task-driven updates are monotone."""
+    from xcube_spark.util.progress import observe_spark_progress
+
+    rec = Recorder()
+    with add_progress_observers(rec):
+        with observe_spark_progress(spark, "count", 100, interval=0.02):
+            spark.range(0, 2_000_000, 1, 16).selectExpr(
+                "sum(id * id)").collect()
+    kinds = [e[0] for e in rec.events]
+    assert kinds[0] == "begin" and kinds[-1] == "end"
+    fracs = [e[1][0][1] for e in rec.events if e[0] == "update"]
+    assert fracs == sorted(fracs)          # monotone
+    assert fracs[-1] == pytest.approx(1.0)  # accounted to completion

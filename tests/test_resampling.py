@@ -1051,3 +1051,42 @@ def test_pyproj_absent_raises_clear_error(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", no_pyproj)
     with pytest.raises(NotImplementedError, match="ESRI:54009.*pyproj"):
         rp.get_transform("ESRI:54009", "ESRI:54012")
+
+
+def test_mollweide_forward_inverse_roundtrip(spark):
+    """Mollweide (ESRI:54009): staged Newton forward then closed-form
+    inverse must reproduce lon/lat to ~1e-12 deg across the globe, and
+    the projection's defining anchors hold (y(+-90) = sqrt(2) R,
+    x(+-180, 0) = 2 sqrt(2) R)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        _MollForward, _moll_to_lonlat_fn, apply_transform_df)
+
+    fwd = _MollForward("ESRI:54009")
+    inv = _moll_to_lonlat_fn("ESRI:54009")
+    pts = [(float(lon), float(lat))
+           for lon in range(-170, 171, 20) for lat in range(-85, 86, 10)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    d = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                           "mx", "my")
+    lx, ly = inv(F.col("mx"), F.col("my"))
+    rows = d.select("lon", "lat", "mx", "my",
+                    lx.alias("rlon"), ly.alias("rlat")).collect()
+    for r in rows:
+        assert abs(r.rlon - r.lon) < 1e-10
+        assert abs(r.rlat - r.lat) < 1e-10
+    R = 6378137.0
+    anchors = spark.createDataFrame(
+        [(0.0, 90.0), (0.0, -90.0), (180.0, 0.0)],
+        "lon double, lat double")
+    a = apply_transform_df(anchors, fwd, F.col("lon"), F.col("lat"),
+                           "mx", "my").collect()
+    by = {(r.lon, r.lat): r for r in a}
+    assert by[(0.0, 90.0)].my == pytest.approx(math.sqrt(2) * R, rel=1e-9)
+    assert by[(0.0, -90.0)].my == pytest.approx(-math.sqrt(2) * R,
+                                                rel=1e-9)
+    assert by[(180.0, 0.0)].mx == pytest.approx(
+        2 * math.sqrt(2) / math.pi * R * math.pi, rel=1e-9)

@@ -1208,6 +1208,92 @@ def aea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
 
 
+# ---- Mollweide (World_Mollweide, ESRI:54009) --------------------------
+#
+# The equal-area pseudocylindrical world CRS (land-cover and climate
+# products; the reference reaches it through pyproj).  Spherical
+# Mollweide on the WGS84 semimajor (proj's +proj=moll +ellps=WGS84
+# formulation, Snyder 1987 eq. 31-1..31-8): solve
+# ``2t + sin 2t = pi sin(phi)`` for the auxiliary angle t, then
+# ``x = (2 sqrt(2) / pi) R lam cos t``, ``y = sqrt(2) R sin t``.
+
+MOLL_PARAMS: dict[str, float] = {
+    "ESRI:54009": _R,
+}
+_SQRT2 = math.sqrt(2.0)
+
+
+class _MollForward:
+    """lon/lat -> Mollweide; the Newton solve for t is staged as
+    materialized columns (apply_df) so the iteration does not nest an
+    exponentially-growing expression tree."""
+
+    def __init__(self, crs: str, iterations: int = 8):
+        self.r = MOLL_PARAMS[crs.upper()]
+        self.iterations = iterations
+
+    def _step(self, t: Column, sinphi: Column) -> Column:
+        # Newton: t -= (2t + sin 2t - pi sin phi) / (2 + 2 cos 2t);
+        # at the poles the derivative vanishes and t is already phi
+        num = F.lit(2.0) * t + F.sin(F.lit(2.0) * t) \
+            - F.lit(math.pi) * sinphi
+        den = F.lit(2.0) + F.lit(2.0) * F.cos(F.lit(2.0) * t)
+        return F.when(F.abs(den) < 1e-12, t).otherwise(t - num / den)
+
+    def _xy(self, lon: Column, t: Column) -> tuple[Column, Column]:
+        x = F.lit(2.0 * _SQRT2 / math.pi * self.r) \
+            * F.radians(lon) * F.cos(t)
+        y = F.lit(_SQRT2 * self.r) * F.sin(t)
+        return x, y
+
+    def __call__(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        # nested form (tests / tiny tables); apply_df is the real path
+        t = F.radians(lat)
+        sinphi = F.sin(F.radians(lat))
+        for _ in range(self.iterations):
+            t = self._step(t, sinphi)
+        return self._xy(lon, t)
+
+    def apply_df(self, df, x_expr: Column, y_expr: Column,
+                 out_x: str, out_y: str):
+        df = df.withColumns({
+            "__mo_lam": x_expr,
+            "__mo_sph": F.sin(F.radians(y_expr)),
+            "__mo_t": F.radians(y_expr),
+        })
+        for _ in range(self.iterations):
+            df = df.withColumn(
+                "__mo_t", self._step(F.col("__mo_t"), F.col("__mo_sph")))
+        x, y = self._xy(F.col("__mo_lam"), F.col("__mo_t"))
+        return df.withColumns({out_x: x, out_y: y}) \
+            .drop("__mo_lam", "__mo_sph", "__mo_t")
+
+
+def _moll_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r = MOLL_PARAMS[crs.upper()]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        t = F.asin(y / F.lit(_SQRT2 * r))
+        phi = F.asin(
+            (F.lit(2.0) * t + F.sin(F.lit(2.0) * t)) / F.lit(math.pi))
+        lon = F.degrees(
+            x * F.lit(math.pi) / (F.lit(2.0 * _SQRT2 * r) * F.cos(t)))
+        return lon, F.degrees(phi)
+
+    return inv
+
+
+def moll_inverse_sql(x_expr: str, y_expr: str, crs: str) \
+        -> tuple[str, str]:
+    """The SAME Mollweide inverse as SQL strings (for DuckDB oracles)."""
+    r = MOLL_PARAMS[crs.upper()]
+    t = f"asin(CAST({y_expr} AS DOUBLE) / {_SQRT2 * r!r})"
+    phi = f"degrees(asin((2.0 * {t} + sin(2.0 * {t})) / pi()))"
+    lon = (f"degrees(CAST({x_expr} AS DOUBLE) * pi() / "
+           f"({2.0 * _SQRT2 * r!r} * cos({t})))")
+    return lon, phi
+
+
 # ---- sinusoidal (MODIS grid, ESRI:54008) ------------------------------
 #
 # The MODIS land-product tiling CRS: spherical sinusoidal on the
@@ -1274,6 +1360,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _aea_to_lonlat_fn(up)
     if up in SINU_PARAMS:
         return _sinu_to_lonlat_fn(up)
+    if up in MOLL_PARAMS:
+        return _moll_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
     if up in TM_PARAMS:
@@ -1301,6 +1389,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_aea_fn(up)
     if up in SINU_PARAMS:
         return _lonlat_to_sinu_fn(up)
+    if up in MOLL_PARAMS:
+        return _MollForward(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
     if up in TM_PARAMS:

@@ -92,6 +92,7 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
     # round-6 additions (never sampled yet)
+    "cube_reproject_mollweide",
     "q2_min_cost_supplier",
     "q16_supplier_part_cnt",
     "q21_waiting_supplier",

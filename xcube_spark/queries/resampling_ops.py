@@ -736,3 +736,59 @@ def cube_affine_bicubic(spark, sf_dir):
         "t_i", "y_i", "x_i",
         F.round(F.col("V") * 16384).cast("long").alias("v_scaled"),
     )
+
+
+# ---- reproject: World Mollweide (ESRI:54009) target -------------------
+
+from xcube_spark.operators.resampling.reproject import moll_inverse_sql
+
+_MOLL = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-1_000_000.0, y_start=3_000_000.0,
+                 x_res=50_000.0, y_res=50_000.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="ESRI:54009")
+
+_MOLL_LON, _MOLL_LAT = moll_inverse_sql(
+    "(-1000000.0 + (x_i + 0.5) * 50000.0)",
+    "(3000000.0 + (y_i + 0.5) * 50000.0)", crs="ESRI:54009")
+
+
+@query(
+    "cube_reproject_mollweide",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_MOLL.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_MOLL_LON} AS lon,
+                   {_MOLL_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_mollweide(spark, sf_dir):
+    """reproject_dataset onto a World-Mollweide grid (ESRI:54009) —
+    the equal-area pseudocylindrical CRS of land-cover / climate
+    products, reached through pyproj in the reference
+    (core/gridmapping/transform.py).  Spherical Mollweide (Snyder
+    1987, 31-1..31-8): the inverse is closed-form Column math inside
+    codegen and the oracle states the identical inverse in SQL
+    (moll_inverse_sql); the forward Newton solve (_MollForward) is
+    exercised by the roundtrip unit test.  The 50 km target centers
+    (lon +-11.7, lat 24.8..41.7) sit >= 1.4e-3 deg from any 1-degree
+    source cell edge, so sub-ulp libm differences cannot flip a
+    gather index."""
+    out = reproject_dataset(_cube_a(spark), GRID, _MOLL)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))

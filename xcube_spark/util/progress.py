@@ -237,3 +237,69 @@ class new_progress_observers:
 
     def __exit__(self, *exc) -> None:
         _swap_context(self._old)
+
+
+class observe_spark_progress:
+    """Observe Spark task progress inside the enclosed context — the
+    Spark twin of the reference's ``observe_dask_progress``
+    (util/progress.py:291-352, a dask scheduler callback): a sampler
+    thread polls the SparkContext status tracker for active stages and
+    reports completed-task deltas as work units.
+
+    ``total_work`` is nominal (tasks are reported proportionally up to
+    it); use when a block runs one dominant Spark action::
+
+        with observe_spark_progress(spark, "writing cube", 100):
+            df.write.parquet(path)
+    """
+
+    def __init__(self, spark, label: str, total_work: float = 100.0,
+                 interval: float = 0.1):
+        self._sc = spark.sparkContext
+        self._label = label
+        self._total_work = float(total_work)
+        self._interval = interval
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._worked = 0.0
+        self._ctx: _Context | None = None
+
+    def _sample(self) -> None:
+        tracker = self._sc.statusTracker()
+        seen_done = 0
+        total = 0
+        while not self._stop.wait(self._interval):
+            try:
+                done = 0
+                ntasks = 0
+                for sid in tracker.getActiveStageIds():
+                    info = tracker.getStageInfo(sid)
+                    if info is not None:
+                        done += info.numCompletedTasks
+                        ntasks += info.numTasks
+                total = max(total, ntasks)
+                if total > 0 and done > seen_done:
+                    frac = min(done / total, 1.0)
+                    target = frac * self._total_work
+                    if target > self._worked:
+                        self._ctx.worked(target - self._worked)
+                        self._worked = target
+                    seen_done = done
+            except Exception:
+                pass  # tracker races with job teardown — keep sampling
+
+    def __enter__(self) -> "observe_spark_progress":
+        self._ctx = _context()
+        self._ctx.begin(self._label, self._total_work)
+        self._thread = threading.Thread(target=self._sample, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, exc_type, exc_value, exc_traceback) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        if exc_type is None and self._worked < self._total_work:
+            # the action finished: account the remainder
+            self._ctx.worked(self._total_work - self._worked)
+        self._ctx.end(exc_type, exc_value, exc_traceback)
