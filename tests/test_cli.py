@@ -238,3 +238,26 @@ def test_cli_compute(spark, cube_path, tmp_path, capsys):
     bad = tmp_path / "bad.py"
     bad.write_text("x = 1\n")
     assert main(["compute", str(bad), cube_path, *GRID_ARGS]) == 1
+
+
+def test_cli_benchmark(spark, cube_path, tmp_path, capsys):
+    """sparkcube benchmark (reference cli/benchmark.py): parameter-grid
+    timing of a templated command; --in-process shares the JVM."""
+    cfg = tmp_path / "bench.yml"
+    cfg.write_text(
+        "command: sparkcube dump ${input}\n"
+        "params:\n"
+        "  - input\n"
+        f"input:\n  - {cube_path}\n  - {cube_path}\n"
+    )
+    assert main(["benchmark", str(cfg), "-R", "2", "--in-process"]) == 0
+    out = capsys.readouterr().out
+    lines = out.splitlines()
+    hi = next(i for i, ln in enumerate(lines) if ln.startswith("id;"))
+    header = lines[hi].split(";")
+    assert header[:2] == ["id", "input"]
+    assert "time-median" in header
+    rows = [ln.split(";") for ln in lines[hi + 1:]
+            if ln and ln[0].isdigit()]
+    assert len(rows) == 2
+    assert float(rows[0][header.index("time-median")]) > 0

@@ -42,6 +42,73 @@ def _add_grid_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--y-res", type=float, default=1.0)
 
 
+def _run_benchmark(args) -> int:
+    """``sparkcube benchmark CONFIG -R N`` (reference cli/benchmark.py:
+    hidden command): time a templated command over the cartesian
+    product of its parameter value lists, print per-combination timing
+    stats as ``;``-separated rows.  Config (YAML or JSON)::
+
+        command: sparkcube dump ${input}
+        params: [input]
+        input: [a.parquet, b.parquet]
+
+    ``--in-process`` dispatches ``sparkcube ...`` commands through
+    :func:`main` in this interpreter (one shared JVM) instead of a
+    subprocess — the right mode when the per-run cost being measured
+    is the query, not session startup.
+    """
+    import itertools
+    import shlex
+    import statistics
+    import subprocess
+    import time
+
+    with open(args.config) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        cfg = yaml.safe_load(text)
+    except ImportError:  # pragma: no cover - pyyaml is available here
+        cfg = json.loads(text)
+    template = cfg["command"]
+    names = list(cfg["params"])
+    combos = list(itertools.product(*[cfg[n] for n in names]))
+    times: dict[int, list[float]] = {i: [] for i in range(len(combos))}
+    for _rep in range(args.repeats):
+        for i, values in enumerate(combos):
+            cmd = template
+            for n, v in zip(names, values):
+                cmd = cmd.replace("${%s}" % n, str(v))
+            argv_run = shlex.split(cmd)
+            t0 = time.perf_counter()
+            try:
+                if args.in_process and argv_run[:1] == ["sparkcube"]:
+                    rc = main(argv_run[1:])
+                    if rc != 0:
+                        raise RuntimeError(f"exit {rc}")
+                else:
+                    subprocess.check_call(argv_run)
+                times[i].append(time.perf_counter() - t0)
+            except Exception as e:
+                print(f"error: {e}", file=sys.stderr)
+                times[i].append(float("nan"))
+    print(f"# command template: {template}")
+    print(f"# repetition count: {args.repeats}")
+    print("id;" + ";".join(names)
+          + ";time-mean;time-median;time-stdev;time-min;time-max")
+    for i, values in enumerate(combos):
+        ts = [t for t in times[i] if t == t]  # drop NaNs
+        if ts:
+            stats = (statistics.fmean(ts), statistics.median(ts),
+                     statistics.pstdev(ts), min(ts), max(ts))
+        else:
+            stats = (float("nan"),) * 5
+        print(f"{i};" + ";".join(str(v) for v in values) + ";"
+              + ";".join(f"{s:.6f}" for s in stats))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="sparkcube")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -102,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("request", help="JSON request file; input_path + "
                    "cube_config keys")
     _add_grid_args(p)
+
+    p = sub.add_parser("benchmark", help="time a templated command over "
+                       "a parameter grid (xcube benchmark)")
+    p.add_argument("config", help="YAML/JSON: command template with "
+                   "${param} placeholders, params list, value lists")
+    p.add_argument("-R", "--repeats", type=int, default=1)
+    p.add_argument("--in-process", action="store_true",
+                   help="dispatch 'sparkcube ...' commands through "
+                   "main() instead of a subprocess (shares the JVM)")
 
     p = sub.add_parser("compute", help="compute a variable from a user "
                        "script over one or more cubes (xcube compute)")
@@ -224,6 +300,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Box size: {round((ax2 - ax1) / res)} x "
                   f"{round((ay2 - ay1) / res)} cells")
         return 0
+
+    if args.cmd == "benchmark":  # no session of its own (cli/benchmark.py)
+        return _run_benchmark(args)
 
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
