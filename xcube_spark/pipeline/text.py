@@ -365,6 +365,102 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return scored
 
 
+def bpe_train_merges_driver(
+    docs: DataFrame,
+    steps: int = 4,
+    text_col: str = "text",
+    max_word_len: int = 32,
+    max_vocab_rows: int = 50_000_000,
+) -> DataFrame:
+    """BPE merge training with the tokenizer-industry scale shape:
+    ONE distributed shuffle collapses the corpus to its word-frequency
+    vocabulary, the vocabulary (model-sized: ~10M rows at 100 TB,
+    bounded by ``max_vocab_rows``) comes to the driver as Arrow, and
+    training runs the textbook incremental algorithm — pair-count
+    deltas on merge (only words containing the merged pair update) and
+    a lazy-invalidation heap for the argmax — so a 32k-merge vocab is
+    minutes of driver CPU, not 32k Spark jobs.  This is the k-means/
+    PQ-codebook contract: the DATA pass is distributed, the MODEL fit
+    is small.  Output schema and semantics are identical to
+    :func:`bpe_train_merges` (same (cnt desc, pair asc) tie-break,
+    same greedy left-to-right fusion), which stays the fully-
+    distributed variant for vocabularies beyond driver memory.
+    """
+    import heapq
+
+    words_df = _bpe_words(docs, text_col, max_word_len).limit(
+        max_vocab_rows + 1)
+    pdf = words_df.toPandas()
+    if len(pdf) > max_vocab_rows:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab_rows={max_vocab_rows}; use "
+            "bpe_train_merges (fully distributed) instead")
+    vocab: list[list] = [[tuple(w), int(f)]
+                         for w, f in zip(pdf["w"], pdf["freq"])]
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(vocab):
+        for a, b in zip(syms, syms[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + f
+            where.setdefault((a, b), set()).add(wi)
+
+    def _upd(pair: tuple[str, str], delta: int, wi: int) -> None:
+        c = counts.get(pair, 0) + delta
+        if c > 0:
+            counts[pair] = c
+            s = where.setdefault(pair, set())
+            if delta > 0:
+                s.add(wi)
+            heapq.heappush(heap, (-c, pair))
+        else:
+            counts.pop(pair, None)
+            where.pop(pair, None)
+
+    # lazy heap: entries go stale when counts move; pop until the head
+    # matches the live count.  Ties break (cnt desc, pair asc) exactly
+    # like the distributed orderBy.
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, steps + 1):
+        best = None
+        while heap:
+            negc, pair = heap[0]
+            if counts.get(pair, 0) == -negc:
+                best = (pair, -negc)
+                break
+            heapq.heappop(heap)  # stale
+        if best is None:
+            break
+        (l, r), cnt = best
+        merges.append((step, l, r, cnt))
+        lr = l + r
+        for wi in sorted(where.get((l, r), ())):
+            syms, f = vocab[wi]
+            # retract the word's old pair contributions...
+            for a, b in zip(syms, syms[1:]):
+                _upd((a, b), -f, wi)
+                where.get((a, b), set()).discard(wi)
+            # ...fuse greedy left-to-right...
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(lr)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[wi][0] = syms = tuple(out)
+            # ...and add the new ones (delta: only this word changed)
+            for a, b in zip(syms, syms[1:]):
+                _upd((a, b), f, wi)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "step int, merge_left string, merge_right string, pair_count long",
+    )
+
+
 def bpe_tokenize(
     docs: DataFrame,
     steps: int = 4,

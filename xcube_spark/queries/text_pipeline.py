@@ -634,3 +634,17 @@ def doc_bpe_tokenize(spark, sf_dir):
     from xcube_spark.pipeline.text import bpe_tokenize
 
     return bpe_tokenize(tbl(spark, sf_dir, "documents"), steps=4)
+
+
+@query("doc_bpe_merges_driver", sql=_bpe_oracle_sql(steps=4))
+def doc_bpe_merges_driver(spark, sf_dir):
+    """bpe_train_merges_driver (pipeline/text.py): the tokenizer-
+    industry scale shape — one distributed word-count shuffle, then
+    in-memory incremental training (pair-count deltas + lazy heap) on
+    the model-sized vocabulary.  Must hash-match the SAME chained-CTE
+    oracle as doc_bpe_merges: both trainers implement identical BPE
+    semantics."""
+    from xcube_spark.pipeline.text import bpe_train_merges_driver
+
+    return bpe_train_merges_driver(tbl(spark, sf_dir, "documents"),
+                                   steps=4)
