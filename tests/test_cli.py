@@ -261,3 +261,32 @@ def test_cli_benchmark(spark, cube_path, tmp_path, capsys):
             if ln and ln[0].isdigit()]
     assert len(rows) == 2
     assert float(rows[0][header.index("time-median")]) > 0
+
+
+def test_cli_versions(capsys, tmp_path):
+    """sparkcube versions (reference cli/versions.py): package
+    inventory, yaml-ish default, json by flag or extension."""
+    assert main(["versions"]) == 0
+    out = capsys.readouterr().out
+    assert "pyspark:" in out and "xcube_spark:" in out
+    out_path = tmp_path / "v.json"
+    assert main(["versions", "-o", str(out_path)]) == 0
+    v = json.loads(out_path.read_text())
+    assert v["pyspark"] and v["python"]
+
+
+def test_cli_io(spark, cube_path, capsys, tmp_path):
+    """sparkcube io list/info/data (reference cli/io.py store tools)."""
+    assert main(["io", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "file" in out and "memory" in out and "parquet" in out
+    import os
+    root = os.path.dirname(cube_path)
+    assert main(["io", "info", "file", f"root={root}"]) == 0
+    out = capsys.readouterr().out
+    assert "cube.parquet" in out
+    assert main(["io", "data", "file", "cube.parquet",
+                 f"root={root}"]) == 0
+    desc = json.loads(capsys.readouterr().out)
+    assert desc["data_id"] == "cube.parquet"
+    assert desc["dims"]

@@ -170,6 +170,24 @@ def main(argv: list[str] | None = None) -> int:
                    "cube_config keys")
     _add_grid_args(p)
 
+    p = sub.add_parser("versions", help="versions of the packages the "
+                       "engine uses (xcube versions)")
+    p.add_argument("-f", "--format", dest="fmt",
+                   choices=["yaml", "json"], default=None)
+    p.add_argument("-o", "--output", default=None)
+
+    p = sub.add_parser("io", help="data-store introspection "
+                       "(xcube io: store list/info/data)")
+    io_sub = p.add_subparsers(dest="io_cmd", required=True)
+    io_sub.add_parser("list", help="known store/format ids")
+    q = io_sub.add_parser("info", help="describe a store's datasets")
+    q.add_argument("store")
+    q.add_argument("params", nargs="*", help="key=value store params")
+    q = io_sub.add_parser("data", help="describe one dataset in a store")
+    q.add_argument("store")
+    q.add_argument("data_id")
+    q.add_argument("params", nargs="*", help="key=value store params")
+
     p = sub.add_parser("benchmark", help="time a templated command over "
                        "a parameter grid (xcube benchmark)")
     p.add_argument("config", help="YAML/JSON: command template with "
@@ -304,10 +322,52 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "benchmark":  # no session of its own (cli/benchmark.py)
         return _run_benchmark(args)
 
+    if args.cmd == "versions":  # cli/versions.py: package inventory
+        import importlib
+
+        vers = {"python": sys.version.split()[0],
+                "xcube_spark": __import__("xcube_spark").__version__}
+        for pkg in ("pyspark", "pyarrow", "pandas", "numpy", "duckdb"):
+            try:
+                vers[pkg] = importlib.import_module(pkg).__version__
+            except Exception:
+                vers[pkg] = None
+        if args.fmt == "json" or (args.fmt is None and args.output
+                                  and args.output.endswith(".json")):
+            text = json.dumps(vers, indent=2)
+        else:
+            text = "".join(f"{k}: {v}\n" for k, v in sorted(vers.items()))
+        if args.output:
+            with open(args.output, "w") as f:
+                f.write(text)
+        else:
+            print(text, end="")
+        return 0
+
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
 
     spark = get_session(app_name=f"sparkcube-{args.cmd}")
+
+    if args.cmd == "io":  # cli/io.py: store/opener introspection
+        import dataclasses
+
+        from xcube_spark.sources.dsio import FORMATS
+        from xcube_spark.sources.store import _STORES, new_data_store
+
+        if args.io_cmd == "list":
+            print("stores: " + ", ".join(sorted(_STORES)))
+            print("formats: " + ", ".join(sorted(FORMATS)))
+            return 0
+        params = dict(kv.split("=", 1) for kv in args.params)
+        store = new_data_store(args.store, spark, **params)
+        if args.io_cmd == "info":
+            for did in store.get_data_ids():
+                print(did)
+            return 0
+        d = store.describe_data(args.data_id)
+        print(json.dumps(dataclasses.asdict(d), indent=2, default=str))
+        return 0
 
     if args.cmd == "serve":
         from xcube_spark.server import CubeServer
