@@ -101,6 +101,33 @@ def generate_cube(
             out, request.time_period, methods=(request.time_agg,),
             var_names=vars_,
         )
+        # the grid's time axis changed with the data: coarser period,
+        # fewer steps (fixed-length units only — W/M/Q/Y bins are
+        # calendar-shaped, so the step count stays declared)
+        from dataclasses import replace as _dc_replace
+
+        from xcube_spark.operators.temporal import parse_frequency
+
+        n, unit = parse_frequency(request.time_period) \
+            if request.time_period != "all" else (0, "all")
+        unit_days = {"min": 1 / 1440, "T": 1 / 1440, "H": 1 / 24,
+                     "D": 1.0}.get(unit)
+        if request.time_period == "all":
+            out_grid = _dc_replace(
+                out_grid, time_periods=1,
+                t_freq_days=out_grid.t_freq_days
+                * out_grid.time_periods)
+        elif unit_days is not None:
+            new_freq = n * unit_days
+            import math as _math
+
+            out_grid = _dc_replace(
+                out_grid,
+                t_freq_days=new_freq,
+                time_periods=max(1, _math.ceil(
+                    out_grid.time_periods * out_grid.t_freq_days
+                    / new_freq)),
+            )
         # resample renames var -> var_<agg> (temporal.py:129); restore
         # the declared names so downstream stages see a cube
         for v in (vars_ or []):
