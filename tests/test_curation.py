@@ -586,3 +586,49 @@ def test_bpe_driver_trainer_vocab_cap(spark):
         [(1, "a b c d e f g h")], "doc_id int, text string")
     with pytest.raises(ValueError, match="max_vocab_rows"):
         bpe_train_merges_driver(docs, steps=2, max_vocab_rows=3)
+
+
+def test_bpe_apply_merge_randomized_equivalence(spark):
+    """bpe_apply_merge (the Column fold) equals the Python greedy
+    left-to-right fusion on 200 random symbol sequences, including
+    overlapping runs and multi-char symbols — one Spark job for all
+    cases."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.text import bpe_apply_merge
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "ba", "aa", "c"]
+    cases = []
+    for i in range(200):
+        syms = [rng.choice(alphabet)
+                for _ in range(rng.randint(1, 12))]
+        l, r = rng.choice(alphabet), rng.choice(alphabet)
+        cases.append((i, " " + " ".join(syms) + " ", l, r))
+
+    def py_fuse(syms, l, r):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    # group cases by (l, r) so each merge rule is one Column expression
+    by_rule: dict = {}
+    for i, sym, l, r in cases:
+        by_rule.setdefault((l, r), []).append((i, sym))
+    expect = {i: " " + " ".join(py_fuse(sym.split(), l, r)) + " "
+              for (l, r), grp in by_rule.items() for i, sym in grp}
+    got = {}
+    for (l, r), grp in by_rule.items():
+        df = spark.createDataFrame(grp, "i int, sym string")
+        rows = df.select(
+            "i", bpe_apply_merge(F.col("sym"), l, r).alias("m")).collect()
+        got.update({r_.i: r_.m for r_ in rows})
+    assert got == expect

@@ -313,3 +313,81 @@ def test_streaming_granule_quarantine(spark, tmp_path):
              spark, str(tmp_path / "state")).collect()}
     assert set(q) == {"g1.nc", "g2.nc"}
     assert "different grid" in q["g1.nc"]
+
+
+def _near_dup_corpus(spark):
+    """Synthetic corpus with genuine near-dup structure: templates
+    repeated with tiny tail variations (band collisions + >=6/8
+    signature agreement) plus unique documents."""
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again in the field")
+    rows = []
+    for i in range(40):
+        if i % 4 == 0:
+            rows.append((i, base + f" unique tail {i} with extra words"))
+        elif i % 4 == 1:
+            rows.append((i, base))
+        else:
+            rows.append((i, " ".join(f"w{i}_{j}" for j in range(12))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_near_dedup_batching_invariant(spark):
+    """Three id-ordered batches must produce exactly the one-shot
+    state (the earlier-any contract of incremental_near_dedup)."""
+    from pyspark.sql import types as T
+
+    from xcube_spark.pipeline.dedup import incremental_near_dedup
+
+    docs = _near_dup_corpus(spark)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"h{j}", T.StringType()) for j in range(8)]
+        + [T.StructField("is_dup", T.BooleanType())])
+    empty = spark.createDataFrame([], schema)
+
+    one_shot = incremental_near_dedup(empty, docs)
+    by_parts = empty
+    for lo, hi in ((0, 13), (13, 27), (27, 40)):
+        by_parts = incremental_near_dedup(
+            by_parts, docs.where(f"doc_id >= {lo} AND doc_id < {hi}"))
+    a = {(r.doc_id, r.is_dup) for r in one_shot.collect()}
+    b = {(r.doc_id, r.is_dup) for r in by_parts.collect()}
+    assert a == b
+    # the corpus genuinely contains both dups and uniques
+    flags = dict(a)
+    assert any(flags.values()) and not all(flags.values())
+    # identical texts are always flagged (signature agreement = 8/8)
+    dup_ids = [i for i in range(40) if i % 4 == 1 and i > 1]
+    assert all(flags[i] for i in dup_ids)
+
+
+def test_streaming_incremental_near_dedup_equals_batch(spark, tmp_path):
+    """The near-dup foreachBatch sink over two micro-batches equals
+    the one-shot merge."""
+    from pyspark.sql import types as T
+
+    from xcube_spark.pipeline.dedup import incremental_near_dedup
+    from xcube_spark.streaming.dedup_sink import (
+        run_incremental_near_dedup_stream)
+
+    docs = _near_dup_corpus(spark)
+    src = str(tmp_path / "near_src")
+    docs.where("doc_id < 20").coalesce(1).write.parquet(src + "/part=a")
+    docs.where("doc_id >= 20").coalesce(1).write.parquet(src + "/part=b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    final = run_incremental_near_dedup_stream(
+        stream, str(tmp_path / "near_state"), str(tmp_path / "near_ckpt"))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"h{j}", T.StringType()) for j in range(8)]
+        + [T.StructField("is_dup", T.BooleanType())])
+    want = incremental_near_dedup(
+        spark.createDataFrame([], schema), docs)
+    assert ({(r.doc_id, r.is_dup) for r in final.collect()}
+            == {(r.doc_id, r.is_dup) for r in want.collect()})

@@ -23,6 +23,9 @@ queries/text_pipeline.py runs the *same* pipeline in SQL.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -527,3 +530,95 @@ def incremental_exact_dedup(
             ).alias("group_size"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# incremental NEAR-dup dedup (streaming-append contract, minhash state)
+
+
+def minhash_sig_state(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Signature rows for the incremental near-dup state:
+    (doc_id, h0..h{n-1}, is_dup=false).  Docs with fewer than ``k``
+    tokens have no shingles and drop out (same rule as the batch
+    pipeline)."""
+    sig = minhash_signature(
+        shingles(docs, k=k, text_col=text_col, id_col=id_col),
+        num_hashes=num_hashes, id_col=id_col)
+    return sig.withColumn("is_dup", F.lit(False))
+
+
+def incremental_near_dedup(
+    state: DataFrame,
+    new_docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    min_agree: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge a NEW batch into a minhash near-dup state without
+    touching the processed corpus — the approximate twin of
+    :func:`incremental_exact_dedup` for streaming-append pipelines.
+
+    Contract ("earlier-any"): a new doc is a near-dup iff SOME doc
+    with a smaller id — already in the state or earlier in this batch,
+    itself kept or dup — collides with it in an LSH band AND their
+    signatures agree on at least ``ceil(min_agree * num_hashes)``
+    positions (the signature-agreement Jaccard estimate; the state
+    stores signatures, not shingle sets, so verification is
+    state-bounded).  Because candidacy is defined against ALL earlier
+    ids, id-monotone batching is invariant: any split of an append
+    stream into batches yields exactly the flags of one big batch —
+    the multi-batch == batch test pins this.
+
+    Scale: per batch, one batch-sized signature shuffle plus an LSH
+    band join of the batch against the state's band projection (band
+    keys are md5s of state columns — computed in the map phase, never
+    stored).  The state is one row of ``num_hashes`` digests per doc:
+    far smaller than the corpus, bucketable by band for co-location.
+    """
+    hcols = [f"h{j}" for j in range(num_hashes)]
+    batch_sig = minhash_sig_state(
+        new_docs, k=k, num_hashes=num_hashes,
+        text_col=text_col, id_col=id_col).drop("is_dup")
+    old_sig = state.select(id_col, *hcols)
+    all_sig = old_sig.unionByName(batch_sig).persist()
+    new_bands = lsh_bands(batch_sig, num_bands, id_col=id_col).select(
+        F.col(id_col).alias("__id_new"), "band", "band_key")
+    all_bands = lsh_bands(all_sig, num_bands, id_col=id_col).select(
+        F.col(id_col).alias("__id_old"), "band", "band_key")
+    import math
+
+    need = math.ceil(min_agree * num_hashes)
+    cand = (
+        new_bands.join(all_bands, ["band", "band_key"])
+        .where(F.col("__id_old") < F.col("__id_new"))
+        .select("__id_new", "__id_old")
+        .distinct()
+    )
+    sa = all_sig.select(F.col(id_col).alias("__id_new"),
+                        *[F.col(h).alias(f"__a_{h}") for h in hcols])
+    sb = all_sig.select(F.col(id_col).alias("__id_old"),
+                        *[F.col(h).alias(f"__b_{h}") for h in hcols])
+    n_agree = reduce(
+        operator.add,
+        [(F.col(f"__a_{h}") == F.col(f"__b_{h}")).cast("int")
+         for h in hcols])
+    dup_ids = (
+        cand.join(sa, "__id_new").join(sb, "__id_old")
+        .where(n_agree >= F.lit(int(need)))
+        .select(F.col("__id_new").alias(id_col))
+        .distinct()
+    )
+    flagged = batch_sig.join(dup_ids.withColumn("__d", F.lit(True)),
+                             id_col, "left").select(
+        id_col, *hcols,
+        F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
+    return state.unionByName(flagged)

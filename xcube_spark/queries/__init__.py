@@ -93,6 +93,7 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     # round-6 additions (never sampled yet)
     "cube_reproject_mollweide",
+    "doc_incremental_near_dedup",
     "doc_bpe_merges_driver",
     "q2_min_cost_supplier",
     "q16_supplier_part_cnt",

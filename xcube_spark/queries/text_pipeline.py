@@ -648,3 +648,78 @@ def doc_bpe_merges_driver(spark, sf_dir):
 
     return bpe_train_merges_driver(tbl(spark, sf_dir, "documents"),
                                    steps=4)
+
+
+_NEAR_AGREE = " + ".join(
+    f"(CASE WHEN x.h{j} = y.h{j} THEN 1 ELSE 0 END)" for j in range(8))
+_NEAR_SIG_HASHES = ",\n".join(
+    f"                   MIN(md5(shingle || '#{j}')) AS h{j}"
+    for j in range(8))
+
+
+@query(
+    "doc_incremental_near_dedup",
+    sql=f"""
+        WITH toks AS (
+            SELECT doc_id, lst[i + 1] AS tok, i AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS lst
+                  FROM documents),
+                 unnest(range(len(lst))) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), sig AS (
+            SELECT doc_id,
+{_NEAR_SIG_HASHES}
+            FROM sh GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, 0 AS band,
+                   md5(h0 || '|' || h1 || '|' || h2 || '|' || h3)
+                       AS band_key
+            FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(h4 || '|' || h5 || '|' || h6 || '|' || h7)
+                       AS band_key
+            FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_old
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND b.doc_id < a.doc_id
+        ), dup AS (
+            SELECT DISTINCT c.id_new
+            FROM cand c
+            JOIN sig x ON x.doc_id = c.id_new
+            JOIN sig y ON y.doc_id = c.id_old
+            WHERE ({_NEAR_AGREE}) >= 6
+        )
+        SELECT s.doc_id,
+               (s.doc_id IN (SELECT id_new FROM dup)) AS is_dup
+        FROM sig s
+    """,
+)
+def doc_incremental_near_dedup(spark, sf_dir):
+    """incremental_near_dedup (pipeline/dedup.py): the minhash state
+    merged over TWO id-ordered batches must equal the one-shot
+    computation — the earlier-any contract makes id-monotone batching
+    invariant, which is exactly what the oracle computes in one pass
+    (band candidates vs all earlier ids, signature agreement >= 6/8).
+    The streaming sink (run_incremental_near_dedup_stream) replays the
+    same merge per micro-batch."""
+    from pyspark.sql import types as T
+
+    from xcube_spark.pipeline.dedup import incremental_near_dedup
+
+    docs = tbl(spark, sf_dir, "documents")
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType())]
+        + [T.StructField(f"h{j}", T.StringType()) for j in range(8)]
+        + [T.StructField("is_dup", T.BooleanType())])
+    state = spark.createDataFrame([], schema)
+    state = incremental_near_dedup(state, docs.where(F.col("doc_id") < 250))
+    state = incremental_near_dedup(state, docs.where(F.col("doc_id") >= 250))
+    return state.select("doc_id", "is_dup")

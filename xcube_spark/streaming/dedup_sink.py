@@ -106,3 +106,60 @@ def run_incremental_dedup_stream(
     )
     q.awaitTermination()
     return read_dedup_state(doc_stream.sparkSession, state_dir)
+
+
+def run_incremental_near_dedup_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    min_agree: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Near-dup twin of :func:`run_incremental_dedup_stream`: each
+    micro-batch folds into the minhash signature state via
+    ``incremental_near_dedup`` (earlier-any contract — see
+    pipeline/dedup.py), with the same versioned-parquet publication
+    and replayed-batch guard.  Re-merging a replayed batch would
+    duplicate its signature rows, so the exactly-once pointer guard is
+    load-bearing here too."""
+    from pyspark.sql import types as TT
+
+    from xcube_spark.pipeline.dedup import incremental_near_dedup
+
+    os.makedirs(state_dir, exist_ok=True)
+    empty_schema = TT.StructType(
+        [TT.StructField(id_col, TT.LongType())]
+        + [TT.StructField(f"h{j}", TT.StringType())
+           for j in range(num_hashes)]
+        + [TT.StructField("is_dup", TT.BooleanType())])
+
+    def read_state(spark: SparkSession) -> DataFrame:
+        version = _current_version(state_dir)
+        if version is not None:
+            return spark.read.parquet(
+                os.path.join(state_dir, f"v{version}"))
+        return spark.createDataFrame([], empty_schema)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch already folded in
+        merged = incremental_near_dedup(
+            read_state(spark), batch_df, k=k, num_hashes=num_hashes,
+            num_bands=num_bands, min_agree=min_agree,
+            text_col=text_col, id_col=id_col)
+        _publish(merged, state_dir, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_state(doc_stream.sparkSession)
