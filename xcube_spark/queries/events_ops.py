@@ -251,7 +251,9 @@ def events_pivot_vars(spark, sf_dir):
             FROM bounds
         ), hourly AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
-                   ROUND(AVG(value), 6) AS value_mean
+                   -- 1e-9 nudge: moves the 6-decimal rounding boundary
+                   -- off 1-ulp cross-engine summation differences
+                   ROUND(AVG(value) + 1e-9, 6) AS value_mean
             FROM events GROUP BY 1
         )
         SELECT g.time,
@@ -274,7 +276,7 @@ def events_upsample_ffill(spark, sf_dir):
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("time")
     )
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
-        F.round(F.avg("value"), 6).alias("value_mean")
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("value_mean")
     )
     w = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -297,7 +299,8 @@ def events_upsample_ffill(spark, sf_dir):
             FROM bounds
         ), hourly AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
-                   ROUND(AVG(value), 6) AS v
+                   -- 1e-9 nudge: see events_upsample_ffill
+                   ROUND(AVG(value) + 1e-9, 6) AS v
             FROM events GROUP BY 1
         ), joined AS (
             SELECT g.time, h.v,
@@ -332,7 +335,7 @@ def events_upsample_interp(spark, sf_dir):
 
     ev = tbl(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("v")
     )
     out = upsample_in_time(hourly, "30min", method="interpolate")
     # 4 decimals with a 1e-9 nudge: half-gap midpoints of 6-decimal
@@ -357,7 +360,8 @@ def events_upsample_interp(spark, sf_dir):
             FROM bounds
         ), hourly AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
-                   ROUND(AVG(value), 6) AS v
+                   -- 1e-9 nudge: see events_upsample_ffill
+                   ROUND(AVG(value) + 1e-9, 6) AS v
             FROM events GROUP BY 1
         ), joined AS (
             SELECT g.time, h.v,
@@ -393,7 +397,7 @@ def events_upsample_bfill_nearest(spark, sf_dir):
 
     ev = tbl(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
-        F.round(F.avg("value"), 6).alias("v")
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("v")
     )
     bf = upsample_in_time(hourly, "30min", method="bfill") \
         .withColumnRenamed("v", "value_bfill")
