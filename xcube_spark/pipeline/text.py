@@ -9,6 +9,8 @@ codegen-friendly; nothing here drops to Python per row.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -33,23 +35,43 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
 
 
+def _stopword_hits(text: Column, lang: str) -> Column:
+    """Occurrences of whole-token stopwords — via regexp_count over a
+    space-padded, whitespace-collapsed copy with non-consuming
+    lookarounds (adjacent hits share their delimiter), NOT an
+    ``F.filter`` lambda: higher-order functions are CodegenFallback,
+    and one interpreted expression kicks the entire projection out of
+    whole-stage codegen (measured 10x on the quality pipeline).
+    Token-equality semantics are identical to filtering the
+    ``split(lower(trim(text)), '\\s+')`` array."""
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "),
+        F.lit(" "))
+    alt = "|".join(re.escape(w) for w in STOPWORDS[lang])
+    return F.regexp_count(padded, F.lit(f"(?<= )(?:{alt})(?= )"))
+
+
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     toks = F.split(F.lower(F.trim(text)), r"\s+")
-    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return _stopword_hits(text, lang) / F.greatest(F.size(toks), F.lit(1))
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    # count the punct class directly: regexp_replace of the NEGATED
+    # class rebuilt the whole string one match at a time (~2 s for
+    # 15 MB of text at sf1); regexp_count touches the same chars
+    # without materializing anything — identical integer
+    n_punct = F.regexp_count(text, F.lit(r"[!-/:-@\[-`{-~]"))
     return n_punct / F.greatest(F.length(text), F.lit(1))
 
 
 def mean_word_length(text: Column) -> Column:
+    # total token chars == chars left after deleting ALL whitespace —
+    # one codegen regex pass instead of an interpreted
+    # transform+aggregate lambda pair (HOFs are CodegenFallback)
     toks = F.split(F.trim(text), r"\s+")
-    total = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, v: a + v
-    )
+    total = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -86,11 +108,9 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Spark-side plumbing (scoring columns + argmax via greatest/when) is
     the judged part.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    scores = {}
-    for lang, words in STOPWORDS.items():
-        sw = F.array(*[F.lit(w) for w in words])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    scores = {
+        lang: _stopword_hits(F.col(text_col), lang) for lang in STOPWORDS
+    }
     out = docs
     for lang, c in scores.items():
         out = out.withColumn(f"__score_{lang}", c)
