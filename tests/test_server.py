@@ -430,3 +430,44 @@ def test_snap_cpd_colormap_load_and_serve(spark, tmp_path):
         assert status == 200 and body[:4] == b"\x89PNG"
     finally:
         srv.stop()
+
+
+def test_timeseries_post_geojson_geometry(served):
+    """POST /timeseries/{ds}/{var} with a GeoJSON geometry body
+    (reference webapi/timeseries routes: 'time-series for a given
+    GeoJSON object') — polygon masking, Feature unwrap, 400 on bad
+    geometry."""
+    import urllib.request
+
+    def post(path, body):
+        req = urllib.request.Request(
+            f"{served}{path}", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, json.loads(e.read())
+
+    # triangle over the north-west quadrant
+    tri = {"type": "Polygon",
+           "coordinates": [[[-180.0, 0.0], [0.0, 0.0], [-180.0, 90.0],
+                            [-180.0, 0.0]]]}
+    status, out = post("/timeseries/demo/sst?aggMethods=mean,count", tri)
+    assert status == 200
+    res = out["result"]
+    assert len(res) == 3 and res[0]["count"] > 0
+    # a rectangle geometry must equal the bbox query-param result
+    rect = {"type": "Feature", "geometry": {
+        "type": "Polygon",
+        "coordinates": [[[-180.0, -90.0], [0.0, -90.0], [0.0, 90.0],
+                         [-180.0, 90.0], [-180.0, -90.0]]]}}
+    status, out_geo = post("/timeseries/demo/sst?aggMethods=mean", rect)
+    assert status == 200
+    _s, _c, raw = _get(
+        f"{served}/timeseries/demo/sst?aggMethods=mean&bbox=-180,-90,0,90")
+    out_bbox = json.loads(raw)
+    assert out_geo["result"] == out_bbox["result"]
+    # malformed geometry -> 400
+    status, err = post("/timeseries/demo/sst", {"type": "Polygon"})
+    assert status == 400

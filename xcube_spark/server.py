@@ -386,7 +386,14 @@ class CubeServer:
         return render_tile_png(rgba, scheme.tile_size)
 
     def _timeseries(self, ds_id: str, var: str,
-                    params: dict[str, str]) -> dict:
+                    params: dict[str, str],
+                    geometry: dict | None = None) -> dict:
+        """GET with query params; POST additionally carries a GeoJSON
+        geometry body (webapi/timeseries/routes.py: 'time-series for a
+        variable and given GeoJSON object') — the mask compiles to a
+        between-predicate for rectangles or a vectorized
+        point-in-polygon otherwise (operators/geom.py)."""
+        from xcube_spark.operators.geom import geometry_mask
         from xcube_spark.operators.timeseries import get_time_series
 
         d = self._get(ds_id)
@@ -404,8 +411,17 @@ class CubeServer:
         if "endDate" in params:
             cube = cube.where(
                 F.col("time") <= F.lit(_parse_time(params["endDate"])))
+        mask = None
+        if geometry is not None:
+            if geometry.get("type") == "Feature":
+                geometry = geometry.get("geometry") or {}
+            try:
+                mask = geometry_mask(geometry)
+            except (KeyError, ValueError, TypeError) as e:
+                raise ApiError(400, f"bad GeoJSON geometry: {e}") from e
         try:
-            out = get_time_series(cube, [var], agg_methods=aggs, bbox=bbox)
+            out = get_time_series(cube, [var], agg_methods=aggs, bbox=bbox,
+                                  geometry_mask=mask)
         except ValueError as e:
             raise ApiError(400, str(e)) from e
         result = []
@@ -1095,6 +1111,13 @@ class CubeServer:
                     submit = server.submit_job
                 elif seg == ["cubegens"]:
                     submit = server.submit_cubegen
+                elif len(seg) == 3 and seg[0] == "timeseries":
+                    # POST /timeseries/{ds}/{var} with a GeoJSON body
+                    params = dict(parse_qsl(u.query))
+
+                    def submit(body, _s=seg, _p=params):
+                        return server._timeseries(
+                            _s[1], _s[2], _p, geometry=body)
                 else:
                     self._reply(404, "application/json",
                                 b'{"error": "unknown PUT route"}')
