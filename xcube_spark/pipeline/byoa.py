@@ -127,6 +127,20 @@ class FileSet:
             return self.sub_path.strip("/") + "/" + key
         return key
 
+    @staticmethod
+    def _contained_dst(dir_path: str, key: str) -> str:
+        """Resolve ``key`` under ``dir_path``, rejecting zip-slip:
+        a member named ``../x`` or ``/abs`` must never escape the
+        extraction root (mirrors server._s3's realpath containment)."""
+        dst = os.path.realpath(
+            os.path.join(dir_path, key.replace("/", os.sep)))
+        root = os.path.realpath(dir_path)
+        if dst != root and not dst.startswith(root + os.sep):
+            raise ValueError(
+                f"unsafe archive member path {key!r} escapes "
+                f"extraction directory")
+        return dst
+
     # -- materialization ----------------------------------------------
 
     def to_local_zip(self, zip_path: str | None = None) -> "FileSet":
@@ -172,7 +186,7 @@ class FileSet:
                 else self.path
             )
             for key in self.keys():
-                dst = os.path.join(dir_path, key.replace("/", os.sep))
+                dst = self._contained_dst(dir_path, key)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
                 shutil.copyfile(
                     os.path.join(root, key.replace("/", os.sep)), dst
@@ -180,7 +194,7 @@ class FileSet:
         else:
             with zipfile.ZipFile(self.path) as zf:
                 for key in self.keys():
-                    dst = os.path.join(dir_path, key.replace("/", os.sep))
+                    dst = self._contained_dst(dir_path, key)
                     os.makedirs(os.path.dirname(dst) or dir_path,
                                 exist_ok=True)
                     with open(dst, "wb") as out_f:

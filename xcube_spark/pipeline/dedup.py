@@ -384,6 +384,18 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
         f" THEN {(1 << i) if i < 63 else -(1 << 63)}L ELSE 0L END)"
         for i in range(bits)
     )
+    # enforce the lane bound instead of assuming it: a doc with
+    # >= 2^21 token occurrences would silently bleed votes into the
+    # neighboring lane, corrupting the signature — fail loudly instead
+    # (one comparison per doc, nothing per token).
+    lane_max = (1 << 21) - 1
+    acc_sql = (
+        f"CASE WHEN cnt <= {lane_max} THEN ({acc_sql}) "
+        f"ELSE CAST(raise_error(CONCAT('simhash: document ', {id_col}, "
+        f"' has ', cnt, ' token occurrences; the 21-bit SWAR vote "
+        f"lanes hold at most {lane_max} — pre-truncate the document')) "
+        f"AS BIGINT) END"
+    )
     return sig.select(F.col(id_col), F.expr(acc_sql).alias("simhash"))
 
 

@@ -140,6 +140,10 @@ class CubeServer:
         self.jobs: dict[int, dict] = {}
         self.cubegens: dict[int, dict] = {}
         self._job_seq = 0
+        # requests run on ThreadingHTTPServer worker threads: id
+        # allocation must be atomic or two concurrent PUTs can claim
+        # the same id and silently overwrite each other's job dict
+        self._job_seq_lock = threading.Lock()
         self._s3_cache: dict[str, str] = {}
         self._httpd: ThreadingHTTPServer | None = None
 
@@ -838,8 +842,9 @@ class CubeServer:
             raise ApiError(400, "operationId is required")
         params = dict(request.get("parameters", {}))
         out_cfg = dict(request.get("output", {}))
-        self._job_seq += 1
-        job_id = self._job_seq
+        with self._job_seq_lock:
+            self._job_seq += 1
+            job_id = self._job_seq
         job = {"jobId": job_id, "operationId": op_id,
                "state": {"status": "running"}}
         self.jobs[job_id] = job
@@ -900,8 +905,9 @@ class CubeServer:
         GET /cubegens/{id} (RemoteCubeGenerator does)."""
         import threading as _threading
 
-        self._job_seq += 1
-        gid = self._job_seq
+        with self._job_seq_lock:
+            self._job_seq += 1
+            gid = self._job_seq
         job = {
             "cubegenId": gid,
             "status": {"active": True, "succeeded": None, "failed": None},

@@ -930,13 +930,17 @@ def unchunk_dataset(
             if os.path.isfile(p):
                 os.remove(p)
         if meta.zarr_format == 3:
-            # prune now-empty v3 chunk sub-directories
-            for dirpath, dirnames, filenames in os.walk(
+            # prune now-empty v3 chunk sub-directories.  topdown=False
+            # visits leaves first, but a parent's dirnames snapshot
+            # still lists children rmdir'd during the walk — so do not
+            # gate on dirnames/filenames; just attempt rmdir, which
+            # fails harmlessly (OSError) on non-empty dirs and thereby
+            # also sweeps parents emptied mid-walk.
+            for dirpath, _dirnames, _filenames in os.walk(
                     os.path.join(adir, "c"), topdown=False):
-                if not dirnames and not filenames:
-                    try:
-                        os.rmdir(dirpath)
-                    except OSError:
-                        pass
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
         done.append(name)
     return done
