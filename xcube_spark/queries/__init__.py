@@ -91,6 +91,9 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-6's one driver hash-fail (quantization rebuilt
+    # integer-exact in r7) — re-verify FIRST
+    "cube_jp2_ingest",
     # round-6 additions (never sampled yet)
     "cube_reproject_mollweide",
     "doc_incremental_near_dedup",
@@ -99,7 +102,6 @@ PRIORITY_ORDER = (
     "q16_supplier_part_cnt",
     "q21_waiting_supplier",
     # round-5 additions the driver's round-5 sample missed
-    "cube_jp2_ingest",
     "cube_reproject_osgb",
     "cube_reproject_nztm",
     "doc_bpe_merges",

@@ -402,23 +402,29 @@ _JP2_PATH: dict[str, str] = {}
     sql=f"""
         {CUBE_CTE}
         SELECT y_i, COUNT(*) AS n,
-               SUM(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_sum,
-               MIN(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_min,
-               MAX(CAST(ROUND(A * 200, 0) AS BIGINT) + 3000) AS q_max
+               CAST(SUM(20 * y_i + 2 * x_i + 851) AS BIGINT) AS q_sum,
+               CAST(MIN(20 * y_i + 2 * x_i + 851) AS BIGINT) AS q_min,
+               CAST(MAX(20 * y_i + 2 * x_i + 851) AS BIGINT) AS q_max
         FROM cube WHERE t_i = 0
         GROUP BY y_i
     """,
 )
 def cube_jp2_ingest(spark, sf_dir):
     """JPEG-2000 round-trip (ref plugin.py:102-107 j2k/jp2 openers):
-    the fixture cube's t=0 plane quantized to uint16
-    (round(A*200)+3000), written as a lossless JP2 (self-implemented
-    Part 1 codec: MQ coder, EBCOT Tier-1, tag-tree packets, 5/3 DWT,
-    64x64 tiles), re-ingested tile-parallel and aggregated per row.
-    Reversible coding round-trips the integers exactly, so the oracle
-    recomputes the quantization from the cube definition directly —
-    both engines run the identical double arithmetic (+,*,round), so
-    the quantized values cannot diverge."""
+    the fixture cube's t=0 plane quantized to uint16, written as a
+    lossless JP2 (self-implemented Part 1 codec: MQ coder, EBCOT
+    Tier-1, tag-tree packets, 5/3 DWT, 64x64 tiles), re-ingested
+    tile-parallel and aggregated per row.
+
+    Quantization is INTEGER-EXACT on both sides (r7, VERDICT r6 item
+    1): the plane is ``Q = 20*y_i + 2*x_i + 851`` computed in pure
+    integer arithmetic, which equals the old ``round(A*200)+3000`` in
+    exact math (A = t_i + 0.1*(y_i-89.5) + 0.01*(x_i-179.5) at t=0) —
+    but no longer rests on Spark/DuckDB producing bit-identical
+    doubles near rounding boundaries, the suspected cause of the
+    round-6 driver-only hash fail (Python round() is half-even,
+    DuckDB ROUND is half-away).  Range [851, 5149] fits uint16, and
+    reversible 5/3 coding round-trips the integers exactly."""
     import tempfile
 
     from xcube_spark.sources.jp2 import open_jp2_cube, write_jp2_cube_plane
@@ -426,10 +432,14 @@ def cube_jp2_ingest(spark, sf_dir):
     if "p" not in _JP2_PATH:
         path = tempfile.mkdtemp(prefix="xcube_spark_jp2_") + "/plane.jp2"
         plane = new_cube(spark, GRID, variables=SPARK_VARS) \
-            .where(F.col("t_i") == 0)
-        write_jp2_cube_plane(plane, path, "A", width=GRID.width,
-                             height=GRID.height, scale=200.0,
-                             offset=3000.0, tile=(64, 64))
+            .where(F.col("t_i") == 0) \
+            .withColumn(
+                "Q",
+                (20 * F.col("y_i") + 2 * F.col("x_i") + 851)
+                .cast("double"))
+        write_jp2_cube_plane(plane, path, "Q", width=GRID.width,
+                             height=GRID.height, scale=1.0,
+                             offset=0.0, tile=(64, 64))
         _JP2_PATH["p"] = path
     back = open_jp2_cube(spark, _JP2_PATH["p"], band_name="A")
     return back.groupBy("y_i").agg(
