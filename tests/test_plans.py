@@ -207,13 +207,16 @@ def test_pq_search_broadcasts_queries_not_corpus(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     plan = _plan(knn_pq(emb, queries, k=10))
-    # ADC scan: the corpus side must stream (never sit under a
-    # BroadcastExchange); only codebook/dtable broadcasts appear, and
-    # every broadcast subtree is rooted at a LIMIT/filtered-small input
-    assert "BroadcastExchange" in plan  # codebook + per-query tables
-    # corpus rows reach the join via encode (partial_min agg), which
-    # can only be on the streamed side of a broadcast hash join
-    assert "partial_min" in plan or "partial min" in plan.lower()
+    # ADC scan (r7 fused kernel): encode + table-gather + local top-k
+    # run in ONE MapInArrow pass over the raw corpus; the model
+    # (codebook + query tables) ships in the kernel closure, so the
+    # plan has NO join at all — no broadcast, no cartesian product —
+    # and the only exchange is the rank window's shuffle over the
+    # locally-pruned (partitions x |queries| x ~k) candidate rows
+    assert "MapInArrow" in plan
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("Exchange") == 1  # the rank window only
 
 
 def test_stratified_sample_uses_window_group_limit(spark, sf_dir):
