@@ -391,3 +391,105 @@ def test_streaming_incremental_near_dedup_equals_batch(spark, tmp_path):
         spark.createDataFrame([], schema), docs)
     assert ({(r.doc_id, r.is_dup) for r in final.collect()}
             == {(r.doc_id, r.is_dup) for r in want.collect()})
+
+
+def test_near_dup_state_store_equals_one_shot(spark):
+    """The bucketed-table state store over three id-monotone batches
+    must produce exactly the one-shot merge's flags (r7: state
+    persisted bucketed by band key / doc id, no per-batch state
+    re-projection)."""
+    from pyspark.sql import types as T
+
+    from xcube_spark.pipeline.dedup import (
+        NearDupStateStore, incremental_near_dedup)
+
+    docs = _near_dup_corpus(spark)
+    store = NearDupStateStore(spark, "t_ndstore_a")
+    store.drop()
+    try:
+        for lo, hi in ((0, 13), (13, 27), (27, 40)):
+            store.merge_batch(
+                docs.where(f"doc_id >= {lo} AND doc_id < {hi}"))
+        got = {(r.doc_id, r.is_dup) for r in store.flags().collect()}
+
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())]
+            + [T.StructField(f"h{j}", T.StringType()) for j in range(8)]
+            + [T.StructField("is_dup", T.BooleanType())])
+        want_df = incremental_near_dedup(
+            spark.createDataFrame([], schema), docs)
+        want = {(r.doc_id, r.is_dup) for r in want_df.collect()}
+        assert got == want
+        flags = dict(got)
+        assert any(flags.values()) and not all(flags.values())
+    finally:
+        store.drop()
+
+
+def test_near_dup_state_store_no_state_side_exchange(spark):
+    """The LSH candidate join must scan the band state IN PLACE
+    (bucketed scan, no exchange under it); only the batch side
+    shuffles into the bucket layout."""
+    from xcube_spark.pipeline.dedup import NearDupStateStore
+
+    docs = _near_dup_corpus(spark)
+    store = NearDupStateStore(spark, "t_ndstore_b")
+    store.drop()
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        store.merge_batch(docs.where("doc_id < 20"))
+        # pin a shuffle join (at scale neither side broadcasts) so the
+        # plan shows which sides exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch_sig = __import__(
+            "xcube_spark.pipeline.dedup", fromlist=["minhash_sig_state"]
+        ).minhash_sig_state(docs.where("doc_id >= 20")).drop("is_dup")
+        cand = store._old_candidates(store._bkey_bands(batch_sig))
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        # the state scan is bucketed...
+        assert "Bucketed: true" in plan
+        # ...and the state side of the sort-merge join — everything
+        # from its Sort down to the bands FileScan — contains NO
+        # exchange: the state is read in place, only the batch side
+        # shuffles (its signature agg + the join repartition)
+        state_side = plan[plan.rindex("Sort [bkey"):]
+        assert "Bucketed: true" in state_side
+        assert "Exchange" not in state_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        store.drop()
+
+
+def test_streaming_near_dedup_bucketed_equals_batch(spark, tmp_path):
+    """The bucketed-store foreachBatch sink over two micro-batches
+    equals the one-shot merge."""
+    from pyspark.sql import types as T
+
+    from xcube_spark.pipeline.dedup import incremental_near_dedup
+    from xcube_spark.streaming.dedup_sink import (
+        run_incremental_near_dedup_stream_bucketed)
+
+    docs = _near_dup_corpus(spark)
+    src = str(tmp_path / "nb_src")
+    docs.where("doc_id < 20").coalesce(1).write.parquet(src + "/part=a")
+    docs.where("doc_id >= 20").coalesce(1).write.parquet(src + "/part=b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    store = run_incremental_near_dedup_stream_bucketed(
+        stream, "t_ndstore_sink", str(tmp_path / "nb_marker"),
+        str(tmp_path / "nb_ckpt"))
+    try:
+        schema = T.StructType(
+            [T.StructField("doc_id", T.LongType())]
+            + [T.StructField(f"h{j}", T.StringType()) for j in range(8)]
+            + [T.StructField("is_dup", T.BooleanType())])
+        want = incremental_near_dedup(
+            spark.createDataFrame([], schema), docs)
+        assert ({(r.doc_id, r.is_dup) for r in store.flags().collect()}
+                == {(r.doc_id, r.is_dup) for r in want.collect()})
+    finally:
+        store.drop()

@@ -634,3 +634,181 @@ def incremental_near_dedup(
         id_col, *hcols,
         F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
     return state.unionByName(flagged)
+
+
+class NearDupStateStore:
+    """Incremental near-dup state persisted as BUCKETED catalog tables
+    (round 7 — VERDICT r6 item 3: ``incremental_near_dedup``
+    recomputed and shuffled the full state's band projection every
+    batch; at a very large state that per-batch state shuffle
+    dominates).
+
+    Two tables, written once per batch with append-only bucketed
+    writes (:func:`xcube_spark.sources.layout.write_bucketed_table`'s
+    storage contract):
+
+    - ``{name}_sig(doc_id, h0..h{n-1}, is_dup)`` bucketed by
+      ``doc_id`` — the signature state (8 digests/doc, never the
+      corpus); candidate verification joins it ON ``doc_id`` with no
+      state-side exchange.
+    - ``{name}_bands(bkey, doc_id)`` bucketed by ``bkey`` (the
+      ``band:band_key`` digest) — the band projection, computed ONCE
+      per doc at append time instead of once per batch; the LSH
+      candidate join shuffles only the batch side into the state's
+      bucket layout.
+
+    Same "earlier-any" contract as :func:`incremental_near_dedup`
+    (a new doc is a dup iff some smaller-id doc — in the state or
+    earlier in the batch — band-collides and agrees on
+    ``ceil(min_agree * num_hashes)`` signature positions), so
+    id-monotone batching remains invariant: any batch split yields
+    the flags of one big batch.
+    """
+
+    def __init__(
+        self,
+        spark,
+        name: str,
+        k: int = 3,
+        num_hashes: int = 8,
+        num_bands: int = 2,
+        min_agree: float = 0.75,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        n_buckets: int = 32,
+    ) -> None:
+        import math
+
+        self.spark = spark
+        self.sig_table = f"{name}_sig"
+        self.bands_table = f"{name}_bands"
+        self.k = k
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.need = math.ceil(min_agree * num_hashes)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.hcols = [f"h{j}" for j in range(num_hashes)]
+
+    # -- state access ---------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.sig_table)
+
+    def flags(self) -> DataFrame:
+        """The merged state: (doc_id, h0.., is_dup)."""
+        self._refresh()
+        return self.spark.table(self.sig_table)
+
+    def _refresh(self) -> None:
+        """Invalidate cached table relations: appends performed in a
+        foreachBatch micro-batch run in a CLONED session whose writes
+        do not invalidate this session's relation cache — without the
+        refresh a reader sees the pre-append file listing."""
+        if self.exists():
+            for t in (self.sig_table, self.bands_table):
+                self.spark.catalog.refreshTable(t)
+
+    def drop(self) -> None:
+        for t in (self.sig_table, self.bands_table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    # -- internals ------------------------------------------------------
+
+    def _bkey_bands(self, sig: DataFrame) -> DataFrame:
+        """(bkey, doc_id): band projection keyed by the single
+        ``band:band_key`` column the bands table is bucketed on (one
+        join key == the bucket column, so the bucketed side's
+        distribution satisfies the join requirement outright)."""
+        return lsh_bands(sig, self.num_bands, id_col=self.id_col).select(
+            F.concat_ws(":", F.col("band").cast("string"),
+                        F.col("band_key")).alias("bkey"),
+            F.col(self.id_col),
+        )
+
+    def _old_candidates(self, new_bands: DataFrame) -> DataFrame:
+        """Batch bands against the bucketed state band table: the
+        state side scans in place (Bucketed: true, no exchange); only
+        the batch side shuffles into the bucket layout."""
+        state_bands = self.spark.table(self.bands_table)
+        return (
+            new_bands.select(F.col("bkey"),
+                             F.col(self.id_col).alias("__id_new"))
+            .join(state_bands.select(
+                F.col("bkey"), F.col(self.id_col).alias("__id_old")),
+                "bkey")
+            .where(F.col("__id_old") < F.col("__id_new"))
+            .select("__id_new", "__id_old")
+        )
+
+    def _verify(self, cand: DataFrame, sb_source: DataFrame) -> DataFrame:
+        """Signature-agreement check of candidate pairs; the old side
+        joins ``sb_source`` on its id (for the state table: bucketed
+        on doc_id, so again no state-side exchange)."""
+        sa = self._batch_sig_cache.select(
+            F.col(self.id_col).alias("__id_new"),
+            *[F.col(h).alias(f"__a_{h}") for h in self.hcols])
+        sb = sb_source.select(
+            F.col(self.id_col).alias("__id_old"),
+            *[F.col(h).alias(f"__b_{h}") for h in self.hcols])
+        n_agree = reduce(
+            operator.add,
+            [(F.col(f"__a_{h}") == F.col(f"__b_{h}")).cast("int")
+             for h in self.hcols])
+        return (
+            cand.join(sb, "__id_old").join(sa, "__id_new")
+            .where(n_agree >= F.lit(int(self.need)))
+            .select(F.col("__id_new").alias(self.id_col))
+        )
+
+    def _append(self, df: DataFrame, table: str, bucket_col: str) -> None:
+        (df.write.format("parquet").mode("append")
+         .bucketBy(self.n_buckets, bucket_col).saveAsTable(table))
+
+    # -- merge ----------------------------------------------------------
+
+    def merge_batch(self, new_docs: DataFrame) -> None:
+        """Fold an id-monotone batch into the state: flag dups against
+        state + earlier-in-batch docs, append signatures and band
+        rows.  Per batch: one batch-sized signature shuffle, one
+        batch-side-only shuffle into each bucketed table's layout —
+        the state is never re-shuffled or re-projected."""
+        batch_sig = minhash_sig_state(
+            new_docs, k=self.k, num_hashes=self.num_hashes,
+            text_col=self.text_col, id_col=self.id_col).drop("is_dup")
+        batch_sig = batch_sig.persist()
+        self._batch_sig_cache = batch_sig
+        new_bands = self._bkey_bands(batch_sig)
+
+        self._refresh()  # see prior foreachBatch appends (cloned session)
+        if self.exists():
+            cand_old = self._old_candidates(new_bands)
+            dups_old = self._verify(
+                cand_old.distinct(), self.spark.table(self.sig_table))
+        else:
+            dups_old = None
+        # batch-internal pairs (earlier-in-batch ids)
+        cand_new = (
+            new_bands.select(F.col("bkey"),
+                             F.col(self.id_col).alias("__id_new"))
+            .join(new_bands.select(
+                F.col("bkey"), F.col(self.id_col).alias("__id_old")),
+                "bkey")
+            .where(F.col("__id_old") < F.col("__id_new"))
+            .select("__id_new", "__id_old")
+            .distinct()
+        )
+        dups_new = self._verify(cand_new, batch_sig)
+        dup_ids = (dups_new if dups_old is None
+                   else dups_old.unionByName(dups_new)).distinct()
+
+        flagged = batch_sig.join(
+            dup_ids.withColumn("__d", F.lit(True)), self.id_col, "left"
+        ).select(
+            self.id_col, *self.hcols,
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
+        self._append(flagged, self.sig_table, self.id_col)
+        self._append(new_bands, self.bands_table, "bkey")
+        batch_sig.unpersist()
+        del self._batch_sig_cache

@@ -94,6 +94,8 @@ PRIORITY_ORDER = (
     # round-6's one driver hash-fail (quantization rebuilt
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
+    # round-7 additions (never sampled yet)
+    "doc_incremental_near_dedup_bucketed",
     # round-6 additions (never sampled yet)
     "cube_reproject_mollweide",
     "doc_incremental_near_dedup",

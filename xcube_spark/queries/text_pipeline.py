@@ -657,9 +657,7 @@ _NEAR_SIG_HASHES = ",\n".join(
     for j in range(8))
 
 
-@query(
-    "doc_incremental_near_dedup",
-    sql=f"""
+_NEAR_DEDUP_ORACLE_SQL = f"""
         WITH toks AS (
             SELECT doc_id, lst[i + 1] AS tok, i AS pos
             FROM (SELECT doc_id, string_split(text, ' ') AS lst
@@ -700,8 +698,10 @@ _NEAR_SIG_HASHES = ",\n".join(
         SELECT s.doc_id,
                (s.doc_id IN (SELECT id_new FROM dup)) AS is_dup
         FROM sig s
-    """,
-)
+    """
+
+
+@query("doc_incremental_near_dedup", sql=_NEAR_DEDUP_ORACLE_SQL)
 def doc_incremental_near_dedup(spark, sf_dir):
     """incremental_near_dedup (pipeline/dedup.py): the minhash state
     merged over TWO id-ordered batches must equal the one-shot
@@ -723,3 +723,24 @@ def doc_incremental_near_dedup(spark, sf_dir):
     state = incremental_near_dedup(state, docs.where(F.col("doc_id") < 250))
     state = incremental_near_dedup(state, docs.where(F.col("doc_id") >= 250))
     return state.select("doc_id", "is_dup")
+
+
+@query("doc_incremental_near_dedup_bucketed",
+       sql=_NEAR_DEDUP_ORACLE_SQL)
+def doc_incremental_near_dedup_bucketed(spark, sf_dir):
+    """NearDupStateStore (pipeline/dedup.py, r7): the BUCKETED-table
+    state — signatures bucketed by doc_id, band projection bucketed by
+    band key — merged over two id-ordered batches must equal the same
+    one-shot oracle as doc_incremental_near_dedup (the earlier-any
+    contract is storage-layout-independent).  The bucketed layout is
+    the scale path: per batch the state is scanned in place, never
+    re-projected or shuffled (plan-pinned in tests/test_streaming.py).
+    """
+    from xcube_spark.pipeline.dedup import NearDupStateStore
+
+    docs = tbl(spark, sf_dir, "documents")
+    store = NearDupStateStore(spark, "q_nd_bucketed_state")
+    store.drop()  # idempotent across repeated bench/driver runs
+    store.merge_batch(docs.where(F.col("doc_id") < 250))
+    store.merge_batch(docs.where(F.col("doc_id") >= 250))
+    return store.flags().select("doc_id", "is_dup")

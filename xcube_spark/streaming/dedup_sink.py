@@ -163,3 +163,56 @@ def run_incremental_near_dedup_stream(
     )
     q.awaitTermination()
     return read_state(doc_stream.sparkSession)
+
+
+def run_incremental_near_dedup_stream_bucketed(
+    doc_stream: DataFrame,
+    table_name: str,
+    marker_dir: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    min_agree: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+):
+    """Near-dup sink over the BUCKETED state store (r7): each
+    micro-batch folds into :class:`~xcube_spark.pipeline.dedup.
+    NearDupStateStore` — signatures bucketed by doc id, band
+    projection bucketed by band key — so the per-batch merge joins a
+    co-located state instead of re-projecting and shuffling it (the
+    scale path for a state much larger than any batch).
+
+    The store is append-only, so a replayed batch would double its
+    rows: the same atomic applied-batch pointer as the versioned
+    sinks (``marker_dir/_CURRENT``) guards exactly-once here too.
+    """
+    from xcube_spark.pipeline.dedup import NearDupStateStore
+
+    os.makedirs(marker_dir, exist_ok=True)
+    store = NearDupStateStore(
+        doc_stream.sparkSession, table_name, k=k,
+        num_hashes=num_hashes, num_bands=num_bands,
+        min_agree=min_agree, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        applied = _current_version(marker_dir)
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch already folded in
+        store.merge_batch(batch_df)
+        tmp = _pointer(marker_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"v{batch_id}")
+        os.replace(tmp, _pointer(marker_dir))
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store
