@@ -290,3 +290,88 @@ def test_cli_io(spark, cube_path, capsys, tmp_path):
     desc = json.loads(capsys.readouterr().out)
     assert desc["data_id"] == "cube.parquet"
     assert desc["dims"]
+
+
+def test_cli_gen2_local(spark, cube_path, tmp_path, capsys):
+    """gen2 without --service: run the request locally, write the
+    cube, emit a result JSON (ref cli/gen2.py local path)."""
+    req = {
+        "input_path": cube_path,
+        "cube_config": {
+            "variable_names": ["v"],
+            "spatial_factor": 2,
+            "output_path": str(tmp_path / "gen2.parquet"),
+        },
+    }
+    req_path = str(tmp_path / "req2.json")
+    with open(req_path, "w") as f:
+        json.dump(req, f)
+    result_path = str(tmp_path / "result.json")
+    assert main(["gen2", req_path, "-o", result_path, *GRID_ARGS]) == 0
+    assert spark.read.parquet(
+        str(tmp_path / "gen2.parquet")).count() == 3 * 2 * 4
+    with open(result_path) as f:
+        doc = json.load(f)
+    assert doc["status"]["succeeded"] is True
+    assert doc["result"]["output_path"].endswith("gen2.parquet")
+
+
+def test_cli_gen2_info(spark, cube_path, tmp_path, capsys):
+    """--info describes the would-be cube without writing it."""
+    req = {
+        "input_path": cube_path,
+        "cube_config": {
+            "variable_names": ["v"],
+            "spatial_factor": 2,
+            "output_path": str(tmp_path / "never_written.parquet"),
+        },
+    }
+    req_path = str(tmp_path / "req3.json")
+    with open(req_path, "w") as f:
+        json.dump(req, f)
+    assert main(["gen2", req_path, "--info", *GRID_ARGS]) == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["result"]["rows"] == 3 * 2 * 4
+    assert "v" in doc["result"]["schema"]
+    import os
+    assert not os.path.exists(str(tmp_path / "never_written.parquet"))
+
+
+def test_cli_gen2_service_submit(spark, tmp_path, capsys, monkeypatch):
+    """--service submits to a live /cubegens service and polls to
+    completion; ${ENV_VAR} interpolation applies to the config."""
+    from xcube_spark.server import CubeServer
+
+    grid = CubeGrid(width=16, height=8, time_periods=4, x_res=22.5,
+                    y_res=22.5)
+    cube = new_cube(spark, grid, {"sst": "CAST(t_i AS DOUBLE) + x_i"})
+    srv = CubeServer(spark)
+    srv.add_dataset("src", cube, grid, title="source")
+    port = srv.start()
+    try:
+        monkeypatch.setenv("TEST_GEN2_URL", f"http://127.0.0.1:{port}")
+        svc_path = str(tmp_path / "svc.json")
+        with open(svc_path, "w") as f:
+            json.dump({"endpoint_url": "${TEST_GEN2_URL}"}, f)
+        req = {
+            "input_config": {"store_id": "served", "data_id": "src"},
+            "cube_config": {"variable_names": ["sst"],
+                            "spatial_factor": 2},
+            "output_config": {"data_id": "out2", "title": "generated"},
+        }
+        req_path = str(tmp_path / "sreq.json")
+        with open(req_path, "w") as f:
+            json.dump(req, f)
+        assert main(["gen2", req_path, "--service", svc_path]) == 0
+        doc = json.loads(capsys.readouterr().out)
+        assert doc["status"]["succeeded"] is True
+        assert doc["result"]["datasetId"] == "out2"
+        # failure path propagates a nonzero exit
+        bad_req = str(tmp_path / "bad.json")
+        with open(bad_req, "w") as f:
+            json.dump({"input_config":
+                       {"store_id": "served", "data_id": "nope"}}, f)
+        assert main(["gen2", bad_req, "--service", svc_path]) == 1
+        capsys.readouterr()
+    finally:
+        srv.stop()

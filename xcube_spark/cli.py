@@ -24,6 +24,24 @@ import sys
 from xcube_spark.cube.grid import CubeGrid
 
 
+def _read_request_json(path: str | None) -> dict:
+    """gen2 request: a JSON file path, or '-'/omitted for stdin (the
+    reference's piped-request form, cli/gen2.py REQUEST arg)."""
+    if path in (None, "-"):
+        return json.load(sys.stdin)
+    with open(path) as f:
+        return json.load(f)
+
+
+def _emit_result(doc: dict, result_file: str | None) -> None:
+    text = json.dumps(doc, indent=2, default=str)
+    if result_file:
+        with open(result_file, "w") as f:
+            f.write(text + "\n")
+    else:
+        print(text)
+
+
 def _grid_from_args(args) -> CubeGrid:
     return CubeGrid(
         width=args.width, height=args.height, time_periods=args.time_periods,
@@ -168,6 +186,23 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("gen", help="run a cube-generation request (gen2)")
     p.add_argument("request", help="JSON request file; input_path + "
                    "cube_config keys")
+    _add_grid_args(p)
+
+    p = sub.add_parser(
+        "gen2", help="generator tool for data cubes: run a request "
+        "locally, or submit it to a generator service (ref cli/gen2.py)")
+    p.add_argument("request", nargs="?",
+                   help="JSON request file; '-' or omitted reads stdin")
+    p.add_argument("--service", dest="service_config", metavar="SERVICE",
+                   help="JSON service config {endpoint_url, "
+                   "access_token?} — submits REQUEST to the /cubegens "
+                   "service instead of generating locally; ${ENV_VAR} "
+                   "values are interpolated")
+    p.add_argument("-i", "--info", action="store_true",
+                   help="describe the cube that would be generated "
+                   "(schema + row count); do not write it")
+    p.add_argument("-o", "--output", dest="result_file",
+                   help="write the result JSON here instead of stdout")
     _add_grid_args(p)
 
     p = sub.add_parser("versions", help="versions of the packages the "
@@ -343,6 +378,24 @@ def main(argv: list[str] | None = None) -> int:
         else:
             print(text, end="")
         return 0
+
+    if args.cmd == "gen2" and args.service_config:
+        # remote submit (ref cli/gen2.py --service): the request runs
+        # on the generator service — no local Spark session needed
+        import os
+
+        from xcube_spark.pipeline.remote import (
+            RemoteCubeGenerator, ServiceConfig)
+
+        req_dict = _read_request_json(args.request)
+        with open(args.service_config) as f:
+            cfg = json.loads(os.path.expandvars(f.read()))
+        gen = RemoteCubeGenerator(ServiceConfig(
+            endpoint_url=cfg["endpoint_url"],
+            access_token=cfg.get("access_token")))
+        job = gen.generate_cube(req_dict)
+        _emit_result(job, args.result_file)
+        return 0 if (job.get("status") or {}).get("succeeded") else 1
 
     from xcube_spark.session import get_session
     from xcube_spark.sources.dsio import open_dataset, write_dataset
@@ -568,6 +621,44 @@ def main(argv: list[str] | None = None) -> int:
         out, _ = generate_cube(spark, cube, _grid_from_args(args), req)
         if not req.output_path:
             print(f"rows: {out.count()}")
+        return 0
+
+    if args.cmd == "gen2":  # local generation (no --service)
+        import dataclasses
+
+        from xcube_spark.pipeline.generator import (
+            CubeGeneratorRequest,
+            generate_cube,
+        )
+        from xcube_spark.util.progress import observe_progress
+
+        req_dict = _read_request_json(args.request)
+        cube = open_dataset(spark, req_dict["input_path"])
+        req = CubeGeneratorRequest.from_dict(req_dict)
+        if args.info:
+            # describe, don't write (ref cli/gen2.py --info)
+            dry = dataclasses.replace(req, output_path=None)
+            out, _ = generate_cube(spark, cube, _grid_from_args(args),
+                                   dry)
+            _emit_result({
+                "status": {"succeeded": True},
+                "result": {
+                    "schema": dict(out.dtypes),
+                    "rows": out.count(),
+                    "output_path": req.output_path,
+                },
+            }, args.result_file)
+            return 0
+        with observe_progress("Generating cube", 2) as cm:
+            out, _ = generate_cube(spark, cube, _grid_from_args(args),
+                                   req)
+            cm.worked(1)
+            result: dict = {"output_path": req.output_path}
+            if not req.output_path:
+                result["rows"] = out.count()
+            cm.worked(1)
+        _emit_result({"status": {"succeeded": True}, "result": result},
+                     args.result_file)
         return 0
 
     if args.cmd == "compute":
