@@ -471,3 +471,26 @@ def test_timeseries_post_geojson_geometry(served):
     # malformed geometry -> 400
     status, err = post("/timeseries/demo/sst", {"type": "Polygon"})
     assert status == 400
+
+
+def test_matplotlib_alias_colormaps_resolve():
+    """Common matplotlib registry names resolve through CMAP_ALIASES
+    to real stop tables (never the default fallback), including the
+    reversed forms."""
+    from xcube_spark.operators.tiles import (
+        CMAP_ALIASES, COLORMAPS, get_colormap)
+
+    default = COLORMAPS["default"]
+    for alias, target in CMAP_ALIASES.items():
+        stops = get_colormap(alias)
+        base = target[:-2] if target.endswith("_r") else target
+        assert base in COLORMAPS, (alias, target)
+        assert stops != default or base == "default", alias
+        # reversed alias also resolves and is the mirror of the alias
+        rev = get_colormap(alias + "_r")
+        assert sorted(p for p, _ in rev) == sorted(
+            round(1.0 - p, 12) for p, _ in stops), alias
+    # spot checks
+    assert get_colormap("Greys") == COLORMAPS["gray"]
+    assert get_colormap("Greys_r") == get_colormap("gray_r")
+    assert get_colormap("hsv") == COLORMAPS["rainbow"]

@@ -362,11 +362,43 @@ def load_snap_cpd_colormap(path: str, name: str | None = None) -> str:
     return cm_name
 
 
+#: matplotlib-registry names mapped onto their closest stop table in
+#: COLORMAPS (pure data, no matplotlib dependency) — so requests using
+#: any common mpl name resolve to a sensible gradient instead of the
+#: default fallback (reference serves the full mpl registry through
+#: util/cmaps.py; this covers the rest of its common names).
+CMAP_ALIASES: dict[str, str] = {
+    "Greys": "gray", "gist_gray": "gray", "gist_yarg": "gray_r",
+    "binary": "gray_r",
+    "YlOrBr": "YlOrRd", "OrRd": "Oranges", "PuRd": "Reds",
+    "RdPu": "Reds", "BuPu": "Purples", "PuBu": "Blues",
+    "GnBu": "YlGnBu", "BuGn": "Greens", "YlGn": "Greens",
+    "PRGn": "PiYG", "RdGy": "RdBu", "PuOr": "BrBG",
+    "hsv": "rainbow", "gist_rainbow": "rainbow",
+    "nipy_spectral": "Spectral", "gist_ncar": "rainbow",
+    "cubehelix": "viridis", "CMRmap": "inferno",
+    "gnuplot": "plasma", "gnuplot2": "plasma",
+    "afmhot": "hot", "gist_heat": "hot",
+    "Wistia": "autumn", "pink": "copper",
+    "gist_earth": "terrain", "gist_stern": "seismic",
+    "brg": "jet", "twilight": "coolwarm",
+    "twilight_shifted": "coolwarm", "berlin": "coolwarm",
+    "managua": "RdYlBu", "vanimo": "PiYG",
+}
+
+
 def get_colormap(name: str) -> list[tuple[float, tuple[int, int, int]]]:
     """Resolve a colormap by name; ``<name>_r`` reverses (the
-    reference's reversed-map registration, cmaps.py:454-459).
+    reference's reversed-map registration, cmaps.py:454-459), and
+    matplotlib-registry aliases resolve through CMAP_ALIASES (alias
+    first, then the ``_r`` rule, so ``Greys_r`` works too).
     Unknown names fall back to the default map like the reference's
     provider (cmaps.py:399)."""
+    if name in CMAP_ALIASES:
+        name = CMAP_ALIASES[name]
+    elif name.endswith("_r") and name[:-2] in CMAP_ALIASES:
+        target = CMAP_ALIASES[name[:-2]]
+        name = target[:-2] if target.endswith("_r") else target + "_r"
     if name in COLORMAPS:
         return COLORMAPS[name]
     if name.endswith("_r") and name[:-2] in COLORMAPS:
