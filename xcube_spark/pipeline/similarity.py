@@ -442,6 +442,20 @@ def knn_ivf(
 # product quantization (PQ)
 
 
+def _np_pair_d2(sv, cv):
+    """(n, d) x (nc, d) -> (n, nc) squared L2, accumulated dim-by-dim
+    LEFT TO RIGHT — the same IEEE op sequence as :func:`_d2_unrolled`
+    and the oracles' unrolled SQL (numpy elementwise ops do not fuse,
+    so each subtract/multiply/add is one correctly-rounded double op
+    exactly like Catalyst's)."""
+    acc = None
+    for d in range(cv.shape[1]):
+        diff = sv[:, d, None] - cv[None, :, d]
+        t = diff * diff
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _d2_unrolled(a: Column, b: Column, dsub: int) -> Column:
     """Squared L2 as an UNROLLED fixed-order sum:
     ``((a1-b1)^2 + (a2-b2)^2) + ...`` left to right.
@@ -624,15 +638,7 @@ def knn_pq(
         if q_rows else np.zeros((0, m * dsub))
     )
 
-    def _pair_d2(sv: "np.ndarray", cv: "np.ndarray") -> "np.ndarray":
-        # (n, dsub) x (nc, dsub) -> (n, nc), accumulated dim-by-dim
-        # left to right: the same IEEE op sequence as _d2_unrolled
-        acc = None
-        for d in range(cv.shape[1]):
-            diff = sv[:, d, None] - cv[None, :, d]
-            t = diff * diff
-            acc = t if acc is None else acc + t
-        return acc
+    _pair_d2 = _np_pair_d2
 
     # per-query ADC tables, +inf in slots absent from the codebook
     tables = np.full((len(qids), m * ksub), np.inf)
@@ -793,102 +799,137 @@ def knn_ivfpq(
     Determinism contract: centroids / codebooks are the lowest-id
     vectors ('sampled', oracle-restatable); every argmin is a
     lexicographic (d2, id) struct-min; all distances are unrolled
-    fixed-order sums (:func:`_d2_unrolled`), so approximate distances
-    hash-match cross-engine.  Output: (query_id, vec_id, pq_d2,
-    rank<=k)."""
+    fixed-order sums, so approximate distances hash-match
+    cross-engine.
+
+    Round 7: fused into ONE mapInArrow corpus scan (the knn_pq
+    treatment).  The whole index model — n_cells centroids, the ksub
+    residual codebook (residuals of the lowest-id vectors against
+    their own assigned centroids), each query's probe list and
+    per-(query, cell) ADC tables — derives from the lowest-id sample
+    plus the queries, both model-sized, so it is computed driver-side
+    in numpy with the IDENTICAL left-to-right IEEE op order
+    (:func:`_np_pair_d2`) and ships in the kernel closure.  The
+    kernel assigns, residual-encodes, gathers and locally top-k
+    prunes each Arrow batch in one pass; nothing corpus-sized joins,
+    shuffles or broadcasts, and the rank window sees only
+    partitions x |queries| x ~k candidates.
+
+    Output: (query_id, vec_id, pq_d2, rank<=k)."""
+    import numpy as np
+    import pyarrow as pa
+
     dim = m * dsub
-    cents = corpus.where(F.col(id_col) < n_cells).select(
-        F.col(id_col).cast("int").alias("__ccid"),
-        F.col(vec_col).alias("__cvec"),
+    n_model = max(n_cells, ksub)
+    samp = (
+        corpus.where(F.col(id_col) < n_model)
+        .select(F.col(id_col).cast("int").alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
     )
-    full_dc = F.struct(
-        _d2_unrolled(F.col(vec_col), F.col("__cvec"), dim).alias("d"),
-        F.col("__ccid"),
-    )
-    assigned = (
-        corpus.join(F.broadcast(cents))
-        .select(id_col, vec_col, full_dc.alias("__dc"))
-        .groupBy(id_col, vec_col)
-        .agg(F.min("__dc").getField("__ccid").alias("cell"))
-    )
-    res = assigned.join(
-        F.broadcast(cents), F.col("cell") == F.col("__ccid")
-    ).select(
-        id_col, "cell",
-        F.zip_with(F.col(vec_col), F.col("__cvec"),
-                   lambda a, b: a - b).alias("__rv"),
-    )
-    rcb = (
-        res.where(F.col(id_col) < ksub)
-        .select(
-            F.col(id_col).cast("int").alias("cid"),
-            F.explode(F.array(*[
-                F.struct(
-                    F.lit(s).alias("sub"),
-                    F.slice("__rv", s * dsub + 1, dsub).alias("cvec"),
-                )
-                for s in range(m)
-            ])).alias("e"),
-        )
-        .select("e.sub", "cid", "e.cvec")
-    )
-    sv = F.slice(F.col("__rv"), F.col("sub") * dsub + 1, dsub)
-    enc_scored = res.join(F.broadcast(rcb)).select(
-        id_col, "cell", "sub",
-        F.struct(_d2_unrolled(sv, F.col("cvec"), dsub).alias("d"),
-                 F.col("cid")).alias("__dc"),
-    )
-    enc = enc_scored.groupBy(id_col, "cell").agg(*[
-        F.min(F.when(F.col("sub") == s, F.col("__dc")))
-        .getField("cid").alias(f"__c{s}")
-        for s in range(m)
-    ]).select(
-        id_col, "cell",
-        F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("codes"),
-    )
+    sample = {int(r["cid"]): np.asarray(r["v"], dtype=np.float64)
+              for r in samp}
+    cent_ids = sorted(c for c in sample if c < n_cells)
+    cents = np.asarray([sample[c] for c in cent_ids])  # (nc, dim)
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col))
-    qscored = q.join(F.broadcast(cents)).select(
-        query_id_col, vec_col, "__ccid", "__cvec",
-        _d2_unrolled(F.col(vec_col), F.col("__cvec"), dim).alias("__qd"),
-    )
-    qw = Window.partitionBy(query_id_col).orderBy(
-        F.asc("__qd"), F.asc("__ccid"))
-    probes = (
-        qscored.withColumn("__pr", F.row_number().over(qw))
-        .where(F.col("__pr") <= n_probe)
-        .select(
-            query_id_col,
-            F.col("__ccid").alias("cell"),
-            F.zip_with(F.col(vec_col), F.col("__cvec"),
-                       lambda a, b: a - b).alias("__qrv"),
-        )
-    )
-    qsv = F.slice(F.col("__qrv"), F.col("sub") * dsub + 1, dsub)
-    dtable = (
-        probes.join(F.broadcast(rcb))
-        .select(
-            query_id_col, "cell",
-            F.struct("sub", "cid",
-                     _d2_unrolled(qsv, F.col("cvec"), dsub).alias("qd2"))
-            .alias("__e"),
-        )
-        .groupBy(query_id_col, "cell")
-        .agg(F.transform(F.array_sort(F.collect_list("__e")),
-                         lambda e: e["qd2"]).alias("__dt"))
-    )
+    def assign(v: "np.ndarray") -> "np.ndarray":
+        """(n, dim) -> cell index INTO cent_ids (argmin first
+        occurrence over ascending cids == lex (d2, cid) struct-min)."""
+        return np.argmin(_np_pair_d2(v, cents), axis=1)
 
-    paired = enc.join(F.broadcast(dtable), "cell").where(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    ad2 = None
-    for s in range(m):
-        term = F.element_at(
-            "__dt",
-            (F.lit(s * ksub + 1) + F.element_at("codes", s + 1)).cast("int"),
-        )
-        ad2 = term if ad2 is None else ad2 + term
-    scored = paired.select(query_id_col, id_col, ad2.alias("pq_d2"))
+    # residual codebook: residuals of the lowest-id vectors against
+    # their OWN assigned centroid (mirrors the old rcb derivation)
+    rcb_ids = sorted(c for c in sample if c < ksub)
+    rcb_mat = None
+    if rcb_ids and len(cent_ids):
+        sv = np.asarray([sample[c] for c in rcb_ids])
+        rv = sv - cents[assign(sv)]
+        # rcb_mat[s]: (len(rcb_ids), dsub) residual sub-vectors
+        rcb_mat = [rv[:, s * dsub:(s + 1) * dsub] for s in range(m)]
+    rcb_cids = np.asarray(rcb_ids, dtype=np.int64)
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    # per query: probe cells (top n_probe by (qd, ccid)) and a
+    # per-cell flat ADC table over the query's residual
+    probes: list[list[tuple[int, "np.ndarray"]]] = []
+    if qids and len(cent_ids) and rcb_mat is not None:
+        qv = np.asarray([r[vec_col] for r in q_rows], dtype=np.float64)
+        qd = _np_pair_d2(qv, cents)  # (Q, nc)
+        for qi in range(len(qids)):
+            order = np.lexsort((np.asarray(cent_ids), qd[qi]))
+            cells = order[:n_probe]
+            per_cell = []
+            for ci in cells:
+                qrv = qv[qi] - cents[ci]
+                table = np.full(m * ksub, np.inf)
+                for s in range(m):
+                    d2 = _np_pair_d2(
+                        qrv[None, s * dsub:(s + 1) * dsub], rcb_mat[s])
+                    table[s * ksub + rcb_cids] = d2[0]
+                per_cell.append((int(ci), table))
+            probes.append(per_cell)
+
+    def fused_scan(batches):
+        if not probes:
+            return
+        qarr = np.asarray(qids)
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            v = np.asarray(b.column("__vec").flatten()).reshape(n, dim)
+            ids_col = b.column(id_col)
+            ids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
+            cell_ix = assign(v)
+            rv = v - cents[cell_ix]
+            codes = np.empty((n, m), dtype=np.int64)
+            for s in range(m):
+                d2 = _np_pair_d2(rv[:, s * dsub:(s + 1) * dsub],
+                                 rcb_mat[s])
+                codes[:, s] = rcb_cids[np.argmin(d2, axis=1)]
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(qarr)):
+                cand_list, d_list = [], []
+                for ci, table in probes[qi]:
+                    rows = np.nonzero(
+                        (cell_ix == ci) & (ids != qarr[qi]))[0]
+                    if not rows.size:
+                        continue
+                    acc = table[0 * ksub + codes[rows, 0]]
+                    for s in range(1, m):  # fixed l-to-r ADC sum
+                        acc = acc + table[s * ksub + codes[rows, s]]
+                    cand_list.append(rows)
+                    d_list.append(acc)
+                if not cand_list:
+                    continue
+                cand = np.concatenate(cand_list)
+                d = np.concatenate(d_list)
+                if cand.size > k:
+                    thr = np.partition(d, k - 1)[k - 1]
+                    keep = d <= thr  # boundary ties kept
+                    cand, d = cand[keep], d[keep]
+                order = np.lexsort((ids[cand], d))[:k]
+                out_q.append(np.full(order.size, qarr[qi]))
+                out_i.append(cand[order])
+                out_d.append(d[order])
+            if not out_i:
+                continue
+            take = pa.array(np.concatenate(out_i), type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 ids_col.take(take),
+                 pa.array(np.concatenate(out_d), type=pa.float64())],
+                names=[query_id_col, id_col, "pq_d2"])
+
+    id_t = dict(corpus.dtypes)[id_col]
+    q_t = dict(queries.dtypes)[query_id_col]
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).mapInArrow(
+        fused_scan,
+        f"{query_id_col} {q_t}, {id_col} {id_t}, pq_d2 double")
     w = Window.partitionBy(query_id_col).orderBy(
         F.asc("pq_d2"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(
