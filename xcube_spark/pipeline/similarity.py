@@ -187,34 +187,90 @@ def knn_lsh(
     joins exactly one bucket per row, which is the scale invariant."""
     if probe_radius not in (0, 1):
         raise ValueError("probe_radius must be 0 or 1")
+    import numpy as np
+    import pyarrow as pa
+
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        lsh_bucket_key(vec_col, planes).alias("__bucket"),
-    )
-    if probe_radius == 1:
-        # a corpus vector occupies ONE bucket, so a probe list with
-        # distinct buckets can never duplicate a (query, corpus) pair
-        probes = F.concat(
-            F.array(F.col("__bucket")),
-            F.array(*[
-                F.col("__bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(n_planes)
-            ]),
-        )
-        q = q.select(
-            query_id_col, "__qvec",
-            F.explode(probes).alias("__bucket"),
-        )
-    scored = c.join(F.broadcast(q), "__bucket").where(
-        F.col(id_col) != F.col(query_id_col)
-    ).select(
-        query_id_col,
-        id_col,
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cosine"),
-    )
+    pmat = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
+
+    def buckets(v: "np.ndarray") -> "np.ndarray":
+        """Sign-sketch bucket ids; each plane projection accumulates
+        dim-by-dim left to right — the identical IEEE op sequence as
+        lsh_bucket_key's aggregate fold, so signs agree bit-for-bit
+        with the Column form."""
+        out = np.zeros(v.shape[0], dtype=np.int64)
+        for b in range(pmat.shape[0]):
+            acc = np.zeros(v.shape[0])
+            for d in range(pmat.shape[1]):
+                acc = acc + v[:, d] * pmat[b, d]
+            out |= (acc >= 0).astype(np.int64) << b
+        return out
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    qvecs = (np.asarray([r[vec_col] for r in q_rows], dtype=np.float64)
+             if q_rows else np.zeros((0, dim)))
+    probe_sets: list[set[int]] = []
+    if qids:
+        qb = buckets(qvecs)
+        qn = np.linalg.norm(qvecs, axis=1)
+        for qi in range(len(qids)):
+            s = {int(qb[qi])}
+            if probe_radius == 1:  # every sign bit flipped once
+                s |= {int(qb[qi]) ^ (1 << b) for b in range(n_planes)}
+            probe_sets.append(s)
+
+    # round 7: fused single-scan kernel (the knn_pq treatment) — the
+    # query side is model-sized, so the bucket equi-join collapses to
+    # a per-batch membership mask; cosine + lossless local top-k run
+    # in the same pass (outputs round to 6 decimals downstream, the
+    # knn_bruteforce einsum precedent)
+    def fused_scan(batches):
+        if not qids:
+            return
+        qarr = np.asarray(qids)
+        for b in batches:
+            n = b.num_rows
+            if not n:
+                continue
+            v = np.asarray(b.column("__vec").flatten()).reshape(n, -1)
+            ids_col = b.column(id_col)
+            ids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
+            cb = buckets(v)
+            vnorm = np.linalg.norm(v, axis=1)
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(qarr)):
+                mask = np.isin(cb, list(probe_sets[qi])) \
+                    & (ids != qarr[qi])
+                cand = np.nonzero(mask)[0]
+                if not cand.size:
+                    continue
+                cos = (v[cand] @ qvecs[qi]) / (vnorm[cand] * qn[qi])
+                if cand.size > k:
+                    thr = -np.partition(-cos, k - 1)[k - 1]
+                    keep = cos >= thr  # boundary ties kept
+                    cand, cos = cand[keep], cos[keep]
+                order = np.lexsort((ids[cand], -cos))[:k]
+                out_q.append(np.full(order.size, qarr[qi]))
+                out_i.append(cand[order])
+                out_c.append(cos[order])
+            if not out_i:
+                continue
+            take = pa.array(np.concatenate(out_i), type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(np.concatenate(out_q)),
+                 ids_col.take(take),
+                 pa.array(np.concatenate(out_c), type=pa.float64())],
+                names=[query_id_col, id_col, "cosine"])
+
+    id_t = dict(corpus.dtypes)[id_col]
+    q_t = dict(queries.dtypes)[query_id_col]
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).mapInArrow(
+        fused_scan,
+        f"{query_id_col} {q_t}, {id_col} {id_t}, cosine double")
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
