@@ -711,8 +711,22 @@ class NearDupStateStore:
                 self.spark.catalog.refreshTable(t)
 
     def drop(self) -> None:
+        """Drop catalog entries AND their warehouse directories: the
+        catalog is per-session (in-memory), so a fresh session does
+        not know a previous session's tables — DROP alone would leave
+        the physical location behind and the next saveAsTable fails
+        with LOCATION_ALREADY_EXISTS."""
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(
+            self.spark.conf.get("spark.sql.warehouse.dir", "")).path
         for t in (self.sig_table, self.bands_table):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+            loc = os.path.join(wh, t.lower()) if wh else None
+            if loc and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
 
     # -- internals ------------------------------------------------------
 

@@ -22,6 +22,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 
+def _pa_type_for(spark_dtype: str):
+    """Arrow type matching a Spark simpleString dtype — the fused
+    kernels must emit columns whose Arrow type equals the declared
+    mapInArrow schema (numpy defaults everything integral to int64,
+    which throws for an `int` id column)."""
+    import pyarrow as pa
+
+    return {
+        "tinyint": pa.int8(), "smallint": pa.int16(),
+        "int": pa.int32(), "bigint": pa.int64(),
+        "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(),
+    }.get(spark_dtype)
+
+
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two array columns."""
     return F.aggregate(
@@ -47,76 +62,78 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact cosine top-k per query: broadcast queries x corpus scan.
+    """Exact cosine top-k per query: model-sized query set x ONE
+    corpus scan.
 
-    Output: (query_id, vec_id, cosine, rank<=k).  Scoring + the
-    per-partition top-k combine run FUSED in one Arrow-batched
-    ``mapInPandas``: numpy einsum computes a whole batch of cosines
-    vectorized (measured ~6x faster than Catalyst's interpreted
-    zip_with/aggregate higher-order lambdas at 64 dims), and the
-    bounded prune (the map-side-combine analog for rank) cuts the rank
-    shuffle from |corpus| x |queries| candidate rows to at most
-    partitions x |queries| x k.  Any row in a partition's true top-k
-    is also in its batch's top-k, so the prune is lossless; the global
-    window then ranks a metadata-sized set.
+    Output: (query_id, vec_id, cosine, rank<=k).  The query set is
+    broadcast-small by contract, so it collects once and ships in the
+    kernel closure (round 7 — previously a broadcast join duplicated
+    every corpus row |queries| times through Arrow; the fused form
+    scans each corpus row ONCE and scores all queries with a single
+    (n, dim) x (dim, Q) matmul).  The bounded local top-k prune (the
+    map-side-combine analog for rank) cuts the rank shuffle to at
+    most partitions x |queries| x ~k rows; any row in a partition's
+    true top-k is also in its batch's top-k with boundary ties kept,
+    so the prune is lossless under the global (cosine desc, id asc)
+    order, and the window then ranks a metadata-sized set.
     """
     import numpy as np
     import pyarrow as pa
 
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    paired = corpus.join(
-        F.broadcast(q), F.col(id_col) != F.col(query_id_col)
-    ).select(query_id_col, id_col,
-             F.col(vec_col).cast("array<double>").alias("__vec"),
-             F.col("__qvec").cast("array<double>").alias("__qvec"))
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in q_rows]
+    qvecs = (np.asarray([r[vec_col] for r in q_rows], dtype=np.float64)
+             if q_rows else np.zeros((0, 1)))
+    qnorm = np.linalg.norm(qvecs, axis=1) if q_rows else np.zeros(0)
 
     def score_topk(batches):
         # mapInArrow: list columns expose their flat values buffer, so
-        # the (n, dim) matrices are zero-copy reshapes — no per-row
-        # Python object materialization (measured ~30x faster than
-        # vstack-over-pandas at 100k x 64)
+        # the (n, dim) matrix is a zero-copy reshape — no per-row
+        # Python object materialization
+        if not qids:
+            return
+        qarr = np.asarray(qids)
         for b in batches:
             n = b.num_rows
             if not n:
                 continue
             v = np.asarray(b.column("__vec").flatten()).reshape(n, -1)
-            qv = np.asarray(b.column("__qvec").flatten()).reshape(n, -1)
-            cos = np.einsum("ij,ij->i", v, qv) / (
-                np.linalg.norm(v, axis=1) * np.linalg.norm(qv, axis=1))
-            qid = b.column(query_id_col)
-            # bounded local top-k per query within the batch (lossless:
-            # a partition's true top-k survives its batch's top-k).
-            # id is the final sort key so the local order is the SAME
-            # total order as the global window (cosine desc, id asc) —
-            # without it, exact-cosine ties at the k boundary could keep
-            # a larger-id row the global ranking would have dropped.
-            ids = np.asarray(
-                b.column(id_col).to_numpy(zero_copy_only=False))
-            order = np.lexsort((ids, -cos,
-                                np.asarray(qid.to_numpy(zero_copy_only=False))))
-            keep_idx = []
-            last_q, taken = None, 0
-            qsorted = np.asarray(qid.to_numpy(zero_copy_only=False))[order]
-            for pos, qv_id in zip(order, qsorted):
-                if qv_id != last_q:
-                    last_q, taken = qv_id, 0
-                if taken < k:
-                    keep_idx.append(pos)
-                    taken += 1
-            keep = np.asarray(keep_idx, dtype="int64")
+            ids_col = b.column(id_col)
+            ids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
+            cos_all = (v @ qvecs.T) / (
+                np.linalg.norm(v, axis=1)[:, None] * qnorm[None, :])
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(qarr)):
+                cand = np.nonzero(ids != qarr[qi])[0]  # self-exclusion
+                if not cand.size:
+                    continue
+                cos = cos_all[cand, qi]
+                if cand.size > k:
+                    thr = -np.partition(-cos, k - 1)[k - 1]
+                    keep = cos >= thr  # boundary ties kept so the
+                    cand, cos = cand[keep], cos[keep]  # id tie-break
+                order = np.lexsort((ids[cand], -cos))[:k]  # is exact
+                out_q.append(np.full(order.size, qarr[qi]))
+                out_i.append(cand[order])
+                out_c.append(cos[order])
+            if not out_i:
+                continue
+            take = pa.array(np.concatenate(out_i), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [qid.take(pa.array(keep)),
-                 b.column(id_col).take(pa.array(keep)),
-                 pa.array(cos[keep], type=pa.float64())],
+                [pa.array(np.concatenate(out_q), type=q_pa),
+                 ids_col.take(take),
+                 pa.array(np.concatenate(out_c), type=pa.float64())],
                 names=[query_id_col, id_col, "cosine"])
 
-    id_t = dict(paired.dtypes)
-    pruned = paired.mapInArrow(
+    id_t = dict(corpus.dtypes)[id_col]
+    q_t = dict(queries.dtypes)[query_id_col]
+    q_pa = _pa_type_for(q_t)
+    pruned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).mapInArrow(
         score_topk,
-        f"{query_id_col} {id_t[query_id_col]}, {id_col} {id_t[id_col]}, "
-        "cosine double")
+        f"{query_id_col} {q_t}, {id_col} {id_t}, cosine double")
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
@@ -258,13 +275,14 @@ def knn_lsh(
                 continue
             take = pa.array(np.concatenate(out_i), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_q)),
+                [pa.array(np.concatenate(out_q), type=q_pa),
                  ids_col.take(take),
                  pa.array(np.concatenate(out_c), type=pa.float64())],
                 names=[query_id_col, id_col, "cosine"])
 
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
+    q_pa = _pa_type_for(q_t)
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
@@ -525,13 +543,14 @@ def knn_ivf(
                 continue
             take = pa.array(np.concatenate(out_i), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_q)),
+                [pa.array(np.concatenate(out_q), type=q_pa),
                  ids_col.take(take),
                  pa.array(np.concatenate(out_c), type=pa.float64())],
                 names=[query_id_col, id_col, "cosine"])
 
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
+    q_pa = _pa_type_for(q_t)
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
@@ -794,13 +813,14 @@ def knn_pq(
                 continue
             take = pa.array(np.concatenate(out_i), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_q)),
+                [pa.array(np.concatenate(out_q), type=q_pa),
                  ids_col.take(take),
                  pa.array(np.concatenate(out_d), type=pa.float64())],
                 names=[query_id_col, id_col, "pq_d2"])
 
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
+    q_pa = _pa_type_for(q_t)
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
@@ -1023,13 +1043,14 @@ def knn_ivfpq(
                 continue
             take = pa.array(np.concatenate(out_i), type=pa.int64())
             yield pa.RecordBatch.from_arrays(
-                [pa.array(np.concatenate(out_q)),
+                [pa.array(np.concatenate(out_q), type=q_pa),
                  ids_col.take(take),
                  pa.array(np.concatenate(out_d), type=pa.float64())],
                 names=[query_id_col, id_col, "pq_d2"])
 
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
+    q_pa = _pa_type_for(q_t)
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
