@@ -355,6 +355,9 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: (doc_id, n_trigrams, avg_nll) for documents with at least
     one trigram.
     """
+    from xcube_spark.util import spread_small_input
+
+    docs = spread_small_input(docs)  # explode fan-out >> input bytes
     s = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     tri = (
         docs.select("doc_id", s.alias("__s"))
