@@ -1,0 +1,264 @@
+"""PROJ.4-string / CF-grid-mapping CRS resolution (crsparse.py).
+
+Strategy: the proj4 and CF paths must produce transforms NUMERICALLY
+IDENTICAL to the pre-registered EPSG codes (which are themselves
+pinned to vendored control points in test_crs_control_points.py) —
+same family math, same parameters, so the doubles must match
+bit-for-bit.  Plus an arbitrary-parameter round-trip that no EPSG
+code covers, and the documented rejection contract.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xcube_spark.operators.resampling.crsparse import (
+    crs_from_cf,
+    parse_proj4,
+    resolve_crs,
+    resolve_proj4,
+)
+from xcube_spark.operators.resampling.reproject import (
+    apply_transform_df,
+    get_transform,
+)
+
+_PTS = [(-6.5, 41.2), (3.0, 46.5), (12.25, 55.75), (24.0, 62.0),
+        (173.7, -41.3)]
+
+
+def _fwd_points(spark, crs, pts=_PTS):
+    fwd = get_transform("EPSG:4326", crs)
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                             "px", "py")
+    return sorted((r.lon, r.lat, r.px, r.py) for r in out.collect())
+
+
+def _assert_same_transform(spark, crs_a, crs_b, pts=_PTS):
+    a = _fwd_points(spark, crs_a, pts)
+    b = _fwd_points(spark, crs_b, pts)
+    assert a == b, (crs_a, crs_b)
+
+
+def test_parse_proj4_tokens():
+    p = parse_proj4("+proj=utm +zone=33 +south +ellps=WGS84")
+    assert p == {"proj": "utm", "zone": "33", "south": "",
+                 "ellps": "WGS84"}
+    with pytest.raises(ValueError):
+        parse_proj4("proj=utm")
+    with pytest.raises(ValueError):
+        parse_proj4("+ellps=WGS84")
+
+
+def test_proj4_utm_wgs84_is_epsg(spark):
+    assert resolve_proj4("+proj=utm +zone=33 +ellps=WGS84") == \
+        "EPSG:32633"
+    assert resolve_proj4(
+        "+proj=utm +zone=19 +south +datum=WGS84") == "EPSG:32719"
+
+
+def test_proj4_tmerc_matches_nztm(spark):
+    # EPSG:2193 (NZTM2000) restated as its published PROJ.4 string
+    key = resolve_proj4(
+        "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+        "+y_0=10000000 +ellps=GRS80")
+    _assert_same_transform(spark, key, "EPSG:2193",
+                           pts=[(173.7, -41.3), (168.0, -46.5)])
+
+
+def test_proj4_utm_grs80_matches_etrs89(spark):
+    # +ellps=GRS80 UTM is NOT the EPSG:326xx WGS84 CRS — it must
+    # resolve through the general TM family and equal EPSG:25832
+    key = resolve_proj4("+proj=utm +zone=32 +ellps=GRS80")
+    assert key != "EPSG:32632"
+    _assert_same_transform(spark, key, "EPSG:25832",
+                           pts=[(9.5, 52.0), (7.0, 47.8)])
+
+
+def test_proj4_lcc_matches_lambert93(spark):
+    key = resolve_proj4(
+        "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 "
+        "+x_0=700000 +y_0=6600000 +ellps=GRS80")
+    _assert_same_transform(spark, key, "EPSG:2154",
+                           pts=[(3.0, 46.5), (-1.5, 48.1), (6.2, 43.4)])
+
+
+def test_proj4_laea_matches_etrs89_laea(spark):
+    key = resolve_proj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80")
+    _assert_same_transform(spark, key, "EPSG:3035",
+                           pts=[(10.0, 52.0), (24.0, 62.0), (-6.5, 41.2)])
+
+
+def test_proj4_aea_matches_conus_albers(spark):
+    key = resolve_proj4(
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+        "+ellps=GRS80")
+    _assert_same_transform(spark, key, "EPSG:5070",
+                           pts=[(-96.0, 23.0), (-120.5, 47.6), (-71.1, 42.3)])
+
+
+def test_proj4_polar_stere_matches_nsidc(spark):
+    key = resolve_proj4(
+        "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +ellps=WGS84")
+    _assert_same_transform(spark, key, "EPSG:3413",
+                           pts=[(-45.0, 70.0), (10.0, 80.0), (-100.0, 75.0)])
+
+
+def test_proj4_sinu_matches_modis(spark):
+    key = resolve_proj4("+proj=sinu +R=6371007.181")
+    _assert_same_transform(spark, key, "SR-ORG:6974",
+                           pts=[(0.0, 0.0), (20.0, 45.0), (-60.0, -30.0)])
+
+
+def test_proj4_moll_matches_esri54009(spark):
+    key = resolve_proj4("+proj=moll +a=6378137 +b=6378137")
+    _assert_same_transform(spark, key, "ESRI:54009",
+                           pts=[(0.0, 0.0), (20.0, 45.0), (-60.0, -30.0)])
+
+
+def test_proj4_web_mercator_and_longlat():
+    assert resolve_proj4(
+        "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 "
+        "+x_0=0 +y_0=0 +k=1") == "EPSG:3857"
+    assert resolve_proj4("+proj=longlat +datum=WGS84") == "EPSG:4326"
+    assert resolve_proj4("+init=epsg:32633") == "EPSG:32633"
+
+
+def test_proj4_arbitrary_tmerc_roundtrips(spark):
+    """Parameters no EPSG code covers (Airy ellipsoid, odd origin,
+    k>1): forward then inverse must recover lon/lat to < 1e-7 deg
+    (~1 cm; the Krueger series is 4th-order in n) — exercises
+    genuinely arbitrary-parameter support."""
+    key = resolve_proj4(
+        "+proj=tmerc +lat_0=-37.5 +lon_0=101.25 +k=1.0002 "
+        "+x_0=123456 +y_0=-7890 +ellps=airy")
+    fwd = get_transform("EPSG:4326", key)
+    inv = get_transform(key, "EPSG:4326")
+    pts = [(99.0, -35.0), (101.25, -37.5), (103.9, -40.2)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "px", "py")
+    df = apply_transform_df(df, inv, F.col("px"), F.col("py"),
+                            "lon2", "lat2")
+    for r in df.collect():
+        assert abs(r.lon2 - r.lon) < 1e-7
+        assert abs(r.lat2 - r.lat) < 1e-7
+
+
+def test_cf_transverse_mercator_matches_nztm(spark):
+    key = crs_from_cf({
+        "grid_mapping_name": "transverse_mercator",
+        "latitude_of_projection_origin": 0.0,
+        "longitude_of_central_meridian": 173.0,
+        "scale_factor_at_central_meridian": 0.9996,
+        "false_easting": 1_600_000.0,
+        "false_northing": 10_000_000.0,
+        "semi_major_axis": 6_378_137.0,
+        "inverse_flattening": 298.257222101,
+    })
+    _assert_same_transform(spark, key, "EPSG:2193",
+                           pts=[(173.7, -41.3), (168.0, -46.5)])
+
+
+def test_cf_lcc_matches_lambert93(spark):
+    key = crs_from_cf({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": [44.0, 49.0],
+        "latitude_of_projection_origin": 46.5,
+        "longitude_of_central_meridian": 3.0,
+        "false_easting": 700_000.0,
+        "false_northing": 6_600_000.0,
+        "semi_major_axis": 6_378_137.0,
+        "inverse_flattening": 298.257222101,
+    })
+    _assert_same_transform(spark, key, "EPSG:2154",
+                           pts=[(3.0, 46.5), (-1.5, 48.1)])
+
+
+def test_cf_polar_stereographic_matches_antarctic(spark):
+    key = crs_from_cf({
+        "grid_mapping_name": "polar_stereographic",
+        "latitude_of_projection_origin": -90.0,
+        "straight_vertical_longitude_from_pole": 0.0,
+        "standard_parallel": -71.0,
+    })
+    _assert_same_transform(spark, key, "EPSG:3031",
+                           pts=[(0.0, -71.0), (45.0, -80.0), (-120.0, -75.0)])
+
+
+def test_cf_laea_matches_etrs89(spark):
+    key = crs_from_cf({
+        "grid_mapping_name": "lambert_azimuthal_equal_area",
+        "latitude_of_projection_origin": 52.0,
+        "longitude_of_projection_origin": 10.0,
+        "false_easting": 4_321_000.0,
+        "false_northing": 3_210_000.0,
+        "semi_major_axis": 6_378_137.0,
+        "inverse_flattening": 298.257222101,
+    })
+    _assert_same_transform(spark, key, "EPSG:3035",
+                           pts=[(10.0, 52.0), (24.0, 62.0)])
+
+
+def test_cf_sinusoidal_and_latlon():
+    key = crs_from_cf({
+        "grid_mapping_name": "sinusoidal",
+        "earth_radius": 6_371_007.181,
+    })
+    from xcube_spark.operators.resampling.reproject import SINU_PARAMS
+    assert math.isclose(SINU_PARAMS[key], 6_371_007.181)
+    assert crs_from_cf(
+        {"grid_mapping_name": "latitude_longitude"}) == "EPSG:4326"
+
+
+def test_resolve_crs_passthrough_and_dispatch():
+    assert resolve_crs("EPSG:32633") == "EPSG:32633"
+    assert resolve_crs("+proj=longlat") == "EPSG:4326"
+    assert resolve_crs(
+        {"grid_mapping_name": "latitude_longitude"}) == "EPSG:4326"
+
+
+def test_get_transform_accepts_proj4_and_cf(spark):
+    """End-to-end through the public dispatcher: proj4 src, CF dst."""
+    tr = get_transform(
+        "+proj=longlat +datum=WGS84",
+        {"grid_mapping_name": "transverse_mercator",
+         "latitude_of_projection_origin": 0.0,
+         "longitude_of_central_meridian": 173.0,
+         "scale_factor_at_central_meridian": 0.9996,
+         "false_easting": 1_600_000.0,
+         "false_northing": 10_000_000.0,
+         "semi_major_axis": 6_378_137.0,
+         "inverse_flattening": 298.257222101})
+    ref = get_transform("EPSG:4326", "EPSG:2193")
+    df = spark.createDataFrame([(173.7, -41.3)], "lon double, lat double")
+    a = apply_transform_df(df, tr, F.col("lon"), F.col("lat"),
+                           "px", "py").collect()[0]
+    b = apply_transform_df(df, ref, F.col("lon"), F.col("lat"),
+                           "px", "py").collect()[0]
+    assert (a.px, a.py) == (b.px, b.py)
+
+
+def test_unsupported_forms_raise():
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=lcc +lat_1=44 +lat_0=46.5 +lon_0=3")  # 1-SP
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=stere +lat_0=52 +lat_ts=52")  # oblique
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=stere +lat_0=90")  # no lat_ts
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=omerc +lat_0=4 +lonc=102")  # no family
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=lcc +lat_1=44 +lat_2=49 +ellps=airy")
+    with pytest.raises(NotImplementedError):
+        crs_from_cf({"grid_mapping_name": "geostationary"})
+    with pytest.raises(NotImplementedError):
+        crs_from_cf({"grid_mapping_name": "polar_stereographic",
+                     "latitude_of_projection_origin": 90.0,
+                     "scale_factor_at_projection_origin": 0.994})

@@ -1,0 +1,375 @@
+"""PROJ.4-string and CF-grid-mapping CRS resolution onto the
+closed-form Column-math projection families.
+
+The reference accepts *any* pyproj CRS — `pyproj.CRS.from_cf(attrs)`
+in `xcube/core/gridmapping/cfconv.py:211` decodes the CF grid-mapping
+attributes NetCDF datasets actually carry, and
+`xcube/core/gridmapping/transform.py` transforms between arbitrary
+CRS objects.  pyproj is not available in this build, so this module
+closes the practical gap without it: the two CRS spellings real EO
+data ships with — PROJ.4 parameter strings (``+proj=tmerc +lat_0=…``)
+and CF grid-mapping attribute dicts — are parsed here and resolved
+onto the *parameterized* closed-form families in
+:mod:`xcube_spark.operators.resampling.reproject` (transverse
+mercator with arbitrary ellipsoid/origin/scale, LCC-2SP, Albers,
+LAEA, polar stereographic, sinusoidal, Mollweide, spherical
+mercator, plain lat/lon).  Resolution *registers* the parsed
+parameters into the family tables under a canonical key, so the
+whole Column-math dispatch (`get_transform`, staged transforms, SQL
+twins) works unchanged — genuinely arbitrary parameters, not just
+the pre-registered EPSG codes.
+
+CRSs outside these families (oblique aspects, 1-SP LCC, non-polar
+stereographic, exotic datums) still raise ``NotImplementedError``
+with a message naming the unsupported parameter — the same contract
+as `get_transform`'s pyproj seam.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Mapping
+
+#: +ellps= / +datum= name -> (semi-major a, inverse flattening rf).
+#: rf = inf encodes a sphere.  Values are the PROJ built-in ellipsoid
+#: table's (public constants; proj -le).
+ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    "WGS84": (6_378_137.0, 298.257223563),
+    "GRS80": (6_378_137.0, 298.257222101),
+    "AIRY": (6_377_563.396, 299.3249646),
+    "INTL": (6_378_388.0, 297.0),
+    "CLRK66": (6_378_206.4, 294.978698214),
+    "CLRK80IGN": (6_378_249.2, 293.466021294),
+    "BESSEL": (6_377_397.155, 299.1528128),
+    "KRASS": (6_378_245.0, 298.3),
+    "SPHERE": (6_370_997.0, math.inf),
+}
+
+_GRS80_RF = 298.257222101
+_WGS84_RF = 298.257223563
+
+
+def parse_proj4(text: str) -> dict[str, str]:
+    """``'+proj=tmerc +lat_0=0 +south'`` -> ``{'proj': 'tmerc',
+    'lat_0': '0', 'south': ''}`` (bare flags map to '')."""
+    out: dict[str, str] = {}
+    for tok in text.split():
+        if not tok.startswith("+"):
+            raise ValueError(f"malformed PROJ.4 token {tok!r} in {text!r}")
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            out[k.lower()] = v
+        else:
+            out[body.lower()] = ""
+    if "proj" not in out and "init" not in out:
+        raise ValueError(f"PROJ.4 string has no +proj/+init: {text!r}")
+    return out
+
+
+def _ellipsoid(p: Mapping[str, str]) -> tuple[float, float]:
+    """(a, rf) from +a/+b/+rf/+f/+R/+ellps/+datum; default WGS84
+    (PROJ's default datum)."""
+    if "r" in p:
+        return float(p["r"]), math.inf
+    name = (p.get("ellps") or p.get("datum") or "").upper()
+    if name and name not in ELLIPSOIDS and "a" not in p:
+        raise NotImplementedError(
+            f"unknown ellipsoid {name!r}; supported: "
+            f"{sorted(ELLIPSOIDS)} or explicit +a/+b/+rf/+f/+R")
+    a, rf = ELLIPSOIDS.get(name, ELLIPSOIDS["WGS84"])
+    if "a" in p:
+        a = float(p["a"])
+        rf = math.inf  # sphere unless flattening is given too
+    if "rf" in p:
+        rf = float(p["rf"])
+    elif "f" in p:
+        f = float(p["f"])
+        rf = math.inf if f == 0.0 else 1.0 / f
+    elif "b" in p:
+        b = float(p["b"])
+        rf = math.inf if b == a else a / (a - b)
+    return a, rf
+
+
+def _f(rf: float) -> float:
+    return 0.0 if math.isinf(rf) else 1.0 / rf
+
+
+def _require_grs80ish(a: float, rf: float, family: str) -> None:
+    """LCC/AEA/LAEA Column math fixes GRS80 series constants.  Accept
+    GRS80 and WGS84 (eccentricities differ at 1e-11 — sub-mm on
+    Earth); reject anything else loudly."""
+    if abs(a - 6_378_137.0) > 1e-3 or not (
+        math.isfinite(rf) and abs(rf - _GRS80_RF) < 1e-3
+    ):
+        raise NotImplementedError(
+            f"{family}: only GRS80/WGS84 ellipsoids are supported by "
+            f"the closed-form Column math (got a={a}, rf={rf})")
+
+
+def _num(p: Mapping[str, str], key: str, default: float = 0.0) -> float:
+    return float(p[key]) if key in p else default
+
+
+def _register(table: dict, family: str, params: tuple) -> str:
+    """Insert ``params`` into a family table under a canonical
+    uppercase key (the tables are looked up via ``crs.upper()``)."""
+    body = ",".join(repr(v) for v in params)
+    key = f"PROJ:{family.upper()}:{body}".upper()
+    table[key] = params
+    return key
+
+
+def resolve_proj4(text: str) -> str:
+    """Resolve a PROJ.4 string to a CRS key `get_transform` accepts —
+    an EPSG/ESRI code when the string IS one of the fixed-parameter
+    CRSs, else a canonical key registered into the matching family's
+    parameter table."""
+    from xcube_spark.operators.resampling import reproject as R
+
+    p = parse_proj4(text)
+    if "init" in p:  # +init=epsg:32633
+        return p["init"].upper()
+    proj = p["proj"].lower()
+    a, rf = _ellipsoid(p)
+
+    if proj in ("longlat", "latlong", "lonlat", "latlon"):
+        return "EPSG:4326"
+
+    if proj == "utm":
+        zone = int(p["zone"])
+        south = "south" in p
+        if abs(rf - _WGS84_RF) < 1e-6 and abs(a - 6_378_137.0) < 1e-3:
+            return R.utm_crs(zone, south)
+        # non-WGS84 UTM (e.g. +ellps=GRS80): general TM parameters
+        return _register(
+            R.TM_PARAMS, "tmerc",
+            (a, _f(rf), 0.0, zone * 6.0 - 183.0, 0.9996,
+             500_000.0, 10_000_000.0 if south else 0.0))
+
+    if proj == "tmerc":
+        k0 = _num(p, "k", _num(p, "k_0", 1.0))
+        return _register(
+            R.TM_PARAMS, "tmerc",
+            (a, _f(rf), _num(p, "lat_0"), _num(p, "lon_0"), k0,
+             _num(p, "x_0"), _num(p, "y_0")))
+
+    if proj == "lcc":
+        if "lat_1" not in p or "lat_2" not in p:
+            raise NotImplementedError(
+                "lcc: only the 2-SP form (+lat_1 and +lat_2) has "
+                "closed-form Column math here")
+        _require_grs80ish(a, rf, "lcc")
+        return _register(
+            R.LCC_PARAMS, "lcc",
+            (float(p["lat_1"]), float(p["lat_2"]), _num(p, "lat_0"),
+             _num(p, "lon_0"), _num(p, "x_0"), _num(p, "y_0")))
+
+    if proj == "aea":
+        if "lat_1" not in p or "lat_2" not in p:
+            raise NotImplementedError("aea needs +lat_1 and +lat_2")
+        _require_grs80ish(a, rf, "aea")
+        return _register(
+            R.AEA_PARAMS, "aea",
+            (float(p["lat_1"]), float(p["lat_2"]), _num(p, "lat_0"),
+             _num(p, "lon_0"), _num(p, "x_0"), _num(p, "y_0")))
+
+    if proj == "laea":
+        _require_grs80ish(a, rf, "laea")
+        return _register(
+            R.LAEA_PARAMS, "laea",
+            (_num(p, "lat_0"), _num(p, "lon_0"),
+             _num(p, "x_0"), _num(p, "y_0")))
+
+    if proj == "stere":
+        lat0 = _num(p, "lat_0")
+        if abs(abs(lat0) - 90.0) > 1e-9:
+            raise NotImplementedError(
+                "stere: only the polar aspect (+lat_0=±90) has "
+                "closed-form Column math here")
+        if _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "stere: nonzero +x_0/+y_0 not supported")
+        if abs(rf - _WGS84_RF) > 1e-3 or abs(a - 6_378_137.0) > 1e-3:
+            raise NotImplementedError(
+                "stere: only the WGS84 ellipsoid is supported")
+        if "lat_ts" not in p or abs(abs(float(p["lat_ts"])) - 90.0) < 1e-9:
+            raise NotImplementedError(
+                "stere: requires an explicit standard parallel "
+                "+lat_ts strictly between the pole and the equator "
+                "(the k_0/lat_ts=90 form is not supported)")
+        lat_ts = abs(float(p["lat_ts"]))
+        return _register(
+            R.PS_PARAMS, "stere",
+            (lat0 < 0.0, lat_ts, _num(p, "lon_0")))
+
+    if proj == "merc":
+        web = (math.isinf(rf) and abs(a - 6_378_137.0) < 1e-3
+               and not _num(p, "lat_ts") and not _num(p, "lon_0")
+               and not _num(p, "x_0") and not _num(p, "y_0")
+               and _num(p, "k", _num(p, "k_0", 1.0)) == 1.0)
+        if not web:
+            raise NotImplementedError(
+                "merc: only the spherical web-mercator form "
+                "(+a=+b=6378137, defaults elsewhere) is supported")
+        return "EPSG:3857"
+
+    if proj == "sinu":
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "sinu: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("sinu: spherical only (+R/+a)")
+        key = f"PROJ:SINU:{a!r}".upper()
+        R.SINU_PARAMS[key] = a
+        return key
+
+    if proj == "moll":
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "moll: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("moll: spherical only (+R/+a)")
+        key = f"PROJ:MOLL:{a!r}".upper()
+        R.MOLL_PARAMS[key] = a
+        return key
+
+    raise NotImplementedError(
+        f"+proj={proj}: no closed-form Column family implemented "
+        "(supported: longlat, utm, tmerc, lcc[2-SP], aea, laea, "
+        "stere[polar], merc[web], sinu, moll)")
+
+
+def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
+    """(a, rf) from CF datum attributes; default WGS84."""
+    if "earth_radius" in attrs:
+        return float(attrs["earth_radius"]), math.inf
+    a = float(attrs.get("semi_major_axis", 6_378_137.0))
+    if "inverse_flattening" in attrs:
+        rf = float(attrs["inverse_flattening"])
+        return a, (math.inf if rf == 0.0 else rf)
+    if "semi_minor_axis" in attrs:
+        b = float(attrs["semi_minor_axis"])
+        return a, (math.inf if b == a else a / (a - b))
+    if "semi_major_axis" in attrs:
+        return a, math.inf
+    return a, _WGS84_RF
+
+
+def _std_parallels(attrs: Mapping) -> list[float]:
+    sp = attrs.get("standard_parallel")
+    if sp is None:
+        return []
+    if isinstance(sp, (list, tuple)):
+        return [float(v) for v in sp]
+    return [float(sp)]
+
+
+def crs_from_cf(attrs: Mapping) -> str:
+    """Resolve CF grid-mapping attributes (CF conventions §5.6 +
+    appendix F; the reference's `pyproj.CRS.from_cf` seam at
+    cfconv.py:211) to a CRS key for `get_transform`."""
+    name = attrs.get("grid_mapping_name")
+    if not name:
+        raise ValueError("attrs lack 'grid_mapping_name'")
+    a, rf = _cf_ellipsoid(attrs)
+
+    def num(key: str, default: float = 0.0) -> float:
+        return float(attrs.get(key, default))
+
+    p: dict[str, str] = {}
+
+    def put(k: str, v: float) -> None:
+        p[k] = repr(v)
+
+    put("a", a)
+    if math.isfinite(rf):
+        put("rf", rf)
+    put("x_0", num("false_easting"))
+    put("y_0", num("false_northing"))
+
+    if name == "latitude_longitude":
+        return "EPSG:4326"
+    if name == "transverse_mercator":
+        p["proj"] = "tmerc"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
+        put("k", num("scale_factor_at_central_meridian", 1.0))
+    elif name == "lambert_conformal_conic":
+        sps = _std_parallels(attrs)
+        if len(sps) != 2:
+            raise NotImplementedError(
+                "lambert_conformal_conic: only the 2-SP form is "
+                "supported (need two standard_parallel values)")
+        p["proj"] = "lcc"
+        put("lat_1", sps[0])
+        put("lat_2", sps[1])
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
+    elif name == "albers_conical_equal_area":
+        sps = _std_parallels(attrs)
+        if len(sps) != 2:
+            raise NotImplementedError(
+                "albers_conical_equal_area needs two "
+                "standard_parallel values")
+        p["proj"] = "aea"
+        put("lat_1", sps[0])
+        put("lat_2", sps[1])
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
+    elif name == "lambert_azimuthal_equal_area":
+        p["proj"] = "laea"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
+    elif name == "polar_stereographic":
+        p["proj"] = "stere"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("straight_vertical_longitude_from_pole"))
+        sps = _std_parallels(attrs)
+        if sps:
+            put("lat_ts", sps[0])
+        elif "scale_factor_at_projection_origin" in attrs:
+            raise NotImplementedError(
+                "polar_stereographic: scale_factor form not "
+                "supported; provide standard_parallel")
+    elif name == "sinusoidal":
+        if num("longitude_of_projection_origin"):
+            raise NotImplementedError(
+                "sinusoidal: nonzero longitude_of_projection_origin "
+                "not supported")
+        p["proj"] = "sinu"
+    elif name == "mollweide":
+        if num("longitude_of_projection_origin"):
+            raise NotImplementedError(
+                "mollweide: nonzero longitude_of_projection_origin "
+                "not supported")
+        p["proj"] = "moll"
+    elif name == "mercator":
+        p["proj"] = "merc"
+        sps = _std_parallels(attrs)
+        if sps and sps[0]:
+            raise NotImplementedError(
+                "mercator: nonzero standard_parallel not supported")
+    else:
+        raise NotImplementedError(
+            f"grid_mapping_name={name!r}: no closed-form Column "
+            "family implemented")
+
+    # hand off through the PROJ.4 resolver so family validation and
+    # registration live in exactly one place
+    parts = [f"+proj={p.pop('proj')}"]
+    parts += [f"+{k}={v}" for k, v in p.items()]
+    return resolve_proj4(" ".join(parts))
+
+
+def resolve_crs(crs) -> str:
+    """Normalize any supported CRS spelling to a registry key:
+    authority strings pass through, ``+proj=…`` strings and CF
+    attribute mappings are parsed and registered."""
+    if isinstance(crs, Mapping):
+        return crs_from_cf(crs)
+    s = str(crs).strip()
+    if s.startswith("+"):
+        return resolve_proj4(s)
+    return s

@@ -1401,12 +1401,24 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
     return None
 
 
-def get_transform(src_crs: str, dst_crs: str) -> ColumnTransform:
+def get_transform(src_crs, dst_crs) -> ColumnTransform:
     """Transform from ``src_crs`` coords into ``dst_crs`` coords.
+
+    Each CRS may be an authority string (``EPSG:32633``), a PROJ.4
+    parameter string (``+proj=tmerc +lat_0=…``), or a CF grid-mapping
+    attribute mapping (``{'grid_mapping_name': …}``) — the latter two
+    resolve through :mod:`.crsparse` onto the parameterized
+    closed-form families (reference parity:
+    `pyproj.CRS.from_cf` / arbitrary-CRS transforms at
+    `xcube/core/gridmapping/cfconv.py:211`, `transform.py`).
 
     Prefers the pure-Column registry; falls back to a pyproj-backed
     pandas_udf when the package is available (it is not baked into this
     container — the fallback raises with a clear message otherwise)."""
+    from xcube_spark.operators.resampling.crsparse import resolve_crs
+
+    src_crs = resolve_crs(src_crs)
+    dst_crs = resolve_crs(dst_crs)
     key = (src_crs, dst_crs)
     if key in COLUMN_TRANSFORMS:
         return COLUMN_TRANSFORMS[key]
