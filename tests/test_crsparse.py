@@ -262,3 +262,32 @@ def test_unsupported_forms_raise():
         crs_from_cf({"grid_mapping_name": "polar_stereographic",
                      "latitude_of_projection_origin": 90.0,
                      "scale_factor_at_projection_origin": 0.994})
+
+
+def test_cf_encode_decode_roundtrip_all_families(spark):
+    """zarrio's CF encode for every closed-form family must decode —
+    WITHOUT the epsg_code hint — to a numerically identical
+    transform (canonical key may differ from the EPSG string)."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    cases = {
+        "EPSG:2193": [(173.7, -41.3)],
+        "EPSG:2154": [(3.0, 46.5), (-1.5, 48.1)],
+        "EPSG:5070": [(-96.0, 23.0), (-120.5, 47.6)],
+        "EPSG:3035": [(10.0, 52.0), (24.0, 62.0)],
+        "EPSG:3413": [(-45.0, 70.0), (10.0, 80.0)],
+        "EPSG:3031": [(0.0, -71.0), (45.0, -80.0)],
+        "SR-ORG:6974": [(20.0, 45.0)],
+        "ESRI:54009": [(20.0, 45.0)],
+        "EPSG:32633": [(15.0, 52.0)],
+        "EPSG:3857": [(12.0, 48.0)],
+        "EPSG:4326": [(1.0, 2.0)],
+    }
+    for crs, pts in cases.items():
+        attrs = cf_grid_mapping_attrs(crs)
+        assert attrs["grid_mapping_name"] != "unknown", crs
+        assert crs_from_grid_mapping(attrs) == crs  # epsg hint wins
+        attrs.pop("epsg_code")
+        decoded = crs_from_grid_mapping(attrs)  # parameters alone
+        _assert_same_transform(spark, decoded, crs, pts=pts)

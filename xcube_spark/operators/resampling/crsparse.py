@@ -150,10 +150,19 @@ def resolve_proj4(text: str) -> str:
 
     if proj == "tmerc":
         k0 = _num(p, "k", _num(p, "k_0", 1.0))
+        lat0, lon0 = _num(p, "lat_0"), _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        # normalize the UTM parameter pattern on WGS84 back to its
+        # EPSG code (stable round-trip through CF encode/decode)
+        zone = (lon0 + 183.0) / 6.0
+        if (abs(rf - _WGS84_RF) < 1e-6 and abs(a - 6_378_137.0) < 1e-3
+                and lat0 == 0.0 and k0 == 0.9996 and x0 == 500_000.0
+                and y0 in (0.0, 10_000_000.0)
+                and zone == int(zone) and 1 <= int(zone) <= 60):
+            return R.utm_crs(int(zone), y0 == 10_000_000.0)
         return _register(
             R.TM_PARAMS, "tmerc",
-            (a, _f(rf), _num(p, "lat_0"), _num(p, "lon_0"), k0,
-             _num(p, "x_0"), _num(p, "y_0")))
+            (a, _f(rf), lat0, lon0, k0, x0, y0))
 
     if proj == "lcc":
         if "lat_1" not in p or "lat_2" not in p:

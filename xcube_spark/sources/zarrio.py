@@ -395,25 +395,101 @@ def cf_grid_mapping_attrs(crs: str) -> dict:
                 "false_easting": 500_000.0,
                 "false_northing": 10_000_000.0 if south else 0.0,
                 "epsg_code": crs, **_WGS84_ELLIPSOID}
+    fam = _family_grid_mapping_attrs(code)
+    if fam is not None:
+        return {**fam, "epsg_code": crs}
     return {"grid_mapping_name": "unknown", "epsg_code": crs}
+
+
+_GRS80_ELLIPSOID = {"semi_major_axis": 6378137.0,
+                    "inverse_flattening": 298.257222101}
+
+
+def _family_grid_mapping_attrs(code: str) -> dict | None:
+    """CF attrs for any CRS registered in a closed-form family table
+    (reproject.py) — the encode twin of `crsparse.crs_from_cf`, so
+    EVERY CRS this engine can reproject into also writes resolvable
+    CF metadata (not `grid_mapping_name: unknown`)."""
+    from xcube_spark.operators.resampling import reproject as R
+
+    if code in R.TM_PARAMS:
+        a, f, lat0, lon0, k0, fe, fn = R.TM_PARAMS[code]
+        return {"grid_mapping_name": "transverse_mercator",
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_central_meridian": lon0,
+                "scale_factor_at_central_meridian": k0,
+                "false_easting": fe, "false_northing": fn,
+                "semi_major_axis": a,
+                "inverse_flattening": (0.0 if f == 0.0 else 1.0 / f)}
+    if code in R.LCC_PARAMS:
+        lat1, lat2, lat0, lon0, fe, fn = R.LCC_PARAMS[code]
+        return {"grid_mapping_name": "lambert_conformal_conic",
+                "standard_parallel": [lat1, lat2],
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_central_meridian": lon0,
+                "false_easting": fe, "false_northing": fn,
+                **_GRS80_ELLIPSOID}
+    if code in R.AEA_PARAMS:
+        lat1, lat2, lat0, lon0, fe, fn = R.AEA_PARAMS[code]
+        return {"grid_mapping_name": "albers_conical_equal_area",
+                "standard_parallel": [lat1, lat2],
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_central_meridian": lon0,
+                "false_easting": fe, "false_northing": fn,
+                **_GRS80_ELLIPSOID}
+    if code in R.LAEA_PARAMS:
+        lat0, lon0, fe, fn = R.LAEA_PARAMS[code]
+        return {"grid_mapping_name": "lambert_azimuthal_equal_area",
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_projection_origin": lon0,
+                "false_easting": fe, "false_northing": fn,
+                **_GRS80_ELLIPSOID}
+    if code in R.PS_PARAMS:
+        south, lat_ts, lon0 = R.PS_PARAMS[code]
+        return {"grid_mapping_name": "polar_stereographic",
+                "latitude_of_projection_origin":
+                    -90.0 if south else 90.0,
+                "straight_vertical_longitude_from_pole": lon0,
+                "standard_parallel": -lat_ts if south else lat_ts,
+                "false_easting": 0.0, "false_northing": 0.0,
+                **_WGS84_ELLIPSOID}
+    if code in R.SINU_PARAMS:
+        return {"grid_mapping_name": "sinusoidal",
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0, "false_northing": 0.0,
+                "earth_radius": R.SINU_PARAMS[code]}
+    if code in R.MOLL_PARAMS:
+        return {"grid_mapping_name": "mollweide",
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0, "false_northing": 0.0,
+                "earth_radius": R.MOLL_PARAMS[code]}
+    return None
 
 
 def crs_from_grid_mapping(attrs: Mapping) -> str:
     """CF grid-mapping attrs -> CRS string (decode side): prefer the
-    recorded EPSG code, else re-derive from the mapping parameters."""
+    recorded EPSG code, else resolve the mapping parameters through
+    `crsparse.crs_from_cf` onto the closed-form families (arbitrary
+    parameters, not just the pre-registered codes; reference parity:
+    `pyproj.CRS.from_cf` at cfconv.py:211)."""
     if "epsg_code" in attrs:
         return str(attrs["epsg_code"])
     name = attrs.get("grid_mapping_name", "")
     if name == "latitude_longitude":
         return "EPSG:4326"
-    if name == "mercator":
+    if name == "mercator" and not float(
+            attrs.get("standard_parallel", 0.0) or 0.0):
+        # spherical web-mercator convention (an ellipsoidal mercator —
+        # EPSG:3395 — has no closed-form family here and raises below)
         return "EPSG:3857"
-    if name == "transverse_mercator":
-        lon0 = float(attrs.get("longitude_of_central_meridian", 0.0))
-        zone = int(round((lon0 + 183.0) / 6.0))
-        south = float(attrs.get("false_northing", 0.0)) > 0
-        return f"EPSG:32{7 if south else 6}{zone:02d}"
-    raise ValueError(f"cannot derive CRS from grid mapping {dict(attrs)!r}")
+    from xcube_spark.operators.resampling.crsparse import crs_from_cf
+
+    try:
+        return crs_from_cf(attrs)
+    except (NotImplementedError, ValueError) as exc:
+        raise ValueError(
+            f"cannot derive CRS from grid mapping {dict(attrs)!r}"
+        ) from exc
 
 
 # ---- writer -------------------------------------------------------------
