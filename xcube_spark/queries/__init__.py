@@ -96,6 +96,7 @@ PRIORITY_ORDER = (
     "cube_jp2_ingest",
     # round-7 additions (never sampled yet)
     "doc_incremental_near_dedup_bucketed",
+    "cube_reproject_proj4",
     # round-6 additions (never sampled yet)
     "cube_reproject_mollweide",
     "doc_incremental_near_dedup",

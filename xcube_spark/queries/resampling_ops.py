@@ -610,6 +610,58 @@ def cube_reproject_nztm(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: PROJ.4-string CRS resolution (crsparse.py) ---------------
+
+#: the SAME NZTM grid, but the CRS spelled as its published PROJ.4
+#: parameter string instead of the EPSG code — resolves through
+#: crsparse.resolve_proj4 onto the generic TM family with the exact
+#: same parameter floats, so the EPSG:2193 oracle is shared verbatim
+_NZTM_PROJ4 = CubeGrid(
+    width=40, height=40, time_periods=GRID.time_periods,
+    x_start=1_123_000.0, y_start=4_753_000.0,
+    x_res=21_700.0, y_res=35_300.0,
+    t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+    crs="+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 "
+        "+x_0=1600000 +y_0=10000000 +ellps=GRS80")
+
+
+@query(
+    "cube_reproject_proj4",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_NZTM.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_NZTM_LON} AS lon,
+                   {_NZTM_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_proj4(spark, sf_dir):
+    """reproject_dataset with the target CRS given as a PROJ.4
+    parameter string — the no-pyproj arbitrary-CRS seam (crsparse.py;
+    reference parity: pyproj accepts proj4/CF CRSs everywhere,
+    `xcube/core/gridmapping/cfconv.py:211`).  The string states
+    NZTM2000's published parameters, resolving onto the generic TM
+    family with bit-identical floats, so the oracle is the EPSG:2193
+    inverse verbatim (tm_inverse_sql)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _NZTM_PROJ4)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
