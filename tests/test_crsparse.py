@@ -282,6 +282,7 @@ def test_cf_encode_decode_roundtrip_all_families(spark):
         "ESRI:54009": [(20.0, 45.0)],
         "EPSG:32633": [(15.0, 52.0)],
         "EPSG:3857": [(12.0, 48.0)],
+        "EPSG:3395": [(12.0, 48.0)],
         "EPSG:4326": [(1.0, 2.0)],
     }
     for crs, pts in cases.items():
@@ -291,3 +292,63 @@ def test_cf_encode_decode_roundtrip_all_families(spark):
         attrs.pop("epsg_code")
         decoded = crs_from_grid_mapping(attrs)  # parameters alone
         _assert_same_transform(spark, decoded, crs, pts=pts)
+
+
+def test_ellipsoidal_mercator_epsg3395(spark):
+    """EPSG:3395 World Mercator: x is exactly a*lambda, y matches a
+    scalar Snyder 7-7 twin, and the chi-series inverse round-trips to
+    <1e-9 deg."""
+    fwd = get_transform("EPSG:4326", "EPSG:3395")
+    inv = get_transform("EPSG:3395", "EPSG:4326")
+    pts = [(0.0, 0.0), (3.0, 53.5), (-60.0, -30.0), (179.0, 71.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "px", "py")
+    df = apply_transform_df(df, inv, F.col("px"), F.col("py"),
+                            "lon2", "lat2")
+    a, e = 6378137.0, math.sqrt(1.0 / 298.257223563 *
+                                (2.0 - 1.0 / 298.257223563))
+    for r in df.collect():
+        assert abs(r.px - a * math.radians(r.lon)) < 1e-6
+        s = e * math.sin(math.radians(r.lat))
+        y_ref = a * math.log(
+            math.tan(math.pi / 4.0 + math.radians(r.lat) / 2.0)
+            * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+        assert abs(r.py - y_ref) < 1e-6
+        assert abs(r.lon2 - r.lon) < 1e-9
+        assert abs(r.lat2 - r.lat) < 1e-9
+    # distinct from the spherical web mercator at high latitude
+    web = _fwd_points(spark, "EPSG:3857", pts=[(0.0, 60.0)])
+    ell = _fwd_points(spark, "EPSG:3395", pts=[(0.0, 60.0)])
+    assert abs(web[0][3] - ell[0][3]) > 10_000.0
+
+
+def test_proj4_merc_lat_ts_scales_y(spark):
+    """+proj=merc +lat_ts=56.5: y shrinks by k0 = m(lat_ts) relative
+    to EPSG:3395 (Snyder 7-8), x likewise."""
+    key = resolve_proj4("+proj=merc +lat_ts=56.5 +ellps=WGS84")
+    base = _fwd_points(spark, "EPSG:3395", pts=[(12.0, 55.0)])
+    scaled = _fwd_points(spark, key, pts=[(12.0, 55.0)])
+    e2 = (1.0 / 298.257223563) * (2.0 - 1.0 / 298.257223563)
+    phi = math.radians(56.5)
+    k0 = math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) ** 2)
+    assert abs(scaled[0][2] - base[0][2] * k0) < 1e-6
+    assert abs(scaled[0][3] - base[0][3] * k0) < 1e-6
+
+
+def test_cf_mercator_spherical_vs_ellipsoidal(spark):
+    """CF mercator attrs resolve by ellipsoid: sphere -> EPSG:3857,
+    WGS84 -> the ellipsoidal family (3395 numerics)."""
+    assert crs_from_cf({
+        "grid_mapping_name": "mercator",
+        "standard_parallel": 0.0,
+        "semi_major_axis": 6378137.0,
+        "semi_minor_axis": 6378137.0,
+    }) == "EPSG:3857"
+    key = crs_from_cf({
+        "grid_mapping_name": "mercator",
+        "standard_parallel": 0.0,
+        "semi_major_axis": 6378137.0,
+        "inverse_flattening": 298.257223563,
+    })
+    _assert_same_transform(spark, key, "EPSG:3395", pts=[(12.0, 55.0)])

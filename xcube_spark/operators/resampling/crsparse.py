@@ -214,15 +214,23 @@ def resolve_proj4(text: str) -> str:
             (lat0 < 0.0, lat_ts, _num(p, "lon_0")))
 
     if proj == "merc":
-        web = (math.isinf(rf) and abs(a - 6_378_137.0) < 1e-3
-               and not _num(p, "lat_ts") and not _num(p, "lon_0")
-               and not _num(p, "x_0") and not _num(p, "y_0")
-               and _num(p, "k", _num(p, "k_0", 1.0)) == 1.0)
-        if not web:
+        k = _num(p, "k", _num(p, "k_0", 1.0))
+        lat_ts = _num(p, "lat_ts")
+        lon0 = _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        if math.isinf(rf) and abs(a - 6_378_137.0) < 1e-3:
+            if not lat_ts and not lon0 and not x0 and not y0 \
+                    and k == 1.0:
+                return "EPSG:3857"
             raise NotImplementedError(
-                "merc: only the spherical web-mercator form "
-                "(+a=+b=6378137, defaults elsewhere) is supported")
-        return "EPSG:3857"
+                "merc: spherical form only as web-mercator defaults")
+        if abs(rf - _WGS84_RF) < 1e-3 and abs(a - 6_378_137.0) < 1e-3 \
+                and k == 1.0:
+            # ellipsoidal Mercator (Snyder 7-7; EPSG:3395 family)
+            return _register(R.MERC_PARAMS, "merc",
+                             (lat_ts, lon0, x0, y0))
+        raise NotImplementedError(
+            "merc: only WGS84 (+k=1) or spherical web form supported")
 
     if proj == "sinu":
         if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
@@ -355,11 +363,15 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "not supported")
         p["proj"] = "moll"
     elif name == "mercator":
+        if "scale_factor_at_projection_origin" in attrs:
+            raise NotImplementedError(
+                "mercator: scale_factor form not supported; provide "
+                "standard_parallel")
         p["proj"] = "merc"
         sps = _std_parallels(attrs)
-        if sps and sps[0]:
-            raise NotImplementedError(
-                "mercator: nonzero standard_parallel not supported")
+        if sps:
+            put("lat_ts", sps[0])
+        put("lon_0", num("longitude_of_projection_origin"))
     else:
         raise NotImplementedError(
             f"grid_mapping_name={name!r}: no closed-form Column "

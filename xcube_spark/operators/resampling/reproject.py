@@ -817,6 +817,58 @@ PS_PARAMS: dict[str, tuple[bool, float, float]] = {
 }
 
 
+# ---- ellipsoidal Mercator (Snyder 7-7/7-10; EPSG:3395) ------------------
+
+#: crs -> (lat_ts deg, lon0 deg, false easting, false northing), WGS84.
+#: The TRUE ellipsoidal Mercator — distinct from EPSG:3857's
+#: spherical-formula convention above.
+MERC_PARAMS: dict[str, tuple[float, float, float, float]] = {
+    "EPSG:3395": (0.0, 0.0, 0.0, 0.0),  # World Mercator
+}
+
+
+def _merc_ak(lat_ts: float) -> float:
+    """a * k0 with k0 = m(lat_ts) (Snyder 7-8 / 14-15)."""
+    phi = math.radians(lat_ts)
+    s = math.sin(phi)
+    return _R * math.cos(phi) / math.sqrt(1.0 - _E2 * s * s)
+
+
+def _lonlat_to_merc_fn(crs: str) -> ColumnTransform:
+    lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
+    ak = _merc_ak(lat_ts)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(lon0))
+        latc = F.when(lat > 89.9999, 89.9999) \
+            .when(lat < -89.9999, -89.9999).otherwise(lat)
+        phi = F.radians(latc)
+        s = F.lit(_E_WGS84) * F.sin(phi)
+        y = F.lit(ak) * F.log(
+            F.tan(F.lit(math.pi / 4.0) + phi / 2) * F.pow(
+                (F.lit(1.0) - s) / (F.lit(1.0) + s),
+                F.lit(_E_WGS84 / 2.0)))
+        return F.lit(fe) + F.lit(ak) * lam, F.lit(fn) + y
+
+    return fwd
+
+
+def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:
+    lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
+    ak = _merc_ak(lat_ts)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        lam = (x - F.lit(fe)) / F.lit(ak)
+        t = F.exp((F.lit(fn) - y) / F.lit(ak))  # Snyder 7-10
+        chi = F.lit(math.pi / 2.0) - 2 * F.atan(t)
+        phi = chi
+        for j, c in enumerate(_PS_SERIES, start=1):
+            phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * chi)
+        return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
 def _ps_consts(lat_ts: float) -> tuple[float, float]:
     """(m_ts, t_ts) at the standard parallel (Snyder 14-15, 15-9)."""
     phi = math.radians(lat_ts)
@@ -1350,6 +1402,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _identity
     if up == "EPSG:3857":
         return _mercator_to_lonlat
+    if up in MERC_PARAMS:
+        return _merc_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
@@ -1379,6 +1433,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _identity
     if up == "EPSG:3857":
         return _lonlat_to_mercator
+    if up in MERC_PARAMS:
+        return _lonlat_to_merc_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in LAEA_PARAMS:

@@ -380,11 +380,16 @@ def cf_grid_mapping_attrs(crs: str) -> dict:
         return {"grid_mapping_name": "latitude_longitude",
                 "epsg_code": crs, **_WGS84_ELLIPSOID}
     if code == "EPSG:3857":
+        # the projection is SPHERICAL (radius = WGS84 semi-major);
+        # encoding the sphere keeps it CF-distinguishable from the
+        # true ellipsoidal Mercator (EPSG:3395 family below)
         return {"grid_mapping_name": "mercator",
                 "standard_parallel": 0.0,
                 "longitude_of_projection_origin": 0.0,
                 "false_easting": 0.0, "false_northing": 0.0,
-                "epsg_code": crs, **_WGS84_ELLIPSOID}
+                "epsg_code": crs,
+                "semi_major_axis": 6378137.0,
+                "semi_minor_axis": 6378137.0}
     utm = parse_utm_crs(code)
     if utm:
         zone, south = utm
@@ -444,6 +449,13 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "longitude_of_projection_origin": lon0,
                 "false_easting": fe, "false_northing": fn,
                 **_GRS80_ELLIPSOID}
+    if code in R.MERC_PARAMS:
+        lat_ts, lon0, fe, fn = R.MERC_PARAMS[code]
+        return {"grid_mapping_name": "mercator",
+                "standard_parallel": lat_ts,
+                "longitude_of_projection_origin": lon0,
+                "false_easting": fe, "false_northing": fn,
+                **_WGS84_ELLIPSOID}
     if code in R.PS_PARAMS:
         south, lat_ts, lon0 = R.PS_PARAMS[code]
         return {"grid_mapping_name": "polar_stereographic",
@@ -477,11 +489,6 @@ def crs_from_grid_mapping(attrs: Mapping) -> str:
     name = attrs.get("grid_mapping_name", "")
     if name == "latitude_longitude":
         return "EPSG:4326"
-    if name == "mercator" and not float(
-            attrs.get("standard_parallel", 0.0) or 0.0):
-        # spherical web-mercator convention (an ellipsoidal mercator —
-        # EPSG:3395 — has no closed-form family here and raises below)
-        return "EPSG:3857"
     from xcube_spark.operators.resampling.crsparse import crs_from_cf
 
     try:
