@@ -257,6 +257,8 @@ def test_unsupported_forms_raise():
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=lcc +lat_1=44 +lat_2=49 +ellps=airy")
     with pytest.raises(NotImplementedError):
+        crs_from_cf({"grid_mapping_name": "oblique_mercator"})
+    with pytest.raises(ValueError):
         crs_from_cf({"grid_mapping_name": "geostationary"})
     with pytest.raises(NotImplementedError):
         crs_from_cf({"grid_mapping_name": "polar_stereographic",
@@ -352,3 +354,82 @@ def test_cf_mercator_spherical_vs_ellipsoidal(spark):
         "inverse_flattening": 298.257223563,
     })
     _assert_same_transform(spark, key, "EPSG:3395", pts=[(12.0, 55.0)])
+
+
+def test_geos_goesr_published_fixed_grid_point(spark):
+    """GOES-R ABI fixed grid (PUG L1b navigation example): scan
+    angles (x=-0.024052, y=0.095340 rad) on the GOES-East grid
+    (lon_0=-75, h=35786023 m, GRS80, sweep x) map to
+    (lon=-84.690932, lat=33.846162).  Angles are published to 1e-6
+    rad (~40 m ground), so assert to 5e-4 deg."""
+    key = resolve_proj4(
+        "+proj=geos +h=35786023.0 +lon_0=-75 +sweep=x "
+        "+a=6378137 +rf=298.257222096")
+    h = 35786023.0
+    inv = get_transform(key, "EPSG:4326")
+    df = spark.createDataFrame(
+        [(-0.024052 * h, 0.095340 * h)], "px double, py double")
+    out = apply_transform_df(df, inv, F.col("px"), F.col("py"),
+                             "lon", "lat").collect()[0]
+    assert abs(out.lon - -84.690932) < 5e-4
+    assert abs(out.lat - 33.846162) < 5e-4
+    # and forward reproduces the published scan angles
+    fwd = get_transform("EPSG:4326", key)
+    df2 = spark.createDataFrame(
+        [(-84.690932, 33.846162)], "lon double, lat double")
+    o2 = apply_transform_df(df2, fwd, F.col("lon"), F.col("lat"),
+                            "px", "py").collect()[0]
+    assert abs(o2.px / h - -0.024052) < 2e-6
+    assert abs(o2.py / h - 0.095340) < 2e-6
+
+
+def test_geos_roundtrip_and_disk_edge(spark):
+    """geos (MSG flavour, sweep y): nadir maps to (0,0), visible
+    points round-trip to <1e-9 deg, and points beyond the limb come
+    back NaN (the documented not-visible signal)."""
+    key = resolve_proj4(
+        "+proj=geos +h=35785831.0 +lon_0=0 +sweep=y "
+        "+a=6378137 +rf=298.257223563")
+    fwd = get_transform("EPSG:4326", key)
+    inv = get_transform(key, "EPSG:4326")
+    pts = [(0.0, 0.0), (10.0, 45.0), (-40.0, -55.0), (60.0, 20.0),
+           (140.0, 0.0)]  # last: far beyond the visible disk
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "px", "py")
+    df = apply_transform_df(df, inv, F.col("px"), F.col("py"),
+                            "lon2", "lat2")
+    rows = {(r.lon, r.lat): r for r in df.collect()}
+    r0 = rows[(0.0, 0.0)]
+    assert abs(r0.px) < 1e-9 and abs(r0.py) < 1e-9
+    for lon, lat in pts[:-1]:
+        r = rows[(lon, lat)]
+        assert abs(r.lon2 - lon) < 1e-9, (lon, lat)
+        assert abs(r.lat2 - lat) < 1e-9, (lon, lat)
+    limb = rows[(140.0, 0.0)]
+    assert math.isnan(limb.px) and math.isnan(limb.py)
+
+
+def test_geos_sweep_axes_differ_and_cf(spark):
+    """sweep=x vs sweep=y must differ off-axis; CF geostationary
+    attrs (incl. the fixed_angle_axis spelling) resolve to the same
+    transform as the proj4 string."""
+    kx = resolve_proj4("+proj=geos +h=35786023.0 +lon_0=-75 +sweep=x")
+    ky = resolve_proj4("+proj=geos +h=35786023.0 +lon_0=-75 +sweep=y")
+    ax = _fwd_points(spark, kx, pts=[(-60.0, 40.0)])
+    ay = _fwd_points(spark, ky, pts=[(-60.0, 40.0)])
+    assert abs(ax[0][2] - ay[0][2]) > 100.0  # metres apart off-axis
+    kcf = crs_from_cf({
+        "grid_mapping_name": "geostationary",
+        "perspective_point_height": 35786023.0,
+        "longitude_of_projection_origin": -75.0,
+        "sweep_angle_axis": "x",
+    })
+    _assert_same_transform(spark, kcf, kx, pts=[(-60.0, 40.0)])
+    kcf2 = crs_from_cf({
+        "grid_mapping_name": "geostationary",
+        "perspective_point_height": 35786023.0,
+        "longitude_of_projection_origin": -75.0,
+        "fixed_angle_axis": "y",  # fixed y == sweep x
+    })
+    _assert_same_transform(spark, kcf2, kx, pts=[(-60.0, 40.0)])

@@ -252,10 +252,23 @@ def resolve_proj4(text: str) -> str:
         R.MOLL_PARAMS[key] = a
         return key
 
+    if proj == "geos":
+        if "h" not in p:
+            raise ValueError("geos requires +h (satellite height)")
+        sweep = p.get("sweep", "y").lower()
+        if sweep not in ("x", "y"):
+            raise ValueError(f"geos: bad +sweep={sweep!r}")
+        if _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "geos: nonzero +x_0/+y_0 not supported")
+        return _register(
+            R.GEOS_PARAMS, "geos",
+            (float(p["h"]), _num(p, "lon_0"), sweep == "x", a, rf))
+
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc[2-SP], aea, laea, "
-        "stere[polar], merc[web], sinu, moll)")
+        "stere[polar], merc, geos, sinu, moll)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -350,6 +363,22 @@ def crs_from_cf(attrs: Mapping) -> str:
             raise NotImplementedError(
                 "polar_stereographic: scale_factor form not "
                 "supported; provide standard_parallel")
+    elif name == "geostationary":
+        if "perspective_point_height" not in attrs:
+            raise ValueError(
+                "geostationary needs perspective_point_height")
+        if num("latitude_of_projection_origin"):
+            raise NotImplementedError(
+                "geostationary: nonzero latitude_of_projection_origin "
+                "not supported")
+        p["proj"] = "geos"
+        p["h"] = repr(float(attrs["perspective_point_height"]))
+        put("lon_0", num("longitude_of_projection_origin"))
+        sweep = attrs.get("sweep_angle_axis")
+        if sweep is None and "fixed_angle_axis" in attrs:
+            # CF: fixed axis is the OTHER axis
+            sweep = "x" if attrs["fixed_angle_axis"] == "y" else "y"
+        p["sweep"] = str(sweep or "y")
     elif name == "sinusoidal":
         if num("longitude_of_projection_origin"):
             raise NotImplementedError(

@@ -853,6 +853,89 @@ def _lonlat_to_merc_fn(crs: str) -> ColumnTransform:
     return fwd
 
 
+# ---- geostationary satellite view (+proj=geos; CF "geostationary") ------
+
+#: crs -> (h m, lon0 deg, sweep_x, a m, rf).  Satellite full-disk
+#: grids (GOES-R ABI: sweep x; MSG SEVIRI: sweep y).  Public math:
+#: the normalized geostationary projection of the CGMS LRIT/HRIT
+#: spec / PROJ's geos (view-vector intersection with the ellipsoid;
+#: closed-form quadratic both directions).  No standard EPSG code —
+#: these CRSs are registered via crsparse (+proj=geos strings or CF
+#: geostationary attrs), never pre-listed.
+GEOS_PARAMS: dict[str, tuple[float, float, bool, float, float]] = {}
+
+
+def _geos_consts(crs: str) -> dict:
+    h, lon0, sweep_x, a, rf = GEOS_PARAMS[crs.upper()]
+    f = 0.0 if math.isinf(rf) else 1.0 / rf
+    one_es = (1.0 - f) ** 2          # (b/a)^2
+    return dict(
+        lon0=lon0, sweep_x=sweep_x, a=a,
+        radius_g_1=h / a, radius_g=1.0 + h / a,
+        radius_p=math.sqrt(one_es), radius_p2=one_es,
+        radius_p_inv2=1.0 / one_es,
+        C=(1.0 + h / a) ** 2 - 1.0,
+    )
+
+
+def _lonlat_to_geos_fn(crs: str) -> ColumnTransform:
+    c = _geos_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(c["lon0"]))
+        # geodetic -> geocentric latitude on the normalized ellipsoid
+        phi = F.atan(F.lit(c["radius_p2"]) * F.tan(F.radians(lat)))
+        r = F.lit(c["radius_p"]) / F.hypot(
+            F.lit(c["radius_p"]) * F.cos(phi), F.sin(phi))
+        vx = r * F.cos(lam) * F.cos(phi)
+        vy = r * F.sin(lam) * F.cos(phi)
+        vz = r * F.sin(phi)
+        tmp = F.lit(c["radius_g"]) - vx
+        visible = ((F.lit(c["radius_g"]) - vx) * vx - vy * vy
+                   - vz * vz * F.lit(c["radius_p_inv2"])) >= 0.0
+        if c["sweep_x"]:
+            x = F.lit(c["radius_g_1"]) * F.atan(vy / F.hypot(vz, tmp))
+            y = F.lit(c["radius_g_1"]) * F.atan(vz / tmp)
+        else:
+            x = F.lit(c["radius_g_1"]) * F.atan(vy / tmp)
+            y = F.lit(c["radius_g_1"]) * F.atan(vz / F.hypot(vy, tmp))
+        nan = F.lit(float("nan"))
+        return (F.when(visible, F.lit(c["a"]) * x).otherwise(nan),
+                F.when(visible, F.lit(c["a"]) * y).otherwise(nan))
+
+    return fwd
+
+
+def _geos_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _geos_consts(crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xn = x / F.lit(c["a"] * c["radius_g_1"])
+        yn = y / F.lit(c["a"] * c["radius_g_1"])
+        if c["sweep_x"]:
+            vz = F.tan(yn)
+            vy = F.tan(xn) * F.hypot(F.lit(1.0), vz)
+        else:
+            vy = F.tan(xn)
+            vz = F.tan(yn) * F.hypot(F.lit(1.0), vy)
+        # view line p = (radius_g,0,0) + k*(-1, vy, vz); intersect the
+        # normalized ellipsoid: quadratic in k (off-disk -> sqrt(neg)
+        # -> NaN, the documented not-visible signal)
+        vzp = vz / F.lit(c["radius_p"])
+        qa = vy * vy + vzp * vzp + F.lit(1.0)
+        qb = F.lit(2.0 * c["radius_g"]) * F.lit(-1.0)
+        k = (-qb - F.sqrt(qb * qb - 4.0 * qa * F.lit(c["C"]))) / (2.0 * qa)
+        px = F.lit(c["radius_g"]) - k
+        py = vy * k
+        pz = vz * k
+        lam = F.atan2(py, px)
+        phi = F.atan(pz * F.cos(lam) / px)
+        phi = F.atan(F.lit(c["radius_p_inv2"]) * F.tan(phi))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
 def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:
     lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
     ak = _merc_ak(lat_ts)
@@ -1404,6 +1487,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _mercator_to_lonlat
     if up in MERC_PARAMS:
         return _merc_to_lonlat_fn(up)
+    if up in GEOS_PARAMS:
+        return _geos_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
@@ -1435,6 +1520,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_mercator
     if up in MERC_PARAMS:
         return _lonlat_to_merc_fn(up)
+    if up in GEOS_PARAMS:
+        return _lonlat_to_geos_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in LAEA_PARAMS:

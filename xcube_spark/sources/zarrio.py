@@ -465,6 +465,21 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "standard_parallel": -lat_ts if south else lat_ts,
                 "false_easting": 0.0, "false_northing": 0.0,
                 **_WGS84_ELLIPSOID}
+    if code in R.GEOS_PARAMS:
+        h, lon0, sweep_x, a, rf = R.GEOS_PARAMS[code]
+        out = {"grid_mapping_name": "geostationary",
+               "perspective_point_height": h,
+               "longitude_of_projection_origin": lon0,
+               "latitude_of_projection_origin": 0.0,
+               "sweep_angle_axis": "x" if sweep_x else "y",
+               "false_easting": 0.0, "false_northing": 0.0,
+               "semi_major_axis": a}
+        import math as _math
+        if _math.isfinite(rf):
+            out["inverse_flattening"] = rf
+        else:
+            out["semi_minor_axis"] = a
+        return out
     if code in R.SINU_PARAMS:
         return {"grid_mapping_name": "sinusoidal",
                 "longitude_of_projection_origin": 0.0,
