@@ -885,8 +885,11 @@ def _lonlat_to_geos_fn(crs: str) -> ColumnTransform:
         lam = F.radians(lon - F.lit(c["lon0"]))
         # geodetic -> geocentric latitude on the normalized ellipsoid
         phi = F.atan(F.lit(c["radius_p2"]) * F.tan(F.radians(lat)))
-        r = F.lit(c["radius_p"]) / F.hypot(
-            F.lit(c["radius_p"]) * F.cos(phi), F.sin(phi))
+        # explicit sqrt(u*u + v*v), not hypot: the SQL oracle twin
+        # states the same ops so both engines round identically
+        u = F.lit(c["radius_p"]) * F.cos(phi)
+        v = F.sin(phi)
+        r = F.lit(c["radius_p"]) / F.sqrt(u * u + v * v)
         vx = r * F.cos(lam) * F.cos(phi)
         vy = r * F.sin(lam) * F.cos(phi)
         vz = r * F.sin(phi)
@@ -894,11 +897,13 @@ def _lonlat_to_geos_fn(crs: str) -> ColumnTransform:
         visible = ((F.lit(c["radius_g"]) - vx) * vx - vy * vy
                    - vz * vz * F.lit(c["radius_p_inv2"])) >= 0.0
         if c["sweep_x"]:
-            x = F.lit(c["radius_g_1"]) * F.atan(vy / F.hypot(vz, tmp))
+            x = F.lit(c["radius_g_1"]) * F.atan(
+                vy / F.sqrt(vz * vz + tmp * tmp))
             y = F.lit(c["radius_g_1"]) * F.atan(vz / tmp)
         else:
             x = F.lit(c["radius_g_1"]) * F.atan(vy / tmp)
-            y = F.lit(c["radius_g_1"]) * F.atan(vz / F.hypot(vy, tmp))
+            y = F.lit(c["radius_g_1"]) * F.atan(
+                vz / F.sqrt(vy * vy + tmp * tmp))
         nan = F.lit(float("nan"))
         return (F.when(visible, F.lit(c["a"]) * x).otherwise(nan),
                 F.when(visible, F.lit(c["a"]) * y).otherwise(nan))
@@ -914,10 +919,10 @@ def _geos_to_lonlat_fn(crs: str) -> ColumnTransform:
         yn = y / F.lit(c["a"] * c["radius_g_1"])
         if c["sweep_x"]:
             vz = F.tan(yn)
-            vy = F.tan(xn) * F.hypot(F.lit(1.0), vz)
+            vy = F.tan(xn) * F.sqrt(F.lit(1.0) + vz * vz)
         else:
             vy = F.tan(xn)
-            vz = F.tan(yn) * F.hypot(F.lit(1.0), vy)
+            vz = F.tan(yn) * F.sqrt(F.lit(1.0) + vy * vy)
         # view line p = (radius_g,0,0) + k*(-1, vy, vz); intersect the
         # normalized ellipsoid: quadratic in k (off-disk -> sqrt(neg)
         # -> NaN, the documented not-visible signal)
@@ -934,6 +939,35 @@ def _geos_to_lonlat_fn(crs: str) -> ColumnTransform:
         return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
 
     return inv
+
+
+def geos_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME geostationary inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_geos_to_lonlat_fn`, so
+    both engines produce bit-identical doubles.  Returns
+    (lon_sql, lat_sql)."""
+    c = _geos_consts(crs)
+    xn = f"(({x_expr}) / {c['a'] * c['radius_g_1']!r})"
+    yn = f"(({y_expr}) / {c['a'] * c['radius_g_1']!r})"
+    if c["sweep_x"]:
+        vz = f"TAN({yn})"
+        vy = f"(TAN({xn}) * SQRT(1.0 + {vz} * {vz}))"
+    else:
+        vy = f"TAN({xn})"
+        vz = f"(TAN({yn}) * SQRT(1.0 + {vy} * {vy}))"
+    vzp = f"({vz} / {c['radius_p']!r})"
+    qa = f"({vy} * {vy} + {vzp} * {vzp} + 1.0)"
+    qb = repr(2.0 * c["radius_g"] * -1.0)
+    k = f"((-({qb}) - SQRT({qb} * {qb} - 4.0 * {qa} * {c['C']!r}))" \
+        f" / (2.0 * {qa}))"
+    px = f"({c['radius_g']!r} - {k})"
+    py = f"({vy} * {k})"
+    pz = f"({vz} * {k})"
+    lam = f"ATAN2({py}, {px})"
+    phi = f"ATAN({c['radius_p_inv2']!r} * TAN(ATAN({pz} * COS({lam})" \
+          f" / {px})))"
+    return (f"({c['lon0']!r} + DEGREES({lam}))", f"DEGREES({phi})")
 
 
 def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:

@@ -662,6 +662,68 @@ def cube_reproject_proj4(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: geostationary full-disk grid (round 7) ------------------
+
+from xcube_spark.operators.resampling.crsparse import resolve_proj4
+from xcube_spark.operators.resampling.reproject import geos_inverse_sql
+
+#: MSG-style geostationary CRS (sweep y, 0 deg sub-satellite point);
+#: registered once at import via the PROJ.4 resolver
+_GEOS_CRS = resolve_proj4(
+    "+proj=geos +h=35785831.0 +lon_0=0 +sweep=y "
+    "+a=6378137 +rf=298.257223563")
+
+#: scan-angle window well inside the visible disk (edge ~5.43e6 m;
+#: corner radius here is sqrt(2)*3.41e6 = 4.83e6) with off-round
+#: origin/steps so every re-projected center stays clear of the
+#: 1-degree source-cell edges (margin checked empirically, see test)
+_GEOS = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-3_487_000.0, y_start=-3_427_000.0,
+                 x_res=174_700.0, y_res=171_300.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs=_GEOS_CRS)
+
+_GEOS_LON, _GEOS_LAT = geos_inverse_sql(
+    "(-3487000.0 + (x_i + 0.5) * 174700.0)",
+    "(-3427000.0 + (y_i + 0.5) * 171300.0)", _GEOS_CRS)
+
+
+@query(
+    "cube_reproject_geos",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_GEOS.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_GEOS_LON} AS lon,
+                   {_GEOS_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_geos(spark, sf_dir):
+    """reproject_dataset onto a geostationary full-disk window (MSG
+    SEVIRI geometry: sweep y, 0E sub-satellite, h=35785831 m, WGS84)
+    — exercises the +proj=geos family (CGMS normalized geostationary,
+    closed-form view-vector/ellipsoid intersection) end-to-end under
+    the oracle gate; the oracle states the identical inverse in SQL
+    (geos_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _GEOS)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become
