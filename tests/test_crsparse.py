@@ -433,3 +433,46 @@ def test_geos_sweep_axes_differ_and_cf(spark):
         "fixed_angle_axis": "y",  # fixed y == sweep x
     })
     _assert_same_transform(spark, kcf2, kx, pts=[(-60.0, 40.0)])
+
+
+def test_proj_key_epsg_code_survives_fresh_process(spark):
+    """A dataset written with a crsparse-registered 'PROJ:…' CRS key
+    records that key as epsg_code, but the key only exists in the
+    writing process's in-memory family tables.  The reader must fall
+    through to the CF parameters written alongside (ADVICE r7):
+    simulate the fresh process by deleting the registration."""
+    from xcube_spark.operators.resampling import reproject as R
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    key = resolve_proj4("+proj=geos +h=35786023.0 +lon_0=-75 +sweep=x")
+    assert key.startswith("PROJ:")
+    attrs = cf_grid_mapping_attrs(key)
+    assert attrs["epsg_code"] == key
+    assert attrs["grid_mapping_name"] == "geostationary"
+    baseline = _fwd_points(spark, key, pts=[(-60.0, 40.0)])
+
+    params = R.GEOS_PARAMS.pop(key)  # "fresh process": key unknown
+    try:
+        decoded = crs_from_grid_mapping(attrs)
+        got = _fwd_points(spark, decoded, pts=[(-60.0, 40.0)])
+        assert got == baseline
+    finally:
+        R.GEOS_PARAMS[key] = params
+
+
+def test_ellipsoid_a_with_ellps_keeps_flattening():
+    """'+a' alongside '+ellps' overrides the semi-major axis but keeps
+    the named ellipsoid's flattening (PROJ semantics, ADVICE r7); a
+    bare '+a' stays spherical."""
+    from xcube_spark.operators.resampling.crsparse import _ellipsoid
+    import math
+
+    a, rf = _ellipsoid({"ellps": "GRS80", "a": "6378137"})
+    assert a == 6378137.0 and abs(rf - 298.257222101) < 1e-9
+    a, rf = _ellipsoid({"ellps": "GRS80", "a": "6370000"})
+    assert a == 6370000.0 and abs(rf - 298.257222101) < 1e-9
+    a, rf = _ellipsoid({"a": "6371000"})
+    assert a == 6371000.0 and math.isinf(rf)
+    a, rf = _ellipsoid({"a": "6378137", "rf": "298.25"})
+    assert rf == 298.25

@@ -80,7 +80,12 @@ def _ellipsoid(p: Mapping[str, str]) -> tuple[float, float]:
     a, rf = ELLIPSOIDS.get(name, ELLIPSOIDS["WGS84"])
     if "a" in p:
         a = float(p["a"])
-        rf = math.inf  # sphere unless flattening is given too
+        if not name:
+            # bare +a with no named ellipsoid: sphere unless +rf/+f/+b
+            # gives a flattening below.  With +ellps/+datum present,
+            # PROJ keeps the named flattening under the overridden
+            # semi-major axis (ADVICE r7).
+            rf = math.inf
     if "rf" in p:
         rf = float(p["rf"])
     elif "f" in p:

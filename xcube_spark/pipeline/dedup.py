@@ -690,6 +690,12 @@ class NearDupStateStore:
         self.id_col = id_col
         self.n_buckets = n_buckets
         self.hcols = [f"h{j}" for j in range(num_hashes)]
+        # replay guard: the FIRST batch_id-tagged merge in this
+        # process may follow a crash that left a previous attempt
+        # half-appended — it anti-joins already-present batch rows.
+        # Later merges in the same process appended cleanly (the
+        # prior merge_batch returned), so they append directly.
+        self._replay_checked = False
 
     # -- state access ---------------------------------------------------
 
@@ -699,7 +705,8 @@ class NearDupStateStore:
     def flags(self) -> DataFrame:
         """The merged state: (doc_id, h0.., is_dup)."""
         self._refresh()
-        return self.spark.table(self.sig_table)
+        return self.spark.table(self.sig_table).select(
+            self.id_col, *self.hcols, "is_dup")
 
     def _refresh(self) -> None:
         """Invalidate cached table relations: appends performed in a
@@ -782,12 +789,23 @@ class NearDupStateStore:
 
     # -- merge ----------------------------------------------------------
 
-    def merge_batch(self, new_docs: DataFrame) -> None:
+    def merge_batch(self, new_docs: DataFrame,
+                    batch_id: int | None = None) -> None:
         """Fold an id-monotone batch into the state: flag dups against
         state + earlier-in-batch docs, append signatures and band
         rows.  Per batch: one batch-sized signature shuffle, one
         batch-side-only shuffle into each bucketed table's layout —
-        the state is never re-shuffled or re-projected."""
+        the state is never re-shuffled or re-projected.
+
+        ``batch_id`` (the streaming sink's micro-batch id) makes the
+        merge idempotent under at-least-once replay (ADVICE r7): rows
+        append tagged with ``__batch``, and the first tagged merge
+        after a restart anti-joins rows that batch already appended
+        before a crash — the two per-table appends plus the sink's
+        marker are not atomic, so a replay can otherwise double
+        whichever table committed first.  The anti-join runs ONLY on
+        that first post-restart merge; steady-state batches append
+        with no extra state scan."""
         batch_sig = minhash_sig_state(
             new_docs, k=self.k, num_hashes=self.num_hashes,
             text_col=self.text_col, id_col=self.id_col).drop("is_dup")
@@ -822,7 +840,28 @@ class NearDupStateStore:
         ).select(
             self.id_col, *self.hcols,
             F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
+
+        tag = -1 if batch_id is None else int(batch_id)
+        flagged = flagged.withColumn("__batch", F.lit(tag))
+        tagged_bands = new_bands.withColumn("__batch", F.lit(tag))
+        replay_check = (batch_id is not None and not self._replay_checked
+                        and self.exists())
+        self._replay_checked = True
+        if replay_check:
+            # a crashed prior attempt may have appended part of this
+            # batch to either table: append only the complement (the
+            # recomputation is deterministic, so the complement
+            # completes the partial append exactly)
+            done_sig = (self.spark.table(self.sig_table)
+                        .where(F.col("__batch") == tag)
+                        .select(self.id_col))
+            flagged = flagged.join(done_sig, self.id_col, "left_anti")
+            done_bands = (self.spark.table(self.bands_table)
+                          .where(F.col("__batch") == tag)
+                          .select("bkey", self.id_col))
+            tagged_bands = tagged_bands.join(
+                done_bands, ["bkey", self.id_col], "left_anti")
         self._append(flagged, self.sig_table, self.id_col)
-        self._append(new_bands, self.bands_table, "bkey")
+        self._append(tagged_bands, self.bands_table, "bkey")
         batch_sig.unpersist()
         del self._batch_sig_cache

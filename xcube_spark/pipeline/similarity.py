@@ -331,14 +331,23 @@ def embedding_near_dup_pairs(
         v = np.asarray(
             [np.asarray(x, dtype=np.float64)
              for x in pdf[vec_col].to_numpy()[order]])
-        vn = v / np.linalg.norm(v, axis=1)[:, None]
+        norms = np.linalg.norm(v, axis=1)
         out_a, out_b, out_c = [], [], []
         chunk = 2048  # bounds the gram block at chunk x g doubles
         for lo in range(0, g, chunk):
             hi = min(lo + chunk, g)
-            gram = vn[lo:hi] @ vn.T
+            # dot THEN divide by the norm product — the oracle's
+            # dot/(|a||b|) op shape, not pre-normalized vn @ vn.T
+            # (a different rounding that can flip threshold-boundary
+            # pairs; ADVICE r7)
+            gram = (v[lo:hi] @ v.T) / (norms[lo:hi, None]
+                                       * norms[None, :])
             rows, cols = np.nonzero(gram >= threshold)
-            keep = (rows + lo) < cols  # id_a < id_b (ids sorted)
+            # positional id_a < id_b over the id-sorted order, PLUS an
+            # id-inequality mask: duplicate id values would otherwise
+            # emit id_a == id_b rows the oracle's a.vec_id < b.vec_id
+            # join predicate excludes (ADVICE r7)
+            keep = ((rows + lo) < cols) & (ids[rows + lo] != ids[cols])
             out_a.append(ids[rows[keep] + lo])
             out_b.append(ids[cols[keep]])
             out_c.append(gram[rows[keep], cols[keep]])
@@ -553,9 +562,12 @@ def knn_ivf(
     probe_sets: list[set[int]] = []
     if qids and cent_ids:
         qn = np.linalg.norm(qvecs, axis=1)
-        d2 = (np.square(qvecs).sum(axis=1)[:, None]
-              - 2.0 * qvecs @ cents.T
-              + np.square(cents).sum(axis=1)[None, :])
+        # _np_pair_d2, NOT the expanded |q|^2-2qc+|c|^2 form: probe
+        # ranking is discrete, and a last-ulp op-order difference vs
+        # the cell-assignment kernel (same function below) or the
+        # oracle's list_distance flips near-tie probes — changing the
+        # whole candidate set (ADVICE r7 op-order-parity discipline).
+        d2 = _np_pair_d2(qvecs, cents)
         for qi in range(len(qids)):
             order = np.lexsort((np.asarray(cent_ids), d2[qi]))
             probe_sets.append({int(i) for i in order[:n_probe]})

@@ -500,7 +500,15 @@ def crs_from_grid_mapping(attrs: Mapping) -> str:
     parameters, not just the pre-registered codes; reference parity:
     `pyproj.CRS.from_cf` at cfconv.py:211)."""
     if "epsg_code" in attrs:
-        return str(attrs["epsg_code"])
+        code = str(attrs["epsg_code"])
+        # 'PROJ:FAMILY:(params)' keys are session-local registrations
+        # made by crsparse (resolve_proj4/_register) — meaningless in a
+        # fresh process whose in-memory family tables never saw them.
+        # The CF parameters written alongside are self-describing:
+        # re-resolve (and re-register) through crs_from_cf instead of
+        # returning the dangling key.
+        if not code.upper().startswith("PROJ:"):
+            return code
     name = attrs.get("grid_mapping_name", "")
     if name == "latitude_longitude":
         return "EPSG:4326"

@@ -186,8 +186,11 @@ def run_incremental_near_dedup_stream_bucketed(
     scale path for a state much larger than any batch).
 
     The store is append-only, so a replayed batch would double its
-    rows: the same atomic applied-batch pointer as the versioned
-    sinks (``marker_dir/_CURRENT``) guards exactly-once here too.
+    rows.  Two guards give exactly-once: the atomic applied-batch
+    pointer (``marker_dir/_CURRENT``) skips fully-applied batches,
+    and the store's ``__batch``-tagged merge anti-joins rows a
+    crashed attempt already appended — covering the window between
+    the two per-table appends and the marker write (ADVICE r7).
     """
     from xcube_spark.pipeline.dedup import NearDupStateStore
 
@@ -202,7 +205,9 @@ def run_incremental_near_dedup_stream_bucketed(
         applied = _current_version(marker_dir)
         if applied is not None and applied >= batch_id:
             return  # replayed batch already folded in
-        store.merge_batch(batch_df)
+        # batch_id-tagged merge: idempotent even when a crash landed
+        # between the two table appends and this marker (ADVICE r7)
+        store.merge_batch(batch_df, batch_id=batch_id)
         tmp = _pointer(marker_dir) + ".tmp"
         with open(tmp, "w") as f:
             f.write(f"v{batch_id}")
