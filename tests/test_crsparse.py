@@ -476,3 +476,119 @@ def test_ellipsoid_a_with_ellps_keeps_flattening():
     assert a == 6371000.0 and math.isinf(rf)
     a, rf = _ellipsoid({"a": "6378137", "rf": "298.25"})
     assert rf == 298.25
+
+
+def test_rotated_pole_identity_and_pole_points(spark):
+    """ob_tran conventions: +o_lat_p=90 +lon_0=0 is the identity; the
+    grid pole maps to rotated lat 90; the true north pole maps to
+    rotated lon = north_pole_grid_longitude (CF default 0) and
+    rotated lat = grid_north_pole_latitude."""
+    k_id = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=90 "
+                         "+lon_0=0")
+    got = _fwd_points(spark, k_id, pts=[(10.0, 50.0), (-120.0, -33.0)])
+    assert all(r[2:] == r[:2] for r in got)  # identity rotation
+
+    k = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 "
+                      "+lon_0=18.0")  # CORDEX EUR-11: pole lon -162
+    (_, _, rx, ry), = _fwd_points(spark, k, pts=[(-162.0, 39.25)])
+    assert abs(ry - 90.0) < 1e-5  # asin near 1: ~sqrt(ulp) noise
+    (_, _, rx, ry), = _fwd_points(spark, k, pts=[(0.0, 90.0)])
+    assert abs(rx - 0.0) < 1e-9 and abs(ry - 39.25) < 1e-9
+
+    k7 = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 "
+                       "+lon_0=18.0 +o_lon_p=7.0")
+    (_, _, rx, ry), = _fwd_points(spark, k7, pts=[(0.0, 90.0)])
+    assert abs(rx - 7.0) < 1e-9 and abs(ry - 39.25) < 1e-9
+
+
+def test_rotated_pole_eur11_control_point_and_roundtrip(spark):
+    """EUR-11 rotation of (10E, 50N): value pinned by two independent
+    formulations (rotation-matrix Column math vs the COSMO
+    published formulas, which agree to 1e-12; rotated lon shifted 180
+    per the CF north_pole_grid_longitude convention).  Round trip
+    restores the input."""
+    from xcube_spark.operators.resampling.reproject import get_transform
+
+    k = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 "
+                      "+lon_0=18.0")
+    (_, _, rx, ry), = _fwd_points(spark, k, pts=[(10.0, 50.0)])
+    assert abs(rx - -5.132644799516186) < 1e-9
+    assert abs(ry - -0.4724280878272969) < 1e-9
+
+    import pyspark.sql.functions as F
+    inv = get_transform(k, "EPSG:4326")
+    df = spark.createDataFrame(
+        [(rx, ry)], "x double, y double")
+    lon, lat = inv(F.col("x"), F.col("y"))
+    (blon, blat), = [(r[0], r[1]) for r in df.select(lon, lat).collect()]
+    assert abs(blon - 10.0) < 1e-9 and abs(blat - 50.0) < 1e-9
+
+
+def test_rotated_pole_angular_distance_invariant(spark):
+    """A pure rotation preserves great-circle angular distances."""
+    import math
+
+    k = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=52.0 "
+                      "+lon_0=-25.0 +o_lon_p=3.0")
+    pts = [(10.0, 50.0), (-120.0, -33.0), (77.7, 8.2), (179.0, 66.0)]
+    rot = {(lon, lat): (x, y)
+           for (lon, lat, x, y) in _fwd_points(spark, k, pts=pts)}
+
+    def ang(p, q):
+        l1, f1, l2, f2 = map(math.radians, (*p, *q))
+        return math.acos(
+            min(1.0, max(-1.0, math.sin(f1) * math.sin(f2)
+                         + math.cos(f1) * math.cos(f2)
+                         * math.cos(l1 - l2))))
+
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            a = ang(pts[i], pts[j])
+            b = ang(rot[pts[i]], rot[pts[j]])
+            assert abs(a - b) < 1e-12, (pts[i], pts[j])
+
+
+def test_rotated_pole_cf_encode_decode_roundtrip(spark):
+    """zarrio CF encode for a registered ob_tran key decodes back to a
+    numerically identical transform, with and without the epsg_code
+    hint."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    k = resolve_proj4("+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 "
+                      "+lon_0=18.0 +o_lon_p=0.0")
+    attrs = cf_grid_mapping_attrs(k)
+    assert attrs["grid_mapping_name"] == "rotated_latitude_longitude"
+    assert attrs["grid_north_pole_latitude"] == 39.25
+    assert attrs["grid_north_pole_longitude"] == -162.0
+    assert crs_from_grid_mapping(attrs) == k
+    attrs.pop("epsg_code")
+    decoded = crs_from_grid_mapping(attrs)
+    _assert_same_transform(spark, decoded, k,
+                           pts=[(10.0, 50.0), (-30.0, 62.5)])
+
+
+def test_rotated_pole_query_grid_edge_margins():
+    """Every cube_reproject_rotated_pole target center must map clear
+    of the 1-degree source-cell edges (floor-boundary flake guard)."""
+    import numpy as np
+
+    from xcube_spark.queries.resampling_ops import _RP, _ROTPOLE_CRS
+    from xcube_spark.operators.resampling.reproject import ROTPOLE_PARAMS
+
+    theta_p, lam_p, phi0 = ROTPOLE_PARAMS[_ROTPOLE_CRS]
+    sp = np.sin(np.radians(theta_p)); cp = np.cos(np.radians(theta_p))
+    xs = _RP.x_start + (np.arange(_RP.width) + 0.5) * _RP.x_res
+    ys = _RP.y_start + (np.arange(_RP.height) + 0.5) * _RP.y_res
+    X, Y = np.meshgrid(xs, ys)
+    lam0 = np.radians(X - phi0 + 180.0); phi = np.radians(Y)
+    x2 = np.cos(phi) * np.cos(lam0); y2 = np.cos(phi) * np.sin(lam0)
+    z2 = np.sin(phi)
+    lat = np.degrees(np.arcsin(z2 * sp - x2 * cp))
+    lon = lam_p + np.degrees(np.arctan2(y2, x2 * sp + z2 * cp))
+    lon = np.where(lon < -180, lon + 360,
+                   np.where(lon > 180, lon - 360, lon))
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-6
+    assert np.minimum(fy, 1 - fy).min() > 1e-6

@@ -270,10 +270,34 @@ def resolve_proj4(text: str) -> str:
             R.GEOS_PARAMS, "geos",
             (float(p["h"]), _num(p, "lon_0"), sweep == "x", a, rf))
 
+    if proj == "ob_tran":
+        o_proj = p.get("o_proj", "").lower()
+        if o_proj not in ("longlat", "latlong", "lonlat", "latlon"):
+            raise NotImplementedError(
+                "ob_tran: only +o_proj=longlat (rotated pole) has "
+                "closed-form Column math here")
+        if "to_meter" in p:
+            # pyproj's CF export writes +to_meter=pi/180, i.e. grid
+            # coords in degrees — our family's native unit; anything
+            # else would change the coordinate scale
+            if abs(float(p["to_meter"]) - math.radians(1.0)) > 1e-15:
+                raise NotImplementedError(
+                    "ob_tran: only +to_meter=0.0174532925199433 "
+                    "(degrees) supported")
+        if _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "ob_tran: nonzero +x_0/+y_0 not supported")
+        # the rotation is purely angular; the ellipsoid passes through
+        return _register(
+            R.ROTPOLE_PARAMS, "ob_tran",
+            (_num(p, "o_lat_p", 90.0),       # grid_north_pole_latitude
+             _num(p, "lon_0") - 180.0,       # grid_north_pole_longitude
+             _num(p, "o_lon_p")))            # north_pole_grid_longitude
+
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc[2-SP], aea, laea, "
-        "stere[polar], merc, geos, sinu, moll)")
+        "stere[polar], merc, geos, sinu, moll, ob_tran[longlat])")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -396,6 +420,16 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "mollweide: nonzero longitude_of_projection_origin "
                 "not supported")
         p["proj"] = "moll"
+    elif name == "rotated_latitude_longitude":
+        if "grid_north_pole_latitude" not in attrs:
+            raise ValueError(
+                "rotated_latitude_longitude needs "
+                "grid_north_pole_latitude")
+        p["proj"] = "ob_tran"
+        p["o_proj"] = "longlat"
+        put("o_lat_p", num("grid_north_pole_latitude"))
+        put("lon_0", num("grid_north_pole_longitude") + 180.0)
+        put("o_lon_p", num("north_pole_grid_longitude"))
     elif name == "mercator":
         if "scale_factor_at_projection_origin" in attrs:
             raise NotImplementedError(

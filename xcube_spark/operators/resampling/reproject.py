@@ -970,6 +970,99 @@ def geos_inverse_sql(x_expr: str, y_expr: str,
     return (f"({c['lon0']!r} + DEGREES({lam}))", f"DEGREES({phi})")
 
 
+#: CF `rotated_latitude_longitude` / PROJ `+proj=ob_tran
+#: +o_proj=longlat` (regional climate model grids — CORDEX, COSMO,
+#: HIRLAM).  Pure spherical rotation: grid coords ARE rotated lon/lat
+#: in DEGREES (the CF convention; pyproj's CF export adds
+#: +to_meter=0.0174532925199433 for the same effect).  Params:
+#: (grid_north_pole_latitude, grid_north_pole_longitude,
+#: north_pole_grid_longitude).  No standard EPSG codes — registered
+#: via crsparse.  Reference parity: accepts any pyproj CRS incl.
+#: rotated pole (`xcube/core/gridmapping/transform.py`).
+ROTPOLE_PARAMS: dict[str, tuple[float, float, float]] = {}
+
+
+def _rotpole_consts(crs: str) -> dict:
+    theta_p, lambda_p, phi0 = ROTPOLE_PARAMS[crs.upper()]
+    return dict(
+        lambda_p=lambda_p, phi0=phi0,
+        sp=math.sin(math.radians(theta_p)),
+        cp=math.cos(math.radians(theta_p)),
+    )
+
+
+def _lonlat_to_rotpole_fn(crs: str) -> ColumnTransform:
+    """True lon/lat (deg) -> rotated lon/lat (deg).  Derivation:
+    v = unit vector; rotate Rz(-lambda_p) then Ry(theta_p - 90) so the
+    grid pole lands on +z; the true north pole then sits at rotated
+    longitude 180, so CF's north_pole_grid_longitude phi0 shifts the
+    rotated longitude by (phi0 - 180)."""
+    c = _rotpole_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon - F.lit(c["lambda_p"]))
+        phi = F.radians(lat)
+        cphi = F.cos(phi)
+        sphi = F.sin(phi)
+        clam = F.cos(lam)
+        z2 = sphi * F.lit(c["sp"]) + cphi * F.lit(c["cp"]) * clam
+        y2 = cphi * F.sin(lam)
+        x2 = cphi * clam * F.lit(c["sp"]) - sphi * F.lit(c["cp"])
+        rlat = F.degrees(F.asin(z2))
+        rlon = (F.degrees(F.atan2(y2, x2)) - F.lit(180.0)
+                + F.lit(c["phi0"]))
+        rlon = (F.when(rlon < -180.0, rlon + F.lit(360.0))
+                .when(rlon > 180.0, rlon - F.lit(360.0))
+                .otherwise(rlon))
+        return rlon, rlat
+
+    return fwd
+
+
+def _rotpole_to_lonlat_fn(crs: str) -> ColumnTransform:
+    """Rotated lon/lat (deg) -> true lon/lat (deg): the transpose
+    rotation of :func:`_lonlat_to_rotpole_fn`."""
+    c = _rotpole_consts(crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        lam0 = F.radians(x - F.lit(c["phi0"]) + F.lit(180.0))
+        phi = F.radians(y)
+        cphi = F.cos(phi)
+        x2 = cphi * F.cos(lam0)
+        y2 = cphi * F.sin(lam0)
+        z2 = F.sin(phi)
+        lat = F.degrees(F.asin(
+            z2 * F.lit(c["sp"]) - x2 * F.lit(c["cp"])))
+        x1 = x2 * F.lit(c["sp"]) + z2 * F.lit(c["cp"])
+        lon = F.lit(c["lambda_p"]) + F.degrees(F.atan2(y2, x1))
+        lon = (F.when(lon < -180.0, lon + F.lit(360.0))
+               .when(lon > 180.0, lon - F.lit(360.0))
+               .otherwise(lon))
+        return lon, lat
+
+    return inv
+
+
+def rotpole_inverse_sql(x_expr: str, y_expr: str,
+                        crs: str) -> tuple[str, str]:
+    """The SAME rotated-pole inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_rotpole_to_lonlat_fn`.
+    Returns (lon_sql, lat_sql)."""
+    c = _rotpole_consts(crs)
+    lam0 = f"RADIANS(({x_expr}) - {c['phi0']!r} + 180.0)"
+    phi = f"RADIANS({y_expr})"
+    cphi = f"COS({phi})"
+    x2 = f"({cphi} * COS({lam0}))"
+    y2 = f"({cphi} * SIN({lam0}))"
+    z2 = f"SIN({phi})"
+    lat = f"DEGREES(ASIN({z2} * {c['sp']!r} - {x2} * {c['cp']!r}))"
+    x1 = f"({x2} * {c['sp']!r} + {z2} * {c['cp']!r})"
+    lon = f"({c['lambda_p']!r} + DEGREES(ATAN2({y2}, {x1})))"
+    lon = (f"(CASE WHEN {lon} < -180.0 THEN {lon} + 360.0 "
+           f"WHEN {lon} > 180.0 THEN {lon} - 360.0 ELSE {lon} END)")
+    return lon, lat
+
+
 def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:
     lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
     ak = _merc_ak(lat_ts)
@@ -1523,6 +1616,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _merc_to_lonlat_fn(up)
     if up in GEOS_PARAMS:
         return _geos_to_lonlat_fn(up)
+    if up in ROTPOLE_PARAMS:
+        return _rotpole_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
@@ -1556,6 +1651,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_merc_fn(up)
     if up in GEOS_PARAMS:
         return _lonlat_to_geos_fn(up)
+    if up in ROTPOLE_PARAMS:
+        return _lonlat_to_rotpole_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in LAEA_PARAMS:

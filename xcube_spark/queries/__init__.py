@@ -94,6 +94,8 @@ PRIORITY_ORDER = (
     # round-6's one driver hash-fail (quantization rebuilt
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
+    # round-8 additions (never sampled yet)
+    "cube_reproject_rotated_pole",
     # round-7 addition never driver-sampled (landed post-log) — FIRST
     "cube_reproject_geos",
     # round-7 additions (never sampled yet)

@@ -724,6 +724,67 @@ def cube_reproject_geos(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: rotated-pole regional grid (round 8) --------------------
+
+from xcube_spark.operators.resampling.reproject import rotpole_inverse_sql
+
+#: CORDEX EUR-11 rotation (grid pole 39.25N, -162E) via CF attrs —
+#: exercises crs_from_cf + the ob_tran family registration
+_ROTPOLE_CRS = resolve_proj4(
+    "+proj=ob_tran +o_proj=longlat +o_lat_p=39.25 +lon_0=18.0")
+
+#: EUR-11-like rotated window (rlon -28..18, rlat -23..21) with
+#: off-round origin/steps so every re-projected center stays clear of
+#: the 1-degree source-cell edges (margin asserted in
+#: tests/test_crsparse.py)
+_RP = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+               x_start=-28.093, y_start=-22.957,
+               x_res=1.149, y_res=1.097,
+               t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+               crs=_ROTPOLE_CRS)
+
+_RP_LON, _RP_LAT = rotpole_inverse_sql(
+    "(-28.093 + (x_i + 0.5) * 1.149)",
+    "(-22.957 + (y_i + 0.5) * 1.097)", _ROTPOLE_CRS)
+
+
+@query(
+    "cube_reproject_rotated_pole",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_RP.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_RP_LON} AS lon,
+                   {_RP_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_rotated_pole(spark, sf_dir):
+    """reproject_dataset onto a rotated-pole regional window (CORDEX
+    EUR-11 rotation: grid pole 39.25N/-162E) — the CF
+    `rotated_latitude_longitude` / +proj=ob_tran family (closed-form
+    spherical rotation; reference handles it via pyproj,
+    `xcube/core/gridmapping/transform.py`).  The oracle states the
+    identical inverse rotation in SQL (rotpole_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _RP)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become

@@ -480,6 +480,12 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
         else:
             out["semi_minor_axis"] = a
         return out
+    if code in R.ROTPOLE_PARAMS:
+        theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
+        return {"grid_mapping_name": "rotated_latitude_longitude",
+                "grid_north_pole_latitude": theta_p,
+                "grid_north_pole_longitude": lambda_p,
+                "north_pole_grid_longitude": phi0}
     if code in R.SINU_PARAMS:
         return {"grid_mapping_name": "sinusoidal",
                 "longitude_of_projection_origin": 0.0,
