@@ -592,3 +592,97 @@ def test_rotated_pole_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1e-6
     assert np.minimum(fy, 1 - fy).min() > 1e-6
+
+
+def test_sterea_rdnew_epsg_test_point(spark):
+    """EPSG Guidance Note 7-2 published test point for method 9809 on
+    RD New: 53N 6E -> E 196105.283, N 557057.739 (mm-exact); the
+    natural origin maps to the false origin."""
+    pts = [(6.0, 53.0), (5.387638888888889, 52.156160555555555)]
+    got = {(lon, lat): (x, y)
+           for (lon, lat, x, y) in _fwd_points(spark, "EPSG:28992", pts)}
+    e, n = got[(6.0, 53.0)]
+    assert abs(e - 196105.283) < 1e-2 and abs(n - 557057.739) < 1e-2
+    e, n = got[pts[1]]
+    assert abs(e - 155000.0) < 1e-6 and abs(n - 463000.0) < 1e-6
+
+
+def test_sterea_roundtrip(spark):
+    """Forward-then-inverse restores lon/lat to <1e-9 deg across the
+    RD valid region (4 conformal-latitude iterations)."""
+    import pyspark.sql.functions as F
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    pts = [(3.3, 50.8), (7.2, 53.5), (5.4, 52.2), (4.9, 51.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:28992")
+    inv = get_transform("EPSG:28992", "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "E", "N")
+    df = apply_transform_df(df, inv, F.col("E"), F.col("N"),
+                            "blon", "blat")
+    for r in df.collect():
+        assert abs(r.blon - r.lon) < 1e-9 and abs(r.blat - r.lat) < 1e-9
+
+
+def test_sterea_proj4_and_cf_roundtrip(spark):
+    """The RD New PROJ.4 string normalizes to EPSG:28992; zarrio's CF
+    encode (oblique_stereographic, pyproj's name for method 9809)
+    decodes back to the same transform without the epsg hint."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    k = resolve_proj4(
+        "+proj=sterea +lat_0=52.156160555555555 "
+        "+lon_0=5.387638888888889 +k=0.9999079 +x_0=155000 "
+        "+y_0=463000 +ellps=bessel")
+    assert k == "EPSG:28992"
+    attrs = cf_grid_mapping_attrs("EPSG:28992")
+    assert attrs["grid_mapping_name"] == "oblique_stereographic"
+    assert crs_from_grid_mapping(attrs) == "EPSG:28992"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:28992"
+    # a different origin registers as a fresh family member
+    k2 = resolve_proj4("+proj=sterea +lat_0=46.0 +lon_0=7.0 "
+                       "+k=0.99 +x_0=600000 +y_0=200000 +ellps=bessel")
+    assert k2.startswith("PROJ:STEREA:")
+    _assert_same_transform(spark, k2, k2, pts=[(7.5, 46.5)])
+
+
+def test_sterea_query_grid_edge_margins():
+    """Every cube_reproject_rdnew target center must map clear of the
+    1-degree source-cell edges (floor-boundary flake guard)."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        _STEREA_ITERS, _sterea_consts)
+    from xcube_spark.queries.resampling_ops import _RD
+
+    c = _sterea_consts("EPSG:28992")
+    xs = _RD.x_start + (np.arange(_RD.width) + 0.5) * _RD.x_res
+    ys = _RD.y_start + (np.arange(_RD.height) + 0.5) * _RD.y_res
+    X, Y = np.meshgrid(xs, ys)
+    ep, np_ = X - c["fe"], Y - c["fn"]
+    i = np.arctan2(ep, c["h"] + np_)
+    j = np.arctan2(ep, c["g"] - np_) - i
+    chi = c["chi0"] + 2 * np.arctan(
+        (np_ - ep * np.tan(j / 2)) / c["rk2"])
+    lon = np.degrees((j + 2 * i) / c["n"]) + c["lon0"]
+    psi = np.log((1 + np.sin(chi))
+                 / (c["c"] * (1 - np.sin(chi)))) / (2 * c["n"])
+    phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+    for _ in range(_STEREA_ITERS):
+        sphi = np.sin(phi)
+        psii = np.log(np.tan(phi / 2 + math.pi / 4)
+                      * ((1 - c["e"] * sphi)
+                         / (1 + c["e"] * sphi)) ** (c["e"] / 2))
+        phi = phi - (psii - psi) * np.cos(phi) \
+            * (1 - c["es"] * sphi * sphi) / (1 - c["es"])
+    lat = np.degrees(phi)
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-4
+    assert np.minimum(fy, 1 - fy).min() > 1e-4

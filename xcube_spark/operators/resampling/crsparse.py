@@ -270,6 +270,19 @@ def resolve_proj4(text: str) -> str:
             R.GEOS_PARAMS, "geos",
             (float(p["h"]), _num(p, "lon_0"), sweep == "x", a, rf))
 
+    if proj == "sterea":
+        # oblique (double) stereographic, EPSG method 9809
+        lat0, lon0 = _num(p, "lat_0"), _num(p, "lon_0")
+        k0 = _num(p, "k", _num(p, "k_0", 1.0))
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        rd = R.STEREA_PARAMS["EPSG:28992"]
+        if (abs(a - rd[0]) < 1e-3 and abs(rf - rd[1]) < 1e-6
+                and abs(lat0 - rd[2]) < 1e-9 and abs(lon0 - rd[3]) < 1e-9
+                and k0 == rd[4] and x0 == rd[5] and y0 == rd[6]):
+            return "EPSG:28992"  # RD New's own parameters
+        return _register(R.STEREA_PARAMS, "sterea",
+                         (a, rf, lat0, lon0, k0, x0, y0))
+
     if proj == "ob_tran":
         o_proj = p.get("o_proj", "").lower()
         if o_proj not in ("longlat", "latlong", "lonlat", "latlon"):
@@ -420,6 +433,13 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "mollweide: nonzero longitude_of_projection_origin "
                 "not supported")
         p["proj"] = "moll"
+    elif name == "oblique_stereographic":
+        # pyproj's CF name for EPSG method 9809 (not in the CF
+        # appendix, which has no entry for the double stereographic)
+        p["proj"] = "sterea"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
+        put("k", num("scale_factor_at_projection_origin", 1.0))
     elif name == "rotated_latitude_longitude":
         if "grid_north_pole_latitude" not in attrs:
             raise ValueError(

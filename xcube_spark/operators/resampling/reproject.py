@@ -1063,6 +1063,223 @@ def rotpole_inverse_sql(x_expr: str, y_expr: str,
     return lon, lat
 
 
+# ---- oblique (double) stereographic — EPSG method 9809 ------------------
+#
+# "Stereographic projection of the conformal sphere": ellipsoid ->
+# conformal sphere (exponent n, factor c) -> plane stereographically.
+# PROJ `+proj=sterea`; the Dutch RD New grid (EPSG:28992, Bessel 1841)
+# is the canonical user.  Math per EPSG Guidance Note 7-2, validated
+# against its published test point (53N 6E -> 196105.283, 557057.739).
+
+#: crs -> (a, rf, lat0, lon0, k0, false easting, false northing)
+STEREA_PARAMS: dict[str, tuple] = {
+    # Amersfoort / RD New (Bessel 1841; origin 52°09'22.178"N,
+    # 5°23'15.500"E)
+    "EPSG:28992": (6_377_397.155, 299.1528128,
+                   52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+                   5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+                   0.9999079, 155_000.0, 463_000.0),
+}
+
+#: fixed iteration count of the conformal->geodetic latitude solve;
+#: converges to <1e-12 rad in 3 for earthlike eccentricities (both
+#: engines run the SAME count so the op sequence is identical)
+_STEREA_ITERS = 4
+
+
+def _sterea_consts(crs: str) -> dict:
+    a, rf, lat0, lon0, k0, fe, fn = STEREA_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    nu0 = a / math.sqrt(1.0 - es * s0 * s0)
+    rho0 = a * (1.0 - es) / (1.0 - es * s0 * s0) ** 1.5
+    big_r = math.sqrt(nu0 * rho0)
+    n = math.sqrt(1.0 + es * math.cos(phi0) ** 4 / (1.0 - es))
+    s1 = (1.0 + s0) / (1.0 - s0)
+    s2 = (1.0 - e * s0) / (1.0 + e * s0)
+    w1 = (s1 * s2 ** e) ** n
+    sx0 = (w1 - 1.0) / (w1 + 1.0)
+    c = ((n + s0) * (1.0 - sx0)) / ((n - s0) * (1.0 + sx0))
+    w2 = c * w1
+    schi0 = (w2 - 1.0) / (w2 + 1.0)
+    chi0 = math.asin(schi0)
+    rk2 = 2.0 * big_r * k0
+    return dict(
+        e=e, es=es, n=n, c=c, k0=k0, fe=fe, fn=fn,
+        lon0=lon0, lam0=math.radians(lon0),
+        schi0=schi0, cchi0=math.cos(chi0), rk2=rk2,
+        g=rk2 * math.tan(math.pi / 4.0 - chi0 / 2.0),
+        h=2.0 * rk2 * math.tan(chi0)
+        + rk2 * math.tan(math.pi / 4.0 - chi0 / 2.0),
+        chi0=chi0,
+    )
+
+
+def _lonlat_to_sterea_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg) -> oblique-stereographic E/N (EPSG 9809
+    forward); staged so the w/chi intermediates are not re-expanded."""
+    c = _sterea_consts(crs)
+    e, n = c["e"], c["n"]
+
+    def s1(env):
+        return F.sin(F.radians(env["__in_y"]))
+
+    def s2(env):
+        sphi = env["__sphi"]
+        sa = (F.lit(1.0) + sphi) / (F.lit(1.0) - sphi)
+        sb = (F.lit(1.0) - F.lit(e) * sphi) / \
+            (F.lit(1.0) + F.lit(e) * sphi)
+        return F.lit(c["c"]) * F.pow(sa * F.pow(sb, F.lit(e)), F.lit(n))
+
+    def s3(env):
+        return (env["__w"] - F.lit(1.0)) / (env["__w"] + F.lit(1.0))
+
+    def s4(env):
+        schi = env["__schi"]
+        return F.sqrt(F.lit(1.0) - schi * schi)
+
+    def s5(env):
+        return F.lit(n) * (F.radians(env["__in_x"]) - F.lit(c["lam0"]))
+
+    def s6(env):
+        return (F.lit(1.0) + env["__schi"] * F.lit(c["schi0"])
+                + env["__cchi"] * F.lit(c["cchi0"]) * F.cos(env["__dl"]))
+
+    def out_x(env):
+        return (F.lit(c["fe"]) + F.lit(c["rk2"]) * env["__cchi"]
+                * F.sin(env["__dl"]) / env["__b"])
+
+    def out_y(env):
+        return (F.lit(c["fn"]) + F.lit(c["rk2"])
+                * (env["__schi"] * F.lit(c["cchi0"])
+                   - env["__cchi"] * F.lit(c["schi0"])
+                   * F.cos(env["__dl"])) / env["__b"])
+
+    return StagedTransform([
+        {"__sphi": s1},
+        {"__w": s2},
+        {"__schi": s3},
+        {"__cchi": s4, "__dl": s5},
+        {"__b": s6},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def _sterea_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """E/N -> lon/lat (EPSG 9809 inverse): stereographic un-projection
+    on the conformal sphere, then the fixed-count iterative
+    conformal->geodetic latitude solve, one stage per iteration."""
+    c = _sterea_consts(crs)
+    e, es, n = c["e"], c["es"], c["n"]
+
+    def sub(env):
+        return env["__in_x"] - F.lit(c["fe"])
+
+    def subn(env):
+        return env["__in_y"] - F.lit(c["fn"])
+
+    def c_i(env):
+        return F.atan2(env["__ep"], F.lit(c["h"]) + env["__np"])
+
+    def c_j(env):
+        return F.atan2(env["__ep"],
+                       F.lit(c["g"]) - env["__np"]) - env["__i"]
+
+    def c_chi(env):
+        return F.lit(c["chi0"]) + F.lit(2.0) * F.atan(
+            (env["__np"] - env["__ep"] * F.tan(env["__j"] / F.lit(2.0)))
+            / F.lit(c["rk2"]))
+
+    def c_lon(env):
+        lam = env["__j"] + F.lit(2.0) * env["__i"] + F.lit(c["lam0"])
+        return (F.degrees((lam - F.lit(c["lam0"])) / F.lit(n))
+                + F.lit(c["lon0"]))
+
+    def c_psi(env):
+        schi = F.sin(env["__chi"])
+        return F.log((F.lit(1.0) + schi)
+                     / (F.lit(c["c"]) * (F.lit(1.0) - schi))) \
+            / F.lit(2.0 * n)
+
+    def c_phi0(env):
+        return (F.lit(2.0) * F.atan(F.exp(env["__psi"]))
+                - F.lit(math.pi / 2.0))
+
+    def step(env):
+        phi = env["__phi"]
+        sphi = F.sin(phi)
+        psii = F.log(
+            F.tan(phi / F.lit(2.0) + F.lit(math.pi / 4.0))
+            * F.pow((F.lit(1.0) - F.lit(e) * sphi)
+                    / (F.lit(1.0) + F.lit(e) * sphi),
+                    F.lit(e / 2.0)))
+        return phi - (psii - env["__psi"]) * F.cos(phi) \
+            * (F.lit(1.0) - F.lit(es) * sphi * sphi) / F.lit(1.0 - es)
+
+    stages = [
+        {"__ep": sub, "__np": subn},
+        {"__i": c_i},
+        {"__j": c_j},
+        {"__chi": c_chi, "__out_x": c_lon},
+        {"__psi": c_psi},
+        {"__phi": c_phi0},
+    ]
+    stages += [{"__phi": step} for _ in range(_STEREA_ITERS)]
+    stages.append({"__out_y": lambda env: F.degrees(env["__phi"])})
+    return StagedTransform(stages)
+
+
+def sterea_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                            src: str = "tgt") -> str:
+    """The SAME oblique-stereographic inverse as a chain of CTEs over
+    ``src`` (for DuckDB oracles) — identical arithmetic and iteration
+    count to :func:`_sterea_to_lonlat_fn`.  Emits CTEs ``st1..`` and
+    finally ``sterea_ll`` = ``src`` columns + ``lon``/``lat``."""
+    c = _sterea_consts(crs)
+    e, es, n = c["e"], c["es"], c["n"]
+    iters = "".join(f"""), st{7 + k} AS (
+            SELECT * EXCLUDE (__phi), (__phi - (ln(tan(__phi / 2.0
+                + {math.pi / 4.0!r}) * pow((1.0 - {e!r} * sin(__phi))
+                / (1.0 + {e!r} * sin(__phi)), {e / 2.0!r})) - __psi)
+                * cos(__phi) * (1.0 - {es!r} * sin(__phi) * sin(__phi))
+                / {1.0 - es!r}) AS __phi
+            FROM st{6 + k}""" for k in range(_STEREA_ITERS))
+    return f"""st1 AS (
+            SELECT *, (({x_expr}) - {c['fe']!r}) AS __ep,
+                      (({y_expr}) - {c['fn']!r}) AS __np
+            FROM {src}
+        ), st2 AS (
+            SELECT *, atan2(__ep, {c['h']!r} + __np) AS __i FROM st1
+        ), st3 AS (
+            SELECT *, (atan2(__ep, {c['g']!r} - __np) - __i) AS __j
+            FROM st2
+        ), st4 AS (
+            SELECT *, ({c['chi0']!r} + 2.0 * atan((__np - __ep
+                       * tan(__j / 2.0)) / {c['rk2']!r})) AS __chi,
+                   (degrees(((__j + 2.0 * __i + {c['lam0']!r})
+                             - {c['lam0']!r}) / {n!r})
+                    + {c['lon0']!r}) AS lon
+            FROM st3
+        ), st5 AS (
+            SELECT *, (ln((1.0 + sin(__chi))
+                          / ({c['c']!r} * (1.0 - sin(__chi))))
+                       / {2.0 * n!r}) AS __psi
+            FROM st4
+        ), st6 AS (
+            SELECT *, (2.0 * atan(exp(__psi)) - {math.pi / 2.0!r})
+                      AS __phi
+            FROM st5
+        {iters}), sterea_ll AS (
+            SELECT * EXCLUDE (__ep, __np, __i, __j, __chi, __psi,
+                              __phi),
+                   degrees(__phi) AS lat
+            FROM st{6 + _STEREA_ITERS}
+        )"""
+
+
 def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:
     lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
     ak = _merc_ak(lat_ts)
@@ -1618,6 +1835,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _geos_to_lonlat_fn(up)
     if up in ROTPOLE_PARAMS:
         return _rotpole_to_lonlat_fn(up)
+    if up in STEREA_PARAMS:
+        return _sterea_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
@@ -1653,6 +1872,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_geos_fn(up)
     if up in ROTPOLE_PARAMS:
         return _lonlat_to_rotpole_fn(up)
+    if up in STEREA_PARAMS:
+        return _lonlat_to_sterea_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in LAEA_PARAMS:

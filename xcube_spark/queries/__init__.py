@@ -96,6 +96,7 @@ PRIORITY_ORDER = (
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
     "cube_reproject_rotated_pole",
+    "cube_reproject_rdnew",
     # round-7 addition never driver-sampled (landed post-log) — FIRST
     "cube_reproject_geos",
     # round-7 additions (never sampled yet)

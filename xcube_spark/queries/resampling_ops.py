@@ -785,6 +785,60 @@ def cube_reproject_rotated_pole(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Dutch RD New (EPSG:28992, oblique stereographic) --------
+
+from xcube_spark.operators.resampling.reproject import sterea_inverse_sql_ctes
+
+#: RD-coordinate window over the Netherlands with off-round
+#: origin/steps: every re-projected center stays >= 6.4e-4 deg from
+#: any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py); the inverse (with its fixed-count
+#: conformal-latitude iteration) is a staged CTE chain, the same
+#: blowup-avoidance as the Column side's StagedTransform
+_RD = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+               x_start=11_013.0, y_start=303_017.0,
+               x_res=7_219.0, y_res=8_011.0,
+               t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+               crs="EPSG:28992")
+
+_RD_CTES = sterea_inverse_sql_ctes(
+    "(11013.0 + (x_i + 0.5) * 7219.0)",
+    "(303017.0 + (y_i + 0.5) * 8011.0)", "EPSG:28992")
+
+
+@query(
+    "cube_reproject_rdnew",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_RD.size})
+        ), {_RD_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM sterea_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_rdnew(spark, sf_dir):
+    """reproject_dataset onto the Dutch RD New grid (EPSG:28992) —
+    the oblique DOUBLE stereographic (EPSG method 9809: ellipsoid ->
+    conformal sphere -> plane) on Bessel 1841, which the reference
+    reaches through pyproj (core/gridmapping/transform.py).  Forward
+    validated against the EPSG Guidance Note test point; the oracle
+    states the identical inverse (incl. the fixed-count
+    conformal->geodetic iteration) as a CTE chain in SQL
+    (sterea_inverse_sql_ctes, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _RD)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become

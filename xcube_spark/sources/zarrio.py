@@ -480,6 +480,14 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
         else:
             out["semi_minor_axis"] = a
         return out
+    if code in R.STEREA_PARAMS:
+        a, rf, lat0, lon0, k0, fe, fn = R.STEREA_PARAMS[code]
+        return {"grid_mapping_name": "oblique_stereographic",
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_projection_origin": lon0,
+                "scale_factor_at_projection_origin": k0,
+                "false_easting": fe, "false_northing": fn,
+                "semi_major_axis": a, "inverse_flattening": rf}
     if code in R.ROTPOLE_PARAMS:
         theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
         return {"grid_mapping_name": "rotated_latitude_longitude",
