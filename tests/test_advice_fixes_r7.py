@@ -131,3 +131,56 @@ def test_near_dup_state_store_replay_after_partial_append(spark):
                 == {(r.doc_id, r.is_dup) for r in want.collect()})
     finally:
         store.drop()
+
+
+def test_near_dup_state_store_compact(spark):
+    """compact() merges the per-batch file accumulation into one file
+    per bucket, leaves rows (incl. __batch tags) unchanged, and keeps
+    the candidate join bucket-local (no state-side exchange)."""
+    import glob
+    import os
+    from urllib.parse import urlparse
+
+    from xcube_spark.pipeline.dedup import (NearDupStateStore,
+                                            minhash_sig_state)
+    from tests.test_streaming import _near_dup_corpus
+
+    docs = _near_dup_corpus(spark)
+    store = NearDupStateStore(spark, "t_ndstore_compact", n_buckets=4)
+    store.drop()
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for b, (lo, hi) in enumerate(((0, 10), (10, 20), (20, 30),
+                                      (30, 40))):
+            store.merge_batch(
+                docs.where(f"doc_id >= {lo} AND doc_id < {hi}"),
+                batch_id=b)
+        before = sorted((r.doc_id, r.is_dup, r["__batch"])
+                        for r in spark.table(store.sig_table).collect())
+        wh = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir", "")).path
+        sig_dir = os.path.join(wh, store.sig_table.lower())
+        n_before = len(glob.glob(os.path.join(sig_dir, "part-*")))
+        assert n_before > 4  # one file set per batch accumulated
+
+        store.compact()
+
+        n_after = len(glob.glob(os.path.join(sig_dir, "part-*")))
+        assert n_after <= 4 < n_before
+        after = sorted((r.doc_id, r.is_dup, r["__batch"])
+                       for r in spark.table(store.sig_table).collect())
+        assert after == before
+
+        # the candidate join over the compacted state is still a
+        # bucketed in-place scan: no exchange on the state side
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        batch_sig = minhash_sig_state(
+            docs.where("doc_id >= 35")).drop("is_dup")
+        cand = store._old_candidates(store._bkey_bands(batch_sig))
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        state_side = plan[plan.rindex("Sort [bkey"):]
+        assert "Bucketed: true" in state_side
+        assert "Exchange" not in state_side
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        store.drop()

@@ -717,6 +717,59 @@ class NearDupStateStore:
             for t in (self.sig_table, self.bands_table):
                 self.spark.catalog.refreshTable(t)
 
+    def compact(self) -> None:
+        """Rewrite both state tables preserving the bucket layout
+        (VERDICT r7 watch item): append-only bucketed writes leave one
+        file set per micro-batch, so after thousands of batches each
+        bucket is thousands of small files.  Compaction repartitions
+        into the bucket layout (same Murmur3 hash as bucketing, so
+        each task holds exactly one bucket and writes ONE file) and
+        swaps the rewritten table in; rows — including the ``__batch``
+        replay tags — are unchanged, so join plans and the replay
+        guard behave identically.
+
+        Not crash-atomic (a maintenance operation, not part of the
+        exactly-once batch path): a crash mid-swap leaves the
+        ``{table}__compact`` temp to re-run against.
+        """
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        self._refresh()
+        wh = urlparse(
+            self.spark.conf.get("spark.sql.warehouse.dir", "")).path
+        for table, bucket_col in ((self.sig_table, self.id_col),
+                                  (self.bands_table, "bkey")):
+            if not self.spark.catalog.tableExists(table):
+                continue
+            tmp = f"{table}__compact"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+            tmp_loc = os.path.join(wh, tmp.lower()) if wh else None
+            if tmp_loc and os.path.isdir(tmp_loc):
+                shutil.rmtree(tmp_loc, ignore_errors=True)
+            # read the FILES, not the catalog table: the bucketed scan
+            # already reports HashPartitioning(col, n), so Catalyst
+            # elides the repartition below as redundant while the
+            # write still runs one task per input split — exactly the
+            # small-file layout compaction is meant to remove.  A
+            # plain parquet scan keeps the repartition real; its
+            # hash-partition id (pmod of the same Murmur3) equals the
+            # bucket id, so each task holds one bucket and writes ONE
+            # file.
+            loc = os.path.join(wh, table.lower())
+            (self.spark.read
+             .schema(self.spark.table(table).schema).parquet(loc)
+             .repartition(self.n_buckets, F.col(bucket_col))
+             .write.format("parquet").mode("overwrite")
+             .bucketBy(self.n_buckets, bucket_col).saveAsTable(tmp))
+            self.spark.sql(f"DROP TABLE {table}")
+            loc = os.path.join(wh, table.lower()) if wh else None
+            if loc and os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+            self.spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+            self.spark.catalog.refreshTable(table)
+
     def drop(self) -> None:
         """Drop catalog entries AND their warehouse directories: the
         catalog is per-session (in-memory), so a fresh session does
@@ -729,7 +782,9 @@ class NearDupStateStore:
 
         wh = urlparse(
             self.spark.conf.get("spark.sql.warehouse.dir", "")).path
-        for t in (self.sig_table, self.bands_table):
+        for t in (self.sig_table, self.bands_table,
+                  f"{self.sig_table}__compact",
+                  f"{self.bands_table}__compact"):
             self.spark.sql(f"DROP TABLE IF EXISTS {t}")
             loc = os.path.join(wh, t.lower()) if wh else None
             if loc and os.path.isdir(loc):
