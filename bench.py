@@ -64,6 +64,11 @@ def main() -> None:
                 "queries": results,
                 "min_max": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-noise context (round 8 bench hygiene): a 1-min
+                # load average far above the run's own footprint means
+                # the numbers are polluted — re-measure, don't bisect
+                "load_avg_1m": round(os.getloadavg()[0], 2),
+                "engine": f"spark-{spark.version}",
             }
         )
     )

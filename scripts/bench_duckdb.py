@@ -31,6 +31,13 @@ def main() -> None:
     registry = load_all()
     con = duckdb.connect()
     con.execute("SET threads TO 32")
+    # bound memory + allow spill (round 8 — VERDICT r7 item 7): the
+    # sf1 substring-dedup oracle previously grew to 130 GB RSS and got
+    # OOM-killed on repeat runs; a fixed limit with a temp directory
+    # makes the baseline reproducible (DuckDB spills instead of dying)
+    con.execute("SET memory_limit = '48GB'")
+    con.execute(f"SET temp_directory = "
+                f"'{os.path.join(os.getcwd(), '.duckdb_tmp')}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{sf_dir}/{t}.parquet'")
@@ -48,7 +55,9 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1].lstrip("_")
     print(json.dumps({"metric": "duckdb_median_query_seconds",
                       "value": round(sum(results.values()), 4),
-                      "unit": "sec", "queries": results, "sf": sf}))
+                      "unit": "sec", "queries": results, "sf": sf,
+                      "load_avg_1m": round(os.getloadavg()[0], 2),
+                      "engine": f"duckdb-{duckdb.__version__}"}))
 
 
 if __name__ == "__main__":
