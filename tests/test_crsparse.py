@@ -246,8 +246,12 @@ def test_get_transform_accepts_proj4_and_cf(spark):
 
 
 def test_unsupported_forms_raise():
+    # lcc 1-SP is SUPPORTED since round 8 (tangent cone, k_0=1 only)
+    assert resolve_proj4("+proj=lcc +lat_1=44 +lat_0=46.5 +lon_0=3 "
+                         "+ellps=GRS80").startswith("PROJ:LCC:")
     with pytest.raises(NotImplementedError):
-        resolve_proj4("+proj=lcc +lat_1=44 +lat_0=46.5 +lon_0=3")  # 1-SP
+        resolve_proj4("+proj=lcc +lat_1=44 +lat_0=46.5 +lon_0=3 "
+                      "+k_0=0.99 +ellps=GRS80")  # 1-SP scale form
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=stere +lat_0=52 +lat_ts=52")  # oblique
     with pytest.raises(NotImplementedError):
@@ -682,6 +686,254 @@ def test_sterea_query_grid_edge_margins():
         phi = phi - (psii - psi) * np.cos(phi) \
             * (1 - c["es"] * sphi * sphi) / (1 - c["es"])
     lat = np.degrees(phi)
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-4
+    assert np.minimum(fy, 1 - fy).min() > 1e-4
+
+
+def test_cea_ease2_published_extent_and_equal_area(spark):
+    """EPSG:6933 (EASE-Grid 2.0): x(180, 0) reproduces the published
+    ±17367530.445161 m constant; the map rectangle's area equals the
+    WGS84 ellipsoid's authalic surface (the equal-area property)."""
+    import math
+
+    from xcube_spark.operators.resampling.reproject import _cea_consts
+
+    got = {(lon, lat): (x, y) for (lon, lat, x, y) in _fwd_points(
+        spark, "EPSG:6933", [(180.0, 0.0), (0.0, 0.0), (10.0, 45.0)])}
+    x, y = got[(180.0, 0.0)]
+    assert abs(x - 17367530.445161372) < 1e-3 and y == 0.0
+    assert got[(0.0, 0.0)] == (0.0, 0.0)
+
+    c = _cea_consts("EPSG:6933")
+    width = 2.0 * c["a"] * c["k0"] * math.pi
+    height = c["a"] * c["qp"] / c["k0"]
+    assert abs(width * height - 2.0 * math.pi * c["a"] ** 2 * c["qp"]) < 1.0
+
+
+def test_cea_roundtrip_and_proj4_cf(spark):
+    """cea round-trips <1e-7 deg; the EASE-2 PROJ.4 string normalizes
+    to EPSG:6933; CF lambert_cylindrical_equal_area decodes to the
+    same transform."""
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    pts = [(-170.0, -80.0), (0.0, 0.0), (45.0, 30.0), (170.0, 80.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:6933")
+    inv = get_transform("EPSG:6933", "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"), "rlon", "rlat")
+    for r in df.collect():
+        assert abs(r.rlon - r.lon) < 1e-7 and abs(r.rlat - r.lat) < 1e-7
+
+    assert resolve_proj4(
+        "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84"
+    ) == "EPSG:6933"
+    assert resolve_proj4(
+        "+proj=cea +lat_ts=0 +datum=WGS84") == "ESRI:54034"
+    attrs = cf_grid_mapping_attrs("EPSG:6933")
+    assert attrs["grid_mapping_name"] == "lambert_cylindrical_equal_area"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:6933"
+    # a spherical cea registers as a fresh family member and round-trips
+    ks = resolve_proj4("+proj=cea +lat_ts=15 +R=6371000")
+    assert ks.startswith("PROJ:CEA:")
+    _assert_same_transform(spark, ks, ks, pts=[(12.0, 48.0)])
+
+
+def test_lcc_1sp_tangent_cone(spark):
+    """The 1-SP LCC (single +lat_1, k_0=1) is the tangent cone —
+    n = sin(phi1); it must round-trip and agree with the 2-SP family
+    as lat_2 -> lat_1 (continuity at the coincident-parallel limit);
+    non-unit k_0 is rejected."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    k1 = resolve_proj4("+proj=lcc +lat_1=46 +lat_0=46 +lon_0=3 "
+                       "+x_0=700000 +y_0=660000 +ellps=GRS80")
+    pts = [(3.0, 46.0), (-1.5, 48.1), (6.2, 43.4)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", k1)
+    inv = get_transform(k1, "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"), "rlon", "rlat")
+    for r in df.collect():
+        assert abs(r.rlon - r.lon) < 1e-9 and abs(r.rlat - r.lat) < 1e-9
+
+    # continuity: 2-SP with parallels 1e-6 deg apart matches to < 1 mm
+    k2 = resolve_proj4("+proj=lcc +lat_1=45.9999995 +lat_2=46.0000005 "
+                       "+lat_0=46 +lon_0=3 +x_0=700000 +y_0=660000 "
+                       "+ellps=GRS80")
+    a = _fwd_points(spark, k1, pts=pts)
+    b = _fwd_points(spark, k2, pts=pts)
+    for (lo, la, x1, y1), (_, _, x2, y2) in zip(a, b):
+        assert abs(x1 - x2) < 1e-3 and abs(y1 - y2) < 1e-3, (lo, la)
+
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=lcc +lat_1=46 +k_0=0.99 +ellps=GRS80")
+    # CF single-standard-parallel spelling resolves too
+    kcf = crs_from_cf({
+        "grid_mapping_name": "lambert_conformal_conic",
+        "standard_parallel": 46.0,
+        "latitude_of_projection_origin": 46.0,
+        "longitude_of_central_meridian": 3.0,
+        "false_easting": 700_000.0, "false_northing": 660_000.0,
+        "semi_major_axis": 6_378_137.0,
+        "inverse_flattening": 298.257222101,
+    })
+    _assert_same_transform(spark, kcf, k1, pts=pts)
+
+
+def test_ease2_query_grid_edge_margins():
+    """Every cube_reproject_ease2 target center must map clear of the
+    1-degree source-cell edges (floor-boundary flake guard)."""
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import _cea_consts
+    from xcube_spark.queries.resampling_ops import _EASE2
+
+    c = _cea_consts("EPSG:6933")
+    xs = _EASE2.x_start + (np.arange(_EASE2.width) + 0.5) * _EASE2.x_res
+    ys = _EASE2.y_start + (np.arange(_EASE2.height) + 0.5) * _EASE2.y_res
+    X, Y = np.meshgrid(xs, ys)
+    lon = np.degrees(X / (c["a"] * c["k0"]))
+    beta = np.arcsin(Y * 2 * c["k0"] / c["a"] / c["qp"])
+    s = c["series"]
+    lat = np.degrees(beta + s[0] * np.sin(2 * beta)
+                     + s[1] * np.sin(4 * beta)
+                     + s[2] * np.sin(6 * beta))
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-4
+    assert np.minimum(fy, 1 - fy).min() > 1e-4
+
+
+def test_aeqd_center_distance_true(spark):
+    """Azimuthal equidistant: the map distance from the center equals
+    the great-circle distance (the projection's defining property);
+    the center maps to the origin; round trip restores input."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    k = resolve_proj4("+proj=aeqd +lat_0=48.3 +lon_0=11.6 +R=6371000")
+    pts = [(11.6, 48.3), (2.35, 48.85), (-74.0, 40.7), (151.2, -33.9)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", k)
+    inv = get_transform(k, "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    got = {(r.lon, r.lat): r for r in df.collect()}
+    r0 = got[(11.6, 48.3)]
+    assert abs(r0.x) < 1e-6 and abs(r0.y) < 1e-6
+
+    def gc(lon, lat):
+        l1, f1 = math.radians(11.6), math.radians(48.3)
+        l2, f2 = math.radians(lon), math.radians(lat)
+        return 6371000.0 * math.acos(
+            min(1.0, math.sin(f1) * math.sin(f2)
+                + math.cos(f1) * math.cos(f2) * math.cos(l1 - l2)))
+
+    for lon, lat in pts[1:]:
+        r = got[(lon, lat)]
+        assert abs(math.hypot(r.x, r.y) - gc(lon, lat)) < 1e-3
+        assert abs(r.rlon - lon) < 1e-9 and abs(r.rlat - lat) < 1e-9
+
+
+def test_ortho_visibility_and_roundtrip(spark):
+    """Orthographic: far-hemisphere points are NaN, near-hemisphere
+    round-trips; the disk edge is at rho = R."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    k = resolve_proj4("+proj=ortho +lat_0=30 +lon_0=-100 +R=6371000")
+    pts = [(-100.0, 30.0), (-90.0, 40.0), (80.0, -30.0)]  # last: far side
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", k)
+    inv = get_transform(k, "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    got = {(r.lon, r.lat): r for r in df.collect()}
+    assert math.isnan(got[(80.0, -30.0)].x)
+    r = got[(-90.0, 40.0)]
+    assert abs(r.rlon - -90.0) < 1e-9 and abs(r.rlat - 40.0) < 1e-9
+    assert math.hypot(r.x, r.y) < 6371000.0
+
+
+def test_eqc_epsg4088_and_cf_encode(spark):
+    """EPSG:4088 (World Equidistant Cylindrical, GRS80 authalic
+    sphere): x = R*radians(lon), y = R*radians(lat) exactly; the
+    PROJ.4 spelling normalizes to the code; aeqd/ortho CF attrs
+    round-trip through zarrio."""
+    import math
+
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    (got,) = _fwd_points(spark, "EPSG:4088", pts=[(90.0, 45.0)])
+    assert abs(got[2] - 6371007.0 * math.pi / 2.0) < 1e-6
+    assert abs(got[3] - 6371007.0 * math.pi / 4.0) < 1e-6
+    assert resolve_proj4("+proj=eqc +R=6371007") == "EPSG:4088"
+
+    k = resolve_proj4("+proj=aeqd +lat_0=48.3 +lon_0=11.6 +R=6371000")
+    attrs = cf_grid_mapping_attrs(k)
+    assert attrs["grid_mapping_name"] == "azimuthal_equidistant"
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs), k,
+                           pts=[(2.35, 48.85)])
+    ko = resolve_proj4("+proj=ortho +lat_0=30 +lon_0=-100 +R=6371000")
+    attrs = cf_grid_mapping_attrs(ko)
+    assert attrs["grid_mapping_name"] == "orthographic"
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs), ko,
+                           pts=[(-90.0, 40.0)])
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=aeqd +lat_0=48 +ellps=WGS84")  # ellipsoidal
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=eqc +ellps=WGS84")  # ellipsoidal 1028
+
+
+def test_aeqd_query_grid_edge_margins():
+    """Every cube_reproject_aeqd target center must map clear of the
+    1-degree source-cell edges (floor-boundary flake guard)."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        AEQD_PARAMS)
+    from xcube_spark.queries.resampling_ops import _AEQD, _AEQD_CRS
+
+    r0, lat0, lon0, fe, fn = AEQD_PARAMS[_AEQD_CRS]
+    sp0 = math.sin(math.radians(lat0))
+    cp0 = math.cos(math.radians(lat0))
+    xs = _AEQD.x_start + (np.arange(_AEQD.width) + 0.5) * _AEQD.x_res
+    ys = _AEQD.y_start + (np.arange(_AEQD.height) + 0.5) * _AEQD.y_res
+    X, Y = np.meshgrid(xs, ys)
+    rho = np.sqrt(X * X + Y * Y)
+    c = rho / r0
+    lat = np.degrees(np.arcsin(np.cos(c) * sp0
+                               + Y * np.sin(c) * cp0 / rho))
+    lon = lon0 + np.degrees(np.arctan2(
+        X * np.sin(c), rho * cp0 * np.cos(c) - Y * sp0 * np.sin(c)))
     fx = (lon + 180.0) % 1.0
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1e-4

@@ -170,14 +170,24 @@ def resolve_proj4(text: str) -> str:
             (a, _f(rf), lat0, lon0, k0, x0, y0))
 
     if proj == "lcc":
-        if "lat_1" not in p or "lat_2" not in p:
-            raise NotImplementedError(
-                "lcc: only the 2-SP form (+lat_1 and +lat_2) has "
-                "closed-form Column math here")
         _require_grs80ish(a, rf, "lcc")
+        if "lat_1" in p and "lat_2" in p:
+            lat1, lat2 = float(p["lat_1"]), float(p["lat_2"])
+        else:
+            # 1-SP form (EPSG method 9801): the single standard
+            # parallel (+lat_1, default +lat_0) with k_0=1 is exactly
+            # the 2-SP cone with both parallels on it — n = sin(phi1),
+            # same F and rho formulas.  A non-unit k_0 rescales the
+            # cone and has no 2-SP equivalent here.
+            k0 = _num(p, "k", _num(p, "k_0", 1.0))
+            if k0 != 1.0:
+                raise NotImplementedError(
+                    "lcc 1-SP: only k_0=1 is supported (a non-unit "
+                    "scale factor has no 2-SP restatement)")
+            lat1 = lat2 = _num(p, "lat_1", _num(p, "lat_0"))
         return _register(
             R.LCC_PARAMS, "lcc",
-            (float(p["lat_1"]), float(p["lat_2"]), _num(p, "lat_0"),
+            (lat1, lat2, _num(p, "lat_0"),
              _num(p, "lon_0"), _num(p, "x_0"), _num(p, "y_0")))
 
     if proj == "aea":
@@ -269,6 +279,54 @@ def resolve_proj4(text: str) -> str:
         return _register(
             R.GEOS_PARAMS, "geos",
             (float(p["h"]), _num(p, "lon_0"), sweep == "x", a, rf))
+
+    if proj in ("aeqd", "ortho"):
+        if not math.isinf(rf):
+            raise NotImplementedError(
+                f"{proj}: spherical only (+R or +a with no "
+                "flattening); the ellipsoidal form needs geodesics")
+        table = R.AEQD_PARAMS if proj == "aeqd" else R.ORTHO_PARAMS
+        return _register(
+            table, proj,
+            (a, _num(p, "lat_0"), _num(p, "lon_0"),
+             _num(p, "x_0"), _num(p, "y_0")))
+
+    if proj == "eqc":
+        if not math.isinf(rf):
+            raise NotImplementedError(
+                "eqc: spherical only (EPSG method 1029; the "
+                "ellipsoidal method 1028 meridian arc is not "
+                "implemented)")
+        if _num(p, "lat_0"):
+            raise NotImplementedError("eqc: nonzero +lat_0 not supported")
+        lat_ts = _num(p, "lat_ts")
+        lon0 = _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        if (a == 6_371_007.0 and lat_ts == 0.0 and lon0 == 0.0
+                and x0 == 0.0 and y0 == 0.0):
+            return "EPSG:4088"
+        return _register(R.EQC_PARAMS, "eqc",
+                         (a, lat_ts, lon0, x0, y0))
+
+    if proj == "cea":
+        # Lambert cylindrical equal-area (EPSG method 9835); formulas
+        # are generic in (a, rf) so any ellipsoid/sphere is accepted
+        k = p.get("k") or p.get("k_0")
+        if k is not None and float(k) != 1.0:
+            raise NotImplementedError(
+                "cea: the +k_0 scale form is not supported; use the "
+                "+lat_ts standard-parallel form")
+        lat_ts = _num(p, "lat_ts")
+        lon0 = _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        if (abs(a - 6_378_137.0) < 1e-3 and abs(rf - _WGS84_RF) < 1e-6
+                and lon0 == 0.0 and x0 == 0.0 and y0 == 0.0):
+            if lat_ts == 30.0:
+                return "EPSG:6933"   # EASE-Grid 2.0 Global
+            if lat_ts == 0.0:
+                return "ESRI:54034"
+        return _register(R.CEA_PARAMS, "cea",
+                         (a, rf, lat_ts, lon0, x0, y0))
 
     if proj == "sterea":
         # oblique (double) stereographic, EPSG method 9809
@@ -370,13 +428,14 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("k", num("scale_factor_at_central_meridian", 1.0))
     elif name == "lambert_conformal_conic":
         sps = _std_parallels(attrs)
-        if len(sps) != 2:
+        if not sps:
             raise NotImplementedError(
-                "lambert_conformal_conic: only the 2-SP form is "
-                "supported (need two standard_parallel values)")
+                "lambert_conformal_conic needs standard_parallel "
+                "(one value: 1-SP tangent cone; two: 2-SP)")
         p["proj"] = "lcc"
         put("lat_1", sps[0])
-        put("lat_2", sps[1])
+        if len(sps) == 2:
+            put("lat_2", sps[1])
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_central_meridian"))
     elif name == "albers_conical_equal_area":
@@ -433,6 +492,20 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "mollweide: nonzero longitude_of_projection_origin "
                 "not supported")
         p["proj"] = "moll"
+    elif name in ("azimuthal_equidistant", "orthographic"):
+        p["proj"] = "aeqd" if name == "azimuthal_equidistant" else "ortho"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
+    elif name == "lambert_cylindrical_equal_area":
+        if "scale_factor_at_projection_origin" in attrs:
+            raise NotImplementedError(
+                "lambert_cylindrical_equal_area: scale_factor form "
+                "not supported; provide standard_parallel")
+        p["proj"] = "cea"
+        sps = _std_parallels(attrs)
+        if sps:
+            put("lat_ts", sps[0])
+        put("lon_0", num("longitude_of_central_meridian"))
     elif name == "oblique_stereographic":
         # pyproj's CF name for EPSG method 9809 (not in the CF
         # appendix, which has no entry for the double stereographic)

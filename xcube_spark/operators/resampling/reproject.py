@@ -1370,6 +1370,264 @@ def ps_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     )
 
 
+# ---- spherical azimuthal equidistant / orthographic / equidistant
+# ---- cylindrical ------------------------------------------------------
+#
+# Three spherical closed forms (Snyder chs. 25, 20, 12) rounding out
+# the CF grid-mapping names the reference accepts via pyproj:
+# azimuthal_equidistant, orthographic, and PROJ +proj=eqc (EPSG
+# method 1029 on the authalic sphere, EPSG:4088).  Ellipsoidal aeqd
+# needs geodesics and ellipsoidal eqc a meridian-arc series — both
+# raise with a clear message in crsparse rather than silently
+# approximating.
+
+#: crs -> (R, lat0, lon0, false easting, false northing)
+AEQD_PARAMS: dict[str, tuple] = {}
+
+#: crs -> (R, lat0, lon0, false easting, false northing)
+ORTHO_PARAMS: dict[str, tuple] = {}
+
+#: crs -> (R, lat_ts, lon0, false easting, false northing)
+EQC_PARAMS: dict[str, tuple] = {
+    # World Equidistant Cylindrical (GRS80 authalic sphere)
+    "EPSG:4088": (6_371_007.0, 0.0, 0.0, 0.0, 0.0),
+}
+
+
+def _azi_consts(table: dict, crs: str) -> dict:
+    r, lat0, lon0, fe, fn = table[crs.upper()]
+    phi0 = math.radians(lat0)
+    return dict(r=r, lon0=lon0, fe=fe, fn=fn,
+                sp0=math.sin(phi0), cp0=math.cos(phi0))
+
+
+def _lonlat_to_aeqd_fn(crs: str) -> ColumnTransform:
+    c = _azi_consts(AEQD_PARAMS, crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        dl = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        cosc = (F.lit(c["sp0"]) * F.sin(phi)
+                + F.lit(c["cp0"]) * F.cos(phi) * F.cos(dl))
+        cang = F.acos(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cosc)))
+        # k' = c/sin c, 1 at the center (Snyder 25-2)
+        kp = F.when(F.sin(cang) == 0.0, F.lit(1.0)) \
+            .otherwise(cang / F.sin(cang))
+        x = F.lit(c["fe"]) + F.lit(c["r"]) * kp * F.cos(phi) * F.sin(dl)
+        y = F.lit(c["fn"]) + F.lit(c["r"]) * kp * (
+            F.lit(c["cp0"]) * F.sin(phi)
+            - F.lit(c["sp0"]) * F.cos(phi) * F.cos(dl))
+        return x, y
+
+    return fwd
+
+
+def _aeqd_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _azi_consts(AEQD_PARAMS, crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yn = y - F.lit(c["fn"])
+        rho = F.sqrt(xe * xe + yn * yn)
+        cang = rho / F.lit(c["r"])
+        phi = F.when(rho == 0.0, F.asin(F.lit(c["sp0"]))).otherwise(
+            F.asin(F.cos(cang) * F.lit(c["sp0"])
+                   + yn * F.sin(cang) * F.lit(c["cp0"]) / rho))
+        lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+            F.atan2(xe * F.sin(cang),
+                    rho * F.lit(c["cp0"]) * F.cos(cang)
+                    - yn * F.lit(c["sp0"]) * F.sin(cang)))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def aeqd_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME spherical azimuthal-equidistant inverse as SQL strings
+    (for DuckDB oracles) — identical op order to
+    :func:`_aeqd_to_lonlat_fn`.  Returns (lon_sql, lat_sql)."""
+    c = _azi_consts(AEQD_PARAMS, crs)
+    xe = f"(({x_expr}) - {c['fe']!r})"
+    yn = f"(({y_expr}) - {c['fn']!r})"
+    rho = f"sqrt({xe} * {xe} + {yn} * {yn})"
+    cang = f"({rho} / {c['r']!r})"
+    phi = (f"(CASE WHEN {rho} = 0.0 THEN asin({c['sp0']!r}) ELSE "
+           f"asin(cos({cang}) * {c['sp0']!r} + {yn} * sin({cang})"
+           f" * {c['cp0']!r} / {rho}) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xe} * sin({cang}), {rho} * {c['cp0']!r}"
+           f" * cos({cang}) - {yn} * {c['sp0']!r} * sin({cang})) END)")
+    return (f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})")
+
+
+def _lonlat_to_ortho_fn(crs: str) -> ColumnTransform:
+    c = _azi_consts(ORTHO_PARAMS, crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        dl = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        cosc = (F.lit(c["sp0"]) * F.sin(phi)
+                + F.lit(c["cp0"]) * F.cos(phi) * F.cos(dl))
+        nan = F.lit(float("nan"))
+        x = F.lit(c["fe"]) + F.lit(c["r"]) * F.cos(phi) * F.sin(dl)
+        y = F.lit(c["fn"]) + F.lit(c["r"]) * (
+            F.lit(c["cp0"]) * F.sin(phi)
+            - F.lit(c["sp0"]) * F.cos(phi) * F.cos(dl))
+        vis = cosc >= 0.0  # far hemisphere is not on the map
+        return F.when(vis, x).otherwise(nan), \
+            F.when(vis, y).otherwise(nan)
+
+    return fwd
+
+
+def _ortho_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _azi_consts(ORTHO_PARAMS, crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yn = y - F.lit(c["fn"])
+        rho = F.sqrt(xe * xe + yn * yn)
+        # off-disk: asin(>1) -> NaN, the documented not-visible signal
+        cang = F.asin(rho / F.lit(c["r"]))
+        phi = F.when(rho == 0.0, F.asin(F.lit(c["sp0"]))).otherwise(
+            F.asin(F.cos(cang) * F.lit(c["sp0"])
+                   + yn * F.sin(cang) * F.lit(c["cp0"]) / rho))
+        lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+            F.atan2(xe * F.sin(cang),
+                    rho * F.lit(c["cp0"]) * F.cos(cang)
+                    - yn * F.lit(c["sp0"]) * F.sin(cang)))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def _lonlat_to_eqc_fn(crs: str) -> ColumnTransform:
+    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
+    rc = r * math.cos(math.radians(lat_ts))
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        return (F.lit(fe) + F.lit(rc) * F.radians(lon - F.lit(lon0)),
+                F.lit(fn) + F.lit(r) * F.radians(lat))
+
+    return fwd
+
+
+def _eqc_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
+    rc = r * math.cos(math.radians(lat_ts))
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        return (F.lit(lon0) + F.degrees((x - F.lit(fe)) / F.lit(rc)),
+                F.degrees((y - F.lit(fn)) / F.lit(r)))
+
+    return inv
+
+
+def eqc_inverse_sql(x_expr: str, y_expr: str,
+                    crs: str) -> tuple[str, str]:
+    """The SAME equidistant-cylindrical inverse as SQL strings (for
+    DuckDB oracles).  Returns (lon_sql, lat_sql)."""
+    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
+    rc = r * math.cos(math.radians(lat_ts))
+    return (f"({lon0!r} + degrees((({x_expr}) - {fe!r}) / {rc!r}))",
+            f"degrees((({y_expr}) - {fn!r}) / {r!r})")
+
+
+# ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
+#
+# EPSG method 9835 (ellipsoidal CEA, Snyder eqs. 10-1/10-2 with the
+# 3-12 authalic q and the 3-18 beta->phi series).  The NSIDC EASE-Grid
+# 2.0 global grid (EPSG:6933, WGS84, standard parallel 30) is the
+# canonical user (SMAP, AMSR soil-moisture/snow products); the
+# reference reaches it through pyproj (core/gridmapping/transform.py).
+
+#: crs -> (a, rf, lat_ts, lon0, false easting, false northing)
+CEA_PARAMS: dict[str, tuple] = {
+    # EASE-Grid 2.0 Global (NSIDC)
+    "EPSG:6933": (6_378_137.0, 298.257223563, 30.0, 0.0, 0.0, 0.0),
+    # World Cylindrical Equal Area
+    "ESRI:54034": (6_378_137.0, 298.257223563, 0.0, 0.0, 0.0, 0.0),
+}
+
+
+def _cea_consts(crs: str) -> dict:
+    a, rf, lat_ts, lon0, fe, fn = CEA_PARAMS[crs.upper()]
+    f = 0.0 if math.isinf(rf) else 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    s1 = math.sin(math.radians(lat_ts))
+    k0 = math.cos(math.radians(lat_ts)) / math.sqrt(1.0 - es * s1 * s1)
+
+    def q_of(s: float) -> float:
+        if es == 0.0:
+            return 2.0 * s
+        return (1.0 - es) * (
+            s / (1.0 - es * s * s)
+            - (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+
+    series = (
+        es / 3.0 + 31.0 * es ** 2 / 180.0 + 517.0 * es ** 3 / 5040.0,
+        23.0 * es ** 2 / 360.0 + 251.0 * es ** 3 / 3780.0,
+        761.0 * es ** 3 / 45360.0,
+    )
+    return dict(a=a, e=e, es=es, k0=k0, lon0=lon0, fe=fe, fn=fn,
+                qp=q_of(1.0), series=series)
+
+
+def _lonlat_to_cea_fn(crs: str) -> ColumnTransform:
+    c = _cea_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        x = (F.lit(c["fe"])
+             + F.lit(c["a"] * c["k0"]) * F.radians(lon - F.lit(c["lon0"])))
+        s = F.sin(F.radians(lat))
+        if c["es"] == 0.0:
+            q = F.lit(2.0) * s
+        else:
+            es, e = c["es"], c["e"]
+            q = F.lit(1.0 - es) * (
+                s / (F.lit(1.0) - F.lit(es) * s * s)
+                - F.lit(1.0 / (2.0 * e))
+                * F.log((F.lit(1.0) - F.lit(e) * s)
+                        / (F.lit(1.0) + F.lit(e) * s)))
+        y = F.lit(c["fn"]) + F.lit(c["a"]) * q / F.lit(2.0 * c["k0"])
+        return x, y
+
+    return fwd
+
+
+def _cea_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _cea_consts(crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        lon = (F.lit(c["lon0"])
+               + F.degrees((x - F.lit(c["fe"])) / F.lit(c["a"] * c["k0"])))
+        beta = F.asin((y - F.lit(c["fn"]))
+                      * F.lit(2.0 * c["k0"] / c["a"]) / F.lit(c["qp"]))
+        phi = beta
+        for j, cf in enumerate(c["series"], start=1):
+            phi = phi + F.lit(cf) * F.sin(F.lit(2.0 * j) * beta)
+        return lon, F.degrees(phi)
+
+    return inv
+
+
+def cea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
+    """The SAME cylindrical-equal-area inverse as SQL strings (for
+    DuckDB oracles) — identical op order to :func:`_cea_to_lonlat_fn`.
+    Returns (lon_sql, lat_sql)."""
+    c = _cea_consts(crs)
+    lon = (f"({c['lon0']!r} + degrees((({x_expr}) - {c['fe']!r})"
+           f" / {c['a'] * c['k0']!r}))")
+    beta = (f"asin((({y_expr}) - {c['fn']!r})"
+            f" * {2.0 * c['k0'] / c['a']!r} / {c['qp']!r})")
+    phi = beta
+    for j, cf in enumerate(c["series"], start=1):
+        phi = f"({phi} + {cf!r} * sin(2.0 * {j} * {beta}))"
+    return lon, f"degrees({phi})"
+
+
 # ---- Lambert azimuthal equal-area (EPSG:3035 and kin) -----------------
 #
 # The reference's most common European target grid (ETRS89-LAEA) goes
@@ -1550,8 +1808,14 @@ def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float]:
     """(n, a*Fc, rho0, lon0, fe, fn) for the CRS (Snyder 15-3/15-2/15-1a)."""
     lat1, lat2, lat0, lon0, fe, fn = LCC_PARAMS[crs.upper()]
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-    n = (math.log(_lcc_m(p1)) - math.log(_lcc_m(p2))) / (
-        math.log(_lcc_t(p1)) - math.log(_lcc_t(p2)))
+    if lat1 == lat2:
+        # coincident parallels: the secant cone degenerates to the
+        # tangent cone, n -> sin(phi1) (the 1-SP form, EPSG 9801 —
+        # the 0/0 limit of the 2-SP quotient below)
+        n = math.sin(p1)
+    else:
+        n = (math.log(_lcc_m(p1)) - math.log(_lcc_m(p2))) / (
+            math.log(_lcc_t(p1)) - math.log(_lcc_t(p2)))
     af = _R * _lcc_m(p1) / (n * _lcc_t(p1) ** n)
     rho0 = af * _lcc_t(p0) ** n
     return n, af, rho0, lon0, fe, fn
@@ -1839,6 +2103,14 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _sterea_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
+    if up in CEA_PARAMS:
+        return _cea_to_lonlat_fn(up)
+    if up in AEQD_PARAMS:
+        return _aeqd_to_lonlat_fn(up)
+    if up in ORTHO_PARAMS:
+        return _ortho_to_lonlat_fn(up)
+    if up in EQC_PARAMS:
+        return _eqc_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
         return _laea_to_lonlat_fn(up)
     if up in LCC_PARAMS:
@@ -1876,6 +2148,14 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_sterea_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
+    if up in CEA_PARAMS:
+        return _lonlat_to_cea_fn(up)
+    if up in AEQD_PARAMS:
+        return _lonlat_to_aeqd_fn(up)
+    if up in ORTHO_PARAMS:
+        return _lonlat_to_ortho_fn(up)
+    if up in EQC_PARAMS:
+        return _lonlat_to_eqc_fn(up)
     if up in LAEA_PARAMS:
         return _lonlat_to_laea_fn(up)
     if up in LCC_PARAMS:

@@ -97,6 +97,8 @@ PRIORITY_ORDER = (
     # round-8 additions (never sampled yet)
     "cube_reproject_rotated_pole",
     "cube_reproject_rdnew",
+    "cube_reproject_ease2",
+    "cube_reproject_aeqd",
     # round-7 addition never driver-sampled (landed post-log) — FIRST
     "cube_reproject_geos",
     # round-7 additions (never sampled yet)

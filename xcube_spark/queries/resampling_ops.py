@@ -839,6 +839,119 @@ def cube_reproject_rdnew(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
+
+from xcube_spark.operators.resampling.reproject import cea_inverse_sql
+
+#: near-global EASE-2 window with off-round origin/steps: every
+#: re-projected center stays >= 9.4e-4 deg from any 1-degree
+#: source-cell edge (margin asserted in tests/test_crsparse.py)
+_EASE2 = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-8_641_013.0, y_start=-6_231_011.0,
+                  x_res=432_017.0, y_res=312_013.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs="EPSG:6933")
+
+_EASE2_LON, _EASE2_LAT = cea_inverse_sql(
+    "(-8641013.0 + (x_i + 0.5) * 432017.0)",
+    "(-6231011.0 + (y_i + 0.5) * 312013.0)", "EPSG:6933")
+
+
+@query(
+    "cube_reproject_ease2",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_EASE2.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_EASE2_LON} AS lon,
+                   {_EASE2_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_ease2(spark, sf_dir):
+    """reproject_dataset onto the NSIDC EASE-Grid 2.0 global grid
+    (EPSG:6933: ellipsoidal Lambert cylindrical equal-area, WGS84,
+    standard parallel 30 — the SMAP/AMSR product grid), EPSG method
+    9835 via Snyder's authalic-latitude closed forms; x extent
+    reproduces the published ±17367530.445161 m constant.  The oracle
+    states the identical inverse in SQL (cea_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _EASE2)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: azimuthal equidistant local grid ------------------------
+
+from xcube_spark.operators.resampling.reproject import aeqd_inverse_sql
+
+#: spherical azimuthal-equidistant grid centered near Munich — the
+#: classic local-area/range-ring projection (CF azimuthal_equidistant)
+_AEQD_CRS = resolve_proj4("+proj=aeqd +lat_0=48.3 +lon_0=11.6 +R=6371000")
+
+#: off-round origin/steps keep every re-projected center >= 1.5e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_AEQD = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-2_801_013.0, y_start=-2_403_011.0,
+                 x_res=140_017.0, y_res=120_013.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs=_AEQD_CRS)
+
+_AEQD_LON, _AEQD_LAT = aeqd_inverse_sql(
+    "(-2801013.0 + (x_i + 0.5) * 140017.0)",
+    "(-2403011.0 + (y_i + 0.5) * 120013.0)", _AEQD_CRS)
+
+
+@query(
+    "cube_reproject_aeqd",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_AEQD.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_AEQD_LON} AS lon,
+                   {_AEQD_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_aeqd(spark, sf_dir):
+    """reproject_dataset onto a spherical azimuthal-equidistant local
+    grid (Snyder ch. 25; CF azimuthal_equidistant) — distances and
+    azimuths from the center are true, the standard choice for
+    range-ring / local-area products; reference reaches it via pyproj.
+    The oracle states the identical inverse in SQL (aeqd_inverse_sql,
+    same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _AEQD)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become

@@ -480,6 +480,30 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
         else:
             out["semi_minor_axis"] = a
         return out
+    if code in R.AEQD_PARAMS or code in R.ORTHO_PARAMS:
+        table = (R.AEQD_PARAMS if code in R.AEQD_PARAMS
+                 else R.ORTHO_PARAMS)
+        name = ("azimuthal_equidistant" if code in R.AEQD_PARAMS
+                else "orthographic")
+        r, lat0, lon0, fe, fn = table[code]
+        return {"grid_mapping_name": name,
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_projection_origin": lon0,
+                "false_easting": fe, "false_northing": fn,
+                "earth_radius": r}
+    if code in R.CEA_PARAMS:
+        a, rf, lat_ts, lon0, fe, fn = R.CEA_PARAMS[code]
+        out = {"grid_mapping_name": "lambert_cylindrical_equal_area",
+               "standard_parallel": lat_ts,
+               "longitude_of_central_meridian": lon0,
+               "false_easting": fe, "false_northing": fn,
+               "semi_major_axis": a}
+        import math as _math
+        if _math.isfinite(rf):
+            out["inverse_flattening"] = rf
+        else:
+            out["semi_minor_axis"] = a
+        return out
     if code in R.STEREA_PARAMS:
         a, rf, lat0, lon0, k0, fe, fn = R.STEREA_PARAMS[code]
         return {"grid_mapping_name": "oblique_stereographic",
