@@ -907,8 +907,8 @@ def test_eqc_epsg4088_and_cf_encode(spark):
                            pts=[(-90.0, 40.0)])
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=aeqd +lat_0=48 +ellps=WGS84")  # ellipsoidal
-    with pytest.raises(NotImplementedError):
-        resolve_proj4("+proj=eqc +ellps=WGS84")  # ellipsoidal 1028
+    # ellipsoidal eqc (method 1028) is SUPPORTED since later round 8
+    assert resolve_proj4("+proj=eqc +ellps=WGS84") == "EPSG:4087"
 
 
 def test_aeqd_query_grid_edge_margins():
@@ -938,3 +938,185 @@ def test_aeqd_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1e-4
     assert np.minimum(fy, 1 - fy).min() > 1e-4
+
+
+def test_eqc_ellipsoidal_meridian_arc(spark):
+    """EPSG:4087 (ellipsoidal eqc, method 1028): y is the meridian
+    arc — y(90) equals the quarter meridian (WGS84: 10001965.729 m,
+    a published geodetic constant); x = a*radians(lon); round trip
+    <1e-9 deg."""
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    got = {(lon, lat): (x, y) for (lon, lat, x, y) in _fwd_points(
+        spark, "EPSG:4087", [(90.0, 90.0), (45.0, 45.0)])}
+    x, y = got[(90.0, 90.0)]
+    assert abs(y - 10_001_965.729) < 1e-2  # quarter meridian
+    import math
+    assert abs(x - 6_378_137.0 * math.pi / 2.0) < 1e-6
+    # y(45) is NOT R*radians(45): the arc is shorter than the sphere's
+    x45, y45 = got[(45.0, 45.0)]
+    assert abs(y45 - 4_984_944.378) < 1.0  # published WGS84 M(45)
+
+    pts = [(-120.0, -67.5), (0.0, 0.0), (60.0, 33.3), (170.0, 80.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:4087")
+    inv = get_transform("EPSG:4087", "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    for r in df.collect():
+        # 3rd-order Krueger truncation: ~1.5e-9 deg (sub-mm)
+        assert abs(r.rlon - r.lon) < 1e-8 and abs(r.rlat - r.lat) < 1e-8
+
+
+def test_merc_k0_form_restates_as_lat_ts(spark):
+    """Mercator variant A (+k_0) resolves through the closed-form
+    m(lat_ts)=k0 solve: x = a*k0*radians(lon) to sub-micrometre, and
+    the k_0=1 spelling lands exactly on the EPSG:3395 family."""
+    import math
+
+    k = resolve_proj4("+proj=merc +k_0=0.9996 +lon_0=0 +ellps=WGS84")
+    (got,) = _fwd_points(spark, k, pts=[(10.0, 0.0)])
+    assert abs(got[2] - 6_378_137.0 * 0.9996 * math.radians(10.0)) < 1e-6
+    k1 = resolve_proj4("+proj=merc +k_0=1.0 +lon_0=0 +ellps=WGS84")
+    _assert_same_transform(spark, k1, "EPSG:3395", pts=[(12.0, 48.0)])
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=merc +k_0=1.1 +ellps=WGS84")
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=merc +k_0=0.9 +lat_ts=30 +ellps=WGS84")
+    # CF scale-factor spelling goes through the same solve
+    kcf = crs_from_cf({"grid_mapping_name": "mercator",
+                       "scale_factor_at_projection_origin": 0.9996,
+                       "longitude_of_projection_origin": 0.0,
+                       "semi_major_axis": 6_378_137.0,
+                       "inverse_flattening": 298.257223563})
+    _assert_same_transform(spark, kcf, k, pts=[(10.0, 0.0), (3.0, 46.5)])
+
+
+def test_stereg_spherical_any_aspect(spark):
+    """Spherical stereographic (Snyder ch. 21): conformal circles —
+    the projection of a point at angular distance c from the center
+    sits at rho = 2*R*k0*tan(c/2); oblique aspect round-trips; the CF
+    'stereographic' name with earth_radius decodes onto it."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    k = resolve_proj4("+proj=stere +lat_0=40 +lon_0=-30 +k_0=0.994 "
+                      "+R=6370997")
+    pts = [(-30.0, 40.0), (10.0, 55.0), (-80.0, 10.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", k)
+    inv = get_transform(k, "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    got = {(r.lon, r.lat): r for r in df.collect()}
+    assert abs(got[(-30.0, 40.0)].x) < 1e-6
+    for lon, lat in pts[1:]:
+        r = got[(lon, lat)]
+        l1, f1 = math.radians(-30.0), math.radians(40.0)
+        l2, f2 = math.radians(lon), math.radians(lat)
+        c = math.acos(math.sin(f1) * math.sin(f2)
+                      + math.cos(f1) * math.cos(f2) * math.cos(l1 - l2))
+        rho = 2.0 * 6370997.0 * 0.994 * math.tan(c / 2.0)
+        assert abs(math.hypot(r.x, r.y) - rho) < 1e-3, (lon, lat)
+        assert abs(r.rlon - lon) < 1e-9 and abs(r.rlat - lat) < 1e-9
+
+    attrs = cf_grid_mapping_attrs(k)
+    assert attrs["grid_mapping_name"] == "stereographic"
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs), k,
+                           pts=pts[1:])
+
+
+def test_omerc_epsg_worked_example(spark):
+    """EPSG GN7-2 Hotine variant B worked example (Timbalai 1948 /
+    RSO Borneo, EPSG:29873): the published test point maps mm-exact;
+    the projection center maps to the false origin; round trip
+    <1e-9 deg; proj4 +omerc resolves to the same transform."""
+    lat_t = 5 + 23 / 60 + 14.1129 / 3600
+    lon_t = 115 + 48 / 60 + 19.8196 / 3600
+    got = {(lon, lat): (x, y) for (lon, lat, x, y) in _fwd_points(
+        spark, "EPSG:29873", [(lon_t, lat_t), (115.0, 4.0)])}
+    e, n = got[(lon_t, lat_t)]
+    assert abs(e - 679245.73) < 1e-2 and abs(n - 596562.78) < 1e-2
+    e, n = got[(115.0, 4.0)]
+    assert abs(e - 590476.87) < 1e-6 and abs(n - 442857.65) < 1e-6
+
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    pts = [(lon_t, lat_t), (112.5, 1.2), (118.0, 6.9)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:29873")
+    inv = get_transform("EPSG:29873", "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    for r in df.collect():
+        assert abs(r.rlon - r.lon) < 1e-9 and abs(r.rlat - r.lat) < 1e-9
+
+    key = resolve_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 "
+        "+alpha=53.31582047222222 +gamma=53.13010236111111 "
+        "+k_0=0.99984 +x_0=590476.87 +y_0=442857.65 "
+        "+a=6377298.556 +rf=300.8017")
+    _assert_same_transform(spark, key, key, pts=pts)
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=omerc +lat_1=1 +lon_1=2 +lat_2=3 "
+                      "+lon_2=4 +ellps=WGS84")  # two-point form
+
+
+def test_omerc_cf_roundtrip_and_margins(spark):
+    """CF oblique_mercator encode/decode round-trips EPSG:29873; the
+    cube_reproject_omerc window keeps >= 1e-3 deg floor margins."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        OMERC_PARAMS, _omerc_consts)
+    from xcube_spark.queries.resampling_ops import _RSO
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    attrs = cf_grid_mapping_attrs("EPSG:29873")
+    assert attrs["grid_mapping_name"] == "oblique_mercator"
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs),
+                           "EPSG:29873", pts=[(115.5, 4.5)])
+
+    c = _omerc_consts("EPSG:29873")
+    xs = _RSO.x_start + (np.arange(_RSO.width) + 0.5) * _RSO.x_res
+    ys = _RSO.y_start + (np.arange(_RSO.height) + 0.5) * _RSO.y_res
+    X, Y = np.meshgrid(xs, ys)
+    vv = (X - c["ec"]) * c["cg"] - (Y - c["nc"]) * c["sg"]
+    uu = (Y - c["nc"]) * c["cg"] + (X - c["ec"]) * c["sg"] + c["uoff"]
+    q = np.exp(-c["b"] * vv / c["big_a"])
+    s = (q - 1 / q) / 2
+    t = (q + 1 / q) / 2
+    bu = c["b"] * uu / c["big_a"]
+    u = (np.sin(bu) * c["cg0"] + s * c["sg0"]) / t
+    tt = (c["h"] / np.sqrt((1 + u) / (1 - u))) ** (1 / c["b"])
+    chi = math.pi / 2 - 2 * np.arctan(tt)
+    phi = chi
+    for j, cf in enumerate(c["series"], start=1):
+        phi = phi + cf * np.sin(2 * j * chi)
+    lat = np.degrees(phi)
+    lon = np.degrees(c["lam0"] - np.arctan2(
+        s * c["cg0"] - np.sin(bu) * c["sg0"], np.cos(bu)) / c["b"])
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-3
+    assert np.minimum(fy, 1 - fy).min() > 1e-3

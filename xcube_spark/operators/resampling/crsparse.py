@@ -47,6 +47,7 @@ ELLIPSOIDS: dict[str, tuple[float, float]] = {
 
 _GRS80_RF = 298.257222101
 _WGS84_RF = 298.257223563
+_WGS84_E2 = (1.0 / _WGS84_RF) * (2.0 - 1.0 / _WGS84_RF)
 
 
 def parse_proj4(text: str) -> dict[str, str]:
@@ -208,10 +209,23 @@ def resolve_proj4(text: str) -> str:
 
     if proj == "stere":
         lat0 = _num(p, "lat_0")
+        if math.isinf(rf):
+            # spherical stereographic, ANY aspect (Snyder ch. 21) —
+            # the CF 'stereographic' name lands here
+            if "lat_ts" in p:
+                raise NotImplementedError(
+                    "stere (spherical): +lat_ts form not supported; "
+                    "use +k_0")
+            k0 = _num(p, "k", _num(p, "k_0", 1.0))
+            return _register(
+                R.STEREG_PARAMS, "stereg",
+                (a, k0, lat0, _num(p, "lon_0"),
+                 _num(p, "x_0"), _num(p, "y_0")))
         if abs(abs(lat0) - 90.0) > 1e-9:
             raise NotImplementedError(
-                "stere: only the polar aspect (+lat_0=±90) has "
-                "closed-form Column math here")
+                "stere: the ellipsoidal oblique/equatorial aspect is "
+                "not implemented (use +proj=sterea for the double "
+                "stereographic, or a sphere +R for Snyder ch. 21)")
         if _num(p, "x_0") or _num(p, "y_0"):
             raise NotImplementedError(
                 "stere: nonzero +x_0/+y_0 not supported")
@@ -239,13 +253,28 @@ def resolve_proj4(text: str) -> str:
                 return "EPSG:3857"
             raise NotImplementedError(
                 "merc: spherical form only as web-mercator defaults")
-        if abs(rf - _WGS84_RF) < 1e-3 and abs(a - 6_378_137.0) < 1e-3 \
-                and k == 1.0:
+        if abs(rf - _WGS84_RF) < 1e-3 and abs(a - 6_378_137.0) < 1e-3:
+            if k != 1.0:
+                # variant A (+k_0): restate as variant B — m(lat_ts)
+                # = k0 has the closed-form solve sin^2(phi) =
+                # (1-k0^2)/(1-e^2*k0^2), so the registered transform
+                # is numerically the k0 form (ak = a*m(lat_ts) = a*k0)
+                if lat_ts:
+                    raise NotImplementedError(
+                        "merc: +k_0 together with +lat_ts is "
+                        "ambiguous")
+                if not 0.0 < k <= 1.0:
+                    raise NotImplementedError(
+                        "merc: +k_0 must be in (0, 1] (m(phi) <= 1 "
+                        "on the ellipsoid)")
+                es = _WGS84_E2
+                lat_ts = math.degrees(math.asin(math.sqrt(
+                    (1.0 - k * k) / (1.0 - es * k * k))))
             # ellipsoidal Mercator (Snyder 7-7; EPSG:3395 family)
             return _register(R.MERC_PARAMS, "merc",
                              (lat_ts, lon0, x0, y0))
         raise NotImplementedError(
-            "merc: only WGS84 (+k=1) or spherical web form supported")
+            "merc: only WGS84 or the spherical web form is supported")
 
     if proj == "sinu":
         if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
@@ -292,21 +321,19 @@ def resolve_proj4(text: str) -> str:
              _num(p, "x_0"), _num(p, "y_0")))
 
     if proj == "eqc":
-        if not math.isinf(rf):
-            raise NotImplementedError(
-                "eqc: spherical only (EPSG method 1029; the "
-                "ellipsoidal method 1028 meridian arc is not "
-                "implemented)")
         if _num(p, "lat_0"):
             raise NotImplementedError("eqc: nonzero +lat_0 not supported")
         lat_ts = _num(p, "lat_ts")
         lon0 = _num(p, "lon_0")
         x0, y0 = _num(p, "x_0"), _num(p, "y_0")
-        if (a == 6_371_007.0 and lat_ts == 0.0 and lon0 == 0.0
-                and x0 == 0.0 and y0 == 0.0):
-            return "EPSG:4088"
+        if lat_ts == 0.0 and lon0 == 0.0 and x0 == 0.0 and y0 == 0.0:
+            if a == 6_371_007.0 and math.isinf(rf):
+                return "EPSG:4088"  # sphere, method 1029
+            if (abs(a - 6_378_137.0) < 1e-3
+                    and abs(rf - _WGS84_RF) < 1e-6):
+                return "EPSG:4087"  # WGS84 ellipsoid, method 1028
         return _register(R.EQC_PARAMS, "eqc",
-                         (a, lat_ts, lon0, x0, y0))
+                         (a, rf, lat_ts, lon0, x0, y0))
 
     if proj == "cea":
         # Lambert cylindrical equal-area (EPSG method 9835); formulas
@@ -341,6 +368,25 @@ def resolve_proj4(text: str) -> str:
         return _register(R.STEREA_PARAMS, "sterea",
                          (a, rf, lat0, lon0, k0, x0, y0))
 
+    if proj == "omerc":
+        # Hotine oblique Mercator (EPSG 9812 variant A with
+        # +no_uoff, else 9815 variant B); the two-point form
+        # (+lon_1/+lat_1/+lon_2/+lat_2) is not supported
+        if "lat_1" in p or "lon_1" in p:
+            raise NotImplementedError(
+                "omerc: the two-point form is not supported; give "
+                "+alpha (and optionally +gamma)")
+        if "alpha" not in p:
+            raise NotImplementedError("omerc needs +alpha")
+        alpha = float(p["alpha"])
+        gamma = float(p.get("gamma", p["alpha"]))
+        return _register(
+            R.OMERC_PARAMS, "omerc",
+            (a, rf, _num(p, "lat_0"),
+             _num(p, "lonc", _num(p, "lon_0")), alpha, gamma,
+             _num(p, "k", _num(p, "k_0", 1.0)),
+             _num(p, "x_0"), _num(p, "y_0"), "no_uoff" in p))
+
     if proj == "ob_tran":
         o_proj = p.get("o_proj", "").lower()
         if o_proj not in ("longlat", "latlong", "lonlat", "latlon"):
@@ -367,8 +413,9 @@ def resolve_proj4(text: str) -> str:
 
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
-        "(supported: longlat, utm, tmerc, lcc[2-SP], aea, laea, "
-        "stere[polar], merc, geos, sinu, moll, ob_tran[longlat])")
+        "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
+        "sterea, merc, geos, sinu, moll, ob_tran[longlat], cea, "
+        "aeqd[sph], ortho[sph], eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -496,6 +543,27 @@ def crs_from_cf(attrs: Mapping) -> str:
         p["proj"] = "aeqd" if name == "azimuthal_equidistant" else "ortho"
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
+    elif name == "oblique_mercator":
+        if "azimuth_of_central_line" not in attrs:
+            raise NotImplementedError(
+                "oblique_mercator needs azimuth_of_central_line")
+        p["proj"] = "omerc"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lonc", num("longitude_of_projection_origin"))
+        put("alpha", num("azimuth_of_central_line"))
+        # CF has no rectified-skew attr; PROJ's gamma defaults to
+        # alpha, so decode follows — unless our writer recorded it
+        if "rectified_grid_angle" in attrs:
+            put("gamma", num("rectified_grid_angle"))
+        put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "stereographic":
+        # CF general stereographic: spherical datums resolve onto the
+        # Snyder ch. 21 family; ellipsoidal oblique is rejected in
+        # resolve_proj4 (use oblique_stereographic / polar_stereographic)
+        p["proj"] = "stere"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
+        put("k", num("scale_factor_at_projection_origin", 1.0))
     elif name == "lambert_cylindrical_equal_area":
         if "scale_factor_at_projection_origin" in attrs:
             raise NotImplementedError(
@@ -524,14 +592,15 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lon_0", num("grid_north_pole_longitude") + 180.0)
         put("o_lon_p", num("north_pole_grid_longitude"))
     elif name == "mercator":
-        if "scale_factor_at_projection_origin" in attrs:
-            raise NotImplementedError(
-                "mercator: scale_factor form not supported; provide "
-                "standard_parallel")
         p["proj"] = "merc"
-        sps = _std_parallels(attrs)
-        if sps:
-            put("lat_ts", sps[0])
+        if "scale_factor_at_projection_origin" in attrs:
+            # variant A: restated as variant B in resolve_proj4's
+            # closed-form m(lat_ts) = k0 solve
+            put("k", num("scale_factor_at_projection_origin"))
+        else:
+            sps = _std_parallels(attrs)
+            if sps:
+                put("lat_ts", sps[0])
         put("lon_0", num("longitude_of_projection_origin"))
     else:
         raise NotImplementedError(

@@ -1387,10 +1387,14 @@ AEQD_PARAMS: dict[str, tuple] = {}
 #: crs -> (R, lat0, lon0, false easting, false northing)
 ORTHO_PARAMS: dict[str, tuple] = {}
 
-#: crs -> (R, lat_ts, lon0, false easting, false northing)
+#: crs -> (a, rf, lat_ts, lon0, false easting, false northing);
+#: rf = inf is the spherical method 1029, finite rf the ellipsoidal
+#: method 1028 (meridian arc via the Krueger rectifying series)
 EQC_PARAMS: dict[str, tuple] = {
     # World Equidistant Cylindrical (GRS80 authalic sphere)
-    "EPSG:4088": (6_371_007.0, 0.0, 0.0, 0.0, 0.0),
+    "EPSG:4088": (6_371_007.0, math.inf, 0.0, 0.0, 0.0, 0.0),
+    # WGS 84 / World Equidistant Cylindrical (ellipsoidal)
+    "EPSG:4087": (6_378_137.0, 298.257223563, 0.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -1502,24 +1506,362 @@ def _ortho_to_lonlat_fn(crs: str) -> ColumnTransform:
     return inv
 
 
-def _lonlat_to_eqc_fn(crs: str) -> ColumnTransform:
-    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
-    rc = r * math.cos(math.radians(lat_ts))
+def _eqc_consts(crs: str) -> dict:
+    a, rf, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
+    phi1 = math.radians(lat_ts)
+    if math.isinf(rf):
+        return dict(sphere=True, lon0=lon0, fe=fe, fn=fn,
+                    rc=a * math.cos(phi1), ry=a)
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    alpha, beta, delta, ar = _tm_series(f)
+    s1 = math.sin(phi1)
+    return dict(sphere=False, lon0=lon0, fe=fe, fn=fn, e=e,
+                rc=a * math.cos(phi1) / math.sqrt(1.0 - es * s1 * s1),
+                ary=a * ar, alpha=alpha, beta=beta, delta=delta)
+
+
+# ---- Hotine oblique Mercator (EPSG 9812/9815) --------------------------
+#
+# The rotated-aspect Mercator for slanted features (Malaysia/Borneo
+# RSO grids, Alaska zone 1, Swiss-style axes): EPSG Guidance Note 7-2
+# methods 9812 (variant A) / 9815 (variant B), validated against the
+# GN's published Timbalai 1948 / RSO Borneo worked example to the mm.
+
+#: crs -> (a, rf, lat_c, lon_c, azimuth alpha_c, rectified-skew
+#: gamma_c, k_c, false E, false N, variant_a)
+OMERC_PARAMS: dict[str, tuple] = {
+    # Timbalai 1948 / RSO Borneo (m) — the GN7-2 worked example
+    "EPSG:29873": (6_377_298.556, 300.8017, 4.0, 115.0,
+                   53.0 + 18.0 / 60.0 + 56.9537 / 3600.0,
+                   53.0 + 7.0 / 60.0 + 48.3685 / 3600.0,
+                   0.99984, 590_476.87, 442_857.65, False),
+}
+
+
+def _omerc_consts(crs: str) -> dict:
+    a, rf, latc, lonc, alpha, gamma, kc, ec, nc, var_a = \
+        OMERC_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    phic = math.radians(latc)
+    sc = math.sin(phic)
+    b = math.sqrt(1.0 + es * math.cos(phic) ** 4 / (1.0 - es))
+    big_a = a * b * kc * math.sqrt(1.0 - es) / (1.0 - es * sc * sc)
+    t0 = math.tan(math.pi / 4.0 - phic / 2.0) / (
+        (1.0 - e * sc) / (1.0 + e * sc)) ** (e / 2.0)
+    d = b * math.sqrt(1.0 - es) / (
+        math.cos(phic) * math.sqrt(1.0 - es * sc * sc))
+    d2 = max(d * d, 1.0)
+    south = latc < 0.0
+    fc = d + math.sqrt(d2 - 1.0) * (-1.0 if south else 1.0)
+    h = fc * t0 ** b
+    g_ = (fc - 1.0 / fc) / 2.0
+    gamma0 = math.asin(math.sin(math.radians(alpha)) / d)
+    lam0 = math.radians(lonc) - math.asin(g_ * math.tan(gamma0)) / b
+    uc = (big_a / b) * math.atan2(
+        math.sqrt(d2 - 1.0), math.cos(math.radians(alpha))) \
+        * (-1.0 if south else 1.0)
+    ser = (es / 2.0 + 5.0 * es ** 2 / 24.0 + es ** 3 / 12.0
+           + 13.0 * es ** 4 / 360.0,
+           7.0 * es ** 2 / 48.0 + 29.0 * es ** 3 / 240.0
+           + 811.0 * es ** 4 / 11520.0,
+           7.0 * es ** 3 / 120.0 + 81.0 * es ** 4 / 1120.0,
+           4279.0 * es ** 4 / 161280.0)
+    return dict(e=e, b=b, big_a=big_a, h=h,
+                sg0=math.sin(gamma0), cg0=math.cos(gamma0),
+                lam0=lam0, uoff=0.0 if var_a else uc,
+                sg=math.sin(math.radians(gamma)),
+                cg=math.cos(math.radians(gamma)),
+                ec=ec, nc=nc, series=ser)
+
+
+def _lonlat_to_omerc_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg) -> Hotine E/N (EPSG 9815 forward, staged)."""
+    c = _omerc_consts(crs)
+    e, b, big_a = c["e"], c["b"], c["big_a"]
+
+    def s_t(env):
+        s = F.sin(F.radians(env["__in_y"]))
+        return (F.tan(F.lit(math.pi / 4.0)
+                      - F.radians(env["__in_y"]) / F.lit(2.0))
+                / F.pow((F.lit(1.0) - F.lit(e) * s)
+                        / (F.lit(1.0) + F.lit(e) * s), F.lit(e / 2.0)))
+
+    def s_q(env):
+        return F.lit(c["h"]) / F.pow(env["__t"], F.lit(b))
+
+    def s_sv(env):
+        q = env["__q"]
+        return (q - F.lit(1.0) / q) / F.lit(2.0)
+
+    def s_tv(env):
+        q = env["__q"]
+        return (q + F.lit(1.0) / q) / F.lit(2.0)
+
+    def s_dl(env):
+        return F.lit(b) * (F.radians(env["__in_x"]) - F.lit(c["lam0"]))
+
+    def s_u(env):
+        return F.lit(big_a) * F.atan2(
+            env["__s"] * F.lit(c["cg0"])
+            + F.sin(env["__dl"]) * F.lit(c["sg0"]),
+            F.cos(env["__dl"])) / F.lit(b) - F.lit(c["uoff"])
+
+    def s_v(env):
+        u_ = (F.sin(env["__dl"]) * F.lit(-1.0) * F.lit(c["cg0"])
+              + env["__s"] * F.lit(c["sg0"])) / env["__tv"]
+        return F.lit(big_a) * F.log(
+            (F.lit(1.0) - u_) / (F.lit(1.0) + u_)) / F.lit(2.0 * b)
+
+    def out_x(env):
+        return (env["__v"] * F.lit(c["cg"])
+                + env["__u"] * F.lit(c["sg"]) + F.lit(c["ec"]))
+
+    def out_y(env):
+        return (env["__u"] * F.lit(c["cg"])
+                - env["__v"] * F.lit(c["sg"]) + F.lit(c["nc"]))
+
+    return StagedTransform([
+        {"__t": s_t},
+        {"__q": s_q},
+        {"__s": s_sv, "__tv": s_tv, "__dl": s_dl},
+        {"__u": s_u, "__v": s_v},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def _omerc_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """Hotine E/N -> lon/lat (EPSG 9815 reverse, staged)."""
+    c = _omerc_consts(crs)
+    b, big_a = c["b"], c["big_a"]
+
+    def s_v(env):
+        return ((env["__in_x"] - F.lit(c["ec"])) * F.lit(c["cg"])
+                - (env["__in_y"] - F.lit(c["nc"])) * F.lit(c["sg"]))
+
+    def s_u(env):
+        return ((env["__in_y"] - F.lit(c["nc"])) * F.lit(c["cg"])
+                + (env["__in_x"] - F.lit(c["ec"])) * F.lit(c["sg"])
+                + F.lit(c["uoff"]))
+
+    def s_q(env):
+        return F.exp(F.lit(-b) * env["__v"] / F.lit(big_a))
+
+    def s_sv(env):
+        q = env["__q"]
+        return (q - F.lit(1.0) / q) / F.lit(2.0)
+
+    def s_tv(env):
+        q = env["__q"]
+        return (q + F.lit(1.0) / q) / F.lit(2.0)
+
+    def s_bu(env):
+        return F.lit(b) * env["__u"] / F.lit(big_a)
+
+    def s_uu(env):
+        return (F.sin(env["__bu"]) * F.lit(c["cg0"])
+                + env["__s"] * F.lit(c["sg0"])) / env["__tv"]
+
+    def s_chi(env):
+        t = F.pow(
+            F.lit(c["h"]) / F.sqrt((F.lit(1.0) + env["__uu"])
+                                   / (F.lit(1.0) - env["__uu"])),
+            F.lit(1.0 / b))
+        return F.lit(math.pi / 2.0) - F.lit(2.0) * F.atan(t)
+
+    def out_y(env):
+        chi = env["__chi"]
+        phi = chi
+        for j, cf in enumerate(c["series"], start=1):
+            phi = phi + F.lit(cf) * F.sin(F.lit(2.0 * j) * chi)
+        return F.degrees(phi)
+
+    def out_x(env):
+        lam = F.lit(c["lam0"]) - F.atan2(
+            env["__s"] * F.lit(c["cg0"])
+            - F.sin(env["__bu"]) * F.lit(c["sg0"]),
+            F.cos(env["__bu"])) / F.lit(b)
+        return F.degrees(lam)
+
+    return StagedTransform([
+        {"__v": s_v, "__u": s_u},
+        {"__q": s_q, "__bu": s_bu},
+        {"__s": s_sv, "__tv": s_tv},
+        {"__uu": s_uu},
+        {"__chi": s_chi},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def omerc_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                           src: str = "tgt") -> str:
+    """The SAME Hotine inverse as a chain of CTEs over ``src`` (for
+    DuckDB oracles) — identical arithmetic to
+    :func:`_omerc_to_lonlat_fn`.  Emits CTEs ``om1..om6`` and finally
+    ``omerc_ll`` = ``src`` columns + ``lon``/``lat``."""
+    c = _omerc_consts(crs)
+    b, big_a = c["b"], c["big_a"]
+    chi = "__chi"
+    phi = chi
+    for j, cf in enumerate(c["series"], start=1):
+        phi = f"({phi} + {cf!r} * sin(2.0 * {j} * (__chi)))"
+    # CAST the inputs to DOUBLE up front: DuckDB types numeric
+    # literals as DECIMAL, and the skew-rotation's long constant
+    # literals overflow DECIMAL(18) multiplication otherwise
+    x_expr = f"CAST(({x_expr}) AS DOUBLE)"
+    y_expr = f"CAST(({y_expr}) AS DOUBLE)"
+    return f"""om1 AS (
+            SELECT *, ((({x_expr}) - {c['ec']!r}) * {c['cg']!r}
+                       - (({y_expr}) - {c['nc']!r}) * {c['sg']!r})
+                      AS __v,
+                      ((({y_expr}) - {c['nc']!r}) * {c['cg']!r}
+                       + (({x_expr}) - {c['ec']!r}) * {c['sg']!r}
+                       + {c['uoff']!r}) AS __u
+            FROM {src}
+        ), om2 AS (
+            SELECT *, exp({-b!r} * __v / {big_a!r}) AS __q,
+                      ({b!r} * __u / {big_a!r}) AS __bu
+            FROM om1
+        ), om3 AS (
+            SELECT *, ((__q - 1.0 / __q) / 2.0) AS __s,
+                      ((__q + 1.0 / __q) / 2.0) AS __tv
+            FROM om2
+        ), om4 AS (
+            SELECT *, ((sin(__bu) * {c['cg0']!r}
+                        + __s * {c['sg0']!r}) / __tv) AS __uu
+            FROM om3
+        ), om5 AS (
+            SELECT *, ({math.pi / 2.0!r} - 2.0 * atan(pow({c['h']!r}
+                       / sqrt((1.0 + __uu) / (1.0 - __uu)),
+                       {1.0 / b!r}))) AS __chi
+            FROM om4
+        ), omerc_ll AS (
+            SELECT * EXCLUDE (__v, __u, __q, __bu, __s, __tv, __uu,
+                              __chi),
+                   degrees({c['lam0']!r} - atan2(__s * {c['cg0']!r}
+                       - sin(__bu) * {c['sg0']!r}, cos(__bu))
+                       / {b!r}) AS lon,
+                   degrees({phi}) AS lat
+            FROM om5
+        )"""
+
+
+#: spherical stereographic, ANY aspect (Snyder 21-2..21-4 / 20-14..
+#: 20-18) — backs the CF `stereographic` grid-mapping name for
+#: spherical datums; ellipsoidal non-polar stays with sterea/polar.
+#: crs -> (R, k0, lat0, lon0, false easting, false northing)
+STEREG_PARAMS: dict[str, tuple] = {}
+
+
+def _stereg_azi_consts(crs: str) -> dict:
+    """STEREG tuples reshaped to the (R, lat0, lon0, fe, fn) layout
+    :func:`_azi_consts` expects (k0 read separately)."""
+    r0, k0, lat0, lon0, fe, fn = STEREG_PARAMS[crs.upper()]
+    return _azi_consts({crs.upper(): (r0, lat0, lon0, fe, fn)}, crs)
+
+
+def _lonlat_to_stereg_fn(crs: str) -> ColumnTransform:
+    c = _stereg_azi_consts(crs)
+    k0 = STEREG_PARAMS[crs.upper()][1]
 
     def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
-        return (F.lit(fe) + F.lit(rc) * F.radians(lon - F.lit(lon0)),
-                F.lit(fn) + F.lit(r) * F.radians(lat))
+        dl = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        den = (F.lit(1.0) + F.lit(c["sp0"]) * F.sin(phi)
+               + F.lit(c["cp0"]) * F.cos(phi) * F.cos(dl))
+        k = F.lit(2.0 * k0) / den  # antipode: den -> 0, k -> inf
+        x = F.lit(c["fe"]) + F.lit(c["r"]) * k * F.cos(phi) * F.sin(dl)
+        y = F.lit(c["fn"]) + F.lit(c["r"]) * k * (
+            F.lit(c["cp0"]) * F.sin(phi)
+            - F.lit(c["sp0"]) * F.cos(phi) * F.cos(dl))
+        return x, y
+
+    return fwd
+
+
+def _stereg_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _stereg_azi_consts(crs)
+    k0 = STEREG_PARAMS[crs.upper()][1]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yn = y - F.lit(c["fn"])
+        rho = F.sqrt(xe * xe + yn * yn)
+        cang = F.lit(2.0) * F.atan(rho / F.lit(2.0 * c["r"] * k0))
+        phi = F.when(rho == 0.0, F.asin(F.lit(c["sp0"]))).otherwise(
+            F.asin(F.cos(cang) * F.lit(c["sp0"])
+                   + yn * F.sin(cang) * F.lit(c["cp0"]) / rho))
+        lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+            F.atan2(xe * F.sin(cang),
+                    rho * F.lit(c["cp0"]) * F.cos(cang)
+                    - yn * F.lit(c["sp0"]) * F.sin(cang)))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def stereg_inverse_sql(x_expr: str, y_expr: str,
+                       crs: str) -> tuple[str, str]:
+    """The SAME spherical-stereographic inverse as SQL strings (for
+    DuckDB oracles).  Returns (lon_sql, lat_sql)."""
+    r0, k0, lat0, lon0, fe, fn = STEREG_PARAMS[crs.upper()]
+    sp0 = math.sin(math.radians(lat0))
+    cp0 = math.cos(math.radians(lat0))
+    xe = f"(({x_expr}) - {fe!r})"
+    yn = f"(({y_expr}) - {fn!r})"
+    rho = f"sqrt({xe} * {xe} + {yn} * {yn})"
+    cang = f"(2.0 * atan({rho} / {2.0 * r0 * k0!r}))"
+    phi = (f"(CASE WHEN {rho} = 0.0 THEN asin({sp0!r}) ELSE "
+           f"asin(cos({cang}) * {sp0!r} + {yn} * sin({cang})"
+           f" * {cp0!r} / {rho}) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xe} * sin({cang}), {rho} * {cp0!r}"
+           f" * cos({cang}) - {yn} * {sp0!r} * sin({cang})) END)")
+    return (f"({lon0!r} + degrees({lam}))", f"degrees({phi})")
+
+
+def _lonlat_to_eqc_fn(crs: str) -> ColumnTransform:
+    c = _eqc_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        x = (F.lit(c["fe"])
+             + F.lit(c["rc"]) * F.radians(lon - F.lit(c["lon0"])))
+        phi = F.radians(lat)
+        if c["sphere"]:
+            return x, F.lit(c["fn"]) + F.lit(c["ry"]) * phi
+        # meridian arc M(phi) = a*ar*xi (Krueger rectifying series at
+        # the central meridian, the TM family's machinery)
+        sphi = F.sin(phi)
+        t = F.sinh(F.atanh(sphi)
+                   - F.lit(c["e"]) * F.atanh(F.lit(c["e"]) * sphi))
+        xip = F.atan(t)
+        xi = xip
+        for j, aj in enumerate(c["alpha"], start=1):
+            xi = xi + F.lit(aj) * F.sin(F.lit(2.0 * j) * xip)
+        return x, F.lit(c["fn"]) + F.lit(c["ary"]) * xi
 
     return fwd
 
 
 def _eqc_to_lonlat_fn(crs: str) -> ColumnTransform:
-    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
-    rc = r * math.cos(math.radians(lat_ts))
+    c = _eqc_consts(crs)
 
     def inv(x: Column, y: Column) -> tuple[Column, Column]:
-        return (F.lit(lon0) + F.degrees((x - F.lit(fe)) / F.lit(rc)),
-                F.degrees((y - F.lit(fn)) / F.lit(r)))
+        lon = (F.lit(c["lon0"])
+               + F.degrees((x - F.lit(c["fe"])) / F.lit(c["rc"])))
+        if c["sphere"]:
+            return lon, F.degrees((y - F.lit(c["fn"])) / F.lit(c["ry"]))
+        mu = (y - F.lit(c["fn"])) / F.lit(c["ary"])
+        chi = mu
+        for j, bj in enumerate(c["beta"], start=1):
+            chi = chi - F.lit(bj) * F.sin(F.lit(2.0 * j) * mu)
+        phi = chi
+        for j, dj in enumerate(c["delta"], start=1):
+            phi = phi + F.lit(dj) * F.sin(F.lit(2.0 * j) * chi)
+        return lon, F.degrees(phi)
 
     return inv
 
@@ -1527,11 +1869,21 @@ def _eqc_to_lonlat_fn(crs: str) -> ColumnTransform:
 def eqc_inverse_sql(x_expr: str, y_expr: str,
                     crs: str) -> tuple[str, str]:
     """The SAME equidistant-cylindrical inverse as SQL strings (for
-    DuckDB oracles).  Returns (lon_sql, lat_sql)."""
-    r, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
-    rc = r * math.cos(math.radians(lat_ts))
-    return (f"({lon0!r} + degrees((({x_expr}) - {fe!r}) / {rc!r}))",
-            f"degrees((({y_expr}) - {fn!r}) / {r!r})")
+    DuckDB oracles) — identical op order to :func:`_eqc_to_lonlat_fn`.
+    Returns (lon_sql, lat_sql)."""
+    c = _eqc_consts(crs)
+    lon = (f"({c['lon0']!r} + degrees((({x_expr}) - {c['fe']!r})"
+           f" / {c['rc']!r}))")
+    if c["sphere"]:
+        return lon, f"degrees((({y_expr}) - {c['fn']!r}) / {c['ry']!r})"
+    mu = f"((({y_expr}) - {c['fn']!r}) / {c['ary']!r})"
+    chi = mu
+    for j, bj in enumerate(c["beta"], start=1):
+        chi = f"({chi} - {bj!r} * sin(2.0 * {j} * {mu}))"
+    phi = chi
+    for j, dj in enumerate(c["delta"], start=1):
+        phi = f"({phi} + {dj!r} * sin(2.0 * {j} * ({chi})))"
+    return lon, f"degrees({phi})"
 
 
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
@@ -2109,6 +2461,10 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _aeqd_to_lonlat_fn(up)
     if up in ORTHO_PARAMS:
         return _ortho_to_lonlat_fn(up)
+    if up in STEREG_PARAMS:
+        return _stereg_to_lonlat_fn(up)
+    if up in OMERC_PARAMS:
+        return _omerc_to_lonlat_fn(up)
     if up in EQC_PARAMS:
         return _eqc_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
@@ -2154,6 +2510,10 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_aeqd_fn(up)
     if up in ORTHO_PARAMS:
         return _lonlat_to_ortho_fn(up)
+    if up in STEREG_PARAMS:
+        return _lonlat_to_stereg_fn(up)
+    if up in OMERC_PARAMS:
+        return _lonlat_to_omerc_fn(up)
     if up in EQC_PARAMS:
         return _lonlat_to_eqc_fn(up)
     if up in LAEA_PARAMS:

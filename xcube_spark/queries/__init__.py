@@ -99,6 +99,7 @@ PRIORITY_ORDER = (
     "cube_reproject_rdnew",
     "cube_reproject_ease2",
     "cube_reproject_aeqd",
+    "cube_reproject_omerc",
     # round-7 addition never driver-sampled (landed post-log) — FIRST
     "cube_reproject_geos",
     # round-7 additions (never sampled yet)

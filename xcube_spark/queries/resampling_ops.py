@@ -952,6 +952,56 @@ def cube_reproject_aeqd(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Hotine oblique Mercator (RSO Borneo) --------------------
+
+from xcube_spark.operators.resampling.reproject import omerc_inverse_sql_ctes
+
+#: RSO-coordinate window over Borneo with off-round origin/steps:
+#: every re-projected center stays >= 1.7e-3 deg from any 1-degree
+#: source-cell edge (margin asserted in tests/test_crsparse.py)
+_RSO = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=291_017.0, y_start=21_013.0,
+                x_res=15_013.0, y_res=19_507.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:29873")
+
+_RSO_CTES = omerc_inverse_sql_ctes(
+    "(291017.0 + (x_i + 0.5) * 15013.0)",
+    "(21013.0 + (y_i + 0.5) * 19507.0)", "EPSG:29873")
+
+
+@query(
+    "cube_reproject_omerc",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_RSO.size})
+        ), {_RSO_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM omerc_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_omerc(spark, sf_dir):
+    """reproject_dataset onto the Rectified Skew Orthomorphic Borneo
+    grid (EPSG:29873, Hotine oblique Mercator variant B on Everest
+    1830) — the rotated-aspect Mercator for slanted features (EPSG
+    methods 9812/9815), forward validated mm-exact against the EPSG
+    Guidance Note worked example; reference reaches it via pyproj.
+    The oracle states the identical inverse as a CTE chain in SQL
+    (omerc_inverse_sql_ctes, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _RSO)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- rectify: fractional bilinear parity -------------------------------
 
 #: integer-valued fixture variable: bilinear blends at u=v=0.75 become

@@ -491,6 +491,27 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "longitude_of_projection_origin": lon0,
                 "false_easting": fe, "false_northing": fn,
                 "earth_radius": r}
+    if code in R.OMERC_PARAMS:
+        a, rf, latc, lonc, alpha, gamma, kc, ec, nc, var_a = \
+            R.OMERC_PARAMS[code]
+        if var_a:
+            return None  # variant A is not CF-expressible; epsg only
+        return {"grid_mapping_name": "oblique_mercator",
+                "latitude_of_projection_origin": latc,
+                "longitude_of_projection_origin": lonc,
+                "azimuth_of_central_line": alpha,
+                "rectified_grid_angle": gamma,
+                "scale_factor_at_projection_origin": kc,
+                "false_easting": ec, "false_northing": nc,
+                "semi_major_axis": a, "inverse_flattening": rf}
+    if code in R.STEREG_PARAMS:
+        r, k0, lat0, lon0, fe, fn = R.STEREG_PARAMS[code]
+        return {"grid_mapping_name": "stereographic",
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_projection_origin": lon0,
+                "scale_factor_at_projection_origin": k0,
+                "false_easting": fe, "false_northing": fn,
+                "earth_radius": r}
     if code in R.CEA_PARAMS:
         a, rf, lat_ts, lon0, fe, fn = R.CEA_PARAMS[code]
         out = {"grid_mapping_name": "lambert_cylindrical_equal_area",
