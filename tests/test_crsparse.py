@@ -258,8 +258,10 @@ def test_unsupported_forms_raise():
         resolve_proj4("+proj=stere +lat_0=90")  # no lat_ts
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=omerc +lat_0=4 +lonc=102")  # no family
-    with pytest.raises(NotImplementedError):
-        resolve_proj4("+proj=lcc +lat_1=44 +lat_2=49 +ellps=airy")
+    # non-GRS80 conics are SUPPORTED since round 8 (ellipsoid-
+    # extended family tuples)
+    assert resolve_proj4("+proj=lcc +lat_1=44 +lat_2=49 +ellps=airy"
+                         ).endswith("6377563.396,299.3249646".upper())
     with pytest.raises(NotImplementedError):
         crs_from_cf({"grid_mapping_name": "oblique_mercator"})
     with pytest.raises(ValueError):
@@ -1120,3 +1122,73 @@ def test_omerc_cf_roundtrip_and_margins(spark):
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1e-3
     assert np.minimum(fy, 1 - fy).min() > 1e-3
+
+
+def test_conics_on_non_grs80_ellipsoids(spark):
+    """LCC/AEA/LAEA accept arbitrary ellipsoids (round 8): the
+    Clarke 1866 LCC reproduces Snyder's Appendix worked example
+    (SP 33/45, origin 23N/96W, point 35N/75W -> 1894410.9,
+    1564649.5); origins map to the false origin; all three
+    round-trip; and the GRS80 spellings still resolve to the legacy
+    short-tuple keys."""
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+
+    k_lcc = resolve_proj4("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=23 "
+                          "+lon_0=-96 +ellps=clrk66")
+    got = {(lon, lat): (x, y) for (lon, lat, x, y) in _fwd_points(
+        spark, k_lcc, [(-75.0, 35.0), (-96.0, 23.0)])}
+    x, y = got[(-75.0, 35.0)]
+    assert abs(x - 1894410.9) < 0.1 and abs(y - 1564649.5) < 0.1
+    assert got[(-96.0, 23.0)] == (0.0, 0.0)
+
+    cases = [
+        k_lcc,
+        resolve_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+                      "+lon_0=-96 +ellps=clrk66"),
+        resolve_proj4("+proj=laea +lat_0=45 +lon_0=-100 "
+                      "+ellps=intl"),
+        resolve_proj4("+proj=lcc +lat_1=49 +lat_2=77 +lat_0=49 "
+                      "+lon_0=-95 +ellps=krass"),
+    ]
+    pts = [(-110.0, 30.0), (-96.0, 40.0), (-80.0, 55.0)]
+    for key in cases:
+        assert "6378137.0" not in key or "KRASS" in key
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        fwd = get_transform("EPSG:4326", key)
+        inv = get_transform(key, "EPSG:4326")
+        df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                                "x", "y")
+        df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                                "rlon", "rlat")
+        for r in df.collect():
+            # beta/chi series are 3rd/4th-order in e^2: Clarke 1866's
+            # larger eccentricity leaves ~1.2e-8 deg (~1.4 mm)
+            assert abs(r.rlon - r.lon) < 5e-8, key
+            assert abs(r.rlat - r.lat) < 5e-8, key
+
+    # GRS80 spellings keep the legacy short keys (unchanged doubles)
+    k = resolve_proj4("+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 "
+                      "+lon_0=3 +x_0=700000 +y_0=6600000 +ellps=GRS80")
+    assert k.count(",") == 5  # six params, no ellipsoid extension
+    _assert_same_transform(spark, k, "EPSG:2154", pts=[(3.0, 46.5)])
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=laea +lat_0=45 +R=6371000")  # spherical
+
+
+def test_conics_non_grs80_cf_roundtrip(spark):
+    """CF encode of an ellipsoid-extended conic records the actual
+    (a, rf) and decodes back to the same transform."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    k = resolve_proj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 "
+                      "+lon_0=-96 +ellps=clrk66")
+    attrs = cf_grid_mapping_attrs(k)
+    assert attrs["semi_major_axis"] == 6378206.4
+    assert attrs["inverse_flattening"] == 294.978698214
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs), k,
+                           pts=[(-96.0, 35.0), (-110.0, 41.0)])

@@ -19,10 +19,14 @@ whole Column-math dispatch (`get_transform`, staged transforms, SQL
 twins) works unchanged — genuinely arbitrary parameters, not just
 the pre-registered EPSG codes.
 
-CRSs outside these families (oblique aspects, 1-SP LCC, non-polar
-stereographic, exotic datums) still raise ``NotImplementedError``
-with a message naming the unsupported parameter — the same contract
-as `get_transform`'s pyproj seam.
+Round 8 extended the family set (rotated pole, oblique/double
+stereographic, spherical any-aspect stereographic, Hotine oblique
+Mercator, cylindrical equal-area, equidistant cylindrical, azimuthal
+equidistant, orthographic) and generalized LCC/AEA/LAEA to arbitrary
+ellipsoids.  The remaining gaps (ellipsoidal aeqd geodesics,
+two-point omerc, spherical conics) still raise
+``NotImplementedError`` with a message naming the unsupported
+parameter — the same contract as `get_transform`'s pyproj seam.
 """
 
 from __future__ import annotations
@@ -102,16 +106,24 @@ def _f(rf: float) -> float:
     return 0.0 if math.isinf(rf) else 1.0 / rf
 
 
-def _require_grs80ish(a: float, rf: float, family: str) -> None:
-    """LCC/AEA/LAEA Column math fixes GRS80 series constants.  Accept
-    GRS80 and WGS84 (eccentricities differ at 1e-11 — sub-mm on
-    Earth); reject anything else loudly."""
-    if abs(a - 6_378_137.0) > 1e-3 or not (
-        math.isfinite(rf) and abs(rf - _GRS80_RF) < 1e-3
-    ):
+def _grs80ish(a: float, rf: float) -> bool:
+    """True when the ellipsoid is GRS80/WGS84 to within the legacy
+    tolerance (eccentricities differ at 1e-11 — sub-mm on Earth), so
+    LCC/AEA/LAEA register the short GRS80-default family tuple and
+    keep their historical canonical keys; anything else registers the
+    ellipsoid-extended 8-tuple (round 8)."""
+    return (abs(a - 6_378_137.0) < 1e-3
+            and math.isfinite(rf) and abs(rf - _GRS80_RF) < 1e-3)
+
+
+def _conic_params(a: float, rf: float, base: tuple) -> tuple:
+    if _grs80ish(a, rf):
+        return base
+    if not math.isfinite(rf):
         raise NotImplementedError(
-            f"{family}: only GRS80/WGS84 ellipsoids are supported by "
-            f"the closed-form Column math (got a={a}, rf={rf})")
+            "lcc/aea/laea: spherical forms are not implemented "
+            "(give an ellipsoid with finite flattening)")
+    return base + (a, rf)
 
 
 def _num(p: Mapping[str, str], key: str, default: float = 0.0) -> float:
@@ -171,7 +183,6 @@ def resolve_proj4(text: str) -> str:
             (a, _f(rf), lat0, lon0, k0, x0, y0))
 
     if proj == "lcc":
-        _require_grs80ish(a, rf, "lcc")
         if "lat_1" in p and "lat_2" in p:
             lat1, lat2 = float(p["lat_1"]), float(p["lat_2"])
         else:
@@ -188,24 +199,24 @@ def resolve_proj4(text: str) -> str:
             lat1 = lat2 = _num(p, "lat_1", _num(p, "lat_0"))
         return _register(
             R.LCC_PARAMS, "lcc",
-            (lat1, lat2, _num(p, "lat_0"),
-             _num(p, "lon_0"), _num(p, "x_0"), _num(p, "y_0")))
+            _conic_params(a, rf, (lat1, lat2, _num(p, "lat_0"),
+                                  _num(p, "lon_0"), _num(p, "x_0"),
+                                  _num(p, "y_0"))))
 
     if proj == "aea":
         if "lat_1" not in p or "lat_2" not in p:
             raise NotImplementedError("aea needs +lat_1 and +lat_2")
-        _require_grs80ish(a, rf, "aea")
         return _register(
             R.AEA_PARAMS, "aea",
-            (float(p["lat_1"]), float(p["lat_2"]), _num(p, "lat_0"),
-             _num(p, "lon_0"), _num(p, "x_0"), _num(p, "y_0")))
+            _conic_params(a, rf, (float(p["lat_1"]), float(p["lat_2"]),
+                                  _num(p, "lat_0"), _num(p, "lon_0"),
+                                  _num(p, "x_0"), _num(p, "y_0"))))
 
     if proj == "laea":
-        _require_grs80ish(a, rf, "laea")
         return _register(
             R.LAEA_PARAMS, "laea",
-            (_num(p, "lat_0"), _num(p, "lon_0"),
-             _num(p, "x_0"), _num(p, "y_0")))
+            _conic_params(a, rf, (_num(p, "lat_0"), _num(p, "lon_0"),
+                                  _num(p, "x_0"), _num(p, "y_0"))))
 
     if proj == "stere":
         lat0 = _num(p, "lat_0")

@@ -1994,53 +1994,56 @@ def cea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
 _F_GRS80 = 1.0 / 298.257222101
 _E2_G = _F_GRS80 * (2.0 - _F_GRS80)
 _E_G = math.sqrt(_E2_G)
-#: beta -> phi series (Snyder eq. 3-18)
-_LAEA_SERIES = (
-    _E2_G / 3.0 + 31.0 * _E2_G ** 2 / 180.0 + 517.0 * _E2_G ** 3 / 5040.0,
-    23.0 * _E2_G ** 2 / 360.0 + 251.0 * _E2_G ** 3 / 3780.0,
-    761.0 * _E2_G ** 3 / 45360.0,
-)
-
 #: crs -> (lat0 deg, lon0 deg, false easting, false northing)
 LAEA_PARAMS: dict[str, tuple[float, float, float, float]] = {
     "EPSG:3035": (52.0, 10.0, 4_321_000.0, 3_210_000.0),  # ETRS89-LAEA
 }
 
 
-def _q_auth(sin_phi: float) -> float:
-    """Authalic q (Snyder eq. 3-12) at a scalar sin(phi)."""
-    return (1.0 - _E2_G) * (
-        sin_phi / (1.0 - _E2_G * sin_phi * sin_phi)
-        - (1.0 / (2.0 * _E_G))
-        * math.log((1.0 - _E_G * sin_phi) / (1.0 + _E_G * sin_phi))
+def _q_auth(sin_phi: float, e2: float = None, e: float = None) -> float:
+    """Authalic q (Snyder eq. 3-12) at a scalar sin(phi); defaults to
+    the GRS80 eccentricity."""
+    ee2 = _E2_G if e2 is None else e2
+    ee = _E_G if e is None else e
+    return (1.0 - ee2) * (
+        sin_phi / (1.0 - ee2 * sin_phi * sin_phi)
+        - (1.0 / (2.0 * ee))
+        * math.log((1.0 - ee * sin_phi) / (1.0 + ee * sin_phi))
     )
 
 
-def _laea_consts(lat0: float) -> tuple[float, float, float, float]:
-    """(q_p, beta1, R_q, D) for the projection center latitude."""
-    q_p = _q_auth(1.0)
-    q1 = _q_auth(math.sin(math.radians(lat0)))
+def _laea_consts(crs: str) -> dict:
+    """(q_p, beta1, R_q, D, ellipsoid, series) for the CRS center
+    latitude, any ellipsoid."""
+    params = LAEA_PARAMS[crs.upper()]
+    lat0 = params[0]
+    a, e2, e = _conic_ellipsoid(params, 4)
+    q_p = _q_auth(1.0, e2, e)
+    q1 = _q_auth(math.sin(math.radians(lat0)), e2, e)
     beta1 = math.asin(q1 / q_p)
-    r_q = _R * math.sqrt(q_p / 2.0)
+    r_q = a * math.sqrt(q_p / 2.0)
     s0 = math.sin(math.radians(lat0))
-    m1 = math.cos(math.radians(lat0)) / math.sqrt(1.0 - _E2_G * s0 * s0)
-    d = _R * m1 / (r_q * math.cos(beta1))
-    return q_p, beta1, r_q, d
+    m1 = math.cos(math.radians(lat0)) / math.sqrt(1.0 - e2 * s0 * s0)
+    d = a * m1 / (r_q * math.cos(beta1))
+    return dict(q_p=q_p, beta1=beta1, r_q=r_q, d=d, e2=e2, e=e,
+                series=_beta_series(e2))
 
 
 def _lonlat_to_laea_fn(crs: str) -> ColumnTransform:
-    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
-    q_p, beta1, r_q, d = _laea_consts(lat0)
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()][:4]
+    k = _laea_consts(crs)
+    q_p, beta1, r_q, d = k["q_p"], k["beta1"], k["r_q"], k["d"]
+    e2, e = k["e2"], k["e"]
     sb1, cb1 = math.sin(beta1), math.cos(beta1)
 
     def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
         lam = F.radians(lon - F.lit(lon0))
         s = F.sin(F.radians(lat))
-        q = F.lit(1.0 - _E2_G) * (
-            s / (F.lit(1.0) - F.lit(_E2_G) * s * s)
-            - F.lit(1.0 / (2.0 * _E_G))
-            * F.log((F.lit(1.0) - F.lit(_E_G) * s)
-                    / (F.lit(1.0) + F.lit(_E_G) * s))
+        q = F.lit(1.0 - e2) * (
+            s / (F.lit(1.0) - F.lit(e2) * s * s)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * s)
+                    / (F.lit(1.0) + F.lit(e) * s))
         )
         beta = F.asin(F.least(F.greatest(q / F.lit(q_p), F.lit(-1.0)),
                               F.lit(1.0)))
@@ -2059,8 +2062,9 @@ def _lonlat_to_laea_fn(crs: str) -> ColumnTransform:
 
 
 def _laea_to_lonlat_fn(crs: str) -> ColumnTransform:
-    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
-    q_p, beta1, r_q, d = _laea_consts(lat0)
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()][:4]
+    k = _laea_consts(crs)
+    q_p, beta1, r_q, d = k["q_p"], k["beta1"], k["r_q"], k["d"]
     sb1, cb1 = math.sin(beta1), math.cos(beta1)
 
     def inv(x: Column, y: Column) -> tuple[Column, Column]:
@@ -2078,7 +2082,7 @@ def _laea_to_lonlat_fn(crs: str) -> ColumnTransform:
         beta = F.asin(F.least(F.greatest(qv / F.lit(q_p), F.lit(-1.0)),
                               F.lit(1.0)))
         phi = beta
-        for j, c in enumerate(_LAEA_SERIES, start=1):
+        for j, c in enumerate(k["series"], start=1):
             phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * beta)
         lam = F.atan2(
             (x - F.lit(fe)) * F.sin(ce),
@@ -2098,8 +2102,9 @@ def laea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     """The SAME LAEA inverse as SQL strings (for DuckDB oracles).
     Returns (lon_sql, lat_sql).  No rho == 0 guard: oracle grids never
     place a cell center exactly on the projection center."""
-    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()]
-    q_p, beta1, r_q, d = _laea_consts(lat0)
+    lat0, lon0, fe, fn = LAEA_PARAMS[crs.upper()][:4]
+    k = _laea_consts(crs)
+    q_p, beta1, r_q, d = k["q_p"], k["beta1"], k["r_q"], k["d"]
     sb1, cb1 = math.sin(beta1), math.cos(beta1)
     # DOUBLE casts: DuckDB types numeric literals as DECIMAL, and the
     # rho**2 products overflow DECIMAL(38) without them
@@ -2113,7 +2118,7 @@ def laea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
          f"+ {yd} * sin({ce}) * {cb1!r} / {rho}))"
     beta = f"asin(least(greatest({qv} / {q_p!r}, -1.0), 1.0))"
     phi = beta
-    for j, c in enumerate(_LAEA_SERIES, start=1):
+    for j, c in enumerate(k["series"], start=1):
         phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({beta})))"
     lam = f"atan2((({x_expr}) - {fe!r}) * sin({ce}), " \
           f"{d!r} * {rho} * cos({ce}) * {cb1!r} " \
@@ -2128,37 +2133,67 @@ def laea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
 # (public math: eqs. 14-15 m, 15-9 t, 15-1..15-11 forward/inverse, 3-5
 # chi -> phi series).  Pure Column + identical-arithmetic SQL twin.
 
-#: chi -> phi series on GRS80 (same Snyder 3-5 shape as _PS_SERIES)
-_CHI_SERIES_G = (
-    _E2_G / 2.0 + 5.0 * _E2_G ** 2 / 24.0 + _E2_G ** 3 / 12.0
-    + 13.0 * _E2_G ** 4 / 360.0,
-    7.0 * _E2_G ** 2 / 48.0 + 29.0 * _E2_G ** 3 / 240.0
-    + 811.0 * _E2_G ** 4 / 11520.0,
-    7.0 * _E2_G ** 3 / 120.0 + 81.0 * _E2_G ** 4 / 1120.0,
-    4279.0 * _E2_G ** 4 / 161280.0,
-)
-
-#: crs -> (lat1, lat2, lat0, lon0, false easting, false northing), GRS80
+#: crs -> (lat1, lat2, lat0, lon0, false easting, false northing)
+#: [6-tuple: GRS80] or + (a, rf) [8-tuple: any ellipsoid, round 8]
 LCC_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
     "EPSG:2154": (44.0, 49.0, 46.5, 3.0, 700_000.0, 6_600_000.0),
     "EPSG:3034": (35.0, 65.0, 52.0, 10.0, 4_000_000.0, 2_800_000.0),
 }
 
 
-def _lcc_m(phi: float) -> float:
-    s = math.sin(phi)
-    return math.cos(phi) / math.sqrt(1.0 - _E2_G * s * s)
+def _conic_ellipsoid(params: tuple, base_len: int) -> tuple:
+    """(a, e2, e) from an optionally ellipsoid-extended family tuple
+    (round 8: LCC/AEA/LAEA accept any ellipsoid via two extra slots).
+    The short form reproduces the module GRS80 constants bit-exact, so
+    every pre-existing registration keeps its doubles unchanged."""
+    if len(params) > base_len:
+        a, rf = params[base_len], params[base_len + 1]
+        f = 1.0 / rf
+        e2 = f * (2.0 - f)
+        return a, e2, math.sqrt(e2)
+    return _R, _E2_G, _E_G
 
 
-def _lcc_t(phi: float) -> float:
+def _chi_series(e2: float) -> tuple:
+    """Conformal chi -> geodetic phi series (Snyder eq. 3-5)."""
+    return (
+        e2 / 2.0 + 5.0 * e2 ** 2 / 24.0 + e2 ** 3 / 12.0
+        + 13.0 * e2 ** 4 / 360.0,
+        7.0 * e2 ** 2 / 48.0 + 29.0 * e2 ** 3 / 240.0
+        + 811.0 * e2 ** 4 / 11520.0,
+        7.0 * e2 ** 3 / 120.0 + 81.0 * e2 ** 4 / 1120.0,
+        4279.0 * e2 ** 4 / 161280.0,
+    )
+
+
+def _beta_series(e2: float) -> tuple:
+    """Authalic beta -> geodetic phi series (Snyder eq. 3-18)."""
+    return (
+        e2 / 3.0 + 31.0 * e2 ** 2 / 180.0 + 517.0 * e2 ** 3 / 5040.0,
+        23.0 * e2 ** 2 / 360.0 + 251.0 * e2 ** 3 / 3780.0,
+        761.0 * e2 ** 3 / 45360.0,
+    )
+
+
+def _lcc_m(phi: float, e2: float = None) -> float:
     s = math.sin(phi)
+    ee = _E2_G if e2 is None else e2
+    return math.cos(phi) / math.sqrt(1.0 - ee * s * s)
+
+
+def _lcc_t(phi: float, e: float = None) -> float:
+    s = math.sin(phi)
+    ec = _E_G if e is None else e
     return math.tan(math.pi / 4.0 - phi / 2.0) * (
-        (1.0 + _E_G * s) / (1.0 - _E_G * s)) ** (_E_G / 2.0)
+        (1.0 + ec * s) / (1.0 - ec * s)) ** (ec / 2.0)
 
 
-def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float]:
-    """(n, a*Fc, rho0, lon0, fe, fn) for the CRS (Snyder 15-3/15-2/15-1a)."""
-    lat1, lat2, lat0, lon0, fe, fn = LCC_PARAMS[crs.upper()]
+def _lcc_consts(crs: str) -> tuple:
+    """(n, a*Fc, rho0, lon0, fe, fn, e, chi_series) for the CRS
+    (Snyder 15-3/15-2/15-1a, any ellipsoid)."""
+    params = LCC_PARAMS[crs.upper()]
+    lat1, lat2, lat0, lon0, fe, fn = params[:6]
+    a, e2, e = _conic_ellipsoid(params, 6)
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
     if lat1 == lat2:
         # coincident parallels: the secant cone degenerates to the
@@ -2166,21 +2201,21 @@ def _lcc_consts(crs: str) -> tuple[float, float, float, float, float, float]:
         # the 0/0 limit of the 2-SP quotient below)
         n = math.sin(p1)
     else:
-        n = (math.log(_lcc_m(p1)) - math.log(_lcc_m(p2))) / (
-            math.log(_lcc_t(p1)) - math.log(_lcc_t(p2)))
-    af = _R * _lcc_m(p1) / (n * _lcc_t(p1) ** n)
-    rho0 = af * _lcc_t(p0) ** n
-    return n, af, rho0, lon0, fe, fn
+        n = (math.log(_lcc_m(p1, e2)) - math.log(_lcc_m(p2, e2))) / (
+            math.log(_lcc_t(p1, e)) - math.log(_lcc_t(p2, e)))
+    af = a * _lcc_m(p1, e2) / (n * _lcc_t(p1, e) ** n)
+    rho0 = af * _lcc_t(p0, e) ** n
+    return n, af, rho0, lon0, fe, fn, e, _chi_series(e2)
 
 
 def _lonlat_to_lcc_fn(crs: str) -> ColumnTransform:
-    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+    n, af, rho0, lon0, fe, fn, e, _ = _lcc_consts(crs)
 
     def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
         phi = F.radians(lat)
-        s = F.lit(_E_G) * F.sin(phi)
+        s = F.lit(e) * F.sin(phi)
         t = F.tan(F.lit(math.pi / 4.0) - phi / 2) * F.pow(
-            (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(_E_G / 2.0))
+            (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(e / 2.0))
         rho = F.lit(af) * F.pow(t, F.lit(n))
         th = F.lit(n) * F.radians(lon - F.lit(lon0))
         return (F.lit(fe) + rho * F.sin(th),
@@ -2190,17 +2225,18 @@ def _lonlat_to_lcc_fn(crs: str) -> ColumnTransform:
 
 
 def _lcc_to_lonlat_fn(crs: str) -> ColumnTransform:
-    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+    n, af, rho0, lon0, fe, fn, e, series = _lcc_consts(crs)
 
     def inv(x: Column, y: Column) -> tuple[Column, Column]:
         xd = x - F.lit(fe)
         yd = F.lit(rho0) - (y - F.lit(fn))
-        # both registered CRSs have n > 0: rho' carries n's sign directly
+        # northern-cone registrations have n > 0: rho' carries n's
+        # sign directly
         rho = F.sqrt(xd * xd + yd * yd)
         t = F.pow(rho / F.lit(af), F.lit(1.0 / n))
         chi = F.lit(math.pi / 2.0) - 2 * F.atan(t)
         phi = chi
-        for j, c in enumerate(_CHI_SERIES_G, start=1):
+        for j, c in enumerate(series, start=1):
             phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * chi)
         lam = F.atan2(xd, yd) / F.lit(n)
         return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
@@ -2209,15 +2245,15 @@ def _lcc_to_lonlat_fn(crs: str) -> ColumnTransform:
 
 
 def lcc_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
-    """The SAME LCC-2SP inverse as SQL strings (for DuckDB oracles)."""
-    n, af, rho0, lon0, fe, fn = _lcc_consts(crs)
+    """The SAME LCC inverse as SQL strings (for DuckDB oracles)."""
+    n, af, rho0, lon0, fe, fn, e, series = _lcc_consts(crs)
     xd = f"(CAST({x_expr} AS DOUBLE) - {fe!r})"
     yd = f"({rho0!r} - (CAST({y_expr} AS DOUBLE) - {fn!r}))"
     rho = f"sqrt({xd} * {xd} + {yd} * {yd})"
     t = f"pow({rho} / {af!r}, {1.0 / n!r})"
     chi = f"({math.pi / 2.0!r} - 2 * atan({t}))"
     phi = chi
-    for j, c in enumerate(_CHI_SERIES_G, start=1):
+    for j, c in enumerate(series, start=1):
         phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({chi})))"
     lam = f"(atan2({xd}, {yd}) / {n!r})"
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
@@ -2235,31 +2271,37 @@ AEA_PARAMS: dict[str, tuple[float, float, float, float, float, float]] = {
 }
 
 
-def _aea_consts(crs: str) -> tuple[float, float, float, float, float, float]:
-    """(n, C, rho0, lon0, fe, fn) (Snyder 14-14/14-13/14-12a)."""
-    lat1, lat2, lat0, lon0, fe, fn = AEA_PARAMS[crs.upper()]
+def _aea_consts(crs: str) -> dict:
+    """Snyder 14-14/14-13/14-12a constants, any ellipsoid."""
+    params = AEA_PARAMS[crs.upper()]
+    lat1, lat2, lat0, lon0, fe, fn = params[:6]
+    a, e2, e = _conic_ellipsoid(params, 6)
     p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-    m1, m2 = _lcc_m(p1), _lcc_m(p2)
-    q1 = _q_auth(math.sin(p1))
-    q2 = _q_auth(math.sin(p2))
-    q0 = _q_auth(math.sin(p0))
+    m1, m2 = _lcc_m(p1, e2), _lcc_m(p2, e2)
+    q1 = _q_auth(math.sin(p1), e2, e)
+    q2 = _q_auth(math.sin(p2), e2, e)
+    q0 = _q_auth(math.sin(p0), e2, e)
     n = (m1 * m1 - m2 * m2) / (q2 - q1)
     c = m1 * m1 + n * q1
-    rho0 = _R * math.sqrt(c - n * q0) / n
-    return n, c, rho0, lon0, fe, fn
+    return dict(n=n, c=c, rho0=a * math.sqrt(c - n * q0) / n,
+                lon0=lon0, fe=fe, fn=fn, a=a, e2=e2, e=e,
+                q_p=_q_auth(1.0, e2, e), series=_beta_series(e2))
 
 
 def _lonlat_to_aea_fn(crs: str) -> ColumnTransform:
-    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
+    k = _aea_consts(crs)
+    n, c, rho0, lon0, fe, fn = (k["n"], k["c"], k["rho0"], k["lon0"],
+                                k["fe"], k["fn"])
+    e2, e = k["e2"], k["e"]
 
     def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
         s = F.sin(F.radians(lat))
-        q = F.lit(1.0 - _E2_G) * (
-            s / (F.lit(1.0) - F.lit(_E2_G) * s * s)
-            - F.lit(1.0 / (2.0 * _E_G))
-            * F.log((F.lit(1.0) - F.lit(_E_G) * s)
-                    / (F.lit(1.0) + F.lit(_E_G) * s)))
-        rho = F.lit(_R) * F.sqrt(F.lit(c) - F.lit(n) * q) / F.lit(n)
+        q = F.lit(1.0 - e2) * (
+            s / (F.lit(1.0) - F.lit(e2) * s * s)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * s)
+                    / (F.lit(1.0) + F.lit(e) * s)))
+        rho = F.lit(k["a"]) * F.sqrt(F.lit(c) - F.lit(n) * q) / F.lit(n)
         th = F.lit(n) * F.radians(lon - F.lit(lon0))
         return (F.lit(fe) + rho * F.sin(th),
                 F.lit(fn) + F.lit(rho0) - rho * F.cos(th))
@@ -2268,18 +2310,21 @@ def _lonlat_to_aea_fn(crs: str) -> ColumnTransform:
 
 
 def _aea_to_lonlat_fn(crs: str) -> ColumnTransform:
-    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
-    q_p = _q_auth(1.0)
+    k = _aea_consts(crs)
+    n, c, rho0, lon0, fe, fn = (k["n"], k["c"], k["rho0"], k["lon0"],
+                                k["fe"], k["fn"])
 
     def inv(x: Column, y: Column) -> tuple[Column, Column]:
         xd = x - F.lit(fe)
         yd = F.lit(rho0) - (y - F.lit(fn))
         rho = F.sqrt(xd * xd + yd * yd)
-        q = (F.lit(c) - rho * rho * F.lit(n * n / (_R * _R))) / F.lit(n)
-        beta = F.asin(F.least(F.greatest(q / F.lit(q_p), F.lit(-1.0)),
+        q = (F.lit(c) - rho * rho
+             * F.lit(n * n / (k["a"] * k["a"]))) / F.lit(n)
+        beta = F.asin(F.least(F.greatest(q / F.lit(k["q_p"]),
+                                         F.lit(-1.0)),
                               F.lit(1.0)))
         phi = beta
-        for j, cc in enumerate(_LAEA_SERIES, start=1):
+        for j, cc in enumerate(k["series"], start=1):
             phi = phi + F.lit(cc) * F.sin(F.lit(2.0 * j) * beta)
         lam = F.atan2(xd, yd) / F.lit(n)
         return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
@@ -2289,15 +2334,16 @@ def _aea_to_lonlat_fn(crs: str) -> ColumnTransform:
 
 def aea_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     """The SAME Albers inverse as SQL strings (for DuckDB oracles)."""
-    n, c, rho0, lon0, fe, fn = _aea_consts(crs)
-    q_p = _q_auth(1.0)
+    k = _aea_consts(crs)
+    n, c, rho0, lon0, fe, fn = (k["n"], k["c"], k["rho0"], k["lon0"],
+                                k["fe"], k["fn"])
     xd = f"(CAST({x_expr} AS DOUBLE) - {fe!r})"
     yd = f"({rho0!r} - (CAST({y_expr} AS DOUBLE) - {fn!r}))"
     rho2 = f"({xd} * {xd} + {yd} * {yd})"
-    q = f"(({c!r} - {rho2} * {n * n / (_R * _R)!r}) / {n!r})"
-    beta = f"asin(least(greatest({q} / {q_p!r}, -1.0), 1.0))"
+    q = f"(({c!r} - {rho2} * {n * n / (k['a'] * k['a'])!r}) / {n!r})"
+    beta = f"asin(least(greatest({q} / {k['q_p']!r}, -1.0), 1.0))"
     phi = beta
-    for j, cc in enumerate(_LAEA_SERIES, start=1):
+    for j, cc in enumerate(k["series"], start=1):
         phi = f"({phi} + {cc!r} * sin(2.0 * {j} * ({beta})))"
     lam = f"(atan2({xd}, {yd}) / {n!r})"
     return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"

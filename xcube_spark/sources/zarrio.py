@@ -410,6 +410,16 @@ _GRS80_ELLIPSOID = {"semi_major_axis": 6378137.0,
                     "inverse_flattening": 298.257222101}
 
 
+def _conic_ellipsoid_attrs(params: tuple, base_len: int = 6) -> dict:
+    """Ellipsoid CF attrs for an (optionally ellipsoid-extended)
+    LCC/AEA/LAEA family tuple: GRS80 for the short form, the recorded
+    (a, rf) for the 8-tuple form (round 8)."""
+    if len(params) > base_len:
+        return {"semi_major_axis": params[base_len],
+                "inverse_flattening": params[base_len + 1]}
+    return dict(_GRS80_ELLIPSOID)
+
+
 def _family_grid_mapping_attrs(code: str) -> dict | None:
     """CF attrs for any CRS registered in a closed-form family table
     (reproject.py) — the encode twin of `crsparse.crs_from_cf`, so
@@ -427,28 +437,29 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "semi_major_axis": a,
                 "inverse_flattening": (0.0 if f == 0.0 else 1.0 / f)}
     if code in R.LCC_PARAMS:
-        lat1, lat2, lat0, lon0, fe, fn = R.LCC_PARAMS[code]
+        lat1, lat2, lat0, lon0, fe, fn = R.LCC_PARAMS[code][:6]
         return {"grid_mapping_name": "lambert_conformal_conic",
                 "standard_parallel": [lat1, lat2],
                 "latitude_of_projection_origin": lat0,
                 "longitude_of_central_meridian": lon0,
                 "false_easting": fe, "false_northing": fn,
-                **_GRS80_ELLIPSOID}
+                **_conic_ellipsoid_attrs(R.LCC_PARAMS[code])}
     if code in R.AEA_PARAMS:
-        lat1, lat2, lat0, lon0, fe, fn = R.AEA_PARAMS[code]
+        lat1, lat2, lat0, lon0, fe, fn = R.AEA_PARAMS[code][:6]
         return {"grid_mapping_name": "albers_conical_equal_area",
                 "standard_parallel": [lat1, lat2],
                 "latitude_of_projection_origin": lat0,
                 "longitude_of_central_meridian": lon0,
                 "false_easting": fe, "false_northing": fn,
-                **_GRS80_ELLIPSOID}
+                **_conic_ellipsoid_attrs(R.AEA_PARAMS[code])}
     if code in R.LAEA_PARAMS:
-        lat0, lon0, fe, fn = R.LAEA_PARAMS[code]
+        lat0, lon0, fe, fn = R.LAEA_PARAMS[code][:4]
         return {"grid_mapping_name": "lambert_azimuthal_equal_area",
                 "latitude_of_projection_origin": lat0,
                 "longitude_of_projection_origin": lon0,
                 "false_easting": fe, "false_northing": fn,
-                **_GRS80_ELLIPSOID}
+                **_conic_ellipsoid_attrs(R.LAEA_PARAMS[code],
+                                         base_len=4)}
     if code in R.MERC_PARAMS:
         lat_ts, lon0, fe, fn = R.MERC_PARAMS[code]
         return {"grid_mapping_name": "mercator",
