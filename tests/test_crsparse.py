@@ -1192,3 +1192,54 @@ def test_conics_non_grs80_cf_roundtrip(spark):
     attrs.pop("epsg_code")
     _assert_same_transform(spark, crs_from_grid_mapping(attrs), k,
                            pts=[(-96.0, 35.0), (-110.0, 41.0)])
+
+
+def test_nsper_vertical_perspective(spark):
+    """Near-sided perspective (Snyder ch. 23): rho = R(P-1)sin(c) /
+    (P-cos(c)) (the defining property); beyond-horizon points are
+    NaN; h -> large approaches orthographic; round trip; CF
+    vertical_perspective decodes onto it."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    R0, h = 6371000.0, 35786000.0
+    k = resolve_proj4(f"+proj=nsper +h={h} +lat_0=0 +lon_0=-60 "
+                      f"+R={R0}")
+    P = 1.0 + h / R0
+    pts = [(-60.0, 0.0), (-30.0, 25.0), (120.0, 0.0)]  # last: far side
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", k)
+    inv = get_transform(k, "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    df = apply_transform_df(df, inv, F.col("x"), F.col("y"),
+                            "rlon", "rlat")
+    got = {(r.lon, r.lat): r for r in df.collect()}
+    assert got[(-60.0, 0.0)].x == 0.0 and got[(-60.0, 0.0)].y == 0.0
+    assert math.isnan(got[(120.0, 0.0)].x)
+    r = got[(-30.0, 25.0)]
+    c = math.acos(math.cos(math.radians(25.0))
+                  * math.cos(math.radians(30.0)))
+    rho = R0 * (P - 1.0) * math.sin(c) / (P - math.cos(c))
+    assert abs(math.hypot(r.x, r.y) - rho) < 1e-3
+    assert abs(r.rlon - -30.0) < 1e-9 and abs(r.rlat - 25.0) < 1e-9
+
+    # h -> very large: converges to orthographic (sub-metre at 1e12 m)
+    k_inf = resolve_proj4(f"+proj=nsper +h=1e12 +lat_0=0 +lon_0=-60 "
+                          f"+R={R0}")
+    k_ortho = resolve_proj4(f"+proj=ortho +lat_0=0 +lon_0=-60 +R={R0}")
+    a = _fwd_points(spark, k_inf, pts=[(-30.0, 25.0)])
+    b = _fwd_points(spark, k_ortho, pts=[(-30.0, 25.0)])
+    # convergence is first-order in 1/P: ~(1-cos c)/P * rho ~ 2.5 m
+    assert abs(a[0][2] - b[0][2]) < 5.0 and abs(a[0][3] - b[0][3]) < 5.0
+
+    attrs = cf_grid_mapping_attrs(k)
+    assert attrs["grid_mapping_name"] == "vertical_perspective"
+    attrs.pop("epsg_code")
+    _assert_same_transform(spark, crs_from_grid_mapping(attrs), k,
+                           pts=[(-30.0, 25.0)])

@@ -331,6 +331,17 @@ def resolve_proj4(text: str) -> str:
             (a, _num(p, "lat_0"), _num(p, "lon_0"),
              _num(p, "x_0"), _num(p, "y_0")))
 
+    if proj == "nsper":
+        if not math.isinf(rf):
+            raise NotImplementedError(
+                "nsper: spherical only (+R or +a with no flattening)")
+        if "h" not in p:
+            raise ValueError("nsper requires +h (viewpoint height)")
+        return _register(
+            R.NSPER_PARAMS, "nsper",
+            (a, float(p["h"]), _num(p, "lat_0"), _num(p, "lon_0"),
+             _num(p, "x_0"), _num(p, "y_0")))
+
     if proj == "eqc":
         if _num(p, "lat_0"):
             raise NotImplementedError("eqc: nonzero +lat_0 not supported")
@@ -567,6 +578,14 @@ def crs_from_cf(attrs: Mapping) -> str:
         if "rectified_grid_angle" in attrs:
             put("gamma", num("rectified_grid_angle"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "vertical_perspective":
+        if "perspective_point_height" not in attrs:
+            raise ValueError(
+                "vertical_perspective needs perspective_point_height")
+        p["proj"] = "nsper"
+        p["h"] = repr(float(attrs["perspective_point_height"]))
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
     elif name == "stereographic":
         # CF general stereographic: spherical datums resolve onto the
         # Snyder ch. 21 family; ellipsoidal oblique is rejected in

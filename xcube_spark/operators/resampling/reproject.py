@@ -1749,6 +1749,68 @@ def omerc_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
         )"""
 
 
+#: spherical near-sided (vertical) perspective — Snyder ch. 23 /
+#: CF `vertical_perspective` (satellite-eye views from finite height;
+#: orthographic is the h -> inf limit, geostationary the scan-angle
+#: sibling).  crs -> (R, height h, lat0, lon0, fe, fn)
+NSPER_PARAMS: dict[str, tuple] = {}
+
+
+def _nsper_consts(crs: str) -> dict:
+    r, h, lat0, lon0, fe, fn = NSPER_PARAMS[crs.upper()]
+    phi0 = math.radians(lat0)
+    return dict(r=r, p=1.0 + h / r, lon0=lon0, fe=fe, fn=fn,
+                sp0=math.sin(phi0), cp0=math.cos(phi0))
+
+
+def _lonlat_to_nsper_fn(crs: str) -> ColumnTransform:
+    c = _nsper_consts(crs)
+    p = c["p"]
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        dl = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        cosc = (F.lit(c["sp0"]) * F.sin(phi)
+                + F.lit(c["cp0"]) * F.cos(phi) * F.cos(dl))
+        kp = F.lit(p - 1.0) / (F.lit(p) - cosc)  # Snyder 23-3
+        nan = F.lit(float("nan"))
+        x = F.lit(c["fe"]) + F.lit(c["r"]) * kp * F.cos(phi) * F.sin(dl)
+        y = F.lit(c["fn"]) + F.lit(c["r"]) * kp * (
+            F.lit(c["cp0"]) * F.sin(phi)
+            - F.lit(c["sp0"]) * F.cos(phi) * F.cos(dl))
+        vis = cosc >= F.lit(1.0 / p)  # beyond the horizon circle
+        return F.when(vis, x).otherwise(nan), \
+            F.when(vis, y).otherwise(nan)
+
+    return fwd
+
+
+def _nsper_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _nsper_consts(crs)
+    p, r = c["p"], c["r"]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yn = y - F.lit(c["fn"])
+        rho = F.sqrt(xe * xe + yn * yn)
+        # Snyder 23-19/20: off-disk -> sqrt(negative) -> NaN
+        root = F.sqrt(F.lit(1.0) - rho * rho * F.lit(
+            (p + 1.0) / (r * r * (p - 1.0))))
+        cang = F.asin((F.lit(p) - root)
+                      / (F.lit(r * (p - 1.0)) / rho
+                         + rho / F.lit(r * (p - 1.0))))
+        phi = F.when(rho == 0.0, F.asin(F.lit(c["sp0"]))).otherwise(
+            F.asin(F.cos(cang) * F.lit(c["sp0"])
+                   + yn * F.sin(cang) * F.lit(c["cp0"]) / rho))
+        lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+            F.atan2(xe * F.sin(cang),
+                    rho * F.lit(c["cp0"]) * F.cos(cang)
+                    - yn * F.lit(c["sp0"]) * F.sin(cang)))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
 #: spherical stereographic, ANY aspect (Snyder 21-2..21-4 / 20-14..
 #: 20-18) — backs the CF `stereographic` grid-mapping name for
 #: spherical datums; ellipsoidal non-polar stays with sterea/polar.
@@ -2507,6 +2569,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _aeqd_to_lonlat_fn(up)
     if up in ORTHO_PARAMS:
         return _ortho_to_lonlat_fn(up)
+    if up in NSPER_PARAMS:
+        return _nsper_to_lonlat_fn(up)
     if up in STEREG_PARAMS:
         return _stereg_to_lonlat_fn(up)
     if up in OMERC_PARAMS:
@@ -2556,6 +2620,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_aeqd_fn(up)
     if up in ORTHO_PARAMS:
         return _lonlat_to_ortho_fn(up)
+    if up in NSPER_PARAMS:
+        return _lonlat_to_nsper_fn(up)
     if up in STEREG_PARAMS:
         return _lonlat_to_stereg_fn(up)
     if up in OMERC_PARAMS:

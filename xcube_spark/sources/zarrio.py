@@ -515,6 +515,14 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "scale_factor_at_projection_origin": kc,
                 "false_easting": ec, "false_northing": nc,
                 "semi_major_axis": a, "inverse_flattening": rf}
+    if code in R.NSPER_PARAMS:
+        r, h, lat0, lon0, fe, fn = R.NSPER_PARAMS[code]
+        return {"grid_mapping_name": "vertical_perspective",
+                "perspective_point_height": h,
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_projection_origin": lon0,
+                "false_easting": fe, "false_northing": fn,
+                "earth_radius": r}
     if code in R.STEREG_PARAMS:
         r, k0, lat0, lon0, fe, fn = R.STEREG_PARAMS[code]
         return {"grid_mapping_name": "stereographic",
