@@ -130,6 +130,28 @@ def _num(p: Mapping[str, str], key: str, default: float = 0.0) -> float:
     return float(p[key]) if key in p else default
 
 
+def _towgs84(p: Mapping[str, str]) -> tuple | None:
+    """Parse +towgs84 into the position-vector 7-tuple
+    (tx, ty, tz [m]; rx, ry, rz [rad]; s [unitless]) used by the
+    Helmert-hop families; None when absent or the null transform."""
+    raw = p.get("towgs84")
+    if raw is None:
+        return None
+    vals = [float(v) for v in str(raw).split(",")]
+    if len(vals) == 3:
+        vals += [0.0, 0.0, 0.0, 0.0]
+    if len(vals) != 7:
+        raise NotImplementedError(
+            "+towgs84 needs 3 or 7 comma-separated values")
+    if not any(vals):
+        return None
+    return (vals[0], vals[1], vals[2],
+            math.radians(vals[3] / 3600.0),
+            math.radians(vals[4] / 3600.0),
+            math.radians(vals[5] / 3600.0),
+            vals[6] * 1e-6)
+
+
 def _register(table: dict, family: str, params: tuple) -> str:
     """Insert ``params`` into a family table under a canonical
     uppercase key (the tables are looked up via ``crs.upper()``)."""
@@ -390,6 +412,26 @@ def resolve_proj4(text: str) -> str:
         return _register(R.STEREA_PARAMS, "sterea",
                          (a, rf, lat0, lon0, k0, x0, y0))
 
+    if proj == "somerc":
+        # Swiss oblique Mercator (double projection); +towgs84 (the
+        # published CH1903 translation, or any 3/7-param position-
+        # vector set) composes a WGS84 datum hop exactly as the
+        # canonical EPSG:2056/21781 entries do
+        lat0, lon0 = _num(p, "lat_0"), _num(p, "lon_0")
+        k0 = _num(p, "k", _num(p, "k_0", 1.0))
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        towgs84 = _towgs84(p)
+        for code in ("EPSG:21781", "EPSG:2056"):
+            t = R.SOMERC_PARAMS[code]
+            if (abs(a - t[0]) < 1e-3 and abs(rf - t[1]) < 1e-6
+                    and abs(lat0 - t[2]) < 1e-9
+                    and abs(lon0 - t[3]) < 1e-9 and k0 == t[4]
+                    and x0 == t[5] and y0 == t[6]
+                    and towgs84 == t[7]):
+                return code
+        return _register(R.SOMERC_PARAMS, "somerc",
+                         (a, rf, lat0, lon0, k0, x0, y0, towgs84))
+
     if proj == "omerc":
         # Hotine oblique Mercator (EPSG 9812 variant A with
         # +no_uoff, else 9815 variant B); the two-point form
@@ -436,8 +478,8 @@ def resolve_proj4(text: str) -> str:
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
-        "sterea, merc, geos, sinu, moll, ob_tran[longlat], cea, "
-        "aeqd[sph], ortho[sph], eqc, omerc)")
+        "sterea, somerc, merc, geos, sinu, moll, ob_tran[longlat], "
+        "cea, aeqd[sph], ortho[sph], eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -604,6 +646,14 @@ def crs_from_cf(attrs: Mapping) -> str:
         if sps:
             put("lat_ts", sps[0])
         put("lon_0", num("longitude_of_central_meridian"))
+    elif name == "swiss_oblique_cylindrical":
+        # the GeoTIFF CT name for the Swiss double projection (CF's
+        # appendix has no entry; this is the spelling Swiss products
+        # carry in the wild)
+        p["proj"] = "somerc"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_projection_origin"))
+        put("k", num("scale_factor_at_projection_origin", 1.0))
     elif name == "oblique_stereographic":
         # pyproj's CF name for EPSG method 9809 (not in the CF
         # appendix, which has no entry for the double stereographic)
@@ -636,6 +686,18 @@ def crs_from_cf(attrs: Mapping) -> str:
         raise NotImplementedError(
             f"grid_mapping_name={name!r}: no closed-form Column "
             "family implemented")
+
+    if "towgs84" in attrs:
+        vals = attrs["towgs84"]
+        vals = [float(v) for v in (
+            [vals] if isinstance(vals, (int, float)) else vals)]
+        if any(vals):
+            if p.get("proj") != "somerc":
+                raise NotImplementedError(
+                    "towgs84 datum shift is only composed for the "
+                    "swiss_oblique_cylindrical family; other grid "
+                    "mappings would silently ignore it")
+            p["towgs84"] = ",".join(repr(v) for v in vals)
 
     # hand off through the PROJ.4 resolver so family validation and
     # registration live in exactly one place

@@ -1948,6 +1948,333 @@ def eqc_inverse_sql(x_expr: str, y_expr: str,
     return lon, f"degrees({phi})"
 
 
+# ---- Swiss oblique Mercator (+proj=somerc) ----------------------------
+#
+# The Swiss "double projection" (swisstopo's published formulas; PROJ's
+# somerc): ellipsoid -> conformal sphere (exponent alpha, constant K,
+# conformal-sphere radius R at the projection centre), rotate the
+# sphere so the centre becomes the pseudo-equator origin, then the
+# equatorial spherical Mercator.  CH1903/LV03 (EPSG:21781) and
+# CH1903+/LV95 (EPSG:2056) carry their published towgs84 translation
+# (674.374, 15.056, 405.346 m) so WGS84 lon/lat reprojects through the
+# same datum hop pyproj applies (the reference reaches both through
+# pyproj, core/gridmapping/transform.py).  Forward validated against
+# the swisstopo worked example (E 700000 / N 100000 <-> WGS84
+# 8°43'49.79"E 46°02'38.87"N, <5 cm).
+
+_CH_LAT0 = 46.0 + 57.0 / 60.0 + 8.66 / 3600.0
+_CH_LON0 = 7.0 + 26.0 / 60.0 + 22.5 / 3600.0
+#: CH1903(+) -> WGS84 position-vector Helmert (translation-only),
+#: the published +towgs84=674.374,15.056,405.346
+_CH_TOWGS84 = (674.374, 15.056, 405.346, 0.0, 0.0, 0.0, 0.0)
+
+#: crs -> (a, rf, lat0, lon0, k0, false easting, false northing,
+#:         towgs84 7-tuple local->WGS84 or None)
+SOMERC_PARAMS: dict[str, tuple] = {
+    "EPSG:21781": (6_377_397.155, 299.1528128, _CH_LAT0, _CH_LON0,
+                   1.0, 600_000.0, 200_000.0, _CH_TOWGS84),
+    "EPSG:2056": (6_377_397.155, 299.1528128, _CH_LAT0, _CH_LON0,
+                  1.0, 2_600_000.0, 1_200_000.0, _CH_TOWGS84),
+}
+
+#: fixed iteration count of the isometric->geodetic latitude solve
+#: (same discipline as _STEREA_ITERS: both engines run the SAME count)
+_SOMERC_ITERS = 4
+
+
+def _somerc_consts(crs: str) -> dict:
+    a, rf, lat0, lon0, k0, fe, fn, towgs84 = SOMERC_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    phi0 = math.radians(lat0)
+    s0 = math.sin(phi0)
+    alpha = math.sqrt(1.0 + es * math.cos(phi0) ** 4 / (1.0 - es))
+    big_r = k0 * a * math.sqrt(1.0 - es) / (1.0 - es * s0 * s0)
+    b0 = math.asin(s0 / alpha)
+    psi0 = (math.log(math.tan(math.pi / 4.0 + phi0 / 2.0))
+            - e / 2.0 * math.log((1.0 + e * s0) / (1.0 - e * s0)))
+    k_const = math.log(math.tan(math.pi / 4.0 + b0 / 2.0)) - alpha * psi0
+    b_ell = a * (1.0 - f)
+    return dict(
+        a=a, es=es, e=e, b_ell=b_ell,
+        ep2=(a * a - b_ell * b_ell) / (b_ell * b_ell),
+        alpha=alpha, big_r=big_r, k=k_const,
+        sb0=math.sin(b0), cb0=math.cos(b0),
+        lam0=math.radians(lon0), lon0=lon0, fe=fe, fn=fn,
+        towgs84=towgs84,
+        helm_fwd=None if towgs84 is None else tuple(-v for v in towgs84),
+    )
+
+
+def _lonlat_to_somerc_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg; WGS84 when the CRS carries a towgs84, else the
+    projection ellipsoid's own datum) -> Swiss-Mercator E/N."""
+    c = _somerc_consts(crs)
+    e, es, alpha = c["e"], c["es"], c["alpha"]
+
+    # hop stages mirror _lonlat_to_osgb_fn's FINE staging (one small
+    # expression per alias): coarse stages that re-inline the whole
+    # geodetic->XYZ tree per output column send the optimizer into a
+    # multi-minute substitution blowup once the gather join is added
+    stages: list[dict] = [
+        {"__lamw": lambda env: F.radians(env["__in_x"]),
+         "__phiw": lambda env: F.radians(env["__in_y"])},
+    ]
+    if c["helm_fwd"] is not None:
+        helm = c["helm_fwd"]
+        stages += [
+            {"__spw": lambda env: F.sin(env["__phiw"]),
+             "__cpw": lambda env: F.cos(env["__phiw"])},
+            {"__nuw": lambda env: F.lit(_WGS_A) / F.sqrt(
+                F.lit(1.0) - F.lit(_WGS_E2)
+                * env["__spw"] * env["__spw"])},
+            {"__Xw": lambda env: env["__nuw"] * env["__cpw"]
+                * F.cos(env["__lamw"]),
+             "__Yw": lambda env: env["__nuw"] * env["__cpw"]
+                * F.sin(env["__lamw"]),
+             "__Zw": lambda env: env["__nuw"] * F.lit(1.0 - _WGS_E2)
+                * env["__spw"]},
+            {"__Xl": lambda env: _helmert(
+                env["__Xw"], env["__Yw"], env["__Zw"], helm)[0],
+             "__Yl": lambda env: _helmert(
+                env["__Xw"], env["__Yw"], env["__Zw"], helm)[1],
+             "__Zl": lambda env: _helmert(
+                env["__Xw"], env["__Yw"], env["__Zw"], helm)[2]},
+            {"__pl": lambda env: F.sqrt(env["__Xl"] * env["__Xl"]
+                                        + env["__Yl"] * env["__Yl"])},
+            {"__thl": lambda env: F.atan2(env["__Zl"] * F.lit(c["a"]),
+                                          env["__pl"]
+                                          * F.lit(c["b_ell"]))},
+            {"__lam": lambda env: F.atan2(env["__Yl"], env["__Xl"]),
+             "__phi": lambda env: F.atan2(
+                env["__Zl"] + F.lit(c["ep2"] * c["b_ell"])
+                * F.pow(F.sin(env["__thl"]), F.lit(3.0)),
+                env["__pl"] - F.lit(es * c["a"])
+                * F.pow(F.cos(env["__thl"]), F.lit(3.0)))},
+        ]
+    else:
+        stages.append({"__lam": lambda env: env["__lamw"],
+                       "__phi": lambda env: env["__phiw"]})
+
+    def s_psi(env):
+        s = F.sin(env["__phi"])
+        return (F.log(F.tan(F.lit(math.pi / 4.0) + env["__phi"]
+                            / F.lit(2.0)))
+                - F.lit(e / 2.0) * F.log((F.lit(1.0) + F.lit(e) * s)
+                                         / (F.lit(1.0) - F.lit(e) * s)))
+
+    def s_b(env):
+        return (F.lit(2.0) * F.atan(F.exp(
+            F.lit(alpha) * env["__psi"] + F.lit(c["k"])))
+            - F.lit(math.pi / 2.0))
+
+    def s_l(env):
+        return F.lit(alpha) * (env["__lam"] - F.lit(c["lam0"]))
+
+    def s_sbb(env):
+        return (F.lit(c["cb0"]) * F.sin(env["__b"])
+                - F.lit(c["sb0"]) * F.cos(env["__b"])
+                * F.cos(env["__l"]))
+
+    def out_x(env):
+        xp = (F.lit(c["cb0"]) * F.cos(env["__b"]) * F.cos(env["__l"])
+              + F.lit(c["sb0"]) * F.sin(env["__b"]))
+        yp = F.cos(env["__b"]) * F.sin(env["__l"])
+        return F.lit(c["fe"]) + F.lit(c["big_r"]) * F.atan2(yp, xp)
+
+    def out_y(env):
+        sbb = env["__sbb"]
+        return (F.lit(c["fn"]) + F.lit(c["big_r"]) / F.lit(2.0)
+                * F.log((F.lit(1.0) + sbb) / (F.lit(1.0) - sbb)))
+
+    stages += [
+        {"__psi": s_psi},
+        {"__b": s_b, "__l": s_l},
+        {"__sbb": s_sbb},
+        {"__out_x": out_x, "__out_y": out_y},
+    ]
+    return StagedTransform(stages)
+
+
+def _somerc_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """E/N -> lon/lat: spherical Mercator inverse, un-rotate, then the
+    fixed-count isometric->geodetic solve; a Bessel->WGS84 datum hop
+    when the CRS carries a towgs84."""
+    c = _somerc_consts(crs)
+    e, es, alpha = c["e"], c["es"], c["alpha"]
+
+    def s_lbar(env):
+        return (env["__in_x"] - F.lit(c["fe"])) / F.lit(c["big_r"])
+
+    def s_bbar(env):
+        return (F.lit(2.0) * F.atan(F.exp(
+            (env["__in_y"] - F.lit(c["fn"])) / F.lit(c["big_r"])))
+            - F.lit(math.pi / 2.0))
+
+    def s_b(env):
+        return F.asin(F.lit(c["cb0"]) * F.sin(env["__bb"])
+                      + F.lit(c["sb0"]) * F.cos(env["__bb"])
+                      * F.cos(env["__lb"]))
+
+    def s_lam(env):
+        return F.lit(c["lam0"]) + F.atan2(
+            F.cos(env["__bb"]) * F.sin(env["__lb"]),
+            F.lit(c["cb0"]) * F.cos(env["__bb"]) * F.cos(env["__lb"])
+            - F.lit(c["sb0"]) * F.sin(env["__bb"])) / F.lit(alpha)
+
+    def s_psit(env):
+        return (F.log(F.tan(F.lit(math.pi / 4.0) + env["__b"]
+                            / F.lit(2.0)))
+                - F.lit(c["k"])) / F.lit(alpha)
+
+    def s_phi0(env):
+        return (F.lit(2.0) * F.atan(F.exp(env["__psit"]))
+                - F.lit(math.pi / 2.0))
+
+    def step(env):
+        phi = env["__phi"]
+        sphi = F.sin(phi)
+        psii = (F.log(F.tan(phi / F.lit(2.0) + F.lit(math.pi / 4.0)))
+                - F.lit(e / 2.0)
+                * F.log((F.lit(1.0) + F.lit(e) * sphi)
+                        / (F.lit(1.0) - F.lit(e) * sphi)))
+        return phi - (psii - env["__psit"]) * F.cos(phi) \
+            * (F.lit(1.0) - F.lit(es) * sphi * sphi) / F.lit(1.0 - es)
+
+    stages: list[dict] = [
+        {"__lb": s_lbar, "__bb": s_bbar},
+        {"__b": s_b},
+        {"__lam": s_lam, "__psit": s_psit},
+        {"__phi": s_phi0},
+    ]
+    stages += [{"__phi": step} for _ in range(_SOMERC_ITERS)]
+    if c["towgs84"] is None:
+        stages.append({"__out_x": lambda env: F.degrees(env["__lam"]),
+                       "__out_y": lambda env: F.degrees(env["__phi"])})
+        return StagedTransform(stages)
+    helm = c["towgs84"]
+    # same fine staging as _osgb_to_lonlat_fn's hop (see the forward's
+    # comment): one small expression per alias
+    stages += [
+        {"__sp": lambda env: F.sin(env["__phi"]),
+         "__cp": lambda env: F.cos(env["__phi"])},
+        {"__nu": lambda env: F.lit(c["a"]) / F.sqrt(
+            F.lit(1.0) - F.lit(es) * env["__sp"] * env["__sp"])},
+        {"__Xl": lambda env: env["__nu"] * env["__cp"]
+            * F.cos(env["__lam"]),
+         "__Yl": lambda env: env["__nu"] * env["__cp"]
+            * F.sin(env["__lam"]),
+         "__Zl": lambda env: env["__nu"] * F.lit(1.0 - es)
+            * env["__sp"]},
+        {"__Xw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], helm)[0],
+         "__Yw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], helm)[1],
+         "__Zw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], helm)[2]},
+        {"__p": lambda env: F.sqrt(env["__Xw"] * env["__Xw"]
+                                   + env["__Yw"] * env["__Yw"])},
+        {"__th": lambda env: F.atan2(env["__Zw"] * F.lit(_WGS_A),
+                                     env["__p"] * F.lit(_WGS_B))},
+        {"__out_x": lambda env: F.degrees(
+            F.atan2(env["__Yw"], env["__Xw"])),
+         "__out_y": lambda env: F.degrees(F.atan2(
+            env["__Zw"] + F.lit(_WGS_EP2 * _WGS_B)
+            * F.pow(F.sin(env["__th"]), F.lit(3.0)),
+            env["__p"] - F.lit(_WGS_E2 * _WGS_A)
+            * F.pow(F.cos(env["__th"]), F.lit(3.0))))},
+    ]
+    return StagedTransform(stages)
+
+
+def somerc_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                            src: str = "tgt") -> str:
+    """The SAME Swiss-Mercator inverse as a chain of CTEs over ``src``
+    (for DuckDB oracles) — identical arithmetic and iteration count to
+    :func:`_somerc_to_lonlat_fn`, incl. the Bessel->WGS84 Helmert hop
+    for the EPSG codes.  Emits CTEs ``sw1..`` and finally
+    ``somerc_ll`` = ``src`` columns + ``lon``/``lat``."""
+    c = _somerc_consts(crs)
+    e, es, alpha = c["e"], c["es"], c["alpha"]
+    iters = "".join(f"""), sw{5 + k} AS (
+            SELECT * EXCLUDE (__phi), (__phi - ((ln(tan(__phi / 2.0
+                + {math.pi / 4.0!r})) - {e / 2.0!r}
+                * ln((1.0 + {e!r} * sin(__phi))
+                     / (1.0 - {e!r} * sin(__phi)))) - __psit)
+                * cos(__phi) * (1.0 - {es!r} * sin(__phi) * sin(__phi))
+                / {1.0 - es!r}) AS __phi
+            FROM sw{4 + k}""" for k in range(_SOMERC_ITERS))
+    n_last = 4 + _SOMERC_ITERS
+    head = f"""sw1 AS (
+            SELECT *, ((({x_expr}) - {c['fe']!r}) / {c['big_r']!r})
+                      AS __lb,
+                   (2.0 * atan(exp(((({y_expr}) - {c['fn']!r})
+                       / {c['big_r']!r}))) - {math.pi / 2.0!r}) AS __bb
+            FROM {src}
+        ), sw2 AS (
+            SELECT *, asin({c['cb0']!r} * sin(__bb)
+                           + {c['sb0']!r} * cos(__bb) * cos(__lb))
+                      AS __b
+            FROM sw1
+        ), sw3 AS (
+            SELECT *, ({c['lam0']!r} + atan2(cos(__bb) * sin(__lb),
+                           {c['cb0']!r} * cos(__bb) * cos(__lb)
+                           - {c['sb0']!r} * sin(__bb)) / {alpha!r})
+                      AS __lam,
+                   ((ln(tan({math.pi / 4.0!r} + __b / 2.0))
+                     - {c['k']!r}) / {alpha!r}) AS __psit
+            FROM sw2
+        ), sw4 AS (
+            SELECT *, (2.0 * atan(exp(__psit)) - {math.pi / 2.0!r})
+                      AS __phi
+            FROM sw3
+        {iters})"""
+    if c["towgs84"] is None:
+        return head + f""", somerc_ll AS (
+            SELECT * EXCLUDE (__lb, __bb, __b, __lam, __psit, __phi),
+                   degrees(__lam) AS lon, degrees(__phi) AS lat
+            FROM sw{n_last}
+        )"""
+    tx, ty, tz, rx, ry, rz, s = c["towgs84"]
+    m = repr(1.0 + s)
+    return head + f""", sw{n_last + 1} AS (
+            SELECT *, ({c['a']!r} / sqrt(1.0 - {es!r} * sin(__phi)
+                       * sin(__phi))) AS __nu
+            FROM sw{n_last}
+        ), sw{n_last + 2} AS (
+            SELECT *, (__nu * cos(__phi) * cos(__lam)) AS __Xl,
+                      (__nu * cos(__phi) * sin(__lam)) AS __Yl,
+                      (__nu * {1.0 - es!r} * sin(__phi)) AS __Zl
+            FROM sw{n_last + 1}
+        ), sw{n_last + 3} AS (
+            SELECT *, ({tx!r} + {m} * __Xl - {rz!r} * __Yl
+                       + {ry!r} * __Zl) AS __Xw,
+                      ({ty!r} + {rz!r} * __Xl + {m} * __Yl
+                       - {rx!r} * __Zl) AS __Yw,
+                      ({tz!r} - {ry!r} * __Xl + {rx!r} * __Yl
+                       + {m} * __Zl) AS __Zw
+            FROM sw{n_last + 2}
+        ), sw{n_last + 4} AS (
+            SELECT *, sqrt(__Xw * __Xw + __Yw * __Yw) AS __p
+            FROM sw{n_last + 3}
+        ), sw{n_last + 5} AS (
+            SELECT *, atan2(__Zw * {_WGS_A!r}, __p * {_WGS_B!r})
+                      AS __th
+            FROM sw{n_last + 4}
+        ), somerc_ll AS (
+            SELECT * EXCLUDE (__lb, __bb, __b, __lam, __psit, __phi,
+                              __nu, __Xl, __Yl, __Zl, __Xw, __Yw,
+                              __Zw, __p, __th),
+                   degrees(atan2(__Yw, __Xw)) AS lon,
+                   degrees(atan2(
+                       __Zw + {_WGS_EP2 * _WGS_B!r} * pow(sin(__th), 3),
+                       __p - {_WGS_E2 * _WGS_A!r} * pow(cos(__th), 3)))
+                   AS lat
+            FROM sw{n_last + 5}
+        )"""
+
+
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
 #
 # EPSG method 9835 (ellipsoidal CEA, Snyder eqs. 10-1/10-2 with the
@@ -2561,6 +2888,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _rotpole_to_lonlat_fn(up)
     if up in STEREA_PARAMS:
         return _sterea_to_lonlat_fn(up)
+    if up in SOMERC_PARAMS:
+        return _somerc_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in CEA_PARAMS:
@@ -2612,6 +2941,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_rotpole_fn(up)
     if up in STEREA_PARAMS:
         return _lonlat_to_sterea_fn(up)
+    if up in SOMERC_PARAMS:
+        return _lonlat_to_somerc_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in CEA_PARAMS:
@@ -2760,6 +3091,20 @@ def reproject_dataset(
         F.col("x_i").alias("__ssx"),
         *vars_,
     )
+    if hasattr(transform, "apply_df"):
+        # staged transforms (datum hops, fixed-count Newton solves)
+        # are deep alias chains; Dynamic Partition Pruning's join-key
+        # lineage walk (PartitionPruning.findExpressionAndTrackLineageDown)
+        # substitutes aliases transitively through every Project and
+        # goes exponential on them (the somerc chain hung the
+        # optimizer for minutes and OOMed the driver).  A persist
+        # barrier turns the target table into an InMemoryRelation
+        # LEAF: the walk stops there, DPP stays enabled for the
+        # partitioned scans it exists for, and — unlike
+        # localCheckpoint — lineage is kept, so lost cache blocks
+        # recompute instead of failing the job.  The table is one
+        # bounded grid (output raster size), MEMORY_AND_DISK.
+        tgt = tgt.persist()
     # target table is bounded by the requested output size and has no
     # stats (spark.range) — broadcast it so the source never shuffles
     if target.size <= 4_000_000:

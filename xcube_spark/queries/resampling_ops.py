@@ -839,6 +839,61 @@ def cube_reproject_rdnew(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Swiss LV95 (EPSG:2056, Swiss oblique Mercator) ----------
+
+from xcube_spark.operators.resampling.reproject import somerc_inverse_sql_ctes
+
+#: LV95 window over Switzerland with off-round origin/steps: every
+#: re-projected center stays >= 5.5e-4 deg from any 1-degree
+#: source-cell edge (margin asserted in tests/test_crsparse.py); the
+#: inverse (fixed-count isometric-latitude solve + the published
+#: CH1903->WGS84 Helmert hop) is a staged CTE chain like the Column
+#: side's StagedTransform
+_LV95 = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=2_486_297.0, y_start=1_076_876.0,
+                 x_res=8_621.0, y_res=5_460.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="EPSG:2056")
+
+_LV95_CTES = somerc_inverse_sql_ctes(
+    "(2486297.0 + (x_i + 0.5) * 8621.0)",
+    "(1076876.0 + (y_i + 0.5) * 5460.0)", "EPSG:2056")
+
+
+@query(
+    "cube_reproject_lv95",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_LV95.size})
+        ), {_LV95_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM somerc_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_lv95(spark, sf_dir):
+    """reproject_dataset onto the Swiss LV95 grid (EPSG:2056) — the
+    Swiss oblique Mercator double projection (conformal sphere +
+    rotated spherical Mercator, swisstopo's published formulas) on
+    Bessel 1841 INCLUDING the published CH1903->WGS84 Helmert
+    translation, which the reference applies through pyproj
+    (core/gridmapping/transform.py).  Forward validated against the
+    swisstopo worked example (<5 cm); the oracle states the identical
+    inverse (fixed-count isometric-latitude iteration + datum hop) as
+    a CTE chain (somerc_inverse_sql_ctes, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _LV95)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
 
 from xcube_spark.operators.resampling.reproject import cea_inverse_sql

@@ -552,6 +552,23 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "scale_factor_at_projection_origin": k0,
                 "false_easting": fe, "false_northing": fn,
                 "semi_major_axis": a, "inverse_flattening": rf}
+    if code in R.SOMERC_PARAMS:
+        a, rf, lat0, lon0, k0, fe, fn, towgs84 = R.SOMERC_PARAMS[code]
+        out = {"grid_mapping_name": "swiss_oblique_cylindrical",
+               "latitude_of_projection_origin": lat0,
+               "longitude_of_projection_origin": lon0,
+               "scale_factor_at_projection_origin": k0,
+               "false_easting": fe, "false_northing": fn,
+               "semi_major_axis": a, "inverse_flattening": rf}
+        if towgs84 is not None:
+            import math as _math
+            tx, ty, tz, rx, ry, rz, s = towgs84
+            out["towgs84"] = [tx, ty, tz,
+                              _math.degrees(rx) * 3600.0,
+                              _math.degrees(ry) * 3600.0,
+                              _math.degrees(rz) * 3600.0,
+                              s * 1e6]
+        return out
     if code in R.ROTPOLE_PARAMS:
         theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
         return {"grid_mapping_name": "rotated_latitude_longitude",
