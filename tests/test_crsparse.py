@@ -1369,3 +1369,110 @@ def test_somerc_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 4e-4
     assert np.minimum(fy, 1 - fy).min() > 4e-4
+
+
+def test_krovak_gn72_worked_example(spark):
+    """EPSG GN7-2 published worked example for method 9819 on the
+    datum-less Krovak family: 50°12'32.4416"N 16°50'59.1790"E
+    (Greenwich, S-JTSK geodetic) -> southing 1050538.63 / westing
+    568991.00, i.e. E -568991.00 / N -1050538.63 in the East-North
+    axis convention (<2 cm)."""
+    lon = 16.0 + 50.0 / 60.0 + 59.1790 / 3600.0
+    lat = 50.0 + 12.0 / 60.0 + 32.4416 / 3600.0
+    bare = resolve_proj4("+proj=krovak +ellps=bessel")
+    assert bare.startswith("PROJ:KROVAK:")
+    (_, _, e, n), = _fwd_points(spark, bare, [(lon, lat)])
+    assert abs(e - -568_991.00) < 0.02 and abs(n - -1_050_538.63) < 0.02
+    # +czech flips to positive southing/westing (EPSG:2065 convention)
+    czech = resolve_proj4("+proj=krovak +ellps=bessel +czech")
+    (_, _, e2, n2), = _fwd_points(spark, czech, [(lon, lat)])
+    assert abs(e2 - 568_991.00) < 0.02 and abs(n2 - 1_050_538.63) < 0.02
+
+
+def test_krovak_roundtrip_and_proj4_cf(spark):
+    """EPSG:5514 (with the published towgs84 hop) round-trips WGS84
+    lon/lat to <2e-8 deg across Czechia/Slovakia; the full PROJ.4
+    string normalizes to EPSG:5514; zarrio's CF encode (GDAL's
+    'krovak' spelling + towgs84) decodes back to the same key."""
+    import pyspark.sql.functions as F
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    pts = [(12.4, 48.6), (14.42076, 50.08804), (17.107, 48.148),
+           (18.2, 49.2)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    fwd = get_transform("EPSG:4326", "EPSG:5514")
+    inv = get_transform("EPSG:5514", "EPSG:4326")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "E", "N")
+    df = apply_transform_df(df, inv, F.col("E"), F.col("N"),
+                            "blon", "blat")
+    for r in df.collect():
+        assert r.E < 0 and r.N < 0  # East-North axes are negative
+        assert abs(r.blon - r.lon) < 2e-8 and abs(r.blat - r.lat) < 2e-8
+
+    s = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+         "+alpha=30.288139749999997 +lat_1=78.5 +k=0.9999 "
+         "+x_0=0 +y_0=0 +ellps=bessel +towgs84=589,76,480")
+    assert resolve_proj4(s) == "EPSG:5514"
+    attrs = cf_grid_mapping_attrs("EPSG:5514")
+    assert attrs["grid_mapping_name"] == "krovak"
+    assert attrs["towgs84"][:3] == [589.0, 76.0, 480.0]
+    assert crs_from_grid_mapping(attrs) == "EPSG:5514"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:5514"
+
+
+def test_krovak_query_grid_edge_margins():
+    """Every cube_reproject_krovak target center must map clear of
+    the 1-degree source-cell edges (floor-boundary flake guard) —
+    numpy twin of the staged inverse incl. the datum hop."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        _KROVAK_ITERS, _WGS_A, _WGS_B, _WGS_E2, _WGS_EP2,
+        _krovak_consts)
+    from xcube_spark.queries.resampling_ops import _KROVAK
+
+    c = _krovak_consts("EPSG:5514")
+    xs = _KROVAK.x_start + (np.arange(_KROVAK.width) + 0.5) * _KROVAK.x_res
+    ys = _KROVAK.y_start + (np.arange(_KROVAK.height) + 0.5) * _KROVAK.y_res
+    X, Y = np.meshgrid(xs, ys)
+    sth = c["sgn"] * (Y - c["y0"])
+    wst = c["sgn"] * (X - c["x0"])
+    r = np.sqrt(sth * sth + wst * wst)
+    D = np.arctan2(wst, sth) / c["n"]
+    T = 2.0 * (np.arctan((c["r0"] / r) ** (1.0 / c["n"]) * c["tp"])
+               - math.pi / 4.0)
+    U = np.arcsin(c["ca"] * np.sin(T) - c["sa"] * np.cos(T) * np.cos(D))
+    lam = c["lam0"] - np.arcsin(np.cos(T) * np.sin(D) / np.cos(U)) \
+        / c["b"]
+    e, es, b = c["e"], c["es"], c["b"]
+    phi = U.copy()
+    for _ in range(_KROVAK_ITERS):
+        s = np.sin(phi)
+        phi = 2.0 * (np.arctan(
+            c["t0"] ** (-1.0 / b)
+            * np.tan(U / 2.0 + math.pi / 4.0) ** (1.0 / b)
+            * ((1.0 + e * s) / (1.0 - e * s)) ** (e / 2.0))
+            - math.pi / 4.0)
+    nu = c["a"] / np.sqrt(1.0 - es * np.sin(phi) ** 2)
+    Xl = nu * np.cos(phi) * np.cos(lam)
+    Yl = nu * np.cos(phi) * np.sin(lam)
+    Zl = nu * (1.0 - es) * np.sin(phi)
+    tx, ty, tz = c["towgs84"][:3]
+    Xw, Yw, Zw = Xl + tx, Yl + ty, Zl + tz
+    p = np.sqrt(Xw * Xw + Yw * Yw)
+    th = np.arctan2(Zw * _WGS_A, p * _WGS_B)
+    lat = np.degrees(np.arctan2(
+        Zw + _WGS_EP2 * _WGS_B * np.sin(th) ** 3,
+        p - _WGS_E2 * _WGS_A * np.cos(th) ** 3))
+    lon = np.degrees(np.arctan2(Yw, Xw))
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 5e-4
+    assert np.minimum(fy, 1 - fy).min() > 5e-4

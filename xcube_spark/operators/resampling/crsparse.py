@@ -432,6 +432,28 @@ def resolve_proj4(text: str) -> str:
         return _register(R.SOMERC_PARAMS, "somerc",
                          (a, rf, lat0, lon0, k0, x0, y0, towgs84))
 
+    if proj == "krovak":
+        # PROJ defaults the whole S-JTSK parameter set when omitted
+        lat0 = _num(p, "lat_0", 49.5)
+        lon0 = _num(p, "lon_0", 24.0 + 50.0 / 60.0)
+        alpha = _num(p, "alpha",
+                     30.0 + 17.0 / 60.0 + 17.3031 / 3600.0)
+        phip = _num(p, "lat_1", 78.5)
+        k0 = _num(p, "k", _num(p, "k_0", 0.9999))
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        czech = "czech" in p
+        towgs84 = _towgs84(p)
+        t = R.KROVAK_PARAMS["EPSG:5514"]
+        if (abs(a - t[0]) < 1e-3 and abs(rf - t[1]) < 1e-6
+                and lat0 == t[2] and abs(lon0 - t[3]) < 1e-9
+                and abs(alpha - t[4]) < 1e-6 and phip == t[5]
+                and k0 == t[6] and x0 == t[7] and y0 == t[8]
+                and not czech and towgs84 == t[10]):
+            return "EPSG:5514"
+        return _register(R.KROVAK_PARAMS, "krovak",
+                         (a, rf, lat0, lon0, alpha, phip, k0,
+                          x0, y0, czech, towgs84))
+
     if proj == "omerc":
         # Hotine oblique Mercator (EPSG 9812 variant A with
         # +no_uoff, else 9815 variant B); the two-point form
@@ -478,8 +500,8 @@ def resolve_proj4(text: str) -> str:
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
-        "sterea, somerc, merc, geos, sinu, moll, ob_tran[longlat], "
-        "cea, aeqd[sph], ortho[sph], eqc, omerc)")
+        "sterea, somerc, krovak, merc, geos, sinu, moll, "
+        "ob_tran[longlat], cea, aeqd[sph], ortho[sph], eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -654,6 +676,16 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "krovak":
+        # GDAL's WKT spelling; CF's appendix has no Krovak entry.
+        # longitude is the Greenwich-referenced cone-axis meridian
+        # (42°30' east of Ferro for S-JTSK)
+        p["proj"] = "krovak"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
+        put("alpha", num("azimuth_of_central_line"))
+        put("lat_1", num("latitude_of_pseudo_standard_parallel"))
+        put("k", num("scale_factor_at_pseudo_standard_parallel", 1.0))
     elif name == "oblique_stereographic":
         # pyproj's CF name for EPSG method 9809 (not in the CF
         # appendix, which has no entry for the double stereographic)
@@ -692,11 +724,11 @@ def crs_from_cf(attrs: Mapping) -> str:
         vals = [float(v) for v in (
             [vals] if isinstance(vals, (int, float)) else vals)]
         if any(vals):
-            if p.get("proj") != "somerc":
+            if p.get("proj") not in ("somerc", "krovak"):
                 raise NotImplementedError(
                     "towgs84 datum shift is only composed for the "
-                    "swiss_oblique_cylindrical family; other grid "
-                    "mappings would silently ignore it")
+                    "somerc/krovak families; other grid mappings "
+                    "would silently ignore it")
             p["towgs84"] = ",".join(repr(v) for v in vals)
 
     # hand off through the PROJ.4 resolver so family validation and

@@ -2007,52 +2007,139 @@ def _somerc_consts(crs: str) -> dict:
     )
 
 
+def _datum_hop_fwd_stages(helm_fwd: tuple, a_l: float, es_l: float,
+                          b_l: float, ep2_l: float) -> list[dict]:
+    """WGS84 geodetic radians (``__lamw``/``__phiw``) -> local-datum
+    geodetic radians (``__lam``/``__phi``) as FINE stages (one small
+    expression per alias), mirroring _lonlat_to_osgb_fn: coarse
+    stages that re-inline the whole geodetic->XYZ tree per output
+    column send the optimizer into a multi-minute substitution
+    blowup once the gather join is added."""
+    return [
+        {"__spw": lambda env: F.sin(env["__phiw"]),
+         "__cpw": lambda env: F.cos(env["__phiw"])},
+        {"__nuw": lambda env: F.lit(_WGS_A) / F.sqrt(
+            F.lit(1.0) - F.lit(_WGS_E2)
+            * env["__spw"] * env["__spw"])},
+        {"__Xw": lambda env: env["__nuw"] * env["__cpw"]
+            * F.cos(env["__lamw"]),
+         "__Yw": lambda env: env["__nuw"] * env["__cpw"]
+            * F.sin(env["__lamw"]),
+         "__Zw": lambda env: env["__nuw"] * F.lit(1.0 - _WGS_E2)
+            * env["__spw"]},
+        {"__Xl": lambda env: _helmert(
+            env["__Xw"], env["__Yw"], env["__Zw"], helm_fwd)[0],
+         "__Yl": lambda env: _helmert(
+            env["__Xw"], env["__Yw"], env["__Zw"], helm_fwd)[1],
+         "__Zl": lambda env: _helmert(
+            env["__Xw"], env["__Yw"], env["__Zw"], helm_fwd)[2]},
+        {"__pl": lambda env: F.sqrt(env["__Xl"] * env["__Xl"]
+                                    + env["__Yl"] * env["__Yl"])},
+        {"__thl": lambda env: F.atan2(env["__Zl"] * F.lit(a_l),
+                                      env["__pl"] * F.lit(b_l))},
+        {"__lam": lambda env: F.atan2(env["__Yl"], env["__Xl"]),
+         "__phi": lambda env: F.atan2(
+            env["__Zl"] + F.lit(ep2_l * b_l)
+            * F.pow(F.sin(env["__thl"]), F.lit(3.0)),
+            env["__pl"] - F.lit(es_l * a_l)
+            * F.pow(F.cos(env["__thl"]), F.lit(3.0)))},
+    ]
+
+
+def _datum_hop_inv_stages(towgs84: tuple, a_l: float,
+                          es_l: float) -> list[dict]:
+    """Local-datum geodetic radians (``__lam``/``__phi``) -> WGS84
+    degrees (``__out_x``/``__out_y``), same fine staging."""
+    return [
+        {"__sp": lambda env: F.sin(env["__phi"]),
+         "__cp": lambda env: F.cos(env["__phi"])},
+        {"__nu": lambda env: F.lit(a_l) / F.sqrt(
+            F.lit(1.0) - F.lit(es_l) * env["__sp"] * env["__sp"])},
+        {"__Xl": lambda env: env["__nu"] * env["__cp"]
+            * F.cos(env["__lam"]),
+         "__Yl": lambda env: env["__nu"] * env["__cp"]
+            * F.sin(env["__lam"]),
+         "__Zl": lambda env: env["__nu"] * F.lit(1.0 - es_l)
+            * env["__sp"]},
+        {"__Xw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], towgs84)[0],
+         "__Yw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], towgs84)[1],
+         "__Zw": lambda env: _helmert(
+            env["__Xl"], env["__Yl"], env["__Zl"], towgs84)[2]},
+        {"__p": lambda env: F.sqrt(env["__Xw"] * env["__Xw"]
+                                   + env["__Yw"] * env["__Yw"])},
+        {"__th": lambda env: F.atan2(env["__Zw"] * F.lit(_WGS_A),
+                                     env["__p"] * F.lit(_WGS_B))},
+        {"__out_x": lambda env: F.degrees(
+            F.atan2(env["__Yw"], env["__Xw"])),
+         "__out_y": lambda env: F.degrees(F.atan2(
+            env["__Zw"] + F.lit(_WGS_EP2 * _WGS_B)
+            * F.pow(F.sin(env["__th"]), F.lit(3.0)),
+            env["__p"] - F.lit(_WGS_E2 * _WGS_A)
+            * F.pow(F.cos(env["__th"]), F.lit(3.0))))},
+    ]
+
+
+def datum_hop_inv_sql_ctes(prefix: str, n_start: int, towgs84: tuple,
+                           a_l: float, es_l: float,
+                           final_name: str, exclude: str) -> str:
+    """The SAME local->WGS84 hop as SQL CTEs (for DuckDB oracles),
+    identical op order to :func:`_datum_hop_inv_stages`.  Continues a
+    chain whose CTE ``{prefix}{n_start}`` holds ``__lam``/``__phi``;
+    emits ``{prefix}{n_start+1}..`` and finally ``{final_name}`` =
+    source columns (minus ``exclude``) + ``lon``/``lat``."""
+    tx, ty, tz, rx, ry, rz, s = towgs84
+    m = repr(1.0 + s)
+    return f""", {prefix}{n_start + 1} AS (
+            SELECT *, ({a_l!r} / sqrt(1.0 - {es_l!r} * sin(__phi)
+                       * sin(__phi))) AS __nu
+            FROM {prefix}{n_start}
+        ), {prefix}{n_start + 2} AS (
+            SELECT *, (__nu * cos(__phi) * cos(__lam)) AS __Xl,
+                      (__nu * cos(__phi) * sin(__lam)) AS __Yl,
+                      (__nu * {1.0 - es_l!r} * sin(__phi)) AS __Zl
+            FROM {prefix}{n_start + 1}
+        ), {prefix}{n_start + 3} AS (
+            SELECT *, ({tx!r} + {m} * __Xl - {rz!r} * __Yl
+                       + {ry!r} * __Zl) AS __Xw,
+                      ({ty!r} + {rz!r} * __Xl + {m} * __Yl
+                       - {rx!r} * __Zl) AS __Yw,
+                      ({tz!r} - {ry!r} * __Xl + {rx!r} * __Yl
+                       + {m} * __Zl) AS __Zw
+            FROM {prefix}{n_start + 2}
+        ), {prefix}{n_start + 4} AS (
+            SELECT *, sqrt(__Xw * __Xw + __Yw * __Yw) AS __p
+            FROM {prefix}{n_start + 3}
+        ), {prefix}{n_start + 5} AS (
+            SELECT *, atan2(__Zw * {_WGS_A!r}, __p * {_WGS_B!r})
+                      AS __th
+            FROM {prefix}{n_start + 4}
+        ), {final_name} AS (
+            SELECT * EXCLUDE ({exclude}, __nu, __Xl, __Yl, __Zl,
+                              __Xw, __Yw, __Zw, __p, __th),
+                   degrees(atan2(__Yw, __Xw)) AS lon,
+                   degrees(atan2(
+                       __Zw + {_WGS_EP2 * _WGS_B!r} * pow(sin(__th), 3),
+                       __p - {_WGS_E2 * _WGS_A!r} * pow(cos(__th), 3)))
+                   AS lat
+            FROM {prefix}{n_start + 5}
+        )"""
+
+
 def _lonlat_to_somerc_fn(crs: str) -> "StagedTransform":
     """lon/lat (deg; WGS84 when the CRS carries a towgs84, else the
     projection ellipsoid's own datum) -> Swiss-Mercator E/N."""
     c = _somerc_consts(crs)
     e, es, alpha = c["e"], c["es"], c["alpha"]
 
-    # hop stages mirror _lonlat_to_osgb_fn's FINE staging (one small
-    # expression per alias): coarse stages that re-inline the whole
-    # geodetic->XYZ tree per output column send the optimizer into a
-    # multi-minute substitution blowup once the gather join is added
     stages: list[dict] = [
         {"__lamw": lambda env: F.radians(env["__in_x"]),
          "__phiw": lambda env: F.radians(env["__in_y"])},
     ]
     if c["helm_fwd"] is not None:
-        helm = c["helm_fwd"]
-        stages += [
-            {"__spw": lambda env: F.sin(env["__phiw"]),
-             "__cpw": lambda env: F.cos(env["__phiw"])},
-            {"__nuw": lambda env: F.lit(_WGS_A) / F.sqrt(
-                F.lit(1.0) - F.lit(_WGS_E2)
-                * env["__spw"] * env["__spw"])},
-            {"__Xw": lambda env: env["__nuw"] * env["__cpw"]
-                * F.cos(env["__lamw"]),
-             "__Yw": lambda env: env["__nuw"] * env["__cpw"]
-                * F.sin(env["__lamw"]),
-             "__Zw": lambda env: env["__nuw"] * F.lit(1.0 - _WGS_E2)
-                * env["__spw"]},
-            {"__Xl": lambda env: _helmert(
-                env["__Xw"], env["__Yw"], env["__Zw"], helm)[0],
-             "__Yl": lambda env: _helmert(
-                env["__Xw"], env["__Yw"], env["__Zw"], helm)[1],
-             "__Zl": lambda env: _helmert(
-                env["__Xw"], env["__Yw"], env["__Zw"], helm)[2]},
-            {"__pl": lambda env: F.sqrt(env["__Xl"] * env["__Xl"]
-                                        + env["__Yl"] * env["__Yl"])},
-            {"__thl": lambda env: F.atan2(env["__Zl"] * F.lit(c["a"]),
-                                          env["__pl"]
-                                          * F.lit(c["b_ell"]))},
-            {"__lam": lambda env: F.atan2(env["__Yl"], env["__Xl"]),
-             "__phi": lambda env: F.atan2(
-                env["__Zl"] + F.lit(c["ep2"] * c["b_ell"])
-                * F.pow(F.sin(env["__thl"]), F.lit(3.0)),
-                env["__pl"] - F.lit(es * c["a"])
-                * F.pow(F.cos(env["__thl"]), F.lit(3.0)))},
-        ]
+        stages += _datum_hop_fwd_stages(
+            c["helm_fwd"], c["a"], es, c["b_ell"], c["ep2"])
     else:
         stages.append({"__lam": lambda env: env["__lamw"],
                        "__phi": lambda env: env["__phiw"]})
@@ -2153,38 +2240,7 @@ def _somerc_to_lonlat_fn(crs: str) -> "StagedTransform":
         stages.append({"__out_x": lambda env: F.degrees(env["__lam"]),
                        "__out_y": lambda env: F.degrees(env["__phi"])})
         return StagedTransform(stages)
-    helm = c["towgs84"]
-    # same fine staging as _osgb_to_lonlat_fn's hop (see the forward's
-    # comment): one small expression per alias
-    stages += [
-        {"__sp": lambda env: F.sin(env["__phi"]),
-         "__cp": lambda env: F.cos(env["__phi"])},
-        {"__nu": lambda env: F.lit(c["a"]) / F.sqrt(
-            F.lit(1.0) - F.lit(es) * env["__sp"] * env["__sp"])},
-        {"__Xl": lambda env: env["__nu"] * env["__cp"]
-            * F.cos(env["__lam"]),
-         "__Yl": lambda env: env["__nu"] * env["__cp"]
-            * F.sin(env["__lam"]),
-         "__Zl": lambda env: env["__nu"] * F.lit(1.0 - es)
-            * env["__sp"]},
-        {"__Xw": lambda env: _helmert(
-            env["__Xl"], env["__Yl"], env["__Zl"], helm)[0],
-         "__Yw": lambda env: _helmert(
-            env["__Xl"], env["__Yl"], env["__Zl"], helm)[1],
-         "__Zw": lambda env: _helmert(
-            env["__Xl"], env["__Yl"], env["__Zl"], helm)[2]},
-        {"__p": lambda env: F.sqrt(env["__Xw"] * env["__Xw"]
-                                   + env["__Yw"] * env["__Yw"])},
-        {"__th": lambda env: F.atan2(env["__Zw"] * F.lit(_WGS_A),
-                                     env["__p"] * F.lit(_WGS_B))},
-        {"__out_x": lambda env: F.degrees(
-            F.atan2(env["__Yw"], env["__Xw"])),
-         "__out_y": lambda env: F.degrees(F.atan2(
-            env["__Zw"] + F.lit(_WGS_EP2 * _WGS_B)
-            * F.pow(F.sin(env["__th"]), F.lit(3.0)),
-            env["__p"] - F.lit(_WGS_E2 * _WGS_A)
-            * F.pow(F.cos(env["__th"]), F.lit(3.0))))},
-    ]
+    stages += _datum_hop_inv_stages(c["towgs84"], c["a"], es)
     return StagedTransform(stages)
 
 
@@ -2236,43 +2292,247 @@ def somerc_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
                    degrees(__lam) AS lon, degrees(__phi) AS lat
             FROM sw{n_last}
         )"""
-    tx, ty, tz, rx, ry, rz, s = c["towgs84"]
-    m = repr(1.0 + s)
-    return head + f""", sw{n_last + 1} AS (
-            SELECT *, ({c['a']!r} / sqrt(1.0 - {es!r} * sin(__phi)
-                       * sin(__phi))) AS __nu
-            FROM sw{n_last}
-        ), sw{n_last + 2} AS (
-            SELECT *, (__nu * cos(__phi) * cos(__lam)) AS __Xl,
-                      (__nu * cos(__phi) * sin(__lam)) AS __Yl,
-                      (__nu * {1.0 - es!r} * sin(__phi)) AS __Zl
-            FROM sw{n_last + 1}
-        ), sw{n_last + 3} AS (
-            SELECT *, ({tx!r} + {m} * __Xl - {rz!r} * __Yl
-                       + {ry!r} * __Zl) AS __Xw,
-                      ({ty!r} + {rz!r} * __Xl + {m} * __Yl
-                       - {rx!r} * __Zl) AS __Yw,
-                      ({tz!r} - {ry!r} * __Xl + {rx!r} * __Yl
-                       + {m} * __Zl) AS __Zw
-            FROM sw{n_last + 2}
-        ), sw{n_last + 4} AS (
-            SELECT *, sqrt(__Xw * __Xw + __Yw * __Yw) AS __p
-            FROM sw{n_last + 3}
-        ), sw{n_last + 5} AS (
-            SELECT *, atan2(__Zw * {_WGS_A!r}, __p * {_WGS_B!r})
-                      AS __th
-            FROM sw{n_last + 4}
-        ), somerc_ll AS (
-            SELECT * EXCLUDE (__lb, __bb, __b, __lam, __psit, __phi,
-                              __nu, __Xl, __Yl, __Zl, __Xw, __Yw,
-                              __Zw, __p, __th),
-                   degrees(atan2(__Yw, __Xw)) AS lon,
-                   degrees(atan2(
-                       __Zw + {_WGS_EP2 * _WGS_B!r} * pow(sin(__th), 3),
-                       __p - {_WGS_E2 * _WGS_A!r} * pow(cos(__th), 3)))
-                   AS lat
-            FROM sw{n_last + 5}
+    return head + datum_hop_inv_sql_ctes(
+        "sw", n_last, c["towgs84"], c["a"], es, "somerc_ll",
+        "__lb, __bb, __b, __lam, __psit, __phi")
+
+
+# ---- Krovak (+proj=krovak, S-JTSK) ------------------------------------
+#
+# EPSG method 9819: conformal sphere (Gauss exponent B, constant t0),
+# rotate onto the oblique cone axis (co-latitude alphaC through the
+# pseudo standard parallel phiP), then a tangent conic.  The axis
+# meridian is 42°30' east of Ferro = 24°50' east of Greenwich (PROJ's
+# +lon_0 spelling, which this family follows); the EPSG GN7-2 worked
+# example reproduces to <2 cm (tests).  EPSG:5514 (Krovak East
+# North, the Czech/Slovak national CRS) carries its published towgs84
+# translation (589, 76, 480) so WGS84 lon/lat hops datums like
+# pyproj; its E/N axes are the NEGATED westing/southing.  +czech in a
+# PROJ string selects positive southing/westing instead (EPSG:2065
+# axis convention).
+
+#: crs -> (a, rf, latC, lon0 [Greenwich], alphaC, phiP, kP,
+#:         x_0, y_0, czech_sign, towgs84 local->WGS84 or None)
+KROVAK_PARAMS: dict[str, tuple] = {
+    "EPSG:5514": (6_377_397.155, 299.1528128, 49.5,
+                  24.0 + 50.0 / 60.0,
+                  30.0 + 17.0 / 60.0 + 17.3031 / 3600.0,
+                  78.5, 0.9999, 0.0, 0.0, False,
+                  (589.0, 76.0, 480.0, 0.0, 0.0, 0.0, 0.0)),
+}
+
+#: fixed iteration count of the conformal->geodetic latitude solve
+_KROVAK_ITERS = 4
+
+
+def _krovak_consts(crs: str) -> dict:
+    (a, rf, lat_c, lon0, alpha_c, phi_p, kp, x0, y0, czech,
+     towgs84) = KROVAK_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    phic = math.radians(lat_c)
+    sc = math.sin(phic)
+    big_a = a * math.sqrt(1.0 - es) / (1.0 - es * sc * sc)
+    b = math.sqrt(1.0 + es * math.cos(phic) ** 4 / (1.0 - es))
+    gamma0 = math.asin(sc / b)
+    t0 = (math.tan(math.pi / 4.0 + gamma0 / 2.0)
+          * ((1.0 + e * sc) / (1.0 - e * sc)) ** (e * b / 2.0)
+          / math.tan(math.pi / 4.0 + phic / 2.0) ** b)
+    phip = math.radians(phi_p)
+    n = math.sin(phip)
+    r0 = kp * big_a / math.tan(phip)
+    alphac = math.radians(alpha_c)
+    b_ell = a * (1.0 - f)
+    return dict(
+        a=a, es=es, e=e, b_ell=b_ell,
+        ep2=(a * a - b_ell * b_ell) / (b_ell * b_ell),
+        b=b, t0=t0, n=n, r0=r0,
+        sa=math.sin(alphac), ca=math.cos(alphac),
+        tp=math.tan(math.pi / 4.0 + phip / 2.0),
+        lam0=math.radians(lon0), x0=x0, y0=y0,
+        sgn=1.0 if czech else -1.0, towgs84=towgs84,
+        helm_fwd=None if towgs84 is None else tuple(-v for v in towgs84),
+    )
+
+
+def _lonlat_to_krovak_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg; WGS84 when the CRS carries a towgs84) -> Krovak
+    E/N (EPSG 9819 forward, staged)."""
+    c = _krovak_consts(crs)
+    e, es, b = c["e"], c["es"], c["b"]
+
+    stages: list[dict] = [
+        {"__lamw": lambda env: F.radians(env["__in_x"]),
+         "__phiw": lambda env: F.radians(env["__in_y"])},
+    ]
+    if c["helm_fwd"] is not None:
+        stages += _datum_hop_fwd_stages(
+            c["helm_fwd"], c["a"], es, c["b_ell"], c["ep2"])
+    else:
+        stages.append({"__lam": lambda env: env["__lamw"],
+                       "__phi": lambda env: env["__phiw"]})
+
+    def s_u(env):
+        s = F.sin(env["__phi"])
+        return F.lit(2.0) * (F.atan(
+            F.lit(c["t0"])
+            * F.pow(F.tan(env["__phi"] / F.lit(2.0)
+                          + F.lit(math.pi / 4.0)), F.lit(b))
+            / F.pow((F.lit(1.0) + F.lit(e) * s)
+                    / (F.lit(1.0) - F.lit(e) * s), F.lit(e * b / 2.0)))
+            - F.lit(math.pi / 4.0))
+
+    def s_v(env):
+        return F.lit(b) * (F.lit(c["lam0"]) - env["__lam"])
+
+    def s_t(env):
+        return F.asin(F.lit(c["ca"]) * F.sin(env["__U"])
+                      + F.lit(c["sa"]) * F.cos(env["__U"])
+                      * F.cos(env["__V"]))
+
+    def s_d(env):
+        return F.asin(F.cos(env["__U"]) * F.sin(env["__V"])
+                      / F.cos(env["__T"]))
+
+    def s_r(env):
+        return (F.lit(c["r0"]) * F.lit(c["tp"] ** c["n"])
+                / F.pow(F.tan(env["__T"] / F.lit(2.0)
+                              + F.lit(math.pi / 4.0)), F.lit(c["n"])))
+
+    def out_x(env):  # easting = sgn * westing + x_0
+        return (F.lit(c["sgn"]) * env["__r"]
+                * F.sin(F.lit(c["n"]) * env["__D"]) + F.lit(c["x0"]))
+
+    def out_y(env):  # northing = sgn * southing + y_0
+        return (F.lit(c["sgn"]) * env["__r"]
+                * F.cos(F.lit(c["n"]) * env["__D"]) + F.lit(c["y0"]))
+
+    stages += [
+        {"__U": s_u, "__V": s_v},
+        {"__T": s_t},
+        {"__D": s_d, "__r": s_r},
+        {"__out_x": out_x, "__out_y": out_y},
+    ]
+    return StagedTransform(stages)
+
+
+def _krovak_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """Krovak E/N -> lon/lat (EPSG 9819 inverse): un-cone, un-rotate,
+    then the fixed-count conformal->geodetic solve; a Bessel->WGS84
+    hop when the CRS carries a towgs84."""
+    c = _krovak_consts(crs)
+    e, es, b = c["e"], c["es"], c["b"]
+
+    def s_xs(env):  # southing
+        return F.lit(c["sgn"]) * (env["__in_y"] - F.lit(c["y0"]))
+
+    def s_yw(env):  # westing
+        return F.lit(c["sgn"]) * (env["__in_x"] - F.lit(c["x0"]))
+
+    def s_r(env):
+        return F.sqrt(env["__sth"] * env["__sth"]
+                      + env["__wst"] * env["__wst"])
+
+    def s_d(env):
+        return F.atan2(env["__wst"], env["__sth"]) / F.lit(c["n"])
+
+    def s_t(env):
+        return F.lit(2.0) * (F.atan(
+            F.pow(F.lit(c["r0"]) / env["__r"], F.lit(1.0 / c["n"]))
+            * F.lit(c["tp"])) - F.lit(math.pi / 4.0))
+
+    def s_u(env):
+        return F.asin(F.lit(c["ca"]) * F.sin(env["__T"])
+                      - F.lit(c["sa"]) * F.cos(env["__T"])
+                      * F.cos(env["__D"]))
+
+    def s_lam(env):
+        return F.lit(c["lam0"]) - F.asin(
+            F.cos(env["__T"]) * F.sin(env["__D"])
+            / F.cos(env["__U"])) / F.lit(b)
+
+    def s_phi0(env):
+        return env["__U"]
+
+    def step(env):
+        s = F.sin(env["__phi"])
+        return F.lit(2.0) * (F.atan(
+            F.lit(c["t0"] ** (-1.0 / b))
+            * F.pow(F.tan(env["__U"] / F.lit(2.0)
+                          + F.lit(math.pi / 4.0)), F.lit(1.0 / b))
+            * F.pow((F.lit(1.0) + F.lit(e) * s)
+                    / (F.lit(1.0) - F.lit(e) * s), F.lit(e / 2.0)))
+            - F.lit(math.pi / 4.0))
+
+    stages: list[dict] = [
+        {"__sth": s_xs, "__wst": s_yw},
+        {"__r": s_r},
+        {"__D": s_d, "__T": s_t},
+        {"__U": s_u},
+        {"__lam": s_lam, "__phi": s_phi0},
+    ]
+    stages += [{"__phi": step} for _ in range(_KROVAK_ITERS)]
+    if c["towgs84"] is None:
+        stages.append({"__out_x": lambda env: F.degrees(env["__lam"]),
+                       "__out_y": lambda env: F.degrees(env["__phi"])})
+        return StagedTransform(stages)
+    stages += _datum_hop_inv_stages(c["towgs84"], c["a"], es)
+    return StagedTransform(stages)
+
+
+def krovak_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                            src: str = "tgt") -> str:
+    """The SAME Krovak inverse as a chain of CTEs over ``src`` (for
+    DuckDB oracles) — identical arithmetic and iteration count to
+    :func:`_krovak_to_lonlat_fn`, incl. the datum hop.  Emits CTEs
+    ``kv1..`` and finally ``krovak_ll`` = ``src`` columns +
+    ``lon``/``lat``."""
+    c = _krovak_consts(crs)
+    e, es, b = c["e"], c["es"], c["b"]
+    iters = "".join(f"""), kv{6 + k} AS (
+            SELECT * EXCLUDE (__phi), (2.0 * (atan({c['t0'] ** (-1.0 / b)!r}
+                * pow(tan(__U / 2.0 + {math.pi / 4.0!r}), {1.0 / b!r})
+                * pow((1.0 + {e!r} * sin(__phi))
+                      / (1.0 - {e!r} * sin(__phi)), {e / 2.0!r}))
+                - {math.pi / 4.0!r})) AS __phi
+            FROM kv{5 + k}""" for k in range(_KROVAK_ITERS))
+    n_last = 5 + _KROVAK_ITERS
+    head = f"""kv1 AS (
+            SELECT *, ({c['sgn']!r} * (({y_expr}) - {c['y0']!r}))
+                      AS __sth,
+                      ({c['sgn']!r} * (({x_expr}) - {c['x0']!r}))
+                      AS __wst
+            FROM {src}
+        ), kv2 AS (
+            SELECT *, sqrt(__sth * __sth + __wst * __wst) AS __r FROM kv1
+        ), kv3 AS (
+            SELECT *, (atan2(__wst, __sth) / {c['n']!r}) AS __D,
+                   (2.0 * (atan(pow({c['r0']!r} / __r, {1.0 / c['n']!r})
+                                * {c['tp']!r}) - {math.pi / 4.0!r}))
+                   AS __T
+            FROM kv2
+        ), kv4 AS (
+            SELECT *, asin({c['ca']!r} * sin(__T)
+                           - {c['sa']!r} * cos(__T) * cos(__D)) AS __U
+            FROM kv3
+        ), kv5 AS (
+            SELECT *, ({c['lam0']!r} - asin(cos(__T) * sin(__D)
+                                            / cos(__U)) / {b!r})
+                      AS __lam,
+                   __U AS __phi
+            FROM kv4
+        {iters})"""
+    if c["towgs84"] is None:
+        return head + f""", krovak_ll AS (
+            SELECT * EXCLUDE (__sth, __wst, __r, __D, __T, __U, __lam,
+                              __phi),
+                   degrees(__lam) AS lon, degrees(__phi) AS lat
+            FROM kv{n_last}
         )"""
+    return head + datum_hop_inv_sql_ctes(
+        "kv", n_last, c["towgs84"], c["a"], es, "krovak_ll",
+        "__sth, __wst, __r, __D, __T, __U, __lam, __phi")
 
 
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
@@ -2890,6 +3150,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _sterea_to_lonlat_fn(up)
     if up in SOMERC_PARAMS:
         return _somerc_to_lonlat_fn(up)
+    if up in KROVAK_PARAMS:
+        return _krovak_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in CEA_PARAMS:
@@ -2943,6 +3205,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_sterea_fn(up)
     if up in SOMERC_PARAMS:
         return _lonlat_to_somerc_fn(up)
+    if up in KROVAK_PARAMS:
+        return _lonlat_to_krovak_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in CEA_PARAMS:

@@ -894,6 +894,63 @@ def cube_reproject_lv95(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: S-JTSK Krovak East North (EPSG:5514) --------------------
+
+from xcube_spark.operators.resampling.reproject import krovak_inverse_sql_ctes
+
+#: Krovak E/N window over Czechia/Slovakia (coordinates NEGATIVE in
+#: the East-North axis convention) with off-round origin/steps: every
+#: re-projected center stays >= 6.3e-4 deg from any 1-degree
+#: source-cell edge (margin asserted in tests/test_crsparse.py); the
+#: CAST-to-DOUBLE inputs keep DuckDB's DECIMAL literals from
+#: overflowing (same lesson as the omerc oracle)
+_KROVAK = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=-890_893.0, y_start=-1_221_350.0,
+                   x_res=10_447.0, y_res=6_606.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs="EPSG:5514")
+
+_KROVAK_CTES = krovak_inverse_sql_ctes(
+    "(CAST(-890893.0 AS DOUBLE) + (x_i + 0.5) * CAST(10447.0 AS DOUBLE))",
+    "(CAST(-1221350.0 AS DOUBLE) + (y_i + 0.5) * CAST(6606.0 AS DOUBLE))",
+    "EPSG:5514")
+
+
+@query(
+    "cube_reproject_krovak",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_KROVAK.size})
+        ), {_KROVAK_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM krovak_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_krovak(spark, sf_dir):
+    """reproject_dataset onto the Czech/Slovak S-JTSK grid
+    (EPSG:5514, Krovak East North) — EPSG method 9819 (conformal
+    sphere -> oblique cone through the pseudo standard parallel) on
+    Bessel 1841 INCLUDING the published towgs84 translation
+    (589, 76, 480), which the reference applies through pyproj
+    (core/gridmapping/transform.py).  Forward validated against the
+    EPSG GN7-2 worked example (<2 cm); the oracle states the
+    identical inverse (fixed-count conformal-latitude iteration +
+    datum hop) as a CTE chain (krovak_inverse_sql_ctes, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _KROVAK)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
 
 from xcube_spark.operators.resampling.reproject import cea_inverse_sql

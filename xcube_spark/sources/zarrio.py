@@ -569,6 +569,26 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                               _math.degrees(rz) * 3600.0,
                               s * 1e6]
         return out
+    if code in R.KROVAK_PARAMS:
+        (a, rf, lat_c, lon0, alpha_c, phi_p, kp, x0, y0, _czech,
+         towgs84) = R.KROVAK_PARAMS[code]
+        out = {"grid_mapping_name": "krovak",
+               "latitude_of_projection_origin": lat_c,
+               "longitude_of_central_meridian": lon0,
+               "azimuth_of_central_line": alpha_c,
+               "latitude_of_pseudo_standard_parallel": phi_p,
+               "scale_factor_at_pseudo_standard_parallel": kp,
+               "false_easting": x0, "false_northing": y0,
+               "semi_major_axis": a, "inverse_flattening": rf}
+        if towgs84 is not None:
+            import math as _math
+            tx, ty, tz, rx, ry, rz, s = towgs84
+            out["towgs84"] = [tx, ty, tz,
+                              _math.degrees(rx) * 3600.0,
+                              _math.degrees(ry) * 3600.0,
+                              _math.degrees(rz) * 3600.0,
+                              s * 1e6]
+        return out
     if code in R.ROTPOLE_PARAMS:
         theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
         return {"grid_mapping_name": "rotated_latitude_longitude",
