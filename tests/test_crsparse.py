@@ -1476,3 +1476,106 @@ def test_krovak_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 5e-4
     assert np.minimum(fy, 1 - fy).min() > 5e-4
+
+
+def test_eqearth_equal_area_and_proj4_cf(spark):
+    """EPSG:8857: the projected area of a graticule cell equals its
+    area on the WGS84 authalic sphere (the defining property, checked
+    on a 10-degree band via the x-scale x boundary integral); the
+    PROJ.4 string normalizes to EPSG:8857; zarrio's CF encode
+    (equal_earth) decodes back; a spherical +R form registers its
+    own family member and round-trips."""
+    import math
+
+    from xcube_spark.operators.resampling.reproject import (
+        _eqearth_consts)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    # area between lat1..lat2, lon width W deg = W/360 * 2*pi*Rq^2
+    # * (sin b2 - sin b1) must equal the projected trapezoid area
+    # integral; sample with a fine Riemann sum over the y axis
+    c = _eqearth_consts("EPSG:8857")
+    pts = [(10.0 * k, 0.0) for k in range(5)]
+    fwd = get_transform("EPSG:4326", "EPSG:8857")
+    import numpy as np
+    lats = np.linspace(10.0, 50.0, 2001)
+    df = spark.createDataFrame([(float(v),) for v in lats],
+                               "lat double")
+    import pyspark.sql.functions as F
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df)
+    out = apply_transform_df(df, fwd, F.lit(10.0), F.col("lat"),
+                             "x", "y")
+    rows = sorted(out.collect(), key=lambda r: r.lat)
+    xs = np.array([r.x for r in rows])
+    ys = np.array([r.y for r in rows])
+    # strip 0..10E between lat 10..50: integral of x dy (x at lon 10
+    # is 10/180 of the half-width at that y)
+    proj_area = np.trapz(xs, ys)
+    es, e = c["es"], c["e"]
+
+    def q_auth(phi):
+        s = math.sin(phi)
+        return (1 - es) * (s / (1 - es * s * s)
+                           - 1 / (2 * e)
+                           * math.log((1 - e * s) / (1 + e * s)))
+
+    b1 = math.asin(q_auth(math.radians(10.0)) / c["qp"])
+    b2 = math.asin(q_auth(math.radians(50.0)) / c["qp"])
+    true_area = (10.0 / 360.0) * 2 * math.pi * c["rq"] ** 2 \
+        * (math.sin(b2) - math.sin(b1))
+    assert abs(proj_area - true_area) / true_area < 1e-6
+
+    assert resolve_proj4("+proj=eqearth +ellps=WGS84") == "EPSG:8857"
+    attrs = cf_grid_mapping_attrs("EPSG:8857")
+    assert attrs["grid_mapping_name"] == "equal_earth"
+    assert crs_from_grid_mapping(attrs) == "EPSG:8857"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:8857"
+    sph = resolve_proj4("+proj=eqearth +R=6371007.0")
+    assert sph.startswith("PROJ:EQEARTH:")
+    _assert_same_transform(spark, sph, sph, pts=[(30.0, 40.0)])
+
+
+def test_eqearth_query_grid_edge_margins():
+    """Every cube_reproject_eqearth target center must map clear of
+    the 1-degree source-cell edges (floor-boundary flake guard) —
+    numpy twin of the staged inverse."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        _EQE_A1, _EQE_A2, _EQE_A3, _EQE_A4, _EQE_ITERS, _EQE_M,
+        _eqearth_consts)
+    from xcube_spark.queries.resampling_ops import _EQE
+
+    c = _eqearth_consts("EPSG:8857")
+    xs = _EQE.x_start + (np.arange(_EQE.width) + 0.5) * _EQE.x_res
+    ys = _EQE.y_start + (np.arange(_EQE.height) + 0.5) * _EQE.y_res
+    X, Y = np.meshgrid(xs, ys)
+
+    def h(t):
+        return t * (_EQE_A1 + _EQE_A2 * t * t) \
+            + t ** 7 * (_EQE_A3 + _EQE_A4 * t * t)
+
+    def hp(t):
+        return _EQE_A1 + 3.0 * _EQE_A2 * t * t \
+            + t ** 6 * (7.0 * _EQE_A3 + 9.0 * _EQE_A4 * t * t)
+
+    yn = (Y - c["fn"]) / c["rq"]
+    th = yn / _EQE_A1
+    for _ in range(_EQE_ITERS):
+        th = th - (h(th) - yn) / hp(th)
+    beta = np.arcsin(np.sin(th) / _EQE_M)
+    lat = np.degrees(beta + c["c2"] * np.sin(2 * beta)
+                     + c["c4"] * np.sin(4 * beta)
+                     + c["c6"] * np.sin(6 * beta))
+    lon = c["lon0"] + np.degrees(
+        (X - c["fe"]) * hp(th) * _EQE_M / (c["rq"] * np.cos(th)))
+    assert np.abs(lon).max() < 179.9  # inscribed in the outline
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 9e-4
+    assert np.minimum(fy, 1 - fy).min() > 9e-4

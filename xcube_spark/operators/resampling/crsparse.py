@@ -454,6 +454,17 @@ def resolve_proj4(text: str) -> str:
                          (a, rf, lat0, lon0, alpha, phip, k0,
                           x0, y0, czech, towgs84))
 
+    if proj == "eqearth":
+        lon0 = _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        t = R.EQEARTH_PARAMS["EPSG:8857"]
+        if (abs(a - t[0]) < 1e-3
+                and math.isfinite(rf) and abs(rf - t[1]) < 1e-6
+                and lon0 == t[2] and x0 == t[3] and y0 == t[4]):
+            return "EPSG:8857"
+        return _register(R.EQEARTH_PARAMS, "eqearth",
+                         (a, rf, lon0, x0, y0))
+
     if proj == "omerc":
         # Hotine oblique Mercator (EPSG 9812 variant A with
         # +no_uoff, else 9815 variant B); the two-point form
@@ -500,7 +511,7 @@ def resolve_proj4(text: str) -> str:
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
-        "sterea, somerc, krovak, merc, geos, sinu, moll, "
+        "sterea, somerc, krovak, eqearth, merc, geos, sinu, moll, "
         "ob_tran[longlat], cea, aeqd[sph], ortho[sph], eqc, omerc)")
 
 
@@ -676,6 +687,9 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "equal_earth":
+        p["proj"] = "eqearth"
+        put("lon_0", num("longitude_of_projection_origin"))
     elif name == "krovak":
         # GDAL's WKT spelling; CF's appendix has no Krovak entry.
         # longitude is the Greenwich-referenced cone-axis meridian

@@ -2535,6 +2535,189 @@ def krovak_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
         "__sth, __wst, __r, __D, __T, __U, __lam, __phi")
 
 
+# ---- Equal Earth (+proj=eqearth, EPSG:8857) ---------------------------
+#
+# The Savric/Patterson/Jenny (2018) equal-area pseudocylindrical:
+# y = Rq h(theta) with the published 4-term polynomial h, x = Rq
+# lambda cos(theta) / (M h'(theta)), sin(theta) = M sin(beta),
+# M = sqrt(3)/2.  EPSG:8857 (method 1078) runs it on the WGS84
+# AUTHALIC sphere (beta = authalic latitude, Rq = a sqrt(qp/2));
+# +R spherical forms use beta = phi directly.  Anchored on the
+# published EPSG:8857 projected extent (+-17243959.06 m x
+# +-8392927.60 m) and the equal-area property (tests).
+
+#: the published projection polynomial
+_EQE_A1, _EQE_A2, _EQE_A3, _EQE_A4 = 1.340264, -0.081106, 0.000893, 0.003796
+_EQE_M = math.sqrt(3.0) / 2.0
+
+#: crs -> (a, rf, lon0, false easting, false northing)
+EQEARTH_PARAMS: dict[str, tuple] = {
+    "EPSG:8857": (6_378_137.0, 298.257223563, 0.0, 0.0, 0.0),
+}
+
+#: fixed Newton iteration count of the theta solve (both engines run
+#: the same count; quadratic from theta0 = y/(Rq A1))
+_EQE_ITERS = 5
+
+
+def _eqearth_consts(crs: str) -> dict:
+    a, rf, lon0, fe, fn = EQEARTH_PARAMS[crs.upper()]
+    if math.isinf(rf):
+        return dict(a=a, es=0.0, e=0.0, sphere=True, qp=2.0, rq=a,
+                    lon0=lon0, fe=fe, fn=fn, c2=0.0, c4=0.0, c6=0.0)
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    e = math.sqrt(es)
+    qp = (1.0 - es) * (1.0 / (1.0 - es)
+                       - 1.0 / (2.0 * e)
+                       * math.log((1.0 - e) / (1.0 + e)))
+    return dict(
+        a=a, es=es, e=e, sphere=False, qp=qp,
+        rq=a * math.sqrt(qp / 2.0), lon0=lon0, fe=fe, fn=fn,
+        # authalic -> geodetic series (Snyder eq. 3-18)
+        c2=es / 3.0 + 31.0 * es ** 2 / 180.0 + 517.0 * es ** 3 / 5040.0,
+        c4=23.0 * es ** 2 / 360.0 + 251.0 * es ** 3 / 3780.0,
+        c6=761.0 * es ** 3 / 45360.0,
+    )
+
+
+def _eqe_h(t):
+    """h(theta) as a Column expression (op order shared with the SQL
+    twin)."""
+    return (t * (F.lit(_EQE_A1) + F.lit(_EQE_A2) * t * t)
+            + F.pow(t, F.lit(7.0)) * (F.lit(_EQE_A3)
+                                      + F.lit(_EQE_A4) * t * t))
+
+
+def _eqe_hp(t):
+    return (F.lit(_EQE_A1) + F.lit(3.0 * _EQE_A2) * t * t
+            + F.pow(t, F.lit(6.0)) * (F.lit(7.0 * _EQE_A3)
+                                      + F.lit(9.0 * _EQE_A4) * t * t))
+
+
+def _lonlat_to_eqearth_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg) -> Equal Earth E/N (staged)."""
+    c = _eqearth_consts(crs)
+    e, es = c["e"], c["es"]
+
+    def s_beta(env):
+        phi = F.radians(env["__in_y"])
+        if c["sphere"]:
+            return phi
+        s = F.sin(phi)
+        q = F.lit(1.0 - es) * (
+            s / (F.lit(1.0) - F.lit(es) * s * s)
+            - F.lit(1.0 / (2.0 * e))
+            * F.log((F.lit(1.0) - F.lit(e) * s)
+                    / (F.lit(1.0) + F.lit(e) * s)))
+        return F.asin(q / F.lit(c["qp"]))
+
+    def s_th(env):
+        return F.asin(F.lit(_EQE_M) * F.sin(env["__beta"]))
+
+    def out_x(env):
+        th = env["__th"]
+        return (F.lit(c["fe"]) + F.lit(c["rq"])
+                * F.radians(env["__in_x"] - F.lit(c["lon0"]))
+                * F.cos(th) / (F.lit(_EQE_M) * _eqe_hp(th)))
+
+    def out_y(env):
+        return F.lit(c["fn"]) + F.lit(c["rq"]) * _eqe_h(env["__th"])
+
+    return StagedTransform([
+        {"__beta": s_beta},
+        {"__th": s_th},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def _eqearth_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """Equal Earth E/N -> lon/lat: fixed-count Newton theta solve,
+    then the authalic->geodetic series."""
+    c = _eqearth_consts(crs)
+
+    def s_yn(env):
+        return (env["__in_y"] - F.lit(c["fn"])) / F.lit(c["rq"])
+
+    def s_th0(env):
+        return env["__yn"] / F.lit(_EQE_A1)
+
+    def step(env):
+        th = env["__th"]
+        return th - (_eqe_h(th) - env["__yn"]) / _eqe_hp(th)
+
+    def s_beta(env):
+        return F.asin(F.sin(env["__th"]) / F.lit(_EQE_M))
+
+    def out_x(env):
+        th = env["__th"]
+        return F.lit(c["lon0"]) + F.degrees(
+            (env["__in_x"] - F.lit(c["fe"])) * _eqe_hp(th)
+            * F.lit(_EQE_M) / (F.lit(c["rq"]) * F.cos(th)))
+
+    def out_y(env):
+        b = env["__beta"]
+        if c["sphere"]:
+            return F.degrees(b)
+        return F.degrees(
+            b + F.lit(c["c2"]) * F.sin(F.lit(2.0) * b)
+            + F.lit(c["c4"]) * F.sin(F.lit(4.0) * b)
+            + F.lit(c["c6"]) * F.sin(F.lit(6.0) * b))
+
+    stages: list[dict] = [{"__yn": s_yn}, {"__th": s_th0}]
+    stages += [{"__th": step} for _ in range(_EQE_ITERS)]
+    stages += [{"__beta": s_beta},
+               {"__out_x": out_x, "__out_y": out_y}]
+    return StagedTransform(stages)
+
+
+def eqearth_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                             src: str = "tgt") -> str:
+    """The SAME Equal Earth inverse as a chain of CTEs over ``src``
+    (for DuckDB oracles) — identical arithmetic and iteration count
+    to :func:`_eqearth_to_lonlat_fn`.  Emits CTEs ``ee1..`` and
+    finally ``eqearth_ll`` = ``src`` columns + ``lon``/``lat``."""
+    c = _eqearth_consts(crs)
+
+    def h(t):
+        return (f"({t} * ({_EQE_A1!r} + {_EQE_A2!r} * {t} * {t}) "
+                f"+ pow({t}, 7.0) * ({_EQE_A3!r} + {_EQE_A4!r} "
+                f"* {t} * {t}))")
+
+    def hp(t):
+        return (f"({_EQE_A1!r} + {3.0 * _EQE_A2!r} * {t} * {t} "
+                f"+ pow({t}, 6.0) * ({7.0 * _EQE_A3!r} "
+                f"+ {9.0 * _EQE_A4!r} * {t} * {t}))")
+
+    iters = "".join(f"""), ee{3 + k} AS (
+            SELECT * EXCLUDE (__th),
+                   (__th - ({h('__th')} - __yn) / {hp('__th')}) AS __th
+            FROM ee{2 + k}""" for k in range(_EQE_ITERS))
+    n_last = 2 + _EQE_ITERS
+    lat_sql = ("degrees(__beta)" if c["sphere"] else
+               f"""degrees(__beta + {c['c2']!r} * sin(2.0 * __beta)
+                   + {c['c4']!r} * sin(4.0 * __beta)
+                   + {c['c6']!r} * sin(6.0 * __beta))""")
+    return f"""ee1 AS (
+            SELECT *, ((({y_expr}) - {c['fn']!r}) / {c['rq']!r})
+                      AS __yn,
+                   (({x_expr}) - {c['fe']!r}) AS __xe
+            FROM {src}
+        ), ee2 AS (
+            SELECT *, (__yn / {_EQE_A1!r}) AS __th FROM ee1
+        {iters}), ee{n_last + 1} AS (
+            SELECT *, asin(sin(__th) / {_EQE_M!r}) AS __beta
+            FROM ee{n_last}
+        ), eqearth_ll AS (
+            SELECT * EXCLUDE (__yn, __xe, __th, __beta),
+                   ({c['lon0']!r} + degrees(__xe * {hp('__th')}
+                       * {_EQE_M!r} / ({c['rq']!r} * cos(__th))))
+                   AS lon,
+                   {lat_sql} AS lat
+            FROM ee{n_last + 1}
+        )"""
+
+
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
 #
 # EPSG method 9835 (ellipsoidal CEA, Snyder eqs. 10-1/10-2 with the
@@ -3152,6 +3335,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _somerc_to_lonlat_fn(up)
     if up in KROVAK_PARAMS:
         return _krovak_to_lonlat_fn(up)
+    if up in EQEARTH_PARAMS:
+        return _eqearth_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in CEA_PARAMS:
@@ -3207,6 +3392,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_somerc_fn(up)
     if up in KROVAK_PARAMS:
         return _lonlat_to_krovak_fn(up)
+    if up in EQEARTH_PARAMS:
+        return _lonlat_to_eqearth_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in CEA_PARAMS:

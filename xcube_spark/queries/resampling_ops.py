@@ -951,6 +951,59 @@ def cube_reproject_krovak(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Equal Earth (EPSG:8857) ----------------------------------
+
+from xcube_spark.operators.resampling.reproject import eqearth_inverse_sql_ctes
+
+#: near-global Equal Earth window (inscribed in the map outline so
+#: every corner stays inside +-180 deg) with off-round origin/steps:
+#: every re-projected center stays >= 1.0e-3 deg from any 1-degree
+#: source-cell edge (margin asserted in tests/test_crsparse.py)
+_EQE = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=-12_757_701.0, y_start=-5_928_512.0,
+                x_res=632_731.0, y_res=297_059.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:8857")
+
+_EQE_CTES = eqearth_inverse_sql_ctes(
+    "(CAST(-12757701.0 AS DOUBLE) + (x_i + 0.5) * CAST(632731.0 AS DOUBLE))",
+    "(CAST(-5928512.0 AS DOUBLE) + (y_i + 0.5) * CAST(297059.0 AS DOUBLE))",
+    "EPSG:8857")
+
+
+@query(
+    "cube_reproject_eqearth",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_EQE.size})
+        ), {_EQE_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM eqearth_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_eqearth(spark, sf_dir):
+    """reproject_dataset onto an Equal Earth grid (EPSG:8857, method
+    1078) — the Savric/Patterson/Jenny equal-area pseudocylindrical
+    on the WGS84 authalic sphere, which the reference reaches
+    through pyproj (core/gridmapping/transform.py).  Anchored on the
+    published EPSG:8857 projected extent (+-17243959.06 x
+    +-8392927.60 m); the oracle states the identical inverse
+    (fixed-count Newton theta solve + authalic->geodetic series) as
+    a CTE chain (eqearth_inverse_sql_ctes, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _EQE)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
 
 from xcube_spark.operators.resampling.reproject import cea_inverse_sql

@@ -589,6 +589,18 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                               _math.degrees(rz) * 3600.0,
                               s * 1e6]
         return out
+    if code in R.EQEARTH_PARAMS:
+        a, rf, lon0, fe, fn = R.EQEARTH_PARAMS[code]
+        out = {"grid_mapping_name": "equal_earth",
+               "longitude_of_projection_origin": lon0,
+               "false_easting": fe, "false_northing": fn,
+               "semi_major_axis": a}
+        import math as _math
+        if _math.isfinite(rf):
+            out["inverse_flattening"] = rf
+        else:
+            out["semi_minor_axis"] = a
+        return out
     if code in R.ROTPOLE_PARAMS:
         theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
         return {"grid_mapping_name": "rotated_latitude_longitude",
