@@ -1579,3 +1579,65 @@ def test_eqearth_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 9e-4
     assert np.minimum(fy, 1 - fy).min() > 9e-4
+
+
+def test_cass_trinidad_gn72_worked_example(spark):
+    """EPSG GN7-2 published worked example for method 9806 on
+    Trinidad 1903: 10°N 62°W -> E 66644.94 / N 82536.22 Clarke's
+    links (sub-link); the natural origin maps to the false origin;
+    PROJ.4 string normalizes to EPSG:30200; zarrio's CF encode
+    (cassini_soldner) decodes back to the same key."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    pts = [(-62.0, 10.0),
+           (-(61.0 + 20.0 / 60.0), 10.0 + 26.0 / 60.0 + 30.0 / 3600.0)]
+    got = {(lon, lat): (x, y)
+           for (lon, lat, x, y) in _fwd_points(spark, "EPSG:30200", pts)}
+    e, n = got[pts[0]]
+    assert abs(e - 66_644.94) < 0.01 and abs(n - 82_536.22) < 0.01
+    e, n = got[pts[1]]
+    assert abs(e - 430_000.0) < 1e-6 and abs(n - 325_000.0) < 1e-6
+    k = resolve_proj4(
+        "+proj=cass +lat_0=10.441666666666666 "
+        "+lon_0=-61.333333333333336 +x_0=430000 +y_0=325000 "
+        "+a=31706587.88 +rf=294.260676369")
+    assert k == "EPSG:30200"
+    attrs = cf_grid_mapping_attrs("EPSG:30200")
+    assert attrs["grid_mapping_name"] == "cassini_soldner"
+    assert crs_from_grid_mapping(attrs) == "EPSG:30200"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:30200"
+
+
+def test_cass_query_grid_edge_margins():
+    """Every cube_reproject_trinidad target center must map clear of
+    the 1-degree source-cell edges — numpy twin of the inverse."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import _cass_consts
+    from xcube_spark.queries.resampling_ops import _TRIN
+
+    c = _cass_consts("EPSG:30200")
+    a, es = c["a"], c["es"]
+    xs = _TRIN.x_start + (np.arange(_TRIN.width) + 0.5) * _TRIN.x_res
+    ys = _TRIN.y_start + (np.arange(_TRIN.height) + 0.5) * _TRIN.y_res
+    X, Y = np.meshgrid(xs, ys)
+    mu = (c["m0"] + (Y - c["fn"])) / (a * c["m_c0"])
+    phi1 = mu + c["f1_2"] * np.sin(2 * mu) + c["f1_4"] * np.sin(4 * mu) \
+        + c["f1_6"] * np.sin(6 * mu)
+    t1 = np.tan(phi1) ** 2
+    nu1 = a / np.sqrt(1 - es * np.sin(phi1) ** 2)
+    rho1 = a * (1 - es) / (1 - es * np.sin(phi1) ** 2) ** 1.5
+    d = (X - c["fe"]) / nu1
+    lat = np.degrees(phi1 - (nu1 * np.tan(phi1) / rho1)
+                     * (d * d / 2 - (1 + 3 * t1) * d ** 4 / 24))
+    lon = np.degrees(c["lam0"] + (d - t1 * d ** 3 / 3
+                                  + (1 + 3 * t1) * t1 * d ** 5 / 15)
+                     / np.cos(phi1))
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-2
+    assert np.minimum(fy, 1 - fy).min() > 1e-2

@@ -454,6 +454,21 @@ def resolve_proj4(text: str) -> str:
                          (a, rf, lat0, lon0, alpha, phip, k0,
                           x0, y0, czech, towgs84))
 
+    if proj == "cass":
+        lat0, lon0 = _num(p, "lat_0"), _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        t = R.CASS_PARAMS["EPSG:30200"]
+        if (abs(a - t[0]) < 1e-2 and abs(rf - t[1]) < 1e-6
+                and abs(lat0 - t[2]) < 1e-9 and abs(lon0 - t[3]) < 1e-9
+                and x0 == t[4] and y0 == t[5]):
+            return "EPSG:30200"
+        if not math.isfinite(rf):
+            raise NotImplementedError(
+                "cass: spherical form not implemented (give an "
+                "ellipsoid with finite flattening)")
+        return _register(R.CASS_PARAMS, "cass",
+                         (a, rf, lat0, lon0, x0, y0))
+
     if proj == "eqearth":
         lon0 = _num(p, "lon_0")
         x0, y0 = _num(p, "x_0"), _num(p, "y_0")
@@ -511,8 +526,9 @@ def resolve_proj4(text: str) -> str:
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
-        "sterea, somerc, krovak, eqearth, merc, geos, sinu, moll, "
-        "ob_tran[longlat], cea, aeqd[sph], ortho[sph], eqc, omerc)")
+        "sterea, somerc, krovak, eqearth, cass, merc, geos, sinu, "
+        "moll, ob_tran[longlat], cea, aeqd[sph], ortho[sph], eqc, "
+        "omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -687,6 +703,10 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "cassini_soldner":
+        p["proj"] = "cass"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
     elif name == "equal_earth":
         p["proj"] = "eqearth"
         put("lon_0", num("longitude_of_projection_origin"))

@@ -2718,6 +2718,185 @@ def eqearth_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
         )"""
 
 
+# ---- Cassini-Soldner (+proj=cass) -------------------------------------
+#
+# EPSG method 9806 (the GN7-2 series forms, reproduced sub-mm on the
+# published Trinidad worked example — tests).  EPSG:30200 (Trinidad
+# 1903 / Trinidad Grid) works in CLARKE'S LINKS: the family's linear
+# unit is whatever the parameter set is stated in, exactly like the
+# reference reaches it through pyproj.  Datum-less (the GN7-2
+# example's geodetic input is Trinidad 1903).
+
+#: crs -> (a, rf, lat0, lon0, false easting, false northing)
+CASS_PARAMS: dict[str, tuple] = {
+    # Trinidad 1903 / Trinidad Grid — Clarke 1858, Clarke's links
+    "EPSG:30200": (31_706_587.88, 294.260676369,
+                   10.0 + 26.0 / 60.0 + 30.0 / 3600.0,
+                   -(61.0 + 20.0 / 60.0), 430_000.0, 325_000.0),
+}
+
+
+def _cass_consts(crs: str) -> dict:
+    a, rf, lat0, lon0, fe, fn = CASS_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    m_c0 = 1.0 - es / 4.0 - 3.0 * es * es / 64.0 - 5.0 * es ** 3 / 256.0
+    m_c2 = 3.0 * es / 8.0 + 3.0 * es * es / 32.0 + 45.0 * es ** 3 / 1024.0
+    m_c4 = 15.0 * es * es / 256.0 + 45.0 * es ** 3 / 1024.0
+    m_c6 = 35.0 * es ** 3 / 3072.0
+    phi0 = math.radians(lat0)
+    m0 = a * (m_c0 * phi0 - m_c2 * math.sin(2.0 * phi0)
+              + m_c4 * math.sin(4.0 * phi0)
+              - m_c6 * math.sin(6.0 * phi0))
+    e1 = (1.0 - math.sqrt(1.0 - es)) / (1.0 + math.sqrt(1.0 - es))
+    return dict(
+        a=a, es=es, fe=fe, fn=fn, lam0=math.radians(lon0), lon0=lon0,
+        m0=m0, m_c0=m_c0, m_c2=m_c2, m_c4=m_c4, m_c6=m_c6,
+        f1_2=3.0 * e1 / 2.0 - 27.0 * e1 ** 3 / 32.0,
+        f1_4=21.0 * e1 * e1 / 16.0 - 55.0 * e1 ** 4 / 32.0,
+        f1_6=151.0 * e1 ** 3 / 96.0,
+    )
+
+
+def _lonlat_to_cass_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg) -> Cassini-Soldner E/N (EPSG 9806 forward)."""
+    c = _cass_consts(crs)
+    a, es = c["a"], c["es"]
+
+    def s_trig(env):
+        return F.radians(env["__in_y"])
+
+    def s_t(env):
+        t = F.tan(env["__phi"])
+        return t * t
+
+    def s_aa(env):
+        return ((F.radians(env["__in_x"]) - F.lit(c["lam0"]))
+                * F.cos(env["__phi"]))
+
+    def s_c(env):
+        cp = F.cos(env["__phi"])
+        return F.lit(es) * cp * cp / F.lit(1.0 - es)
+
+    def s_nu(env):
+        s = F.sin(env["__phi"])
+        return F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(es) * s * s)
+
+    def s_m(env):
+        phi = env["__phi"]
+        return F.lit(a) * (
+            F.lit(c["m_c0"]) * phi
+            - F.lit(c["m_c2"]) * F.sin(F.lit(2.0) * phi)
+            + F.lit(c["m_c4"]) * F.sin(F.lit(4.0) * phi)
+            - F.lit(c["m_c6"]) * F.sin(F.lit(6.0) * phi))
+
+    def out_x(env):
+        aa, t = env["__A"], env["__T"]
+        return F.lit(c["fe"]) + env["__nu"] * (
+            aa - t * F.pow(aa, F.lit(3.0)) / F.lit(6.0)
+            - (F.lit(8.0) - t + F.lit(8.0) * env["__C"]) * t
+            * F.pow(aa, F.lit(5.0)) / F.lit(120.0))
+
+    def out_y(env):
+        aa, t = env["__A"], env["__T"]
+        return (F.lit(c["fn"]) + env["__M"] - F.lit(c["m0"])
+                + env["__nu"] * F.tan(env["__phi"]) * (
+                    aa * aa / F.lit(2.0)
+                    + (F.lit(5.0) - t + F.lit(6.0) * env["__C"])
+                    * F.pow(aa, F.lit(4.0)) / F.lit(24.0)))
+
+    return StagedTransform([
+        {"__phi": s_trig},
+        {"__T": s_t, "__A": s_aa, "__C": s_c, "__nu": s_nu,
+         "__M": s_m},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def _cass_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """Cassini-Soldner E/N -> lon/lat (EPSG 9806 inverse: rectifying
+    latitude series, then the transverse D-expansion)."""
+    c = _cass_consts(crs)
+    a, es = c["a"], c["es"]
+
+    def s_mu(env):
+        return ((F.lit(c["m0"]) + (env["__in_y"] - F.lit(c["fn"])))
+                / F.lit(a * c["m_c0"]))
+
+    def s_phi1(env):
+        mu = env["__mu"]
+        return (mu + F.lit(c["f1_2"]) * F.sin(F.lit(2.0) * mu)
+                + F.lit(c["f1_4"]) * F.sin(F.lit(4.0) * mu)
+                + F.lit(c["f1_6"]) * F.sin(F.lit(6.0) * mu))
+
+    def s_t1(env):
+        t = F.tan(env["__phi1"])
+        return t * t
+
+    def s_nu1(env):
+        s = F.sin(env["__phi1"])
+        return F.lit(a) / F.sqrt(F.lit(1.0) - F.lit(es) * s * s)
+
+    def s_rho1(env):
+        s = F.sin(env["__phi1"])
+        return (F.lit(a * (1.0 - es))
+                / F.pow(F.lit(1.0) - F.lit(es) * s * s, F.lit(1.5)))
+
+    def s_d(env):
+        return (env["__in_x"] - F.lit(c["fe"])) / env["__nu1"]
+
+    def out_y(env):
+        d, t1 = env["__D"], env["__T1"]
+        return F.degrees(
+            env["__phi1"] - (env["__nu1"] * F.tan(env["__phi1"])
+                             / env["__rho1"])
+            * (d * d / F.lit(2.0) - (F.lit(1.0) + F.lit(3.0) * t1)
+               * F.pow(d, F.lit(4.0)) / F.lit(24.0)))
+
+    def out_x(env):
+        d, t1 = env["__D"], env["__T1"]
+        return F.degrees(
+            F.lit(c["lam0"])
+            + (d - t1 * F.pow(d, F.lit(3.0)) / F.lit(3.0)
+               + (F.lit(1.0) + F.lit(3.0) * t1) * t1
+               * F.pow(d, F.lit(5.0)) / F.lit(15.0))
+            / F.cos(env["__phi1"]))
+
+    return StagedTransform([
+        {"__mu": s_mu},
+        {"__phi1": s_phi1},
+        {"__T1": s_t1, "__nu1": s_nu1, "__rho1": s_rho1},
+        {"__D": s_d},
+        {"__out_x": out_x, "__out_y": out_y},
+    ])
+
+
+def cass_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME Cassini-Soldner inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_cass_to_lonlat_fn`.
+    Returns (lon_sql, lat_sql)."""
+    c = _cass_consts(crs)
+    a, es = c["a"], c["es"]
+    mu = f"(({c['m0']!r} + (({y_expr}) - {c['fn']!r})) " \
+         f"/ {a * c['m_c0']!r})"
+    phi1 = f"({mu} + {c['f1_2']!r} * sin(2.0 * {mu}) " \
+           f"+ {c['f1_4']!r} * sin(4.0 * {mu}) " \
+           f"+ {c['f1_6']!r} * sin(6.0 * {mu}))"
+    t1 = f"(tan({phi1}) * tan({phi1}))"
+    nu1 = f"({a!r} / sqrt(1.0 - {es!r} * sin({phi1}) * sin({phi1})))"
+    rho1 = f"({a * (1.0 - es)!r} / pow(1.0 - {es!r} * sin({phi1}) " \
+           f"* sin({phi1}), 1.5))"
+    d = f"((({x_expr}) - {c['fe']!r}) / {nu1})"
+    lat = f"degrees({phi1} - ({nu1} * tan({phi1}) / {rho1}) " \
+          f"* ({d} * {d} / 2.0 - (1.0 + 3.0 * {t1}) " \
+          f"* pow({d}, 4.0) / 24.0))"
+    lon = f"degrees({c['lam0']!r} + ({d} - {t1} * pow({d}, 3.0) " \
+          f"/ 3.0 + (1.0 + 3.0 * {t1}) * {t1} * pow({d}, 5.0) " \
+          f"/ 15.0) / cos({phi1}))"
+    return lon, lat
+
+
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
 #
 # EPSG method 9835 (ellipsoidal CEA, Snyder eqs. 10-1/10-2 with the
@@ -3337,6 +3516,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _krovak_to_lonlat_fn(up)
     if up in EQEARTH_PARAMS:
         return _eqearth_to_lonlat_fn(up)
+    if up in CASS_PARAMS:
+        return _cass_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in CEA_PARAMS:
@@ -3394,6 +3575,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_krovak_fn(up)
     if up in EQEARTH_PARAMS:
         return _lonlat_to_eqearth_fn(up)
+    if up in CASS_PARAMS:
+        return _lonlat_to_cass_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in CEA_PARAMS:

@@ -1004,6 +1004,63 @@ def cube_reproject_eqearth(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Trinidad Grid (EPSG:30200, Cassini-Soldner) -------------
+
+from xcube_spark.operators.resampling.reproject import cass_inverse_sql
+
+#: Trinidad Grid window in CLARKE'S LINKS with off-round
+#: origin/steps: every re-projected center stays >= 1.4e-2 deg from
+#: any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_TRIN = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=73_249.0, y_start=89_229.0,
+                 x_res=16_318.0, y_res=9_077.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="EPSG:30200")
+
+_TRIN_LON, _TRIN_LAT = cass_inverse_sql(
+    "(CAST(73249.0 AS DOUBLE) + (x_i + 0.5) * CAST(16318.0 AS DOUBLE))",
+    "(CAST(89229.0 AS DOUBLE) + (y_i + 0.5) * CAST(9077.0 AS DOUBLE))",
+    "EPSG:30200")
+
+
+@query(
+    "cube_reproject_trinidad",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_TRIN.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_TRIN_LON} AS lon,
+                   {_TRIN_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_trinidad(spark, sf_dir):
+    """reproject_dataset onto the Trinidad 1903 grid (EPSG:30200,
+    Cassini-Soldner in Clarke's links) — EPSG method 9806, which the
+    reference reaches through pyproj (core/gridmapping/transform.py).
+    Forward reproduces the EPSG GN7-2 worked example sub-link; the
+    oracle states the identical inverse (rectifying-latitude series
+    + transverse D-expansion) in SQL (cass_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _TRIN)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
 
 from xcube_spark.operators.resampling.reproject import cea_inverse_sql

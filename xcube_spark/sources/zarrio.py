@@ -589,6 +589,13 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                               _math.degrees(rz) * 3600.0,
                               s * 1e6]
         return out
+    if code in R.CASS_PARAMS:
+        a, rf, lat0, lon0, fe, fn = R.CASS_PARAMS[code]
+        return {"grid_mapping_name": "cassini_soldner",
+                "latitude_of_projection_origin": lat0,
+                "longitude_of_central_meridian": lon0,
+                "false_easting": fe, "false_northing": fn,
+                "semi_major_axis": a, "inverse_flattening": rf}
     if code in R.EQEARTH_PARAMS:
         a, rf, lon0, fe, fn = R.EQEARTH_PARAMS[code]
         out = {"grid_mapping_name": "equal_earth",
