@@ -1641,3 +1641,88 @@ def test_cass_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1e-2
     assert np.minimum(fy, 1 - fy).min() > 1e-2
+
+
+def test_poly_snyder_worked_example_and_equator_guard(spark):
+    """Snyder's Clarke-1866 polyconic worked example (40N 75W ->
+    1776774.5 / 1319657.8, 0.1 m); the equator row (degenerate cone)
+    takes the guarded tangent-cylinder form on BOTH directions;
+    PROJ.4/CF round-trips for EPSG:29101."""
+    import pyspark.sql.functions as F
+    from xcube_spark.operators.resampling.reproject import (
+        apply_transform_df, get_transform)
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    k = resolve_proj4("+proj=poly +lat_0=30 +lon_0=-96 "
+                      "+a=6378206.4 +rf=294.97870821")
+    (_, _, x, y), = _fwd_points(spark, k, [(-75.0, 40.0)])
+    assert abs(x - 1_776_774.5) < 0.15 and abs(y - 1_319_657.8) < 0.15
+
+    # equator row: forward is a(lam-lam0), inverse restores it
+    fwd = get_transform("EPSG:4326", "EPSG:29101")
+    inv = get_transform("EPSG:29101", "EPSG:4326")
+    df = spark.createDataFrame([(-54.0, 0.0), (-50.0, 0.0)],
+                               "lon double, lat double")
+    df = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                            "E", "N")
+    df = apply_transform_df(df, inv, F.col("E"), F.col("N"),
+                            "blon", "blat")
+    got = {r.lon: r for r in df.collect()}
+    assert abs(got[-54.0].E - 5_000_000.0) < 1e-6
+    assert abs(got[-54.0].N - 10_000_000.0) < 1e-6
+    for r in got.values():
+        assert abs(r.blon - r.lon) < 1e-9 and abs(r.blat - r.lat) < 1e-9
+
+    assert resolve_proj4(
+        "+proj=poly +lat_0=0 +lon_0=-54 +x_0=5000000 +y_0=10000000 "
+        "+a=6378160 +rf=298.25") == "EPSG:29101"
+    attrs = cf_grid_mapping_attrs("EPSG:29101")
+    assert attrs["grid_mapping_name"] == "polyconic"
+    assert crs_from_grid_mapping(attrs) == "EPSG:29101"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:29101"
+
+
+def test_poly_query_grid_edge_margins():
+    """Every cube_reproject_brazil_poly target center must map clear
+    of the 1-degree source-cell edges — numpy twin of the staged
+    Snyder 18-18 inverse."""
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        _POLY_ITERS, _poly_consts)
+    from xcube_spark.queries.resampling_ops import _BRPOLY
+
+    c = _poly_consts("EPSG:29101")
+    a, es = c["a"], c["es"]
+    xs = _BRPOLY.x_start + (np.arange(_BRPOLY.width) + 0.5) \
+        * _BRPOLY.x_res
+    ys = _BRPOLY.y_start + (np.arange(_BRPOLY.height) + 0.5) \
+        * _BRPOLY.y_res
+    X, Y = np.meshgrid(xs, ys)
+    A = (c["m0"] + (Y - c["fn"])) / a
+    xa = (X - c["fe"]) / a
+    B = A * A + xa * xa
+    phi = A.copy()
+    for _ in range(_POLY_ITERS):
+        s2 = np.sin(2 * phi)
+        C = np.sqrt(1 - es * np.sin(phi) ** 2) * np.tan(phi)
+        Ma = (c["c0"] * phi - c["c2"] * np.sin(2 * phi)
+              + c["c4"] * np.sin(4 * phi) - c["c6"] * np.sin(6 * phi))
+        Mp = (c["c0"] - 2 * c["c2"] * np.cos(2 * phi)
+              + 4 * c["c4"] * np.cos(4 * phi)
+              - 6 * c["c6"] * np.cos(6 * phi))
+        num = A * (C * Ma + 1) - Ma - 0.5 * C * (Ma * Ma + B)
+        den = es * s2 * (Ma * Ma + B - 2 * A * Ma) / (4 * C) \
+            + (A - Ma) * (C * Mp - 2 / s2) - Mp
+        phi = phi - num / den
+    lat = np.degrees(phi)
+    lon = np.degrees(c["lam0"] + np.arcsin(
+        xa * np.sqrt(1 - es * np.sin(phi) ** 2) * np.tan(phi))
+        / np.sin(phi))
+    assert lat.max() < -0.5  # grid stays off the equator guard row
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 4e-4
+    assert np.minimum(fy, 1 - fy).min() > 4e-4

@@ -469,6 +469,22 @@ def resolve_proj4(text: str) -> str:
         return _register(R.CASS_PARAMS, "cass",
                          (a, rf, lat0, lon0, x0, y0))
 
+    if proj == "poly":
+        if not math.isfinite(rf):
+            raise NotImplementedError(
+                "poly: spherical form not implemented (give an "
+                "ellipsoid with finite flattening)")
+        lat0, lon0 = _num(p, "lat_0"), _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        towgs84 = _towgs84(p)
+        t = R.POLY_PARAMS["EPSG:29101"]
+        if (abs(a - t[0]) < 1e-3 and abs(rf - t[1]) < 1e-6
+                and lat0 == t[2] and lon0 == t[3]
+                and x0 == t[4] and y0 == t[5] and towgs84 is None):
+            return "EPSG:29101"
+        return _register(R.POLY_PARAMS, "poly",
+                         (a, rf, lat0, lon0, x0, y0, towgs84))
+
     if proj == "eqearth":
         lon0 = _num(p, "lon_0")
         x0, y0 = _num(p, "x_0"), _num(p, "y_0")
@@ -526,9 +542,9 @@ def resolve_proj4(text: str) -> str:
     raise NotImplementedError(
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
-        "sterea, somerc, krovak, eqearth, cass, merc, geos, sinu, "
-        "moll, ob_tran[longlat], cea, aeqd[sph], ortho[sph], eqc, "
-        "omerc)")
+        "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
+        "sinu, moll, ob_tran[longlat], cea, aeqd[sph], ortho[sph], "
+        "eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -703,6 +719,10 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "polyconic":
+        p["proj"] = "poly"
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
     elif name == "cassini_soldner":
         p["proj"] = "cass"
         put("lat_0", num("latitude_of_projection_origin"))
@@ -758,11 +778,11 @@ def crs_from_cf(attrs: Mapping) -> str:
         vals = [float(v) for v in (
             [vals] if isinstance(vals, (int, float)) else vals)]
         if any(vals):
-            if p.get("proj") not in ("somerc", "krovak"):
+            if p.get("proj") not in ("somerc", "krovak", "poly"):
                 raise NotImplementedError(
                     "towgs84 datum shift is only composed for the "
-                    "somerc/krovak families; other grid mappings "
-                    "would silently ignore it")
+                    "somerc/krovak/poly families; other grid "
+                    "mappings would silently ignore it")
             p["towgs84"] = ",".join(repr(v) for v in vals)
 
     # hand off through the PROJ.4 resolver so family validation and

@@ -2897,6 +2897,240 @@ def cass_inverse_sql(x_expr: str, y_expr: str,
     return lon, lat
 
 
+# ---- American Polyconic (+proj=poly) ----------------------------------
+#
+# EPSG method 9818 / Snyder ch. 18 (forward 18-12..15, inverse the
+# 18-18 Newton on the meridian-arc identity; both reproduce Snyder's
+# Clarke-1866 worked example to the published 0.1 m — tests).
+# EPSG:29101 (SAD69 / Brazil Polyconic, GRS67) is registered
+# DATUM-LESS: the published SAD69->WGS84 shifts differ per
+# realization, so the EPSG code takes lon/lat on its own datum;
+# +towgs84 in a PROJ string opts into an explicit hop.  The equator
+# row (phi = 0, where the cone degenerates to the tangent cylinder)
+# is closed-form-guarded on both engines.
+
+#: crs -> (a, rf, lat0, lon0, fe, fn, towgs84 local->WGS84 or None)
+POLY_PARAMS: dict[str, tuple] = {
+    # SAD69 / Brazil Polyconic (GRS 1967 modified)
+    "EPSG:29101": (6_378_160.0, 298.25, 0.0, -54.0,
+                   5_000_000.0, 10_000_000.0, None),
+}
+
+#: fixed iteration count of the Snyder 18-18 Newton solve
+_POLY_ITERS = 5
+
+
+def _poly_consts(crs: str) -> dict:
+    a, rf, lat0, lon0, fe, fn, towgs84 = POLY_PARAMS[crs.upper()]
+    f = 1.0 / rf
+    es = f * (2.0 - f)
+    c0 = 1.0 - es / 4.0 - 3.0 * es * es / 64.0 - 5.0 * es ** 3 / 256.0
+    c2 = 3.0 * es / 8.0 + 3.0 * es * es / 32.0 + 45.0 * es ** 3 / 1024.0
+    c4 = 15.0 * es * es / 256.0 + 45.0 * es ** 3 / 1024.0
+    c6 = 35.0 * es ** 3 / 3072.0
+    phi0 = math.radians(lat0)
+    m0 = a * (c0 * phi0 - c2 * math.sin(2.0 * phi0)
+              + c4 * math.sin(4.0 * phi0) - c6 * math.sin(6.0 * phi0))
+    b_ell = a * (1.0 - f)
+    return dict(
+        a=a, es=es, b_ell=b_ell,
+        ep2=(a * a - b_ell * b_ell) / (b_ell * b_ell),
+        c0=c0, c2=c2, c4=c4, c6=c6, m0=m0,
+        lam0=math.radians(lon0), fe=fe, fn=fn, towgs84=towgs84,
+        helm_fwd=None if towgs84 is None else tuple(-v for v in towgs84),
+    )
+
+
+def _poly_m_col(phi, c):
+    return F.lit(c["a"]) * (
+        F.lit(c["c0"]) * phi
+        - F.lit(c["c2"]) * F.sin(F.lit(2.0) * phi)
+        + F.lit(c["c4"]) * F.sin(F.lit(4.0) * phi)
+        - F.lit(c["c6"]) * F.sin(F.lit(6.0) * phi))
+
+
+def _lonlat_to_poly_fn(crs: str) -> "StagedTransform":
+    """lon/lat (deg) -> polyconic E/N (Snyder 18-12..15, staged; the
+    equator row takes the tangent-cylinder closed form)."""
+    c = _poly_consts(crs)
+    es = c["es"]
+
+    stages: list[dict] = [
+        {"__lamw": lambda env: F.radians(env["__in_x"]),
+         "__phiw": lambda env: F.radians(env["__in_y"])},
+    ]
+    if c["helm_fwd"] is not None:
+        stages += _datum_hop_fwd_stages(
+            c["helm_fwd"], c["a"], es, c["b_ell"], c["ep2"])
+    else:
+        stages.append({"__lam": lambda env: env["__lamw"],
+                       "__phi": lambda env: env["__phiw"]})
+
+    def s_e(env):
+        return (env["__lam"] - F.lit(c["lam0"])) * F.sin(env["__phi"])
+
+    def s_ncot(env):
+        s = F.sin(env["__phi"])
+        return (F.lit(c["a"]) / F.sqrt(F.lit(1.0) - F.lit(es) * s * s)
+                / F.tan(env["__phi"]))
+
+    def out_x(env):
+        return F.lit(c["fe"]) + F.when(
+            F.abs(env["__phi"]) < F.lit(1e-12),
+            F.lit(c["a"]) * (env["__lam"] - F.lit(c["lam0"]))
+        ).otherwise(env["__ncot"] * F.sin(env["__E"]))
+
+    def out_y(env):
+        return F.lit(c["fn"]) + F.when(
+            F.abs(env["__phi"]) < F.lit(1e-12),
+            F.lit(-c["m0"])
+        ).otherwise(
+            _poly_m_col(env["__phi"], c) - F.lit(c["m0"])
+            + env["__ncot"] * (F.lit(1.0) - F.cos(env["__E"])))
+
+    stages += [
+        {"__E": s_e, "__ncot": s_ncot},
+        {"__out_x": out_x, "__out_y": out_y},
+    ]
+    return StagedTransform(stages)
+
+
+def _poly_to_lonlat_fn(crs: str) -> "StagedTransform":
+    """Polyconic E/N -> lon/lat (Snyder 18-18 fixed-count Newton on
+    the meridian-arc identity)."""
+    c = _poly_consts(crs)
+    a, es = c["a"], c["es"]
+
+    def s_ab(env):
+        return (F.lit(c["m0"]) + (env["__in_y"] - F.lit(c["fn"]))) \
+            / F.lit(a)
+
+    def s_xa(env):
+        return (env["__in_x"] - F.lit(c["fe"])) / F.lit(a)
+
+    def s_b(env):
+        return env["__A"] * env["__A"] + env["__xa"] * env["__xa"]
+
+    def s_phi0(env):
+        return env["__A"]
+
+    def s_s2(env):
+        return F.sin(F.lit(2.0) * env["__phi"])
+
+    def s_c(env):
+        s = F.sin(env["__phi"])
+        return (F.sqrt(F.lit(1.0) - F.lit(es) * s * s)
+                * F.tan(env["__phi"]))
+
+    def s_ma(env):
+        return _poly_m_col(env["__phi"], c) / F.lit(a)
+
+    def s_mp(env):
+        phi = env["__phi"]
+        return (F.lit(c["c0"])
+                - F.lit(2.0 * c["c2"]) * F.cos(F.lit(2.0) * phi)
+                + F.lit(4.0 * c["c4"]) * F.cos(F.lit(4.0) * phi)
+                - F.lit(6.0 * c["c6"]) * F.cos(F.lit(6.0) * phi))
+
+    def s_step(env):
+        aa, bb = env["__A"], env["__B"]
+        cc, ma, mp = env["__C"], env["__Ma"], env["__Mp"]
+        num = (aa * (cc * ma + F.lit(1.0)) - ma
+               - F.lit(0.5) * cc * (ma * ma + bb))
+        den = (F.lit(es) * env["__s2"] * (ma * ma + bb
+                                          - F.lit(2.0) * aa * ma)
+               / (F.lit(4.0) * cc)
+               + (aa - ma) * (cc * mp - F.lit(2.0) / env["__s2"])
+               - mp)
+        return env["__phi"] - num / den
+
+    def out_y(env):
+        return F.when(F.abs(env["__A"]) < F.lit(1e-12), F.lit(0.0)) \
+            .otherwise(F.degrees(env["__phi"]))
+
+    def out_x(env):
+        s = F.sin(env["__phi"])
+        lam = F.when(
+            F.abs(env["__A"]) < F.lit(1e-12),
+            F.lit(c["lam0"]) + env["__xa"]
+        ).otherwise(
+            F.lit(c["lam0"]) + F.asin(
+                env["__xa"] * F.sqrt(F.lit(1.0) - F.lit(es) * s * s)
+                * F.tan(env["__phi"])) / s)
+        return F.degrees(lam)
+
+    stages: list[dict] = [
+        {"__A": s_ab, "__xa": s_xa},
+        {"__B": s_b},
+        {"__phi": s_phi0},
+    ]
+    for _ in range(_POLY_ITERS):
+        stages.append({"__s2": s_s2, "__C": s_c, "__Ma": s_ma,
+                       "__Mp": s_mp})
+        stages.append({"__phi": s_step})
+    stages.append({"__out_x": out_x, "__out_y": out_y})
+    return StagedTransform(stages)
+
+
+def poly_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                          src: str = "tgt") -> str:
+    """The SAME polyconic inverse as a chain of CTEs over ``src``
+    (for DuckDB oracles) — identical arithmetic and iteration count
+    to :func:`_poly_to_lonlat_fn`.  Emits CTEs ``py1..`` and finally
+    ``poly_ll`` = ``src`` columns + ``lon``/``lat``."""
+    c = _poly_consts(crs)
+    a, es = c["a"], c["es"]
+    m_sql = (f"({a!r} * ({c['c0']!r} * __phi "
+             f"- {c['c2']!r} * sin(2.0 * __phi) "
+             f"+ {c['c4']!r} * sin(4.0 * __phi) "
+             f"- {c['c6']!r} * sin(6.0 * __phi)))")
+    mp_sql = (f"({c['c0']!r} - {2.0 * c['c2']!r} * cos(2.0 * __phi) "
+              f"+ {4.0 * c['c4']!r} * cos(4.0 * __phi) "
+              f"- {6.0 * c['c6']!r} * cos(6.0 * __phi))")
+    iters = "".join(f"""), py{3 + 2 * k} AS (
+            SELECT *, sin(2.0 * __phi) AS __s2,
+                   (sqrt(1.0 - {es!r} * sin(__phi) * sin(__phi))
+                    * tan(__phi)) AS __C,
+                   ({m_sql} / {a!r}) AS __Ma,
+                   {mp_sql} AS __Mp
+            FROM py{2 + 2 * k}
+        ), py{4 + 2 * k} AS (
+            SELECT * EXCLUDE (__phi, __s2, __C, __Ma, __Mp),
+                   (__phi - ((__A * (__C * __Ma + 1.0) - __Ma
+                              - 0.5 * __C * (__Ma * __Ma + __B))
+                             / ({es!r} * __s2 * (__Ma * __Ma + __B
+                                                 - 2.0 * __A * __Ma)
+                                / (4.0 * __C)
+                                + (__A - __Ma) * (__C * __Mp
+                                                  - 2.0 / __s2)
+                                - __Mp))) AS __phi
+            FROM py{3 + 2 * k}""" for k in range(_POLY_ITERS))
+    n_last = 2 + 2 * _POLY_ITERS
+    return f"""py1 AS (
+            SELECT *, (({c['m0']!r} + (({y_expr}) - {c['fn']!r}))
+                       / {a!r}) AS __A,
+                   ((({x_expr}) - {c['fe']!r}) / {a!r}) AS __xa
+            FROM {src}
+        ), py2 AS (
+            SELECT *, (__A * __A + __xa * __xa) AS __B,
+                   __A AS __phi
+            FROM py1
+        {iters}), poly_ll AS (
+            SELECT * EXCLUDE (__A, __xa, __B, __phi),
+                   CASE WHEN abs(__A) < 1e-12
+                        THEN degrees({c['lam0']!r} + __xa)
+                        ELSE degrees({c['lam0']!r}
+                            + asin(__xa * sqrt(1.0 - {es!r}
+                                   * sin(__phi) * sin(__phi))
+                                   * tan(__phi)) / sin(__phi))
+                   END AS lon,
+                   CASE WHEN abs(__A) < 1e-12 THEN 0.0
+                        ELSE degrees(__phi)
+                   END AS lat
+            FROM py{n_last}
+        )"""
+
+
 # ---- Lambert cylindrical equal-area (EASE-Grid 2.0 and kin) -----------
 #
 # EPSG method 9835 (ellipsoidal CEA, Snyder eqs. 10-1/10-2 with the
@@ -3518,6 +3752,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _eqearth_to_lonlat_fn(up)
     if up in CASS_PARAMS:
         return _cass_to_lonlat_fn(up)
+    if up in POLY_PARAMS:
+        return _poly_to_lonlat_fn(up)
     if up in PS_PARAMS:
         return _ps_to_lonlat_fn(up)
     if up in CEA_PARAMS:
@@ -3577,6 +3813,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_eqearth_fn(up)
     if up in CASS_PARAMS:
         return _lonlat_to_cass_fn(up)
+    if up in POLY_PARAMS:
+        return _lonlat_to_poly_fn(up)
     if up in PS_PARAMS:
         return _lonlat_to_ps_fn(up)
     if up in CEA_PARAMS:

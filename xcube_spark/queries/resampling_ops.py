@@ -1061,6 +1061,59 @@ def cube_reproject_trinidad(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Brazil Polyconic (EPSG:29101) ---------------------------
+
+from xcube_spark.operators.resampling.reproject import poly_inverse_sql_ctes
+
+#: Brazil Polyconic window (lat -31..-1: clear of the equator row,
+#: where the cone degenerates and both engines take the guarded
+#: closed form) with off-round origin/steps: every re-projected
+#: center stays >= 5.3e-4 deg from any 1-degree source-cell edge
+#: (margin asserted in tests/test_crsparse.py)
+_BRPOLY = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=3_146_366.0, y_start=6_524_126.0,
+                   x_res=94_972.0, y_res=85_021.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs="EPSG:29101")
+
+_BRPOLY_CTES = poly_inverse_sql_ctes(
+    "(CAST(3146366.0 AS DOUBLE) + (x_i + 0.5) * CAST(94972.0 AS DOUBLE))",
+    "(CAST(6524126.0 AS DOUBLE) + (y_i + 0.5) * CAST(85021.0 AS DOUBLE))",
+    "EPSG:29101")
+
+
+@query(
+    "cube_reproject_brazil_poly",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_BRPOLY.size})
+        ), {_BRPOLY_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM poly_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_brazil_poly(spark, sf_dir):
+    """reproject_dataset onto the SAD69 / Brazil Polyconic grid
+    (EPSG:29101) — EPSG method 9818 / Snyder ch. 18, which the
+    reference reaches through pyproj (core/gridmapping/transform.py).
+    Forward reproduces Snyder's Clarke-1866 worked example to the
+    published 0.1 m; the oracle states the identical inverse (the
+    Snyder 18-18 fixed-count Newton on the meridian-arc identity) as
+    a CTE chain (poly_inverse_sql_ctes, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _BRPOLY)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: EASE-Grid 2.0 global (EPSG:6933) ------------------------
 
 from xcube_spark.operators.resampling.reproject import cea_inverse_sql

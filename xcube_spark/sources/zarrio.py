@@ -589,6 +589,22 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                               _math.degrees(rz) * 3600.0,
                               s * 1e6]
         return out
+    if code in R.POLY_PARAMS:
+        a, rf, lat0, lon0, fe, fn, towgs84 = R.POLY_PARAMS[code]
+        out = {"grid_mapping_name": "polyconic",
+               "latitude_of_projection_origin": lat0,
+               "longitude_of_central_meridian": lon0,
+               "false_easting": fe, "false_northing": fn,
+               "semi_major_axis": a, "inverse_flattening": rf}
+        if towgs84 is not None:
+            import math as _math
+            tx, ty, tz, rx, ry, rz, s = towgs84
+            out["towgs84"] = [tx, ty, tz,
+                              _math.degrees(rx) * 3600.0,
+                              _math.degrees(ry) * 3600.0,
+                              _math.degrees(rz) * 3600.0,
+                              s * 1e6]
+        return out
     if code in R.CASS_PARAMS:
         a, rf, lat0, lon0, fe, fn = R.CASS_PARAMS[code]
         return {"grid_mapping_name": "cassini_soldner",
