@@ -254,8 +254,10 @@ def test_unsupported_forms_raise():
                       "+k_0=0.99 +ellps=GRS80")  # 1-SP scale form
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=stere +lat_0=52 +lat_ts=52")  # oblique
-    with pytest.raises(NotImplementedError):
-        resolve_proj4("+proj=stere +lat_0=90")  # no lat_ts
+    # no lat_ts is SUPPORTED since round 8: variant A with k_0
+    # defaulting to 1 (scale at the pole)
+    assert resolve_proj4("+proj=stere +lat_0=90"
+                         ).startswith("PROJ:STERE:")
     with pytest.raises(NotImplementedError):
         resolve_proj4("+proj=omerc +lat_0=4 +lonc=102")  # no family
     # non-GRS80 conics are SUPPORTED since round 8 (ellipsoid-
@@ -266,10 +268,13 @@ def test_unsupported_forms_raise():
         crs_from_cf({"grid_mapping_name": "oblique_mercator"})
     with pytest.raises(ValueError):
         crs_from_cf({"grid_mapping_name": "geostationary"})
-    with pytest.raises(NotImplementedError):
-        crs_from_cf({"grid_mapping_name": "polar_stereographic",
-                     "latitude_of_projection_origin": 90.0,
-                     "scale_factor_at_projection_origin": 0.994})
+    # the CF scale-factor polar form is SUPPORTED since round 8
+    # (variant A — the UPS family)
+    assert crs_from_cf(
+        {"grid_mapping_name": "polar_stereographic",
+         "latitude_of_projection_origin": 90.0,
+         "scale_factor_at_projection_origin": 0.994}
+    ).startswith("PROJ:STERE:")
 
 
 def test_cf_encode_decode_roundtrip_all_families(spark):
@@ -1726,3 +1731,92 @@ def test_poly_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 4e-4
     assert np.minimum(fy, 1 - fy).min() > 4e-4
+
+
+def test_ups_variant_a_worked_example_and_matching(spark):
+    """EPSG GN7-2 method-9810 variant-A worked example (73N 44E ->
+    E 3320416.75 / N 632668.43 on UPS North); PROJ.4 +k_0 / CF
+    scale-factor forms match the fixed EPSG codes; the generic
+    registered key is numerically identical to EPSG:5041."""
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    (_, _, x, y), = _fwd_points(spark, "EPSG:5041", [(44.0, 73.0)])
+    assert abs(x - 3_320_416.75) < 0.01
+    assert abs(y - 632_668.43) < 0.01
+
+    assert resolve_proj4(
+        "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 "
+        "+datum=WGS84") == "EPSG:5041"
+    assert resolve_proj4(
+        "+proj=stere +lat_0=-90 +k_0=0.994 +x_0=2000000 "
+        "+y_0=2000000 +ellps=WGS84") == "EPSG:5042"
+    # lat_ts=90 is the pole: also variant A (k0 defaults to 1)
+    assert resolve_proj4(
+        "+proj=stere +lat_0=90 +lat_ts=90 +k=0.994 +x_0=2000000 "
+        "+y_0=2000000 +datum=WGS84") == "EPSG:5041"
+    # the new variant-B fixed codes
+    assert resolve_proj4(
+        "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 "
+        "+datum=WGS84") == "EPSG:3976"
+    assert resolve_proj4(
+        "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 "
+        "+datum=WGS84") == "EPSG:3995"
+
+    # a generic variant-A registration transforms identically when
+    # its parameters equal the EPSG set
+    key = resolve_proj4(
+        "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000.5 "
+        "+y_0=2000000 +datum=WGS84")
+    assert key.startswith("PROJ:STERE:")
+    pts = [(44.0, 73.0), (-120.0, 85.0)]
+    a = _fwd_points(spark, "EPSG:5041", pts)
+    b = _fwd_points(spark, key, pts)
+    for (_, _, xa, ya), (_, _, xb, yb) in zip(a, b):
+        assert abs((xb - 0.5) - xa) < 1e-6 and yb == ya
+
+    # CF round trip carries the scale-factor form
+    attrs = cf_grid_mapping_attrs("EPSG:5041")
+    assert attrs["scale_factor_at_projection_origin"] == 0.994
+    assert crs_from_grid_mapping(attrs) == "EPSG:5041"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "EPSG:5041"
+
+    with pytest.raises(NotImplementedError, match="ambiguous"):
+        resolve_proj4("+proj=stere +lat_0=90 +lat_ts=70 +k=0.97 "
+                      "+datum=WGS84")
+    with pytest.raises(NotImplementedError, match=r"\(0, 1\]"):
+        resolve_proj4("+proj=stere +lat_0=90 +k=1.2 +datum=WGS84")
+
+
+def test_ups_query_grid_edge_margins():
+    """Every cube_reproject_ups target center must map clear of the
+    1-degree source-cell edges — numpy twin of the variant-A
+    inverse.  The 40x40 window spans ~30 deg of lon so the best
+    achievable min margin is ~1e-3 deg; that is still ~1e9 x the
+    cross-engine libm spread."""
+    import numpy as np
+
+    from xcube_spark.operators.resampling.reproject import (
+        _PS_SERIES, _ps_unpack)
+    from xcube_spark.queries.resampling_ops import _UPS
+
+    c = _ps_unpack("EPSG:5041")
+    xs = _UPS.x_start + (np.arange(_UPS.width) + 0.5) * _UPS.x_res
+    ys = _UPS.y_start + (np.arange(_UPS.height) + 0.5) * _UPS.y_res
+    X, Y = np.meshgrid(xs, ys)
+    x = X - c["fe"]
+    y = Y - c["fn"]
+    rho = np.sqrt(x * x + y * y)
+    t = rho * c["Kinv"]
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    phi = chi
+    for j, cj in enumerate(_PS_SERIES, start=1):
+        phi = phi + cj * np.sin(2.0 * j * chi)
+    lat = np.degrees(phi)
+    lon = np.degrees(np.arctan2(x, -y))
+    assert lat.min() > 70.0 and lat.max() < 89.0
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1e-3
+    assert np.minimum(fy, 1 - fy).min() > 1e-3

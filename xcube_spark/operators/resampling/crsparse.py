@@ -259,21 +259,44 @@ def resolve_proj4(text: str) -> str:
                 "stere: the ellipsoidal oblique/equatorial aspect is "
                 "not implemented (use +proj=sterea for the double "
                 "stereographic, or a sphere +R for Snyder ch. 21)")
-        if _num(p, "x_0") or _num(p, "y_0"):
-            raise NotImplementedError(
-                "stere: nonzero +x_0/+y_0 not supported")
         if abs(rf - _WGS84_RF) > 1e-3 or abs(a - 6_378_137.0) > 1e-3:
             raise NotImplementedError(
                 "stere: only the WGS84 ellipsoid is supported")
-        if "lat_ts" not in p or abs(abs(float(p["lat_ts"])) - 90.0) < 1e-9:
+        south = lat0 < 0.0
+        lon0 = _num(p, "lon_0")
+        x0, y0 = _num(p, "x_0"), _num(p, "y_0")
+        lat_ts = abs(float(p["lat_ts"])) if "lat_ts" in p else None
+        if lat_ts is not None and abs(lat_ts - 90.0) < 1e-9:
+            lat_ts = None  # scale stated at the pole -> variant A
+        k0 = _num(p, "k", _num(p, "k_0", 1.0))
+        if lat_ts is None:
+            # EPSG method 9810 variant A (+k_0 at the pole; UPS)
+            if not 0.0 < k0 <= 1.0:
+                raise NotImplementedError(
+                    "stere: +k_0 must be in (0, 1]")
+        elif k0 != 1.0:
             raise NotImplementedError(
-                "stere: requires an explicit standard parallel "
-                "+lat_ts strictly between the pole and the equator "
-                "(the k_0/lat_ts=90 form is not supported)")
-        lat_ts = abs(float(p["lat_ts"]))
-        return _register(
-            R.PS_PARAMS, "stere",
-            (lat0 < 0.0, lat_ts, _num(p, "lon_0")))
+                "stere: +lat_ts together with +k_0 is ambiguous")
+        for code, t in R.PS_PARAMS.items():
+            if not code.startswith("EPSG:"):
+                continue
+            ts_c = t[1]
+            fe_c, fn_c = (t[3], t[4]) if len(t) > 3 else (0.0, 0.0)
+            k_c = t[5] if len(t) > 5 else None
+            if (t[0] == south and t[2] == lon0 and fe_c == x0
+                    and fn_c == y0
+                    and ((ts_c is None and lat_ts is None
+                          and k_c == k0)
+                         or (ts_c is not None
+                             and ts_c == lat_ts))):
+                return code
+        if lat_ts is not None and not x0 and not y0:
+            # the historical 3-tuple key shape (bit-exact constants)
+            return _register(R.PS_PARAMS, "stere",
+                             (south, lat_ts, lon0))
+        return _register(R.PS_PARAMS, "stere",
+                         (south, lat_ts, lon0, x0, y0,
+                          None if lat_ts is not None else k0))
 
     if proj == "merc":
         k = _num(p, "k", _num(p, "k_0", 1.0))
@@ -637,9 +660,8 @@ def crs_from_cf(attrs: Mapping) -> str:
         if sps:
             put("lat_ts", sps[0])
         elif "scale_factor_at_projection_origin" in attrs:
-            raise NotImplementedError(
-                "polar_stereographic: scale_factor form not "
-                "supported; provide standard_parallel")
+            # variant A (+k_0 at the pole — the UPS form)
+            put("k", num("scale_factor_at_projection_origin"))
     elif name == "geostationary":
         if "perspective_point_height" not in attrs:
             raise ValueError(

@@ -810,11 +810,44 @@ _PS_SERIES = (
     4279.0 * _E2 ** 4 / 161280.0,
 )
 
-#: crs -> (south, |lat_ts| deg, lon0 deg)
-PS_PARAMS: dict[str, tuple[bool, float, float]] = {
+#: crs -> (south, |lat_ts| deg, lon0 deg) — EPSG method 9829
+#: (variant B, scale from a standard parallel) on WGS84 with zero
+#: false origin; or the 6-tuple (south, |lat_ts| deg or None,
+#: lon0 deg, fe, fn, k0 or None) where lat_ts None means method
+#: 9810 (variant A, +k_0 scale at the pole — the UPS form).
+PS_PARAMS: dict[str, tuple] = {
     "EPSG:3413": (False, 70.0, -45.0),  # NSIDC North / Greenland
     "EPSG:3031": (True, 71.0, 0.0),     # Antarctic Polar Stereographic
+    "EPSG:3976": (True, 70.0, 0.0),     # NSIDC Sea Ice Polar South
+    "EPSG:3995": (False, 71.0, 0.0),    # Arctic Polar Stereographic
+    # Universal Polar Stereographic (GN7-2 method 9810 worked example)
+    "EPSG:5041": (False, None, 0.0, 2_000_000.0, 2_000_000.0, 0.994),
+    "EPSG:5042": (True, None, 0.0, 2_000_000.0, 2_000_000.0, 0.994),
 }
+
+#: sqrt((1+e)^(1+e) * (1-e)^(1-e)) — the variant-A rho denominator
+#: (EPSG method 9810 / Snyder 21-33 with k0 given at the pole)
+_PS_VARA_C = math.sqrt((1.0 + _E_WGS84) ** (1.0 + _E_WGS84)
+                       * (1.0 - _E_WGS84) ** (1.0 - _E_WGS84))
+
+
+def _ps_unpack(crs: str) -> dict:
+    """Normalize either PS_PARAMS tuple shape to the transform
+    constants; K / Kinv are computed in the exact historical op
+    order for the 3-tuple (variant B) keys so their expressions are
+    bit-identical to rounds 1-7."""
+    t = PS_PARAMS[crs.upper()]
+    south, lat_ts, lon0 = t[0], t[1], t[2]
+    fe, fn = (t[3], t[4]) if len(t) > 3 else (0.0, 0.0)
+    k0 = t[5] if len(t) > 5 else None
+    if lat_ts is not None:
+        m_ts, t_ts = _ps_consts(lat_ts)
+        K = _R * m_ts / t_ts
+        Kinv = t_ts / (_R * m_ts)
+    else:
+        K = 2.0 * _R * k0 / _PS_VARA_C
+        Kinv = _PS_VARA_C / (2.0 * _R * k0)
+    return dict(south=south, lon0=lon0, fe=fe, fn=fn, K=K, Kinv=Kinv)
 
 
 # ---- ellipsoidal Mercator (Snyder 7-7/7-10; EPSG:3395) ------------------
@@ -1308,8 +1341,8 @@ def _ps_consts(lat_ts: float) -> tuple[float, float]:
 
 
 def _lonlat_to_ps_fn(crs: str) -> ColumnTransform:
-    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
-    m_ts, t_ts = _ps_consts(lat_ts)
+    c = _ps_unpack(crs)
+    south, lon0 = c["south"], c["lon0"]
 
     def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
         lam = F.radians(lon - F.lit(lon0))
@@ -1318,27 +1351,38 @@ def _lonlat_to_ps_fn(crs: str) -> ColumnTransform:
         t = F.tan(F.lit(math.pi / 4.0) - phi / 2) * F.pow(
             (F.lit(1.0) + s) / (F.lit(1.0) - s), F.lit(_E_WGS84 / 2.0)
         )
-        rho = F.lit(_R * m_ts / t_ts) * t
+        rho = F.lit(c["K"]) * t
         # north: pole at origin, y negative along lon0 (Snyder 21-30/31)
         # south aspect: y positive along lon0 (Snyder 21-26/27 mirrored)
-        if south:
-            return rho * F.sin(lam), rho * F.cos(lam)
-        return rho * F.sin(lam), rho * F.cos(lam) * F.lit(-1.0)
+        xo = rho * F.sin(lam)
+        yo = rho * F.cos(lam) if south \
+            else rho * F.cos(lam) * F.lit(-1.0)
+        # false origin only when nonzero: 3-tuple keys keep their
+        # historical expression tree bit-exactly
+        if c["fe"]:
+            xo = F.lit(c["fe"]) + xo
+        if c["fn"]:
+            yo = F.lit(c["fn"]) + yo
+        return xo, yo
 
     return fwd
 
 
 def _ps_to_lonlat_fn(crs: str) -> ColumnTransform:
-    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
-    m_ts, t_ts = _ps_consts(lat_ts)
+    c = _ps_unpack(crs)
+    south, lon0 = c["south"], c["lon0"]
 
     def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        if c["fe"]:
+            x = x - F.lit(c["fe"])
+        if c["fn"]:
+            y = y - F.lit(c["fn"])
         rho = F.sqrt(x * x + y * y)
-        t = rho * F.lit(t_ts / (_R * m_ts))
+        t = rho * F.lit(c["Kinv"])
         chi = F.lit(math.pi / 2.0) - 2 * F.atan(t)
         phi = chi
-        for j, c in enumerate(_PS_SERIES, start=1):
-            phi = phi + F.lit(c) * F.sin(F.lit(2.0 * j) * chi)
+        for j, cj in enumerate(_PS_SERIES, start=1):
+            phi = phi + F.lit(cj) * F.sin(F.lit(2.0 * j) * chi)
         lam = F.atan2(x, y if south else y * F.lit(-1.0))
         lat = F.degrees(phi)
         return (
@@ -1352,16 +1396,20 @@ def _ps_to_lonlat_fn(crs: str) -> ColumnTransform:
 def ps_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     """The SAME polar-stereographic inverse as SQL strings (for DuckDB
     oracles).  Returns (lon_sql, lat_sql)."""
-    south, lat_ts, lon0 = PS_PARAMS[crs.upper()]
-    m_ts, t_ts = _ps_consts(lat_ts)
+    c = _ps_unpack(crs)
+    south, lon0 = c["south"], c["lon0"]
     x = f"({x_expr})"
     y = f"({y_expr})"
+    if c["fe"]:
+        x = f"({x} - {c['fe']!r})"
+    if c["fn"]:
+        y = f"({y} - {c['fn']!r})"
     rho = f"sqrt({x} * {x} + {y} * {y})"
-    t = f"({rho} * {t_ts / (_R * m_ts)!r})"
+    t = f"({rho} * {c['Kinv']!r})"
     chi = f"({math.pi / 2.0!r} - 2 * atan({t}))"
     phi = chi
-    for j, c in enumerate(_PS_SERIES, start=1):
-        phi = f"({phi} + {c!r} * sin(2.0 * {j} * ({chi})))"
+    for j, cj in enumerate(_PS_SERIES, start=1):
+        phi = f"({phi} + {cj!r} * sin(2.0 * {j} * ({chi})))"
     lam = f"atan2({x}, {y if south else f'({y} * -1.0)'})"
     lat = f"degrees({phi})"
     return (

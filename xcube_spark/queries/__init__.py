@@ -95,6 +95,7 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "cube_reproject_ups",
     "cube_reproject_brazil_poly",
     "cube_reproject_trinidad",
     "cube_reproject_eqearth",

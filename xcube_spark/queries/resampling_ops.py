@@ -1169,6 +1169,63 @@ def cube_reproject_ease2(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: Universal Polar Stereographic North (EPSG:5041) --------
+
+#: UPS North window over the East Siberian shelf (lat 77-83N, lon
+#: 114-145E) with off-round origin/steps: every re-projected center
+#: stays >= 1.1e-3 deg from any 1-degree source-cell edge (margin
+#: asserted in tests/test_crsparse.py) — vastly above the ~1e-12 deg
+#: cross-engine libm spread
+_UPS = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=2_630_638.0, y_start=2_464_090.0,
+                x_res=10_961.0, y_res=11_419.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:5041")
+
+_UPS_LON, _UPS_LAT = ps_inverse_sql(
+    "(2630638.0 + (x_i + 0.5) * 10961.0)",
+    "(2464090.0 + (y_i + 0.5) * 11419.0)", crs="EPSG:5041")
+
+
+@query(
+    "cube_reproject_ups",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_UPS.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_UPS_LON} AS lon,
+                   {_UPS_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_ups(spark, sf_dir):
+    """reproject_dataset onto the Universal Polar Stereographic
+    North grid (EPSG:5041) — EPSG method 9810 variant A (+k_0 =
+    0.994 at the pole, FE = FN = 2,000,000), the polar companion of
+    UTM which the reference reaches through pyproj
+    (core/gridmapping/transform.py).  Forward reproduces the EPSG
+    GN7-2 worked example to the published 0.01 m (control-point
+    fixture); the oracle states the identical inverse (variant-A
+    rho scaling + the Snyder 3-5 chi->phi series) in SQL
+    (ps_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _UPS)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- reproject: azimuthal equidistant local grid ------------------------
 
 from xcube_spark.operators.resampling.reproject import aeqd_inverse_sql

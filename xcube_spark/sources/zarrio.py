@@ -468,14 +468,20 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "false_easting": fe, "false_northing": fn,
                 **_WGS84_ELLIPSOID}
     if code in R.PS_PARAMS:
-        south, lat_ts, lon0 = R.PS_PARAMS[code]
-        return {"grid_mapping_name": "polar_stereographic",
-                "latitude_of_projection_origin":
-                    -90.0 if south else 90.0,
-                "straight_vertical_longitude_from_pole": lon0,
-                "standard_parallel": -lat_ts if south else lat_ts,
-                "false_easting": 0.0, "false_northing": 0.0,
-                **_WGS84_ELLIPSOID}
+        t = R.PS_PARAMS[code]
+        south, lat_ts, lon0 = t[0], t[1], t[2]
+        fe, fn = (t[3], t[4]) if len(t) > 3 else (0.0, 0.0)
+        out = {"grid_mapping_name": "polar_stereographic",
+               "latitude_of_projection_origin":
+                   -90.0 if south else 90.0,
+               "straight_vertical_longitude_from_pole": lon0,
+               "false_easting": fe, "false_northing": fn,
+               **_WGS84_ELLIPSOID}
+        if lat_ts is None:  # variant A (+k_0 at the pole — UPS)
+            out["scale_factor_at_projection_origin"] = t[5]
+        else:
+            out["standard_parallel"] = -lat_ts if south else lat_ts
+        return out
     if code in R.GEOS_PARAMS:
         h, lon0, sweep_x, a, rf = R.GEOS_PARAMS[code]
         out = {"grid_mapping_name": "geostationary",
