@@ -352,6 +352,26 @@ def resolve_proj4(text: str) -> str:
         R.MOLL_PARAMS[key] = a
         return key
 
+    if proj in ("eck4", "mill", "vandg"):
+        # the spherical world/atlas projections (ESRI:54012 Eckert
+        # IV, 54003 Miller, 54029 Van der Grinten I) — same contract
+        # as moll: sphere on +R/+a, no offsets
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                f"{proj}: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError(
+                f"{proj}: spherical only (+R/+a)")
+        table = {"eck4": R.ECK4_PARAMS, "mill": R.MILL_PARAMS,
+                 "vandg": R.VANDG_PARAMS}[proj]
+        esri = {"eck4": "ESRI:54012", "mill": "ESRI:54003",
+                "vandg": "ESRI:54029"}[proj]
+        if a == table[esri]:
+            return esri
+        key = f"PROJ:{proj.upper()}:{a!r}".upper()
+        table[key] = a
+        return key
+
     if proj == "geos":
         if "h" not in p:
             raise ValueError("geos requires +h (satellite height)")
@@ -566,8 +586,8 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, ob_tran[longlat], cea, aeqd[sph], ortho[sph], "
-        "eqc, omerc)")
+        "sinu, moll, eck4, mill, vandg, ob_tran[longlat], cea, "
+        "aeqd[sph], ortho[sph], eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -690,6 +710,16 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "mollweide: nonzero longitude_of_projection_origin "
                 "not supported")
         p["proj"] = "moll"
+    elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten"):
+        # our writer's CF extension for the spherical world/atlas
+        # projections (no CF appendix entry, like mollweide above)
+        if num("longitude_of_projection_origin"):
+            raise NotImplementedError(
+                f"{name}: nonzero longitude_of_projection_origin "
+                "not supported")
+        p["proj"] = {"eckert_iv": "eck4",
+                     "miller_cylindrical": "mill",
+                     "van_der_grinten": "vandg"}[name]
     elif name in ("azimuthal_equidistant", "orthographic"):
         p["proj"] = "aeqd" if name == "azimuthal_equidistant" else "ortho"
         put("lat_0", num("latitude_of_projection_origin"))

@@ -3728,6 +3728,334 @@ def moll_inverse_sql(x_expr: str, y_expr: str, crs: str) \
     return lon, phi
 
 
+# ---- Eckert IV (World_Eckert_IV, ESRI:54012) --------------------------
+#
+# Equal-area pseudocylindrical world CRS (Snyder, An Album of Map
+# Projections p. 60 / PROJ eck4): solve ``t + sin t cos t + 2 sin t
+# = (2 + pi/2) sin(phi)`` for the auxiliary angle, then
+# ``x = Cx R lam (1 + cos t)``, ``y = Cy R sin t``.  Spherical on
+# the WGS84 semimajor (proj +proj=eck4 +ellps=WGS84 convention, as
+# with Mollweide above).  The pole line is half the equator length
+# and the map is equal-area (both pinned by tests).
+
+ECK4_PARAMS: dict[str, float] = {
+    "ESRI:54012": _R,
+}
+_ECK4_CX = 2.0 / math.sqrt(math.pi * (4.0 + math.pi))
+_ECK4_CY = 2.0 * math.sqrt(math.pi / (4.0 + math.pi))
+_ECK4_CP = 2.0 + math.pi / 2.0
+
+
+class _Eck4Forward:
+    """lon/lat -> Eckert IV; the Newton solve for t is staged as
+    materialized columns (apply_df), mirroring _MollForward."""
+
+    def __init__(self, crs: str, iterations: int = 10):
+        self.r = ECK4_PARAMS[crs.upper()]
+        self.iterations = iterations
+
+    def _step(self, t: Column, sinphi: Column) -> Column:
+        # Newton on f(t) = t + sin t cos t + 2 sin t - Cp sin phi;
+        # f'(t) = 2 cos t (1 + cos t) vanishes at the poles where
+        # t = phi is already the solution
+        num = t + F.sin(t) * F.cos(t) + F.lit(2.0) * F.sin(t) \
+            - F.lit(_ECK4_CP) * sinphi
+        den = F.lit(2.0) * F.cos(t) * (F.lit(1.0) + F.cos(t))
+        return F.when(F.abs(den) < 1e-12, t).otherwise(t - num / den)
+
+    def _xy(self, lon: Column, t: Column) -> tuple[Column, Column]:
+        x = F.lit(_ECK4_CX * self.r) * F.radians(lon) \
+            * (F.lit(1.0) + F.cos(t))
+        y = F.lit(_ECK4_CY * self.r) * F.sin(t)
+        return x, y
+
+    def __call__(self, lon: Column, lat: Column) -> tuple[Column, Column]:
+        t = F.radians(lat)
+        sinphi = F.sin(F.radians(lat))
+        for _ in range(self.iterations):
+            t = self._step(t, sinphi)
+        return self._xy(lon, t)
+
+    def apply_df(self, df, x_expr: Column, y_expr: Column,
+                 out_x: str, out_y: str):
+        df = df.withColumns({
+            "__e4_lam": x_expr,
+            "__e4_sph": F.sin(F.radians(y_expr)),
+            "__e4_t": F.radians(y_expr),
+        })
+        for _ in range(self.iterations):
+            df = df.withColumn(
+                "__e4_t", self._step(F.col("__e4_t"), F.col("__e4_sph")))
+        x, y = self._xy(F.col("__e4_lam"), F.col("__e4_t"))
+        return df.withColumns({out_x: x, out_y: y}) \
+            .drop("__e4_lam", "__e4_sph", "__e4_t")
+
+
+def _eck4_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r = ECK4_PARAMS[crs.upper()]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        t = F.asin(y / F.lit(_ECK4_CY * r))
+        phi = F.asin(
+            (t + F.sin(t) * F.cos(t) + F.lit(2.0) * F.sin(t))
+            / F.lit(_ECK4_CP))
+        lon = F.degrees(
+            x / (F.lit(_ECK4_CX * r) * (F.lit(1.0) + F.cos(t))))
+        return lon, F.degrees(phi)
+
+    return inv
+
+
+def eck4_inverse_sql(x_expr: str, y_expr: str, crs: str) \
+        -> tuple[str, str]:
+    """The SAME Eckert-IV inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_eck4_to_lonlat_fn`."""
+    r = ECK4_PARAMS[crs.upper()]
+    t = f"asin(CAST({y_expr} AS DOUBLE) / {_ECK4_CY * r!r})"
+    phi = (f"degrees(asin(({t} + sin({t}) * cos({t})"
+           f" + 2.0 * sin({t})) / {_ECK4_CP!r}))")
+    lon = (f"degrees(CAST({x_expr} AS DOUBLE) / ({_ECK4_CX * r!r}"
+           f" * (1.0 + cos({t}))))")
+    return lon, phi
+
+
+# ---- Miller cylindrical (World_Miller_Cylindrical, ESRI:54003) --------
+#
+# Snyder 1987 ch. 11 (eqs. 11-1..11-7): ``x = R lam``,
+# ``y = 1.25 R ln tan(pi/4 + 0.4 phi)`` — a Mercator compressed by
+# 0.8 in latitude, so y_mill(phi) = 1.25 * y_merc(0.8 phi), an exact
+# identity tests pin against the web-mercator family.  Closed form
+# both directions; spherical on the WGS84 semimajor.
+
+MILL_PARAMS: dict[str, float] = {
+    "ESRI:54003": _R,
+}
+
+
+def _lonlat_to_mill_fn(crs: str) -> ColumnTransform:
+    r = MILL_PARAMS[crs.upper()]
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        x = F.lit(r) * F.radians(lon)
+        y = F.lit(1.25 * r) * F.log(
+            F.tan(F.lit(math.pi / 4.0)
+                  + F.lit(0.4) * F.radians(lat)))
+        return x, y
+
+    return fwd
+
+
+def _mill_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r = MILL_PARAMS[crs.upper()]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        lat = F.degrees(F.lit(2.5) * (
+            F.atan(F.exp(F.lit(0.8) * y / F.lit(r)))
+            - F.lit(math.pi / 4.0)))
+        lon = F.degrees(x / F.lit(r))
+        return lon, lat
+
+    return inv
+
+
+def mill_inverse_sql(x_expr: str, y_expr: str, crs: str) \
+        -> tuple[str, str]:
+    """The SAME Miller inverse as SQL strings (for DuckDB oracles)."""
+    r = MILL_PARAMS[crs.upper()]
+    lat = (f"degrees(2.5 * (atan(exp(0.8 * CAST({y_expr} AS DOUBLE)"
+           f" / {r!r})) - {math.pi / 4.0!r}))")
+    lon = f"degrees(CAST({x_expr} AS DOUBLE) / {r!r})"
+    return lon, lat
+
+
+# ---- Van der Grinten I (World_Van_der_Grinten_I, ESRI:54029) ----------
+#
+# The world-in-a-circle atlas projection, Snyder 1987 ch. 33:
+# forward eqs. 33-1..33-13 (circular-arc construction), inverse
+# 33-14..33-23 (the trigonometric cubic root).  Closed form both
+# directions; spherical on the WGS84 semimajor.  The equator maps
+# linearly (x = R lam) and the world boundary is the circle of
+# radius pi R (both pinned by tests).
+
+VANDG_PARAMS: dict[str, float] = {
+    "ESRI:54029": _R,
+}
+
+
+def _lonlat_to_vandg_fn(crs: str) -> "StagedTransform":
+    r = VANDG_PARAMS[crs.upper()]
+    pr = math.pi * r
+
+    stages: list[dict] = [
+        {"__lam": lambda env: F.radians(env["__in_x"]),
+         "__phi": lambda env: F.radians(env["__in_y"])},
+        # theta = asin|2 phi / pi| (33-6); A (33-2); sign carriers
+        {"__th": lambda env: F.asin(
+            F.abs(F.lit(2.0) * env["__phi"] / F.lit(math.pi))),
+         "__A": lambda env: F.lit(0.5) * F.abs(
+             F.lit(math.pi) / env["__lam"]
+             - env["__lam"] / F.lit(math.pi)),
+         "__sx": lambda env: F.signum(env["__lam"]),
+         "__sy": lambda env: F.signum(env["__phi"])},
+        # G (33-3), P (33-4) — guarded at phi = 0 where the general
+        # form degenerates (the equator maps linearly, 33-9)
+        {"__G": lambda env: F.cos(env["__th"]) / (
+            F.sin(env["__th"]) + F.cos(env["__th"]) - F.lit(1.0)),
+         },
+        {"__P": lambda env: env["__G"] * (
+            F.lit(2.0) / F.sin(env["__th"]) - F.lit(1.0))},
+        {"__Q": lambda env: env["__A"] * env["__A"] + env["__G"],
+         "__P2": lambda env: env["__P"] * env["__P"],
+         "__A2": lambda env: env["__A"] * env["__A"]},
+        # x (33-7), y (33-8) with the equator / central-meridian /
+        # pole special cases (33-9..33-13)
+        {"__out_x": lambda env: F.when(
+            F.abs(env["__phi"]) < F.lit(1e-12),
+            F.lit(r) * env["__lam"]
+        ).when(
+            F.abs(env["__lam"]) < F.lit(1e-12), F.lit(0.0)
+        ).otherwise(
+            env["__sx"] * F.lit(pr) * (
+                env["__A"] * (env["__G"] - env["__P2"]) + F.sqrt(
+                    env["__A2"]
+                    * (env["__G"] - env["__P2"])
+                    * (env["__G"] - env["__P2"])
+                    - (env["__P2"] + env["__A2"])
+                    * (env["__G"] * env["__G"] - env["__P2"]))
+            ) / (env["__P2"] + env["__A2"])),
+         "__out_y": lambda env: F.when(
+            F.abs(env["__phi"]) < F.lit(1e-12), F.lit(0.0)
+         ).when(
+            F.abs(env["__lam"]) < F.lit(1e-12),
+            env["__sy"] * F.lit(pr)
+            * F.tan(env["__th"] / F.lit(2.0))
+         ).otherwise(
+            env["__sy"] * F.lit(pr) * (
+                env["__P"] * env["__Q"] - env["__A"] * F.sqrt(
+                    (env["__A2"] + F.lit(1.0))
+                    * (env["__P2"] + env["__A2"])
+                    - env["__Q"] * env["__Q"])
+            ) / (env["__P2"] + env["__A2"]))},
+    ]
+    return StagedTransform(stages)
+
+
+def _vandg_to_lonlat_fn(crs: str) -> "StagedTransform":
+    r = VANDG_PARAMS[crs.upper()]
+    pr = math.pi * r
+
+    stages: list[dict] = [
+        {"__X": lambda env: env["__in_x"] / F.lit(pr),
+         "__Y": lambda env: env["__in_y"] / F.lit(pr)},
+        {"__X2": lambda env: env["__X"] * env["__X"],
+         "__Y2": lambda env: env["__Y"] * env["__Y"]},
+        # c1..c3 (33-16..33-18)
+        {"__c1": lambda env: F.lit(-1.0) * F.abs(env["__Y"]) * (
+            F.lit(1.0) + env["__X2"] + env["__Y2"])},
+        {"__c2": lambda env: env["__c1"] - F.lit(2.0) * env["__Y2"]
+            + env["__X2"]},
+        {"__c3": lambda env: F.lit(-2.0) * env["__c1"] + F.lit(1.0)
+            + F.lit(2.0) * env["__Y2"]
+            + (env["__X2"] + env["__Y2"])
+            * (env["__X2"] + env["__Y2"])},
+        # d (33-19), a1 (33-20), m1 (33-21), theta1 (33-22)
+        {"__d": lambda env: env["__Y2"] / env["__c3"] + (
+            F.lit(2.0) * env["__c2"] * env["__c2"] * env["__c2"]
+            / (env["__c3"] * env["__c3"] * env["__c3"])
+            - F.lit(9.0) * env["__c1"] * env["__c2"]
+            / (env["__c3"] * env["__c3"])) / F.lit(27.0),
+         "__a1": lambda env: (env["__c1"] - env["__c2"] * env["__c2"]
+                              / (F.lit(3.0) * env["__c3"]))
+            / env["__c3"]},
+        {"__m1": lambda env: F.lit(2.0) * F.sqrt(
+            F.lit(-1.0) * env["__a1"] / F.lit(3.0))},
+        {"__t1": lambda env: F.acos(
+            F.lit(3.0) * env["__d"]
+            / (env["__a1"] * env["__m1"])) / F.lit(3.0)},
+        # phi (33-23) guarded at Y = 0; lam (33-15) guarded at X = 0
+        {"__out_y": lambda env: F.when(
+            F.abs(env["__Y"]) < F.lit(1e-12), F.lit(0.0)
+        ).otherwise(F.degrees(
+            F.signum(env["__Y"]) * F.lit(math.pi) * (
+                F.lit(-1.0) * env["__m1"] * F.cos(
+                    env["__t1"] + F.lit(math.pi / 3.0))
+                - env["__c2"] / (F.lit(3.0) * env["__c3"])))),
+         "__out_x": lambda env: F.when(
+            F.abs(env["__X"]) < F.lit(1e-12), F.lit(0.0)
+         ).otherwise(F.degrees(
+            F.lit(math.pi) * (
+                env["__X2"] + env["__Y2"] - F.lit(1.0) + F.sqrt(
+                    F.lit(1.0)
+                    + F.lit(2.0) * (env["__X2"] - env["__Y2"])
+                    + (env["__X2"] + env["__Y2"])
+                    * (env["__X2"] + env["__Y2"])))
+            / (F.lit(2.0) * env["__X"])))},
+    ]
+    return StagedTransform(stages)
+
+
+def vandg_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                           src: str = "tgt") -> str:
+    """The SAME Van der Grinten inverse as a chain of CTEs over
+    ``src`` (for DuckDB oracles) — identical arithmetic to
+    :func:`_vandg_to_lonlat_fn`.  Emits CTEs ``vg1..`` and finally
+    ``vandg_ll`` = ``src`` columns + ``lon``/``lat``."""
+    r = VANDG_PARAMS[crs.upper()]
+    pr = math.pi * r
+    return f"""vg1 AS (
+            SELECT *, (({x_expr}) / {pr!r}) AS __X,
+                   (({y_expr}) / {pr!r}) AS __Y
+            FROM {src}
+        ), vg2 AS (
+            SELECT *, (__X * __X) AS __X2, (__Y * __Y) AS __Y2
+            FROM vg1
+        ), vg3 AS (
+            SELECT *, (-1.0 * abs(__Y)
+                       * (1.0 + __X2 + __Y2)) AS __c1
+            FROM vg2
+        ), vg4 AS (
+            SELECT *, (__c1 - 2.0 * __Y2 + __X2) AS __c2
+            FROM vg3
+        ), vg5 AS (
+            SELECT *, (-2.0 * __c1 + 1.0 + 2.0 * __Y2
+                       + (__X2 + __Y2) * (__X2 + __Y2)) AS __c3
+            FROM vg4
+        ), vg6 AS (
+            SELECT *,
+                   (__Y2 / __c3 + (2.0 * __c2 * __c2 * __c2
+                                   / (__c3 * __c3 * __c3)
+                                   - 9.0 * __c1 * __c2
+                                   / (__c3 * __c3)) / 27.0) AS __d,
+                   ((__c1 - __c2 * __c2 / (3.0 * __c3))
+                    / __c3) AS __a1
+            FROM vg5
+        ), vg7 AS (
+            SELECT *, (2.0 * sqrt(-1.0 * __a1 / 3.0)) AS __m1
+            FROM vg6
+        ), vg8 AS (
+            SELECT *, (acos(3.0 * __d / (__a1 * __m1))
+                       / 3.0) AS __t1
+            FROM vg7
+        ), vandg_ll AS (
+            SELECT * EXCLUDE (__X, __Y, __X2, __Y2, __c1, __c2,
+                              __c3, __d, __a1, __m1, __t1),
+                   CASE WHEN abs(__X) < 1e-12 THEN 0.0
+                        ELSE degrees({math.pi!r} * (
+                            __X2 + __Y2 - 1.0 + sqrt(
+                                1.0 + 2.0 * (__X2 - __Y2)
+                                + (__X2 + __Y2) * (__X2 + __Y2)))
+                            / (2.0 * __X))
+                   END AS lon,
+                   CASE WHEN abs(__Y) < 1e-12 THEN 0.0
+                        ELSE degrees(sign(__Y) * {math.pi!r} * (
+                            -1.0 * __m1 * cos(__t1
+                                + {math.pi / 3.0!r})
+                            - __c2 / (3.0 * __c3)))
+                   END AS lat
+            FROM vg8
+        )"""
+
+
 # ---- sinusoidal (MODIS grid, ESRI:54008) ------------------------------
 #
 # The MODIS land-product tiling CRS: spherical sinusoidal on the
@@ -3828,6 +4156,12 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _sinu_to_lonlat_fn(up)
     if up in MOLL_PARAMS:
         return _moll_to_lonlat_fn(up)
+    if up in ECK4_PARAMS:
+        return _eck4_to_lonlat_fn(up)
+    if up in MILL_PARAMS:
+        return _mill_to_lonlat_fn(up)
+    if up in VANDG_PARAMS:
+        return _vandg_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
     if up in TM_PARAMS:
@@ -3889,6 +4223,12 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_sinu_fn(up)
     if up in MOLL_PARAMS:
         return _MollForward(up)
+    if up in ECK4_PARAMS:
+        return _Eck4Forward(up)
+    if up in MILL_PARAMS:
+        return _lonlat_to_mill_fn(up)
+    if up in VANDG_PARAMS:
+        return _lonlat_to_vandg_fn(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
     if up in TM_PARAMS:

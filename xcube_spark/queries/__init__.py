@@ -95,6 +95,9 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "cube_reproject_eck4",
+    "cube_reproject_miller",
+    "cube_reproject_vandg",
     "cube_reproject_ups",
     "cube_reproject_brazil_poly",
     "cube_reproject_trinidad",

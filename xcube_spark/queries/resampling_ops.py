@@ -1516,3 +1516,172 @@ def cube_reproject_mollweide(spark, sf_dir):
     gather index."""
     out = reproject_dataset(_cube_a(spark), GRID, _MOLL)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: World Eckert IV (ESRI:54012) ---------------------------
+
+from xcube_spark.operators.resampling.reproject import eck4_inverse_sql
+
+#: mid-latitude Eckert-IV window (inscribed in the map outline) with
+#: off-round origin/steps: every re-projected center stays >= 2.3e-3
+#: deg from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_ECK4G = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-10_985_858.0, y_start=-4_993_181.0,
+                  x_res=551_237.0, y_res=251_111.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs="ESRI:54012")
+
+_ECK4_LON, _ECK4_LAT = eck4_inverse_sql(
+    "(CAST(-10985858.0 AS DOUBLE) + (x_i + 0.5) * CAST(551237.0 AS DOUBLE))",
+    "(CAST(-4993181.0 AS DOUBLE) + (y_i + 0.5) * CAST(251111.0 AS DOUBLE))",
+    crs="ESRI:54012")
+
+
+@query(
+    "cube_reproject_eck4",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_ECK4G.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_ECK4_LON} AS lon,
+                   {_ECK4_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_eck4(spark, sf_dir):
+    """reproject_dataset onto a World-Eckert-IV grid (ESRI:54012) —
+    the equal-area atlas pseudocylindrical, reached through pyproj in
+    the reference (core/gridmapping/transform.py).  The closed-form
+    inverse (asin of the auxiliary angle, Album of Map Projections
+    p. 60) is Column math inside codegen; the oracle states the
+    identical inverse in SQL (eck4_inverse_sql, same op order).  The
+    forward Newton solve (_Eck4Forward) is exercised by the
+    roundtrip + equal-area unit tests; anchors: the published
+    ESRI:54012 projected extent (+-16921202.92 x +-8460601.46 m)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _ECK4G)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: World Miller cylindrical (ESRI:54003) ------------------
+
+from xcube_spark.operators.resampling.reproject import mill_inverse_sql
+
+#: wide Miller window with off-round origin/steps: margin >= 6.9e-2
+#: deg (Miller is cylindrical, so lon margins are exact by
+#: construction and only lat needs the guard)
+_MILLG = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-14_996_776.0, y_start=-8_980_545.0,
+                  x_res=751_237.0, y_res=451_111.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs="ESRI:54003")
+
+_MILL_LON, _MILL_LAT = mill_inverse_sql(
+    "(CAST(-14996776.0 AS DOUBLE) + (x_i + 0.5) * CAST(751237.0 AS DOUBLE))",
+    "(CAST(-8980545.0 AS DOUBLE) + (y_i + 0.5) * CAST(451111.0 AS DOUBLE))",
+    crs="ESRI:54003")
+
+
+@query(
+    "cube_reproject_miller",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_MILLG.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_MILL_LON} AS lon,
+                   {_MILL_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_miller(spark, sf_dir):
+    """reproject_dataset onto a World-Miller-cylindrical grid
+    (ESRI:54003) — Snyder 1987 ch. 11 closed form both directions
+    (y = 1.25 R ln tan(pi/4 + 0.4 phi)), reached through pyproj in
+    the reference.  Both engines state the identical inverse
+    (mill_inverse_sql); anchored on Snyder's published numerical
+    example (p. 287, scaled to the WGS84 sphere) and the 1.25 x
+    compressed-Mercator identity asserted in tests."""
+    out = reproject_dataset(_cube_a(spark), GRID, _MILLG)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: World Van der Grinten I (ESRI:54029) -------------------
+
+from xcube_spark.operators.resampling.reproject import (
+    vandg_inverse_sql_ctes,
+)
+
+#: Van der Grinten window inside the boundary circle, clear of the
+#: equator/central-meridian special-case guards (|X|,|Y| >> 1e-12);
+#: margin >= 1.5e-3 deg (asserted in tests/test_crsparse.py)
+_VANDGG = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=-8_995_751.0, y_start=-8_008_684.0,
+                   x_res=451_237.0, y_res=401_111.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs="ESRI:54029")
+
+_VANDG_CTES = vandg_inverse_sql_ctes(
+    "(CAST(-8995751.0 AS DOUBLE) + (x_i + 0.5) * CAST(451237.0 AS DOUBLE))",
+    "(CAST(-8008684.0 AS DOUBLE) + (y_i + 0.5) * CAST(401111.0 AS DOUBLE))",
+    "ESRI:54029")
+
+
+@query(
+    "cube_reproject_vandg",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_VANDGG.size})
+        ), {_VANDG_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM vandg_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_vandg(spark, sf_dir):
+    """reproject_dataset onto a World-Van-der-Grinten-I grid
+    (ESRI:54029) — the world-in-a-circle atlas projection (Snyder
+    1987 ch. 33), reached through pyproj in the reference.  The
+    inverse is the trigonometric cubic root (33-14..33-23), staged
+    as materialized Columns; the oracle states the identical
+    arithmetic as a CTE chain (vandg_inverse_sql_ctes, same op
+    order).  Anchors: equator maps linearly (x = R lam), poles at
+    (0, +-pi R), world boundary = circle of radius pi R."""
+    out = reproject_dataset(_cube_a(spark), GRID, _VANDGG)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))

@@ -646,6 +646,17 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                 "longitude_of_projection_origin": 0.0,
                 "false_easting": 0.0, "false_northing": 0.0,
                 "earth_radius": R.MOLL_PARAMS[code]}
+    # the spherical world/atlas projections: not in the CF appendix,
+    # so (like pyproj's sinusoidal/mollweide extensions) the writer
+    # uses the descriptive method name + earth_radius
+    for name, table in (("eckert_iv", R.ECK4_PARAMS),
+                        ("miller_cylindrical", R.MILL_PARAMS),
+                        ("van_der_grinten", R.VANDG_PARAMS)):
+        if code in table:
+            return {"grid_mapping_name": name,
+                    "longitude_of_projection_origin": 0.0,
+                    "false_easting": 0.0, "false_northing": 0.0,
+                    "earth_radius": table[code]}
     return None
 
 
