@@ -1,0 +1,127 @@
+"""Sketch operators (pipeline/sketches.py): HLL accuracy + register
+determinism, Bloom superset-of-exact + false-positive bound, A-ES
+sample weight-monotonicity, and the plan shapes the module's 100 TB
+claims rest on (no gram join in the bloom probe, TakeOrderedAndProject
+for the sample)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+from xcube_spark.pipeline.curation import decontaminate
+from xcube_spark.pipeline.sketches import (
+    bloom_decontaminate,
+    bloom_filter_build,
+    hll_cardinality,
+    weighted_sample,
+)
+
+
+def test_hll_estimate_tracks_exact_distinct(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    exact = docs.select("text").distinct().count()
+    row = hll_cardinality(docs, "text", p=8).collect()[0]
+    assert row.m == 256
+    # m = 256 -> ~6.5% standard error; 3 sigma
+    assert abs(row.estimate - exact) / exact < 0.2, (row, exact)
+    # repartitioning must not change a single register (integer
+    # accumulation + max are order-free)
+    row2 = hll_cardinality(docs.repartition(7), "text", p=8).collect()[0]
+    assert (row.estimate, row.raw_estimate, row.n_zero_registers) == \
+        (row2.estimate, row2.raw_estimate, row2.n_zero_registers)
+
+
+def test_hll_linear_counting_branch(spark):
+    # 20 distinct values in 256 registers -> raw <= 2.5 m and V > 0,
+    # so the linear-counting branch fires and is near-exact
+    df = spark.range(20).select(F.col("id").cast("string").alias("v"))
+    row = hll_cardinality(df, "v", p=8).collect()[0]
+    assert row.n_zero_registers >= 236
+    assert abs(row.estimate - 20) < 2.0
+
+
+def test_hll_rejects_bad_p(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("v"))
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "v", p=7)
+    with pytest.raises(ValueError):
+        hll_cardinality(df, "v", p=20)
+
+
+def test_bloom_superset_of_exact_and_fp_bound(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    exact = {r.doc_id: r.n_hits
+             for r in decontaminate(docs, bench, n=3).collect()}
+    bloom = {r.doc_id: r.n_hits
+             for r in bloom_decontaminate(docs, bench, n=3).collect()}
+    assert set(exact) == set(bloom)
+    # no false negatives, ever
+    for d, n in exact.items():
+        assert bloom[d] >= n, d
+    # false positives bounded: total spurious hits stay well under
+    # the theoretical per-gram rate times the gram count
+    n_grams = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("t"))
+        .count()
+    )
+    spurious = sum(bloom[d] - exact[d] for d in exact)
+    assert spurious <= max(20, 0.02 * n_grams), (spurious, n_grams)
+
+
+def test_bloom_bitmap_shape(spark):
+    grams = spark.createDataFrame(
+        [("a b c",), ("d e f",)], "ngram string")
+    row = bloom_filter_build(grams, m_bits=1 << 10, k=3).collect()[0]
+    assert len(row.bloom) == (1 << 10) // 64
+    set_bits = sum(bin(w & ((1 << 64) - 1)).count("1")
+                   for w in row.bloom)
+    assert 1 <= set_bits <= 6  # k = 3 positions per gram, 2 grams
+    with pytest.raises(ValueError):
+        bloom_filter_build(grams, m_bits=1000)
+
+
+def test_bloom_probe_plan_has_no_gram_join(spark, sf_dir):
+    """The 100 TB contract: the corpus probe must be a broadcast of
+    the ONE-row bitmap (BroadcastNestedLoopJoin), never a
+    SortMergeJoin / shuffled hash join on gram strings."""
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    plan = bloom_decontaminate(docs, bench, n=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    head, _, probe_side = plan.partition("BroadcastNestedLoopJoin")
+    # the final doc_id left join (against the corpus ids) may sort-
+    # merge; the GRAM probe below the broadcast must not
+    assert "SortMergeJoin" not in probe_side.split(
+        "BroadcastExchange")[0]
+
+
+def test_weighted_sample_deterministic_and_monotone(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")) + F.lit(1)
+    a = weighted_sample(docs, w, k=25).collect()
+    b = weighted_sample(docs.repartition(5), w, k=25).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]
+    # a different seed draws a different sample
+    c = weighted_sample(docs, w, k=25, seed="s1").collect()
+    assert {r.doc_id for r in c} != {r.doc_id for r in a}
+    # weight-monotone in expectation: the sampled docs' mean weight
+    # exceeds the corpus mean (A-ES favors heavy rows)
+    mean_all = docs.select(F.avg(w.cast("double"))).collect()[0][0]
+    mean_sample = sum(r.weight for r in a) / len(a)
+    assert mean_sample > mean_all
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")) + F.lit(1)
+    plan = weighted_sample(docs, w, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

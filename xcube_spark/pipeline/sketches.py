@@ -1,0 +1,363 @@
+"""Sketch-based corpus statistics: HyperLogLog cardinality, Bloom
+decontamination, weighted reservoir sampling (SURVEY LLM-pipeline
+family; the reference's curation analogues live in its dataset tooling
+rather than the cube core, so these are additive scale operators).
+
+At 100 TB, exact answers to "how many distinct documents", "does this
+n-gram appear in the eval suites", and "draw k docs proportional to
+quality" are either a full shuffle (COUNT DISTINCT), a join against
+every corpus row (decontamination), or a global sort (sampling).  The
+sketch forms here replace them with one scan + model-sized state:
+
+- :func:`hll_cardinality` — a HyperLogLog whose registers are an
+  ordinary ``groupBy(register).max(rho)`` (m rows of state, partial
+  aggregation map-side, ONE tiny shuffle of <= m rows per partition);
+- :func:`bloom_filter_build` / :func:`bloom_decontaminate` — the
+  benchmark side collapses to an m-bit bitmap (kilobytes) broadcast to
+  every executor, so the corpus is filtered map-side with NO shuffle
+  and NO join (the exact :func:`~xcube_spark.pipeline.curation.
+  decontaminate` keeps a gram join; the bloom form is what survives
+  when the corpus is 100 TB and the eval suites are fixed);
+- :func:`weighted_sample` — Efraimidis–Spirakis A-ES priorities
+  (``u^(1/w)``) + ``ORDER BY ... LIMIT k``, which Spark executes as
+  TakeOrderedAndProject: a per-partition top-k then a k-row driver
+  merge — never a global sort.
+
+Determinism contract (same as pipeline/dedup.py): all randomness is
+md5-derived, so every register, bit position, and priority is
+reproducible bit-for-bit in any engine with md5 — the DuckDB oracles
+state the identical arithmetic.  Floating aggregation is avoided
+entirely in the HLL sum (the harmonic denominator is accumulated as an
+INTEGER: each register contributes 2^(53-rho), exact in int64 for
+m <= 2^20), so partial-aggregation order cannot perturb the estimate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_cardinality",
+    "bloom_filter_build",
+    "bloom_decontaminate",
+    "weighted_sample",
+]
+
+#: rho window width in bits: 13 hex chars of the md5 after the
+#: register prefix (fits signed int64; rho in 1..53)
+_HLL_W_BITS = 52
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _rho_sql(w: str) -> str:
+    """rho(w) = leading zeros of the 52-bit window + 1, stated as 52
+    exact integer comparisons (w < 2^j is true exactly when
+    bit_length(w) <= j, so the count of true terms IS 53 -
+    bit_length(w) = rho; w = 0 gives 52, fixed up to 53).  Pure
+    integer CASE arithmetic — no log2/float anywhere, identical text
+    on both engines."""
+    terms = " + ".join(
+        f"(CASE WHEN {w} < {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(1, _HLL_W_BITS + 1)
+    )
+    return f"(CASE WHEN {w} = 0 THEN 53 ELSE {terms} END)"
+
+
+def hll_cardinality(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``col`` (Flajolet et al.
+    2007), md5-deterministic, returned as ONE row:
+
+    ``(m, n_zero_registers, raw_estimate, estimate)``
+
+    ``p`` must be a multiple of 4 (the register index is the first
+    p/4 hex chars of the md5, the 52-bit rho window the next 13).
+    ``estimate`` applies the standard small-range linear-counting
+    correction (``m ln(m/V)`` when raw <= 2.5 m and V > 0).
+
+    Scale shape: ``groupBy(register).agg(max(rho))`` — partial
+    aggregation reduces every task to <= m rows before the only
+    shuffle; the final reduction is integer-exact (see module
+    docstring), so the estimate is independent of partitioning.
+
+    Spark's own ``approx_count_distinct`` is the production fast path;
+    this operator exists because its HLL++ registers are
+    engine-private — here every bit is specified, so the DuckDB twin
+    reproduces the estimate exactly (the correctness gate needs
+    value-identical output, not just statistically-similar output).
+    """
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    m = 1 << p
+    nhex = p // 4
+    alpha_m2 = _hll_alpha(m) * m * m  # one python-float literal
+
+    h = F.md5(F.col(col).cast("string"))
+    idx = F.conv(F.substring(h, 1, nhex), 16, 10).cast("long")
+    w = F.conv(F.substring(h, nhex + 1, 13), 16, 10).cast("long")
+    regs = (
+        df.select(idx.alias("reg"), w.alias("w"))
+        .withColumn("rho", F.expr(_rho_sql("w")))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    # integer harmonic accumulator: each register adds 2^(53 - rho)
+    agg = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
+        .alias("s"),
+    )
+    two53 = float(1 << 53)
+    out = agg.select(
+        F.lit(m).cast("int").alias("m"),
+        (F.lit(m) - F.col("n_regs")).cast("long")
+        .alias("n_zero_registers"),
+        (F.lit(alpha_m2) * F.lit(two53)
+         / (F.col("s") + (F.lit(m).cast("long") - F.col("n_regs"))
+            * F.lit(1 << 53).cast("long")).cast("double"))
+        .alias("raw_estimate"),
+    )
+    v = F.col("n_zero_registers")
+    raw = F.col("raw_estimate")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return out.select(
+        "m", "n_zero_registers",
+        F.round(raw, 4).alias("raw_estimate"),
+        F.round(est, 4).alias("estimate"),
+    )
+
+
+def hll_sql(col: str, src: str, p: int = 8) -> str:
+    """The SAME HyperLogLog as a DuckDB CTE chain over ``src`` —
+    identical hashing, identical integer accumulation, identical
+    correction branch (op-order parity with :func:`hll_cardinality`).
+    Emits a complete SELECT (one row)."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    m = 1 << p
+    nhex = p // 4
+    alpha_m2 = _hll_alpha(m) * m * m
+    two53 = float(1 << 53)
+    nib = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    idx = " + ".join(
+        f"(({nib.format(pos=i + 1)}) * {16 ** (nhex - 1 - i)})"
+        for i in range(nhex)
+    )
+    wexpr = " + ".join(
+        f"(CAST(({nib.format(pos=nhex + 1 + i)}) AS BIGINT)"
+        f" * {16 ** (13 - 1 - i)})"
+        for i in range(13)
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT md5(CAST({col} AS VARCHAR)) AS h FROM {src}
+        ), rw AS (
+            SELECT ({idx}) AS reg, ({wexpr}) AS w FROM hashed
+        ), regs AS (
+            SELECT reg, MAX({_rho_sql('w')}) AS rho
+            FROM rw GROUP BY reg
+        ), agg AS (
+            SELECT COUNT(*) AS n_regs,
+                   SUM(CAST(1 AS BIGINT) << (53 - rho)) AS s
+            FROM regs
+        ), o AS (
+            SELECT CAST({m} AS INT) AS m,
+                   CAST({m} - n_regs AS BIGINT) AS n_zero_registers,
+                   (CAST({alpha_m2!r} AS DOUBLE)
+                    * CAST({two53!r} AS DOUBLE)
+                    / CAST(s + ({m} - n_regs) * (CAST(1 AS BIGINT) << 53)
+                           AS DOUBLE)) AS raw_estimate
+            FROM agg
+        )
+        SELECT m, n_zero_registers,
+               ROUND(raw_estimate, 4) AS raw_estimate,
+               ROUND(CASE WHEN raw_estimate <= CAST({2.5 * m!r} AS DOUBLE)
+                           AND n_zero_registers > 0
+                          THEN CAST({float(m)!r} AS DOUBLE)
+                               * ln(CAST({float(m)!r} AS DOUBLE)
+                                    / CAST(n_zero_registers AS DOUBLE))
+                          ELSE raw_estimate END, 4) AS estimate
+        FROM o
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination
+
+
+def _bloom_pos(gram: Column, i: int, m_bits: int) -> Column:
+    """i-th bit position of a gram: 60 md5 bits mod m_bits (m_bits a
+    power of two keeps the modulo a mask — exact on both engines)."""
+    h = F.md5(F.concat(gram, F.lit(f"#bloom{i}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") \
+        % F.lit(m_bits).cast("long")
+
+
+def _bloom_pos_sql_spark(gram_col: str, i: int, m_bits: int) -> str:
+    """The same position as a Spark-SQL string (for shiftleft, whose
+    python wrapper only takes literal shift counts)."""
+    return (f"(CAST(conv(substring(md5(concat({gram_col}, "
+            f"'#bloom{i}')), 1, 15), 16, 10) AS BIGINT) % {m_bits})")
+
+
+def bloom_filter_build(
+    grams: DataFrame,
+    gram_col: str = "ngram",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Aggregate a gram set into an m_bits Bloom bitmap: ONE row with
+    an ``array<long>`` of ``m_bits/64`` words (bit_or per word).
+    The zero-fill join against ``sequence`` keeps absent words as
+    explicit zeros so membership tests can index positionally."""
+    if m_bits % 64 != 0 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64")
+    g = grams.select(F.col(gram_col).alias("__g")).distinct()
+    allpos = g.select(
+        F.explode(F.array(*[
+            _bloom_pos(F.col("__g"), i, m_bits) for i in range(k)
+        ])).alias("pos")
+    )
+    words = allpos.select(
+        (F.col("pos") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+        .alias("mask"),
+    ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("word"))
+    n_words = m_bits // 64
+    spark = grams.sparkSession
+    full = spark.range(n_words).select(
+        F.col("id").alias("word_idx"))
+    dense = (
+        full.join(words, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0)).alias("word"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
+        ).alias("bloom")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+    max_hits: int = 0,
+) -> DataFrame:
+    """Benchmark-overlap decontamination through a broadcast Bloom
+    filter — the shuffle-free twin of :func:`~xcube_spark.pipeline.
+    curation.decontaminate`.
+
+    The benchmark's distinct n-grams collapse into an ``m_bits``
+    bitmap (ONE row, kilobytes); the corpus side computes each gram's
+    k bit positions and tests them against the broadcast bitmap
+    map-side — the corpus is never shuffled and never joined on gram
+    strings.  ``n_hits`` counts the doc's distinct grams whose k bits
+    are ALL set, so it is an upper bound on the exact overlap (Bloom
+    false positives are possible, never false negatives; the rate is
+    ``(1 - e^(-k g / m))^k`` for g benchmark grams).  Returns
+    ``(doc_id, n_hits, contaminated)`` for every corpus doc.
+
+    The answer is exactly reproducible (md5 bit positions, fixed k),
+    so the DuckDB oracle re-derives the identical bitmap and flags —
+    the gate checks the bloom SEMANTICS, not just statistics.
+    """
+    from xcube_spark.pipeline.curation import ngrams
+
+    bench = ngrams(benchmark, text_col, n)
+    bloom = bloom_filter_build(bench, "ngram", m_bits=m_bits, k=k)
+
+    grams = ngrams(corpus, text_col, n)
+    probe = grams.crossJoin(F.broadcast(bloom))
+    hit = F.lit(True)
+    for i in range(k):
+        pos = _bloom_pos(F.col("ngram"), i, m_bits)
+        word = F.element_at(
+            F.col("bloom"), ((pos / 64).cast("int") + F.lit(1)))
+        mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+            .format(p=_bloom_pos_sql_spark("ngram", i, m_bits)))
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    hits = (
+        probe.where(hit)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > max_hits)
+            .alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "s0",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES, 2006): every row gets priority ``u^(1/w)`` with ``u`` a
+    deterministic md5-uniform in (0, 1); the k largest priorities ARE
+    a weighted sample without replacement.
+
+    ``ORDER BY priority DESC LIMIT k`` lowers to
+    TakeOrderedAndProject: each task keeps its local top-k and the
+    driver merges k-row heaps — one pass, no global sort, no shuffle
+    of the corpus.  That is the 100 TB shape for "give me 10k docs
+    proportional to quality".
+
+    Weights must be strictly positive.  Returns
+    ``(id_col, weight, priority)`` with priority rounded to 6
+    decimals for cross-engine hashing (u is (h52 + 1) / (2^52 + 2),
+    never exactly 0 or 1; 52 bits so the int -> double hop is exact).
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#{seed}")))
+    h52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    u = (h52 + F.lit(1.0)) / F.lit(float((1 << 52) + 2))
+    pri = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    return (
+        df.select(
+            F.col(id_col),
+            weight.cast("double").alias("weight"),
+            pri.alias("__pri"),
+        )
+        .orderBy(F.col("__pri").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("weight", 6).alias("weight"),
+                F.round("__pri", 6).alias("priority"))
+    )

@@ -95,6 +95,9 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "doc_cardinality_hll",
+    "doc_bloom_decontaminate",
+    "doc_weighted_sample",
     "cube_reproject_eck4",
     "cube_reproject_miller",
     "cube_reproject_vandg",

@@ -469,3 +469,147 @@ def doc_substring_dedup_clean(spark, sf_dir):
     from xcube_spark.pipeline.curation import substring_dedup_clean
 
     return substring_dedup_clean(tbl(spark, sf_dir, "documents"), window=10)
+
+
+# ---- sketches: HLL cardinality, Bloom decontamination, A-ES sample -----
+
+from xcube_spark.pipeline.sketches import (  # noqa: E402
+    bloom_decontaminate,
+    hll_cardinality,
+    hll_sql,
+    weighted_sample,
+)
+
+
+@query(
+    "doc_cardinality_hll",
+    sql=hll_sql("text", "documents", p=8),
+)
+def doc_cardinality_hll(spark, sf_dir):
+    """hll_cardinality (pipeline/sketches.py): md5-deterministic
+    HyperLogLog distinct-text estimate, m = 256 registers.  The
+    groupBy(register).max(rho) is one <= m-row-per-task shuffle; the
+    harmonic denominator accumulates as an INTEGER (2^(53-rho) per
+    register) so partial-agg order cannot perturb the estimate.  The
+    oracle re-derives every register from the same md5 nibbles
+    (hll_sql, op-order parity)."""
+    return hll_cardinality(tbl(spark, sf_dir, "documents"), "text", p=8)
+
+
+_BLOOM_NIB = "strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1"
+
+
+def _bloom_pos_sql(gram_expr: str, i: int) -> str:
+    """pos = (60-bit md5 prefix) % 2^16 == the LOW 16 bits == hex
+    chars 12..15 of the prefix (the modulus divides 16^4) — the
+    identical value the Spark side computes via conv(...,16,10) %
+    65536, restated from 4 nibbles."""
+    h = f"md5({gram_expr} || '#bloom{i}')"
+    return "(" + " + ".join(
+        f"(({_BLOOM_NIB.format(h=h, pos=12 + j)}) * {16 ** (3 - j)})"
+        for j in range(4)
+    ) + ")"
+
+
+def _bloom_mask_sql(bit_expr: str) -> str:
+    """1 << bit as BIGINT — DuckDB raises on 1 << 63 (Spark wraps to
+    the sign bit), so bit 63 is stated as the literal sign-bit value
+    (the simhash _ACC precedent)."""
+    return (f"(CASE WHEN ({bit_expr}) = 63"
+            f" THEN CAST(-9223372036854775808 AS BIGINT)"
+            f" ELSE (CAST(1 AS BIGINT) << CAST({bit_expr} AS INT))"
+            f" END)")
+
+
+def _bloom_hit_sql(i: int) -> str:
+    pos = _bloom_pos_sql("ngram", i)
+    return (f"((bl[CAST({pos} // 64 AS INT) + 1]"
+            f" & {_bloom_mask_sql(f'{pos} % 64')}) != 0)")
+
+
+@query(
+    "doc_bloom_decontaminate",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   lst[i + 1] || ' ' || lst[i + 2] || ' ' || lst[i + 3]
+                       AS ngram
+            FROM toks, unnest(range(len(lst) - 2)) AS u(i)
+            WHERE len(lst) >= 3
+        ), bench AS (
+            SELECT DISTINCT ngram FROM grams WHERE doc_id % 97 = 0
+        ), positions AS (
+            SELECT unnest([{_bloom_pos_sql('ngram', 0)},
+                           {_bloom_pos_sql('ngram', 1)},
+                           {_bloom_pos_sql('ngram', 2)}]) AS pos
+            FROM bench
+        ), words AS (
+            SELECT pos // 64 AS word_idx,
+                   bit_or({_bloom_mask_sql('pos % 64')}) AS word
+            FROM positions GROUP BY 1
+        ), bitmap AS (
+            SELECT list(COALESCE(w.word, 0) ORDER BY t.i) AS bl
+            FROM range(1024) t(i)
+            LEFT JOIN words w ON w.word_idx = t.i
+        ), probe AS (
+            SELECT g.doc_id,
+                   ({_bloom_hit_sql(0)} AND {_bloom_hit_sql(1)}
+                    AND {_bloom_hit_sql(2)}) AS hit
+            FROM grams g CROSS JOIN bitmap
+        ), hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM probe WHERE hit GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits USING (doc_id)
+    """,
+)
+def doc_bloom_decontaminate(spark, sf_dir):
+    """bloom_decontaminate (pipeline/sketches.py): the shuffle-free
+    twin of doc_decontaminate — benchmark 3-grams (docs with id % 97
+    == 0) collapse to a broadcast 2^16-bit Bloom bitmap, the corpus
+    probes it map-side (k = 3 md5 bit positions per gram, never a
+    gram join).  n_hits is the Bloom upper bound on the exact
+    overlap; the oracle re-derives the identical bitmap and flags, so
+    the gate pins the bloom semantics bit-for-bit."""
+    docs = tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate(docs, bench, n=3, m_bits=1 << 16, k=3)
+
+
+@query(
+    "doc_weighted_sample",
+    sql=rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) + 1 AS DOUBLE) AS w,
+                   md5(CAST(doc_id AS VARCHAR) || '#s0') AS h
+            FROM documents
+        ), pri AS (
+            SELECT doc_id, w,
+                   pow((CAST({" + ".join(
+                       f"(CAST(strpos('0123456789abcdef', substr(h, {1 + j}, 1)) - 1 AS BIGINT) * {16 ** (12 - j)})"
+                       for j in range(13))} AS DOUBLE) + 1.0)
+                       / CAST({float((1 << 52) + 2)!r} AS DOUBLE),
+                       1.0 / w) AS p
+            FROM base
+        )
+        SELECT doc_id, ROUND(w, 6) AS weight, ROUND(p, 6) AS priority
+        FROM pri
+        ORDER BY p DESC, doc_id
+        LIMIT 50
+    """,
+)
+def doc_weighted_sample(spark, sf_dir):
+    """weighted_sample (pipeline/sketches.py): Efraimidis-Spirakis
+    A-ES weighted sampling without replacement, 50 docs proportional
+    to token count.  The md5-uniform and the u^(1/w) priority are
+    restated identically in the oracle; Spark executes the top-k as
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")) + F.lit(1)
+    return weighted_sample(docs, w, k=50, id_col="doc_id", seed="s0")
