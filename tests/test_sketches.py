@@ -125,3 +125,56 @@ def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_cms_overestimates_and_finds_true_heavy_hitters(spark, sf_dir):
+    from xcube_spark.pipeline.sketches import cms_heavy_hitters
+
+    docs = load(spark, sf_dir, "documents")
+    est = cms_heavy_hitters(docs, n=2, k=10, candidate_mod=11)
+    est_map = {r.ngram: r.est_count for r in est.collect()}
+
+    # exact bigram counts (small-sf test only)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+"))
+        .alias("pos", "t"))
+    from pyspark.sql import Window as W
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w))
+        .alias("g"),
+        F.lead("t", 1).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    exact = {r.g: r.c for r in
+             bi.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc()).limit(50).collect()}
+
+    # CMS never underestimates a probed gram
+    for g, e in est_map.items():
+        if g in exact:
+            assert e >= exact[g], g
+    # the true top bigram must be found (it certainly appears in the
+    # 1-in-11 candidate sample) and its estimate is close
+    top_g = max(exact, key=lambda g: exact[g])
+    assert top_g in est_map
+    assert est_map[top_g] <= exact[top_g] * 1.5 + 10
+
+    # partition invariance
+    est2 = cms_heavy_hitters(docs.repartition(7), n=2, k=10,
+                             candidate_mod=11)
+    assert [(r.ngram, r.est_count) for r in est.collect()] == \
+        [(r.ngram, r.est_count) for r in est2.collect()]
+
+
+def test_cms_build_state_is_bounded(spark):
+    from xcube_spark.pipeline.sketches import cms_build
+
+    grams = spark.range(5000).select(
+        F.concat(F.lit("g"), F.col("id").cast("string")).alias("ngram"))
+    st = cms_build(grams, d=4, w=256)
+    assert st.count() <= 4 * 256
+    total = st.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 4 * 5000  # every occurrence updates every row
+    with pytest.raises(ValueError):
+        cms_build(grams, w=1000)

@@ -44,6 +44,8 @@ __all__ = [
     "bloom_filter_build",
     "bloom_decontaminate",
     "weighted_sample",
+    "cms_build",
+    "cms_heavy_hitters",
 ]
 
 #: rho window width in bits: 13 hex chars of the md5 after the
@@ -360,4 +362,132 @@ def weighted_sample(
         .limit(k)
         .select(id_col, F.round("weight", 6).alias("weight"),
                 F.round("__pri", 6).alias("priority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+
+
+def _cms_pos_sql(gram_col: str, i: int, w: int) -> str:
+    """Counter index of gram in CMS row i: low bits of 60 md5 bits
+    (w a power of two), as a Spark-SQL string."""
+    return (f"(CAST(conv(substring(md5(concat({gram_col}, "
+            f"'#cms{i}')), 1, 15), 16, 10) AS BIGINT) % {w})")
+
+
+def cms_build(
+    grams: DataFrame,
+    gram_col: str = "ngram",
+    d: int = 4,
+    w: int = 1 << 10,
+) -> DataFrame:
+    """Count-min sketch of a gram stream: ``d`` independent md5 hash
+    rows of ``w`` counters each, returned as (row, pos, cnt) —
+    at most ``d * w`` rows of state regardless of corpus size.
+
+    Scale shape: the only shuffle keys on (row, pos), a key space of
+    d*w (thousands) — partial aggregation collapses every task to
+    <= d*w rows before the exchange, so sketch construction is ONE
+    scan + a kilobyte-scale shuffle even over 100 TB of text.  (An
+    exact heavy-hitter count would shuffle every distinct gram.)
+    """
+    if w & (w - 1) or w < 2:
+        raise ValueError("w must be a power of two >= 2")
+    pairs = grams.select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_cms_pos_sql(gram_col, i, w)).alias("pos"),
+            )
+            for i in range(d)
+        ])).alias("rp")
+    )
+    return (
+        pairs.select("rp.row", "rp.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 20,
+    d: int = 4,
+    w: int = 1 << 10,
+    candidate_mod: int = 11,
+) -> DataFrame:
+    """Top-k most frequent word n-grams, estimated from a count-min
+    sketch (Cormode & Muthukrishnan 2005) probed with a deterministic
+    candidate sample.
+
+    Two scans, both bounded-state: (1) every gram OCCURRENCE updates
+    the d x w sketch (see :func:`cms_build`); (2) candidate grams —
+    the distinct grams of docs with ``doc_id % candidate_mod == 0`` —
+    probe the broadcast sketch and take ``min`` over the d rows (the
+    CMS upper bound, exact for true heavy hitters with high
+    probability).  A truly frequent gram appears in the sample with
+    overwhelming probability, so the candidate set misses only
+    near-threshold tails; nothing corpus-sized is grouped, joined, or
+    sorted.  Returns ``(ngram, est_count)``, the k largest estimates
+    (ties broken by gram string — integer counts, no float
+    boundary).
+    """
+    from xcube_spark.pipeline.curation import ngrams
+
+    toks = corpus.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("__tok"),
+    )
+    # all gram OCCURRENCES (ngrams() dedups per doc — rebuild without
+    # the distinct, reusing its codegen posexplode+lead shape)
+    from pyspark.sql import Window as W
+
+    pos_toks = corpus.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "__tok"),
+    )
+    wspec = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("__tok")] + [
+        F.lead("__tok", j).over(wspec) for j in range(1, n)
+    ]
+    occurrences = (
+        pos_toks.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("ngram"),
+            F.lead("__tok", n - 1).over(wspec).alias("__full"),
+        )
+        .where(F.col("__full").isNotNull())
+        .select("doc_id", "ngram")
+    )
+    sketch = cms_build(occurrences, "ngram", d=d, w=w)
+
+    cands = (
+        ngrams(corpus.where(F.col("doc_id") % candidate_mod == 0),
+               text_col, n)
+        .select("ngram").distinct()
+    )
+    probes = cands.select(
+        "ngram",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(_cms_pos_sql("ngram", i, w)).alias("pos"),
+            )
+            for i in range(d)
+        ])).alias("rp"),
+    ).select("ngram", "rp.row", "rp.pos")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "pos"])
+        .groupBy("ngram")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        est.orderBy(F.col("est_count").desc(), F.col("ngram"))
+        .limit(k)
+        .select("ngram", "est_count")
     )

@@ -96,6 +96,7 @@ PRIORITY_ORDER = (
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
     "doc_cardinality_hll",
+    "doc_heavy_hitters_cms",
     "doc_bloom_decontaminate",
     "doc_weighted_sample",
     "cube_reproject_eck4",

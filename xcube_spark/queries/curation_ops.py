@@ -613,3 +613,72 @@ def doc_weighted_sample(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     w = F.size(F.split(F.trim(F.col("text")), r"\s+")) + F.lit(1)
     return weighted_sample(docs, w, k=50, id_col="doc_id", seed="s0")
+
+
+# ---- count-min sketch heavy hitters ------------------------------------
+
+from xcube_spark.pipeline.sketches import cms_heavy_hitters  # noqa: E402
+
+
+def _cms_pos_oracle(gram_expr: str, i: int) -> str:
+    """pos = (60-bit md5 prefix) % 1024 == low 10 bits: nibbles 13..15
+    of the prefix give the low 12, so (nib13 % 4)*256 + nib14*16 +
+    nib15 — the identical value the Spark side computes via
+    conv(...,16,10) % 1024."""
+    h = f"md5({gram_expr} || '#cms{i}')"
+    nib = "strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1"
+    return ("(((" + nib.format(h=h, pos=13) + ") % 4) * 256 + ("
+            + nib.format(h=h, pos=14) + ") * 16 + ("
+            + nib.format(h=h, pos=15) + "))")
+
+
+_CMS_UPDATES = "\n            UNION ALL ".join(
+    f"SELECT {i} AS row, {_cms_pos_oracle('ngram', i)} AS pos FROM occ"
+    for i in range(4)
+)
+_CMS_PROBES = "\n            UNION ALL ".join(
+    f"SELECT ngram, {i} AS row, {_cms_pos_oracle('ngram', i)} AS pos"
+    f" FROM cands"
+    for i in range(4)
+)
+
+
+@query(
+    "doc_heavy_hitters_cms",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), occ AS (
+            SELECT doc_id, lst[i + 1] || ' ' || lst[i + 2] AS ngram
+            FROM toks, unnest(range(len(lst) - 1)) AS u(i)
+            WHERE len(lst) >= 2
+        ), sketch AS (
+            SELECT row, pos, COUNT(*) AS cnt
+            FROM ({_CMS_UPDATES})
+            GROUP BY row, pos
+        ), cands AS (
+            SELECT DISTINCT ngram FROM occ WHERE doc_id % 11 = 0
+        ), probes AS (
+            {_CMS_PROBES}
+        ), est AS (
+            SELECT ngram, MIN(cnt) AS est_count
+            FROM probes JOIN sketch USING (row, pos)
+            GROUP BY ngram
+        )
+        SELECT ngram, est_count
+        FROM est
+        ORDER BY est_count DESC, ngram
+        LIMIT 20
+    """,
+)
+def doc_heavy_hitters_cms(spark, sf_dir):
+    """cms_heavy_hitters (pipeline/sketches.py): top-20 word bigrams
+    by count-min estimate — every gram occurrence updates a 4 x 1024
+    md5 sketch (the only shuffle keys on (row, pos): <= 4096 rows of
+    state regardless of corpus size), then candidate grams (docs with
+    id % 11 == 0) probe the broadcast sketch with min-over-rows.
+    Integer counts with gram tie-break, so no float boundary; the
+    oracle re-derives the identical sketch cell by cell."""
+    return cms_heavy_hitters(tbl(spark, sf_dir, "documents"),
+                             n=2, k=20, d=4, w=1 << 10,
+                             candidate_mod=11)
