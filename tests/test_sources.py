@@ -1133,3 +1133,98 @@ def test_reference_data_store(spark, cube, tmp_path):
 
     store2 = ReferenceDataStore(spark, [str(tmp_path / "a.json")])
     assert list(store2.get_data_ids()) == ["a"]
+
+
+# ---- zarr v3 sharding (sources/zarrio.py sharding_indexed) --------------
+
+
+def test_zarr_sharded_roundtrip_and_layout(spark, tmp_path):
+    """sharding_indexed write -> read: values bit-equal to the
+    unsharded v3 write; object count drops to the shard grid; the
+    codec metadata is the spec shape; all-fill shards are absent."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = _small_grid()  # chunks (1, 4, 5) over (2, 6, 12)
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i",
+                                  "B": ("uniform", 3, 0.3)})
+    path = str(tmp_path / "sh.zarr")
+    write_zarr_cube(cube, path, grid, zarr_format=3,
+                    shards=(2, 8, 10))
+    meta = json.load(open(os.path.join(path, "A", "zarr.json")))
+    c0 = meta["codecs"][0]
+    assert c0["name"] == "sharding_indexed"
+    assert c0["configuration"]["chunk_shape"] == [1, 4, 5]
+    assert c0["configuration"]["index_location"] == "end"
+    assert [c["name"] for c in c0["configuration"]["index_codecs"]] \
+        == ["bytes", "crc32c"]
+    # shard grid over (2,6,12)/(2,8,10) = 1 x 1 x 2 objects max
+    a_objs = [f for _, _, fs in os.walk(os.path.join(path, "A"))
+              for f in fs if f != "zarr.json"]
+    assert len(a_objs) <= 2
+    back = open_zarr_cube(spark, path)
+    assert back.count() == grid.size
+    assert cube.exceptAll(back.select(*cube.columns)).count() == 0
+    assert (back.where(F.col("B").isNull()).count()
+            == cube.where(F.col("B").isNull()).count())
+
+
+def test_zarr_shard_crc_and_index_location(tmp_path):
+    """_decode_shard: crc32c corruption raises; index_location=start
+    round-trips; missing inner chunks decode as fill."""
+    import numpy as np
+    import pytest
+
+    from xcube_spark.sources.zarrio import (ZarrArray, _decode_shard,
+                                            _encode_shard, decode_chunk)
+
+    def meta(loc="end", crc=True):
+        return ZarrArray(
+            name="A", shape=(4, 4), chunks=(4, 4), dtype="<f8",
+            compressor={"id": "gzip", "level": 1}, fill_value="NaN",
+            zarr_format=3,
+            sharding={"inner_chunks": (2, 2), "index_location": loc,
+                      "crc32c": crc})
+
+    arr = np.arange(16, dtype="f8").reshape(4, 4)
+    arr[0:2, 0:2] = np.nan  # one all-fill inner chunk -> omitted
+    for loc in ("end", "start"):
+        m = meta(loc)
+        raw = _encode_shard(arr, m)
+        out = _decode_shard(raw, m)
+        assert np.isnan(out[0:2, 0:2]).all()
+        assert (out[2:, :] == arr[2:, :]).all()
+    m = meta()
+    raw = bytearray(_encode_shard(arr, m))
+    raw[-1] ^= 0xFF  # flip a crc byte
+    with pytest.raises(ValueError, match="checksum"):
+        _decode_shard(bytes(raw), m)
+    # truncated shard
+    with pytest.raises(ValueError, match="shorter"):
+        _decode_shard(b"xx", m)
+    # missing shard object -> all fill via the ordinary chunk path
+    out = decode_chunk(None, m)
+    assert np.isnan(out).all()
+    # all-fill shard encodes to no object at all
+    assert _encode_shard(np.full((4, 4), np.nan), m) is None
+
+
+def test_zarr_shard_validation(spark, tmp_path):
+    import pytest
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import write_zarr_cube
+
+    grid = _small_grid()
+    cube = new_cube(spark, grid, {"A": "1.0"})
+    with pytest.raises(ValueError, match="zarr_format=3"):
+        write_zarr_cube(cube, str(tmp_path / "a.zarr"), grid,
+                        shards=(2, 8, 10))
+    with pytest.raises(ValueError, match="multiple"):
+        write_zarr_cube(cube, str(tmp_path / "b.zarr"), grid,
+                        zarr_format=3, shards=(2, 7, 10))

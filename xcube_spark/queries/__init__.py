@@ -95,6 +95,7 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "cube_zarr_sharded_ingest",
     "doc_cardinality_hll",
     "doc_heavy_hitters_cms",
     "doc_bloom_decontaminate",

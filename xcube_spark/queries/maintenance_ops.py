@@ -561,3 +561,63 @@ def cube_zarr_v3_ingest(spark, sf_dir):
         F.round(F.avg("A"), 6).alias("A_mean"),
         F.sum("flags").cast("bigint").alias("flags_sum"),
     )
+
+
+_ZARR_SHARD_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_zarr_sharded_ingest",
+    sql=f"""
+        {CUBE_CTE},
+        dec AS (
+            SELECT t_i,
+                   FLOOR(A / CAST(0.0078125 AS DOUBLE) + 0.5)
+                       * CAST(0.0078125 AS DOUBLE) AS A,
+                   flags
+            FROM cube
+        )
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) AS A_sum,
+               ROUND(AVG(A), 6) AS A_mean,
+               CAST(SUM(flags) AS BIGINT) AS flags_sum
+        FROM dec GROUP BY t_i
+    """,
+)
+def cube_zarr_sharded_ingest(spark, sf_dir):
+    """Zarr v3 SHARDED round-trip: the cube_zarr_v3_ingest fixture
+    written through the sharding_indexed codec (zarrio.py
+    _encode_shard/_decode_shard: grid chunks become inner chunks,
+    each store object is one 2x2x2-chunk shard with a
+    crc32c-checksummed uint64-pair index at the object end, all-fill
+    inner chunks omitted).  The 100 TB layout — object count scales
+    with shards, chunk addressing survives inside the index.  Same
+    analytic oracle: the quantization math is format- and
+    layout-independent."""
+    import tempfile
+
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    if "p" not in _ZARR_SHARD_PATH:
+        path = tempfile.mkdtemp(prefix="xcube_spark_zarrsh_") \
+            + "/fixture.zarr"
+        write_zarr_cube(
+            new_cube(spark, GRID, variables=SPARK_VARS), path, GRID,
+            var_names=["A", "flags"],
+            encoding={
+                "A": {"dtype": "<i2", "scale_factor": 0.0078125,
+                      "add_offset": 0.0, "fill_value": -32768},
+                "flags": {"dtype": "<i4", "fill_value": -1},
+            },
+            zarr_format=3,
+            shards=(GRID.chunks[0] * 2, GRID.chunks[1] * 2,
+                    GRID.chunks[2] * 2),
+        )
+        _ZARR_SHARD_PATH["p"] = path
+    back = open_zarr_cube(spark, _ZARR_SHARD_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        F.round(F.sum("A"), 4).alias("A_sum"),
+        F.round(F.avg("A"), 6).alias("A_mean"),
+        F.sum("flags").cast("bigint").alias("flags_sum"),
+    )

@@ -88,6 +88,13 @@ class ZarrArray:
     #: numcodecs-style filter chain; only ``shuffle`` is supported —
     #: the one needed to virtualize HDF5 shuffle+deflate chunks
     filters: list | None = None
+    #: v3 ``sharding_indexed`` codec state: ``chunks`` above is then
+    #: the SHARD shape (the store object granularity) and this dict
+    #: holds ``inner_chunks`` (tuple, divides the shard shape),
+    #: ``index_location`` ("end"/"start") and ``crc32c`` (bool, the
+    #: index checksum codec).  Inner-chunk compression reuses
+    #: ``compressor``.
+    sharding: dict | None = None
 
     def chunk_key(self, *idx: int) -> str:
         """Chunk file key relative to the array dir: v2 ``i.j.k``,
@@ -137,12 +144,127 @@ def _fill_scalar(meta: ZarrArray):
     return fv
 
 
+_CRC32C_TABLE = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0x82F63B78 if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+del _n, _c
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, the zarr v3 ``crc32c`` codec) — table-
+    driven; only ever run over shard indexes (16 bytes per inner
+    chunk), never over chunk payloads."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+_SHARD_MISSING = (1 << 64) - 1
+
+
+def _shard_layout(meta: ZarrArray) -> tuple[tuple[int, ...], int, int]:
+    """(inner-chunk counts per dim, total inner chunks, index nbytes)."""
+    inner = tuple(meta.sharding["inner_chunks"])
+    counts = tuple(s // i for s, i in zip(meta.chunks, inner))
+    n = 1
+    for c in counts:
+        n *= c
+    idx_size = 16 * n + (4 if meta.sharding.get("crc32c") else 0)
+    return counts, n, idx_size
+
+
+def _inner_meta(meta: ZarrArray) -> ZarrArray:
+    from dataclasses import replace
+
+    return replace(meta, chunks=tuple(meta.sharding["inner_chunks"]),
+                   sharding=None)
+
+
+def _decode_shard(raw: bytes, meta: ZarrArray) -> np.ndarray:
+    """Shard object -> full-shard ndarray: parse the uint64-pair
+    index (v3 ``sharding_indexed``), decode each present inner chunk
+    through the ordinary chunk path, fill the rest."""
+    counts, n, idx_size = _shard_layout(meta)
+    if len(raw) < idx_size:
+        raise ValueError(
+            f"shard for {meta.name!r} shorter than its index "
+            f"({len(raw)} < {idx_size} bytes)")
+    loc = meta.sharding.get("index_location", "end")
+    idx = raw[-idx_size:] if loc == "end" else raw[:idx_size]
+    if meta.sharding.get("crc32c"):
+        want = int.from_bytes(idx[-4:], "little")
+        got = _crc32c(idx[:-4])
+        if want != got:
+            raise ValueError(
+                f"shard index checksum mismatch for {meta.name!r} "
+                f"(crc32c {got:#010x} != stored {want:#010x})")
+        idx = idx[:-4]
+    offsets = np.frombuffer(idx, "<u8").reshape(n, 2)
+    fv = _fill_scalar(meta)
+    out = np.full(meta.chunks, 0 if fv is None else fv, meta.np_dtype)
+    im = _inner_meta(meta)
+    inner = im.chunks
+    for flat in range(n):
+        off, nb = int(offsets[flat, 0]), int(offsets[flat, 1])
+        if off == _SHARD_MISSING:
+            continue
+        pos = np.unravel_index(flat, counts)
+        sl = tuple(slice(p * c, (p + 1) * c)
+                   for p, c in zip(pos, inner))
+        out[sl] = decode_chunk(raw[off:off + nb], im)
+    return out
+
+
+def _encode_shard(arr: np.ndarray, meta: ZarrArray) -> bytes | None:
+    """Full-shard ndarray -> shard object bytes.  Inner chunks that
+    are entirely fill are omitted (missing index entries — the same
+    empty-chunk pruning the v2 writer does per file); an all-fill
+    shard returns None so the caller can skip the object entirely."""
+    counts, n, _ = _shard_layout(meta)
+    im = _inner_meta(meta)
+    inner = im.chunks
+    fv = _fill_scalar(meta)
+    offsets = np.full((n, 2), _SHARD_MISSING, "<u8")
+    loc = meta.sharding.get("index_location", "end")
+    idx_size = 16 * n + (4 if meta.sharding.get("crc32c") else 0)
+    payload = bytearray()
+    base = idx_size if loc == "start" else 0
+    for flat in range(n):
+        pos = np.unravel_index(flat, counts)
+        sl = tuple(slice(p * c, (p + 1) * c)
+                   for p, c in zip(pos, inner))
+        block = np.ascontiguousarray(arr[sl])
+        if fv is not None:
+            if isinstance(fv, float) and math.isnan(fv):
+                empty = bool(np.isnan(block).all())
+            else:
+                empty = bool((block == np.asarray(fv, block.dtype)).all())
+            if empty:
+                continue
+        enc = encode_chunk(block, im)
+        offsets[flat] = (base + len(payload), len(enc))
+        payload += enc
+    if not payload:
+        return None
+    idx = offsets.tobytes()
+    if meta.sharding.get("crc32c"):
+        idx += _crc32c(idx).to_bytes(4, "little")
+    return bytes(idx + payload) if loc == "start" \
+        else bytes(payload) + idx
+
+
 def decode_chunk(raw: bytes | None, meta: ZarrArray) -> np.ndarray:
     """Chunk bytes -> full-chunk-shape ndarray (missing file -> fill,
     per the v2 spec)."""
     if raw is None:
         fv = _fill_scalar(meta)
         return np.full(meta.chunks, 0 if fv is None else fv, meta.np_dtype)
+    if meta.sharding is not None:
+        return _decode_shard(raw, meta)
     if meta.compressor is not None:
         cid = meta.compressor.get("id")
         if cid == "zlib":
@@ -164,7 +286,11 @@ def decode_chunk(raw: bytes | None, meta: ZarrArray) -> np.ndarray:
     return np.frombuffer(raw, dtype=meta.np_dtype).reshape(meta.chunks)
 
 
-def encode_chunk(arr: np.ndarray, meta: ZarrArray) -> bytes:
+def encode_chunk(arr: np.ndarray, meta: ZarrArray) -> bytes | None:
+    """Chunk ndarray -> store bytes (None only for an all-fill SHARD,
+    which the writer skips entirely)."""
+    if meta.sharding is not None:
+        return _encode_shard(arr, meta)
     data = np.ascontiguousarray(arr, dtype=meta.np_dtype).tobytes()
     if meta.compressor is not None:
         if meta.compressor.get("id") == "gzip":
@@ -239,6 +365,35 @@ def _read_store_v3(path: str) -> dict[str, ZarrArray]:
                 "configuration", {}).get("separator", "/") != "/":
             raise ValueError(f"unsupported chunk key encoding for {name!r}")
         codecs = list(meta.get("codecs", []))
+        sharding = None
+        if codecs and codecs[0].get("name") == "sharding_indexed":
+            scfg = codecs[0].get("configuration", {})
+            inner = tuple(int(v) for v in scfg["chunk_shape"])
+            shard = tuple(grid_cfg["configuration"]["chunk_shape"])
+            if len(inner) != len(shard) or any(
+                    s % i for s, i in zip(shard, inner)):
+                raise ValueError(
+                    f"sharding inner chunk shape {inner} does not "
+                    f"divide the shard shape {shard} for {name!r}")
+            icodecs = list(scfg.get("index_codecs",
+                                    [{"name": "bytes"}]))
+            if not icodecs or icodecs[0].get("name") != "bytes":
+                raise ValueError(
+                    f"unsupported index codecs for {name!r}")
+            crc = False
+            for c in icodecs[1:]:
+                if c.get("name") == "crc32c":
+                    crc = True
+                else:
+                    raise ValueError(
+                        f"unsupported index codec {c!r} for {name!r}")
+            loc = scfg.get("index_location", "end")
+            if loc not in ("end", "start"):
+                raise ValueError(
+                    f"unsupported index_location {loc!r} for {name!r}")
+            sharding = {"inner_chunks": inner, "index_location": loc,
+                        "crc32c": crc}
+            codecs = list(scfg.get("codecs", []))
         if not codecs or codecs[0].get("name") != "bytes" or codecs[0].get(
                 "configuration", {}).get("endian", "little") != "little":
             raise ValueError(f"unsupported codec chain for {name!r}")
@@ -261,6 +416,7 @@ def _read_store_v3(path: str) -> dict[str, ZarrArray]:
             chunks=tuple(grid_cfg["configuration"]["chunk_shape"]),
             dtype=_V3_DTYPES[meta["data_type"]], compressor=compressor,
             fill_value=meta.get("fill_value"), attrs=attrs, zarr_format=3,
+            sharding=sharding,
         )
     return arrays
 
@@ -307,6 +463,18 @@ def _write_array_meta(path: str, meta: ZarrArray) -> None:
         if meta.compressor is not None:
             codecs.append({"name": "gzip", "configuration": {
                 "level": meta.compressor.get("level", 1)}})
+        if meta.sharding is not None:
+            icodecs = [{"name": "bytes",
+                        "configuration": {"endian": "little"}}]
+            if meta.sharding.get("crc32c"):
+                icodecs.append({"name": "crc32c"})
+            codecs = [{"name": "sharding_indexed", "configuration": {
+                "chunk_shape": list(meta.sharding["inner_chunks"]),
+                "codecs": codecs,
+                "index_codecs": icodecs,
+                "index_location": meta.sharding.get("index_location",
+                                                    "end"),
+            }}]
         attrs = {k: v for k, v in meta.attrs.items()
                  if k != "_ARRAY_DIMENSIONS"}
         with open(os.path.join(adir, "zarr.json"), "w") as f:
@@ -721,15 +889,28 @@ def write_zarr_cube(
     encoding: Mapping[str, Mapping] | None = None,
     mode: str = "error",
     zarr_format: int = 2,
+    shards: tuple[int, int, int] | None = None,
 ) -> int:
     """Write a cells-table cube as a Zarr group (v2 default, or the
     v3 layout with ``zarr_format=3``: root/array ``zarr.json`` docs,
     ``c/i/j/k`` chunk keys, bytes+gzip codec chain); returns the
-    number of chunk files written.
+    number of chunk objects written.
 
-    Distributed write: one shuffle keyed by chunk index
+    ``shards`` (v3 only) writes the ``sharding_indexed`` codec:
+    ``grid.chunks`` become the INNER chunks and each store object is
+    one shard of the given shape (a multiple of ``grid.chunks`` per
+    dim), with a crc32c-checksummed uint64-pair index at the object
+    end.  This is the 100 TB layout: a PB-scale cube with 1 MB chunks
+    is billions of objects — listing alone breaks — while shards keep
+    the object count small and sequentialize IO without giving up
+    fine-grained chunk addressing (readers slice inner chunks out of
+    the index).  All-fill inner chunks are omitted from the index and
+    all-fill shards are not written (the same empty-chunk pruning the
+    v2 writer does per file).
+
+    Distributed write: one shuffle keyed by shard (or chunk) index
     (``groupBy(tc, yc, xc).applyInPandas``), each task encodes and
-    writes its own chunk files for every variable — the driver only
+    writes its own objects for every variable — the driver only
     writes the JSON metadata and the (metadata-sized) coordinate
     arrays.  Matches ``ZarrDatasetIO.write`` semantics
     (/root/reference/xcube/core/dsio.py:500) with CF packing attrs.
@@ -738,6 +919,14 @@ def write_zarr_cube(
 
     if zarr_format not in (2, 3):
         raise ValueError(f"zarr_format must be 2 or 3, got {zarr_format!r}")
+    if shards is not None:
+        if zarr_format != 3:
+            raise ValueError("shards requires zarr_format=3")
+        if len(shards) != 3 or any(
+                s <= 0 or s % c for s, c in zip(shards, grid.chunks)):
+            raise ValueError(
+                f"shard shape {shards!r} must be a positive multiple "
+                f"of the chunk shape {tuple(grid.chunks)!r} per dim")
     if os.path.exists(os.path.join(path, ".zgroup")) or os.path.exists(
             os.path.join(path, "zarr.json")):
         if mode == "error":
@@ -768,6 +957,10 @@ def write_zarr_cube(
             # metadata declares
             meta.compressor = {"id": "gzip",
                                "level": meta.compressor.get("level", 1)}
+        if shards is not None:
+            meta.sharding = {"inner_chunks": tuple(grid.chunks),
+                             "index_location": "end", "crc32c": True}
+            meta.chunks = tuple(shards)
         return meta
 
     vars_ = list(var_names) if var_names is not None else cube_vars(cube)
@@ -812,7 +1005,7 @@ def write_zarr_cube(
     _write_bytes(os.path.join(path, "crs", crs_meta.chunk_key(0)),
                  encode_chunk(np.zeros(1, "i1"), crs_meta))
 
-    ct, cy, cx = grid.chunks
+    ct, cy, cx = shards if shards is not None else grid.chunks
     meta_payload = {v: m for v, m in metas.items()}
 
     def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -822,9 +1015,12 @@ def write_zarr_cube(
             chunk = np.full(meta.chunks, np.nan, "float64")
             chunk[pdf["t_i"] % ct, pdf["y_i"] % cy, pdf["x_i"] % cx] = \
                 pdf[v].to_numpy("float64", na_value=np.nan)
+            enc = encode_chunk(encode_values(chunk, meta), meta)
+            if enc is None:  # all-fill shard: no object at all
+                continue
             ck = os.path.join(path, v, meta.chunk_key(tc, yc, xc))
             os.makedirs(os.path.dirname(ck), exist_ok=True)
-            _write_bytes(ck, encode_chunk(encode_values(chunk, meta), meta))
+            _write_bytes(ck, enc)
             n += 1
         return pd.DataFrame({"n": [n]})
 
