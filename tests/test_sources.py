@@ -1228,3 +1228,41 @@ def test_zarr_shard_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="multiple"):
         write_zarr_cube(cube, str(tmp_path / "b.zarr"), grid,
                         zarr_format=3, shards=(2, 7, 10))
+
+
+def test_virtualize_sharded_store_refs(spark, tmp_path):
+    """virtualize_sharded_store: inner chunks become byte-range refs
+    into shard objects (built from the indexes alone); the kerchunk
+    open is value-identical to the direct open; missing inner chunks
+    get no ref and decode as fill."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import (open_kerchunk_cube,
+                                            open_zarr_cube,
+                                            virtualize_sharded_store,
+                                            write_zarr_cube)
+
+    grid = _small_grid()  # chunks (1, 4, 5) over (2, 6, 12)
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i",
+                                  "B": ("uniform", 3, 0.3)})
+    path = str(tmp_path / "sv.zarr")
+    write_zarr_cube(cube, path, grid, zarr_format=3, shards=(2, 8, 10))
+    refs_path = str(tmp_path / "sv.refs.json")
+    virtualize_sharded_store(path, refs_path)
+    refs = json.load(open(refs_path))["refs"]
+    a_chunks = [k for k in refs if k.startswith("A/")
+                and not k.split("/", 1)[1].startswith(".")]
+    # refs address the INNER chunk grid (2 x 2 x 3), not the shards
+    assert len(a_chunks) == 2 * 2 * 3
+    ranged = [refs[k] for k in a_chunks if refs[k][1] > 0]
+    assert ranged, "no ref carries a real byte offset into a shard"
+    # every ref URL points at a shard object (c/i/j/k keys)
+    assert all("/c/" in refs[k][0] for k in a_chunks)
+    back = open_kerchunk_cube(spark, refs_path)
+    assert cube.exceptAll(back.select(*cube.columns)).count() == 0
+    assert (back.where(F.col("B").isNull()).count()
+            == cube.where(F.col("B").isNull()).count())

@@ -96,6 +96,7 @@ PRIORITY_ORDER = (
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
     "cube_zarr_sharded_ingest",
+    "cube_zarr_sharded_virtual",
     "doc_cardinality_hll",
     "doc_heavy_hitters_cms",
     "doc_bloom_decontaminate",

@@ -621,3 +621,53 @@ def cube_zarr_sharded_ingest(spark, sf_dir):
         F.round(F.avg("A"), 6).alias("A_mean"),
         F.sum("flags").cast("bigint").alias("flags_sum"),
     )
+
+
+_SHARD_REFS_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_zarr_sharded_virtual",
+    sql=f"""
+        {CUBE_CTE},
+        dec AS (
+            SELECT t_i,
+                   FLOOR(A / CAST(0.0078125 AS DOUBLE) + 0.5)
+                       * CAST(0.0078125 AS DOUBLE) AS A,
+                   flags
+            FROM cube
+        )
+        SELECT t_i, COUNT(A) AS n,
+               ROUND(SUM(A), 4) AS A_sum,
+               ROUND(AVG(A), 6) AS A_mean,
+               CAST(SUM(flags) AS BIGINT) AS flags_sum
+        FROM dec GROUP BY t_i
+    """,
+)
+def cube_zarr_sharded_virtual(spark, sf_dir):
+    """Kerchunk virtualization OF a sharded v3 store (zarrio.py
+    virtualize_sharded_store): every inner chunk becomes a byte-range
+    reference into its shard object, built from the shard INDEXES
+    alone (tail range reads; no chunk payload is touched), then the
+    cube opens through the kerchunk reader with inner-chunk task
+    granularity — fine-grid scan parallelism over the shard-grid
+    object count, the 100 TB read path.  Same analytic oracle: the
+    addressing layer must not change a single value."""
+    from xcube_spark.sources.zarrio import (open_kerchunk_cube,
+                                            virtualize_sharded_store)
+
+    cube_zarr_sharded_ingest  # fixture dependency (builds the store)
+    if "p" not in _SHARD_REFS_PATH:
+        # reuse (or build) the sharded fixture
+        if "p" not in _ZARR_SHARD_PATH:
+            cube_zarr_sharded_ingest(spark, sf_dir).collect()
+        refs = _ZARR_SHARD_PATH["p"] + ".refs.json"
+        virtualize_sharded_store(_ZARR_SHARD_PATH["p"], refs)
+        _SHARD_REFS_PATH["p"] = refs
+    back = open_kerchunk_cube(spark, _SHARD_REFS_PATH["p"])
+    return back.groupBy("t_i").agg(
+        F.count("A").alias("n"),
+        F.round(F.sum("A"), 4).alias("A_sum"),
+        F.round(F.avg("A"), 6).alias("A_mean"),
+        F.sum("flags").cast("bigint").alias("flags_sum"),
+    )

@@ -1308,6 +1308,102 @@ def write_kerchunk_refs(zarr_path: str, refs_path: str,
     return len(refs)
 
 
+def _read_shard_index(path: str, meta: ZarrArray) -> np.ndarray:
+    """Read ONLY a shard object's index (a tail/head range request —
+    never the chunk payload) and return the (n, 2) offset/nbytes
+    table.  This is how a 100 TB reader addresses inner chunks: one
+    small range read per shard, then exact ranges per chunk."""
+    counts, n, idx_size = _shard_layout(meta)
+    size = os.path.getsize(path)
+    if size < idx_size:
+        raise ValueError(
+            f"shard {path!r} shorter than its index "
+            f"({size} < {idx_size} bytes)")
+    loc = meta.sharding.get("index_location", "end")
+    with open(path, "rb") as f:
+        if loc == "end":
+            f.seek(size - idx_size)
+        idx = f.read(idx_size)
+    if meta.sharding.get("crc32c"):
+        want = int.from_bytes(idx[-4:], "little")
+        got = _crc32c(idx[:-4])
+        if want != got:
+            raise ValueError(
+                f"shard index checksum mismatch for {path!r}")
+        idx = idx[:-4]
+    return np.frombuffer(idx, "<u8").reshape(n, 2)
+
+
+def virtualize_sharded_store(zarr_path: str, refs_path: str) -> int:
+    """Kerchunk-virtualize a Zarr v3 store (sharded or not) as a v2
+    reference document: every INNER chunk becomes a byte-range
+    reference into its shard object, read from the shard indexes
+    alone (no chunk payload is touched).  The result opens through
+    :func:`open_kerchunk_cube` with inner-chunk task granularity —
+    the scan parallelism of the fine chunk grid over the object
+    count of the shard grid, the point of sharding at 100 TB.
+    Missing inner chunks get no reference (decode falls back to
+    fill).  Returns the reference count."""
+    arrays = read_store(zarr_path)
+    refs: dict[str, object] = {}
+    root = os.path.join(zarr_path, "zarr.json")
+    group_attrs = {}
+    if os.path.exists(root):
+        with open(root) as f:
+            group_attrs = json.load(f).get("attributes", {})
+    refs[".zgroup"] = json.dumps({"zarr_format": 2})
+    refs[".zattrs"] = json.dumps(group_attrs)
+    n_refs = 2
+    for name, meta in arrays.items():
+        inner = tuple(meta.sharding["inner_chunks"]) \
+            if meta.sharding else tuple(meta.chunks)
+        refs[f"{name}/.zarray"] = json.dumps({
+            "zarr_format": 2, "shape": list(meta.shape),
+            "chunks": list(inner), "dtype": meta.dtype,
+            "compressor": meta.compressor,
+            "fill_value": _json_fill(meta.fill_value),
+            "order": "C", "filters": None,
+        })
+        refs[f"{name}/.zattrs"] = json.dumps(meta.attrs)
+        n_refs += 2
+        adir = os.path.join(zarr_path, name)
+        shard_counts = meta.chunk_counts()
+        if meta.sharding is None:
+            for flat in range(int(np.prod(shard_counts))):
+                pos = np.unravel_index(flat, shard_counts)
+                cpath = os.path.join(adir, meta.chunk_key(*pos))
+                if not os.path.exists(cpath):
+                    continue
+                key = ".".join(str(i) for i in pos)
+                refs[f"{name}/{key}"] = [
+                    "file://" + os.path.abspath(cpath), 0,
+                    os.path.getsize(cpath)]
+                n_refs += 1
+            continue
+        within = tuple(s // i for s, i in zip(meta.chunks, inner))
+        for flat in range(int(np.prod(shard_counts))):
+            spos = np.unravel_index(flat, shard_counts)
+            spath = os.path.join(adir, meta.chunk_key(*spos))
+            if not os.path.exists(spath):
+                continue
+            offsets = _read_shard_index(spath, meta)
+            url = "file://" + os.path.abspath(spath)
+            for iflat in range(offsets.shape[0]):
+                off, nb = (int(offsets[iflat, 0]),
+                           int(offsets[iflat, 1]))
+                if off == _SHARD_MISSING:
+                    continue
+                ipos = np.unravel_index(iflat, within)
+                gpos = tuple(s * w + i for s, w, i
+                             in zip(spos, within, ipos))
+                key = ".".join(str(i) for i in gpos)
+                refs[f"{name}/{key}"] = [url, off, nb]
+                n_refs += 1
+    with open(refs_path, "w") as f:
+        json.dump({"version": 1, "refs": refs}, f)
+    return n_refs
+
+
 # ---- unchunk (xcube/core/unchunk.py parity) -----------------------------
 
 #: driver-side assembly guard: unchunking materializes the WHOLE array
