@@ -95,6 +95,14 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
     "cube_zarr_sharded_ingest",
     "cube_zarr_sharded_virtual",
     "doc_cardinality_hll",

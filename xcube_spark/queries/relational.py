@@ -497,3 +497,233 @@ def q21_waiting_supplier(spark, sf_dir):
     existence joins are linear in lineitem."""
     return _run_tpch_sql(
         spark, sf_dir, _Q21_SQL, ["supplier", "lineitem", "orders"])
+
+
+# ---- round-8 additions: the remaining partsupp-free TPC-H shapes -------
+#
+# Shared-dialect SQL: the text IS the oracle (both engines run it
+# verbatim), so correctness pins Catalyst's decorrelation / join
+# planning against DuckDB's.  Canonical predicates are adapted to the
+# driver schema (no partsupp/shipmode/comment columns; synthetic
+# NATION_x / widget-noun dimension values).
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume
+        FROM supplier s JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+           OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_volume_shipping", sql=_Q7_SQL)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between two nations): a 6-way
+    join where BOTH nation legs broadcast and the symmetric
+    two-nation predicate prunes before the orders join; the only
+    corpus shuffles are lineitem->orders->customer on their keys."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q7_SQL,
+        ["supplier", "lineitem", "orders", "customer", "nation"])
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DOUBLE) END)
+                 / SUM(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n2.n_name AS nation
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+"""
+
+
+@query("q8_market_share", sql=_Q8_SQL)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): the deepest join tree
+    in the suite — part/supplier/nation/region all broadcast, the
+    lineitem->orders->customer chain shuffles once per key, and the
+    share is a conditional-over-total aggregate (two sums, one
+    pass).  Ratio rounded to 6: each sum's cross-engine order noise
+    is ~1e-16 relative, far below the boundary."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q8_SQL,
+        ["part", "lineitem", "supplier", "orders", "customer",
+         "nation", "region"])
+
+
+_Q9_SQL = """
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - CAST(0.6 AS DOUBLE) * p.p_retailprice * l.l_quantity
+                   AS amount
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+    ) profit
+    GROUP BY nation, o_year
+"""
+
+
+@query("q9_product_profit", sql=_Q9_SQL)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product type profit; the schema has no
+    partsupp, so supply cost is restated from p_retailprice): LIKE
+    pushdown on the part dim before it broadcasts, profit as one
+    projection, group by (nation, year)."""
+    return _run_tpch_sql(
+        spark, sf_dir, _Q9_SQL,
+        ["part", "lineitem", "supplier", "orders", "nation"])
+
+
+_Q13_SQL = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+"""
+
+
+@query("q13_customer_distribution", sql=_Q13_SQL)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order distribution): LEFT OUTER join
+    with an ON-clause filter (customers with zero matching orders
+    must survive with c_count = 0), then a histogram of counts — two
+    aggregations, the second over a key space of |distinct counts|."""
+    return _run_tpch_sql(spark, sf_dir, _Q13_SQL,
+                         ["customer", "orders"])
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           ROUND(r.total_revenue, 2) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("q15_top_supplier", sql=_Q15_SQL)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue CTE is referenced
+    twice — once joined, once under MAX — and Catalyst plans the
+    scalar subquery as its own aggregate with the equality applied as
+    a post-join filter (no per-row re-execution)."""
+    return _run_tpch_sql(spark, sf_dir, _Q15_SQL,
+                         ["lineitem", "supplier"])
+
+
+_Q17_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("q17_small_quantity", sql=_Q17_SQL)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar AVG per part, decorrelated into a partkey aggregate joined
+    back — the lineitem table is read twice but shuffled on the same
+    key both times.  The 0.2*AVG threshold is a single deterministic
+    float expression on both engines (integer quantities, exact
+    sums), so the comparison cannot flake."""
+    return _run_tpch_sql(spark, sf_dir, _Q17_SQL,
+                         ["lineitem", "part"])
+
+
+_Q19_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@query("q19_discounted_revenue", sql=_Q19_SQL)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): the OR-of-ANDs predicate
+    spanning both join sides — Catalyst extracts the common
+    join-key equality and pushes the disjunction's single-side
+    conjuncts (brand/size to the part scan, quantity to lineitem) so
+    neither side scans full before the join."""
+    return _run_tpch_sql(spark, sf_dir, _Q19_SQL,
+                         ["lineitem", "part"])
+
+
+_Q22_SQL = """
+    SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_nationkey % 7 AS INT) AS cntrycode, c.c_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                  SELECT AVG(c2.c_acctbal) FROM customer c2
+                  WHERE c2.c_acctbal > CAST(0.0 AS DOUBLE))
+          AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+    ) custsale
+    GROUP BY cntrycode
+"""
+
+
+@query("q22_global_sales_opportunity", sql=_Q22_SQL)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity; country code =
+    nationkey mod 7, the schema's stand-in for phone prefixes): an
+    uncorrelated scalar AVG threshold plus NOT EXISTS -> LEFT ANTI
+    join against orders — customers with no RECENT orders (the dense
+    synthetic order history leaves no orderless customers) and
+    above-average balances, grouped over 7 codes."""
+    return _run_tpch_sql(spark, sf_dir, _Q22_SQL,
+                         ["customer", "orders"])
