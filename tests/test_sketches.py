@@ -178,3 +178,61 @@ def test_cms_build_state_is_bounded(spark):
     assert total == 4 * 5000  # every occurrence updates every row
     with pytest.raises(ValueError):
         cms_build(grams, w=1000)
+
+
+def test_streaming_hll_sink_matches_batch(spark, tmp_path):
+    """run_incremental_hll_stream: the final register table after two
+    micro-batches is bit-identical to the single-pass state; the
+    estimate matches hll_cardinality over the full set."""
+    from xcube_spark.pipeline.sketches import hll_estimate
+    from xcube_spark.streaming.sketch_sink import (
+        run_incremental_hll_stream)
+
+    rows = [(i, f"text {i % 37}") for i in range(80)]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "hll_src")
+    all_docs.where("doc_id < 40").coalesce(1).write.parquet(
+        src + "/part=a")
+    all_docs.where("doc_id >= 40").coalesce(1).write.parquet(
+        src + "/part=b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_incremental_hll_stream(
+        stream, str(tmp_path / "hll_state"),
+        str(tmp_path / "hll_ckpt"), col="text", p=8)
+    got = hll_estimate(state, p=8).collect()[0]
+    want = hll_cardinality(all_docs, "text", p=8).collect()[0]
+    assert (got.estimate, got.raw_estimate, got.n_zero_registers) == \
+        (want.estimate, want.raw_estimate, want.n_zero_registers)
+
+
+def test_streaming_cms_sink_matches_batch(spark, tmp_path):
+    """run_incremental_cms_stream: merged counters equal the
+    single-pass sketch cell-for-cell (the exactly-once guard is
+    load-bearing for + merges)."""
+    from xcube_spark.pipeline.sketches import cms_build
+    from xcube_spark.streaming.sketch_sink import (
+        run_incremental_cms_stream)
+
+    rows = [(i, f"g{i % 13}") for i in range(90)]
+    grams = spark.createDataFrame(rows, "doc_id long, ngram string")
+    src = str(tmp_path / "cms_src")
+    grams.where("doc_id < 45").coalesce(1).write.parquet(src + "/p=a")
+    grams.where("doc_id >= 45").coalesce(1).write.parquet(src + "/p=b")
+    stream = (
+        spark.readStream.schema("doc_id long, ngram string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_incremental_cms_stream(
+        stream, str(tmp_path / "cms_state"),
+        str(tmp_path / "cms_ckpt"), d=4, w=256)
+    got = {(r.row, r.pos): r.cnt for r in state.collect()}
+    want = {(r.row, r.pos): r.cnt
+            for r in cms_build(grams, d=4, w=256).collect()}
+    assert got == want

@@ -45,7 +45,13 @@ __all__ = [
     "bloom_decontaminate",
     "weighted_sample",
     "cms_build",
+    "cms_merge",
+    "cms_top_k",
+    "ngram_occurrences",
     "cms_heavy_hitters",
+    "hll_state",
+    "hll_merge",
+    "hll_estimate",
 ]
 
 #: rho window width in bits: 13 hex chars of the md5 after the
@@ -103,21 +109,48 @@ def hll_cardinality(
     reproduces the estimate exactly (the correctness gate needs
     value-identical output, not just statistically-similar output).
     """
+    return hll_estimate(hll_state(df, col, p), p)
+
+
+def hll_state(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The HLL register table ``(reg, rho)`` for one input — the
+    sketch STATE.  Registers merge by ``max(rho)``, which is
+    associative, commutative and idempotent, so incremental
+    maintenance (:func:`hll_merge`) is exactly equivalent to a
+    single-pass recompute — not just statistically, value-for-value."""
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError("p must be a multiple of 4 in [4, 16]")
-    m = 1 << p
     nhex = p // 4
-    alpha_m2 = _hll_alpha(m) * m * m  # one python-float literal
-
     h = F.md5(F.col(col).cast("string"))
     idx = F.conv(F.substring(h, 1, nhex), 16, 10).cast("long")
     w = F.conv(F.substring(h, nhex + 1, 13), 16, 10).cast("long")
-    regs = (
+    return (
         df.select(idx.alias("reg"), w.alias("w"))
         .withColumn("rho", F.expr(_rho_sql("w")))
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_merge(state: DataFrame, df: DataFrame, col: str,
+              p: int = 8) -> DataFrame:
+    """Fold a new batch into an HLL register state: union + max.
+    Cost is one batch-sized scan plus a <= m-row merge — independent
+    of how much corpus the state already summarizes."""
+    return (
+        state.unionByName(hll_state(df, col, p))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
+    """Finalize a register state into the one-row estimate (see
+    :func:`hll_cardinality` for the output columns)."""
+    if p % 4 != 0 or not 4 <= p <= 16:
+        raise ValueError("p must be a multiple of 4 in [4, 16]")
+    m = 1 << p
+    alpha_m2 = _hll_alpha(m) * m * m  # one python-float literal
     # integer harmonic accumulator: each register adds 2^(53 - rho)
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_regs"),
@@ -437,13 +470,22 @@ def cms_heavy_hitters(
     """
     from xcube_spark.pipeline.curation import ngrams
 
-    toks = corpus.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .alias("__tok"),
+    sketch = cms_build(
+        ngram_occurrences(corpus, text_col, n), "ngram", d=d, w=w)
+    cands = (
+        ngrams(corpus.where(F.col("doc_id") % candidate_mod == 0),
+               text_col, n)
+        .select("ngram").distinct()
     )
-    # all gram OCCURRENCES (ngrams() dedups per doc — rebuild without
-    # the distinct, reusing its codegen posexplode+lead shape)
+    return cms_top_k(sketch, cands, k=k, d=d, w=w)
+
+
+def ngram_occurrences(corpus: DataFrame, text_col: str = "text",
+                      n: int = 2) -> DataFrame:
+    """Every word n-gram OCCURRENCE per doc (the stream a CMS counts;
+    :func:`~xcube_spark.pipeline.curation.ngrams` dedups per doc —
+    this reuses its codegen posexplode+lead shape without the
+    distinct)."""
     from pyspark.sql import Window as W
 
     pos_toks = corpus.select(
@@ -455,7 +497,7 @@ def cms_heavy_hitters(
     parts = [F.col("__tok")] + [
         F.lead("__tok", j).over(wspec) for j in range(1, n)
     ]
-    occurrences = (
+    return (
         pos_toks.select(
             "doc_id",
             F.concat_ws(" ", *parts).alias("ngram"),
@@ -464,14 +506,14 @@ def cms_heavy_hitters(
         .where(F.col("__full").isNotNull())
         .select("doc_id", "ngram")
     )
-    sketch = cms_build(occurrences, "ngram", d=d, w=w)
 
-    cands = (
-        ngrams(corpus.where(F.col("doc_id") % candidate_mod == 0),
-               text_col, n)
-        .select("ngram").distinct()
-    )
-    probes = cands.select(
+
+def cms_top_k(sketch: DataFrame, candidates: DataFrame, k: int = 20,
+              d: int = 4, w: int = 1 << 10) -> DataFrame:
+    """Probe a CMS state with candidate grams (min over the d rows —
+    the CMS upper bound) and return the k largest estimates, gram
+    tie-break."""
+    probes = candidates.select(
         "ngram",
         F.explode(F.array(*[
             F.struct(
@@ -490,4 +532,17 @@ def cms_heavy_hitters(
         est.orderBy(F.col("est_count").desc(), F.col("ngram"))
         .limit(k)
         .select("ngram", "est_count")
+    )
+
+
+def cms_merge(state: DataFrame, grams: DataFrame,
+              gram_col: str = "ngram", d: int = 4,
+              w: int = 1 << 10) -> DataFrame:
+    """Fold a new gram batch into a CMS state: union + sum.  Counter
+    addition is associative and commutative, so the merged sketch is
+    value-identical to rebuilding over the full stream."""
+    return (
+        state.unionByName(cms_build(grams, gram_col, d=d, w=w))
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
     )

@@ -107,6 +107,8 @@ PRIORITY_ORDER = (
     "cube_zarr_sharded_virtual",
     "doc_cardinality_hll",
     "doc_heavy_hitters_cms",
+    "doc_incremental_cardinality",
+    "doc_incremental_heavy_hitters",
     "doc_bloom_decontaminate",
     "doc_weighted_sample",
     "cube_reproject_eck4",

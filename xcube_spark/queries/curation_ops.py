@@ -682,3 +682,80 @@ def doc_heavy_hitters_cms(spark, sf_dir):
     return cms_heavy_hitters(tbl(spark, sf_dir, "documents"),
                              n=2, k=20, d=4, w=1 << 10,
                              candidate_mod=11)
+
+
+@query(
+    "doc_incremental_cardinality",
+    sql=hll_sql("text", "documents", p=8),
+)
+def doc_incremental_cardinality(spark, sf_dir):
+    """hll_state/hll_merge (pipeline/sketches.py): the corpus is
+    split into an 'already processed' part (doc_id < 400) whose HLL
+    register state is built once, and a 'new batch' folded in with a
+    union + max merge — O(batch) work, m rows of state.  The oracle
+    is the SINGLE-PASS HyperLogLog over everything: passing means
+    incremental maintenance is value-identical to recomputation
+    (register max-merge is associative/commutative/idempotent), the
+    whole contract."""
+    from xcube_spark.pipeline.sketches import (hll_estimate, hll_merge,
+                                               hll_state)
+
+    docs = tbl(spark, sf_dir, "documents")
+    cut = 400
+    state = hll_state(docs.where(F.col("doc_id") < cut), "text", p=8)
+    merged = hll_merge(state, docs.where(F.col("doc_id") >= cut),
+                       "text", p=8)
+    return hll_estimate(merged, p=8)
+
+
+@query(
+    "doc_incremental_heavy_hitters",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), occ AS (
+            SELECT doc_id, lst[i + 1] || ' ' || lst[i + 2] AS ngram
+            FROM toks, unnest(range(len(lst) - 1)) AS u(i)
+            WHERE len(lst) >= 2
+        ), sketch AS (
+            SELECT row, pos, COUNT(*) AS cnt
+            FROM ({_CMS_UPDATES})
+            GROUP BY row, pos
+        ), cands AS (
+            SELECT DISTINCT ngram FROM occ WHERE doc_id % 11 = 0
+        ), probes AS (
+            {_CMS_PROBES}
+        ), est AS (
+            SELECT ngram, MIN(cnt) AS est_count
+            FROM probes JOIN sketch USING (row, pos)
+            GROUP BY ngram
+        )
+        SELECT ngram, est_count
+        FROM est
+        ORDER BY est_count DESC, ngram
+        LIMIT 20
+    """,
+)
+def doc_incremental_heavy_hitters(spark, sf_dir):
+    """cms_build/cms_merge (pipeline/sketches.py): the bigram stream
+    is split at doc_id 400, the old part's counters built once and
+    the new batch merged with a union + sum (counter addition is
+    exact, so the merged sketch is value-identical to the single-pass
+    build — the oracle, same text as doc_heavy_hitters_cms)."""
+    from xcube_spark.pipeline.curation import ngrams
+    from xcube_spark.pipeline.sketches import (cms_build, cms_merge,
+                                               cms_top_k,
+                                               ngram_occurrences)
+
+    docs = tbl(spark, sf_dir, "documents")
+    cut = 400
+    state = cms_build(
+        ngram_occurrences(docs.where(F.col("doc_id") < cut), n=2))
+    merged = cms_merge(
+        state, ngram_occurrences(docs.where(F.col("doc_id") >= cut),
+                                 n=2))
+    cands = (
+        ngrams(docs.where(F.col("doc_id") % 11 == 0), "text", 2)
+        .select("ngram").distinct()
+    )
+    return cms_top_k(merged, cands, k=20)

@@ -1,0 +1,131 @@
+"""Streaming sketch maintenance: HyperLogLog registers and count-min
+counters as foreachBatch state sinks.
+
+Same architecture as :mod:`xcube_spark.streaming.dedup_sink` (atomic
+versioned publish + replay guard), but the state here is strictly
+sketch-sized — m registers / d*w counters — so a stream can summarize
+an unbounded corpus with kilobytes of state and O(batch) work per
+micro-batch.  Register max-merge is idempotent and counter add-merge
+is guarded by the batch-id pointer, so both sinks are exactly-once.
+
+Merging is value-exact, not approximate-exact: the published sketch
+after any sequence of micro-batches is bit-identical to the sketch of
+the concatenated stream (max/+ are associative and commutative and the
+hashing is md5-deterministic) — pinned by the batching-invariance
+tests and by the incremental gate queries whose oracle is the
+single-pass recompute.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xcube_spark.pipeline.sketches import (
+    cms_build,
+    cms_merge,
+    hll_merge,
+    hll_state,
+)
+
+HLL_STATE_SCHEMA = "reg BIGINT, rho INT"
+CMS_STATE_SCHEMA = "row INT, pos BIGINT, cnt BIGINT"
+
+
+def _pointer(state_dir: str) -> str:
+    return os.path.join(state_dir, "_CURRENT")
+
+
+def _current_version(state_dir: str) -> int | None:
+    ptr = _pointer(state_dir)
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return int(f.read().strip().lstrip("v"))
+    return None
+
+
+def _read_state(spark: SparkSession, state_dir: str,
+                schema: str) -> DataFrame:
+    version = _current_version(state_dir)
+    if version is not None:
+        return spark.read.parquet(os.path.join(state_dir, f"v{version}"))
+    return spark.createDataFrame([], schema)
+
+
+def _publish(state: DataFrame, state_dir: str, batch_id: int) -> None:
+    version = f"v{batch_id}"
+    state.write.mode("overwrite").parquet(
+        os.path.join(state_dir, version))
+    tmp = _pointer(state_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, _pointer(state_dir))
+
+
+def run_incremental_hll_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str = "text",
+    p: int = 8,
+) -> DataFrame:
+    """Drain a streaming DataFrame into an HLL register state with
+    ``Trigger.AvailableNow``; returns the final register table.
+    Replayed batches are skipped via the published-version guard
+    (max-merge is idempotent anyway, but the guard keeps the
+    version history linear)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        state = _read_state(spark, state_dir, HLL_STATE_SCHEMA)
+        _publish(hll_merge(state, batch_df, col, p), state_dir,
+                 batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(doc_stream.sparkSession, state_dir,
+                       HLL_STATE_SCHEMA)
+
+
+def run_incremental_cms_stream(
+    gram_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    gram_col: str = "ngram",
+    d: int = 4,
+    w: int = 1 << 10,
+) -> DataFrame:
+    """Drain a streaming DataFrame of gram occurrences into a CMS
+    counter state.  Counter addition is NOT idempotent, so the
+    version guard is load-bearing here: a replayed batch must not
+    double-count (the dedup-sink exactly-once argument)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        state = _read_state(spark, state_dir, CMS_STATE_SCHEMA)
+        _publish(cms_merge(state, batch_df, gram_col, d=d, w=w),
+                 state_dir, batch_id)
+
+    q = (
+        gram_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(gram_stream.sparkSession, state_dir,
+                       CMS_STATE_SCHEMA)
