@@ -2024,3 +2024,103 @@ def test_world_projection_query_grid_edge_margins():
         X2 + Y2 - 1.0 + np.sqrt(1.0 + 2.0 * (X2 - Y2)
                                 + (X2 + Y2) ** 2)) / (2.0 * Xn))
     check(lon, lat, lim=1.4e-3)
+
+
+def test_natearth_polynomial_and_proj4_cf(spark):
+    """PROJ:NATEARTH: the Column forward must match an independent
+    numpy statement of the Savric/Jenny/Patterson 2011 polynomials on
+    a lon/lat grid; roundtrip < 1e-9 deg; PROJ.4 +proj=natearth
+    normalizes to the canonical key; CF extension round-trips; a +R
+    form registers its own member."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+    B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+    R = 6378137.0
+
+    def xfac(p2):
+        return A[0] + p2 * (A[1] + p2 * (A[2] + p2 ** 3
+                                         * (A[3] + p2 * A[4])))
+
+    def yfac(p2):
+        return B[0] + p2 * (B[1] + p2 * p2
+                            * (B[2] + B[3] * p2 + B[4] * p2 * p2))
+
+    pts = [(lon, lat)
+           for lon in (-170.0, -85.0, -20.0, 40.0, 125.0, 179.0)
+           for lat in (-88.0, -45.0, -10.0, 0.0, 30.0, 72.0)]
+    got = _fwd_points(spark, "PROJ:NATEARTH", pts=pts)
+    for (lon, lat, px, py) in got:
+        phi = math.radians(lat)
+        p2 = phi * phi
+        assert abs(px - R * math.radians(lon) * xfac(p2)) < 1e-5, (lon, lat)
+        assert abs(py - R * phi * yfac(p2)) < 1e-5, (lon, lat)
+
+    fwd = get_transform("EPSG:4326", "PROJ:NATEARTH")
+    inv = get_transform("PROJ:NATEARTH", "EPSG:4326")
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    d = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                           "px", "py")
+    d = apply_transform_df(d, inv, F.col("px"), F.col("py"),
+                           "rlon", "rlat")
+    for r in d.collect():
+        assert abs(r.rlon - r.lon) < 1e-9
+        assert abs(r.rlat - r.lat) < 1e-9
+
+    assert resolve_proj4("+proj=natearth +a=6378137 +b=6378137") == \
+        "PROJ:NATEARTH"
+    attrs = cf_grid_mapping_attrs("PROJ:NATEARTH")
+    assert attrs["grid_mapping_name"] == "natural_earth"
+    assert crs_from_grid_mapping(attrs) == "PROJ:NATEARTH"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "PROJ:NATEARTH"
+    sph = resolve_proj4("+proj=natearth +R=6371007.0")
+    assert sph.startswith("PROJ:NATEARTH:")
+    _assert_same_transform(spark, sph, sph, pts=[(30.0, 40.0)])
+
+
+def test_natearth_query_grid_edge_margins():
+    """cube_reproject_natearth floor-boundary guard — numpy twin of
+    the staged inverse (same iteration count)."""
+    import numpy as np
+
+    from xcube_spark.queries.resampling_ops import _NATE
+
+    A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+    B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+    C = (B[0], 3 * B[1], 7 * B[2], 9 * B[3], 11 * B[4])
+    R = 6378137.0
+
+    def xfac(p2):
+        return A[0] + p2 * (A[1] + p2 * (A[2] + p2 ** 3
+                                         * (A[3] + p2 * A[4])))
+
+    def yfac(p2):
+        return B[0] + p2 * (B[1] + p2 * p2
+                            * (B[2] + B[3] * p2 + B[4] * p2 * p2))
+
+    def dy(p2):
+        return C[0] + p2 * (C[1] + p2 * p2
+                            * (C[2] + C[3] * p2 + C[4] * p2 * p2))
+
+    xs = _NATE.x_start + (np.arange(_NATE.width) + 0.5) * _NATE.x_res
+    ys = _NATE.y_start + (np.arange(_NATE.height) + 0.5) * _NATE.y_res
+    X, Y = np.meshgrid(xs, ys)
+    yn = Y / R
+    ph = yn.copy()
+    for _ in range(6):
+        q2 = ph * ph
+        ph = ph - (ph * yfac(q2) - yn) / dy(q2)
+    q2 = ph * ph
+    lon = np.degrees(X / (R * xfac(q2)))
+    lat = np.degrees(ph)
+    assert np.abs(lon).max() < 179.9
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 2e-3
+    assert np.minimum(fy, 1 - fy).min() > 2e-3

@@ -372,6 +372,20 @@ def resolve_proj4(text: str) -> str:
         table[key] = a
         return key
 
+    if proj == "natearth":
+        # Natural Earth polynomial (spherical only, like eck4 above);
+        # the canonical WGS84-semimajor member is PROJ:NATEARTH
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "natearth: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("natearth: spherical only (+R/+a)")
+        if a == R.NATEARTH_PARAMS["PROJ:NATEARTH"]:
+            return "PROJ:NATEARTH"
+        key = f"PROJ:NATEARTH:{a!r}".upper()
+        R.NATEARTH_PARAMS[key] = a
+        return key
+
     if proj == "geos":
         if "h" not in p:
             raise ValueError("geos requires +h (satellite height)")
@@ -586,7 +600,7 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, eck4, mill, vandg, ob_tran[longlat], cea, "
+        "sinu, moll, eck4, mill, vandg, natearth, ob_tran[longlat], cea, "
         "aeqd[sph], ortho[sph], eqc, omerc)")
 
 
@@ -710,7 +724,8 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "mollweide: nonzero longitude_of_projection_origin "
                 "not supported")
         p["proj"] = "moll"
-    elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten"):
+    elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten",
+                  "natural_earth"):
         # our writer's CF extension for the spherical world/atlas
         # projections (no CF appendix entry, like mollweide above)
         if num("longitude_of_projection_origin"):
@@ -719,7 +734,8 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "not supported")
         p["proj"] = {"eckert_iv": "eck4",
                      "miller_cylindrical": "mill",
-                     "van_der_grinten": "vandg"}[name]
+                     "van_der_grinten": "vandg",
+                     "natural_earth": "natearth"}[name]
     elif name in ("azimuthal_equidistant", "orthographic"):
         p["proj"] = "aeqd" if name == "azimuthal_equidistant" else "ortho"
         put("lat_0", num("latitude_of_projection_origin"))

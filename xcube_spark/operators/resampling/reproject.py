@@ -3728,6 +3728,146 @@ def moll_inverse_sql(x_expr: str, y_expr: str, crs: str) \
     return lon, phi
 
 
+# ---- Natural Earth (+proj=natearth) -----------------------------------
+#
+# The Savric/Jenny/Patterson compromise world projection (the
+# polynomial form, "A polynomial equation for the Natural Earth
+# projection", Cartography and GIS 38(4), 2011; PROJ +proj=natearth):
+#
+#   x = R lam (A0 + A1 p2 + A2 p4 + A3 p10 + A4 p12)
+#   y = R phi (B0 + B1 p2 + B2 p6 + B3 p8  + B4 p10)    (p2 = phi^2)
+#
+# Spherical only (no EPSG/authority code exists; the canonical member
+# runs on the WGS84 semimajor under the stable key PROJ:NATEARTH).
+# Inverse: fixed-count Newton on the odd y polynomial (derivative
+# coefficients 1/3/7/9/11 x B), then lam from the x polynomial.
+# No external control points exist for this CRS — the numerics are
+# pinned by the vendored coefficients themselves, a numpy twin test,
+# and the roundtrip property.
+
+_NE_A = (0.8707, -0.131979, -0.013791, 0.003971, -0.001529)
+_NE_B = (1.007226, 0.015085, -0.044475, 0.028874, -0.005916)
+_NE_C = (_NE_B[0], 3.0 * _NE_B[1], 7.0 * _NE_B[2],
+         9.0 * _NE_B[3], 11.0 * _NE_B[4])
+
+NATEARTH_PARAMS: dict[str, float] = {
+    "PROJ:NATEARTH": _R,
+}
+
+_NE_ITERS = 6
+
+
+def _ne_xfac(p2):
+    """x polynomial factor (Column), nested exactly as the SQL twin:
+    A0 + p2*(A1 + p2*(A2 + p2^3*(A3 + p2*A4)))."""
+    a0, a1, a2, a3, a4 = (F.lit(v) for v in _NE_A)
+    return a0 + p2 * (a1 + p2 * (a2 + p2 * p2 * p2
+                                 * (a3 + p2 * a4)))
+
+
+def _ne_yfac(p2):
+    b0, b1, b2, b3, b4 = (F.lit(v) for v in _NE_B)
+    return b0 + p2 * (b1 + p2 * p2 * (b2 + b3 * p2 + b4 * p2 * p2))
+
+
+def _ne_dy(p2):
+    c0, c1, c2, c3, c4 = (F.lit(v) for v in _NE_C)
+    return c0 + p2 * (c1 + p2 * p2 * (c2 + c3 * p2 + c4 * p2 * p2))
+
+
+def _lonlat_to_natearth_fn(crs: str) -> "StagedTransform":
+    r = NATEARTH_PARAMS[crs.upper()]
+
+    def s_phi(env):
+        return F.radians(env["__in_y"])
+
+    def out(env):
+        phi = env["__phi"]
+        p2 = phi * phi
+        x = F.lit(r) * F.radians(env["__in_x"]) * _ne_xfac(p2)
+        y = F.lit(r) * phi * _ne_yfac(p2)
+        return x, y
+
+    return StagedTransform([
+        {"__phi": s_phi},
+        {"__out_x": lambda env: out(env)[0],
+         "__out_y": lambda env: out(env)[1]},
+    ])
+
+
+def _natearth_to_lonlat_fn(crs: str) -> "StagedTransform":
+    r = NATEARTH_PARAMS[crs.upper()]
+
+    def s_yn(env):
+        return env["__in_y"] / F.lit(r)
+
+    def s_phi0(env):
+        return env["__yn"]  # y/R is within ~7% of phi everywhere
+
+    def step(env):
+        phi = env["__phi"]
+        p2 = phi * phi
+        return phi - (phi * _ne_yfac(p2) - env["__yn"]) / _ne_dy(p2)
+
+    def out_x(env):
+        phi = env["__phi"]
+        p2 = phi * phi
+        return F.degrees(
+            env["__in_x"] / (F.lit(r) * _ne_xfac(p2)))
+
+    def out_y(env):
+        return F.degrees(env["__phi"])
+
+    stages: list[dict] = [{"__yn": s_yn}, {"__phi": s_phi0}]
+    stages += [{"__phi": step} for _ in range(_NE_ITERS)]
+    stages += [{"__out_x": out_x, "__out_y": out_y}]
+    return StagedTransform(stages)
+
+
+def natearth_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                              src: str = "tgt") -> str:
+    """The SAME Natural Earth inverse as a chain of CTEs over ``src``
+    (for DuckDB oracles) — identical nesting and iteration count to
+    :func:`_natearth_to_lonlat_fn`.  Emits CTEs ``ne1..`` and finally
+    ``natearth_ll`` = ``src`` columns + ``lon``/``lat``."""
+    r = NATEARTH_PARAMS[crs.upper()]
+    a0, a1, a2, a3, a4 = _NE_A
+    b0, b1, b2, b3, b4 = _NE_B
+    c0, c1, c2, c3, c4 = _NE_C
+
+    def yfac(p2):
+        return (f"({b0!r} + {p2} * ({b1!r} + {p2} * {p2} "
+                f"* ({b2!r} + {b3!r} * {p2} + {b4!r} * {p2} * {p2})))")
+
+    def dy(p2):
+        return (f"({c0!r} + {p2} * ({c1!r} + {p2} * {p2} "
+                f"* ({c2!r} + {c3!r} * {p2} + {c4!r} * {p2} * {p2})))")
+
+    def xfac(p2):
+        return (f"({a0!r} + {p2} * ({a1!r} + {p2} * ({a2!r} "
+                f"+ {p2} * {p2} * {p2} * ({a3!r} + {p2} * {a4!r}))))")
+
+    iters = "".join(f"""), ne{3 + k} AS (
+            SELECT * EXCLUDE (__phi),
+                   (__phi - (__phi * {yfac('(__phi * __phi)')} - __yn)
+                    / {dy('(__phi * __phi)')}) AS __phi
+            FROM ne{2 + k}""" for k in range(_NE_ITERS))
+    n_last = 2 + _NE_ITERS
+    return f"""ne1 AS (
+            SELECT *, (CAST({y_expr} AS DOUBLE) / {r!r}) AS __yn,
+                   CAST({x_expr} AS DOUBLE) AS __xe
+            FROM {src}
+        ), ne2 AS (
+            SELECT *, __yn AS __phi FROM ne1
+        {iters}), natearth_ll AS (
+            SELECT * EXCLUDE (__yn, __xe, __phi),
+                   degrees(__xe / ({r!r}
+                       * {xfac('(__phi * __phi)')})) AS lon,
+                   degrees(__phi) AS lat
+            FROM ne{n_last}
+        )"""
+
+
 # ---- Eckert IV (World_Eckert_IV, ESRI:54012) --------------------------
 #
 # Equal-area pseudocylindrical world CRS (Snyder, An Album of Map
@@ -4158,6 +4298,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _moll_to_lonlat_fn(up)
     if up in ECK4_PARAMS:
         return _eck4_to_lonlat_fn(up)
+    if up in NATEARTH_PARAMS:
+        return _natearth_to_lonlat_fn(up)
     if up in MILL_PARAMS:
         return _mill_to_lonlat_fn(up)
     if up in VANDG_PARAMS:
@@ -4225,6 +4367,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _MollForward(up)
     if up in ECK4_PARAMS:
         return _Eck4Forward(up)
+    if up in NATEARTH_PARAMS:
+        return _lonlat_to_natearth_fn(up)
     if up in MILL_PARAMS:
         return _lonlat_to_mill_fn(up)
     if up in VANDG_PARAMS:

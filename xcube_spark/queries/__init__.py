@@ -112,6 +112,7 @@ PRIORITY_ORDER = (
     "doc_bloom_decontaminate",
     "doc_weighted_sample",
     "cube_reproject_eck4",
+    "cube_reproject_natearth",
     "cube_reproject_miller",
     "cube_reproject_vandg",
     "cube_reproject_ups",
@@ -207,7 +208,8 @@ def load_all() -> dict[str, Query]:
 #: family — flagship cube pipeline, temporal resample, event-time agg,
 #: relational star agg, the dedup family (exact / minhash / simhash /
 #: substring), text quality + fingerprint, multimodal byte features,
-#: vector knn (exact + PQ), and the as-of point-in-time join.
+#: vector knn (exact + PQ), the as-of point-in-time join, and the
+#: broadcast-bloom decontamination (sketch family).
 BENCH_SET = (
     "cube_select_timeseries",
     "cube_resample_time_2d",
@@ -223,4 +225,5 @@ BENCH_SET = (
     "emb_knn_cosine",
     "emb_knn_pq",
     "events_asof_value",
+    "doc_bloom_decontaminate",
 )

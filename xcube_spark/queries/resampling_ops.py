@@ -1685,3 +1685,55 @@ def cube_reproject_vandg(spark, sf_dir):
     (0, +-pi R), world boundary = circle of radius pi R."""
     out = reproject_dataset(_cube_a(spark), GRID, _VANDGG)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: Natural Earth (+proj=natearth) --------------------------
+
+from xcube_spark.operators.resampling.reproject import (
+    natearth_inverse_sql_ctes,
+)
+
+#: near-global Natural Earth window with off-round origin/steps:
+#: margin >= 2.8e-3 deg (asserted in tests/test_crsparse.py)
+_NATE = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-12_995_970.0, y_start=-7_044_268.0,
+                 x_res=641_237.0, y_res=351_111.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="PROJ:NATEARTH")
+
+_NATE_CTES = natearth_inverse_sql_ctes(
+    "(CAST(-12995970.0 AS DOUBLE) + (x_i + 0.5) * CAST(641237.0 AS DOUBLE))",
+    "(CAST(-7044268.0 AS DOUBLE) + (y_i + 0.5) * CAST(351111.0 AS DOUBLE))",
+    "PROJ:NATEARTH")
+
+
+@query(
+    "cube_reproject_natearth",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_NATE.size})
+        ), {_NATE_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM natearth_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_natearth(spark, sf_dir):
+    """reproject_dataset onto a Natural Earth grid (PROJ:NATEARTH —
+    no authority code exists; the Savric/Jenny/Patterson 2011
+    polynomial compromise projection, which the reference reaches
+    through pyproj's +proj=natearth).  Forward/inverse are pure
+    polynomial Column math (fixed 6-iteration Newton on the odd y
+    polynomial); the oracle states the identical inverse as a CTE
+    chain (natearth_inverse_sql_ctes, same op order and nesting)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _NATE)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
