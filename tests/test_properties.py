@@ -317,3 +317,77 @@ def test_int8_quantization_bounds(vec):
     assert all(-127 <= c <= 127 for c in codes)
     assert all(abs(c * scale - x) <= scale / 2 + 1e-9
                for c, x in zip(codes, vec))
+
+
+@given(n=st.integers(5, 60), cut=st.integers(1, 59),
+       seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_hll_merge_equals_single_pass(spark, n, cut, seed):
+    """For ANY split point, folding the second part into the first
+    part's registers is value-identical to the single-pass sketch
+    (max-merge associativity/commutativity/idempotence made
+    concrete)."""
+    from xcube_spark.pipeline.sketches import (hll_estimate, hll_merge,
+                                               hll_state)
+
+    cut = min(cut, n - 1) if n > 1 else 0
+    rows = [(i, f"v{(i * 2654435761 + seed) % (n * 2)}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    single = hll_estimate(hll_state(df, "text", p=4), p=4).collect()[0]
+    merged = hll_estimate(
+        hll_merge(hll_state(df.where(F.col("doc_id") < cut),
+                            "text", p=4),
+                  df.where(F.col("doc_id") >= cut), "text", p=4),
+        p=4).collect()[0]
+    assert (single.estimate, single.raw_estimate,
+            single.n_zero_registers) == \
+        (merged.estimate, merged.raw_estimate, merged.n_zero_registers)
+
+
+@given(n=st.integers(5, 60), cut=st.integers(1, 59),
+       seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_cms_merge_equals_single_pass(spark, n, cut, seed):
+    """Counter addition: the merged sketch equals the single-pass
+    sketch cell-for-cell at every split point."""
+    from xcube_spark.pipeline.sketches import cms_build, cms_merge
+
+    cut = min(cut, n - 1) if n > 1 else 0
+    rows = [(i, f"g{(i * 11400714819323198485 + seed) % 17}")
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, ngram string")
+    single = {(r.row, r.pos): r.cnt
+              for r in cms_build(df, d=2, w=64).collect()}
+    merged = {(r.row, r.pos): r.cnt for r in cms_merge(
+        cms_build(df.where(F.col("doc_id") < cut), d=2, w=64),
+        df.where(F.col("doc_id") >= cut), d=2, w=64).collect()}
+    assert single == merged
+
+
+@given(n_bench=st.integers(1, 20), n_corpus=st.integers(1, 40),
+       seed=st.integers(0, 10_000))
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, n_bench, n_corpus, seed):
+    """Any gram actually inserted into the bitmap must test positive
+    — for EVERY random gram set (the defining Bloom guarantee)."""
+    from xcube_spark.pipeline.sketches import (_bloom_pos,
+                                               bloom_filter_build)
+
+    grams = [(f"w{(i * 2654435761 + seed) % 1000} x{i}",)
+             for i in range(n_bench)]
+    gdf = spark.createDataFrame(grams, "ngram string")
+    bloom = bloom_filter_build(gdf, m_bits=1 << 12, k=3)
+    probe = gdf.crossJoin(F.broadcast(bloom))
+    hit = F.lit(True)
+    for i in range(3):
+        pos = _bloom_pos(F.col("ngram"), i, 1 << 12)
+        word = F.element_at(F.col("bloom"),
+                            ((pos / 64).cast("int") + F.lit(1)))
+        mask = F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))"
+            .format(p=f"(CAST(conv(substring(md5(concat(ngram, "
+                      f"'#bloom{i}')), 1, 15), 16, 10) AS BIGINT)"
+                      f" % {1 << 12})"))
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    assert probe.where(~hit).count() == 0
