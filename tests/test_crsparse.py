@@ -2124,3 +2124,103 @@ def test_natearth_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 2e-3
     assert np.minimum(fy, 1 - fy).min() > 2e-3
+
+
+def test_gnomonic_great_circles_are_straight(spark):
+    """Spherical gnomonic (Snyder ch. 22): any three points of a
+    great circle must project to COLLINEAR map points — the defining
+    property.  Checked for several great circles through the
+    projection center's hemisphere; plus roundtrip, proj4 and CF
+    resolution."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    key = resolve_proj4("+proj=gnom +lat_0=40 +lon_0=-100 +R=6371000")
+    assert key.startswith("PROJ:GNOM:")
+
+    # great circle through A and B: sample 3 points by slerp
+    def slerp(a, b, t):
+        av = np.array([math.cos(math.radians(a[1]))
+                       * math.cos(math.radians(a[0])),
+                       math.cos(math.radians(a[1]))
+                       * math.sin(math.radians(a[0])),
+                       math.sin(math.radians(a[1]))])
+        bv = np.array([math.cos(math.radians(b[1]))
+                       * math.cos(math.radians(b[0])),
+                       math.cos(math.radians(b[1]))
+                       * math.sin(math.radians(b[0])),
+                       math.sin(math.radians(b[1]))])
+        om = math.acos(float(np.clip(av @ bv, -1, 1)))
+        v = (math.sin((1 - t) * om) * av + math.sin(t * om) * bv) \
+            / math.sin(om)
+        return (math.degrees(math.atan2(v[1], v[0])),
+                math.degrees(math.asin(v[2])))
+
+    arcs = [((-130.0, 20.0), (-70.0, 55.0)),
+            ((-120.0, 60.0), (-80.0, 15.0)),
+            ((-140.0, 45.0), (-60.0, 40.0))]
+    pts = []
+    for a, b in arcs:
+        pts += [slerp(a, b, t) for t in (0.15, 0.5, 0.85)]
+    got = _fwd_points(spark, key, pts=pts)
+    by = {(round(p[0], 9), round(p[1], 9)): (p[2], p[3]) for p in got}
+    for a, b in arcs:
+        tri = [by[(round(v[0], 9), round(v[1], 9))]
+               for v in (slerp(a, b, 0.15), slerp(a, b, 0.5),
+                         slerp(a, b, 0.85))]
+        (x1, y1), (x2, y2), (x3, y3) = tri
+        cross = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+        span2 = ((x3 - x1) ** 2 + (y3 - y1) ** 2)
+        assert abs(cross) / span2 < 1e-6, (a, b, cross)
+
+    # roundtrip
+    fwd = get_transform("EPSG:4326", key)
+    inv = get_transform(key, "EPSG:4326")
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    d = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"),
+                           "px", "py")
+    d = apply_transform_df(d, inv, F.col("px"), F.col("py"),
+                           "rlon", "rlat")
+    for r in d.collect():
+        assert abs(r.rlon - r.lon) < 1e-9
+        assert abs(r.rlat - r.lat) < 1e-9
+
+    # far hemisphere is NaN
+    far = _fwd_points(spark, key, pts=[(80.0, -40.0)])
+    import math as _m
+    assert _m.isnan(far[0][2]) and _m.isnan(far[0][3])
+
+    attrs = cf_grid_mapping_attrs(key)
+    assert attrs["grid_mapping_name"] == "gnomonic"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == key
+
+
+def test_gnomonic_query_grid_edge_margins():
+    """cube_reproject_gnomonic floor-boundary guard — numpy twin."""
+    import math
+
+    import numpy as np
+
+    from xcube_spark.queries.resampling_ops import _GNOM
+
+    R, lat0, lon0 = 6371000.0, 40.0, -100.0
+    sp0 = math.sin(math.radians(lat0))
+    cp0 = math.cos(math.radians(lat0))
+    xs = _GNOM.x_start + (np.arange(_GNOM.width) + 0.5) * _GNOM.x_res
+    ys = _GNOM.y_start + (np.arange(_GNOM.height) + 0.5) * _GNOM.y_res
+    X, Y = np.meshgrid(xs, ys)
+    rho = np.sqrt(X * X + Y * Y)
+    c = np.arctan(rho / R)
+    lat = np.degrees(np.arcsin(np.cos(c) * sp0
+                               + Y * np.sin(c) * cp0 / rho))
+    lon = lon0 + np.degrees(np.arctan2(
+        X * np.sin(c), rho * cp0 * np.cos(c) - Y * sp0 * np.sin(c)))
+    fx = (lon + 180.0) % 1.0
+    fy = (lat + 90.0) % 1.0
+    assert np.minimum(fx, 1 - fx).min() > 1.5e-3
+    assert np.minimum(fy, 1 - fy).min() > 1.5e-3

@@ -399,12 +399,13 @@ def resolve_proj4(text: str) -> str:
             R.GEOS_PARAMS, "geos",
             (float(p["h"]), _num(p, "lon_0"), sweep == "x", a, rf))
 
-    if proj in ("aeqd", "ortho"):
+    if proj in ("aeqd", "ortho", "gnom"):
         if not math.isinf(rf):
             raise NotImplementedError(
                 f"{proj}: spherical only (+R or +a with no "
                 "flattening); the ellipsoidal form needs geodesics")
-        table = R.AEQD_PARAMS if proj == "aeqd" else R.ORTHO_PARAMS
+        table = {"aeqd": R.AEQD_PARAMS, "ortho": R.ORTHO_PARAMS,
+                 "gnom": R.GNOM_PARAMS}[proj]
         return _register(
             table, proj,
             (a, _num(p, "lat_0"), _num(p, "lon_0"),
@@ -601,7 +602,7 @@ def resolve_proj4(text: str) -> str:
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
         "sinu, moll, eck4, mill, vandg, natearth, ob_tran[longlat], cea, "
-        "aeqd[sph], ortho[sph], eqc, omerc)")
+        "aeqd[sph], ortho[sph], gnom[sph], eqc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -736,8 +737,10 @@ def crs_from_cf(attrs: Mapping) -> str:
                      "miller_cylindrical": "mill",
                      "van_der_grinten": "vandg",
                      "natural_earth": "natearth"}[name]
-    elif name in ("azimuthal_equidistant", "orthographic"):
-        p["proj"] = "aeqd" if name == "azimuthal_equidistant" else "ortho"
+    elif name in ("azimuthal_equidistant", "orthographic", "gnomonic"):
+        p["proj"] = {"azimuthal_equidistant": "aeqd",
+                     "orthographic": "ortho",
+                     "gnomonic": "gnom"}[name]
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
     elif name == "oblique_mercator":

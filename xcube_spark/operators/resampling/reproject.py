@@ -1554,6 +1554,72 @@ def _ortho_to_lonlat_fn(crs: str) -> ColumnTransform:
     return inv
 
 
+#: crs -> (R, lat0, lon0, false easting, false northing)
+GNOM_PARAMS: dict[str, tuple] = {}
+
+
+def _lonlat_to_gnom_fn(crs: str) -> ColumnTransform:
+    """Spherical gnomonic forward (Snyder ch. 22): k' = 1 / cos c —
+    every great circle maps to a straight line (the defining
+    property, pinned by tests); the far hemisphere and the horizon
+    circle (cos c <= 0) are not on the map (NaN)."""
+    c = _azi_consts(GNOM_PARAMS, crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        dl = F.radians(lon - F.lit(c["lon0"]))
+        phi = F.radians(lat)
+        cosc = (F.lit(c["sp0"]) * F.sin(phi)
+                + F.lit(c["cp0"]) * F.cos(phi) * F.cos(dl))
+        nan = F.lit(float("nan"))
+        x = F.lit(c["fe"]) + F.lit(c["r"]) * F.cos(phi) * F.sin(dl) / cosc
+        y = F.lit(c["fn"]) + F.lit(c["r"]) * (
+            F.lit(c["cp0"]) * F.sin(phi)
+            - F.lit(c["sp0"]) * F.cos(phi) * F.cos(dl)) / cosc
+        vis = cosc > 0.0
+        return F.when(vis, x).otherwise(nan), \
+            F.when(vis, y).otherwise(nan)
+
+    return fwd
+
+
+def _gnom_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _azi_consts(GNOM_PARAMS, crs)
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yn = y - F.lit(c["fn"])
+        rho = F.sqrt(xe * xe + yn * yn)
+        cang = F.atan(rho / F.lit(c["r"]))  # c = atan(rho/R), 22-16
+        phi = F.when(rho == 0.0, F.asin(F.lit(c["sp0"]))).otherwise(
+            F.asin(F.cos(cang) * F.lit(c["sp0"])
+                   + yn * F.sin(cang) * F.lit(c["cp0"]) / rho))
+        lam = F.when(rho == 0.0, F.lit(0.0)).otherwise(
+            F.atan2(xe * F.sin(cang),
+                    rho * F.lit(c["cp0"]) * F.cos(cang)
+                    - yn * F.lit(c["sp0"]) * F.sin(cang)))
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def gnom_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME spherical gnomonic inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_gnom_to_lonlat_fn`."""
+    c = _azi_consts(GNOM_PARAMS, crs)
+    xe = f"(({x_expr}) - {c['fe']!r})"
+    yn = f"(({y_expr}) - {c['fn']!r})"
+    rho = f"sqrt({xe} * {xe} + {yn} * {yn})"
+    cang = f"atan({rho} / {c['r']!r})"
+    phi = (f"(CASE WHEN {rho} = 0.0 THEN asin({c['sp0']!r}) ELSE "
+           f"asin(cos({cang}) * {c['sp0']!r} + {yn} * sin({cang})"
+           f" * {c['cp0']!r} / {rho}) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xe} * sin({cang}), {rho} * {c['cp0']!r}"
+           f" * cos({cang}) - {yn} * {c['sp0']!r} * sin({cang})) END)")
+    return (f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})")
+
+
 def _eqc_consts(crs: str) -> dict:
     a, rf, lat_ts, lon0, fe, fn = EQC_PARAMS[crs.upper()]
     phi1 = math.radians(lat_ts)
@@ -4300,6 +4366,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _eck4_to_lonlat_fn(up)
     if up in NATEARTH_PARAMS:
         return _natearth_to_lonlat_fn(up)
+    if up in GNOM_PARAMS:
+        return _gnom_to_lonlat_fn(up)
     if up in MILL_PARAMS:
         return _mill_to_lonlat_fn(up)
     if up in VANDG_PARAMS:
@@ -4369,6 +4437,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _Eck4Forward(up)
     if up in NATEARTH_PARAMS:
         return _lonlat_to_natearth_fn(up)
+    if up in GNOM_PARAMS:
+        return _lonlat_to_gnom_fn(up)
     if up in MILL_PARAMS:
         return _lonlat_to_mill_fn(up)
     if up in VANDG_PARAMS:

@@ -113,6 +113,7 @@ PRIORITY_ORDER = (
     "doc_weighted_sample",
     "cube_reproject_eck4",
     "cube_reproject_natearth",
+    "cube_reproject_gnomonic",
     "cube_reproject_miller",
     "cube_reproject_vandg",
     "cube_reproject_ups",

@@ -1737,3 +1737,60 @@ def cube_reproject_natearth(spark, sf_dir):
     chain (natearth_inverse_sql_ctes, same op order and nesting)."""
     out = reproject_dataset(_cube_a(spark), GRID, _NATE)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: spherical gnomonic local grid ---------------------------
+
+from xcube_spark.operators.resampling.crsparse import resolve_proj4
+from xcube_spark.operators.resampling.reproject import gnom_inverse_sql
+
+_GNOM_CRS = resolve_proj4("+proj=gnom +lat_0=40 +lon_0=-100 +R=6371000")
+
+#: off-round origin/steps keep every re-projected center >= 1.7e-3 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_GNOM = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-2_986_209.0, y_start=-2_472_081.0,
+                 x_res=150_017.0, y_res=125_013.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs=_GNOM_CRS)
+
+_GNOM_LON, _GNOM_LAT = gnom_inverse_sql(
+    "(-2986209.0 + (x_i + 0.5) * 150017.0)",
+    "(-2472081.0 + (y_i + 0.5) * 125013.0)", _GNOM_CRS)
+
+
+@query(
+    "cube_reproject_gnomonic",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_GNOM.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_GNOM_LON} AS lon,
+                   {_GNOM_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_gnomonic(spark, sf_dir):
+    """reproject_dataset onto a spherical gnomonic local grid (Snyder
+    ch. 22) — great circles map to straight lines (the property
+    navigation/seismic products use it for; pinned by a collinearity
+    test), reference reaches it via pyproj +proj=gnom.  The oracle
+    states the identical inverse in SQL (gnom_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _GNOM)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))

@@ -665,11 +665,16 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
         else:
             out["semi_minor_axis"] = a
         return out
-    if code in R.AEQD_PARAMS or code in R.ORTHO_PARAMS:
+    if code in R.AEQD_PARAMS or code in R.ORTHO_PARAMS \
+            or code in R.GNOM_PARAMS:
+        # gnomonic has no CF appendix entry; like the world atlas
+        # projections the writer uses the descriptive method name
         table = (R.AEQD_PARAMS if code in R.AEQD_PARAMS
-                 else R.ORTHO_PARAMS)
+                 else R.ORTHO_PARAMS if code in R.ORTHO_PARAMS
+                 else R.GNOM_PARAMS)
         name = ("azimuthal_equidistant" if code in R.AEQD_PARAMS
-                else "orthographic")
+                else "orthographic" if code in R.ORTHO_PARAMS
+                else "gnomonic")
         r, lat0, lon0, fe, fn = table[code]
         return {"grid_mapping_name": name,
                 "latitude_of_projection_origin": lat0,
