@@ -1266,3 +1266,25 @@ def test_virtualize_sharded_store_refs(spark, tmp_path):
     assert cube.exceptAll(back.select(*cube.columns)).count() == 0
     assert (back.where(F.col("B").isNull()).count()
             == cube.where(F.col("B").isNull()).count())
+
+
+def test_sharded_open_uses_inner_chunk_granularity(spark, tmp_path):
+    """open_zarr_cube over a sharded store: cell_bounds subset reads
+    decode only intersecting INNER chunks (values identical to the
+    full open's subset), and a shard missing entirely decodes as
+    fill."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.new import new_cube
+    from xcube_spark.sources.zarrio import open_zarr_cube, write_zarr_cube
+
+    grid = _small_grid()  # chunks (1, 4, 5) over (2, 6, 12)
+    cube = new_cube(spark, grid, {"A": "CAST(t_i AS DOUBLE) + 0.25 * x_i"})
+    path = str(tmp_path / "sub.zarr")
+    write_zarr_cube(cube, path, grid, zarr_format=3, shards=(2, 8, 10))
+    sub = open_zarr_cube(spark, path,
+                         cell_bounds={"x_i": (2, 6), "y_i": (1, 3)})
+    want = cube.where("x_i BETWEEN 2 AND 6 AND y_i BETWEEN 1 AND 3")
+    assert sub.count() == want.count()
+    assert want.select("t_i", "y_i", "x_i", "A").exceptAll(
+        sub.select("t_i", "y_i", "x_i", "A")).count() == 0

@@ -1068,13 +1068,78 @@ def open_zarr_cube(
     ranges) to prune chunk ids in the tiny range table — only
     intersecting chunks are ever fetched, and the exact cell filter is
     re-applied after decode (IO proportional to the subset, the
-    reference's lazy-open promise)."""
+    reference's lazy-open promise).
+
+    **Sharded stores** open at INNER-chunk granularity: the driver
+    reads just the shard indexes (metadata-scale tail range reads)
+    and rewrites each data variable to its inner chunk grid with a
+    byte-range fetch into the shard objects — so scan parallelism and
+    cell_bounds pruning follow the fine chunk grid, not the shard
+    grid, and a subset read never decodes a whole shard."""
     arrays = read_store(path)
+    if any(m.sharding is not None for m in arrays.values()):
+        arrays, fetch = _sharded_as_ranged(path, arrays)
+        return _open_cells(spark, arrays, fetch, var_names, path,
+                           cell_bounds)
 
     def fetch(key: str) -> bytes | None:
         return _read_bytes(os.path.join(path, key))
 
     return _open_cells(spark, arrays, fetch, var_names, path, cell_bounds)
+
+
+def _sharded_as_ranged(path: str, arrays: dict[str, ZarrArray]):
+    """Rewrite sharded arrays onto their inner chunk grids and return
+    a ranged fetch: chunk key -> (shard file, offset, nbytes) looked
+    up from the shard indexes (read ONCE on the driver, payloads
+    untouched).  Unsharded arrays pass through to plain file reads."""
+    from dataclasses import replace
+
+    ranges: dict[str, tuple[str, int, int]] = {}
+    out: dict[str, ZarrArray] = {}
+    for name, meta in arrays.items():
+        if meta.sharding is None:
+            out[name] = meta
+            continue
+        inner = tuple(meta.sharding["inner_chunks"])
+        within = tuple(s // i for s, i in zip(meta.chunks, inner))
+        shard_counts = meta.chunk_counts()
+        flat_meta = replace(meta, chunks=inner, sharding=None)
+        out[name] = flat_meta
+        adir = os.path.join(path, name)
+        for flat in range(int(np.prod(shard_counts))):
+            spos = np.unravel_index(flat, shard_counts)
+            spath = os.path.join(adir, meta.chunk_key(*spos))
+            if not os.path.exists(spath):
+                continue
+            offsets = _read_shard_index(spath, meta)
+            for iflat in range(offsets.shape[0]):
+                off, nb = (int(offsets[iflat, 0]),
+                           int(offsets[iflat, 1]))
+                if off == _SHARD_MISSING:
+                    continue
+                ipos = np.unravel_index(iflat, within)
+                gpos = tuple(s * w + i for s, w, i
+                             in zip(spos, within, ipos))
+                key = f"{name}/{flat_meta.chunk_key(*gpos)}"
+                ranges[key] = (spath, off, nb)
+
+    sharded_prefixes = tuple(
+        n + "/" for n, m in arrays.items() if m.sharding is not None)
+
+    def fetch(key: str) -> bytes | None:
+        rng = ranges.get(key)
+        if rng is not None:
+            spath, off, nb = rng
+            with open(spath, "rb") as f:
+                f.seek(off)
+                return f.read(nb)
+        if key.startswith(sharded_prefixes):
+            # sharded variable, chunk absent from every index -> fill
+            return None
+        return _read_bytes(os.path.join(path, key))
+
+    return out, fetch
 
 
 def _open_cells(
