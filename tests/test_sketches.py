@@ -236,3 +236,25 @@ def test_streaming_cms_sink_matches_batch(spark, tmp_path):
     want = {(r.row, r.pos): r.cnt
             for r in cms_build(grams, d=4, w=256).collect()}
     assert got == want
+
+
+def test_hll_overlap_tracks_exact_sets(spark, sf_dir):
+    from xcube_spark.pipeline.sketches import hll_overlap
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    row = hll_overlap(a, b, "text", p=8).collect()[0]
+    na = a.select("text").distinct().count()
+    nb = b.select("text").distinct().count()
+    nu = a.select("text").union(b.select("text")).distinct().count()
+    ni = na + nb - nu
+    assert abs(row.est_a - na) / na < 0.2
+    assert abs(row.est_b - nb) / nb < 0.2
+    assert abs(row.est_union - nu) / nu < 0.2
+    # intersection: absolute error scales with the UNION size
+    assert abs(row.est_intersection - ni) < 0.25 * nu
+    # identity: A overlap A == A
+    same = hll_overlap(a, a, "text", p=8).collect()[0]
+    assert same.est_a == same.est_b == same.est_union
+    assert abs(same.est_intersection - same.est_a) < 1e-9

@@ -52,6 +52,7 @@ __all__ = [
     "hll_state",
     "hll_merge",
     "hll_estimate",
+    "hll_overlap",
 ]
 
 #: rho window width in bits: 13 hex chars of the md5 after the
@@ -545,4 +546,33 @@ def cms_merge(state: DataFrame, grams: DataFrame,
         state.unionByName(cms_build(grams, gram_col, d=d, w=w))
         .groupBy("row", "pos")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hll_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
+                p: int = 8) -> DataFrame:
+    """Set-algebra estimates from HLL registers: ``est_a``, ``est_b``,
+    ``est_union`` (the registers' max-merge IS the union sketch —
+    exact HLL semantics, not an approximation of an approximation),
+    and ``est_intersection`` by inclusion–exclusion (a + b - union,
+    the standard HLL intersection estimator; its error grows as the
+    true overlap shrinks relative to the union).  One row, all values
+    rounded to 4."""
+    a = hll_state(df_a, col, p)
+    b = hll_state(df_b, col, p)
+    ea = hll_estimate(a, p).select(
+        F.col("estimate").alias("est_a"))
+    eb = hll_estimate(b, p).select(
+        F.col("estimate").alias("est_b"))
+    eu = hll_estimate(
+        a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho")),
+        p).select(F.col("estimate").alias("est_union"))
+    return (
+        ea.crossJoin(eb).crossJoin(eu)
+        .select(
+            "est_a", "est_b", "est_union",
+            F.round(F.col("est_a") + F.col("est_b")
+                    - F.col("est_union"), 4)
+            .alias("est_intersection"),
+        )
     )

@@ -759,3 +759,38 @@ def doc_incremental_heavy_hitters(spark, sf_dir):
         .select("ngram").distinct()
     )
     return cms_top_k(merged, cands, k=20)
+
+
+_HLL_A_SRC = "(SELECT text FROM documents WHERE doc_id % 2 = 0)"
+_HLL_B_SRC = "(SELECT text FROM documents WHERE doc_id % 3 = 0)"
+_HLL_U_SRC = ("(SELECT text FROM documents WHERE doc_id % 2 = 0 "
+              "UNION ALL SELECT text FROM documents WHERE doc_id % 3 = 0)")
+
+
+@query(
+    "doc_cardinality_overlap",
+    sql=f"""
+        SELECT a.estimate AS est_a, b.estimate AS est_b,
+               u.estimate AS est_union,
+               ROUND(a.estimate + b.estimate - u.estimate, 4)
+                   AS est_intersection
+        FROM ({hll_sql("text", _HLL_A_SRC, p=8)}) a,
+             ({hll_sql("text", _HLL_B_SRC, p=8)}) b,
+             ({hll_sql("text", _HLL_U_SRC, p=8)}) u
+    """,
+)
+def doc_cardinality_overlap(spark, sf_dir):
+    """hll_overlap (pipeline/sketches.py): set-algebra estimates from
+    two subcorpora's HLL registers — the union sketch IS the register
+    max-merge (exact HLL semantics), the intersection the standard
+    inclusion-exclusion estimator.  The oracle re-derives all three
+    sketches from the same md5 nibbles; the union oracle runs over
+    the concatenated stream, which max-merge makes value-identical
+    to merging the two states (the property pinned by the hypothesis
+    merge tests)."""
+    from xcube_spark.pipeline.sketches import hll_overlap
+
+    docs = tbl(spark, sf_dir, "documents")
+    return hll_overlap(docs.where(F.col("doc_id") % 2 == 0),
+                       docs.where(F.col("doc_id") % 3 == 0),
+                       "text", p=8)
