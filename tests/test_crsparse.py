@@ -2224,3 +2224,43 @@ def test_gnomonic_query_grid_edge_margins():
     fy = (lat + 90.0) % 1.0
     assert np.minimum(fx, 1 - fx).min() > 1.5e-3
     assert np.minimum(fy, 1 - fy).min() > 1.5e-3
+
+
+def test_new_family_gate_grid_margins_via_oracle_sql():
+    """Gate-grid floor-boundary guard for the round-8 batch-2 families
+    (3395/eqc/stereg/sinu/ortho/nsper), evaluated through the exact
+    inverse-SQL twin strings the oracles use (DuckDB), so this also
+    smoke-checks the twins themselves: finite everywhere on the grid,
+    every center clear of the 1-degree source-cell edges."""
+    import duckdb
+
+    from xcube_spark.queries import resampling_ops as q
+
+    cases = [
+        ("3395", q._M3395, q._M3395_LON, q._M3395_LAT, 4e-4),
+        ("eqc", q._EQC, q._EQC_LON, q._EQC_LAT, 4e-3),
+        ("stereg", q._STEREG, q._STEREG_LON, q._STEREG_LAT, 1e-3),
+        ("sinu", q._SINU, q._SINU_LON, q._SINU_LAT, 4e-4),
+        ("ortho", q._ORTHO, q._ORTHO_LON, q._ORTHO_LAT, 4e-4),
+        ("nsper", q._NSPER, q._NSPER_LON, q._NSPER_LAT, 5e-4),
+    ]
+    con = duckdb.connect()
+    for name, grid, lon_sql, lat_sql, floor in cases:
+        mx, my, bad = con.execute(f"""
+            WITH tgt AS (
+                SELECT CAST(range // {grid.width} AS INT) AS y_i,
+                       CAST(range % {grid.width} AS INT) AS x_i
+                FROM range({grid.width * grid.height})
+            ), ll AS (
+                SELECT {lon_sql} AS lon, {lat_sql} AS lat FROM tgt
+            )
+            SELECT min(least((lon + 180.0) % 1.0,
+                             1.0 - (lon + 180.0) % 1.0)),
+                   min(least((lat + 90.0) % 1.0,
+                             1.0 - (lat + 90.0) % 1.0)),
+                   count(*) FILTER (isnan(lon) OR isnan(lat))
+            FROM ll
+        """).fetchone()
+        assert bad == 0, name
+        assert mx > floor, (name, mx)
+        assert my > floor, (name, my)

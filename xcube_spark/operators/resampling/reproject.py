@@ -1329,6 +1329,23 @@ def _merc_to_lonlat_fn(crs: str) -> ColumnTransform:
     return inv
 
 
+def merc_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME ellipsoidal-Mercator inverse as SQL strings (for
+    DuckDB oracles) — identical op order to
+    :func:`_merc_to_lonlat_fn` (Snyder 7-10 + the chi->phi series).
+    Returns (lon_sql, lat_sql)."""
+    lat_ts, lon0, fe, fn = MERC_PARAMS[crs.upper()]
+    ak = _merc_ak(lat_ts)
+    lam = f"((({x_expr}) - {fe!r}) / {ak!r})"
+    t = f"exp(({fn!r} - ({y_expr})) / {ak!r})"
+    chi = f"({math.pi / 2.0!r} - 2 * atan({t}))"
+    phi = chi
+    for j, cj in enumerate(_PS_SERIES, start=1):
+        phi = f"({phi} + {cj!r} * sin(2.0 * {j} * ({chi})))"
+    return f"({lon0!r} + degrees({lam}))", f"degrees({phi})"
+
+
 def _ps_consts(lat_ts: float) -> tuple[float, float]:
     """(m_ts, t_ts) at the standard parallel (Snyder 14-15, 15-9)."""
     phi = math.radians(lat_ts)
@@ -1552,6 +1569,25 @@ def _ortho_to_lonlat_fn(crs: str) -> ColumnTransform:
         return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
 
     return inv
+
+
+def ortho_inverse_sql(x_expr: str, y_expr: str,
+                      crs: str) -> tuple[str, str]:
+    """The SAME spherical orthographic inverse as SQL strings (for
+    DuckDB oracles) — identical op order to
+    :func:`_ortho_to_lonlat_fn` (Snyder ch. 20: c = asin(rho/R))."""
+    c = _azi_consts(ORTHO_PARAMS, crs)
+    xe = f"(({x_expr}) - {c['fe']!r})"
+    yn = f"(({y_expr}) - {c['fn']!r})"
+    rho = f"sqrt({xe} * {xe} + {yn} * {yn})"
+    cang = f"asin({rho} / {c['r']!r})"
+    phi = (f"(CASE WHEN {rho} = 0.0 THEN asin({c['sp0']!r}) ELSE "
+           f"asin(cos({cang}) * {c['sp0']!r} + {yn} * sin({cang})"
+           f" * {c['cp0']!r} / {rho}) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xe} * sin({cang}), {rho} * {c['cp0']!r}"
+           f" * cos({cang}) - {yn} * {c['sp0']!r} * sin({cang})) END)")
+    return (f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})")
 
 
 #: crs -> (R, lat0, lon0, false easting, false northing)
@@ -1923,6 +1959,30 @@ def _nsper_to_lonlat_fn(crs: str) -> ColumnTransform:
         return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
 
     return inv
+
+
+def nsper_inverse_sql(x_expr: str, y_expr: str,
+                      crs: str) -> tuple[str, str]:
+    """The SAME near-sided-vertical-perspective inverse as SQL
+    strings (for DuckDB oracles) — identical op order to
+    :func:`_nsper_to_lonlat_fn` (Snyder 23-19/20)."""
+    c = _nsper_consts(crs)
+    p, r = c["p"], c["r"]
+    rp1 = r * (p - 1.0)
+    xe = f"(({x_expr}) - {c['fe']!r})"
+    yn = f"(({y_expr}) - {c['fn']!r})"
+    rho = f"sqrt({xe} * {xe} + {yn} * {yn})"
+    root = (f"sqrt(1.0 - {rho} * {rho}"
+            f" * {(p + 1.0) / (r * r * (p - 1.0))!r})")
+    cang = (f"asin(({p!r} - {root}) / ({rp1!r} / {rho}"
+            f" + {rho} / {rp1!r}))")
+    phi = (f"(CASE WHEN {rho} = 0.0 THEN asin({c['sp0']!r}) ELSE "
+           f"asin(cos({cang}) * {c['sp0']!r} + {yn} * sin({cang})"
+           f" * {c['cp0']!r} / {rho}) END)")
+    lam = (f"(CASE WHEN {rho} = 0.0 THEN 0.0 ELSE "
+           f"atan2({xe} * sin({cang}), {rho} * {c['cp0']!r}"
+           f" * cos({cang}) - {yn} * {c['sp0']!r} * sin({cang})) END)")
+    return (f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})")
 
 
 #: spherical stereographic, ANY aspect (Snyder 21-2..21-4 / 20-14..

@@ -95,6 +95,13 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "doc_cardinality_overlap",
+    "cube_reproject_3395",
+    "cube_reproject_eqc",
+    "cube_reproject_stereographic",
+    "cube_reproject_sinusoidal",
+    "cube_reproject_ortho",
+    "cube_reproject_nsper",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",

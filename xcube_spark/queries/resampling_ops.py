@@ -1794,3 +1794,341 @@ def cube_reproject_gnomonic(spark, sf_dir):
     order)."""
     out = reproject_dataset(_cube_a(spark), GRID, _GNOM)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: World Mercator (ellipsoidal, EPSG:3395) -----------------
+
+from xcube_spark.operators.resampling.reproject import merc_inverse_sql
+
+#: off-round origin/steps keep every re-projected center >= 4.5e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_M3395 = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-17_011_013.0, y_start=-10_808_011.0,
+                  x_res=850_017.0, y_res=540_013.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs="EPSG:3395")
+
+_M3395_LON, _M3395_LAT = merc_inverse_sql(
+    "(-17011013.0 + (x_i + 0.5) * 850017.0)",
+    "(-10808011.0 + (y_i + 0.5) * 540013.0)", "EPSG:3395")
+
+
+@query(
+    "cube_reproject_3395",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_M3395.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_M3395_LON} AS lon,
+                   {_M3395_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_3395(spark, sf_dir):
+    """reproject_dataset onto the World Mercator grid (EPSG:3395) —
+    the TRUE ellipsoidal Mercator (Snyder 7-7/7-10), distinct from
+    web-mercator's spherical convention; charts and global marine
+    products use it, the reference reaches it via pyproj.  The oracle
+    states the identical inverse (Snyder 7-10 + the chi->phi series)
+    in SQL (merc_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _M3395)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: World Equidistant Cylindrical (EPSG:4087) ---------------
+
+from xcube_spark.operators.resampling.reproject import eqc_inverse_sql
+
+#: generous margins (>= 5e-3 deg; asserted in tests/test_crsparse.py)
+_EQC = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=-17_013_011.0, y_start=-8_808_013.0,
+                x_res=850_017.0, y_res=440_017.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="EPSG:4087")
+
+_EQC_LON, _EQC_LAT = eqc_inverse_sql(
+    "(-17013011.0 + (x_i + 0.5) * 850017.0)",
+    "(-8808013.0 + (y_i + 0.5) * 440017.0)", "EPSG:4087")
+
+
+@query(
+    "cube_reproject_eqc",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_EQC.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_EQC_LON} AS lon,
+                   {_EQC_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_eqc(spark, sf_dir):
+    """reproject_dataset onto WGS 84 / World Equidistant Cylindrical
+    (EPSG:4087, method 1028): x = a*radians(lon), y = the true
+    meridian arc (Krueger rectifying series — the TM family's
+    machinery re-used at the central meridian); reference reaches it
+    via pyproj.  The oracle states the identical inverse (mu -> chi
+    -> phi series) in SQL (eqc_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _EQC)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: spherical oblique stereographic --------------------------
+
+from xcube_spark.operators.resampling.reproject import stereg_inverse_sql
+
+#: spherical stereographic, oblique aspect centered on central Europe
+#: (CF 'stereographic' with a spherical datum)
+_STEREG_CRS = resolve_proj4(
+    "+proj=stere +lat_0=52 +lon_0=10 +k_0=0.9996 +R=6371000")
+
+#: off-round origin/steps keep every re-projected center >= 1.0e-3 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_STEREG = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=-2_801_017.0, y_start=-2_354_013.0,
+                   x_res=140_013.0, y_res=120_017.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs=_STEREG_CRS)
+
+#: CAST-to-DOUBLE inputs: DuckDB types bare numeric literals as
+#: DECIMAL and the k_0-scaled products overflow DECIMAL(18)
+_STEREG_LON, _STEREG_LAT = stereg_inverse_sql(
+    "CAST((-2801017.0 + (x_i + 0.5) * 140013.0) AS DOUBLE)",
+    "CAST((-2354013.0 + (y_i + 0.5) * 120017.0) AS DOUBLE)", _STEREG_CRS)
+
+
+@query(
+    "cube_reproject_stereographic",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_STEREG.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_STEREG_LON} AS lon,
+                   {_STEREG_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_stereographic(spark, sf_dir):
+    """reproject_dataset onto a spherical oblique stereographic grid
+    (Snyder ch. 21, +k_0 scale at the center) — the CF
+    'stereographic' grid-mapping name on a spherical datum, the
+    conformal azimuthal for mid-latitude regional products; reference
+    reaches it via pyproj.  The oracle states the identical inverse
+    in SQL (stereg_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _STEREG)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: world sinusoidal (ESRI:54008, the MODIS family) ---------
+
+from xcube_spark.operators.resampling.reproject import sinu_inverse_sql
+
+#: off-round origin/steps keep every re-projected center >= 4.5e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_SINU = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-8_508_011.0, y_start=-6_206_013.0,
+                 x_res=425_017.0, y_res=310_017.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs="ESRI:54008")
+
+_SINU_LON, _SINU_LAT = sinu_inverse_sql(
+    "(-8508011.0 + (x_i + 0.5) * 425017.0)",
+    "(-6206013.0 + (y_i + 0.5) * 310017.0)", "ESRI:54008")
+
+
+@query(
+    "cube_reproject_sinusoidal",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_SINU.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_SINU_LON} AS lon,
+                   {_SINU_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_sinusoidal(spark, sf_dir):
+    """reproject_dataset onto the world sinusoidal grid (ESRI:54008;
+    the MODIS land-product tiling family SR-ORG:6974 shares the
+    sphere) — the classic equal-area pseudocylindrical; reference
+    reaches it via pyproj.  The oracle states the identical inverse
+    (phi = y/R, lon = x/(R cos phi)) in SQL (sinu_inverse_sql, same
+    op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _SINU)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: spherical orthographic -----------------------------------
+
+from xcube_spark.operators.resampling.reproject import ortho_inverse_sql
+
+#: the satellite-view (infinite-distance) azimuthal centered on the
+#: eastern Mediterranean; grid stays well inside the visible disk
+_ORTHO_CRS = resolve_proj4("+proj=ortho +lat_0=30 +lon_0=20 +R=6371000")
+
+#: off-round origin/steps keep every re-projected center >= 4.1e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_ORTHO = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-2_801_011.0, y_start=-2_403_017.0,
+                  x_res=140_017.0, y_res=120_011.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs=_ORTHO_CRS)
+
+_ORTHO_LON, _ORTHO_LAT = ortho_inverse_sql(
+    "(-2801011.0 + (x_i + 0.5) * 140017.0)",
+    "(-2403017.0 + (y_i + 0.5) * 120011.0)", _ORTHO_CRS)
+
+
+@query(
+    "cube_reproject_ortho",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_ORTHO.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_ORTHO_LON} AS lon,
+                   {_ORTHO_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_ortho(spark, sf_dir):
+    """reproject_dataset onto a spherical orthographic grid (Snyder
+    ch. 20; CF 'orthographic') — the view-from-infinity globe
+    rendering every viewer product offers; reference reaches it via
+    pyproj.  The oracle states the identical inverse (c = asin(rho/R))
+    in SQL (ortho_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _ORTHO)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: near-sided vertical perspective ---------------------------
+
+from xcube_spark.operators.resampling.reproject import nsper_inverse_sql
+
+#: a geostationary-height viewpoint over the Americas (the CF
+#: 'vertical_perspective' grid mapping); grid stays well inside the
+#: horizon circle rho_max = R*sqrt((P-1)/(P+1))
+_NSPER_CRS = resolve_proj4(
+    "+proj=nsper +lat_0=0 +lon_0=-75 +h=35785831 +R=6371000")
+
+#: off-round origin/steps keep every re-projected center >= 5.9e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_NSPER = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-2_803_011.0, y_start=-2_394_013.0,
+                  x_res=140_013.0, y_res=120_019.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs=_NSPER_CRS)
+
+_NSPER_LON, _NSPER_LAT = nsper_inverse_sql(
+    "(-2803011.0 + (x_i + 0.5) * 140013.0)",
+    "(-2394013.0 + (y_i + 0.5) * 120019.0)", _NSPER_CRS)
+
+
+@query(
+    "cube_reproject_nsper",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_NSPER.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_NSPER_LON} AS lon,
+                   {_NSPER_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_nsper(spark, sf_dir):
+    """reproject_dataset onto a near-sided vertical perspective grid
+    (Snyder ch. 23; CF 'vertical_perspective') at geostationary
+    height — the finite-distance satellite view, the spherical
+    sibling of +proj=geos; reference reaches it via pyproj.  The
+    oracle states the identical inverse (Snyder 23-19/20) in SQL
+    (nsper_inverse_sql, same op order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _NSPER)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
