@@ -258,3 +258,47 @@ def test_hll_overlap_tracks_exact_sets(spark, sf_dir):
     same = hll_overlap(a, a, "text", p=8).collect()[0]
     assert same.est_a == same.est_b == same.est_union
     assert abs(same.est_intersection - same.est_a) < 1e-9
+
+
+def test_kmv_merge_equals_recompute(spark, sf_dir):
+    from xcube_spark.pipeline.sketches import (
+        kmv_estimate, kmv_merge, kmv_state)
+
+    docs = load(spark, sf_dir, "documents")
+    parts = [docs.where(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = kmv_state(parts[0], "text", k=64)
+    for part in parts[1:]:
+        state = kmv_merge(state, part.select("text"), "text", k=64)
+    got = sorted(r.w for r in state.collect())
+    want = sorted(r.w for r in kmv_state(docs, "text", k=64).collect())
+    assert got == want
+    est = kmv_estimate(state, k=64).collect()[0]
+    exact = docs.select("text").distinct().count()
+    if est.n_vals < 64:
+        assert est.estimate == float(exact)
+    else:
+        assert abs(est.estimate - exact) / exact < 0.5
+
+
+def test_kmv_set_ops_identity_and_accuracy(spark, sf_dir):
+    from xcube_spark.pipeline.sketches import kmv_set_ops
+
+    docs = load(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    row = kmv_set_ops(a, b, "text", k=128).collect()[0]
+    na = a.select("text").distinct().count()
+    nb = b.select("text").distinct().count()
+    nu = a.select("text").union(b.select("text")).distinct().count()
+    ni = na + nb - nu
+    # coordinated-sample estimates: ~1/sqrt(k) relative error bands
+    assert abs(row.est_a - na) / na < 0.35
+    assert abs(row.est_b - nb) / nb < 0.35
+    assert abs(row.est_union - nu) / nu < 0.35
+    if ni:
+        assert abs(row.est_intersection - ni) / ni < 0.6
+        assert abs(row.est_jaccard - ni / nu) < 0.15
+    same = kmv_set_ops(a, a, "text", k=128).collect()[0]
+    assert same.est_a == same.est_b == same.est_union \
+        == same.est_intersection
+    assert same.est_jaccard == 1.0

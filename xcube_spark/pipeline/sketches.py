@@ -53,6 +53,12 @@ __all__ = [
     "hll_merge",
     "hll_estimate",
     "hll_overlap",
+    "kmv_state",
+    "kmv_merge",
+    "kmv_estimate",
+    "kmv_set_ops",
+    "kmv_sql",
+    "kmv_set_ops_sql",
 ]
 
 #: rho window width in bits: 13 hex chars of the md5 after the
@@ -576,3 +582,225 @@ def hll_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
             .alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch: distinct counts with DIRECT intersection + Jaccard
+
+
+#: KMV hash domain: the first 13 md5 hex chars as a 52-bit integer
+#: (exact in int64 AND in a double, so theta arithmetic is lossless)
+_KMV_DOMAIN = 1 << 52
+
+
+def _kmv_w(col: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_state(df: DataFrame, col: str, k: int = 128) -> DataFrame:
+    """The KMV (k-minimum-values) sketch state of ``col``: the ``k``
+    smallest DISTINCT 52-bit md5 hash values, one ``w`` column
+    (Bar-Yossef et al. 2002; the theta sketch's kept set).
+
+    Scale shape: the distinct is a partial-aggregated groupBy (every
+    task reduces to its own candidates first) and the k-smallest is
+    ``ORDER BY w LIMIT k`` — Spark executes TakeOrderedAndProject, a
+    per-partition top-k then a k-row driver merge, never a global
+    sort.  State is <= k rows no matter the corpus size, and merging
+    (:func:`kmv_merge`) is associative/commutative/idempotent, so
+    incremental maintenance equals a single-pass recompute
+    value-for-value."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.select(_kmv_w(col).alias("w"))
+        .distinct()
+        .orderBy("w")
+        .limit(k)
+    )
+
+
+def kmv_merge(state: DataFrame, df: DataFrame, col: str,
+              k: int = 128) -> DataFrame:
+    """Fold a new batch into a KMV state: union, distinct, keep the
+    k smallest.  Cost: one batch scan + a <= 2k-row merge."""
+    return (
+        state.unionByName(df.select(_kmv_w(col).alias("w")))
+        .distinct()
+        .orderBy("w")
+        .limit(k)
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int = 128) -> DataFrame:
+    """Finalize a KMV state into one row ``(n_vals, theta_w,
+    estimate)``.  Below saturation the state IS the distinct hash set
+    (estimate = exact count); at saturation the classic unbiased
+    estimator (k-1)/u_k with u_k = w_k / 2^52 — stated as one literal
+    over the k-th smallest hash so both engines divide identically."""
+    c_sat = float((k - 1) * _KMV_DOMAIN)  # exact: k-1 has few bits
+    agg = state.agg(F.count("w").alias("n_vals"),
+                    F.max("w").alias("wk"))
+    return agg.select(
+        F.col("n_vals").cast("long").alias("n_vals"),
+        F.when(F.col("n_vals") < k, F.lit(_KMV_DOMAIN).cast("long"))
+        .otherwise(F.col("wk")).alias("theta_w"),
+        F.round(
+            F.when(F.col("n_vals") < k,
+                   F.col("n_vals").cast("double"))
+            .otherwise(F.lit(c_sat) / F.col("wk").cast("double")),
+            4,
+        ).alias("estimate"),
+    )
+
+
+def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int = 128) -> DataFrame:
+    """Theta-sketch set algebra over two KMV states (Dasgupta et al.,
+    the DataSketches theta sketch): theta = the union sketch's k-th
+    smallest hash (2^52 below saturation), every count restricted to
+    ``w < theta``, every estimate ``count * 2^52 / theta``.  One row:
+
+    ``(theta_w, est_a, est_b, est_union, est_intersection,
+    est_jaccard)``
+
+    Unlike HLL inclusion-exclusion (:func:`hll_overlap`), the
+    intersection here is estimated DIRECTLY — hashes below theta form
+    a uniform coordinated sample of each set, so the relative error
+    tracks the intersection itself, not the union.  est_jaccard is
+    the sampled Jaccard ``|A n B < theta| / |A u B < theta|``.
+
+    Every A-hash below theta is guaranteed present in A's k-smallest
+    state (theta <= A's own k-th minimum), so the restricted counts
+    are exact set intersections of k-row tables — the whole plan is
+    three tiny sketches + one-row cross joins, nothing corpus-sized
+    moves after the scans."""
+    a = kmv_state(df_a, col, k)
+    b = kmv_state(df_b, col, k)
+    u = kmv_merge(a, df_b, col, k)
+    th = (
+        u.agg(F.count("w").alias("n_u"), F.max("w").alias("wk"))
+        .select(
+            F.when(F.col("n_u") < k, F.lit(_KMV_DOMAIN).cast("long"))
+            .otherwise(F.col("wk")).alias("theta_w"))
+    )
+    dom = float(_KMV_DOMAIN)
+
+    def below(state: DataFrame, name: str) -> DataFrame:
+        return (
+            state.crossJoin(F.broadcast(th))
+            .where(F.col("w") < F.col("theta_w"))
+            .agg(F.count("w").cast("long").alias(name))
+        )
+
+    na = below(a, "n_a")
+    nb = below(b, "n_b")
+    nu = below(u, "n_un")
+    nab = below(a.join(b, "w"), "n_ab")
+
+    def est(n: str) -> Column:
+        return F.round(
+            F.col(n).cast("double") * F.lit(dom)
+            / F.col("theta_w").cast("double"), 4)
+
+    return (
+        th.crossJoin(na).crossJoin(nb).crossJoin(nu).crossJoin(nab)
+        .select(
+            "theta_w",
+            est("n_a").alias("est_a"),
+            est("n_b").alias("est_b"),
+            est("n_un").alias("est_union"),
+            est("n_ab").alias("est_intersection"),
+            F.round(
+                F.when(F.col("n_un") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_ab").cast("double")
+                    / F.col("n_un").cast("double")), 4)
+            .alias("est_jaccard"),
+        )
+    )
+
+
+def _kmv_w_sql(col: str) -> str:
+    """The SAME 52-bit hash as DuckDB SQL (md5 nibbles, no conv)."""
+    nib = ("strpos('0123456789abcdef', "
+           "substr(md5(CAST({c} AS VARCHAR)), {pos}, 1)) - 1")
+    return "(" + " + ".join(
+        f"(CAST(({nib.format(c=col, pos=i + 1)}) AS BIGINT)"
+        f" * {16 ** (13 - 1 - i)})"
+        for i in range(13)
+    ) + ")"
+
+
+def kmv_sql(col: str, src: str, k: int = 128) -> str:
+    """The SAME KMV estimate as a DuckDB CTE chain over ``src`` (op
+    order parity with :func:`kmv_estimate`).  Emits a complete SELECT
+    (one row)."""
+    c_sat = float((k - 1) * _KMV_DOMAIN)
+    return f"""
+        WITH kmv AS (
+            SELECT DISTINCT {_kmv_w_sql(col)} AS w FROM {src}
+            ORDER BY w LIMIT {k}
+        ), agg AS (
+            SELECT COUNT(*) AS n_vals, MAX(w) AS wk FROM kmv
+        )
+        SELECT CAST(n_vals AS BIGINT) AS n_vals,
+               CAST(CASE WHEN n_vals < {k} THEN {_KMV_DOMAIN}
+                         ELSE wk END AS BIGINT) AS theta_w,
+               ROUND(CASE WHEN n_vals < {k}
+                          THEN CAST(n_vals AS DOUBLE)
+                          ELSE CAST({c_sat!r} AS DOUBLE)
+                               / CAST(wk AS DOUBLE) END, 4) AS estimate
+        FROM agg
+    """
+
+
+def kmv_set_ops_sql(col: str, src_a: str, src_b: str,
+                    k: int = 128) -> str:
+    """The SAME theta-sketch set algebra as a DuckDB CTE chain (op
+    order parity with :func:`kmv_set_ops`).  Emits a complete SELECT
+    (one row)."""
+    dom = float(_KMV_DOMAIN)
+    return f"""
+        WITH a AS (
+            SELECT DISTINCT {_kmv_w_sql(col)} AS w FROM {src_a}
+            ORDER BY w LIMIT {k}
+        ), b AS (
+            SELECT DISTINCT {_kmv_w_sql(col)} AS w FROM {src_b}
+            ORDER BY w LIMIT {k}
+        ), u AS (
+            SELECT DISTINCT w
+            FROM (SELECT w FROM a UNION ALL SELECT w FROM b)
+            ORDER BY w LIMIT {k}
+        ), th AS (
+            SELECT CAST(CASE WHEN COUNT(*) < {k} THEN {_KMV_DOMAIN}
+                             ELSE MAX(w) END AS BIGINT) AS theta_w
+            FROM u
+        ), counts AS (
+            SELECT th.theta_w,
+                   (SELECT COUNT(*) FROM a, th t
+                    WHERE a.w < t.theta_w) AS n_a,
+                   (SELECT COUNT(*) FROM b, th t
+                    WHERE b.w < t.theta_w) AS n_b,
+                   (SELECT COUNT(*) FROM u, th t
+                    WHERE u.w < t.theta_w) AS n_un,
+                   (SELECT COUNT(*) FROM a JOIN b USING (w), th t
+                    WHERE a.w < t.theta_w) AS n_ab
+            FROM th
+        )
+        SELECT theta_w,
+               ROUND(CAST(n_a AS DOUBLE) * CAST({dom!r} AS DOUBLE)
+                     / CAST(theta_w AS DOUBLE), 4) AS est_a,
+               ROUND(CAST(n_b AS DOUBLE) * CAST({dom!r} AS DOUBLE)
+                     / CAST(theta_w AS DOUBLE), 4) AS est_b,
+               ROUND(CAST(n_un AS DOUBLE) * CAST({dom!r} AS DOUBLE)
+                     / CAST(theta_w AS DOUBLE), 4) AS est_union,
+               ROUND(CAST(n_ab AS DOUBLE) * CAST({dom!r} AS DOUBLE)
+                     / CAST(theta_w AS DOUBLE), 4) AS est_intersection,
+               ROUND(CASE WHEN n_un = 0 THEN 0.0
+                          ELSE CAST(n_ab AS DOUBLE)
+                               / CAST(n_un AS DOUBLE) END, 4)
+                   AS est_jaccard
+        FROM counts
+    """

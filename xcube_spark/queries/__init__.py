@@ -95,6 +95,8 @@ PRIORITY_ORDER = (
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
     # round-8 additions (never sampled yet)
+    "doc_cardinality_kmv",
+    "doc_jaccard_kmv",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqc",

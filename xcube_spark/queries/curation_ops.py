@@ -794,3 +794,45 @@ def doc_cardinality_overlap(spark, sf_dir):
     return hll_overlap(docs.where(F.col("doc_id") % 2 == 0),
                        docs.where(F.col("doc_id") % 3 == 0),
                        "text", p=8)
+
+
+from xcube_spark.pipeline.sketches import kmv_set_ops_sql, kmv_sql
+
+
+@query(
+    "doc_cardinality_kmv",
+    sql=kmv_sql("text", "documents", k=128),
+)
+def doc_cardinality_kmv(spark, sf_dir):
+    """kmv_estimate(kmv_state(...)) (pipeline/sketches.py): the KMV
+    k-minimum-values distinct-count sketch — k smallest md5 hashes as
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge,
+    never a global sort), the classic (k-1)/u_k estimator at
+    saturation and the exact count below it.  The oracle re-derives
+    the same k-smallest set from the same md5 nibbles and states the
+    same estimator arithmetic."""
+    from xcube_spark.pipeline.sketches import kmv_estimate, kmv_state
+
+    docs = tbl(spark, sf_dir, "documents")
+    return kmv_estimate(kmv_state(docs, "text", k=128), k=128)
+
+
+@query(
+    "doc_jaccard_kmv",
+    sql=kmv_set_ops_sql("text", _HLL_A_SRC, _HLL_B_SRC, k=256),
+)
+def doc_jaccard_kmv(spark, sf_dir):
+    """kmv_set_ops (pipeline/sketches.py): theta-sketch set algebra
+    over two subcorpora's KMV states — theta = the union sketch's
+    k-th minimum, every count restricted below theta, DIRECT
+    intersection and Jaccard estimates (unlike HLL's
+    inclusion-exclusion in doc_cardinality_overlap, the error tracks
+    the intersection, not the union).  The oracle re-derives all
+    three k-smallest sets and the restricted counts from the same
+    md5 nibbles."""
+    from xcube_spark.pipeline.sketches import kmv_set_ops
+
+    docs = tbl(spark, sf_dir, "documents")
+    return kmv_set_ops(docs.where(F.col("doc_id") % 2 == 0),
+                       docs.where(F.col("doc_id") % 3 == 0),
+                       "text", k=256)
