@@ -302,3 +302,32 @@ def test_kmv_set_ops_identity_and_accuracy(spark, sf_dir):
     assert same.est_a == same.est_b == same.est_union \
         == same.est_intersection
     assert same.est_jaccard == 1.0
+
+
+def test_streaming_kmv_sink_matches_batch(spark, tmp_path):
+    """run_incremental_kmv_stream: the final k-smallest table after
+    two micro-batches is identical to the single-pass state."""
+    from xcube_spark.pipeline.sketches import kmv_state
+    from xcube_spark.streaming.sketch_sink import (
+        run_incremental_kmv_stream)
+
+    rows = [(i, f"text {i % 97}") for i in range(160)]
+    all_docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "kmv_src")
+    all_docs.where("doc_id < 80").coalesce(1).write.parquet(
+        src + "/part=a")
+    all_docs.where("doc_id >= 80").coalesce(1).write.parquet(
+        src + "/part=b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_incremental_kmv_stream(
+        stream, str(tmp_path / "kmv_state"),
+        str(tmp_path / "kmv_ckpt"), col="text", k=64)
+    got = sorted(r.w for r in state.collect())
+    want = sorted(
+        r.w for r in kmv_state(all_docs, "text", k=64).collect())
+    assert got == want

@@ -97,6 +97,7 @@ PRIORITY_ORDER = (
     # round-8 additions (never sampled yet)
     "doc_cardinality_kmv",
     "doc_jaccard_kmv",
+    "doc_incremental_kmv",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqc",

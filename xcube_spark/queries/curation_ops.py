@@ -836,3 +836,27 @@ def doc_jaccard_kmv(spark, sf_dir):
     return kmv_set_ops(docs.where(F.col("doc_id") % 2 == 0),
                        docs.where(F.col("doc_id") % 3 == 0),
                        "text", k=256)
+
+
+@query(
+    "doc_incremental_kmv",
+    sql=kmv_sql("text", "documents", k=128),
+)
+def doc_incremental_kmv(spark, sf_dir):
+    """kmv_state/kmv_merge (pipeline/sketches.py): the corpus is
+    split into an 'already processed' part (doc_id < 400) whose KMV
+    state is built once, and a 'new batch' folded in with a union +
+    distinct + k-smallest merge — O(batch) work, <= k rows of state.
+    The oracle is the SINGLE-PASS KMV over everything: passing means
+    incremental maintenance is value-identical to recomputation
+    (the k-smallest-set merge is associative/commutative/idempotent),
+    the whole contract."""
+    from xcube_spark.pipeline.sketches import (kmv_estimate, kmv_merge,
+                                               kmv_state)
+
+    docs = tbl(spark, sf_dir, "documents")
+    cut = 400
+    state = kmv_state(docs.where(F.col("doc_id") < cut), "text", k=128)
+    merged = kmv_merge(state, docs.where(F.col("doc_id") >= cut),
+                       "text", k=128)
+    return kmv_estimate(merged, k=128)

@@ -129,3 +129,42 @@ def run_incremental_cms_stream(
     q.awaitTermination()
     return _read_state(gram_stream.sparkSession, state_dir,
                        CMS_STATE_SCHEMA)
+
+
+KMV_STATE_SCHEMA = "w BIGINT"
+
+
+def run_incremental_kmv_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    col: str = "text",
+    k: int = 128,
+) -> DataFrame:
+    """Drain a streaming DataFrame into a KMV k-minimum-values state
+    with ``Trigger.AvailableNow``; returns the final ``w`` table
+    (<= k rows).  The k-smallest-set merge is idempotent, so replays
+    are harmless; the published-version guard keeps the version
+    history linear anyway."""
+    from xcube_spark.pipeline.sketches import kmv_merge
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        state = _read_state(spark, state_dir, KMV_STATE_SCHEMA)
+        _publish(kmv_merge(state, batch_df, col, k), state_dir,
+                 batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(doc_stream.sparkSession, state_dir,
+                       KMV_STATE_SCHEMA)
