@@ -133,3 +133,59 @@ def test_audio_features_matches_numpy(spark):
     assert rows[1].sum_sq == int((s * s).sum())
     assert rows[2].n_samples == 0          # 1 byte -> no full sample
     assert rows[3].n_samples == 0 and rows[3].sum_sq == 0
+
+
+# ---- interval_join (operators/interval.py) ----------------------------
+
+
+def _interval_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, _ts(10, 0), 1.0),
+         (2, _ts(10, 29), 2.0),   # in window A (half-open: < 10:30)
+         (3, _ts(10, 30), 3.0),   # boundary: only with end_inclusive
+         (4, _ts(12, 0), 4.0),    # in no window
+         (5, _ts(10, 15), 5.0)],  # in windows A and B (overlap)
+        "pid long, ts timestamp, v double")
+    wins = spark.createDataFrame(
+        [("A", _ts(10, 0), _ts(10, 30)),
+         ("B", _ts(10, 10), _ts(10, 20)),
+         ("C", _ts(13, 0), _ts(13, 30))],  # matches nothing
+        "wid string, w_start timestamp, w_end timestamp")
+    return pts, wins
+
+
+def test_interval_join_half_open_and_overlap(spark):
+    from xcube_spark.operators.interval import interval_join
+
+    pts, wins = _interval_frames(spark)
+    got = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(pts, wins, bucket_seconds=600.0)
+        .collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (5, "A"), (5, "B")]
+
+
+def test_interval_join_end_inclusive_and_auto_bucket(spark):
+    from xcube_spark.operators.interval import interval_join
+
+    pts, wins = _interval_frames(spark)
+    # no bucket_seconds: width from the interval side's mean length
+    got = sorted(
+        (r.pid, r.wid)
+        for r in interval_join(pts, wins, end_inclusive=True).collect()
+    )
+    assert got == [(1, "A"), (2, "A"), (3, "A"), (5, "A"), (5, "B")]
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    """The binned form must plan as a bucket equi-join — a raw
+    BETWEEN theta join degenerates to BroadcastNestedLoopJoin."""
+    from xcube_spark.operators.interval import interval_join
+
+    pts, wins = _interval_frames(spark)
+    plan = interval_join(pts, wins, bucket_seconds=600.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan

@@ -98,6 +98,7 @@ PRIORITY_ORDER = (
     "doc_cardinality_kmv",
     "doc_jaccard_kmv",
     "doc_incremental_kmv",
+    "events_interval_join",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqc",

@@ -706,3 +706,53 @@ def events_json_props(spark, sf_dir):
         F.sum("k").cast("long").alias("sum_k"),
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"))
+
+
+@query(
+    "events_interval_join",
+    sql="""
+        WITH wins AS (
+            SELECT event_id AS window_id,
+                   ts AS w_start,
+                   ts + INTERVAL 10 MINUTE AS w_end
+            FROM events WHERE event_type = 'error'
+        ), pts AS (
+            SELECT ts, value FROM events
+            WHERE event_type IN ('click', 'view')
+        )
+        SELECT w.window_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(p.value) + 0.0, 6) AS sum_value
+        FROM wins w JOIN pts p
+          ON p.ts >= w.w_start AND p.ts < w.w_end
+        GROUP BY w.window_id
+    """,
+)
+def events_interval_join(spark, sf_dir):
+    """interval_join (operators/interval.py): the binned batch range
+    join — every error event opens a 10-minute window; count and sum
+    the click/view activity inside each.  The interval side explodes
+    into time buckets (~2 per window at the default 2x-mean width),
+    the point side maps to its single bucket, and Catalyst plans a
+    plain bucket equi-join + range refine — never the
+    BroadcastNestedLoopJoin a raw BETWEEN predicate degenerates to.
+    The oracle IS the raw BETWEEN join (DuckDB plans it as its own
+    range join), so passing proves the binning loses and duplicates
+    nothing."""
+    from xcube_spark.operators.interval import interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    pts = ev.where(F.col("event_type").isin("click", "view")).select(
+        "ts", "value")
+    joined = interval_join(pts, wins, ts_col="ts",
+                           start_col="w_start", end_col="w_end",
+                           bucket_seconds=600.0)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value") + F.lit(0.0), 6).alias("sum_value"),
+    )
