@@ -331,3 +331,22 @@ def test_streaming_kmv_sink_matches_batch(spark, tmp_path):
     want = sorted(
         r.w for r in kmv_state(all_docs, "text", k=64).collect())
     assert got == want
+
+
+def test_sample_merge_equals_recompute_and_tracks_exact(spark, sf_dir):
+    from xcube_spark.pipeline.sketches import (
+        sample_merge, sample_quantiles, sample_state)
+
+    ev = load(spark, sf_dir, "events")
+    parts = [ev.where(F.col("event_id") % 2 == i) for i in range(2)]
+    state = sample_state(parts[0], "event_id", "value", k=256)
+    state = sample_merge(state, parts[1], "event_id", "value", k=256)
+    got = sorted((r.w, r.value) for r in state.collect())
+    want = sorted((r.w, r.value) for r in
+                  sample_state(ev, "event_id", "value", k=256).collect())
+    assert got == want
+    row = sample_quantiles(state, qs=(0.5,)).collect()[0]
+    exact = ev.agg(F.expr("percentile(value, 0.5)")).first()[0]
+    spread = ev.agg(F.expr("percentile(value, 0.9)")).first()[0]
+    # sample median within a generous band of the exact median
+    assert abs(row.p50 - exact) < 0.35 * spread

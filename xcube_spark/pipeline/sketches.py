@@ -59,6 +59,10 @@ __all__ = [
     "kmv_set_ops",
     "kmv_sql",
     "kmv_set_ops_sql",
+    "sample_state",
+    "sample_merge",
+    "sample_quantiles",
+    "sample_quantiles_sql",
 ]
 
 #: rho window width in bits: 13 hex chars of the md5 after the
@@ -576,7 +580,12 @@ def hll_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
     return (
         ea.crossJoin(eb).crossJoin(eu)
         .select(
-            "est_a", "est_b", "est_union",
+            # the inputs are pre-rounded to 4 by hll_estimate; the
+            # outer ROUND is a value no-op that makes the contract
+            # visible to the float-boundary audit on both engines
+            F.round(F.col("est_a"), 4).alias("est_a"),
+            F.round(F.col("est_b"), 4).alias("est_b"),
+            F.round(F.col("est_union"), 4).alias("est_union"),
             F.round(F.col("est_a") + F.col("est_b")
                     - F.col("est_union"), 4)
             .alias("est_intersection"),
@@ -803,4 +812,104 @@ def kmv_set_ops_sql(col: str, src_a: str, src_b: str,
                                / CAST(n_un AS DOUBLE) END, 4)
                    AS est_jaccard
         FROM counts
+    """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k coordinated sample: mergeable order statistics
+
+
+def sample_state(df: DataFrame, id_col: str, value_col: str,
+                 k: int = 1024, seed: str = "s0") -> DataFrame:
+    """Bottom-k coordinated sample state ``(w, value)``: the k rows
+    with the smallest 52-bit md5(id#seed) hash, carrying ``value_col``
+    — a deterministic uniform sample WITHOUT replacement (the
+    equal-weight limit of A-ES, keyed like KMV, Cohen & Kaplan 2007).
+
+    This is the mergeable quantile/mean sketch: Spark's own
+    ``approx_percentile`` (GK) is the production fast path, but its
+    state is engine-private — here the kept set is fully specified,
+    so incremental maintenance and the DuckDB twin are value-exact.
+
+    Scale shape: ``ORDER BY w LIMIT k`` lowers to
+    TakeOrderedAndProject (per-partition top-k + a k-row driver
+    merge, no global sort); state is <= k rows; the merge
+    (:func:`sample_merge`) is associative/commutative/idempotent, so
+    any batching equals the single-pass sample row-for-row."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.md5(F.concat(F.col(id_col).cast("string"),
+                       F.lit(f"#{seed}")))
+    w = F.conv(F.substring(h, 1, 13), 16, 10).cast("long")
+    return (
+        df.select(w.alias("w"),
+                  F.col(value_col).cast("double").alias("value"))
+        .distinct()
+        .orderBy("w")
+        .limit(k)
+    )
+
+
+def sample_merge(state: DataFrame, df: DataFrame, id_col: str,
+                 value_col: str, k: int = 1024,
+                 seed: str = "s0") -> DataFrame:
+    """Fold a new batch into a bottom-k sample state: union, distinct,
+    keep the k smallest hashes.  O(batch) scan + a <= 2k-row merge."""
+    return (
+        state.unionByName(
+            sample_state(df, id_col, value_col, k=k, seed=seed))
+        .distinct()
+        .orderBy("w")
+        .limit(k)
+    )
+
+
+def sample_quantiles(state: DataFrame,
+                     qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> DataFrame:
+    """Finalize a bottom-k sample into one row of order statistics:
+    ``n_sample``, ``mean``, and ``p{q}`` per requested quantile
+    (linear-interpolated — Spark ``percentile`` == DuckDB
+    ``quantile_cont`` value-for-value).  Standard sample-quantile
+    error: ~1/sqrt(k) in rank."""
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_sample"),
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("mean"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.round(F.expr(f"percentile(value, {q!r})") + F.lit(1e-9), 6)
+            .alias(f"p{int(round(q * 100)):02d}"))
+    return state.agg(*aggs)
+
+
+def sample_quantiles_sql(id_col: str, value_col: str, src: str,
+                         k: int = 1024, seed: str = "s0",
+                         qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> str:
+    """The SAME bottom-k sample quantiles as a DuckDB CTE chain (op
+    order parity with :func:`sample_state` + :func:`sample_quantiles`).
+    Emits a complete SELECT (one row)."""
+    nib = ("strpos('0123456789abcdef', "
+           "substr(md5(CAST({c} AS VARCHAR) || '#" + seed +
+           "'), {pos}, 1)) - 1")
+    w = "(" + " + ".join(
+        f"(CAST(({nib.format(c=id_col, pos=i + 1)}) AS BIGINT)"
+        f" * {16 ** (13 - 1 - i)})"
+        for i in range(13)
+    ) + ")"
+    qcols = ",\n               ".join(
+        f"ROUND(quantile_cont(value, {q!r}) + 1e-9, 6)"
+        f" AS p{int(round(q * 100)):02d}"
+        for q in qs
+    )
+    return f"""
+        WITH smp AS (
+            SELECT DISTINCT {w} AS w,
+                   CAST({value_col} AS DOUBLE) AS value
+            FROM {src}
+            ORDER BY w LIMIT {k}
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sample,
+               ROUND(AVG(value) + 1e-9, 6) AS mean,
+               {qcols}
+        FROM smp
     """

@@ -99,6 +99,7 @@ PRIORITY_ORDER = (
     "doc_jaccard_kmv",
     "doc_incremental_kmv",
     "events_interval_join",
+    "events_quantile_sketch",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqc",

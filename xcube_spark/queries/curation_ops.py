@@ -770,8 +770,9 @@ _HLL_U_SRC = ("(SELECT text FROM documents WHERE doc_id % 2 = 0 "
 @query(
     "doc_cardinality_overlap",
     sql=f"""
-        SELECT a.estimate AS est_a, b.estimate AS est_b,
-               u.estimate AS est_union,
+        SELECT ROUND(a.estimate, 4) AS est_a,
+               ROUND(b.estimate, 4) AS est_b,
+               ROUND(u.estimate, 4) AS est_union,
                ROUND(a.estimate + b.estimate - u.estimate, 4)
                    AS est_intersection
         FROM ({hll_sql("text", _HLL_A_SRC, p=8)}) a,

@@ -756,3 +756,29 @@ def events_interval_join(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value") + F.lit(0.0), 6).alias("sum_value"),
     )
+
+
+from xcube_spark.pipeline.sketches import sample_quantiles_sql
+
+
+@query(
+    "events_quantile_sketch",
+    sql=sample_quantiles_sql("event_id", "value", "events", k=2048),
+)
+def events_quantile_sketch(spark, sf_dir):
+    """sample_state/sample_quantiles (pipeline/sketches.py): mergeable
+    order statistics from a bottom-k coordinated sample — the k rows
+    with the smallest md5(id) hashes are a deterministic uniform
+    sample (TakeOrderedAndProject: per-partition top-k, k-row driver
+    merge, no global sort), and interpolated quantiles over the
+    sample approximate the corpus quantiles at ~1/sqrt(k) rank error.
+    Spark's approx_percentile is the engine-private fast path; this
+    sketch's kept set is fully specified, so the oracle re-derives
+    the identical sample and identical quantile interpolation
+    (percentile == quantile_cont)."""
+    from xcube_spark.pipeline.sketches import (sample_quantiles,
+                                               sample_state)
+
+    ev = tbl(spark, sf_dir, "events")
+    return sample_quantiles(sample_state(ev, "event_id", "value",
+                                         k=2048))
