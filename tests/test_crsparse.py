@@ -2264,3 +2264,82 @@ def test_new_family_gate_grid_margins_via_oracle_sql():
         assert bad == 0, name
         assert mx > floor, (name, mx)
         assert my > floor, (name, my)
+
+
+def test_eqdc_roundtrip_properties_and_cf(spark):
+    """Equidistant conic (+proj=eqdc): round trips <5e-8 deg both
+    sweeps; meridian scale is TRUE everywhere on the ellipsoid (the
+    family's defining property — dy/dphi equals the meridian radius
+    of curvature); CF encode/decode round-trips through the
+    equidistant_conic extension name; gate grid clear of floor
+    boundaries via the exact oracle SQL."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        eqdc_inverse_sql, get_transform)
+    from xcube_spark.queries.resampling_ops import _EQDC, _EQDC_CRS
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    sph = resolve_proj4(
+        "+proj=eqdc +lat_1=30 +lat_2=50 +lat_0=40 +lon_0=-100 "
+        "+R=6371000")
+    pts = [(-120.0, 35.0), (-80.0, 55.0), (-100.0, 40.0),
+           (-95.5, 30.0), (-130.0, 62.5)]
+    for crs in (sph, _EQDC_CRS):
+        fwd = get_transform("EPSG:4326", crs)
+        inv = get_transform(crs, "EPSG:4326")
+        df = spark.createDataFrame(pts, "lon double, lat double")
+        x, y = fwd(F.col("lon"), F.col("lat"))
+        st = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+        lon2, lat2 = inv(F.col("x"), F.col("y"))
+        for r in st.select("lon", "lat", lon2.alias("lon2"),
+                           lat2.alias("lat2")).collect():
+            assert abs(r.lon2 - r.lon) < 5e-8
+            assert abs(r.lat2 - r.lat) < 5e-8
+
+    # true meridian scale on the ellipsoid (1e-6 relative: series
+    # truncation + finite difference)
+    fwd = get_transform("EPSG:4326", _EQDC_CRS)
+    df = spark.createDataFrame(
+        [(-100.0, 40.0), (-100.0, 40.001)], "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    ys = [r.y for r in df.select(y.alias("y")).collect()]
+    a, rf = 6378137.0, 298.257222101
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    s = math.sin(math.radians(40.0))
+    mc = a * (1.0 - e2) / (1.0 - e2 * s * s) ** 1.5
+    want = mc * math.radians(0.001)
+    assert abs((ys[1] - ys[0]) - want) / want < 1e-6
+
+    # CF round trip (PROJ: keys re-resolve through the CF attrs)
+    attrs = cf_grid_mapping_attrs(_EQDC_CRS)
+    assert attrs["grid_mapping_name"] == "equidistant_conic"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == _EQDC_CRS
+
+    # gate-grid margin via the exact oracle twin
+    lon_sql, lat_sql = eqdc_inverse_sql(
+        "CAST((-2724013.0 + (x_i + 0.5) * 140017.0) AS DOUBLE)",
+        "CAST((-2326011.0 + (y_i + 0.5) * 120013.0) AS DOUBLE)",
+        _EQDC_CRS)
+    mx, my = duckdb.connect().execute(f"""
+        WITH tgt AS (SELECT CAST(range // {_EQDC.width} AS INT) AS y_i,
+                            CAST(range % {_EQDC.width} AS INT) AS x_i
+                     FROM range({_EQDC.width * _EQDC.height})),
+        ll AS (SELECT {lon_sql} AS lon, {lat_sql} AS lat FROM tgt)
+        SELECT min(least((lon+180.0)%1.0, 1.0-(lon+180.0)%1.0)),
+               min(least((lat+90.0)%1.0, 1.0-(lat+90.0)%1.0)) FROM ll
+    """).fetchone()
+    assert mx > 5e-4 and my > 5e-4
+
+
+def test_eqdc_rejections():
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=eqdc +lat_1=0 +lat_2=0 +R=6371000")
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=eqdc +lat_1=40 +lat_2=40 +ellps=GRS80")
+    # coincident parallels on a SPHERE are the tangent cone (fine)
+    key = resolve_proj4("+proj=eqdc +lat_1=40 +lat_2=40 +R=6371000")
+    assert key.startswith("PROJ:EQDC:")

@@ -437,6 +437,22 @@ def resolve_proj4(text: str) -> str:
         return _register(R.EQC_PARAMS, "eqc",
                          (a, rf, lat_ts, lon0, x0, y0))
 
+    if proj == "eqdc":
+        lat1 = _num(p, "lat_1")
+        lat2 = _num(p, "lat_2", lat1)
+        if lat1 == 0.0 and lat2 == 0.0:
+            raise NotImplementedError(
+                "eqdc: equatorial standard parallels degenerate "
+                "(n = 0) — use +proj=eqc")
+        if not math.isinf(rf) and lat1 == lat2:
+            raise NotImplementedError(
+                "eqdc (ellipsoidal): coincident standard parallels "
+                "are not supported (give lat_1 != lat_2, or a sphere)")
+        return _register(
+            R.EQDC_PARAMS, "eqdc",
+            (a, rf, lat1, lat2, _num(p, "lat_0"), _num(p, "lon_0"),
+             _num(p, "x_0"), _num(p, "y_0")))
+
     if proj == "cea":
         # Lambert cylindrical equal-area (EPSG method 9835); formulas
         # are generic in (a, rf) so any ellipsoid/sphere is accepted
@@ -602,7 +618,7 @@ def resolve_proj4(text: str) -> str:
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
         "sinu, moll, eck4, mill, vandg, natearth, ob_tran[longlat], cea, "
-        "aeqd[sph], ortho[sph], gnom[sph], eqc, omerc)")
+        "aeqd[sph], ortho[sph], gnom[sph], eqc, eqdc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -772,6 +788,16 @@ def crs_from_cf(attrs: Mapping) -> str:
         put("lat_0", num("latitude_of_projection_origin"))
         put("lon_0", num("longitude_of_projection_origin"))
         put("k", num("scale_factor_at_projection_origin", 1.0))
+    elif name == "equidistant_conic":
+        sps = _std_parallels(attrs)
+        if not sps:
+            raise NotImplementedError(
+                "equidistant_conic needs standard_parallel")
+        p["proj"] = "eqdc"
+        put("lat_1", sps[0])
+        put("lat_2", sps[1] if len(sps) == 2 else sps[0])
+        put("lat_0", num("latitude_of_projection_origin"))
+        put("lon_0", num("longitude_of_central_meridian"))
     elif name == "lambert_cylindrical_equal_area":
         if "scale_factor_at_projection_origin" in attrs:
             raise NotImplementedError(

@@ -2122,6 +2122,125 @@ def eqc_inverse_sql(x_expr: str, y_expr: str,
     return lon, f"degrees({phi})"
 
 
+# ---- equidistant conic (+proj=eqdc; Snyder ch. 16) ----------------------
+
+#: crs -> (a, rf, lat_1, lat_2, lat_0, lon_0, false easting, false
+#: northing).  rf = inf -> spherical (Snyder 16-1..16-4; one or two
+#: standard parallels), finite -> ellipsoidal (16-12..16-15, the
+#: meridian arc via the Krueger rectifying series — the TM family's
+#: machinery, same as ellipsoidal eqc).  Regional mid-latitude maps
+#: (the classic conic where neither conformality nor equal-area is
+#: wanted: meridian scale is true everywhere).
+EQDC_PARAMS: dict[str, tuple] = {}
+
+
+def _eqdc_consts(crs: str) -> dict:
+    a, rf, lat1, lat2, lat0, lon0, fe, fn = EQDC_PARAMS[crs.upper()]
+    p1, p2, p0 = (math.radians(lat1), math.radians(lat2),
+                  math.radians(lat0))
+    if math.isinf(rf):
+        n = math.sin(p1) if lat1 == lat2 \
+            else (math.cos(p1) - math.cos(p2)) / (p2 - p1)
+        g = math.cos(p1) / n + p1
+        # rho in metres: R folded in so sphere/ellipsoid share shape
+        return dict(sphere=True, a=a, n=n, ag=a * g,
+                    rho0=a * (g - p0), lon0=lon0, fe=fe, fn=fn)
+    if lat1 == lat2:
+        raise NotImplementedError(
+            "eqdc (ellipsoidal): coincident standard parallels are "
+            "not supported (give lat_1 != lat_2, or a sphere)")
+    f = 1.0 / rf
+    e2 = f * (2.0 - f)
+    e = math.sqrt(e2)
+    alpha, beta, delta, ar = _tm_series(f)
+
+    def m(p: float) -> float:  # Snyder 14-15
+        s = math.sin(p)
+        return math.cos(p) / math.sqrt(1.0 - e2 * s * s)
+
+    def big_m(p: float) -> float:  # meridian arc (rectifying series)
+        return a * ar * _tm_xi_scalar(p, e, alpha)
+
+    n = a * (m(p1) - m(p2)) / (big_m(p2) - big_m(p1))  # Snyder 16-10
+    g = m(p1) / n + big_m(p1) / a                      # Snyder 16-11
+    return dict(sphere=False, a=a, e=e, alpha=alpha, beta=beta,
+                delta=delta, ary=a * ar, n=n, ag=a * g,
+                rho0=a * g - big_m(p0), lon0=lon0, fe=fe, fn=fn)
+
+
+def _lonlat_to_eqdc_fn(crs: str) -> ColumnTransform:
+    c = _eqdc_consts(crs)
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        th = F.lit(c["n"]) * F.radians(lon - F.lit(c["lon0"]))
+        if c["sphere"]:
+            rho = F.lit(c["ag"]) - F.lit(c["a"]) * F.radians(lat)
+        else:
+            phi = F.radians(lat)
+            sphi = F.sin(phi)
+            t = F.sinh(F.atanh(sphi) - F.lit(c["e"])
+                       * F.atanh(F.lit(c["e"]) * sphi))
+            xip = F.atan(t)
+            xi = xip
+            for j, aj in enumerate(c["alpha"], start=1):
+                xi = xi + F.lit(aj) * F.sin(F.lit(2.0 * j) * xip)
+            rho = F.lit(c["ag"]) - F.lit(c["ary"]) * xi
+        x = F.lit(c["fe"]) + rho * F.sin(th)
+        y = F.lit(c["fn"]) + F.lit(c["rho0"]) - rho * F.cos(th)
+        return x, y
+
+    return fwd
+
+
+def _eqdc_to_lonlat_fn(crs: str) -> ColumnTransform:
+    c = _eqdc_consts(crs)
+    sgn = 1.0 if c["n"] >= 0.0 else -1.0
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xe = x - F.lit(c["fe"])
+        yr = F.lit(c["rho0"]) - (y - F.lit(c["fn"]))
+        rho = F.lit(sgn) * F.sqrt(xe * xe + yr * yr)
+        th = F.atan2(F.lit(sgn) * xe, F.lit(sgn) * yr)
+        lam = th / F.lit(c["n"])
+        if c["sphere"]:
+            phi = (F.lit(c["ag"]) - rho) / F.lit(c["a"])
+        else:
+            mu = (F.lit(c["ag"]) - rho) / F.lit(c["ary"])
+            chi = mu
+            for j, bj in enumerate(c["beta"], start=1):
+                chi = chi - F.lit(bj) * F.sin(F.lit(2.0 * j) * mu)
+            phi = chi
+            for j, dj in enumerate(c["delta"], start=1):
+                phi = phi + F.lit(dj) * F.sin(F.lit(2.0 * j) * chi)
+        return F.lit(c["lon0"]) + F.degrees(lam), F.degrees(phi)
+
+    return inv
+
+
+def eqdc_inverse_sql(x_expr: str, y_expr: str,
+                     crs: str) -> tuple[str, str]:
+    """The SAME equidistant-conic inverse as SQL strings (for DuckDB
+    oracles) — identical op order to :func:`_eqdc_to_lonlat_fn`.
+    Returns (lon_sql, lat_sql)."""
+    c = _eqdc_consts(crs)
+    sgn = 1.0 if c["n"] >= 0.0 else -1.0
+    xe = f"(({x_expr}) - {c['fe']!r})"
+    yr = f"({c['rho0']!r} - (({y_expr}) - {c['fn']!r}))"
+    rho = f"({sgn!r} * sqrt({xe} * {xe} + {yr} * {yr}))"
+    lam = f"(atan2({sgn!r} * {xe}, {sgn!r} * {yr}) / {c['n']!r})"
+    if c["sphere"]:
+        phi = f"(({c['ag']!r} - {rho}) / {c['a']!r})"
+    else:
+        mu = f"(({c['ag']!r} - {rho}) / {c['ary']!r})"
+        chi = mu
+        for j, bj in enumerate(c["beta"], start=1):
+            chi = f"({chi} - {bj!r} * sin(2.0 * {j} * {mu}))"
+        phi = chi
+        for j, dj in enumerate(c["delta"], start=1):
+            phi = f"({phi} + {dj!r} * sin(2.0 * {j} * ({chi})))"
+    return (f"({c['lon0']!r} + degrees({lam}))", f"degrees({phi})")
+
+
 # ---- Swiss oblique Mercator (+proj=somerc) ----------------------------
 #
 # The Swiss "double projection" (swisstopo's published formulas; PROJ's
@@ -4412,6 +4531,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _omerc_to_lonlat_fn(up)
     if up in EQC_PARAMS:
         return _eqc_to_lonlat_fn(up)
+    if up in EQDC_PARAMS:
+        return _eqdc_to_lonlat_fn(up)
     if up in LAEA_PARAMS:
         return _laea_to_lonlat_fn(up)
     if up in LCC_PARAMS:
@@ -4483,6 +4604,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_omerc_fn(up)
     if up in EQC_PARAMS:
         return _lonlat_to_eqc_fn(up)
+    if up in EQDC_PARAMS:
+        return _lonlat_to_eqdc_fn(up)
     if up in LAEA_PARAMS:
         return _lonlat_to_laea_fn(up)
     if up in LCC_PARAMS:

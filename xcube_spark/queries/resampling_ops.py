@@ -2132,3 +2132,64 @@ def cube_reproject_nsper(spark, sf_dir):
     (nsper_inverse_sql, same op order)."""
     out = reproject_dataset(_cube_a(spark), GRID, _NSPER)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: equidistant conic (ellipsoidal, GRS80) -------------------
+
+from xcube_spark.operators.resampling.reproject import eqdc_inverse_sql
+
+#: the regional mid-latitude conic with true meridian scale (Snyder
+#: ch. 16, ellipsoidal 16-12..16-15 via the Krueger rectifying series)
+_EQDC_CRS = resolve_proj4(
+    "+proj=eqdc +lat_1=30 +lat_2=50 +lat_0=40 +lon_0=-100 +ellps=GRS80")
+
+#: off-round origin/steps keep every re-projected center >= 7.1e-4 deg
+#: from any 1-degree source-cell edge (margin asserted in
+#: tests/test_crsparse.py)
+_EQDC = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                 x_start=-2_724_013.0, y_start=-2_326_011.0,
+                 x_res=140_017.0, y_res=120_013.0,
+                 t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                 crs=_EQDC_CRS)
+
+_EQDC_LON, _EQDC_LAT = eqdc_inverse_sql(
+    "CAST((-2724013.0 + (x_i + 0.5) * 140017.0) AS DOUBLE)",
+    "CAST((-2326011.0 + (y_i + 0.5) * 120013.0) AS DOUBLE)", _EQDC_CRS)
+
+
+@query(
+    "cube_reproject_eqdc",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_EQDC.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_EQDC_LON} AS lon,
+                   {_EQDC_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_eqdc(spark, sf_dir):
+    """reproject_dataset onto an ellipsoidal equidistant-conic grid
+    (Snyder ch. 16; PROJ +proj=eqdc) — the classic regional conic
+    with TRUE meridian scale everywhere (rho = aG - M(phi), the
+    meridian arc via the Krueger rectifying series — the same
+    machinery as ellipsoidal eqc/TM); reference reaches it via
+    pyproj.  The oracle states the identical inverse (rho -> M ->
+    mu -> chi -> phi series) in SQL (eqdc_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _EQDC)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))

@@ -803,6 +803,21 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
         else:
             out["semi_minor_axis"] = a
         return out
+    if code in R.EQDC_PARAMS:
+        a, rf, lat1, lat2, lat0, lon0, fe, fn = R.EQDC_PARAMS[code]
+        import math as _math
+        out = {"grid_mapping_name": "equidistant_conic",
+               "standard_parallel": ([lat1, lat2] if lat1 != lat2
+                                     else lat1),
+               "latitude_of_projection_origin": lat0,
+               "longitude_of_central_meridian": lon0,
+               "false_easting": fe, "false_northing": fn,
+               "semi_major_axis": a}
+        if _math.isfinite(rf):
+            out["inverse_flattening"] = rf
+        else:
+            out["semi_minor_axis"] = a
+        return out
     if code in R.ROTPOLE_PARAMS:
         theta_p, lambda_p, phi0 = R.ROTPOLE_PARAMS[code]
         return {"grid_mapping_name": "rotated_latitude_longitude",
