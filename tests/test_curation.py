@@ -632,3 +632,19 @@ def test_bpe_apply_merge_randomized_equivalence(spark):
             "i", bpe_apply_merge(F.col("sym"), l, r).alias("m")).collect()
         got.update({r_.i: r_.m for r_ in rows})
     assert got == expect
+
+
+def test_normalize_text(spark):
+    from xcube_spark.pipeline.curation import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "\tHello   WORLD\x07 "),
+         (2, "already clean"),
+         (3, "tabs\tand\nnewlines  collapse")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert rows[1].text_norm == "hello world"
+    assert rows[1].n_chars_raw == len("\tHello   WORLD\x07 ")
+    assert rows[1].n_chars_norm == len("hello world")
+    assert rows[2].text_norm == "already clean"
+    assert rows[3].text_norm == "tabs and newlines collapse"

@@ -100,6 +100,7 @@ PRIORITY_ORDER = (
     "doc_incremental_kmv",
     "events_interval_join",
     "events_quantile_sketch",
+    "doc_normalize_text",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqdc",

@@ -861,3 +861,52 @@ def doc_incremental_kmv(spark, sf_dir):
     merged = kmv_merge(state, docs.where(F.col("doc_id") >= cut),
                        "text", k=128)
     return kmv_estimate(merged, k=128)
+
+
+@query(
+    "doc_normalize_text",
+    sql="""
+        WITH messy AS (
+            SELECT doc_id,
+                   chr(9) || upper(substr(text, 1, 40)) || '  ' ||
+                   text || chr(7) || ' ' AS text
+            FROM documents
+        ), norm AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_raw,
+                   lower(trim(regexp_replace(
+                       regexp_replace(
+                           text,
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                           '', 'g'),
+                       '\\s+', ' ', 'g'))) AS text_norm
+            FROM messy
+        )
+        SELECT doc_id, n_chars_raw,
+               CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+               md5(text_norm) AS norm_digest
+        FROM norm
+    """,
+)
+def doc_normalize_text(spark, sf_dir):
+    """normalize_text (pipeline/curation.py): control-char strip +
+    whitespace collapse + trim + lowercase, all JVM-side built-ins in
+    one codegen'd projection.  The fixture text is already clean, so
+    the query first constructs a deterministically-messy twin (tab
+    prefix, upper-cased echo, double spaces, a BEL byte) IDENTICALLY
+    on both engines — the same synthesize-the-input pattern every
+    cube_* oracle uses — then checks the normalized digests match
+    byte-for-byte."""
+    from xcube_spark.pipeline.curation import normalize_text
+
+    docs = tbl(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit("\t"), F.upper(F.substring("text", 1, 40)),
+                 F.lit("  "), F.col("text"), F.lit("\x07"),
+                 F.lit(" ")).alias("text"),
+    )
+    out = normalize_text(messy)
+    return out.select(
+        "doc_id", "n_chars_raw", "n_chars_norm",
+        F.md5("text_norm").alias("norm_digest"))
