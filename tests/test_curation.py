@@ -648,3 +648,21 @@ def test_normalize_text(spark):
     assert rows[1].n_chars_norm == len("hello world")
     assert rows[2].text_norm == "already clean"
     assert rows[3].text_norm == "tabs and newlines collapse"
+
+
+def test_c4_line_filter(spark):
+    from xcube_spark.pipeline.curation import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five.\nshort.\nno terminal punct here\n"
+             'quoted line with five words!"\nsix proper words end here?'),
+         (2, "everything here fails the filter\ntiny.")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+    assert rows[1].n_lines == 5
+    assert rows[1].n_kept == 3
+    assert rows[1].text_clean == (
+        "one two three four five.\n"
+        'quoted line with five words!"\n'
+        "six proper words end here?")
+    assert rows[2].n_kept == 0 and rows[2].text_clean == ""

@@ -350,3 +350,17 @@ def test_sample_merge_equals_recompute_and_tracks_exact(spark, sf_dir):
     spread = ev.agg(F.expr("percentile(value, 0.9)")).first()[0]
     # sample median within a generous band of the exact median
     assert abs(row.p50 - exact) < 0.35 * spread
+
+
+def test_kmv_and_sample_plans_are_take_ordered(spark, sf_dir):
+    """kmv_state / sample_state must lower to TakeOrderedAndProject
+    (per-partition top-k + k-row driver merge) — a global Sort of the
+    distinct-hash table would be the anti-pattern at corpus scale."""
+    from xcube_spark.pipeline.sketches import kmv_state, sample_state
+
+    docs = load(spark, sf_dir, "documents")
+    for df in (kmv_state(docs, "text", k=64),
+               sample_state(docs, "doc_id", "n_chars", k=64)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "GlobalSort" not in plan

@@ -599,3 +599,55 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_chars_raw": F.length(raw).cast("long"),
         "n_chars_norm": F.length(norm).cast("long"),
     })
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text",
+                   min_words: int = 4) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2: the
+    public heuristics behind the C4 corpus): keep only lines that
+    have at least ``min_words`` words AND end in terminal punctuation
+    (``. ! ? "``); rebuild the document from the kept lines.  Returns
+    ``(doc_id, n_lines, n_kept, text_clean)``.
+
+    Shape: posexplode lines -> codegen'd per-line predicate ->
+    groupBy(doc_id) rebuild (sort_array over the collected
+    (pos, line) structs keeps original order; the transform lambda is
+    interpreted but runs on the post-aggregation per-doc array, not
+    per line).  One doc_id shuffle — the same discipline as
+    substring_dedup's window form; an F.filter lambda over the line
+    array would avoid the shuffle but evaluates interpreted PER LINE
+    (the round-6 CodegenFallback lesson)."""
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("pos", "line"),
+    )
+    trimmed = F.trim(F.col("line"))
+    keep = (
+        (F.size(F.split(trimmed, r"\s+")) >= min_words)
+        & trimmed.rlike('[.!?"]$')
+    )
+    kept = lines.where(keep)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), "\n")).cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -101,6 +101,7 @@ PRIORITY_ORDER = (
     "events_interval_join",
     "events_quantile_sketch",
     "doc_normalize_text",
+    "doc_c4_line_filter",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqdc",

@@ -910,3 +910,62 @@ def doc_normalize_text(spark, sf_dir):
     return out.select(
         "doc_id", "n_chars_raw", "n_chars_norm",
         F.md5("text_norm").alias("norm_digest"))
+
+
+@query(
+    "doc_c4_line_filter",
+    sql=r"""
+        WITH messy AS (
+            SELECT doc_id,
+                   regexp_replace(text, ' the ', '.' || chr(10), 'g')
+                       AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, i AS pos, lst[i + 1] AS line,
+                   len(lst) AS n_lines
+            FROM (SELECT doc_id,
+                         string_split(text, chr(10)) AS lst
+                  FROM messy),
+                 unnest(range(len(lst))) AS u(i)
+        ), kept AS (
+            SELECT doc_id, pos, line
+            FROM lines
+            WHERE len(regexp_split_to_array(trim(line), '\s+')) >= 4
+              AND regexp_matches(trim(line), '[.!?"]$')
+        ), rebuilt AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos)
+                       AS text_clean
+            FROM kept GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, chr(10))) AS BIGINT)
+                       AS n_lines
+            FROM messy
+        )
+        SELECT t.doc_id, t.n_lines,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               md5(COALESCE(r.text_clean, '')) AS clean_digest
+        FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def doc_c4_line_filter(spark, sf_dir):
+    """c4_line_filter (pipeline/curation.py): the C4 corpus's
+    line-level heuristics — drop lines under 4 words or without
+    terminal punctuation, rebuild the doc from the survivors.  The
+    fixture text is single-line, so the query first derives a
+    deterministically line-structured twin (every ' the ' becomes
+    '.\\n' — a literal regexp_replace with identical non-overlapping
+    left-to-right semantics in Java regex and RE2) on both engines,
+    then compares kept counts and the rebuilt-text digests."""
+    from xcube_spark.pipeline.curation import c4_line_filter
+
+    docs = tbl(spark, sf_dir, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.regexp_replace("text", " the ", ".\n").alias("text"))
+    out = c4_line_filter(messy, min_words=4)
+    return out.select(
+        "doc_id", "n_lines", "n_kept",
+        F.md5("text_clean").alias("clean_digest"))
