@@ -1,0 +1,50 @@
+"""Distributed PCA (pipeline/similarity.py): the eigen-step
+properties the SQL gate can't express (emb_pca_variance covers the
+one-pass moment accumulation)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from xcube_spark.pipeline.similarity import (
+    pca_moments,
+    pca_project,
+    pca_train,
+)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_pca_components_orthonormal_and_sorted(spark, sf_dir):
+    m = pca_train(_emb(spark, sf_dir), n_components=8)
+    w = m["components"]
+    assert np.allclose(w @ w.T, np.eye(8), atol=1e-10)
+    ev = m["explained_variance"]
+    assert np.all(np.diff(ev) <= 1e-12)           # descending
+    assert ev.sum() <= m["total_variance"] + 1e-9  # partial spectrum
+
+
+def test_pca_moments_match_numpy(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n, s, g = pca_moments(emb)
+    x = np.asarray([r.embedding for r in emb.collect()],
+                   dtype=np.float64)
+    assert n == x.shape[0]
+    assert np.allclose(s, x.sum(axis=0), rtol=1e-12)
+    assert np.allclose(g, x.T @ x, rtol=1e-12)
+
+
+def test_pca_projection_variance_equals_eigvals(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    m = pca_train(emb, n_components=6)
+    y = np.asarray(
+        [r.pca for r in pca_project(emb, m).collect()])
+    # population variance of each projected axis == its eigenvalue
+    assert np.allclose(y.var(axis=0), m["explained_variance"],
+                       rtol=1e-8)
+    # whitening: unit variance on every axis
+    yw = np.asarray(
+        [r.pca for r in pca_project(emb, m, whiten=True).collect()])
+    assert np.allclose(yw.var(axis=0), 1.0, rtol=1e-8)

@@ -1124,3 +1124,139 @@ def knn_ivfpq(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening: one-pass moments, model-sized state
+
+
+def pca_moments(emb: DataFrame, vec_col: str = "embedding"):
+    """ONE corpus scan -> ``(n, sum_vec, gram)`` as numpy (the
+    sufficient statistics of mean/covariance).  Each task reduces its
+    batches into a single (1 + d + d*d)-value row via a zero-copy
+    Arrow reshape + one matmul, so the driver receives at most
+    #tasks model-sized rows — the same bounded-collect contract as
+    the kNN kernels (state is O(d^2), never O(rows))."""
+    import numpy as np
+    import pyarrow as pa
+
+    def partials(batches):
+        n = 0
+        s = None
+        g = None
+        for b in batches:
+            if not b.num_rows:
+                continue
+            v = np.asarray(b.column("__vec").flatten()).reshape(
+                b.num_rows, -1)
+            n += v.shape[0]
+            if s is None:
+                s = v.sum(axis=0)
+                g = v.T @ v
+            else:
+                s += v.sum(axis=0)
+                g += v.T @ v
+        if s is None:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([n], type=pa.int64()),
+             pa.array([s.tolist()], type=pa.list_(pa.float64())),
+             pa.array([g.reshape(-1).tolist()],
+                      type=pa.list_(pa.float64()))],
+            names=["n", "s", "g"])
+
+    rows = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("__vec"))
+        .mapInArrow(partials,
+                    "n bigint, s array<double>, g array<double>")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pca_moments: empty input")
+    n = sum(r.n for r in rows)
+    s = np.sum([np.asarray(r.s) for r in rows], axis=0)
+    g_flat = np.sum([np.asarray(r.g) for r in rows], axis=0)
+    d = s.shape[0]
+    return n, s, g_flat.reshape(d, d)
+
+
+def pca_train(emb: DataFrame, vec_col: str = "embedding",
+              n_components: int = 16) -> dict:
+    """Distributed PCA: moments from :func:`pca_moments`, then a
+    driver-side eigendecomposition of the d x d covariance (d is the
+    embedding width — model-sized; d=64 is microseconds).  Returns
+    ``{'mean': (d,), 'components': (k, d) row-orthonormal,
+    'explained_variance': (k,) descending, 'total_variance': float}``
+    — the rotation ANN pipelines apply before PQ, and the basis for
+    :func:`pca_project` / whitening."""
+    import numpy as np
+
+    n, s, g = pca_moments(emb, vec_col)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)      # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    return dict(
+        mean=mean,
+        components=evecs[:, order].T.copy(),
+        explained_variance=np.maximum(evals[order], 0.0),
+        total_variance=float(np.trace(cov)),
+    )
+
+
+def pca_project(emb: DataFrame, model: dict, id_col: str = "vec_id",
+                vec_col: str = "embedding", out_col: str = "pca",
+                whiten: bool = False) -> DataFrame:
+    """Project every embedding onto the PCA basis:
+    ``y = W (x - mean)`` (``/ sqrt(eigval)`` per axis when
+    ``whiten`` — unit-variance output, the SemDeDup/PQ preprocessing
+    step).  One mapInArrow pass, a single (n, d) x (d, k) matmul per
+    batch; the model ships in the closure (k*d doubles)."""
+    import numpy as np
+    import pyarrow as pa
+
+    mean = np.asarray(model["mean"], dtype=np.float64)
+    w = np.asarray(model["components"], dtype=np.float64).T  # (d, k)
+    if whiten:
+        scale = np.sqrt(np.maximum(
+            np.asarray(model["explained_variance"], dtype=np.float64),
+            1e-30))
+        w = w / scale[None, :]
+
+    def project(batches):
+        for b in batches:
+            if not b.num_rows:
+                continue
+            v = np.asarray(b.column("__vec").flatten()).reshape(
+                b.num_rows, -1)
+            y = (v - mean[None, :]) @ w
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col),
+                 pa.array(list(y), type=pa.list_(pa.float64()))],
+                names=[id_col, out_col])
+
+    id_t = dict(emb.dtypes)[id_col]
+    return (
+        emb.select(F.col(id_col),
+                   F.col(vec_col).cast("array<double>").alias("__vec"))
+        .mapInArrow(project, f"{id_col} {id_t}, {out_col} array<double>")
+    )
+
+
+def pca_moment_stats(emb: DataFrame, vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Per-dimension ``(dim_i, mean_i, var_i)`` derived from the SAME
+    one-pass moment accumulation :func:`pca_train` consumes — the
+    SQL-expressible face of the PCA plumbing (the eigen step itself
+    has no SQL twin; its properties are pytest-pinned)."""
+    n, s, g = pca_moments(emb, vec_col)
+    mean = s / n
+    var = g.diagonal() / n - mean * mean
+    spark = emb.sparkSession
+    # raw doubles: rounding is the CALLER's job through F.round
+    # (Spark/DuckDB ROUND are both half-away-from-zero; Python's
+    # round() is half-even — mixing them breaks oracle parity)
+    rows = [(int(i), float(mean[i]), float(var[i]))
+            for i in range(s.shape[0])]
+    return spark.createDataFrame(rows, "dim_i int, mean_i double, "
+                                       "var_i double")

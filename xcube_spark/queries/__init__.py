@@ -102,6 +102,7 @@ PRIORITY_ORDER = (
     "events_quantile_sketch",
     "doc_normalize_text",
     "doc_c4_line_filter",
+    "emb_pca_variance",
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqdc",

@@ -874,3 +874,40 @@ def emb_quantize_int8(spark, sf_dir):
         F.size(F.filter("codes", lambda x: F.abs(x) == 127))
         .cast("long").alias("n_saturated"),
     )
+
+
+@query(
+    "emb_pca_variance",
+    sql="""
+        WITH u AS (
+            SELECT i, CAST(embedding[i + 1] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(64)) AS t(i)
+        ), agg AS (
+            SELECT i, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS g
+            FROM u GROUP BY i
+        )
+        SELECT CAST(i AS INT) AS dim_i,
+               ROUND(s / n, 6) AS mean_i,
+               ROUND(g / n - (s / n) * (s / n), 6) AS var_i
+        FROM agg
+    """,
+)
+def emb_pca_variance(spark, sf_dir):
+    """pca_moments/pca_moment_stats (pipeline/similarity.py): the
+    one-pass sufficient statistics behind distributed PCA — every
+    task reduces its Arrow batches to ONE (1 + d + d^2)-value row
+    (zero-copy reshape + a single X^T X matmul), the driver sums at
+    most #tasks model-sized partials, never rows.  The gate checks
+    the per-dimension mean/variance derived from those moments
+    against DuckDB's direct per-dimension aggregation; the eigen
+    step (orthonormal components, descending explained variance,
+    unit-variance whitening) has no SQL twin and is pytest-pinned in
+    tests/test_similarity_pca.py."""
+    from xcube_spark.pipeline.similarity import pca_moment_stats
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    out = pca_moment_stats(emb)
+    return out.select(
+        "dim_i",
+        F.round("mean_i", 6).alias("mean_i"),
+        F.round("var_i", 6).alias("var_i"))
