@@ -2343,3 +2343,88 @@ def test_eqdc_rejections():
     # coincident parallels on a SPHERE are the tangent cone (fine)
     key = resolve_proj4("+proj=eqdc +lat_1=40 +lat_2=40 +R=6371000")
     assert key.startswith("PROJ:EQDC:")
+
+
+def test_robinson_roundtrip_anchors_cf_and_margins(spark):
+    """Robinson (ESRI:54030): round trips at 1e-12 deg away from the
+    pole clamp; the published node values are hit exactly at the
+    5-degree latitudes (the spline interpolates, so nodes are exact);
+    outline extents match 0.8487*R*pi / 1.3523*R; CF round-trips via
+    the robinson extension name; gate grid clear of floor boundaries
+    through the exact oracle CTEs."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        _ROBIN_X, _ROBIN_Y, get_transform, robin_inverse_sql_ctes)
+    from xcube_spark.queries.resampling_ops import _ROBIN
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    r = 6378137.0
+    fwd = get_transform("EPSG:4326", "ESRI:54030")
+    inv = get_transform("ESRI:54030", "EPSG:4326")
+    pts = [(-120.0, 35.2), (30.0, -47.6), (179.0, 84.3), (45.0, 52.5),
+           (0.0, 0.0), (-180.0, 25.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    st = fwd.apply_df(df, F.col("lon"), F.col("lat"), "x", "y")
+    st2 = inv.apply_df(st.select("lon", "lat", "x", "y"),
+                       F.col("x"), F.col("y"), "lon2", "lat2")
+    for r2 in st2.select("lon", "lat", "lon2", "lat2").collect():
+        assert abs(r2.lon2 - r2.lon) < 1e-10
+        assert abs(r2.lat2 - r2.lat) < 1e-10
+
+    # node exactness: at lat = 5k the spline passes through the
+    # published (X, Y) table values
+    nodes = [(0.0, 5.0 * k) for k in range(0, 19, 3)]
+    dfn = spark.createDataFrame(nodes, "lon double, lat double")
+    stn = fwd.apply_df(dfn, F.col("lon"), F.col("lat"), "x", "y")
+    for r3 in stn.select("lat", "y").collect():
+        k = int(r3.lat / 5.0)
+        # the pole sits on the clamped last interval edge (s is
+        # nudged 2e-7 inside so floor() can't index interval 18):
+        # ~0.2 m short there, exact elsewhere
+        tol = 0.5 if k == 18 else 1e-6
+        assert abs(r3.y - 1.3523 * r * _ROBIN_Y[k]) < tol
+    # outline: x(180, 0) = 0.8487*R*pi (X(0) = 1)
+    dfe = spark.createDataFrame([(180.0, 0.0)], "lon double, lat double")
+    xe = fwd.apply_df(dfe, F.col("lon"), F.col("lat"), "x", "y") \
+        .collect()[0].x
+    assert abs(xe - 0.8487 * r * math.pi) < 1e-6
+    assert _ROBIN_X[0] == 1.0
+
+    # CF extension round trip
+    attrs = cf_grid_mapping_attrs("ESRI:54030")
+    assert attrs["grid_mapping_name"] == "robinson"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "ESRI:54030"
+    assert resolve_proj4("+proj=robin +a=6378137") == "ESRI:54030"
+
+    # gate-grid margins via the exact oracle CTEs
+    ctes = robin_inverse_sql_ctes(
+        "CAST((-10866011.0 + (x_i + 0.5) * 540017.0) AS DOUBLE)",
+        "CAST((-7808013.0 + (y_i + 0.5) * 390013.0) AS DOUBLE)",
+        "ESRI:54030")
+    mx, my, bad = duckdb.connect().execute(f"""
+        WITH tgt AS (SELECT CAST(range // {_ROBIN.width} AS INT) AS y_i,
+                            CAST(range % {_ROBIN.width} AS INT) AS x_i
+                     FROM range({_ROBIN.width * _ROBIN.height})),
+        {ctes}
+        SELECT min(least((lon+180.0)%1.0, 1.0-(lon+180.0)%1.0)),
+               min(least((lat+90.0)%1.0, 1.0-(lat+90.0)%1.0)),
+               count(*) FILTER (lon < -180 OR lon > 180 OR isnan(lon))
+        FROM robin_ll
+    """).fetchone()
+    assert bad == 0
+    assert mx > 1e-3 and my > 1e-3
+
+
+def test_robinson_y_spline_is_monotone():
+    """The Newton solve assumes Y'(s) > 0 on every interval — sample
+    the derivative densely (the data is smooth and increasing, but
+    pin it rather than assume it)."""
+    from xcube_spark.operators.resampling.reproject import _ROBIN_YC
+
+    for a, b, c, d in _ROBIN_YC:
+        for t in range(101):
+            s = t / 100.0
+            assert b + 2 * c * s + 3 * d * s * s > 0.0

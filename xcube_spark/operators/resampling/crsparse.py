@@ -352,10 +352,10 @@ def resolve_proj4(text: str) -> str:
         R.MOLL_PARAMS[key] = a
         return key
 
-    if proj in ("eck4", "mill", "vandg"):
+    if proj in ("eck4", "mill", "vandg", "robin"):
         # the spherical world/atlas projections (ESRI:54012 Eckert
-        # IV, 54003 Miller, 54029 Van der Grinten I) — same contract
-        # as moll: sphere on +R/+a, no offsets
+        # IV, 54003 Miller, 54029 Van der Grinten I, 54030 Robinson)
+        # — same contract as moll: sphere on +R/+a, no offsets
         if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
             raise NotImplementedError(
                 f"{proj}: nonzero +lon_0/+x_0/+y_0 not supported")
@@ -363,9 +363,10 @@ def resolve_proj4(text: str) -> str:
             raise NotImplementedError(
                 f"{proj}: spherical only (+R/+a)")
         table = {"eck4": R.ECK4_PARAMS, "mill": R.MILL_PARAMS,
-                 "vandg": R.VANDG_PARAMS}[proj]
+                 "vandg": R.VANDG_PARAMS,
+                 "robin": R.ROBIN_PARAMS}[proj]
         esri = {"eck4": "ESRI:54012", "mill": "ESRI:54003",
-                "vandg": "ESRI:54029"}[proj]
+                "vandg": "ESRI:54029", "robin": "ESRI:54030"}[proj]
         if a == table[esri]:
             return esri
         key = f"PROJ:{proj.upper()}:{a!r}".upper()
@@ -617,7 +618,7 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, eck4, mill, vandg, natearth, ob_tran[longlat], cea, "
+        "sinu, moll, eck4, mill, vandg, robin, natearth, ob_tran[longlat], cea, "
         "aeqd[sph], ortho[sph], gnom[sph], eqc, eqdc, omerc)")
 
 
@@ -742,7 +743,7 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "not supported")
         p["proj"] = "moll"
     elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten",
-                  "natural_earth"):
+                  "natural_earth", "robinson"):
         # our writer's CF extension for the spherical world/atlas
         # projections (no CF appendix entry, like mollweide above)
         if num("longitude_of_projection_origin"):
@@ -752,7 +753,8 @@ def crs_from_cf(attrs: Mapping) -> str:
         p["proj"] = {"eckert_iv": "eck4",
                      "miller_cylindrical": "mill",
                      "van_der_grinten": "vandg",
-                     "natural_earth": "natearth"}[name]
+                     "natural_earth": "natearth",
+                     "robinson": "robin"}[name]
     elif name in ("azimuthal_equidistant", "orthographic", "gnomonic"):
         p["proj"] = {"azimuthal_equidistant": "aeqd",
                      "orthographic": "ortho",

@@ -4481,6 +4481,241 @@ def sinu_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     return lon, f"degrees({phi})"
 
 
+# ---- Robinson (+proj=robin; ESRI:54030) ---------------------------------
+#
+# The classic compromise world projection (Robinson 1974; Snyder
+# "Flattening the Earth" ch. on pseudocylindricals): defined by a
+# TABLE, not a formula — published (X, Y) scale factors every 5 deg of
+# latitude, interpolated smoothly.  x = 0.8487 R X(|lat|) lam,
+# y = 1.3523 R Y(|lat|) sign(lat).  This implementation interpolates
+# with the natural cubic spline through the 19 published nodes
+# (coefficients solved once at import by a pure-Python tridiagonal
+# pass and embedded identically in the Column math and the SQL twin);
+# the inverse solves the monotone Y cubic per interval with a
+# fixed-count Newton (4 iterations — the sterea/somerc discipline:
+# both engines run the SAME count).
+
+#: the published Robinson table: (X, Y) per 5 deg, 0..90
+_ROBIN_X = (1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600,
+            0.9427, 0.9216, 0.8962, 0.8679, 0.8350, 0.7986, 0.7597,
+            0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+_ROBIN_Y = (0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720,
+            0.4340, 0.4958, 0.5571, 0.6176, 0.6769, 0.7346, 0.7903,
+            0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+_ROBIN_XK = 0.8487
+_ROBIN_YK = 1.3523
+_ROBIN_ITERS = 4
+
+
+def _nat_cubic_coeffs(v: tuple) -> list[tuple]:
+    """Natural cubic spline through ``v`` at unit spacing: per-interval
+    (a, b, c, d) with value a + b s + c s^2 + d s^3, s in [0, 1].
+    Pure-Python Thomas algorithm (n = 19 — microseconds at import)."""
+    n = len(v) - 1
+    rhs = [0.0] + [6.0 * (v[i + 1] - 2.0 * v[i] + v[i - 1])
+                   for i in range(1, n)] + [0.0]
+    # tridiagonal (1, 4, 1) with natural ends M[0] = M[n] = 0
+    cp = [0.0] * (n + 1)
+    dp = [0.0] * (n + 1)
+    for i in range(1, n):
+        m = 4.0 - cp[i - 1]
+        cp[i] = 1.0 / m
+        dp[i] = (rhs[i] - dp[i - 1]) / m
+    big_m = [0.0] * (n + 1)
+    for i in range(n - 1, 0, -1):
+        big_m[i] = dp[i] - cp[i] * big_m[i + 1]
+    out = []
+    for i in range(n):
+        a = v[i]
+        c = big_m[i] / 2.0
+        d = (big_m[i + 1] - big_m[i]) / 6.0
+        b = v[i + 1] - v[i] - (2.0 * big_m[i] + big_m[i + 1]) / 6.0
+        out.append((a, b, c, d))
+    return out
+
+
+_ROBIN_XC = _nat_cubic_coeffs(_ROBIN_X)
+_ROBIN_YC = _nat_cubic_coeffs(_ROBIN_Y)
+
+#: crs -> sphere radius (the ESRI:54030 convention uses the WGS84
+#: semi-major as the sphere, like web-mercator)
+ROBIN_PARAMS: dict[str, float] = {
+    "ESRI:54030": 6_378_137.0,
+}
+
+
+def _robin_pick(i: Column, vals: list[float]) -> Column:
+    """CASE ladder selecting a per-interval spline constant."""
+    expr = F.lit(vals[-1])
+    for j in range(len(vals) - 2, -1, -1):
+        expr = F.when(i == j, F.lit(vals[j])).otherwise(expr)
+    return expr
+
+
+def _robin_pick_sql(i: str, vals: list[float]) -> str:
+    arms = " ".join(f"WHEN {j} THEN {vals[j]!r}"
+                    for j in range(len(vals) - 1))
+    return f"(CASE {i} {arms} ELSE {vals[-1]!r} END)"
+
+
+def _lonlat_to_robin_fn(crs: str) -> "StagedTransform":
+    r = ROBIN_PARAMS[crs.upper()]
+    xk, yk = _ROBIN_XK * r, _ROBIN_YK * r
+    xa, xb, xc, xd = (list(t) for t in zip(*_ROBIN_XC))
+    ya, yb, yc, yd = (list(t) for t in zip(*_ROBIN_YC))
+
+    def c_ad(env):
+        return F.least(F.abs(env["__in_y"]) / F.lit(5.0),
+                       F.lit(17.999999))
+
+    def c_i(env):
+        return F.floor(env["__ad"]).cast("int")
+
+    def c_s(env):
+        return env["__ad"] - env["__i"].cast("double")
+
+    def c_xf(env):
+        i, s = env["__i"], env["__s"]
+        return (_robin_pick(i, xa) + _robin_pick(i, xb) * s
+                + _robin_pick(i, xc) * s * s
+                + _robin_pick(i, xd) * s * s * s)
+
+    def c_yf(env):
+        i, s = env["__i"], env["__s"]
+        return (_robin_pick(i, ya) + _robin_pick(i, yb) * s
+                + _robin_pick(i, yc) * s * s
+                + _robin_pick(i, yd) * s * s * s)
+
+    def c_out_x(env):
+        return F.lit(xk) * env["__xf"] * F.radians(env["__in_x"])
+
+    def c_out_y(env):
+        return (F.lit(yk) * env["__yf"]
+                * F.signum(env["__in_y"] + F.lit(0.0)))
+
+    return StagedTransform([
+        {"__ad": c_ad},
+        {"__i": c_i},
+        {"__s": c_s},
+        {"__xf": c_xf, "__yf": c_yf},
+        {"__out_x": c_out_x, "__out_y": c_out_y},
+    ])
+
+
+def _robin_to_lonlat_fn(crs: str) -> "StagedTransform":
+    r = ROBIN_PARAMS[crs.upper()]
+    xk, yk = _ROBIN_XK * r, _ROBIN_YK * r
+    xa, xb, xc, xd = (list(t) for t in zip(*_ROBIN_XC))
+    ya, yb, yc, yd = (list(t) for t in zip(*_ROBIN_YC))
+    nodes = list(_ROBIN_Y)
+
+    def c_ay(env):
+        return F.least(F.abs(env["__in_y"]) / F.lit(yk), F.lit(1.0))
+
+    def c_i(env):
+        # largest interval whose lower node <= ay (17 comparisons),
+        # capped at the last interval
+        ay = env["__ay"]
+        i = F.lit(0)
+        for j in range(1, len(nodes) - 1):
+            i = i + F.when(ay >= F.lit(nodes[j]), 1).otherwise(0)
+        return i.cast("int")
+
+    def c_s(env):
+        # linear seed inside the interval
+        i, ay = env["__i"], env["__ay"]
+        lo = _robin_pick(i, nodes[:-1])
+        hi = _robin_pick(i, nodes[1:])
+        return (ay - lo) / (hi - lo)
+
+    def mk_step(env):
+        i, s, ay = env["__i"], env["__s"], env["__ay"]
+        f = (_robin_pick(i, ya) + _robin_pick(i, yb) * s
+             + _robin_pick(i, yc) * s * s
+             + _robin_pick(i, yd) * s * s * s) - ay
+        fp = (_robin_pick(i, yb) + F.lit(2.0) * _robin_pick(i, yc) * s
+              + F.lit(3.0) * _robin_pick(i, yd) * s * s)
+        return s - f / fp
+
+    def c_lat(env):
+        return (F.lit(5.0) * (env["__i"].cast("double") + env["__s"])
+                * F.signum(env["__in_y"] + F.lit(0.0)))
+
+    def c_lon(env):
+        i, s = env["__i"], env["__s"]
+        xf = (_robin_pick(i, xa) + _robin_pick(i, xb) * s
+              + _robin_pick(i, xc) * s * s
+              + _robin_pick(i, xd) * s * s * s)
+        return F.degrees(env["__in_x"] / (F.lit(xk) * xf))
+
+    stages = [{"__ay": c_ay}, {"__i": c_i}, {"__s": c_s}]
+    for _ in range(_ROBIN_ITERS):
+        stages.append({"__s": mk_step})
+    stages.append({"__out_x": c_lon, "__out_y": c_lat})
+    return StagedTransform(stages)
+
+
+def robin_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                           src: str = "tgt") -> str:
+    """The SAME Robinson inverse as a chain of CTEs over ``src`` (for
+    DuckDB oracles) — identical arithmetic and Newton count to
+    :func:`_robin_to_lonlat_fn`.  Emits CTEs ``rb1..`` and finally
+    ``robin_ll`` = ``src`` columns + ``lon``/``lat``."""
+    r = ROBIN_PARAMS[crs.upper()]
+    xk, yk = _ROBIN_XK * r, _ROBIN_YK * r
+    xa, xb, xc, xd = (list(t) for t in zip(*_ROBIN_XC))
+    ya, yb, yc, yd = (list(t) for t in zip(*_ROBIN_YC))
+    nodes = list(_ROBIN_Y)
+    isum = " + ".join(
+        f"(CASE WHEN __ay >= {nodes[j]!r} THEN 1 ELSE 0 END)"
+        for j in range(1, len(nodes) - 1))
+    steps = []
+    for t in range(_ROBIN_ITERS):
+        cur, nxt = f"__s{t}", f"__s{t + 1}"
+        f = (f"({_robin_pick_sql('__i', list(ya))} "
+             f"+ {_robin_pick_sql('__i', list(yb))} * {cur} "
+             f"+ {_robin_pick_sql('__i', list(yc))} * {cur} * {cur} "
+             f"+ {_robin_pick_sql('__i', list(yd))} * {cur} * {cur}"
+             f" * {cur}) - __ay")
+        fp = (f"({_robin_pick_sql('__i', list(yb))} "
+              f"+ 2.0 * {_robin_pick_sql('__i', list(yc))} * {cur} "
+              f"+ 3.0 * {_robin_pick_sql('__i', list(yd))} * {cur}"
+              f" * {cur})")
+        steps.append(f"""rb{4 + t} AS (
+            SELECT *, ({cur} - ({f}) / {fp}) AS {nxt}
+            FROM rb{3 + t}
+        )""")
+    last = f"__s{_ROBIN_ITERS}"
+    xf = (f"({_robin_pick_sql('__i', list(xa))} "
+          f"+ {_robin_pick_sql('__i', list(xb))} * {last} "
+          f"+ {_robin_pick_sql('__i', list(xc))} * {last} * {last} "
+          f"+ {_robin_pick_sql('__i', list(xd))} * {last} * {last}"
+          f" * {last})")
+    lo = _robin_pick_sql("__i", nodes[:-1])
+    hi = _robin_pick_sql("__i", nodes[1:])
+    chain = ", ".join(steps)
+    return f"""rb1 AS (
+            SELECT *, LEAST(abs({y_expr}) / {yk!r}, 1.0) AS __ay,
+                   ({x_expr}) AS __rx, ({y_expr}) AS __ry
+            FROM {src}
+        ), rb2 AS (
+            SELECT *, CAST(({isum}) AS INT) AS __i FROM rb1
+        ), rb3 AS (
+            SELECT *, ((__ay - {lo}) / ({hi} - {lo})) AS __s0
+            FROM rb2
+        ), {chain}, robin_ll AS (
+            SELECT * EXCLUDE (__ay, __rx, __ry, __i,
+                              {", ".join(f"__s{t}" for t in
+                                         range(_ROBIN_ITERS + 1))}),
+                   degrees(__rx / ({xk!r} * {xf})) AS lon,
+                   (5.0 * (CAST(__i AS DOUBLE) + {last})
+                    * CASE WHEN (__ry + 0.0) > 0.0 THEN 1.0
+                           WHEN (__ry + 0.0) < 0.0 THEN -1.0
+                           ELSE 0.0 END) AS lat
+            FROM rb{3 + _ROBIN_ITERS}
+        )"""
+
+
 #: registry of pure-Column CRS transforms (target CRS -> source CRS)
 COLUMN_TRANSFORMS: dict[tuple[str, str], ColumnTransform] = {
     ("EPSG:4326", "EPSG:4326"): _identity,
@@ -4553,6 +4788,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _mill_to_lonlat_fn(up)
     if up in VANDG_PARAMS:
         return _vandg_to_lonlat_fn(up)
+    if up in ROBIN_PARAMS:
+        return _robin_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
     if up in TM_PARAMS:
@@ -4626,6 +4863,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_mill_fn(up)
     if up in VANDG_PARAMS:
         return _lonlat_to_vandg_fn(up)
+    if up in ROBIN_PARAMS:
+        return _lonlat_to_robin_fn(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
     if up in TM_PARAMS:

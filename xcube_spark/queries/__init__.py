@@ -106,6 +106,7 @@ PRIORITY_ORDER = (
     "doc_cardinality_overlap",
     "cube_reproject_3395",
     "cube_reproject_eqdc",
+    "cube_reproject_robinson",
     "cube_reproject_eqc",
     "cube_reproject_stereographic",
     "cube_reproject_sinusoidal",

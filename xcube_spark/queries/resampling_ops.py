@@ -2193,3 +2193,56 @@ def cube_reproject_eqdc(spark, sf_dir):
     order)."""
     out = reproject_dataset(_cube_a(spark), GRID, _EQDC)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: Robinson world grid (ESRI:54030) --------------------------
+
+from xcube_spark.operators.resampling.reproject import robin_inverse_sql_ctes
+
+#: off-round origin/steps keep every re-projected center >= 1.1e-3 deg
+#: from any 1-degree source-cell edge, and the whole window inside the
+#: Robinson outline (margin asserted in tests/test_crsparse.py)
+_ROBIN = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                  x_start=-10_866_011.0, y_start=-7_808_013.0,
+                  x_res=540_017.0, y_res=390_013.0,
+                  t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                  crs="ESRI:54030")
+
+_ROBIN_CTES = robin_inverse_sql_ctes(
+    "CAST((-10866011.0 + (x_i + 0.5) * 540017.0) AS DOUBLE)",
+    "CAST((-7808013.0 + (y_i + 0.5) * 390013.0) AS DOUBLE)",
+    "ESRI:54030")
+
+
+@query(
+    "cube_reproject_robinson",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_ROBIN.size})
+        ), {_ROBIN_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM robin_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_robinson(spark, sf_dir):
+    """reproject_dataset onto the Robinson world grid (ESRI:54030) —
+    the table-defined compromise projection of most world atlases
+    (Robinson 1974; the published 5-degree (X, Y) nodes interpolated
+    by the natural cubic spline, coefficients solved once at import
+    and embedded identically in both engines).  The inverse solves
+    the monotone Y cubic with a fixed 4-iteration Newton per the
+    sterea discipline; the oracle states the identical staged chain
+    in SQL (robin_inverse_sql_ctes, same op order, same iteration
+    count).  Reference reaches it via pyproj."""
+    out = reproject_dataset(_cube_a(spark), GRID, _ROBIN)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
