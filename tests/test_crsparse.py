@@ -2428,3 +2428,90 @@ def test_robinson_y_spline_is_monotone():
         for t in range(101):
             s = t / 100.0
             assert b + 2 * c * s + 3 * d * s * s > 0.0
+
+
+def test_hammer_roundtrip_equal_area_cf_and_margins(spark):
+    """Hammer (PROJ:HAMMER): closed-form round trips at 1e-12 deg;
+    the defining EQUAL-AREA property holds numerically (quad areas on
+    the map match R^2 * cos(lat) * dlon * dlat to first order);
+    outline extents 2*sqrt(2)*R x sqrt(2)*R; CF + proj4 round trips;
+    gate grid margins via the exact oracle SQL."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        get_transform, hammer_inverse_sql)
+    from xcube_spark.queries.resampling_ops import _HAMMER
+
+    r = 6378137.0
+    fwd = get_transform("EPSG:4326", "PROJ:HAMMER")
+    pts = [(lon, lat) for lon in (-150.0, -60.0, 0.5, 77.0, 179.0)
+           for lat in (-80.0, -33.0, 0.5, 41.0, 86.0)]
+    inv = get_transform("PROJ:HAMMER", "EPSG:4326")
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    x, y = fwd(F.col("lon"), F.col("lat"))
+    st = df.select("lon", "lat", x.alias("x"), y.alias("y"))
+    lon2, lat2 = inv(F.col("x"), F.col("y"))
+    for r2 in st.select("lon", "lat", lon2.alias("lon2"),
+                        lat2.alias("lat2")).collect():
+        assert abs(r2.lon2 - r2.lon) < 1e-9
+        assert abs(r2.lat2 - r2.lat) < 1e-9
+
+    # equal-area: small quads at very different latitudes keep their
+    # true-sphere area ratio (0.01-degree quads, centroid rule)
+    def quad_area(lon0, lat0, d=0.01):
+        quad = [(lon0, lat0), (lon0 + d, lat0),
+                (lon0 + d, lat0 + d), (lon0, lat0 + d)]
+        dfq = spark.createDataFrame(quad, "lon double, lat double")
+        xq, yq = fwd(F.col("lon"), F.col("lat"))
+        rows = dfq.select(xq.alias("x"), yq.alias("y")).collect()
+        ps = [(row.x, row.y) for row in rows]
+        s = 0.0
+        for i in range(4):
+            x1, y1 = ps[i]
+            x2, y2 = ps[(i + 1) % 4]
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2.0
+    a_eq = quad_area(10.0, 0.0)
+    a_hi = quad_area(120.0, 60.0)
+    want = math.cos(math.radians(60.005)) / math.cos(math.radians(0.005))
+    assert abs(a_hi / a_eq - want) / want < 1e-3
+
+    # outline: x(180, 0) = 2*sqrt(2)*R, y(0, 90) = sqrt(2)*R
+    dfe = spark.createDataFrame([(180.0, 0.0), (0.0, 90.0)],
+                                "lon double, lat double")
+    xe, ye = fwd(F.col("lon"), F.col("lat"))
+    rows = dfe.select("lon", xe.alias("x"), ye.alias("y")).collect()
+    for r3 in rows:
+        if r3.lon == 180.0:
+            assert abs(r3.x - 2.0 * math.sqrt(2.0) * r) < 1e-6
+        else:
+            assert abs(r3.y - math.sqrt(2.0) * r) < 1e-6
+
+    # proj4 + CF round trips
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+    assert resolve_proj4("+proj=hammer +a=6378137") == "PROJ:HAMMER"
+    with pytest.raises(NotImplementedError):
+        resolve_proj4("+proj=hammer +W=0.25 +a=6378137")
+    attrs = cf_grid_mapping_attrs("PROJ:HAMMER")
+    assert attrs["grid_mapping_name"] == "hammer"
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "PROJ:HAMMER"
+
+    # gate-grid margins via the exact oracle twin
+    lon_sql, lat_sql = hammer_inverse_sql(
+        "(-10500011.0 + (x_i + 0.5) * 540017.0)",
+        "(-7020013.0 + (y_i + 0.5) * 360013.0)", "PROJ:HAMMER")
+    mx, my, bad = duckdb.connect().execute(f"""
+        WITH tgt AS (SELECT CAST(range // {_HAMMER.width} AS INT) AS y_i,
+                            CAST(range % {_HAMMER.width} AS INT) AS x_i
+                     FROM range({_HAMMER.width * _HAMMER.height})),
+        ll AS (SELECT {lon_sql} AS lon, {lat_sql} AS lat FROM tgt)
+        SELECT min(least((lon+180.0)%1.0, 1.0-(lon+180.0)%1.0)),
+               min(least((lat+90.0)%1.0, 1.0-(lat+90.0)%1.0)),
+               count(*) FILTER (lon < -180 OR lon > 180
+                                OR isnan(lon) OR isnan(lat))
+        FROM ll
+    """).fetchone()
+    assert bad == 0
+    assert mx > 4e-4 and my > 4e-4

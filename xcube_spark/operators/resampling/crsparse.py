@@ -373,6 +373,23 @@ def resolve_proj4(text: str) -> str:
         table[key] = a
         return key
 
+    if proj == "hammer":
+        # Hammer(-Aitoff) equal-area world (spherical, like natearth;
+        # PROJ's +W/+M generalization is not supported — classic form)
+        if "w" in p or "m" in p:
+            raise NotImplementedError(
+                "hammer: the +W/+M generalized form is not supported")
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "hammer: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("hammer: spherical only (+R/+a)")
+        if a == R.HAMMER_PARAMS["PROJ:HAMMER"]:
+            return "PROJ:HAMMER"
+        key = f"PROJ:HAMMER:{a!r}".upper()
+        R.HAMMER_PARAMS[key] = a
+        return key
+
     if proj == "natearth":
         # Natural Earth polynomial (spherical only, like eck4 above);
         # the canonical WGS84-semimajor member is PROJ:NATEARTH
@@ -618,7 +635,7 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, eck4, mill, vandg, robin, natearth, ob_tran[longlat], cea, "
+        "sinu, moll, eck4, mill, vandg, robin, hammer, natearth, ob_tran[longlat], cea, "
         "aeqd[sph], ortho[sph], gnom[sph], eqc, eqdc, omerc)")
 
 
@@ -743,7 +760,7 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "not supported")
         p["proj"] = "moll"
     elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten",
-                  "natural_earth", "robinson"):
+                  "natural_earth", "robinson", "hammer"):
         # our writer's CF extension for the spherical world/atlas
         # projections (no CF appendix entry, like mollweide above)
         if num("longitude_of_projection_origin"):
@@ -754,7 +771,8 @@ def crs_from_cf(attrs: Mapping) -> str:
                      "miller_cylindrical": "mill",
                      "van_der_grinten": "vandg",
                      "natural_earth": "natearth",
-                     "robinson": "robin"}[name]
+                     "robinson": "robin",
+                     "hammer": "hammer"}[name]
     elif name in ("azimuthal_equidistant", "orthographic", "gnomonic"):
         p["proj"] = {"azimuthal_equidistant": "aeqd",
                      "orthographic": "ortho",

@@ -3973,6 +3973,68 @@ def moll_inverse_sql(x_expr: str, y_expr: str, crs: str) \
     return lon, phi
 
 
+# ---- Hammer (-Aitoff) (+proj=hammer) -----------------------------------
+#
+# The equal-area modified-azimuthal world projection (Hammer 1892;
+# Snyder ch. on modified azimuthals): the Lambert azimuthal equatorial
+# aspect at halved longitudes, stretched 2x in x — equal-area where
+# Aitoff is not, with the same elliptical outline.  Closed form BOTH
+# directions (the published inverse via z = sqrt(1 - (x/4)^2 -
+# (y/2)^2) on the unit sphere).  No authority code in common
+# registries — canonical key PROJ:HAMMER (the natearth convention).
+
+#: crs -> sphere radius
+HAMMER_PARAMS: dict[str, float] = {
+    "PROJ:HAMMER": 6_378_137.0,
+}
+
+
+def _lonlat_to_hammer_fn(crs: str) -> ColumnTransform:
+    r = HAMMER_PARAMS[crs.upper()]
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam2 = F.radians(lon) / F.lit(2.0)
+        phi = F.radians(lat)
+        cphi = F.cos(phi)
+        den = F.sqrt(F.lit(1.0) + cphi * F.cos(lam2))
+        x = F.lit(2.0 * _SQRT2 * r) * cphi * F.sin(lam2) / den
+        y = F.lit(_SQRT2 * r) * F.sin(phi) / den
+        return x, y
+
+    return fwd
+
+
+def _hammer_to_lonlat_fn(crs: str) -> ColumnTransform:
+    r = HAMMER_PARAMS[crs.upper()]
+
+    def inv(x: Column, y: Column) -> tuple[Column, Column]:
+        xn = x / F.lit(r)
+        yn = y / F.lit(r)
+        z = F.sqrt(F.lit(1.0) - (xn / 4.0) * (xn / 4.0)
+                   - (yn / 2.0) * (yn / 2.0))
+        lon = F.degrees(F.lit(2.0) * F.atan2(
+            z * xn, F.lit(2.0) * (F.lit(2.0) * z * z - F.lit(1.0))))
+        lat = F.degrees(F.asin(z * yn))
+        return lon, lat
+
+    return inv
+
+
+def hammer_inverse_sql(x_expr: str, y_expr: str,
+                       crs: str) -> tuple[str, str]:
+    """The SAME Hammer inverse as SQL strings (for DuckDB oracles) —
+    identical op order to :func:`_hammer_to_lonlat_fn`."""
+    r = HAMMER_PARAMS[crs.upper()]
+    xn = f"(CAST({x_expr} AS DOUBLE) / {r!r})"
+    yn = f"(CAST({y_expr} AS DOUBLE) / {r!r})"
+    z = (f"sqrt(1.0 - ({xn} / 4.0) * ({xn} / 4.0)"
+         f" - ({yn} / 2.0) * ({yn} / 2.0))")
+    lon = (f"degrees(2.0 * atan2({z} * {xn},"
+           f" 2.0 * (2.0 * {z} * {z} - 1.0)))")
+    lat = f"degrees(asin({z} * {yn}))"
+    return lon, lat
+
+
 # ---- Natural Earth (+proj=natearth) -----------------------------------
 #
 # The Savric/Jenny/Patterson compromise world projection (the
@@ -4790,6 +4852,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _vandg_to_lonlat_fn(up)
     if up in ROBIN_PARAMS:
         return _robin_to_lonlat_fn(up)
+    if up in HAMMER_PARAMS:
+        return _hammer_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
     if up in TM_PARAMS:
@@ -4865,6 +4929,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_vandg_fn(up)
     if up in ROBIN_PARAMS:
         return _lonlat_to_robin_fn(up)
+    if up in HAMMER_PARAMS:
+        return _lonlat_to_hammer_fn(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
     if up in TM_PARAMS:

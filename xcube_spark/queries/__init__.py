@@ -107,6 +107,7 @@ PRIORITY_ORDER = (
     "cube_reproject_3395",
     "cube_reproject_eqdc",
     "cube_reproject_robinson",
+    "cube_reproject_hammer",
     "cube_reproject_eqc",
     "cube_reproject_stereographic",
     "cube_reproject_sinusoidal",

@@ -2246,3 +2246,58 @@ def cube_reproject_robinson(spark, sf_dir):
     count).  Reference reaches it via pyproj."""
     out = reproject_dataset(_cube_a(spark), GRID, _ROBIN)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
+# ---- reproject: Hammer equal-area world grid ------------------------------
+
+from xcube_spark.operators.resampling.reproject import hammer_inverse_sql
+
+#: off-round origin/steps keep every re-projected center >= 4.8e-4 deg
+#: from any 1-degree source-cell edge and inside the elliptical
+#: outline (margin asserted in tests/test_crsparse.py)
+_HAMMER = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=-10_500_011.0, y_start=-7_020_013.0,
+                   x_res=540_017.0, y_res=360_013.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs="PROJ:HAMMER")
+
+_HAMMER_LON, _HAMMER_LAT = hammer_inverse_sql(
+    "(-10500011.0 + (x_i + 0.5) * 540017.0)",
+    "(-7020013.0 + (y_i + 0.5) * 360013.0)", "PROJ:HAMMER")
+
+
+@query(
+    "cube_reproject_hammer",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_HAMMER.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_HAMMER_LON} AS lon,
+                   {_HAMMER_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_hammer(spark, sf_dir):
+    """reproject_dataset onto the Hammer(-Aitoff) equal-area world
+    grid (Hammer 1892; Snyder's modified azimuthals) — the Lambert
+    azimuthal equatorial aspect at halved longitudes stretched 2x in
+    x, closed form BOTH directions (z = sqrt(1 - (x/4)^2 - (y/2)^2));
+    reference reaches it via pyproj +proj=hammer.  The oracle states
+    the identical inverse in SQL (hammer_inverse_sql, same op
+    order)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _HAMMER)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))

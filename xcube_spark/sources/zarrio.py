@@ -841,7 +841,8 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                         ("miller_cylindrical", R.MILL_PARAMS),
                         ("van_der_grinten", R.VANDG_PARAMS),
                         ("natural_earth", R.NATEARTH_PARAMS),
-                        ("robinson", R.ROBIN_PARAMS)):
+                        ("robinson", R.ROBIN_PARAMS),
+                        ("hammer", R.HAMMER_PARAMS)):
         if code in table:
             return {"grid_mapping_name": name,
                     "longitude_of_projection_origin": 0.0,
