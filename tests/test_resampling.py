@@ -1021,8 +1021,10 @@ def test_pyproj_fallback_seam_with_stub(spark, monkeypatch):
     fake.Transformer = _TransformerFactory
     monkeypatch.setitem(sys.modules, "pyproj", fake)
 
-    tf = rp.get_transform("ESRI:54009", "ESRI:54030")  # Robinson: not in registry
-    assert calls["crs"] == ("ESRI:54009", "ESRI:54030")
+    # Winkel Tripel: genuinely outside the closed-form registry
+    # (Robinson, the previous stand-in, joined it late in round 8)
+    tf = rp.get_transform("ESRI:54009", "ESRI:54042")
+    assert calls["crs"] == ("ESRI:54009", "ESRI:54042")
     df = spark.createDataFrame(
         [(float(i), float(i) * 3.0) for i in range(50)], "px double, py double")
     ox, oy = tf(F.col("px"), F.col("py"))
@@ -1050,7 +1052,7 @@ def test_pyproj_absent_raises_clear_error(monkeypatch):
 
     monkeypatch.setattr(builtins, "__import__", no_pyproj)
     with pytest.raises(NotImplementedError, match="ESRI:54009.*pyproj"):
-        rp.get_transform("ESRI:54009", "ESRI:54030")
+        rp.get_transform("ESRI:54009", "ESRI:54042")
 
 
 def test_mollweide_forward_inverse_roundtrip(spark):
