@@ -574,7 +574,8 @@ def q8_market_share(spark, sf_dir):
 
 
 _Q9_SQL = """
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           ROUND(SUM(amount), 0) + 0.0 AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
@@ -596,7 +597,10 @@ def q9_product_profit(spark, sf_dir):
     """TPC-H Q9 shape (product type profit; the schema has no
     partsupp, so supply cost is restated from p_retailprice): LIKE
     pushdown on the part dim before it broadcasts, profit as one
-    projection, group by (nation, year)."""
+    projection, group by (nation, year).  Profit rounds to WHOLE
+    units: the sf1 groups sum ~1.3e8 over ~6e5 rows, accumulating
+    ~1e-2 of summation-order noise — past the cent boundary (caught
+    by the sf1 sweep); the unit boundary has 50x margin."""
     return _run_tpch_sql(
         spark, sf_dir, _Q9_SQL,
         ["part", "lineitem", "supplier", "orders", "nation"])
@@ -629,14 +633,14 @@ def q13_customer_distribution(spark, sf_dir):
 _Q15_SQL = """
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
         GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name,
-           ROUND(r.total_revenue, 2) AS total_revenue
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 """
@@ -647,7 +651,12 @@ def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape (top supplier): the revenue CTE is referenced
     twice — once joined, once under MAX — and Catalyst plans the
     scalar subquery as its own aggregate with the equality applied as
-    a post-join filter (no per-row re-execution)."""
+    a post-join filter (no per-row re-execution).  Revenue is ROUNDed
+    INSIDE the CTE so the max-equality compares identical values on
+    both engines — sf1's replicated suppliers tie the max exactly,
+    and raw-float equality picked up 1-ulp summation-order noise
+    (3 rows vs 1 at the sf1 sweep); per-supplier sums are ~1e6 with
+    ~2e-7 order noise, far from the cent boundary."""
     return _run_tpch_sql(spark, sf_dir, _Q15_SQL,
                          ["lineitem", "supplier"])
 
