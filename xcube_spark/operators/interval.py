@@ -35,6 +35,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
 
+#: auto-width fan-out cap: no interval may explode into more than this
+#: many buckets (Spark's sequence() allows MAX_ROUNDED_ARRAY_LENGTH
+#: ~= 2^31-15 entries but anything near that is a memory bomb; 1024
+#: keeps the worst row's explode output trivially small while leaving
+#: the common-case width at 2x the mean)
+_MAX_FANOUT = 1024
+
+#: Spark's hard sequence()-entries ceiling (ArrayData
+#: MAX_ROUNDED_ARRAY_LENGTH) — explicit widths are validated against
+#: it so a skewed interval fails fast with a named cause
+_SEQUENCE_LIMIT = (1 << 31) - 15
+
 
 def _us(col: Column) -> Column:
     """Event-time micros (full precision — RANGE-style comparisons at
@@ -58,21 +70,48 @@ def interval_join(
 
     ``bucket_seconds`` sets the bin width; when omitted, one tiny
     aggregate over the interval side picks 2x the mean interval
-    length (a stats job over the SMALL side only — never the points).
+    length (a stats job over the SMALL side only — never the points),
+    floored so that even the LONGEST interval explodes into at most
+    ``_MAX_FANOUT`` buckets: a mean-only width is skew-fragile — a
+    single long-tail interval would fan out len/width sequence
+    elements, and Spark's ``sequence()`` hard-errors past its
+    max-entries limit, failing the whole job on otherwise-valid data.
+    A wider bucket only adds refinement comparisons, never wrong
+    pairs.  An explicit ``bucket_seconds`` is still fan-out-checked:
+    a width that would explode any interval past Spark's sequence
+    limit raises a ValueError naming the offending length up front
+    rather than failing mid-shuffle with an opaque error.
     """
     p_us = _us(F.col(ts_col))
     s_us = _us(F.col(start_col))
     e_us = _us(F.col(end_col))
 
     if bucket_seconds is None:
-        mean_len = intervals.agg(
-            F.avg(_us(F.col(end_col)) - _us(F.col(start_col)))
-        ).first()[0]
-        w_us = max(1, int(2 * (mean_len or 1_000_000.0)))
+        mean_len, max_len = intervals.agg(
+            F.avg(_us(F.col(end_col)) - _us(F.col(start_col))),
+            F.max(_us(F.col(end_col)) - _us(F.col(start_col))),
+        ).first()
+        w_us = max(
+            1,
+            int(2 * (mean_len or 1_000_000.0)),
+            -(-int(max_len or 0) // _MAX_FANOUT),  # ceil division
+        )
     else:
         if bucket_seconds <= 0:
             raise ValueError("bucket_seconds must be positive")
         w_us = max(1, int(bucket_seconds * 1_000_000))
+        max_len = intervals.agg(
+            F.max(_us(F.col(end_col)) - _us(F.col(start_col)))
+        ).first()[0]
+        fanout = (int(max_len or 0) // w_us) + 2
+        if fanout > _SEQUENCE_LIMIT:
+            raise ValueError(
+                f"bucket_seconds={bucket_seconds} would explode a "
+                f"{int(max_len) / 1e6:.0f}s interval into ~{fanout} "
+                f"buckets (> Spark's sequence limit "
+                f"{_SEQUENCE_LIMIT}); widen the bucket or pass "
+                f"bucket_seconds=None for the auto fan-out cap"
+            )
 
     w = F.lit(float(w_us))
     iv = intervals.withColumn(

@@ -578,9 +578,10 @@ def substring_dedup_clean(
 
 
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """The standard pre-dedup text-cleaning stage: strip C0/C1 control
-    characters (keeping \\t and \\n as whitespace), collapse every
-    whitespace run to one space, trim, lowercase.  Returns the input
+    """The standard pre-dedup text-cleaning stage: strip C0 controls
+    (keeping \\t and \\n as whitespace), DEL, and the C1 range
+    U+0080-U+009F, collapse every whitespace run to one space, trim,
+    lowercase.  Returns the input
     columns with ``text_norm``, ``n_chars_raw``, ``n_chars_norm``
     appended.
 
@@ -592,7 +593,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     state the same pipeline verbatim."""
     raw = F.col(text_col)
     stripped = F.regexp_replace(
-        raw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+        raw, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", "")
     norm = F.lower(F.trim(F.regexp_replace(stripped, "\\s+", " ")))
     return docs.withColumns({
         "text_norm": norm,

@@ -163,10 +163,16 @@ def hll_estimate(regs: DataFrame, p: int = 8) -> DataFrame:
     m = 1 << p
     alpha_m2 = _hll_alpha(m) * m * m  # one python-float literal
     # integer harmonic accumulator: each register adds 2^(53 - rho)
+    # COALESCE(s, 0): SUM over zero rows is NULL, which would leak a
+    # NULL raw_estimate/estimate for an empty input.  With s = 0 the
+    # raw estimate falls to alpha*m and the linear-counting branch
+    # (v = m zero registers) yields the correct estimate of 0.
     agg = regs.agg(
         F.count(F.lit(1)).alias("n_regs"),
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)"))
-        .alias("s"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - rho)")),
+            F.lit(0).cast("long"),
+        ).alias("s"),
     )
     two53 = float(1 << 53)
     out = agg.select(
@@ -222,7 +228,8 @@ def hll_sql(col: str, src: str, p: int = 8) -> str:
             FROM rw GROUP BY reg
         ), agg AS (
             SELECT COUNT(*) AS n_regs,
-                   SUM(CAST(1 AS BIGINT) << (53 - rho)) AS s
+                   COALESCE(SUM(CAST(1 AS BIGINT) << (53 - rho)),
+                            CAST(0 AS BIGINT)) AS s
             FROM regs
         ), o AS (
             SELECT CAST({m} AS INT) AS m,
@@ -386,7 +393,10 @@ def weighted_sample(
     of the corpus.  That is the 100 TB shape for "give me 10k docs
     proportional to quality".
 
-    Weights must be strictly positive.  Returns
+    Weights must be strictly positive, and this IS enforced: a
+    weight <= 0 raises at execution time (silently, weight 0 would
+    give priority u^inf = 0 and exclude the row; a negative weight
+    would give priority > 1 and dominate the sample).  Returns
     ``(id_col, weight, priority)`` with priority rounded to 6
     decimals for cross-engine hashing (u is (h52 + 1) / (2^52 + 2),
     never exactly 0 or 1; 52 bits so the int -> double hop is exact).
@@ -395,7 +405,11 @@ def weighted_sample(
                        F.lit(f"#{seed}")))
     h52 = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
     u = (h52 + F.lit(1.0)) / F.lit(float((1 << 52) + 2))
-    pri = F.pow(u, F.lit(1.0) / weight.cast("double"))
+    w = weight.cast("double")
+    wchk = F.when(w > 0, w).otherwise(F.raise_error(F.concat(
+        F.lit("weighted_sample: weight must be > 0, got "),
+        w.cast("string"))))
+    pri = F.pow(u, F.lit(1.0) / wchk)
     return (
         df.select(
             F.col(id_col),

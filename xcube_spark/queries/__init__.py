@@ -73,12 +73,34 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: the legacy conf older Sparks need to read TIMESTAMP(NANOS) parquet
+#: (Spark 4.x reads nanos natively as timestamp_ntz; 3.x raises
+#: "Illegal Parquet type" without it)
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
 def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            # Spark >= 4 path: native nanos read (micros truncation,
+            # identical to DuckDB's cast) — no conf touched
+            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        except Exception:
+            pass
+        # back-compat: scope the legacy conf to this one read and
+        # restore it — a session-wide legacy conf left set is exactly
+        # the kind of side effect a library must not leak
+        prev = spark.conf.get(_NANOS_CONF, None)
+        spark.conf.set(_NANOS_CONF, "true")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_CONF)
+            else:
+                spark.conf.set(_NANOS_CONF, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df

@@ -869,7 +869,7 @@ def doc_incremental_kmv(spark, sf_dir):
         WITH messy AS (
             SELECT doc_id,
                    chr(9) || upper(substr(text, 1, 40)) || '  ' ||
-                   text || chr(7) || ' ' AS text
+                   text || chr(7) || chr(133) || ' ' AS text
             FROM documents
         ), norm AS (
             SELECT doc_id,
@@ -877,7 +877,8 @@ def doc_incremental_kmv(spark, sf_dir):
                    lower(trim(regexp_replace(
                        regexp_replace(
                            text,
-                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]',
+                           '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F'
+                           || '\\x7F\\x80-\\x9F]',
                            '', 'g'),
                        '\\s+', ' ', 'g'))) AS text_norm
             FROM messy
@@ -896,7 +897,9 @@ def doc_normalize_text(spark, sf_dir):
     prefix, upper-cased echo, double spaces, a BEL byte) IDENTICALLY
     on both engines — the same synthesize-the-input pattern every
     cube_* oracle uses — then checks the normalized digests match
-    byte-for-byte."""
+    byte-for-byte.  Round 9: the twin also injects U+0085 (NEL, a C1
+    control that is whitespace in neither Java regex \\s nor RE2 \\s)
+    so the C1 strip the docstring promises is actually exercised."""
     from xcube_spark.pipeline.curation import normalize_text
 
     docs = tbl(spark, sf_dir, "documents")
@@ -904,7 +907,7 @@ def doc_normalize_text(spark, sf_dir):
         "doc_id",
         F.concat(F.lit("\t"), F.upper(F.substring("text", 1, 40)),
                  F.lit("  "), F.col("text"), F.lit("\x07"),
-                 F.lit(" ")).alias("text"),
+                 F.lit("\u0085"), F.lit(" ")).alias("text"),
     )
     out = normalize_text(messy)
     return out.select(
