@@ -90,6 +90,31 @@ def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
+def ngrams_narrow(df: DataFrame, text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Shuffle-free word n-grams: one narrow map per document
+    (``sequence`` + ``transform`` over ``slice``) — NO window, NO
+    distinct, duplicates kept.
+
+    The higher-order lambdas evaluate interpreted, so this form loses
+    to :func:`ngrams` on a corpus-sized side — but for a SMALL side
+    (a decontamination benchmark set feeding an idempotent bit_or
+    aggregate) the two window/distinct shuffles it avoids are pure
+    job-floor cost.  Docs shorter than ``n`` tokens yield no rows."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        "doc_id",
+        F.explode(
+            F.transform(starts,
+                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+        ).alias("ngram"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
