@@ -401,12 +401,24 @@ def rectify_dataset(
     if target.width * target.height * 16 * lookup_k <= _BROADCAST_CAP_BYTES:
         lookup = F.broadcast(lookup)
     mapped = grid.join(lookup, on=["y_i", "x_i"], how="left")
-    if n_times * target.width * target.height * 8 * lookup_k <= 4_000_000:
+    # 64 B/row: deserialized JVM rows cost ~10x their 5-int payload,
+    # and the torrent copies linger until driver GC — the old 8 B/row
+    # estimate forced ~30 MB broadcasts that degraded repeated runs
+    # 3x-10x (measured r9); past the cap the gather is a shuffle join
+    # and AQE may still downgrade it from runtime stats.
+    if n_times * target.width * target.height * 64 * lookup_k <= 4_000_000:
         # the mapped target (ints only) is broadcast-sized even at T
         # time steps -> the big source side never shuffles for the
-        # gather; past the cap it stays a shuffle join (AQE may still
-        # downgrade it to broadcast from runtime stats)
+        # gather
         mapped = F.broadcast(mapped)
+    else:
+        # pin the strategy: hash-build the bounded mapped side, stream
+        # the source.  Left to the optimizer, a mapped/source side
+        # whose estimate straddles the broadcast threshold flip-flops
+        # between SMJ and a ~50 MB runtime broadcast whose
+        # single-threaded hashed-relation build (+ GC churn) measured
+        # 2x-8x run-to-run variance on identical inputs (r9).
+        mapped = mapped.hint("shuffle_hash")
     joined = mapped.join(
         src_vals,
         on=[

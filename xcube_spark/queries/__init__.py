@@ -113,6 +113,9 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-9 additions (never sampled yet)
+    "events_rectify_grid",
+    "events_reproject_utm",
     # round-6's one driver hash-fail (quantization rebuilt
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",
@@ -249,11 +252,18 @@ def load_all() -> dict[str, Query]:
 #: family — flagship cube pipeline, temporal resample, event-time agg,
 #: relational star agg, the dedup family (exact / minhash / simhash /
 #: substring), text quality + fingerprint, multimodal byte features,
-#: vector knn (exact + PQ), the as-of point-in-time join, and the
-#: broadcast-bloom decontamination (sketch family).
+#: vector knn (exact + PQ), the as-of point-in-time join, the
+#: broadcast-bloom decontamination (sketch family), and — round 9 —
+#: the §2.6 spatial core: the fixed-grid rectify/UTM-reproject gates
+#: plus their sf-scaled events-derived twins, so a regression in the
+#: gather-join path is visible in BENCH_r{N}.
 BENCH_SET = (
     "cube_select_timeseries",
     "cube_resample_time_2d",
+    "cube_rectify_swath",
+    "cube_reproject_utm",
+    "events_rectify_grid",
+    "events_reproject_utm",
     "events_timeseries_daily",
     "q1_pricing_summary",
     "doc_exact_dedup",
