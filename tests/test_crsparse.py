@@ -2515,3 +2515,83 @@ def test_hammer_roundtrip_equal_area_cf_and_margins(spark):
     """).fetchone()
     assert bad == 0
     assert mx > 4e-4 and my > 4e-4
+
+
+def test_wintri_roundtrip_anchors_cf_and_margins(spark):
+    """Winkel Tripel (ESRI:54042, round 9): the 6-step analytic-
+    Jacobian Newton inverse round trips at 1e-10 deg across the world;
+    the defining anchors hold (equator x = R/2 lam (cos phi1 + 1)
+    exactly, central meridian y = R/2 (phi + phi/sinc) with the pole
+    at y = R pi/2, boundary x(180, 0) = R pi/2 (2/pi + 1)); CF
+    round-trips via the winkel_tripel extension name with the
+    standard_parallel; gate grid clear of floor boundaries through
+    the exact oracle CTEs."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        get_transform, wintri_inverse_sql_ctes)
+    from xcube_spark.queries.resampling_ops import _WINTRI
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    r = 6378137.0
+    cp1 = 2.0 / math.pi
+    fwd = get_transform("EPSG:4326", "ESRI:54042")
+    inv = get_transform("ESRI:54042", "EPSG:4326")
+    pts = [(-120.0, 35.2), (30.0, -47.6), (179.0, 84.3), (45.0, 52.5),
+           (0.5, 0.5), (-179.5, 25.0), (120.0, -89.0), (0.0, 89.5)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    st = df.select("lon", "lat",
+                   *(c.alias(n) for c, n in
+                     zip(fwd(F.col("lon"), F.col("lat")), ("x", "y"))))
+    st2 = inv.apply_df(st, F.col("x"), F.col("y"), "lon2", "lat2")
+    for r2 in st2.select("lon", "lat", "lon2", "lat2").collect():
+        assert abs(r2.lon2 - r2.lon) < 1e-10
+        assert abs(r2.lat2 - r2.lat) < 1e-10
+
+    # anchors (exact closed forms of the forward)
+    anchors = spark.createDataFrame(
+        [(90.0, 0.0), (180.0, 0.0), (0.0, 90.0)],
+        "lon double, lat double")
+    got = {(a.lon, a.lat): (a.x, a.y) for a in anchors.select(
+        "lon", "lat",
+        *(c.alias(n) for c, n in
+          zip(fwd(F.col("lon"), F.col("lat")), ("x", "y")))).collect()}
+    lam = math.pi / 2
+    alpha = math.acos(math.cos(lam / 2))
+    t = alpha / math.sin(alpha)
+    assert abs(got[(90.0, 0.0)][0]
+               - 0.5 * r * (lam * cp1 + 2 * math.sin(lam / 2) * t)) < 1e-6
+    assert abs(got[(90.0, 0.0)][1]) < 1e-6
+    # boundary: alpha(180, 0) = pi/2, T = pi/2 -> x = R pi/2 (cp1 + 1)
+    assert abs(got[(180.0, 0.0)][0]
+               - r * math.pi / 2 * (cp1 + 1.0)) < 1e-6
+    # pole: y = R/2 (pi/2 + 1 * (pi/2)/1) = R pi/2
+    assert abs(got[(0.0, 90.0)][1] - r * math.pi / 2) < 1e-6
+
+    # CF extension round trip (standard_parallel = acos(2/pi) deg)
+    attrs = cf_grid_mapping_attrs("ESRI:54042")
+    assert attrs["grid_mapping_name"] == "winkel_tripel"
+    assert abs(attrs["standard_parallel"]
+               - math.degrees(math.acos(cp1))) < 1e-9
+    attrs.pop("epsg_code")
+    assert crs_from_grid_mapping(attrs) == "ESRI:54042"
+    assert resolve_proj4("+proj=wintri +a=6378137") == "ESRI:54042"
+
+    # gate-grid margins via the exact oracle CTEs
+    ctes = wintri_inverse_sql_ctes(
+        "CAST((-10869011.0 + (x_i + 0.5) * 540017.0) AS DOUBLE)",
+        "CAST((-7799013.0 + (y_i + 0.5) * 390313.0) AS DOUBLE)",
+        "ESRI:54042")
+    mx, my, bad = duckdb.connect().execute(f"""
+        WITH tgt AS (SELECT CAST(range // {_WINTRI.width} AS INT) AS y_i,
+                            CAST(range % {_WINTRI.width} AS INT) AS x_i
+                     FROM range({_WINTRI.width * _WINTRI.height})),
+        {ctes}
+        SELECT min(least((lon+180.0)%1.0, 1.0-(lon+180.0)%1.0)),
+               min(least((lat+90.0)%1.0, 1.0-(lat+90.0)%1.0)),
+               count(*) FILTER (lon < -180 OR lon > 180 OR isnan(lon))
+        FROM wintri_ll
+    """).fetchone()
+    assert bad == 0
+    assert mx > 8e-4 and my > 1e-3

@@ -1021,10 +1021,11 @@ def test_pyproj_fallback_seam_with_stub(spark, monkeypatch):
     fake.Transformer = _TransformerFactory
     monkeypatch.setitem(sys.modules, "pyproj", fake)
 
-    # Winkel Tripel: genuinely outside the closed-form registry
-    # (Robinson, the previous stand-in, joined it late in round 8)
-    tf = rp.get_transform("ESRI:54009", "ESRI:54042")
-    assert calls["crs"] == ("ESRI:54009", "ESRI:54042")
+    # Interrupted Goode homolosine: genuinely outside the
+    # closed-form registry (Winkel Tripel, the previous stand-in,
+    # joined it in round 9 via the 2-D Newton inverse)
+    tf = rp.get_transform("ESRI:54009", "ESRI:54052")
+    assert calls["crs"] == ("ESRI:54009", "ESRI:54052")
     df = spark.createDataFrame(
         [(float(i), float(i) * 3.0) for i in range(50)], "px double, py double")
     ox, oy = tf(F.col("px"), F.col("py"))
@@ -1052,7 +1053,7 @@ def test_pyproj_absent_raises_clear_error(monkeypatch):
 
     monkeypatch.setattr(builtins, "__import__", no_pyproj)
     with pytest.raises(NotImplementedError, match="ESRI:54009.*pyproj"):
-        rp.get_transform("ESRI:54009", "ESRI:54042")
+        rp.get_transform("ESRI:54009", "ESRI:54052")
 
 
 def test_mollweide_forward_inverse_roundtrip(spark):

@@ -390,6 +390,25 @@ def resolve_proj4(text: str) -> str:
         R.HAMMER_PARAMS[key] = a
         return key
 
+    if proj == "wintri":
+        # Winkel Tripel (spherical; ESRI:54042 on the WGS84 semimajor
+        # with PROJ's default standard parallel cos(phi1) = 2/pi;
+        # +lat_1 parameterizes phi1 like PROJ)
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "wintri: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("wintri: spherical only (+R/+a)")
+        cp1 = (math.cos(math.radians(_num(p, "lat_1")))
+               if "lat_1" in p else 2.0 / math.pi)
+        if abs(cp1 - 2.0 / math.pi) < 1e-12:
+            cp1 = 2.0 / math.pi  # snap the degrees->cos round trip
+        if (a, cp1) == R.WINTRI_PARAMS["ESRI:54042"]:
+            return "ESRI:54042"
+        key = f"PROJ:WINTRI:{a!r}:{cp1!r}".upper()
+        R.WINTRI_PARAMS[key] = (a, cp1)
+        return key
+
     if proj == "natearth":
         # Natural Earth polynomial (spherical only, like eck4 above);
         # the canonical WGS84-semimajor member is PROJ:NATEARTH
@@ -635,8 +654,9 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, eck4, mill, vandg, robin, hammer, natearth, ob_tran[longlat], cea, "
-        "aeqd[sph], ortho[sph], gnom[sph], eqc, eqdc, omerc)")
+        "sinu, moll, eck4, mill, vandg, robin, hammer, wintri, natearth, "
+        "ob_tran[longlat], cea, aeqd[sph], ortho[sph], gnom[sph], eqc, "
+        "eqdc, omerc)")
 
 
 def _cf_ellipsoid(attrs: Mapping) -> tuple[float, float]:
@@ -760,7 +780,8 @@ def crs_from_cf(attrs: Mapping) -> str:
                 "not supported")
         p["proj"] = "moll"
     elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten",
-                  "natural_earth", "robinson", "hammer"):
+                  "natural_earth", "robinson", "hammer",
+                  "winkel_tripel"):
         # our writer's CF extension for the spherical world/atlas
         # projections (no CF appendix entry, like mollweide above)
         if num("longitude_of_projection_origin"):
@@ -772,7 +793,10 @@ def crs_from_cf(attrs: Mapping) -> str:
                      "van_der_grinten": "vandg",
                      "natural_earth": "natearth",
                      "robinson": "robin",
-                     "hammer": "hammer"}[name]
+                     "hammer": "hammer",
+                     "winkel_tripel": "wintri"}[name]
+        if name == "winkel_tripel" and num("standard_parallel"):
+            put("lat_1", num("standard_parallel"))
     elif name in ("azimuthal_equidistant", "orthographic", "gnomonic"):
         p["proj"] = {"azimuthal_equidistant": "aeqd",
                      "orthographic": "ortho",

@@ -4035,6 +4035,235 @@ def hammer_inverse_sql(x_expr: str, y_expr: str,
     return lon, lat
 
 
+# ---- Winkel Tripel (+proj=wintri; ESRI:54042) ---------------------------
+#
+# The arithmetic-mean compromise world projection (Winkel 1921): the
+# average of the equirectangular projection at standard parallel phi1
+# and the Aitoff projection (Snyder, "Flattening the Earth", ch. 61;
+# PROJ +proj=wintri).  PROJ's default phi1 is Winkel's own choice
+# cos(phi1) = 2/pi; ESRI:54042 (World_Winkel_Tripel_NGS) uses it on
+# the WGS84 sphere.  Forward is closed form:
+#
+#   alpha = acos(cos phi * cos(lam/2)),  T = alpha / sin(alpha)
+#   x = R/2 (lam cos phi1 + 2 cos phi sin(lam/2) T)
+#   y = R/2 (phi + sin phi T)
+#
+# NO closed-form inverse exists — the inverse is a fixed-count 2-D
+# Newton solve of the forward pair with the ANALYTIC Jacobian, the
+# published approach for exactly this projection (Ipbuker & Bildirici,
+# "A general algorithm for the inverse transformation of map
+# projections using jacobian matrices", 2002).  The reference reaches
+# wintri only through pyproj (core/gridmapping/transform.py).
+
+#: crs -> (sphere radius, cos phi1)
+WINTRI_PARAMS: dict[str, tuple[float, float]] = {
+    "ESRI:54042": (6_378_137.0, 2.0 / math.pi),
+}
+_WINTRI_ITERS = 6
+_WT_EPS = 1e-8
+
+
+def _wt_T(alpha: Column, sa: Column) -> Column:
+    """alpha / sin(alpha) with its alpha -> 0 series (1 + a^2/6)."""
+    return F.when(alpha < F.lit(_WT_EPS),
+                  F.lit(1.0) + alpha * alpha / F.lit(6.0)) \
+        .otherwise(alpha / sa)
+
+
+def _lonlat_to_wintri_fn(crs: str) -> ColumnTransform:
+    r, cp1 = WINTRI_PARAMS[crs.upper()]
+
+    def fwd(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lam = F.radians(lon)
+        phi = F.radians(lat)
+        lam2 = lam / F.lit(2.0)
+        cp, sp = F.cos(phi), F.sin(phi)
+        q = F.least(cp * F.cos(lam2), F.lit(1.0))
+        alpha = F.acos(q)
+        t = _wt_T(alpha, F.sin(alpha))
+        x = F.lit(0.5 * r) * (lam * F.lit(cp1)
+                              + F.lit(2.0) * cp * F.sin(lam2) * t)
+        y = F.lit(0.5 * r) * (phi + sp * t)
+        return x, y
+
+    return fwd
+
+
+def _wintri_newton_stage(cp1: float, it: int):
+    """One Newton iteration: stage dict mapping the updated
+    (__wl, __wp) from the previous env.  f = forward(lam, phi) - in,
+    J analytic; delta = J^-1 f."""
+
+    def step(env):
+        lam, phi = env["__wl"], env["__wp"]
+        xn, yn = env["__wxn"], env["__wyn"]
+        lam2 = lam / F.lit(2.0)
+        sl2, cl2 = F.sin(lam2), F.cos(lam2)
+        sp, cp = F.sin(phi), F.cos(phi)
+        q = F.least(cp * cl2, F.lit(1.0))
+        alpha = F.acos(q)
+        sa = F.sin(alpha)
+        t = _wt_T(alpha, sa)
+        # dT/dalpha, with its alpha -> 0 limit alpha/3
+        dt = F.when(alpha < F.lit(_WT_EPS), alpha / F.lit(3.0)) \
+            .otherwise((sa - alpha * F.cos(alpha)) / (sa * sa))
+        # dalpha/dlam, dalpha/dphi (0 at the alpha=0 singularity)
+        dal = F.when(sa < F.lit(_WT_EPS), F.lit(0.0)) \
+            .otherwise(cp * sl2 / (F.lit(2.0) * sa))
+        dap = F.when(sa < F.lit(_WT_EPS), F.lit(0.0)) \
+            .otherwise(sp * cl2 / sa)
+        f1 = F.lit(0.5) * (lam * F.lit(cp1)
+                           + F.lit(2.0) * cp * sl2 * t) - xn
+        f2 = F.lit(0.5) * (phi + sp * t) - yn
+        dxl = F.lit(0.5) * (F.lit(cp1) + F.lit(2.0) * cp
+                            * (F.lit(0.5) * cl2 * t + sl2 * dt * dal))
+        dxp = F.lit(0.5) * (F.lit(-2.0) * sp * sl2 * t
+                            + F.lit(2.0) * cp * sl2 * dt * dap)
+        dyl = F.lit(0.5) * (sp * dt * dal)
+        dyp = F.lit(0.5) * (F.lit(1.0) + cp * t + sp * dt * dap)
+        det = dxl * dyp - dxp * dyl
+        new_lam = lam - (dyp * f1 - dxp * f2) / det
+        new_phi = phi - (dxl * f2 - dyl * f1) / det
+        return (
+            F.least(F.greatest(new_lam, F.lit(-math.pi)), F.lit(math.pi)),
+            F.least(F.greatest(new_phi, F.lit(-math.pi / 2)),
+                    F.lit(math.pi / 2)),
+        )
+
+    def c_lam(env, _s=step):
+        return _s(env)[0]
+
+    def c_phi(env, _s=step):
+        return _s(env)[1]
+
+    # one combined stage would re-evaluate step() twice; emit the pair
+    # into a struct-free two-column stage instead (each fn builds its
+    # own tree — StagedTransform materializes both as columns, so the
+    # NEXT iteration references them without re-expansion)
+    return {"__wl": c_lam, "__wp": c_phi}
+
+
+def _wintri_to_lonlat_fn(crs: str) -> "StagedTransform":
+    r, cp1 = WINTRI_PARAMS[crs.upper()]
+
+    def c_xn(env):
+        return env["__in_x"] / F.lit(r)
+
+    def c_yn(env):
+        return env["__in_y"] / F.lit(r)
+
+    def c_l0(env):
+        # exact on the equator: x(lam, 0) = R/2 lam (cos phi1 + 1)
+        l0 = F.lit(2.0) * env["__wxn"] / F.lit(1.0 + cp1)
+        return F.least(F.greatest(l0, F.lit(-math.pi)), F.lit(math.pi))
+
+    def c_p0(env):
+        # exact at the poles and to O(phi^3) near the equator
+        return F.least(F.greatest(env["__wyn"], F.lit(-math.pi / 2)),
+                       F.lit(math.pi / 2))
+
+    def c_lon(env):
+        return F.degrees(env["__wl"])
+
+    def c_lat(env):
+        return F.degrees(env["__wp"])
+
+    stages = [
+        {"__wxn": c_xn, "__wyn": c_yn},
+        {"__wl": c_l0, "__wp": c_p0},
+    ]
+    for it in range(_WINTRI_ITERS):
+        stages.append(_wintri_newton_stage(cp1, it))
+    stages.append({"__out_x": c_lon, "__out_y": c_lat})
+    return StagedTransform(stages)
+
+
+def wintri_inverse_sql_ctes(x_expr: str, y_expr: str, crs: str,
+                            src: str = "tgt") -> str:
+    """The SAME Winkel-Tripel Newton inverse as a chain of CTEs over
+    ``src`` (for DuckDB oracles) — identical arithmetic, op order,
+    guards, and iteration count to :func:`_wintri_to_lonlat_fn`.
+    Emits CTEs ``wt0..`` and finally ``wintri_ll`` = ``src`` columns
+    + ``lon``/``lat``."""
+    r, cp1 = WINTRI_PARAMS[crs.upper()]
+    steps = []
+    for it in range(_WINTRI_ITERS):
+        lam, phi = f"__wl{it}", f"__wp{it}"
+        # per-iteration helper CTE (a/sa/t/dt/partials), then update
+        pre = f"""wt{2 * it + 1} AS (
+            SELECT *,
+                   sin({lam} / 2.0) AS __sl2, cos({lam} / 2.0) AS __cl2,
+                   sin({phi}) AS __sp, cos({phi}) AS __cp
+            FROM wt{2 * it}
+        ), wt{2 * it + 1}b AS (
+            SELECT *, acos(LEAST(__cp * __cl2, 1.0)) AS __a FROM wt{2 * it + 1}
+        ), wt{2 * it + 1}c AS (
+            SELECT *, sin(__a) AS __sa,
+                   CASE WHEN __a < {_WT_EPS!r}
+                        THEN 1.0 + __a * __a / 6.0
+                        ELSE __a / sin(__a) END AS __t,
+                   CASE WHEN __a < {_WT_EPS!r} THEN __a / 3.0
+                        ELSE (sin(__a) - __a * cos(__a))
+                             / (sin(__a) * sin(__a)) END AS __dt
+            FROM wt{2 * it + 1}b
+        ), wt{2 * it + 1}d AS (
+            SELECT *,
+                   CASE WHEN __sa < {_WT_EPS!r} THEN 0.0
+                        ELSE __cp * __sl2 / (2.0 * __sa) END AS __dal,
+                   CASE WHEN __sa < {_WT_EPS!r} THEN 0.0
+                        ELSE __sp * __cl2 / __sa END AS __dap,
+                   (0.5 * ({lam} * {cp1!r} + 2.0 * __cp * __sl2 * __t)
+                    - __wxn) AS __f1,
+                   (0.5 * ({phi} + __sp * __t) - __wyn) AS __f2
+            FROM wt{2 * it + 1}c
+        ), wt{2 * it + 1}e AS (
+            SELECT *,
+                   (0.5 * ({cp1!r} + 2.0 * __cp
+                    * (0.5 * __cl2 * __t + __sl2 * __dt * __dal)))
+                       AS __dxl,
+                   (0.5 * (-2.0 * __sp * __sl2 * __t
+                    + 2.0 * __cp * __sl2 * __dt * __dap)) AS __dxp,
+                   (0.5 * (__sp * __dt * __dal)) AS __dyl,
+                   (0.5 * (1.0 + __cp * __t + __sp * __dt * __dap))
+                       AS __dyp
+            FROM wt{2 * it + 1}d
+        ), wt{2 * it + 2} AS (
+            SELECT * EXCLUDE (__sl2, __cl2, __sp, __cp, __a, __sa, __t,
+                              __dt, __dal, __dap, __f1, __f2,
+                              __dxl, __dxp, __dyl, __dyp),
+                   LEAST(GREATEST({lam} - (__dyp * __f1 - __dxp * __f2)
+                                  / (__dxl * __dyp - __dxp * __dyl),
+                                  {-math.pi!r}), {math.pi!r})
+                       AS __wl{it + 1},
+                   LEAST(GREATEST({phi} - (__dxl * __f2 - __dyl * __f1)
+                                  / (__dxl * __dyp - __dxp * __dyl),
+                                  {-math.pi / 2!r}), {math.pi / 2!r})
+                       AS __wp{it + 1}
+            FROM wt{2 * it + 1}e
+        )"""
+        steps.append(pre)
+    last = _WINTRI_ITERS
+    drops = ", ".join(
+        f"__wl{t}, __wp{t}" for t in range(_WINTRI_ITERS + 1))
+    chain = ", ".join(steps)
+    return f"""wt0 AS (
+            SELECT *, (CAST({x_expr} AS DOUBLE) / {r!r}) AS __wxn,
+                   (CAST({y_expr} AS DOUBLE) / {r!r}) AS __wyn,
+                   LEAST(GREATEST(2.0 * (CAST({x_expr} AS DOUBLE)
+                                         / {r!r}) / {1.0 + cp1!r},
+                                  {-math.pi!r}), {math.pi!r}) AS __wl0,
+                   LEAST(GREATEST((CAST({y_expr} AS DOUBLE) / {r!r}),
+                                  {-math.pi / 2!r}), {math.pi / 2!r})
+                       AS __wp0
+            FROM {src}
+        ), {chain}, wintri_ll AS (
+            SELECT * EXCLUDE (__wxn, __wyn, {drops}),
+                   degrees(__wl{last}) AS lon,
+                   degrees(__wp{last}) AS lat
+            FROM wt{2 * _WINTRI_ITERS}
+        )"""
+
+
 # ---- Natural Earth (+proj=natearth) -----------------------------------
 #
 # The Savric/Jenny/Patterson compromise world projection (the
@@ -4854,6 +5083,8 @@ def _to_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _robin_to_lonlat_fn(up)
     if up in HAMMER_PARAMS:
         return _hammer_to_lonlat_fn(up)
+    if up in WINTRI_PARAMS:
+        return _wintri_to_lonlat_fn(up)
     if up == "EPSG:27700":
         return _osgb_to_lonlat_fn()
     if up in TM_PARAMS:
@@ -4931,6 +5162,8 @@ def _from_lonlat_fn(crs: str) -> ColumnTransform | None:
         return _lonlat_to_robin_fn(up)
     if up in HAMMER_PARAMS:
         return _lonlat_to_hammer_fn(up)
+    if up in WINTRI_PARAMS:
+        return _lonlat_to_wintri_fn(up)
     if up == "EPSG:27700":
         return _lonlat_to_osgb_fn()
     if up in TM_PARAMS:

@@ -2325,6 +2325,62 @@ def cube_reproject_hammer(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+
+# ---- reproject: Winkel Tripel world grid (ESRI:54042) ---------------------
+
+from xcube_spark.operators.resampling.reproject import wintri_inverse_sql_ctes
+
+#: off-round origin/steps keep every re-projected center >= 8.5e-4 deg
+#: from any 1-degree source-cell edge, and the whole window inside the
+#: Winkel-Tripel outline (margin asserted in tests/test_crsparse.py)
+_WINTRI = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                   x_start=-10_869_011.0, y_start=-7_799_013.0,
+                   x_res=540_017.0, y_res=390_313.0,
+                   t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                   crs="ESRI:54042")
+
+_WINTRI_CTES = wintri_inverse_sql_ctes(
+    "CAST((-10869011.0 + (x_i + 0.5) * 540017.0) AS DOUBLE)",
+    "CAST((-7799013.0 + (y_i + 0.5) * 390313.0) AS DOUBLE)",
+    "ESRI:54042")
+
+
+@query(
+    "cube_reproject_wintri",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_WINTRI.size})
+        ), {_WINTRI_CTES}, f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM wintri_ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_wintri(spark, sf_dir):
+    """reproject_dataset onto the Winkel Tripel world grid
+    (ESRI:54042) — the National Geographic world map projection, the
+    round-8 verdict's designated last mainstream-atlas gap.  Forward
+    is closed form (mean of equirectangular at cos(phi1) = 2/pi and
+    Aitoff); there is NO closed-form inverse — the engine runs a
+    fixed 6-step 2-D Newton solve with the analytic Jacobian (the
+    published approach for this projection: Ipbuker & Bildirici 2002)
+    as staged Column arithmetic, and the oracle states the IDENTICAL
+    iteration in SQL (wintri_inverse_sql_ctes, same op order, same
+    guards, same count).  Reference reaches wintri only via pyproj
+    (core/gridmapping/transform.py)."""
+    out = reproject_dataset(_cube_a(spark), GRID, _WINTRI)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- sf-SCALED §2.6 bench rows (round-9 verdict task 1) ----------------
 #
 # Every §2.6 gate so far runs on the fixed synthetic GRID, so the

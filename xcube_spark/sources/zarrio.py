@@ -848,6 +848,15 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                     "longitude_of_projection_origin": 0.0,
                     "false_easting": 0.0, "false_northing": 0.0,
                     "earth_radius": table[code]}
+    if code in R.WINTRI_PARAMS:
+        import math as _math
+
+        a, cp1 = R.WINTRI_PARAMS[code]
+        return {"grid_mapping_name": "winkel_tripel",
+                "standard_parallel": _math.degrees(_math.acos(cp1)),
+                "longitude_of_projection_origin": 0.0,
+                "false_easting": 0.0, "false_northing": 0.0,
+                "earth_radius": a}
     return None
 
 
