@@ -26,3 +26,12 @@ def sf_dir():
 
 def load(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "pyproj: integration tests that need REAL pyproj installed "
+        "(skipped in the build container; run `pytest -m pyproj` in a "
+        "venv with pyproj to exercise the fallback seam and cross-check "
+        "every closed-form CRS family)")

@@ -666,3 +666,86 @@ def test_c4_line_filter(spark):
         'quoted line with five words!"\n'
         "six proper words end here?")
     assert rows[2].n_kept == 0 and rows[2].text_clean == ""
+
+
+# ---- round-9 verdict item 6: substring-dedup boundary property test ----
+
+
+@pytest.mark.parametrize("delta", [-1, 0, 1])
+@pytest.mark.parametrize("placement", ["start", "middle", "end"])
+def test_substring_dedup_boundary_spans(spark, delta, placement):
+    """The W-window relaxation's contract at the boundary: a span
+    shared by two documents is detected iff its length >= W, for
+    lengths W-1, W, W+1, regardless of where in the document it sits
+    (start / middle / end) and with the two documents forced into
+    DIFFERENT Spark partitions (the first-occurrence shuffle must
+    unify spans across shards).  Driver-mandated operator (Lee et al.
+    2021 relaxation) — no reference twin."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.pipeline.curation import substring_dedup_stats
+
+    W = 10
+    span_len = W + delta
+    shared = [f"s{j}" for j in range(span_len)]
+
+    def doc(doc_id, n_fill=25):
+        fill = [f"u{doc_id}_{i}" for i in range(n_fill)]
+        if placement == "start":
+            toks = shared + fill
+        elif placement == "end":
+            toks = fill + shared
+        else:
+            toks = fill[:12] + shared + fill[12:]
+        return (doc_id, " ".join(toks))
+
+    df = (
+        spark.createDataFrame([doc(1), doc(2)], "doc_id long, text string")
+        # separate shards: the span hash shuffle, not co-location,
+        # must find the cross-doc duplicate
+        .repartition(8, "doc_id")
+    )
+    stats = {r.doc_id: r for r in
+             substring_dedup_stats(df, window=W).collect()}
+    # exactly one of the two docs carries the duplicate (the one whose
+    # (doc_id, pos) sorts later); the other is the first occurrence
+    dups = sorted(stats[i].n_dup for i in (1, 2))
+    if span_len >= W:
+        assert dups[0] == 0
+        assert dups[1] == span_len - W + 1, (
+            f"span of {span_len} tokens must contribute "
+            f"{span_len - W + 1} duplicate windows, got {dups[1]}")
+    else:
+        assert dups == [0, 0], (
+            f"span of {span_len} < W={W} tokens must NOT be flagged")
+
+
+def test_substring_dedup_boundary_spans_property(spark):
+    """Randomized version (seeded): random filler lengths and span
+    placements, three docs sharing the same span — every doc after
+    the first occurrence reports exactly (L - W + 1) duplicate
+    windows when L >= W, zero otherwise."""
+    import random
+
+    from xcube_spark.pipeline.curation import substring_dedup_stats
+
+    rng = random.Random(0xC0FFEE)
+    W = 8
+    for trial in range(6):
+        L = rng.choice([W - 1, W, W + 1, W + 3])
+        shared = [f"s{trial}_{j}" for j in range(L)]
+        rows = []
+        for d in range(3):
+            n_fill = rng.randint(L + 1, 40)
+            fill = [f"u{trial}_{d}_{i}" for i in range(n_fill)]
+            cut = rng.randint(0, n_fill)
+            rows.append((d, " ".join(fill[:cut] + shared + fill[cut:])))
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string").repartition(5, "doc_id")
+        stats = {r.doc_id: r.n_dup for r in
+                 substring_dedup_stats(df, window=W).collect()}
+        dups = sorted(stats.values())
+        if L >= W:
+            assert dups == [0, L - W + 1, L - W + 1], (trial, L, stats)
+        else:
+            assert dups == [0, 0, 0], (trial, L, stats)
