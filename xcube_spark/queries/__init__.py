@@ -117,6 +117,9 @@ PRIORITY_ORDER = (
     "cube_reproject_wintri",
     "events_rectify_grid",
     "events_reproject_utm",
+    "q11_important_stock",
+    "q12_shipping_priority_class",
+    "q20_potential_promotion",
     # round-6's one driver hash-fail (quantization rebuilt
     # integer-exact in r7) — re-verify FIRST
     "cube_jp2_ingest",

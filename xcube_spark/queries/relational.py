@@ -736,3 +736,97 @@ def q22_global_sales_opportunity(spark, sf_dir):
     above-average balances, grouped over 7 codes."""
     return _run_tpch_sql(spark, sf_dir, _Q22_SQL,
                          ["customer", "orders"])
+
+
+# ---- round-9 additions: q11/q12/q20 complete the 22-query set ----------
+#
+# Same shared-dialect discipline as the rounds 6-8 batches: the SQL
+# text IS the oracle.  Canonical predicates adapted to the driver
+# schema: no partsupp (lineitem is the part-supplier link, the Q2
+# precedent), no shipmode/commit/receipt dates (returnflag classes and
+# shipdate-vs-orderdate lateness stand in, the Q21 precedent).
+
+_Q11_SQL = """
+    SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+               AS part_value
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING SUM(l_extendedprice * (1 - l_discount)) > (
+        SELECT 0.001 * SUM(l2.l_extendedprice * (1 - l2.l_discount))
+        FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        WHERE n2.n_name = 'NATION_3')
+"""
+
+
+@query("q11_important_stock", sql=_Q11_SQL)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification; part value =
+    discounted revenue, the schema's partsupp-free stand-in for
+    supplycost*availqty): a grouped aggregate filtered by an
+    UNCORRELATED SCALAR aggregate over the same join — Catalyst plans
+    the threshold as a one-row broadcast cross join into the HAVING
+    filter, so the fact table is scanned twice but shuffled only on
+    l_partkey; the nation filter prunes both scans at the supplier
+    broadcast."""
+    return _run_tpch_sql(spark, sf_dir, _Q11_SQL,
+                         ["lineitem", "supplier", "nation"])
+
+
+_Q12_SQL = """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+"""
+
+
+@query("q12_shipping_priority_class", sql=_Q12_SQL)
+def q12_shipping_priority_class(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority; returnflag
+    classes + shipdate-vs-orderdate lateness stand in for shipmode +
+    commit/receipt dates): the two-sided date predicate pushes the
+    year bounds to the lineitem SCAN while the cross-table lateness
+    comparison evaluates post-join; the CASE pivots aggregate
+    map-side into 3 groups."""
+    return _run_tpch_sql(spark, sf_dir, _Q12_SQL, ["orders", "lineitem"])
+
+
+_Q20_SQL = """
+    SELECT s_name, s_acctbal
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+          SELECT l.l_suppkey
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part
+                    WHERE p_name LIKE 'red%')
+            AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING SUM(l.l_quantity) > (
+              SELECT 0.5 * AVG(l3.l_quantity) FROM lineitem l3
+              WHERE l3.l_partkey = l.l_partkey))
+"""
+
+
+@query("q20_potential_promotion", sql=_Q20_SQL)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion; shipped-quantity
+    share stands in for partsupp availqty): NESTED IN subqueries with
+    a CORRELATED scalar aggregate inside the inner HAVING — Catalyst
+    decorrelates the per-part average into an aggregate joined back
+    on l_partkey, the part-name IN becomes a broadcast semi join, and
+    the outer IN a left-semi on s_suppkey.  Every join is keyed;
+    nothing quadratic."""
+    return _run_tpch_sql(spark, sf_dir, _Q20_SQL,
+                         ["supplier", "nation", "lineitem", "part"])
