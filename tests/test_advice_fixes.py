@@ -85,7 +85,11 @@ def test_rectify_nearest_no_forced_broadcast_on_large_grid(spark):
                         y_res=1.0, x_start=0.0, y_start=0.0)
     big = rectify_dataset(swath, big_grid, var_names=["V"])
     plan = big._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in plan
+    # round 9 PINS the bounded mapped side to shuffle_hash past the
+    # broadcast cap (leaving it to the optimizer flip-flopped between
+    # SMJ and an erratic runtime broadcast); what must never appear on
+    # a large grid is a FORCED BROADCAST of the plane-sized lookup
+    assert "strategy=broadcast" not in plan
 
 
 def test_zarr_overwrite_replaces_store(spark, tmp_path):

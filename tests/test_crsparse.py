@@ -2595,3 +2595,103 @@ def test_wintri_roundtrip_anchors_cf_and_margins(spark):
     """).fetchone()
     assert bad == 0
     assert mx > 8e-4 and my > 1e-3
+
+
+def test_goode_homolosine_roundtrip_interruption_cf_and_margins(spark):
+    """Interrupted Goode homolosine (PROJ:IGH, round 9 — the r8
+    verdict's designated 'interrupted projections' gap): the closed-
+    form inverse round trips the staged forward at 1e-10 deg across
+    every lobe; the fusion is EXACTLY continuous at the 40d44'11.8"
+    boundary parallel (the continuity offset is solved at import, not
+    quoted); the interruption at 40W splits adjacent meridians into
+    different lobes (x jumps by thousands of km); sinusoidal anchors
+    hold on the lobe central meridians; CF round-trips via the
+    interrupted_goode_homolosine extension name; the gate grid keeps
+    >= 1.5e-3 deg margins through the exact oracle SQL."""
+    import duckdb
+
+    from xcube_spark.operators.resampling.reproject import (
+        _IGH_DY, _IGH_PHIB, apply_transform_df, get_transform,
+        igh_inverse_sql)
+    from xcube_spark.queries.resampling_ops import _IGH
+    from xcube_spark.sources.zarrio import (cf_grid_mapping_attrs,
+                                            crs_from_grid_mapping)
+
+    r = 6378137.0
+    # the continuity offset is the solved GCTP constant
+    assert abs(_IGH_DY - 0.0528035274542) < 1e-9
+
+    fwd = get_transform("EPSG:4326", "PROJ:IGH")
+    inv = get_transform("PROJ:IGH", "EPSG:4326")
+    pts = [(-120.0, 35.2), (30.0, -47.6), (179.0, 64.3), (45.0, 52.5),
+           (0.5, 0.5), (-179.5, 25.0), (120.0, -84.0), (-50.0, 80.0),
+           (-101.0, -30.0), (-99.0, -30.0), (70.0, -70.0),
+           (100.0, -44.0), (-39.0, 41.0), (-41.0, 41.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    st = apply_transform_df(df, fwd, F.col("lon"), F.col("lat"), "x", "y")
+    st2 = apply_transform_df(st, inv, F.col("x"), F.col("y"),
+                             "lon2", "lat2")
+    rows = st2.select("lon", "lat", "x", "y", "lon2", "lat2").collect()
+    for r2 in rows:
+        assert abs(r2.lon2 - r2.lon) < 1e-10
+        assert abs(r2.lat2 - r2.lat) < 1e-10
+
+    # interruption pin: 39W and 41W at 41N live in DIFFERENT lobes
+    xs = {r2.lon: r2.x for r2 in rows if r2.lat == 41.0}
+    assert abs(xs[-39.0] - xs[-41.0]) > 3e6
+
+    # exact continuity at the boundary parallel (central meridian of
+    # the 30E north lobe: x is R*lamc on both sides, y fuses)
+    phib_deg = math.degrees(_IGH_PHIB)
+    eps = 1e-9
+    bpts = spark.createDataFrame(
+        [(30.0, phib_deg - eps), (30.0, phib_deg + eps)],
+        "lon double, lat double")
+    bxy = apply_transform_df(bpts, fwd, F.col("lon"), F.col("lat"),
+                             "x", "y").select("lat", "x", "y").collect()
+    assert abs(bxy[0].y - bxy[1].y) < 1e-3   # < 1 mm per 1e-9 deg
+    assert abs(bxy[0].x - bxy[1].x) < 1e-3
+    assert abs(bxy[0].y - r * _IGH_PHIB) < 0.2
+
+    # sinusoidal anchors: on a lobe central meridian x = R*lamc
+    anchors = spark.createDataFrame(
+        [(30.0, 20.0), (-100.0, 20.0), (-160.0, -20.0), (140.0, -20.0)],
+        "lon double, lat double")
+    got = {(a.lon, a.lat): (a.x, a.y) for a in apply_transform_df(
+        anchors, fwd, F.col("lon"), F.col("lat"), "x", "y")
+        .select("lon", "lat", "x", "y").collect()}
+    for lonc in (30.0, -100.0):
+        assert abs(got[(lonc, 20.0)][0] - r * math.radians(lonc)) < 1e-6
+        assert abs(got[(lonc, 20.0)][1] - r * math.radians(20.0)) < 1e-6
+    for lonc in (-160.0, 140.0):
+        assert abs(got[(lonc, -20.0)][0] - r * math.radians(lonc)) < 1e-6
+
+    # CF extension round trip + proj4 resolution
+    attrs = cf_grid_mapping_attrs("PROJ:IGH")
+    assert attrs["grid_mapping_name"] == "interrupted_goode_homolosine"
+    attrs.pop("epsg_code", None)
+    assert crs_from_grid_mapping(attrs) == "PROJ:IGH"
+    assert resolve_proj4("+proj=igh +a=6378137") == "PROJ:IGH"
+
+    # gate-grid margins via the exact oracle SQL (the grid also stays
+    # inside the Mollweide asin domain and off the zone boundaries)
+    lon_sql, lat_sql = igh_inverse_sql(
+        "(-19947013.0 + (x_i + 0.5) * 997313.0)",
+        "(-8579013.0 + (y_i + 0.5) * 429313.0)", "PROJ:IGH")
+    mx, my, nn, zb = duckdb.connect().execute(f"""
+        WITH tgt AS (SELECT CAST(range // {_IGH.width} AS INT) AS y_i,
+                            CAST(range % {_IGH.width} AS INT) AS x_i
+                     FROM range({_IGH.width * _IGH.height})),
+        ll AS (SELECT y_i, x_i,
+                      (-8579013.0 + (y_i + 0.5) * 429313.0) / {r!r} AS yn,
+                      {lon_sql} AS lon, {lat_sql} AS lat FROM tgt)
+        SELECT min(least((lon+180.0)%1.0, 1.0-(lon+180.0)%1.0))
+                   FILTER (lon >= -180 AND lon <= 180),
+               min(least((lat+90.0)%1.0, 1.0-(lat+90.0)%1.0)),
+               count(*) FILTER (isnan(lon) OR isnan(lat)),
+               min(abs(abs(yn) - {_IGH_PHIB!r}))
+        FROM ll
+    """).fetchone()
+    assert nn == 0
+    assert mx > 1.5e-3 and my > 1.5e-3
+    assert zb > 2e-3

@@ -390,6 +390,22 @@ def resolve_proj4(text: str) -> str:
         R.HAMMER_PARAMS[key] = a
         return key
 
+    if proj == "igh":
+        # interrupted Goode homolosine (spherical, like every Goode
+        # implementation; the canonical WGS84-semimajor member is
+        # PROJ:IGH — ESRI:54052 stays on the pyproj fallback because
+        # its datum handling is implementation-defined)
+        if _num(p, "lon_0") or _num(p, "x_0") or _num(p, "y_0"):
+            raise NotImplementedError(
+                "igh: nonzero +lon_0/+x_0/+y_0 not supported")
+        if not math.isinf(rf):
+            raise NotImplementedError("igh: spherical only (+R/+a)")
+        if a == R.IGH_PARAMS["PROJ:IGH"]:
+            return "PROJ:IGH"
+        key = f"PROJ:IGH:{a!r}".upper()
+        R.IGH_PARAMS[key] = a
+        return key
+
     if proj == "wintri":
         # Winkel Tripel (spherical; ESRI:54042 on the WGS84 semimajor
         # with PROJ's default standard parallel cos(phi1) = 2/pi;
@@ -654,7 +670,8 @@ def resolve_proj4(text: str) -> str:
         f"+proj={proj}: no closed-form Column family implemented "
         "(supported: longlat, utm, tmerc, lcc, aea, laea, stere, "
         "sterea, somerc, krovak, eqearth, cass, poly, merc, geos, "
-        "sinu, moll, eck4, mill, vandg, robin, hammer, wintri, natearth, "
+        "sinu, moll, eck4, mill, vandg, robin, hammer, wintri, igh, "
+        "natearth, "
         "ob_tran[longlat], cea, aeqd[sph], ortho[sph], gnom[sph], eqc, "
         "eqdc, omerc)")
 
@@ -781,7 +798,7 @@ def crs_from_cf(attrs: Mapping) -> str:
         p["proj"] = "moll"
     elif name in ("eckert_iv", "miller_cylindrical", "van_der_grinten",
                   "natural_earth", "robinson", "hammer",
-                  "winkel_tripel"):
+                  "winkel_tripel", "interrupted_goode_homolosine"):
         # our writer's CF extension for the spherical world/atlas
         # projections (no CF appendix entry, like mollweide above)
         if num("longitude_of_projection_origin"):
@@ -794,7 +811,8 @@ def crs_from_cf(attrs: Mapping) -> str:
                      "natural_earth": "natearth",
                      "robinson": "robin",
                      "hammer": "hammer",
-                     "winkel_tripel": "wintri"}[name]
+                     "winkel_tripel": "wintri",
+                     "interrupted_goode_homolosine": "igh"}[name]
         if name == "winkel_tripel" and num("standard_parallel"):
             put("lat_1", num("standard_parallel"))
     elif name in ("azimuthal_equidistant", "orthographic", "gnomonic"):

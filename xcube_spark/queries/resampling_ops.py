@@ -2381,6 +2381,70 @@ def cube_reproject_wintri(spark, sf_dir):
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
+# ---- reproject: interrupted Goode homolosine world grid (PROJ:IGH) ------
+
+from xcube_spark.operators.resampling.reproject import igh_inverse_sql
+
+#: off-round origin/steps keep every re-projected center >= 1.7e-3 deg
+#: from any 1-degree source-cell edge, >= 3e-3 rad from the Goode
+#: boundary parallel / interruption meridians, and |y|/R <= 1.314
+#: (inside the Mollweide asin domain) — asserted in test_crsparse.py
+_IGH = CubeGrid(width=40, height=40, time_periods=GRID.time_periods,
+                x_start=-19_947_013.0, y_start=-8_579_013.0,
+                x_res=997_313.0, y_res=429_313.0,
+                t_start=GRID.t_start, t_freq_days=GRID.t_freq_days,
+                crs="PROJ:IGH")
+
+_IGH_LON, _IGH_LAT = igh_inverse_sql(
+    "(-19947013.0 + (x_i + 0.5) * 997313.0)",
+    "(-8579013.0 + (y_i + 0.5) * 429313.0)", "PROJ:IGH")
+
+
+@query(
+    "cube_reproject_goode",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT CAST(range // 1600 AS INT) AS t_i,
+                   CAST((range % 1600) // 40 AS INT) AS y_i,
+                   CAST(range % 40 AS INT) AS x_i
+            FROM range({_IGH.size})
+        ), ll AS (
+            SELECT t_i, y_i, x_i,
+                   {_IGH_LON} AS lon,
+                   {_IGH_LAT} AS lat
+            FROM tgt
+        ), f AS (
+            SELECT t_i, y_i, x_i,
+                   CAST(FLOOR((lon - -180.0) / 1.0) AS INT) AS sx,
+                   CAST(FLOOR((lat - -90.0) / 1.0) AS INT) AS sy
+            FROM ll
+        )
+        SELECT f.t_i, f.y_i, f.x_i, ROUND(c.A, 6) AS A
+        FROM f LEFT JOIN cube c
+          ON c.t_i = f.t_i AND c.y_i = f.sy AND c.x_i = f.sx
+    """,
+)
+def cube_reproject_goode(spark, sf_dir):
+    """reproject_dataset onto the INTERRUPTED Goode homolosine world
+    grid (+proj=igh; Goode 1925, USGS GCTP goode.c) — the round-8
+    verdict's designated 'interrupted projections' gap: equal-area
+    sinusoidal between the 40d44'11.8" parallels and six Mollweide
+    lobes above, interrupted along 40W (north) / 100W, 20W, 80E
+    (south) with per-lobe central meridians.  The engine derives the
+    EXACT Mollweide continuity offset at import (GCTP's
+    0.0528035274542) and the whole inverse is closed form; the oracle
+    states the identical zone tests and op order in SQL
+    (igh_inverse_sql).  Reference reaches igh only via pyproj
+    (core/gridmapping/transform.py).  Cells in the interruption gaps
+    resolve deterministically (PROJ's inverse convention: classify by
+    projected x against the interruption meridians) on BOTH engines;
+    gap points whose lon falls outside [-180, 180] miss the source
+    join and stay NULL."""
+    out = reproject_dataset(_cube_a(spark), GRID, _IGH)
+    return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
+
+
 # ---- sf-SCALED §2.6 bench rows (round-9 verdict task 1) ----------------
 #
 # Every §2.6 gate so far runs on the fixed synthetic GRID, so the

@@ -842,7 +842,8 @@ def _family_grid_mapping_attrs(code: str) -> dict | None:
                         ("van_der_grinten", R.VANDG_PARAMS),
                         ("natural_earth", R.NATEARTH_PARAMS),
                         ("robinson", R.ROBIN_PARAMS),
-                        ("hammer", R.HAMMER_PARAMS)):
+                        ("hammer", R.HAMMER_PARAMS),
+                        ("interrupted_goode_homolosine", R.IGH_PARAMS)):
         if code in table:
             return {"grid_mapping_name": name,
                     "longitude_of_projection_origin": 0.0,
