@@ -749,3 +749,78 @@ def test_substring_dedup_boundary_spans_property(spark):
             assert dups == [0, L - W + 1, L - W + 1], (trial, L, stats)
         else:
             assert dups == [0, 0, 0], (trial, L, stats)
+
+
+def test_bm25_topk_hand_scores_and_semi_filter_plan(spark):
+    """bm25_topk matches hand-computed Okapi BM25 on a tiny corpus
+    (k1=1.2, b=0.75), ranks deterministically, and the plan filters
+    the corpus tf table through a BROADCAST LEFT-SEMI join on the
+    query vocabulary BEFORE the scoring joins (at 100 TB the df/idf
+    and score stages must only ever see candidate rows)."""
+    import math as m
+
+    from xcube_spark.pipeline.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark window agg window"),
+         (2, "spark table scan"),
+         (3, "window window window agg"),
+         (4, "customer value row")],
+        "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(1, "window agg")], "query_id int, query_text string")
+    out = bm25_topk(docs, queries, k=2).collect()
+
+    # hand BM25: N=4, avgdl=(4+3+4+3)/4=3.5; window: df=2, agg: df=2
+    def s(tf, dl, df, n=4, avgdl=3.5, k1=1.2, b=0.75):
+        idf = m.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp = {1: round(s(2, 4, 2) + s(1, 4, 2) + 1e-9, 6),   # doc 1
+           3: round(s(3, 4, 2) + s(1, 4, 2) + 1e-9, 6)}   # doc 3
+    got = {r.doc_id: r.score for r in out}
+    assert set(got) == {1, 3}
+    for d in exp:
+        assert abs(got[d] - exp[d]) < 2e-6
+    # doc 3 (tf=3 on window) outranks doc 1
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[3] == 1 and ranks[1] == 2
+
+    plan = bm25_topk(docs, queries, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    """dsir_importance_weights scores documents made of target-domain
+    vocabulary above documents of off-domain vocabulary (the DSIR
+    resampling contract), is deterministic, and never touches a
+    corpus-sized join (the llr table is a broadcast over at most
+    n_buckets rows)."""
+    from xcube_spark.pipeline.curation import dsir_importance_weights
+
+    rows = []
+    # target docs speak 'alpha beta', raw-only docs speak 'gamma delta'
+    for i in range(10):
+        rows.append((i, "alpha beta alpha beta alpha", "good"))
+    for i in range(10, 30):
+        rows.append((i, "gamma delta gamma delta gamma", "crawl"))
+    # one held-out doc per vocabulary, both from the raw pool
+    rows.append((30, "alpha beta alpha beta alpha", "crawl"))
+    rows.append((31, "gamma delta gamma delta gamma", "crawl"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+
+    out = dsir_importance_weights(
+        docs, F.col("src") == "good", n_buckets=64)
+    got = {r.doc_id: r.log_weight for r in out.collect()}
+    assert len(got) == 32
+    # target-vocabulary docs outrank off-domain docs regardless of src
+    assert got[30] > got[31]
+    assert got[0] > got[10]
+    # same text => same weight (pure function of content)
+    assert got[30] == got[0]
+
+    plan = dsir_importance_weights(
+        docs, F.col("src") == "good")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastExchange" in plan

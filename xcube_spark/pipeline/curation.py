@@ -677,3 +677,71 @@ def c4_line_filter(docs: DataFrame, text_col: str = "text",
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document log importance weight for DSIR-style data
+    selection (Data Selection with Importance Resampling, Xie et al.
+    2023): estimate hashed-unigram feature distributions for the
+    TARGET domain (rows where ``target`` is true — e.g. a trusted
+    high-quality source) and the RAW corpus, then score every document
+    by the log-likelihood ratio
+
+        log w(x) = sum_f c_f(x) * (ln p_target(f) - ln p_raw(f))
+
+    with add-``alpha`` smoothing over ``n_buckets`` hashed buckets.
+    Selecting the top-weighted documents resamples the raw corpus
+    toward the target distribution — the standard pretraining
+    data-selection recipe.  Returns (id, n_tokens, log_weight).
+
+    Feature hashing is md5-based (first 3 hex nibbles, mod
+    ``n_buckets``) like the dedup family, so the DuckDB oracle
+    replays it bit-for-bit; ``n_buckets`` must be <= 4096.
+
+    Scale shape: TWO corpus passes, each a scan + one partial-agg
+    shuffle — pass 1 keys by feature bucket (at most ``n_buckets``
+    reduce groups, counting raw and target in the same aggregate so
+    the target subset is NOT a separate scan); the bucket table is
+    model-sized and broadcast back for pass 2's per-document sum
+    (map-side combine makes the doc-keyed shuffle one row per doc).
+    No vocabulary table, no driver round-trip, no corpus join.
+    """
+    if n_buckets > 4096:
+        raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
+    toks = docs.select(
+        F.col(id_col),
+        target.alias("__tgt"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    feats = toks.select(
+        id_col, "__tgt",
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+         .cast("int") % n_buckets).alias("f"))
+    counts = feats.groupBy("f").agg(
+        F.count("*").alias("c_raw"),
+        F.count_if(F.col("__tgt")).alias("c_tgt"))
+    totals = counts.agg(F.sum("c_raw").alias("t_raw"),
+                        F.sum("c_tgt").alias("t_tgt"))
+    llr = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "f",
+            (F.log((F.col("c_tgt") + F.lit(alpha))
+                   / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
+             - F.log((F.col("c_raw") + F.lit(alpha))
+                     / (F.col("t_raw") + F.lit(alpha * n_buckets))))
+            .alias("llr"))
+    )
+    return (
+        feats.join(F.broadcast(llr), "f")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"),
+             F.round(F.sum("llr") + 1e-9, 6).alias("log_weight"))
+    )

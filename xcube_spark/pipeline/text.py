@@ -183,6 +183,88 @@ def tfidf_keywords(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents per query by the
+    Okapi BM25 score (Robertson & Walker 1994)
+
+        sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    with ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` — the
+    retrieval primitive a training-data pipeline uses for benchmark-
+    contamination triage and quality-targeted data selection (the
+    reference has no retrieval op; additive surface like the dedup
+    family).  Ties and cross-engine 1-ulp sum noise are absorbed by
+    ranking on the 1e-9-nudged 6-decimal rounding with a ``doc_id``
+    tie-break (the round-4 boundary discipline).
+
+    Scale shape: the corpus is tokenized and aggregated ONCE
+    (per-(doc, token) tf, then per-doc lengths — the only two
+    corpus-sized shuffles); the tf table is LEFT-SEMI filtered to the
+    broadcast query vocabulary BEFORE any further join, so df/idf and
+    the scoring join touch only candidate rows.  N/avgdl ride as a
+    one-row broadcast.  Per-query top-k is a window over candidates
+    (bounded by |queries| partitions).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count("*").alias("__n"),
+                   F.sum("dl").alias("__tdl"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.split(F.trim(F.col(query_text_col)),
+                          r"\s+")).alias("token"),
+    ).where(F.col("token") != "").distinct()
+    vocab = qterms.select("token").distinct()
+
+    cand = tf.join(F.broadcast(vocab), "token", "left_semi")
+    dfreq = cand.groupBy("token").agg(
+        F.count("*").alias("df"))  # tf rows are (doc, token)-distinct
+
+    scored = (
+        cand.join(F.broadcast(qterms), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "__idf",
+            F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5)))
+        .withColumn(
+            "__s",
+            F.col("__idf") * (F.col("tf") * F.lit(k1 + 1.0))
+            / (F.col("tf") + F.lit(k1)
+               * (F.lit(1.0 - b)
+                  + F.lit(b) * F.col("dl")
+                  * F.col("__n") / F.col("__tdl"))))
+    )
+    agg = scored.groupBy("query_id", id_col).agg(
+        F.round(F.sum("__s") + 1e-9, 6).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", id_col, "score")
+    )
+
+
 def _bpe_words(docs: DataFrame, text_col: str,
                max_word_len: int) -> DataFrame:
     """Corpus -> word-frequency vocabulary (the one corpus-sized

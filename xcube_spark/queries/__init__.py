@@ -114,6 +114,8 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
     # round-9 additions (never sampled yet)
+    "doc_bm25_topk",
+    "doc_dsir_weights",
     "cube_reproject_goode",
     "cube_reproject_wintri",
     "events_rectify_grid",

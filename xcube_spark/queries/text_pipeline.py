@@ -744,3 +744,158 @@ def doc_incremental_near_dedup_bucketed(spark, sf_dir):
     store.merge_batch(docs.where(F.col("doc_id") < 250))
     store.merge_batch(docs.where(F.col("doc_id") >= 250))
     return store.flags().select("doc_id", "is_dup")
+
+
+#: fixed benchmark query strings for the BM25 retrieval gate (drawn
+#: from the synthetic corpus vocabulary; VALUES-inlined identically on
+#: both engines)
+_BM25_QUERIES = ((1, "spark window agg"),
+                 (2, "customer query fast"),
+                 (3, "vector stream merge"))
+_BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
+
+
+@query(
+    "doc_bm25_topk",
+    sql=rf"""
+        WITH q AS (
+            SELECT * FROM (VALUES {_BM25_VALUES})
+                AS v(query_id, query_text)
+        ), qt AS (
+            SELECT DISTINCT query_id,
+                   UNNEST(regexp_split_to_array(trim(query_text), '\s+'))
+                       AS token
+            FROM q
+        ), toks AS (
+            SELECT doc_id,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks WHERE token != '' GROUP BY doc_id, token
+        ), dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dl) AS BIGINT) AS tdl
+            FROM dl
+        ), cand AS (
+            SELECT tf.doc_id, tf.token, tf.tf
+            FROM tf WHERE tf.token IN (SELECT token FROM qt)
+        ), dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM cand GROUP BY token
+        ), scored AS (
+            SELECT qt.query_id, cand.doc_id,
+                   ln(1.0 + (stats.n - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5))
+                   * (cand.tf * CAST(2.2 AS DOUBLE))
+                   / (cand.tf + CAST(1.2 AS DOUBLE)
+                      * (0.25 + CAST(0.75 AS DOUBLE)
+                         * dl.dl * stats.n / stats.tdl))
+                       AS s
+            FROM cand
+            JOIN qt USING (token)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+            JOIN dfreq USING (token)
+        ), agg AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(s) + 1e-9, 6) AS score
+            FROM scored GROUP BY query_id, doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM agg
+        )
+        SELECT query_id, rank, doc_id, ROUND(score, 6) AS score
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def doc_bm25_topk(spark, sf_dir):
+    """Okapi BM25 retrieval (pipeline/text.py bm25_topk): top-5
+    documents for each of 3 fixed benchmark queries — the
+    contamination-triage / data-selection retrieval primitive
+    (additive surface; the reference has no text retrieval).  The
+    corpus is tokenized/aggregated once and LEFT-SEMI filtered to the
+    broadcast query vocabulary BEFORE df/idf and the scoring join, so
+    only candidate rows flow downstream; per-doc lengths are the only
+    other corpus-sized aggregation.  Ranking uses the 1e-9-nudged
+    6-decimal rounding with doc_id tie-break so cross-engine 1-ulp
+    sum-order noise cannot flip the top-k (k1 = 1.2, b = 0.75:
+    1 - b = 0.25, k1 + 1 = 2.2 inlined identically in the oracle)."""
+    from xcube_spark.pipeline.text import bm25_topk
+
+    docs = tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string")
+    out = bm25_topk(docs, queries, k=5)
+    return out.select("query_id", "rank", "doc_id",
+                      F.round("score", 6).alias("score"))
+
+
+#: 3-nibble md5 feature bucket as DuckDB SQL (no conv() in DuckDB —
+#: the sketches-family nibble idiom)
+_DSIR_NIB = ("(strpos('0123456789abcdef', "
+             "substr(md5(token), {pos}, 1)) - 1)")
+_DSIR_F = (f"((({_DSIR_NIB.format(pos=1)}) * 256"
+           f" + ({_DSIR_NIB.format(pos=2)}) * 16"
+           f" + ({_DSIR_NIB.format(pos=3)})) % 4096)")
+
+
+@query(
+    "doc_dsir_weights",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
+                   {_DSIR_F} AS f
+            FROM toks WHERE token != ''
+        ), counts AS (
+            SELECT f, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                   CAST(COUNT(*) FILTER (tgt) AS BIGINT) AS c_tgt
+            FROM feats GROUP BY f
+        ), totals AS (
+            SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+                   CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+            FROM counts
+        ), llr AS (
+            SELECT f,
+                   ln((c_tgt + 0.5) / (t_tgt + 2048.0))
+                   - ln((c_raw + 0.5) / (t_raw + 2048.0)) AS llr
+            FROM counts CROSS JOIN totals
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(llr) + 1e-9, 6) AS log_weight
+        FROM feats JOIN llr USING (f)
+        GROUP BY doc_id
+    """,
+)
+def doc_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (pipeline/curation.py
+    dsir_importance_weights; Xie et al. 2023 'Data Selection with
+    Importance Resampling'): hashed-unigram log-likelihood ratio of a
+    designated target domain (sources src0/src1) vs the raw corpus,
+    summed per document — the standard pretraining data-selection
+    score (additive surface; no reference counterpart).  Two corpus
+    passes: feature-bucket counts (raw and target in ONE aggregate,
+    <= 4096 reduce groups) and the per-doc broadcast-join sum
+    (map-side combine).  Feature hashing is 3 md5 nibbles, replayed
+    nibble-by-nibble in the oracle; smoothing constants (alpha = 0.5,
+    alpha*B = 2048) are exact halves so both engines divide identical
+    doubles."""
+    from xcube_spark.pipeline.curation import dsir_importance_weights
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = dsir_importance_weights(
+        docs, F.col("source").isin("src0", "src1"))
+    return out.select("doc_id", "n_tokens",
+                      F.round("log_weight", 6).alias("log_weight"))
