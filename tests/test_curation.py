@@ -824,3 +824,25 @@ def test_dsir_weights_favor_target_vocabulary(spark):
         docs, F.col("src") == "good")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_linear_probe_recovers_exact_relation(spark):
+    """linear_probe recovers an exactly-linear integer relation
+    (y = 3 + 2*x1 + 5*x2): zero residuals, exact predictions — and
+    the plan broadcasts the one-row coefficient table (no corpus
+    shuffle on the prediction pass)."""
+    from xcube_spark.pipeline.curation import linear_probe
+
+    rows = [(i, i % 7 + 1, (i * 3) % 5 + 1) for i in range(50)]
+    docs = spark.createDataFrame(
+        [(i, x1, x2, 3 + 2 * x1 + 5 * x2) for i, x1, x2 in rows],
+        "doc_id long, x1 long, x2 long, y long")
+    out = linear_probe(docs, "y", "x1", "x2").collect()
+    assert len(out) == 50
+    for r in out:
+        assert abs(r.resid) < 1e-9
+        assert abs(r.y_hat - r.y) < 1e-9
+
+    plan = linear_probe(docs, "y", "x1", "x2")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -745,3 +745,72 @@ def dsir_importance_weights(
         .agg(F.count("*").alias("n_tokens"),
              F.round(F.sum("llr") + 1e-9, 6).alias("log_weight"))
     )
+
+
+def linear_probe(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-and-apply a 2-feature + intercept ordinary-least-squares
+    probe in ONE logical plan: accumulate the normal-equation moments
+    (X'X, X'y) as a single aggregate pass, solve the 3x3 system in
+    closed form (Cramer) on the one-row moment table, and broadcast
+    the coefficients back for per-row prediction — the
+    "train a linear probe over the whole corpus in one scan" shape
+    (quality regressors, filter calibration) that never moves
+    model-sized state through a shuffle or the driver.
+
+    Features and label must be INTEGER columns: every moment is then
+    an exact BIGINT sum (order-independent, bit-identical on any
+    engine), so the double-precision Cramer solve — identical op
+    order in the SQL twin — is deterministic cross-engine.
+
+    Returns (id, y, y_hat, resid) with raw doubles (round in the
+    caller; Python round() is half-even, Spark/DuckDB ROUND is not).
+
+    Scale shape: pass 1 is a map-side-combined aggregate to ONE row
+    (each task emits 9 numbers); the solve is Column math on that row
+    (no collect); pass 2 re-scans the input against the broadcast
+    coefficient row.  100 TB cost = two scans, zero corpus shuffles.
+    """
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"), F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * y).alias("s1y"), F.sum(x2 * y).alias("s2y"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i):
+        return (a * (e * i - f * h) - b * (d * i - f * g)
+                + c * (d * h - e * g))
+
+    def dbl(name):
+        return F.col(name).cast("double")
+
+    n, s1, s2 = dbl("n"), dbl("s1"), dbl("s2")
+    s11, s12, s22 = dbl("s11"), dbl("s12"), dbl("s22")
+    sy, s1y, s2y = dbl("sy"), dbl("s1y"), dbl("s2y")
+    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    coef = m.select(
+        (det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det)
+        .alias("b0"),
+        (det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det)
+        .alias("b1"),
+        (det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det)
+        .alias("b2"),
+    )
+    pred = (
+        df.crossJoin(F.broadcast(coef))
+        .withColumn(
+            "y_hat",
+            F.col("b0") + F.col("b1") * x1.cast("double")
+            + F.col("b2") * x2.cast("double"))
+        .withColumn("resid", y.cast("double") - F.col("y_hat"))
+    )
+    return pred.select(id_col, y.alias("y"), "y_hat", "resid")

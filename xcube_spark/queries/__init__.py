@@ -116,6 +116,7 @@ PRIORITY_ORDER = (
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",
+    "doc_quality_probe",
     "cube_reproject_goode",
     "cube_reproject_wintri",
     "events_rectify_grid",

@@ -899,3 +899,105 @@ def doc_dsir_weights(spark, sf_dir):
         docs, F.col("source").isin("src0", "src1"))
     return out.select("doc_id", "n_tokens",
                       F.round("log_weight", 6).alias("log_weight"))
+
+
+def _det3_sql(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant SQL with the EXACT op order of
+    pipeline.curation.linear_probe's det3 (bit-parity on identical
+    double inputs)."""
+    return (f"({a} * ({e} * {i} - {f} * {h}) "
+            f"- {b} * ({d} * {i} - {f} * {g}) "
+            f"+ {c} * ({d} * {h} - {e} * {g}))")
+
+
+_PROBE_N = "CAST(n AS DOUBLE)"
+_PROBE = {k: f"CAST({k} AS DOUBLE)"
+          for k in ("s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")}
+_PROBE_DET = _det3_sql(_PROBE_N, _PROBE["s1"], _PROBE["s2"],
+                       _PROBE["s1"], _PROBE["s11"], _PROBE["s12"],
+                       _PROBE["s2"], _PROBE["s12"], _PROBE["s22"])
+_PROBE_B0 = _det3_sql(_PROBE["sy"], _PROBE["s1"], _PROBE["s2"],
+                      _PROBE["s1y"], _PROBE["s11"], _PROBE["s12"],
+                      _PROBE["s2y"], _PROBE["s12"], _PROBE["s22"])
+_PROBE_B1 = _det3_sql(_PROBE_N, _PROBE["sy"], _PROBE["s2"],
+                      _PROBE["s1"], _PROBE["s1y"], _PROBE["s12"],
+                      _PROBE["s2"], _PROBE["s2y"], _PROBE["s22"])
+_PROBE_B2 = _det3_sql(_PROBE_N, _PROBE["s1"], _PROBE["sy"],
+                      _PROBE["s1"], _PROBE["s11"], _PROBE["s1y"],
+                      _PROBE["s2"], _PROBE["s12"], _PROBE["s2y"])
+
+
+@query(
+    "doc_quality_probe",
+    sql=rf"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS y,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS x1,
+                   CAST(length(text) - length(replace(text, 'a', ''))
+                        AS BIGINT) AS x2
+            FROM documents
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+                   CAST(SUM(x2 * y) AS BIGINT) AS s2y
+            FROM feats
+        ), coef AS (
+            SELECT ({_PROBE_B0}) / ({_PROBE_DET}) AS b0,
+                   ({_PROBE_B1}) / ({_PROBE_DET}) AS b1,
+                   ({_PROBE_B2}) / ({_PROBE_DET}) AS b2
+            FROM m
+        ), pred AS (
+            SELECT f.doc_id, f.y,
+                   c.b0 + c.b1 * CAST(f.x1 AS DOUBLE)
+                        + c.b2 * CAST(f.x2 AS DOUBLE) AS y_hat
+            FROM feats f CROSS JOIN coef c
+        )
+        SELECT doc_id, y,
+               ROUND(ROUND(y_hat + 1e-6, 4) + 0.0, 4) AS y_hat,
+               ROUND(ROUND((CAST(y AS DOUBLE) - y_hat) + 1e-6, 4) + 0.0,
+                     4) AS resid
+        FROM pred
+    """,
+)
+def doc_quality_probe(spark, sf_dir):
+    """One-scan distributed OLS probe (pipeline/curation.py
+    linear_probe): regress n_chars on (token count, 'a'-char count)
+    via normal-equation moments accumulated in ONE map-side-combined
+    aggregate (each task emits 9 numbers), a closed-form 3x3 Cramer
+    solve ON THE ONE-ROW MOMENT TABLE (Column math, no collect), and
+    a broadcast-coefficient prediction pass — how a quality regressor
+    trains over 100 TB with two scans and zero corpus shuffles
+    (additive surface; no reference counterpart).  Features and label
+    are integers, so every moment is an exact BIGINT sum and the
+    double Cramer solve (op-order-matched in the oracle via
+    _det3_sql) is bit-identical cross-engine."""
+    from xcube_spark.pipeline.curation import linear_probe
+
+    docs = tbl(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("y"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("x1"),
+        (F.length("text")
+         - F.length(F.expr("replace(text, 'a', '')")))
+        .cast("long").alias("x2"),
+    )
+    out = linear_probe(feats, "y", "x1", "x2")
+    # 1e-6 nudge: near-exact fits cluster resid at 0 and last-ulp
+    # engine noise (DuckDB may FMA-contract the Cramer products)
+    # straddles a 1e-9 nudge; + 0.0 normalizes IEEE -0.0
+    return out.select(
+        "doc_id", "y",
+        F.round(F.round(F.col("y_hat") + 1e-6, 4) + 0.0, 4)
+        .alias("y_hat"),
+        F.round(F.round(F.col("resid") + 1e-6, 4) + 0.0, 4)
+        .alias("resid"))
