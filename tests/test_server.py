@@ -488,9 +488,34 @@ def test_matplotlib_alias_colormaps_resolve():
         assert stops != default or base == "default", alias
         # reversed alias also resolves and is the mirror of the alias
         rev = get_colormap(alias + "_r")
-        assert sorted(p for p, _ in rev) == sorted(
+        # round BOTH sides: qualitative maps sit at i/(n-1) positions
+        # whose 1-p mirror differs in the last ulp
+        assert sorted(round(p, 12) for p, _ in rev) == sorted(
             round(1.0 - p, 12) for p, _ in stops), alias
     # spot checks
     assert get_colormap("Greys") == COLORMAPS["gray"]
     assert get_colormap("Greys_r") == get_colormap("gray_r")
     assert get_colormap("hsv") == COLORMAPS["rainbow"]
+
+
+def test_qualitative_colormaps_registered():
+    """The matplotlib qualitative families (Tableau/ColorBrewer) are
+    first-class stop tables: exact anchor colors at even positions,
+    reversible, and the 20-color tableau names resolve through
+    aliases (reference serves these via util/cmaps.py Qualitative)."""
+    from xcube_spark.operators.tiles import COLORMAPS, get_colormap
+
+    for name, first, n in (("tab10", (31, 119, 180), 10),
+                           ("Set1", (228, 26, 28), 9),
+                           ("Set2", (102, 194, 165), 8),
+                           ("Set3", (141, 211, 199), 12),
+                           ("Dark2", (27, 158, 119), 8),
+                           ("Paired", (166, 206, 227), 12),
+                           ("Accent", (127, 201, 127), 8),
+                           ("Pastel1", (251, 180, 174), 8),
+                           ("Pastel2", (179, 226, 205), 8)):
+        stops = COLORMAPS[name]
+        assert len(stops) == n and stops[0] == (0.0, first), name
+        assert get_colormap(name + "_r")[-1][1] == first, name
+    assert get_colormap("tab20") == COLORMAPS["tab10"]
+    assert get_colormap("tab20b_r")[-1][1] == (31, 119, 180)

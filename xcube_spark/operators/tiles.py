@@ -309,6 +309,59 @@ COLORMAPS: dict[str, list[tuple[float, tuple[int, int, int]]]] = {
 }
 
 
+def _qualitative(colors: list[tuple[int, int, int]]) \
+        -> list[tuple[float, tuple[int, int, int]]]:
+    """Discrete color cycle -> stop list at even positions (the
+    qualitative mpl/ColorBrewer families; rendering interpolates
+    between neighbors, the documented approximate-ramp contract)."""
+    n = len(colors)
+    return [(i / (n - 1), c) for i, c in enumerate(colors)]
+
+
+# the matplotlib qualitative registry (public Tableau/ColorBrewer
+# anchor values; reference serves them via util/cmaps.py 'Qualitative')
+COLORMAPS.update({
+    "tab10": _qualitative([
+        (31, 119, 180), (255, 127, 14), (44, 160, 44), (214, 39, 40),
+        (148, 103, 189), (140, 86, 75), (227, 119, 194),
+        (127, 127, 127), (188, 189, 34), (23, 190, 207)]),
+    "Set1": _qualitative([
+        (228, 26, 28), (55, 126, 184), (77, 175, 74), (152, 78, 163),
+        (255, 127, 0), (255, 255, 51), (166, 86, 40), (247, 129, 191),
+        (153, 153, 153)]),
+    "Set2": _qualitative([
+        (102, 194, 165), (252, 141, 98), (141, 160, 203),
+        (231, 138, 195), (166, 216, 84), (255, 217, 47),
+        (229, 196, 148), (179, 179, 179)]),
+    "Set3": _qualitative([
+        (141, 211, 199), (255, 255, 179), (190, 186, 218),
+        (251, 128, 114), (128, 177, 211), (253, 180, 98),
+        (179, 222, 105), (252, 205, 229), (217, 217, 217),
+        (188, 128, 189), (204, 235, 197), (255, 237, 111)]),
+    "Dark2": _qualitative([
+        (27, 158, 119), (217, 95, 2), (117, 112, 179), (231, 41, 138),
+        (102, 166, 30), (230, 171, 2), (166, 118, 29),
+        (102, 102, 102)]),
+    "Paired": _qualitative([
+        (166, 206, 227), (31, 120, 180), (178, 223, 138),
+        (51, 160, 44), (251, 154, 153), (227, 26, 28),
+        (253, 191, 111), (255, 127, 0), (202, 178, 214),
+        (106, 61, 154), (255, 255, 153), (177, 89, 40)]),
+    "Accent": _qualitative([
+        (127, 201, 127), (190, 174, 212), (253, 192, 134),
+        (255, 255, 153), (56, 108, 176), (240, 2, 127), (191, 91, 23),
+        (102, 102, 102)]),
+    "Pastel1": _qualitative([
+        (251, 180, 174), (179, 205, 227), (204, 235, 197),
+        (222, 203, 228), (254, 217, 166), (255, 255, 204),
+        (229, 216, 189), (253, 218, 236)]),
+    "Pastel2": _qualitative([
+        (179, 226, 205), (253, 205, 172), (203, 213, 232),
+        (244, 202, 228), (230, 245, 201), (255, 242, 174),
+        (241, 226, 204), (204, 204, 204)]),
+})
+
+
 def register_colormap(
     name: str, stops: list[tuple[float, tuple[int, int, int]]]
 ) -> None:
@@ -384,6 +437,11 @@ CMAP_ALIASES: dict[str, str] = {
     "brg": "jet", "twilight": "coolwarm",
     "twilight_shifted": "coolwarm", "berlin": "coolwarm",
     "managua": "RdYlBu", "vanimo": "PiYG",
+    # qualitative variants without their own tables: the 20-color
+    # tableau maps share tab10's hue cycle; flag/prism are repeating
+    # cycles approximated by their dominant gradient
+    "tab20": "tab10", "tab20b": "tab10", "tab20c": "tab10",
+    "flag": "bwr", "prism": "rainbow",
 }
 
 
