@@ -846,3 +846,59 @@ def test_linear_probe_recovers_exact_relation(spark):
     plan = linear_probe(docs, "y", "x1", "x2")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_chunk_split_window_arithmetic_and_coverage(spark):
+    """chunk_split: every token lands in >= 1 window, consecutive
+    windows overlap by exactly `overlap`, the tail window may be
+    short, and the plan has no exchange (pure projection + explode)."""
+    from xcube_spark.pipeline.curation import chunk_split
+
+    text = " ".join(f"t{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c")], "doc_id long, text string")
+    out = chunk_split(docs, chunk_tokens=8, overlap=2).collect()
+    d1 = sorted((r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+                for r in out if r.doc_id == 1)
+    # stride 6: ceil(100/6) -> floor(99/6)+1 = 17 windows
+    assert len(d1) == 17
+    assert d1[0][1] == 0 and d1[0][2] == 8
+    assert d1[1][1] == 6  # overlap = 2
+    assert d1[0][3].split()[6:] == d1[1][3].split()[:2]
+    # tail: start 96, tokens 96..99 -> 4 tokens
+    assert d1[-1] == (16, 96, 4, "t96 t97 t98 t99")
+    # full coverage
+    seen = set()
+    for _, s, n, _t in d1:
+        seen.update(range(s, s + n))
+    assert seen == set(range(100))
+    # short doc: one window of 3
+    d2 = [r for r in out if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_tokens == 3
+
+    plan = chunk_split(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        chunk_split(docs, chunk_tokens=8, overlap=8)
+
+
+def test_probe_moments_merge_equals_recompute_bitwise(spark):
+    """probe_merge over arbitrary batch splits equals the single-pass
+    moments BIT-FOR-BIT (integer sums), so incremental training is
+    value-identical to retraining."""
+    from xcube_spark.pipeline.curation import probe_merge, probe_moments
+
+    docs = spark.createDataFrame(
+        [(i, i % 7 + 1, (i * 3) % 5 + 1, 10 + 3 * i % 11)
+         for i in range(40)],
+        "doc_id long, x1 long, x2 long, y long")
+    full = probe_moments(docs, "y", "x1", "x2").collect()[0]
+    st = probe_moments(docs.where(F.col("doc_id") < 15), "y", "x1", "x2")
+    st = probe_merge(st, docs.where((F.col("doc_id") >= 15)
+                                    & (F.col("doc_id") < 30)),
+                     "y", "x1", "x2")
+    st = probe_merge(st, docs.where(F.col("doc_id") >= 30),
+                     "y", "x1", "x2")
+    merged = st.collect()[0]
+    assert merged.asDict() == full.asDict()

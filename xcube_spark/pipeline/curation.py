@@ -776,8 +776,25 @@ def linear_probe(
     (no collect); pass 2 re-scans the input against the broadcast
     coefficient row.  100 TB cost = two scans, zero corpus shuffles.
     """
+    m = probe_moments(df, y_col, x1_col, x2_col)
+    return probe_fit_predict(m, df, y_col, x1_col, x2_col, id_col)
+
+
+#: the nine normal-equation moments, in canonical column order
+PROBE_MOMENT_COLS = ("n", "s1", "s2", "s11", "s12", "s22",
+                     "sy", "s1y", "s2y")
+
+
+def probe_moments(df: DataFrame, y_col: str, x1_col: str,
+                  x2_col: str) -> DataFrame:
+    """The probe's ONE-ROW training state: exact BIGINT sums of the
+    normal-equation moments.  Sums are associative/commutative, so
+    states from disjoint batches MERGE by addition into exactly the
+    single-pass state (``probe_merge``) — incremental training over a
+    growing corpus never re-reads old data and is value-identical to
+    retraining from scratch."""
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
-    m = df.agg(
+    return df.agg(
         F.count("*").cast("long").alias("n"),
         F.sum(x1).alias("s1"), F.sum(x2).alias("s2"),
         F.sum(x1 * x1).alias("s11"), F.sum(x1 * x2).alias("s12"),
@@ -785,6 +802,24 @@ def linear_probe(
         F.sum(y).alias("sy"),
         F.sum(x1 * y).alias("s1y"), F.sum(x2 * y).alias("s2y"),
     )
+
+
+def probe_merge(state: DataFrame, batch: DataFrame, y_col: str,
+                x1_col: str, x2_col: str) -> DataFrame:
+    """Fold a new batch into an existing moment state: O(batch) work
+    plus a 2-row union aggregate — the exact-integer merge IS
+    recomputation (the incremental contract the oracle checks)."""
+    upd = probe_moments(batch, y_col, x1_col, x2_col)
+    return state.unionByName(upd).agg(
+        *[F.sum(c).alias(c) for c in PROBE_MOMENT_COLS])
+
+
+def probe_fit_predict(state: DataFrame, df: DataFrame, y_col: str,
+                      x1_col: str, x2_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Closed-form 3x3 Cramer solve ON the one-row state (Column
+    math, no collect) + broadcast-coefficient prediction pass."""
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
 
     def det3(a, b, c, d, e, f, g, h, i):
         return (a * (e * i - f * h) - b * (d * i - f * g)
@@ -797,7 +832,7 @@ def linear_probe(
     s11, s12, s22 = dbl("s11"), dbl("s12"), dbl("s22")
     sy, s1y, s2y = dbl("sy"), dbl("s1y"), dbl("s2y")
     det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    coef = m.select(
+    coef = state.select(
         (det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det)
         .alias("b0"),
         (det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det)
@@ -814,3 +849,48 @@ def linear_probe(
         .withColumn("resid", y.cast("double") - F.col("y_hat"))
     )
     return pred.select(id_col, y.alias("y"), "y_hat", "resid")
+
+
+def chunk_split(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    retrieval/embedding preprocessing stage (RAG chunking): window i
+    covers tokens ``[i*stride, i*stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; the final window may be
+    short, and every token of every document appears in at least one
+    window.  Returns (id, chunk_idx, start_token, n_tokens,
+    chunk_text).
+
+    Scale shape: a pure narrow projection + explode — token arrays
+    are sliced in place (``F.slice`` clamps at the end), no shuffle,
+    no UDF; the fan-out per document is ceil(n/stride), bounded and
+    known from the row itself.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.size(toks).alias("__n"))
+    chunks = base.select(
+        id_col,
+        F.explode(F.sequence(
+            F.lit(0), F.floor((F.col("__n") - 1) / stride).cast("int")
+        )).alias("chunk_idx"),
+        "__toks",
+    ).withColumn(
+        "__chunk",
+        F.slice(F.col("__toks"),
+                F.col("chunk_idx") * stride + 1, chunk_tokens))
+    return chunks.select(
+        id_col, "chunk_idx",
+        (F.col("chunk_idx") * stride).cast("long").alias("start_token"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )

@@ -117,6 +117,8 @@ PRIORITY_ORDER = (
     "doc_bm25_topk",
     "doc_dsir_weights",
     "doc_quality_probe",
+    "doc_incremental_probe",
+    "doc_chunk_split",
     "cube_reproject_goode",
     "cube_reproject_wintri",
     "events_rectify_grid",

@@ -995,3 +995,40 @@ def doc_c4_line_filter(spark, sf_dir):
     return out.select(
         "doc_id", "n_lines", "n_kept",
         F.md5("text_clean").alias("clean_digest"))
+
+
+@query(
+    "doc_chunk_split",
+    sql=r"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS lst
+            FROM documents
+        ), ch AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   list_slice(lst, CAST(i * 48 + 1 AS BIGINT),
+                              CAST(i * 48 + 64 AS BIGINT)) AS chunk
+            FROM base, UNNEST(range(0, ((len(lst) - 1) // 48) + 1))
+                 AS u(i)
+        )
+        SELECT doc_id, chunk_idx,
+               CAST(chunk_idx AS BIGINT) * 48 AS start_token,
+               CAST(len(chunk) AS BIGINT) AS n_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM ch
+    """,
+)
+def doc_chunk_split(spark, sf_dir):
+    """Sliding-window chunking (pipeline/curation.py chunk_split):
+    64-token windows with 16-token overlap (stride 48) — the
+    retrieval/embedding preprocessing stage (RAG chunking; additive
+    surface, no reference counterpart).  A pure narrow
+    projection + explode: token arrays are sliced in place, no
+    shuffle, no UDF; fan-out per doc is ceil(n/stride).  The oracle
+    replays the identical window arithmetic with list_slice."""
+    from xcube_spark.pipeline.curation import chunk_split
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = chunk_split(docs, chunk_tokens=64, overlap=16)
+    return out.select("doc_id", "chunk_idx", "start_token",
+                      "n_tokens", "chunk_text")

@@ -927,9 +927,9 @@ _PROBE_B2 = _det3_sql(_PROBE_N, _PROBE["s1"], _PROBE["sy"],
                       _PROBE["s2"], _PROBE["s12"], _PROBE["s2y"])
 
 
-@query(
-    "doc_quality_probe",
-    sql=rf"""
+#: the single-pass probe oracle — ALSO the oracle of the incremental
+#: variant below (exact-integer moment merge == recomputation)
+_PROBE_SQL = rf"""
         WITH feats AS (
             SELECT doc_id,
                    CAST(n_chars AS BIGINT) AS y,
@@ -965,8 +965,10 @@ _PROBE_B2 = _det3_sql(_PROBE_N, _PROBE["s1"], _PROBE["sy"],
                ROUND(ROUND((CAST(y AS DOUBLE) - y_hat) + 1e-6, 4) + 0.0,
                      4) AS resid
         FROM pred
-    """,
-)
+    """
+
+
+@query("doc_quality_probe", sql=_PROBE_SQL)
 def doc_quality_probe(spark, sf_dir):
     """One-scan distributed OLS probe (pipeline/curation.py
     linear_probe): regress n_chars on (token count, 'a'-char count)
@@ -995,6 +997,48 @@ def doc_quality_probe(spark, sf_dir):
     # 1e-6 nudge: near-exact fits cluster resid at 0 and last-ulp
     # engine noise (DuckDB may FMA-contract the Cramer products)
     # straddles a 1e-9 nudge; + 0.0 normalizes IEEE -0.0
+    return out.select(
+        "doc_id", "y",
+        F.round(F.round(F.col("y_hat") + 1e-6, 4) + 0.0, 4)
+        .alias("y_hat"),
+        F.round(F.round(F.col("resid") + 1e-6, 4) + 0.0, 4)
+        .alias("resid"))
+
+
+def _probe_feats(docs):
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("y"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long").alias("x1"),
+        (F.length("text")
+         - F.length(F.expr("replace(text, 'a', '')")))
+        .cast("long").alias("x2"),
+    )
+
+
+@query("doc_incremental_probe", sql=_PROBE_SQL)
+def doc_incremental_probe(spark, sf_dir):
+    """Incrementally-trained OLS probe (pipeline/curation.py
+    probe_moments/probe_merge/probe_fit_predict): the moment state is
+    built over the 'already processed' corpus (doc_id < 400), a new
+    batch is folded in with an O(batch) merge (2-row union
+    aggregate), and predictions run against the merged coefficients.
+    The oracle is the SINGLE-PASS probe over everything: passing
+    means incremental training is value-identical to retraining —
+    exact, not approximate, because every moment is an integer sum
+    (associative/commutative), the growing-corpus training contract."""
+    from xcube_spark.pipeline.curation import (probe_fit_predict,
+                                               probe_merge, probe_moments)
+
+    docs = tbl(spark, sf_dir, "documents")
+    feats = _probe_feats(docs)
+    cut = 400
+    state = probe_moments(feats.where(F.col("doc_id") < cut),
+                          "y", "x1", "x2")
+    merged = probe_merge(state, feats.where(F.col("doc_id") >= cut),
+                         "y", "x1", "x2")
+    out = probe_fit_predict(merged, feats, "y", "x1", "x2")
     return out.select(
         "doc_id", "y",
         F.round(F.round(F.col("y_hat") + 1e-6, 4) + 0.0, 4)
