@@ -35,6 +35,7 @@ from pyspark.sql import functions as F  # noqa: E402
 _PYPROJ_DEFS = {
     "PROJ:HAMMER": "+proj=hammer +a=6378137 +b=6378137 +units=m",
     "PROJ:NATEARTH": "+proj=natearth +a=6378137 +b=6378137 +units=m",
+    "PROJ:IGH": "+proj=igh +a=6378137 +b=6378137 +units=m",
 }
 
 #: per-CRS max |deg| deviation vs pyproj.  Default is 1e-6 (closed
@@ -47,8 +48,13 @@ _PYPROJ_DEFS = {
 #: - EPSG:27700/2193 etc. (datum-hop CRSs): pyproj may apply grid
 #:   shifts (OSTN15, NTv2) where the engine applies the published
 #:   7-param Helmert -> up to a few meters over the gate windows.
+#: - PROJ:IGH Goode homolosine: the engine solves the Mollweide
+#:   continuity offset exactly (0.0528035274542, the GCTP value);
+#:   PROJ builds have shipped the truncated classical constant
+#:   0.05280 -> up to ~2e-4 deg spread in the Mollweide lobes.
 _TOLERANCES = {
     "ESRI:54030": 5e-3,
+    "PROJ:IGH": 5e-4,
     "EPSG:27700": 1e-4,
     "EPSG:2193": 5e-5,
     "EPSG:28992": 5e-5,

@@ -364,3 +364,38 @@ def test_kmv_and_sample_plans_are_take_ordered(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "GlobalSort" not in plan
+
+
+def test_streaming_probe_sink_matches_batch_training(spark, tmp_path):
+    """run_incremental_probe_stream: the moment state after two
+    micro-batches is bit-identical to single-pass training, and the
+    coefficients fitted from the streamed state predict exactly (the
+    streaming-model-training contract; + merges need the
+    exactly-once guard)."""
+    from xcube_spark.pipeline.curation import (probe_fit_predict,
+                                               probe_moments)
+    from xcube_spark.streaming.sketch_sink import (
+        run_incremental_probe_stream)
+
+    rows = [(i, i % 7 + 1, (i * 3) % 5 + 1, 3 + 2 * (i % 7 + 1)
+             + 5 * ((i * 3) % 5 + 1)) for i in range(60)]
+    feats = spark.createDataFrame(
+        rows, "doc_id long, x1 long, x2 long, y long")
+    src = str(tmp_path / "probe_src")
+    feats.where("doc_id < 30").coalesce(1).write.parquet(src + "/p=a")
+    feats.where("doc_id >= 30").coalesce(1).write.parquet(src + "/p=b")
+    stream = (
+        spark.readStream.schema("doc_id long, x1 long, x2 long, y long")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_incremental_probe_stream(
+        stream, str(tmp_path / "probe_state"),
+        str(tmp_path / "probe_ckpt"))
+    got = state.collect()[0].asDict()
+    want = probe_moments(feats, "y", "x1", "x2").collect()[0].asDict()
+    assert got == want
+    # the streamed model predicts the exact linear relation
+    out = probe_fit_predict(state, feats, "y", "x1", "x2").collect()
+    assert all(abs(r.resid) < 1e-9 for r in out)

@@ -168,3 +168,48 @@ def run_incremental_kmv_stream(
     q.awaitTermination()
     return _read_state(doc_stream.sparkSession, state_dir,
                        KMV_STATE_SCHEMA)
+
+
+PROBE_STATE_SCHEMA = ("n BIGINT, s1 BIGINT, s2 BIGINT, s11 BIGINT, "
+                      "s12 BIGINT, s22 BIGINT, sy BIGINT, s1y BIGINT, "
+                      "s2y BIGINT")
+
+
+def run_incremental_probe_stream(
+    feat_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    y_col: str = "y",
+    x1_col: str = "x1",
+    x2_col: str = "x2",
+) -> DataFrame:
+    """Drain a streaming DataFrame of (y, x1, x2) feature rows into
+    the OLS probe's one-row moment state (pipeline/curation.py
+    probe_moments/probe_merge) — streaming MODEL TRAINING with
+    kilobytes of state: the model after any sequence of micro-batches
+    is bit-identical to training on the concatenated stream (integer
+    moment sums are associative/commutative).  Moment addition is NOT
+    idempotent, so the published-version guard is load-bearing
+    (the CMS exactly-once argument)."""
+    from xcube_spark.pipeline.curation import probe_merge
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        state = _read_state(spark, state_dir, PROBE_STATE_SCHEMA)
+        _publish(probe_merge(state, batch_df, y_col, x1_col, x2_col),
+                 state_dir, batch_id)
+
+    q = (
+        feat_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(feat_stream.sparkSession, state_dir,
+                       PROBE_STATE_SCHEMA)
