@@ -705,16 +705,22 @@ def dsir_importance_weights(
     ``n_buckets``) like the dedup family, so the DuckDB oracle
     replays it bit-for-bit; ``n_buckets`` must be <= 4096.
 
-    Scale shape: TWO corpus passes, each a scan + one partial-agg
-    shuffle — pass 1 keys by feature bucket (at most ``n_buckets``
-    reduce groups, counting raw and target in the same aggregate so
-    the target subset is NOT a separate scan); the bucket table is
-    model-sized and broadcast back for pass 2's per-document sum
-    (map-side combine makes the doc-keyed shuffle one row per doc).
-    No vocabulary table, no driver round-trip, no corpus join.
+    Scale shape: the corpus is tokenized and md5-hashed ONCE — the
+    per-(doc, bucket) count table ``pre`` (Zipf makes it far smaller
+    than the token stream) feeds BOTH the distribution estimate and
+    the scoring sum, and its exchange is planned once and REUSED
+    (ReusedExchange; plan-pinned in tests), so neither pass re-scans
+    or re-hashes.  The bucket/llr tables are model-sized broadcasts;
+    the per-doc sum is map-side combined.  No vocabulary table, no
+    driver round-trip, no corpus join.
     """
     if n_buckets > 4096:
         raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
+    from xcube_spark.util import spread_small_input
+
+    # tokenize+md5 is per-row-heavy: spread a few-split scan across
+    # the host (no-op at real scale where files outnumber cores)
+    docs = spread_small_input(docs)
     toks = docs.select(
         F.col(id_col),
         target.alias("__tgt"),
@@ -724,9 +730,17 @@ def dsir_importance_weights(
         id_col, "__tgt",
         (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
          .cast("int") % n_buckets).alias("f"))
-    counts = feats.groupBy("f").agg(
-        F.count("*").alias("c_raw"),
-        F.count_if(F.col("__tgt")).alias("c_tgt"))
+    # the featurized count table feeds BOTH the distribution estimate
+    # (via the broadcast llr build job) and the scoring sum; persist
+    # it so the tokenize+md5 pass runs ONCE (the llr broadcast
+    # materializes eagerly as its own job, outside exchange reuse) —
+    # the production shape materializes the feature table anyway
+    pre = feats.groupBy(id_col, "__tgt", "f").agg(
+        F.count("*").alias("c")).persist()
+    counts = pre.groupBy("f").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0)))
+        .alias("c_tgt"))
     totals = counts.agg(F.sum("c_raw").alias("t_raw"),
                         F.sum("c_tgt").alias("t_tgt"))
     llr = (
@@ -740,10 +754,11 @@ def dsir_importance_weights(
             .alias("llr"))
     )
     return (
-        feats.join(F.broadcast(llr), "f")
+        pre.join(F.broadcast(llr), "f")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"),
-             F.round(F.sum("llr") + 1e-9, 6).alias("log_weight"))
+        .agg(F.sum("c").alias("n_tokens"),
+             F.round(F.sum(F.col("llr") * F.col("c")) + 1e-9, 6)
+             .alias("log_weight"))
     )
 
 

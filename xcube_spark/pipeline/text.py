@@ -207,24 +207,26 @@ def bm25_topk(
     ranking on the 1e-9-nudged 6-decimal rounding with a ``doc_id``
     tie-break (the round-4 boundary discipline).
 
-    Scale shape: the corpus is tokenized and aggregated ONCE
-    (per-(doc, token) tf, then per-doc lengths — the only two
-    corpus-sized shuffles); the tf table is LEFT-SEMI filtered to the
-    broadcast query vocabulary BEFORE any further join, so df/idf and
-    the scoring join touch only candidate rows.  N/avgdl ride as a
-    one-row broadcast.  Per-query top-k is a window over candidates
-    (bounded by |queries| partitions).
+    Scale shape: per-doc length rides as a NARROW projection (no
+    length shuffle), and tokens are LEFT-SEMI filtered to the
+    broadcast query vocabulary BEFORE the tf aggregate — the only
+    corpus-wide shuffle carries candidate (doc, query-term) rows, not
+    the corpus vocabulary.  N/avgdl come from a separate map-side
+    one-row aggregate scan.  Per-query top-k is a window over
+    candidates (bounded by |queries| partitions).  Doc length counts
+    whitespace tokens of the trimmed text (documents are assumed
+    non-empty).
     """
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(F.count("*").alias("__n"),
-                   F.sum("dl").alias("__tdl"))
+    from xcube_spark.util import spread_small_input
+
+    # tokenization is per-row-heavy: spread a few-split scan across
+    # the host (no-op at real scale where files outnumber cores)
+    docs = spread_small_input(docs)
+    dl = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    stats = docs.agg(F.count("*").alias("__n"),
+                     F.sum(dl.cast("long")).alias("__tdl"))
 
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -233,13 +235,26 @@ def bm25_topk(
     ).where(F.col("token") != "").distinct()
     vocab = qterms.select("token").distinct()
 
-    cand = tf.join(F.broadcast(vocab), "token", "left_semi")
-    dfreq = cand.groupBy("token").agg(
+    # materialize the token array ONCE per row (the regex split is
+    # the dominant map cost); dl derives from it without re-splitting
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    ).select(
+        id_col, F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("token"),
+    ).where(F.col("token") != "")
+    cand = toks.join(F.broadcast(vocab), "token", "left_semi")
+    # candidate-sized by construction; persisted because it feeds both
+    # the dfreq broadcast build job and the scoring join (broadcasts
+    # materialize eagerly as separate jobs, outside exchange reuse)
+    tf = cand.groupBy(id_col, "dl", "token").agg(
+        F.count("*").alias("tf")).persist()
+    dfreq = tf.groupBy("token").agg(
         F.count("*").alias("df"))  # tf rows are (doc, token)-distinct
 
     scored = (
-        cand.join(F.broadcast(qterms), "token")
-        .join(dl, id_col)
+        tf.join(F.broadcast(qterms), "token")
         .crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "token")
         .withColumn(

@@ -287,4 +287,7 @@ BENCH_SET = (
     "emb_knn_pq",
     "events_asof_value",
     "doc_bloom_decontaminate",
+    # round 9: the retrieval / data-selection family
+    "doc_bm25_topk",
+    "doc_dsir_weights",
 )

@@ -766,39 +766,38 @@ _BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERIES)
                    UNNEST(regexp_split_to_array(trim(query_text), '\s+'))
                        AS token
             FROM q
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len(regexp_split_to_array(trim(text),
+                                                      '\s+')))
+                        AS BIGINT) AS tdl
+            FROM documents
         ), toks AS (
             SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS dl,
                    UNNEST(regexp_split_to_array(trim(text), '\s+'))
                        AS token
             FROM documents
         ), tf AS (
-            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-            FROM toks WHERE token != '' GROUP BY doc_id, token
-        ), dl AS (
-            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-            FROM tf GROUP BY doc_id
-        ), stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(dl) AS BIGINT) AS tdl
-            FROM dl
-        ), cand AS (
-            SELECT tf.doc_id, tf.token, tf.tf
-            FROM tf WHERE tf.token IN (SELECT token FROM qt)
+            SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE token != '' AND token IN (SELECT token FROM qt)
+            GROUP BY doc_id, dl, token
         ), dfreq AS (
             SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-            FROM cand GROUP BY token
+            FROM tf GROUP BY token
         ), scored AS (
-            SELECT qt.query_id, cand.doc_id,
+            SELECT qt.query_id, tf.doc_id,
                    ln(1.0 + (stats.n - dfreq.df + 0.5)
                       / (dfreq.df + 0.5))
-                   * (cand.tf * CAST(2.2 AS DOUBLE))
-                   / (cand.tf + CAST(1.2 AS DOUBLE)
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
                       * (0.25 + CAST(0.75 AS DOUBLE)
-                         * dl.dl * stats.n / stats.tdl))
+                         * tf.dl * stats.n / stats.tdl))
                        AS s
-            FROM cand
+            FROM tf
             JOIN qt USING (token)
-            JOIN dl USING (doc_id)
             CROSS JOIN stats
             JOIN dfreq USING (token)
         ), agg AS (
@@ -859,10 +858,14 @@ _DSIR_F = (f"((({_DSIR_NIB.format(pos=1)}) * 256"
             SELECT doc_id, (source IN ('src0', 'src1')) AS tgt,
                    {_DSIR_F} AS f
             FROM toks WHERE token != ''
+        ), pre AS (
+            SELECT doc_id, tgt, f, CAST(COUNT(*) AS BIGINT) AS c
+            FROM feats GROUP BY doc_id, tgt, f
         ), counts AS (
-            SELECT f, CAST(COUNT(*) AS BIGINT) AS c_raw,
-                   CAST(COUNT(*) FILTER (tgt) AS BIGINT) AS c_tgt
-            FROM feats GROUP BY f
+            SELECT f, CAST(SUM(c) AS BIGINT) AS c_raw,
+                   CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END)
+                        AS BIGINT) AS c_tgt
+            FROM pre GROUP BY f
         ), totals AS (
             SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
                    CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
@@ -873,9 +876,9 @@ _DSIR_F = (f"((({_DSIR_NIB.format(pos=1)}) * 256"
                    - ln((c_raw + 0.5) / (t_raw + 2048.0)) AS llr
             FROM counts CROSS JOIN totals
         )
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(SUM(llr) + 1e-9, 6) AS log_weight
-        FROM feats JOIN llr USING (f)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               ROUND(SUM(llr * c) + 1e-9, 6) AS log_weight
+        FROM pre JOIN llr USING (f)
         GROUP BY doc_id
     """,
 )
