@@ -48,3 +48,30 @@ def test_pca_projection_variance_equals_eigvals(spark, sf_dir):
     yw = np.asarray(
         [r.pca for r in pca_project(emb, m, whiten=True).collect()])
     assert np.allclose(yw.var(axis=0), 1.0, rtol=1e-8)
+
+
+def test_knn_recall_bounds_and_perfect_self_recall(spark):
+    """knn_recall: recall is 1.0 when the approximate method IS the
+    ground truth, in [0, 1] for LSH, and queries whose approximation
+    returns nothing still appear (n_matched = 0)."""
+    import numpy as np
+
+    from xcube_spark.pipeline.similarity import (knn_bruteforce,
+                                                 knn_lsh, knn_recall)
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=64).tolist()) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where("vec_id < 3").selectExpr(
+        "vec_id AS query_id", "embedding")
+
+    perfect = knn_recall(emb, queries, k=5, approx=knn_bruteforce)
+    assert all(r.recall == 1.0 and r.n_matched == 5
+               for r in perfect.collect())
+
+    lsh = {r.query_id: r for r in
+           knn_recall(emb, queries, k=5, approx=knn_lsh).collect()}
+    assert set(lsh) == {0, 1, 2}
+    for r in lsh.values():
+        assert r.n_truth == 5 and 0 <= r.n_matched <= 5
+        assert abs(r.recall - round(r.n_matched / 5 + 1e-9, 6)) < 1e-9

@@ -1260,3 +1260,51 @@ def pca_moment_stats(emb: DataFrame, vec_col: str = "embedding"
             for i in range(s.shape[0])]
     return spark.createDataFrame(rows, "dim_i int, mean_i double, "
                                        "var_i double")
+
+
+def knn_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    approx=None,
+) -> DataFrame:
+    """Recall@k of an approximate kNN against the exact brute-force
+    ground truth — the standard ANN quality metric, run as a plan
+    (no collect): both rankings compute distributed, a LEFT SEMI join
+    on (query, neighbor) counts the hits, and per-query recall is
+    ``n_matched / n_truth``.  ``approx`` is a callable
+    ``(corpus, queries, k) -> DataFrame`` defaulting to single-probe
+    :func:`knn_lsh`; pass :func:`knn_ivf` / :func:`knn_pq` partials
+    to score those.  Output: (query_id, n_truth, n_matched, recall).
+
+    Scale shape: the ground truth is ONE fused corpus scan
+    (knn_bruteforce), the approximate side is whatever its own scale
+    path is, and everything after is metadata-sized (|queries| x k
+    rows).  Evaluating recall on a SAMPLE of queries against a 100 TB
+    corpus costs two corpus scans, nothing more.
+    """
+    truth = knn_bruteforce(corpus, queries, k,
+                           id_col=id_col, vec_col=vec_col,
+                           query_id_col=query_id_col)
+    if approx is None:
+        approx = knn_lsh
+    got = approx(corpus, queries, k)
+    matched = (
+        truth.join(got.select(query_id_col, id_col),
+                   [query_id_col, id_col], "left_semi")
+        .groupBy(query_id_col)
+        .agg(F.count("*").alias("n_matched"))
+    )
+    per_q = truth.groupBy(query_id_col).agg(
+        F.count("*").alias("n_truth"))
+    return (
+        per_q.join(matched, query_id_col, "left")
+        .select(
+            query_id_col, "n_truth",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            F.round(F.coalesce("n_matched", F.lit(0)).cast("double")
+                    / F.col("n_truth") + 1e-9, 6).alias("recall"))
+    )

@@ -119,6 +119,7 @@ PRIORITY_ORDER = (
     "doc_quality_probe",
     "doc_incremental_probe",
     "doc_chunk_split",
+    "emb_knn_recall",
     "cube_reproject_goode",
     "cube_reproject_wintri",
     "events_rectify_grid",

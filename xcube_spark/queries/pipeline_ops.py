@@ -911,3 +911,68 @@ def emb_pca_variance(spark, sf_dir):
         "dim_i",
         F.round("mean_i", 6).alias("mean_i"),
         F.round("var_i", 6).alias("var_i"))
+
+
+@query(
+    "emb_knn_recall",
+    sql=f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   {_bucket_sql('CAST(embedding AS DOUBLE[])')} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, bucket FROM c
+            WHERE vec_id < 5
+        ), truth AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(c.v, q.qv)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv)))
+                               DESC, c.vec_id) AS rank
+                FROM c, q
+                WHERE c.vec_id != q.query_id
+            ) WHERE rank <= 10
+        ), approx AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, c.vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY list_dot_product(c.v, q.qv)
+                               / (sqrt(list_dot_product(c.v, c.v))
+                                  * sqrt(list_dot_product(q.qv, q.qv)))
+                               DESC, c.vec_id) AS rank
+                FROM c JOIN q USING (bucket)
+                WHERE c.vec_id != q.query_id
+            ) WHERE rank <= 10
+        )
+        SELECT t.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_truth,
+               CAST(COUNT(a.vec_id) AS BIGINT) AS n_matched,
+               ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) + 1e-9,
+                     6) AS recall
+        FROM truth t
+        LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id
+    """,
+)
+def emb_knn_recall(spark, sf_dir):
+    """Recall@10 of single-probe LSH against the brute-force ground
+    truth (pipeline/similarity.py knn_recall) — the standard ANN
+    quality metric run AS A PLAN: one fused corpus scan for the
+    truth, the LSH bucket join for the approximation, a left-semi
+    hit count, all post-ranking work metadata-sized (|queries| x k).
+    Evaluating an index build's recall on sampled queries against a
+    100 TB corpus costs two corpus scans.  The oracle restates both
+    rankings (identical tie orders) and the hit count."""
+    from xcube_spark.pipeline.similarity import knn_recall
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return knn_recall(emb, queries, k=10)
