@@ -43,6 +43,10 @@ def main() -> int:
     registry = load_all()
     spark = get_session(app_name="verify-oracle")
     con = duckdb.connect()
+    # cap + spill like bench_duckdb: the sf1 substring/cluster oracles
+    # otherwise exhaust RAM next to the Spark JVM (OOM-killed sweep)
+    con.execute("SET memory_limit = '48GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_verify_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
