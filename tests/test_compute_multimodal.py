@@ -103,11 +103,31 @@ def test_decode_image_fake_and_gate(spark, docs):
     except ImportError:
         have_pil = False
     if not have_pil:
-        with pytest.raises(NotImplementedError):
-            decode_image(mm)  # real path gated
+        # non-PNG payloads still need PIL; the raise surfaces at
+        # action time (PNG-ness is a per-payload property)
+        with pytest.raises(Exception, match="non-PNG image decoding"):
+            decode_image(mm).collect()
     out = {r["doc_id"]: r for r in decode_image(mm, fake=True).collect()}
     assert out[2]["width"] == 3 % 64 + 1 and out[2]["channels"] == 3
     assert out[2]["mean_byte"] == pytest.approx((0x61 + 0x62 + 0x63) / 3)
+
+
+def test_decode_image_real_png_no_pil(spark, docs):
+    """PNG payloads decode for REAL without PIL: text bytes ->
+    encode_payload_png (from-scratch encoder, adaptive filters) ->
+    decode_image (from-scratch decoder) recovers exact dimensions and
+    the exact padded-pixel mean."""
+    from xcube_spark.pipeline.multimodal import encode_payload_png
+
+    mm = encode_payload_png(attach_payload(docs), width=8, pad_byte=32)
+    out = {r["doc_id"]: r for r in decode_image(mm).collect()}
+    # doc 2 = "abc": 1 row of 8, padded with 5 spaces
+    assert out[2]["width"] == 8 and out[2]["height"] == 1
+    assert out[2]["channels"] == 1
+    expect = (0x61 + 0x62 + 0x63 + 5 * 32) / 8
+    assert out[2]["mean_byte"] == pytest.approx(expect)
+    # doc 3 = 1000 bytes -> 125 rows, no padding
+    assert out[3]["height"] == 125 and out[3]["width"] == 8
 
 
 def test_sample_frames(spark, docs):

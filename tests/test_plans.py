@@ -449,3 +449,47 @@ def test_q21_semi_and_anti_joins(spark, sf_dir):
     plan = _plan(q.fn(spark, sf_dir))
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cluster_loop_plan_stays_flat(spark):
+    """near_dup_clusters truncates lineage per round (localCheckpoint),
+    so the final plan is O(1) regardless of iteration count — the r9
+    audit caught the persist() version carrying 16,539 exchanges on a
+    deep chain (plan size doubled per round; Catalyst re-analyzed a
+    2^N-node tree every iteration — a driver-side scale-killer)."""
+    import time
+
+    from xcube_spark.pipeline.dedup import near_dup_clusters
+
+    # a 24-node path graph forces ~12 hash-to-min rounds
+    pairs = spark.createDataFrame(
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(23)],
+        "id_a string, id_b string")
+    t0 = time.time()
+    clusters = near_dup_clusters(pairs, max_iterations=30)
+    rows = clusters.collect()
+    elapsed = time.time() - t0
+    # one component, labeled by its min id
+    assert {r.cluster_id for r in rows} == {"d00"}
+    assert len(rows) == 24
+    # lineage truncated: the final plan is a scan of the checkpointed
+    # blocks, not the unrolled loop
+    plan = _plan(clusters)
+    assert plan.count("Exchange") < 100, plan.count("Exchange")
+    assert len(plan) < 20_000
+    # sanity: 12+ rounds complete in interactive time (the unbounded-
+    # lineage version degraded super-linearly with round count)
+    assert elapsed < 120
+
+
+def test_kmv_set_ops_two_bnlj_max(spark, sf_dir):
+    """kmv_set_ops computes all four restricted counts from ONE
+    membership-tagged union, so the plan carries at most two one-row
+    nested-loop joins (theta broadcast + scalar assembly) — the r9
+    audit counted 8 BNLJ / 16 exchanges in the chained form."""
+    from xcube_spark.queries import load_all
+
+    q = load_all()["doc_jaccard_kmv"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "CartesianProduct" not in plan

@@ -4176,8 +4176,15 @@ def _igh_to_lonlat_fn(crs: str) -> ColumnTransform:
         lam_m = lamc + (xn - lamc) * F.lit(math.pi) \
             / (F.lit(2.0 * _SQRT2) * F.cos(t))
         lam_s = lamc + (xn - lamc) / F.cos(yn)
-        lon = F.degrees(F.when(moll, lam_m).otherwise(lam_s))
-        lat = F.degrees(F.when(moll, phi_m).otherwise(yn))
+        # out-of-domain guard: |y|/R beyond sqrt(2)-dy puts the asin
+        # argument past 1 and would silently NaN — corner pixels of a
+        # rectangular target bbox land here.  Yield explicit NULL so
+        # both engines fail deterministically (advice r9).
+        valid = F.abs(yn) <= F.lit(_SQRT2 - _IGH_DY)
+        lon = F.when(valid,
+                     F.degrees(F.when(moll, lam_m).otherwise(lam_s)))
+        lat = F.when(valid,
+                     F.degrees(F.when(moll, phi_m).otherwise(yn)))
         return lon, lat
 
     return inv
@@ -4205,8 +4212,12 @@ def igh_inverse_sql(x_expr: str, y_expr: str, crs: str) -> tuple[str, str]:
     lam_m = (f"({lamc} + ({xn} - {lamc}) * pi() "
              f"/ ({2.0 * _SQRT2!r} * cos({t})))")
     lam_s = f"({lamc} + ({xn} - {lamc}) / cos({yn}))"
-    lon = f"degrees(CASE WHEN {moll} THEN {lam_m} ELSE {lam_s} END)"
-    lat = f"degrees(CASE WHEN {moll} THEN {phi_m} ELSE {yn} END)"
+    # same out-of-domain NULL guard as the Column path
+    valid = f"(abs({yn}) <= {_SQRT2 - _IGH_DY!r})"
+    lon = (f"(CASE WHEN {valid} THEN "
+           f"degrees(CASE WHEN {moll} THEN {lam_m} ELSE {lam_s} END) END)")
+    lat = (f"(CASE WHEN {valid} THEN "
+           f"degrees(CASE WHEN {moll} THEN {phi_m} ELSE {yn} END) END)")
     return lon, lat
 
 

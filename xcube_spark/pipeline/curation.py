@@ -753,13 +753,19 @@ def dsir_importance_weights(
                      / (F.col("t_raw") + F.lit(alpha * n_buckets))))
             .alias("llr"))
     )
-    return (
+    result = (
         pre.join(F.broadcast(llr), "f")
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_tokens"),
              F.round(F.sum(F.col("llr") * F.col("c")) + 1e-9, 6)
              .alias("log_weight"))
     )
+    # release the feature cache when the result goes out of scope —
+    # persisted-and-forgotten intermediates accumulate across
+    # invocations in a long-lived session (advice r9)
+    from xcube_spark.util import tie_cache_lifetime
+    tie_cache_lifetime(result, pre)
+    return result
 
 
 def linear_probe(

@@ -262,18 +262,25 @@ def near_dup_clusters(
     own result — labels only ever decrease, so the label sum is
     strictly monotone and "sum unchanged == fixpoint"; the previous
     implementation's extra equi-join against the prior labels (a
-    whole second job per round) is gone.  Each round still
-    materializes through its persist (chaining rounds lazily was
-    measured SLOWER: AQE re-plans the doubled DAG at every action).
+    whole second job per round) is gone.
+
+    Lineage is TRUNCATED each round with ``localCheckpoint(eager=True)``
+    rather than persist(): persist caches *execution* but the analyzed
+    plan still nests the prior round's plan twice (once via labels,
+    once via neighbor_min), so plan size doubled per round — on deep
+    components Catalyst re-analyzes a 2^N-node tree every iteration,
+    a driver-side bottleneck at scale.  localCheckpoint materializes
+    the round AND replaces the plan with an O(1) scan of the cached
+    blocks, so per-round analysis cost is flat regardless of depth.
     """
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.union(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # type-agnostic fingerprint: xxhash64 of the label (ids may be
     # strings, e.g. digest keys), summed exactly in decimal(38,0).
@@ -291,12 +298,11 @@ def near_dup_clusters(
         new_labels = (
             labels.select("node", "label").union(neighbor_min)
             .groupBy("node").agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
-        # one action per round: materializes the persist AND returns
-        # the convergence scalar — no separate changed-count job
+        # the checkpoint above already ran the round's job; the
+        # convergence scalar is a cheap agg over the cached blocks
         s = new_labels.agg(label_sum).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if prev_sum is not None and s == prev_sum:
             break

@@ -76,6 +76,40 @@ def byte_histogram(
     return mm.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def encode_payload_png(
+    mm: DataFrame,
+    width: int = 32,
+    pad_byte: int = 32,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Re-encode raw byte payloads as REAL grayscale PNG images
+    (``width`` pixels wide, padded to full rows with ``pad_byte``)
+    using the from-scratch codec in :mod:`xcube_spark.sources.png`
+    with adaptive per-row filtering — the synthetic-media producer
+    for the image pipeline: downstream stages see genuine PNG bytes
+    whose decoded pixel sum is exactly computable from the source
+    bytes, so the full encode->decode path is byte-level checkable
+    by a SQL oracle."""
+    out_schema = f"{id_col} BIGINT, {payload_col} BINARY"
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xcube_spark.sources.png import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for raw in pdf[payload_col]:
+                data = np.frombuffer(bytes(raw), dtype=np.uint8)
+                h = max(1, -(-len(data) // width))
+                img = np.full(h * width, pad_byte, dtype=np.uint8)
+                img[: len(data)] = data
+                payloads.append(encode_png(img.reshape(h, width)))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                payload_col: payloads})
+
+    return mm.select(id_col, payload_col).mapInPandas(encode, out_schema)
+
+
 #: decoded-image metadata schema
 IMAGE_SCHEMA = "doc_id BIGINT, width INT, height INT, channels INT, mean_byte DOUBLE"
 
@@ -88,10 +122,16 @@ def decode_image(
 ) -> DataFrame:
     """Decode image payloads to (width, height, channels, mean pixel).
 
-    Real path requires PIL (not in this container) -> import-gated.
-    ``fake=True`` runs the DETERMINISTIC FAKE decoder: dimensions are
-    derived from payload length, mean from the bytes — NOT real pixels,
-    but schema/batching/partitioning identical to the real path.
+    Decode order per payload:
+
+    1. **PNG payloads decode for real, library-free** — the
+       from-scratch baseline codec in :mod:`xcube_spark.sources.png`
+       (all five filters, color types 0/2/3/4/6, depths 1-16).
+    2. Other formats (JPEG, ...) go through PIL when installed.
+    3. Without PIL, non-PNG payloads raise ``NotImplementedError`` —
+       unless ``fake=True``, which runs a CLEARLY-MARKED deterministic
+       fake (dimensions from payload length) so the Spark plumbing is
+       exercisable with arbitrary bytes.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -99,14 +139,11 @@ def decode_image(
         have_pil = True
     except ImportError:
         have_pil = False
-    if not have_pil and not fake:
-        raise NotImplementedError(
-            "image decoding requires PIL (not installed); pass fake=True "
-            "to exercise the pipeline with the deterministic fake decoder"
-        )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
+
+        from xcube_spark.sources.png import SIGNATURE, decode_png
 
         rows: dict[str, list] = {
             "doc_id": [], "width": [], "height": [],
@@ -115,13 +152,18 @@ def decode_image(
         for pdf in batches:
             for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(raw)
-                if have_pil:
+                if data[:8] == SIGNATURE:
+                    pix, info = decode_png(data)
+                    w, h = info["width"], info["height"]
+                    ch = info["channels"]
+                    mean = float(pix.mean())
+                elif have_pil:
                     img = Image.open(io.BytesIO(data))
                     arr = np.asarray(img)
                     w, h = img.size
                     ch = 1 if arr.ndim == 2 else arr.shape[2]
                     mean = float(arr.mean())
-                else:  # FAKE: deterministic function of the bytes
+                elif fake:  # FAKE: deterministic function of the bytes
                     n = len(data)
                     w = n % 64 + 1
                     h = (n // 64) % 64 + 1
@@ -129,6 +171,11 @@ def decode_image(
                     mean = float(
                         np.frombuffer(data, dtype=np.uint8).mean()
                     ) if n else 0.0
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image decoding requires PIL (not "
+                        "installed); PNG decodes natively — or pass "
+                        "fake=True for the deterministic fake decoder")
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -1291,7 +1291,26 @@ def knn_recall(
                            query_id_col=query_id_col)
     if approx is None:
         approx = knn_lsh
-    got = approx(corpus, queries, k)
+    # forward the column names to the approximate side too — a bare
+    # approx(corpus, queries, k) call with non-default columns would
+    # fail or, worse, silently mis-join (advice r9).  Only parameters
+    # the callable actually declares are forwarded, so partials that
+    # pre-bind column names (or wrappers without them) still work;
+    # partials MUST bind the same column names as this call.
+    import inspect
+
+    fwd = {}
+    try:
+        params = inspect.signature(approx).parameters
+        accepts_kw = any(p.kind is inspect.Parameter.VAR_KEYWORD
+                         for p in params.values())
+        for kname, val in (("id_col", id_col), ("vec_col", vec_col),
+                           ("query_id_col", query_id_col)):
+            if accepts_kw or kname in params:
+                fwd[kname] = val
+    except (TypeError, ValueError):  # builtins / odd callables
+        pass
+    got = approx(corpus, queries, k, **fwd)
     matched = (
         truth.join(got.select(query_id_col, id_col),
                    [query_id_col, id_col], "left_semi")

@@ -273,11 +273,17 @@ def bm25_topk(
         F.round(F.sum("__s") + 1e-9, 6).alias("score"))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col))
-    return (
+    result = (
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )
+    # release the candidate cache when the result goes out of scope —
+    # persisted-and-forgotten intermediates accumulate across
+    # invocations in a long-lived session (advice r9)
+    from xcube_spark.util import tie_cache_lifetime
+    tie_cache_lifetime(result, tf)
+    return result
 
 
 def _bpe_words(docs: DataFrame, text_col: str,

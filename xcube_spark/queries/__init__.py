@@ -113,6 +113,8 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-10 additions (never sampled yet)
+    "doc_image_decode",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

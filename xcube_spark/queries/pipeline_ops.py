@@ -410,6 +410,45 @@ def doc_byte_histogram(spark, sf_dir):
     )
 
 
+@query(
+    "doc_image_decode",
+    sql="""
+        SELECT doc_id,
+               32 AS width,
+               CAST(greatest(1, ceil(length(text) / 32.0)) AS INT)
+                   AS height,
+               1 AS channels,
+               CAST(list_sum(list_transform(string_split(text, ''),
+                                            c -> ascii(c)))
+                    + (CAST(greatest(1, ceil(length(text) / 32.0))
+                            AS BIGINT) * 32 - length(text)) * 32
+                    AS BIGINT) AS pixel_sum
+        FROM documents
+    """,
+)
+def doc_image_decode(spark, sf_dir):
+    """REAL image decode, library-free (sources/png.py): text bytes ->
+    grayscale PNG via the from-scratch encoder (adaptive per-row
+    filters, zlib IDAT) -> the from-scratch baseline decoder (all 5
+    filters, CRC-checked) -> exact pixel sum.  The oracle recomputes
+    the padded pixel sum straight from the characters (ASCII corpus:
+    bytes == ascii codes; pad byte 32 fills the last row), so any
+    decode defect — filter math, stride, padding, IDAT reassembly —
+    hash-fails.  Scale: both codec hops are Arrow-batched mapInPandas
+    over the payload partitioning; no driver round-trip (the
+    image-preprocessing stage of a multimodal training pipeline)."""
+    from xcube_spark.pipeline.multimodal import (
+        decode_image, encode_payload_png)
+
+    mm = encode_payload_png(attach_payload(tbl(spark, sf_dir, "documents")),
+                            width=32, pad_byte=32)
+    dec = decode_image(mm)
+    return dec.select(
+        "doc_id", "width", "height", "channels",
+        F.round(F.col("mean_byte") * F.col("width") * F.col("height"))
+        .cast("bigint").alias("pixel_sum"))
+
+
 # ---- IVF similarity search --------------------------------------------
 
 

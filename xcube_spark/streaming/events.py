@@ -59,15 +59,43 @@ def read_events_stream(
     has shipped ``ts`` both as TIMESTAMP(NANOS) (reads as long under
     the legacy conf) and as TIMESTAMP(MICROS) — so probe the parquet
     footer once with a batch reader and match its physical type.
+
+    The legacy ``nanosAsLong`` conf is only needed on Spark 3.x; like
+    the batch reader (`queries/__init__.py`), try the native read
+    first and scope the conf with try/finally on the fallback — a
+    session-wide legacy conf left set is a side effect a library must
+    not leak.  (On the 3.x fallback the conf must stay set for the
+    stream's lifetime — the scan re-reads it when the query starts —
+    so there it is re-applied after the probe, documented here.)
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source lists a *directory*; a single-file layout
     # streams via a glob filter over its parent
-    footer = (
-        spark.read.option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .schema
-    )
+    nanos_conf = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        # Spark >= 4: native TIMESTAMP(NANOS) read — no conf touched
+        footer = (
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .schema
+        )
+    except Exception:
+        prev = spark.conf.get(nanos_conf, None)
+        spark.conf.set(nanos_conf, "true")
+        try:
+            footer = (
+                spark.read.option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .schema
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(nanos_conf)
+            else:
+                spark.conf.set(nanos_conf, prev)
+        if isinstance(footer["ts"].dataType, T.LongType):
+            # 3.x + nanos parquet: the streaming scan itself needs the
+            # conf when the query starts — keep it set, by necessity
+            spark.conf.set(nanos_conf, "true")
     ts_is_long = isinstance(footer["ts"].dataType, T.LongType)
     if ts_is_long:
         schema = EVENTS_SCHEMA
