@@ -501,9 +501,12 @@ def test_matplotlib_alias_colormaps_resolve():
 def test_qualitative_colormaps_registered():
     """The matplotlib qualitative families (Tableau/ColorBrewer) are
     first-class stop tables: exact anchor colors at even positions,
-    reversible, and the 20-color tableau names resolve through
-    aliases (reference serves these via util/cmaps.py Qualitative)."""
-    from xcube_spark.operators.tiles import COLORMAPS, get_colormap
+    reversible, with REAL tab20/tab20b/tab20c tables (advice r9: they
+    are not tab10 extensions) and flagged qualitative so rendering is
+    discrete (reference serves these as ListedColormaps via
+    util/cmaps.py Qualitative)."""
+    from xcube_spark.operators.tiles import (
+        COLORMAPS, get_colormap, is_qualitative)
 
     for name, first, n in (("tab10", (31, 119, 180), 10),
                            ("Set1", (228, 26, 28), 9),
@@ -513,9 +516,16 @@ def test_qualitative_colormaps_registered():
                            ("Paired", (166, 206, 227), 12),
                            ("Accent", (127, 201, 127), 8),
                            ("Pastel1", (251, 180, 174), 8),
-                           ("Pastel2", (179, 226, 205), 8)):
+                           ("Pastel2", (179, 226, 205), 8),
+                           ("tab20", (31, 119, 180), 20),
+                           ("tab20b", (57, 59, 121), 20),
+                           ("tab20c", (49, 130, 189), 20)):
         stops = COLORMAPS[name]
         assert len(stops) == n and stops[0] == (0.0, first), name
         assert get_colormap(name + "_r")[-1][1] == first, name
-    assert get_colormap("tab20") == COLORMAPS["tab10"]
-    assert get_colormap("tab20b_r")[-1][1] == (31, 119, 180)
+        assert is_qualitative(name) and is_qualitative(name + "_r"), name
+    # tab20b is the 4-shades-of-5-hues ladder, unrelated to tab10
+    assert COLORMAPS["tab20b"] != COLORMAPS["tab10"]
+    assert COLORMAPS["tab20c"][4][1] == (230, 85, 13)  # orange family
+    assert not is_qualitative("viridis")
+    assert not is_qualitative("Greys")  # alias to sequential gray

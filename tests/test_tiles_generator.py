@@ -433,3 +433,26 @@ def test_run_cube_generator_validation(spark):
         run_cube_generator(spark, {
             "input_config": {"store_instance_id": "x", "data_id": "d"},
         }, grid=g)
+
+
+def test_rgba_qualitative_discrete_no_blends(spark):
+    """Qualitative maps render as ListedColormaps (advice r9): every
+    output pixel is EXACTLY one of the palette entries — mid-interval
+    norms must snap to a listed color, never interpolate — and the
+    bins follow floor(norm * n) clamped to n-1."""
+    from xcube_spark.operators.tiles import COLORMAPS, compute_rgba_tile
+
+    palette = [c for _, c in COLORMAPS["tab20b"]]
+    vals = [(i, 0, i / 39.0) for i in range(40)]  # dense norm sweep
+    cells = spark.createDataFrame(vals, "px int, py int, A double")
+    out = compute_rgba_tile(cells, "A", vmin=0.0, vmax=1.0,
+                            cmap_name="tab20b").collect()
+    for r in out:
+        assert (r.r, r.g, r.b) in palette, (r.px, r.r, r.g, r.b)
+        expected = palette[min(int((r.px / 39.0) * 20), 19)]
+        assert (r.r, r.g, r.b) == expected, r.px
+    # continuous maps still interpolate (blend at the midpoint)
+    cont = compute_rgba_tile(
+        spark.createDataFrame([(0, 0, 0.5)], "px int, py int, A double"),
+        "A", vmin=0.0, vmax=1.0, cmap_name="gray").collect()[0]
+    assert cont.r in (127, 128)

@@ -196,11 +196,18 @@ def _rgba_select(
         raise ValueError(f"cmap_norm must be 'lin' or 'log': {cmap_norm!r}")
     norm = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
     stops = get_colormap(cmap_name)
+    if is_qualitative(cmap_name):
+        # categorical maps pick the NEAREST listed color (matplotlib
+        # ListedColormap: index = floor(norm * n) clamped) — blends
+        # between palette entries must never appear
+        channel = _listed_channel_expr
+    else:
+        channel = _stop_channel_expr
     return cells.select(
         "px", "py",
-        _stop_channel_expr(norm, stops, 0).alias("r"),
-        _stop_channel_expr(norm, stops, 1).alias("g"),
-        _stop_channel_expr(norm, stops, 2).alias("b"),
+        channel(norm, stops, 0).alias("r"),
+        channel(norm, stops, 1).alias("g"),
+        channel(norm, stops, 2).alias("b"),
         F.when(v.isNull(), 0).otherwise(255).alias("a"),
     )
 
@@ -359,7 +366,53 @@ COLORMAPS.update({
         (179, 226, 205), (253, 205, 172), (203, 213, 232),
         (244, 202, 228), (230, 245, 201), (255, 242, 174),
         (241, 226, 204), (204, 204, 204)]),
+    # the 20-color Tableau families are NOT tab10 extensions: tab20
+    # interleaves strong/pale pairs, tab20b/tab20c are
+    # 4-shades-of-5-hues ladders (public matplotlib anchor values)
+    "tab20": _qualitative([
+        (31, 119, 180), (174, 199, 232), (255, 127, 14),
+        (255, 187, 120), (44, 160, 44), (152, 223, 138), (214, 39, 40),
+        (255, 152, 150), (148, 103, 189), (197, 176, 213),
+        (140, 86, 75), (196, 156, 148), (227, 119, 194),
+        (247, 182, 210), (127, 127, 127), (199, 199, 199),
+        (188, 189, 34), (219, 219, 141), (23, 190, 207),
+        (158, 218, 229)]),
+    "tab20b": _qualitative([
+        (57, 59, 121), (82, 84, 163), (107, 110, 207), (156, 158, 222),
+        (99, 121, 57), (140, 162, 82), (181, 207, 107),
+        (206, 219, 156), (140, 109, 49), (189, 158, 57),
+        (231, 186, 82), (231, 203, 148), (132, 60, 57), (173, 73, 74),
+        (214, 97, 107), (231, 150, 156), (123, 65, 115), (165, 81, 148),
+        (206, 109, 189), (222, 158, 214)]),
+    "tab20c": _qualitative([
+        (49, 130, 189), (107, 174, 214), (158, 202, 225),
+        (198, 219, 239), (230, 85, 13), (253, 141, 60), (253, 174, 107),
+        (253, 208, 162), (49, 163, 84), (116, 196, 118),
+        (161, 217, 155), (199, 233, 192), (117, 107, 177),
+        (158, 154, 200), (188, 189, 220), (218, 218, 235), (99, 99, 99),
+        (150, 150, 150), (189, 189, 189), (217, 217, 217)]),
 })
+
+#: qualitative (categorical) maps render DISCRETE: nearest-stop lookup
+#: instead of interpolation, matching the reference's ListedColormap
+#: semantics (util/cmaps.py 'Qualitative' — mid-interval values must
+#: be palette members, never blends)
+QUALITATIVE_CMAPS: set[str] = {
+    "tab10", "tab20", "tab20b", "tab20c", "Set1", "Set2", "Set3",
+    "Dark2", "Paired", "Accent", "Pastel1", "Pastel2",
+}
+
+
+def is_qualitative(name: str) -> bool:
+    """Whether ``name`` resolves (through aliases and ``_r``) to a
+    qualitative/categorical map."""
+    if name in CMAP_ALIASES:
+        name = CMAP_ALIASES[name]
+    elif name.endswith("_r") and name[:-2] in CMAP_ALIASES:
+        name = CMAP_ALIASES[name[:-2]]
+    if name.endswith("_r"):
+        name = name[:-2]
+    return name in QUALITATIVE_CMAPS
 
 
 def register_colormap(
@@ -437,10 +490,7 @@ CMAP_ALIASES: dict[str, str] = {
     "brg": "jet", "twilight": "coolwarm",
     "twilight_shifted": "coolwarm", "berlin": "coolwarm",
     "managua": "RdYlBu", "vanimo": "PiYG",
-    # qualitative variants without their own tables: the 20-color
-    # tableau maps share tab10's hue cycle; flag/prism are repeating
-    # cycles approximated by their dominant gradient
-    "tab20": "tab10", "tab20b": "tab10", "tab20c": "tab10",
+    # repeating-cycle maps approximated by their dominant gradient
     "flag": "bwr", "prism": "rainbow",
 }
 
@@ -479,6 +529,21 @@ def _stop_channel_expr(
             float(c1[channel] - c0[channel]))
         expr = F.when(norm >= p0, seg).otherwise(expr)
     return F.round(expr).cast("int")
+
+
+def _listed_channel_expr(
+    norm: Column,
+    stops: list[tuple[float, tuple[int, int, int]]],
+    channel: int,
+) -> Column:
+    """Discrete ListedColormap lookup of one RGB channel: norm in
+    [0, 1] indexes ``floor(norm * n)`` clamped to ``n - 1`` into the
+    listed colors — array literal + element_at, pure Column math."""
+    n = len(stops)
+    colors = F.array(*[F.lit(int(c[channel])) for _, c in stops])
+    idx = F.least(F.floor(norm * F.lit(float(n))).cast("int"),
+                  F.lit(n - 1))
+    return F.element_at(colors, idx + F.lit(1))
 
 
 # ---- PNG encode (driver-side, pure zlib) ------------------------------

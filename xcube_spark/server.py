@@ -580,16 +580,22 @@ class CubeServer:
         import base64
 
         from xcube_spark.operators.tiles import (COLORMAPS, encode_rgba_png,
-                                                 get_colormap)
+                                                 get_colormap, is_qualitative)
 
         out = []
         for name in sorted(COLORMAPS):
             stops = get_colormap(name)
-            # 256x1 strip, driver-side interpolation (256 px, bounded)
+            discrete = is_qualitative(name)
+            # 256x1 strip, driver-side (256 px, bounded); qualitative
+            # maps band discretely (ListedColormap), others interpolate
             px = bytearray()
             for i in range(256):
                 p = i / 255.0
-                r, g, b = _interp_stops(stops, p)
+                if discrete:
+                    r, g, b = stops[min(int(p * len(stops)),
+                                        len(stops) - 1)][1]
+                else:
+                    r, g, b = _interp_stops(stops, p)
                 px += bytes((r, g, b, 255))
             png = encode_rgba_png(bytes(px), 256, 1)
             out.append([name, base64.b64encode(png).decode("ascii")])
