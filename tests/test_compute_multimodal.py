@@ -238,3 +238,22 @@ def test_gen1_input_processors(spark):
     out = gen1_process_inputs([(sw, grid)], grid, processor="swath",
                               var_names=["v"])
     assert out.where(F.col("v") == 1.0).count() == grid.size
+
+
+def test_resize_image_nearest(spark, docs):
+    """resize_image: real decode -> strided pick -> real re-encode;
+    a 4x downscale of the 8-wide text image keeps columns 0 and 4 of
+    every 4th row."""
+    from xcube_spark.pipeline.multimodal import (
+        encode_payload_png, resize_image)
+    from xcube_spark.sources.png import decode_png
+
+    mm = encode_payload_png(attach_payload(docs), width=8, pad_byte=32)
+    small = {r["doc_id"]: bytes(r["payload"])
+             for r in resize_image(mm, factor=4).collect()}
+    # doc 3 = 1000 bytes -> 125 rows x 8 -> 32 rows x 2
+    pix, info = decode_png(small[3])
+    assert (info["height"], info["width"]) == (32, 2)
+    # doc 1 = "hello world" (11 bytes + 5 pad) -> 2x8 -> 1x2: "h", "o"
+    pix1, _ = decode_png(small[1])
+    assert pix1.tolist() == [[ord("h"), ord("o")]]

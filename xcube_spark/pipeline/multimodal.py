@@ -187,6 +187,42 @@ def decode_image(
     return mm.select(id_col, payload_col).mapInPandas(decode, IMAGE_SCHEMA)
 
 
+def resize_image(
+    mm: DataFrame,
+    factor: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Nearest-neighbor downscale of PNG payloads by an integer
+    ``factor`` — REAL decode -> strided pixel pick -> REAL re-encode
+    through the from-scratch codec (the training-pipeline image
+    preprocessing step: thumbnails / resolution normalization before
+    feature extraction).  Output rows keep the payload column (now the
+    resized PNG), so resize chains with :func:`decode_image` and
+    further stages.  mapInPandas, Arrow-batched, no driver round-trip.
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out_schema = f"{id_col} BIGINT, {payload_col} BINARY"
+
+    def shrink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xcube_spark.sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            payloads = []
+            for raw in pdf[payload_col]:
+                pix, info = decode_png(bytes(raw))
+                small = pix[::factor, ::factor]
+                payloads.append(encode_png(small.astype(np.uint8),
+                                           color_type=info["color_type"]
+                                           if info["color_type"] != 3
+                                           else None))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                payload_col: payloads})
+
+    return mm.select(id_col, payload_col).mapInPandas(shrink, out_schema)
+
+
 def sample_frames(
     mm: DataFrame,
     frame_bytes: int = 256,

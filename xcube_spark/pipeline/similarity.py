@@ -506,7 +506,10 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (the IVF coarse
     quantizer): broadcast the (small) centroid table, L2 argmin via
-    ``min_by`` — one scan, no shuffle of the corpus."""
+    ``min(struct(d2, cid))`` — one scan, no shuffle of the corpus.
+    The struct min makes exact-distance ties break to the LOWEST
+    centroid id deterministically (min_by leaves ties engine-defined),
+    matching the oracles' struct_pack argmin."""
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
@@ -517,7 +520,8 @@ def ivf_assign(
     )
     scored = corpus.join(F.broadcast(c))
     return scored.groupBy(id_col, vec_col).agg(
-        F.min_by(F.col("__cid"), d2).alias("cell")
+        F.min(F.struct(d2.alias("__d"), F.col("__cid").alias("__c")))
+        .getField("__c").alias("cell")
     )
 
 

@@ -115,6 +115,8 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     # round-10 additions (never sampled yet)
     "doc_image_decode",
+    "doc_image_resize",
+    "emb_kmeans",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

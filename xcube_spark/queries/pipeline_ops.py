@@ -449,6 +449,192 @@ def doc_image_decode(spark, sf_dir):
         .cast("bigint").alias("pixel_sum"))
 
 
+@query(
+    "doc_image_resize",
+    sql="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CAST(greatest(1, ceil(length(text) / 32.0))
+                        AS BIGINT) AS h
+            FROM documents
+        ), g AS (
+            -- fixed series (lateral bounds unsupported) filtered per
+            -- doc; 512 rows covers texts to 64 KiB
+            SELECT d.doc_id, d.text, d.h, r.r, c.c
+            FROM d, generate_series(0, 511) r(r),
+                 generate_series(0, 7) c(c)
+            WHERE r.r < ceil(d.h / 4.0)
+        )
+        SELECT doc_id,
+               8 AS width,
+               CAST(ceil(any_value(h) / 4.0) AS INT) AS height,
+               1 AS channels,
+               CAST(SUM(CASE WHEN (r * 4) * 32 + c * 4 + 1
+                                  <= length(text)
+                             THEN ascii(substr(text,
+                                        CAST((r * 4) * 32 + c * 4 + 1
+                                             AS INT), 1))
+                             ELSE 32 END) AS BIGINT) AS pixel_sum
+        FROM g
+        GROUP BY doc_id
+    """,
+)
+def doc_image_resize(spark, sf_dir):
+    """resize_image (pipeline/multimodal.py): REAL PNG decode ->
+    nearest-neighbor 4x downscale (strided pixel pick) -> REAL PNG
+    re-encode -> decode again for stats — two full trips through the
+    from-scratch codec per document.  The oracle recomputes the
+    strided sample directly from the characters (sampled pixel (r, c)
+    = byte at position 128r + 4c, pad 32 past the text), so a defect
+    in either codec direction or the stride hash-fails.  Scale: both
+    hops are Arrow-batched mapInPandas; payloads never visit the
+    driver."""
+    from xcube_spark.pipeline.multimodal import (
+        decode_image, encode_payload_png, resize_image)
+
+    mm = encode_payload_png(attach_payload(tbl(spark, sf_dir, "documents")),
+                            width=32, pad_byte=32)
+    dec = decode_image(resize_image(mm, factor=4))
+    return dec.select(
+        "doc_id", "width", "height", "channels",
+        F.round(F.col("mean_byte") * F.col("width") * F.col("height"))
+        .cast("bigint").alias("pixel_sum"))
+
+
+#: unrolled left-associated squared-L2 between codes[] and a centroid
+#: list c[] — the SAME IEEE op sequence as ivf_assign's zip_with +
+#: left fold (acc starts 0.0), so per-pair d2 is bit-identical
+def _kmeans_d2_sql(x: str, c: str, dim: int = 64) -> str:
+    terms = [f"({x}[{i}] - {c}[{i}]) * ({x}[{i}] - {c}[{i}])"
+             for i in range(1, dim + 1)]
+    expr = "(0.0 + " + terms[0] + ")"
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+_KM_D2_C0 = _kmeans_d2_sql("v.codes", "c0.codes")
+_KM_D2_C1 = _kmeans_d2_sql("v.codes", "c1.cent")
+_KM_D2_C2 = _kmeans_d2_sql("v.codes", "c2.cent")
+_KM_CENT_SUM = "(0.0 + " + " + ".join(
+    f"cent[{i}]" for i in range(1, 65)) + ")"
+
+
+@query(
+    "emb_kmeans",
+    sql=f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), v AS MATERIALIZED (
+            SELECT vec_id,
+                   list_transform(
+                       emb, x -> round(
+                           x / (list_max(list_transform(
+                                    emb, y -> abs(y))) / 127.0)))
+                       AS codes
+            FROM e
+        ), c0 AS MATERIALIZED (
+            SELECT vec_id AS cid, codes FROM v WHERE vec_id < 4
+        ), a1 AS MATERIALIZED (
+            SELECT v.vec_id, v.codes,
+                   min(struct_pack(d := {_KM_D2_C0},
+                                   cid := c0.cid)).cid AS cid
+            FROM v, c0
+            GROUP BY v.vec_id, v.codes
+        ), c1 AS MATERIALIZED (
+            SELECT cid, list(m ORDER BY i) AS cent
+            FROM (
+                SELECT a1.cid, s.i, avg(a1.codes[s.i]) AS m
+                FROM a1, generate_series(1, 64) s(i)
+                GROUP BY a1.cid, s.i
+            )
+            GROUP BY cid
+        ), a2 AS MATERIALIZED (
+            SELECT v.vec_id, v.codes,
+                   min(struct_pack(d := {_KM_D2_C1},
+                                   cid := c1.cid)).cid AS cid
+            FROM v, c1
+            GROUP BY v.vec_id, v.codes
+        ), c2 AS MATERIALIZED (
+            SELECT cid, list(m ORDER BY i) AS cent
+            FROM (
+                SELECT a2.cid, s.i, avg(a2.codes[s.i]) AS m
+                FROM a2, generate_series(1, 64) s(i)
+                GROUP BY a2.cid, s.i
+            )
+            GROUP BY cid
+        ), a3 AS MATERIALIZED (
+            SELECT v.vec_id,
+                   min(struct_pack(d := {_KM_D2_C2},
+                                   cid := c2.cid)).cid AS cid,
+                   min(struct_pack(d := {_KM_D2_C2},
+                                   cid := c2.cid)).d AS d2
+            FROM v, c2
+            GROUP BY v.vec_id
+        )
+        SELECT a3.cid,
+               CAST(count(*) AS BIGINT) AS n_members,
+               ROUND(ROUND(avg(a3.d2) + 1e-6, 4) + 0.0, 4) AS mean_d2,
+               ROUND(ROUND(any_value({_KM_CENT_SUM}) + 1e-6, 4) + 0.0, 4)
+                   AS cent_sum
+        FROM a3 JOIN c2 ON a3.cid = c2.cid
+        GROUP BY a3.cid
+    """,
+)
+def emb_kmeans(spark, sf_dir):
+    """train_ivf_centroids + ivf_assign (pipeline/similarity.py):
+    distributed Lloyd k-means — deterministic init (k lowest-id
+    vectors), fixed 2 iterations, broadcast-centroid assignment
+    (min_by argmin, zero corpus shuffle) and per-(cell, dim)
+    partial-agg means with a model-sized driver round-trip between
+    iterations.  Vectors are int8-quantized first so every partial
+    sum and centroid mean is INTEGER-exact cross-engine; per-pair d2
+    is the same left-to-right fold on both engines (unrolled in the
+    oracle), and only the final mean_d2/cent_sum — float sums across
+    rows — ride on the nudged 4-decimal round.  The reference has no
+    clustering op; this is the trainer behind the IVF/SemDeDup
+    centroids (additive surface like the knn family)."""
+    from xcube_spark.pipeline.similarity import train_ivf_centroids
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    codes = emb.select(
+        "vec_id", "e",
+        (F.array_max(F.transform("e", lambda x: F.abs(x)))
+         / F.lit(127.0)).alias("scale"),
+    ).select(
+        "vec_id",
+        F.transform("e", lambda x: F.round(x / F.col("scale")))
+        .alias("embedding"),
+    )
+    cents = train_ivf_centroids(codes, k=4, iterations=2)
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding"), F.col("__cvec"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    c = cents.select(F.col("vec_id").alias("__cid"),
+                     F.col("embedding").alias("__cvec"))
+    assigned = (
+        codes.join(F.broadcast(c))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(d2.alias("d"), F.col("__cid").alias("cid")))
+             .alias("__best"))
+        .select("vec_id", F.col("__best.cid").alias("cid"),
+                F.col("__best.d").alias("d2"))
+    )
+    cent_sum = F.aggregate("__cvec", F.lit(0.0), lambda a, x: a + x)
+    return (
+        assigned.join(F.broadcast(c), assigned["cid"] == c["__cid"])
+        .groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_members"),
+             F.round(F.round(F.avg("d2") + F.lit(1e-6), 4) + F.lit(0.0),
+                     4).alias("mean_d2"),
+             F.round(F.round(F.first(cent_sum) + F.lit(1e-6), 4)
+                     + F.lit(0.0), 4).alias("cent_sum"))
+    )
+
+
 # ---- IVF similarity search --------------------------------------------
 
 
