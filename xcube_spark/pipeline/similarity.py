@@ -1247,13 +1247,35 @@ def pca_project(emb: DataFrame, model: dict, id_col: str = "vec_id",
     )
 
 
-def pca_moment_stats(emb: DataFrame, vec_col: str = "embedding"
-                     ) -> DataFrame:
+def pca_moments_merge(*moments):
+    """Merge moment triples ``(n, s, g)`` from :func:`pca_moments` —
+    plain sums, because the sufficient statistics are associative/
+    commutative: maintaining PCA over a GROWING corpus costs one scan
+    of each new batch plus this model-sized merge (the incremental /
+    streaming drift-monitoring shape, same contract as the sketch and
+    OLS-probe states; float moments merge up to summation-order ulps,
+    absorbed by the callers' output rounding)."""
+    import numpy as np
+
+    if not moments:
+        raise ValueError("pca_moments_merge: nothing to merge")
+    n = sum(m[0] for m in moments)
+    s = np.sum([m[1] for m in moments], axis=0)
+    g = np.sum([m[2] for m in moments], axis=0)
+    return n, s, g
+
+
+def pca_moment_stats(emb: DataFrame, vec_col: str = "embedding",
+                     moments=None) -> DataFrame:
     """Per-dimension ``(dim_i, mean_i, var_i)`` derived from the SAME
     one-pass moment accumulation :func:`pca_train` consumes — the
     SQL-expressible face of the PCA plumbing (the eigen step itself
-    has no SQL twin; its properties are pytest-pinned)."""
-    n, s, g = pca_moments(emb, vec_col)
+    has no SQL twin; its properties are pytest-pinned).  Pass
+    ``moments`` (a triple from :func:`pca_moments` /
+    :func:`pca_moments_merge`) to finalize pre-accumulated state
+    instead of scanning ``emb``."""
+    n, s, g = moments if moments is not None \
+        else pca_moments(emb, vec_col)
     mean = s / n
     var = g.diagonal() / n - mean * mean
     spark = emb.sparkSession

@@ -1139,6 +1139,47 @@ def emb_pca_variance(spark, sf_dir):
 
 
 @query(
+    "emb_incremental_pca",
+    sql="""
+        WITH u AS (
+            SELECT i, CAST(embedding[i + 1] AS DOUBLE) AS v
+            FROM embeddings, unnest(range(64)) AS t(i)
+        ), agg AS (
+            SELECT i, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS g
+            FROM u GROUP BY i
+        )
+        SELECT CAST(i AS INT) AS dim_i,
+               ROUND(s / n, 6) AS mean_i,
+               ROUND(g / n - (s / n) * (s / n), 6) AS var_i
+        FROM agg
+    """,
+)
+def emb_incremental_pca(spark, sf_dir):
+    """pca_moments_merge (pipeline/similarity.py): incremental PCA
+    maintenance — the corpus arrives as two batches (vec_id parity),
+    each contributes its own one-pass moment triple, and the merged
+    state finalizes to the same per-dimension mean/variance as a
+    single-pass recompute (the oracle IS the single-pass recompute:
+    merge == recompute up to summation-order ulps under the 6-decimal
+    round).  The sufficient statistics are O(d^2) regardless of
+    corpus size, so growing a 100 TB corpus costs one scan of the NEW
+    batch only — the drift-monitoring / incremental-statistics shape,
+    same contract as the sketch and OLS-probe states."""
+    from xcube_spark.pipeline.similarity import (
+        pca_moment_stats, pca_moments, pca_moments_merge)
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    m_even = pca_moments(emb.where(F.col("vec_id") % 2 == 0))
+    m_odd = pca_moments(emb.where(F.col("vec_id") % 2 == 1))
+    merged = pca_moments_merge(m_even, m_odd)
+    out = pca_moment_stats(emb, moments=merged)
+    return out.select(
+        "dim_i",
+        F.round("mean_i", 6).alias("mean_i"),
+        F.round("var_i", 6).alias("var_i"))
+
+
+@query(
     "emb_knn_recall",
     sql=f"""
         WITH c AS (
