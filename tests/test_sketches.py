@@ -399,3 +399,45 @@ def test_streaming_probe_sink_matches_batch_training(spark, tmp_path):
     # the streamed model predicts the exact linear relation
     out = probe_fit_predict(state, feats, "y", "x1", "x2").collect()
     assert all(abs(r.resid) < 1e-9 for r in out)
+
+
+def test_streaming_pca_sink_matches_batch_moments(spark, tmp_path):
+    """run_pca_moments_stream: the O(d^2) moment state after two
+    micro-batches merges to the same statistics as one-pass batch
+    accumulation (float sums: ulp tolerance), and the finalized
+    per-dim stats match pca_moment_stats on everything seen."""
+    import numpy as np
+
+    from xcube_spark.pipeline.similarity import (pca_moment_stats,
+                                                 pca_moments)
+    from xcube_spark.streaming.sketch_sink import run_pca_moments_stream
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = str(tmp_path / "pca_src")
+    emb.where("vec_id < 20").coalesce(1).write.parquet(src + "/p=a")
+    emb.where("vec_id >= 20").coalesce(1).write.parquet(src + "/p=b")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_pca_moments_stream(
+        stream, str(tmp_path / "pca_state"), str(tmp_path / "pca_ckpt"))
+    row = state.collect()[0]
+    n, s, g = pca_moments(emb)
+    assert row.n == n
+    assert np.allclose(row.s, s, rtol=0, atol=1e-9)
+    assert np.allclose(np.asarray(row.g).reshape(8, 8), g,
+                       rtol=0, atol=1e-9)
+    # finalizing the streamed state == batch stats
+    streamed = (int(row.n), np.asarray(row.s),
+                np.asarray(row.g).reshape(8, 8))
+    a = pca_moment_stats(emb, moments=streamed).collect()
+    b = pca_moment_stats(emb).collect()
+    for ra, rb in zip(sorted(a), sorted(b)):
+        assert ra.dim_i == rb.dim_i
+        assert abs(ra.mean_i - rb.mean_i) < 1e-12
+        assert abs(ra.var_i - rb.var_i) < 1e-12

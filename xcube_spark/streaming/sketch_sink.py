@@ -213,3 +213,64 @@ def run_incremental_probe_stream(
     q.awaitTermination()
     return _read_state(feat_stream.sparkSession, state_dir,
                        PROBE_STATE_SCHEMA)
+
+
+PCA_STATE_SCHEMA = "n BIGINT, s ARRAY<DOUBLE>, g ARRAY<DOUBLE>"
+
+
+def run_pca_moments_stream(
+    emb_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Drain a streaming DataFrame of embedding rows into the PCA
+    sufficient-statistics state (pipeline/similarity.py pca_moments /
+    pca_moments_merge) — streaming covariance/PCA maintenance with
+    O(d^2) state: each micro-batch contributes one moment triple and
+    the merged state finalizes to the same per-dimension statistics
+    (and the same eigenbasis) as batch training on everything seen.
+    Moment addition is NOT idempotent, so the published-version guard
+    is load-bearing (the CMS exactly-once argument).  The
+    drift-monitoring shape: re-fit the rotation from kilobytes of
+    state at any watermark, never rescan the corpus."""
+    from xcube_spark.pipeline.similarity import (pca_moments,
+                                                 pca_moments_merge)
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        if batch_df.isEmpty():
+            m = None
+        else:
+            m = pca_moments(batch_df, vec_col)
+        prev = _read_state(spark, state_dir, PCA_STATE_SCHEMA).collect()
+        if prev:
+            import numpy as np
+
+            row = prev[0]
+            d = len(row.s)
+            pm = (int(row.n), np.asarray(row.s),
+                  np.asarray(row.g).reshape(d, d))
+            m = pm if m is None else pca_moments_merge(pm, m)
+        if m is None:
+            return
+        n, s, g = m
+        state = spark.createDataFrame(
+            [(int(n), [float(x) for x in s],
+              [float(x) for x in g.reshape(-1)])], PCA_STATE_SCHEMA)
+        _publish(state, state_dir, batch_id)
+
+    q = (
+        emb_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(emb_stream.sparkSession, state_dir,
+                       PCA_STATE_SCHEMA)
