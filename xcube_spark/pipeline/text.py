@@ -224,7 +224,11 @@ def bm25_topk(
     # tokenization is per-row-heavy: spread a few-split scan across
     # the host (no-op at real scale where files outnumber cores)
     docs = spread_small_input(docs)
-    dl = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # corpus stats need token COUNTS only: regexp_count of the
+    # positive class stays in whole-stage codegen and skips the
+    # array materialization a split would pay (r6 regex lesson);
+    # counts match size(split(trim(x), '\s+')) for non-empty text
+    dl = F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\S+"))
     stats = docs.agg(F.count("*").alias("__n"),
                      F.sum(dl.cast("long")).alias("__tdl"))
 
