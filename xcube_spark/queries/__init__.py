@@ -118,6 +118,7 @@ PRIORITY_ORDER = (
     "doc_image_resize",
     "emb_kmeans",
     "emb_incremental_pca",
+    "doc_dedup_canonical",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

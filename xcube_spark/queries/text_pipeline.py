@@ -172,6 +172,53 @@ def doc_dedup_clusters(spark, sf_dir):
 
 
 @query(
+    "doc_dedup_canonical",
+    sql=f"""
+        WITH RECURSIVE {_MINHASH_CTES},
+        pairs AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach AS (
+            SELECT a AS node, a AS label FROM edges
+            UNION
+            SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        ), comp AS (
+            SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+    """,
+)
+def doc_dedup_canonical(spark, sf_dir):
+    """dedup_keep_canonical (pipeline/dedup.py): the APPLY step of
+    the near-dup pipeline — pairs -> transitive clusters -> drop
+    every clustered doc except its cluster's min-id member
+    (unclustered docs pass through).  One left-anti join on the
+    model-sized cluster map; the corpus is never shuffled.  The
+    oracle replays the whole chain (minhash -> LSH pairs -> recursive
+    closure -> NOT IN filter), so a defect anywhere in the pipeline
+    composition hash-fails."""
+    from xcube_spark.pipeline.dedup import (dedup_keep_canonical,
+                                            near_dup_clusters)
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        docs, k=3, num_hashes=8, num_bands=2, threshold=0.8)
+    kept = dedup_keep_canonical(docs, near_dup_clusters(pairs))
+    return kept.select("doc_id", "source")
+
+
+@query(
     "doc_token_stats",
     sql="""
         WITH toks AS (
