@@ -176,3 +176,30 @@ def test_ancillary_chunks_skipped_but_crc_checked():
     bad_chunk[-1] ^= 1  # break the ancillary CRC
     with pytest.raises(PngError, match="CRC"):
         decode_png(head + bytes(bad_chunk) + rest)
+
+
+# ---- hypothesis property sweep -----------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        c=st.integers(1, 4),
+        ft=st.sampled_from([0, 1, 2, 3, 4, "adaptive"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_roundtrip_property(h, w, c, ft, seed):
+        """encode ∘ decode == identity for every shape, channel count,
+        and filter — the codec's core contract, swept randomly."""
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        pix, info = decode_png(encode_png(a, filter_type=ft))
+        got = pix if pix.ndim == 3 else pix[:, :, None]
+        assert info["width"] == w and info["height"] == h
+        assert np.array_equal(got, a)
+except ImportError:  # hypothesis is baked in, but stay import-safe
+    pass

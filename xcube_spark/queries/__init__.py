@@ -119,6 +119,7 @@ PRIORITY_ORDER = (
     "emb_kmeans",
     "emb_incremental_pca",
     "doc_dedup_canonical",
+    "doc_frame_sample",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

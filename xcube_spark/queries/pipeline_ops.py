@@ -450,6 +450,42 @@ def doc_image_decode(spark, sf_dir):
 
 
 @query(
+    "doc_frame_sample",
+    sql="""
+        WITH d AS (
+            SELECT doc_id, length(text) AS n_bytes,
+                   CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(ceil(n_frames / 3.0) AS BIGINT) AS n_kept,
+               CAST((n_frames - 1) - ((n_frames - 1) % 3)
+                    AS BIGINT) AS last_idx,
+               CAST(least(64, n_bytes) AS BIGINT) AS first_frame_len
+        FROM d
+    """,
+)
+def doc_frame_sample(spark, sf_dir):
+    """sample_frames (pipeline/multimodal.py): video-style frame
+    sampling over binary payloads — each payload splits into 64-byte
+    pseudo-frames and every 3rd is kept (one input row fans out to
+    many frame rows inside the Arrow batch, the explode shape a real
+    codec would feed).  The oracle recomputes kept-frame count, last
+    kept index, and the first frame's byte length from the text
+    length alone — exact integers, no float path."""
+    from xcube_spark.pipeline.multimodal import sample_frames
+
+    mm = attach_payload(tbl(spark, sf_dir, "documents"))
+    frames = sample_frames(mm, frame_bytes=64, every_n=3)
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.max("frame_idx").cast("long").alias("last_idx"),
+        F.max(F.when(F.col("frame_idx") == 0,
+                     F.octet_length("frame"))).cast("long")
+        .alias("first_frame_len"))
+
+
+@query(
     "doc_image_resize",
     sql="""
         WITH d AS (
