@@ -477,9 +477,13 @@ def train_ivf_centroids(
                 F.col(vec_col))
     )
     spark = corpus.sparkSession
+    # one tiny probe for the vector width: unlocks the codegen'd
+    # unrolled d2 in every assignment pass (vs the interpreted fold)
+    first = corpus.select(F.size(vec_col).alias("__d")).first()
+    dim = int(first["__d"]) if first is not None else None
     for _ in range(iterations):
         assigned = ivf_assign(corpus, centroids, id_col=id_col,
-                              vec_col=vec_col)
+                              vec_col=vec_col, dim=dim)
         dims = assigned.select(
             "cell", F.posexplode(vec_col).alias("__d", "__v"))
         means = (
@@ -503,21 +507,34 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (the IVF coarse
     quantizer): broadcast the (small) centroid table, L2 argmin via
     ``min(struct(d2, cid))`` — one scan, no shuffle of the corpus.
     The struct min makes exact-distance ties break to the LOWEST
     centroid id deterministically (min_by leaves ties engine-defined),
-    matching the oracles' struct_pack argmin."""
+    matching the oracles' struct_pack argmin.
+
+    Pass ``dim`` to compute d2 as the UNROLLED fixed-order sum
+    (:func:`_d2_unrolled`): element_at + arithmetic stay inside
+    whole-stage codegen, while the zip_with/aggregate fold fallback
+    evaluates interpreted (CodegenFallback) — ~10x on the
+    |corpus| x k assignment rows (the round-6 higher-order-lambda
+    lesson).  Both forms produce bit-identical doubles (same
+    left-to-right IEEE op sequence; 0.0 + t == t for the
+    non-negative squared terms)."""
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("__cvec"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, v: acc + v,
-    )
+    if dim is not None:
+        d2 = _d2_unrolled(F.col(vec_col), F.col("__cvec"), dim)
+    else:
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("__cvec"),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
     scored = corpus.join(F.broadcast(c))
     return scored.groupBy(id_col, vec_col).agg(
         F.min(F.struct(d2.alias("__d"), F.col("__cid").alias("__c")))

@@ -644,11 +644,12 @@ def emb_kmeans(spark, sf_dir):
         F.transform("e", lambda x: F.round(x / F.col("scale")))
         .alias("embedding"),
     )
+    from xcube_spark.pipeline.similarity import _d2_unrolled
+
     cents = train_ivf_centroids(codes, k=4, iterations=2)
-    d2 = F.aggregate(
-        F.zip_with(F.col("embedding"), F.col("__cvec"),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+    # unrolled codegen d2 — bit-identical to the fold (same IEEE
+    # op order), ~10x on the corpus x k assignment rows
+    d2 = _d2_unrolled(F.col("embedding"), F.col("__cvec"), 64)
     c = cents.select(F.col("vec_id").alias("__cid"),
                      F.col("embedding").alias("__cvec"))
     assigned = (
