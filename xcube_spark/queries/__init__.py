@@ -120,6 +120,7 @@ PRIORITY_ORDER = (
     "emb_incremental_pca",
     "doc_dedup_canonical",
     "doc_frame_sample",
+    "cube_geojson_ingest",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

@@ -671,3 +671,62 @@ def cube_zarr_sharded_virtual(spark, sf_dir):
         F.round(F.avg("A"), 6).alias("A_mean"),
         F.sum("flags").cast("bigint").alias("flags_sum"),
     )
+
+
+_GEOJSON_PATH: dict[str, str] = {}
+
+
+@query(
+    "cube_geojson_ingest",
+    sql="""
+        SELECT CAST(n_nationkey AS VARCHAR) AS feature_id,
+               n_name AS name,
+               ROUND(CAST(n_nationkey AS DOUBLE) * 7.5 - 90.0, 6) AS x,
+               ROUND(CAST(n_regionkey AS DOUBLE) * 15.0 - 30.0, 6) AS y
+        FROM nation
+    """,
+)
+def cube_geojson_ingest(spark, sf_dir):
+    """GeoJSON feature ingest (open_geojson_features, reference
+    xcube/util/geojson.py + the geodataframe accessors,
+    xcube/core/store/fs/impl/geodataframe.py): the nation table is
+    written as a NEWLINE-DELIMITED GeoJSON file (one Feature per
+    line) so the DISTRIBUTED parse path is the one gated —
+    spark.read.text splits the file and each task JSON-decodes its
+    own lines via mapInPandas; point coordinates come back through
+    the WKT round-trip and are compared numerically (regexp parse +
+    cast, no string-format parity needed)."""
+    import json
+    import tempfile
+
+    from xcube_spark.queries import tbl
+    from xcube_spark.sources.features import open_geojson_features
+
+    if sf_dir not in _GEOJSON_PATH:
+        rows = tbl(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey").collect()
+        path = (tempfile.mkdtemp(prefix="xcube_spark_geojson_")
+                + "/places.geojsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for r in sorted(rows, key=lambda r: r.n_nationkey):
+                feat = {
+                    "type": "Feature",
+                    "id": int(r.n_nationkey),
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [r.n_nationkey * 7.5 - 90.0,
+                                        r.n_regionkey * 15.0 - 30.0]},
+                    "properties": {"name": r.n_name},
+                }
+                f.write(json.dumps(feat) + "\n")
+        _GEOJSON_PATH[sf_dir] = path
+    feats = open_geojson_features(spark, _GEOJSON_PATH[sf_dir])
+    pt = r"POINT\((-?[0-9.]+) (-?[0-9.]+)\)"
+    return feats.select(
+        "feature_id",
+        F.get_json_object("properties", "$.name").alias("name"),
+        F.round(F.regexp_extract("geometry", pt, 1).cast("double"), 6)
+        .alias("x"),
+        F.round(F.regexp_extract("geometry", pt, 2).cast("double"), 6)
+        .alias("y"),
+    )
