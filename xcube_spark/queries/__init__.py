@@ -121,6 +121,7 @@ PRIORITY_ORDER = (
     "doc_dedup_canonical",
     "doc_frame_sample",
     "cube_geojson_ingest",
+    "cube_shapefile_ingest",
     # round-9 additions (never sampled yet)
     "doc_bm25_topk",
     "doc_dsir_weights",

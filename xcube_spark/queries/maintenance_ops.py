@@ -730,3 +730,87 @@ def cube_geojson_ingest(spark, sf_dir):
         F.round(F.regexp_extract("geometry", pt, 2).cast("double"), 6)
         .alias("y"),
     )
+
+
+_SHP_PATH: dict[str, str] = {}
+
+
+def _write_point_shapefile(path_base: str, rows) -> str:
+    """Minimal ESRI point shapefile writer (.shp + .dbf, public
+    binary spec) for the ingest gate fixture — records are
+    (id, name, x, y) point features with a C(25) NAME and N(4) NKEY
+    field."""
+    import struct
+
+    recs = b""
+    for i, (nkey, name, x, y) in enumerate(rows, start=1):
+        body = struct.pack("<i2d", 1, float(x), float(y))  # point
+        recs += struct.pack(">2i", i, len(body) // 2) + body
+    xs = [r[2] for r in rows]
+    ys = [r[3] for r in rows]
+    header = struct.pack(">7i", 9994, 0, 0, 0, 0, 0,
+                         (100 + len(recs)) // 2)
+    header += struct.pack("<2i", 1000, 1)
+    header += struct.pack("<8d", min(xs), min(ys), max(xs), max(ys),
+                          0, 0, 0, 0)
+    with open(path_base + ".shp", "wb") as f:
+        f.write(header + recs)
+    n_rec = len(rows)
+    rec_len = 1 + 25 + 4
+    dbf = struct.pack("<B3Bi2H20x", 3, 24, 1, 1, n_rec,
+                      32 + 32 * 2 + 1, rec_len)
+    dbf += (b"NAME" + b"\x00" * 7 + b"C" + b"\x00" * 4 + bytes([25])
+            + b"\x00" * 15)
+    dbf += (b"NKEY" + b"\x00" * 7 + b"N" + b"\x00" * 4 + bytes([4])
+            + b"\x00" * 15)
+    dbf += b"\x0d"
+    for nkey, name, _x, _y in rows:
+        dbf += b" " + name.encode("ascii").ljust(25) \
+            + str(int(nkey)).rjust(4).encode("ascii")
+    with open(path_base + ".dbf", "wb") as f:
+        f.write(dbf)
+    return path_base + ".shp"
+
+
+@query(
+    "cube_shapefile_ingest",
+    sql="""
+        SELECT CAST(n_nationkey AS BIGINT) AS nkey,
+               trim(n_name) AS name,
+               ROUND(CAST(n_nationkey AS DOUBLE) * 7.5 - 90.0, 6) AS x,
+               ROUND(CAST(n_regionkey AS DOUBLE) * 15.0 - 30.0, 6) AS y
+        FROM nation
+    """,
+)
+def cube_shapefile_ingest(spark, sf_dir):
+    """ESRI Shapefile ingest (open_shapefile_features, reference
+    geodataframe accessors via geopandas/Shapefile —
+    xcube/core/store/fs/impl/geodataframe.py): the nation table is
+    written as a point .shp/.dbf pair with this module's minimal
+    spec-level writer and read back through the repo's
+    self-implemented parser (shape records + DBF C/N fields); point
+    coordinates compare numerically after the WKT round-trip."""
+    import tempfile
+
+    from xcube_spark.queries import tbl
+    from xcube_spark.sources.features import open_shapefile_features
+
+    if sf_dir not in _SHP_PATH:
+        rows = [(r.n_nationkey, r.n_name,
+                 r.n_nationkey * 7.5 - 90.0, r.n_regionkey * 15.0 - 30.0)
+                for r in sorted(
+                    tbl(spark, sf_dir, "nation").select(
+                        "n_nationkey", "n_name", "n_regionkey").collect(),
+                    key=lambda r: r.n_nationkey)]
+        base = tempfile.mkdtemp(prefix="xcube_spark_shp_") + "/nations"
+        _SHP_PATH[sf_dir] = _write_point_shapefile(base, rows)
+    feats = open_shapefile_features(spark, _SHP_PATH[sf_dir])
+    pt = r"POINT\((-?[0-9.]+) (-?[0-9.]+)\)"
+    return feats.select(
+        F.col("NKEY").cast("long").alias("nkey"),
+        F.trim("NAME").alias("name"),
+        F.round(F.regexp_extract("geometry", pt, 1).cast("double"), 6)
+        .alias("x"),
+        F.round(F.regexp_extract("geometry", pt, 2).cast("double"), 6)
+        .alias("y"),
+    )
