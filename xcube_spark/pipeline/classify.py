@@ -1,0 +1,229 @@
+"""Supervised classification over the document / embedding tables.
+
+Training-data pipelines routinely attach *learned* labels to every
+document: a language or domain classifier gates what enters the mix, a
+quality classifier (fastText-style) scores candidate pretraining text,
+and a nearest-neighbor vote transfers labels from a curated seed set to
+the raw corpus.  The reference engine has no classifier surface (this
+is additive, like the dedup/sketch families); the shapes here are the
+Spark-first versions of the two standard approaches:
+
+- ``nb_classify``: multinomial Naive Bayes over hashed unigram
+  features, trained and applied in the SAME two corpus scans that the
+  DSIR selector uses (``pipeline/curation.py`` —
+  ``dsir_importance_weights``).  The model is a dense
+  (labels x buckets) log-likelihood table — model-sized, broadcast —
+  so training is one bounded-key aggregate and scoring is one
+  broadcast join + per-doc sum.  No driver-side math, no iteration.
+- ``knn_classify``: k-nearest-neighbor majority vote on the embedding
+  column — the label-transfer / eval primitive.  Neighbor search is
+  the fused one-scan ``knn_bruteforce`` kernel
+  (``pipeline/similarity.py``); the vote itself is integer counting.
+
+Float discipline (round-4 rule): per-(doc, label) score sums ride on
+doubles, so ranking uses the 1e-9-nudged 6-decimal rounding with a
+deterministic label tie-break — the same boundary treatment the BM25
+and DSIR gates use.  Everything after ranking is integer-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "lang",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    text_col: str = "text",
+):
+    """Train a multinomial Naive Bayes model on hashed unigrams.
+
+    Returns ``(priors, loglik)``:
+
+    - ``priors``: one row per label — ``(label, n_docs, log_prior)``
+      where ``log_prior = ln(n_docs / N)``.
+    - ``loglik``: the DENSE ``labels x n_buckets`` table
+      ``(label, f, ll)`` with ``ll = ln((c_{l,f} + alpha) /
+      (t_l + alpha * n_buckets))`` — densified so scoring never needs
+      an outer join for unseen (label, bucket) pairs.
+
+    Feature hashing is the DSIR bucket scheme (first 3 md5 nibbles mod
+    ``n_buckets``, so ``n_buckets`` must be <= 4096) — replayable
+    nibble-for-nibble in any md5-capable engine.  ``alpha`` should be
+    an exact binary fraction (default 0.5, so ``alpha * 4096 = 2048``)
+    to keep both engines dividing identical doubles.
+
+    Scale shape: ONE tokenize+hash scan reduced to <= L*B keys
+    (map-side combine; L = #labels is small by contract), then pure
+    model-sized algebra.  At 100 TB the only corpus-wide cost is that
+    single aggregate scan.
+    """
+    if n_buckets > 4096:
+        raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
+
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    feats = toks.select(
+        "label",
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+         .cast("int") % n_buckets).alias("f"))
+    cf = feats.groupBy("label", "f").agg(F.count("*").alias("c"))
+    ct = cf.groupBy("label").agg(F.sum("c").alias("t"))
+
+    buckets = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("f"))
+    loglik = (
+        ct.crossJoin(buckets)
+        .join(cf, ["label", "f"], "left")
+        .select(
+            "label", "f",
+            F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                  / (F.col("t") + F.lit(alpha * n_buckets))).alias("ll"))
+    )
+
+    n_l = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("n_docs"))
+    n_total = docs.agg(F.count("*").alias("__N"))
+    priors = n_l.crossJoin(F.broadcast(n_total)).select(
+        "label", "n_docs",
+        F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
+    return priors, loglik
+
+
+def nb_classify(
+    docs: DataFrame,
+    label_col: str = "lang",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train-and-apply multinomial Naive Bayes self-classification.
+
+    Trains on ``label_col`` over the full input (the standard
+    "label the corpus with its own metadata, then learn a text model
+    that can label NEW text" recipe — applied here to the training
+    rows themselves so the result is exactly checkable), then scores
+    every document against every label and returns the argmax:
+
+        ``(id, label, pred, score)``
+
+    with ``score = ln p(label') + sum_f c_f(x) * ll(label', f)``
+    maximized over labels ``label'`` (6-decimal nudge-rounded, label
+    tie-break), ``label`` the document's true label.
+
+    Scale shape: the per-(doc, bucket) count table ``pre`` is built
+    ONCE (persisted — it feeds the model-build broadcast job AND the
+    scoring join, like DSIR's feature table); scoring joins it to the
+    broadcast dense model (L*B rows) and reduces L rows per document.
+    The only corpus-wide shuffles are the ``pre`` aggregate and the
+    per-doc score reduce — no vocabulary table, no driver round-trip.
+    """
+    if n_buckets > 4096:
+        raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
+    from xcube_spark.util import spread_small_input, tie_cache_lifetime
+
+    docs = spread_small_input(docs)
+    # per-(doc, bucket) counts — the document's feature vector
+    toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    feats = toks.select(
+        id_col, "label",
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+         .cast("int") % n_buckets).alias("f"))
+    pre = feats.groupBy(id_col, "label", "f").agg(
+        F.count("*").alias("c")).persist()
+
+    # model from the SAME feature table (no re-tokenize): class-feature
+    # counts are a <= L*B-key aggregate of pre
+    cf = pre.groupBy("label", "f").agg(F.sum("c").alias("cc"))
+    ct = cf.groupBy("label").agg(F.sum("cc").alias("t"))
+    buckets = docs.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("f"))
+    loglik = (
+        ct.crossJoin(buckets)
+        .join(cf, ["label", "f"], "left")
+        .select(
+            F.col("label").alias("cand"), "f",
+            F.log((F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha))
+                  / (F.col("t") + F.lit(alpha * n_buckets))).alias("ll"))
+    )
+    n_l = docs.groupBy(F.col(label_col).alias("cand")).agg(
+        F.count("*").alias("n_docs"))
+    n_total = docs.agg(F.count("*").alias("__N"))
+    priors = n_l.crossJoin(F.broadcast(n_total)).select(
+        "cand", F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
+
+    # score every doc against every label: broadcast the dense model,
+    # reduce per (doc, candidate label) with map-side combine
+    scored = (
+        pre.join(F.broadcast(loglik), "f")
+        .groupBy(id_col, "label", "cand")
+        .agg(F.sum(F.col("c") * F.col("ll")).alias("__s"))
+        .join(F.broadcast(priors), "cand")
+        .withColumn(
+            "score",
+            F.round(F.col("__s") + F.col("log_prior") + F.lit(1e-9), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
+    result = (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, "label", F.col("cand").alias("pred"), "score")
+    )
+    tie_cache_lifetime(result, pre)
+    return result
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote label transfer.
+
+    ``corpus`` carries ``(id, vec, label)``; ``queries`` carries
+    ``(query_id, vec)``.  Each query takes the label that the most of
+    its ``k`` exact-cosine nearest corpus vectors carry, ties broken
+    by the smaller label — the label-transfer / classifier-eval
+    primitive (kNN accuracy is the standard embedding-quality probe).
+
+    Returns ``(query_id, pred_label, votes)``.
+
+    Scale shape: neighbor search is the fused single-scan
+    ``knn_bruteforce`` kernel (|Q| x k output); the |Q|*k neighbor set
+    is broadcast against the corpus label projection (big side
+    streams, never shuffles), and the vote is an integer count over
+    |Q|*k rows.  Everything after the ranked neighbor list is exact
+    integer arithmetic — no float boundary in the vote.
+    """
+    from xcube_spark.pipeline.similarity import knn_bruteforce
+
+    nbrs = knn_bruteforce(
+        corpus.select(id_col, vec_col), queries, k=k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col)
+    labels = corpus.select(F.col(id_col), F.col(label_col).alias("__lbl"))
+    votes = (
+        labels.join(F.broadcast(nbrs.select(query_id_col, id_col)), id_col)
+        .groupBy(query_id_col, "__lbl")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("votes"), F.asc("__lbl"))
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(query_id_col, F.col("__lbl").alias("pred_label"), "votes")
+    )

@@ -926,3 +926,93 @@ class NearDupStateStore:
         self._append(tagged_bands, self.bands_table, "bkey")
         batch_sig.unpersist()
         del self._batch_sig_cache
+
+
+def lsh_recall_stats(
+    docs: DataFrame,
+    k: int = 3,
+    num_hashes: int = 8,
+    num_bands: int = 2,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """Recall of the banded-LSH candidate stage against exact-Jaccard
+    truth — the dedup analog of ANN recall evaluation
+    (``similarity.knn_recall``).
+
+    MinHash banding is the probabilistic stage of the near-dup
+    pipeline: a true pair at similarity ``s`` is caught with
+    probability ``1 - (1 - s^r)^b`` (r hashes/band, b bands), so a
+    pipeline owner tuning (k, hashes, bands) needs the measured catch
+    rate, not just the formula.  This computes, in one plan:
+
+    - ``n_truth``:  pairs whose EXACT shingle Jaccard >= ``threshold``
+      (shared-shingle equi-join — only pairs sharing >= 1 shingle can
+      pass any threshold > 0, so the cross product never materializes);
+    - ``n_candidates``: distinct banded-LSH bucket-collision pairs;
+    - ``n_hit``: truth pairs the candidate stage caught (left-semi);
+    - ``recall = n_hit / n_truth`` (6-decimal nudge-rounded).
+
+    One row out.  The shingle table is built ONCE (persisted: it feeds
+    signatures AND the exact-truth join); the truth and candidate pair
+    sets are ALSO persisted — each feeds two consumers (its count and
+    the hit semi-join), and the shared-shingle truth join is the
+    expensive stage.  Counts are exact integers — the only float in
+    the output is the final ratio.
+
+    ``sample_mod``: evaluate on the deterministic ``id % sample_mod
+    == 0`` document subset.  Exact all-pairs truth is inherently
+    quadratic in the duplicate-group size (a shingle shared by 250
+    docs contributes 31k pair rows), so corpus-wide truth is the one
+    thing this pipeline can NEVER afford at 100 TB — a recall
+    estimate over a deterministic holdout sample is the production
+    shape, and the sample filter prunes at the parquet scan.
+    """
+    from xcube_spark.util import tie_cache_lifetime
+
+    if sample_mod is not None:
+        docs = docs.where(F.col(id_col) % sample_mod == 0)
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
+
+    # exact truth: shared-shingle intersection counts vs set sizes
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    truth = (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b")
+    ).persist()
+
+    cands = lsh_candidate_pairs(
+        lsh_bands(minhash_signature(sh, num_hashes=num_hashes,
+                                    id_col=id_col),
+                  num_bands=num_bands, id_col=id_col),
+        id_col=id_col).persist()
+
+    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    stats = (
+        truth.agg(F.count("*").alias("n_truth"))
+        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_truth", "n_candidates", "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_truth")
+                    + F.lit(1e-9), 6).alias("recall"))
+    )
+    tie_cache_lifetime(stats, sh)
+    tie_cache_lifetime(stats, truth)
+    tie_cache_lifetime(stats, cands)
+    return stats

@@ -1370,3 +1370,82 @@ def knn_recall(
             F.round(F.coalesce("n_matched", F.lit(0)).cast("double")
                     / F.col("n_truth") + 1e-9, 6).alias("recall"))
     )
+
+
+# ---- Johnson-Lindenstrauss random projection ---------------------------
+
+
+def rp_sign(j: int, d: int) -> int:
+    """Deterministic Rademacher sign for projection row ``j``, input
+    dim ``d``: +1 when the first md5 nibble of ``"{j}_{d}"`` is even.
+    md5-derived like the minhash/DSIR hashes, so any md5-capable
+    engine replays the matrix bit-for-bit — no RNG state to ship."""
+    import hashlib
+
+    nib = hashlib.md5(f"{j}_{d}".encode()).hexdigest()[0]
+    return 1 if int(nib, 16) % 2 == 0 else -1
+
+
+def random_projection_int8(
+    emb: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sketch on int8-quantized vectors —
+    INTEGER-exact dimensionality reduction.
+
+    Two composed steps, both map-only:
+
+    1. symmetric int8 quantization (``scale = max|v|/127``,
+       ``code_i = round(v_i/scale)`` — the ``emb_quantize_int8``
+       contract), which makes every subsequent sum exact integer
+       arithmetic;
+    2. a +-1 Rademacher projection (Achlioptas 2003: sign-only JL
+       preserves pairwise distances at the same O(eps^-2 log n)
+       target dimension as Gaussian matrices) with the md5-seeded
+       ``rp_sign`` matrix, evaluated as ``out_j = sum_d sign(j,d) *
+       code_d`` via ``zip_with``/``aggregate`` over a LITERAL sign
+       array — whole-stage codegen, zero shuffle, zero UDF.
+
+    Returns ``(id, j, proj)`` — ``out_dim`` rows per vector, BIGINT
+    projections.  At 100 TB this is the cheap "shrink 256-B vectors to
+    out_dim ints before the expensive pairwise stage" move; because
+    both the codes and the signs are integers the result hashes
+    identically on every engine regardless of summation order.
+
+    ``dim`` (input dimensionality) is read from the first row when not
+    given — pass it at scale to keep the builder action-free.
+    """
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("n")).limit(1).collect()
+        if not first:
+            raise ValueError("empty embedding table and dim not given")
+        dim = first[0]["n"]
+
+    v = emb.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("e"))
+    q = v.select(
+        id_col,
+        (F.array_max(F.transform("e", lambda x: F.abs(x))) / F.lit(127.0))
+        .alias("scale"), "e",
+    ).select(
+        id_col,
+        F.transform("e", lambda x: F.round(x / F.col("scale"))
+                    .cast("long")).alias("codes"),
+    )
+    projs = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(rp_sign(j, d)) for d in range(dim)])
+        projs.append(
+            F.struct(
+                F.lit(j).alias("j"),
+                F.aggregate(
+                    F.zip_with("codes", signs, lambda c, s: c * s),
+                    F.lit(0).cast("long"), lambda a, x: a + x,
+                ).alias("proj")).alias(f"__p{j}"))
+    return (
+        q.select(id_col, F.explode(F.array(*projs)).alias("p"))
+        .select(id_col, F.col("p.j").alias("j"), F.col("p.proj").alias("proj"))
+    )

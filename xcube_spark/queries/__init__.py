@@ -113,6 +113,11 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-10 late additions (never sampled yet)
+    "doc_nb_classify",
+    "emb_knn_classify",
+    "emb_random_projection",
+    "doc_lsh_recall",
     # round-10 additions (never sampled yet)
     "doc_image_decode",
     "doc_image_resize",
@@ -246,6 +251,7 @@ def load_all() -> dict[str, Query]:
     the populated registry, reordered so never-driver-sampled queries
     iterate first (the driver checks a prefix sample per round)."""
     from xcube_spark.queries import (  # noqa: F401
+        classify_ops,
         cube_ops,
         curation_ops,
         events_ops,

@@ -1,0 +1,233 @@
+"""Gate queries: supervised classification + JL projection + LSH
+recall evaluation (round-10 additions, driver-brief pipeline family).
+
+The DuckDB oracles replay each pipeline exactly — md5 feature buckets
+nibble-for-nibble, the same smoothing constants (exact binary
+fractions), the same nudge-rounded ranking — so the value-hash compare
+is strict.  Everything after ranking is integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xcube_spark.queries import query, tbl
+from xcube_spark.queries.text_pipeline import _DSIR_F, _MINHASH_CTES
+
+
+@query(
+    "doc_nb_classify",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+            FROM documents
+        ), feats AS (
+            SELECT doc_id, lang, {_DSIR_F} AS f
+            FROM toks WHERE token != ''
+        ), pre AS (
+            SELECT doc_id, lang, f, CAST(COUNT(*) AS BIGINT) AS c
+            FROM feats GROUP BY doc_id, lang, f
+        ), cf AS (
+            SELECT lang AS cand, f, CAST(SUM(c) AS BIGINT) AS cc
+            FROM pre GROUP BY lang, f
+        ), ct AS (
+            SELECT cand, CAST(SUM(cc) AS BIGINT) AS t FROM cf GROUP BY cand
+        ), grid AS (
+            SELECT ct.cand, CAST(g.f AS INT) AS f, ct.t
+            FROM ct CROSS JOIN unnest(range(4096)) AS g(f)
+        ), ll AS (
+            SELECT grid.cand, grid.f,
+                   ln((COALESCE(cf.cc, 0) + 0.5) / (grid.t + 2048.0)) AS ll
+            FROM grid LEFT JOIN cf
+              ON cf.cand = grid.cand AND cf.f = grid.f
+        ), priors AS (
+            SELECT lang AS cand,
+                   ln(COUNT(*) / (SELECT COUNT(*) FROM documents))
+                       AS log_prior
+            FROM documents GROUP BY lang
+        ), scored AS (
+            SELECT pre.doc_id, pre.lang, ll.cand,
+                   ROUND(SUM(pre.c * ll.ll) + p.log_prior + 1e-9, 6)
+                       AS score
+            FROM pre JOIN ll ON pre.f = ll.f
+            JOIN priors p ON p.cand = ll.cand
+            GROUP BY pre.doc_id, pre.lang, ll.cand, p.log_prior
+        ), ranked AS (
+            SELECT doc_id, lang, cand, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, cand) AS rk
+            FROM scored
+        )
+        SELECT doc_id, lang, cand AS pred, score FROM ranked WHERE rk = 1
+    """,
+)
+def doc_nb_classify(spark, sf_dir):
+    """nb_classify (pipeline/classify.py): multinomial Naive Bayes
+    language classifier trained on the corpus's own ``lang`` labels
+    and applied back to every document — the learned-gate primitive a
+    training-data pipeline uses for language/domain/quality routing
+    (additive surface; no reference counterpart).  One tokenize+hash
+    scan builds the per-(doc, bucket) table that feeds BOTH the dense
+    broadcast model (labels x 4096 buckets, DSIR md5 nibbles) and the
+    per-doc score reduce; argmax rides the nudge-rounded 6-decimal
+    score with a label tie-break."""
+    from xcube_spark.pipeline.classify import nb_classify
+
+    out = nb_classify(tbl(spark, sf_dir, "documents"), label_col="lang")
+    return out.select("doc_id", F.col("label").alias("lang"),
+                      "pred", "score")
+
+
+@query(
+    "emb_knn_classify",
+    sql="""
+        WITH c AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 20
+        ), scored AS (
+            SELECT q.query_id, c.vec_id, c.label,
+                   list_dot_product(c.v, q.qv)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+            FROM c, q WHERE c.vec_id >= 20
+        ), ranked AS (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ), votes AS (
+            SELECT query_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+            FROM ranked WHERE rank <= 15
+            GROUP BY query_id, label
+        ), best AS (
+            SELECT query_id, label, votes,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY votes DESC, label) AS rk
+            FROM votes
+        )
+        SELECT query_id, label AS pred_label, votes FROM best WHERE rk = 1
+    """,
+)
+def emb_knn_classify(spark, sf_dir):
+    """knn_classify (pipeline/classify.py): 15-NN majority-vote label
+    transfer from the vec_id >= 20 corpus to the first 20 vectors —
+    the embedding-quality / label-propagation eval primitive.
+    Neighbor search is the fused one-scan knn_bruteforce kernel; the
+    |Q|*k neighbor set joins the corpus label projection broadcast
+    (big side streams); the vote is integer counting with a
+    (votes DESC, label ASC) tie-break."""
+    from xcube_spark.pipeline.classify import knn_classify
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("embedding"))
+    corpus = emb.where(F.col("vec_id") >= 20)
+    queries = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return knn_classify(corpus, queries, k=15)
+
+
+@query(
+    "emb_random_projection",
+    sql="""
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e,
+                   list_max(list_transform(e, x -> abs(x))) / 127.0
+                       AS scale
+            FROM v
+        ), c AS (
+            SELECT vec_id,
+                   list_transform(e, x -> CAST(round(x / scale)
+                                               AS BIGINT)) AS codes
+            FROM s
+        ), signs AS (
+            SELECT CAST(a.j AS INT) AS j, CAST(b.d AS INT) AS d,
+                   CASE WHEN (strpos('0123456789abcdef',
+                                     substr(md5(CAST(a.j AS VARCHAR)
+                                                || '_'
+                                                || CAST(b.d AS VARCHAR)),
+                                            1, 1)) - 1) % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+            FROM unnest(range(16)) AS a(j), unnest(range(64)) AS b(d)
+        )
+        SELECT c.vec_id, signs.j,
+               CAST(SUM(signs.sgn * c.codes[signs.d + 1]) AS BIGINT)
+                   AS proj
+        FROM c, signs
+        GROUP BY c.vec_id, signs.j
+    """,
+)
+def emb_random_projection(spark, sf_dir):
+    """random_projection_int8 (pipeline/similarity.py): +-1 Rademacher
+    Johnson-Lindenstrauss sketch (64 -> 16 dims) on int8-quantized
+    vectors — integer-exact end to end, so the hash compare rides no
+    float summation order.  Spark evaluates the projection as literal
+    sign arrays in whole-stage codegen (map-only, zero shuffle); the
+    oracle replays the md5-parity sign matrix and the emb_quantize_int8
+    quantization algebra."""
+    from xcube_spark.pipeline.similarity import random_projection_int8
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return random_projection_int8(emb, out_dim=16, dim=64)
+
+
+#: the minhash CTE chain restricted to the deterministic 25% eval
+#: sample (doc_id % 4 == 0) — exact all-pairs truth is quadratic in
+#: the duplicate-group size, so the recall gate evaluates a holdout
+#: sample exactly like the library's sample_mod path
+_MINHASH_CTES_SAMPLED = _MINHASH_CTES.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id % 4 = 0)")
+
+
+@query(
+    "doc_lsh_recall",
+    sql=f"""
+        WITH {_MINHASH_CTES_SAMPLED},
+        truth_c AS (
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+            FROM sh x JOIN sh y
+              ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        ), tpairs AS (
+            SELECT t.id_a, t.id_b
+            FROM truth_c t
+            JOIN sizes sa ON sa.doc_id = t.id_a
+            JOIN sizes sb ON sb.doc_id = t.id_b
+            WHERE t.c / (sa.n + sb.n - t.c) >= 0.8
+        ), hit AS (
+            SELECT tp.id_a, tp.id_b FROM tpairs tp
+            WHERE EXISTS (SELECT 1 FROM cands c
+                          WHERE c.id_a = tp.id_a AND c.id_b = tp.id_b)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM tpairs) AS BIGINT) AS n_truth,
+               CAST((SELECT COUNT(*) FROM cands) AS BIGINT)
+                   AS n_candidates,
+               CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit,
+               ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM tpairs) + 1e-9, 6)
+                   AS recall
+    """,
+)
+def doc_lsh_recall(spark, sf_dir):
+    """lsh_recall_stats (pipeline/dedup.py): measured catch rate of
+    the banded-LSH candidate stage against exact shingle-Jaccard truth
+    (threshold 0.8) — the dedup analog of emb_knn_recall, what a
+    pipeline owner tunes (k, hashes, bands) against.  Evaluated on the
+    deterministic doc_id % 4 == 0 holdout sample (corpus-wide exact
+    truth is quadratic in duplicate-group size — never affordable at
+    scale; the estimator is the production shape).  The shingle table
+    is built once and feeds both the signature chain and the
+    shared-shingle exact-truth join; output is one row of exact counts
+    plus the rounded recall ratio."""
+    from xcube_spark.pipeline.dedup import lsh_recall_stats
+
+    return lsh_recall_stats(tbl(spark, sf_dir, "documents"),
+                            sample_mod=4)
