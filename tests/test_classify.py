@@ -146,3 +146,76 @@ def test_lsh_recall_bounds(spark, sf_dir):
 def test_nb_plan_has_no_python_udf(spark):
     plan = nb_classify(_docs(spark))._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_nb_state_merge_equals_recompute(spark):
+    """Incremental NB: state(old) + merge(new) classifies every doc
+    with scores IDENTICAL to the single-pass batch classifier."""
+    from xcube_spark.pipeline.classify import (nb_classify_from_state,
+                                               nb_count_state, nb_merge)
+
+    docs = _docs(spark)
+    state = nb_count_state(docs.where("doc_id < 10"), label_col="lang",
+                           n_buckets=64)
+    merged = nb_merge(state, docs.where("doc_id >= 10"),
+                      label_col="lang", n_buckets=64)
+    inc = sorted(nb_classify_from_state(merged, docs, label_col="lang",
+                                        n_buckets=64).collect())
+    full = sorted(nb_classify(docs, label_col="lang",
+                              n_buckets=64).collect())
+    assert inc == full
+
+    # state shape: sparse feature rows plus one f=-1 prior row/label
+    srows = merged.collect()
+    assert {r["f"] for r in srows if r["f"] < 0} == {-1}
+    prior = {r["label"]: r["c"] for r in srows if r["f"] == -1}
+    assert prior == {"aa": 13, "bb": 12}
+
+
+def test_nb_merge_is_associative(spark):
+    from xcube_spark.pipeline.classify import nb_count_state, nb_merge
+
+    docs = _docs(spark)
+    a = docs.where("doc_id < 8")
+    b = docs.where("doc_id >= 8 AND doc_id < 16")
+    c = docs.where("doc_id >= 16")
+    left = nb_merge(nb_merge(nb_count_state(a, n_buckets=32), b,
+                             n_buckets=32), c, n_buckets=32)
+    right = nb_merge(nb_count_state(docs.where("doc_id < 16"),
+                                    n_buckets=32), c, n_buckets=32)
+    assert sorted(left.collect()) == sorted(right.collect())
+
+
+def test_streaming_nb_sink_matches_batch_training(spark, tmp_path):
+    """run_nb_counts_stream: the count state after two micro-batches
+    is value-identical to single-pass training, and classification
+    from the streamed state reproduces the batch classifier exactly
+    (streaming classifier training; + merges need the exactly-once
+    guard)."""
+    from xcube_spark.pipeline.classify import (nb_classify,
+                                               nb_classify_from_state,
+                                               nb_count_state)
+    from xcube_spark.streaming.sketch_sink import run_nb_counts_stream
+
+    docs = _docs(spark).select("doc_id", "lang", "text")
+    src = str(tmp_path / "nb_src")
+    docs.where("doc_id < 12").coalesce(1).write.parquet(src + "/p=a")
+    docs.where("doc_id >= 12").coalesce(1).write.parquet(src + "/p=b")
+    stream = (
+        spark.readStream.schema("doc_id long, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_nb_counts_stream(
+        stream, str(tmp_path / "nb_state"), str(tmp_path / "nb_ckpt"),
+        label_col="lang", n_buckets=64)
+    want = sorted(nb_count_state(docs, label_col="lang",
+                                 n_buckets=64).collect())
+    assert sorted(state.collect()) == want
+    streamed = sorted(
+        nb_classify_from_state(state, docs, label_col="lang",
+                               n_buckets=64).collect())
+    batch = sorted(nb_classify(docs, label_col="lang",
+                               n_buckets=64).collect())
+    assert streamed == batch

@@ -95,6 +95,69 @@ def nb_train(
     return priors, loglik
 
 
+def _nb_features(docs: DataFrame, id_col: str, label_col: str | None,
+                 text_col: str, n_buckets: int) -> DataFrame:
+    """Per-(doc[, label], bucket) token counts — the document feature
+    vectors.  One tokenize + md5-bucket pass (the DSIR hash)."""
+    cols = [F.col(id_col)]
+    if label_col is not None:
+        cols.append(F.col(label_col).alias("label"))
+    toks = docs.select(
+        *cols,
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    keys = [id_col] + (["label"] if label_col is not None else [])
+    return toks.select(
+        *keys,
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+         .cast("int") % n_buckets).alias("f"),
+    ).groupBy(*keys, "f").agg(F.count("*").alias("c"))
+
+
+def _nb_model(cf: DataFrame, ct: DataFrame, n_l: DataFrame,
+              spark, n_buckets: int, alpha: float):
+    """Dense log-likelihood grid + log-prior table from integer count
+    tables: ``cf`` (cand, f, cc), ``ct`` (cand, t), ``n_l``
+    (cand, n_docs).  Shared by the batch and from-state paths so both
+    compute scores with the IDENTICAL op order (bit parity)."""
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("f"))
+    loglik = (
+        ct.crossJoin(buckets)
+        .join(cf, ["cand", "f"], "left")
+        .select(
+            "cand", "f",
+            F.log((F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha))
+                  / (F.col("t") + F.lit(alpha * n_buckets))).alias("ll"))
+    )
+    n_total = n_l.agg(F.sum("n_docs").alias("__N"))
+    priors = n_l.crossJoin(F.broadcast(n_total)).select(
+        "cand", F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
+    return loglik, priors
+
+
+def _nb_score(pre: DataFrame, loglik: DataFrame, priors: DataFrame,
+              id_col: str) -> DataFrame:
+    """Score per-doc feature counts against the broadcast dense model
+    and take the nudge-rounded argmax (label tie-break)."""
+    carry = [c for c in pre.columns if c not in (id_col, "f", "c")]
+    scored = (
+        pre.join(F.broadcast(loglik), "f")
+        .groupBy(id_col, *carry, "cand")
+        .agg(F.sum(F.col("c") * F.col("ll")).alias("__s"))
+        .join(F.broadcast(priors), "cand")
+        .withColumn(
+            "score",
+            F.round(F.col("__s") + F.col("log_prior") + F.lit(1e-9), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(id_col, *carry, F.col("cand").alias("pred"), "score")
+    )
+
+
 def nb_classify(
     docs: DataFrame,
     label_col: str = "lang",
@@ -129,56 +192,22 @@ def nb_classify(
     from xcube_spark.util import spread_small_input, tie_cache_lifetime
 
     docs = spread_small_input(docs)
-    # per-(doc, bucket) counts — the document's feature vector
-    toks = docs.select(
-        F.col(id_col),
-        F.col(label_col).alias("label"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
-    ).where(F.col("token") != "")
-    feats = toks.select(
-        id_col, "label",
-        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
-         .cast("int") % n_buckets).alias("f"))
-    pre = feats.groupBy(id_col, "label", "f").agg(
-        F.count("*").alias("c")).persist()
+    # per-(doc, label, bucket) counts — the document feature vectors;
+    # persisted because they feed BOTH the model-build broadcast jobs
+    # and the scoring join
+    pre = _nb_features(docs, id_col, label_col, text_col,
+                       n_buckets).persist()
 
     # model from the SAME feature table (no re-tokenize): class-feature
     # counts are a <= L*B-key aggregate of pre
-    cf = pre.groupBy("label", "f").agg(F.sum("c").alias("cc"))
-    ct = cf.groupBy("label").agg(F.sum("cc").alias("t"))
-    buckets = docs.sparkSession.range(n_buckets).select(
-        F.col("id").cast("int").alias("f"))
-    loglik = (
-        ct.crossJoin(buckets)
-        .join(cf, ["label", "f"], "left")
-        .select(
-            F.col("label").alias("cand"), "f",
-            F.log((F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha))
-                  / (F.col("t") + F.lit(alpha * n_buckets))).alias("ll"))
-    )
+    cf = pre.groupBy(F.col("label").alias("cand"), "f").agg(
+        F.sum("c").alias("cc"))
+    ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
     n_l = docs.groupBy(F.col(label_col).alias("cand")).agg(
         F.count("*").alias("n_docs"))
-    n_total = docs.agg(F.count("*").alias("__N"))
-    priors = n_l.crossJoin(F.broadcast(n_total)).select(
-        "cand", F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
-
-    # score every doc against every label: broadcast the dense model,
-    # reduce per (doc, candidate label) with map-side combine
-    scored = (
-        pre.join(F.broadcast(loglik), "f")
-        .groupBy(id_col, "label", "cand")
-        .agg(F.sum(F.col("c") * F.col("ll")).alias("__s"))
-        .join(F.broadcast(priors), "cand")
-        .withColumn(
-            "score",
-            F.round(F.col("__s") + F.col("log_prior") + F.lit(1e-9), 6))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
-    result = (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(id_col, "label", F.col("cand").alias("pred"), "score")
-    )
+    loglik, priors = _nb_model(cf, ct, n_l, docs.sparkSession,
+                               n_buckets, alpha)
+    result = _nb_score(pre, loglik, priors, id_col)
     tie_cache_lifetime(result, pre)
     return result
 
@@ -227,3 +256,93 @@ def knn_classify(
         .where(F.col("__rk") == 1)
         .select(query_id_col, F.col("__lbl").alias("pred_label"), "votes")
     )
+
+
+# ---- incremental / streaming model maintenance -------------------------
+
+#: (label, f, c): f in [0, n_buckets) are feature counts; the f = -1
+#: row per label carries the label's DOCUMENT count (the prior)
+NB_STATE_SCHEMA = "label STRING, f INT, c BIGINT"
+
+
+def nb_count_state(
+    docs: DataFrame,
+    label_col: str = "lang",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """The Naive Bayes model's MERGEABLE sufficient statistics: sparse
+    (label, bucket) token counts plus per-label document counts
+    (encoded as the reserved bucket ``f = -1``).  All integers, so
+    states from disjoint batches merge by addition into exactly the
+    single-pass state — incremental training over a growing corpus
+    never re-reads old data and is value-identical to retraining
+    (the probe/sketch-family contract).
+
+    Scale shape: one tokenize+hash scan reduced map-side to <= L *
+    (n_buckets + 1) rows — kilobytes of state for any corpus size.
+    """
+    if n_buckets > 4096:
+        raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
+    # feature counts keyed by label only (no doc id)
+    toks = docs.select(
+        F.col(label_col).cast("string").alias("label"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    fc = toks.select(
+        "label",
+        (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
+         .cast("int") % n_buckets).alias("f"),
+    ).groupBy("label", "f").agg(F.count("*").alias("c"))
+    dc = docs.groupBy(F.col(label_col).cast("string").alias("label")).agg(
+        F.count("*").alias("c")).select(
+            "label", F.lit(-1).cast("int").alias("f"), "c")
+    return fc.select("label", "f", "c").unionByName(dc)
+
+
+def nb_merge(state: DataFrame, batch: DataFrame,
+             label_col: str = "lang", n_buckets: int = 4096,
+             text_col: str = "text") -> DataFrame:
+    """Fold a new document batch into an existing count state:
+    O(batch) work, value-identical to rebuilding the state over the
+    concatenated corpus (integer addition is associative and
+    commutative)."""
+    fresh = nb_count_state(batch, label_col=label_col,
+                           n_buckets=n_buckets, text_col=text_col)
+    return (
+        state.unionByName(fresh)
+        .groupBy("label", "f")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def nb_classify_from_state(
+    state: DataFrame,
+    docs: DataFrame,
+    label_col: str = "lang",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained (possibly incrementally merged) count state to
+    a document set — same output contract as ``nb_classify``
+    (id, label, pred, score), and BIT-IDENTICAL scores when the state
+    covers exactly the classified corpus (shared ``_nb_model`` /
+    ``_nb_score`` op order), which is what the incremental gate pins:
+    merge == recompute, exact."""
+    from xcube_spark.util import spread_small_input, tie_cache_lifetime
+
+    docs = spread_small_input(docs)
+    cf = state.where(F.col("f") >= 0).select(
+        F.col("label").alias("cand"), "f", F.col("c").alias("cc"))
+    ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
+    n_l = state.where(F.col("f") == -1).select(
+        F.col("label").alias("cand"), F.col("c").alias("n_docs"))
+    loglik, priors = _nb_model(cf, ct, n_l, docs.sparkSession,
+                               n_buckets, alpha)
+    pre = _nb_features(docs, id_col, label_col, text_col,
+                       n_buckets).persist()
+    result = _nb_score(pre, loglik, priors, id_col)
+    tie_cache_lifetime(result, pre)
+    return result

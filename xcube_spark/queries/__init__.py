@@ -115,6 +115,7 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
+    "doc_incremental_nb",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

@@ -15,9 +15,10 @@ from xcube_spark.queries import query, tbl
 from xcube_spark.queries.text_pipeline import _DSIR_F, _MINHASH_CTES
 
 
-@query(
-    "doc_nb_classify",
-    sql=rf"""
+#: the full NB train+apply oracle — shared by the batch gate and the
+#: incremental gate (whose Spark side must be value-identical:
+#: merge == recompute, exact)
+_NB_SQL = rf"""
         WITH toks AS (
             SELECT doc_id, lang,
                    UNNEST(regexp_split_to_array(trim(text), '\s+'))
@@ -61,8 +62,10 @@ from xcube_spark.queries.text_pipeline import _DSIR_F, _MINHASH_CTES
             FROM scored
         )
         SELECT doc_id, lang, cand AS pred, score FROM ranked WHERE rk = 1
-    """,
-)
+    """
+
+
+@query("doc_nb_classify", sql=_NB_SQL)
 def doc_nb_classify(spark, sf_dir):
     """nb_classify (pipeline/classify.py): multinomial Naive Bayes
     language classifier trained on the corpus's own ``lang`` labels
@@ -231,3 +234,29 @@ def doc_lsh_recall(spark, sf_dir):
 
     return lsh_recall_stats(tbl(spark, sf_dir, "documents"),
                             sample_mod=4)
+
+
+@query("doc_incremental_nb", sql=_NB_SQL)
+def doc_incremental_nb(spark, sf_dir):
+    """Incrementally-trained Naive Bayes (pipeline/classify.py
+    nb_count_state/nb_merge/nb_classify_from_state): the count state
+    is built over the 'already processed' corpus (doc_id % 3 == 0), the
+    rest is folded in with an O(batch) merge (integer count addition),
+    and classification runs from the merged state.  The oracle is the
+    SINGLE-PASS classifier over everything: passing means incremental
+    training is value-identical to retraining — exact, because counts
+    are associative/commutative integer sums and the from-state path
+    shares the batch path's model/score op order (bit parity).  The
+    streaming twin (streaming/sketch_sink.py run_nb_counts_stream)
+    publishes the same state from micro-batches."""
+    from xcube_spark.pipeline.classify import (nb_classify_from_state,
+                                               nb_count_state, nb_merge)
+
+    docs = tbl(spark, sf_dir, "documents")
+    state = nb_count_state(docs.where(F.col("doc_id") % 3 == 0),
+                           label_col="lang")
+    merged = nb_merge(state, docs.where(F.col("doc_id") % 3 != 0),
+                      label_col="lang")
+    out = nb_classify_from_state(merged, docs, label_col="lang")
+    return out.select("doc_id", F.col("label").alias("lang"),
+                      "pred", "score")

@@ -274,3 +274,47 @@ def run_pca_moments_stream(
     q.awaitTermination()
     return _read_state(emb_stream.sparkSession, state_dir,
                        PCA_STATE_SCHEMA)
+
+
+def run_nb_counts_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    label_col: str = "lang",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drain a streaming DataFrame of labeled documents into the
+    Naive Bayes count state (pipeline/classify.py nb_count_state /
+    nb_merge) — streaming CLASSIFIER training with <= L*(B+1) rows of
+    state: the model after any sequence of micro-batches is
+    value-identical to training on the concatenated stream (integer
+    count sums are associative/commutative), so
+    ``nb_classify_from_state`` over the published state reproduces
+    the batch classifier exactly.  Count addition is NOT idempotent,
+    so the published-version guard is load-bearing (the CMS
+    exactly-once argument)."""
+    from xcube_spark.pipeline.classify import (NB_STATE_SCHEMA,
+                                               nb_merge)
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        state = _read_state(spark, state_dir, NB_STATE_SCHEMA)
+        _publish(nb_merge(state, batch_df, label_col=label_col,
+                          n_buckets=n_buckets, text_col=text_col),
+                 state_dir, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(doc_stream.sparkSession, state_dir,
+                       NB_STATE_SCHEMA)
