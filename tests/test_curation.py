@@ -902,3 +902,35 @@ def test_probe_moments_merge_equals_recompute_bitwise(spark):
                      "y", "x1", "x2")
     merged = st.collect()[0]
     assert merged.asDict() == full.asDict()
+
+
+def test_contamination_matrix_detects_cross_split_dup(spark):
+    """A doc duplicated across two splits must light up both ordered
+    cells of the matrix; disjoint-content splits stay zero."""
+    from pyspark.sql import Row
+
+    from xcube_spark.pipeline.curation import contamination_matrix
+
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="the quick brown fox jumps high"),
+        Row(doc_id=1, text="the quick brown fox jumps high"),  # dup of 0
+        Row(doc_id=2, text="entirely different tokens here now ok"),
+    ])
+    split_df = spark.createDataFrame([
+        Row(doc_id=0, split="train"),
+        Row(doc_id=1, split="test"),
+        Row(doc_id=2, split="val"),
+    ])
+    out = {(r["split_a"], r["split_b"]): r
+           for r in contamination_matrix(docs, split_df).collect()}
+    assert len(out) == 6  # full ordered 3x3 grid minus diagonal
+    # 6 tokens -> 4 distinct trigrams shared between train and test
+    assert out[("train", "test")]["n_shared_grams"] == 4
+    assert out[("test", "train")]["n_shared_grams"] == 4
+    assert out[("train", "test")]["n_docs_hit"] == 1
+    assert out[("test", "train")]["n_docs_hit"] == 1
+    # val shares nothing with anyone
+    for a, b in out:
+        if "val" in (a, b):
+            assert out[(a, b)]["n_shared_grams"] == 0
+            assert out[(a, b)]["n_docs_hit"] == 0

@@ -915,3 +915,67 @@ def chunk_split(
         F.size("__chunk").cast("long").alias("n_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     )
+
+
+def contamination_matrix(
+    docs: DataFrame,
+    split_df: DataFrame | None = None,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-split contamination matrix: for every ORDERED pair of
+    splits (a, b), how many distinct word n-grams the two splits share
+    and how many split-b documents carry at least one split-a n-gram —
+    the audit a training pipeline runs after splitting to prove the
+    eval sets are not leaked into train (and vice versa).  Exact
+    duplicates scattered across splits by the id hash are precisely
+    what this surfaces.
+
+    Returns the full (a != b) pair grid:
+    ``(split_a, split_b, n_shared_grams, n_docs_hit)`` — zero-filled,
+    all integer counts.
+
+    Scale shape: one n-gram pass (the codegen'd ``ngrams``) joined to
+    the split assignment; the split-level distinct gram table is the
+    only corpus-wide shuffle, and the pair join fans out by at most
+    the number of splits per gram (a handful).  Output is
+    splits^2-sized.  No pairwise doc join anywhere.
+    """
+    if split_df is None:
+        split_df = assign_split(docs, id_col=id_col)
+    splits = split_df.select(id_col, "split")
+    grams = ngrams(docs, text_col, n).join(splits, id_col)
+    sg = grams.select("split", "ngram").distinct()
+
+    a = sg.select(F.col("split").alias("split_a"), "ngram")
+    b = sg.select(F.col("split").alias("split_b"), "ngram")
+    shared = (
+        a.join(b, "ngram")
+        .where(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("__shared"))
+    )
+    hits = (
+        grams.select(F.col("split").alias("split_b"), id_col, "ngram")
+        .join(a, "ngram")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("split_a", "split_b", id_col)
+        .distinct()
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("__hit"))
+    )
+    names = splits.select("split").distinct()
+    grid = (
+        names.select(F.col("split").alias("split_a"))
+        .crossJoin(names.select(F.col("split").alias("split_b")))
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    return (
+        grid.join(shared, ["split_a", "split_b"], "left")
+        .join(hits, ["split_a", "split_b"], "left")
+        .select(
+            "split_a", "split_b",
+            F.coalesce("__shared", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("__hit", F.lit(0)).alias("n_docs_hit"))
+    )

@@ -116,6 +116,7 @@ PRIORITY_ORDER = (
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",
+    "doc_contamination_matrix",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

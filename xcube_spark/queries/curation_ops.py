@@ -1032,3 +1032,70 @@ def doc_chunk_split(spark, sf_dir):
     out = chunk_split(docs, chunk_tokens=64, overlap=16)
     return out.select("doc_id", "chunk_idx", "start_token",
                       "n_tokens", "chunk_text")
+
+
+@query(
+    "doc_contamination_matrix",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS lst FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   lst[i + 1] || ' ' || lst[i + 2] || ' ' || lst[i + 3]
+                       AS ngram
+            FROM toks, unnest(range(len(lst) - 2)) AS u(i)
+            WHERE len(lst) >= 3
+        ), sp AS (
+            SELECT doc_id,
+                   CASE WHEN b < 8000 THEN 'train'
+                        WHEN b < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((doc_id * 2654435761) % 4294967296) % 10000 AS b
+                  FROM documents)
+        ), g AS (
+            SELECT grams.doc_id, ngram, split
+            FROM grams JOIN sp USING (doc_id)
+        ), sg AS (
+            SELECT DISTINCT split, ngram FROM g
+        ), shared AS (
+            SELECT a.split AS split_a, b.split AS split_b,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM sg a JOIN sg b USING (ngram)
+            WHERE a.split != b.split GROUP BY 1, 2
+        ), hits AS (
+            SELECT a.split AS split_a, g.split AS split_b,
+                   CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n
+            FROM g JOIN sg a USING (ngram)
+            WHERE a.split != g.split GROUP BY 1, 2
+        ), grid AS (
+            SELECT a.split AS split_a, b.split AS split_b
+            FROM (SELECT DISTINCT split FROM sp) a,
+                 (SELECT DISTINCT split FROM sp) b
+            WHERE a.split != b.split
+        )
+        SELECT grid.split_a, grid.split_b,
+               CAST(COALESCE(shared.n, 0) AS BIGINT) AS n_shared_grams,
+               CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_docs_hit
+        FROM grid
+        LEFT JOIN shared USING (split_a, split_b)
+        LEFT JOIN hits USING (split_a, split_b)
+    """,
+)
+def doc_contamination_matrix(spark, sf_dir):
+    """contamination_matrix (pipeline/curation.py): the post-split
+    leakage audit — distinct shared word-3-grams and contaminated doc
+    counts for every ordered split pair under the deterministic
+    80/10/10 hash assignment.  Exact duplicates scattered across
+    splits by the id hash are exactly what it surfaces (the replicated
+    test corpus guarantees nonzero cells).  One n-gram pass; the
+    split-level distinct gram table is the only corpus-wide shuffle;
+    the pair join fans out by at most #splits per gram; output is
+    splits^2 rows of exact integers."""
+    from xcube_spark.pipeline.curation import (assign_split,
+                                               contamination_matrix)
+
+    docs = tbl(spark, sf_dir, "documents")
+    split_df = assign_split(
+        docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    return contamination_matrix(docs, split_df)
