@@ -115,11 +115,13 @@ def _nb_features(docs: DataFrame, id_col: str, label_col: str | None,
 
 
 def _nb_model(cf: DataFrame, ct: DataFrame, n_l: DataFrame,
-              spark, n_buckets: int, alpha: float):
-    """Dense log-likelihood grid + log-prior table from integer count
-    tables: ``cf`` (cand, f, cc), ``ct`` (cand, t), ``n_l``
-    (cand, n_docs).  Shared by the batch and from-state paths so both
-    compute scores with the IDENTICAL op order (bit parity)."""
+              spark, n_buckets: int, alpha: float) -> DataFrame:
+    """ONE dense broadcast model table ``(cand, f, ll, log_prior)``
+    from integer count tables: ``cf`` (cand, f, cc), ``ct`` (cand, t),
+    ``n_l`` (cand, n_docs).  Shared by the batch and from-state paths
+    so both compute scores with the IDENTICAL op order (bit parity).
+    Folding the prior into the loglik rows (constant per label) keeps
+    the whole model in a single broadcast build job instead of two."""
     buckets = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("f"))
     loglik = (
@@ -133,29 +135,48 @@ def _nb_model(cf: DataFrame, ct: DataFrame, n_l: DataFrame,
     n_total = n_l.agg(F.sum("n_docs").alias("__N"))
     priors = n_l.crossJoin(F.broadcast(n_total)).select(
         "cand", F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
-    return loglik, priors
+    return loglik.join(priors, "cand")
 
 
-def _nb_score(pre: DataFrame, loglik: DataFrame, priors: DataFrame,
-              id_col: str) -> DataFrame:
+def _nb_score(pre: DataFrame, model: DataFrame, id_col: str) -> DataFrame:
     """Score per-doc feature counts against the broadcast dense model
-    and take the nudge-rounded argmax (label tie-break)."""
+    and take the nudge-rounded argmax (label tie-break).
+
+    The model is PIVOTED to one row per bucket with L log-likelihood
+    columns (label list + priors collected at plan build — model-sized,
+    the PQ-codebook precedent), so the scoring join is 1:1 instead of
+    fanning every feature row out L times, and the per-doc reduce
+    carries ONE row of L partial sums per document through the shuffle
+    rather than L rows — at 100 TB that is 1/L of the score-stage
+    shuffle bytes.  The argmax is then pure Column math:
+    ``array_min`` over (negated score, label) structs — the
+    deterministic cross-engine argmin idiom.  Scores are strictly
+    negative (sums of log-probabilities), so negation never produces
+    IEEE -0.0."""
     carry = [c for c in pre.columns if c not in (id_col, "f", "c")]
+    rows = model.select("cand", "log_prior").distinct().collect()
+    labels = sorted(r["cand"] for r in rows)
+    prior = {r["cand"]: r["log_prior"] for r in rows}
+    mp = model.groupBy("f").pivot("cand", labels).agg(F.first("ll"))
+    mp = mp.select(
+        "f", *[F.col(f"`{lbl}`").alias(f"__l{i}")
+               for i, lbl in enumerate(labels)])
     scored = (
-        pre.join(F.broadcast(loglik), "f")
-        .groupBy(id_col, *carry, "cand")
-        .agg(F.sum(F.col("c") * F.col("ll")).alias("__s"))
-        .join(F.broadcast(priors), "cand")
-        .withColumn(
-            "score",
-            F.round(F.col("__s") + F.col("log_prior") + F.lit(1e-9), 6))
+        pre.join(F.broadcast(mp), "f")
+        .groupBy(id_col, *carry)
+        .agg(*[F.sum(F.col("c") * F.col(f"__l{i}")).alias(f"__s{i}")
+               for i in range(len(labels))])
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("cand"))
-    return (
-        scored.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") == 1)
-        .select(id_col, *carry, F.col("cand").alias("pred"), "score")
-    )
+    cands = F.array(*[
+        F.struct(
+            (-F.round(F.col(f"__s{i}") + F.lit(prior[lbl]) + F.lit(1e-9),
+                      6)).alias("k"),
+            F.lit(lbl).alias("cand"))
+        for i, lbl in enumerate(labels)])
+    best = F.array_min(cands)
+    return scored.select(
+        id_col, *carry, best["cand"].alias("pred"),
+        (-best["k"]).alias("score"))
 
 
 def nb_classify(
@@ -205,9 +226,9 @@ def nb_classify(
     ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
     n_l = docs.groupBy(F.col(label_col).alias("cand")).agg(
         F.count("*").alias("n_docs"))
-    loglik, priors = _nb_model(cf, ct, n_l, docs.sparkSession,
-                               n_buckets, alpha)
-    result = _nb_score(pre, loglik, priors, id_col)
+    model = _nb_model(cf, ct, n_l, docs.sparkSession,
+                      n_buckets, alpha)
+    result = _nb_score(pre, model, id_col)
     tie_cache_lifetime(result, pre)
     return result
 
@@ -339,10 +360,10 @@ def nb_classify_from_state(
     ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
     n_l = state.where(F.col("f") == -1).select(
         F.col("label").alias("cand"), F.col("c").alias("n_docs"))
-    loglik, priors = _nb_model(cf, ct, n_l, docs.sparkSession,
-                               n_buckets, alpha)
+    model = _nb_model(cf, ct, n_l, docs.sparkSession,
+                      n_buckets, alpha)
     pre = _nb_features(docs, id_col, label_col, text_col,
                        n_buckets).persist()
-    result = _nb_score(pre, loglik, priors, id_col)
+    result = _nb_score(pre, model, id_col)
     tie_cache_lifetime(result, pre)
     return result
