@@ -219,3 +219,24 @@ def test_streaming_nb_sink_matches_batch_training(spark, tmp_path):
     batch = sorted(nb_classify(docs, label_col="lang",
                                n_buckets=64).collect())
     assert streamed == batch
+
+
+def test_centroid_classify_separable_and_tiebreak(spark):
+    from xcube_spark.pipeline.classify import centroid_classify
+
+    rows = []
+    for i in range(4):
+        rows.append(Row(vec_id=100 + i, label=1,
+                        embedding=[10.0, 0.0 + i]))
+        rows.append(Row(vec_id=200 + i, label=2,
+                        embedding=[0.0 + i, 10.0]))
+    train = spark.createDataFrame(rows)
+    queries = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[9.0, 1.0]),
+         Row(vec_id=1, embedding=[1.0, 9.0]),
+         # exactly between both centroids -> tie -> lowest label
+         Row(vec_id=2, embedding=[5.75, 5.75])])
+    out = {r["vec_id"]: r["pred_label"] for r in
+           centroid_classify(train, queries, dim=2).collect()}
+    assert out[0] == 1 and out[1] == 2
+    assert out[2] == 1  # equidistant tie -> min label

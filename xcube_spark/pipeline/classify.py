@@ -367,3 +367,46 @@ def nb_classify_from_state(
     result = _nb_score(pre, model, id_col)
     tie_cache_lifetime(result, pre)
     return result
+
+
+def centroid_classify(
+    train: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Rocchio nearest-class-mean classification on the embedding
+    column: per-label centroid = mean vector over ``train``, each
+    query vector assigned to the nearest centroid by L2
+    (``similarity.ivf_assign``'s broadcast ``min(struct(d2, label))``
+    argmin — one scan, zero corpus shuffle, exact-distance ties to the
+    lowest label).
+
+    Returns ``(id, pred_label)``.  Pass integer-valued vectors (e.g.
+    int8-quantized codes) for cross-engine exactness: integer partial
+    sums make every centroid mean bit-identical, and the fixed-order
+    d2 fold then compares identical doubles (the ``emb_kmeans``
+    discipline).
+
+    Scale shape: the centroid build is one partial-agg mean per
+    (label, dimension) — L*d reduce keys; assignment is the broadcast
+    argmin scan.  Label transfer over 100 TB costs one pass.
+    """
+    from xcube_spark.pipeline.similarity import ivf_assign
+
+    dims = train.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(vec_col).alias("__d", "__v"))
+    cent = (
+        dims.groupBy("__lbl", "__d").agg(F.avg("__v").alias("__m"))
+        .groupBy("__lbl")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("__d", "__m"))).alias("__dm"))
+        .select(F.col("__lbl").alias(id_col),
+                F.transform("__dm", lambda s: s["__m"]).alias(vec_col))
+    )
+    assigned = ivf_assign(queries.select(id_col, vec_col), cent,
+                          id_col=id_col, vec_col=vec_col, dim=dim)
+    return assigned.select(id_col, F.col("cell").alias("pred_label"))

@@ -117,6 +117,7 @@ PRIORITY_ORDER = (
     "doc_nb_classify",
     "doc_incremental_nb",
     "doc_contamination_matrix",
+    "emb_centroid_classify",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

@@ -272,3 +272,85 @@ def doc_incremental_nb(spark, sf_dir):
                                            label_col="lang")
     return memo[key].select("doc_id", F.col("label").alias("lang"),
                             "pred", "score")
+
+
+def _rocchio_d2_sql(x: str, c: str, dim: int = 64) -> str:
+    # the fixed left-to-right IEEE op sequence of ivf_assign's fold
+    # (acc starts 0.0) — the emb_kmeans d2 idiom
+    terms = [f"({x}[{i}] - {c}[{i}]) * ({x}[{i}] - {c}[{i}])"
+             for i in range(1, dim + 1)]
+    expr = "(0.0 + " + terms[0] + ")"
+    for t in terms[1:]:
+        expr = f"({expr} + {t})"
+    return expr
+
+
+_ROCCHIO_D2 = _rocchio_d2_sql("v.codes", "cent.cent")
+
+
+@query(
+    "emb_centroid_classify",
+    sql=f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), v AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(
+                       emb, x -> round(
+                           x / (list_max(list_transform(
+                                    emb, y -> abs(y))) / 127.0)))
+                       AS codes
+            FROM e
+        ), cent AS MATERIALIZED (
+            SELECT label AS cid, list(m ORDER BY i) AS cent
+            FROM (
+                SELECT label, s.i, avg(codes[s.i]) AS m
+                FROM v, generate_series(1, 64) s(i)
+                WHERE vec_id >= 20
+                GROUP BY label, s.i
+            )
+            GROUP BY label
+        ), a AS (
+            SELECT v.vec_id, v.label,
+                   min(struct_pack(d := {_ROCCHIO_D2},
+                                   cid := cent.cid)).cid AS pred
+            FROM v, cent
+            GROUP BY v.vec_id, v.label
+        )
+        SELECT label, pred AS pred_label,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM a GROUP BY label, pred
+    """,
+)
+def emb_centroid_classify(spark, sf_dir):
+    """centroid_classify (pipeline/classify.py): Rocchio nearest-
+    class-mean classification — per-label centroids trained on the
+    vec_id >= 20 corpus, EVERY vector assigned to its nearest
+    centroid, reported as the confusion matrix (label, pred_label, n).
+    Vectors are int8-quantized first so the centroid means are exact
+    identical doubles cross-engine, and d2 is the same left-to-right
+    fold (unrolled in the oracle) — the emb_kmeans exactness
+    discipline.  One partial-agg centroid build (L x d reduce keys) +
+    one broadcast argmin scan; confusion counts are exact integers."""
+    from xcube_spark.pipeline.classify import centroid_classify
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    codes = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "e",
+            lambda x: F.round(
+                x / (F.array_max(F.transform("e", lambda y: F.abs(y)))
+                     / F.lit(127.0)))).alias("codes"))
+    train = codes.where(F.col("vec_id") >= 20)
+    pred = centroid_classify(train, codes, label_col="label",
+                             id_col="vec_id", vec_col="codes", dim=64)
+    return (
+        codes.select("vec_id", "label")
+        .join(pred, "vec_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
