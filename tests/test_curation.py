@@ -934,3 +934,34 @@ def test_contamination_matrix_detects_cross_split_dup(spark):
         if "val" in (a, b):
             assert out[(a, b)]["n_shared_grams"] == 0
             assert out[(a, b)]["n_docs_hit"] == 0
+
+
+def test_class_rebalance_balances_and_is_stable(spark):
+    from pyspark.sql import Row
+
+    from xcube_spark.pipeline.curation import class_rebalance
+
+    rows = ([Row(doc_id=i, lang="big") for i in range(20)]
+            + [Row(doc_id=100 + i, lang="small") for i in range(5)])
+    docs = spark.createDataFrame([Row(doc_id=r.doc_id, lang=r.lang,
+                                      text="x") for r in rows])
+    out = class_rebalance(docs, label_col="lang").collect()
+    kept = {r["label"]: sum(1 for x in out
+                            if x["label"] == r["label"] and x["kept"])
+            for r in out}
+    assert kept == {"big": 5, "small": 5}  # balanced to min class
+    assert len(out) == 25  # every doc reported
+
+    # stability: adding docs never drops a previously kept doc's rank
+    grown = docs.union(spark.createDataFrame(
+        [Row(doc_id=200 + i, lang="small", text="x") for i in range(5)]))
+    before = {r["doc_id"] for r in out if r["kept"] and r["label"] == "big"}
+    after_rows = class_rebalance(grown, label_col="lang",
+                                 per_class=5).collect()
+    after = {r["doc_id"] for r in after_rows
+             if r["kept"] and r["label"] == "big"}
+    assert before == after  # big class picks unchanged by small growth
+
+    # explicit per_class cap
+    capped = class_rebalance(docs, label_col="lang", per_class=3).collect()
+    assert sum(1 for r in capped if r["kept"]) == 3 + 3

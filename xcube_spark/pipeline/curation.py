@@ -979,3 +979,43 @@ def contamination_matrix(
             F.coalesce("__shared", F.lit(0)).alias("n_shared_grams"),
             F.coalesce("__hit", F.lit(0)).alias("n_docs_hit"))
     )
+
+
+def class_rebalance(
+    docs: DataFrame,
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    per_class: int | None = None,
+) -> DataFrame:
+    """Deterministic per-class downsampling for classifier training
+    sets: keep at most ``per_class`` documents of every label (default
+    = the size of the smallest class, i.e. fully balanced), selected
+    by md5-hash order so reruns and grown corpora keep the same picks
+    for unchanged ids — no RNG, no ordering dependence.
+
+    Returns ``(id, label, kept)`` for every input document.
+
+    Scale shape: one hash-ranked window per label partition (L
+    partitions; for skewed majority classes the per-partition sort is
+    the cost — at 100 TB pre-filter with a sampled count threshold or
+    accept the one sort, which is still a single shuffle).  The
+    min-class size is a broadcast one-row aggregate, never a driver
+    round-trip.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        F.col(id_col), F.col(label_col).alias("label"),
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("label").orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col))),
+    )
+    if per_class is None:
+        counts = ranked.groupBy("label").agg(F.count("*").alias("__n"))
+        cap = counts.agg(F.min("__n").alias("__cap"))
+        return ranked.crossJoin(F.broadcast(cap)).select(
+            id_col, "label", (F.col("__rk") <= F.col("__cap")).alias("kept"))
+    return ranked.select(
+        id_col, "label", (F.col("__rk") <= per_class).alias("kept"))

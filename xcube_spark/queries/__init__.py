@@ -118,6 +118,7 @@ PRIORITY_ORDER = (
     "doc_incremental_nb",
     "doc_contamination_matrix",
     "emb_centroid_classify",
+    "doc_class_rebalance",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

@@ -1099,3 +1099,35 @@ def doc_contamination_matrix(spark, sf_dir):
     split_df = assign_split(
         docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
     return contamination_matrix(docs, split_df)
+
+
+@query(
+    "doc_class_rebalance",
+    sql="""
+        WITH ranked AS (
+            SELECT doc_id, lang AS label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM documents
+        ), cap AS (
+            SELECT MIN(n) AS cap
+            FROM (SELECT COUNT(*) AS n FROM ranked GROUP BY label)
+        )
+        SELECT doc_id, label, rk <= cap AS kept
+        FROM ranked CROSS JOIN cap
+    """,
+)
+def doc_class_rebalance(spark, sf_dir):
+    """class_rebalance (pipeline/curation.py): balance a classifier
+    training set by downsampling every language class to the smallest
+    class's size, picked by deterministic md5-hash order (reruns and
+    grown corpora keep the same picks — the assign_split idempotence
+    property applied to per-class sampling).  One hash-ranked window
+    per label partition; the min-class cap is a broadcast one-row
+    aggregate."""
+    from xcube_spark.pipeline.curation import class_rebalance
+
+    return class_rebalance(tbl(spark, sf_dir, "documents"),
+                           label_col="lang")
