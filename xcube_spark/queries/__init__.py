@@ -119,6 +119,7 @@ PRIORITY_ORDER = (
     "doc_contamination_matrix",
     "emb_centroid_classify",
     "doc_class_rebalance",
+    "doc_bm25_selfretrieval",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

@@ -1119,3 +1119,110 @@ def doc_incremental_probe(spark, sf_dir):
         .alias("y_hat"),
         F.round(F.round(F.col("resid") + 1e-6, 4) + 0.0, 4)
         .alias("resid"))
+
+
+@query(
+    "doc_bm25_selfretrieval",
+    sql=r"""
+        WITH q AS (
+            SELECT doc_id AS query_id,
+                   array_to_string(
+                       list_slice(regexp_split_to_array(trim(text),
+                                                        '\s+'), 1, 8),
+                       ' ') AS query_text
+            FROM documents WHERE doc_id % 499 = 0
+        ), qt AS (
+            SELECT DISTINCT query_id,
+                   UNNEST(regexp_split_to_array(trim(query_text),
+                                                '\s+')) AS token
+            FROM q
+        ), qtok AS (
+            SELECT query_id, token FROM qt WHERE token != ''
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(len(regexp_split_to_array(trim(text),
+                                                      '\s+')))
+                        AS BIGINT) AS tdl
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS dl,
+                   UNNEST(regexp_split_to_array(trim(text), '\s+'))
+                       AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, dl, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM toks
+            WHERE token != '' AND token IN (SELECT token FROM qtok)
+            GROUP BY doc_id, dl, token
+        ), dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token
+        ), scored AS (
+            SELECT qtok.query_id, tf.doc_id,
+                   ln(1.0 + (stats.n - dfreq.df + 0.5)
+                      / (dfreq.df + 0.5))
+                   * (tf.tf * CAST(2.2 AS DOUBLE))
+                   / (tf.tf + CAST(1.2 AS DOUBLE)
+                      * (0.25 + CAST(0.75 AS DOUBLE)
+                         * tf.dl * stats.n / stats.tdl))
+                       AS s
+            FROM tf
+            JOIN qtok USING (token)
+            CROSS JOIN stats
+            JOIN dfreq USING (token)
+        ), agg AS (
+            SELECT query_id, doc_id,
+                   ROUND(SUM(s) + 1e-9, 6) AS score
+            FROM scored GROUP BY query_id, doc_id
+        ), ranked AS (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id)
+                       AS rank
+            FROM agg
+        ), hits AS (
+            SELECT query_id, rank FROM ranked
+            WHERE rank <= 10 AND doc_id = query_id
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM q) AS n_queries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_hit,
+               ROUND((SELECT COALESCE(SUM(CAST(1.0 AS DOUBLE) / rank),
+                                      0.0) FROM hits)
+                     / (SELECT COUNT(*) FROM q) + 1e-9, 6) AS mrr
+    """,
+)
+def doc_bm25_selfretrieval(spark, sf_dir):
+    """Retrieval-quality evaluation: every doc_id % 499 == 0 document
+    issues its own first-8-token excerpt as a query, and MRR@10
+    measures whether BM25 finds the source document (pipeline/text.py
+    bm25_topk — the knn_recall analog for the retrieval family; exact
+    duplicates outranking the source via the doc_id tie-break are
+    real signal on a replicated corpus).  The query set is
+    corpus-size/101 — still broadcast-safe by the bm25 contract — and
+    everything after the ranked candidate list is one |hits|-row
+    aggregate; output is one row of exact counts plus the
+    nudge-rounded MRR."""
+    from xcube_spark.pipeline.text import bm25_topk
+
+    docs = tbl(spark, sf_dir, "documents")
+    queries = docs.where(F.col("doc_id") % 499 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8),
+            " ").alias("query_text"))
+    res = bm25_topk(docs, queries, k=10)
+    hits = res.where(F.col("query_id") == F.col("doc_id"))
+    n_q = queries.agg(F.count("*").alias("n_queries"))
+    summary = hits.agg(
+        F.count("*").alias("n_hit"),
+        F.coalesce(F.sum(F.lit(1.0) / F.col("rank")),
+                   F.lit(0.0)).alias("__rr"))
+    return (
+        n_q.crossJoin(summary)
+        .select(
+            "n_queries", "n_hit",
+            F.round(F.col("__rr") / F.col("n_queries") + F.lit(1e-9), 6)
+            .alias("mrr"))
+    )
