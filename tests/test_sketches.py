@@ -441,3 +441,64 @@ def test_streaming_pca_sink_matches_batch_moments(spark, tmp_path):
         assert ra.dim_i == rb.dim_i
         assert abs(ra.mean_i - rb.mean_i) < 1e-12
         assert abs(ra.var_i - rb.var_i) < 1e-12
+
+
+def test_bloom_merge_equals_single_pass(spark, sf_dir):
+    """bloom_merge: OR of two half-benchmark bitmaps == the bitmap of
+    the whole suite, bit for bit; merge is idempotent."""
+    from xcube_spark.pipeline.curation import ngrams_narrow
+    from xcube_spark.pipeline.sketches import (bloom_filter_build,
+                                               bloom_merge)
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 97 = 0")
+    whole = bloom_filter_build(
+        ngrams_narrow(bench, "text", 3), "ngram",
+        m_bits=1 << 12, k=3).collect()[0]["bloom"]
+    a = bloom_filter_build(
+        ngrams_narrow(bench.where("doc_id % 194 = 0"), "text", 3),
+        "ngram", m_bits=1 << 12, k=3)
+    b = bloom_filter_build(
+        ngrams_narrow(bench.where("doc_id % 194 != 0"), "text", 3),
+        "ngram", m_bits=1 << 12, k=3)
+    merged = bloom_merge(a, b).collect()[0]["bloom"]
+    assert merged == whole
+    again = bloom_merge(bloom_merge(a, b), b).collect()[0]["bloom"]
+    assert again == whole  # idempotent under replay
+
+
+def test_streaming_bloom_sink_matches_batch_filter(spark, tmp_path,
+                                                   sf_dir):
+    """run_bloom_filter_stream: the bitmap after two micro-batches is
+    bit-identical to the single-pass build, and decontamination from
+    the streamed filter reproduces the batch flags."""
+    from xcube_spark.pipeline.curation import ngrams_narrow
+    from xcube_spark.pipeline.sketches import (bloom_decontaminate,
+                                               bloom_filter_build)
+    from xcube_spark.streaming.sketch_sink import run_bloom_filter_stream
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 97 = 0").select("doc_id", "text")
+    src = str(tmp_path / "bloom_src")
+    bench.where("doc_id % 194 = 0").coalesce(1).write.parquet(src + "/p=a")
+    bench.where("doc_id % 194 != 0").coalesce(1).write.parquet(src + "/p=b")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    state = run_bloom_filter_stream(
+        stream, str(tmp_path / "bloom_state"),
+        str(tmp_path / "bloom_ckpt"), n=3, m_bits=1 << 12, k=3)
+    want = bloom_filter_build(
+        ngrams_narrow(bench, "text", 3), "ngram",
+        m_bits=1 << 12, k=3).collect()[0]["bloom"]
+    assert state.collect()[0]["bloom"] == want
+    streamed_flags = sorted(
+        bloom_decontaminate(docs, n=3, m_bits=1 << 12, k=3,
+                            bloom=state).collect())
+    batch_flags = sorted(
+        bloom_decontaminate(docs, bench, n=3, m_bits=1 << 12,
+                            k=3).collect())
+    assert streamed_flags == batch_flags

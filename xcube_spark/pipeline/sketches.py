@@ -963,3 +963,16 @@ def sample_quantiles_sql(id_col: str, value_col: str, src: str,
                {qcols}
         FROM smp
     """
+
+
+def bloom_merge(state: DataFrame, fresh: DataFrame) -> DataFrame:
+    """OR-merge two one-row Bloom bitmaps (same m_bits/k by contract):
+    word-wise ``bit_or`` via ``zip_with``.  OR is idempotent AND
+    associative/commutative, so any merge order — including replayed
+    micro-batches — produces the bitmap of the union gram set, bit
+    for bit (the strongest of the sketch-family merge contracts)."""
+    return (
+        state.crossJoin(fresh.select(F.col("bloom").alias("__b2")))
+        .select(F.zip_with("bloom", "__b2",
+                           lambda a, b: a.bitwiseOR(b)).alias("bloom"))
+    )

@@ -120,6 +120,7 @@ PRIORITY_ORDER = (
     "emb_centroid_classify",
     "doc_class_rebalance",
     "doc_bm25_selfretrieval",
+    "doc_incremental_bloom",
     "emb_knn_classify",
     "emb_random_projection",
     "doc_lsh_recall",

@@ -536,9 +536,9 @@ def _bloom_hit_sql(i: int) -> str:
             f" & {_bloom_mask_sql(f'{pos} % 64')}) != 0)")
 
 
-@query(
-    "doc_bloom_decontaminate",
-    sql=rf"""
+#: the full bloom build+probe oracle — shared by the batch gate and
+#: the incremental gate (OR-merge == single-pass build, value-exact)
+_BLOOM_DECON_SQL = rf"""
         WITH toks AS (
             SELECT doc_id, {_TOKS} AS lst FROM documents
         ), grams AS (
@@ -575,8 +575,10 @@ def _bloom_hit_sql(i: int) -> str:
                CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
                COALESCE(n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits USING (doc_id)
-    """,
-)
+    """
+
+
+@query("doc_bloom_decontaminate", sql=_BLOOM_DECON_SQL)
 def doc_bloom_decontaminate(spark, sf_dir):
     """bloom_decontaminate (pipeline/sketches.py): the shuffle-free
     twin of doc_decontaminate — benchmark 3-grams (docs with id % 97
@@ -1131,3 +1133,32 @@ def doc_class_rebalance(spark, sf_dir):
 
     return class_rebalance(tbl(spark, sf_dir, "documents"),
                            label_col="lang")
+
+
+@query("doc_incremental_bloom", sql=_BLOOM_DECON_SQL)
+def doc_incremental_bloom(spark, sf_dir):
+    """Incrementally-built Bloom decontamination filter
+    (pipeline/sketches.py bloom_filter_build/bloom_merge): the bitmap
+    is built over half the benchmark suite (doc_id % 194 == 0), the
+    other half ORs in as a second batch, and the corpus probes the
+    merged filter.  The oracle is the SINGLE-PASS bloom gate: passing
+    means bit-OR merge is value-identical to building over the whole
+    suite at once — the strongest sketch merge contract (idempotent
+    AND exact).  The streaming twin
+    (streaming/sketch_sink.py run_bloom_filter_stream) publishes the
+    same bitmap from micro-batches."""
+    from xcube_spark.pipeline.sketches import (bloom_decontaminate,
+                                               bloom_filter_build,
+                                               bloom_merge)
+
+    docs = tbl(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    half_a = bloom_filter_build(
+        ngrams_narrow(bench.where(F.col("doc_id") % 194 == 0),
+                      "text", 3), "ngram", m_bits=1 << 16, k=3)
+    half_b = bloom_filter_build(
+        ngrams_narrow(bench.where(F.col("doc_id") % 194 != 0),
+                      "text", 3), "ngram", m_bits=1 << 16, k=3)
+    merged = bloom_merge(half_a, half_b)
+    return bloom_decontaminate(docs, n=3, m_bits=1 << 16, k=3,
+                               bloom=merged)

@@ -318,3 +318,52 @@ def run_nb_counts_stream(
     q.awaitTermination()
     return _read_state(doc_stream.sparkSession, state_dir,
                        NB_STATE_SCHEMA)
+
+
+BLOOM_STATE_SCHEMA = "bloom ARRAY<BIGINT>"
+
+
+def run_bloom_filter_stream(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """Drain a streaming DataFrame of benchmark documents into ONE
+    Bloom bitmap row (pipeline/sketches.py bloom_filter_build /
+    bloom_merge) — the streaming decontamination-filter maintenance
+    shape: eval suites arrive over time, the published bitmap is
+    always the filter of everything seen, and corpus shards probe it
+    broadcast (bloom_decontaminate(bloom=...)).  Bit-OR merge is
+    idempotent, so replays are harmless even without the version
+    guard — the guard stays for uniformity with the other sinks."""
+    from xcube_spark.pipeline.curation import ngrams_narrow
+    from xcube_spark.pipeline.sketches import (bloom_filter_build,
+                                               bloom_merge)
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        applied = _current_version(state_dir)
+        if applied is not None and applied >= batch_id:
+            return
+        fresh = bloom_filter_build(
+            ngrams_narrow(batch_df, text_col, n), "ngram",
+            m_bits=m_bits, k=k)
+        state = _read_state(spark, state_dir, BLOOM_STATE_SCHEMA)
+        merged = fresh if state.isEmpty() else bloom_merge(state, fresh)
+        _publish(merged, state_dir, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_state(doc_stream.sparkSession, state_dir,
+                       BLOOM_STATE_SCHEMA)
