@@ -240,3 +240,56 @@ def test_centroid_classify_separable_and_tiebreak(spark):
            centroid_classify(train, queries, dim=2).collect()}
     assert out[0] == 1 and out[1] == 2
     assert out[2] == 1  # equidistant tie -> min label
+
+
+# ---- logistic probe (round-10 third-session addition) -------------------
+
+
+def _logreg_feats(spark):
+    # linearly separable in x1: positives cluster at x1 ~ 2,
+    # negatives at x1 ~ -2; x2 is pure noise-free redundancy
+    rows = []
+    for i in range(20):
+        rows.append(Row(doc_id=i, y=1.0,
+                        x1=2.0 + (i % 5) * 0.1, x2=1.0))
+    for i in range(20, 40):
+        rows.append(Row(doc_id=i, y=0.0,
+                        x1=-2.0 - (i % 5) * 0.1, x2=-1.0))
+    return spark.createDataFrame(rows)
+
+
+def test_logistic_probe_learns_separable(spark):
+    from xcube_spark.pipeline.classify import logistic_probe
+
+    out = logistic_probe(_logreg_feats(spark), "y", ["x1", "x2"],
+                         lr=0.5, steps=12).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r["pred"] == r["y"], (r["doc_id"], r["p"])
+        # confident on separable data after 12 steps
+        assert (r["p"] > 0.6) == (r["y"] == 1)
+
+
+def test_logistic_probe_deterministic(spark):
+    from xcube_spark.pipeline.classify import logistic_probe_train
+
+    f = _logreg_feats(spark)
+    w1 = logistic_probe_train(f, "y", ["x1", "x2"], steps=4)
+    w2 = logistic_probe_train(f.repartition(7), "y", ["x1", "x2"],
+                              steps=4)
+    assert w1 == w2  # grid-rounded trajectory, partition-independent
+
+
+def test_logistic_probe_gradient_matches_numpy(spark):
+    import numpy as np
+    from xcube_spark.pipeline.classify import logistic_probe_train
+
+    f = _logreg_feats(spark)
+    w = logistic_probe_train(f, "y", ["x1", "x2"], lr=0.5, steps=1)
+    pdf = f.toPandas()
+    X = np.column_stack([np.ones(len(pdf)), pdf.x1, pdf.x2])
+    p = 1.0 / (1.0 + np.exp(0.0))  # w=0 -> p=0.5 everywhere
+    g = (p - pdf.y.values) @ X / len(pdf)
+    expect = [round(0.0 - 0.5 * round(gi + 1e-10, 7) + 1e-10, 7)
+              for gi in g]
+    assert w == pytest.approx(expect, abs=2e-7)

@@ -410,3 +410,111 @@ def centroid_classify(
     assigned = ivf_assign(queries.select(id_col, vec_col), cent,
                           id_col=id_col, vec_col=vec_col, dim=dim)
     return assigned.select(id_col, F.col("cell").alias("pred_label"))
+
+
+# ---- iterative probes ---------------------------------------------------
+
+
+def logistic_probe_train(
+    feats: DataFrame,
+    y_col: str,
+    x_cols,
+    lr: float = 0.5,
+    steps: int = 6,
+    round_dec: int = 7,
+) -> list:
+    """Train a logistic-regression probe by full-batch gradient
+    descent: ``steps`` fixed iterations, each ONE map-side-combined
+    aggregate over the persisted feature projection.
+
+    The model is ``1 + len(x_cols)`` floats held on the driver —
+    model-sized state, the same contract as the BPE argmax collect —
+    so 100 TB training cost is exactly ``steps`` corpus scans with
+    zero corpus shuffles and zero corpus-sized driver traffic.  This
+    is the learned-quality-gate shape one tier up from the closed-form
+    OLS probe (``curation.linear_probe``): fastText-style binary
+    quality/language classifiers for pretraining-data selection are
+    logistic models trained exactly like this.
+
+    Cross-engine determinism: each gradient average and each weight
+    update is nudge-rounded (``+1e-10``, ``round_dec`` decimals,
+    HALF_UP — the Spark/DuckDB parity pair) INSIDE the one-row
+    aggregate plan, so both engines walk the same rounded weight
+    trajectory no matter how partial sums were ordered; per-row
+    sigmoid terms are plain IEEE ops in a fixed left-associated shape.
+    ``lr`` must be an exact binary fraction (default 0.5) so the
+    update multiply is exact.
+
+    Returns the weight list ``[b, w1, ..., wk]`` (floats on the
+    rounded grid).
+    """
+    x_cols = list(x_cols)
+    pinned = feats.select(
+        F.col(y_col).cast("double").alias("_y"),
+        *[F.col(c).cast("double").alias(f"_x{i}")
+          for i, c in enumerate(x_cols)],
+    ).persist()
+    try:
+        w = [0.0] * (1 + len(x_cols))
+        for _ in range(steps):
+            z = F.lit(w[0])
+            for i in range(len(x_cols)):
+                z = z + F.lit(w[i + 1]) * F.col(f"_x{i}")
+            err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("_y")
+            grads = [F.round(F.avg(err) + F.lit(1e-10),
+                             round_dec).alias("g0")]
+            grads += [
+                F.round(F.avg(err * F.col(f"_x{i}")) + F.lit(1e-10),
+                        round_dec).alias(f"g{i + 1}")
+                for i in range(len(x_cols))
+            ]
+            # the update nudge is load-bearing: w is on the 1e-7 grid
+            # and lr*g on the 5e-8 half-grid, so w - lr*g lands on
+            # EXACT round-half midpoints systematically — and Spark's
+            # BigDecimal-exact HALF_UP disagrees with DuckDB's
+            # multiply-based round there.  +1e-10 moves every update
+            # off the midpoint identically on both engines.
+            upd = pinned.agg(*grads).select(*[
+                F.round(F.lit(w[i]) - F.lit(lr) * F.col(f"g{i}")
+                        + F.lit(1e-10), round_dec).alias(f"w{i}")
+                for i in range(len(w))
+            ])
+            row = upd.first()
+            w = [float(row[f"w{i}"]) for i in range(len(w))]
+    finally:
+        pinned.unpersist()
+    return w
+
+
+def logistic_probe(
+    feats: DataFrame,
+    y_col: str,
+    x_cols,
+    id_col: str = "doc_id",
+    lr: float = 0.5,
+    steps: int = 6,
+    round_dec: int = 7,
+) -> DataFrame:
+    """Train (``logistic_probe_train``) and apply a logistic probe.
+
+    Returns ``(id, y, p, pred)`` with RAW double ``p`` (round in the
+    caller with the nudged-6-decimal idiom); ``pred`` is the 0.5
+    threshold as an exact integer.  Scoring is one broadcast-literal
+    scan — the trained weights ride into the plan as literals, so the
+    apply pass is pure per-row Column math (whole-stage codegen, no
+    join, no shuffle).
+    """
+    x_cols = list(x_cols)
+    w = logistic_probe_train(feats, y_col, x_cols, lr=lr, steps=steps,
+                             round_dec=round_dec)
+    z = F.lit(w[0])
+    for i, c in enumerate(x_cols):
+        z = z + F.lit(w[i + 1]) * F.col(c).cast("double")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        F.col(id_col),
+        F.col(y_col).cast("long").alias("y"),
+        p.alias("p"),
+        F.when(p >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("pred"),
+    )

@@ -113,6 +113,8 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # round-10 third-session additions (never sampled yet)
+    "doc_logreg_probe",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -354,3 +354,96 @@ def emb_centroid_classify(spark, sf_dir):
         .groupBy("label", "pred_label")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _logreg_sql(steps: int = 6, lr: float = 0.5, dec: int = 7) -> str:
+    """Unrolled gradient-descent twin of ``classify.logistic_probe``:
+    one CTE pair (gradient aggregate, weight update) per step, every
+    float expression in the SAME left-associated shape and on the same
+    nudge-rounded grid as the Spark plan."""
+    ctes = [
+        r"""f AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                        AS DOUBLE) * 0.01 AS x1,
+                   CAST(length(text) - length(replace(text, 'a', ''))
+                        AS DOUBLE) * 0.01 AS x2
+            FROM documents
+        )""",
+        "w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2)",
+    ]
+    for s in range(steps):
+        z = f"((w{s}.b + (w{s}.w1 * f.x1)) + (w{s}.w2 * f.x2))"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        ctes.append(
+            f"""g{s} AS (
+            SELECT round(avg(({p} - f.y)) + 1e-10, {dec}) AS g0,
+                   round(avg((({p} - f.y) * f.x1)) + 1e-10, {dec}) AS g1,
+                   round(avg((({p} - f.y) * f.x2)) + 1e-10, {dec}) AS g2
+            FROM f, w{s}
+        )""")
+        ctes.append(
+            f"""w{s + 1} AS (
+            SELECT round(w{s}.b - ({lr!r} * g{s}.g0) + 1e-10, {dec})
+                       AS b,
+                   round(w{s}.w1 - ({lr!r} * g{s}.g1) + 1e-10, {dec})
+                       AS w1,
+                   round(w{s}.w2 - ({lr!r} * g{s}.g2) + 1e-10, {dec})
+                       AS w2
+            FROM w{s}, g{s}
+        )""")
+    zf = (f"((w{steps}.b + (w{steps}.w1 * f.x1))"
+          f" + (w{steps}.w2 * f.x2))")
+    pf = f"(1.0 / (1.0 + exp(-{zf})))"
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT f.doc_id,
+               CAST(f.y AS BIGINT) AS y,
+               round(round({pf} + 1e-9, 6) + 0.0, 6) AS p,
+               CAST(CASE WHEN {pf} >= 0.5 THEN 1 ELSE 0 END AS INT)
+                   AS pred
+        FROM f, w{steps}
+    """)
+
+
+@query("doc_logreg_probe", sql=_logreg_sql())
+def doc_logreg_probe(spark, sf_dir):
+    """logistic_probe (pipeline/classify.py): a fastText-style binary
+    quality/language gate trained by full-batch gradient descent — 6
+    fixed steps, each ONE map-side-combined aggregate over the
+    persisted feature projection, model = 3 driver floats (the
+    model-sized-collect contract), scoring = one literal-broadcast
+    codegen scan.  This is the iterative tier above the closed-form
+    OLS probe: the "train a classifier over 100 TB in k scans" shape
+    (additive surface; no reference counterpart).  Label: lang = 'en';
+    features: token count and 'a'-count, scaled by 0.01.  The oracle
+    unrolls the identical 6-step trajectory in chained CTEs; every
+    gradient average and weight update is nudge-rounded to 7 decimals
+    on both engines, so the weight path is grid-locked and the final
+    per-row sigmoid differs only in sub-nudge ulps.  Memoized per
+    (session, sf_dir) so the 6 training actions run once per suite."""
+    from xcube_spark.pipeline.classify import logistic_probe
+    from xcube_spark.queries.text_pipeline import _PLAN_CACHE
+
+    memo = _PLAN_CACHE.setdefault(spark, {})
+    key = ("logreg", sf_dir)
+    if key not in memo:
+        docs = tbl(spark, sf_dir, "documents")
+        feats = docs.select(
+            "doc_id",
+            F.when(F.col("lang") == "en", F.lit(1.0))
+            .otherwise(F.lit(0.0)).alias("y"),
+            (F.size(F.split(F.trim(F.col("text")), r"\s+"))
+             .cast("double") * F.lit(0.01)).alias("x1"),
+            ((F.length("text")
+              - F.length(F.expr("replace(text, 'a', '')")))
+             .cast("double") * F.lit(0.01)).alias("x2"),
+        )
+        memo[key] = logistic_probe(feats, "y", ["x1", "x2"],
+                                   lr=0.5, steps=6)
+    out = memo[key]
+    return out.select(
+        "doc_id", "y",
+        F.round(F.round(F.col("p") + 1e-9, 6) + 0.0, 6).alias("p"),
+        "pred")
