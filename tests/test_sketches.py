@@ -502,3 +502,46 @@ def test_streaming_bloom_sink_matches_batch_filter(spark, tmp_path,
         bloom_decontaminate(docs, bench, n=3, m_bits=1 << 12,
                             k=3).collect())
     assert streamed_flags == batch_flags
+
+
+# ---- Misra-Gries heavy hitters (round-10 third-session addition) ---------
+
+
+def test_mg_heavy_hitters_bounds_and_recovery(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.sketches import mg_heavy_hitters
+
+    # 'hot' appears 40x spread over 4 buckets, tail tokens once each
+    rows = []
+    for i in range(40):
+        rows.append(Row(bucket=i % 4, token="hot"))
+    for i in range(60):
+        rows.append(Row(bucket=i % 4, token=f"tail{i}"))
+    for i in range(12):
+        rows.append(Row(bucket=i % 4, token="warm"))
+    tokens = spark.createDataFrame(rows)
+    out = mg_heavy_hitters(tokens, k=3, top=5).collect()
+    true = {"hot": 40, "warm": 12}
+    by_tok = {r["token"]: r for r in out}
+    assert "hot" in by_tok and by_tok["hot"]["est"] <= 40 <= by_tok["hot"]["ub"]
+    # every reported token satisfies est <= true <= ub
+    for r in out:
+        t = true.get(r["token"], 1)
+        assert r["est"] <= t <= r["ub"], r
+    # the heavy item ranks first
+    assert out[0]["token"] == "hot"
+
+
+def test_mg_summaries_error_bound(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from xcube_spark.pipeline.sketches import mg_summaries
+
+    rows = [Row(bucket=0, token=f"t{i % 7}") for i in range(100)]
+    tokens = spark.createDataFrame(rows)
+    summ = mg_summaries(tokens, k=3).collect()
+    assert len(summ) <= 3
+    total = 100
+    for r in summ:
+        # clamped residual obeys the MG bound: s >= c - total/(k+1)
+        assert r["t"] <= total // 4 + 1

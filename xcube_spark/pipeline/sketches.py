@@ -38,6 +38,7 @@ import math
 
 from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "hll_cardinality",
@@ -975,4 +976,93 @@ def bloom_merge(state: DataFrame, fresh: DataFrame) -> DataFrame:
         state.crossJoin(fresh.select(F.col("bloom").alias("__b2")))
         .select(F.zip_with("bloom", "__b2",
                            lambda a, b: a.bitwiseOR(b)).alias("bloom"))
+    )
+
+
+# ---- Misra-Gries-style mergeable heavy hitters ---------------------------
+
+
+def mg_summaries(
+    tokens: DataFrame,
+    token_col: str = "token",
+    bucket_col: str = "bucket",
+    k: int = 8,
+) -> DataFrame:
+    """Per-bucket deterministic Misra-Gries summaries.
+
+    Each bucket (= stream shard / partition in a real deployment)
+    compresses its exact token counts to at most ``k`` survivors via
+    the clamped-residual rule: with ``T_b`` = the ``(k+1)``-th largest
+    count in the bucket (0 if fewer than ``k+1`` distinct tokens),
+    each survivor carries ``s = c - T_b`` (rows where ``s <= 0``
+    drop).  This is a canonical deterministic member of the MG
+    summary family: ``c - total_b/(k+1) <= s <= c`` holds because
+    ``k+1`` tokens have count >= ``T_b`` so ``T_b <= total_b/(k+1)``
+    — the classic MG error bound, but independent of arrival order
+    (plain streaming MG's counter values are order-dependent, which
+    would make a cross-engine value hash meaningless).
+
+    Returns ``(bucket, token, s, t)`` where ``t`` repeats the
+    bucket's threshold ``T_b`` (the bucket's contribution to the
+    global error bound).
+
+    Scale shape: ``groupBy(bucket, token)`` is map-side combined, the
+    rank window partitions by bucket (state per bucket = k rows), and
+    everything downstream is summary-sized.  At 100 TB the bucket
+    column is the shard key — summaries merge by addition, so shards
+    never exchange raw tokens.
+    """
+    counts = tokens.groupBy(bucket_col, token_col).agg(
+        F.count("*").alias("c"))
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.desc("c"), F.asc(token_col))
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    wb = Window.partitionBy(bucket_col)
+    thr = F.coalesce(
+        F.max(F.when(F.col("rk") == k + 1, F.col("c"))).over(wb),
+        F.lit(0))
+    return (
+        ranked.withColumn("t", thr)
+        .withColumn("s", F.col("c") - F.col("t"))
+        .where((F.col("rk") <= k) & (F.col("s") > 0))
+        .select(bucket_col, token_col, "s", "t")
+    )
+
+
+def mg_heavy_hitters(
+    tokens: DataFrame,
+    token_col: str = "token",
+    bucket_col: str = "bucket",
+    k: int = 8,
+    top: int = 10,
+) -> DataFrame:
+    """Merged Misra-Gries heavy hitters: sum the per-bucket summaries
+    (``mg_summaries``) and report the ``top`` tokens by merged
+    estimate with the deterministic ``(est DESC, token)`` tie-break.
+
+    Returns ``(token, est, ub)`` — ``est <= true count <= ub`` where
+    ``ub = est + sum_b T_b`` (each bucket's threshold bounds what it
+    may have clamped away).  All integer arithmetic: no float
+    boundary anywhere.
+
+    Scale shape: the merge reduces <= buckets * k summary rows; the
+    global bound is ONE scalar row cross-joined in (model-sized).
+    This is the counter-based dual of the count-min sketch already in
+    this module — deterministic underestimates with a certificate,
+    vs randomized overestimates.
+    """
+    summ = mg_summaries(tokens, token_col=token_col,
+                        bucket_col=bucket_col, k=k)
+    est = summ.groupBy(token_col).agg(F.sum("s").alias("est"))
+    bound = (
+        summ.select(bucket_col, "t").groupBy(bucket_col)
+        .agg(F.max("t").alias("t"))
+        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("__bound"))
+    )
+    return (
+        est.crossJoin(F.broadcast(bound))
+        .select(token_col, "est",
+                (F.col("est") + F.col("__bound")).alias("ub"))
+        .orderBy(F.desc("est"), F.asc(token_col))
+        .limit(top)
     )

@@ -115,6 +115,7 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     # round-10 third-session additions (never sampled yet)
     "doc_logreg_probe",
+    "doc_heavy_hitters_mg",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -1162,3 +1162,65 @@ def doc_incremental_bloom(spark, sf_dir):
     merged = bloom_merge(half_a, half_b)
     return bloom_decontaminate(docs, n=3, m_bits=1 << 16, k=3,
                                bloom=merged)
+
+
+@query(
+    "doc_heavy_hitters_mg",
+    sql=rf"""
+        WITH toks AS (
+            SELECT doc_id % 16 AS bucket,
+                   UNNEST({_TOKS}) AS token
+            FROM documents
+        ), counts AS (
+            SELECT bucket, token, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks WHERE token != ''
+            GROUP BY bucket, token
+        ), ranked AS (
+            SELECT bucket, token, c,
+                   ROW_NUMBER() OVER (PARTITION BY bucket
+                                      ORDER BY c DESC, token) AS rk
+            FROM counts
+        ), thr AS (
+            SELECT bucket,
+                   COALESCE(MAX(CASE WHEN rk = 9 THEN c END), 0) AS t
+            FROM ranked GROUP BY bucket
+        ), summ AS (
+            SELECT r.bucket, r.token, r.c - thr.t AS s, thr.t
+            FROM ranked r JOIN thr USING (bucket)
+            WHERE r.rk <= 8 AND r.c - thr.t > 0
+        ), est AS (
+            SELECT token, CAST(SUM(s) AS BIGINT) AS est
+            FROM summ GROUP BY token
+        ), bound AS (
+            SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS b
+            FROM (SELECT bucket, MAX(t) AS t FROM summ
+                  GROUP BY bucket)
+        )
+        SELECT token, est, CAST(est + bound.b AS BIGINT) AS ub
+        FROM est, bound
+        ORDER BY est DESC, token
+        LIMIT 10
+    """,
+)
+def doc_heavy_hitters_mg(spark, sf_dir):
+    """mg_heavy_hitters (pipeline/sketches.py): deterministic
+    Misra-Gries heavy hitters — each of 16 buckets (doc_id % 16, the
+    shard key a real deployment gets for free from partitioning)
+    compresses its exact token counts to <= 8 survivors via the
+    clamped-residual rule (survivor count minus the bucket's 9th
+    count), summaries merge by addition, and the top 10 merged
+    estimates ship with a certified upper bound (est + sum of bucket
+    thresholds).  The counter-based dual of doc_heavy_hitters_cms:
+    deterministic underestimates with a certificate vs randomized
+    overestimates.  All-integer — no float boundary.  Scale: buckets
+    never exchange raw tokens; merged state <= 16 * 8 rows."""
+    from xcube_spark.pipeline.sketches import mg_heavy_hitters
+
+    docs = tbl(spark, sf_dir, "documents")
+    tokens = docs.select(
+        (F.col("doc_id") % 16).alias("bucket"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    out = mg_heavy_hitters(tokens, k=8, top=10)
+    return out.select("token", F.col("est").cast("long").alias("est"),
+                      F.col("ub").cast("long").alias("ub"))
