@@ -965,3 +965,24 @@ def test_class_rebalance_balances_and_is_stable(spark):
     # explicit per_class cap
     capped = class_rebalance(docs, label_col="lang", per_class=3).collect()
     assert sum(1 for r in capped if r["kept"]) == 3 + 3
+
+
+# ---- n-gram novelty (round-10 third-session addition) --------------------
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.curation import ngram_novelty
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e"),          # all shingles new
+        Row(doc_id=2, text="a b c d e"),          # exact dup: nothing new
+        Row(doc_id=3, text="a b c x y z"),        # mixes old and new
+    ])
+    out = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert out[1]["novelty"] == 1.0
+    assert out[2]["novelty"] == 0.0
+    # doc 3: shingles {a b c, b c x, c x y, x y z}; only 'a b c' is old
+    assert out[3]["n_shingles"] == 4
+    assert out[3]["n_novel"] == 3
+    assert out[3]["novelty"] == 0.75

@@ -1019,3 +1019,45 @@ def class_rebalance(
             id_col, "label", (F.col("__rk") <= F.col("__cap")).alias("kept"))
     return ranked.select(
         id_col, "label", (F.col("__rk") <= per_class).alias("kept"))
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word ``k``-shingles that appear FIRST in this document
+    (first occurrence = corpus-wide ``min(doc_id)`` over the shingle).
+
+    The data-selection primitive behind "keep documents that add new
+    content": boilerplate and near-duplicates score near 0, fresh
+    text scores near 1 — the corpus-level dual of the intra-document
+    ``repetition_stats`` gate.
+
+    Returns ``(id, n_shingles, n_novel, novelty)`` with the RAW
+    double ratio (round in the caller).
+
+    Scale shape: ONE exchange — first-occurrence attribution is a
+    window ``MIN`` over the shingle hash partitioning (the round-5
+    substring-dedup lesson: a window min replaces groupBy +
+    join-back and its second shuffle), then the per-doc reduce is
+    map-side combined.  Everything before the window is a narrow
+    shingle explode.
+    """
+    from pyspark.sql.window import Window
+
+    from xcube_spark.pipeline.dedup import shingles
+
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("shingle")
+    attr = sh.withColumn("__first", F.min(id_col).over(w))
+    per = attr.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("__first") == F.col(id_col), 1)
+              .otherwise(0)).alias("n_novel"),
+    )
+    return per.withColumn(
+        "novelty",
+        F.col("n_novel").cast("double") / F.col("n_shingles"))

@@ -116,6 +116,7 @@ PRIORITY_ORDER = (
     # round-10 third-session additions (never sampled yet)
     "doc_logreg_probe",
     "doc_heavy_hitters_mg",
+    "doc_ngram_novelty",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

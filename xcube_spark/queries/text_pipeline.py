@@ -1226,3 +1226,53 @@ def doc_bm25_selfretrieval(spark, sf_dir):
             F.round(F.col("__rr") / F.col("n_queries") + F.lit(1e-9), 6)
             .alias("mrr"))
     )
+
+
+@query(
+    "doc_ngram_novelty",
+    sql="""
+        WITH toks AS (
+            SELECT doc_id, lst[i + 1] AS tok, i AS pos
+            FROM (SELECT doc_id, string_split(text, ' ') AS lst
+                  FROM documents),
+                 unnest(range(len(lst))) AS u(i)
+        ), sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        ), attr AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY shingle) AS first_id
+            FROM sh
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(round(CAST(SUM(CASE WHEN first_id = doc_id
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) + 1e-9, 6) + 0.0, 6) AS novelty
+        FROM attr
+        GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark, sf_dir):
+    """ngram_novelty (pipeline/curation.py): per-document 3-gram
+    novelty — the fraction of a document's distinct shingles whose
+    corpus-wide first occurrence (min doc_id) is this document.  The
+    "does this document add new content?" data-selection score:
+    boilerplate/near-dup text scores ~0, fresh text ~1 — the
+    corpus-level dual of the intra-document repetition gate.  ONE
+    exchange: first-occurrence attribution is a window MIN over the
+    shingle partitioning (no join-back shuffle); counts are exact
+    integers and the ratio is a single deterministic IEEE division,
+    nudge-rounded to 6."""
+    from xcube_spark.pipeline.curation import ngram_novelty
+
+    out = ngram_novelty(tbl(spark, sf_dir, "documents"), k=3)
+    return out.select(
+        "doc_id", "n_shingles", "n_novel",
+        F.round(F.round(F.col("novelty") + 1e-9, 6) + 0.0, 6)
+        .alias("novelty"))
