@@ -257,3 +257,41 @@ def test_resize_image_nearest(spark, docs):
     # doc 1 = "hello world" (11 bytes + 5 pad) -> 2x8 -> 1x2: "h", "o"
     pix1, _ = decode_png(small[1])
     assert pix1.tolist() == [[ord("h"), ord("o")]]
+
+
+# ---- perceptual dHash (round-10 third-session addition) ------------------
+
+
+def test_image_dhash_identical_images_share_hash(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, encode_payload_png, image_dhash)
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa whee"),
+    ])
+    mm = encode_payload_png(attach_payload(docs), width=32, pad_byte=32)
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(mm).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 16
+    int(out[1], 16)  # valid hex
+
+
+def test_image_dhash_gradient_structure(spark):
+    """A strictly increasing byte ramp compares 'left < right'
+    everywhere -> all comparison bits 0 (v > next is never true)."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, encode_payload_png, image_dhash)
+
+    ramp = "".join(chr(33 + i) for i in range(64))  # 2 full rows
+    rev = ramp[::-1]
+    docs = spark.createDataFrame([Row(doc_id=1, text=ramp),
+                                  Row(doc_id=2, text=rev)])
+    mm = encode_payload_png(attach_payload(docs), width=32, pad_byte=32)
+    out = {r["doc_id"]: r["dhash"] for r in image_dhash(mm).collect()}
+    assert out[1] == "0" * 16          # increasing -> no bit set
+    assert out[2] == "f" * 16          # decreasing -> every bit set

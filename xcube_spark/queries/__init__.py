@@ -117,6 +117,7 @@ PRIORITY_ORDER = (
     "doc_logreg_probe",
     "doc_heavy_hitters_mg",
     "doc_ngram_novelty",
+    "doc_image_phash",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

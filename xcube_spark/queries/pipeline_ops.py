@@ -1279,3 +1279,71 @@ def emb_knn_recall(spark, sf_dir):
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return knn_recall(emb, queries, k=10)
+
+
+@query(
+    "doc_image_phash",
+    sql="""
+        WITH d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CAST(greatest(1, ceil(length(text) / 32.0))
+                        AS BIGINT) AS h
+            FROM documents
+        ), g AS (
+            SELECT d.doc_id, r.r, c.c, d.n, d.text,
+                   ((r.r * d.h) // 8) * 32 + ((c.c * 32) // 9) + 1
+                       AS pos
+            FROM d, unnest(range(8)) r(r), unnest(range(9)) c(c)
+        ), p AS (
+            SELECT doc_id, r, c,
+                   CASE WHEN pos <= n
+                        THEN ascii(substr(text, CAST(pos AS INT), 1))
+                        ELSE 32 END AS v
+            FROM g
+        ), b AS (
+            SELECT doc_id, r, c, v,
+                   LEAD(v) OVER (PARTITION BY doc_id, r
+                                 ORDER BY c) AS nv
+            FROM p
+        ), byts AS (
+            SELECT doc_id, r,
+                   CAST(SUM(CASE WHEN v > nv THEN 1 << (7 - c)
+                                 ELSE 0 END) AS BIGINT) AS byte
+            FROM b WHERE c < 8 GROUP BY doc_id, r
+        ), hs AS (
+            SELECT doc_id,
+                   string_agg(lpad(lower(to_hex(byte)), 2, '0'), ''
+                              ORDER BY r) AS dhash
+            FROM byts GROUP BY doc_id
+        )
+        SELECT doc_id, dhash,
+               CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT)
+                   AS n_same
+        FROM hs
+    """,
+)
+def doc_image_phash(spark, sf_dir):
+    """image_dhash (pipeline/multimodal.py): perceptual
+    difference-hash near-dup image detection over REAL PNG bytes —
+    text payloads render through the from-scratch PNG encoder, decode
+    through the from-scratch decoder, nearest-neighbor sample onto a
+    9x8 grid, and pack the 64 horizontal-gradient compare bits into a
+    16-hex-char fingerprint; n_same counts documents sharing a
+    fingerprint (the image-dedup group size).  The oracle recomputes
+    every sampled pixel straight from the characters (pad byte 32
+    past the text), so a defect anywhere in the codec, the stride
+    math, or the bit packing hash-fails.  Integer-only: no float
+    boundary.  Scale: one Arrow mapInPandas hop + a hash shuffle on
+    8-byte keys."""
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, encode_payload_png, image_dhash)
+    from pyspark.sql.window import Window
+
+    mm = encode_payload_png(
+        attach_payload(tbl(spark, sf_dir, "documents")),
+        width=32, pad_byte=32)
+    hashed = image_dhash(mm)
+    return hashed.select(
+        "doc_id", "dhash",
+        F.count("*").over(Window.partitionBy("dhash"))
+        .cast("long").alias("n_same"))
