@@ -277,3 +277,36 @@ def test_mapped_and_identity_mldataset(spark):
 
     with _p.raises(ValueError, match="callable"):
         MappedMultiLevelDataset(base, "nope")
+
+
+# ---- EMA smoothing (round-10 third-session addition) ---------------------
+
+
+def test_ema_smooth_constant_series_is_identity(spark):
+    from pyspark.sql import Row, functions as F
+    from xcube_spark.operators.temporal import ema_smooth
+
+    rows = [Row(k=1, i=i, v=5.0) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    ema = ema_smooth(df, "v", "k", ["i"], alpha=0.25, window=16)
+    out = df.select("i", ema.alias("e")).collect()
+    for r in out:
+        assert r["e"] == 5.0  # weighted mean of a constant is exact
+
+
+def test_ema_smooth_matches_reference_formula(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import ema_smooth
+
+    vals = [1.0, 2.0, 4.0, 8.0, 3.0]
+    df = spark.createDataFrame([Row(k=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    ema = ema_smooth(df, "v", "k", ["i"], alpha=0.25, window=16)
+    out = {r["i"]: r["e"] for r in
+           df.select("i", ema.alias("e")).collect()}
+    for t in range(len(vals)):
+        num = den = 0.0
+        for i in range(t + 1):
+            w = 0.75 ** i
+            num, den = num + w * vals[t - i], den + w
+        assert abs(out[t] - num / den) < 1e-12, t

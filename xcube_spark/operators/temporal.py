@@ -199,3 +199,48 @@ def upsample_in_time(
             raise ValueError(f"unsupported upsampling method {method!r}")
         out = out.withColumn(v, filled)
     return out
+
+
+def ema_smooth(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    alpha: float = 0.25,
+    window: int = 16,
+) -> Column:
+    """Windowed exponential-moving-average smoothing: per ``key_col``
+    series ordered by ``order_cols``, the weighted mean of the last
+    ``window`` values with weights ``(1 - alpha)^i`` (i = lag
+    distance), normalized over the weights actually present — the
+    exponential-kernel twin of the trailing-range mean in
+    ``events_rolling_1h`` (reference temporal smoothing surface:
+    resample_in_time's rolling aggregations, core/resampling/
+    temporal.py).
+
+    Returns the smoothed COLUMN (caller selects it), built as
+    ``window`` unrolled ``lag`` terms summed in a FIXED left-to-right
+    order: with ``alpha`` an exact binary fraction, every weight
+    ``0.75^i = 3^i / 4^i`` is exactly representable, each term is one
+    IEEE multiply, and the whole fold is bit-identical on any engine
+    that evaluates the same shape (no accumulator, no summation-order
+    freedom).
+
+    Scale shape: one shuffle on ``key_col``; the ``window`` lags
+    all ride the SAME sorted frame (a single per-partition pass), so
+    cost is O(window) arithmetic per row with no extra exchanges.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    decay = 1.0 - alpha
+    num = None
+    den = None
+    for i in range(window):
+        wt = decay ** i
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        term = F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        pres = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = pres if den is None else den + pres
+    return num / den

@@ -118,6 +118,7 @@ PRIORITY_ORDER = (
     "doc_heavy_hitters_mg",
     "doc_ngram_novelty",
     "doc_image_phash",
+    "events_ema",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -782,3 +782,52 @@ def events_quantile_sketch(spark, sf_dir):
     ev = tbl(spark, sf_dir, "events")
     return sample_quantiles(sample_state(ev, "event_id", "value",
                                          k=2048))
+
+
+def _ema_sql(alpha: float = 0.25, window: int = 16) -> str:
+    """SQL twin of operators.temporal.ema_smooth: identical unrolled
+    left-associated fold with exactly-representable 0.75^i weights."""
+    num, den = [], []
+    for i in range(window):
+        wt = repr((1.0 - alpha) ** i)
+        x = "value" if i == 0 else f"LAG(value, {i}) OVER w"
+        num.append(f"CASE WHEN {x} IS NOT NULL"
+                   f" THEN {wt} * ({x}) ELSE 0.0 END")
+        den.append(f"CASE WHEN {x} IS NOT NULL"
+                   f" THEN {wt} ELSE 0.0 END")
+    ns = num[0]
+    for t in num[1:]:
+        ns = f"({ns} + {t})"
+    ds = den[0]
+    for t in den[1:]:
+        ds = f"({ds} + {t})"
+    return f"""
+        SELECT event_id, user_id,
+               ROUND(ROUND(({ns}) / ({ds}) + 1e-9, 6) + 0.0, 6)
+                   AS ema
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("events_ema", sql=_ema_sql())
+def events_ema(spark, sf_dir):
+    """ema_smooth (operators/temporal.py): per-user exponential
+    moving average over the last 16 events — the exponential-kernel
+    twin of events_rolling_1h's trailing-range mean (temporal
+    smoothing, reference resample surface).  The 16 lag terms ride
+    ONE sorted frame (single shuffle on user_id, one per-partition
+    pass); weights 0.75^i are exactly representable (3^i / 4^i,
+    3^15 < 2^53) and the fold is a fixed left-associated shape, so
+    the quotient is bit-identical cross-engine before the nudged
+    6-decimal round."""
+    from xcube_spark.operators.temporal import ema_smooth
+
+    ev = tbl(spark, sf_dir, "events")
+    ema = ema_smooth(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        alpha=0.25, window=16)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.round(ema + 1e-9, 6) + 0.0, 6).alias("ema"))
