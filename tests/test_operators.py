@@ -310,3 +310,37 @@ def test_ema_smooth_matches_reference_formula(spark):
             w = 0.75 ** i
             num, den = num + w * vals[t - i], den + w
         assert abs(out[t] - num / den) < 1e-12, t
+
+
+def test_focal_mean_matches_bruteforce(spark):
+    import numpy as np
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import focal_mean
+
+    rng = [(t, y, x) for t in range(2) for y in range(5) for x in range(6)]
+    vals = {k: float((i * 37 % 11) - 5) for i, k in enumerate(rng)}
+    rows = [Row(t_i=t, y_i=y, x_i=x, A=vals[(t, y, x)])
+            for (t, y, x) in rng]
+    df = spark.createDataFrame(rows)
+    out = {(r["t_i"], r["y_i"], r["x_i"]): r["A_focal"]
+           for r in focal_mean(df, "A", "t_i", "y_i", "x_i").collect()}
+    for (t, y, x) in rng:
+        acc = [vals[(t, yy, xx)]
+               for yy in range(max(0, y - 1), min(5, y + 2))
+               for xx in range(max(0, x - 1), min(6, x + 2))]
+        assert abs(out[(t, y, x)] - sum(acc) / len(acc)) < 1e-12
+
+
+def test_focal_mean_null_values_drop_out(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import focal_mean
+
+    rows = [Row(t_i=0, y_i=0, x_i=0, A=1.0),
+            Row(t_i=0, y_i=0, x_i=1, A=None),
+            Row(t_i=0, y_i=0, x_i=2, A=4.0)]
+    df = spark.createDataFrame(rows, "t_i INT, y_i INT, x_i INT, A DOUBLE")
+    out = {r["x_i"]: r["A_focal"]
+           for r in focal_mean(df, "A", "t_i", "y_i", "x_i").collect()}
+    assert out[0] == 1.0          # (1) / 1 — null neighbor excluded
+    assert out[1] == 2.5          # (1+4)/2
+    assert out[2] == 4.0

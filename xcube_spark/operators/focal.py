@@ -1,0 +1,115 @@
+"""Focal (neighborhood) raster statistics over the cube grid.
+
+The classic map-algebra focal mean: each cell takes the mean of its
+3x3 neighborhood — smoothing/convolution for gridded variables (the
+raster-analytics companion to the reference's spatial resampling
+surface, ``xcube/core/resampling`` — additive: the reference delegates
+kernel ops to xarray/dask, this is the Spark-native form).
+
+Design: the 3x3 box kernel is SEPARABLE, so the operator runs as two
+1-D passes — an x-pass (window over each (time, y) row) then a y-pass
+(window over each (time, x) column) — instead of a 9x explode +
+re-aggregate.  Each pass is one exchange + sort of the grid; the 9x
+row fan-out shuffle never exists.  Each 3-term sum is UNROLLED
+``lag/current/lead`` in a fixed left-associated shape (the
+``ema_smooth`` discipline), so partial sums have no ordering freedom
+and both engines produce bit-identical doubles; neighbor counts are
+exact integers, making the final mean a single deterministic IEEE
+division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _pass_sums(v: Column, w) -> tuple[Column, Column]:
+    """One separable pass: (value sum, present count) over the
+    ordered 1-D 3-neighborhood, left-associated, null-safe."""
+    lag, lead = F.lag(v).over(w), F.lead(v).over(w)
+    s = (F.when(lag.isNotNull(), lag).otherwise(F.lit(0.0))
+         + F.when(v.isNotNull(), v).otherwise(F.lit(0.0))) \
+        + F.when(lead.isNotNull(), lead).otherwise(F.lit(0.0))
+    c = (F.when(lag.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+         + F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))) \
+        + F.when(lead.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return s, c
+
+
+def focal_mean(
+    cube: DataFrame,
+    var: str,
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> DataFrame:
+    """3x3 focal mean of ``var`` -> adds ``{var}_focal``.
+
+    Boundary cells average over their in-grid neighbors only (the
+    standard shrinking-kernel edge rule).  Assumes a DENSE grid in
+    ``x`` and ``y`` per time slice (the cube contract after
+    rectification); missing VALUES are fine — they drop out of both
+    the sum and the count.
+
+    Scale shape: two exchanges total (one per separable pass), each a
+    hash partition + sort the size of the grid — no row fan-out, no
+    join.  At 100 TB the passes pipeline per partition; a fused 2-D
+    window would need the same two sorts anyway.
+    """
+    wx = Window.partitionBy(time_col, y_col).orderBy(x_col)
+    s1, c1 = _pass_sums(F.col(var).cast("double"), wx)
+    stage1 = cube.withColumn("__s1", s1).withColumn("__c1", c1)
+    wy = Window.partitionBy(time_col, x_col).orderBy(y_col)
+    s2, _ = _pass_sums(F.col("__s1"), wy)
+    # counts sum exactly as integers on the same frame
+    lagc, leadc = F.lag("__c1").over(wy), F.lead("__c1").over(wy)
+    c2 = (F.coalesce(lagc, F.lit(0)) + F.col("__c1")) \
+        + F.coalesce(leadc, F.lit(0))
+    return (
+        stage1.withColumn(
+            f"{var}_focal",
+            F.when(c2 > 0, s2 / c2.cast("double")))
+        .drop("__s1", "__c1")
+    )
+
+
+def focal_mean_sql(
+    var: str,
+    src: str = "cube",
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> str:
+    """DuckDB twin of :func:`focal_mean` — identical unrolled
+    left-associated lag/lead shape over the same two window passes.
+    Returns a SELECT producing ``(time, y, x, {var}_focal)``."""
+    v = f"CAST({var} AS DOUBLE)"
+
+    def pass_exprs(val: str, part: str, order: str,
+                   int_count: bool) -> tuple[str, str]:
+        w = f"(PARTITION BY {part} ORDER BY {order})"
+        lag, lead = f"LAG({val}) OVER {w}", f"LEAD({val}) OVER {w}"
+        s = (f"((CASE WHEN {lag} IS NOT NULL THEN {lag} ELSE 0.0 END"
+             f" + CASE WHEN {val} IS NOT NULL THEN {val} ELSE 0.0 END)"
+             f" + CASE WHEN {lead} IS NOT NULL THEN {lead}"
+             f" ELSE 0.0 END)")
+        one, zero = ("1", "0") if int_count else ("1.0", "0.0")
+        c = (f"((CASE WHEN {lag} IS NOT NULL THEN {one} ELSE {zero} END"
+             f" + CASE WHEN {val} IS NOT NULL THEN {one}"
+             f" ELSE {zero} END)"
+             f" + CASE WHEN {lead} IS NOT NULL THEN {one}"
+             f" ELSE {zero} END)")
+        return s, c
+
+    s1, c1 = pass_exprs(v, f"{time_col}, {y_col}", x_col, True)
+    stage1 = (f"SELECT {time_col}, {y_col}, {x_col}, "
+              f"{s1} AS __s1, {c1} AS __c1 FROM {src}")
+    s2, _ = pass_exprs("__s1", f"{time_col}, {x_col}", y_col, True)
+    wy = f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col})"
+    c2 = (f"((COALESCE(LAG(__c1) OVER {wy}, 0) + __c1)"
+          f" + COALESCE(LEAD(__c1) OVER {wy}, 0))")
+    return (f"SELECT {time_col}, {y_col}, {x_col}, "
+            f"CASE WHEN {c2} > 0 THEN {s2} / CAST({c2} AS DOUBLE) END"
+            f" AS {var}_focal FROM ({stage1})")

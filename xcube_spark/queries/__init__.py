@@ -119,6 +119,7 @@ PRIORITY_ORDER = (
     "doc_ngram_novelty",
     "doc_image_phash",
     "events_ema",
+    "cube_focal_mean",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

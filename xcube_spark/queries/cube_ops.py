@@ -636,3 +636,37 @@ def cube_histogram_stretch(spark, sf_dir):
         .groupBy(bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+from xcube_spark.operators.focal import focal_mean, focal_mean_sql  # noqa: E402
+
+
+@query(
+    "cube_focal_mean",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i,
+               ROUND(ROUND(A_focal + 1e-9, 6) + 0.0, 6) AS A_focal
+        FROM ({focal_mean_sql("A", time_col="t_i", y_col="y_i",
+                              x_col="x_i")})
+        WHERE x_i < 40 AND y_i < 40
+    """,
+)
+def cube_focal_mean(spark, sf_dir):
+    """focal_mean (operators/focal.py): 3x3 neighborhood mean of A —
+    classic map-algebra smoothing, run as TWO separable 1-D window
+    passes (x then y) instead of a 9x explode + re-aggregate: two
+    exchanges the size of the grid, zero row fan-out.  Each 3-term
+    sum is unrolled lag/current/lead in a fixed left-associated shape
+    (bit-identical cross-engine); neighbor counts are exact integers;
+    boundary cells use the shrinking-kernel rule.  Output subset to a
+    40x40 index band AFTER the kernel so edge rows stay covered."""
+    out = focal_mean(_cube(spark), "A", time_col="t_i",
+                     y_col="y_i", x_col="x_i")
+    return (
+        out.where((F.col("x_i") < 40) & (F.col("y_i") < 40))
+        .select(
+            "t_i", "y_i", "x_i",
+            F.round(F.round(F.col("A_focal") + 1e-9, 6) + 0.0, 6)
+            .alias("A_focal"))
+    )
