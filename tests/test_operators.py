@@ -344,3 +344,19 @@ def test_focal_mean_null_values_drop_out(spark):
     assert out[0] == 1.0          # (1) / 1 — null neighbor excluded
     assert out[1] == 2.5          # (1+4)/2
     assert out[2] == 4.0
+
+
+def test_cusum_drift_matches_recursion(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import cusum_drift
+
+    vals = [1.0, 5.0, 5.0, 0.0, 9.0, 9.0, 9.0, 0.0]
+    k = 3.0
+    df = spark.createDataFrame([Row(u=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    out = {r["i"]: r["cusum"]
+           for r in cusum_drift(df, "v", "u", ["i"], k=k).collect()}
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + v - k)
+        assert abs(out[i] - s) < 1e-12, (i, out[i], s)

@@ -244,3 +244,43 @@ def ema_smooth(
         num = term if num is None else num + term
         den = pres if den is None else den + pres
     return num / den
+
+
+def cusum_drift(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    k: float = 0.0,
+    h: float = 100.0,
+) -> DataFrame:
+    """One-sided CUSUM drift/changepoint detection per series.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + x_t - k)`` is not
+    window-expressible, but the closed form is:
+    ``S_t = C_t - min_{i<=t}(C_i)`` with ``C_t`` the running sum of
+    ``x - k`` — two window passes over the SAME sorted frame (one
+    exchange, one sort).  Rows with ``S`` above the decision
+    threshold ``h`` flag a sustained upward drift (the monitoring
+    primitive for data-quality regressions in an ingest stream).
+
+    Adds ``cusum`` (raw double — round in the caller) and ``drift``
+    (computed from the ROUNDED statistic by the caller, to keep both
+    engines in lockstep).  Returns the input plus ``cusum``.
+
+    Scale shape: one hash exchange on ``key_col`` + one sort; both
+    the running sum and the running min are O(1)-state streaming
+    frames.  Running sums accumulate in the SAME (ts, id) order on
+    any engine, so cross-engine noise is sub-ulp-per-row and the
+    caller's rounding absorbs it.
+    """
+    w = (Window.partitionBy(key_col).orderBy(*order_cols)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = F.sum(F.col(value_col) - F.lit(k)).over(w)
+    out = df.withColumn("__c", c)
+    w2 = (Window.partitionBy(key_col).orderBy(*order_cols)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        out.withColumn("cusum", F.col("__c") - F.min("__c").over(w2))
+        .drop("__c")
+    )

@@ -120,6 +120,7 @@ PRIORITY_ORDER = (
     "doc_image_phash",
     "events_ema",
     "cube_focal_mean",
+    "events_cusum_drift",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

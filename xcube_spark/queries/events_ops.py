@@ -831,3 +831,53 @@ def events_ema(spark, sf_dir):
     return ev.select(
         "event_id", "user_id",
         F.round(F.round(ema + 1e-9, 6) + 0.0, 6).alias("ema"))
+
+
+@query(
+    "events_cusum_drift",
+    sql="""
+        WITH c AS (
+            SELECT event_id, user_id, ts,
+                   SUM(value - 55.0) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+        ), s AS (
+            SELECT event_id, user_id,
+                   ROUND(ROUND(c - MIN(c) OVER w2 + 1e-9, 4) + 0.0, 4)
+                       AS cusum
+            FROM c
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, cusum,
+               CAST(CASE WHEN cusum > 100.0 THEN 1 ELSE 0 END AS INT)
+                   AS drift
+        FROM s
+    """,
+)
+def events_cusum_drift(spark, sf_dir):
+    """cusum_drift (operators/temporal.py): one-sided CUSUM
+    changepoint detection per user — S_t = C_t - min_{i<=t} C_i with
+    C the running sum of (value - 55), the closed form of the
+    textbook max(0, S+x-k) recursion; rows with S above h=100 flag
+    sustained upward drift (the data-quality monitoring primitive for
+    ingest streams).  Both window passes ride ONE exchange + sort;
+    running sums accumulate in the same (ts, event_id) order on both
+    engines so cross-engine noise is sub-ulp, absorbed by the nudged
+    4-decimal round; the drift flag derives from the ROUNDED
+    statistic for lockstep."""
+    from xcube_spark.operators.temporal import cusum_drift
+
+    ev = tbl(spark, sf_dir, "events")
+    out = cusum_drift(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        k=55.0)
+    cus = F.round(F.round(F.col("cusum") + 1e-9, 4) + 0.0, 4)
+    return out.select(
+        "event_id", "user_id", cus.alias("cusum"),
+        F.when(cus > 100.0, F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("drift"))
