@@ -986,3 +986,39 @@ def test_ngram_novelty_first_doc_wins(spark):
     assert out[3]["n_shingles"] == 4
     assert out[3]["n_novel"] == 3
     assert out[3]["novelty"] == 0.75
+
+
+# ---- TextRank keywords (round-10 third-session addition) -----------------
+
+
+def test_textrank_hub_token_ranks_first(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import textrank_keywords
+
+    # 'hub' is adjacent to every other token; spokes only touch hub
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="hub aa hub bb hub cc"),
+        Row(doc_id=2, text="hub dd hub ee hub ff"),
+        Row(doc_id=3, text="gg hub"),
+    ])
+    out = textrank_keywords(docs, iters=4, top=10).collect()
+    assert out[0]["tok"] == "hub"
+    assert out[0]["rank"] > out[1]["rank"]
+    # ranks live on the 1e-7 grid
+    for r in out:
+        assert abs(r["rank"] * 1e7 - round(r["rank"] * 1e7)) < 1e-3
+
+
+def test_textrank_deterministic_across_partitioning(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 7}")
+         for i in range(40)])
+    a = [(r["tok"], r["rank"]) for r in
+         textrank_keywords(docs, iters=3, top=8).collect()]
+    b = [(r["tok"], r["rank"]) for r in
+         textrank_keywords(docs.repartition(13), iters=3,
+                           top=8).collect()]
+    assert a == b

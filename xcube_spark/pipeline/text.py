@@ -644,3 +644,75 @@ def bpe_tokenize(
             F.sum("n_sym").cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iters: int = 4,
+    damping: float = 0.85,
+    top: int = 20,
+    text_col: str = "text",
+    round_dec: int = 7,
+) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the token
+    co-occurrence graph (undirected edges between adjacent tokens,
+    weight = adjacency count), ``iters`` fixed power iterations,
+    top-``top`` tokens by rank — the classic unsupervised
+    keyword/keyphrase scorer for corpus curation dashboards.
+
+    Cross-engine determinism (the ``logistic_probe`` discipline): the
+    per-node contribution sum of each iteration is nudge-rounded to
+    ``round_dec`` decimals and the damped update is re-rounded, so
+    both engines walk the same rank trajectory regardless of how the
+    neighbor sums were ordered; per-edge terms (w / out_w * pr) are
+    fixed-shape IEEE ops on identical inputs.
+
+    Returns ``(token, rank)`` (rank on the rounded grid).
+
+    Scale shape: the edge table aggregates once (map-side combined)
+    and persists; every iteration is one broadcast-or-shuffle
+    hash join edge->rank plus a reduce keyed by node — vocabulary-
+    sized state, corpus touched exactly once.  Four iterations over
+    100 TB = one tokenize scan + four vocabulary-sized joins.
+    """
+    arr = docs.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"))
+    pairs = (
+        arr.where(F.size("ts") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct("
+            "element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
+            .alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    und = pairs.union(pairs.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    edges = (und.groupBy("a", "b").agg(F.count("*").alias("w"))
+             .withColumnRenamed("a", "src")
+             .withColumnRenamed("b", "dst"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    norm = (edges.join(outw, "src")
+            .select("src", "dst",
+                    (F.col("w").cast("double") / F.col("ow"))
+                    .alias("f"))).persist()
+    try:
+        norm.count()  # materialize once; iterations reuse
+        pr = norm.select(F.col("src").alias("tok")).distinct() \
+            .withColumn("pr", F.lit(1.0))
+        for _ in range(iters):
+            s = F.round(F.sum(F.col("f") * F.col("pr"))
+                        + F.lit(1e-10), round_dec)
+            pr = (norm.join(pr, norm.src == pr.tok)
+                  .groupBy("dst")
+                  .agg(F.round(F.lit(1.0 - damping)
+                               + F.lit(damping) * s + F.lit(1e-10),
+                               round_dec).alias("pr"))
+                  .withColumnRenamed("dst", "tok"))
+        out = (pr.orderBy(F.desc("pr"), F.asc("tok")).limit(top)
+               .select("tok", F.col("pr").alias("rank")))
+        # materialize before unpersist so the cached edges feed every
+        # iteration's join instead of re-deriving the tokenize chain
+        out = out.localCheckpoint(eager=True)
+    finally:
+        norm.unpersist()
+    return out

@@ -121,6 +121,7 @@ PRIORITY_ORDER = (
     "events_ema",
     "cube_focal_mean",
     "events_cusum_drift",
+    "doc_textrank_keywords",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -1276,3 +1276,78 @@ def doc_ngram_novelty(spark, sf_dir):
         "doc_id", "n_shingles", "n_novel",
         F.round(F.round(F.col("novelty") + 1e-9, 6) + 0.0, 6)
         .alias("novelty"))
+
+
+def _textrank_sql(iters: int = 4, damping: float = 0.85,
+                  dec: int = 7, top: int = 20) -> str:
+    """Unrolled power-iteration twin of ``text.textrank_keywords``:
+    one MATERIALIZED CTE per iteration (DuckDB's default inlining
+    would re-expand the chain exponentially — the BPE lesson), every
+    float expression in the same shape and on the same nudge-rounded
+    grid as the Spark plan."""
+    base = 1.0 - damping
+    ctes = [
+        r"""t AS MATERIALIZED (
+            SELECT regexp_split_to_array(trim(text), '\s+') AS lst
+            FROM documents
+        )""",
+        """pairs AS MATERIALIZED (
+            SELECT lst[i + 1] AS a, lst[i + 2] AS b
+            FROM t, unnest(range(len(lst) - 1)) AS u(i)
+            WHERE len(lst) >= 2
+        )""",
+        """edges AS MATERIALIZED (
+            SELECT u.a AS src, u.b AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM (SELECT a, b FROM pairs
+                  UNION ALL SELECT b, a FROM pairs) u(a, b)
+            GROUP BY u.a, u.b
+        )""",
+        """outw AS MATERIALIZED (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+            FROM edges GROUP BY src
+        )""",
+        """norm AS MATERIALIZED (
+            SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / o.ow AS f
+            FROM edges e JOIN outw o USING (src)
+        )""",
+        "pr0 AS MATERIALIZED (SELECT DISTINCT src AS tok, 1.0 AS pr"
+        " FROM norm)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"""pr{i + 1} AS MATERIALIZED (
+            SELECT norm.dst AS tok,
+                   round((({base!r} + ({damping!r}
+                          * round(SUM(norm.f * pr{i}.pr) + 1e-10,
+                                  {dec}))) + 1e-10), {dec}) AS pr
+            FROM norm JOIN pr{i} ON pr{i}.tok = norm.src
+            GROUP BY norm.dst
+        )""")
+    return (
+        "WITH " + ",\n        ".join(ctes) + f"""
+        SELECT tok, ROUND(pr, {dec}) AS rank
+        FROM pr{iters}
+        ORDER BY pr DESC, tok
+        LIMIT {top}
+    """)
+
+
+@query("doc_textrank_keywords", sql=_textrank_sql())
+def doc_textrank_keywords(spark, sf_dir):
+    """textrank_keywords (pipeline/text.py): TextRank keyword
+    extraction — PageRank over the token co-occurrence graph
+    (undirected adjacency edges, weight = count), 4 fixed power
+    iterations, top-20 by rank.  The iterative-graph shape with an
+    EXACT oracle: per-iteration neighbor sums and damped updates are
+    nudge-rounded to 7 decimals on both engines (the logistic-probe
+    grid-lock discipline), and the oracle unrolls the identical
+    trajectory in MATERIALIZED CTEs.  Scale: corpus touched once
+    (edge aggregate, map-side combined, persisted); each iteration is
+    a vocabulary-sized join + reduce."""
+    from xcube_spark.pipeline.text import textrank_keywords
+
+    out = textrank_keywords(tbl(spark, sf_dir, "documents"),
+                            iters=4, top=20)
+    return out.select(
+        F.col("tok"), F.round(F.col("rank"), 7).alias("rank"))
