@@ -295,3 +295,36 @@ def test_image_dhash_gradient_structure(spark):
     out = {r["doc_id"]: r["dhash"] for r in image_dhash(mm).collect()}
     assert out[1] == "0" * 16          # increasing -> no bit set
     assert out[2] == "f" * 16          # decreasing -> every bit set
+
+
+def test_audio_spectrogram_pure_tone_concentrates_energy(spark):
+    """A bin-2 cosine tone must put (almost) all its power in p2."""
+    import math
+    import numpy as np
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.multimodal import audio_spectrogram
+
+    n = 160  # 10 full frames
+    tone = np.round(1000 * np.cos(
+        2 * math.pi * 2 * np.arange(n) / 16)).astype("<i2")
+    silence = np.zeros(n, dtype="<i2")
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytes(tone.tobytes())),
+         Row(doc_id=2, payload=bytes(silence.tobytes()))],
+        "doc_id LONG, payload BINARY")
+    out = {r["doc_id"]: r for r in audio_spectrogram(df).collect()}
+    t = out[1]
+    assert t["n_frames"] == 10
+    assert t["p2"] > 100 * max(t["p1"], t["p3"], t["p4"])
+    s = out[2]
+    assert s["p1"] == s["p2"] == s["p3"] == s["p4"] == 0.0
+
+
+def test_audio_spectrogram_drops_short_tracks(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.multimodal import audio_spectrogram
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=b"\x01\x02" * 4)],  # 4 samples < 16
+        "doc_id LONG, payload BINARY")
+    assert audio_spectrogram(df).count() == 0

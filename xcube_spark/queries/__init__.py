@@ -122,6 +122,7 @@ PRIORITY_ORDER = (
     "cube_focal_mean",
     "events_cusum_drift",
     "doc_textrank_keywords",
+    "doc_audio_spectrogram",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

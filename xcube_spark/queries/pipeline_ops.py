@@ -1347,3 +1347,76 @@ def doc_image_phash(spark, sf_dir):
         "doc_id", "dhash",
         F.count("*").over(Window.partitionBy("dhash"))
         .cast("long").alias("n_same"))
+
+
+def _spectrogram_sql() -> str:
+    """SQL twin of pipeline.multimodal.audio_spectrogram: the SAME
+    twiddle-factor double literals (module constants, math.cos/sin),
+    samples decoded byte-by-byte from the text, grouped per frame."""
+    from xcube_spark.pipeline.multimodal import SPEC_COS, SPEC_SIN
+
+    twid_rows = ",\n                ".join(
+        f"({i}, {SPEC_COS[i][k]!r}, {SPEC_SIN[i][k]!r}, {k + 1})"
+        for i in range(16) for k in range(4))
+    return f"""
+        WITH twid(i, c, s, b) AS (
+            VALUES {twid_rows}
+        ), t AS (
+            SELECT doc_id, text,
+                   CAST(length(text) // 2 AS BIGINT) AS ns
+            FROM documents
+        ), raw AS (
+            SELECT doc_id, u.i AS idx,
+                   CAST(ord(substring(text, CAST(2 * u.i + 1 AS INT), 1))
+                        + 256 * ord(substring(text,
+                                    CAST(2 * u.i + 2 AS INT), 1))
+                        AS BIGINT) AS v
+            FROM t, unnest(range((ns // 16) * 16)) AS u(i)
+        ), smp AS (
+            SELECT doc_id, idx // 16 AS frame,
+                   CAST(idx % 16 AS BIGINT) AS i,
+                   CAST(CASE WHEN v >= 32768 THEN v - 65536
+                             ELSE v END AS DOUBLE) AS smp
+            FROM raw
+        ), fr AS (
+            SELECT doc_id, frame, twid.b,
+                   SUM(smp * twid.c) AS re,
+                   SUM(smp * twid.s) AS im
+            FROM smp JOIN twid USING (i)
+            GROUP BY doc_id, frame, twid.b
+        ), pw AS (
+            SELECT doc_id, b, AVG(re * re + im * im) AS p,
+                   COUNT(*) AS n_frames
+            FROM fr GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+               ROUND(MAX(CASE WHEN b = 1 THEN p END) + 1e-3, 1) AS p1,
+               ROUND(MAX(CASE WHEN b = 2 THEN p END) + 1e-3, 1) AS p2,
+               ROUND(MAX(CASE WHEN b = 3 THEN p END) + 1e-3, 1) AS p3,
+               ROUND(MAX(CASE WHEN b = 4 THEN p END) + 1e-3, 1) AS p4
+        FROM pw
+        GROUP BY doc_id
+    """
+
+
+@query("doc_audio_spectrogram", sql=_spectrogram_sql())
+def doc_audio_spectrogram(spark, sf_dir):
+    """audio_spectrogram (pipeline/multimodal.py): 16-point DFT band
+    power (bins 1-4) per PCM frame, mean per track — the
+    spectrogram/band-energy stage of an audio-curation pipeline,
+    library-free: twiddle factors are module-constant doubles shared
+    verbatim by the numpy kernel and the SQL twin, payloads decode as
+    signed little-endian int16 exactly like doc_audio_features.
+    Cross-engine summation noise at these magnitudes (~1e7 powers) is
+    ~1e-4, absorbed by the 1e-3-nudged 1-decimal round.  Scale: one
+    Arrow mapInArrow pass, vectorized matmul, no shuffle."""
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, audio_spectrogram)
+
+    mm = attach_payload(tbl(spark, sf_dir, "documents"))
+    out = audio_spectrogram(mm)
+    return out.select(
+        "doc_id", "n_frames",
+        *[F.round(F.col(f"p{k}") + 1e-3, 1).alias(f"p{k}")
+          for k in (1, 2, 3, 4)])
