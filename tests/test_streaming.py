@@ -493,3 +493,22 @@ def test_streaming_near_dedup_bucketed_equals_batch(spark, tmp_path):
                 == {(r.doc_id, r.is_dup) for r in want.collect()})
     finally:
         store.drop()
+
+
+def test_stream_cusum_equals_batch(spark, sf_dir):
+    from xcube_spark.operators.temporal import cusum_drift
+    from xcube_spark.streaming.stateful import running_cusum
+
+    stream = running_cusum(read_events_stream(spark, sf_dir), k=55.0)
+    got = run_stream_to_table(stream, output_mode="append").select(
+        "event_id", "user_id",
+        F.round(F.col("cusum") + 1e-9, 4).alias("cusum"))
+    ev = tbl(spark, sf_dir, "events")
+    want = cusum_drift(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        k=55.0,
+    ).select("event_id", "user_id",
+             F.round(F.col("cusum") + 1e-9, 4).alias("cusum"))
+    cols = ("event_id", "user_id", "cusum")
+    assert _rows(got, *cols) == _rows(want, *cols)

@@ -123,6 +123,7 @@ PRIORITY_ORDER = (
     "events_cusum_drift",
     "doc_textrank_keywords",
     "doc_audio_spectrogram",
+    "stream_cusum_drift",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

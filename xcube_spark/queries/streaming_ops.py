@@ -178,3 +178,40 @@ def stream_click_purchase_join(spark, sf_dir):
                    F.round("value_r", 6).alias("value_r")),
         output_mode="append",
     )
+
+
+@query(
+    "stream_cusum_drift",
+    sql="""
+        WITH c AS (
+            SELECT event_id, user_id, ts,
+                   SUM(value - 55.0) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+        )
+        SELECT event_id, user_id,
+               ROUND(ROUND(c - MIN(c) OVER w2 + 1e-9, 4) + 0.0, 4)
+                   AS cusum
+        FROM c
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)
+    """,
+)
+def stream_cusum_drift(spark, sf_dir):
+    """running_cusum (streaming/stateful.py): per-user CUSUM drift as
+    an ORDER-SENSITIVE applyInPandasWithState state machine — state
+    carries (running C, prefix-min C), each event emits the drift
+    statistic; the batch window operator (events_cusum_drift) is the
+    oracle, so passing proves the drained in-order stream is
+    value-identical to batch (the same add-by-add IEEE sequence)."""
+    from xcube_spark.streaming.stateful import running_cusum
+
+    stream = running_cusum(read_events_stream(spark, sf_dir), k=55.0)
+    out = run_stream_to_table(stream, output_mode="append")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.round(F.col("cusum") + 1e-9, 4) + 0.0, 4)
+        .alias("cusum"))

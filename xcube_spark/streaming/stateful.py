@@ -63,3 +63,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: CUSUM state: running sum of (value - k) and its prefix minimum
+_CUSUM_STATE_SCHEMA = "c DOUBLE, minc DOUBLE"
+_CUSUM_OUTPUT_SCHEMA = "event_id LONG, user_id LONG, cusum DOUBLE"
+
+
+def running_cusum(events: DataFrame, k: float = 55.0) -> DataFrame:
+    """Per-user streaming CUSUM drift statistic — the stateful twin
+    of ``operators.temporal.cusum_drift``: state carries the running
+    sum ``C`` of ``(value - k)`` and its prefix minimum, each event
+    emits ``S = C - min_prefix(C)`` (the closed form of the
+    ``max(0, S + x - k)`` recursion).
+
+    ORDER-SENSITIVE state contract (unlike the order-free count/sum
+    sinks in this module): events must arrive per-key in event-time
+    order across micro-batches; within a batch the group sorts by
+    ``(ts, event_id)`` before folding.  Every arithmetic step is the
+    same IEEE double op sequence the batch window accumulator runs,
+    so a drained in-order finite stream is value-identical to the
+    batch operator (and to its SQL oracle).  Emits RAW doubles —
+    round in the caller (Python round is half-even, the round-8
+    lesson).
+
+    Scale: O(2 doubles) state per key in the state store; each
+    micro-batch touches only its keys.
+    """
+    import math
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            c, minc = state.get
+        else:
+            c, minc = 0.0, math.inf
+        ids, ss = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                c = c + (float(v) - k)
+                if c < minc:
+                    minc = c
+                ids.append(int(eid))
+                ss.append(c - minc)
+        state.update((c, minc))
+        yield pd.DataFrame({"event_id": ids,
+                            "user_id": [user_id] * len(ids),
+                            "cusum": ss})
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_CUSUM_OUTPUT_SCHEMA,
+            stateStructType=_CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
