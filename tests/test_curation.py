@@ -1022,3 +1022,26 @@ def test_textrank_deterministic_across_partitioning(spark):
          textrank_keywords(docs.repartition(13), iters=3,
                            top=8).collect()]
     assert a == b
+
+
+def test_ccnet_buckets_tercile_split(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import ccnet_buckets
+
+    # 9 docs: 3 fluent (repeated common trigrams), 3 mid, 3 garbage
+    rows = []
+    for i in range(3):
+        rows.append(Row(doc_id=i, text="the cat sat on the mat " * 6))
+    for i in range(3, 6):
+        rows.append(Row(doc_id=i, text="the cat zqx jkw on mat " * 6))
+    for i in range(6, 9):
+        rows.append(Row(doc_id=i, text=f"zz{i}qv jj{i}xw kk{i}yz " * 6))
+    out = ccnet_buckets(spark.createDataFrame(rows)).collect()
+    by_id = {r["doc_id"]: r["bucket"] for r in out}
+    assert all(by_id[i] == "head" for i in range(3))
+    assert all(by_id[i] == "tail" for i in range(6, 9))
+    # buckets are roughly balanced thirds
+    from collections import Counter
+    c = Counter(by_id.values())
+    assert set(c) == {"head", "middle", "tail"}
+    assert max(c.values()) - min(c.values()) <= 1

@@ -716,3 +716,39 @@ def textrank_keywords(
     finally:
         norm.unpersist()
     return out
+
+
+def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus-trained character-trigram LM (:func:`trigram_lm_score`),
+    then split the corpus into ``head`` / ``middle`` / ``tail`` at the
+    1/3 and 2/3 quantiles of the score — the standard
+    quality-stratification step before sampling pretraining data
+    (head = most-fluent third).
+
+    Returns ``(doc_id, n_trigrams, avg_nll, bucket)``.
+
+    Determinism: ``avg_nll`` is already nudge-rounded to the 1e-6
+    grid; the tercile thresholds are interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``) nudge-rounded
+    to the SAME grid before comparing, so a document sitting exactly
+    on a threshold resolves identically on both engines.
+
+    Scale shape: scoring is the trigram pipeline (model-sized
+    broadcast, one corpus scan); the thresholds are ONE 2-value
+    scalar aggregate broadcast back — no extra corpus shuffle.
+    """
+    scored = trigram_lm_score(docs, text_col=text_col)
+    qs = scored.agg(
+        F.expr("percentile(avg_nll, array(0.3333333333333333, "
+               "0.6666666666666666))").alias("q")
+    ).select(
+        F.round(F.col("q")[0] + F.lit(1e-9), 6).alias("t1"),
+        F.round(F.col("q")[1] + F.lit(1e-9), 6).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(qs)).select(
+        "doc_id", "n_trigrams", "avg_nll",
+        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )

@@ -124,6 +124,7 @@ PRIORITY_ORDER = (
     "doc_textrank_keywords",
     "doc_audio_spectrogram",
     "stream_cusum_drift",
+    "doc_ccnet_buckets",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -1351,3 +1351,58 @@ def doc_textrank_keywords(spark, sf_dir):
                             iters=4, top=20)
     return out.select(
         F.col("tok"), F.round(F.col("rank"), 7).alias("rank"))
+
+
+@query(
+    "doc_ccnet_buckets",
+    sql=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+            FROM documents
+        ), tri AS (
+            SELECT doc_id, substring(s, i, 3) AS tri
+            FROM t, unnest(range(1, length(s) - 1)) AS u(i)
+        ), model AS (
+            SELECT tri, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tri GROUP BY tri
+        ), tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM model
+        ), s AS (
+            SELECT tri.doc_id,
+                   COUNT(*) AS n_trigrams,
+                   ROUND(AVG(-ln(m.cnt * 1.0 / tot.n)) + 1e-9, 6)
+                       AS avg_nll
+            FROM tri JOIN model m USING (tri), tot
+            GROUP BY tri.doc_id
+        ), q AS (
+            SELECT ROUND(quantile_cont(avg_nll, 0.3333333333333333)
+                         + 1e-9, 6) AS t1,
+                   ROUND(quantile_cont(avg_nll, 0.6666666666666666)
+                         + 1e-9, 6) AS t2
+            FROM s
+        )
+        SELECT doc_id, n_trigrams, ROUND(avg_nll, 6) AS avg_nll,
+               CASE WHEN avg_nll <= t1 THEN 'head'
+                    WHEN avg_nll <= t2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM s, q
+    """,
+)
+def doc_ccnet_buckets(spark, sf_dir):
+    """ccnet_buckets (pipeline/text.py): CCNet-style head/middle/tail
+    stratification — every document scored by the corpus-trained
+    trigram LM, corpus split at the 1/3 and 2/3 score quantiles (the
+    quality-stratified sampling step before pretraining-data
+    selection).  Thresholds are interpolated percentiles
+    (Spark percentile == DuckDB quantile_cont) nudge-rounded onto the
+    SAME 1e-6 grid as the scores, so threshold-exact documents bucket
+    identically cross-engine.  Scale: trigram scoring is one corpus
+    scan + model-sized broadcast; the thresholds are one 2-value
+    scalar aggregate."""
+    from xcube_spark.pipeline.text import ccnet_buckets
+
+    out = ccnet_buckets(tbl(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_trigrams",
+                      F.round(F.col("avg_nll"), 6).alias("avg_nll"),
+                      "bucket")
