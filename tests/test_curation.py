@@ -1045,3 +1045,20 @@ def test_ccnet_buckets_tercile_split(spark):
     c = Counter(by_id.values())
     assert set(c) == {"head", "middle", "tail"}
     assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_char_entropy_extremes(spark):
+    import math
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import char_entropy
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="aaaaaaaa"),          # zero entropy
+        Row(doc_id=2, text="abcdefgh"),          # ln(8): uniform
+        Row(doc_id=3, text="aabb"),              # ln(2)
+    ])
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert abs(out[1]["entropy"]) < 1e-12
+    assert abs(out[2]["entropy"] - math.log(8)) < 1e-12
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-12
+    assert out[2]["n_distinct"] == 8 and out[2]["n_chars"] == 8

@@ -752,3 +752,35 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document character-distribution Shannon entropy — the
+    classic randomness gate (near-zero = degenerate repetition,
+    near-log(charset) = encrypted/compressed junk; natural text sits
+    in a narrow band).  Computed via the identity
+    ``H = ln(n) - (sum c*ln(c)) / n`` over exact integer character
+    counts, so the only float reduction is one bounded-cardinality
+    sum per document (charset-sized, nudge-rounded by the caller).
+
+    Returns ``(id, n_chars, n_distinct, entropy)`` with RAW double
+    entropy.
+
+    Scale shape: one map-side-combined shuffle on (doc, char) — the
+    value space is doc x charset — then a per-doc reduce; no joins,
+    no windows.
+    """
+    chars = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    ).where(F.col("__ch") != "")
+    cnt = chars.groupBy(id_col, "__ch").agg(
+        F.count("*").cast("long").alias("c"))
+    return cnt.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct"),
+        (F.log(F.sum("c").cast("double"))
+         - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
+         / F.sum("c")).alias("entropy"),
+    )

@@ -125,6 +125,7 @@ PRIORITY_ORDER = (
     "doc_audio_spectrogram",
     "stream_cusum_drift",
     "doc_ccnet_buckets",
+    "doc_char_entropy",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -1406,3 +1406,40 @@ def doc_ccnet_buckets(spark, sf_dir):
     return out.select("doc_id", "n_trigrams",
                       F.round(F.col("avg_nll"), 6).alias("avg_nll"),
                       "bucket")
+
+
+@query(
+    "doc_char_entropy",
+    sql="""
+        WITH ch AS (
+            SELECT doc_id, UNNEST(string_split(text, '')) AS c
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ch WHERE c != '' GROUP BY doc_id, c
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               ROUND(ROUND((ln(CAST(SUM(n) AS DOUBLE))
+                            - SUM(n * ln(CAST(n AS DOUBLE))) / SUM(n))
+                           + 1e-9, 6) + 0.0, 6) AS entropy
+        FROM cnt
+        GROUP BY doc_id
+    """,
+)
+def doc_char_entropy(spark, sf_dir):
+    """char_entropy (pipeline/text.py): per-document character
+    Shannon entropy via H = ln(n) - (sum c*ln c)/n over exact integer
+    counts — the randomness gate (degenerate repetition scores ~0,
+    compressed/encrypted junk near ln(charset), natural text in a
+    narrow band).  One (doc, char) map-side-combined shuffle + per-doc
+    reduce; the only float sum is charset-bounded, absorbed by the
+    nudged 6-decimal round."""
+    from xcube_spark.pipeline.text import char_entropy
+
+    out = char_entropy(tbl(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_chars", "n_distinct",
+        F.round(F.round(F.col("entropy") + 1e-9, 6) + 0.0, 6)
+        .alias("entropy"))
