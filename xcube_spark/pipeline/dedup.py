@@ -1016,3 +1016,54 @@ def lsh_recall_stats(
     tie_cache_lifetime(stats, truth)
     tie_cache_lifetime(stats, cands)
     return stats
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints: md5 each character
+    ``k``-gram, slide a ``w``-wide window over consecutive gram
+    positions, keep each window's minimum hash; the DISTINCT selected
+    hashes are the document's fingerprint set (guaranteed to share a
+    fingerprint with any other document containing a common substring
+    of length >= ``k + w - 1`` — the winnowing theorem, Schleimer et
+    al.).  The robust local-similarity dual of the global
+    ``fingerprint`` digest: partial overlaps still collide.
+
+    Returns ``(id, n_grams, n_fingerprints, fp_digest)`` where
+    ``fp_digest`` is md5 over the sorted distinct fingerprint hashes
+    (equal digests = winnowing-identical documents).
+
+    Scale shape: gram explode is narrow (positions derive from one
+    substring transform); the window min runs per-doc on the (doc,
+    pos) sort — ONE exchange; the distinct + digest reduce is
+    fingerprint-sized (~n_grams / w per doc).
+    """
+    from pyspark.sql.window import Window
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - "
+            f"{k - 1}, 0)), i -> md5(substring({text_col}, i, {k})))"
+        )).alias("pos", "h"),
+    )
+    win = Window.partitionBy(id_col).orderBy("pos") \
+        .rowsBetween(0, w - 1)
+    n_grams = F.greatest(F.length(text_col) - F.lit(k - 1), F.lit(0))
+    lens = docs.select(F.col(id_col), n_grams.alias("n_grams"))
+    sel = (
+        grams.withColumn("m", F.min("h").over(win))
+        .join(F.broadcast(lens), id_col)
+        .where(F.col("pos") <= F.col("n_grams") - w)  # complete windows
+        .groupBy(id_col, "n_grams")
+        .agg(F.array_sort(F.collect_set("m")).alias("fps"))
+    )
+    return sel.select(
+        id_col, "n_grams",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.md5(F.array_join("fps", "|")).alias("fp_digest"))

@@ -126,6 +126,7 @@ PRIORITY_ORDER = (
     "stream_cusum_drift",
     "doc_ccnet_buckets",
     "doc_char_entropy",
+    "doc_winnowing",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -1443,3 +1443,48 @@ def doc_char_entropy(spark, sf_dir):
         "doc_id", "n_chars", "n_distinct",
         F.round(F.round(F.col("entropy") + 1e-9, 6) + 0.0, 6)
         .alias("entropy"))
+
+
+@query(
+    "doc_winnowing",
+    sql="""
+        WITH t AS (
+            SELECT doc_id, text,
+                   greatest(length(text) - 4, 0) AS n_grams
+            FROM documents
+        ), g AS (
+            SELECT doc_id, n_grams, u.i AS pos,
+                   md5(substring(text, CAST(u.i + 1 AS INT), 5)) AS h
+            FROM t, unnest(range(n_grams)) AS u(i)
+        ), m AS (
+            SELECT doc_id, n_grams, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW
+                                     AND 3 FOLLOWING) AS m
+            FROM g
+        ), sel AS (
+            SELECT doc_id, n_grams, m
+            FROM m WHERE pos <= n_grams - 4
+        ), fp AS (
+            SELECT doc_id, n_grams,
+                   list_sort(list(DISTINCT m)) AS fps
+            FROM sel GROUP BY doc_id, n_grams
+        )
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(len(fps) AS BIGINT) AS n_fingerprints,
+               md5(array_to_string(fps, '|')) AS fp_digest
+        FROM fp
+    """,
+)
+def doc_winnowing(spark, sf_dir):
+    """winnowing_fingerprints (pipeline/dedup.py): MOSS winnowing —
+    md5 char 5-grams, keep each 4-window's minimum hash, digest the
+    distinct selections.  The robust local-similarity fingerprint
+    (any shared substring >= k+w-1 = 8 chars guarantees a shared
+    fingerprint — the winnowing theorem), complementing the global
+    sorted-token fingerprint and the minhash family.  ONE exchange
+    (per-doc window sort); selection density ~1/w so downstream state
+    is corpus/4-sized.  All string/integer — no float anywhere."""
+    from xcube_spark.pipeline.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(tbl(spark, sf_dir, "documents"))
