@@ -1097,3 +1097,18 @@ def test_winnowing_shared_substring_guarantee(spark):
         return {min(grams[i:i+w]) for i in range(len(grams) - w + 1)}
     assert fps("aaa " + common + " zzz") & fps(
         "qqq completely other " + common)
+
+
+def test_zipf_slope_recovers_synthetic_power_law(spark):
+    """A corpus built with freq(rank) ~ rank^-1 must fit slope ~ -1."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import zipf_slope
+
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * max(1, 400 // r)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(words[i::10])) for i in range(10)])
+    row = zipf_slope(docs, top=40).collect()[0]
+    assert row["n_tokens"] == 40
+    assert -1.15 < row["slope"] < -0.85

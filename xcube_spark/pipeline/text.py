@@ -784,3 +784,42 @@ def char_entropy(docs: DataFrame, text_col: str = "text",
          - F.sum(F.col("c") * F.log(F.col("c").cast("double")))
          / F.sum("c")).alias("entropy"),
     )
+
+
+def zipf_slope(docs: DataFrame, top: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus Zipf diagnostic: OLS slope/intercept of ``ln(freq)``
+    against ``ln(rank)`` over the top-``top`` tokens — natural-language
+    corpora sit near slope -1; a flat slope flags synthetic/templated
+    text, a cliff flags vocabulary collapse.  One token-count shuffle
+    (map-side combined), a ``top``-row ranked head, and a closed-form
+    2x2 OLS on that head — corpus-size-independent output.
+
+    Returns ONE row ``(n_tokens, slope, intercept)`` with RAW doubles
+    (round in the caller).
+    """
+    from pyspark.sql.window import Window
+
+    freq = (
+        docs.select(F.explode(
+            F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok").agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    head = (freq.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top)
+            .select(F.log(F.col("rank").cast("double")).alias("x"),
+                    F.log(F.col("freq").cast("double")).alias("y")))
+    return head.agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        ((F.count("*") * F.sum(F.col("x") * F.col("y"))
+          - F.sum("x") * F.sum("y"))
+         / (F.count("*") * F.sum(F.col("x") * F.col("x"))
+            - F.sum("x") * F.sum("x"))).alias("slope"),
+        ((F.sum("y") - (F.count("*") * F.sum(F.col("x") * F.col("y"))
+                        - F.sum("x") * F.sum("y"))
+          / (F.count("*") * F.sum(F.col("x") * F.col("x"))
+             - F.sum("x") * F.sum("x")) * F.sum("x"))
+         / F.count("*")).alias("intercept"),
+    )

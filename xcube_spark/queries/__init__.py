@@ -127,6 +127,8 @@ PRIORITY_ORDER = (
     "doc_ccnet_buckets",
     "doc_char_entropy",
     "doc_winnowing",
+    "events_mad_outliers",
+    "doc_zipf_slope",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -881,3 +881,59 @@ def events_cusum_drift(spark, sf_dir):
         "event_id", "user_id", cus.alias("cusum"),
         F.when(cus > 100.0, F.lit(1)).otherwise(F.lit(0))
         .cast("int").alias("drift"))
+
+
+@query(
+    "events_mad_outliers",
+    sql="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type
+        ), z AS (
+            SELECT d.event_id, d.event_type,
+                   ROUND(ROUND((d.value - d.med)
+                               / (1.4826 * m.mad) + 1e-9, 4)
+                         + 0.0, 4) AS robust_z
+            FROM dev d JOIN mad m USING (event_type)
+            WHERE m.mad > 0
+        )
+        SELECT event_id, event_type, robust_z,
+               CAST(CASE WHEN abs(robust_z) > 3.0 THEN 1 ELSE 0 END
+                    AS INT) AS outlier
+        FROM z
+    """,
+)
+def events_mad_outliers(spark, sf_dir):
+    """Robust outlier detection: per event type, the median/MAD
+    z-score (consistency constant 1.4826) and a |z| > 3 flag — the
+    heavy-tail-safe alternative to mean/stddev gating for data-quality
+    monitoring.  Medians are interpolated percentiles (Spark
+    percentile == DuckDB quantile_cont); the flag derives from the
+    nudge-rounded statistic so both engines bucket identically.
+    Scale: two partial-agg shuffles on the 5-value event_type key +
+    one broadcast join back; no sort of the full stream."""
+    ev = tbl(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad"))
+    z = F.round(F.round((F.col("value") - F.col("med"))
+                        / (F.lit(1.4826) * F.col("mad")) + 1e-9, 4)
+                + 0.0, 4)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("mad") > 0)
+        .select("event_id", "event_type", z.alias("robust_z"),
+                F.when(F.abs(z) > 3.0, F.lit(1)).otherwise(F.lit(0))
+                .cast("int").alias("outlier"))
+    )

@@ -1488,3 +1488,54 @@ def doc_winnowing(spark, sf_dir):
     from xcube_spark.pipeline.dedup import winnowing_fingerprints
 
     return winnowing_fingerprints(tbl(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_zipf_slope",
+    sql=r"""
+        WITH freq AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT UNNEST(regexp_split_to_array(trim(text),
+                                                      '\s+')) AS tok
+                  FROM documents)
+            WHERE tok != ''
+            GROUP BY tok
+        ), head AS (
+            SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM (SELECT freq,
+                         ROW_NUMBER() OVER (ORDER BY freq DESC, tok)
+                             AS rank
+                  FROM freq)
+            WHERE rank <= 100
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                           / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))
+                           + 1e-9, 6) + 0.0, 6) AS slope,
+               ROUND(ROUND((SUM(y) - (COUNT(*) * SUM(x * y)
+                                      - SUM(x) * SUM(y))
+                            / (COUNT(*) * SUM(x * x)
+                               - SUM(x) * SUM(x)) * SUM(x))
+                           / COUNT(*) + 1e-9, 6) + 0.0, 6)
+                   AS intercept
+        FROM head
+    """,
+)
+def doc_zipf_slope(spark, sf_dir):
+    """zipf_slope (pipeline/text.py): corpus Zipf exponent — OLS of
+    ln(freq) on ln(rank) over the top-100 tokens (natural corpora sit
+    near -1; flat = templated text, cliff = vocabulary collapse).
+    One map-side-combined token-count shuffle + a 100-row ranked head
+    + closed-form 2x2 OLS on that head; sums over exactly 100 O(10)
+    values keep cross-engine noise ~1e-14, absorbed by the nudged
+    6-decimal round."""
+    from xcube_spark.pipeline.text import zipf_slope
+
+    out = zipf_slope(tbl(spark, sf_dir, "documents"), top=100)
+    return out.select(
+        "n_tokens",
+        F.round(F.round(F.col("slope") + 1e-9, 6) + 0.0, 6)
+        .alias("slope"),
+        F.round(F.round(F.col("intercept") + 1e-9, 6) + 0.0, 6)
+        .alias("intercept"))
