@@ -360,3 +360,41 @@ def test_cusum_drift_matches_recursion(spark):
     for i, v in enumerate(vals):
         s = max(0.0, s + v - k)
         assert abs(out[i] - s) < 1e-12, (i, out[i], s)
+
+
+def test_hillshade_flat_surface_is_uniform(spark):
+    """A constant field has zero slope everywhere -> hillshade equals
+    255 * cos(zenith) on every interior cell."""
+    import math
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import HS_ZENITH_RAD, hillshade
+
+    rows = [Row(t_i=0, y_i=y, x_i=x, A=7.5)
+            for y in range(5) for x in range(5)]
+    df = spark.createDataFrame(rows)
+    out = hillshade(df, "A", "t_i", "y_i", "x_i").collect()
+    interior = [r for r in out if r["A_hillshade"] is not None]
+    assert len(interior) == 9  # 3x3 interior of a 5x5 grid
+    want = 255.0 * math.cos(HS_ZENITH_RAD)
+    for r in interior:
+        assert abs(r["A_hillshade"] - want) < 1e-9
+
+
+def test_hillshade_slope_darkens_away_from_sun(spark):
+    """A ramp rising toward the northwest sun shades brighter than
+    one rising away from it."""
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import hillshade
+
+    # sun at 315deg (NW): slope facing NW = bright, SE = dark
+    up_nw = [Row(t_i=0, y_i=y, x_i=x, A=float(-(x + y)))
+             for y in range(5) for x in range(5)]
+    up_se = [Row(t_i=0, y_i=y, x_i=x, A=float(x + y))
+             for y in range(5) for x in range(5)]
+    b = hillshade(spark.createDataFrame(up_nw), "A",
+                  "t_i", "y_i", "x_i").collect()
+    d = hillshade(spark.createDataFrame(up_se), "A",
+                  "t_i", "y_i", "x_i").collect()
+    bright = [r["A_hillshade"] for r in b if r["A_hillshade"] is not None]
+    dark = [r["A_hillshade"] for r in d if r["A_hillshade"] is not None]
+    assert min(bright) > max(dark)

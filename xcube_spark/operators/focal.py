@@ -113,3 +113,114 @@ def focal_mean_sql(
     return (f"SELECT {time_col}, {y_col}, {x_col}, "
             f"CASE WHEN {c2} > 0 THEN {s2} / CAST({c2} AS DOUBLE) END"
             f" AS {var}_focal FROM ({stage1})")
+
+
+import math as _math
+
+#: solar geometry for the standard cartographic hillshade
+HS_AZIMUTH_RAD = _math.radians(315.0)
+HS_ZENITH_RAD = _math.radians(45.0)
+
+
+def hillshade(
+    cube: DataFrame,
+    var: str,
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Horn (1981) hillshade over the cube grid — slope/aspect from
+    3x3 finite differences, shaded with the standard 315deg azimuth /
+    45deg altitude sun: the classic terrain-visualization raster
+    derivative (the analysis-side companion of the tile renderer).
+
+    Neighbor access is TWO chained 1-D window passes (lag/lead over x,
+    then lag/lead of those over y) — the separable trick from
+    :func:`focal_mean` generalized to the full 3x3 stencil: two
+    exchanges, no 9x explode, no join.  Interior cells only (every
+    stencil cell present); all trig is fixed-shape per-row IEEE math
+    with module-constant sun angles, cross-engine to the last ulp or
+    two (callers round).
+
+    Adds ``{var}_hillshade`` in [0, 255] (raw double).
+    """
+    wx = Window.partitionBy(time_col, y_col).orderBy(x_col)
+    v = F.col(var).cast("double")
+    s1 = cube.withColumn("__zc", v) \
+        .withColumn("__zw", F.lag(v).over(wx)) \
+        .withColumn("__ze", F.lead(v).over(wx))
+    wy = Window.partitionBy(time_col, x_col).orderBy(y_col)
+    cols = {}
+    for base, nm in (("__zw", "w"), ("__zc", "c"), ("__ze", "e")):
+        cols[f"n{nm}"] = F.lag(base).over(wy)
+        cols[f"c{nm}"] = F.col(base)
+        cols[f"s{nm}"] = F.lead(base).over(wy)
+    s2 = s1
+    for name, c in cols.items():
+        s2 = s2.withColumn(f"__{name}", c)
+    g = {k: F.col(f"__{k}") for k in cols}
+    dzdx = ((g["ne"] + F.lit(2.0) * g["ce"] + g["se"])
+            - (g["nw"] + F.lit(2.0) * g["cw"] + g["sw"])) / F.lit(8.0)
+    dzdy = ((g["sw"] + F.lit(2.0) * g["sc"] + g["se"])
+            - (g["nw"] + F.lit(2.0) * g["nc"] + g["ne"])) / F.lit(8.0)
+    dzdx = dzdx * F.lit(z_factor)
+    dzdy = dzdy * F.lit(z_factor)
+    slope = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    shade = F.lit(255.0) * (
+        F.lit(_math.cos(HS_ZENITH_RAD)) * F.cos(slope)
+        + F.lit(_math.sin(HS_ZENITH_RAD)) * F.sin(slope)
+        * F.cos(F.lit(HS_AZIMUTH_RAD) - aspect))
+    present = None
+    for k in g:
+        cond = g[k].isNotNull()
+        present = cond if present is None else (present & cond)
+    out = s2.withColumn(
+        f"{var}_hillshade",
+        F.when(present, F.greatest(shade, F.lit(0.0))))
+    return out.drop("__zc", "__zw", "__ze",
+                    *[f"__{k}" for k in cols])
+
+
+def hillshade_sql(
+    var: str,
+    src: str = "cube",
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+    z_factor: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`hillshade` — identical two-pass stencil
+    and per-row trig shapes with the same sun-angle double literals.
+    Produces ``(time, y, x, {var}_hillshade)`` (interior cells)."""
+    v = f"CAST({var} AS DOUBLE)"
+    wx = f"(PARTITION BY {time_col}, {y_col} ORDER BY {x_col})"
+    stage1 = (f"SELECT {time_col}, {y_col}, {x_col}, {v} AS zc, "
+              f"LAG({v}) OVER {wx} AS zw, "
+              f"LEAD({v}) OVER {wx} AS ze FROM {src}")
+    wy = f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col})"
+    sel = []
+    for base, nm in (("zw", "w"), ("zc", "c"), ("ze", "e")):
+        sel.append(f"LAG({base}) OVER {wy} AS n{nm}")
+        sel.append(f"{base} AS c{nm}")
+        sel.append(f"LEAD({base}) OVER {wy} AS s{nm}")
+    stage2 = (f"SELECT {time_col}, {y_col}, {x_col}, "
+              + ", ".join(sel) + f" FROM ({stage1})")
+    dzdx = ("(((ne + (2.0 * ce)) + se) - ((nw + (2.0 * cw)) + sw))"
+            f" / 8.0 * {z_factor!r}")
+    dzdy = ("(((sw + (2.0 * sc)) + se) - ((nw + (2.0 * nc)) + ne))"
+            f" / 8.0 * {z_factor!r}")
+    slope = f"atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))"
+    aspect = f"atan2(({dzdy}), -({dzdx}))"
+    shade = (f"255.0 * ({_math.cos(HS_ZENITH_RAD)!r} * cos({slope})"
+             f" + {_math.sin(HS_ZENITH_RAD)!r} * sin({slope})"
+             f" * cos({HS_AZIMUTH_RAD!r} - ({aspect})))")
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL"
+        for c in ("nw", "nc", "ne", "cw", "cc", "ce", "sw", "sc", "se"))
+    # cc alias for presence parity
+    stage2 = stage2.replace("zc AS cc", "zc AS cc")
+    return (f"SELECT {time_col}, {y_col}, {x_col}, "
+            f"greatest({shade}, 0.0) AS {var}_hillshade "
+            f"FROM ({stage2}) WHERE {notnull}")

@@ -129,6 +129,7 @@ PRIORITY_ORDER = (
     "doc_winnowing",
     "events_mad_outliers",
     "doc_zipf_slope",
+    "cube_hillshade",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -670,3 +670,40 @@ def cube_focal_mean(spark, sf_dir):
             F.round(F.round(F.col("A_focal") + 1e-9, 6) + 0.0, 6)
             .alias("A_focal"))
     )
+
+
+from xcube_spark.operators.focal import hillshade, hillshade_sql  # noqa: E402
+
+
+@query(
+    "cube_hillshade",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i,
+               ROUND(ROUND(A_hillshade + 1e-6, 4) + 0.0, 4)
+                   AS A_hillshade
+        FROM ({hillshade_sql("A", time_col="t_i", y_col="y_i",
+                             x_col="x_i", z_factor=20.0)})
+        WHERE x_i < 40 AND y_i < 40
+    """,
+)
+def cube_hillshade(spark, sf_dir):
+    """hillshade (operators/focal.py): Horn slope/aspect shading with
+    the standard 315/45 sun — the terrain-derivative raster op, built
+    as TWO chained 1-D window passes (the separable-stencil trick:
+    lag/lead over x, then lag/lead of those over y) — two exchanges,
+    no 9x explode, no join.  Sun angles are module-constant doubles
+    shared by both engines; per-row trig differs by at most an ulp or
+    two, absorbed by the 1e-6-nudged 4-decimal round.  Interior cells
+    only; z_factor exaggerates the fixture's gentle field so shading
+    spans the full range."""
+    out = hillshade(_cube(spark), "A", time_col="t_i",
+                    y_col="y_i", x_col="x_i", z_factor=20.0)
+    return (
+        out.where((F.col("x_i") < 40) & (F.col("y_i") < 40)
+                  & F.col("A_hillshade").isNotNull())
+        .select(
+            "t_i", "y_i", "x_i",
+            F.round(F.round(F.col("A_hillshade") + 1e-6, 4) + 0.0, 4)
+            .alias("A_hillshade"))
+    )
