@@ -75,3 +75,30 @@ def test_knn_recall_bounds_and_perfect_self_recall(spark):
     for r in lsh.values():
         assert r.n_truth == 5 and 0 <= r.n_matched <= 5
         assert abs(r.recall - round(r.n_matched / 5 + 1e-9, 6)) < 1e-9
+
+
+# ---- label cohesion (round-10 third-session addition) --------------------
+
+
+def test_label_cohesion_tight_vs_scattered(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.similarity import label_cohesion
+
+    rows = []
+    # label 0: tight cluster along e1 (cohesion ~1)
+    for i in range(8):
+        v = [0.0] * 8
+        v[0] = 100.0
+        v[1] = float(i % 2)
+        rows.append(Row(vec_id=i, label=0, codes=v))
+    # label 1: orthogonal one-hot spread (low cohesion)
+    for i in range(8):
+        v = [0.0] * 8
+        v[i] = 100.0
+        rows.append(Row(vec_id=8 + i, label=1, codes=v))
+    df = spark.createDataFrame(rows)
+    out = {r["label"]: r for r in
+           label_cohesion(df, dim=8).collect()}
+    assert out[0]["n"] == 8 and out[1]["n"] == 8
+    assert out[0]["cohesion"] > 0.99
+    assert out[1]["cohesion"] < 0.5

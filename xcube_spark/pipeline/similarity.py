@@ -1449,3 +1449,66 @@ def random_projection_int8(
         q.select(id_col, F.explode(F.array(*projs)).alias("p"))
         .select(id_col, F.col("p.j").alias("j"), F.col("p.proj").alias("proj"))
     )
+
+
+def _dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as an UNROLLED fixed-order sum (the
+    :func:`_d2_unrolled` discipline: whole-stage codegen instead of
+    interpreted higher-order folds, and a literal expression twin in
+    SQL gives bit-identical doubles)."""
+    out = None
+    for d in range(dim):
+        t = F.element_at(a, d + 1) * F.element_at(b, d + 1)
+        out = t if out is None else out + t
+    return out
+
+
+def label_cohesion(
+    vecs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "codes",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-space label diagnostics: per label, the mean cosine
+    of members to their own label centroid — the cohesion half of a
+    silhouette score, the standard "are these labels separable in
+    embedding space?" health check before training a classifier on
+    them.
+
+    Pass INTEGER-VALUED vectors (int8-quantized codes): the centroid
+    means are then exact-integer sums divided once (bit-identical on
+    any engine), and each member cosine is a fixed-shape unrolled
+    fold (:func:`_dot_unrolled`) — the ``emb_kmeans`` discipline.
+    Only the final per-label mean is an order-free float sum (round
+    in the caller).
+
+    Returns ``(label, n, cohesion)`` with RAW double cohesion.
+
+    Scale shape: ONE partial-agg shuffle on (label, dim) builds the
+    centroids (L*d reduce keys), centroids broadcast back, cosines
+    are a codegen scan, and the per-label mean is an L-key reduce —
+    corpus touched twice, nothing corpus-sized shuffles.
+    """
+    dims = vecs.select(
+        F.col(label_col).alias("__lbl"),
+        F.posexplode(vec_col).alias("__d", "__v"))
+    cent = (
+        dims.groupBy("__lbl", "__d").agg(F.avg("__v").alias("__m"))
+        .groupBy("__lbl")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("__d", "__m"))).alias("__dm"))
+        .select("__lbl",
+                F.transform("__dm", lambda s: s["__m"]).alias("__cv"))
+    )
+    x, c = F.col(vec_col), F.col("__cv")
+    cos = _dot_unrolled(x, c, dim) / (
+        F.sqrt(_dot_unrolled(x, x, dim))
+        * F.sqrt(_dot_unrolled(c, c, dim)))
+    return (
+        vecs.join(F.broadcast(cent),
+                  F.col(label_col) == F.col("__lbl"))
+        .groupBy(label_col)
+        .agg(F.count("*").cast("long").alias("n"),
+             F.avg(cos).alias("cohesion"))
+    )

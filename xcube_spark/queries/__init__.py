@@ -130,6 +130,7 @@ PRIORITY_ORDER = (
     "events_mad_outliers",
     "doc_zipf_slope",
     "cube_hillshade",
+    "emb_label_cohesion",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -447,3 +447,79 @@ def doc_logreg_probe(spark, sf_dir):
         "doc_id", "y",
         F.round(F.round(F.col("p") + 1e-9, 6) + 0.0, 6).alias("p"),
         "pred")
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Unrolled left-associated dot product — the SQL twin of
+    similarity._dot_unrolled."""
+    expr = f"({a}[1] * {b}[1])"
+    for i in range(2, dim + 1):
+        expr = f"({expr} + ({a}[{i}] * {b}[{i}]))"
+    return expr
+
+
+_COH_COS = (f"{_dot_sql('v.codes', 'cent.cent')} / "
+            f"(sqrt({_dot_sql('v.codes', 'v.codes')})"
+            f" * sqrt({_dot_sql('cent.cent', 'cent.cent')}))")
+
+
+@query(
+    "emb_label_cohesion",
+    sql=f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+            FROM embeddings
+        ), v AS MATERIALIZED (
+            SELECT vec_id, label,
+                   list_transform(
+                       emb, x -> round(
+                           x / (list_max(list_transform(
+                                    emb, y -> abs(y))) / 127.0)))
+                       AS codes
+            FROM e
+        ), cent AS MATERIALIZED (
+            SELECT label AS clbl, list(m ORDER BY i) AS cent
+            FROM (
+                SELECT label, s.i, avg(codes[s.i]) AS m
+                FROM v, generate_series(1, 64) s(i)
+                GROUP BY label, s.i
+            )
+            GROUP BY label
+        )
+        SELECT v.label,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(ROUND(AVG({_COH_COS}) + 1e-9, 6) + 0.0, 6)
+                   AS cohesion
+        FROM v JOIN cent ON cent.clbl = v.label
+        GROUP BY v.label
+    """,
+)
+def emb_label_cohesion(spark, sf_dir):
+    """label_cohesion (pipeline/similarity.py): per-label mean cosine
+    of members to their own label centroid — the cohesion half of a
+    silhouette score, the "are these labels separable in embedding
+    space?" health check before training on them.  Vectors
+    int8-quantize first so centroid means are exact integer sums
+    divided once; each cosine is the unrolled fixed-order fold shared
+    bit-for-bit with the oracle; only the per-label mean is an
+    order-free float sum (nudge-rounded to 6).  Scale: one (label,
+    dim) reduce + broadcast centroids + an L-key mean — corpus
+    touched twice, nothing corpus-sized shuffles."""
+    from xcube_spark.pipeline.similarity import label_cohesion
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    codes = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "e",
+            lambda x: F.round(
+                x / (F.array_max(F.transform("e", lambda y: F.abs(y)))
+                     / F.lit(127.0)))).alias("codes"))
+    out = label_cohesion(codes, label_col="label", id_col="vec_id",
+                         vec_col="codes", dim=64)
+    return out.select(
+        "label", "n",
+        F.round(F.round(F.col("cohesion") + 1e-9, 6) + 0.0, 6)
+        .alias("cohesion"))
