@@ -398,3 +398,28 @@ def test_hillshade_slope_darkens_away_from_sun(spark):
     bright = [r["A_hillshade"] for r in b if r["A_hillshade"] is not None]
     dark = [r["A_hillshade"] for r in d if r["A_hillshade"] is not None]
     assert min(bright) > max(dark)
+
+
+def test_integral_image_box_sum_identity(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import integral_image
+
+    vals = {(y, x): float((3 * y + 5 * x) % 7)
+            for y in range(6) for x in range(7)}
+    rows = [Row(t_i=0, y_i=y, x_i=x, A=vals[(y, x)])
+            for (y, x) in vals]
+    df = spark.createDataFrame(rows)
+    out = {(r["y_i"], r["x_i"]): r["A_integral"]
+           for r in integral_image(df, "A", "t_i", "y_i",
+                                   "x_i").collect()}
+    # prefix-sum correctness
+    for (y, x) in vals:
+        want = sum(vals[(yy, xx)]
+                   for yy in range(y + 1) for xx in range(x + 1))
+        assert abs(out[(y, x)] - want) < 1e-9
+    # O(1) box query: sum over y in [2,4], x in [3,6]
+    def I(y, x):
+        return out[(y, x)] if y >= 0 and x >= 0 else 0.0
+    box = I(4, 6) - I(1, 6) - I(4, 2) + I(1, 2)
+    want = sum(vals[(y, x)] for y in range(2, 5) for x in range(3, 7))
+    assert abs(box - want) < 1e-9

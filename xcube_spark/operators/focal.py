@@ -224,3 +224,54 @@ def hillshade_sql(
     return (f"SELECT {time_col}, {y_col}, {x_col}, "
             f"greatest({shade}, 0.0) AS {var}_hillshade "
             f"FROM ({stage2}) WHERE {notnull}")
+
+
+def integral_image(
+    cube: DataFrame,
+    var: str,
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> DataFrame:
+    """Summed-area table (integral image): ``I(y, x) = sum of
+    ``var`` over all cells with y' <= y and x' <= x`` — after this
+    one preprocessing pass, ANY axis-aligned box sum is four lookups
+    (O(1) per query), the standard trick behind multi-scale box
+    filters, ROI statistics and Haar features at scale.
+
+    Built as two SEPARABLE cumulative window passes (running sum over
+    x within each row, then over y within each column) — two
+    exchanges, no fan-out.  Running sums accumulate in the same
+    coordinate order on any engine, so cross-engine noise is
+    sub-ulp-per-row (callers round).
+
+    Adds ``{var}_integral`` (raw double).
+    """
+    wx = (Window.partitionBy(time_col, y_col).orderBy(x_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    s1 = cube.withColumn(
+        "__rx", F.sum(F.col(var).cast("double")).over(wx))
+    wy = (Window.partitionBy(time_col, x_col).orderBy(y_col)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (s1.withColumn(f"{var}_integral", F.sum("__rx").over(wy))
+            .drop("__rx"))
+
+
+def integral_image_sql(
+    var: str,
+    src: str = "cube",
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> str:
+    """DuckDB twin of :func:`integral_image` — the same two
+    cumulative window passes."""
+    v = f"CAST({var} AS DOUBLE)"
+    wx = (f"(PARTITION BY {time_col}, {y_col} ORDER BY {x_col} "
+          f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    wy = (f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col} "
+          f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    stage1 = (f"SELECT {time_col}, {y_col}, {x_col}, "
+              f"SUM({v}) OVER {wx} AS __rx FROM {src}")
+    return (f"SELECT {time_col}, {y_col}, {x_col}, "
+            f"SUM(__rx) OVER {wy} AS {var}_integral FROM ({stage1})")

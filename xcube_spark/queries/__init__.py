@@ -131,6 +131,7 @@ PRIORITY_ORDER = (
     "doc_zipf_slope",
     "cube_hillshade",
     "emb_label_cohesion",
+    "cube_integral_image",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -707,3 +707,38 @@ def cube_hillshade(spark, sf_dir):
             F.round(F.round(F.col("A_hillshade") + 1e-6, 4) + 0.0, 4)
             .alias("A_hillshade"))
     )
+
+
+from xcube_spark.operators.focal import integral_image, integral_image_sql  # noqa: E402
+
+
+@query(
+    "cube_integral_image",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i,
+               ROUND(ROUND(A_integral + 1e-6, 4) + 0.0, 4)
+                   AS A_integral
+        FROM ({integral_image_sql("A", time_col="t_i", y_col="y_i",
+                                  x_col="x_i")})
+        WHERE x_i < 40 AND y_i < 40
+    """,
+)
+def cube_integral_image(spark, sf_dir):
+    """integral_image (operators/focal.py): summed-area table — after
+    one preprocessing pass any axis-aligned box sum is four lookups,
+    the standard trick behind multi-scale box filters / ROI stats at
+    scale.  Two separable cumulative window passes (running sum over
+    x, then over y): two exchanges, no fan-out; running sums
+    accumulate in the same coordinate order on both engines so the
+    nudged 4-decimal round absorbs sub-ulp noise.  Output subset to a
+    40x40 index band (prefix sums there cover rows/cols 0..39)."""
+    out = integral_image(_cube(spark), "A", time_col="t_i",
+                         y_col="y_i", x_col="x_i")
+    return (
+        out.where((F.col("x_i") < 40) & (F.col("y_i") < 40))
+        .select(
+            "t_i", "y_i", "x_i",
+            F.round(F.round(F.col("A_integral") + 1e-6, 4) + 0.0, 4)
+            .alias("A_integral"))
+    )
