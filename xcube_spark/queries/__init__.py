@@ -309,6 +309,11 @@ def load_all() -> dict[str, Query]:
 #: plus their sf-scaled events-derived twins, so a regression in the
 #: gather-join path is visible in BENCH_r{N}.
 BENCH_SET = (
+    # round-10 third session: the EMA/CUSUM window family (sf-scaled
+    # events rows) and the iterative-graph textrank row
+    "events_ema",
+    "events_cusum_drift",
+    "doc_textrank_keywords",
     "cube_select_timeseries",
     "cube_resample_time_2d",
     "cube_rectify_swath",
