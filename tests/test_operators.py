@@ -423,3 +423,33 @@ def test_integral_image_box_sum_identity(spark):
     box = I(4, 6) - I(1, 6) - I(4, 2) + I(1, 2)
     want = sum(vals[(y, x)] for y in range(2, 5) for x in range(3, 7))
     assert abs(box - want) < 1e-9
+
+
+def test_rolling_trend_recovers_linear_slope(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import rolling_trend
+
+    # exactly linear series: value = 3*i -> slope 3 once window fills
+    df = spark.createDataFrame([Row(u=1, i=i, v=3.0 * i)
+                                for i in range(40)])
+    out = {r["i"]: r["trend"]
+           for r in rolling_trend(df, "v", "u", ["i"],
+                                  window=8).collect()}
+    for i in range(40):
+        if i < 7:
+            assert out[i] is None
+        else:
+            assert abs(out[i] - 3.0) < 1e-12, (i, out[i])
+
+
+def test_rolling_trend_sign(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import rolling_trend
+
+    vals = [float(50 - i) for i in range(20)]  # falling
+    df = spark.createDataFrame([Row(u=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    out = [r["trend"] for r in
+           rolling_trend(df, "v", "u", ["i"], window=8).collect()
+           if r["trend"] is not None]
+    assert all(t < 0 for t in out)

@@ -284,3 +284,48 @@ def cusum_drift(
         out.withColumn("cusum", F.col("__c") - F.min("__c").over(w2))
         .drop("__c")
     )
+
+
+def rolling_trend(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    window: int = 32,
+) -> DataFrame:
+    """Rolling linear-trend slope per series: over each FULL trailing
+    window of ``window`` values, the OLS slope of value against age
+    (0 = newest), sign-flipped so positive = rising — the
+    trend-detection primitive for drift dashboards (the linear
+    companion of ``cusum_drift``'s step detector).
+
+    With age as the regressor, the design moments are CONSTANTS
+    (``n``, ``sum i``, ``sum i^2``), so the slope is a fixed linear
+    combination of the ``window`` unrolled lag terms:
+    ``slope = -(n * sum(i * y_i) - sum(i) * sum(y_i)) / denom`` with
+    every coefficient an exact integer — the whole statistic is a
+    fixed left-associated fold, bit-identical on any engine (the
+    ``ema_smooth`` discipline; no window-aggregate ordering freedom
+    anywhere).  Rows with fewer than ``window`` predecessors emit
+    NULL.
+
+    Adds ``trend`` (raw double; round in the caller).  One exchange +
+    sort on ``key_col``; all lags ride the same frame.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    n = window
+    si = n * (n - 1) // 2
+    si2 = (n - 1) * n * (2 * n - 1) // 6
+    denom = float(n * si2 - si * si)
+    sy = None
+    siy = None
+    for i in range(n):
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        sy = x if sy is None else sy + x
+        term = F.lit(float(i)) * x
+        siy = term if siy is None else siy + term
+    rn = F.row_number().over(w)
+    slope = -(F.lit(float(n)) * siy - F.lit(float(si)) * sy) \
+        / F.lit(denom)
+    return df.withColumn(
+        "trend", F.when(rn >= n, slope))

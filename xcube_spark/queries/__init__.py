@@ -132,6 +132,7 @@ PRIORITY_ORDER = (
     "cube_hillshade",
     "emb_label_cohesion",
     "cube_integral_image",
+    "events_rolling_trend",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

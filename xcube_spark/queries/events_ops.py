@@ -937,3 +937,51 @@ def events_mad_outliers(spark, sf_dir):
                 F.when(F.abs(z) > 3.0, F.lit(1)).otherwise(F.lit(0))
                 .cast("int").alias("outlier"))
     )
+
+
+def _trend_sql(window: int = 32) -> str:
+    """SQL twin of operators.temporal.rolling_trend — the same
+    unrolled integer-weighted fold over the same frame."""
+    n = window
+    si = n * (n - 1) // 2
+    si2 = (n - 1) * n * (2 * n - 1) // 6
+    denom = float(n * si2 - si * si)
+    sy = None
+    siy = None
+    for i in range(n):
+        x = "value" if i == 0 else f"LAG(value, {i}) OVER w"
+        sy = x if sy is None else f"({sy} + {x})"
+        term = f"({float(i)!r} * {x})"
+        siy = term if siy is None else f"({siy} + {term})"
+    slope = (f"-(({float(n)!r} * {siy}) - ({float(si)!r} * {sy}))"
+             f" / {denom!r}")
+    return f"""
+        SELECT event_id, user_id,
+               ROUND(ROUND(CASE WHEN ROW_NUMBER() OVER w >= {n}
+                                THEN {slope} END + 1e-9, 6) + 0.0, 6)
+                   AS trend
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("events_rolling_trend", sql=_trend_sql())
+def events_rolling_trend(spark, sf_dir):
+    """rolling_trend (operators/temporal.py): per-user rolling OLS
+    slope over the trailing 32 events (age regressor, positive =
+    rising) — the linear trend detector beside cusum_drift's step
+    detector.  With age as regressor the design moments are exact
+    integer constants, so the slope is a fixed integer-weighted
+    left-associated fold over 32 unrolled lags: bit-identical
+    cross-engine, one exchange + sort, NULL until the window fills."""
+    from xcube_spark.operators.temporal import rolling_trend
+
+    ev = tbl(spark, sf_dir, "events")
+    out = rolling_trend(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        window=32)
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.round(F.col("trend") + 1e-9, 6) + 0.0, 6)
+        .alias("trend"))
