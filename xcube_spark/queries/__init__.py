@@ -133,6 +133,7 @@ PRIORITY_ORDER = (
     "emb_label_cohesion",
     "cube_integral_image",
     "events_rolling_trend",
+    "events_seasonal_residual",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -985,3 +985,46 @@ def events_rolling_trend(spark, sf_dir):
         "event_id", "user_id",
         F.round(F.round(F.col("trend") + 1e-9, 6) + 0.0, 6)
         .alias("trend"))
+
+
+@query(
+    "events_seasonal_residual",
+    sql="""
+        WITH prof AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INT) AS hod,
+                   ROUND(AVG(value) + 1e-9, 6) AS hod_mean,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY event_type, EXTRACT(hour FROM ts)
+        )
+        SELECT e.event_id, e.event_type,
+               CAST(EXTRACT(hour FROM e.ts) AS INT) AS hod,
+               p.hod_mean,
+               ROUND(ROUND(e.value - p.hod_mean + 1e-9, 4) + 0.0, 4)
+                   AS residual
+        FROM events e
+        JOIN prof p ON p.event_type = e.event_type
+         AND p.hod = CAST(EXTRACT(hour FROM e.ts) AS INT)
+    """,
+)
+def events_seasonal_residual(spark, sf_dir):
+    """Seasonal-naive decomposition: the hour-of-day x event-type
+    profile (the seasonal component) and each event's residual
+    against it — the detrending step before anomaly scoring on
+    periodic traffic.  The profile is a 120-key partial-agg reduce
+    broadcast back; residuals subtract the GRID-ROUNDED profile mean
+    so both engines difference identical doubles.  One corpus scan +
+    one broadcast join — nothing corpus-sized shuffles."""
+    ev = tbl(spark, sf_dir, "events")
+    hod = F.hour(F.col("ts")).cast("int")
+    prof = ev.groupBy("event_type", hod.alias("hod")).agg(
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("hod_mean"),
+        F.count("*").cast("long").alias("n"))
+    return (
+        ev.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select("event_id", "event_type", "hod", "hod_mean",
+                F.round(F.round(F.col("value") - F.col("hod_mean")
+                                + 1e-9, 4) + 0.0, 4).alias("residual"))
+    )
