@@ -512,3 +512,23 @@ def test_stream_cusum_equals_batch(spark, sf_dir):
              F.round(F.col("cusum") + 1e-9, 4).alias("cusum"))
     cols = ("event_id", "user_id", "cusum")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_stream_ema_equals_batch(spark, sf_dir):
+    from xcube_spark.operators.temporal import ema_smooth
+    from xcube_spark.streaming.stateful import running_ema
+
+    stream = running_ema(read_events_stream(spark, sf_dir),
+                         alpha=0.25, window=16)
+    got = run_stream_to_table(stream, output_mode="append").select(
+        "event_id", "user_id",
+        F.round(F.col("ema") + 1e-9, 6).alias("ema"))
+    ev = tbl(spark, sf_dir, "events")
+    ema = ema_smooth(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        alpha=0.25, window=16)
+    want = ev.select("event_id", "user_id",
+                     F.round(ema + 1e-9, 6).alias("ema"))
+    cols = ("event_id", "user_id", "ema")
+    assert _rows(got, *cols) == _rows(want, *cols)

@@ -134,6 +134,7 @@ PRIORITY_ORDER = (
     "cube_integral_image",
     "events_rolling_trend",
     "events_seasonal_residual",
+    "stream_ema",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

@@ -215,3 +215,26 @@ def stream_cusum_drift(spark, sf_dir):
         "event_id", "user_id",
         F.round(F.round(F.col("cusum") + 1e-9, 4) + 0.0, 4)
         .alias("cusum"))
+
+
+from xcube_spark.queries.events_ops import _ema_sql  # noqa: E402
+
+
+@query("stream_ema", sql=_ema_sql())
+def stream_ema(spark, sf_dir):
+    """running_ema (streaming/stateful.py): per-user streaming EMA as
+    an order-sensitive applyInPandasWithState ring buffer (last 15
+    values per key); each event emits the weighted mean with
+    (1-alpha)^age weights in the SAME fold order as the batch
+    operator's unrolled lags, so the drained in-order stream is
+    value-identical to batch — the shared batch SQL twin IS the
+    oracle."""
+    from xcube_spark.streaming.stateful import running_ema
+
+    stream = running_ema(read_events_stream(spark, sf_dir),
+                         alpha=0.25, window=16)
+    out = run_stream_to_table(stream, output_mode="append")
+    return out.select(
+        "event_id", "user_id",
+        F.round(F.round(F.col("ema") + 1e-9, 6) + 0.0, 6)
+        .alias("ema"))

@@ -127,3 +127,68 @@ def running_cusum(events: DataFrame, k: float = 55.0) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: EMA ring state: the last (window - 1) values, newest LAST
+_EMA_STATE_SCHEMA = "vals ARRAY<DOUBLE>"
+_EMA_OUTPUT_SCHEMA = "event_id LONG, user_id LONG, ema DOUBLE"
+
+
+def running_ema(events: DataFrame, alpha: float = 0.25,
+                window: int = 16) -> DataFrame:
+    """Per-user streaming EMA — the stateful twin of
+    ``operators.temporal.ema_smooth``: state is a ring of the last
+    ``window - 1`` values; each event emits the weighted mean of
+    itself and the ring with weights ``(1 - alpha)^i`` (i = age).
+
+    Same ORDER-SENSITIVE contract as :func:`running_cusum` (per-key
+    event-time order across micro-batches; in-batch sort by
+    ``(ts, event_id)``).  The fold iterates ages 0..k in the same
+    order as the batch operator's unrolled lag terms, and absent lags
+    contribute exact 0.0 there — adding 0.0 is an IEEE identity for
+    these positive terms — so the drained stream is value-identical
+    to batch and to its SQL oracle.  Emits RAW doubles.
+
+    Scale: O(window) doubles of state per key.
+    """
+    decay = 1.0 - alpha
+    weights = [decay ** i for i in range(window)]
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ring: list[float] = list(state.get[0]) if state.exists else []
+        ids, emas = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                x = float(v)
+                num = weights[0] * x
+                den = weights[0]
+                for i in range(1, min(window, len(ring) + 1)):
+                    num = num + weights[i] * ring[-i]
+                    den = den + weights[i]
+                ids.append(int(eid))
+                emas.append(num / den)
+                ring.append(x)
+                if len(ring) >= window:
+                    ring = ring[-(window - 1):]
+        state.update((ring,))
+        yield pd.DataFrame({"event_id": ids,
+                            "user_id": [user_id] * len(ids),
+                            "ema": emas})
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EMA_OUTPUT_SCHEMA,
+            stateStructType=_EMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
