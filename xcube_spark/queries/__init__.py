@@ -135,6 +135,7 @@ PRIORITY_ORDER = (
     "events_rolling_trend",
     "events_seasonal_residual",
     "stream_ema",
+    "events_daily_leaderboard",
     # round-10 late additions (never sampled yet)
     "doc_nb_classify",
     "doc_incremental_nb",

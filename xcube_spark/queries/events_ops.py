@@ -1028,3 +1028,45 @@ def events_seasonal_residual(spark, sf_dir):
                 F.round(F.round(F.col("value") - F.col("hod_mean")
                                 + 1e-9, 4) + 0.0, 4).alias("residual"))
     )
+
+
+@query(
+    "events_daily_leaderboard",
+    sql="""
+        WITH day AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   user_id,
+                   ROUND(SUM(value) + 1e-9, 4) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT day, rank, user_id, total, n_events
+        FROM (
+            SELECT day, user_id, total, n_events,
+                   ROW_NUMBER() OVER (PARTITION BY day
+                                      ORDER BY total DESC, user_id)
+                       AS rank
+            FROM day
+        ) WHERE rank <= 3
+    """,
+)
+def events_daily_leaderboard(spark, sf_dir):
+    """Grouped top-k: the per-day top-3 users by total value — the
+    leaderboard/top-N-per-group shape (rank window over a pre-reduced
+    aggregate, NOT a global sort).  Totals round to the grid BEFORE
+    ranking so the (total DESC, user_id) tie-break is identical
+    cross-engine.  Scale: one (day, user) partial-agg reduce, then a
+    rank window over day partitions of group-count size — the full
+    stream never sorts."""
+    ev = tbl(spark, sf_dir, "events")
+    day = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).agg(F.round(F.sum("value") + F.lit(1e-9), 4).alias("total"),
+          F.count("*").cast("long").alias("n_events"))
+    w = Window.partitionBy("day").orderBy(
+        F.desc("total"), F.asc("user_id"))
+    return (
+        day.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("day", "rank", "user_id", "total", "n_events")
+    )
