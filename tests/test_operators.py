@@ -362,6 +362,26 @@ def test_cusum_drift_matches_recursion(spark):
         assert abs(out[i] - s) < 1e-12, (i, out[i], s)
 
 
+def test_cusum_drift_first_value_above_k(spark):
+    """Regression: when the running sum of (value - k) stays positive
+    from the FIRST event, the closed form must include the empty
+    prefix C_0 = 0 — S_1 = x_1 - k, not 0."""
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import cusum_drift
+
+    vals = [9.0, 8.0, 7.0, 1.0, 9.0]
+    k = 3.0
+    df = spark.createDataFrame([Row(u=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    out = {r["i"]: r["cusum"]
+           for r in cusum_drift(df, "v", "u", ["i"], k=k).collect()}
+    assert out[0] == 6.0  # x_1 - k, the bug emitted 0.0 here
+    s = 0.0
+    for i, v in enumerate(vals):
+        s = max(0.0, s + v - k)
+        assert abs(out[i] - s) < 1e-12, (i, out[i], s)
+
+
 def test_hillshade_flat_surface_is_uniform(spark):
     """A constant field has zero slope everywhere -> hillshade equals
     255 * cos(zenith) on every interior cell."""

@@ -258,9 +258,12 @@ def cusum_drift(
 
     The textbook recursion ``S_t = max(0, S_{t-1} + x_t - k)`` is not
     window-expressible, but the closed form is:
-    ``S_t = C_t - min_{i<=t}(C_i)`` with ``C_t`` the running sum of
-    ``x - k`` — two window passes over the SAME sorted frame (one
-    exchange, one sort).  Rows with ``S`` above the decision
+    ``S_t = C_t - min(0, min_{i<=t}(C_i))`` with ``C_t`` the running
+    sum of ``x - k`` — the 0 term is the empty prefix ``C_0 = 0``
+    (without it, a series whose running sum stays positive from the
+    first event would be underestimated and the first row would
+    always emit 0 instead of ``x_1 - k``) — two window passes over
+    the SAME sorted frame (one exchange, one sort).  Rows with ``S`` above the decision
     threshold ``h`` flag a sustained upward drift (the monitoring
     primitive for data-quality regressions in an ingest stream).
 
@@ -281,7 +284,10 @@ def cusum_drift(
     w2 = (Window.partitionBy(key_col).orderBy(*order_cols)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (
-        out.withColumn("cusum", F.col("__c") - F.min("__c").over(w2))
+        out.withColumn(
+            "cusum",
+            F.col("__c")
+            - F.least(F.lit(0.0), F.min("__c").over(w2)))
         .drop("__c")
     )
 

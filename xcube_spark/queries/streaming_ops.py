@@ -192,7 +192,8 @@ def stream_click_purchase_join(spark, sf_dir):
                               AND CURRENT ROW)
         )
         SELECT event_id, user_id,
-               ROUND(ROUND(c - MIN(c) OVER w2 + 1e-9, 4) + 0.0, 4)
+               ROUND(ROUND(c - LEAST(0.0, MIN(c) OVER w2)
+                           + 1e-9, 4) + 0.0, 4)
                    AS cusum
         FROM c
         WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -90,8 +90,6 @@ def running_cusum(events: DataFrame, k: float = 55.0) -> DataFrame:
     Scale: O(2 doubles) state per key in the state store; each
     micro-batch touches only its keys.
     """
-    import math
-
     def update(
         key: tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -101,7 +99,11 @@ def running_cusum(events: DataFrame, k: float = 55.0) -> DataFrame:
         if state.exists:
             c, minc = state.get
         else:
-            c, minc = 0.0, math.inf
+            # minc starts at 0.0 (the empty prefix C_0 = 0), matching
+            # the batch closed form S_t = C_t - min(0, min C_i): a
+            # series whose running sum stays positive from the first
+            # event must emit x_1 - k, not 0.
+            c, minc = 0.0, 0.0
         ids, ss = [], []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
