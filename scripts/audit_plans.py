@@ -31,6 +31,38 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Drop every ``== Initial Plan ==`` section from an executed-plan
+    string so counts reflect the FINAL plan only.
+
+    When a query's plan references cached relations that an earlier
+    query in the same session already executed, their embedded
+    AdaptiveSparkPlan(isFinalPlan=true) blocks print BOTH the final
+    and the initial plan — double-counting every exchange (the r10
+    minhash "41 -> 98" scare was exactly this artifact).  A section
+    starts at a ``+- == Initial Plan ==`` marker and covers the
+    following lines that are purely space-indented deeper than the
+    marker (tree rails ``:`` at a shallower column mean the outer
+    tree resumed)."""
+    out = []
+    skip_col = None  # column of the active Initial Plan marker
+    for line in plan.split("\n"):
+        content = line.lstrip(" :")
+        col = len(line) - len(content)
+        if skip_col is not None:
+            rails_before = line[:skip_col]
+            if col > skip_col and rails_before.strip(" ") == "":
+                continue  # still inside the section
+            skip_col = None
+        if content.startswith("+- == Initial Plan ==") or content.startswith(
+            "== Initial Plan =="
+        ):
+            skip_col = col
+            continue
+        out.append(line)
+    return "\n".join(out)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -47,7 +79,8 @@ def main() -> int:
             continue
         try:
             df = q.fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            plan = strip_initial_plans(
+                df._jdf.queryExecution().executedPlan().toString())
         except Exception as exc:  # plan build failed
             print(json.dumps({"query": name, "error": str(exc)[:200]}))
             bad += 1

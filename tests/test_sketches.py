@@ -532,6 +532,30 @@ def test_mg_heavy_hitters_bounds_and_recovery(spark):
     assert out[0]["token"] == "hot"
 
 
+def test_mg_heavy_hitters_ub_covers_empty_summary_buckets(spark):
+    """Regression (r10 advice): a bucket whose top-k counts all equal
+    its (k+1)-th count produces NO summary rows (every s <= 0), yet a
+    token may hold up to T_b there — its threshold must still be in
+    the global upper bound or est <= true <= ub is violated."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.sketches import mg_heavy_hitters
+
+    rows = []
+    # bucket 0: k+1 = 3 tokens with EQUAL counts (5 each) -> T_0 = 5,
+    # all residuals 0, no summary rows survive from this bucket
+    for tok in ("hot", "x", "y"):
+        rows += [Row(bucket=0, token=tok)] * 5
+    # bucket 1: hot dominates, survives with a residual
+    rows += [Row(bucket=1, token="hot")] * 10
+    rows += [Row(bucket=1, token="z")] * 1
+    tokens = spark.createDataFrame(rows)
+    out = {r["token"]: r for r in mg_heavy_hitters(tokens, k=2, top=5).collect()}
+    # true('hot') = 15; bucket-0's clamp hides 5 of it.  The unsound
+    # bound (thresholds only over buckets WITH summary rows) gives
+    # ub = est + T_1 = 10 + 1 = 11 < 15.
+    assert out["hot"]["est"] <= 15 <= out["hot"]["ub"], out["hot"]
+
+
 def test_mg_summaries_error_bound(spark):
     from pyspark.sql import Row
     from pyspark.sql import functions as F

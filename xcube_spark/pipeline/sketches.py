@@ -1012,6 +1012,22 @@ def mg_summaries(
     column is the shard key — summaries merge by addition, so shards
     never exchange raw tokens.
     """
+    ranked = _mg_ranked(tokens, token_col, bucket_col, k)
+    return (
+        ranked.withColumn("s", F.col("c") - F.col("t"))
+        .where((F.col("rk") <= k) & (F.col("s") > 0))
+        .select(bucket_col, token_col, "s", "t")
+    )
+
+
+def _mg_ranked(
+    tokens: DataFrame, token_col: str, bucket_col: str, k: int
+) -> DataFrame:
+    """Per-bucket ranked counts with the MG threshold attached —
+    BEFORE the survivor filter: ``(bucket, token, c, rk, t)`` where
+    ``t`` is the bucket's (k+1)-th largest count (0 if fewer).  Both
+    the summary rows and the global error bound derive from this, so
+    the bound can see buckets whose survivors all clamp to zero."""
     counts = tokens.groupBy(bucket_col, token_col).agg(
         F.count("*").alias("c"))
     w = Window.partitionBy(bucket_col).orderBy(
@@ -1021,12 +1037,7 @@ def mg_summaries(
     thr = F.coalesce(
         F.max(F.when(F.col("rk") == k + 1, F.col("c"))).over(wb),
         F.lit(0))
-    return (
-        ranked.withColumn("t", thr)
-        .withColumn("s", F.col("c") - F.col("t"))
-        .where((F.col("rk") <= k) & (F.col("s") > 0))
-        .select(bucket_col, token_col, "s", "t")
-    )
+    return ranked.withColumn("t", thr)
 
 
 def mg_heavy_hitters(
@@ -1042,8 +1053,12 @@ def mg_heavy_hitters(
 
     Returns ``(token, est, ub)`` — ``est <= true count <= ub`` where
     ``ub = est + sum_b T_b`` (each bucket's threshold bounds what it
-    may have clamped away).  All integer arithmetic: no float
-    boundary anywhere.
+    may have clamped away).  ``T_b`` sums over ALL buckets, computed
+    BEFORE the survivor filter: a bucket whose top-k counts all equal
+    its (k+1)-th count contributes no summary rows, yet a token may
+    hold up to ``T_b`` there — dropping its threshold would make the
+    certificate unsound.  All integer arithmetic: no float boundary
+    anywhere.
 
     Scale shape: the merge reduces <= buckets * k summary rows; the
     global bound is ONE scalar row cross-joined in (model-sized).
@@ -1051,13 +1066,24 @@ def mg_heavy_hitters(
     this module — deterministic underestimates with a certificate,
     vs randomized overestimates.
     """
-    summ = mg_summaries(tokens, token_col=token_col,
-                        bucket_col=bucket_col, k=k)
-    est = summ.groupBy(token_col).agg(F.sum("s").alias("est"))
+    # prune to the top k+1 rows per bucket (summary-sized: <= buckets
+    # * (k+1) rows) and persist so the est and bound branches share
+    # ONE token scan.  The bound is the sum of the rk == k+1 counts:
+    # buckets with fewer than k+1 distinct tokens have T_b = 0 and
+    # simply contribute no row.
+    pruned = (
+        _mg_ranked(tokens, token_col, bucket_col, k)
+        .where(F.col("rk") <= k + 1)
+        .persist()
+    )
+    est = (
+        pruned.withColumn("s", F.col("c") - F.col("t"))
+        .where((F.col("rk") <= k) & (F.col("s") > 0))
+        .groupBy(token_col).agg(F.sum("s").alias("est"))
+    )
     bound = (
-        summ.select(bucket_col, "t").groupBy(bucket_col)
-        .agg(F.max("t").alias("t"))
-        .agg(F.coalesce(F.sum("t"), F.lit(0)).alias("__bound"))
+        pruned.where(F.col("rk") == k + 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("__bound"))
     )
     return (
         est.crossJoin(F.broadcast(bound))

@@ -1192,9 +1192,10 @@ def doc_incremental_bloom(spark, sf_dir):
             SELECT token, CAST(SUM(s) AS BIGINT) AS est
             FROM summ GROUP BY token
         ), bound AS (
-            SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS b
-            FROM (SELECT bucket, MAX(t) AS t FROM summ
-                  GROUP BY bucket)
+            -- sum T_b over ALL buckets (rk = 9 rows exist whenever
+            -- T_b > 0), not just buckets with surviving summary rows
+            SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS b
+            FROM ranked WHERE rk = 9
         )
         SELECT token, est, CAST(est + bound.b AS BIGINT) AS ub
         FROM est, bound
