@@ -1099,6 +1099,32 @@ def test_winnowing_shared_substring_guarantee(spark):
         "qqq completely other " + common)
 
 
+def test_winnowing_and_shingles_short_doc_edges(spark):
+    """Regression (r10 advice): docs shorter than k+w-1 chars emit no
+    winnowing row (and no bogus grams from a descending sequence);
+    docs with fewer than k tokens emit no word shingles — matching
+    the pos-join SQL twins."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.dedup import shingles, winnowing_fingerprints
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="ab"),            # < k chars, < k tokens
+        Row(doc_id=2, text="abcdefg"),       # 7 chars < k+w-1 = 8
+        Row(doc_id=3, text="abcdefgh"),      # exactly k+w-1: 1 window
+        Row(doc_id=4, text="one two"),       # 2 tokens < k = 3
+        Row(doc_id=5, text="one two three"), # exactly k tokens
+    ])
+    wf = {r["doc_id"]: r for r in winnowing_fingerprints(docs).collect()}
+    assert 1 not in wf and 2 not in wf
+    assert wf[3]["n_grams"] == 4 and wf[3]["n_fingerprints"] == 1
+    sh = shingles(docs, k=3).collect()
+    by_id = {}
+    for r in sh:
+        by_id.setdefault(r["doc_id"], []).append(r["shingle"])
+    assert 1 not in by_id and 2 not in by_id and 4 not in by_id
+    assert by_id[5] == ["one two three"]
+
+
 def test_zipf_slope_recovers_synthetic_power_law(spark):
     """A corpus built with freq(rank) ~ rank^-1 must fit slope ~ -1."""
     from pyspark.sql import Row

@@ -219,8 +219,6 @@ def hillshade_sql(
     notnull = " AND ".join(
         f"{c} IS NOT NULL"
         for c in ("nw", "nc", "ne", "cw", "cc", "ce", "sw", "sc", "se"))
-    # cc alias for presence parity
-    stage2 = stage2.replace("zc AS cc", "zc AS cc")
     return (f"SELECT {time_col}, {y_col}, {x_col}, "
             f"greatest({shade}, 0.0) AS {var}_hillshade "
             f"FROM ({stage2}) WHERE {notnull}")

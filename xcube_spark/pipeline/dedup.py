@@ -64,7 +64,13 @@ def tokenize(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
 
 def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
              id_col: str = "doc_id") -> DataFrame:
-    """Distinct word k-shingles per document -> (id, shingle)."""
+    """Distinct word k-shingles per document -> (id, shingle).
+
+    Documents with fewer than ``k`` tokens emit NO rows (no truncated
+    partial shingle): every SQL twin derives shingles from pos+1 ..
+    pos+k-1 self-joins, which produce nothing for short docs, and a
+    sub-k fragment is not a k-shingle — it would collide with genuine
+    k-shingles of longer docs under the same hash."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -75,7 +81,10 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     # file splitting underestimates the work: spread docs across the
     # cluster BEFORE the fan-out (a small shuffle of raw docs buys
     # full-width parallelism for the shingle/hash stages)
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spread = (
+        docs.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    )
     # array_distinct already dedups within the doc, so the exploded
     # (id, shingle) rows are unique by construction — no distinct
     # shuffle needed (the whole shingle stage is a narrow map)
@@ -1036,7 +1045,11 @@ def winnowing_fingerprints(
 
     Returns ``(id, n_grams, n_fingerprints, fp_digest)`` where
     ``fp_digest`` is md5 over the sorted distinct fingerprint hashes
-    (equal digests = winnowing-identical documents).
+    (equal digests = winnowing-identical documents).  Documents
+    shorter than ``k + w - 1`` characters have no complete window and
+    emit NO output row — a document with no fingerprints has nothing
+    to collide on, and the SQL twin's complete-window predicate drops
+    them identically.
 
     Scale shape: gram explode is narrow (positions derive from one
     substring transform); the window min runs per-doc on the (doc,
@@ -1047,9 +1060,15 @@ def winnowing_fingerprints(
 
     grams = docs.select(
         F.col(id_col),
+        # guard: for length < k there are no grams.  sequence(1, 0)
+        # would generate a DESCENDING [1, 0] array (two bogus grams),
+        # so emit an empty array instead of relying on the later
+        # complete-window filter to drop them.
         F.posexplode(F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - "
-            f"{k - 1}, 0)), i -> md5(substring({text_col}, i, {k})))"
+            f"CASE WHEN length({text_col}) >= {k} THEN "
+            f"transform(sequence(1, length({text_col}) - {k - 1}), "
+            f"i -> md5(substring({text_col}, i, {k}))) "
+            f"ELSE array() END"
         )).alias("pos", "h"),
     )
     win = Window.partitionBy(id_col).orderBy("pos") \
