@@ -114,53 +114,67 @@ def _nb_features(docs: DataFrame, id_col: str, label_col: str | None,
     ).groupBy(*keys, "f").agg(F.count("*").alias("c"))
 
 
-def _nb_model(cf: DataFrame, ct: DataFrame, n_l: DataFrame,
-              spark, n_buckets: int, alpha: float) -> DataFrame:
-    """ONE dense broadcast model table ``(cand, f, ll, log_prior)``
-    from integer count tables: ``cf`` (cand, f, cc), ``ct`` (cand, t),
-    ``n_l`` (cand, n_docs).  Shared by the batch and from-state paths
-    so both compute scores with the IDENTICAL op order (bit parity).
-    Folding the prior into the loglik rows (constant per label) keeps
-    the whole model in a single broadcast build job instead of two."""
-    buckets = spark.range(n_buckets).select(
-        F.col("id").cast("int").alias("f"))
-    loglik = (
-        ct.crossJoin(buckets)
-        .join(cf, ["cand", "f"], "left")
-        .select(
-            "cand", "f",
-            F.log((F.coalesce(F.col("cc"), F.lit(0)) + F.lit(alpha))
-                  / (F.col("t") + F.lit(alpha * n_buckets))).alias("ll"))
-    )
-    n_total = n_l.agg(F.sum("n_docs").alias("__N"))
-    priors = n_l.crossJoin(F.broadcast(n_total)).select(
-        "cand", F.log(F.col("n_docs") / F.col("__N")).alias("log_prior"))
-    return loglik.join(priors, "cand")
+def _nb_model(cf: DataFrame, n_l: DataFrame, spark,
+              n_buckets: int, alpha: float):
+    """Dense pivoted NB model built DRIVER-SIDE from the integer count
+    tables ``cf`` (cand, f, cc) and ``n_l`` (cand, n_docs).
+
+    The model is L labels x n_buckets doubles — kilobytes — so the
+    counts collect at plan build (the PQ-codebook precedent) and the
+    log algebra runs in Python: ``ll = ln((cc + alpha) / (t_l + alpha
+    * B))``, ``log_prior = ln(n_l / N)``.  The old cluster-side build
+    (range crossJoin + dense left join + prior join + pivot) spent 7+
+    exchanges and 2 BroadcastNestedLoopJoins on model-sized algebra; a
+    local relation spends zero.  Cross-engine float parity: libm and
+    JVM ``log`` agree to <= 1 ulp, absorbed by the score nudge-round
+    (and batch and from-state paths share THIS code, so merge ==
+    recompute stays bit-identical).
+
+    Returns ``(mp, labels, prior)``: ``mp`` a one-row-per-bucket local
+    DataFrame ``(f, __l0 .. __l{L-1})``, ``prior`` label -> log prior.
+    """
+    import math
+
+    cf_rows = cf.collect()
+    nl_rows = n_l.collect()
+    labels = sorted(r["cand"] for r in nl_rows)
+    idx = {lbl: i for i, lbl in enumerate(labels)}
+    n_total = sum(r["n_docs"] for r in nl_rows)
+    prior = {r["cand"]: math.log(r["n_docs"] / n_total) for r in nl_rows}
+    t = [0] * len(labels)
+    dense = [[0] * n_buckets for _ in labels]
+    for r in cf_rows:
+        i = idx[r["cand"]]
+        dense[i][r["f"]] += r["cc"]
+        t[i] += r["cc"]
+    denom = [tl + alpha * n_buckets for tl in t]
+    rows = [
+        tuple([f] + [math.log((dense[i][f] + alpha) / denom[i])
+                     for i in range(len(labels))])
+        for f in range(n_buckets)
+    ]
+    schema = "f INT, " + ", ".join(
+        f"__l{i} DOUBLE" for i in range(len(labels)))
+    mp = cf.sparkSession.createDataFrame(rows, schema)
+    return mp, labels, prior
 
 
-def _nb_score(pre: DataFrame, model: DataFrame, id_col: str) -> DataFrame:
+def _nb_score(pre: DataFrame, mp: DataFrame, labels, prior,
+              id_col: str) -> DataFrame:
     """Score per-doc feature counts against the broadcast dense model
     and take the nudge-rounded argmax (label tie-break).
 
     The model is PIVOTED to one row per bucket with L log-likelihood
-    columns (label list + priors collected at plan build — model-sized,
-    the PQ-codebook precedent), so the scoring join is 1:1 instead of
-    fanning every feature row out L times, and the per-doc reduce
-    carries ONE row of L partial sums per document through the shuffle
-    rather than L rows — at 100 TB that is 1/L of the score-stage
-    shuffle bytes.  The argmax is then pure Column math:
-    ``array_min`` over (negated score, label) structs — the
+    columns (built driver-side in ``_nb_model``), so the scoring join
+    is 1:1 instead of fanning every feature row out L times, and the
+    per-doc reduce carries ONE row of L partial sums per document
+    through the shuffle rather than L rows — at 100 TB that is 1/L of
+    the score-stage shuffle bytes.  The argmax is then pure Column
+    math: ``array_min`` over (negated score, label) structs — the
     deterministic cross-engine argmin idiom.  Scores are strictly
     negative (sums of log-probabilities), so negation never produces
     IEEE -0.0."""
     carry = [c for c in pre.columns if c not in (id_col, "f", "c")]
-    rows = model.select("cand", "log_prior").distinct().collect()
-    labels = sorted(r["cand"] for r in rows)
-    prior = {r["cand"]: r["log_prior"] for r in rows}
-    mp = model.groupBy("f").pivot("cand", labels).agg(F.first("ll"))
-    mp = mp.select(
-        "f", *[F.col(f"`{lbl}`").alias(f"__l{i}")
-               for i, lbl in enumerate(labels)])
     scored = (
         pre.join(F.broadcast(mp), "f")
         .groupBy(id_col, *carry)
@@ -223,12 +237,11 @@ def nb_classify(
     # counts are a <= L*B-key aggregate of pre
     cf = pre.groupBy(F.col("label").alias("cand"), "f").agg(
         F.sum("c").alias("cc"))
-    ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
     n_l = docs.groupBy(F.col(label_col).alias("cand")).agg(
         F.count("*").alias("n_docs"))
-    model = _nb_model(cf, ct, n_l, docs.sparkSession,
-                      n_buckets, alpha)
-    result = _nb_score(pre, model, id_col)
+    mp, labels, prior = _nb_model(cf, n_l, docs.sparkSession,
+                                  n_buckets, alpha)
+    result = _nb_score(pre, mp, labels, prior, id_col)
     tie_cache_lifetime(result, pre)
     return result
 
@@ -357,14 +370,13 @@ def nb_classify_from_state(
     docs = spread_small_input(docs)
     cf = state.where(F.col("f") >= 0).select(
         F.col("label").alias("cand"), "f", F.col("c").alias("cc"))
-    ct = cf.groupBy("cand").agg(F.sum("cc").alias("t"))
     n_l = state.where(F.col("f") == -1).select(
         F.col("label").alias("cand"), F.col("c").alias("n_docs"))
-    model = _nb_model(cf, ct, n_l, docs.sparkSession,
-                      n_buckets, alpha)
+    mp, labels, prior = _nb_model(cf, n_l, docs.sparkSession,
+                                  n_buckets, alpha)
     pre = _nb_features(docs, id_col, label_col, text_col,
                        n_buckets).persist()
-    result = _nb_score(pre, model, id_col)
+    result = _nb_score(pre, mp, labels, prior, id_col)
     tie_cache_lifetime(result, pre)
     return result
 

@@ -56,7 +56,8 @@ def det_hash(col: Column) -> Column:
 # decontamination
 
 
-def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
+           carry: tuple = ()) -> DataFrame:
     """Explode each document into its word n-grams (distinct per doc).
 
     Built as ``posexplode`` + ``lead(tok, k)`` + ``concat_ws`` — every
@@ -66,11 +67,16 @@ def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     higher-order lambdas evaluate interpreted and dominate at corpus
     scale).  Docs shorter than ``n`` tokens yield no rows (the last
     lead is null for every position).
+
+    ``carry`` lists extra per-document columns to keep on the output
+    rows (e.g. a split tag) — carried through the explode instead of
+    joined back afterwards.
     """
     from pyspark.sql import Window as W
 
+    carry = list(carry)
     toks = df.select(
-        "doc_id",
+        "doc_id", *carry,
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
         .alias("pos", "__tok"),
     )
@@ -80,12 +86,12 @@ def ngrams(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     ]
     return (
         toks.select(
-            "doc_id",
+            "doc_id", *carry,
             F.concat_ws(" ", *parts).alias("ngram"),
             F.lead("__tok", n - 1).over(w).alias("__full"),
         )
         .where(F.col("__full").isNotNull())
-        .select("doc_id", "ngram")
+        .select("doc_id", *carry, "ngram")
         .distinct()
     )
 
@@ -923,6 +929,7 @@ def contamination_matrix(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    split_names: tuple | None = None,
 ) -> DataFrame:
     """Cross-split contamination matrix: for every ORDERED pair of
     splits (a, b), how many distinct word n-grams the two splits share
@@ -936,41 +943,60 @@ def contamination_matrix(
     ``(split_a, split_b, n_shared_grams, n_docs_hit)`` — zero-filled,
     all integer counts.
 
-    Scale shape: one n-gram pass (the codegen'd ``ngrams``) joined to
-    the split assignment; the split-level distinct gram table is the
-    only corpus-wide shuffle, and the pair join fans out by at most
-    the number of splits per gram (a handful).  Output is
-    splits^2-sized.  No pairwise doc join anywhere.
+    Scale shape: the split tag rides the n-gram explode (a pure map
+    when the assignment is the id-hash default or a projection of the
+    corpus — no doc-level join), then everything keys on the gram:
+    ONE ``collect_set(split)`` aggregate per gram (sets are at most
+    #splits long) drives both counts — shared grams explode ordered
+    pairs out of the set (never a gram self-join), and contaminated
+    docs join the gram table to the set table on the gram key once.
+    Output is splits^2-sized.  No pairwise doc join anywhere.
     """
     if split_df is None:
-        split_df = assign_split(docs, id_col=id_col)
-    splits = split_df.select(id_col, "split")
-    grams = ngrams(docs, text_col, n).join(splits, id_col)
-    sg = grams.select("split", "ngram").distinct()
+        tagged = assign_split(docs, id_col=id_col)
+    elif text_col in split_df.columns:
+        # the assignment is a projection of the corpus itself
+        # (assign_split output): no join needed, the tag is a column
+        tagged = split_df
+    else:
+        tagged = docs.join(split_df.select(id_col, "split"), id_col)
+    grams = ngrams(tagged, text_col, n, carry=("split",))
 
-    a = sg.select(F.col("split").alias("split_a"), "ngram")
-    b = sg.select(F.col("split").alias("split_b"), "ngram")
+    # one gram-keyed aggregate: the set of splits each gram occurs in
+    gs = grams.groupBy("ngram").agg(F.collect_set("split").alias("__ss"))
+
     shared = (
-        a.join(b, "ngram")
+        gs.select(F.explode("__ss").alias("split_a"), "__ss")
+        .select("split_a", F.explode("__ss").alias("split_b"))
         .where(F.col("split_a") != F.col("split_b"))
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("__shared"))
     )
     hits = (
         grams.select(F.col("split").alias("split_b"), id_col, "ngram")
-        .join(a, "ngram")
+        .join(gs, "ngram")
+        .select("split_b", id_col, F.explode("__ss").alias("split_a"))
         .where(F.col("split_a") != F.col("split_b"))
         .select("split_a", "split_b", id_col)
         .distinct()
         .groupBy("split_a", "split_b")
         .agg(F.count("*").alias("__hit"))
     )
-    names = splits.select("split").distinct()
-    grid = (
-        names.select(F.col("split").alias("split_a"))
-        .crossJoin(names.select(F.col("split").alias("split_b")))
-        .where(F.col("split_a") != F.col("split_b"))
-    )
+    if split_names is None and split_df is None:
+        split_names = ("train", "val", "test")  # assign_split default
+    if split_names is not None:
+        # known assignment scheme: the splits^2 grid is a local
+        # relation — no corpus distinct scan, no crossJoin
+        grid = docs.sparkSession.createDataFrame(
+            [(a, b) for a in split_names for b in split_names if a != b],
+            "split_a STRING, split_b STRING")
+    else:
+        names = tagged.select("split").distinct()
+        grid = (
+            names.select(F.col("split").alias("split_a"))
+            .crossJoin(names.select(F.col("split").alias("split_b")))
+            .where(F.col("split_a") != F.col("split_b"))
+        )
     return (
         grid.join(shared, ["split_a", "split_b"], "left")
         .join(hits, ["split_a", "split_b"], "left")

@@ -462,6 +462,8 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Output: (doc_id, n_trigrams, avg_nll) for documents with at least
     one trigram.
     """
+    from pyspark.sql.window import Window
+
     from xcube_spark.util import spread_small_input
 
     docs = spread_small_input(docs)  # explode fan-out >> input bytes
@@ -476,12 +478,17 @@ def trigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 "i -> substring(__s, i, 3))")).alias("tri"),
         )
     )
-    model = tri.groupBy("tri").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
-    total = model.agg(F.sum("cnt").cast("long").alias("n"))
+    # fold the corpus total INTO the model rows via an unpartitioned
+    # window sum (model-sized single-partition pass) — one broadcast
+    # instead of a model join plus a scalar BroadcastNestedLoopJoin
+    model = (
+        tri.groupBy("tri").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("n", F.sum("cnt").over(Window.partitionBy())
+                    .cast("long"))
+    )
     scored = (
         tri.join(F.broadcast(model), "tri")
-        .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
@@ -738,7 +745,12 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     broadcast, one corpus scan); the thresholds are ONE 2-value
     scalar aggregate broadcast back — no extra corpus shuffle.
     """
-    scored = trigram_lm_score(docs, text_col=text_col)
+    from xcube_spark.util import tie_cache_lifetime
+
+    # persisted: scored feeds BOTH the tercile-threshold broadcast
+    # build (a separate eager job) and the final bucket projection —
+    # without the persist the whole trigram pipeline runs twice
+    scored = trigram_lm_score(docs, text_col=text_col).persist()
     qs = scored.agg(
         F.expr("percentile(avg_nll, array(0.3333333333333333, "
                "0.6666666666666666))").alias("q")
@@ -746,12 +758,14 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(F.col("q")[0] + F.lit(1e-9), 6).alias("t1"),
         F.round(F.col("q")[1] + F.lit(1e-9), 6).alias("t2"),
     )
-    return scored.crossJoin(F.broadcast(qs)).select(
+    out = scored.crossJoin(F.broadcast(qs)).select(
         "doc_id", "n_trigrams", "avg_nll",
         F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
         .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+    tie_cache_lifetime(out, scored)
+    return out
 
 
 def char_entropy(docs: DataFrame, text_col: str = "text",

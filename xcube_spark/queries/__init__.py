@@ -113,6 +113,15 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: doc_pack_sequences (round-3's one driver hash-fail; locally green,
 #: re-verify first).  New queries added in round 4+ also go up front.
 PRIORITY_ORDER = (
+    # the only two registry queries the driver's 50-sample has NEVER
+    # drawn across ten rounds (r10 verdict task 4) — first in line
+    "cube_reproject_geos",
+    "cube_reproject_omerc",
+    # round-11 fix re-checks: CUSUM closed form (empty-prefix C_0) and
+    # the MG upper-bound certificate changed this round
+    "events_cusum_drift",
+    "stream_cusum_drift",
+    "doc_heavy_hitters_mg",
     # round-10 third-session additions (never sampled yet)
     "doc_logreg_probe",
     "doc_heavy_hitters_mg",

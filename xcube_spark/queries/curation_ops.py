@@ -1100,7 +1100,8 @@ def doc_contamination_matrix(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     split_df = assign_split(
         docs, weights={"train": 0.8, "val": 0.1, "test": 0.1})
-    return contamination_matrix(docs, split_df)
+    return contamination_matrix(docs, split_df,
+                                split_names=("train", "val", "test"))
 
 
 @query(
