@@ -648,7 +648,13 @@ def incremental_near_dedup(
                              id_col, "left").select(
         id_col, *hcols,
         F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"))
-    return state.unionByName(flagged)
+    # materialize the merged state per batch (lineage truncation): an
+    # incremental pipeline WRITES its state after every merge — the
+    # NearDupStateStore shape — so chaining batches must not compound
+    # each batch's band/verify DAG into the next plan
+    out = state.unionByName(flagged).localCheckpoint(eager=True)
+    all_sig.unpersist()
+    return out
 
 
 class NearDupStateStore:
@@ -964,12 +970,15 @@ def lsh_recall_stats(
     - ``n_hit``: truth pairs the candidate stage caught (left-semi);
     - ``recall = n_hit / n_truth`` (6-decimal nudge-rounded).
 
-    One row out.  The shingle table is built ONCE (persisted: it feeds
-    signatures AND the exact-truth join); the truth and candidate pair
-    sets are ALSO persisted — each feeds two consumers (its count and
-    the hit semi-join), and the shared-shingle truth join is the
-    expensive stage.  Counts are exact integers — the only float in
-    the output is the final ratio.
+    One row out.  The shingle table is built ONCE (persisted while it
+    feeds the signature chain AND the exact-truth join, released as
+    soon as both are materialized); the truth and candidate pair sets
+    are eagerly ``localCheckpoint``ed — each feeds two consumers (its
+    count and the hit semi-join), both are pair-id-sized, and the
+    truncated lineage keeps the final stats plan from dragging the
+    whole shingle/band DAG behind every consumer (the dedup_clusters
+    recipe).  Counts are exact integers — the only float in the
+    output is the final ratio.
 
     ``sample_mod``: evaluate on the deterministic ``id % sample_mod
     == 0`` document subset.  Exact all-pairs truth is inherently
@@ -1003,13 +1012,15 @@ def lsh_recall_stats(
         .join(F.broadcast(nb), "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     cands = lsh_candidate_pairs(
         lsh_bands(minhash_signature(sh, num_hashes=num_hashes,
                                     id_col=id_col),
                   num_bands=num_bands, id_col=id_col),
-        id_col=id_col).persist()
+        id_col=id_col).localCheckpoint(eager=True)
+    # both pair tables are materialized — the shingle cache is done
+    sh.unpersist()
 
     hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
     stats = (
@@ -1021,8 +1032,6 @@ def lsh_recall_stats(
             F.round(F.col("n_hit").cast("double") / F.col("n_truth")
                     + F.lit(1e-9), 6).alias("recall"))
     )
-    tie_cache_lifetime(stats, sh)
-    tie_cache_lifetime(stats, truth)
     tie_cache_lifetime(stats, cands)
     return stats
 
