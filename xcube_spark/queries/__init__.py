@@ -117,6 +117,11 @@ PRIORITY_ORDER = (
     # drawn across ten rounds (r10 verdict task 4) — first in line
     "cube_reproject_geos",
     "cube_reproject_omerc",
+    # round-11 additions (pytest-only §2 rows promoted to gates)
+    "cube_nearest_label",
+    "cube_clip_geometry",
+    "cube_zonal_to_grid",
+    "cube_find_places",
     # round-11 fix re-checks: CUSUM closed form (empty-prefix C_0) and
     # the MG upper-bound certificate changed this round
     "events_cusum_drift",

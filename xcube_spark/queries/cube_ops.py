@@ -742,3 +742,153 @@ def cube_integral_image(spark, sf_dir):
             F.round(F.round(F.col("A_integral") + 1e-6, 4) + 0.0, 4)
             .alias("A_integral"))
     )
+
+
+# ---- round-11 additions: pytest-only §2 rows promoted to gates ---------
+
+from xcube_spark.queries import tbl  # noqa: E402
+
+
+@query(
+    "cube_nearest_label",
+    sql=f"""
+        {CUBE_CTE},
+        tgt AS (
+            SELECT y FROM (SELECT DISTINCT y FROM cube)
+            ORDER BY abs(y - 33.3), y LIMIT 1
+        )
+        SELECT t_i, COUNT(*) AS n,
+               ROUND(ROUND(AVG(A) + 1e-9, 6) + 0.0, 6) AS a_mean
+        FROM cube JOIN tgt USING (y)
+        GROUP BY t_i
+    """,
+)
+def cube_nearest_label(spark, sf_dir):
+    """select_nearest_label (operators/select.py): slice at the label
+    nearest to a value along a dim — sel(method="nearest")
+    (reference core/select.py via timeseries.py:148).  The nearest
+    label (33.5 for target 33.3 on the 0.5-centered grid) resolves
+    with a tiny distinct + TakeOrderedAndProject at plan build, then
+    the slice filter pushes down; the oracle re-derives it with the
+    same abs-distance order.  Output: per-time count + nudge-rounded
+    mean over the selected zonal slice."""
+    from xcube_spark.operators.select import select_nearest_label
+
+    sel = select_nearest_label(_cube(spark), "y", 33.3)
+    return sel.groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.round(F.avg("A") + F.lit(1e-9), 6) + F.lit(0.0), 6)
+        .alias("a_mean"))
+
+
+@query(
+    "cube_clip_geometry",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, COUNT(*) AS n,
+               ROUND(ROUND(AVG(A) + 1e-9, 6) + 0.0, 6) AS a_mean,
+               MIN(x_i) AS x_min, MAX(x_i) AS x_max,
+               MIN(y_i) AS y_min, MAX(y_i) AS y_max
+        FROM cube
+        WHERE x BETWEEN 10.25 AND 30.25 AND y BETWEEN 20.25 AND 40.25
+        GROUP BY t_i
+    """,
+)
+def cube_clip_geometry(spark, sf_dir):
+    """clip_dataset_by_geometry (operators/geom.py; reference
+    core/geom.py:445-529): crop to a WKT polygon's bbox — a pure
+    pushdown-eligible predicate (the bbox is a plan constant derived
+    from the parsed geometry).  Bbox bounds sit at .25 offsets so no
+    cell center lands on the boundary; the oracle applies the same
+    closed interval.  Output: per-time count, mean, and the index
+    extent of the cropped window."""
+    from xcube_spark.operators.geom import clip_dataset_by_geometry
+
+    wkt = ("POLYGON ((10.25 20.25, 30.25 20.25, 30.25 40.25, "
+           "10.25 40.25, 10.25 20.25))")
+    out = clip_dataset_by_geometry(_cube(spark), wkt)
+    return out.groupBy("t_i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.round(F.avg("A") + F.lit(1e-9), 6) + F.lit(0.0), 6)
+        .alias("a_mean"),
+        F.min("x_i").alias("x_min"), F.max("x_i").alias("x_max"),
+        F.min("y_i").alias("y_min"), F.max("y_i").alias("y_max"))
+
+
+@query(
+    "cube_zonal_to_grid",
+    sql=f"""
+        {CUBE_CTE},
+        zonal AS (
+            SELECT t_i, y_i, ROUND(A + 1e-9, 6) AS zm
+            FROM cube WHERE x_i = 0 AND y_i < 4
+        )
+        SELECT z.t_i, z.y_i, CAST(u.i AS INT) AS x_i,
+               ROUND(ROUND(z.zm, 6) + 0.0, 6) AS zm
+        FROM zonal z, unnest(range(360)) AS u(i)
+    """,
+)
+def cube_zonal_to_grid(spark, sf_dir):
+    """normalize_zonal_to_grid (operators/maintenance.py; reference
+    core/normalize.py:236 _normalize_zonal_lat_lon): a latitude-only
+    zonal dataset broadcasts each value across the full longitude
+    axis — a narrow W-times fan-out via crossJoin with the tiny
+    broadcast x-axis, no shuffle of the zonal data.  The zonal input
+    is the x_i = 0 column of the fixture (exact values, no float
+    reduction); output is the 4-latitude x 360-longitude grid,
+    row-level."""
+    from xcube_spark.operators.maintenance import normalize_zonal_to_grid
+
+    zonal = (
+        _cube(spark)
+        .where((F.col("x_i") == 0) & (F.col("y_i") < 4))
+        .select("t_i", "y_i", "time", "y",
+                F.round(F.col("A") + F.lit(1e-9), 6).alias("zm")))
+    out, _ = normalize_zonal_to_grid(zonal, GRID)
+    return out.select(
+        "t_i", "y_i", "x_i",
+        F.round(F.round(F.col("zm"), 6) + F.lit(0.0), 6).alias("zm"))
+
+
+@query(
+    "cube_find_places",
+    sql="""
+        WITH feats AS (
+            SELECT event_id,
+                   CAST(event_id % 360 AS INT) - 180 AS ix,
+                   CAST(user_id % 180 AS INT) - 90 AS iy,
+                   value
+            FROM events
+        )
+        SELECT event_id, ix, iy FROM feats
+        WHERE value > 100.0
+          AND ix > -49.5 AND ix < 40.5 AND iy > -19.5 AND iy < 30.5
+    """,
+)
+def cube_find_places(spark, sf_dir):
+    """find_places (operators/geom.py; reference
+    webapi/places/controllers.py:25-108): filter a WKT-geometry
+    feature table by intersection with a query polygon AND an
+    attribute expression.  Features are POINT WKTs synthesized from
+    integer event coordinates; the query rectangle's .5-offset edges
+    guarantee no point sits on a boundary, so the vectorized
+    point-in-polygon UDF and the oracle's coordinate comparison agree
+    exactly.  The attribute filter runs through the safe expression
+    compiler (functions/expression.py)."""
+    from xcube_spark.operators.geom import find_places
+
+    ev = tbl(spark, sf_dir, "events")
+    feats = ev.select(
+        "event_id",
+        ((F.col("event_id") % 360).cast("int") - 180).alias("ix"),
+        ((F.col("user_id") % 180).cast("int") - 90).alias("iy"),
+        "value",
+    ).withColumn(
+        "geometry",
+        F.concat(F.lit("POINT ("), F.col("ix").cast("string"),
+                 F.lit(" "), F.col("iy").cast("string"), F.lit(")")))
+    rect = ("POLYGON ((-49.5 -19.5, 40.5 -19.5, 40.5 30.5, "
+            "-49.5 30.5, -49.5 -19.5))")
+    out = find_places(feats, query_geometry=rect,
+                      query_expr="value > 100.0")
+    return out.select("event_id", "ix", "iy")
