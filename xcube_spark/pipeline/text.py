@@ -725,6 +725,73 @@ def textrank_keywords(
     return out
 
 
+def textrank_keywords_driver(
+    docs: DataFrame,
+    iters: int = 4,
+    damping: float = 0.85,
+    top: int = 20,
+    text_col: str = "text",
+    round_dec: int = 7,
+    max_edges: int = 50_000_000,
+) -> DataFrame:
+    """TextRank with the model-fit-on-driver scale shape (the
+    ``bpe_train_merges_driver`` / k-means / PQ-codebook contract): the
+    DATA pass — the token co-occurrence edge aggregate — is one
+    distributed map-side-combined shuffle; the GRAPH is vocabulary²-
+    bounded (model-sized), so it collects and the four power
+    iterations run in Python instead of four cluster join+reduce
+    rounds.  Value-identical to :func:`textrank_keywords`: per-edge
+    terms are the same IEEE doubles (w / out_w * pr), per-iteration
+    sums are nudge-rounded onto the same 1e-7 grid before the damped
+    update (Decimal HALF_UP == Spark/DuckDB ROUND — BigDecimal-exact
+    on the double's binary value; Python round() is half-even and
+    must NOT be used), so both variants and the SQL oracle walk one
+    trajectory.  Falls back to the distributed variant beyond
+    ``max_edges``.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    arr = docs.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"))
+    pairs = (
+        arr.where(F.size("ts") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct("
+            "element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
+            .alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+    und = pairs.union(pairs.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+    edges = (und.groupBy("a", "b").agg(F.count("*").alias("w"))
+             .limit(max_edges + 1).collect())
+    if len(edges) > max_edges:
+        return textrank_keywords(docs, iters=iters, damping=damping,
+                                 top=top, text_col=text_col,
+                                 round_dec=round_dec)
+    quantum = Decimal(1).scaleb(-round_dec)
+
+    def rnd(x: float) -> float:
+        return float(Decimal(x).quantize(quantum,
+                                         rounding=ROUND_HALF_UP))
+
+    ow: dict = {}
+    for r in edges:
+        ow[r["a"]] = ow.get(r["a"], 0) + r["w"]
+    norm = [(r["a"], r["b"], r["w"] / ow[r["a"]]) for r in edges]
+    pr = {tok: 1.0 for tok in ow}
+    base = 1.0 - damping
+    for _ in range(iters):
+        acc: dict = {}
+        for src, dst, f in norm:
+            acc[dst] = acc.get(dst, 0.0) + f * pr[src]
+        pr = {dst: rnd((base + damping * rnd(s + 1e-10)) + 1e-10)
+              for dst, s in acc.items()}
+    ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return docs.sparkSession.createDataFrame(
+        [(t, r) for t, r in ranked], "tok STRING, rank DOUBLE")
+
+
 def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """CCNet-style perplexity bucketing: score every document with the
     corpus-trained character-trigram LM (:func:`trigram_lm_score`),

@@ -1347,20 +1347,38 @@ def _textrank_sql(iters: int = 4, damping: float = 0.85,
 
 @query("doc_textrank_keywords", sql=_textrank_sql())
 def doc_textrank_keywords(spark, sf_dir):
-    """textrank_keywords (pipeline/text.py): TextRank keyword
+    """textrank_keywords_driver (pipeline/text.py): TextRank keyword
     extraction — PageRank over the token co-occurrence graph
     (undirected adjacency edges, weight = count), 4 fixed power
-    iterations, top-20 by rank.  The iterative-graph shape with an
-    EXACT oracle: per-iteration neighbor sums and damped updates are
-    nudge-rounded to 7 decimals on both engines (the logistic-probe
-    grid-lock discipline), and the oracle unrolls the identical
-    trajectory in MATERIALIZED CTEs.  Scale: corpus touched once
-    (edge aggregate, map-side combined, persisted); each iteration is
-    a vocabulary-sized join + reduce.  NOT memoized: the operator
-    ends in an eager localCheckpoint (a MATERIALIZED 20-row table),
-    so a per-session memo would make every repeat a cache scan — a
-    warm number in a cold-cost column (the r10 bench-integrity
-    finding).  Every invocation re-runs the full iteration."""
+    iterations, top-20 by rank — with the model-fit-on-driver scale
+    shape (bpe_train_merges_driver precedent): ONE distributed edge
+    aggregate, vocabulary²-sized graph collected, iterations in
+    Python on the same nudge-rounded 1e-7 grid (Decimal HALF_UP ==
+    engine ROUND).  NOT memoized: every invocation re-runs the corpus
+    edge aggregate + the fit (the r10 bench-integrity finding — a
+    bench median must measure the query).  The fully-distributed
+    iterative variant is pinned against the SAME oracle by
+    doc_textrank_distributed."""
+    from xcube_spark.pipeline.text import textrank_keywords_driver
+
+    out = textrank_keywords_driver(tbl(spark, sf_dir, "documents"),
+                                   iters=4, top=20)
+    return out.select(
+        F.col("tok"), F.round(F.col("rank"), 7).alias("rank"))
+
+
+@query("doc_textrank_distributed", sql=_textrank_sql())
+def doc_textrank_distributed(spark, sf_dir):
+    """textrank_keywords (pipeline/text.py): the fully-DISTRIBUTED
+    TextRank — each power iteration is a vocabulary-sized broadcast
+    join + reduce on the persisted normalized edge table (the
+    iterative-graph demonstration; for vocabularies beyond driver
+    memory this is the scale path).  Same oracle as
+    doc_textrank_keywords: per-iteration neighbor sums and damped
+    updates nudge-round to 7 decimals on both engines, and the oracle
+    unrolls the identical trajectory in MATERIALIZED CTEs — passing
+    BOTH gates proves driver fit == cluster iteration == SQL, one
+    trajectory on three execution engines."""
     from xcube_spark.pipeline.text import textrank_keywords
 
     out = textrank_keywords(tbl(spark, sf_dir, "documents"),
