@@ -1573,3 +1573,58 @@ def doc_zipf_slope(spark, sf_dir):
         .alias("slope"),
         F.round(F.round(F.col("intercept") + 1e-9, 6) + 0.0, 6)
         .alias("intercept"))
+
+
+@query(
+    "doc_block_dedup",
+    sql=r"""
+        WITH lst AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ts
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, CAST(i AS INT) AS bidx,
+                   array_to_string(
+                       ts[i * 16 + 1 : least((i + 1) * 16, len(ts))],
+                       ' ') AS block
+            FROM lst,
+                 unnest(range(CAST(ceil(len(ts) / 16.0) AS BIGINT)))
+                     AS u(i)
+        ), h AS (
+            SELECT doc_id, bidx, md5(block) AS h
+            FROM blocks WHERE block != ''
+        ), attr AS (
+            SELECT doc_id, bidx,
+                   MIN(struct_pack(d := doc_id, i := bidx))
+                       OVER (PARTITION BY h) AS f
+            FROM h
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN f.d != doc_id OR f.i != bidx
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_blocks,
+               ROUND(ROUND(CAST(SUM(CASE WHEN f.d != doc_id
+                                         OR f.i != bidx
+                                         THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*) + 1e-9, 6) + 0.0, 6)
+                   AS dup_fraction
+        FROM attr GROUP BY doc_id
+    """,
+)
+def doc_block_dedup(spark, sf_dir):
+    """block_dedup_stats (pipeline/dedup.py): paragraph/block-level
+    exact dedup — every 16-token block md5-hashed and attributed to
+    its corpus-wide first occurrence (lexicographic (doc, position)
+    min over the hash partition); per-doc duplicated-block fraction.
+    The dedup granularity between whole-document exact dedup and
+    character-span substring dedup (the RefinedWeb-style block
+    discipline).  One narrow block explode + ONE window-min exchange
+    on the uniform hash key + a map-side-combined per-doc reduce."""
+    from xcube_spark.pipeline.dedup import block_dedup_stats
+
+    out = block_dedup_stats(tbl(spark, sf_dir, "documents"),
+                            block_tokens=16)
+    return out.select(
+        "doc_id", "n_blocks", "n_dup_blocks",
+        F.round(F.round(F.col("dup_fraction") + 1e-9, 6) + 0.0, 6)
+        .alias("dup_fraction"))
