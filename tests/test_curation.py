@@ -1024,6 +1024,52 @@ def test_textrank_deterministic_across_partitioning(spark):
     assert a == b
 
 
+def test_textrank_driver_matches_distributed(spark):
+    """The driver-fit variant must walk the identical nudge-rounded
+    trajectory as the distributed iterations (and fall back cleanly
+    when the edge table exceeds the driver cap)."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import (textrank_keywords,
+                                           textrank_keywords_driver)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i % 5} w{(i + 1) % 5} w{(i + 2) % 7}")
+         for i in range(40)] + [Row(doc_id=99, text="hub w0 hub w1")])
+    a = [(r["tok"], r["rank"]) for r in
+         textrank_keywords(docs, iters=4, top=10).collect()]
+    b = [(r["tok"], r["rank"]) for r in
+         textrank_keywords_driver(docs, iters=4, top=10).collect()]
+    assert a == b
+    # cap exceeded -> falls back to the distributed variant
+    c = [(r["tok"], r["rank"]) for r in
+         textrank_keywords_driver(docs, iters=4, top=10,
+                                  max_edges=2).collect()]
+    assert c == a
+
+
+def test_block_dedup_attribution_and_edges(spark):
+    """First-occurrence attribution: a block repeated later in the
+    SAME doc and a block repeated in a LATER doc both count as dups;
+    the first occurrence never does.  Short docs form one tail
+    block."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.dedup import block_dedup_stats
+
+    blk_a = " ".join(f"a{i}" for i in range(16))
+    blk_b = " ".join(f"b{i}" for i in range(16))
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{blk_a} {blk_b} {blk_a}"),  # 3rd dup of 1st
+        Row(doc_id=2, text=blk_a),                        # dup of doc 1
+        Row(doc_id=3, text="tiny tail"),                  # 1 short block
+    ])
+    out = {r["doc_id"]: r for r in
+           block_dedup_stats(docs, block_tokens=16).collect()}
+    assert out[1]["n_blocks"] == 3 and out[1]["n_dup_blocks"] == 1
+    assert out[2]["n_blocks"] == 1 and out[2]["n_dup_blocks"] == 1
+    assert out[3]["n_blocks"] == 1 and out[3]["n_dup_blocks"] == 0
+    assert out[2]["dup_fraction"] == 1.0
+
+
 def test_ccnet_buckets_tercile_split(spark):
     from pyspark.sql import Row
     from xcube_spark.pipeline.text import ccnet_buckets
