@@ -1512,3 +1512,83 @@ def label_cohesion(
         .agg(F.count("*").cast("long").alias("n"),
              F.avg(cos).alias("cohesion"))
     )
+
+
+def binary_quantize(
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    word_bits: int = 32,
+    prefix: str = "w",
+) -> DataFrame:
+    """Sign-bit binary quantization: pack each vector's sign bits into
+    ``dim / word_bits`` BIGINT words (bit i of word j = 1 iff
+    ``v[j * word_bits + i] >= 0``) — the 1-bit compression step for
+    Hamming-space ANN (32x smaller than float32; the sign test is
+    exact so quantization is bit-identical on any engine, no float
+    boundary anywhere).  Map-only Column math: an unrolled CASE sum
+    per word (whole-stage codegen'd; higher-order F.aggregate lambdas
+    would evaluate interpreted — the round-6 lesson)."""
+    if dim % word_bits != 0:
+        raise ValueError("dim must be a multiple of word_bits")
+    cols = [F.col(id_col)]
+    for w in range(dim // word_bits):
+        terms = " + ".join(
+            f"(CASE WHEN element_at({vec_col}, {w * word_bits + i + 1})"
+            f" >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(word_bits))
+        cols.append(
+            F.expr(f"CAST({terms} AS BIGINT)").alias(f"{prefix}{w}"))
+    return embs.select(*cols)
+
+
+def knn_hamming(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Brute-force top-k nearest neighbors in HAMMING space over
+    sign-quantized vectors — the binary-code ANN baseline (cosine's
+    1-bit cousin: for mean-centered data, Hamming distance on sign
+    bits approximates angular distance at 1/32 the bytes and integer-
+    only compare cost).
+
+    Returns ``(query_id, rank, vec_id, hamming)`` — ALL integers, so
+    the cross-engine hash rides on no float anywhere.  Ties break by
+    smaller corpus id (row_number over (hamming, id)).
+
+    Scale shape: the corpus quantizes in a map-only pass and STREAMS
+    (never shuffles) against the broadcast quantized query set
+    (model-sized by the bm25 sampling contract); per-pair cost is
+    ``dim/word_bits`` XOR+popcount integer ops; the only exchange is
+    the per-query top-k window on the |Q| x |corpus| distance rows —
+    prune with an LSH/IVF route (this module) when |Q| grows past
+    broadcast size."""
+    nw = dim // word_bits
+    cq = binary_quantize(corpus, vec_col=vec_col, id_col=id_col,
+                         dim=dim, word_bits=word_bits)
+    qq = binary_quantize(
+        queries.select(F.col(id_col).alias(query_id_col), vec_col),
+        vec_col=vec_col, id_col=query_id_col,
+        dim=dim, word_bits=word_bits, prefix="__q")
+    ham = None
+    for j in range(nw):
+        term = F.expr(f"bit_count(w{j} ^ __q{j})")
+        ham = term if ham is None else ham + term
+    pairs = (
+        cq.crossJoin(F.broadcast(qq))
+        .select(query_id_col, id_col, ham.cast("int").alias("hamming"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("hamming"), F.asc(id_col))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "hamming")
+    )

@@ -124,6 +124,7 @@ PRIORITY_ORDER = (
     "cube_find_places",
     "doc_textrank_distributed",
     "doc_block_dedup",
+    "emb_knn_hamming",
     # round-11 fix re-checks: CUSUM closed form (empty-prefix C_0) and
     # the MG upper-bound certificate changed this round
     "events_cusum_drift",

@@ -1420,3 +1420,57 @@ def doc_audio_spectrogram(spark, sf_dir):
         "doc_id", "n_frames",
         *[F.round(F.col(f"p{k}") + 1e-3, 1).alias(f"p{k}")
           for k in (1, 2, 3, 4)])
+
+
+def _binq_sql_terms(word: int, word_bits: int = 32) -> str:
+    """The sign-bit packing of one 32-bit word as DuckDB SQL —
+    nibble-for-nibble the Spark unrolled CASE sum."""
+    return " + ".join(
+        f"(CASE WHEN embedding[{word * word_bits + i + 1}] >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(word_bits))
+
+
+@query(
+    "emb_knn_hamming",
+    sql=f"""
+        WITH packed AS (
+            SELECT vec_id,
+                   CAST({_binq_sql_terms(0)} AS BIGINT) AS w0,
+                   CAST({_binq_sql_terms(1)} AS BIGINT) AS w1
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, w0 AS q0, w1 AS q1
+            FROM packed WHERE vec_id % 97 = 0
+        ), d AS (
+            SELECT q.query_id, p.vec_id,
+                   CAST(bit_count(xor(p.w0, q.q0))
+                        + bit_count(xor(p.w1, q.q1)) AS INT) AS hamming
+            FROM packed p CROSS JOIN q
+        ), ranked AS (
+            SELECT query_id, vec_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY hamming, vec_id) AS rank
+            FROM d
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id, hamming
+        FROM ranked WHERE rank <= 5
+    """,
+)
+def emb_knn_hamming(spark, sf_dir):
+    """knn_hamming + binary_quantize (pipeline/similarity.py):
+    sign-bit binary quantization (64 dims -> two 32-bit words) and
+    brute-force top-5 in Hamming space — the 1-bit ANN baseline
+    beside the cosine/LSH/IVF/PQ family (32x smaller codes, integer-
+    only distance).  Every query vector is vec_id % 97 == 0 (its own
+    nearest neighbor at distance 0 — a built-in sanity anchor).  ALL
+    output columns are integers: the gate rides on no float anywhere.
+    Corpus streams against the broadcast query set; the only exchange
+    is the per-query top-k window."""
+    from xcube_spark.pipeline.similarity import knn_hamming
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 97 == 0)
+    out = knn_hamming(emb, queries, k=5)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"),
+                      "vec_id", "hamming")
