@@ -102,3 +102,35 @@ def test_label_cohesion_tight_vs_scattered(spark):
     assert out[0]["n"] == 8 and out[1]["n"] == 8
     assert out[0]["cohesion"] > 0.99
     assert out[1]["cohesion"] < 0.5
+
+
+def test_binary_quantize_and_knn_hamming(spark):
+    """Sign packing is exact (known bit patterns) and Hamming top-k
+    ranks by bit disagreement with id tie-break; a query vector finds
+    itself at distance 0."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.similarity import (binary_quantize,
+                                                 knn_hamming)
+
+    def vec(bits):
+        return [1.0 if b else -1.0 for b in bits]
+
+    base = [1] * 64
+    flip3 = [1] * 64
+    flip3[0] = flip3[5] = flip3[40] = 0
+    flip10 = [1] * 64
+    for i in range(10):
+        flip10[i * 6] = 0
+    rows = [Row(vec_id=0, embedding=vec(base)),
+            Row(vec_id=1, embedding=vec(flip3)),
+            Row(vec_id=2, embedding=vec(flip10)),
+            Row(vec_id=3, embedding=vec(base))]  # exact twin of 0
+    emb = spark.createDataFrame(rows)
+    q = binary_quantize(emb).collect()
+    packed = {r["vec_id"]: (r["w0"], r["w1"]) for r in q}
+    assert packed[0] == (2**32 - 1, 2**32 - 1)
+    assert packed[0] == packed[3]
+    out = knn_hamming(emb, emb.where("vec_id = 0"), k=4).collect()
+    got = [(r["rank"], r["vec_id"], r["hamming"]) for r in out]
+    # self at 0, twin at 0 (id tie-break), then 3 flips, then 10
+    assert got == [(1, 0, 0), (2, 3, 0), (3, 1, 3), (4, 2, 10)]
