@@ -427,3 +427,61 @@ def audio_spectrogram(
                 names=[id_col, "n_frames", "p1", "p2", "p3", "p4"])
 
     return mm.select(id_col, payload_col).mapInArrow(extract, out_schema)
+
+
+def image_edge_density(
+    mm: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Sobel edge-magnitude statistics over decoded grayscale images —
+    the classic image-complexity signal for multimodal data curation
+    (near-uniform images — blanks, solid fills, padding — score ~0;
+    textured/detailed images score high; the visual analog of the
+    char-entropy text gate).
+
+    Per image: decode (the from-scratch PNG codec), convolve the 3x3
+    Sobel kernels over the interior, and emit
+    ``edge_sum = sum(|gx| + |gy|)`` with the interior pixel count —
+    ALL integer arithmetic on exact uint8->int32 pixels, so the
+    statistic is engine-exact (no float anywhere).
+
+    Returns ``(id, n_interior, edge_sum)``.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` hop over the
+    payload partitioning; the kernel is vectorized numpy slicing (no
+    per-pixel Python), no shuffle, no driver round-trip.
+    """
+    out_schema = f"{id_col} BIGINT, n_interior BIGINT, edge_sum BIGINT"
+
+    def edges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xcube_spark.sources.png import SIGNATURE, decode_png
+
+        for pdf in batches:
+            ids, n_int, sums = [], [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(raw)
+                if data[:8] != SIGNATURE:
+                    raise NotImplementedError(
+                        "image_edge_density: non-PNG payload")
+                pix, info = decode_png(data)
+                p = np.asarray(pix, dtype=np.int64)
+                if p.ndim == 3:  # multi-channel: luminance = mean? no —
+                    # keep integer exactness: sum channels
+                    p = p.sum(axis=2)
+                h, w = p.shape
+                if h < 3 or w < 3:
+                    ids.append(int(doc_id)); n_int.append(0)
+                    sums.append(0)
+                    continue
+                gx = ((p[:-2, 2:] + 2 * p[1:-1, 2:] + p[2:, 2:])
+                      - (p[:-2, :-2] + 2 * p[1:-1, :-2] + p[2:, :-2]))
+                gy = ((p[2:, :-2] + 2 * p[2:, 1:-1] + p[2:, 2:])
+                      - (p[:-2, :-2] + 2 * p[:-2, 1:-1] + p[:-2, 2:]))
+                ids.append(int(doc_id))
+                n_int.append(int((h - 2) * (w - 2)))
+                sums.append(int(np.abs(gx).sum() + np.abs(gy).sum()))
+            yield pd.DataFrame({id_col: ids, "n_interior": n_int,
+                                "edge_sum": sums})
+
+    return mm.select(id_col, payload_col).mapInPandas(edges, out_schema)

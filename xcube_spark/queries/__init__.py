@@ -125,6 +125,7 @@ PRIORITY_ORDER = (
     "doc_textrank_distributed",
     "doc_block_dedup",
     "emb_knn_hamming",
+    "doc_image_edges",
     # round-11 fix re-checks: CUSUM closed form (empty-prefix C_0) and
     # the MG upper-bound certificate changed this round
     "events_cusum_drift",

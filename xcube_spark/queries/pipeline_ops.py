@@ -1474,3 +1474,63 @@ def emb_knn_hamming(spark, sf_dir):
     out = knn_hamming(emb, queries, k=5)
     return out.select("query_id", F.col("rank").cast("int").alias("rank"),
                       "vec_id", "hamming")
+
+
+def _edge_px(dr: int, dc: int) -> str:
+    """Padded-byte-list pixel access at (r + dr, c + dc) for the Sobel
+    oracle, with r = 1 + i // 30, c = 1 + i % 30 (1-based list)."""
+    return f"b[(1 + i // 30 + {dr}) * 32 + (1 + i % 30 + {dc}) + 1]"
+
+
+_EDGE_GX = (f"(({_edge_px(-1, 1)} + 2 * {_edge_px(0, 1)} + {_edge_px(1, 1)})"
+            f" - ({_edge_px(-1, -1)} + 2 * {_edge_px(0, -1)}"
+            f" + {_edge_px(1, -1)}))")
+_EDGE_GY = (f"(({_edge_px(1, -1)} + 2 * {_edge_px(1, 0)} + {_edge_px(1, 1)})"
+            f" - ({_edge_px(-1, -1)} + 2 * {_edge_px(-1, 0)}"
+            f" + {_edge_px(-1, 1)}))")
+
+
+@query(
+    "doc_image_edges",
+    sql=f"""
+        WITH b0 AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''),
+                                  c -> ascii(c)) AS bl,
+                   CAST(greatest(1, ceil(length(text) / 32.0)) AS INT)
+                       AS h,
+                   length(text) AS n
+            FROM documents
+        ), pb AS (
+            SELECT doc_id, h,
+                   bl || list_transform(range(h * 32 - n), x -> 32)
+                       AS b
+            FROM b0
+        )
+        SELECT doc_id,
+               CAST(greatest(h - 2, 0) * 30 AS BIGINT) AS n_interior,
+               CAST(COALESCE(list_sum(list_transform(
+                        range(greatest(h - 2, 0) * 30),
+                        i -> abs({_EDGE_GX}) + abs({_EDGE_GY}))), 0)
+                    AS BIGINT) AS edge_sum
+        FROM pb
+    """,
+)
+def doc_image_edges(spark, sf_dir):
+    """image_edge_density (pipeline/multimodal.py): Sobel
+    edge-magnitude statistics over REAL decoded images — text bytes
+    become genuine grayscale PNGs (from-scratch encoder, 32 wide, pad
+    32), the from-scratch decoder recovers the pixels, and the 3x3
+    Sobel kernels convolve the interior in vectorized integer numpy —
+    the image-complexity gate of a multimodal curation pipeline (the
+    visual analog of char_entropy).  The oracle replays the
+    convolution straight from the characters (padded byte list,
+    row-local list comprehension — no pixel table explode), so any
+    codec or stride defect hash-fails; everything is INTEGER-exact.
+    One Arrow-batched mapInPandas hop per codec stage, no shuffle."""
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, encode_payload_png, image_edge_density)
+
+    mm = encode_payload_png(attach_payload(tbl(spark, sf_dir, "documents")),
+                            width=32, pad_byte=32)
+    return image_edge_density(mm)
