@@ -223,6 +223,97 @@ def minhash_near_dup_pairs(
     )
 
 
+def _block_hashes(docs: DataFrame, block_tokens: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, bidx, __h): md5 of each consecutive ``block_tokens``-token
+    block — the shared narrow explode under the block-dedup family."""
+    bt = int(block_tokens)
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= 1 "
+            f"THEN transform("
+            f"sequence(0, int(ceil(size(split(trim({text_col}), "
+            f"'\\\\s+')) / {bt}.0)) - 1), "
+            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
+            f"i * {bt} + 1, {bt}), ' ')) "
+            f"ELSE array() END"
+        )).alias("bidx", "block"),
+    ).where(F.col("block") != "")
+    return blocks.select(id_col, "bidx", F.md5("block").alias("__h"))
+
+
+def block_dedup_state(
+    docs: DataFrame,
+    block_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The block-dedup family's MERGEABLE sufficient statistics: one
+    row per distinct block hash carrying its first occurrence
+    (lexicographic min of (doc id, block index)) and its copy count —
+    ``(block_hash, first_doc, first_idx, n_copies)``.
+
+    Struct-min and integer addition are associative and commutative,
+    so states from disjoint batches merge (:func:`incremental_block_
+    dedup`) into exactly the single-pass state — the incremental
+    contract of the sketch/probe family, at the paragraph-dedup
+    granularity.  One map-side-combined shuffle on the uniform hash.
+    """
+    h = _block_hashes(docs, block_tokens, text_col, id_col)
+    agg = h.groupBy(F.col("__h").alias("block_hash")).agg(
+        F.min(F.struct(F.col(id_col), F.col("bidx"))).alias("__f"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+    return agg.select(
+        "block_hash",
+        F.col("__f")[id_col].alias("first_doc"),
+        F.col("__f")["bidx"].alias("first_idx"),
+        "n_copies")
+
+
+def incremental_block_dedup(
+    state: DataFrame,
+    new_docs: DataFrame,
+    block_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a new document batch into a block-dedup state: the batch
+    hashes once (one scan of the batch only) and full-outer merges
+    with the state on the block hash — first occurrence is the struct
+    min across both sides, copy counts add.  Value-identical to
+    rebuilding the state over the concatenated corpus.
+
+    Scale: per batch, O(batch) explode + shuffle plus a state join on
+    the hash key; persist the state bucketed by hash and the merge is
+    co-partitioned (the NearDupStateStore discipline)."""
+    delta = block_dedup_state(new_docs, block_tokens=block_tokens,
+                              text_col=text_col, id_col=id_col).select(
+        "block_hash",
+        F.col("first_doc").alias("__nd"),
+        F.col("first_idx").alias("__ni"),
+        F.col("n_copies").alias("__nc"),
+    )
+    sa = F.when(F.col("first_doc").isNotNull(),
+                F.struct(F.col("first_doc").alias("d"),
+                         F.col("first_idx").alias("i")))
+    sb = F.when(F.col("__nd").isNotNull(),
+                F.struct(F.col("__nd").alias("d"),
+                         F.col("__ni").alias("i")))
+    first = F.least(F.coalesce(sa, sb), F.coalesce(sb, sa))
+    return (
+        state.join(delta, "block_hash", "full_outer")
+        .select(
+            "block_hash",
+            first["d"].alias("first_doc"),
+            first["i"].alias("first_idx"),
+            (F.coalesce("n_copies", F.lit(0))
+             + F.coalesce("__nc", F.lit(0))).cast("long")
+            .alias("n_copies"))
+    )
+
+
 def block_dedup_stats(
     docs: DataFrame,
     block_tokens: int = 16,
@@ -251,21 +342,7 @@ def block_dedup_stats(
     """
     from pyspark.sql.window import Window
 
-    bt = int(block_tokens)
-    blocks = docs.select(
-        F.col(id_col),
-        F.posexplode(F.expr(
-            f"CASE WHEN size(split(trim({text_col}), '\\\\s+')) >= 1 "
-            f"THEN transform("
-            f"sequence(0, int(ceil(size(split(trim({text_col}), "
-            f"'\\\\s+')) / {bt}.0)) - 1), "
-            f"i -> array_join(slice(split(trim({text_col}), '\\\\s+'), "
-            f"i * {bt} + 1, {bt}), ' ')) "
-            f"ELSE array() END"
-        )).alias("bidx", "block"),
-    ).where(F.col("block") != "")
-    h = blocks.select(
-        id_col, "bidx", F.md5("block").alias("__h"))
+    h = _block_hashes(docs, block_tokens, text_col, id_col)
     w = Window.partitionBy("__h")
     first = F.min(F.struct(F.col(id_col), F.col("bidx"))).over(w)
     dup = (

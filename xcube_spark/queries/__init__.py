@@ -126,6 +126,7 @@ PRIORITY_ORDER = (
     "doc_block_dedup",
     "emb_knn_hamming",
     "doc_image_edges",
+    "doc_incremental_block_dedup",
     # round-11 fix re-checks: CUSUM closed form (empty-prefix C_0) and
     # the MG upper-bound certificate changed this round
     "events_cusum_drift",

@@ -1628,3 +1628,60 @@ def doc_block_dedup(spark, sf_dir):
         "doc_id", "n_blocks", "n_dup_blocks",
         F.round(F.round(F.col("dup_fraction") + 1e-9, 6) + 0.0, 6)
         .alias("dup_fraction"))
+
+
+@query(
+    "doc_incremental_block_dedup",
+    sql=r"""
+        WITH lst AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ts
+            FROM documents
+        ), blocks AS (
+            SELECT doc_id, CAST(i AS INT) AS bidx,
+                   array_to_string(
+                       ts[i * 16 + 1 : least((i + 1) * 16, len(ts))],
+                       ' ') AS block
+            FROM lst,
+                 unnest(range(CAST(ceil(len(ts) / 16.0) AS BIGINT)))
+                     AS u(i)
+        ), state AS (
+            SELECT md5(block) AS h,
+                   MIN(struct_pack(d := doc_id, i := bidx)) AS f,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM blocks WHERE block != ''
+            GROUP BY md5(block)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+               CAST(SUM(n_copies) AS BIGINT) AS n_blocks,
+               CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_hashes,
+               CAST(SUM(f.d) AS BIGINT) AS sum_first_doc,
+               CAST(SUM(f.i) AS BIGINT) AS sum_first_idx
+        FROM state
+    """,
+)
+def doc_incremental_block_dedup(spark, sf_dir):
+    """incremental_block_dedup (pipeline/dedup.py): the block-dedup
+    state merged over TWO id-ordered batches must equal the one-shot
+    single-pass state — struct-min first occurrences and additive copy
+    counts are order-insensitive, so the merge is value-identical to
+    recomputing over the concatenated corpus (the incremental contract
+    of the sketch/probe family at the paragraph granularity).  The
+    oracle computes the single-pass state; output is the exact-integer
+    state summary (hash count, block count, dup-hash count, and the
+    first-occurrence checksums that pin attribution content)."""
+    from xcube_spark.pipeline.dedup import (block_dedup_state,
+                                            incremental_block_dedup)
+
+    docs = tbl(spark, sf_dir, "documents")
+    state = block_dedup_state(docs.where(F.col("doc_id") < 250))
+    merged = incremental_block_dedup(state,
+                                     docs.where(F.col("doc_id") >= 250))
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.sum("n_copies").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+        .cast("long").alias("n_dup_hashes"),
+        F.sum("first_doc").cast("long").alias("sum_first_doc"),
+        F.sum("first_idx").cast("long").alias("sum_first_idx"))
