@@ -30,8 +30,14 @@ def main() -> None:
     from xcube_spark.queries import load_all
     from xcube_spark.session import get_session
 
+    from xcube_spark.queries import BENCH_SET
+
     registry = load_all()
-    bench_set = {n: q for n, q in registry.items() if q.bench}
+    # iterate in the FROZEN BENCH_SET tuple order, not registry order:
+    # PRIORITY_ORDER reshuffles the registry every round, which used to
+    # move the first-query cold-start penalty between rows and break
+    # round-over-round comparability (r11 bench hygiene)
+    bench_set = {n: registry[n] for n in BENCH_SET if n in registry}
     spark = get_session(app_name="xcube_spark-bench")
 
     # warm the session (JVM JIT, parquet footer cache)
