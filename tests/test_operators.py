@@ -312,6 +312,58 @@ def test_ema_smooth_matches_reference_formula(spark):
         assert abs(out[t] - num / den) < 1e-12, t
 
 
+def test_holt_smooth_matches_truncated_filter(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import (holt_coefficients,
+                                                holt_smooth)
+
+    vals = [float((i * 13 % 17) - 8) for i in range(20)]
+    df = spark.createDataFrame([Row(k=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    W = 12
+    out = {r["i"]: (r["holt_level"], r["holt_trend"], r["holt_forecast"])
+           for r in holt_smooth(df, "v", "k", ["i"],
+                                alpha=0.5, beta=0.25,
+                                window=W).collect()}
+    li, bi = holt_coefficients(0.5, 0.25, W)
+    for t in range(len(vals)):
+        if t < W - 1:
+            assert out[t] == (None, None, None), t
+            continue
+        lev = tre = 0.0
+        for i in range(W):
+            lev, tre = lev + li[i] * vals[t - i], tre + bi[i] * vals[t - i]
+        got = out[t]
+        assert abs(got[0] - lev) < 1e-12, (t, got[0], lev)
+        assert abs(got[1] - tre) < 1e-12
+        assert abs(got[2] - (lev + tre)) < 1e-12
+
+
+def test_holt_coefficients_match_textbook_recursion():
+    """The truncated taps converge to the textbook Holt recursion:
+    after a warmup longer than the window, the filtered value tracks
+    the recursion (zero-init, same alpha/beta) to within the decayed
+    tail mass."""
+    from xcube_spark.operators.temporal import holt_coefficients
+
+    a, b, W = 0.5, 0.25, 12
+    li, bi = holt_coefficients(a, b, W)
+    vals = [float((i * 7 % 23) - 11) for i in range(60)]
+    lev = tre = 0.0
+    for x in vals:
+        l_prev = lev
+        lev = a * x + (1 - a) * (l_prev + tre)
+        tre = b * (lev - l_prev) + (1 - b) * tre
+    t = len(vals) - 1
+    f_lev = sum(li[i] * vals[t - i] for i in range(W))
+    f_tre = sum(bi[i] * vals[t - i] for i in range(W))
+    # tail mass of the taps decays like rho^W (rho = spectral radius)
+    assert abs(f_lev - lev) < 0.2
+    assert abs(f_tre - tre) < 0.2
+    # taps decay: the last tap is small relative to the first
+    assert abs(li[-1]) < 0.05 * abs(li[0])
+
+
 def test_focal_mean_matches_bruteforce(spark):
     import numpy as np
     from pyspark.sql import Row

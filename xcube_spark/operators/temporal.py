@@ -246,6 +246,82 @@ def ema_smooth(
     return num / den
 
 
+def holt_coefficients(
+    alpha: float, beta: float, window: int
+) -> tuple[list[float], list[float]]:
+    """Impulse-response coefficients of Holt's linear (double
+    exponential) smoothing, truncated to ``window`` taps.
+
+    The textbook recursion
+    ``l_t = a*x_t + (1-a)*(l_{t-1} + b_{t-1})``,
+    ``b_t = B*(l_t - l_{t-1}) + (1-B)*b_{t-1}``
+    is a linear time-invariant system ``s_t = A s_{t-1} + g x_t`` with
+    ``A = [[1-a, 1-a], [-aB, 1-aB]]`` and ``g = [a, aB]``, so the
+    state is the convolution ``s_t = sum_i (A^i g) x_{t-i}``.  The
+    taps ``A^i g`` decay geometrically (spectral radius < 1 for
+    0 < a,B < 1), so a fixed truncation is the windowed-filter form of
+    Holt — same trick as ``ema_smooth``'s truncated EMA.
+
+    Returned as two Python-double lists (level taps, trend taps)
+    computed once with a FIXED multiply/add sequence; callers embed
+    them as literals in both the Spark expression and the SQL twin,
+    so cross-engine identity is by construction (the DFT-twiddle
+    discipline — the literal IS the contract, not the arithmetic).
+    """
+    li, bi = [alpha], [alpha * beta]
+    for _ in range(1, window):
+        l_prev, b_prev = li[-1], bi[-1]
+        li.append((1.0 - alpha) * l_prev + (1.0 - alpha) * b_prev)
+        bi.append(-(alpha * beta) * l_prev + (1.0 - alpha * beta) * b_prev)
+    return li, bi
+
+
+def holt_smooth(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    window: int = 12,
+) -> DataFrame:
+    """Windowed Holt linear-trend (double exponential) smoothing per
+    series: level, trend, and one-step forecast (level + trend) as
+    fixed ``window``-tap FIR filters over the trailing values — the
+    trend-aware companion of ``ema_smooth`` (reference temporal
+    smoothing surface: resample_in_time, core/resampling/temporal.py).
+
+    Rows with fewer than ``window`` predecessors emit NULL (the
+    ``rolling_trend`` full-window contract).  Each output is a fixed
+    left-associated fold of ``lit(tap) * lag(value, i)`` terms riding
+    ONE sorted frame — bit-identical on any engine evaluating the
+    same shape, absorbed by the caller's nudged round.
+
+    Adds ``holt_level``, ``holt_trend``, ``holt_forecast`` (raw
+    doubles).  Scale shape: one hash exchange on ``key_col`` + one
+    sort; O(window) arithmetic per row, no extra exchanges.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    li, bi = holt_coefficients(alpha, beta, window)
+    lev = None
+    tre = None
+    for i in range(window):
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        lt = F.lit(li[i]) * x
+        bt = F.lit(bi[i]) * x
+        lev = lt if lev is None else lev + lt
+        tre = bt if tre is None else tre + bt
+    rn = F.row_number().over(w)
+    full = rn >= window
+    return (
+        df.withColumn("holt_level", F.when(full, lev))
+        .withColumn("holt_trend", F.when(full, tre))
+        .withColumn("holt_forecast",
+                    F.when(full, F.col("holt_level")
+                           + F.col("holt_trend")))
+    )
+
+
 def cusum_drift(
     df: DataFrame,
     value_col: str,

@@ -988,6 +988,68 @@ def events_rolling_trend(spark, sf_dir):
         .alias("trend"))
 
 
+def _holt_sql(alpha: float = 0.5, beta: float = 0.25,
+              window: int = 12) -> str:
+    """SQL twin of operators.temporal.holt_smooth — the identical
+    unrolled taps (same Python-double literals) over the same frame."""
+    from xcube_spark.operators.temporal import holt_coefficients
+
+    li, bi = holt_coefficients(alpha, beta, window)
+    lev = None
+    tre = None
+    for i in range(window):
+        x = "value" if i == 0 else f"LAG(value, {i}) OVER w"
+        lt = f"({li[i]!r} * {x})"
+        bt = f"({bi[i]!r} * {x})"
+        lev = lt if lev is None else f"({lev} + {lt})"
+        tre = bt if tre is None else f"({tre} + {bt})"
+    n = window
+    return f"""
+        WITH s AS (
+            SELECT event_id, user_id,
+                   CASE WHEN ROW_NUMBER() OVER w >= {n}
+                        THEN {lev} END AS lev,
+                   CASE WHEN ROW_NUMBER() OVER w >= {n}
+                        THEN {tre} END AS tre
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id,
+               ROUND(ROUND(lev + 1e-9, 6) + 0.0, 6) AS holt_level,
+               ROUND(ROUND(tre + 1e-9, 6) + 0.0, 6) AS holt_trend,
+               ROUND(ROUND(lev + tre + 1e-9, 6) + 0.0, 6)
+                   AS holt_forecast
+        FROM s
+    """
+
+
+@query("events_holt_trend", sql=_holt_sql())
+def events_holt_trend(spark, sf_dir):
+    """holt_smooth (operators/temporal.py): per-user Holt linear
+    (double exponential) smoothing — level, trend, and one-step
+    forecast over the trailing 12 events.  Holt's coupled recursion
+    is a linear time-invariant system, so the truncated form is a
+    fixed 12-tap FIR filter whose taps (A^i g, computed once in
+    Python) are embedded as IDENTICAL literals in both engines; the
+    folds are left-associated over 12 unrolled lags riding ONE
+    exchange + sort, NULL until the window fills (the rolling_trend
+    contract), nudge-rounded to 6 decimals."""
+    from xcube_spark.operators.temporal import holt_smooth
+
+    ev = tbl(spark, sf_dir, "events")
+    out = holt_smooth(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        alpha=0.5, beta=0.25, window=12)
+    r6 = lambda c: F.round(F.round(c + 1e-9, 6) + 0.0, 6)  # noqa: E731
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("holt_level")).alias("holt_level"),
+        r6(F.col("holt_trend")).alias("holt_trend"),
+        r6(F.col("holt_level") + F.col("holt_trend"))
+        .alias("holt_forecast"))
+
+
 @query(
     "events_seasonal_residual",
     sql="""
