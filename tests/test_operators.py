@@ -364,6 +364,57 @@ def test_holt_coefficients_match_textbook_recursion():
     assert abs(li[-1]) < 0.05 * abs(li[0])
 
 
+def test_hampel_filter_matches_bruteforce(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import hampel_filter
+
+    vals = [float((i * 29 % 31) - 15) for i in range(40)]
+    vals[25] = 500.0  # an obvious spike the filter must repair
+    df = spark.createDataFrame([Row(k=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    W = 15
+    out = {r["i"]: r for r in
+           hampel_filter(df, "v", "k", ["i"], window=W).collect()}
+    for t in range(len(vals)):
+        r = out[t]
+        if t < W - 1:
+            assert r["roll_med"] is None and r["outlier"] is None
+            continue
+        win = sorted(vals[t - W + 1:t + 1])
+        med = win[W // 2]
+        mad = sorted(abs(x - med) for x in vals[t - W + 1:t + 1])[W // 2]
+        assert r["roll_med"] == med, t
+        assert r["roll_mad"] == mad, t
+        if mad > 0:
+            z = (vals[t] - med) / (1.4826 * mad)
+            assert abs(r["robust_z"] - z) < 1e-12, t
+            exp_out = 1 if abs(z) > 3.0 else 0
+        else:
+            assert r["robust_z"] is None, t
+            exp_out = 1 if vals[t] != med else 0
+        assert r["outlier"] == exp_out, t
+        assert r["hampel_value"] == (med if exp_out else vals[t]), t
+    assert out[25]["outlier"] == 1          # the spike is flagged
+    assert out[25]["hampel_value"] != 500.0  # and repaired
+
+
+def test_hampel_filter_constant_plateau(spark):
+    """mad == 0 windows: z is NULL, only exact deviations flag."""
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import hampel_filter
+
+    vals = [2.0] * 20 + [7.0]
+    df = spark.createDataFrame([Row(k=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    out = {r["i"]: r for r in
+           hampel_filter(df, "v", "k", ["i"], window=15).collect()}
+    assert out[19]["roll_mad"] == 0.0
+    assert out[19]["robust_z"] is None
+    assert out[19]["outlier"] == 0
+    assert out[20]["outlier"] == 1           # 7.0 breaks the plateau
+    assert out[20]["hampel_value"] == 2.0    # repaired to the median
+
+
 def test_focal_mean_matches_bruteforce(spark):
     import numpy as np
     from pyspark.sql import Row

@@ -368,6 +368,80 @@ def cusum_drift(
     )
 
 
+def hampel_filter(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    window: int = 15,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Hampel filter per series: rolling median / rolling MAD outlier
+    detection and repair over the trailing ``window`` values — the
+    ROLLING companion of the global median/MAD gate in
+    ``events_mad_outliers`` (robust data-quality filtering for
+    non-stationary streams, where a global median misses level
+    shifts).
+
+    The trailing values are gathered into an array of ``window``
+    unrolled lags and SORTED; with ``window`` odd, the median is an
+    exact ELEMENT (no interpolation, no arithmetic) and the MAD is
+    the exact middle of the absolute deviations — both bit-identical
+    on any engine with the same total order on doubles.  The robust
+    z-score ``(x - med) / (1.4826 * mad)`` is three IEEE ops on
+    identical inputs (no reassociation freedom).  Rows with fewer
+    than ``window`` predecessors emit NULLs; windows with
+    ``mad == 0`` (constant plateaus) emit NULL z and flag
+    only exact deviations from the median.
+
+    Adds ``roll_med``, ``roll_mad``, ``robust_z`` (raw doubles —
+    round in the caller), ``outlier`` (int), and ``hampel_value``
+    (the repaired series: median where flagged, else the value).
+
+    Scale shape: one hash exchange on ``key_col`` + one sort; the
+    lags ride one frame and the two ``window``-element sorts are
+    O(window log window) per row with no extra exchanges.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    lags = [F.col(value_col) if i == 0
+            else F.lag(value_col, i).over(w)
+            for i in range(window)]
+    mid = window // 2 + 1  # 1-based middle element
+    rn = F.row_number().over(w)
+    out = df.withColumn("__arr", F.when(rn >= window,
+                                        F.array_sort(F.array(*lags))))
+    out = out.withColumn("__med", F.element_at("__arr", mid))
+    adev = [F.abs(x - F.col("__med")) for x in lags]
+    out = out.withColumn(
+        "__mad",
+        F.when(F.col("__arr").isNotNull(),
+               F.element_at(F.array_sort(F.array(*adev)), mid)))
+    z = F.when(
+        F.col("__mad") > 0.0,
+        (F.col(value_col) - F.col("__med"))
+        / (F.lit(1.4826) * F.col("__mad")))
+    outlier = F.when(
+        F.col("__arr").isNull(), F.lit(None).cast("int")
+    ).when(
+        (F.col("__mad") > 0.0) & (F.abs(z) > n_sigmas), F.lit(1)
+    ).when(
+        (F.col("__mad") == 0.0)
+        & (F.col(value_col) != F.col("__med")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        out.withColumn("robust_z", z)
+        .withColumn("outlier", outlier)
+        .withColumn(
+            "hampel_value",
+            F.when(F.col("outlier") == 1, F.col("__med"))
+            .otherwise(F.when(F.col("__arr").isNotNull(),
+                              F.col(value_col))))
+        .withColumnRenamed("__med", "roll_med")
+        .withColumnRenamed("__mad", "roll_mad")
+        .drop("__arr")
+    )
+
+
 def rolling_trend(
     df: DataFrame,
     value_col: str,

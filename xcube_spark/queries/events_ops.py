@@ -940,6 +940,89 @@ def events_mad_outliers(spark, sf_dir):
     )
 
 
+def _hampel_sql(window: int = 15, n_sigmas: float = 3.0) -> str:
+    """SQL twin of operators.temporal.hampel_filter — identical
+    unrolled lags, identical sorted-array median/MAD elements,
+    identical three-op z-score."""
+    n = window
+    mid = n // 2 + 1
+    lags = ["value"] + [f"LAG(value, {i}) OVER w" for i in range(1, n)]
+    lag_cols = ", ".join(f"{x} AS l{i}" for i, x in enumerate(lags))
+    arr = "[" + ", ".join(f"l{i}" for i in range(n)) + "]"
+    adev = "[" + ", ".join(f"abs(l{i} - med)" for i in range(n)) + "]"
+    return f"""
+        WITH b AS (
+            SELECT event_id, user_id, value, {lag_cols},
+                   CASE WHEN ROW_NUMBER() OVER w >= {n} THEN 1 END
+                       AS full_w
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), m AS (
+            SELECT *, CASE WHEN full_w = 1
+                           THEN list_sort({arr})[{mid}] END AS med
+            FROM b
+        ), d AS (
+            SELECT *, CASE WHEN full_w = 1
+                           THEN list_sort({adev})[{mid}] END AS mad
+            FROM m
+        ), z AS (
+            SELECT event_id, user_id, value, full_w, med, mad,
+                   CASE WHEN mad > CAST(0.0 AS DOUBLE)
+                        THEN (value - med)
+                             / (CAST(1.4826 AS DOUBLE) * mad)
+                   END AS rz
+            FROM d
+        )
+        SELECT event_id, user_id,
+               ROUND(ROUND(med + 1e-9, 6) + 0.0, 6) AS roll_med,
+               ROUND(ROUND(mad + 1e-9, 6) + 0.0, 6) AS roll_mad,
+               ROUND(ROUND(rz + 1e-9, 4) + 0.0, 4) AS robust_z,
+               CAST(CASE WHEN full_w IS NULL THEN NULL
+                         WHEN mad > CAST(0.0 AS DOUBLE)
+                              AND abs(rz) > CAST({n_sigmas!r} AS DOUBLE)
+                              THEN 1
+                         WHEN mad = CAST(0.0 AS DOUBLE)
+                              AND value != med THEN 1
+                         ELSE 0 END AS INT) AS outlier,
+               ROUND(ROUND(CASE
+                   WHEN full_w IS NULL THEN NULL
+                   WHEN (mad > CAST(0.0 AS DOUBLE)
+                         AND abs(rz) > CAST({n_sigmas!r} AS DOUBLE))
+                     OR (mad = CAST(0.0 AS DOUBLE) AND value != med)
+                       THEN med ELSE value END + 1e-9, 6) + 0.0, 6)
+                   AS hampel_value
+        FROM z
+    """
+
+
+@query("events_hampel_filter", sql=_hampel_sql())
+def events_hampel_filter(spark, sf_dir):
+    """hampel_filter (operators/temporal.py): per-user Hampel filter —
+    rolling median/MAD outlier detection and repair over the trailing
+    15 events, the rolling companion of events_mad_outliers' global
+    gate (robust filtering that survives level shifts).  The 15 lags
+    gather into ONE sorted array per row: with an odd window the
+    median and MAD are exact ELEMENTS (no interpolation), identical
+    cross-engine, and the z-score is three IEEE ops on identical
+    doubles.  One exchange + sort; NULLs until the window fills."""
+    from xcube_spark.operators.temporal import hampel_filter
+
+    ev = tbl(spark, sf_dir, "events")
+    out = hampel_filter(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        window=15, n_sigmas=3.0)
+    r6 = lambda c: F.round(F.round(c + 1e-9, 6) + 0.0, 6)  # noqa: E731
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("roll_med")).alias("roll_med"),
+        r6(F.col("roll_mad")).alias("roll_mad"),
+        F.round(F.round(F.col("robust_z") + 1e-9, 4) + 0.0, 4)
+        .alias("robust_z"),
+        F.col("outlier").cast("int").alias("outlier"),
+        r6(F.col("hampel_value")).alias("hampel_value"))
+
+
 def _trend_sql(window: int = 32) -> str:
     """SQL twin of operators.temporal.rolling_trend — the same
     unrolled integer-weighted fold over the same frame."""
