@@ -134,3 +134,40 @@ def test_binary_quantize_and_knn_hamming(spark):
     got = [(r["rank"], r["vec_id"], r["hamming"]) for r in out]
     # self at 0, twin at 0 (id tie-break), then 3 flips, then 10
     assert got == [(1, 0, 0), (2, 3, 0), (3, 1, 3), (4, 2, 10)]
+
+
+def test_knn_bruteforce_dot_metric_is_mips(spark):
+    """metric="dot" ranks by raw inner product: a long vector beats a
+    perfectly-aligned short one — the ordering cosine would invert."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.similarity import knn_bruteforce
+
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    # query q = (1, 0).  a is perfectly aligned but short (dot 0.5);
+    # b is 45-degrees off but long (dot 4.0).
+    rows = [Row(vec_id=0, embedding=vec(1.0, 0.0)),
+            Row(vec_id=1, embedding=vec(0.5, 0.0)),
+            Row(vec_id=2, embedding=vec(4.0, 4.0))]
+    emb = spark.createDataFrame(rows)
+    q = emb.where("vec_id = 0").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    dot = [(r["rank"], r["vec_id"], r["dot"]) for r in
+           knn_bruteforce(emb, q, k=2, metric="dot",
+                          score_col="dot").collect()]
+    assert dot == [(1, 2, 4.0), (2, 1, 0.5)]
+    cos = [(r["rank"], r["vec_id"]) for r in
+           knn_bruteforce(emb, q, k=2).collect()]
+    assert cos == [(1, 1), (2, 2)]  # cosine inverts the order
+
+
+def test_knn_bruteforce_rejects_unknown_metric(spark):
+    import pytest
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.similarity import knn_bruteforce
+
+    emb = spark.createDataFrame([Row(vec_id=0, embedding=[1.0])])
+    q = emb.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(ValueError, match="unknown metric"):
+        knn_bruteforce(emb, q, metric="euclid")

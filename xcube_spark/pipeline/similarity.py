@@ -61,11 +61,19 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    metric: str = "cosine",
+    score_col: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k per query: model-sized query set x ONE
+    """Exact similarity top-k per query: model-sized query set x ONE
     corpus scan.
 
-    Output: (query_id, vec_id, cosine, rank<=k).  The query set is
+    ``metric``: "cosine" (normalized) or "dot" (raw inner product —
+    the MIPS objective; retrieval systems that train un-normalized
+    embeddings rank by inner product, and the classic reduction
+    augments vectors with sqrt(M^2 - |v|^2) to reuse cosine indexes —
+    the brute-force path just scores the inner product directly).
+
+    Output: (query_id, vec_id, <score_col>, rank<=k).  The query set is
     broadcast-small by contract, so it collects once and ships in the
     kernel closure (round 7 — previously a broadcast join duplicated
     every corpus row |queries| times through Arrow; the fused form
@@ -100,8 +108,10 @@ def knn_bruteforce(
             v = np.asarray(b.column("__vec").flatten()).reshape(n, -1)
             ids_col = b.column(id_col)
             ids = np.asarray(ids_col.to_numpy(zero_copy_only=False))
-            cos_all = (v @ qvecs.T) / (
-                np.linalg.norm(v, axis=1)[:, None] * qnorm[None, :])
+            cos_all = v @ qvecs.T
+            if metric == "cosine":
+                cos_all = cos_all / (
+                    np.linalg.norm(v, axis=1)[:, None] * qnorm[None, :])
             out_q, out_i, out_c = [], [], []
             for qi in range(len(qarr)):
                 cand = np.nonzero(ids != qarr[qi])[0]  # self-exclusion
@@ -123,8 +133,10 @@ def knn_bruteforce(
                 [pa.array(np.concatenate(out_q), type=q_pa),
                  ids_col.take(take),
                  pa.array(np.concatenate(out_c), type=pa.float64())],
-                names=[query_id_col, id_col, "cosine"])
+                names=[query_id_col, id_col, score_col])
 
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric: {metric!r}")
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
     q_pa = _pa_type_for(q_t)
@@ -133,9 +145,9 @@ def knn_bruteforce(
         F.col(vec_col).cast("array<double>").alias("__vec"),
     ).mapInArrow(
         score_topk,
-        f"{query_id_col} {q_t}, {id_col} {id_t}, cosine double")
+        f"{query_id_col} {q_t}, {id_col} {id_t}, {score_col} double")
     w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine"), F.asc(id_col)
+        F.desc(score_col), F.asc(id_col)
     )
     return (
         pruned.withColumn("rank", F.row_number().over(w))

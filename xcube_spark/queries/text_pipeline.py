@@ -327,6 +327,61 @@ def emb_knn_cosine(spark, sf_dir):
 
 
 @query(
+    "emb_mips_topk",
+    sql="""
+        WITH c AS (
+            SELECT vec_id,
+                   list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> x * CAST(1 + vec_id % 7 AS DOUBLE)) AS v
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5
+        ), scored AS (
+            SELECT q.query_id, c.vec_id,
+                   list_dot_product(c.v, q.qv) AS s
+            FROM c, q
+            WHERE c.vec_id != q.query_id
+        ), ranked AS (
+            SELECT query_id, vec_id, s,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(ROUND(s + 1e-9, 6) + 0.0, 6)
+                   AS dot, rank
+        FROM ranked WHERE rank <= 10
+    """,
+)
+def emb_mips_topk(spark, sf_dir):
+    """Maximum-inner-product search (MIPS) top-k: brute-force inner
+    product per query over ONE corpus scan (knn_bruteforce with
+    metric="dot") — the retrieval objective for un-normalized
+    embeddings, where magnitude carries relevance (the classic
+    index reduction augments vectors with sqrt(M^2 - |v|^2) to reuse
+    cosine LSH/IVF; the exact path scores the raw product).  The
+    fixture embeddings are unit-norm, so vectors are scaled by a
+    deterministic per-id integer magnitude (exact float multiply on
+    both engines) to make the inner-product ranking genuinely
+    norm-dominated — a cosine ranker would return DIFFERENT rows."""
+    from xcube_spark.pipeline.similarity import knn_bruteforce
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(CAST(embedding AS ARRAY<DOUBLE>), "
+               "x -> x * CAST(1 + vec_id % 7 AS DOUBLE))")
+        .alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = knn_bruteforce(emb, queries, k=10, metric="dot",
+                         score_col="dot")
+    return out.select(
+        "query_id", "vec_id",
+        F.round(F.round(F.col("dot") + 1e-9, 6) + 0.0, 6).alias("dot"),
+        "rank")
+
+
+@query(
     "emb_centroid_by_label",
     sql="""
         WITH e AS (
