@@ -1184,3 +1184,73 @@ def test_zipf_slope_recovers_synthetic_power_law(spark):
     row = zipf_slope(docs, top=40).collect()[0]
     assert row["n_tokens"] == 40
     assert -1.15 < row["slope"] < -0.85
+
+
+def test_cdc_spans_tile_each_document(spark):
+    """CDC chunk spans partition the document exactly: contiguous,
+    non-overlapping, covering [1, len]."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.dedup import cdc_chunk_spans
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 4,
+        "short",  # shorter than the hash window -> one chunk
+        "a" * 200,  # constant run: hash constant after warmup
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=t) for i, t in enumerate(texts)])
+    spans = cdc_chunk_spans(docs, hash_window=16, divisor=64)
+    rows = sorted(((r["doc_id"], r["chunk_no"], r["chunk_start"],
+                    r["chunk_end"], r["chunk_len"])
+                   for r in spans.collect()))
+    by_doc = {}
+    for d, n, s, e, l in rows:
+        by_doc.setdefault(d, []).append((n, s, e, l))
+    for i, t in enumerate(texts):
+        ch = by_doc[i]
+        assert ch[0][1] == 1                      # starts at 1
+        assert ch[-1][2] == len(t)                # ends at len
+        for (n1, s1, e1, l1), (n2, s2, e2, _) in zip(ch, ch[1:]):
+            assert n2 == n1 + 1 and s2 == e1 + 1  # contiguous
+        assert all(l == e - s + 1 for _, s, e, l in ch)
+    assert len(by_doc[1]) == 1  # sub-window doc is one whole chunk
+
+
+def test_cdc_boundaries_realign_after_insertion(spark):
+    """The CDC property: prepending text shifts every fixed-size
+    block, but content-defined boundaries downstream of the edit
+    re-align — the two documents share most chunk hashes."""
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.dedup import cdc_chunk_spans
+
+    base = ("data pipelines dedup shared boilerplate across the "
+            "crawl while unique content stays put " * 8)
+    edited = "INSERTED PREFIX >>> " + base
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, source="s", text=base),
+         Row(doc_id=1, source="s", text=edited)])
+    spans = cdc_chunk_spans(docs, hash_window=16, divisor=64)
+    hashes = {0: set(), 1: set()}
+    for r in spans.collect():
+        hashes[r["doc_id"]].add(r["chunk_hash"])
+    shared = hashes[0] & hashes[1]
+    # all but the first chunk(s) around the edit must re-align
+    assert len(shared) >= max(1, len(hashes[0]) - 2), (
+        len(shared), len(hashes[0]), len(hashes[1]))
+
+
+def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.dedup import cdc_dedup_stats
+
+    t = "common shared boilerplate text that repeats verbatim " * 6
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, source="s", text=t),
+         Row(doc_id=1, source="s", text=t)])  # exact twin
+    out = cdc_dedup_stats(docs, group_col="source").collect()
+    assert len(out) == 1
+    r = out[0]
+    # twin docs: every chunk appears at least twice
+    assert r["n_unique_chunks"] * 2 <= r["n_chunks"]
+    assert r["chars_unique"] * 2 <= r["chars_total"]
+    assert r["dedup_ratio"] >= 0.5

@@ -1630,6 +1630,101 @@ def doc_zipf_slope(spark, sf_dir):
         .alias("intercept"))
 
 
+def _cdc_sql(hash_window: int = 16, divisor: int = 64) -> str:
+    """SQL twin of pipeline.dedup.cdc_chunk_spans/cdc_dedup_stats —
+    the identical per-char gear terms (exact BIGINT), identical
+    unrolled LAG fold, identical high-bit cut threshold."""
+    hw = hash_window
+    mod = 1 << 32
+    thresh = mod // divisor
+    terms = ["gv"] + [f"LAG(gv, {i}) OVER w * {1 << i}"
+                      for i in range(1, hw)]
+    hsum = terms[0]
+    for t in terms[1:]:
+        hsum = f"({hsum} + {t})"
+    return f"""
+        WITH g AS (
+            -- aligned unnests zip: one g-row per char position, the
+            -- document text itself is NOT carried per position
+            SELECT doc_id, length(text) AS len,
+                   CAST(unnest(range(1, length(text) + 1)) AS BIGINT)
+                       AS pos,
+                   unnest(list_transform(
+                       string_split(text, ''),
+                       c -> (ascii(c) * 2654435761) % {mod})) AS gv
+            FROM documents WHERE length(text) >= 1
+        ), cuts AS (
+            SELECT doc_id, pos
+            FROM (
+                SELECT doc_id, len, pos,
+                       ({hsum}) % {mod} AS hv
+                FROM g
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            )
+            WHERE (pos >= {hw} AND hv < {thresh}) OR pos = len
+        ), spans AS (
+            SELECT doc_id, pos AS e,
+                   COALESCE(LAG(pos) OVER (PARTITION BY doc_id
+                                           ORDER BY pos) + 1, 1) AS s
+            FROM cuts
+        ), ch AS (
+            SELECT d.source,
+                   md5(substr(d.text, CAST(sp.s AS INT),
+                              CAST(sp.e - sp.s + 1 AS INT))) AS h,
+                   sp.e - sp.s + 1 AS l
+            FROM spans sp JOIN documents d USING (doc_id)
+        ), per AS (
+            SELECT source, h, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(MIN(l) AS BIGINT) AS l
+            FROM ch GROUP BY source, h
+        ), stats AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+                   CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+                   CAST(SUM(cnt * l) AS BIGINT) AS chars_total,
+                   CAST(SUM(l) AS BIGINT) AS chars_unique
+            FROM per GROUP BY source
+        )
+        SELECT source, n_chunks, n_unique_chunks,
+               chars_total, chars_unique,
+               ROUND(ROUND(CAST(1.0 AS DOUBLE)
+                           - CAST(chars_unique AS DOUBLE)
+                             / chars_total + 1e-9, 6) + 0.0, 6)
+                   AS dedup_ratio,
+               ROUND(ROUND(CAST(chars_total AS DOUBLE)
+                           / n_chunks + 1e-9, 6) + 0.0, 6)
+                   AS mean_chunk_len
+        FROM stats
+    """
+
+
+@query("doc_cdc_chunks", sql=_cdc_sql())
+def doc_cdc_chunks(spark, sf_dir):
+    """cdc_dedup_stats (pipeline/dedup.py): content-defined chunking
+    dedup accounting per source — gear rolling hash over the trailing
+    16 chars (one exact-BIGINT multiply per char, the EMA unrolled-lag
+    shape), cut where the hash's HIGH bits clear (expected chunk 64
+    chars; a low-bit mask would see only the newest 6 chars) and at
+    end-of-document, then content-addressed chunk-store accounting:
+    chunks, distinct chunks, chars kept, dedup ratio.  The
+    storage-dedup primitive applied to text: boundaries move WITH
+    content, so shared boilerplate dedups across documents that
+    differ elsewhere.  One char-explode + one (doc, pos) exchange for
+    the lags, cut rows collapse to a per-doc array, text is sliced
+    ONCE per chunk — never duplicated per position."""
+    from xcube_spark.pipeline.dedup import cdc_dedup_stats
+
+    out = cdc_dedup_stats(tbl(spark, sf_dir, "documents"),
+                          group_col="source",
+                          hash_window=16, divisor=64)
+    r6 = lambda c: F.round(F.round(c + 1e-9, 6) + 0.0, 6)  # noqa: E731
+    return out.select(
+        "source", "n_chunks", "n_unique_chunks", "chars_total",
+        "chars_unique",
+        r6(F.col("dedup_ratio")).alias("dedup_ratio"),
+        r6(F.col("mean_chunk_len")).alias("mean_chunk_len"))
+
+
 @query(
     "doc_block_dedup",
     sql=r"""
