@@ -328,3 +328,31 @@ def test_audio_spectrogram_drops_short_tracks(spark):
         [Row(doc_id=1, payload=b"\x01\x02" * 4)],  # 4 samples < 16
         "doc_id LONG, payload BINARY")
     assert audio_spectrogram(df).count() == 0
+
+
+def test_image_dct_phash_brightness_invariant(spark):
+    """Adding a constant to every pixel changes only the DC
+    coefficient — the 15 AC bits (and hence the pHash) must not move.
+    This is the property that makes pHash complementary to dHash."""
+    import numpy as np
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.multimodal import image_dct_phash
+    from xcube_spark.sources.png import encode_png
+
+    rng = np.arange(32 * 32, dtype=np.int64)
+    base = ((rng * 37 + (rng // 32) * 11) % 180).astype(np.uint8)
+    bright = (base + 40).astype(np.uint8)  # max 219 + 40 < 256: no clip
+    flat = np.full(32 * 32, 99, dtype=np.uint8)
+    rows = [
+        Row(doc_id=0, payload=bytearray(encode_png(base.reshape(32, 32)))),
+        Row(doc_id=1, payload=bytearray(encode_png(bright.reshape(32, 32)))),
+        Row(doc_id=2, payload=bytearray(encode_png(flat.reshape(32, 32)))),
+        Row(doc_id=3, payload=bytearray(encode_png(base.reshape(32, 32)))),
+    ]
+    mm = spark.createDataFrame(rows, "doc_id BIGINT, payload BINARY")
+    out = {r["doc_id"]: r["phash"]
+           for r in image_dct_phash(mm).collect()}
+    assert out[0] == out[3]          # identical image, identical hash
+    assert out[0] == out[1]          # brightness shift: AC bits fixed
+    assert out[0] != out[2]          # texture vs flat must differ
+    assert 0 <= out[0] < (1 << 15)

@@ -485,3 +485,76 @@ def image_edge_density(
                                 "edge_sum": sums})
 
     return mm.select(id_col, payload_col).mapInPandas(edges, out_schema)
+
+
+#: 8-point DCT-II basis rows for frequencies u = 0..3, computed ONCE
+#: with math.cos so the numpy kernel and the SQL twin share IDENTICAL
+#: double literals (the SPEC_COS discipline)
+PHASH_GRID = 8
+PHASH_FREQS = 4
+DCT_K = [[_math.cos(_math.pi * (2 * t + 1) * u / (2.0 * PHASH_GRID))
+          for t in range(PHASH_GRID)] for u in range(PHASH_FREQS)]
+
+
+def image_dct_phash(
+    mm: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """DCT perceptual hash (pHash) over REAL decoded PNG payloads —
+    the frequency-domain near-duplicate fingerprint: decode
+    (library-free, :mod:`xcube_spark.sources.png`), nearest-sample
+    the grayscale image onto an 8x8 grid, 2-D DCT-II, keep the 15
+    low-frequency AC coefficients (4x4 block minus DC), and set each
+    bit by comparing its coefficient against the block median.  pHash
+    survives brightness scaling and mild blur that flip dHash's local
+    gradient bits — the two hashes are complementary dedup signals.
+
+    Coefficients are nudge-rounded onto a 1e-2 grid with Decimal
+    HALF_UP (== engine ROUND, BigDecimal-exact) BEFORE the median and
+    the compares, so the kernel's matmul summation order and a SQL
+    twin's GROUP BY order agree exactly; with 15 (odd) values the
+    median is an exact sorted ELEMENT.  Returns ``(id, phash)`` with
+    the 15 bits packed into a BIGINT (bit 14 = coefficient (0, 1)).
+
+    Scale shape: one Arrow-batched ``mapInPandas`` hop; downstream
+    grouping is a hash shuffle on 8-byte keys, same as dHash.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    out_schema = f"{id_col} BIGINT, phash BIGINT"
+    kmat = np.array(DCT_K, dtype=np.float64)
+    quantum = Decimal(1).scaleb(-2)
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from xcube_spark.sources.png import decode_png
+
+        g = PHASH_GRID
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, raw in zip(pdf[id_col], pdf[payload_col]):
+                pix, info = decode_png(bytes(raw))
+                arr = np.asarray(pix)
+                if arr.ndim == 3:
+                    arr = arr[:, :, 0]
+                h, w = arr.shape
+                ys = [(r * h) // g for r in range(g)]
+                xs = [(c * w) // g for c in range(g)]
+                samp = arr[np.ix_(ys, xs)].astype(np.float64)
+                coef = kmat @ samp @ kmat.T  # (4, 4) low-freq block
+                rc = [float(Decimal(float(coef[u, v]) + 1e-6)
+                            .quantize(quantum,
+                                      rounding=ROUND_HALF_UP))
+                      for u in range(PHASH_FREQS)
+                      for v in range(PHASH_FREQS)
+                      if not (u == 0 and v == 0)]
+                med = sorted(rc)[len(rc) // 2]  # exact 8th of 15
+                bits = 0
+                for i, x in enumerate(rc):
+                    if x > med:
+                        bits |= 1 << (len(rc) - 1 - i)
+                ids.append(doc_id)
+                hashes.append(bits)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return mm.select(id_col, payload_col).mapInPandas(ph, out_schema)

@@ -1349,6 +1349,90 @@ def doc_image_phash(spark, sf_dir):
         .cast("long").alias("n_same"))
 
 
+def _dct_phash_sql() -> str:
+    """SQL twin of pipeline.multimodal.image_dct_phash: identical
+    DCT basis double literals (module constants), pixels recomputed
+    straight from the characters (pad 32), identical nudged 1e-2
+    coefficient grid, exact odd-count median element."""
+    from xcube_spark.pipeline.multimodal import (DCT_K, PHASH_FREQS,
+                                                 PHASH_GRID)
+
+    k_rows = ",\n                ".join(
+        f"({u}, {t}, CAST({DCT_K[u][t]!r} AS DOUBLE))"
+        for u in range(PHASH_FREQS) for t in range(PHASH_GRID))
+    g = PHASH_GRID
+    return f"""
+        WITH k(u, t, kc) AS (
+            VALUES {k_rows}
+        ), d AS (
+            SELECT doc_id, text, length(text) AS n,
+                   CAST(greatest(1, ceil(length(text) / 32.0))
+                        AS BIGINT) AS h
+            FROM documents
+        ), p AS (
+            SELECT d.doc_id, r.r, c.c,
+                   CASE WHEN ((r.r * d.h) // {g}) * 32
+                             + ((c.c * 32) // {g}) + 1 <= d.n
+                        THEN ascii(substr(text,
+                            CAST(((r.r * d.h) // {g}) * 32
+                                 + ((c.c * 32) // {g}) + 1 AS INT), 1))
+                        ELSE 32 END AS v
+            FROM d, unnest(range({g})) r(r), unnest(range({g})) c(c)
+        ), coef AS (
+            SELECT p.doc_id, ku.u AS u, kv.u AS v,
+                   ROUND(SUM(p.v * ku.kc * kv.kc) + 1e-6, 2) AS rc
+            FROM p
+            JOIN k ku ON ku.t = p.r
+            JOIN k kv ON kv.t = p.c
+            GROUP BY p.doc_id, ku.u, kv.u
+        ), ac AS (
+            SELECT doc_id, u, v, rc FROM coef
+            WHERE NOT (u = 0 AND v = 0)
+        ), med AS (
+            SELECT doc_id, quantile_cont(rc, 0.5) AS med
+            FROM ac GROUP BY doc_id
+        ), bits AS (
+            SELECT a.doc_id,
+                   CAST(SUM(CASE WHEN a.rc > m.med
+                                 THEN 1 << (14 - (a.u * 4 + a.v - 1))
+                                 ELSE 0 END) AS BIGINT) AS phash
+            FROM ac a JOIN med m USING (doc_id)
+            GROUP BY a.doc_id
+        )
+        SELECT doc_id, phash,
+               CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT)
+                   AS n_same
+        FROM bits
+    """
+
+
+@query("doc_image_dct_phash", sql=_dct_phash_sql())
+def doc_image_dct_phash(spark, sf_dir):
+    """image_dct_phash (pipeline/multimodal.py): DCT perceptual hash
+    over REAL PNG bytes — encode through the from-scratch PNG codec,
+    decode, nearest-sample to 8x8, 2-D DCT-II (basis doubles shared
+    verbatim between the numpy kernel and this oracle), 15
+    low-frequency AC coefficients compared against their exact
+    median element (odd count, no interpolation) after nudge-rounding
+    onto a 1e-2 grid with Decimal HALF_UP == engine ROUND — so the
+    kernel's matmul order and the oracle's GROUP BY order agree
+    exactly.  The frequency-domain complement of doc_image_phash's
+    gradient dHash; n_same is the image-dedup group size.  One Arrow
+    mapInPandas hop + a hash shuffle on 8-byte keys."""
+    from xcube_spark.pipeline.multimodal import (
+        attach_payload, encode_payload_png, image_dct_phash)
+    from pyspark.sql.window import Window
+
+    mm = encode_payload_png(
+        attach_payload(tbl(spark, sf_dir, "documents")),
+        width=32, pad_byte=32)
+    hashed = image_dct_phash(mm)
+    return hashed.select(
+        "doc_id", "phash",
+        F.count("*").over(Window.partitionBy("phash"))
+        .cast("long").alias("n_same"))
+
+
 def _spectrogram_sql() -> str:
     """SQL twin of pipeline.multimodal.audio_spectrogram: the SAME
     twiddle-factor double literals (module constants, math.cos/sin),
