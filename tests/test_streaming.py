@@ -532,3 +532,29 @@ def test_stream_ema_equals_batch(spark, sf_dir):
                      F.round(ema + 1e-9, 6).alias("ema"))
     cols = ("event_id", "user_id", "ema")
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_stream_holt_equals_batch(spark, sf_dir):
+    from xcube_spark.operators.temporal import holt_smooth
+    from xcube_spark.streaming.stateful import running_holt
+
+    stream = running_holt(read_events_stream(spark, sf_dir),
+                          alpha=0.5, beta=0.25, window=12)
+    got = run_stream_to_table(stream, output_mode="append").select(
+        "event_id", "user_id",
+        F.round(F.col("holt_level") + 1e-9, 6).alias("l"),
+        F.round(F.col("holt_trend") + 1e-9, 6).alias("t"),
+        F.round(F.col("holt_forecast") + 1e-9, 6).alias("f"))
+    ev = tbl(spark, sf_dir, "events")
+    out = holt_smooth(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        alpha=0.5, beta=0.25, window=12)
+    want = out.select(
+        "event_id", "user_id",
+        F.round(F.col("holt_level") + 1e-9, 6).alias("l"),
+        F.round(F.col("holt_trend") + 1e-9, 6).alias("t"),
+        F.round(F.col("holt_level") + F.col("holt_trend") + 1e-9, 6)
+        .alias("f"))
+    cols = ("event_id", "user_id", "l", "t", "f")
+    assert _rows(got, *cols) == _rows(want, *cols)

@@ -239,3 +239,29 @@ def stream_ema(spark, sf_dir):
         "event_id", "user_id",
         F.round(F.round(F.col("ema") + 1e-9, 6) + 0.0, 6)
         .alias("ema"))
+
+
+from xcube_spark.queries.events_ops import _holt_sql  # noqa: E402
+
+
+@query("stream_holt_trend", sql=_holt_sql())
+def stream_holt_trend(spark, sf_dir):
+    """running_holt (streaming/stateful.py): per-user Holt
+    linear-trend smoothing as an order-sensitive
+    applyInPandasWithState ring buffer (last 11 values per key); each
+    event emits level/trend/forecast with the SAME FIR taps and fold
+    order as the batch operator's unrolled lags, NULL until the
+    window fills — the shared batch SQL twin IS the oracle, so
+    passing proves the drained in-order stream is value-identical to
+    batch."""
+    from xcube_spark.streaming.stateful import running_holt
+
+    stream = running_holt(read_events_stream(spark, sf_dir),
+                          alpha=0.5, beta=0.25, window=12)
+    out = run_stream_to_table(stream, output_mode="append")
+    r6 = lambda c: F.round(F.round(c + 1e-9, 6) + 0.0, 6)  # noqa: E731
+    return out.select(
+        "event_id", "user_id",
+        r6(F.col("holt_level")).alias("holt_level"),
+        r6(F.col("holt_trend")).alias("holt_trend"),
+        r6(F.col("holt_forecast")).alias("holt_forecast"))

@@ -194,3 +194,80 @@ def running_ema(events: DataFrame, alpha: float = 0.25,
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+#: Holt ring state: the last (window - 1) values, newest LAST
+_HOLT_STATE_SCHEMA = "vals ARRAY<DOUBLE>"
+_HOLT_OUTPUT_SCHEMA = ("event_id LONG, user_id LONG, "
+                       "holt_level DOUBLE, holt_trend DOUBLE, "
+                       "holt_forecast DOUBLE")
+
+
+def running_holt(events: DataFrame, alpha: float = 0.5,
+                 beta: float = 0.25, window: int = 12) -> DataFrame:
+    """Per-user streaming Holt linear-trend smoothing — the stateful
+    twin of ``operators.temporal.holt_smooth``: state is a ring of
+    the last ``window - 1`` values; each event emits level/trend/
+    forecast as the same fixed FIR taps (``holt_coefficients``) in
+    the SAME fold order as the batch operator's unrolled lags.
+
+    Same ORDER-SENSITIVE contract as :func:`running_ema` (per-key
+    event-time order across micro-batches; in-batch sort by
+    ``(ts, event_id)``).  Events before the window fills emit NULLs
+    (the batch full-window contract), so the drained in-order stream
+    is value-identical to batch and shares its SQL oracle.  Emits
+    RAW doubles.
+
+    Scale: O(window) doubles of state per key.
+    """
+    from xcube_spark.operators.temporal import holt_coefficients
+
+    li, bi = holt_coefficients(alpha, beta, window)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ring: list[float] = list(state.get[0]) if state.exists else []
+        ids, levs, tres, fcs = [], [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                x = float(v)
+                ids.append(int(eid))
+                if len(ring) >= window - 1:
+                    lev = li[0] * x
+                    tre = bi[0] * x
+                    for i in range(1, window):
+                        lev = lev + li[i] * ring[-i]
+                        tre = tre + bi[i] * ring[-i]
+                    levs.append(lev)
+                    tres.append(tre)
+                    fcs.append(lev + tre)
+                else:
+                    levs.append(None)
+                    tres.append(None)
+                    fcs.append(None)
+                ring.append(x)
+                if len(ring) >= window:
+                    ring = ring[-(window - 1):]
+        state.update((ring,))
+        yield pd.DataFrame({"event_id": ids,
+                            "user_id": [user_id] * len(ids),
+                            "holt_level": levs,
+                            "holt_trend": tres,
+                            "holt_forecast": fcs})
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_HOLT_OUTPUT_SCHEMA,
+            stateStructType=_HOLT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
