@@ -171,3 +171,39 @@ def test_knn_bruteforce_rejects_unknown_metric(spark):
     q = emb.selectExpr("vec_id AS query_id", "embedding")
     with pytest.raises(ValueError, match="unknown metric"):
         knn_bruteforce(emb, q, metric="euclid")
+
+
+def test_knn_ivfpq_rerank_orders_by_exact_distance(spark):
+    """The re-rank stage must return candidates ordered by EXACT
+    squared L2 (coarse pq_d2 order may differ), and its result set
+    must be a subset of the coarse candidate set."""
+    import numpy as np
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.similarity import (knn_ivfpq,
+                                                 knn_ivfpq_rerank)
+
+    rng = np.arange(40 * 64, dtype=np.float64).reshape(40, 64)
+    vecs = np.cos(rng * 0.37) + 0.01 * (rng[:, :1] * 0.0 + np.arange(40)[:, None])
+    rows = [Row(vec_id=i, embedding=[float(x) for x in vecs[i]])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows)
+    q = emb.where("vec_id < 2").selectExpr("vec_id AS query_id",
+                                           "embedding")
+    coarse = knn_ivfpq(emb, q, k=15, n_cells=4, n_probe=2,
+                       m=4, dsub=16, ksub=8)
+    rer = knn_ivfpq_rerank(emb, q, k=5, k_coarse=15, n_cells=4,
+                           n_probe=2, m=4, dsub=16, ksub=8)
+    cand = {}
+    for r in coarse.collect():
+        cand.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    for r in rer.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["d2"]))
+    for qid, lst in got.items():
+        lst.sort()
+        ids = [v for _, v, _ in lst]
+        assert set(ids) <= cand[qid]          # subset of coarse set
+        # exact d2 recomputed in numpy must be non-decreasing in rank
+        d2s = [float(((vecs[v] - vecs[qid]) ** 2).sum()) for v in ids]
+        assert all(a <= b + 1e-9 for a, b in zip(d2s, d2s[1:])), d2s

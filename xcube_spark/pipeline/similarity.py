@@ -1604,3 +1604,64 @@ def knn_hamming(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "hamming")
     )
+
+
+def knn_ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_coarse: int = 50,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    dsub: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage retrieval (the production ANN shape): IVF-PQ coarse
+    search for ``k_coarse`` candidates per query, then EXACT
+    squared-L2 re-ranking of just those candidates — compressed-
+    domain distances find the neighborhood cheaply, exact distances
+    fix the ordering errors PQ quantization introduces inside it.
+
+    At 100 TB the coarse stage scans |corpus| * n_probe / n_cells
+    ADC lookups (see :func:`knn_ivfpq`) and the re-rank touches only
+    |queries| * k_coarse full vectors — fetched by an id join against
+    the corpus (the candidate side is queries-sized, so Catalyst
+    broadcasts it; the corpus is never re-scanned).
+
+    Determinism contract: candidates inherit knn_ivfpq's lexicographic
+    tie-breaks; the exact distance is the UNROLLED fixed-order sum
+    (:func:`_d2_unrolled`), bit-identical to the oracle's SQL fold;
+    final order (d2, id).
+
+    Output: (query_id, vec_id, d2, rank<=k).
+    """
+    dim = m * dsub
+    cands = knn_ivfpq(
+        corpus, queries, k=k_coarse, n_cells=n_cells,
+        n_probe=n_probe, m=m, dsub=dsub, ksub=ksub, id_col=id_col,
+        vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    cvec = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__cv"))
+    qvec = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).cast("array<double>").alias("__qv"))
+    ex = (
+        cands.join(cvec, id_col)
+        .join(F.broadcast(qvec), query_id_col)
+        .withColumn("__d2", _d2_unrolled(F.col("__cv"),
+                                         F.col("__qv"), dim))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.asc("__d2"), F.asc(id_col))
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col,
+                F.col("__d2").alias("d2"), "rank")
+    )

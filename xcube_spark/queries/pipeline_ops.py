@@ -985,9 +985,9 @@ _D64_QC = _d2_sql("q.v", "ct.cv", 64)
 _D16_ENC = _d2_sql("sv", "cv", 16)
 
 
-@query(
-    "emb_knn_ivfpq",
-    sql=f"""
+#: the IVF-PQ index restated in SQL up through the ADC ranking —
+#: shared by the plain top-k gate and the exact-rerank gate
+_IVFPQ_RANKED_CTES = f"""
         WITH c AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         ), cents AS (
@@ -1052,7 +1052,12 @@ _D16_ENC = _d2_sql("sv", "cv", 16)
                        PARTITION BY query_id
                        ORDER BY ((d0 + d1) + d2) + d3, vec_id) AS rank
             FROM adc
-        )
+        )"""
+
+
+@query(
+    "emb_knn_ivfpq",
+    sql=_IVFPQ_RANKED_CTES + """
         SELECT query_id, vec_id, ROUND(ad2, 4) AS pq_d2, rank
         FROM ranked WHERE rank <= 10
     """,
@@ -1077,6 +1082,57 @@ def emb_knn_ivfpq(spark, sf_dir):
                     m=4, dsub=16, ksub=16)
     return out.select("query_id", "vec_id",
                       F.round("pq_d2", 4).alias("pq_d2"), "rank")
+
+
+_D64_RERANK = _d2_sql("cv.v", "qv.v", 64)
+
+
+@query(
+    "emb_knn_rerank",
+    sql=_IVFPQ_RANKED_CTES + f""",
+        cand AS (
+            SELECT query_id, vec_id FROM ranked WHERE rank <= 50
+        ), ex AS (
+            SELECT cand.query_id, cand.vec_id,
+                   {_D64_RERANK} AS d2
+            FROM cand
+            JOIN c cv ON cv.vec_id = cand.vec_id
+            JOIN c qv ON qv.vec_id = cand.query_id
+        ), rr AS (
+            SELECT query_id, vec_id, d2,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY d2, vec_id) AS rank
+            FROM ex
+        )
+        SELECT query_id, vec_id,
+               ROUND(ROUND(d2 + 1e-9, 6) + 0.0, 6) AS d2, rank
+        FROM rr WHERE rank <= 10
+    """,
+)
+def emb_knn_rerank(spark, sf_dir):
+    """knn_ivfpq_rerank (pipeline/similarity.py): two-stage retrieval
+    — IVF-PQ coarse search for 50 candidates per query, exact
+    unrolled squared-L2 re-rank of just those candidates, top 10.
+    The production ANN shape: compressed-domain ADC finds the
+    neighborhood at |corpus| * n_probe/n_cells lookups, the exact
+    stage touches only queries x 50 full vectors via an id join with
+    the candidate side broadcast.  Candidates inherit the ivfpq
+    gate's lexicographic determinism; exact distances are
+    bit-identical fixed-order folds on both engines."""
+    from xcube_spark.pipeline.similarity import knn_ivfpq_rerank
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_ivfpq_rerank(emb, queries, k=10, k_coarse=50,
+                           n_cells=8, n_probe=2, m=4, dsub=16, ksub=16)
+    return out.select(
+        "query_id", "vec_id",
+        F.round(F.round(F.col("d2") + 1e-9, 6) + 0.0, 6).alias("d2"),
+        "rank")
 
 
 @query(
