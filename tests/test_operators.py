@@ -576,3 +576,37 @@ def test_rolling_trend_sign(spark):
            rolling_trend(df, "v", "u", ["i"], window=8).collect()
            if r["trend"] is not None]
     assert all(t < 0 for t in out)
+
+
+def test_slope_aspect_cardinal_directions(spark):
+    """Aspect is the DOWNSLOPE (facing) direction: a plane rising
+    southward (z = y; ascending y is south in this grid's raster
+    convention, see hillshade's stencil) faces north; a plane rising
+    eastward faces west; a flat plane is FLAT with slope 0; slope
+    magnitude matches atan(gradient)."""
+    import math
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import slope_aspect
+
+    rows = []
+    for y in range(5):
+        for x in range(5):
+            rows.append(Row(t=0, y=y, x=x, north=float(y),
+                            east=float(x), flat=7.0))
+    df = spark.createDataFrame(rows)
+    for var, want_asp in (("north", 0.0), ("east", 270.0),
+                          ("flat", -1.0)):
+        out = {(r["y"], r["x"]): (r[f"{var}_slope_deg"],
+                                  r[f"{var}_aspect_deg"])
+               for r in slope_aspect(df, var, time_col="t",
+                                     y_col="y", x_col="x").collect()
+               if r[f"{var}_slope_deg"] is not None}
+        assert out, var
+        for (y, x), (slope, asp) in out.items():
+            assert 1 <= y <= 3 and 1 <= x <= 3  # interior only
+            if var == "flat":
+                assert slope == 0.0 and asp == -1.0
+            else:
+                # unit gradient: slope = atan(1) in degrees
+                assert abs(slope - math.degrees(math.atan(1.0))) < 1e-9
+                assert abs(asp - want_asp) < 1e-9

@@ -273,3 +273,123 @@ def integral_image_sql(
               f"SUM({v}) OVER {wx} AS __rx FROM {src}")
     return (f"SELECT {time_col}, {y_col}, {x_col}, "
             f"SUM(__rx) OVER {wy} AS {var}_integral FROM ({stage1})")
+
+
+#: degrees per radian, one shared double literal for both engines
+RAD2DEG = 180.0 / _math.pi
+
+#: 8-way compass sector names, index = floor(((compass+22.5)%360)/45)
+ASPECT_CLASSES = ("N", "NE", "E", "SE", "S", "SW", "W", "NW")
+
+
+def slope_aspect(
+    cube: DataFrame,
+    var: str,
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """Horn (1981) slope and aspect over the cube grid — the raw
+    terrain derivatives underneath :func:`hillshade`, emitted as
+    compass-convention degrees plus an 8-way sector class (the
+    standard GIS surface-analysis pair: slope gates buildability/
+    erosion models, aspect drives solar/vegetation analysis).
+
+    Same separable 3x3 stencil as hillshade (two chained 1-D window
+    passes, two exchanges, no explode); interior cells only.
+    Compass aspect uses the ESRI convention rewritten branch-free:
+    ``compass = ((90 - deg(atan2(dzdy, -dzdx))) % 360 + 360) % 360``
+    (0 = north, clockwise); cells with EXACTLY zero gradient in both
+    axes (an exact integer-arithmetic test, bit-identical
+    cross-engine) are flat — aspect -1, class 'FLAT'.
+
+    Adds ``{var}_slope_deg`` / ``{var}_aspect_deg`` (raw doubles —
+    trig differs cross-engine by an ulp or two, callers round) and
+    leaves the class to callers so it derives from the ROUNDED
+    aspect (the lockstep discipline).
+    """
+    wx = Window.partitionBy(time_col, y_col).orderBy(x_col)
+    v = F.col(var).cast("double")
+    s1 = cube.withColumn("__zc", v) \
+        .withColumn("__zw", F.lag(v).over(wx)) \
+        .withColumn("__ze", F.lead(v).over(wx))
+    wy = Window.partitionBy(time_col, x_col).orderBy(y_col)
+    cols = {}
+    for base, nm in (("__zw", "w"), ("__zc", "c"), ("__ze", "e")):
+        cols[f"n{nm}"] = F.lag(base).over(wy)
+        cols[f"c{nm}"] = F.col(base)
+        cols[f"s{nm}"] = F.lead(base).over(wy)
+    s2 = s1
+    for name, c in cols.items():
+        s2 = s2.withColumn(f"__{name}", c)
+    g = {k: F.col(f"__{k}") for k in cols}
+    dzdx = ((g["ne"] + F.lit(2.0) * g["ce"] + g["se"])
+            - (g["nw"] + F.lit(2.0) * g["cw"] + g["sw"])) / F.lit(8.0)
+    dzdy = ((g["sw"] + F.lit(2.0) * g["sc"] + g["se"])
+            - (g["nw"] + F.lit(2.0) * g["nc"] + g["ne"])) / F.lit(8.0)
+    dzdx = dzdx * F.lit(z_factor)
+    dzdy = dzdy * F.lit(z_factor)
+    slope_deg = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy)) \
+        * F.lit(RAD2DEG)
+    asp = F.atan2(dzdy, -dzdx) * F.lit(RAD2DEG)
+    compass = ((F.lit(90.0) - asp) % F.lit(360.0) + F.lit(360.0)) \
+        % F.lit(360.0)
+    flat = (dzdx == F.lit(0.0)) & (dzdy == F.lit(0.0))
+    present = None
+    for k in g:
+        cond = g[k].isNotNull()
+        present = cond if present is None else (present & cond)
+    out = (
+        s2.withColumn(f"{var}_slope_deg", F.when(present, slope_deg))
+        .withColumn(
+            f"{var}_aspect_deg",
+            F.when(present,
+                   F.when(flat, F.lit(-1.0)).otherwise(compass)))
+    )
+    return out.drop("__zc", "__zw", "__ze",
+                    *[f"__{k}" for k in cols])
+
+
+def slope_aspect_sql(
+    var: str,
+    src: str = "cube",
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+    z_factor: float = 1.0,
+) -> str:
+    """DuckDB twin of :func:`slope_aspect` — identical two-pass
+    stencil, identical branch-free compass form, same RAD2DEG double
+    literal.  Produces ``(time, y, x, {var}_slope_deg,
+    {var}_aspect_deg)`` (interior cells)."""
+    v = f"CAST({var} AS DOUBLE)"
+    wx = f"(PARTITION BY {time_col}, {y_col} ORDER BY {x_col})"
+    stage1 = (f"SELECT {time_col}, {y_col}, {x_col}, {v} AS zc, "
+              f"LAG({v}) OVER {wx} AS zw, "
+              f"LEAD({v}) OVER {wx} AS ze FROM {src}")
+    wy = f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col})"
+    sel = []
+    for base, nm in (("zw", "w"), ("zc", "c"), ("ze", "e")):
+        sel.append(f"LAG({base}) OVER {wy} AS n{nm}")
+        sel.append(f"{base} AS c{nm}")
+        sel.append(f"LEAD({base}) OVER {wy} AS s{nm}")
+    stage2 = (f"SELECT {time_col}, {y_col}, {x_col}, "
+              + ", ".join(sel) + f" FROM ({stage1})")
+    dzdx = ("(((ne + (2.0 * ce)) + se) - ((nw + (2.0 * cw)) + sw))"
+            f" / 8.0 * {z_factor!r}")
+    dzdy = ("(((sw + (2.0 * sc)) + se) - ((nw + (2.0 * nc)) + ne))"
+            f" / 8.0 * {z_factor!r}")
+    slope = (f"atan(sqrt(({dzdx}) * ({dzdx}) + ({dzdy}) * ({dzdy})))"
+             f" * {RAD2DEG!r}")
+    asp = f"atan2(({dzdy}), -({dzdx})) * {RAD2DEG!r}"
+    compass = f"(((90.0 - ({asp})) % 360.0 + 360.0) % 360.0)"
+    flat = f"(({dzdx}) = 0.0 AND ({dzdy}) = 0.0)"
+    notnull = " AND ".join(
+        f"{c} IS NOT NULL"
+        for c in ("nw", "nc", "ne", "cw", "cc", "ce", "sw", "sc", "se"))
+    return (f"SELECT {time_col}, {y_col}, {x_col}, "
+            f"({slope}) AS {var}_slope_deg, "
+            f"CASE WHEN {flat} THEN -1.0 ELSE {compass} END"
+            f" AS {var}_aspect_deg "
+            f"FROM ({stage2}) WHERE {notnull}")

@@ -709,6 +709,69 @@ def cube_hillshade(spark, sf_dir):
     )
 
 
+from xcube_spark.operators.focal import slope_aspect, slope_aspect_sql  # noqa: E402
+
+_ASPECT_CLS_SQL = (
+    "CASE WHEN aspect_deg = -1.0 THEN 'FLAT' "
+    + " ".join(
+        f"WHEN CAST(floor(((aspect_deg + 22.5) % 360.0) / 45.0) AS INT)"
+        f" = {i} THEN '{c}'"
+        for i, c in enumerate(
+            ("N", "NE", "E", "SE", "S", "SW", "W", "NW")))
+    + " END")
+
+
+@query(
+    "cube_slope_aspect",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i, slope_deg, aspect_deg,
+               {_ASPECT_CLS_SQL} AS aspect_class
+        FROM (
+            SELECT t_i, y_i, x_i,
+                   ROUND(ROUND(A_slope_deg + 1e-6, 4) + 0.0, 4)
+                       AS slope_deg,
+                   ROUND(ROUND(A_aspect_deg + 1e-6, 4) + 0.0, 4)
+                       AS aspect_deg
+            FROM ({slope_aspect_sql("A", time_col="t_i", y_col="y_i",
+                                    x_col="x_i", z_factor=20.0)})
+            WHERE x_i < 40 AND y_i < 40
+        )
+    """,
+)
+def cube_slope_aspect(spark, sf_dir):
+    """slope_aspect (operators/focal.py): Horn slope and compass
+    aspect — the raw terrain derivatives under cube_hillshade,
+    emitted as degrees plus the 8-way sector class (N/NE/.../FLAT).
+    Same separable 3x3 stencil (two 1-D window passes, two exchanges,
+    no explode); the branch-free compass form
+    ((90 - deg) % 360 + 360) % 360 avoids cross-engine branch
+    boundaries, exact-zero gradients (integer-exact both engines)
+    classify FLAT, and the sector class derives from the
+    NUDGE-ROUNDED aspect so both engines bucket identically."""
+    from xcube_spark.operators.focal import ASPECT_CLASSES
+
+    out = slope_aspect(_cube(spark), "A", time_col="t_i",
+                       y_col="y_i", x_col="x_i", z_factor=20.0)
+    r4 = lambda c: F.round(F.round(c + 1e-6, 4) + 0.0, 4)  # noqa: E731
+    out = (
+        out.where((F.col("x_i") < 40) & (F.col("y_i") < 40)
+                  & F.col("A_slope_deg").isNotNull())
+        .select("t_i", "y_i", "x_i",
+                r4(F.col("A_slope_deg")).alias("slope_deg"),
+                r4(F.col("A_aspect_deg")).alias("aspect_deg"))
+    )
+    idx = F.floor(((F.col("aspect_deg") + F.lit(22.5)) % F.lit(360.0))
+                  / F.lit(45.0)).cast("int")
+    cls = F.lit(None).cast("string")
+    for i, c in enumerate(ASPECT_CLASSES):
+        cls = F.when(idx == i, F.lit(c)).otherwise(cls) \
+            if i else F.when(idx == 0, F.lit(c)).otherwise(cls)
+    cls = F.when(F.col("aspect_deg") == -1.0, F.lit("FLAT")) \
+        .otherwise(cls)
+    return out.withColumn("aspect_class", cls)
+
+
 from xcube_spark.operators.focal import integral_image, integral_image_sql  # noqa: E402
 
 
