@@ -610,3 +610,41 @@ def test_slope_aspect_cardinal_directions(spark):
                 # unit gradient: slope = atan(1) in degrees
                 assert abs(slope - math.degrees(math.atan(1.0))) < 1e-9
                 assert abs(asp - want_asp) < 1e-9
+
+
+def test_rolling_zscore_matches_bruteforce(spark):
+    import statistics
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import rolling_zscore
+
+    vals = [float((i * 31 % 37) - 18) for i in range(45)]
+    df = spark.createDataFrame([Row(k=1, i=i, v=v)
+                                for i, v in enumerate(vals)])
+    W = 32
+    out = {r["i"]: (r["roll_mean"], r["roll_sd"], r["zscore"])
+           for r in rolling_zscore(df, "v", "k", ["i"],
+                                   window=W).collect()}
+    for t in range(len(vals)):
+        m, sd, z = out[t]
+        if t < W - 1:
+            assert (m, sd, z) == (None, None, None), t
+            continue
+        win = vals[t - W + 1:t + 1]
+        assert abs(m - statistics.fmean(win)) < 1e-9, t
+        want_sd = statistics.stdev(win)
+        assert abs(sd - want_sd) < 1e-9, t
+        assert abs(z - (vals[t] - statistics.fmean(win)) / want_sd) \
+            < 1e-7, t
+
+
+def test_rolling_zscore_constant_window_null_z(spark):
+    from pyspark.sql import Row
+    from xcube_spark.operators.temporal import rolling_zscore
+
+    df = spark.createDataFrame([Row(k=1, i=i, v=4.0)
+                                for i in range(40)])
+    out = {r["i"]: r for r in
+           rolling_zscore(df, "v", "k", ["i"], window=32).collect()}
+    assert out[35]["roll_mean"] == 4.0
+    assert out[35]["roll_sd"] == 0.0   # clamped, not epsilon-negative
+    assert out[35]["zscore"] is None

@@ -442,6 +442,57 @@ def hampel_filter(
     )
 
 
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    order_cols,
+    window: int = 32,
+) -> DataFrame:
+    """Rolling z-score / Bollinger bands per series: over each FULL
+    trailing window of ``window`` values, the mean, the sample
+    standard deviation, and the current value's z-score — the rolling
+    second-moment companion of ``rolling_trend`` (breakout/volatility
+    detection; the bands are ``mean +- 2*sd``).
+
+    Both moments are UNROLLED fixed-order lag folds (``sum x`` and
+    ``sum x^2`` over the same frame), so there is no engine-private
+    Welford/aggregate ordering anywhere; the variance is the textbook
+    ``(s2 - s1*s1/n) / (n-1)`` clamped at zero (constant windows can
+    go epsilon-negative), evaluated with the IDENTICAL op shape on
+    both engines.  The subtraction is an FMA-contraction site
+    (round-9 lesson), so callers must round with the 1e-6 nudge.
+    Rows with fewer than ``window`` predecessors emit NULL.
+
+    Adds ``roll_mean``, ``roll_sd``, ``zscore`` (raw doubles; NULL z
+    for zero-variance windows).  One exchange + sort on ``key_col``;
+    all lags ride one frame.
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    n = float(window)
+    s1 = None
+    s2 = None
+    for i in range(window):
+        x = F.col(value_col) if i == 0 else F.lag(value_col, i).over(w)
+        s1 = x if s1 is None else s1 + x
+        xx = x * x
+        s2 = xx if s2 is None else s2 + xx
+    rn = F.row_number().over(w)
+    full = rn >= window
+    mean = s1 / F.lit(n)
+    var = F.greatest(
+        (s2 - (s1 * s1) / F.lit(n)) / F.lit(n - 1.0), F.lit(0.0))
+    sd = F.sqrt(var)
+    out = (
+        df.withColumn("roll_mean", F.when(full, mean))
+        .withColumn("roll_sd", F.when(full, sd))
+    )
+    z = F.when(
+        F.col("roll_sd") > 0.0,
+        (F.col(value_col) - F.col("roll_mean")) / F.col("roll_sd"))
+    return out.withColumn("zscore", z)
+
+
 def rolling_trend(
     df: DataFrame,
     value_col: str,

@@ -940,6 +940,79 @@ def events_mad_outliers(spark, sf_dir):
     )
 
 
+def _zscore_sql(window: int = 32) -> str:
+    """SQL twin of operators.temporal.rolling_zscore — identical
+    unrolled moment folds, identical variance shape and clamp."""
+    n = window
+    s1 = None
+    s2 = None
+    for i in range(n):
+        x = "value" if i == 0 else f"LAG(value, {i}) OVER w"
+        s1 = f"({x})" if s1 is None else f"({s1} + {x})"
+        xx = f"(({x}) * ({x}))"
+        s2 = xx if s2 is None else f"({s2} + {xx})"
+    mean = f"({s1} / {float(n)!r})"
+    var = (f"greatest(({s2} - ({s1} * {s1}) / {float(n)!r})"
+           f" / {float(n - 1)!r}, 0.0)")
+    return f"""
+        WITH m AS (
+            SELECT event_id, user_id, value,
+                   CASE WHEN ROW_NUMBER() OVER w >= {n}
+                        THEN {mean} END AS mu,
+                   CASE WHEN ROW_NUMBER() OVER w >= {n}
+                        THEN sqrt({var}) END AS sd
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), z AS (
+            SELECT event_id, user_id, mu, sd,
+                   CASE WHEN sd > 0.0 THEN (value - mu) / sd
+                   END AS zr
+            FROM m
+        )
+        SELECT event_id, user_id,
+               ROUND(ROUND(mu + 1e-6, 4) + 0.0, 4) AS roll_mean,
+               ROUND(ROUND(sd + 1e-6, 4) + 0.0, 4) AS roll_sd,
+               ROUND(ROUND(zr + 1e-6, 4) + 0.0, 4) AS zscore,
+               CAST(CASE WHEN zr IS NULL THEN NULL
+                         WHEN abs(ROUND(ROUND(zr + 1e-6, 4)
+                                        + 0.0, 4)) > 2.0 THEN 1
+                         ELSE 0 END AS INT) AS breakout
+        FROM z
+    """
+
+
+@query("events_rolling_zscore", sql=_zscore_sql())
+def events_rolling_zscore(spark, sf_dir):
+    """rolling_zscore (operators/temporal.py): per-user rolling mean /
+    sample stddev / z-score over the trailing 32 events with a
+    Bollinger-style |z| > 2 breakout flag — the rolling second-moment
+    companion of events_rolling_trend.  Both moments are unrolled
+    fixed-order lag folds (NO engine-private Welford ordering); the
+    variance subtraction is an FMA-contraction site so outputs take
+    the 1e-6-nudged 4-decimal round, and the breakout flag derives
+    from the ROUNDED z for cross-engine lockstep.  One exchange +
+    sort; NULL until the window fills."""
+    from xcube_spark.operators.temporal import rolling_zscore
+
+    ev = tbl(spark, sf_dir, "events")
+    out = rolling_zscore(
+        ev, "value", "user_id",
+        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        window=32)
+    r4 = lambda c: F.round(F.round(c + 1e-6, 4) + 0.0, 4)  # noqa: E731
+    z = r4(F.col("zscore"))
+    return out.select(
+        "event_id", "user_id",
+        r4(F.col("roll_mean")).alias("roll_mean"),
+        r4(F.col("roll_sd")).alias("roll_sd"),
+        z.alias("zscore"),
+        F.when(F.col("zscore").isNull(),
+               F.lit(None).cast("int"))
+        .otherwise(F.when(F.abs(z) > 2.0, F.lit(1))
+                   .otherwise(F.lit(0)).cast("int"))
+        .alias("breakout"))
+
+
 def _hampel_sql(window: int = 15, n_sigmas: float = 3.0) -> str:
     """SQL twin of operators.temporal.hampel_filter — identical
     unrolled lags, identical sorted-array median/MAD elements,
