@@ -1254,3 +1254,31 @@ def test_cdc_dedup_stats_counts_duplicate_chunks(spark):
     assert r["n_unique_chunks"] * 2 <= r["n_chunks"]
     assert r["chars_unique"] * 2 <= r["chars_total"]
     assert r["dedup_ratio"] >= 0.5
+
+
+def test_pmi_collocations_detects_fixed_phrase(spark):
+    """A bigram that ALWAYS co-occurs ("new york") must out-score
+    bigrams of independently-shuffled fillers, and its PMI must match
+    the closed form from exact counts."""
+    import math
+    from pyspark.sql import Row
+    from xcube_spark.pipeline.text import pmi_cooccurrence
+
+    fillers = ["a", "b", "c", "d", "e", "f"]
+    docs = []
+    for i in range(30):
+        toks = [fillers[(i * 7 + j * 5) % 6] for j in range(8)]
+        toks[3:3] = ["new", "york"]  # the phrase, always adjacent
+        docs.append(Row(doc_id=i, text=" ".join(toks)))
+    out = {(r["a"], r["b"]): (r["rank"], r["c_ab"], r["pmi"])
+           for r in pmi_cooccurrence(
+               spark.createDataFrame(docs), top=50,
+               min_count=5).collect()}
+    assert ("new", "york") in out
+    rank, c_ab, pmi = out[("new", "york")]
+    assert rank == 1                       # the phrase tops the list
+    assert c_ab == 30
+    n_tok = 30 * 10
+    n_pairs = 30 * 9
+    want = math.log((30 / n_pairs) / ((30 / n_tok) * (30 / n_tok)))
+    assert abs(pmi - want) < 1e-5

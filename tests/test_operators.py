@@ -648,3 +648,17 @@ def test_rolling_zscore_constant_window_null_z(spark):
     assert out[35]["roll_mean"] == 4.0
     assert out[35]["roll_sd"] == 0.0   # clamped, not epsilon-negative
     assert out[35]["zscore"] is None
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from xcube_spark.queries.events_ops import events_transition_matrix
+
+    out = events_transition_matrix(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r["prob"])
+    for f, ps in by_from.items():
+        assert abs(sum(ps) - 1.0) < 1e-4, f
+        assert all(0.0 <= p <= 1.0 for p in ps)

@@ -904,3 +904,73 @@ def zipf_slope(docs: DataFrame, top: int = 100,
              - F.sum("x") * F.sum("x")) * F.sum("x"))
          / F.count("*")).alias("intercept"),
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    top: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams —
+    the classic collocation detector (Church & Hanks):
+    ``pmi(a, b) = ln( (c_ab / N_pairs) / ((c_a/N_tok) * (c_b/N_tok)) )``
+    with bigram counts over adjacent positions and unigram counts
+    over all positions.  High-PMI pairs are phrases ("new york");
+    in a curation pipeline PMI shifts flag template/boilerplate
+    domination and machine-generated text.
+
+    Returns the ``top`` pairs with ``c_ab >= min_count`` ordered by
+    (GRID-ROUNDED pmi desc, a, b) — ln may differ by an ulp across
+    engines, so ranking on the rounded statistic keeps the top-k set
+    and order engine-independent: ``(a, b, c_ab, pmi, rank)``.
+
+    Scale shape: one tokenize pass feeding two partial-agg reduces
+    (unigrams, bigrams); the unigram vocabulary is model-sized so the
+    two marginal joins broadcast; the totals are SUMs OVER the count
+    tables (no second corpus scan) crossed in as ONE single-row
+    state.  The rank is a TopK over the bigram vocabulary, not the
+    corpus.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__d"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
+        .alias("pos", "tok"))
+    uni = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("__d").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("long").alias("n_tok")).crossJoin(
+        bi.agg(F.sum("c_ab").cast("long").alias("n_pairs")))
+    scored = (
+        bi.where(F.col("c_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("tok").alias("a"),
+                                     F.col("c").alias("c_a"))), "a")
+        .join(F.broadcast(uni.select(F.col("tok").alias("b"),
+                                     F.col("c").alias("c_b"))), "b")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi",
+            F.log((F.col("c_ab").cast("double") / F.col("n_pairs"))
+                  / ((F.col("c_a").cast("double") / F.col("n_tok"))
+                     * (F.col("c_b").cast("double")
+                        / F.col("n_tok")))))
+    )
+    r6 = F.round(F.round(F.col("pmi") + 1e-9, 6) + 0.0, 6)
+    wr = Window.orderBy(F.desc("pmi_r"), F.asc("a"), F.asc("b"))
+    return (
+        scored.withColumn("pmi_r", r6)
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top)
+        .select("rank", "a", "b", "c_ab",
+                F.col("pmi_r").alias("pmi"))
+    )

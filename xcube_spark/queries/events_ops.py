@@ -940,6 +940,52 @@ def events_mad_outliers(spark, sf_dir):
     )
 
 
+@query(
+    "events_transition_matrix",
+    sql="""
+        WITH p AS (
+            SELECT event_type AS f,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS t
+            FROM events
+        ), c AS (
+            SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p WHERE t IS NOT NULL GROUP BY f, t
+        )
+        SELECT f AS from_type, t AS to_type, n,
+               ROUND(ROUND(CAST(n AS DOUBLE)
+                           / SUM(n) OVER (PARTITION BY f)
+                           + 1e-9, 6) + 0.0, 6) AS prob
+        FROM c
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams: P(next event type | current type) from adjacent pairs in
+    (ts, event_id) order — the behavioral-model primitive under
+    funnel and sessionization analysis (detects impossible/bot
+    transition profiles).  One exchange + sort for the LEAD pairing,
+    a 25-key partial-agg reduce, and row-normalization as a window
+    over the tiny count table; counts are exact BIGINTs and each
+    probability is ONE deterministic IEEE division, nudge-rounded."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id")
+    pairs = (
+        ev.select(F.col("event_type").alias("from_type"),
+                  F.lead("event_type").over(w).alias("to_type"))
+        .where(F.col("to_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", "n",
+        F.round(F.round(F.col("n").cast("double")
+                        / F.sum("n").over(wt) + 1e-9, 6) + 0.0, 6)
+        .alias("prob"))
+
+
 def _zscore_sql(window: int = 32) -> str:
     """SQL twin of operators.temporal.rolling_zscore — identical
     unrolled moment folds, identical variance shape and clamp."""

@@ -1630,6 +1630,66 @@ def doc_zipf_slope(spark, sf_dir):
         .alias("intercept"))
 
 
+@query(
+    "doc_pmi_collocations",
+    sql=r"""
+        WITH lst AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\s+') AS ts
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, unnest(ts) AS tok FROM lst
+        ), uni AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok
+        ), bi AS (
+            SELECT ts[i] AS a, ts[i + 1] AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM lst, unnest(range(1, len(ts))) AS u(i)
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_tok,
+                   (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bi)
+                       AS n_pairs
+        ), scored AS (
+            SELECT bi.a, bi.b, bi.c_ab,
+                   ROUND(ROUND(ln(
+                       (CAST(bi.c_ab AS DOUBLE) / t.n_pairs)
+                       / ((CAST(ua.c AS DOUBLE) / t.n_tok)
+                          * (CAST(ub.c AS DOUBLE) / t.n_tok)))
+                       + 1e-9, 6) + 0.0, 6) AS pmi
+            FROM bi
+            JOIN uni ua ON ua.tok = bi.a
+            JOIN uni ub ON ub.tok = bi.b
+            CROSS JOIN totals t
+            WHERE bi.c_ab >= 5
+        )
+        SELECT rank, a, b, c_ab, pmi FROM (
+            SELECT a, b, c_ab, pmi,
+                   ROW_NUMBER() OVER (ORDER BY pmi DESC, a, b)
+                       AS rank
+            FROM scored
+        ) WHERE rank <= 50
+    """,
+)
+def doc_pmi_collocations(spark, sf_dir):
+    """pmi_cooccurrence (pipeline/text.py): pointwise mutual
+    information over adjacent token bigrams — the Church & Hanks
+    collocation detector; high-PMI pairs are phrases, and PMI shifts
+    flag template/boilerplate domination in a curation pipeline.
+    Counts are exact BIGINTs; ln may differ by an ulp cross-engine so
+    the top-50 ranking runs on the GRID-ROUNDED statistic with
+    (a, b) tie-breaks.  One tokenize pass, two partial-agg reduces,
+    broadcast marginal joins, one single-row totals state."""
+    from xcube_spark.pipeline.text import pmi_cooccurrence
+
+    out = pmi_cooccurrence(tbl(spark, sf_dir, "documents"),
+                           top=50, min_count=5)
+    return out.select("rank", "a", "b", "c_ab",
+                      F.round(F.round(F.col("pmi") + 1e-9, 6)
+                              + 0.0, 6).alias("pmi"))
+
+
 def _cdc_sql(hash_window: int = 16, divisor: int = 64) -> str:
     """SQL twin of pipeline.dedup.cdc_chunk_spans/cdc_dedup_stats —
     the identical per-char gear terms (exact BIGINT), identical
