@@ -662,3 +662,28 @@ def test_transition_matrix_rows_sum_to_one(spark):
     for f, ps in by_from.items():
         assert abs(sum(ps) - 1.0) < 1e-4, f
         assert all(0.0 <= p <= 1.0 for p in ps)
+
+
+def test_distance_transform_matches_bruteforce(spark):
+    """Manhattan DT from separable min-plus window passes must equal
+    the O(n^2) brute force, including the no-mask NULL slice."""
+    from pyspark.sql import Row
+    from xcube_spark.operators.focal import distance_transform
+
+    w, h = 9, 7
+    masked = {(1, 2), (5, 6), (3, 3)}
+    rows = [Row(t=0, y=y, x=x, m=(y, x) in masked)
+            for y in range(h) for x in range(w)]
+    rows += [Row(t=1, y=y, x=x, m=False)  # slice with NO masked cell
+             for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(rows)
+    out = {(r["t"], r["y"], r["x"]): r["dist"]
+           for r in distance_transform(
+               df, F.col("m"), time_col="t", y_col="y",
+               x_col="x").collect()}
+    for y in range(h):
+        for x in range(w):
+            want = min(abs(y - my) + abs(x - mx)
+                       for my, mx in masked)
+            assert out[(0, y, x)] == want, (y, x)
+            assert out[(1, y, x)] is None  # unreachable -> NULL

@@ -393,3 +393,103 @@ def slope_aspect_sql(
             f"CASE WHEN {flat} THEN -1.0 ELSE {compass} END"
             f" AS {var}_aspect_deg "
             f"FROM ({stage2}) WHERE {notnull}")
+
+
+#: "infinite" cost for unmasked cells in the distance transform —
+#: far above any reachable grid distance, far below BIGINT overflow
+DT_INF = 1 << 40
+
+
+def distance_transform(
+    cube: DataFrame,
+    mask: Column,
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> DataFrame:
+    """Manhattan (L1) distance transform over the cube grid: each
+    cell's distance (in cells) to the nearest cell where ``mask``
+    holds — the classic EO masking derivative (distance-to-cloud /
+    distance-to-coast buffers: "drop pixels within k cells of a
+    cloud" needs exactly this raster).
+
+    The L1 transform is SEPARABLE and each 1-D pass is a min-plus
+    convolution with |i - j|, which windows express EXACTLY:
+    ``min_j (c_j + |i-j|) = min(i + runmin_{j<=i}(c_j - j),
+    -i + runmin_{j>=i}(c_j + j))`` — a running min over the ascending
+    frame plus one over the descending frame, both riding the same
+    partition sort.  Two passes (x within each (time, y) row, then y
+    within each (time, x) column) = two exchanges total, no explode,
+    no join, and — cost being 0 or :data:`DT_INF` — ALL arithmetic is
+    exact BIGINT: the output is integer-identical on any engine.
+
+    Adds ``dist`` (BIGINT; NULL when no masked cell exists in the
+    cell's (time) slice).
+    """
+    big = F.lit(DT_INF).cast("long")
+    c0 = F.when(mask, F.lit(0).cast("long")).otherwise(big)
+    wxa = (Window.partitionBy(time_col, y_col).orderBy(x_col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    wxd = (Window.partitionBy(time_col, y_col)
+           .orderBy(F.desc(x_col))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    x = F.col(x_col).cast("long")
+    s1 = cube.withColumn("__c0", c0)
+    d1 = F.least(
+        x + F.min(F.col("__c0") - x).over(wxa),
+        -x + F.min(F.col("__c0") + x).over(wxd))
+    s1 = s1.withColumn("__d1", d1)
+    wya = (Window.partitionBy(time_col, x_col).orderBy(y_col)
+           .rowsBetween(Window.unboundedPreceding, 0))
+    wyd = (Window.partitionBy(time_col, x_col)
+           .orderBy(F.desc(y_col))
+           .rowsBetween(Window.unboundedPreceding, 0))
+    y = F.col(y_col).cast("long")
+    d2 = F.least(
+        y + F.min(F.col("__d1") - y).over(wya),
+        -y + F.min(F.col("__d1") + y).over(wyd))
+    out = s1.withColumn(
+        "dist",
+        F.when(d2 < F.lit(DT_INF // 2).cast("long"), d2))
+    return out.drop("__c0", "__d1")
+
+
+def distance_transform_sql(
+    mask_sql: str,
+    src: str = "cube",
+    time_col: str = "time",
+    y_col: str = "y",
+    x_col: str = "x",
+) -> str:
+    """DuckDB twin of :func:`distance_transform` — identical
+    min-plus running-min passes, identical DT_INF, all BIGINT."""
+    big = DT_INF
+    wxa = (f"(PARTITION BY {time_col}, {y_col} ORDER BY {x_col} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    wxd = (f"(PARTITION BY {time_col}, {y_col} ORDER BY {x_col} DESC "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    stage1 = f"""
+        SELECT *, CASE WHEN {mask_sql} THEN CAST(0 AS BIGINT)
+                       ELSE CAST({big} AS BIGINT) END AS c0
+        FROM {src}"""
+    stage2 = f"""
+        SELECT *, least(
+            CAST({x_col} AS BIGINT)
+                + MIN(c0 - CAST({x_col} AS BIGINT)) OVER {wxa},
+            -CAST({x_col} AS BIGINT)
+                + MIN(c0 + CAST({x_col} AS BIGINT)) OVER {wxd}) AS d1
+        FROM ({stage1})"""
+    wya = (f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col} "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    wyd = (f"(PARTITION BY {time_col}, {x_col} ORDER BY {y_col} DESC "
+           f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    stage3 = f"""
+        SELECT {time_col}, {y_col}, {x_col}, least(
+            CAST({y_col} AS BIGINT)
+                + MIN(d1 - CAST({y_col} AS BIGINT)) OVER {wya},
+            -CAST({y_col} AS BIGINT)
+                + MIN(d1 + CAST({y_col} AS BIGINT)) OVER {wyd}) AS d2
+        FROM ({stage2})"""
+    return (f"SELECT {time_col}, {y_col}, {x_col}, "
+            f"CASE WHEN d2 < {big // 2} THEN d2 END AS dist "
+            f"FROM ({stage3})")

@@ -772,6 +772,39 @@ def cube_slope_aspect(spark, sf_dir):
     return out.withColumn("aspect_class", cls)
 
 
+from xcube_spark.operators.focal import distance_transform, distance_transform_sql  # noqa: E402
+
+
+@query(
+    "cube_distance_transform",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT t_i, y_i, x_i, dist
+        FROM ({distance_transform_sql("A > 12.0", time_col="t_i",
+                                      y_col="y_i", x_col="x_i")})
+        WHERE x_i < 60 AND y_i < 60
+    """,
+)
+def cube_distance_transform(spark, sf_dir):
+    """distance_transform (operators/focal.py): Manhattan distance to
+    the nearest cell with A > 12 — the EO masking derivative
+    (distance-to-cloud / distance-to-coast buffers).  The L1
+    transform is separable and each 1-D pass is a min-plus
+    convolution that windows express EXACTLY (ascending + descending
+    running mins over one sort): two exchanges for the whole grid, no
+    explode, no join, and with costs 0/2^40 ALL arithmetic is exact
+    BIGINT — integer-identical across engines, no float boundary
+    anywhere.  Output subset to a 60x60 index band AFTER the
+    transform so distances see the full grid."""
+    out = distance_transform(
+        _cube(spark), F.col("A") > 12.0,
+        time_col="t_i", y_col="y_i", x_col="x_i")
+    return (
+        out.where((F.col("x_i") < 60) & (F.col("y_i") < 60))
+        .select("t_i", "y_i", "x_i", "dist")
+    )
+
+
 from xcube_spark.operators.focal import integral_image, integral_image_sql  # noqa: E402
 
 
