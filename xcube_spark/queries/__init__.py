@@ -117,6 +117,19 @@ PRIORITY_ORDER = (
     # drawn across ten rounds (r10 verdict task 4) — first in line
     "cube_reproject_geos",
     "cube_reproject_omerc",
+    # round-11 second-session additions (never sampled yet)
+    "events_holt_trend",
+    "stream_holt_trend",
+    "events_hampel_filter",
+    "events_rolling_zscore",
+    "emb_mips_topk",
+    "emb_knn_rerank",
+    "doc_cdc_chunks",
+    "doc_image_dct_phash",
+    "doc_pmi_collocations",
+    "events_transition_matrix",
+    "cube_slope_aspect",
+    "cube_distance_transform",
     # round-11 additions (pytest-only §2 rows promoted to gates)
     "cube_nearest_label",
     "cube_clip_geometry",
