@@ -301,6 +301,8 @@ def holt_smooth(
     doubles).  Scale shape: one hash exchange on ``key_col`` + one
     sort; O(window) arithmetic per row, no extra exchanges.
     """
+    if window < 1:
+        raise ValueError(f"holt_smooth window must be >= 1, got {window}")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     li, bi = holt_coefficients(alpha, beta, window)
     lev = None
@@ -402,6 +404,10 @@ def hampel_filter(
     lags ride one frame and the two ``window``-element sorts are
     O(window log window) per row with no extra exchanges.
     """
+    if window < 1 or window % 2 == 0:
+        raise ValueError(
+            f"hampel_filter window must be a positive ODD integer "
+            f"(exact-element median contract), got {window}")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     lags = [F.col(value_col) if i == 0
             else F.lag(value_col, i).over(w)
@@ -468,6 +474,9 @@ def rolling_zscore(
     for zero-variance windows).  One exchange + sort on ``key_col``;
     all lags ride one frame.
     """
+    if window < 1:
+        raise ValueError(
+            f"rolling_zscore window must be >= 1, got {window}")
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     n = float(window)
     s1 = None

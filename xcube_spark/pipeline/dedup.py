@@ -1286,6 +1286,11 @@ def cdc_chunk_spans(
         F.col(id_col),
         F.length(text_col).alias("__len"),
         F.posexplode(F.split(text_col, "")).alias("__p0", "__c"),
+    ).where(
+        # pre-SPARK-40194 engines emit a trailing "" element from an
+        # empty-regex split; a phantom pos len+1 with g(ascii(''))=0
+        # could emit a spurious cut (same guard as char_entropy)
+        F.col("__c") != ""
     ).select(
         id_col, "__len", (F.col("__p0") + 1).alias("pos"),
         ((F.ascii("__c") * F.lit(_CDC_MULT)) % F.lit(_CDC_MOD))

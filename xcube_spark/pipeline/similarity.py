@@ -62,7 +62,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     metric: str = "cosine",
-    score_col: str = "cosine",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Exact similarity top-k per query: model-sized query set x ONE
     corpus scan.
@@ -73,7 +73,9 @@ def knn_bruteforce(
     augments vectors with sqrt(M^2 - |v|^2) to reuse cosine indexes —
     the brute-force path just scores the inner product directly).
 
-    Output: (query_id, vec_id, <score_col>, rank<=k).  The query set is
+    Output: (query_id, vec_id, <score_col>, rank<=k); ``score_col``
+    defaults to the METRIC name ("cosine"/"dot") so a "dot" run never
+    emits inner products under a "cosine" header.  The query set is
     broadcast-small by contract, so it collects once and ships in the
     kernel closure (round 7 — previously a broadcast join duplicated
     every corpus row |queries| times through Arrow; the fused form
@@ -137,6 +139,10 @@ def knn_bruteforce(
 
     if metric not in ("cosine", "dot"):
         raise ValueError(f"unknown metric: {metric!r}")
+    if score_col is None:
+        # keep the score column's NAME truthful to the metric: a "dot"
+        # run must not emit inner products under a "cosine" header
+        score_col = metric
     id_t = dict(corpus.dtypes)[id_col]
     q_t = dict(queries.dtypes)[query_id_col]
     q_pa = _pa_type_for(q_t)
