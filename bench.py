@@ -11,6 +11,14 @@ cost ~4 s for a 200k-row result the engine computes in 0.3 s, charging
 the engine for a Python artifact neither side needs at scale.)
 A warmup pass primes the JVM/session; reported numbers are the median
 of N runs.
+
+Load-aware (round 12): rows whose min/max spread exceeds
+``BENCH_SPREAD_TOL`` (default 1.5x, with a 0.3 s absolute floor so
+sub-second scheduling jitter doesn't trigger it) are re-measured once
+and the tighter-spread set wins; retried rows are listed under
+``retried``.  The r11 sf1 record was taken at load 9.4 and overstated
+half its rows ~3x — a number taken under external load must be
+re-taken, not annotated.
 """
 
 from __future__ import annotations
@@ -42,10 +50,11 @@ def main() -> None:
 
     # warm the session (JVM JIT, parquet footer cache)
     spark.range(1000).selectExpr("sum(id)").collect()
+    load_start = round(os.getloadavg()[0], 2)
 
-    results: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name, q in bench_set.items():
+    spread_tol = float(os.environ.get("BENCH_SPREAD_TOL", "1.5"))
+
+    def measure(q) -> list[float]:
         # drop the previous query's persisted intermediates so cached
         # partitions and GC pressure don't leak across measurements
         spark.catalog.clearCache()
@@ -55,6 +64,22 @@ def main() -> None:
             t0 = time.time()
             q.fn(spark, sf_dir).toArrow()
             times.append(time.time() - t0)
+        return times
+
+    results: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    retried: list[str] = []
+    for name, q in bench_set.items():
+        times = measure(q)
+        # load guard: a wide max/min gap means external host load hit
+        # this row — re-measure once and keep the tighter-spread set
+        # (the polluted set's max is noise, not the query)
+        if (max(times) > spread_tol * min(times)
+                and max(times) - min(times) > 0.3):
+            retry = measure(q)
+            retried.append(name)
+            if max(retry) - min(retry) < max(times) - min(times):
+                times = retry
         results[name] = round(statistics.median(times), 4)
         # run spread: detects external host load polluting a round's
         # numbers (a wide max/min gap means re-measure, don't bisect)
@@ -69,11 +94,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": results,
                 "min_max": spread,
+                "retried": retried,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # host-noise context (round 8 bench hygiene): a 1-min
                 # load average far above the run's own footprint means
                 # the numbers are polluted — re-measure, don't bisect
                 "load_avg_1m": round(os.getloadavg()[0], 2),
+                "load_avg_start": load_start,
                 "engine": f"spark-{spark.version}",
             }
         )
