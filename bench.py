@@ -46,11 +46,13 @@ def main() -> None:
     # move the first-query cold-start penalty between rows and break
     # round-over-round comparability (r11 bench hygiene)
     bench_set = {n: registry[n] for n in BENCH_SET if n in registry}
+    # capture BEFORE the session spins up: warmup itself drives the
+    # 1-min average, so a post-warmup read always looks "loaded"
+    load_start = round(os.getloadavg()[0], 2)
     spark = get_session(app_name="xcube_spark-bench")
 
     # warm the session (JVM JIT, parquet footer cache)
     spark.range(1000).selectExpr("sum(id)").collect()
-    load_start = round(os.getloadavg()[0], 2)
 
     spread_tol = float(os.environ.get("BENCH_SPREAD_TOL", "1.5"))
 
@@ -58,6 +60,14 @@ def main() -> None:
         # drop the previous query's persisted intermediates so cached
         # partitions and GC pressure don't leak across measurements
         spark.catalog.clearCache()
+        # full GC between rows: 20+ heavy queries in one JVM leave
+        # old-gen garbage that taxes later rows ~2x vs a fresh JVM
+        # (r12: in-sweep bm25 2.7 s vs 1.4 s solo) — charging row N
+        # for rows 1..N-1's garbage measures the sweep, not the query
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         times = []
         q.fn(spark, sf_dir).toArrow()  # warmup run (not timed)
         for _ in range(repeats):
