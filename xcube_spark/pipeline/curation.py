@@ -1087,3 +1087,162 @@ def ngram_novelty(
     return per.withColumn(
         "novelty",
         F.col("n_novel").cast("double") / F.col("n_shingles"))
+
+
+# --------------------------------------------------------------------------
+# URL / domain-level curation
+#
+# The crawl-side curation stage every pretraining pipeline runs before
+# any text filter: extract the host from each document's URL, reduce
+# it to a registered domain (eTLD+1), drop blocklisted domains, and
+# cap how many documents any single domain may contribute (domain
+# balancing — a handful of boilerplate-heavy hosts otherwise dominate
+# a crawl).  Reference has no URL stage (EO cubes have no URLs); the
+# semantics follow the public C4/RefinedWeb/Gopher pipeline
+# descriptions.
+
+#: scheme://[userinfo@]HOST[:port]/... — group 1 is the host
+_URL_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)"
+
+#: second-level labels that act like TLD extensions under a 2-letter
+#: ccTLD ("co.uk", "com.br", ...) — a pragmatic subset of the public
+#: suffix list; at 100 TB ship the full PSL as a broadcast table and
+#: suffix-join instead (same plan shape as the DataFrame blocklist
+#: path in :func:`domain_filter`)
+_CC_SECOND_LEVEL = ("co", "com", "ac", "gov", "org", "net", "edu")
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host part of a URL (empty string when the value
+    doesn't parse as scheme://host...)."""
+    return F.lower(F.regexp_extract(url, _URL_HOST_RE, 1))
+
+
+def registered_domain(host: Column) -> Column:
+    """eTLD+1 of a host: the last two labels, or the last three when
+    the second-to-last is a known extension label under a 2-letter
+    ccTLD ("a.b.src3.co.uk" -> "src3.co.uk", "www.src3.com" ->
+    "src3.com").  Pure codegen string ops — no lambdas, no shuffle."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last = F.element_at(parts, -1)
+    cc = (
+        (n >= 3)
+        & F.element_at(parts, -2).isin(*_CC_SECOND_LEVEL)
+        & (F.length(last) == 2)
+    )
+    two = F.when(n >= 2,
+                 F.concat_ws(".", F.element_at(parts, -2), last)
+                 ).otherwise(host)
+    return F.when(
+        cc,
+        F.concat_ws(".", F.element_at(parts, -3),
+                    F.element_at(parts, -2), last)).otherwise(two)
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host ("a.b.com" -> ["a.b.com", "b.com",
+    "com"]) — the explode key for suffix-joining a host against a
+    large blocklist/PSL table.  The transform lambda is interpreted
+    (CodegenFallback), but it runs over <= ~6 labels per row and only
+    on the DataFrame-blocklist path."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def domain_filter(
+    docs: DataFrame,
+    blocklist,
+    url_col: str = "url",
+    allowlist=(),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocklist filter on the URL host with standard suffix
+    semantics: an entry matches a host when it equals the host or is
+    a dot-suffix of it ("src3.com" blocks "www.src3.com"; a bare TLD
+    entry blocks the whole TLD).  ``allowlist`` entries (same
+    semantics) override blocks — the usual "block the domain, rescue
+    one subdomain" shape.
+
+    ``blocklist`` may be a small list/tuple of literals (compiled to
+    a codegen'd equals/endswith chain — ZERO shuffles, the filter
+    rides the scan) or a one-column DataFrame for big lists (host
+    suffixes explode and LEFT SEMI join against the broadcast list —
+    corpus rows stream map-side, one small aggregate back to ids).
+
+    Returns the input plus ``host``, ``domain``, ``blocked``.
+    """
+    from functools import reduce
+    from operator import or_
+
+    out = docs.withColumn("host", url_host(F.col(url_col)))
+    out = out.withColumn("domain", registered_domain(F.col("host")))
+
+    def literal_match(entries) -> Column:
+        return reduce(or_, [
+            (F.col("host") == e) | F.col("host").endswith("." + e)
+            for e in entries
+        ])
+
+    if isinstance(blocklist, DataFrame):
+        bl_col = blocklist.columns[0]
+        sfx = out.select(
+            id_col, F.explode(host_suffixes(F.col("host"))).alias("__sfx"))
+        hits = (
+            sfx.join(
+                F.broadcast(
+                    blocklist.select(F.col(bl_col).alias("__sfx"))),
+                "__sfx", "left_semi")
+            .select(id_col).distinct()
+            .withColumn("__hit", F.lit(True))
+        )
+        out = (
+            out.join(hits, id_col, "left")
+            .withColumn("blocked", F.coalesce("__hit", F.lit(False)))
+            .drop("__hit")
+        )
+    else:
+        out = out.withColumn(
+            "blocked",
+            literal_match(blocklist) if len(blocklist) else F.lit(False))
+    if len(allowlist):
+        out = out.withColumn(
+            "blocked", F.col("blocked") & ~literal_match(allowlist))
+    return out
+
+
+def domain_caps(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``cap`` documents of any
+    registered domain, picked by deterministic md5-hash order so
+    reruns and grown corpora keep the same picks for unchanged ids
+    (the :func:`class_rebalance` recipe keyed by eTLD+1 instead of a
+    label column — domain balancing for crawl corpora).
+
+    Returns ``(id, domain, kept)`` for every input document.
+
+    Scale shape: ONE hash exchange on ``domain`` + a per-partition
+    ranked window; mega-domains make that partition the straggler —
+    at 100 TB pre-aggregate per-domain counts and only window the
+    domains over the cap, or accept the one sort (still one shuffle).
+    """
+    from pyspark.sql import Window as W
+
+    ranked = docs.select(
+        F.col(id_col),
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("domain").orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col))),
+    )
+    return ranked.select(
+        id_col, "domain", (F.col("__rk") <= cap).alias("kept"))

@@ -115,6 +115,9 @@ def _load_tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 PRIORITY_ORDER = (
     # the only two registry queries the driver's 50-sample has NEVER
     # drawn across ten rounds (r10 verdict task 4) — first in line
+    # round-12 additions (never sampled yet)
+    "doc_domain_filter",
+    "doc_domain_caps",
     "cube_reproject_geos",
     "cube_reproject_omerc",
     # round-11 second-session additions (never sampled yet)

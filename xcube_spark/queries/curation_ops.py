@@ -1226,3 +1226,127 @@ def doc_heavy_hitters_mg(spark, sf_dir):
     out = mg_heavy_hitters(tokens, k=8, top=10)
     return out.select("token", F.col("est").cast("long").alias("est"),
                       F.col("ub").cast("long").alias("ub"))
+
+
+# --------------------------------------------------------------------------
+# URL / domain curation (round 12)
+#
+# The documents table carries no URL column, so both queries
+# synthesize one deterministically from (source, doc_id) — same
+# pattern as emb_mips_topk's derived vectors: hosts cycle through
+# subdomain prefixes (www/cdn/img.static) and TLDs (com/org/net/co.uk,
+# the last exercising the ccTLD second-level rule in
+# registered_domain).
+
+#: shared url synthesis — the Spark twin is _synth_urls below
+_URLS_CTE = """
+    SELECT doc_id,
+           'https://' ||
+           CASE doc_id % 7 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.'
+                WHEN 2 THEN 'img.static.' ELSE '' END ||
+           source || '.' ||
+           CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                WHEN 2 THEN 'net' ELSE 'co.uk' END ||
+           '/p/' || doc_id AS url
+    FROM documents
+"""
+
+#: host + registered domain derivation over the urls CTE (DuckDB
+#: twin of url_host + registered_domain: same regex, same label rules)
+_DOMAIN_CTES = _URLS_CTE + """
+), hosts AS (
+    SELECT doc_id,
+           lower(regexp_extract(
+               url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)',
+               1)) AS host
+    FROM urls
+), doms AS (
+    SELECT doc_id, host, string_split(host, '.') AS parts
+    FROM hosts
+), reg AS (
+    SELECT doc_id, host,
+           CASE WHEN len(parts) >= 3
+                     AND parts[-2] IN ('co','com','ac','gov','org',
+                                       'net','edu')
+                     AND length(parts[-1]) = 2
+                THEN parts[-3] || '.' || parts[-2] || '.' || parts[-1]
+                WHEN len(parts) >= 2
+                THEN parts[-2] || '.' || parts[-1]
+                ELSE host END AS domain
+    FROM doms
+"""
+
+#: blocklist for doc_domain_filter: a registered domain, a ccTLD
+#: registered domain, one exact host, and a bare TLD
+_BLOCKLIST = ("src3.com", "src7.co.uk", "cdn.src1.org", "net")
+
+
+def _synth_urls(docs):
+    d = F.col("doc_id")
+    sub = (F.when(d % 7 == 0, "www.")
+           .when(d % 7 == 1, "cdn.")
+           .when(d % 7 == 2, "img.static.")
+           .otherwise(""))
+    tld = (F.when(d % 4 == 0, "com")
+           .when(d % 4 == 1, "org")
+           .when(d % 4 == 2, "net")
+           .otherwise("co.uk"))
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), sub, F.col("source"), F.lit("."),
+                 tld, F.lit("/p/"), d.cast("string")).alias("url"))
+
+
+@query(
+    "doc_domain_filter",
+    sql="WITH urls AS (" + _DOMAIN_CTES + """
+        )
+        SELECT doc_id, host, domain,
+               (host = 'src3.com' OR host LIKE '%.src3.com'
+                OR host = 'src7.co.uk' OR host LIKE '%.src7.co.uk'
+                OR host = 'cdn.src1.org' OR host LIKE '%.cdn.src1.org'
+                OR host = 'net' OR host LIKE '%.net') AS blocked
+        FROM reg
+    """,
+)
+def doc_domain_filter(spark, sf_dir):
+    """domain_filter (pipeline/curation.py): URL blocklist curation —
+    host extraction, eTLD+1 reduction (incl. the co.uk ccTLD rule),
+    and suffix-semantics blocklist matching ('src3.com' blocks
+    'www.src3.com'; the bare 'net' entry blocks the whole TLD).
+    All-string codegen projection, ZERO shuffles — the filter rides
+    the parquet scan at any corpus size."""
+    from xcube_spark.pipeline.curation import domain_filter
+
+    urls = _synth_urls(tbl(spark, sf_dir, "documents"))
+    out = domain_filter(urls, blocklist=_BLOCKLIST)
+    return out.select("doc_id", "host", "domain", "blocked")
+
+
+@query(
+    "doc_domain_caps",
+    sql="WITH urls AS (" + _DOMAIN_CTES + """
+        ), ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM reg
+        )
+        SELECT doc_id, domain, rk <= 3 AS kept
+        FROM ranked
+    """,
+)
+def doc_domain_caps(spark, sf_dir):
+    """domain_caps (pipeline/curation.py): per-registered-domain
+    document cap (3 here; O(10^4) in production) picked by
+    deterministic md5 order — domain balancing so boilerplate-heavy
+    hosts can't dominate a crawl, idempotent across reruns and corpus
+    growth (the class_rebalance recipe keyed by eTLD+1).  ONE hash
+    exchange on domain + a ranked window."""
+    from xcube_spark.pipeline.curation import domain_caps
+
+    urls = _synth_urls(tbl(spark, sf_dir, "documents"))
+    return domain_caps(urls, cap=3)
