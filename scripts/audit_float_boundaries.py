@@ -42,6 +42,16 @@ DOCUMENTED_MARGINS: dict[tuple[str, str], str] = {
 #: quantization scales that are not powers of two but are safe, with
 #: the margin argument.
 DOCUMENTED_SCALES: dict[tuple[str, str], str] = {
+    # calendar arithmetic on EXACT integers: day is a BIGINT (< 2^20)
+    # recovered from a dyadic-exact double, so FLOOR(day / year_days)
+    # divides exact integers — IEEE division is exactly rounded and
+    # the quotient is never a boundary case (the +0.5 quantization
+    # idiom the lint hunts does not occur here)
+    ("cube_cftime_decode", "365"): "exact BIGINT / year-length",
+    ("cube_cftime_decode", "366"): "exact BIGINT / year-length",
+    ("cube_cftime_decode", "360"): "exact BIGINT / year-length",
+    ("cube_cftime_decode", "1461"): "exact BIGINT / quadrennium",
+    ("cube_cftime_decode", "86400"): "exact BIGINT / day-seconds",
 }
 
 FLOATY = ("DOUBLE", "FLOAT", "REAL", "DECIMAL")

@@ -160,26 +160,46 @@ def gen_points(
     n: int,
     seed: int = 42,
     frac_outside: float = 0.0,
+    method: str = "xorshift",
 ) -> DataFrame:
     """Random test points over a cube's extent — ``xcube genpts``
     (cli/genpts.py:28-88): n rows of (point_id, time, lat, lon), seeded
     uniform within the grid bbox/time span; ``frac_outside`` widens the
     sampling box so some points fall off-grid (the reference's
-    out-of-range fixture knob).  Pure spark.range + rand — distributed,
-    deterministic per seed."""
+    out-of-range fixture knob).  Pure spark.range + a seeded uniform —
+    distributed, deterministic per seed.
+
+    ``method``: "xorshift" uses Spark's native ``F.rand`` (fast,
+    engine-private stream); "hash" derives each uniform from the Knuth
+    multiplicative hash of (id + salt) — pure int64 arithmetic with a
+    power-of-two divisor, so ANY engine replays the exact doubles
+    (the oracle-stateable mode; same portability argument as
+    pipeline/curation.det_hash)."""
     pad_x = (grid.x_end - grid.x_start) * frac_outside
     pad_y = (grid.y_end - grid.y_start) * frac_outside
     t0 = grid.t_start.timestamp()
     span = grid.time_periods * grid.t_freq_days * 86400.0
+
+    if method == "hash":
+        def u(salt: int) -> Column:
+            h = ((F.col("id") + F.lit(salt)) * F.lit(2654435761)) \
+                % F.lit(2 ** 32)
+            return h / F.lit(float(2 ** 32))
+    elif method == "xorshift":
+        def u(salt: int) -> Column:
+            return F.rand(salt)
+    else:
+        raise ValueError(f"unknown gen_points method {method!r}")
+
     return spark.range(n).select(
         F.col("id").alias("point_id"),
         F.timestamp_seconds(
-            F.lit(t0) + F.rand(seed) * F.lit(span * (1 + frac_outside))
+            F.lit(t0) + u(seed) * F.lit(span * (1 + frac_outside))
         ).alias("time"),
         (F.lit(grid.y_start - pad_y)
-         + F.rand(seed + 1) * F.lit(grid.y_end - grid.y_start + 2 * pad_y)
+         + u(seed + 1) * F.lit(grid.y_end - grid.y_start + 2 * pad_y)
          ).alias("lat"),
         (F.lit(grid.x_start - pad_x)
-         + F.rand(seed + 2) * F.lit(grid.x_end - grid.x_start + 2 * pad_x)
+         + u(seed + 2) * F.lit(grid.x_end - grid.x_start + 2 * pad_x)
          ).alias("lon"),
     )

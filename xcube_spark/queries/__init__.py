@@ -118,6 +118,10 @@ PRIORITY_ORDER = (
     # round-12 additions (never sampled yet)
     "doc_domain_filter",
     "doc_domain_caps",
+    "cube_rechunk_checksum",
+    "cube_cftime_decode",
+    "cube_genpts",
+    "cube_tiling_scheme",
     "cube_reproject_geos",
     "cube_reproject_omerc",
     # round-11 second-session additions (never sampled yet)

@@ -988,3 +988,63 @@ def cube_find_places(spark, sf_dir):
     out = find_places(feats, query_geometry=rect,
                       query_expr="value > 100.0")
     return out.select("event_id", "ix", "iy")
+
+
+# --------------------------------------------------------------------------
+# round-12 promotion: genpts (deterministic hash mode)
+
+_GP_T0 = GRID.t_start.timestamp()
+_GP_SPAN = GRID.time_periods * GRID.t_freq_days * 86400.0
+_GP_FRAC = 0.1
+_GP_PAD_X = (GRID.x_end - GRID.x_start) * _GP_FRAC
+_GP_PAD_Y = (GRID.y_end - GRID.y_start) * _GP_FRAC
+
+#: hash-mode uniform for salt k: ((id + k) * 2654435761 % 2^32) / 2^32
+#: — pure int64 arithmetic and a power-of-two divisor, exact dyadic
+#: doubles on both engines
+_GP_U = ("((range + {salt}) * 2654435761) % 4294967296"
+         " / CAST(4294967296 AS DOUBLE)")
+
+
+@query(
+    "cube_genpts",
+    sql=f"""
+        SELECT range AS point_id,
+               CAST(FLOOR(CAST({_GP_T0!r} AS DOUBLE)
+                    + {_GP_U.format(salt=42)}
+                      * CAST({_GP_SPAN * (1 + _GP_FRAC)!r} AS DOUBLE))
+                    AS BIGINT) AS t_s,
+               ROUND(ROUND(
+                   CAST({GRID.y_start - _GP_PAD_Y!r} AS DOUBLE)
+                   + {_GP_U.format(salt=43)}
+                     * CAST({GRID.y_end - GRID.y_start
+                             + 2 * _GP_PAD_Y!r} AS DOUBLE)
+                   + 1e-9, 6) + 0.0, 6) AS lat,
+               ROUND(ROUND(
+                   CAST({GRID.x_start - _GP_PAD_X!r} AS DOUBLE)
+                   + {_GP_U.format(salt=44)}
+                     * CAST({GRID.x_end - GRID.x_start
+                             + 2 * _GP_PAD_X!r} AS DOUBLE)
+                   + 1e-9, 6) + 0.0, 6) AS lon
+        FROM range(500)
+    """,
+)
+def cube_genpts(spark, sf_dir):
+    """gen_points / xcube genpts (cube/new.py:157; reference
+    cli/genpts.py:28-88) in the oracle-stateable hash mode: 500
+    seeded-uniform points over the grid bbox padded by frac_outside =
+    0.1 (so ~17%% fall off-grid, the reference's out-of-range fixture
+    knob).  Time compares as FLOOR of the epoch seconds — engines
+    disagree on sub-second micros conversion (Spark truncates,
+    DuckDB rounds) but the whole-second floor of the identical double
+    is seam-free."""
+    from xcube_spark.cube.new import gen_points
+
+    pts = gen_points(spark, GRID, 500, seed=42,
+                     frac_outside=_GP_FRAC, method="hash")
+    return pts.select(
+        "point_id",
+        F.floor(F.col("time").cast("double")).cast("long").alias("t_s"),
+        (F.round(F.round(F.col("lat") + 1e-9, 6) + 0.0, 6)).alias("lat"),
+        (F.round(F.round(F.col("lon") + 1e-9, 6) + 0.0, 6)).alias("lon"),
+    )

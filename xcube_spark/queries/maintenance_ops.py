@@ -814,3 +814,221 @@ def cube_shapefile_ingest(spark, sf_dir):
         F.round(F.regexp_extract("geometry", pt, 2).cast("double"), 6)
         .alias("y"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-12 promotions: rechunk invariants + CF calendar decode
+
+
+@query(
+    "cube_rechunk_checksum",
+    sql=f"""
+        {CUBE_CTE}
+        SELECT CAST((t_i // 2) * 24 + (y_i // 45) * 6 + (x_i // 60)
+                    AS BIGINT) AS chunk_id,
+               COUNT(*) AS n,
+               ROUND(SUM(A), 4) + 0.0 AS a_sum,
+               MIN(t_i) AS t_lo, MAX(t_i) AS t_hi,
+               MIN(y_i) AS y_lo, MAX(y_i) AS y_hi,
+               MIN(x_i) AS x_lo, MAX(x_i) AS x_hi
+        FROM cube
+        GROUP BY 1
+    """,
+)
+def cube_rechunk_checksum(spark, sf_dir):
+    """chunk_dataset / rechunk (maintenance.py:22, reference
+    chunk.py:15-46): re-keying the 360x180x5 cube to (2, 45, 60)
+    chunks and re-partitioning on the packed chunk id preserves every
+    cell exactly — per-chunk row counts, value checksum, and index
+    bounds all survive the shuffle.  The oracle restates the packed
+    chunk-id arithmetic ((5+1)//2=3 x 4 x 6 = 72 chunks)."""
+    from xcube_spark.operators.maintenance import chunk_dataset
+
+    cube = new_cube(spark, GRID, variables=SPARK_VARS)
+    rc = chunk_dataset(cube, GRID, chunks=(2, 45, 60))
+    return rc.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("A"), 4) + F.lit(0.0)).alias("a_sum"),
+        F.min("t_i").alias("t_lo"), F.max("t_i").alias("t_hi"),
+        F.min("y_i").alias("y_lo"), F.max("y_i").alias("y_hi"),
+        F.min("x_i").alias("x_lo"), F.max("x_i").alias("x_hi"),
+    )
+
+
+def _fixed_cal_sql(ep_days: int, year_days: int, cum: list[int],
+                   feb_clamp: str | None) -> str:
+    """DuckDB twin of cftime._fixed_year_decode for a whole-day value
+    column ``v`` (day-unit, midnight epoch): same floor/carry shape,
+    quarter-day fractions are exact dyadic doubles on both engines."""
+    month_case = "CASE " + " ".join(
+        f"WHEN doy >= {cum[m - 1]} THEN {m}"
+        for m in range(12, 1, -1)) + " ELSE 1 END"
+    cum_case = "CASE " + " ".join(
+        f"WHEN month = {m} THEN {cum[m - 1]}"
+        for m in range(12, 1, -1)) + " ELSE 0 END"
+    dom = "doy - cum_m + 1"
+    if feb_clamp == "always":
+        dom = f"CASE WHEN month = 2 THEN LEAST({dom}, 28) ELSE {dom} END"
+    elif feb_clamp == "nongreg":
+        dom = (f"CASE WHEN month = 2 AND {dom} = 29 AND NOT "
+               "((year % 4 = 0 AND year % 100 <> 0) OR year % 400 = 0) "
+               f"THEN 28 ELSE {dom} END")
+    return f"""
+        SELECT i,
+               make_timestamp(year, month, {dom},
+                              day_secs // 3600,
+                              (day_secs % 3600) // 60,
+                              CAST(day_secs % 60 AS DOUBLE)) AS ts
+        FROM (
+            SELECT i, year, doy, day_secs, month,
+                   {cum_case} AS cum_m
+            FROM (
+                SELECT i, year, doy, day_secs,
+                       {month_case} AS month
+                FROM (
+                    SELECT i, day_secs,
+                           CAST(FLOOR(day / {year_days}) AS INT) AS year,
+                           CAST(day - CAST(FLOOR(day / {year_days})
+                                AS BIGINT) * {year_days} AS INT) AS doy
+                    FROM (
+                        SELECT i,
+                               CAST(FLOOR(total) AS BIGINT)
+                               + CAST(ROUND((total - FLOOR(total))
+                                      * 86400.0) AS BIGINT)
+                                 // 86400 AS day,
+                               CAST(ROUND((total - FLOOR(total))
+                                    * 86400.0) AS BIGINT) % 86400
+                                 AS day_secs
+                        FROM (
+                            SELECT i, CAST({ep_days} AS DOUBLE) + v
+                                   AS total
+                            FROM vals
+                        )
+                    )
+                )
+            )
+        )
+    """
+
+
+_JULIAN_EP_DAYS = 365 * 1890 + (1890 + 3) // 4  # epoch 1890-01-01
+
+_NOLEAP_CUM_SQL = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334]
+
+
+def _julian_cal_sql() -> str:
+    """DuckDB twin of cftime._julian_decode (epoch 1890-01-01): the
+    1461-day quadrennium arithmetic with the leap year FIRST, then the
+    leap-aware month chain; Feb 29 of Julian-only leap years (1900)
+    clamps to the Gregorian 28."""
+    cum = _NOLEAP_CUM_SQL
+    month_case = "CASE " + " ".join(
+        f"WHEN doy >= {cum[m - 1]}" + (" + lp" if m > 2 else "")
+        + f" THEN {m}"
+        for m in range(12, 1, -1)) + " ELSE 1 END"
+    cum_case = "CASE " + " ".join(
+        f"WHEN month = {m} THEN {cum[m - 1]}"
+        + (" + lp" if m > 2 else "")
+        for m in range(12, 1, -1)) + " ELSE 0 END"
+    return f"""
+        SELECT i,
+               make_timestamp(year, month,
+                   CASE WHEN month = 2 AND doy - cum_m + 1 = 29
+                             AND NOT ((year % 4 = 0 AND year % 100 <> 0)
+                                      OR year % 400 = 0)
+                        THEN 28 ELSE doy - cum_m + 1 END,
+                   day_secs // 3600, (day_secs % 3600) // 60,
+                   CAST(day_secs % 60 AS DOUBLE)) AS ts
+        FROM (
+            SELECT i, year, doy, lp, day_secs, month,
+                   {cum_case} AS cum_m
+            FROM (
+                SELECT i, year, doy, lp, day_secs,
+                       {month_case} AS month
+                FROM (
+                    SELECT i, day_secs,
+                           CAST(quad * 4 + a AS INT) AS year,
+                           CASE WHEN a = 0 THEN r
+                                ELSE r - 366 - (a - 1) * 365 END AS doy,
+                           CASE WHEN a = 0 THEN 1 ELSE 0 END AS lp
+                    FROM (
+                        SELECT i, day_secs, quad, r,
+                               CASE WHEN r < 366 THEN 0
+                                    ELSE 1 + CAST(FLOOR((r - 366) / 365)
+                                             AS INT) END AS a
+                        FROM (
+                            SELECT i, day_secs,
+                                   CAST(FLOOR(day / 1461) AS BIGINT)
+                                       AS quad,
+                                   CAST(day - CAST(FLOOR(day / 1461)
+                                        AS BIGINT) * 1461 AS INT) AS r
+                            FROM (
+                                SELECT i,
+                                       CAST(FLOOR(total) AS BIGINT)
+                                       + CAST(ROUND((total - FLOOR(total))
+                                         * 86400.0) AS BIGINT)
+                                         // 86400 AS day,
+                                       CAST(ROUND((total - FLOOR(total))
+                                            * 86400.0) AS BIGINT)
+                                         % 86400 AS day_secs
+                                FROM (
+                                    SELECT i,
+                                           CAST({_JULIAN_EP_DAYS}
+                                                AS DOUBLE) + v AS total
+                                    FROM vals
+                                )
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    """
+
+
+_CFTIME_SQL = f"""
+    WITH vals AS (
+        SELECT range AS i, range * 37.25 + 11.0 AS v
+        FROM range(600)
+    ), nl AS ({_fixed_cal_sql(2000 * 365, 365, _NOLEAP_CUM_SQL, None)}),
+    d360 AS ({_fixed_cal_sql(2000 * 360, 360,
+                             [30 * i for i in range(12)], "always")}),
+    al AS ({_fixed_cal_sql(
+        2000 * 366, 366,
+        [0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335],
+        "nongreg")}),
+    jul AS ({_julian_cal_sql()})
+    SELECT nl.i, nl.ts AS t_noleap, d360.ts AS t_360day,
+           al.ts AS t_allleap, jul.ts AS t_julian
+    FROM nl JOIN d360 ON nl.i = d360.i
+            JOIN al ON nl.i = al.i
+            JOIN jul ON nl.i = jul.i
+"""
+
+
+@query("cube_cftime_decode", sql=_CFTIME_SQL)
+def cube_cftime_decode(spark, sf_dir):
+    """decode_cf_time (functions/cftime.py:64; reference handles
+    cftime axes via the cftime package — new.py:142-160,
+    select.py:202-213): 600 quarter-day time values decode through
+    all four non-standard CF calendars at once — noleap / 360_day
+    (Feb 29/30 clamp) / all_leap (Feb 29 clamp outside Gregorian leap
+    years) / julian (1890 epoch so the 1900 Julian-only leap year is
+    in range).  All dyadic-exact Column arithmetic; the oracle
+    restates the same floor/carry/CASE chains."""
+    from xcube_spark.functions.cftime import decode_cf_time
+
+    vals = spark.range(600).select(
+        F.col("id").alias("i"),
+        (F.col("id") * F.lit(37.25) + F.lit(11.0)).alias("v"))
+    return vals.select(
+        "i",
+        decode_cf_time(F.col("v"), "days since 2000-01-01", "noleap")
+        .alias("t_noleap"),
+        decode_cf_time(F.col("v"), "days since 2000-01-01", "360_day")
+        .alias("t_360day"),
+        decode_cf_time(F.col("v"), "days since 2000-01-01", "all_leap")
+        .alias("t_allleap"),
+        decode_cf_time(F.col("v"), "days since 1890-01-01", "julian")
+        .alias("t_julian"),
+    )

@@ -178,3 +178,90 @@ def cube_volume_brick(spark, sf_dir):
         "t_i", "j", "x_i",
         F.round(F.col("value").cast("double"), 6).alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# round-12 promotion: TilingScheme level/resolution math
+
+_WM_HALF = 20037508.342789244
+
+
+def _scheme_sql(name: str, nx0: int, ny0: int,
+                x_min: float, y_min: float,
+                x_max: float, y_max: float) -> str:
+    """Closed-form twin of TilingScheme.num_tiles / resolution /
+    tile_bbox / level_for_resolution over levels 0..9 (tile (nx-1,
+    ny-1), the bottom-right tile).  Every float literal CASTs to
+    DOUBLE (the DuckDB decimal-literal gotcha); op order matches the
+    Python methods exactly."""
+    return f"""
+        SELECT '{name}' AS scheme,
+               CAST(level AS INT) AS level,
+               CAST({nx0} * (1 << level) AS INT) AS ntx,
+               CAST({ny0} * (1 << level) AS INT) AS nty,
+               ROUND(ROUND(res + 1e-12, 9) + 0.0, 9) AS res,
+               CAST(level + 1 AS INT) AS lvl_half,
+               ROUND(ROUND(CAST({x_min!r} AS DOUBLE)
+                     + ({nx0} * (1 << level) - 1) * w + 1e-9, 4)
+                     + 0.0, 4) AS x1,
+               ROUND(ROUND(CAST({y_max!r} AS DOUBLE)
+                     - ({ny0} * (1 << level) - 1) * h - h + 1e-9, 4)
+                     + 0.0, 4) AS y1,
+               ROUND(ROUND(CAST({x_min!r} AS DOUBLE)
+                     + ({nx0} * (1 << level) - 1) * w + w + 1e-9, 4)
+                     + 0.0, 4) AS x2,
+               ROUND(ROUND(CAST({y_max!r} AS DOUBLE)
+                     - ({ny0} * (1 << level) - 1) * h + 1e-9, 4)
+                     + 0.0, 4) AS y2
+        FROM (
+            SELECT range AS level,
+                   (CAST({x_max!r} AS DOUBLE) - CAST({x_min!r} AS DOUBLE))
+                   / ({nx0} * (1 << level) * 256) AS res,
+                   (CAST({x_max!r} AS DOUBLE) - CAST({x_min!r} AS DOUBLE))
+                   / ({nx0} * (1 << level)) AS w,
+                   (CAST({y_max!r} AS DOUBLE) - CAST({y_min!r} AS DOUBLE))
+                   / ({ny0} * (1 << level)) AS h
+            FROM range(10)
+        )
+    """
+
+
+@query(
+    "cube_tiling_scheme",
+    sql=(_scheme_sql("geographic", 2, 1, -180.0, -90.0, 180.0, 90.0)
+         + " UNION ALL "
+         + _scheme_sql("webmercator", 1, 1, -_WM_HALF, -_WM_HALF,
+                       _WM_HALF, _WM_HALF)),
+)
+def cube_tiling_scheme(spark, sf_dir):
+    """TilingScheme (operators/tiles.py:33; reference
+    tilingscheme.py:35-446): the level ladder of both reference
+    schemes — geographic 2x1 CRS84 and web-mercator 1x1 — levels
+    0..9: tile-matrix size, map-units-per-pixel resolution, the
+    bottom-right tile's bbox, and level_for_resolution(res/2) ==
+    level+1 (resolution halves per level, so res/2 selects exactly
+    the next level).  Driver-built raw doubles from the SAME methods
+    the tile server dispatches through (the pca_moment_stats
+    precedent), rounded via F.round in the query."""
+    schemes = [("geographic", TilingScheme.geographic()),
+               ("webmercator", TilingScheme.web_mercator())]
+    rows = []
+    for name, ts in schemes:
+        for level in range(10):
+            nx, ny = ts.num_tiles(level)
+            res = ts.resolution(level)
+            x1, y1, x2, y2 = ts.tile_bbox(level, nx - 1, ny - 1)
+            rows.append((name, level, nx, ny, res,
+                         ts.level_for_resolution(res / 2),
+                         x1, y1, x2, y2))
+    df = spark.createDataFrame(
+        rows, "scheme string, level int, ntx int, nty int, res double,"
+              " lvl_half int, x1 double, y1 double, x2 double,"
+              " y2 double")
+    return df.select(
+        "scheme", "level", "ntx", "nty",
+        (F.round(F.round(F.col("res") + 1e-12, 9) + 0.0, 9)).alias("res"),
+        "lvl_half",
+        *[(F.round(F.round(F.col(c) + 1e-9, 4) + 0.0, 4)).alias(c)
+          for c in ("x1", "y1", "x2", "y2")],
+    )
