@@ -229,15 +229,38 @@ def bm25_topk(
     # array materialization a split would pay (r6 regex lesson);
     # counts match size(split(trim(x), '\s+')) for non-empty text
     dl = F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\S+"))
-    stats = docs.agg(F.count("*").alias("__n"),
-                     F.sum(dl.cast("long")).alias("__tdl"))
+    # driver-side corpus-stats fold (r12 plan slimming): N and the
+    # total doc length are TWO exact BIGINTs — collecting them removes
+    # the scalar BroadcastNestedLoopJoin AND its separate eager
+    # broadcast-build corpus scan from every execution (integer-exact,
+    # so literal inlining cannot move any float boundary)
+    srow = docs.agg(F.count("*").alias("__n"),
+                    F.sum(dl.cast("long")).alias("__tdl")).collect()[0]
+    n_docs = int(srow["__n"] or 0)
+    tdl = int(srow["__tdl"] or 0)
 
-    qterms = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(F.split(F.trim(F.col(query_text_col)),
-                          r"\s+")).alias("token"),
-    ).where(F.col("token") != "").distinct()
-    vocab = qterms.select("token").distinct()
+    # the query set is broadcast-small BY CONTRACT, so its term table
+    # collects once and rebuilds as a LOCAL relation (r12 plan
+    # slimming): the per-query distinct/vocab exchanges and their
+    # repeated query-side scans disappear; the broadcast builds ship
+    # driver rows instead of re-executing lineage.  Tokenization
+    # mirrors F.split(F.trim(x), '\s+') (ASCII whitespace runs —
+    # identical for this corpus; Java \s is ASCII-only).
+    import re as _re
+
+    q_rows = queries.select(query_id_col, query_text_col).collect()
+    qt_pairs = sorted({
+        (r[query_id_col], t)
+        for r in q_rows
+        for t in _re.split(r"\s+", (r[query_text_col] or "").strip())
+        if t
+    })
+    qid_t = dict(queries.dtypes)[query_id_col]
+    spark = queries.sparkSession
+    qterms = spark.createDataFrame(
+        qt_pairs, f"query_id {qid_t}, token string")
+    vocab = spark.createDataFrame(
+        sorted({t for _, t in qt_pairs}), "string").toDF("token")
 
     # materialize the token array ONCE per row (the regex split is
     # the dominant map cost); dl derives from it without re-splitting
@@ -254,16 +277,20 @@ def bm25_topk(
     # materialize eagerly as separate jobs, outside exchange reuse)
     tf = cand.groupBy(id_col, "dl", "token").agg(
         F.count("*").alias("tf")).persist()
-    dfreq = tf.groupBy("token").agg(
-        F.count("*").alias("df"))  # tf rows are (doc, token)-distinct
+    # dfreq is query-vocab-sized (exact BIGINTs): collect from the
+    # freshly-cached tf and rebuild local — one less hash exchange
+    # and no broadcast-build lineage re-execution
+    df_rows = [(r["token"], r["df"]) for r in tf.groupBy("token").agg(
+        F.count("*").cast("long").alias("df")).collect()]
+    dfreq = spark.createDataFrame(df_rows, "token string, df long") \
+        if df_rows else spark.createDataFrame([], "token string, df long")
 
     scored = (
         tf.join(F.broadcast(qterms), "token")
-        .crossJoin(F.broadcast(stats))
         .join(F.broadcast(dfreq), "token")
         .withColumn(
             "__idf",
-            F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + 0.5)
+            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
                   / (F.col("df") + 0.5)))
         .withColumn(
             "__s",
@@ -271,7 +298,7 @@ def bm25_topk(
             / (F.col("tf") + F.lit(k1)
                * (F.lit(1.0 - b)
                   + F.lit(b) * F.col("dl")
-                  * F.col("__n") / F.col("__tdl"))))
+                  * F.lit(n_docs) / F.lit(tdl))))
     )
     agg = scored.groupBy("query_id", id_col).agg(
         F.round(F.sum("__s") + 1e-9, 6).alias("score"))
@@ -814,21 +841,30 @@ def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from xcube_spark.util import tie_cache_lifetime
 
-    # persisted: scored feeds BOTH the tercile-threshold broadcast
-    # build (a separate eager job) and the final bucket projection —
-    # without the persist the whole trigram pipeline runs twice
+    # persisted: scored feeds BOTH the tercile-threshold scalar job
+    # and the final bucket projection — without the persist the whole
+    # trigram pipeline runs twice
     scored = trigram_lm_score(docs, text_col=text_col).persist()
-    qs = scored.agg(
+    # driver-side threshold fold (the NB plan-slimming recipe, r12):
+    # the thresholds are TWO doubles — collecting them and inlining
+    # literals removes the scalar BroadcastNestedLoopJoin and the
+    # duplicated scoring lineage its broadcast build re-executed
+    # (11 exchanges + 1 BNLJ -> the cached-scan projection).  The
+    # values collect ALREADY engine-rounded (F.round before collect),
+    # so the comparison is bit-identical to the crossJoin form.
+    qrow = scored.agg(
         F.expr("percentile(avg_nll, array(0.3333333333333333, "
                "0.6666666666666666))").alias("q")
     ).select(
         F.round(F.col("q")[0] + F.lit(1e-9), 6).alias("t1"),
         F.round(F.col("q")[1] + F.lit(1e-9), 6).alias("t2"),
-    )
-    out = scored.crossJoin(F.broadcast(qs)).select(
+    ).collect()[0]
+    t1 = F.lit(qrow["t1"]).cast("double")
+    t2 = F.lit(qrow["t2"]).cast("double")
+    out = scored.select(
         "doc_id", "n_trigrams", "avg_nll",
-        F.when(F.col("avg_nll") <= F.col("t1"), F.lit("head"))
-        .when(F.col("avg_nll") <= F.col("t2"), F.lit("middle"))
+        F.when(F.col("avg_nll") <= t1, F.lit("head"))
+        .when(F.col("avg_nll") <= t2, F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
     tie_cache_lifetime(out, scored)
@@ -940,37 +976,44 @@ def pmi_cooccurrence(
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
         .alias("pos", "tok"))
     uni = toks.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("c"))
+        F.count(F.lit(1)).cast("long").alias("c")).persist()
     w = Window.partitionBy("__d").orderBy("pos")
     bi = (
         toks.withColumn("nxt", F.lead("tok").over(w))
         .where(F.col("nxt").isNotNull())
         .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
-    )
-    totals = uni.agg(
-        F.sum("c").cast("long").alias("n_tok")).crossJoin(
-        bi.agg(F.sum("c_ab").cast("long").alias("n_pairs")))
+    ).persist()
+    # driver-side totals fold (r12 plan slimming): the two corpus
+    # totals are exact BIGINT sums over the (persisted, model-sized)
+    # count tables — collecting them removes BOTH scalar
+    # BroadcastNestedLoopJoins and the totals branch's duplicated
+    # lineage; integer literals cannot move any float boundary
+    n_tok = int(uni.agg(F.sum("c")).collect()[0][0] or 0)
+    n_pairs = int(bi.agg(F.sum("c_ab")).collect()[0][0] or 0)
     scored = (
         bi.where(F.col("c_ab") >= min_count)
         .join(F.broadcast(uni.select(F.col("tok").alias("a"),
                                      F.col("c").alias("c_a"))), "a")
         .join(F.broadcast(uni.select(F.col("tok").alias("b"),
                                      F.col("c").alias("c_b"))), "b")
-        .crossJoin(F.broadcast(totals))
         .withColumn(
             "pmi",
-            F.log((F.col("c_ab").cast("double") / F.col("n_pairs"))
-                  / ((F.col("c_a").cast("double") / F.col("n_tok"))
+            F.log((F.col("c_ab").cast("double") / F.lit(n_pairs))
+                  / ((F.col("c_a").cast("double") / F.lit(n_tok))
                      * (F.col("c_b").cast("double")
-                        / F.col("n_tok")))))
+                        / F.lit(n_tok)))))
     )
     r6 = F.round(F.round(F.col("pmi") + 1e-9, 6) + 0.0, 6)
     wr = Window.orderBy(F.desc("pmi_r"), F.asc("a"), F.asc("b"))
-    return (
+    out = (
         scored.withColumn("pmi_r", r6)
         .withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= top)
         .select("rank", "a", "b", "c_ab",
                 F.col("pmi_r").alias("pmi"))
     )
+    from xcube_spark.util import tie_cache_lifetime
+    tie_cache_lifetime(out, uni)
+    tie_cache_lifetime(out, bi)
+    return out

@@ -1279,20 +1279,23 @@ def doc_bm25_selfretrieval(spark, sf_dir):
         F.array_join(
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8),
             " ").alias("query_text"))
-    res = bm25_topk(docs, queries, k=10)
+    # collect the (broadcast-small) query set ONCE into a local
+    # relation: bm25_topk's own query-side collect then reads driver
+    # rows instead of re-scanning documents, and the query count
+    # inlines as an exact literal (removes the final scalar
+    # BroadcastNestedLoopJoin) — r12 plan slimming
+    q_rows = queries.collect()
+    queries_local = spark.createDataFrame(
+        q_rows, "query_id bigint, query_text string")
+    res = bm25_topk(docs, queries_local, k=10)
     hits = res.where(F.col("query_id") == F.col("doc_id"))
-    n_q = queries.agg(F.count("*").alias("n_queries"))
-    summary = hits.agg(
+    n_q = len(q_rows)
+    return hits.agg(
+        F.lit(n_q).cast("long").alias("n_queries"),
         F.count("*").alias("n_hit"),
-        F.coalesce(F.sum(F.lit(1.0) / F.col("rank")),
-                   F.lit(0.0)).alias("__rr"))
-    return (
-        n_q.crossJoin(summary)
-        .select(
-            "n_queries", "n_hit",
-            F.round(F.col("__rr") / F.col("n_queries") + F.lit(1e-9), 6)
-            .alias("mrr"))
-    )
+        F.round(
+            F.coalesce(F.sum(F.lit(1.0) / F.col("rank")), F.lit(0.0))
+            / F.lit(n_q) + F.lit(1e-9), 6).alias("mrr"))
 
 
 @query(
