@@ -208,16 +208,23 @@ def minhash_near_dup_pairs(
 
     The shingle table feeds the signature branch, the verify pack, and
     (via broadcast builds, which each run their own job) the candidate
-    set — without a persist the explode/hash chain re-executes once per
-    consumer.  Persisting ``sh`` and ``cands`` caps the chain at one
-    execution each; on a cluster these are the natural checkpoint
-    points of the dedup DAG."""
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    set — without state materialization the explode/hash chain
+    re-executes once per consumer.  ``sh`` and ``cands`` are the
+    natural checkpoint points of the dedup DAG, and they materialize
+    as EAGER localCheckpoints (r12; the incremental_near_dedup lineage
+    lesson): a persist alone left every consumer's printed plan
+    re-deriving the whole explode/hash lineage (41-exchange plans and
+    compounding re-optimization), while the checkpoint truncates it —
+    the verify stage plans over two materialized scans (7 exchanges).
+    On a cluster this is exactly where a production dedup pipeline
+    checkpoints its state between build and verify."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col) \
+        .localCheckpoint(eager=True)
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(
         lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
         max_bucket_size=max_bucket_size,
-    ).persist()
+    ).localCheckpoint(eager=True)
     return jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
