@@ -12,8 +12,10 @@ ISO 15948) portable baseline —
 - bit depths 1/2/4/8/16 (sub-byte depths unpacked per spec, 16-bit
   big-endian);
 - multiple IDAT chunks, CRC-32 validation, tRNS ignored (alpha
-  handled via color types 4/6), interlace 0 (Adam7 is explicitly
-  rejected — a real error, not silent garbage).
+  handled via color types 4/6);
+- BOTH interlace methods: 0 (sequential) and 1 (Adam7 — the seven
+  passes are seven independent sub-images sharing the filter
+  machinery, scattered back on the (y0::dy, x0::dx) lattice).
 
 The encoder writes any of the supported color types at depth 8 with a
 selectable per-image filter (default: per-row minimum-sum-of-absolute
@@ -42,6 +44,10 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: color types that allow sub-byte bit depths (per spec)
 _SUB_BYTE_OK = {0, 3}
+
+#: Adam7 pass lattice: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 class PngError(ValueError):
@@ -189,9 +195,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
         raise PngError("zero-sized image")
     if comp != 0 or filt != 0:
         raise PngError("unknown compression/filter method")
-    if interlace == 1:
-        raise PngError("Adam7 interlacing not supported (baseline only)")
-    if interlace != 0:
+    if interlace not in (0, 1):
         raise PngError(f"unknown interlace method {interlace}")
     if ctype not in _CHANNELS:
         raise PngError(f"unknown color type {ctype}")
@@ -205,10 +209,30 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
 
     raw = zlib.decompress(bytes(idat))
     bits_per_pixel = depth * channels
-    stride = (width * bits_per_pixel + 7) // 8
     bpp = max(1, bits_per_pixel // 8)
-    unfiltered = _unfilter(raw, height, stride, bpp)
-    samples = _unpack_bits(unfiltered, depth, width, channels)
+    if interlace == 1:
+        # Adam7: seven sequential sub-images in the one zlib stream,
+        # each filtered against ITS OWN previous scanline, scattered
+        # back onto the (y0::dy, x0::dx) lattice
+        dtype = np.uint16 if depth == 16 else np.uint8
+        full = np.zeros((height, width, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # pass absent for tiny images, per spec
+            stride_p = (wp * bits_per_pixel + 7) // 8
+            nbytes = hp * (stride_p + 1)
+            unf = _unfilter(raw[pos:pos + nbytes], hp, stride_p, bpp)
+            pos += nbytes
+            smp = _unpack_bits(unf, depth, wp, channels)
+            full[y0::dy, x0::dx] = smp.reshape(hp, wp, channels)
+        samples = full.reshape(height, width * channels)
+    else:
+        stride = (width * bits_per_pixel + 7) // 8
+        unfiltered = _unfilter(raw, height, stride, bpp)
+        samples = _unpack_bits(unfiltered, depth, width, channels)
 
     if ctype == 3:
         if plte is None:
@@ -258,13 +282,14 @@ def _filter_row(cur: np.ndarray, prev: np.ndarray, bpp: int,
 
 def encode_png(pixels: np.ndarray, color_type: int | None = None,
                filter_type: int | str = "adaptive",
-               compress_level: int = 6) -> bytes:
+               compress_level: int = 6, interlace: int = 0) -> bytes:
     """Encode a uint8 array as a PNG (bit depth 8).
 
     ``pixels``: ``(h, w)`` gray or ``(h, w, c)`` with c in {1, 2, 3, 4}
     mapping to color types 0/4/2/6.  ``filter_type`` is 0-4 to force a
     single filter (handy for decoder tests) or ``"adaptive"`` for the
-    spec's per-row minimum-absolute-sum heuristic.
+    spec's per-row minimum-absolute-sum heuristic.  ``interlace=1``
+    writes Adam7 (each pass filtered as its own sub-image).
     """
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -278,27 +303,41 @@ def encode_png(pixels: np.ndarray, color_type: int | None = None,
         raise ValueError(
             f"color type {color_type} wants {_CHANNELS[color_type]} "
             f"channels, got {c}")
-    flat = arr.reshape(h, w * c)
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown interlace method {interlace}")
     bpp = c
     out = bytearray()
-    prev = np.zeros(w * c, dtype=np.uint8)
-    for r in range(h):
-        cur = flat[r]
-        if filter_type == "adaptive":
-            best, best_sum = None, None
-            for ft in range(5):
-                cand = _filter_row(cur, prev, bpp, ft)
-                s = int(np.abs(cand.astype(np.int8).astype(np.int16)).sum())
-                if best_sum is None or s < best_sum:
-                    best, best_sum, best_ft = cand, s, ft
-            out.append(best_ft)
-            out.extend(best.tobytes())
-        else:
-            out.append(int(filter_type))
-            out.extend(_filter_row(cur, prev, bpp,
-                                   int(filter_type)).tobytes())
-        prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+
+    def emit(flat: np.ndarray) -> None:
+        """Filter one sub-image's scanlines (its own prev chain)."""
+        prev = np.zeros(flat.shape[1], dtype=np.uint8)
+        for r in range(flat.shape[0]):
+            cur = flat[r]
+            if filter_type == "adaptive":
+                best, best_sum = None, None
+                for ft in range(5):
+                    cand = _filter_row(cur, prev, bpp, ft)
+                    s = int(np.abs(
+                        cand.astype(np.int8).astype(np.int16)).sum())
+                    if best_sum is None or s < best_sum:
+                        best, best_sum, best_ft = cand, s, ft
+                out.append(best_ft)
+                out.extend(best.tobytes())
+            else:
+                out.append(int(filter_type))
+                out.extend(_filter_row(cur, prev, bpp,
+                                       int(filter_type)).tobytes())
+            prev = cur
+
+    if interlace == 1:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                emit(np.ascontiguousarray(sub).reshape(
+                    sub.shape[0], sub.shape[1] * c))
+    else:
+        emit(arr.reshape(h, w * c))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, interlace)
     return (SIGNATURE
             + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(bytes(out), compress_level))
