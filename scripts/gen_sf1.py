@@ -11,7 +11,11 @@ the candidate-pair counts), and user ids are offset so sessions grow
 in number, not in length.  Dimension tables (region, nation) are
 shared, as in TPC-H.
 
-Usage: python scripts/gen_sf1.py [out_dir]   (default /root/repo/testdata_sf1)
+Usage: python scripts/gen_sf1.py [out_dir] [replicas]
+       (defaults /root/repo/testdata_sf1, 10; replicas=100 builds an
+       sf10 directory for the scaling sweep — key offsets are
+       per-replica steps, so any replica count keeps foreign keys
+       aligned and near-dup cluster sizes at their sf0.1 values)
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ TABLES: dict[str, dict] = {
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata_sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else REPLICAS
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for table, spec in TABLES.items():
@@ -71,7 +76,7 @@ def main() -> None:
         cols = [c[0] for c in
                 con.execute(f"DESCRIBE SELECT * FROM '{src}'").fetchall()]
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             sel = []
             for c in cols:
                 if c in spec.get("offsets", {}):

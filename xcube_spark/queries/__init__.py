@@ -122,6 +122,8 @@ PRIORITY_ORDER = (
     "cube_cftime_decode",
     "cube_genpts",
     "cube_tiling_scheme",
+    "events_resample_methods",
+    "events_upsample_asfreq",
     "cube_reproject_geos",
     "cube_reproject_omerc",
     # round-11 second-session additions (never sampled yet)

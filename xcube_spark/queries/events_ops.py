@@ -1335,3 +1335,94 @@ def events_daily_leaderboard(spark, sf_dir):
         .where(F.col("rank") <= 3)
         .select("day", "rank", "user_id", "total", "n_events")
     )
+
+
+# --------------------------------------------------------------------------
+# round-12: the un-gated corners of the reference resample method grid
+# (cli/resample.py:18-32) — multi-day epoch-anchored windows with
+# min/max/median/std/var/prod downsampling, and the asfreq upsample
+
+
+@query(
+    "events_resample_methods",
+    sql="""
+        SELECT CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - (CAST(FLOOR(epoch(ts)) AS BIGINT) % 172800) AS t_s,
+               ROUND(MIN(value), 6) AS v_min,
+               ROUND(MAX(value), 6) AS v_max,
+               ROUND(quantile_cont(value, 0.5) + 1e-9, 6) AS v_median,
+               ROUND(stddev_samp(value) + 1e-9, 6) AS v_std,
+               ROUND(var_samp(value) + 1e-9, 4) AS v_var,
+               ROUND(product(CASE WHEN event_id % 97 = 0
+                                  THEN 1.0 + value
+                                       / CAST(1000000 AS DOUBLE)
+                                  ELSE CAST(1 AS DOUBLE) END)
+                     + 1e-9, 6) AS v_prod
+        FROM events
+        GROUP BY 1
+    """,
+)
+def events_resample_methods(spark, sf_dir):
+    """resample_in_time's remaining downsampling methods
+    (cli/resample.py:19-31: min/max/median/std/var/prod) over 2-DAY
+    windows — gating the multi-frequency epoch-anchored window key
+    (temporal.py:115-119 secs path) the 1-unit date_trunc gates never
+    exercise.  The window start ships as the exact epoch-seconds
+    BIGINT (integer-exact; the cube-grid index-column lesson).
+    median is interpolated-percentile parity (Spark percentile ==
+    DuckDB quantile_cont, r8); std/var ride the events_statistics
+    native-aggregate precedent with nudged rounds; prod samples
+    event_id % 97 with identity-1 terms near 1 so the product stays
+    in a float-noise-safe magnitude at every sf."""
+    ev = tbl(spark, sf_dir, "events")
+    e = F.col("ts").cast("timestamp_ltz").cast("long")
+    term = F.lit(1.0) + F.col("value") / F.lit(1000000.0)
+    return ev.groupBy(
+        (e - F.pmod(e, F.lit(172800))).alias("t_s")
+    ).agg(
+        F.round(F.min("value"), 6).alias("v_min"),
+        F.round(F.max("value"), 6).alias("v_max"),
+        F.round(F.expr("percentile(value, 0.5)") + F.lit(1e-9), 6)
+        .alias("v_median"),
+        F.round(F.stddev_samp("value") + F.lit(1e-9), 6).alias("v_std"),
+        F.round(F.var_samp("value") + F.lit(1e-9), 4).alias("v_var"),
+        F.round(
+            F.product(F.when(F.col("event_id") % 97 == 0, term)
+                      .otherwise(F.lit(1.0))) + F.lit(1e-9), 6)
+        .alias("v_prod"),
+    )
+
+
+@query(
+    "events_upsample_asfreq",
+    sql="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT UNNEST(generate_series(lo, hi, INTERVAL 30 MINUTE))
+                AS time
+            FROM bounds
+        ), hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS time,
+                   ROUND(AVG(value) + 1e-9, 6) AS v
+            FROM events GROUP BY 1
+        )
+        SELECT g.time, h.v AS value_asfreq
+        FROM grid g LEFT JOIN hourly h ON g.time = h.time
+    """,
+)
+def events_upsample_asfreq(spark, sf_dir):
+    """upsample_in_time with method='asfreq' (cli/resample.py:18 —
+    re-index on the finer grid, introduce NULL gaps, fill nothing):
+    the last un-gated upsampling method.  Same dense-grid broadcast
+    join as the fill variants, no window at all."""
+    from xcube_spark.operators.temporal import upsample_in_time
+
+    ev = tbl(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("time")).agg(
+        F.round(F.avg("value") + F.lit(1e-9), 6).alias("v")
+    )
+    out = upsample_in_time(hourly, "30min", method="asfreq")
+    return out.select("time", F.col("v").alias("value_asfreq"))
