@@ -743,22 +743,33 @@ def dsir_importance_weights(
     # the production shape materializes the feature table anyway
     pre = feats.groupBy(id_col, "__tgt", "f").agg(
         F.count("*").alias("c")).persist()
-    counts = pre.groupBy("f").agg(
-        F.sum("c").alias("c_raw"),
-        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0)))
-        .alias("c_tgt"))
-    totals = counts.agg(F.sum("c_raw").alias("t_raw"),
-                        F.sum("c_tgt").alias("t_tgt"))
-    llr = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            "f",
-            (F.log((F.col("c_tgt") + F.lit(alpha))
-                   / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
-             - F.log((F.col("c_raw") + F.lit(alpha))
-                     / (F.col("t_raw") + F.lit(alpha * n_buckets))))
-            .alias("llr"))
-    )
+    # driver-side distribution fold (r12 plan slimming): the bucket
+    # count table is MODEL-sized (<= n_buckets rows of exact BIGINTs)
+    # — collect it from the freshly-cached feature table, total it in
+    # exact Python ints, and rebuild the llr table from a local
+    # relation.  Removes the scalar BroadcastNestedLoopJoin, the
+    # totals branch, and the counts exchange from every execution;
+    # the llr float math is the SAME Column expression over the same
+    # exact integers, so no float boundary can move.
+    spark = docs.sparkSession
+    cnt_rows = [(r["f"], r["c_raw"], r["c_tgt"]) for r in
+                pre.groupBy("f").agg(
+                    F.sum("c").cast("long").alias("c_raw"),
+                    F.sum(F.when(F.col("__tgt"), F.col("c"))
+                          .otherwise(F.lit(0))).cast("long")
+                    .alias("c_tgt")).collect()]
+    t_raw = sum(r[1] for r in cnt_rows)
+    t_tgt = sum(r[2] for r in cnt_rows)
+    counts_local = spark.createDataFrame(
+        cnt_rows, "f int, c_raw long, c_tgt long") if cnt_rows else \
+        spark.createDataFrame([], "f int, c_raw long, c_tgt long")
+    llr = counts_local.select(
+        "f",
+        (F.log((F.col("c_tgt") + F.lit(alpha))
+               / (F.lit(t_tgt) + F.lit(alpha * n_buckets)))
+         - F.log((F.col("c_raw") + F.lit(alpha))
+                 / (F.lit(t_raw) + F.lit(alpha * n_buckets))))
+        .alias("llr"))
     result = (
         pre.join(F.broadcast(llr), "f")
         .groupBy(id_col)
