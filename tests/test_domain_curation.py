@@ -96,3 +96,39 @@ def test_domain_caps_deterministic_and_capped(spark):
     # new hash-earlier ids, never reshuffle among themselves
     src1_ids = [i for i in range(20) if i % 2 == 1]
     assert all(again[i] == base[i] for i in src1_ids)
+
+
+def test_canonicalize_url_rules(spark):
+    from xcube_spark.pipeline.curation import canonicalize_url
+
+    cases = {
+        1: ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://ex.com/a/b?a=1&b=2"),
+        2: ("http://ex.com:80/", "http://ex.com/"),
+        3: ("http://ex.com:8080/x", "http://ex.com:8080/x"),
+        4: ("https://ex.com", "https://ex.com/"),
+        5: ("https://ex.com/x?gclid=abc&fbclid=d&ref=z", "https://ex.com/x"),
+        6: ("not a url", None),
+        7: ("https://u:p@ex.com/x", "https://ex.com/x"),
+        8: ("https://ex.com/x///", "https://ex.com/x"),
+    }
+    df = spark.createDataFrame(
+        [(k, v[0]) for k, v in cases.items()], "id int, url string")
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for k, (_, want) in cases.items():
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_url_dedup_keeps_first_and_unparseable(spark):
+    from xcube_spark.pipeline.curation import url_dedup
+
+    df = spark.createDataFrame([
+        (1, "https://ex.com/x?b=2&a=1"),
+        (2, "https://WWW.ex.com/x/?a=1&b=2&utm_source=s"),
+        (3, "https://ex.com/x?a=1"),   # different params -> distinct
+        (4, "garbage"),
+        (5, "garbage"),                # unparseables never dedup
+    ], "doc_id long, url string")
+    got = {r["doc_id"]: r["kept"] for r in url_dedup(df).collect()}
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: True}

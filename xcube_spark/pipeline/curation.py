@@ -1257,3 +1257,87 @@ def domain_caps(
     )
     return ranked.select(
         id_col, "domain", (F.col("__rk") <= cap).alias("kept"))
+
+
+#: full URL split: scheme, host, port, path, query (fragment dropped).
+#: IPv6 bracket hosts are out of scope (the host class excludes ':').
+_URL_PARTS_RE = ("^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^/@]*@)?([^/:?#]+)"
+                 "(?::([0-9]+))?([^?#]*)(?:\\?([^#]*))?(?:#.*)?$")
+
+#: tracking parameters every crawl canonicalizer strips (the AdWords/
+#: Facebook/Mailchimp click-id family + utm_*)
+_TRACKING_PARAM_RE = "^(utm_[a-z0-9]+|gclid|fbclid|ref|mc_cid|mc_eid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Crawl-dedup URL canonical form:
+
+    - scheme and host lower-cased, one leading ``www.`` stripped;
+    - default ports dropped (http:80, https:443), others kept;
+    - trailing slashes stripped from the path (bare path -> ``/``);
+    - tracking params (``utm_*``, gclid, fbclid, ref, mc_cid, mc_eid)
+      removed and the remaining query params SORTED (param order is
+      not content identity);
+    - the fragment dropped.
+
+    NULL for strings that don't parse as scheme://host... (callers
+    keep unparseables rather than grouping them).  All codegen string
+    ops except the param filter/sort lambdas, which run over
+    query-param-count-sized arrays.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_PARTS_RE, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _URL_PARTS_RE, 2)),
+        "^www\\.", "")
+    port = F.regexp_extract(url, _URL_PARTS_RE, 3)
+    path = F.regexp_extract(url, _URL_PARTS_RE, 4)
+    query = F.regexp_extract(url, _URL_PARTS_RE, 5)
+
+    canon_port = F.when(
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")), F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    stripped = F.regexp_replace(path, "/+$", "")
+    canon_path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    kept_params = F.array_sort(F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE)))
+    canon_q = F.when(
+        F.size(kept_params) > 0,
+        F.concat(F.lit("?"), F.array_join(kept_params, "&"))
+    ).otherwise(F.lit(""))
+    canon = F.concat(scheme, F.lit("://"), host, canon_port,
+                     canon_path, canon_q)
+    return F.when(host != "", canon)
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: keep the lowest-id document per
+    CANONICAL url (the crawl stage before any content dedup — the
+    same page refetched with tracking params, fragments, www/port
+    spellings or param reorderings is one document).  Unparseable
+    URLs (NULL canonical) are always kept.
+
+    Returns the input ids plus ``canon_url`` and ``kept``.
+
+    Scale shape: ONE map-side-combined min aggregate on the canonical
+    url + a broadcast-eligible equi-join back on (canon, first) —
+    the exact_dedup_map recipe keyed by canonical URL.
+    """
+    canon = docs.select(
+        F.col(id_col),
+        canonicalize_url(F.col(url_col)).alias("canon_url"))
+    first = canon.where(F.col("canon_url").isNotNull()) \
+        .groupBy("canon_url").agg(F.min(id_col).alias("__first"))
+    return (
+        canon.join(first, "canon_url", "left")
+        .select(
+            id_col, "canon_url",
+            (F.col("canon_url").isNull()
+             | (F.col(id_col) == F.col("__first"))).alias("kept"))
+    )

@@ -124,6 +124,7 @@ PRIORITY_ORDER = (
     "cube_tiling_scheme",
     "events_resample_methods",
     "events_upsample_asfreq",
+    "doc_url_dedup",
     "cube_reproject_geos",
     "cube_reproject_omerc",
     # round-11 second-session additions (never sampled yet)

@@ -1350,3 +1350,120 @@ def doc_domain_caps(spark, sf_dir):
 
     urls = _synth_urls(tbl(spark, sf_dir, "documents"))
     return domain_caps(urls, cap=3)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization dedup (round 12)
+
+from xcube_spark.pipeline.curation import (  # noqa: E402
+    _TRACKING_PARAM_RE,
+    _URL_PARTS_RE,
+)
+
+#: messy-URL synthesis: five spellings per canonical page — bare,
+#: www + default port + trailing slash, http:80 + tracking params,
+#: reordered params + fragment, sorted params
+_MESSY_URLS_CTE = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://h' || (doc_id % 7)
+                         || '.example.org/p/' || (doc_id % 11)
+             WHEN 1 THEN 'https://www.h' || (doc_id % 7)
+                         || '.example.org:443/p/' || (doc_id % 11)
+                         || '/'
+             WHEN 2 THEN 'http://h' || (doc_id % 7)
+                         || '.example.org:80/p/' || (doc_id % 11)
+                         || '?utm_source=feed&gclid=' || doc_id
+             WHEN 3 THEN 'https://h' || (doc_id % 7)
+                         || '.example.org/p/' || (doc_id % 11)
+                         || '?b=2&a=1#sec' || doc_id
+             ELSE 'https://h' || (doc_id % 7)
+                  || '.example.org/p/' || (doc_id % 11) || '?a=1&b=2'
+           END AS url
+    FROM documents
+"""
+
+
+@query(
+    "doc_url_dedup",
+    sql=f"""
+        WITH urls AS ({_MESSY_URLS_CTE}
+        ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '{_URL_PARTS_RE}', 1))
+                       AS scheme,
+                   regexp_replace(
+                       lower(regexp_extract(url, '{_URL_PARTS_RE}', 2)),
+                       '^www\\.', '') AS host,
+                   regexp_extract(url, '{_URL_PARTS_RE}', 3) AS port,
+                   regexp_extract(url, '{_URL_PARTS_RE}', 4) AS path,
+                   regexp_extract(url, '{_URL_PARTS_RE}', 5) AS query
+            FROM urls
+        ), kp AS (
+            SELECT *,
+                   list_sort(list_filter(
+                       string_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(
+                           p, '{_TRACKING_PARAM_RE}'))) AS kept_params
+            FROM parts
+        ), canon AS (
+            SELECT doc_id,
+                   CASE WHEN host = '' THEN NULL ELSE
+                     scheme || '://' || host
+                     || CASE WHEN port = ''
+                                  OR (scheme = 'http' AND port = '80')
+                                  OR (scheme = 'https'
+                                      AND port = '443')
+                             THEN '' ELSE ':' || port END
+                     || CASE WHEN regexp_replace(path, '/+$', '') = ''
+                             THEN '/'
+                             ELSE regexp_replace(path, '/+$', '') END
+                     || CASE WHEN len(kept_params) > 0
+                             THEN '?' || array_to_string(kept_params,
+                                                         '&')
+                             ELSE '' END
+                   END AS canon_url
+            FROM kp
+        ), first AS (
+            SELECT canon_url, MIN(doc_id) AS f
+            FROM canon WHERE canon_url IS NOT NULL GROUP BY 1
+        )
+        SELECT c.doc_id, c.canon_url,
+               (c.canon_url IS NULL OR c.doc_id = f.f) AS kept
+        FROM canon c LEFT JOIN first f USING (canon_url)
+    """,
+)
+def doc_url_dedup(spark, sf_dir):
+    """url_dedup / canonicalize_url (pipeline/curation.py): the crawl
+    stage before any content dedup — the same page refetched with
+    tracking params, fragments, www/default-port spellings or
+    reordered query params reduces to ONE canonical URL, and the
+    lowest doc id per canonical is kept.  The synthesized corpus
+    spells every page five ways; the oracle restates the full
+    canonicalization (same regex, same param filter/sort).  Scale:
+    one min aggregate on the canonical string + an equi-join back."""
+    from xcube_spark.pipeline.curation import url_dedup
+
+    d = F.col("doc_id")
+    host = F.concat(F.lit("h"), (d % 7).cast("string"),
+                    F.lit(".example.org"))
+    page = (d % 11).cast("string")
+    url = (
+        F.when(d % 5 == 0, F.concat(
+            F.lit("https://"), host, F.lit("/p/"), page))
+        .when(d % 5 == 1, F.concat(
+            F.lit("https://www."), host, F.lit(":443/p/"), page,
+            F.lit("/")))
+        .when(d % 5 == 2, F.concat(
+            F.lit("http://"), host, F.lit(":80/p/"), page,
+            F.lit("?utm_source=feed&gclid="), d.cast("string")))
+        .when(d % 5 == 3, F.concat(
+            F.lit("https://"), host, F.lit("/p/"), page,
+            F.lit("?b=2&a=1#sec"), d.cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://"), host, F.lit("/p/"), page,
+            F.lit("?a=1&b=2")))
+    )
+    urls = tbl(spark, sf_dir, "documents").select("doc_id",
+                                                  url.alias("url"))
+    return url_dedup(urls)
