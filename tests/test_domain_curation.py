@@ -132,3 +132,29 @@ def test_url_dedup_keeps_first_and_unparseable(spark):
     ], "doc_id long, url string")
     got = {r["doc_id"]: r["kept"] for r in url_dedup(df).collect()}
     assert got == {1: True, 2: False, 3: True, 4: True, 5: True}
+
+
+def test_incremental_domain_caps_sequential_chaining(spark):
+    """Chaining two batches through state addition equals applying
+    them sequentially — and a full domain never admits new docs."""
+    from xcube_spark.pipeline.curation import (domain_caps_state,
+                                               incremental_domain_caps)
+
+    mk = lambda ids: spark.createDataFrame(
+        [(i, f"https://src{i % 2}.com/p/{i}") for i in ids],
+        "doc_id long, url string")
+    cap = 3
+    b1, b2 = mk(range(10)), mk(range(100, 120))
+    s1 = domain_caps_state(b1, cap)
+    out2 = incremental_domain_caps(s1, b2, cap).collect()
+    # batch 1 fills both domains (5 docs each > cap=3): nothing admitted
+    assert all(not r["kept"] for r in out2)
+    # with a roomier cap the new batch takes exactly the leftovers
+    cap = 7
+    s1 = domain_caps_state(b1, cap)
+    out2 = incremental_domain_caps(s1, b2, cap).collect()
+    per_dom = {}
+    for r in out2:
+        per_dom.setdefault(r["domain"], []).append(r["kept"])
+    for dom, flags in per_dom.items():
+        assert sum(flags) == 2  # 7 - 5 already kept

@@ -1341,3 +1341,65 @@ def url_dedup(
             (F.col("canon_url").isNull()
              | (F.col(id_col) == F.col("__first"))).alias("kept"))
     )
+
+
+def domain_caps_state(
+    docs: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Compact per-domain state for :func:`incremental_domain_caps`:
+    ``(domain, n_kept)`` — how many slots each registered domain has
+    already consumed under :func:`domain_caps`.  Model-sized (one row
+    per domain)."""
+    kept = domain_caps(docs, cap, url_col=url_col, id_col=id_col)
+    return kept.where(F.col("kept")).groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"))
+
+
+def incremental_domain_caps(
+    state: DataFrame,
+    batch: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply per-domain caps to a NEW batch against accumulated state
+    WITHOUT rescanning the old corpus — the arrival-priority contract
+    (docs already shipped to training cannot be unshipped): a new doc
+    is kept only while its domain still has free slots, slots filled
+    in the same deterministic md5 order within the batch.
+
+    Returns ``(id, domain, kept)`` for the batch rows.  Chain batches
+    by adding the kept counts back into the state (integer addition —
+    associative across batches, so replaying a batch stream gives
+    exactly the sequential result).
+
+    Unlike the dedup family this is NOT merge == recompute: caps are
+    order-dependent by design, and the gate's oracle replays the SAME
+    two-phase sequence rather than a single-pass recompute.
+
+    Scale shape: one window on the batch (batch-sized) + a broadcast-
+    eligible join against the model-sized state.
+    """
+    from pyspark.sql import Window as W
+
+    ranked = batch.select(
+        F.col(id_col),
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+    ).withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy("domain").orderBy(
+                F.md5(F.col(id_col).cast("string")), F.col(id_col))),
+    )
+    st = state.select("domain", F.col("n_kept").alias("__prior"))
+    return (
+        ranked.join(st, "domain", "left")
+        .select(
+            id_col, "domain",
+            (F.col("__rk")
+             <= F.lit(cap) - F.coalesce("__prior", F.lit(0)))
+            .alias("kept"))
+    )

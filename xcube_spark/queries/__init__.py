@@ -125,6 +125,7 @@ PRIORITY_ORDER = (
     "events_resample_methods",
     "events_upsample_asfreq",
     "doc_url_dedup",
+    "doc_incremental_domain_caps",
     "cube_reproject_geos",
     "cube_reproject_omerc",
     # round-11 second-session additions (never sampled yet)

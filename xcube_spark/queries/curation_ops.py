@@ -1467,3 +1467,47 @@ def doc_url_dedup(spark, sf_dir):
     urls = tbl(spark, sf_dir, "documents").select("doc_id",
                                                   url.alias("url"))
     return url_dedup(urls)
+
+
+@query(
+    "doc_incremental_domain_caps",
+    sql="WITH urls AS (" + _DOMAIN_CTES + """
+        ), old_ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM reg WHERE doc_id < 400
+        ), state AS (
+            SELECT domain, COUNT(*) AS n_kept
+            FROM old_ranked WHERE rk <= 3 GROUP BY domain
+        ), new_ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                       AS rk
+            FROM reg WHERE doc_id >= 400
+        )
+        SELECT n.doc_id, n.domain,
+               n.rk <= 3 - COALESCE(s.n_kept, 0) AS kept
+        FROM new_ranked n LEFT JOIN state s USING (domain)
+    """,
+)
+def doc_incremental_domain_caps(spark, sf_dir):
+    """incremental_domain_caps (pipeline/curation.py): per-domain caps
+    applied to a NEW batch against the compact per-domain state of an
+    already-processed corpus prefix (doc_id < 400), WITHOUT rescanning
+    it — the arrival-priority contract (shipped docs can't be
+    unshipped; new docs fill only the remaining slots, in the same
+    deterministic md5 order).  The oracle replays the identical
+    two-phase sequence.  State is one model-sized row per domain;
+    the batch pass is one window + a broadcast join."""
+    from xcube_spark.pipeline.curation import (domain_caps_state,
+                                               incremental_domain_caps)
+
+    urls = _synth_urls(tbl(spark, sf_dir, "documents"))
+    state = domain_caps_state(urls.where(F.col("doc_id") < 400), cap=3)
+    return incremental_domain_caps(
+        state, urls.where(F.col("doc_id") >= 400), cap=3)
