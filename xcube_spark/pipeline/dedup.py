@@ -209,25 +209,29 @@ def minhash_near_dup_pairs(
     The shingle table feeds the signature branch, the verify pack, and
     (via broadcast builds, which each run their own job) the candidate
     set — without state materialization the explode/hash chain
-    re-executes once per consumer.  ``sh`` and ``cands`` are the
-    natural checkpoint points of the dedup DAG, and they materialize
-    as EAGER localCheckpoints (r12; the incremental_near_dedup lineage
-    lesson): a persist alone left every consumer's printed plan
-    re-deriving the whole explode/hash lineage (41-exchange plans and
-    compounding re-optimization), while the checkpoint truncates it —
-    the verify stage plans over two materialized scans (7 exchanges).
-    On a cluster this is exactly where a production dedup pipeline
-    checkpoints its state between build and verify."""
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col) \
-        .localCheckpoint(eager=True)
+    re-executes once per consumer.  Materialization strategy (r12,
+    measured at sf1): ``sh`` PERSISTS (columnar in-memory cache — the
+    verify pack re-scans it on every execution, and a row-serialized
+    checkpoint scan measured ~2x slower than the columnar cache),
+    while ``cands`` — the small candidate table where the whole
+    sig/band/bucket-join lineage converges — is an EAGER
+    localCheckpoint (the incremental_near_dedup lineage lesson): it
+    truncates the signature pipeline out of every downstream plan
+    (41 -> ~8 exchanges printed) without putting a checkpoint scan on
+    the hot re-execution path.  On a cluster these are exactly the
+    state boundaries a production dedup pipeline materializes."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(
         lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
         max_bucket_size=max_bucket_size,
     ).localCheckpoint(eager=True)
-    return jaccard_verify(sh, cands, id_col=id_col).where(
+    result = jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
+    from xcube_spark.util import tie_cache_lifetime
+    tie_cache_lifetime(result, sh)
+    return result
 
 
 def _block_hashes(docs: DataFrame, block_tokens: int, text_col: str,
