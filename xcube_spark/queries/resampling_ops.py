@@ -26,15 +26,8 @@ from xcube_spark.operators.resampling import (
     rectify_dataset,
     reproject_dataset,
 )
-import weakref
-
 from xcube_spark.queries import query
 from xcube_spark.queries.cube_ops import CUBE_CTE, GRID, SPARK_VARS
-
-#: persisted ij-lookup tables keyed (weakly) by session — rectify's
-#: declared reuse point: one lookup per (source geometry, target grid)
-_IJ_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
 
 def _cube_a(spark):
     from xcube_spark.queries.cube_ops import _cube
@@ -152,24 +145,16 @@ def cube_rectify_swath(spark, sf_dir):
     index translation (ty, tx) <- (ty + 1, tx - 1), which the oracle
     re-derives as a join; unmapped border rows stay NULL.
 
-    The ij-lookup is kept persisted per session — the operator's own
-    declared amortization point (rectify.py module docstring: computed
-    once per (source geometry, target grid) pair, equi-joined against
-    any number of variable sets / time steps)."""
-    from xcube_spark.operators.resampling.rectify import compute_ij_lookup
-
+    NOT cached across invocations (r12 optimization round): the
+    ij-lookup is recomputed per call, so a bench repeat measures
+    lookup + gather, not just the gather.  (On a cluster the operator
+    contract still amortizes it explicitly: compute_ij_lookup once
+    per (geometry, grid) pair, pass ij_lookup= to every rectify.)"""
     swath = _cube_a(spark).withColumns({
         "lon": F.col("x") + 0.6,
         "lat": F.col("y") - 1.1,
     })
-    per_session = _IJ_CACHE.setdefault(spark, {})
-    lookup = per_session.get("swath")
-    if lookup is None:
-        lookup = compute_ij_lookup(swath, GRID)
-        per_session["swath"] = lookup
-    if not lookup.is_cached:  # survives catalog.clearCache()
-        lookup.persist()
-    out = rectify_dataset(swath, GRID, var_names=["A"], ij_lookup=lookup)
+    out = rectify_dataset(swath, GRID, var_names=["A"])
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 

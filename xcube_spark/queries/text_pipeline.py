@@ -116,21 +116,16 @@ def doc_minhash_near_dups(spark, sf_dir):
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified
     (shingle -> md5 minhash -> band -> bucket join -> verify).
 
-    The PLAN memoizes per (session, sf_dir) — the bm25/dsir pattern:
-    the builder's persisted shingle and candidate tables tie to the
-    memoized object's lifetime, so repeated suite invocations reuse
-    one persisted dedup state instead of rebuilding the plan (the
-    production shape: dedup state is built once, queried repeatedly).
-    The verify/threshold stages still execute on every call."""
-    memo = _PLAN_CACHE.setdefault(spark, {})
-    key = ("minhash_pairs", sf_dir)
-    if key not in memo:
-        # direct return memoized — see doc_bm25_topk
-        memo[key] = minhash_near_dup_pairs(
-            tbl(spark, sf_dir, "documents"),
-            k=3, num_hashes=8, num_bands=2, threshold=0.8,
-        )
-    return memo[key].select(
+    NOT memoized (r12 optimization round): every invocation rebuilds
+    the full dedup pipeline from parquet — the builder's persisted
+    shingle table and checkpointed candidate table live only inside
+    one invocation, so a bench repeat measures the whole query, not
+    the verify tail of a previously materialized state."""
+    out = minhash_near_dup_pairs(
+        tbl(spark, sf_dir, "documents"),
+        k=3, num_hashes=8, num_bands=2, threshold=0.8,
+    )
+    return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -949,24 +944,18 @@ def doc_bm25_topk(spark, sf_dir):
     6-decimal rounding with doc_id tie-break so cross-engine 1-ulp
     sum-order noise cannot flip the top-k (k1 = 1.2, b = 0.75:
     1 - b = 0.25, k1 + 1 = 2.2 inlined identically in the oracle).
-    The result plan memoizes per (session, sf_dir) — the bloom-bitmap
-    pattern — so the builder's persisted candidate table survives
-    repeated suite invocations instead of being rebuilt (the library
-    releases it when the memoized plan drops)."""
+    NOT memoized (r12 optimization round): every invocation re-runs
+    the corpus-stats fold, the candidate build and the scoring join
+    from parquet; the builder's persisted candidate table lives only
+    inside one invocation."""
     from xcube_spark.pipeline.text import bm25_topk
 
-    memo = _PLAN_CACHE.setdefault(spark, {})
-    key = ("bm25", sf_dir)
-    if key not in memo:
-        docs = tbl(spark, sf_dir, "documents")
-        queries = spark.createDataFrame(
-            list(_BM25_QUERIES), "query_id int, query_text string")
-        # memoize the library's DIRECT return: the builder ties its
-        # persisted candidate table to THIS object's lifetime, so the
-        # memo (not a derived child) must hold it
-        memo[key] = bm25_topk(docs, queries, k=5)
-    return memo[key].select("query_id", "rank", "doc_id",
-                            F.round("score", 6).alias("score"))
+    docs = tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id int, query_text string")
+    out = bm25_topk(docs, queries, k=5)
+    return out.select("query_id", "rank", "doc_id",
+                      F.round("score", 6).alias("score"))
 
 
 #: 3-nibble md5 feature bucket as DuckDB SQL (no conv() in DuckDB —
@@ -1026,18 +1015,15 @@ def doc_dsir_weights(spark, sf_dir):
     (map-side combine).  Feature hashing is 3 md5 nibbles, replayed
     nibble-by-nibble in the oracle; smoothing constants (alpha = 0.5,
     alpha*B = 2048) are exact halves so both engines divide identical
-    doubles.  Memoized per (session, sf_dir) like doc_bm25_topk so the
-    persisted feature table survives repeated suite invocations."""
+    doubles.  NOT memoized (r12 optimization round): every invocation
+    re-runs the feature pass and the distribution fold from parquet;
+    the persisted feature table lives only inside one invocation."""
     from xcube_spark.pipeline.curation import dsir_importance_weights
 
-    memo = _PLAN_CACHE.setdefault(spark, {})
-    key = ("dsir", sf_dir)
-    if key not in memo:
-        docs = tbl(spark, sf_dir, "documents")
-        # direct return memoized — see doc_bm25_topk
-        memo[key] = dsir_importance_weights(
-            docs, F.col("source").isin("src0", "src1"))
-    return memo[key].select(
+    docs = tbl(spark, sf_dir, "documents")
+    out = dsir_importance_weights(
+        docs, F.col("source").isin("src0", "src1"))
+    return out.select(
         "doc_id", "n_tokens",
         F.round("log_weight", 6).alias("log_weight"))
 
