@@ -754,9 +754,12 @@ def test_substring_dedup_boundary_spans_property(spark):
 def test_bm25_topk_hand_scores_and_semi_filter_plan(spark):
     """bm25_topk matches hand-computed Okapi BM25 on a tiny corpus
     (k1=1.2, b=0.75), ranks deterministically, and the plan filters
-    the corpus tf table through a BROADCAST LEFT-SEMI join on the
-    query vocabulary BEFORE the scoring joins (at 100 TB the df/idf
-    and score stages must only ever see candidate rows)."""
+    the corpus tokens with a literal IN predicate on the query
+    vocabulary BEFORE the tf aggregate (at 100 TB the df/idf and
+    score stages must only ever see candidate rows), while df comes
+    from a second aggregation over the same candidate subtree (AQE
+    reuses the shuffle stage at runtime) — no persisted intermediate,
+    no broadcast build of corpus-derived data."""
     import math as m
 
     from xcube_spark.pipeline.text import bm25_topk
@@ -788,7 +791,10 @@ def test_bm25_topk_hand_scores_and_semi_filter_plan(spark):
 
     plan = bm25_topk(docs, queries, k=2)._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+    # vocabulary filter is a literal IN over the exploded tokens
+    assert "token" in plan and " IN (" in plan
+    # no LEFT-SEMI vocab join and no persisted intermediate remain
+    assert "LeftSemi" not in plan and "InMemoryTableScan" not in plan
 
 
 def test_dsir_weights_favor_target_vocabulary(spark):

@@ -73,10 +73,6 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     k-shingles of longer docs under the same hash."""
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-    )
     # explode amplifies rows ~tokens-per-doc x, so input-byte-based
     # file splitting underestimates the work: spread docs across the
     # cluster BEFORE the fan-out (a small shuffle of raw docs buys
@@ -85,11 +81,29 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
         docs.where(F.size(F.split(F.col(text_col), " ")) >= k)
         .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
-    # array_distinct already dedups within the doc, so the exploded
-    # (id, shingle) rows are unique by construction — no distinct
-    # shuffle needed (the whole shingle stage is a narrow map)
+    # k-window construction as arrays_zip of k shifted slices —
+    # whole-stage-codegen'd end to end; the former transform(sequence,
+    # i -> concat_ws(element_at...)) lambda evaluated interpreted
+    # (CodegenFallback kicks the whole projection out of codegen) and
+    # measured 2-30x slower with multi-second GC jitter at sf1 (r12
+    # optimization round, guide §4.1).  Tokens contain no spaces
+    # (they ARE space-split), so distinct (token, ...) k-tuples map
+    # 1:1 to distinct space-joined shingle strings — array_distinct
+    # on the struct array dedups within the doc exactly like the old
+    # string-level array_distinct, and the exploded (id, shingle)
+    # rows stay unique by construction (no distinct shuffle).
+    m = n - (k - 1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
     return (
-        spread.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        spread.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(zipped)).alias("__p"))
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", *[F.col(f"__p.t{j}") for j in range(k)]
+            ).alias("shingle"))
         .where(F.length("shingle") > 0)
     )
 

@@ -193,6 +193,7 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """BM25 keyword retrieval: top-``k`` documents per query by the
     Okapi BM25 score (Robertson & Walker 1994)
@@ -208,14 +209,19 @@ def bm25_topk(
     tie-break (the round-4 boundary discipline).
 
     Scale shape: per-doc length rides as a NARROW projection (no
-    length shuffle), and tokens are LEFT-SEMI filtered to the
-    broadcast query vocabulary BEFORE the tf aggregate — the only
-    corpus-wide shuffle carries candidate (doc, query-term) rows, not
-    the corpus vocabulary.  N/avgdl come from a separate map-side
-    one-row aggregate scan.  Per-query top-k is a window over
-    candidates (bounded by |queries| partitions).  Doc length counts
-    whitespace tokens of the trimmed text (documents are assumed
-    non-empty).
+    length shuffle), and tokens are filtered to the query vocabulary
+    (a literal InSet predicate in the scan projection) BEFORE the tf
+    aggregate — the only corpus-wide shuffle carries candidate
+    (doc, query-term) rows, not the corpus vocabulary.  df/idf come
+    from a second aggregation over the SAME candidate exchange
+    (ReusedExchange) shuffle-hash-joined back, so the whole scoring
+    pipeline is ONE job with no persisted intermediate.  N/avgdl come
+    from a separate map-side one-row aggregate scan.  Per-query top-k
+    is a window over candidates (bounded by |queries| partitions).
+    Doc length counts whitespace tokens of the trimmed text
+    (documents are assumed non-empty).  ``query_rows`` optionally
+    supplies the (query_id, query_text) pairs driver-side, skipping
+    the query-table collect round trip.
     """
     from pyspark.sql.window import Window
 
@@ -239,28 +245,34 @@ def bm25_topk(
     n_docs = int(srow["__n"] or 0)
     tdl = int(srow["__tdl"] or 0)
 
-    # the query set is broadcast-small BY CONTRACT, so its term table
-    # collects once and rebuilds as a LOCAL relation (r12 plan
-    # slimming): the per-query distinct/vocab exchanges and their
-    # repeated query-side scans disappear; the broadcast builds ship
-    # driver rows instead of re-executing lineage.  Tokenization
-    # mirrors F.split(F.trim(x), '\s+') (ASCII whitespace runs —
-    # identical for this corpus; Java \s is ASCII-only).
+    # the query set is broadcast-small BY CONTRACT: its term pairs are
+    # computed driver-side (callers with the rows in hand pass
+    # query_rows and skip the collect round trip entirely).
+    # Tokenization mirrors F.split(F.trim(x), '\s+') (ASCII whitespace
+    # runs — identical for this corpus; Java \s is ASCII-only).
     import re as _re
 
-    q_rows = queries.select(query_id_col, query_text_col).collect()
+    if query_rows is None:
+        query_rows = [
+            (r[query_id_col], r[query_text_col])
+            for r in queries.select(query_id_col, query_text_col).collect()
+        ]
     qt_pairs = sorted({
-        (r[query_id_col], t)
-        for r in q_rows
-        for t in _re.split(r"\s+", (r[query_text_col] or "").strip())
+        (qid, t)
+        for qid, qtext in query_rows
+        for t in _re.split(r"\s+", (qtext or "").strip())
         if t
     })
     qid_t = dict(queries.dtypes)[query_id_col]
     spark = queries.sparkSession
     qterms = spark.createDataFrame(
-        qt_pairs, f"query_id {qid_t}, token string")
-    vocab = spark.createDataFrame(
-        sorted({t for _, t in qt_pairs}), "string").toDF("token")
+        qt_pairs, f"query_id {qid_t}, token string") if qt_pairs else \
+        spark.createDataFrame([], f"query_id {qid_t}, token string")
+    # the query vocabulary filters the corpus as a LITERAL InSet
+    # predicate (r12 optimization round) — same candidate set as the
+    # former broadcast LEFT-SEMI join, but it rides the scan
+    # projection with no broadcast-build job and stays codegen
+    vocab_list = sorted({t for _, t in qt_pairs})
 
     # materialize the token array ONCE per row (the regex split is
     # the dominant map cost); dl derives from it without re-splitting
@@ -270,24 +282,28 @@ def bm25_topk(
     ).select(
         id_col, F.size("__toks").cast("long").alias("dl"),
         F.explode("__toks").alias("token"),
-    ).where(F.col("token") != "")
-    cand = toks.join(F.broadcast(vocab), "token", "left_semi")
-    # candidate-sized by construction; persisted because it feeds both
-    # the dfreq broadcast build job and the scoring join (broadcasts
-    # materialize eagerly as separate jobs, outside exchange reuse)
-    tf = cand.groupBy(id_col, "dl", "token").agg(
-        F.count("*").alias("tf")).persist()
-    # dfreq is query-vocab-sized (exact BIGINTs): collect from the
-    # freshly-cached tf and rebuild local — one less hash exchange
-    # and no broadcast-build lineage re-execution
-    df_rows = [(r["token"], r["df"]) for r in tf.groupBy("token").agg(
-        F.count("*").cast("long").alias("df")).collect()]
-    dfreq = spark.createDataFrame(df_rows, "token string, df long") \
-        if df_rows else spark.createDataFrame([], "token string, df long")
+    ).where((F.col("token") != "") & F.col("token").isin(vocab_list))
+    tf = toks.groupBy(id_col, "dl", "token").agg(
+        F.count("*").alias("tf"))
+    # dfreq re-aggregates the SAME candidate tf subtree — Catalyst
+    # plans the shared exchange once (ReusedExchange), and the
+    # shuffle_hash hint keeps the join off the static broadcast path
+    # (a broadcast build is a separate eager job that would re-execute
+    # the tokenize lineage instead of reusing the exchange — r9
+    # lesson).  One action therefore runs the whole query as one job:
+    # no persist, no driver round trip, no broadcast-build job.
+    # count(CASE WHEN tf >= 1) == count(*) (tf is a count, always
+    # >= 1), but the value-dependence keeps the tf column referenced
+    # so column pruning cannot specialize this branch's subtree away
+    # from the scoring branch's — identical subtrees are what make
+    # the exchange reusable (a bare count() gets rewritten to
+    # count(1) and the whole tf aggregate pruned out).
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).cast("long").alias("df"))
 
     scored = (
-        tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(dfreq), "token")
+        tf.join(dfreq.hint("shuffle_hash"), "token")
+        .join(F.broadcast(qterms), "token")
         .withColumn(
             "__idf",
             F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
@@ -309,11 +325,6 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", id_col, "score")
     )
-    # release the candidate cache when the result goes out of scope —
-    # persisted-and-forgotten intermediates accumulate across
-    # invocations in a long-lived session (advice r9)
-    from xcube_spark.util import tie_cache_lifetime
-    tie_cache_lifetime(result, tf)
     return result
 
 
@@ -680,6 +691,28 @@ def bpe_tokenize(
     )
 
 
+def _adjacent_pairs(docs: DataFrame, text_col: str) -> DataFrame:
+    """(a, b) adjacent-token pairs, one row per occurrence.
+
+    Built as ``explode(arrays_zip(slice(ts, 1, n-1), slice(ts, 2,
+    n-1)))`` — every operator whole-stage-codegen'd.  The former
+    ``transform(sequence(...), i -> struct(...))`` lambda evaluated
+    interpreted (CodegenFallback) and measured 2x slower at sf1
+    (3.1 s vs 1.5 s for the edge aggregate; r12 optimization round,
+    guide §4.1 "prefer built-ins")."""
+    arr = docs.select(
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"))
+    n = F.size("ts")
+    zipped = F.arrays_zip(
+        F.slice("ts", 1, n - 1).alias("a"),
+        F.slice(F.col("ts"), 2, n - 1).alias("b"))
+    return (
+        arr.where(n >= 2)
+        .select(F.explode(zipped).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    )
+
+
 def textrank_keywords(
     docs: DataFrame,
     iters: int = 4,
@@ -709,19 +742,16 @@ def textrank_keywords(
     sized state, corpus touched exactly once.  Four iterations over
     100 TB = one tokenize scan + four vocabulary-sized joins.
     """
-    arr = docs.select(
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"))
-    pairs = (
-        arr.where(F.size("ts") >= 2)
-        .select(F.explode(F.expr(
-            "transform(sequence(1, size(ts) - 1), i -> struct("
-            "element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
-            .alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    )
-    und = pairs.union(pairs.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
-    edges = (und.groupBy("a", "b").agg(F.count("*").alias("w"))
+    pairs = _adjacent_pairs(docs, text_col)
+    # aggregate the DIRECTED pairs first (one corpus scan, map-side
+    # combined), then symmetrize the vocabulary²-sized aggregate:
+    # undirected w(a,b) = w_dir(a,b) + w_dir(b,a), exact integers —
+    # the former union of two pair streams scanned and exploded the
+    # corpus twice (guide §2.3, aggregate before you shuffle)
+    dir_edges = pairs.groupBy("a", "b").agg(F.count("*").alias("w"))
+    und = dir_edges.union(dir_edges.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b"), "w"))
+    edges = (und.groupBy("a", "b").agg(F.sum("w").alias("w"))
              .withColumnRenamed("a", "src")
              .withColumnRenamed("b", "dst"))
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
@@ -778,21 +808,22 @@ def textrank_keywords_driver(
     """
     from decimal import ROUND_HALF_UP, Decimal
 
-    arr = docs.select(
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("ts"))
-    pairs = (
-        arr.where(F.size("ts") >= 2)
-        .select(F.explode(F.expr(
-            "transform(sequence(1, size(ts) - 1), i -> struct("
-            "element_at(ts, i) as a, element_at(ts, i + 1) as b))"))
-            .alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-    )
-    und = pairs.union(pairs.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
-    edges = (und.groupBy("a", "b").agg(F.count("*").alias("w"))
-             .limit(max_edges + 1).collect())
-    if len(edges) > max_edges:
+    pairs = _adjacent_pairs(docs, text_col)
+    # aggregate DIRECTED adjacent pairs distributedly (one corpus
+    # scan, map-side combined, one row per distinct ordered pair) and
+    # symmetrize the model-sized edge list on the driver: the former
+    # union(pairs, pairs.swap) re-executed the scan+explode for each
+    # union branch and shuffled both copies — the undirected weight is
+    # just w(a,b) + w(b,a), exact integer addition (r12 optimization
+    # round; guide §2.3 "aggregate before you shuffle")
+    directed = (pairs.groupBy("a", "b").agg(F.count("*").alias("w"))
+                .limit(max_edges + 1).collect())
+    und: dict = {}
+    for r in directed:
+        a, b, w = r["a"], r["b"], r["w"]
+        und[(a, b)] = und.get((a, b), 0) + w
+        und[(b, a)] = und.get((b, a), 0) + w
+    if len(directed) > max_edges or len(und) > max_edges:
         return textrank_keywords(docs, iters=iters, damping=damping,
                                  top=top, text_col=text_col,
                                  round_dec=round_dec)
@@ -803,9 +834,9 @@ def textrank_keywords_driver(
                                          rounding=ROUND_HALF_UP))
 
     ow: dict = {}
-    for r in edges:
-        ow[r["a"]] = ow.get(r["a"], 0) + r["w"]
-    norm = [(r["a"], r["b"], r["w"] / ow[r["a"]]) for r in edges]
+    for (a, _b), w in und.items():
+        ow[a] = ow.get(a, 0) + w
+    norm = [(a, b, w / ow[a]) for (a, b), w in und.items()]
     pr = {tok: 1.0 for tok in ow}
     base = 1.0 - damping
     for _ in range(iters):

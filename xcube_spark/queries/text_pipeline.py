@@ -953,7 +953,7 @@ def doc_bm25_topk(spark, sf_dir):
     docs = tbl(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id int, query_text string")
-    out = bm25_topk(docs, queries, k=5)
+    out = bm25_topk(docs, queries, k=5, query_rows=list(_BM25_QUERIES))
     return out.select("query_id", "rank", "doc_id",
                       F.round("score", 6).alias("score"))
 
@@ -1266,14 +1266,16 @@ def doc_bm25_selfretrieval(spark, sf_dir):
             F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 8),
             " ").alias("query_text"))
     # collect the (broadcast-small) query set ONCE into a local
-    # relation: bm25_topk's own query-side collect then reads driver
-    # rows instead of re-scanning documents, and the query count
-    # inlines as an exact literal (removes the final scalar
+    # relation: bm25_topk reads the collected driver rows directly
+    # (query_rows) instead of re-scanning documents, and the query
+    # count inlines as an exact literal (removes the final scalar
     # BroadcastNestedLoopJoin) — r12 plan slimming
     q_rows = queries.collect()
     queries_local = spark.createDataFrame(
         q_rows, "query_id bigint, query_text string")
-    res = bm25_topk(docs, queries_local, k=10)
+    res = bm25_topk(docs, queries_local, k=10,
+                    query_rows=[(r["query_id"], r["query_text"])
+                                for r in q_rows])
     hits = res.where(F.col("query_id") == F.col("doc_id"))
     n_q = len(q_rows)
     return hits.agg(
