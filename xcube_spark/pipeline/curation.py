@@ -56,68 +56,70 @@ def det_hash(col: Column) -> Column:
 # decontamination
 
 
+def _ngram_zip(toks, n: int):
+    """``array<struct>`` of the n-token windows of ``toks`` — built as
+    ``arrays_zip`` of ``n`` shifted slices, whole-stage-codegen'd.
+    Caller guarantees ``size(toks) >= n`` (slice length must be
+    positive)."""
+    m = F.size(toks) - (n - 1)
+    return F.arrays_zip(
+        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)])
+
+
+def _ngram_str(n: int):
+    return F.concat_ws(" ", *[F.col(f"__p.t{j}") for j in range(n)])
+
+
 def ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
            carry: tuple = ()) -> DataFrame:
     """Explode each document into its word n-grams (distinct per doc).
 
-    Built as ``posexplode`` + ``lead(tok, k)`` + ``concat_ws`` — every
-    operator whole-stage-codegen'd (same rationale as
-    :func:`substring_dedup_stats`: the array form with ``transform``
-    over ``slice``+``array_join`` computes identical strings but
-    higher-order lambdas evaluate interpreted and dominate at corpus
-    scale).  Docs shorter than ``n`` tokens yield no rows (the last
-    lead is null for every position).
+    Built as ``explode(array_distinct(arrays_zip(slice, ..)))`` +
+    ``concat_ws`` — a NARROW, fully codegen'd map (r12 optimization
+    round): the former ``posexplode`` + ``lead`` window + global
+    ``.distinct()`` computed the identical rows but paid TWO
+    corpus-wide shuffles (token table by doc_id, gram table by
+    (doc_id, ngram)).  Tokens cannot contain the join space (they are
+    whitespace-split), so distinct token n-tuples map 1:1 to distinct
+    joined strings, and per-document ``array_distinct`` equals the
+    old global distinct (one input row per doc_id).  Docs shorter
+    than ``n`` tokens yield no rows.
 
     ``carry`` lists extra per-document columns to keep on the output
     rows (e.g. a split tag) — carried through the explode instead of
     joined back afterwards.
-    """
-    from pyspark.sql import Window as W
 
+    The narrow map concentrates ALL the work in the scan stage, so a
+    few-split small file would serialize it — spread first (no-op at
+    real scale; the old form inherited parallelism from its window
+    shuffle).
+    """
+    from xcube_spark.util import spread_small_input
+
+    df = spread_small_input(df)
     carry = list(carry)
-    toks = df.select(
-        "doc_id", *carry,
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .alias("pos", "__tok"),
-    )
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("__tok")] + [
-        F.lead("__tok", k).over(w) for k in range(1, n)
-    ]
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     return (
-        toks.select(
+        df.where(F.size(toks) >= n)
+        .select(
             "doc_id", *carry,
-            F.concat_ws(" ", *parts).alias("ngram"),
-            F.lead("__tok", n - 1).over(w).alias("__full"),
-        )
-        .where(F.col("__full").isNotNull())
-        .select("doc_id", *carry, "ngram")
-        .distinct()
+            F.explode(F.array_distinct(_ngram_zip(toks, n))).alias("__p"))
+        .select("doc_id", *carry, _ngram_str(n).alias("ngram"))
     )
 
 
 def ngrams_narrow(df: DataFrame, text_col: str = "text",
                   n: int = 3) -> DataFrame:
-    """Shuffle-free word n-grams: one narrow map per document
-    (``sequence`` + ``transform`` over ``slice``) — NO window, NO
-    distinct, duplicates kept.
-
-    The higher-order lambdas evaluate interpreted, so this form loses
-    to :func:`ngrams` on a corpus-sized side — but for a SMALL side
-    (a decontamination benchmark set feeding an idempotent bit_or
-    aggregate) the two window/distinct shuffles it avoids are pure
-    job-floor cost.  Docs shorter than ``n`` tokens yield no rows."""
+    """Word n-grams with per-doc duplicates KEPT: same narrow
+    ``arrays_zip`` construction as :func:`ngrams` minus the
+    ``array_distinct`` — for consumers where duplicates are free
+    (e.g. an idempotent ``bit_or`` Bloom aggregate).  Docs shorter
+    than ``n`` tokens yield no rows."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.when(
-        F.size(toks) >= n,
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    return df.select(
-        "doc_id",
-        F.explode(
-            F.transform(starts,
-                        lambda i: F.array_join(F.slice(toks, i, n), " "))
-        ).alias("ngram"),
+    return (
+        df.where(F.size(toks) >= n)
+        .select("doc_id", F.explode(_ngram_zip(toks, n)).alias("__p"))
+        .select("doc_id", _ngram_str(n).alias("ngram"))
     )
 
 
@@ -405,36 +407,30 @@ def substring_dedup_stats(
     Returns (doc_id, n_windows, n_dup, dup_frac) for every doc; docs
     shorter than ``window`` tokens report zeros.
 
-    Window construction is ``posexplode`` + ``lead(tok, k)`` +
-    ``concat_ws`` — every operator whole-stage-codegen'd.  The array
-    form (``transform`` over ``slice``+``array_join``) computes the
-    same strings but higher-order lambdas run interpreted: measured
-    47 s -> ~3 s at sf1 (50k docs) for this stage.  Cost: one extra
-    shuffle on (doc_id, pos) for the lead window — skew-bounded by
-    document length, never by corpus size.
+    Window construction is ``posexplode`` over ``arrays_zip`` of
+    ``window`` shifted slices + ``concat_ws`` — a NARROW, fully
+    codegen'd map (r12 optimization round): the former ``posexplode``
+    + ``lead(tok, k)`` window computed the same strings but paid a
+    corpus-wide shuffle on (doc_id, pos) first.  (The ``transform``
+    over ``slice``+``array_join`` array form also computes the same
+    strings but higher-order lambdas run interpreted: measured 47 s
+    -> ~3 s at sf1 for this stage — ``arrays_zip`` is the shape that
+    is both narrow AND codegen.)  ``posexplode`` emits the 0-based
+    window-start position, identical to the old token-table ``pos``.
     """
     from pyspark.sql import Window as W
 
-    toks_tbl = docs.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
-        .alias("pos", "__tok"),
-    )
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("__tok")] + [
-        F.lead("__tok", k).over(w) for k in range(1, window)
-    ]
-    # concat_ws skips nulls, so guard on the LAST lead: only positions
-    # with a full window survive (short docs produce no rows)
+    from xcube_spark.util import spread_small_input
+
+    spread = spread_small_input(docs)
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     wins = (
-        toks_tbl.select(
-            id_col,
-            "pos",
-            F.concat_ws(" ", *parts).alias("__g"),
-            F.lead("__tok", window - 1).over(w).alias("__full"),
-        )
-        .where(F.col("__full").isNotNull())
-        .select(id_col, "pos", F.md5("__g").alias("__h"))
+        spread.where(F.size(toks) >= window)
+        .select(
+            F.col(id_col),
+            F.posexplode(_ngram_zip(toks, window)).alias("pos", "__p"))
+        .select(id_col, "pos",
+                F.md5(_ngram_str(window)).alias("__h"))
     )
     # first-occurrence via a window MIN over the span hash: ONE
     # exchange of the span table, versus groupBy+join's two (the agg
@@ -544,23 +540,26 @@ def substring_dedup_clean(
     """
     from pyspark.sql import Window as W
 
-    toks_tbl = docs.select(
+    from xcube_spark.util import spread_small_input
+
+    spread = spread_small_input(docs)
+    toks_tbl = spread.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))
         .alias("pos", "__tok"),
     )
     w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("__tok")] + [
-        F.lead("__tok", k).over(w) for k in range(1, window)
-    ]
+    # span hashes via the narrow arrays_zip window form (see
+    # substring_dedup_stats) — no (doc_id, pos) shuffle for the spans;
+    # the token table still shuffles once for the coverage window
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     wins = (
-        toks_tbl.select(
-            id_col, "pos",
-            F.concat_ws(" ", *parts).alias("__g"),
-            F.lead("__tok", window - 1).over(w).alias("__full"),
-        )
-        .where(F.col("__full").isNotNull())
-        .select(id_col, "pos", F.md5("__g").alias("__h"))
+        spread.where(F.size(toks) >= window)
+        .select(
+            F.col(id_col),
+            F.posexplode(_ngram_zip(toks, window)).alias("pos", "__p"))
+        .select(id_col, "pos",
+                F.md5(_ngram_str(window)).alias("__h"))
     )
     # window-min over the span hash, not groupBy+join — one exchange
     # of the span table instead of two (see substring_dedup_stats)
