@@ -100,11 +100,16 @@ def _fixed_year_decode(value: Column, units: str, year_days: int,
     year = F.floor(day / year_days).cast("int")
     doy = (day - year.cast("long") * year_days).cast("int")
 
-    month = F.lit(1)
-    for m in range(2, 13):  # CASE chain: highest cum <= doy wins
-        month = F.when(doy >= F.lit(month_cum[m - 1]), F.lit(m)) \
-            .otherwise(month)
-    dom = doy - _cum_expr(month, month_cum) + 1
+    # month = 1 + |{m in 2..12 : doy >= cum[m-1]}| — a LINEAR sum of
+    # comparisons, each referencing doy once.  The former CASE chain
+    # was also linear, but _cum_expr(month) then re-inlined the whole
+    # month tree once per WHEN arm and every later reference inlined
+    # again — the expression tree grew multiplicatively and a 4-
+    # calendar projection took ~15 s to ANALYZE and another ~15 s to
+    # compile (r12 optimization round; the round-5 "materialize
+    # between stages" lesson, solved here inside one Column).
+    month = _month_from_doy(doy, month_cum)
+    dom = doy - _cum_lookup(month, month_cum) + 1
     if year_days == 360:  # Feb 29/30 have no Gregorian image
         dom = F.when(month == 2, F.least(dom, F.lit(28))).otherwise(dom)
     if year_days == 366:  # Feb 29 only exists in Gregorian leap years
@@ -152,13 +157,12 @@ def _julian_decode(value: Column, units: str) -> Column:
     is_leap = a == 0
     doy = F.when(is_leap, r).otherwise(r - 366 - (a - 1) * 365)
 
-    # leap-aware month: cum[m] gains 1 for months after February
-    month = F.lit(1)
-    for m in range(2, 13):
-        cum = F.lit(_NOLEAP_CUM[m - 1]) + F.when(
-            is_leap & F.lit(m > 2), F.lit(1)).otherwise(F.lit(0))
-        month = F.when(doy >= cum, F.lit(m)).otherwise(month)
-    cum_m = _cum_expr(month, _NOLEAP_CUM) + F.when(
+    # leap-aware month: cum[m] gains 1 for months after February —
+    # same linear-growth construction as _fixed_year_decode (see the
+    # expression-tree note there)
+    leap1 = F.when(is_leap, F.lit(1)).otherwise(F.lit(0))
+    month = _month_from_doy(doy, _NOLEAP_CUM, leap1=leap1)
+    cum_m = _cum_lookup(month, _NOLEAP_CUM) + F.when(
         is_leap & (month > 2), F.lit(1)).otherwise(F.lit(0))
     dom = doy - cum_m + 1
     # Feb 29 of a Julian-only leap year (e.g. 1900) has no Gregorian
@@ -173,8 +177,25 @@ def _julian_decode(value: Column, units: str) -> Column:
     )
 
 
-def _cum_expr(month: Column, month_cum: list[int]) -> Column:
-    out = F.lit(month_cum[0])
+def _month_from_doy(doy: Column, month_cum: list[int],
+                    leap1: Column | None = None) -> Column:
+    """month = 1 + count of months m in 2..12 with doy >= cum[m-1]
+    (cum strictly increasing) — equivalent to the highest-cum-wins
+    CASE chain but every comparison references ``doy`` exactly once,
+    so the tree grows linearly.  ``leap1`` (0/1) shifts the cum of
+    every month after February (Julian leap years)."""
+    month = F.lit(1)
     for m in range(2, 13):
-        out = F.when(month == m, F.lit(month_cum[m - 1])).otherwise(out)
-    return out
+        cum = F.lit(month_cum[m - 1])
+        if leap1 is not None and m > 2:
+            cum = cum + leap1
+        month = month + (doy >= cum).cast("int")
+    return month
+
+
+def _cum_lookup(month: Column, month_cum: list[int]) -> Column:
+    """cum[month-1] via element_at over a 12-literal array — the
+    ``month`` subtree is referenced ONCE (the former per-month CASE
+    chain inlined it once per arm)."""
+    return F.element_at(
+        F.array(*[F.lit(c) for c in month_cum]), month)

@@ -76,7 +76,15 @@ def compute_ij_lookup(
         F.col("x_i").alias("src_x_i"),
         F.col(lon_name).alias("__lon"),
         F.col(lat_name).alias("__lat"),
-    ).dropDuplicates(["src_y_i", "src_x_i"])
+    )
+    if k > 1:
+        # ranking top-k per target cell counts each source pixel once;
+        # repeated geometry rows (one per time step) would occupy k
+        # slots.  For k == 1 the min_by/min aggregation is duplicate-
+        # insensitive (identical (lon, lat, d2) per source pixel), so
+        # the dedup shuffle of the corpus-sized geometry is pure cost
+        # and is skipped (r12 optimization round).
+        geo = geo.dropDuplicates(["src_y_i", "src_x_i"])
 
     tx = target.x_index_expr(F.col("__lon"))
     ty = target.y_index_expr(F.col("__lat"))
@@ -338,6 +346,7 @@ def rectify_dataset(
     interpolation: str = "nearest",
     k: int = 4,
     uv_delta: float = 1e-3,
+    time_values: Iterable[int] | None = None,
 ) -> DataFrame:
     """Rectify an irregular-coords cube onto ``target``.
 
@@ -350,7 +359,9 @@ def rectify_dataset(
     1/d2 blend), or the reference's fractional 'triangular'/'bilinear'
     (rectify.py:20, value parity — see module docstring).  For the
     fractional modes a precomputed ``ij_lookup`` must come from
-    :func:`compute_ij_lookup_fractional`."""
+    :func:`compute_ij_lookup_fractional`.  ``time_values`` optionally
+    declares the source's time axis (the distinct ``t_i`` values),
+    skipping a distinct scan and a count job (nearest/idw modes)."""
     from xcube_spark.cube.grid import var_names as cube_vars
 
     if interpolation not in ("nearest", "idw", "triangular", "bilinear"):
@@ -381,12 +392,21 @@ def rectify_dataset(
             (F.col("id") % target.width).cast("int").alias("x_i"),
         )
     )
-    # all (time, target cell) combinations; time axis is shared.  The
-    # count is one tiny agg job (distinct of a partition-level int) and
-    # feeds the broadcast cost model below — `mapped` is T x plane, so
-    # sizing it from the plane alone undercounts by the time factor.
-    times = source.select("t_i").distinct()
-    n_times = times.count()
+    # all (time, target cell) combinations; time axis is shared.  A
+    # caller that KNOWS its time axis passes time_values and skips
+    # both the distinct scan of the source and the count job the cost
+    # model below otherwise needs (mapped is T x plane, so sizing it
+    # from the plane alone undercounts by the time factor) — r12
+    # optimization round.
+    if time_values is not None:
+        tvals = sorted(set(int(t) for t in time_values))
+        n_times = len(tvals)
+        times = spark.createDataFrame(
+            [(t,) for t in tvals],
+            source.select("t_i").schema)
+    else:
+        times = source.select("t_i").distinct()
+        n_times = times.count()
     grid = times.crossJoin(tgt_plane)
 
     src_vals = source.select(

@@ -154,7 +154,8 @@ def cube_rectify_swath(spark, sf_dir):
         "lon": F.col("x") + 0.6,
         "lat": F.col("y") - 1.1,
     })
-    out = rectify_dataset(swath, GRID, var_names=["A"])
+    out = rectify_dataset(swath, GRID, var_names=["A"],
+                          time_values=range(GRID.time_periods))
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
@@ -2506,7 +2507,7 @@ def events_rectify_grid(spark, sf_dir):
         "lon": F.col("x_i") - F.lit(0.27),   # floor -> x_i - 1
         "lat": F.col("y_i") + F.lit(1.31),   # floor -> y_i + 1
     })
-    out = rectify_dataset(swath, grid, var_names=["A"])
+    out = rectify_dataset(swath, grid, var_names=["A"], time_values=[0])
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
