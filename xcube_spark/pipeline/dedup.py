@@ -220,32 +220,29 @@ def minhash_near_dup_pairs(
     """Full MinHash+LSH near-dup pipeline: shingle -> signature -> band
     -> bucket join -> exact-Jaccard verify -> threshold.
 
-    The shingle table feeds the signature branch, the verify pack, and
-    (via broadcast builds, which each run their own job) the candidate
-    set — without state materialization the explode/hash chain
-    re-executes once per consumer.  Materialization strategy (r12,
-    measured at sf1): ``sh`` PERSISTS (columnar in-memory cache — the
-    verify pack re-scans it on every execution, and a row-serialized
-    checkpoint scan measured ~2x slower than the columnar cache),
-    while ``cands`` — the small candidate table where the whole
-    sig/band/bucket-join lineage converges — is an EAGER
-    localCheckpoint (the incremental_near_dedup lineage lesson): it
-    truncates the signature pipeline out of every downstream plan
-    (41 -> ~8 exchanges printed) without putting a checkpoint scan on
-    the hot re-execution path.  On a cluster these are exactly the
-    state boundaries a production dedup pipeline materializes."""
-    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col).persist()
+    Materialization strategy (re-measured r12 optimization round, now
+    that the shingle map is narrow codegen): ``cands`` — the small
+    candidate table where the whole sig/band/bucket-join lineage
+    converges — is an EAGER localCheckpoint (the incremental_near_
+    dedup lineage lesson): it truncates the signature pipeline out of
+    every downstream plan, so the verify stage never re-runs it.  The
+    shingle table is NOT persisted: it is consumed exactly twice (the
+    signature pass at checkpoint time, the verify pack at execution),
+    and recomputing the narrow codegen map (sf0.1 1.6-1.8 s/call vs
+    1.9-2.6 s persisted; stable at sf1 where the persisted variant
+    shows 20 s GC stalls from cache churn) beats caching a
+    corpus x shingles/doc table — which at 100 TB would not fit
+    executor storage anyway; two narrow scans is the scale-stable
+    shape."""
+    sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(
         lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
         max_bucket_size=max_bucket_size,
     ).localCheckpoint(eager=True)
-    result = jaccard_verify(sh, cands, id_col=id_col).where(
+    return jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
-    from xcube_spark.util import tie_cache_lifetime
-    tie_cache_lifetime(result, sh)
-    return result
 
 
 def _block_hashes(docs: DataFrame, block_tokens: int, text_col: str,

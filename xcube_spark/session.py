@@ -27,6 +27,14 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # guide §3.1 / §9: let the planner pick shuffled-hash over
+    # sort-merge when the per-partition build side fits (no sort), and
+    # let AQE rewrite SMJ->SHJ at runtime when every post-shuffle
+    # partition is under 64 MB.  Measured on the frozen bench: wins on
+    # the dedup family (minhash/simhash/substring), flat elsewhere.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
+        str(64 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
@@ -57,6 +65,16 @@ def get_session(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.default.parallelism"] = str(cpus)
+    # deployment/scale overrides from the environment (JSON map of
+    # conf key -> value): production values (bigger shuffle partition
+    # counts, cluster codecs, ...) stay parameterised while the local
+    # defaults keep the driver's bench comparable
+    env_conf = os.environ.get("SPARK_GRAFT_CONF")
+    if env_conf:
+        import json
+
+        conf.update({str(k): str(v)
+                     for k, v in json.loads(env_conf).items()})
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
