@@ -736,12 +736,15 @@ def dsir_importance_weights(
         (F.conv(F.substring(F.md5(F.col("token")), 1, 3), 16, 10)
          .cast("int") % n_buckets).alias("f"))
     # the featurized count table feeds BOTH the distribution estimate
-    # (via the broadcast llr build job) and the scoring sum; persist
-    # it so the tokenize+md5 pass runs ONCE (the llr broadcast
-    # materializes eagerly as its own job, outside exchange reuse) —
-    # the production shape materializes the feature table anyway
+    # (the counts collect below) and the scoring sum.  NOT persisted
+    # (r12 optimization round): recomputing the narrow codegen
+    # tokenize+md5 pass for the second consumer measured FASTER and
+    # far more stable than caching it (sf0.1 medians 1.71-1.74 s with
+    # 2-2.8 s GC outliers persisted vs 1.51-1.57 s recomputed — per-
+    # invocation caches churn the old gen across repeated calls), and
+    # at 100 TB a corpus x buckets cache would not fit storage anyway.
     pre = feats.groupBy(id_col, "__tgt", "f").agg(
-        F.count("*").alias("c")).persist()
+        F.count("*").alias("c"))
     # driver-side distribution fold (r12 plan slimming): the bucket
     # count table is MODEL-sized (<= n_buckets rows of exact BIGINTs)
     # — collect it from the freshly-cached feature table, total it in
@@ -776,11 +779,6 @@ def dsir_importance_weights(
              F.round(F.sum(F.col("llr") * F.col("c")) + 1e-9, 6)
              .alias("log_weight"))
     )
-    # release the feature cache when the result goes out of scope —
-    # persisted-and-forgotten intermediates accumulate across
-    # invocations in a long-lived session (advice r9)
-    from xcube_spark.util import tie_cache_lifetime
-    tie_cache_lifetime(result, pre)
     return result
 
 
