@@ -97,15 +97,20 @@ def compute_ij_lookup(
     d2 = (F.col("__lon") - cx) ** 2 + (F.col("__lat") - cy) ** 2
 
     if k == 1:
+        # one min(struct) instead of min_by + min: the struct orders by
+        # d2 first, so src IS the argmin and struct.d2 == min(d2) — one
+        # aggregate buffer, and ties (equal d2) break deterministically
+        # by (src_y_i, src_x_i) where min_by picked arbitrarily
+        # (measured r12: 0.72 -> 0.53 s noop on the sf0.1 ij-lookup)
         return mapped.groupBy("y_i", "x_i").agg(
-            F.min_by(F.struct("src_y_i", "src_x_i"), d2).alias("src"),
-            F.min(d2).alias("d2"),
+            F.min(F.struct(d2.alias("d2"), F.col("src_y_i"),
+                           F.col("src_x_i"))).alias("src"),
         ).select(
             "y_i",
             "x_i",
             F.col("src.src_y_i").alias("src_y_i"),
             F.col("src.src_x_i").alias("src_x_i"),
-            "d2",
+            F.col("src.d2").alias("d2"),
         )
 
     from pyspark.sql import Window
@@ -232,10 +237,11 @@ def compute_ij_lookup_fractional(
         src_i_f.alias("src_i_f"), src_j_f.alias("src_j_f"),
     ).where(F.col("src_i_f").isNotNull())
 
-    # first-writer-wins in the reference's (j, i) scan order
+    # first-writer-wins in the reference's (j, i) scan order; one
+    # min(struct) instead of min_by (single aggregate buffer, same
+    # winner: (sj, si) leads the struct and is unique per candidate)
     return hits.groupBy("y_i", "x_i").agg(
-        F.min_by(F.struct("src_i_f", "src_j_f"),
-                 F.struct("sj", "si")).alias("s")
+        F.min(F.struct("sj", "si", "src_i_f", "src_j_f")).alias("s")
     ).select("y_i", "x_i", F.col("s.src_i_f").alias("src_i_f"),
              F.col("s.src_j_f").alias("src_j_f"))
 
@@ -401,13 +407,19 @@ def rectify_dataset(
     if time_values is not None:
         tvals = sorted(set(int(t) for t in time_values))
         n_times = len(tvals)
-        times = spark.createDataFrame(
-            [(t,) for t in tvals],
-            source.select("t_i").schema)
+        t_type = source.schema["t_i"].dataType.simpleString()
+        # inline the known time axis as a literal explode instead of a
+        # one-row-per-step crossJoin: drops the BroadcastNestedLoopJoin,
+        # its BroadcastExchange build job and the local-relation
+        # parallelize (one fewer job wave per invocation — r12)
+        grid = tgt_plane.select(
+            F.explode(F.array(*[F.lit(t).cast(t_type) for t in tvals])
+                      ).alias("t_i"),
+            "y_i", "x_i")
     else:
         times = source.select("t_i").distinct()
         n_times = times.count()
-    grid = times.crossJoin(tgt_plane)
+        grid = times.crossJoin(tgt_plane)
 
     src_vals = source.select(
         F.col("t_i").alias("__st"),
