@@ -207,6 +207,31 @@ def jaccard_verify(
     )
 
 
+#: in-memory shingle-cache bytes per compressed text byte (measured:
+#: sf1 text column stats ~2.0 MB parquet -> 2.65M shingle rows
+#: ~120 MB columnar cache)
+_SHINGLE_EXPANSION = 60
+
+#: below this cache size a persist LOSES: its fixed overhead
+#: (persist/unpersist bookkeeping + cache-churn GC in the tiny-task
+#: regime) exceeds the one saved recompute (interleaved A/B, r12:
+#: sf0.1 ~12 MB cache -> persisted 3.0 s vs recomputed 2.5 s; sf1
+#: ~120 MB cache -> persisted 7.8 s vs recomputed 10.9 s)
+_SHINGLE_PERSIST_FLOOR = 32 * 1024 * 1024
+
+
+def _shingle_cache_budget(spark) -> int:
+    """Storage budget for a per-invocation shingle cache: a quarter of
+    the executor (local: driver) heap.  Past it, recomputing the
+    narrow codegen shingle map beats evicting everything else — and at
+    100 TB the estimate is always past it, so the pipeline degrades to
+    the two-narrow-scans shape that needs no cache at all."""
+    mem = (spark.conf.get("spark.executor.memory", None)
+           or spark.conf.get("spark.driver.memory", None) or "1g")
+    from xcube_spark.util import _parse_byte_size
+    return _parse_byte_size(mem) // 4
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     k: int = 3,
@@ -226,23 +251,41 @@ def minhash_near_dup_pairs(
     converges — is an EAGER localCheckpoint (the incremental_near_
     dedup lineage lesson): it truncates the signature pipeline out of
     every downstream plan, so the verify stage never re-runs it.  The
-    shingle table is NOT persisted: it is consumed exactly twice (the
-    signature pass at checkpoint time, the verify pack at execution),
-    and recomputing the narrow codegen map (sf0.1 1.6-1.8 s/call vs
-    1.9-2.6 s persisted; stable at sf1 where the persisted variant
-    shows 20 s GC stalls from cache churn) beats caching a
-    corpus x shingles/doc table — which at 100 TB would not fit
-    executor storage anyway; two narrow scans is the scale-stable
-    shape."""
+    shingle table is consumed exactly twice (the signature pass at
+    checkpoint time, the verify pack at execution); whether to persist
+    it between the two is SIZE-ADAPTIVE, the guide §5 caching rule
+    made explicit: persist only when the estimated columnar cache is
+    big enough that one saved recompute beats the persist's fixed
+    overhead (floor: measured, see _SHINGLE_PERSIST_FLOOR) AND small
+    enough to fit a heap-derived budget — so tiny corpora recompute
+    (sf0.1: 2.5 s vs 3.0 s persisted), mid-size corpora cache (sf1:
+    7.8 s vs 10.9 s recomputed), and at 100 TB the estimate always
+    exceeds the budget, leaving the scale-stable two-narrow-scans
+    shape with no cache at all."""
     sh = shingles(docs, k=k, text_col=text_col, id_col=id_col)
+    persist_sh = False
+    try:
+        txt_bytes = int(docs.select(text_col)._jdf.queryExecution()
+                        .optimizedPlan().stats().sizeInBytes())
+        est_cache = txt_bytes * _SHINGLE_EXPANSION
+        persist_sh = (_SHINGLE_PERSIST_FLOOR <= est_cache
+                      <= _shingle_cache_budget(docs.sparkSession))
+    except Exception:
+        pass  # estimation failure -> recompute (the scale-safe default)
+    if persist_sh:
+        sh = sh.persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
     cands = lsh_candidate_pairs(
         lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
         max_bucket_size=max_bucket_size,
     ).localCheckpoint(eager=True)
-    return jaccard_verify(sh, cands, id_col=id_col).where(
+    result = jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
+    if persist_sh:
+        from xcube_spark.util import tie_cache_lifetime
+        tie_cache_lifetime(result, sh)
+    return result
 
 
 def _block_hashes(docs: DataFrame, block_tokens: int, text_col: str,
