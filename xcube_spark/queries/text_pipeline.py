@@ -10,19 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-import weakref
-
 from xcube_spark.pipeline.dedup import exact_dedup_map, minhash_near_dup_pairs
 from xcube_spark.pipeline.similarity import knn_bruteforce
 from xcube_spark.pipeline.text import fingerprint
 from xcube_spark.queries import query, tbl
-
-#: memoized result plans keyed (weakly) by session then (name, sf_dir)
-#: — keeps builder-persisted intermediates (bm25 tf, dsir features)
-#: alive across repeated suite invocations; the library's weakref
-#: finalizer releases them when the memo (or session) drops
-_PLAN_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
 
 @query(
     "doc_exact_dedup",
