@@ -35,6 +35,17 @@ _DEFAULTS = {
     "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold":
         str(64 * 1024 * 1024),
+    # guide §4 (the Python boundary): Spark 4's DataFrame debugging
+    # captures a Python call-site (inspect stack walk) and pushes it
+    # to the JVM (PySparkCurrentOrigin.set + conf read + clear = 3
+    # py4j round trips) around EVERY DataFrame/Column API call, purely
+    # to decorate error messages with the user's call site.  The
+    # expression-heavy builders (reproject/rectify closed forms,
+    # unrolled window folds) make thousands of such calls per plan:
+    # measured per-invocation build time with it off — reproject_utm
+    # 0.74->0.27 s, events_ema 0.78->0.15 s, rectify rows -0.17 s.
+    # Re-enable for debugging via SPARK_GRAFT_CONF.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.sql.session.timeZone": "UTC",
