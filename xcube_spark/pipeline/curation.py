@@ -754,10 +754,17 @@ def dsir_importance_weights(
     # the llr float math is the SAME Column expression over the same
     # exact integers, so no float boundary can move.
     spark = docs.sparkSession
+    # aggregate the token stream by bucket DIRECTLY (not via ``pre``):
+    # sum_docs c(doc, f) == count of tokens in bucket f, exact BIGINTs
+    # either way, but the direct form partial-aggregates map-side to
+    # <= n_buckets rows per task — the collect job's shuffle carries
+    # ~4096 rows instead of the corpus-sized (doc, f) exchange the
+    # two-level rollup paid (guide §2.3 aggregate before you shuffle;
+    # r12 optimization round).
     cnt_rows = [(r["f"], r["c_raw"], r["c_tgt"]) for r in
-                pre.groupBy("f").agg(
-                    F.sum("c").cast("long").alias("c_raw"),
-                    F.sum(F.when(F.col("__tgt"), F.col("c"))
+                feats.groupBy("f").agg(
+                    F.count("*").cast("long").alias("c_raw"),
+                    F.sum(F.when(F.col("__tgt"), F.lit(1))
                           .otherwise(F.lit(0))).cast("long")
                     .alias("c_tgt")).collect()]
     t_raw = sum(r[1] for r in cnt_rows)
