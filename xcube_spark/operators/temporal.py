@@ -229,11 +229,41 @@ def ema_smooth(
     Scale shape: one shuffle on ``key_col``; the ``window`` lags
     all ride the SAME sorted frame (a single per-partition pass), so
     cost is O(window) arithmetic per row with no extra exchanges.
+
+    ``order_cols`` entries may be Columns or SQL fragments (strings).
+    When ALL entries are strings the whole fold is built as ONE
+    ``F.expr`` string: the unrolled shape makes ~30 ``when``/``lag``/
+    arithmetic Column calls, each a py4j round trip, so plan BUILD
+    dominated the bench row (~0.5-0.8 s/invocation measured r12);
+    one parsed expression is one round trip.  The parsed tree is the
+    IDENTICAL CaseWhen/lag fold (``repr(w)``-D literals round-trip
+    doubles exactly; verified bit-identical over sf0.01, and the
+    shared oracle pins it).
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
     decay = 1.0 - alpha
+    if all(isinstance(c, str) for c in order_cols):
+        over = (f"PARTITION BY {key_col} "
+                f"ORDER BY {', '.join(order_cols)}")
+        num_t, den_t = [], []
+        for i in range(window):
+            wt = f"{decay ** i!r}D"
+            x = (value_col if i == 0
+                 else f"lag({value_col}, {i}) OVER ({over})")
+            num_t.append(
+                f"CASE WHEN {x} IS NOT NULL THEN {wt} * {x} "
+                f"ELSE 0.0D END")
+            den_t.append(
+                f"CASE WHEN {x} IS NOT NULL THEN {wt} ELSE 0.0D END")
+        ns, ds = num_t[0], den_t[0]
+        for t in num_t[1:]:
+            ns = f"({ns} + {t})"
+        for t in den_t[1:]:
+            ds = f"({ds} + {t})"
+        return F.expr(f"({ns}) / ({ds})")
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     num = None
     den = None
     for i in range(window):
@@ -303,8 +333,36 @@ def holt_smooth(
     """
     if window < 1:
         raise ValueError(f"holt_smooth window must be >= 1, got {window}")
-    w = Window.partitionBy(key_col).orderBy(*order_cols)
     li, bi = holt_coefficients(alpha, beta, window)
+    if all(isinstance(c, str) for c in order_cols):
+        # one parsed expression per output instead of ~50 Column-API
+        # py4j round trips (same rationale and same verified-identical
+        # fold shape as ema_smooth's string path above)
+        over = (f"PARTITION BY {key_col} "
+                f"ORDER BY {', '.join(order_cols)}")
+        lev_t, tre_t = [], []
+        for i in range(window):
+            x = (value_col if i == 0
+                 else f"lag({value_col}, {i}) OVER ({over})")
+            lev_t.append(f"{li[i]!r}D * {x}")
+            tre_t.append(f"{bi[i]!r}D * {x}")
+        ls, ts = lev_t[0], tre_t[0]
+        for t in lev_t[1:]:
+            ls = f"({ls} + {t})"
+        for t in tre_t[1:]:
+            ts = f"({ts} + {t})"
+        full = f"(row_number() OVER ({over})) >= {window}"
+        return (
+            df.withColumn(
+                "holt_level",
+                F.expr(f"CASE WHEN {full} THEN ({ls}) END"))
+            .withColumn(
+                "holt_trend",
+                F.expr(f"CASE WHEN {full} THEN ({ts}) END"))
+            .withColumn("holt_forecast",
+                        F.col("holt_level") + F.col("holt_trend"))
+        )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
     lev = None
     tre = None
     for i in range(window):

@@ -826,7 +826,7 @@ def events_ema(spark, sf_dir):
     ev = tbl(spark, sf_dir, "events")
     ema = ema_smooth(
         ev, "value", "user_id",
-        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        ["unix_micros(CAST(ts AS timestamp_ltz))", "event_id"],
         alpha=0.25, window=16)
     return ev.select(
         "event_id", "user_id",
@@ -1241,7 +1241,7 @@ def events_holt_trend(spark, sf_dir):
     ev = tbl(spark, sf_dir, "events")
     out = holt_smooth(
         ev, "value", "user_id",
-        [F.unix_micros(F.col("ts").cast("timestamp_ltz")), "event_id"],
+        ["unix_micros(CAST(ts AS timestamp_ltz))", "event_id"],
         alpha=0.5, beta=0.25, window=12)
     r6 = lambda c: F.round(F.round(c + 1e-9, 6) + 0.0, 6)  # noqa: E731
     return out.select(
