@@ -83,6 +83,17 @@ class CubeGrid:
             return F.lit(self.y_end) - (y_i + F.lit(0.5)) * F.lit(self.y_res)
         return F.lit(self.y_start) + (y_i + F.lit(0.5)) * F.lit(self.y_res)
 
+    def x_center_sql(self, x_i: str = "x_i") -> str:
+        """``x_center_expr`` as a Spark-SQL fragment (same literals,
+        same association — for string-built transform plans, r12)."""
+        return f"({self.x_start!r}D + (({x_i}) + 0.5D) * {self.x_res!r}D)"
+
+    def y_center_sql(self, y_i: str = "y_i") -> str:
+        if self.inverse_y:
+            return (f"({self.y_end!r}D - (({y_i}) + 0.5D) "
+                    f"* {self.y_res!r}D)")
+        return f"({self.y_start!r}D + (({y_i}) + 0.5D) * {self.y_res!r}D)"
+
     def time_center_expr(self, t_i: Column) -> Column:
         """Period-center timestamp (new.py:150-156), second precision."""
         secs = (t_i.cast("double") + F.lit(0.5)) * F.lit(self.t_freq_days * 86400.0)

@@ -145,6 +145,33 @@ def _lonlat_to_utm_fn(zone: int, south: bool) -> ColumnTransform:
     return fwd
 
 
+def _utm_inverse_spark_sql(x: str, y: str, zone: int,
+                           south: bool) -> tuple[str, str]:
+    """The inverse series as ONE Spark-SQL string per output — the
+    op-for-op twin of ``_utm_to_lonlat_fn``'s Column tree (same
+    sinh/cosh built-ins, same literal folds, same association), so the
+    parsed expression is IDENTICAL and so are the doubles.  One
+    server-side parse replaces ~400 Column-API py4j round trips per
+    plan build (r12 optimization round; ema_smooth precedent)."""
+    lon0 = _utm_lon0(zone)
+    fn = 10_000_000.0 if south else 0.0
+    k = f"{_K0 * _A_RECT!r}D"
+    xi = f"((({y}) - {fn!r}D) / {k})"
+    eta = f"((({x}) - 500000.0D) / {k})"
+    xip, etap = xi, eta
+    for j, b in enumerate(_BETA, start=1):
+        xip = (f"({xip} - {b!r}D * sin({2.0 * j!r}D * {xi}) "
+               f"* cosh({2.0 * j!r}D * {eta}))")
+        etap = (f"({etap} - {b!r}D * cos({2.0 * j!r}D * {xi}) "
+                f"* sinh({2.0 * j!r}D * {eta}))")
+    chi = f"asin(sin({xip}) / cosh({etap}))"
+    phi = chi
+    for j, d in enumerate(_DELTA, start=1):
+        phi = f"({phi} + {d!r}D * sin({2.0 * j!r}D * {chi}))"
+    lam = f"atan2(sinh({etap}), cos({xip}))"
+    return f"({lon0!r}D + degrees({lam}))", f"degrees({phi})"
+
+
 def _utm_to_lonlat_fn(zone: int, south: bool) -> ColumnTransform:
     lon0 = _utm_lon0(zone)
     fn = 10_000_000.0 if south else 0.0
@@ -165,6 +192,7 @@ def _utm_to_lonlat_fn(zone: int, south: bool) -> ColumnTransform:
         lam = F.atan2(F.sinh(etap), F.cos(xip))
         return F.lit(lon0) + F.degrees(lam), F.degrees(phi)
 
+    inv.sql_fn = lambda xs, ys: _utm_inverse_spark_sql(xs, ys, zone, south)
     return inv
 
 
@@ -5458,9 +5486,20 @@ def reproject_dataset(
     )
     tx = target.x_center_expr(F.col("x_i"))
     ty = target.y_center_expr(F.col("y_i"))
-    # staged transforms (datum-hop CRSs) materialize intermediates as
-    # aliased columns — one Column tree would be exponentially large
-    tgt = apply_transform_df(tgt, transform, tx, ty, "__tsx", "__tsy")
+    if hasattr(transform, "sql_fn"):
+        # string-built transform (UTM family): the whole series tree
+        # arrives as one parsed SQL expression per output instead of
+        # hundreds of Column-API py4j round trips per plan build; the
+        # parsed tree is the identical expression (r12)
+        sx_sql, sy_sql = transform.sql_fn(
+            target.x_center_sql("x_i"), target.y_center_sql("y_i"))
+        tgt = tgt.withColumns(
+            {"__tsx": F.expr(sx_sql), "__tsy": F.expr(sy_sql)})
+    else:
+        # staged transforms (datum-hop CRSs) materialize intermediates
+        # as aliased columns — one Column tree would be exponentially
+        # large
+        tgt = apply_transform_df(tgt, transform, tx, ty, "__tsx", "__tsy")
     tgt = tgt.select(
         "t_i", "y_i", "x_i",
         target.time_center_expr(F.col("t_i")).alias("time"),
