@@ -291,25 +291,26 @@ def bloom_filter_build(
     if m_bits % 64 != 0 or m_bits & (m_bits - 1):
         raise ValueError("m_bits must be a power of two >= 64")
     n_words = m_bits // 64
-    allpos = grams.select(
-        F.explode(F.array(*[
-            _bloom_pos(F.col(gram_col), i, m_bits) for i in range(k)
-        ])).alias("pos")
+    # all expressions as parsed SQL strings: the Column-API form of
+    # this chain cost hundreds of py4j round trips per plan build
+    # (guide §1 measure-first, r12 — same trees, one parse each)
+    allpos = grams.selectExpr(
+        "explode(array("
+        + ", ".join(_bloom_pos_sql_spark(gram_col, i, m_bits)
+                    for i in range(k))
+        + ")) AS pos"
     )
-    words = allpos.select(
-        (F.col("pos") / 64).cast("long").alias("word_idx"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
-        .alias("mask"),
+    words = allpos.selectExpr(
+        "CAST(pos / 64 AS BIGINT) AS word_idx",
+        "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS mask",
     ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("word"))
-    sparse = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))).alias("__m")
-    )
-    return sparse.select(
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
-            lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
-        ).alias("bloom")
+    sparse = words.agg(F.expr(
+        "map_from_entries(collect_list(struct(word_idx, word)))"
+    ).alias("__m"))
+    return sparse.selectExpr(
+        f"transform(sequence(CAST(0 AS BIGINT), "
+        f"CAST({n_words - 1} AS BIGINT)), "
+        f"i -> coalesce(element_at(__m, i), 0)) AS bloom"
     )
 
 
@@ -362,22 +363,20 @@ def bloom_decontaminate(
     probe = grams.crossJoin(F.broadcast(bloom)).withColumns({
         # materialize each md5 position ONCE per gram (the word lookup
         # and the mask both need it; recomputing doubles the md5 cost
-        # on the corpus-sized side)
-        f"__p{i}": _bloom_pos(F.col("ngram"), i, m_bits)
+        # on the corpus-sized side).  Parsed SQL strings, not Column
+        # calls — same trees, a fraction of the py4j round trips (r12)
+        f"__p{i}": F.expr(_bloom_pos_sql_spark("ngram", i, m_bits))
         for i in range(k)
     })
-    hit = F.lit(True)
-    for i in range(k):
-        pos = F.col(f"__p{i}")
-        word = F.element_at(
-            F.col("bloom"), ((pos / 64).cast("int") + F.lit(1)))
-        mask = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT))")
-        hit = hit & (word.bitwiseAND(mask) != 0)
+    hit_sql = " AND ".join(
+        f"((element_at(bloom, (CAST(__p{i} / 64 AS INT) + 1))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % 64 AS INT)))"
+        f" != 0)"
+        for i in range(k))
     hits = (
-        probe.where(hit)
+        probe.where(F.expr(hit_sql))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(F.expr("count(1)").alias("n_hits"))
     )
     return (
         corpus.select("doc_id")
