@@ -94,6 +94,24 @@ class CubeGrid:
                     f"* {self.y_res!r}D)")
         return f"({self.y_start!r}D + (({y_i}) + 0.5D) * {self.y_res!r}D)"
 
+    def x_index_sql(self, x: str) -> str:
+        """``x_index_expr`` as a Spark-SQL fragment (same literals,
+        same FLOOR/CASE shape — for string-built plans, r12)."""
+        i = (f"CAST(FLOOR((({x}) - {self.x_start!r}D) "
+             f"/ {self.x_res!r}D) AS INT)")
+        return (f"CASE WHEN ({x}) >= {self.x_start!r}D "
+                f"AND ({x}) < {self.x_end!r}D THEN {i} END")
+
+    def y_index_sql(self, y: str) -> str:
+        if self.inverse_y:
+            i = (f"CAST(FLOOR(({self.y_end!r}D - ({y})) "
+                 f"/ {self.y_res!r}D) AS INT)")
+        else:
+            i = (f"CAST(FLOOR((({y}) - {self.y_start!r}D) "
+                 f"/ {self.y_res!r}D) AS INT)")
+        return (f"CASE WHEN ({y}) >= {self.y_start!r}D "
+                f"AND ({y}) < {self.y_end!r}D THEN {i} END")
+
     def time_center_expr(self, t_i: Column) -> Column:
         """Period-center timestamp (new.py:150-156), second precision."""
         secs = (t_i.cast("double") + F.lit(0.5)) * F.lit(self.t_freq_days * 86400.0)

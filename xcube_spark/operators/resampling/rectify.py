@@ -71,6 +71,33 @@ def compute_ij_lookup(
     squared center distances ``d2``.  Distinct source geometry rows only
     (one time step).  ``k=1`` is the nearest-mode lookup (min_by, no
     window); ``k>1`` ranks per target cell for the idw blend."""
+    if k == 1:
+        # string-built fast path (r12): the whole map + argmin chain
+        # as parsed SQL — identical trees to the Column form below, a
+        # fraction of its ~200 py4j round trips per plan build
+        cx = target.x_center_sql("x_i")
+        cy = target.y_center_sql("y_i")
+        d2 = (f"(power(__lon - {cx}, 2) + power(__lat - {cy}, 2))")
+        mapped = source.selectExpr(
+            "y_i AS src_y_i",
+            "x_i AS src_x_i",
+            f"{lon_name} AS __lon",
+            f"{lat_name} AS __lat",
+        ).selectExpr(
+            "src_y_i", "src_x_i", "__lon", "__lat",
+            f"{target.x_index_sql('__lon')} AS x_i",
+            f"{target.y_index_sql('__lat')} AS y_i",
+        ).where("x_i IS NOT NULL AND y_i IS NOT NULL")
+        return mapped.groupBy("y_i", "x_i").agg(
+            F.expr(f"min(struct({d2} AS d2, src_y_i, src_x_i))")
+            .alias("src")
+        ).selectExpr(
+            "y_i", "x_i",
+            "src.src_y_i AS src_y_i",
+            "src.src_x_i AS src_x_i",
+            "src.d2 AS d2",
+        )
+
     geo = source.select(
         F.col("y_i").alias("src_y_i"),
         F.col("x_i").alias("src_x_i"),
@@ -95,23 +122,6 @@ def compute_ij_lookup(
     cx = target.x_center_expr(F.col("x_i"))
     cy = target.y_center_expr(F.col("y_i"))
     d2 = (F.col("__lon") - cx) ** 2 + (F.col("__lat") - cy) ** 2
-
-    if k == 1:
-        # one min(struct) instead of min_by + min: the struct orders by
-        # d2 first, so src IS the argmin and struct.d2 == min(d2) — one
-        # aggregate buffer, and ties (equal d2) break deterministically
-        # by (src_y_i, src_x_i) where min_by picked arbitrarily
-        # (measured r12: 0.72 -> 0.53 s noop on the sf0.1 ij-lookup)
-        return mapped.groupBy("y_i", "x_i").agg(
-            F.min(F.struct(d2.alias("d2"), F.col("src_y_i"),
-                           F.col("src_x_i"))).alias("src"),
-        ).select(
-            "y_i",
-            "x_i",
-            F.col("src.src_y_i").alias("src_y_i"),
-            F.col("src.src_x_i").alias("src_x_i"),
-            F.col("src.d2").alias("d2"),
-        )
 
     from pyspark.sql import Window
 
@@ -412,9 +422,10 @@ def rectify_dataset(
         # one-row-per-step crossJoin: drops the BroadcastNestedLoopJoin,
         # its BroadcastExchange build job and the local-relation
         # parallelize (one fewer job wave per invocation — r12)
-        grid = tgt_plane.select(
-            F.explode(F.array(*[F.lit(t).cast(t_type) for t in tvals])
-                      ).alias("t_i"),
+        grid = tgt_plane.selectExpr(
+            "explode(array("
+            + ", ".join(f"CAST({t} AS {t_type})" for t in tvals)
+            + ")) AS t_i",
             "y_i", "x_i")
     else:
         times = source.select("t_i").distinct()
