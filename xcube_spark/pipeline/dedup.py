@@ -45,10 +45,10 @@ def _cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int | None) ->
     the exchange is reused, not added."""
     if max_bucket_size is None:
         return df
-    w = Window.partitionBy(*keys)
     return (
-        df.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= max_bucket_size)
+        df.withColumn("_bn", F.expr(
+            f"count(1) OVER (PARTITION BY {', '.join(keys)})"))
+        .where(F.expr(f"_bn <= {max_bucket_size}"))
         .drop("_bn")
     )
 
@@ -71,14 +71,13 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     pos+k-1 self-joins, which produce nothing for short docs, and a
     sub-k fragment is not a k-shingle — it would collide with genuine
     k-shingles of longer docs under the same hash."""
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
+    toks = f"split({text_col}, ' ')"
     # explode amplifies rows ~tokens-per-doc x, so input-byte-based
     # file splitting underestimates the work: spread docs across the
     # cluster BEFORE the fan-out (a small shuffle of raw docs buys
     # full-width parallelism for the shingle/hash stages)
     spread = (
-        docs.where(F.size(F.split(F.col(text_col), " ")) >= k)
+        docs.where(F.expr(f"size({toks}) >= {k}"))
         .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     )
     # k-window construction as arrays_zip of k shifted slices —
@@ -92,19 +91,22 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     # on the struct array dedups within the doc exactly like the old
     # string-level array_distinct, and the exploded (id, shingle)
     # rows stay unique by construction (no distinct shuffle).
-    m = n - (k - 1)
-    zipped = F.arrays_zip(
-        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(k)])
+    # Rendered as parsed SQL strings (r12): the Column form was ~120
+    # py4j round trips per plan build; SQL-parsed arrays_zip names its
+    # struct fields by position ('0', '1', ...), internal only.
+    m = f"(size({toks}) - {k - 1})"
+    zipped = ("arrays_zip(" + ", ".join(
+        f"slice({toks}, {j + 1}, {m})" for j in range(k)) + ")")
     return (
-        spread.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(zipped)).alias("__p"))
-        .select(
+        spread.selectExpr(
             id_col,
-            F.concat_ws(
-                " ", *[F.col(f"__p.t{j}") for j in range(k)]
-            ).alias("shingle"))
-        .where(F.length("shingle") > 0)
+            f"explode(array_distinct({zipped})) AS __p")
+        .selectExpr(
+            id_col,
+            "concat_ws(' ', "
+            + ", ".join(f"__p['{j}']" for j in range(k))
+            + ") AS shingle")
+        .where(F.expr("length(shingle) > 0"))
     )
 
 
@@ -119,7 +121,7 @@ def minhash_signature(
     doc id; all hashes computed map-side in a single projection.
     """
     aggs = [
-        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(j))))).alias(f"h{j}")
+        F.expr(f"min(md5(concat_ws('#', shingle, '{j}')))").alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return shingle_df.groupBy(id_col).agg(*aggs)
@@ -132,16 +134,12 @@ def lsh_bands(sig: DataFrame, num_bands: int, id_col: str = "doc_id") -> DataFra
     assert rows_per_band * num_bands == len(hash_cols)
     bands = []
     for b in range(num_bands):
-        cols = hash_cols[b * rows_per_band : (b + 1) * rows_per_band]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key"),
-            )
-        )
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+        cols = hash_cols[b * rows_per_band: (b + 1) * rows_per_band]
+        bands.append(f"struct({b} AS band, "
+                     f"md5(concat_ws('|', {', '.join(cols)})) AS band_key)")
+    return sig.selectExpr(
+        id_col, f"explode(array({', '.join(bands)})) AS bk"
+    ).selectExpr(id_col, "bk.band AS band", "bk.band_key AS band_key")
 
 
 def lsh_candidate_pairs(
@@ -159,11 +157,11 @@ def lsh_candidate_pairs(
     runtime when the side actually fits.
     """
     capped = _cap_buckets(bands_df, ["band", "band_key"], max_bucket_size)
-    a = capped.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = capped.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    a = capped.selectExpr(f"{id_col} AS id_a", "band", "band_key")
+    b = capped.selectExpr(f"{id_col} AS id_b", "band", "band_key")
     return (
         a.join(b, on=["band", "band_key"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.expr("id_a < id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
@@ -187,23 +185,24 @@ def jaccard_verify(
     ids — AQE broadcasts at runtime iff the built side actually fits.
     """
     cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
+        pairs.selectExpr(f"id_a AS {id_col}")
+        .union(pairs.selectExpr(f"id_b AS {id_col}"))
         .distinct()
     )
     packed = (
         shingle_df.join(cand_ids, id_col, "left_semi")
         .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("sh"))
+        .agg(F.expr("collect_list(shingle)").alias("sh"))
     )
-    pa = packed.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    pb = packed.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    pa = packed.selectExpr(f"{id_col} AS id_a", "sh AS sh_a")
+    pb = packed.selectExpr(f"{id_col} AS id_b", "sh AS sh_b")
+    inter = "size(array_intersect(sh_a, sh_b))"
     return (
         pairs.join(pa, "id_a")
         .join(pb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .selectExpr(
+            "id_a", "id_b",
+            f"{inter} / (size(sh_a) + size(sh_b) - {inter}) AS jaccard")
     )
 
 
