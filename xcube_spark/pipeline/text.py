@@ -78,25 +78,40 @@ def mean_word_length(text: Column) -> Column:
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite document-quality features + a simple [0,1] score:
     penalize very short docs, punctuation soup, and stopword-free text
-    (classic Gopher/C4-style heuristics)."""
-    t = F.col(text_col)
-    out = docs.withColumns(
-        {
-            "n_chars_q": F.length(t),
-            "n_tokens": whitespace_token_count(t),
-            "mean_word_len": mean_word_length(t),
-            "punct_ratio": punct_ratio(t),
-            "stopword_ratio_en": stopword_ratio(t, "en"),
-        }
-    )
-    score = (
-        F.when(F.col("n_tokens") < 5, 0.0)
-        .otherwise(
-            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
-            + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
-            + F.least(F.col("stopword_ratio_en") * 5.0, F.lit(1.0)) * 0.3
-        )
-    )
+    (classic Gopher/C4-style heuristics).
+
+    Features rendered as parsed SQL strings — the Column form of these
+    regex-heavy trees was ~640 py4j round trips per plan build (r12);
+    the parsed trees are identical (same regexp_count/split shapes,
+    pinned by the shared oracle and a bit-equality test)."""
+    t = text_col
+    # '\\\\' in a Spark-SQL string literal yields one backslash, so
+    # '\\\\s+' reaches the regex engine as \s+ (standard escaped
+    # literals, the default parser mode)
+    ws = "'\\\\s+'"
+    toks = f"split(trim({t}), {ws})"
+    alt = "|".join(re.escape(w) for w in STOPWORDS["en"])
+    padded = (f"concat(' ', regexp_replace(lower(trim({t})), {ws}, ' '),"
+              f" ' ')")
+    sw_hits = f"regexp_count({padded}, '(?<= )(?:{alt})(?= )')"
+    lt = f"split(lower(trim({t})), {ws})"
+    punct = f"regexp_count({t}, '[!-/:-@\\\\[-`{{-~]')"
+    out = docs.withColumns({
+        "n_chars_q": F.expr(f"length({t})"),
+        "n_tokens": F.expr(f"size({toks})"),
+        "mean_word_len": F.expr(
+            f"length(regexp_replace(trim({t}), {ws}, ''))"
+            f" / greatest(size({toks}), 1)"),
+        "punct_ratio": F.expr(
+            f"{punct} / greatest(length({t}), 1)"),
+        "stopword_ratio_en": F.expr(
+            f"{sw_hits} / greatest(size({lt}), 1)"),
+    })
+    score = F.expr(
+        "CASE WHEN n_tokens < 5 THEN 0.0D ELSE "
+        "least(n_tokens / 100.0D, 1.0D) * 0.4D "
+        "+ (1.0D - least(punct_ratio * 5.0D, 1.0D)) * 0.3D "
+        "+ least(stopword_ratio_en * 5.0D, 1.0D) * 0.3D END")
     return out.withColumn("quality", score)
 
 
