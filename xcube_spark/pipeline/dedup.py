@@ -545,14 +545,20 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     """
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = (
-        spread.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .where(F.length("tok") > 0)
-        .withColumn("h", F.md5(F.col("tok")))
+        spread.selectExpr(
+            id_col, f"explode(split({text_col}, ' ')) AS tok")
+        .where(F.expr("length(tok) > 0"))
         # decode the 16 leading hex chars ONCE into two 32-bit words;
         # every per-bit vote below is then a shift+mask, not a substring
-        # + base-16 parse (64x fewer conv calls per token)
-        .withColumn("w0", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
-        .withColumn("w1", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
+        # + base-16 parse (64x fewer conv calls per token).  Parsed SQL
+        # strings end to end (r12) — the Column chain cost ~700 py4j
+        # round trips per plan build.
+        .selectExpr(
+            id_col, "tok", "md5(tok) AS h",
+            "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+            " AS w0",
+            "CAST(conv(substring(md5(tok), 9, 8), 16, 10) AS BIGINT)"
+            " AS w1")
     )
     # fingerprint bit i (nibble n = i//4, nibble-bit b = i%4) is set iff
     # set-bit votes outnumber clear-bit votes: sum(bit)*2 > count.
@@ -627,23 +633,16 @@ def simhash_near_dup_pairs(
     table is O(corpus x 4), so no broadcast hint (AQE decides); the
     skew guard drops pathological buckets before pairing."""
     sig = simhash(docs, text_col=text_col, id_col=id_col)
-    chunks = sig.select(
+    chunks = sig.selectExpr(
         id_col,
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+        "explode(array("
+        + ", ".join(
+            f"struct({c} AS chunk, "
+            f"(shiftright(simhash, {c * 16}) & 65535) AS key)"
+            for c in range(4))
+        + ")) AS ck",
+    ).selectExpr(id_col, "simhash", "ck.chunk AS chunk", "ck.key AS key")
     # Persist AFTER the explode+cap, not the signature table: the two
     # self-join sides then read the capped chunk table from cache, so
     # the vote aggregation AND the explode+window run once, not twice.
@@ -654,18 +653,13 @@ def simhash_near_dup_pairs(
     # shuffle over every candidate pair.
     chunks = chunks.withColumn(
         "m",
-        F.sum(F.expr("shiftleft(1, chunk)"))
-        .over(Window.partitionBy(id_col)),
+        F.expr(f"sum(shiftleft(1, chunk)) OVER (PARTITION BY {id_col})"),
     ).persist()
-    a = chunks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
-        F.col("m").alias("m_a"), "chunk", "key"
-    )
-    b = chunks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
-        F.col("m").alias("m_b"), "chunk", "key"
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    a = chunks.selectExpr(f"{id_col} AS id_a", "simhash AS sig_a",
+                          "m AS m_a", "chunk", "key")
+    b = chunks.selectExpr(f"{id_col} AS id_b", "simhash AS sig_b",
+                          "m AS m_b", "chunk", "key")
+    hamming = F.expr("bit_count(sig_a ^ sig_b)")
     # Min-chunk attribution replaces DISTINCT: a pair colliding on k
     # chunks appears k times in the join output; emit it only from the
     # smallest chunk where BOTH rows survived the cap AND the 16-bit
