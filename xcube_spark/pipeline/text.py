@@ -290,16 +290,20 @@ def bm25_topk(
     vocab_list = sorted({t for _, t in qt_pairs})
 
     # materialize the token array ONCE per row (the regex split is
-    # the dominant map cost); dl derives from it without re-splitting
-    toks = docs.select(
-        F.col(id_col),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    ).select(
-        id_col, F.size("__toks").cast("long").alias("dl"),
-        F.explode("__toks").alias("token"),
-    ).where((F.col("token") != "") & F.col("token").isin(vocab_list))
+    # the dominant map cost); dl derives from it without re-splitting.
+    # Parsed SQL strings (r12): the Column form of this chain and the
+    # scoring arithmetic below cost ~700 py4j round trips per build.
+    in_list = ", ".join("'" + t.replace("'", "''") + "'"
+                        for t in vocab_list) or "''"
+    toks = docs.selectExpr(
+        id_col,
+        f"split(trim({text_col}), '\\\\s+') AS __toks",
+    ).selectExpr(
+        id_col, "CAST(size(__toks) AS BIGINT) AS dl",
+        "explode(__toks) AS token",
+    ).where(F.expr(f"token != '' AND token IN ({in_list})"))
     tf = toks.groupBy(id_col, "dl", "token").agg(
-        F.count("*").alias("tf"))
+        F.expr("count(*)").alias("tf"))
     # dfreq re-aggregates the SAME candidate tf subtree — Catalyst
     # plans the shared exchange once (ReusedExchange), and the
     # shuffle_hash hint keeps the join off the static broadcast path
@@ -319,25 +323,24 @@ def bm25_topk(
     scored = (
         tf.join(dfreq.hint("shuffle_hash"), "token")
         .join(F.broadcast(qterms), "token")
-        .withColumn(
-            "__idf",
-            F.log(F.lit(1.0) + (F.lit(n_docs) - F.col("df") + 0.5)
-                  / (F.col("df") + 0.5)))
-        .withColumn(
-            "__s",
-            F.col("__idf") * (F.col("tf") * F.lit(k1 + 1.0))
-            / (F.col("tf") + F.lit(k1)
-               * (F.lit(1.0 - b)
-                  + F.lit(b) * F.col("dl")
-                  * F.lit(n_docs) / F.lit(tdl))))
+        .withColumns({
+            "__idf": F.expr(
+                f"ln(1.0D + (({n_docs} - df) + 0.5D) / (df + 0.5D))"),
+        })
+        .withColumns({
+            "__s": F.expr(
+                f"__idf * (tf * {k1 + 1.0!r}D)"
+                f" / (tf + {k1!r}D * ({1.0 - b!r}D"
+                f" + {b!r}D * dl * {n_docs} / {tdl}))"),
+        })
     )
     agg = scored.groupBy("query_id", id_col).agg(
-        F.round(F.sum("__s") + 1e-9, 6).alias("score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc(id_col))
+        F.expr(f"round(sum(__s) + {1e-9!r}D, 6)").alias("score"))
     result = (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        agg.withColumn("rank", F.expr(
+            f"row_number() OVER (PARTITION BY query_id"
+            f" ORDER BY score DESC, {id_col} ASC)"))
+        .where(F.expr(f"rank <= {k}"))
         .select("query_id", "rank", id_col, "score")
     )
     return result
