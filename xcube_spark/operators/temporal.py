@@ -48,28 +48,33 @@ def _down_agg(var: str, method: str) -> Column:
         q = float(m.group(1)) / 100.0
         return F.expr(f"percentile({var}, {q})").alias(f"{var}_{method}")
     e = {
-        "all": F.min(c.cast("boolean")),
-        "any": F.max(c.cast("boolean")),
-        "count": F.count(c),
+        # thunks, not Columns: eagerly building all 15 expressions per
+        # call cost ~60 py4j round trips each when only one is used
+        # (r12 — plan-build time, not plan shape)
+        "all": lambda: F.min(c.cast("boolean")),
+        "any": lambda: F.max(c.cast("boolean")),
+        "count": lambda: F.count(c),
         # skipna parity with xarray's resample .first()/.last(): order
         # only over rows where the value is non-null (a NULL ordering
         # key excludes the row from min_by/max_by), so the first/last
         # VALID value wins, not a NULL that happens to sit at the edge
-        "first": F.min_by(c, F.when(c.isNotNull(), F.col("time"))),
-        "last": F.max_by(c, F.when(c.isNotNull(), F.col("time"))),
-        "min": F.min(c),
-        "max": F.max(c),
-        "argmax": F.max_by(F.col("time"), c),
-        "argmin": F.min_by(F.col("time"), c),
-        "mean": F.avg(c),
-        "median": F.expr(f"percentile({var}, 0.5)"),
-        "std": F.stddev_pop(c),
-        "var": F.var_pop(c),
-        "sum": F.sum(c),
+        "first": lambda: F.min_by(c, F.when(c.isNotNull(),
+                                            F.col("time"))),
+        "last": lambda: F.max_by(c, F.when(c.isNotNull(),
+                                           F.col("time"))),
+        "min": lambda: F.min(c),
+        "max": lambda: F.max(c),
+        "argmax": lambda: F.max_by(F.col("time"), c),
+        "argmin": lambda: F.min_by(F.col("time"), c),
+        "mean": lambda: F.avg(c),
+        "median": lambda: F.expr(f"percentile({var}, 0.5)"),
+        "std": lambda: F.stddev_pop(c),
+        "var": lambda: F.var_pop(c),
+        "sum": lambda: F.sum(c),
     }.get(method)
     if e is None:
         raise ValueError(f"unsupported downsampling method {method!r}")
-    return e.alias(f"{var}_{method}")
+    return e().alias(f"{var}_{method}")
 
 
 def parse_frequency(frequency: str) -> tuple[int, str]:
