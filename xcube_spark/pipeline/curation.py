@@ -745,39 +745,36 @@ def dsir_importance_weights(
     # at 100 TB a corpus x buckets cache would not fit storage anyway.
     pre = feats.groupBy(id_col, "__tgt", "f").agg(
         F.count("*").alias("c"))
-    # driver-side distribution fold (r12 plan slimming): the bucket
-    # count table is MODEL-sized (<= n_buckets rows of exact BIGINTs)
-    # — collect it from the freshly-cached feature table, total it in
-    # exact Python ints, and rebuild the llr table from a local
-    # relation.  Removes the scalar BroadcastNestedLoopJoin, the
-    # totals branch, and the counts exchange from every execution;
-    # the llr float math is the SAME Column expression over the same
-    # exact integers, so no float boundary can move.
-    spark = docs.sparkSession
-    # aggregate the token stream by bucket DIRECTLY (not via ``pre``):
-    # sum_docs c(doc, f) == count of tokens in bucket f, exact BIGINTs
-    # either way, but the direct form partial-aggregates map-side to
-    # <= n_buckets rows per task — the collect job's shuffle carries
-    # ~4096 rows instead of the corpus-sized (doc, f) exchange the
-    # two-level rollup paid (guide §2.3 aggregate before you shuffle;
-    # r12 optimization round).
-    cnt_rows = [(r["f"], r["c_raw"], r["c_tgt"]) for r in
-                feats.groupBy("f").agg(
-                    F.count("*").cast("long").alias("c_raw"),
-                    F.sum(F.when(F.col("__tgt"), F.lit(1))
-                          .otherwise(F.lit(0))).cast("long")
-                    .alias("c_tgt")).collect()]
-    t_raw = sum(r[1] for r in cnt_rows)
-    t_tgt = sum(r[2] for r in cnt_rows)
-    counts_local = spark.createDataFrame(
-        cnt_rows, "f int, c_raw long, c_tgt long") if cnt_rows else \
-        spark.createDataFrame([], "f int, c_raw long, c_tgt long")
-    llr = counts_local.select(
+    # one-pass distribution estimate (r12 optimization, guide §2.4
+    # share one exchange): the bucket counts aggregate FROM ``pre``,
+    # whose (id, tgt, f) exchange is textually identical to the one
+    # feeding the scoring join below — ReuseExchange computes the
+    # tokenize+md5+partial-agg pipeline ONCE and both consumers read
+    # the shuffle files.  (The prior driver-fold shape collected the
+    # distribution in a separate job that re-tokenized the whole
+    # corpus: two full passes per invocation.  Interleaved A/B at
+    # sf0.1: ~2.5x slower than this form.)  Totals ride a single-
+    # partition window over the <= n_buckets count rows — model-sized
+    # by construction, no corpus bytes, no BNLJ, no driver round trip.
+    from pyspark.sql import Window
+    counts = pre.groupBy("f").agg(
+        F.sum("c").cast("long").alias("c_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("c")).otherwise(F.lit(0)))
+        .cast("long").alias("c_tgt"))
+    w_all = Window.partitionBy()
+    tot = counts.select(
+        "f", "c_raw", "c_tgt",
+        F.sum("c_raw").over(w_all).cast("long").alias("t_raw"),
+        F.sum("c_tgt").over(w_all).cast("long").alias("t_tgt"))
+    # identical float ops to the oracle: (BIGINT + 0.5) / (BIGINT +
+    # alpha*n_buckets), ln, subtract — inputs are exact integers
+    # either way, so no float boundary moves vs the driver-fold form
+    llr = tot.select(
         "f",
         (F.log((F.col("c_tgt") + F.lit(alpha))
-               / (F.lit(t_tgt) + F.lit(alpha * n_buckets)))
+               / (F.col("t_tgt") + F.lit(alpha * n_buckets)))
          - F.log((F.col("c_raw") + F.lit(alpha))
-                 / (F.lit(t_raw) + F.lit(alpha * n_buckets))))
+                 / (F.col("t_raw") + F.lit(alpha * n_buckets))))
         .alias("llr"))
     result = (
         pre.join(F.broadcast(llr), "f")

@@ -1000,9 +1000,10 @@ def doc_dsir_weights(spark, sf_dir):
     Importance Resampling'): hashed-unigram log-likelihood ratio of a
     designated target domain (sources src0/src1) vs the raw corpus,
     summed per document — the standard pretraining data-selection
-    score (additive surface; no reference counterpart).  Two corpus
-    passes: feature-bucket counts (raw and target in ONE aggregate,
-    <= 4096 reduce groups) and the per-doc broadcast-join sum
+    score (additive surface; no reference counterpart).  ONE corpus
+    pass: the per-(doc, bucket) count exchange is reused by both the
+    distribution aggregate (<= 4096 reduce groups, totals via a
+    model-sized window) and the per-doc broadcast-join sum
     (map-side combine).  Feature hashing is 3 md5 nibbles, replayed
     nibble-by-nibble in the oracle; smoothing constants (alpha = 0.5,
     alpha*B = 2048) are exact halves so both engines divide identical
