@@ -70,6 +70,29 @@ def _ngram_str(n: int):
     return F.concat_ws(" ", *[F.col(f"__p.t{j}") for j in range(n)])
 
 
+def _span_windows(spread: DataFrame, window: int, text_col: str,
+                  id_col: str) -> DataFrame:
+    """(id, pos, __h): md5 of every ``window``-token span with its
+    0-based window-start position — the substring-dedup family's span
+    construction (``posexplode`` over ``arrays_zip`` of ``window``
+    shifted slices, narrow and fully codegen'd), rendered as parsed
+    SQL strings (r12: the Column form cost ~150 py4j round trips per
+    build; the parsed Catalyst tree is identical).  SQL-parsed
+    ``arrays_zip`` names struct fields by position ('0', '1', ...) —
+    internal only, consumed by the ``concat_ws`` in the same chain."""
+    toks = f"split(trim({text_col}), '\\\\s+')"
+    m = f"(size({toks}) - {window - 1})"
+    zipped = ("arrays_zip(" + ", ".join(
+        f"slice({toks}, {j + 1}, {m})" for j in range(window)) + ")")
+    spans = ", ".join(f"__p['{j}']" for j in range(window))
+    return (
+        spread.where(F.expr(f"size({toks}) >= {window}"))
+        .selectExpr(id_col, f"posexplode({zipped}) AS (pos, __p)")
+        .selectExpr(id_col, "pos",
+                    f"md5(concat_ws(' ', {spans})) AS __h")
+    )
+
+
 def ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
            carry: tuple = ()) -> DataFrame:
     """Explode each document into its word n-grams (distinct per doc).
@@ -418,51 +441,37 @@ def substring_dedup_stats(
     is both narrow AND codegen.)  ``posexplode`` emits the 0-based
     window-start position, identical to the old token-table ``pos``.
     """
-    from pyspark.sql import Window as W
-
     from xcube_spark.util import spread_small_input
 
     spread = spread_small_input(docs)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    wins = (
-        spread.where(F.size(toks) >= window)
-        .select(
-            F.col(id_col),
-            F.posexplode(_ngram_zip(toks, window)).alias("pos", "__p"))
-        .select(id_col, "pos",
-                F.md5(_ngram_str(window)).alias("__h"))
-    )
+    wins = _span_windows(spread, window, text_col, id_col)
     # first-occurrence via a window MIN over the span hash: ONE
     # exchange of the span table, versus groupBy+join's two (the agg
     # exchange plus re-shuffling wins into the join) — at 100 TB the
     # span table is the biggest relation in the query, so halving its
-    # shuffles is the dominant saving
-    wh = W.partitionBy("__h")
-    marked = wins.withColumn(
-        "__first",
-        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p")))
-        .over(wh),
-    ).select(
+    # shuffles is the dominant saving.  Rendered as parsed SQL
+    # strings (r12 session 4): the Catalyst tree is identical to the
+    # former Column chain; only the py4j build traffic shrinks.
+    marked = wins.selectExpr(
+        id_col, "pos",
+        f"min(struct({id_col} AS d, pos AS p)) "
+        "OVER (PARTITION BY __h) AS __first",
+    ).selectExpr(
         id_col,
-        (
-            (F.col("__first.d") != F.col(id_col))
-            | (F.col("__first.p") != F.col("pos"))
-        ).cast("int").alias("__dup"),
+        f"CAST(__first.d != {id_col} OR __first.p != pos AS INT) AS __dup",
     )
     per = marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_windows"),
-        F.sum("__dup").alias("n_dup"),
+        F.expr("count(1)").alias("n_windows"),
+        F.expr("sum(__dup)").alias("n_dup"),
     )
     return (
         docs.select(id_col)
         .join(per, id_col, "left")
-        .select(
+        .selectExpr(
             id_col,
-            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
-            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
-            F.round(
-                F.coalesce(F.col("n_dup") / F.col("n_windows"), F.lit(0.0)), 6
-            ).alias("dup_frac"),
+            "CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows",
+            "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup",
+            "round(coalesce(n_dup / n_windows, 0.0D), 6) AS dup_frac",
         )
     )
 
@@ -552,15 +561,7 @@ def substring_dedup_clean(
     # span hashes via the narrow arrays_zip window form (see
     # substring_dedup_stats) — no (doc_id, pos) shuffle for the spans;
     # the token table still shuffles once for the coverage window
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    wins = (
-        spread.where(F.size(toks) >= window)
-        .select(
-            F.col(id_col),
-            F.posexplode(_ngram_zip(toks, window)).alias("pos", "__p"))
-        .select(id_col, "pos",
-                F.md5(_ngram_str(window)).alias("__h"))
-    )
+    wins = _span_windows(spread, window, text_col, id_col)
     # window-min over the span hash, not groupBy+join — one exchange
     # of the span table instead of two (see substring_dedup_stats)
     wh = W.partitionBy("__h")
