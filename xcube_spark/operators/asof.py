@@ -160,20 +160,17 @@ def asof_join(
     # left columns ride the union as PLAIN columns (null-filled on the
     # right rows by allowMissingColumns) — no struct pack/unpack for
     # the left side; only the right payload needs the struct, because
-    # last(..., ignorenulls) carries exactly one column
-    r = right.select(
-        *by,
-        F.col(on),
-        F.lit(0).alias("__tag"),
-        F.struct(
-            F.col(on).alias("__rts"),
-            *[F.col(c).alias(out_names[c]) for c in payload],
-        ).alias("__r"),
+    # last(..., ignorenulls) carries exactly one column.  Rendered as
+    # parsed SQL strings (r12 session 4) — identical Catalyst trees,
+    # a fraction of the py4j build round trips.
+    r = right.selectExpr(
+        *by, on, "0 AS __tag",
+        "struct(" + ", ".join(
+            [f"{on} AS __rts"]
+            + [f"{c} AS {out_names[c]}" for c in payload]
+        ) + ") AS __r",
     )
-    l = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(1).alias("__tag"),
-    )
+    l = left.selectExpr(*left.columns, "1 AS __tag")
     # right rows sort before left rows at equal ts (backward joins are
     # at-or-before inclusive); forward runs the mirrored order.
     # Ties among right rows sharing the same (by, ts) are broken by the
@@ -182,36 +179,37 @@ def asof_join(
     # picks the MAX payload struct — the same winner on every run and
     # partitioning, not whichever row the shuffle happened to order
     # last.  Rule: equal-timestamp right rows resolve to pick-max.
-    if direction == "backward":
-        order = [F.col(on).asc(), F.col("__tag").asc(), F.col("__r").asc()]
-    else:
-        order = [F.col(on).desc(), F.col("__tag").asc(), F.col("__r").asc()]
     unioned = r.unionByName(l, allowMissingColumns=True)
+    ts_dir = "ASC" if direction == "backward" else "DESC"
     if by:
-        w = Window.partitionBy(*by).orderBy(*order) \
-            .rowsBetween(Window.unboundedPreceding, 0)
-        carried = unioned.withColumn(
-            "__m", F.last("__r", ignorenulls=True).over(w)
-        ).where(F.col("__tag") == 1)
+        carried = unioned.selectExpr(
+            "*",
+            f"last(__r, true) OVER (PARTITION BY {', '.join(by)} "
+            f"ORDER BY {on} {ts_dir}, __tag ASC, __r ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __m",
+        ).where("__tag = 1")
     else:
+        if direction == "backward":
+            order = [F.col(on).asc(), F.col("__tag").asc(),
+                     F.col("__r").asc()]
+        else:
+            order = [F.col(on).desc(), F.col("__tag").asc(),
+                     F.col("__r").asc()]
         carried = _keyless_carry(unioned, on, order, direction,
                                  num_buckets)
 
-    within = F.lit(True)
     if tolerance_seconds is not None:
-        gap = F.abs(
-            F.col(on).cast("timestamp_ltz").cast("double")
-            - F.col("__m.__rts").cast("timestamp_ltz").cast("double")
-        )
-        within = gap <= F.lit(float(tolerance_seconds))
-
-    matched = F.col("__m").isNotNull() & within
-    out_cols = [F.col(c) for c in left.columns]
-    out_cols.append(
-        F.when(matched, F.col("__m.__rts")).alias(ts_name)
-    )
-    out_cols.extend(
-        F.when(matched, F.col(f"__m.{out_names[c]}")).alias(out_names[c])
+        within = (f" AND abs(CAST(CAST({on} AS TIMESTAMP_LTZ) AS DOUBLE)"
+                  f" - CAST(CAST(__m.__rts AS TIMESTAMP_LTZ) AS DOUBLE))"
+                  f" <= {float(tolerance_seconds)!r}D")
+    else:
+        within = ""
+    matched = f"(__m IS NOT NULL{within})"
+    exprs = list(left.columns)
+    exprs.append(f"CASE WHEN {matched} THEN __m.__rts END AS {ts_name}")
+    exprs.extend(
+        f"CASE WHEN {matched} THEN __m.{out_names[c]} END"
+        f" AS {out_names[c]}"
         for c in payload
     )
-    return carried.select(*out_cols)
+    return carried.selectExpr(*exprs)
