@@ -56,18 +56,23 @@ def det_hash(col: Column) -> Column:
 # decontamination
 
 
-def _ngram_zip(toks, n: int):
-    """``array<struct>`` of the n-token windows of ``toks`` — built as
-    ``arrays_zip`` of ``n`` shifted slices, whole-stage-codegen'd.
+def _ngram_zip_sql(toks_sql: str, n: int) -> str:
+    """``array<struct>`` of the n-token windows of ``toks_sql`` — built
+    as ``arrays_zip`` of ``n`` shifted slices, whole-stage-codegen'd,
+    rendered as one parsed SQL string (r12: the Column form cost ~100
+    py4j round trips per build; the parsed Catalyst tree is identical).
     Caller guarantees ``size(toks) >= n`` (slice length must be
-    positive)."""
-    m = F.size(toks) - (n - 1)
-    return F.arrays_zip(
-        *[F.slice(toks, j + 1, m).alias(f"t{j}") for j in range(n)])
+    positive).  SQL-parsed ``arrays_zip`` names struct fields by
+    position ('0', '1', ...) — internal only, consumed by
+    :func:`_ngram_str_sql` in the same chain."""
+    m = f"(size({toks_sql}) - {n - 1})"
+    return ("arrays_zip(" + ", ".join(
+        f"slice({toks_sql}, {j + 1}, {m})" for j in range(n)) + ")")
 
 
-def _ngram_str(n: int):
-    return F.concat_ws(" ", *[F.col(f"__p.t{j}") for j in range(n)])
+def _ngram_str_sql(n: int) -> str:
+    return ("concat_ws(' ', "
+            + ", ".join(f"__p['{j}']" for j in range(n)) + ")")
 
 
 def _span_windows(spread: DataFrame, window: int, text_col: str,
@@ -121,13 +126,13 @@ def ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
 
     df = spread_small_input(df)
     carry = list(carry)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = f"split(trim({text_col}), '\\\\s+')"
     return (
-        df.where(F.size(toks) >= n)
-        .select(
+        df.where(F.expr(f"size({toks}) >= {n}"))
+        .selectExpr(
             "doc_id", *carry,
-            F.explode(F.array_distinct(_ngram_zip(toks, n))).alias("__p"))
-        .select("doc_id", *carry, _ngram_str(n).alias("ngram"))
+            f"explode(array_distinct({_ngram_zip_sql(toks, n)})) AS __p")
+        .selectExpr("doc_id", *carry, f"{_ngram_str_sql(n)} AS ngram")
     )
 
 
@@ -138,11 +143,12 @@ def ngrams_narrow(df: DataFrame, text_col: str = "text",
     ``array_distinct`` — for consumers where duplicates are free
     (e.g. an idempotent ``bit_or`` Bloom aggregate).  Docs shorter
     than ``n`` tokens yield no rows."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = f"split(trim({text_col}), '\\\\s+')"
     return (
-        df.where(F.size(toks) >= n)
-        .select("doc_id", F.explode(_ngram_zip(toks, n)).alias("__p"))
-        .select("doc_id", _ngram_str(n).alias("ngram"))
+        df.where(F.expr(f"size({toks}) >= {n}"))
+        .selectExpr("doc_id",
+                    f"explode({_ngram_zip_sql(toks, n)}) AS __p")
+        .selectExpr("doc_id", f"{_ngram_str_sql(n)} AS ngram")
     )
 
 

@@ -381,11 +381,10 @@ def bloom_decontaminate(
     return (
         corpus.select("doc_id")
         .join(hits, "doc_id", "left")
-        .select(
+        .selectExpr(
             "doc_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            (F.coalesce("n_hits", F.lit(0)) > max_hits)
-            .alias("contaminated"),
+            "coalesce(n_hits, 0) AS n_hits",
+            f"(coalesce(n_hits, 0) > {max_hits}) AS contaminated",
         )
     )
 
