@@ -83,11 +83,11 @@ def test_goode_inverse_clamps_out_of_domain(spark):
 def test_bm25_and_dsir_release_persisted_intermediates(spark, sf_dir):
     """Advice r9 (re-pinned for the r12 optimization round): repeated
     invocations of bm25/dsir must not accumulate persisted RDDs in a
-    long-lived session.  bm25_topk no longer persists anything (df
-    rides a reused exchange); dsir's within-invocation feature-table
-    persist is released by the weakref finalizer when the caller
-    drops the result — so after dropping results and collecting
-    garbage, the persisted-RDD set returns to its starting level."""
+    long-lived session.  bm25_topk's one-scan candidate persist and
+    any dsir within-invocation persist are released by the weakref
+    finalizer (tie_cache_lifetime) when the caller drops the result —
+    so after dropping results and collecting garbage, the
+    persisted-RDD set returns to its starting level."""
     import gc
 
     from xcube_spark.queries import load_all

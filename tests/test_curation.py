@@ -756,10 +756,12 @@ def test_bm25_topk_hand_scores_and_semi_filter_plan(spark):
     (k1=1.2, b=0.75), ranks deterministically, and the plan filters
     the corpus tokens with a literal IN predicate on the query
     vocabulary BEFORE the tf aggregate (at 100 TB the df/idf and
-    score stages must only ever see candidate rows), while df comes
-    from a second aggregation over the same candidate subtree (AQE
-    reuses the shuffle stage at runtime) — no persisted intermediate,
-    no broadcast build of corpus-derived data."""
+    score stages must only ever see candidate rows).  The corpus is
+    tokenized ONCE per invocation (r12): the vocabulary candidates
+    plus one pos-0 sentinel row per doc land in an eagerly
+    localCheckpoint-ed table that feeds the stats collect and the
+    scoring job — no LEFT-SEMI vocab join, no cached
+    InMemoryTableScan, no broadcast build of corpus-derived data."""
     import math as m
 
     from xcube_spark.pipeline.text import bm25_topk
@@ -789,12 +791,20 @@ def test_bm25_topk_hand_scores_and_semi_filter_plan(spark):
     ranks = {r.doc_id: r.rank for r in out}
     assert ranks[3] == 1 and ranks[1] == 2
 
-    plan = bm25_topk(docs, queries, k=2)._jdf.queryExecution() \
-        .executedPlan().toString()
-    # vocabulary filter is a literal IN over the exploded tokens
-    assert "token" in plan and " IN (" in plan
-    # no LEFT-SEMI vocab join and no persisted intermediate remain
-    assert "LeftSemi" not in plan and "InMemoryTableScan" not in plan
+    # the default plan reads the persisted candidate table (corpus
+    # tokenized exactly once per invocation; cache released via
+    # tie_cache_lifetime when the result is dropped — hold the result
+    # in a variable or the finalizer unpersists mid-expression)
+    res = bm25_topk(docs, queries, k=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan and "LeftSemi" not in plan
+    del res
+    # materialize=False exposes the candidate lineage: the vocabulary
+    # filter is a literal IN over the exploded tokens, never a join
+    lazy = bm25_topk(docs, queries, k=2, materialize=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "token" in lazy and " IN (" in lazy
+    assert "LeftSemi" not in lazy and "InMemoryTableScan" not in lazy
 
 
 def test_dsir_weights_favor_target_vocabulary(spark):

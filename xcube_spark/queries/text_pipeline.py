@@ -1270,12 +1270,18 @@ def doc_bm25_selfretrieval(spark, sf_dir):
                                 for r in q_rows])
     hits = res.where(F.col("query_id") == F.col("doc_id"))
     n_q = len(q_rows)
-    return hits.agg(
+    out = hits.agg(
         F.lit(n_q).cast("long").alias("n_queries"),
         F.count("*").alias("n_hit"),
         F.round(
             F.coalesce(F.sum(F.lit(1.0) / F.col("rank")), F.lit(0.0))
             / F.lit(n_q) + F.lit(1e-9), 6).alias("mrr"))
+    # keep the bm25 result (and so its tie_cache_lifetime-persisted
+    # candidate table) alive until THIS derived result is dropped —
+    # otherwise the finalizer unpersists at fn return and the scoring
+    # job re-tokenizes the corpus
+    out._bm25_keepalive = res
+    return out
 
 
 @query(
