@@ -73,3 +73,49 @@ def test_ij_lookup_min_struct_matches_min_by(spark):
     assert out[(1, 1)][:2] == (5, 5)
     assert out[(1, 1)][2] == pytest.approx(0.02)
     assert out[(2, 2)][:2] == (7, 7)  # tie -> smaller (src_y, src_x)
+
+
+def test_rectify_inverse_gather_matches_generic(spark):
+    """complete_source=True (r12 inverse map-side gather) returns the
+    SAME rows as the generic outer-gather plan on a complete source —
+    covered cells gathered, uncovered border cells NULL — including
+    output_ij, and its physical plan has no shuffle join (both
+    plane-sized gather exchanges are gone)."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.cube.grid import CubeGrid
+    from xcube_spark.operators.resampling.rectify import rectify_dataset
+
+    grid = CubeGrid(width=4, height=4, time_periods=2,
+                    x_start=0.0, y_start=0.0, x_res=1.0, y_res=1.0)
+    # complete 2-time source: every (t, pixel) pair has one value row;
+    # lon/lat shift (+0.6, -1.1) maps pixel (y, x) -> cell (y-2, x)
+    # within bounds, leaving border cells uncovered (NULL)
+    src = spark.range(2 * 4 * 4).select(
+        (F.col("id") / 16).cast("int").alias("t_i"),
+        ((F.col("id") % 16) / 4).cast("int").alias("y_i"),
+        (F.col("id") % 4).cast("int").alias("x_i"),
+        (F.col("id") * 1.5).alias("V"),
+    ).withColumns({
+        "lon": F.col("x_i") + 0.5 + 0.1,
+        "lat": F.col("y_i") + 0.5 - 1.6,
+    })
+
+    def rows(flag, output_ij=False):
+        out = rectify_dataset(src, grid, var_names=["V"],
+                              time_values=[0, 1], output_ij=output_ij,
+                              complete_source=flag)
+        return sorted(tuple(r) for r in out.collect())
+
+    assert rows(True) == rows(False)
+    assert rows(True, output_ij=True) == rows(False, output_ij=True)
+    # NULL border cells really are present (lat shift uncovers 2 rows
+    # per plane at the top)
+    n_null = sum(1 for r in rows(True) if r[-1] is None)
+    assert n_null == 2 * 2 * 4
+    # plan pin: the inverse gather is broadcast-only — no shuffle join
+    plan = rectify_dataset(
+        src, grid, var_names=["V"], time_values=[0, 1],
+        complete_source=True,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan

@@ -363,6 +363,7 @@ def rectify_dataset(
     k: int = 4,
     uv_delta: float = 1e-3,
     time_values: Iterable[int] | None = None,
+    complete_source: bool = False,
 ) -> DataFrame:
     """Rectify an irregular-coords cube onto ``target``.
 
@@ -377,7 +378,20 @@ def rectify_dataset(
     fractional modes a precomputed ``ij_lookup`` must come from
     :func:`compute_ij_lookup_fractional`.  ``time_values`` optionally
     declares the source's time axis (the distinct ``t_i`` values),
-    skipping a distinct scan and a count job (nearest/idw modes)."""
+    skipping a distinct scan and a count job (nearest/idw modes).
+
+    ``complete_source=True`` asserts (caller contract, like
+    ``time_values``) that ``source`` carries a value row for EVERY
+    (time step, source pixel) pair its geometry exposes — true for
+    dense cubes and for single-plane swaths where each pixel appears
+    exactly once.  Nearest mode then INVERTS the gather when the
+    lookup fits the broadcast cap: the source streams once through a
+    broadcast of the per-cell argmin lookup (map-side, no shuffle of
+    either plane-sized table) and uncovered target cells union in via
+    a narrow anti-join — the r12 measured plan drops both gather
+    exchanges.  With a sparse source the default (False) keeps the
+    outer gather join so missing (t, pixel) rows still surface as
+    NULL cells."""
     from xcube_spark.cube.grid import var_names as cube_vars
 
     if interpolation not in ("nearest", "idw", "triangular", "bilinear"):
@@ -441,8 +455,50 @@ def rectify_dataset(
     # lookup is target-plane-sized (one row per covered pixel); same
     # cost-cap guard as the fractional path — never force a broadcast
     # that grows with the target grid.
-    if target.width * target.height * 16 * lookup_k <= _BROADCAST_CAP_BYTES:
+    lookup_fits = (
+        target.width * target.height * 16 * lookup_k
+        <= _BROADCAST_CAP_BYTES)
+    if lookup_fits:
         lookup = F.broadcast(lookup)
+
+    if interpolation == "nearest" and complete_source and lookup_fits:
+        # inverse gather (r12): covered cells resolve map-side on the
+        # SOURCE scan (each source row fans out to the target cells
+        # whose argmin it is — one output row per covered cell because
+        # the lookup holds one row per cell and the complete_source
+        # contract guarantees exactly one value row per (t, pixel));
+        # uncovered cells (no lookup row) union in from the narrow
+        # grid anti-join with every variable NULL, matching the outer
+        # gather's border semantics.
+        matched = src_vals.join(
+            lookup,
+            on=[F.col("src_y_i") == F.col("__ssy"),
+                F.col("src_x_i") == F.col("__ssx")],
+            how="inner",
+        ).select(
+            F.col("__st").alias("t_i"), "y_i", "x_i",
+            *([F.col("src_y_i"), F.col("src_x_i")] if output_ij else []),
+            *vars_,
+        )
+        src_t = dict(source.dtypes)
+        missing = grid.join(lookup, on=["y_i", "x_i"], how="left_anti") \
+            .selectExpr(
+                "t_i", "y_i", "x_i",
+                *([f"CAST(NULL AS INT) AS src_y_i",
+                   f"CAST(NULL AS INT) AS src_x_i"] if output_ij else []),
+                *[f"CAST(NULL AS {src_t[v]}) AS {v}" for v in vars_],
+            )
+        gathered = matched.unionByName(missing)
+        return gathered.select(
+            "t_i",
+            "y_i",
+            "x_i",
+            target.y_center_expr(F.col("y_i")).alias("y"),
+            target.x_center_expr(F.col("x_i")).alias("x"),
+            *(["src_y_i", "src_x_i"] if output_ij else []),
+            *vars_,
+        )
+
     mapped = grid.join(lookup, on=["y_i", "x_i"], how="left")
     # 64 B/row: deserialized JVM rows cost ~10x their 5-int payload,
     # and the torrent copies linger until driver GC — the old 8 B/row

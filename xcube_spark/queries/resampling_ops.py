@@ -155,7 +155,11 @@ def cube_rectify_swath(spark, sf_dir):
         "lat": F.col("y") - 1.1,
     })
     out = rectify_dataset(swath, GRID, var_names=["A"],
-                          time_values=range(GRID.time_periods))
+                          time_values=range(GRID.time_periods),
+                          # the synthesized cube is dense: one value
+                          # row per (t, pixel) -> inverse map-side
+                          # gather (r12)
+                          complete_source=True)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
@@ -2507,7 +2511,11 @@ def events_rectify_grid(spark, sf_dir):
         "lon": F.col("x_i") - F.lit(0.27),   # floor -> x_i - 1
         "lat": F.col("y_i") + F.lit(1.31),   # floor -> y_i + 1
     })
-    out = rectify_dataset(swath, grid, var_names=["A"], time_values=[0])
+    out = rectify_dataset(swath, grid, var_names=["A"], time_values=[0],
+                          # event_id -> pixel is a bijection on the
+                          # single plane: one value row per (t, pixel)
+                          # -> inverse map-side gather (r12)
+                          complete_source=True)
     return out.select("t_i", "y_i", "x_i", F.round("A", 6).alias("A"))
 
 
