@@ -75,10 +75,19 @@ def shingles(docs: DataFrame, k: int = 3, text_col: str = "text",
     # explode amplifies rows ~tokens-per-doc x, so input-byte-based
     # file splitting underestimates the work: spread docs across the
     # cluster BEFORE the fan-out (a small shuffle of raw docs buys
-    # full-width parallelism for the shingle/hash stages)
+    # full-width parallelism for the shingle/hash stages).  Spread BY
+    # THE DOC ID, not round-robin (r12 optimization round, guide §2.4
+    # "share one exchange"): Generate preserves the child's hash
+    # partitioning, so the signature aggregate's ClusteredDistribution
+    # (groupBy doc_id) is already satisfied and its corpus-wide
+    # exchange + final-merge wave disappear — the whole shingle ->
+    # signature pipeline runs in ONE stage.  doc ids hash uniformly
+    # (no skew), and hash partitioning also skips round-robin's
+    # determinism sort (sortBeforeRepartition) over the raw docs.
     spread = (
         docs.where(F.expr(f"size({toks}) >= {k}"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                     F.col(id_col))
     )
     # k-window construction as arrays_zip of k shifted slices —
     # whole-stage-codegen'd end to end; the former transform(sequence,
@@ -543,7 +552,12 @@ def simhash(docs: DataFrame, bits: int = 64, text_col: str = "text",
     flows straight from the explode into the vote aggregation.
     Pure built-ins — no Python UDF in the path.
     """
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # spread BY DOC ID (not round-robin): the explode preserves the
+    # hash partitioning, so the vote aggregate's groupBy(doc_id) rides
+    # the same exchange — one stage from docs to signatures, and no
+    # round-robin determinism sort (r12 optimization round, guide §2.4)
+    spread = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
     toks = (
         spread.selectExpr(
             id_col, f"explode(split({text_col}, ' ')) AS tok")
