@@ -226,7 +226,9 @@ def nb_classify(
         raise ValueError("n_buckets must be <= 4096 (3 md5 nibbles)")
     from xcube_spark.util import spread_small_input, tie_cache_lifetime
 
-    docs = spread_small_input(docs)
+    # keyed spread: the per-(doc[, label], bucket) feature aggregate
+    # and the per-doc score reduce cluster by the id (r12)
+    docs = spread_small_input(docs, key=id_col)
     # per-(doc, label, bucket) counts — the document feature vectors;
     # persisted because they feed BOTH the model-build broadcast jobs
     # and the scoring join
@@ -367,7 +369,9 @@ def nb_classify_from_state(
     merge == recompute, exact."""
     from xcube_spark.util import spread_small_input, tie_cache_lifetime
 
-    docs = spread_small_input(docs)
+    # keyed spread: the per-(doc[, label], bucket) feature aggregate
+    # and the per-doc score reduce cluster by the id (r12)
+    docs = spread_small_input(docs, key=id_col)
     cf = state.where(F.col("f") >= 0).select(
         F.col("label").alias("cand"), "f", F.col("c").alias("cc"))
     n_l = state.where(F.col("f") == -1).select(

@@ -124,7 +124,10 @@ def ngrams(df: DataFrame, text_col: str = "text", n: int = 3,
     """
     from xcube_spark.util import spread_small_input
 
-    df = spread_small_input(df)
+    # keyed spread: every per-doc consumer (decontaminate / bloom
+    # verdicts) clusters by doc_id, so the spread exchange does double
+    # duty (r12; see spread_small_input)
+    df = spread_small_input(df, key="doc_id")
     carry = list(carry)
     toks = f"split(trim({text_col}), '\\\\s+')"
     return (
@@ -557,7 +560,9 @@ def substring_dedup_clean(
 
     from xcube_spark.util import spread_small_input
 
-    spread = spread_small_input(docs)
+    # keyed spread: the coverage window below partitions by the doc
+    # id, so the token table needs no second exchange (r12)
+    spread = spread_small_input(docs, key=id_col)
     toks_tbl = spread.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+"))

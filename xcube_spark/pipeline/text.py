@@ -249,8 +249,10 @@ def bm25_topk(
     from xcube_spark.util import spread_small_input, tie_cache_lifetime
 
     # tokenization is per-row-heavy: spread a few-split scan across
-    # the host (no-op at real scale where files outnumber cores)
-    docs = spread_small_input(docs)
+    # the host (no-op at real scale where files outnumber cores).
+    # Keyed by the doc id: the tf aggregate below clusters by
+    # (id, dl, token) and rides this exchange (r12)
+    docs = spread_small_input(docs, key=id_col)
 
     # the query set is broadcast-small BY CONTRACT: its term pairs are
     # computed driver-side (callers with the rows in hand pass

@@ -18,9 +18,21 @@ def _parse_byte_size(s: str) -> int:
 
 
 def spread_small_input(df, min_ratio: int = 1,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       key: str | None = None):
     """Repartition ``df`` to the cluster's default parallelism ONLY
     when its estimated scan-split count is below it.
+
+    ``key``: spread by HASH of this column instead of round-robin.
+    Callers whose downstream aggregate/window is clustered by a key
+    set that CONTAINS this column (per-doc verdicts, per-doc token
+    windows) should pass it: hash partitioning by a subset of the
+    clustering keys satisfies the downstream distribution, so the
+    spread exchange does double duty and the aggregate's own shuffle
+    wave disappears (r12 optimization round, guide §2.4 "two
+    operations keyed the same way can share one exchange").  It also
+    skips round-robin's determinism sort.  Uniformly distributed ids
+    balance like round-robin; do NOT pass a skewed column.
 
     For per-row-heavy stages (interpreted higher-order array exprs,
     explode fan-outs), input-byte-based file splitting underestimates
@@ -52,6 +64,10 @@ def spread_small_input(df, min_ratio: int = 1,
         except Exception:
             return df
     if num_partitions < target:
+        if key is not None:
+            from pyspark.sql import functions as F
+
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
