@@ -1,0 +1,64 @@
+"""Round-13 optimization internals.
+
+1. bm25_topk's query-vocabulary filter is CAPPED: small query sets
+   render a literal IN-list, large ones fall back to a broadcast
+   membership join — both branches produce identical rows (the
+   broadcast-small-queries contract, enforced instead of assumed).
+"""
+import pytest
+from pyspark.sql import Row
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=1, text="spark window agg fast stream"),
+        Row(doc_id=2, text="customer query fast vector merge"),
+        Row(doc_id=3, text="window window agg customer"),
+        Row(doc_id=4, text="vector stream merge merge spark"),
+        Row(doc_id=5, text="unrelated words entirely here"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [Row(query_id=1, query_text="spark window agg"),
+         Row(query_id=2, query_text="customer query fast")])
+
+
+def test_bm25_inset_cap_branches_identical(spark, monkeypatch):
+    import xcube_spark.pipeline.text as tx
+
+    docs, qs = _corpus(spark), _queries(spark)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+            for r in tx.bm25_topk(docs, qs, k=3).collect())
+
+    monkeypatch.setattr(tx, "_BM25_INSET_CAP", 1024)
+    literal_branch = run()
+    assert literal_branch  # the fixture must produce hits
+
+    # force the join branch: cap below the vocabulary size
+    monkeypatch.setattr(tx, "_BM25_INSET_CAP", 0)
+    join_branch = run()
+    assert join_branch == literal_branch
+
+
+def test_bm25_inset_cap_plan_shapes(spark, monkeypatch):
+    """The literal branch carries the IN-list in the plan; the join
+    branch carries a broadcast join and NO giant literal."""
+    import xcube_spark.pipeline.text as tx
+
+    docs, qs = _corpus(spark), _queries(spark)
+
+    monkeypatch.setattr(tx, "_BM25_INSET_CAP", 1024)
+    lit_plan = tx.bm25_topk(docs, qs, k=3, materialize=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "spark" in lit_plan and " IN " in lit_plan.replace("\n", " ")
+
+    monkeypatch.setattr(tx, "_BM25_INSET_CAP", 0)
+    join_plan = tx.bm25_topk(docs, qs, k=3, materialize=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in join_plan

@@ -265,6 +265,7 @@ def _rectify_fractional(
     interpolation: str,
     ij_lookup: DataFrame | None,
     uv_delta: float,
+    time_values: Iterable[int] | None = None,
 ) -> DataFrame:
     """triangular/bilinear rectification: fractional lookup + 4-corner
     gather + the reference's exact blend formulas (rectify.py:779-810)."""
@@ -273,23 +274,40 @@ def _rectify_fractional(
         compute_ij_lookup_fractional(source, target, lon_name, lat_name,
                                      uv_delta=uv_delta)
 
+    # edge-clamp bounds: two exact INTEGERS collected driver-side and
+    # inlined as literals (r13, the r11 driver-fold recipe) — the old
+    # crossJoin(broadcast(dims)) paid the same eager geometry scan as
+    # its broadcast-build job but kept a BroadcastNestedLoopJoin in
+    # every downstream plan
     geo = source.select(F.col("y_i").alias("sj"), F.col("x_i").alias("si"))
-    dims = geo.agg(F.max("si").alias("max_i"), F.max("sj").alias("max_j"))
-    lookup = lookup.crossJoin(F.broadcast(dims))
+    drow = geo.agg(F.max("si").alias("max_i"),
+                   F.max("sj").alias("max_j")).collect()[0]
+    max_i, max_j = int(drow["max_i"]), int(drow["max_j"])
 
     i0 = F.floor("src_i_f").cast("int")
     j0 = F.floor("src_j_f").cast("int")
     u = F.col("src_i_f") - i0
     v = F.col("src_j_f") - j0
-    i1 = F.least(i0 + 1, F.col("max_i"))  # _iclamp at the image edge
-    j1 = F.least(j0 + 1, F.col("max_j"))
+    i1 = F.least(i0 + 1, F.lit(max_i))  # _iclamp at the image edge
+    j1 = F.least(j0 + 1, F.lit(max_j))
 
     tgt_plane = spark.range(target.width * target.height).select(
         (F.col("id") / target.width).cast("int").alias("y_i"),
         (F.col("id") % target.width).cast("int").alias("x_i"),
     )
-    times = source.select("t_i").distinct()
-    grid = times.crossJoin(tgt_plane)
+    # literal time axis when the caller declares it (same contract as
+    # the nearest path — r13 extends it to the fractional modes)
+    if time_values is not None:
+        tvals = sorted(set(int(t) for t in time_values))
+        t_type = source.schema["t_i"].dataType.simpleString()
+        grid = tgt_plane.selectExpr(
+            "explode(array("
+            + ", ".join(f"CAST({t} AS {t_type})" for t in tvals)
+            + ")) AS t_i",
+            "y_i", "x_i")
+    else:
+        times = source.select("t_i").distinct()
+        grid = times.crossJoin(tgt_plane)
     # lookup has one row per covered target pixel (y_i, x_i + two
     # doubles ~ 32 B) — broadcast only while the whole target plane
     # fits the cost cap; a large grid stays a shuffle join and AQE may
@@ -378,7 +396,8 @@ def rectify_dataset(
     fractional modes a precomputed ``ij_lookup`` must come from
     :func:`compute_ij_lookup_fractional`.  ``time_values`` optionally
     declares the source's time axis (the distinct ``t_i`` values),
-    skipping a distinct scan and a count job (nearest/idw modes).
+    skipping a distinct scan and a count job (all interpolation modes
+    since r13; the fractional modes use it as a literal time explode).
 
     ``complete_source=True`` asserts (caller contract, like
     ``time_values``) that ``source`` carries a value row for EVERY
@@ -405,7 +424,7 @@ def rectify_dataset(
         ]
         return _rectify_fractional(source, target, vars_, lon_name,
                                    lat_name, interpolation, ij_lookup,
-                                   uv_delta)
+                                   uv_delta, time_values=time_values)
     lookup_k = 1 if interpolation == "nearest" else k
     vars_ = list(var_names) if var_names is not None else [
         v for v in cube_vars(source) if v not in (lon_name, lat_name)

@@ -193,10 +193,12 @@ def jaccard_verify(
     a forced broadcast is an OOM at scale.  These are equi-joins on doc
     ids — AQE broadcasts at runtime iff the built side actually fits.
     """
+    # NO distinct on the candidate ids (r13): they only feed the
+    # LEFT-SEMI join below, whose build side hash-dedups keys anyway —
+    # the distinct bought nothing but one more exchange wave.
     cand_ids = (
         pairs.selectExpr(f"id_a AS {id_col}")
         .union(pairs.selectExpr(f"id_b AS {id_col}"))
-        .distinct()
     )
     packed = (
         shingle_df.join(cand_ids, id_col, "left_semi")
@@ -254,11 +256,15 @@ def minhash_near_dup_pairs(
     -> bucket join -> exact-Jaccard verify -> threshold.
 
     Materialization strategy (re-measured r12 optimization round, now
-    that the shingle map is narrow codegen): ``cands`` — the small
-    candidate table where the whole sig/band/bucket-join lineage
-    converges — is an EAGER localCheckpoint (the incremental_near_
-    dedup lineage lesson): it truncates the signature pipeline out of
-    every downstream plan, so the verify stage never re-runs it.  The
+    that the shingle map is narrow codegen; r13 made it LAZY): ``cands``
+    — the small candidate table where the whole sig/band/bucket-join
+    lineage converges — is a lazy localCheckpoint (the incremental_
+    near_dedup lineage lesson): it truncates the signature pipeline out
+    of every downstream plan, the three verify-side references share
+    one checkpointed RDD (the pipeline runs once), and the candidates
+    materialize inside the verify action rather than as a separate
+    synchronous job wave (r13: the eager build job was both ~0.3 s of
+    wall and the row's variance source).  The
     shingle table is consumed exactly twice (the signature pass at
     checkpoint time, the verify pack at execution); whether to persist
     it between the two is SIZE-ADAPTIVE, the guide §5 caching rule
@@ -283,10 +289,18 @@ def minhash_near_dup_pairs(
     if persist_sh:
         sh = sh.persist()
     sig = minhash_signature(sh, num_hashes=num_hashes, id_col=id_col)
+    # LAZY localCheckpoint (r13): the plan is truncated immediately (all
+    # three verify-side references share ONE checkpointed RDD, so the
+    # signature pipeline still runs once), but materialization happens
+    # inside the verify action instead of as a separate synchronous job
+    # wave.  Interleaved A/B at sf0.1: eager 1.79 s vs lazy(+no-distinct)
+    # 1.52 s median, and the eager build job was the row's variance
+    # source (max 7.9 s vs 2.0 s across the same sweep); sf1 neutral-to-
+    # better under host noise (15.1 vs 13.9 medians).
     cands = lsh_candidate_pairs(
         lsh_bands(sig, num_bands, id_col=id_col), id_col=id_col,
         max_bucket_size=max_bucket_size,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     result = jaccard_verify(sh, cands, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
@@ -1229,11 +1243,26 @@ def lsh_recall_stats(
     # both pair tables are materialized — the shingle cache is done
     sh.unpersist()
 
-    hits = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    # all three counts from ONE full-outer join of the two distinct
+    # pair sets (r13): rows present on the truth side count n_truth,
+    # on the candidate side n_candidates, on both n_hit — exactly the
+    # former count + count + semi-join-count triple, but one aggregate
+    # instead of three single-row aggregates chained through two
+    # BroadcastNestedLoopJoins.  All sums are exact integers.
+    m = (
+        truth.withColumn("__t", F.lit(1))
+        .join(cands.withColumn("__c", F.lit(1)),
+              ["id_a", "id_b"], "full_outer")
+    )
     stats = (
-        truth.agg(F.count("*").alias("n_truth"))
-        .crossJoin(cands.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        m.agg(
+            F.coalesce(F.sum("__t"), F.lit(0)).cast("long")
+            .alias("n_truth"),
+            F.coalesce(F.sum("__c"), F.lit(0)).cast("long")
+            .alias("n_candidates"),
+            F.coalesce(F.sum(F.col("__t") * F.col("__c")), F.lit(0))
+            .cast("long").alias("n_hit"),
+        )
         .select(
             "n_truth", "n_candidates", "n_hit",
             F.round(F.col("n_hit").cast("double") / F.col("n_truth")

@@ -124,12 +124,9 @@ def hll_cardinality(
     return hll_estimate(hll_state(df, col, p), p)
 
 
-def hll_state(df: DataFrame, col: str, p: int = 8) -> DataFrame:
-    """The HLL register table ``(reg, rho)`` for one input — the
-    sketch STATE.  Registers merge by ``max(rho)``, which is
-    associative, commutative and idempotent, so incremental
-    maintenance (:func:`hll_merge`) is exactly equivalent to a
-    single-pass recompute — not just statistically, value-for-value."""
+def _hll_rows(df: DataFrame, col: str, p: int) -> DataFrame:
+    """Pre-aggregate HLL rows ``(reg, rho)`` — one per input row; the
+    register state is their per-reg max."""
     if p % 4 != 0 or not 4 <= p <= 16:
         raise ValueError("p must be a multiple of 4 in [4, 16]")
     nhex = p // 4
@@ -139,6 +136,18 @@ def hll_state(df: DataFrame, col: str, p: int = 8) -> DataFrame:
     return (
         df.select(idx.alias("reg"), w.alias("w"))
         .withColumn("rho", F.expr(_rho_sql("w")))
+        .select("reg", "rho")
+    )
+
+
+def hll_state(df: DataFrame, col: str, p: int = 8) -> DataFrame:
+    """The HLL register table ``(reg, rho)`` for one input — the
+    sketch STATE.  Registers merge by ``max(rho)``, which is
+    associative, commutative and idempotent, so incremental
+    maintenance (:func:`hll_merge`) is exactly equivalent to a
+    single-pass recompute — not just statistically, value-for-value."""
+    return (
+        _hll_rows(df, col, p)
         .groupBy("reg")
         .agg(F.max("rho").alias("rho"))
     )
@@ -599,29 +608,63 @@ def hll_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
     and ``est_intersection`` by inclusion–exclusion (a + b - union,
     the standard HLL intersection estimator; its error grows as the
     true overlap shrinks relative to the union).  One row, all values
-    rounded to 4."""
-    a = hll_state(df_a, col, p)
-    b = hll_state(df_b, col, p)
-    ea = hll_estimate(a, p).select(
-        F.col("estimate").alias("est_a"))
-    eb = hll_estimate(b, p).select(
-        F.col("estimate").alias("est_b"))
-    eu = hll_estimate(
-        a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho")),
-        p).select(F.col("estimate").alias("est_union"))
-    return (
-        ea.crossJoin(eb).crossJoin(eu)
-        .select(
-            # the inputs are pre-rounded to 4 by hll_estimate; the
-            # outer ROUND is a value no-op that makes the contract
-            # visible to the float-boundary audit on both engines
-            F.round(F.col("est_a"), 4).alias("est_a"),
-            F.round(F.col("est_b"), 4).alias("est_b"),
-            F.round(F.col("est_union"), 4).alias("est_union"),
-            F.round(F.col("est_a") + F.col("est_b")
-                    - F.col("est_union"), 4)
-            .alias("est_intersection"),
-        )
+    rounded to 4.
+
+    Plan shape (r13): ONE side-tagged register merge + ONE scalar
+    aggregate carrying all three (n_regs, harmonic-sum) pairs — the
+    former three ``hll_estimate`` branches chained two
+    BroadcastNestedLoopJoins and re-aggregated the a/b subtrees for
+    the union.  Per-register maxima, the integer harmonic sums and
+    the estimator arithmetic are value-identical (same expressions
+    over the same exact integers)."""
+    m = 1 << p
+    alpha_m2 = _hll_alpha(m) * m * m
+    two53 = float(1 << 53)
+    rows = (
+        _hll_rows(df_a, col, p).select(
+            "reg", "rho", F.lit(0).alias("__side"))
+        .unionByName(_hll_rows(df_b, col, p).select(
+            "reg", "rho", F.lit(1).alias("__side")))
+    )
+    memb = rows.groupBy("reg").agg(
+        F.max(F.when(F.col("__side") == 0, F.col("rho"))).alias("rho_a"),
+        F.max(F.when(F.col("__side") == 1, F.col("rho"))).alias("rho_b"),
+    ).withColumn("rho_u", F.greatest("rho_a", "rho_b"))
+
+    def _ns(rho_col: str, tag: str) -> list:
+        # per-sketch (n_regs, integer harmonic sum) — NULL rhos are
+        # registers the sketch does not hold; COALESCE matches
+        # hll_estimate's empty-input contract
+        return [
+            F.count(F.col(rho_col)).alias(f"n_{tag}"),
+            F.coalesce(
+                F.sum(F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), 53 - {rho_col})")),
+                F.lit(0).cast("long")).alias(f"s_{tag}"),
+        ]
+
+    agg = memb.agg(*(_ns("rho_a", "a") + _ns("rho_b", "b")
+                     + _ns("rho_u", "u")))
+
+    def _est(tag: str) -> Column:
+        # the exact hll_estimate arithmetic (raw + linear-counting
+        # branch) inlined per sketch
+        v = (F.lit(m) - F.col(f"n_{tag}")).cast("long")
+        raw = (F.lit(alpha_m2) * F.lit(two53)
+               / (F.col(f"s_{tag}")
+                  + v * F.lit(1 << 53).cast("long")).cast("double"))
+        est = F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+        ).otherwise(raw)
+        return F.round(est, 4)
+
+    return agg.select(
+        _est("a").alias("est_a"),
+        _est("b").alias("est_b"),
+        _est("u").alias("est_union"),
+        F.round(_est("a") + _est("b") - _est("u"), 4)
+        .alias("est_intersection"),
     )
 
 
@@ -717,20 +760,14 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
     state (theta <= A's own k-th minimum), so the restricted counts
     are exact set intersections of k-row tables.  All four restricted
     counts come from ONE membership-tagged union of the three k-row
-    states (groupBy w, then conditional sums under w < theta), so the
-    whole plan carries exactly TWO one-row nested-loop joins — the
-    theta broadcast and the final scalar assembly — instead of a
-    per-count crossJoin chain (the r9 plan audit counted 8 BNLJ /
-    16 exchanges in the chained form)."""
+    states (groupBy w, then conditional sums under w < theta), and
+    theta itself rides a single-partition window over that membership
+    table (r13) — ZERO nested-loop joins, where the r9 per-count
+    crossJoin chain counted 8 BNLJ / 16 exchanges and the r12 shape
+    still carried two."""
     a = kmv_state(df_a, col, k)
     b = kmv_state(df_b, col, k)
     u = kmv_merge(a, df_b, col, k)
-    th = (
-        u.agg(F.count("w").alias("n_u"), F.max("w").alias("wk"))
-        .select(
-            F.when(F.col("n_u") < k, F.lit(_KMV_DOMAIN).cast("long"))
-            .otherwise(F.col("wk")).alias("theta_w"))
-    )
     dom = float(_KMV_DOMAIN)
 
     def tag(state: DataFrame, flag: str) -> DataFrame:
@@ -745,8 +782,17 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"),
              F.max("in_u").alias("in_u"))
     )
+    # theta rides a single-partition window over the <= 3k-row
+    # membership table (r13): same value as the former separate
+    # u-aggregate (|u| and u's max hash read off the in_u tags), but
+    # the scalar needs no broadcast and the final assembly no second
+    # crossJoin — both BroadcastNestedLoopJoins gone.
+    w0 = Window.partitionBy()
+    theta = F.when(
+        F.sum("in_u").over(w0) < k, F.lit(_KMV_DOMAIN).cast("long")
+    ).otherwise(F.max(F.when(F.col("in_u") == 1, F.col("w"))).over(w0))
     counts = (
-        membership.crossJoin(F.broadcast(th))
+        membership.withColumn("theta_w", theta)
         .where(F.col("w") < F.col("theta_w"))
         .agg(F.coalesce(F.sum("in_a"), F.lit(0)).cast("long")
              .alias("n_a"),
@@ -755,7 +801,12 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
              F.coalesce(F.sum("in_u"), F.lit(0)).cast("long")
              .alias("n_un"),
              F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
-             .cast("long").alias("n_ab"))
+             .cast("long").alias("n_ab"),
+             # the same scalar on every surviving row; COALESCE covers
+             # the empty-input case (no rows -> the old u-aggregate
+             # still reported theta = the unsaturated domain)
+             F.coalesce(F.max("theta_w"),
+                        F.lit(_KMV_DOMAIN).cast("long")).alias("theta_w"))
     )
 
     def est(n: str) -> Column:
@@ -763,20 +814,17 @@ def kmv_set_ops(df_a: DataFrame, df_b: DataFrame, col: str,
             F.col(n).cast("double") * F.lit(dom)
             / F.col("theta_w").cast("double"), 4)
 
-    return (
-        th.crossJoin(counts)
-        .select(
-            "theta_w",
-            est("n_a").alias("est_a"),
-            est("n_b").alias("est_b"),
-            est("n_un").alias("est_union"),
-            est("n_ab").alias("est_intersection"),
-            F.round(
-                F.when(F.col("n_un") == 0, F.lit(0.0)).otherwise(
-                    F.col("n_ab").cast("double")
-                    / F.col("n_un").cast("double")), 4)
-            .alias("est_jaccard"),
-        )
+    return counts.select(
+        "theta_w",
+        est("n_a").alias("est_a"),
+        est("n_b").alias("est_b"),
+        est("n_un").alias("est_union"),
+        est("n_ab").alias("est_intersection"),
+        F.round(
+            F.when(F.col("n_un") == 0, F.lit(0.0)).otherwise(
+                F.col("n_ab").cast("double")
+                / F.col("n_un").cast("double")), 4)
+        .alias("est_jaccard"),
     )
 
 
@@ -1059,32 +1107,35 @@ def mg_heavy_hitters(
     anywhere.
 
     Scale shape: the merge reduces <= buckets * k summary rows; the
-    global bound is ONE scalar row cross-joined in (model-sized).
+    global bound rides a single-partition window over the summary-
+    sized pruned table (model-sized by construction).
     This is the counter-based dual of the count-min sketch already in
     this module — deterministic underestimates with a certificate,
     vs randomized overestimates.
     """
     # prune to the top k+1 rows per bucket (summary-sized: <= buckets
-    # * (k+1) rows) and persist so the est and bound branches share
-    # ONE token scan.  The bound is the sum of the rk == k+1 counts:
+    # * (k+1) rows).  The bound is the sum of the rk == k+1 counts:
     # buckets with fewer than k+1 distinct tokens have T_b = 0 and
-    # simply contribute no row.
+    # simply contribute no row.  The bound rides a single-partition
+    # window over the summary-sized pruned table (r13): the former
+    # persist + two branches + scalar crossJoin paid a
+    # BroadcastNestedLoopJoin and a second pruned scan for the same
+    # exact integer.
     pruned = (
         _mg_ranked(tokens, token_col, bucket_col, k)
         .where(F.col("rk") <= k + 1)
-        .persist()
     )
-    est = (
-        pruned.withColumn("s", F.col("c") - F.col("t"))
-        .where((F.col("rk") <= k) & (F.col("s") > 0))
-        .groupBy(token_col).agg(F.sum("s").alias("est"))
-    )
-    bound = (
-        pruned.where(F.col("rk") == k + 1)
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("__bound"))
-    )
+    w0 = Window.partitionBy()
+    bounded = pruned.withColumn(
+        "__bound",
+        F.coalesce(
+            F.sum(F.when(F.col("rk") == k + 1, F.col("c"))).over(w0),
+            F.lit(0)))
     return (
-        est.crossJoin(F.broadcast(bound))
+        bounded.withColumn("s", F.col("c") - F.col("t"))
+        .where((F.col("rk") <= k) & (F.col("s") > 0))
+        .groupBy(token_col)
+        .agg(F.sum("s").alias("est"), F.max("__bound").alias("__bound"))
         .select(token_col, "est",
                 (F.col("est") + F.col("__bound")).alias("ub"))
         .orderBy(F.desc("est"), F.asc(token_col))

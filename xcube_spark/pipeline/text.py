@@ -25,6 +25,12 @@ STOPWORDS = {
 #: BPE-ish token pattern: word pieces, numbers, or single non-space symbols
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+#: bm25_topk renders its query vocabulary as a literal IN-list only up
+#: to this many terms (r13: the broadcast-small-queries contract,
+#: ENFORCED).  Past the cap the filter becomes a broadcast membership
+#: join — same candidate rows, no megabyte SQL literal.
+_BM25_INSET_CAP = 1024
+
 
 def whitespace_token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
@@ -296,7 +302,15 @@ def bm25_topk(
     # the query vocabulary filters the corpus as a LITERAL InSet
     # predicate (r12 optimization round) — same candidate set as the
     # former broadcast LEFT-SEMI join, but it rides the scan
-    # projection with no broadcast-build job and stays codegen
+    # projection with no broadcast-build job and stays codegen.
+    # The literal is CAPPED (r13, enforcing the broadcast-small-
+    # queries contract instead of assuming it): past _BM25_INSET_CAP
+    # terms the SQL string itself becomes the problem (a 10^5-term
+    # query set would render a multi-MB predicate that the parser,
+    # optimizer and every task's codegen must carry), so large
+    # vocabularies fall back to a broadcast membership join against
+    # the distinct-token table — same rows kept, plan-verified and
+    # value-pinned by a focused test over both branches.
     vocab_list = sorted({t for _, t in qt_pairs})
 
     # ONE corpus tokenize pass (r12): posexplode over the ''-prepended
@@ -308,16 +322,31 @@ def bm25_topk(
     # the scoring job below never re-scan the corpus.
     # Parsed SQL strings (r12): the Column form of this chain and the
     # scoring arithmetic below cost ~700 py4j round trips per build.
-    in_list = ", ".join("'" + t.replace("'", "''") + "'"
-                        for t in vocab_list) or "''"
     cand = docs.selectExpr(
         id_col,
         f"split(trim({text_col}), '\\\\s+') AS __toks",
     ).selectExpr(
         id_col, "CAST(size(__toks) AS BIGINT) AS dl",
         "posexplode(concat(array(''), __toks)) AS (pos, token)",
-    ).where(F.expr(
-        f"pos = 0 OR (token != '' AND token IN ({in_list}))"))
+    )
+    if len(vocab_list) <= _BM25_INSET_CAP:
+        in_list = ", ".join("'" + t.replace("'", "''") + "'"
+                            for t in vocab_list) or "''"
+        cand = cand.where(F.expr(
+            f"pos = 0 OR (token != '' AND token IN ({in_list}))"))
+    else:
+        # broadcast membership join: keeps the pos-0 sentinel rows the
+        # OR-shape needs (a LEFT-SEMI join could not), drops the
+        # marker column after the filter.  The vocabulary table is
+        # DISTINCT tokens — the left join cannot fan out.
+        vocab_df = qterms.select("token").distinct().withColumn(
+            "__v", F.lit(1))
+        cand = (
+            cand.join(F.broadcast(vocab_df), "token", "left")
+            .where(F.expr("pos = 0 OR (token != '' AND __v = 1)"))
+            .drop("__v")
+            .select(id_col, "dl", "pos", "token")
+        )
     if materialize:
         # the stats collect right below materializes the cache; the
         # persisted blocks are released when the caller drops the

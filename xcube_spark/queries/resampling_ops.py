@@ -241,7 +241,8 @@ def cube_rectify_idw(spark, sf_dir):
         "t_i", "y_i", "x_i", "time", "y", "x", "A"
     ).withColumns({"lon": F.col("x"), "lat": F.col("y")})
     out = rectify_dataset(dense, _TGT_R, var_names=["A"],
-                          interpolation="idw")
+                          interpolation="idw",
+                          time_values=range(_DENSE.time_periods))
     return out.select("x_i", "y_i", F.round("A", 6).alias("A"))
 
 
@@ -1396,7 +1397,8 @@ def cube_rectify_bilinear(spark, sf_dir):
     swath = new_cube(spark, GRID, variables=_BILIN_VAR).withColumns(
         {"lon": F.col("x") + 0.25, "lat": F.col("y") + 0.25})
     out = rectify_dataset(swath, GRID, var_names=["V"],
-                          interpolation="bilinear")
+                          interpolation="bilinear",
+                          time_values=range(GRID.time_periods))
     return out.select("t_i", "y_i", "x_i", F.round("V", 6).alias("V"))
 
 

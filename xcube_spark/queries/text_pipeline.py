@@ -601,24 +601,34 @@ def doc_domain_mix_weights(spark, sf_dir):
     sqrt(p_i)/sum(sqrt(p_j)) — upweights small domains without
     swamping the mix.  One partial-agg shuffle on the domain key; the
     weight table is model-sized output."""
+    from pyspark.sql.window import Window
+
     docs = tbl(spark, sf_dir, "documents")
     d = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.split(F.trim("text"), r"\s+")))
         .cast("long").alias("n_tokens"),
     )
-    tot = d.agg(F.sum("n_tokens").cast("long").alias("t"))
-    w = d.join(F.broadcast(tot)).select(
+    # totals via single-partition windows over the model-sized per-
+    # source table (r13, the dsir totals recipe): the former two scalar
+    # aggregates + broadcast joins planned 3 BroadcastNestedLoopJoins
+    # and re-ran the d subtree per branch; t is an exact BIGINT sum so
+    # no float boundary moves, and the z float sum's ordering noise is
+    # absorbed by the same 1e-9 nudge-round as before.
+    w0 = Window.partitionBy()
+    w = d.select(
+        "source", "n_docs", "n_tokens",
+        F.sum("n_tokens").over(w0).cast("long").alias("t"),
+    ).select(
         "source", "n_docs", "n_tokens",
         (F.col("n_tokens") * 1.0 / F.col("t")).alias("share"),
         F.sqrt(F.col("n_tokens") * 1.0 / F.col("t")).alias("tempered"),
     )
-    z = w.agg(F.sum("tempered").alias("z"))
-    return w.join(F.broadcast(z)).select(
+    return w.select(
         "source", "n_docs", "n_tokens",
         F.round(F.col("share") + F.lit(1e-9), 6).alias("token_share"),
-        F.round(F.col("tempered") / F.col("z") + F.lit(1e-9), 6)
-        .alias("mix_weight"),
+        F.round(F.col("tempered") / F.sum("tempered").over(w0)
+                + F.lit(1e-9), 6).alias("mix_weight"),
     )
 
 
