@@ -46,6 +46,36 @@ def test_bm25_inset_cap_branches_identical(spark, monkeypatch):
     assert join_branch == literal_branch
 
 
+def test_cftime_staged_decode_bit_identical(spark):
+    """decode_cf_time_staged == decode_cf_time for every calendar over
+    the gate fixture's value range (same expressions, different plan
+    staging — values must be bit-identical)."""
+    from pyspark.sql import functions as F
+
+    from xcube_spark.functions.cftime import (decode_cf_time,
+                                              decode_cf_time_staged)
+
+    vals = spark.range(200).select(
+        F.col("id").alias("i"),
+        (F.col("id") * F.lit(37.25) + F.lit(11.0)).alias("v"))
+    cals = [("noleap", "days since 2000-01-01"),
+            ("360_day", "days since 2000-01-01"),
+            ("all_leap", "days since 2000-01-01"),
+            ("julian", "days since 1890-01-01"),
+            ("standard", "days since 2000-01-01")]
+    for cal, units in cals:
+        col_api = sorted(
+            (r["i"], r["ts"])
+            for r in vals.select(
+                "i", decode_cf_time(F.col("v"), units, cal).alias("ts")
+            ).collect())
+        staged = sorted(
+            (r["i"], r["ts"])
+            for r in decode_cf_time_staged(vals, "v", "ts", units, cal)
+            .select("i", "ts").collect())
+        assert staged == col_api, f"calendar {cal} diverged"
+
+
 def test_bm25_inset_cap_plan_shapes(spark, monkeypatch):
     """The literal branch carries the IN-list in the plan; the join
     branch carries a broadcast join and NO giant literal."""

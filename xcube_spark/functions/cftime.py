@@ -199,3 +199,148 @@ def _cum_lookup(month: Column, month_cum: list[int]) -> Column:
     chain inlined it once per arm)."""
     return F.element_at(
         F.array(*[F.lit(c) for c in month_cum]), month)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-staged decode (r13): the Column API above builds ONE
+# expression per timestamp, in which day/doy/month subtrees are
+# re-inlined at every reference — linear per reference, but a
+# 4-calendar projection still totals ~10^3 nodes per column and pays
+# a multi-second one-time codegen compile.  Staging the same
+# arithmetic through NAMED intermediate columns keeps every subtree
+# written once: CollapseProject will not re-inline a non-trivial
+# alias that is referenced more than once, so the optimized plan
+# stays linear end to end.  The expressions are IDENTICAL — only the
+# plan representation changes — pinned bit-exact by
+# tests/test_opt_r13.py against the Column API.
+
+
+def decode_cf_time_staged(df, value_col: str, out_col: str, units: str,
+                          calendar: str | None = None):
+    """``df.withColumn(out_col, decode_cf_time(value_col, ...))`` with
+    the decode staged through materialized intermediate columns (all
+    dropped from the result).  Use for multi-calendar projections;
+    single-calendar ingest axes are fine on the Column API."""
+    cal = (calendar or "standard").lower()
+    val = F.col(value_col)
+    if cal in _STANDARD:
+        return df.withColumn(
+            out_col, decode_cf_time(val, units, calendar))
+    if cal in ("noleap", "365_day"):
+        return _fixed_year_staged(df, val, out_col, units, 365,
+                                  _NOLEAP_CUM)
+    if cal == "360_day":
+        return _fixed_year_staged(df, val, out_col, units, 360,
+                                  [30 * i for i in range(12)])
+    if cal in ("all_leap", "366_day"):
+        return _fixed_year_staged(df, val, out_col, units, 366,
+                                  _ALLLEAP_CUM)
+    if cal == "julian":
+        return _julian_staged(df, val, out_col, units)
+    raise ValueError(f"unsupported CF calendar {calendar!r}")
+
+
+def _day_split_staged(df, total_expr: Column, c) -> "DataFrame":
+    """Shared day/second split: total -> (day, secs) columns, same
+    carry arithmetic as the Column decoders."""
+    df = df.withColumn(c("total"), total_expr)
+    total = F.col(c("total"))
+    day0 = F.floor(total).cast("long")
+    df = df.withColumns({
+        c("day0"): day0,
+        c("ds0"): F.round((total - day0) * F.lit(86400.0)).cast("long"),
+    })
+    return df.withColumns({
+        c("day"): (F.col(c("day0"))
+                   + F.floor(F.col(c("ds0")) / 86400).cast("long")),
+        c("secs"): F.pmod(F.col(c("ds0")), F.lit(86400)),
+    }).drop(c("total"), c("day0"), c("ds0"))
+
+
+def _staged_ts(df, c, out_col: str, year, month, dom):
+    secs = F.col(c("secs"))
+    ts = F.make_timestamp(
+        year, month, dom,
+        (secs / 3600).cast("int"),
+        ((secs % 3600) / 60).cast("int"),
+        (secs % 60).cast("double"),
+    )
+    return df.withColumn(out_col, ts)
+
+
+def _fixed_year_staged(df, value: Column, out_col: str, units: str,
+                       year_days: int, month_cum: list[int]):
+    _, per_unit = parse_time_units(units)
+    y0, m0, d0, s0 = _epoch_ymd(units)
+    ep_days = y0 * year_days + month_cum[m0 - 1] + (d0 - 1)
+
+    def c(s: str) -> str:
+        return f"__{out_col}_{s}"
+
+    df = _day_split_staged(
+        df,
+        (F.lit(float(ep_days)) + F.lit(s0 / 86400.0)
+         + value * F.lit(per_unit / 86400.0)),
+        c)
+    day = F.col(c("day"))
+    df = df.withColumn(c("year"), F.floor(day / year_days).cast("int"))
+    df = df.withColumn(
+        c("doy"),
+        (day - F.col(c("year")).cast("long") * year_days).cast("int"))
+    df = df.withColumn(
+        c("month"), _month_from_doy(F.col(c("doy")), month_cum))
+    year, month = F.col(c("year")), F.col(c("month"))
+    dom = F.col(c("doy")) - _cum_lookup(month, month_cum) + 1
+    if year_days == 360:  # Feb 29/30 have no Gregorian image
+        dom = F.when(month == 2, F.least(dom, F.lit(28))).otherwise(dom)
+    if year_days == 366:  # Feb 29 only exists in Gregorian leap years
+        dom = F.when((month == 2) & (dom == 29) & ~_greg_leap(year),
+                     F.lit(28)).otherwise(dom)
+    df = _staged_ts(df, c, out_col, year, month, dom)
+    return df.drop(c("day"), c("secs"), c("year"), c("doy"), c("month"))
+
+
+def _julian_staged(df, value: Column, out_col: str, units: str):
+    _, per_unit = parse_time_units(units)
+    y0, m0, d0, s0 = _epoch_ymd(units)
+    ep_leap = y0 % 4 == 0
+    ep_days = (_julian_days_before_year(y0) + _NOLEAP_CUM[m0 - 1]
+               + (1 if ep_leap and m0 > 2 else 0) + (d0 - 1))
+
+    def c(s: str) -> str:
+        return f"__{out_col}_{s}"
+
+    df = _day_split_staged(
+        df,
+        (F.lit(float(ep_days)) + F.lit(s0 / 86400.0)
+         + value * F.lit(per_unit / 86400.0)),
+        c)
+    day = F.col(c("day"))
+    df = df.withColumn(c("quad"), F.floor(day / 1461).cast("long"))
+    df = df.withColumn(
+        c("r"), (day - F.col(c("quad")) * 1461).cast("int"))
+    r = F.col(c("r"))
+    df = df.withColumn(
+        c("a"),
+        F.when(r < 366, F.lit(0))
+        .otherwise(F.lit(1) + F.floor((r - 366) / 365).cast("int")))
+    a = F.col(c("a"))
+    df = df.withColumns({
+        c("year"): (F.col(c("quad")) * 4 + a).cast("int"),
+        c("doy"): F.when(a == 0, r).otherwise(r - 366 - (a - 1) * 365),
+        c("lp"): F.when(a == 0, F.lit(1)).otherwise(F.lit(0)),
+    })
+    df = df.withColumn(
+        c("month"),
+        _month_from_doy(F.col(c("doy")), _NOLEAP_CUM,
+                        leap1=F.col(c("lp"))))
+    year, month = F.col(c("year")), F.col(c("month"))
+    is_leap = F.col(c("lp")) == 1
+    cum_m = _cum_lookup(month, _NOLEAP_CUM) + F.when(
+        is_leap & (month > 2), F.lit(1)).otherwise(F.lit(0))
+    dom = F.col(c("doy")) - cum_m + 1
+    dom = F.when((month == 2) & (dom == 29) & ~_greg_leap(year),
+                 F.lit(28)).otherwise(dom)
+    df = _staged_ts(df, c, out_col, year, month, dom)
+    return df.drop(c("day"), c("secs"), c("quad"), c("r"), c("a"),
+                   c("year"), c("doy"), c("lp"), c("month"))

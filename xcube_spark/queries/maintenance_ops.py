@@ -1016,19 +1016,25 @@ def cube_cftime_decode(spark, sf_dir):
     years) / julian (1890 epoch so the 1900 Julian-only leap year is
     in range).  All dyadic-exact Column arithmetic; the oracle
     restates the same floor/carry/CASE chains."""
-    from xcube_spark.functions.cftime import decode_cf_time
+    from xcube_spark.functions.cftime import decode_cf_time_staged
 
     vals = spark.range(600).select(
         F.col("id").alias("i"),
         (F.col("id") * F.lit(37.25) + F.lit(11.0)).alias("v"))
-    return vals.select(
-        "i",
-        decode_cf_time(F.col("v"), "days since 2000-01-01", "noleap")
-        .alias("t_noleap"),
-        decode_cf_time(F.col("v"), "days since 2000-01-01", "360_day")
-        .alias("t_360day"),
-        decode_cf_time(F.col("v"), "days since 2000-01-01", "all_leap")
-        .alias("t_allleap"),
-        decode_cf_time(F.col("v"), "days since 1890-01-01", "julian")
-        .alias("t_julian"),
-    )
+    # staged decode (r13): the 4-calendar Column projection totalled
+    # ~10^3 expression nodes per timestamp (day/doy/month subtrees
+    # re-inlined at every reference) and paid a multi-second one-time
+    # codegen compile; the staged form writes each subtree once as a
+    # named column — same arithmetic, bit-identical output (pinned in
+    # tests/test_opt_r13.py)
+    out = vals
+    out = decode_cf_time_staged(out, "v", "t_noleap",
+                                "days since 2000-01-01", "noleap")
+    out = decode_cf_time_staged(out, "v", "t_360day",
+                                "days since 2000-01-01", "360_day")
+    out = decode_cf_time_staged(out, "v", "t_allleap",
+                                "days since 2000-01-01", "all_leap")
+    out = decode_cf_time_staged(out, "v", "t_julian",
+                                "days since 1890-01-01", "julian")
+    return out.select("i", "t_noleap", "t_360day", "t_allleap",
+                      "t_julian")
