@@ -560,8 +560,12 @@ def substring_dedup_clean(
 
     from xcube_spark.util import spread_small_input
 
-    # keyed spread: the coverage window below partitions by the doc
-    # id, so the token table needs no second exchange (r12)
+    # keyed spread (r13: comment corrected per ADVICE r12): the
+    # (doc_id, pos) join and the doc-keyed coverage window below still
+    # re-shuffle the token table — HashPartitioning(doc_id) does NOT
+    # satisfy the join's (doc_id, pos) co-partitioning, so no exchange
+    # is shared here.  The key is kept only because hash-spreading
+    # skips round-robin's determinism sort over the raw docs.
     spread = spread_small_input(docs, key=id_col)
     toks_tbl = spread.select(
         F.col(id_col),
@@ -868,35 +872,43 @@ def probe_merge(state: DataFrame, batch: DataFrame, y_col: str,
 def probe_fit_predict(state: DataFrame, df: DataFrame, y_col: str,
                       x1_col: str, x2_col: str,
                       id_col: str = "doc_id") -> DataFrame:
-    """Closed-form 3x3 Cramer solve ON the one-row state (Column
-    math, no collect) + broadcast-coefficient prediction pass."""
+    """Closed-form 3x3 Cramer solve on the one-row moment state,
+    computed DRIVER-SIDE (r13, the r11 driver-fold recipe): the state
+    is 9 exact BIGINTs, the solve is pure binary64 +-*/ in the same
+    operation order as the former Column expression — CPython and the
+    JVM agree bit-for-bit on each individual IEEE op (neither
+    FMA-contracts), so the coefficients are value-identical while the
+    prediction pass loses its BroadcastNestedLoopJoin (the collect
+    replaces the broadcast-build job the crossJoin paid anyway)."""
     x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
 
     def det3(a, b, c, d, e, f, g, h, i):
         return (a * (e * i - f * h) - b * (d * i - f * g)
                 + c * (d * h - e * g))
 
-    def dbl(name):
-        return F.col(name).cast("double")
-
-    n, s1, s2 = dbl("n"), dbl("s1"), dbl("s2")
-    s11, s12, s22 = dbl("s11"), dbl("s12"), dbl("s22")
-    sy, s1y, s2y = dbl("sy"), dbl("s1y"), dbl("s2y")
-    det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    coef = state.select(
-        (det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det)
-        .alias("b0"),
-        (det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det)
-        .alias("b1"),
-        (det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det)
-        .alias("b2"),
-    )
+    row = state.collect()[0]
+    vals = [row[c] for c in ("n", "s1", "s2", "s11", "s12", "s22",
+                             "sy", "s1y", "s2y")]
+    if any(v is None for v in vals):
+        # empty state: the old Column solve yielded NULL coefficients
+        b0 = b1 = b2 = None
+    else:
+        n, s1, s2, s11, s12, s22, sy, s1y, s2y = map(float, vals)
+        det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+        if det == 0.0:
+            # Spark's non-ANSI Divide returns NULL on a zero divisor
+            b0 = b1 = b2 = None
+        else:
+            b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+            b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+            b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    lits = [F.lit(b).cast("double") if b is None else F.lit(b)
+            for b in (b0, b1, b2)]
     pred = (
-        df.crossJoin(F.broadcast(coef))
-        .withColumn(
+        df.withColumn(
             "y_hat",
-            F.col("b0") + F.col("b1") * x1.cast("double")
-            + F.col("b2") * x2.cast("double"))
+            lits[0] + lits[1] * x1.cast("double")
+            + lits[2] * x2.cast("double"))
         .withColumn("resid", y.cast("double") - F.col("y_hat"))
     )
     return pred.select(id_col, y.alias("y"), "y_hat", "resid")

@@ -31,8 +31,14 @@ def spread_small_input(df, min_ratio: int = 1,
     spread exchange does double duty and the aggregate's own shuffle
     wave disappears (r12 optimization round, guide §2.4 "two
     operations keyed the same way can share one exchange").  It also
-    skips round-robin's determinism sort.  Uniformly distributed ids
-    balance like round-robin; do NOT pass a skewed column.
+    skips round-robin's determinism sort.  Balance caveat (r13, per
+    ADVICE r12): uniformly distributed ids balance like round-robin
+    only when rows >> target partitions; when the row count is close
+    to the core count, balls-in-bins hashing leaves ~1/e of the
+    partitions empty and others with 2-4 rows — acceptable for the
+    corpus tables this helper spreads (hundreds of rows at the
+    smallest SF), but do not key-spread an input of ~cores rows, and
+    never pass a skewed column.
 
     For per-row-heavy stages (interpreted higher-order array exprs,
     explode fan-outs), input-byte-based file splitting underestimates
