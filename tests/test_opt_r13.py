@@ -76,6 +76,54 @@ def test_cftime_staged_decode_bit_identical(spark):
         assert staged == col_api, f"calendar {cal} diverged"
 
 
+def test_scalar_folds_bnlj_free(spark):
+    """class_rebalance (min-class cap via window over the per-label
+    count table + broadcast equi-join) and tfidf_keywords (driver-
+    folded corpus count) plan WITHOUT BroadcastNestedLoopJoin, and
+    class_rebalance still keeps exactly min-class docs per label."""
+    from pyspark.sql import Row
+
+    from xcube_spark.pipeline.curation import class_rebalance
+    from xcube_spark.pipeline.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 3 else "de",
+             text=f"tok{i % 4} tok{i % 7} common") for i in range(30)])
+
+    reb = class_rebalance(docs, label_col="lang")
+    plan = reb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    kept = [(r["label"], r["kept"]) for r in reb.collect()]
+    n_min = min(sum(1 for l, _ in kept if l == lab) for lab in {"en", "de"})
+    for lab in ("en", "de"):
+        assert sum(1 for l, k in kept if l == lab and k) == n_min
+
+    tfi = tfidf_keywords(docs, k=2)
+    plan = tfi._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert tfi.count() > 0
+
+
+def test_probe_fold_bnlj_free(spark):
+    """probe_fit_predict's driver-side Cramer solve plans without a
+    BNLJ and matches the column-math coefficients on a known fit."""
+    from pyspark.sql import Row
+
+    from xcube_spark.pipeline.curation import linear_probe
+
+    rows = [Row(doc_id=i, y=float(2 + 3 * (i % 5) - 1 * (i % 7)),
+                x1=float(i % 5), x2=float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    out = linear_probe(df, "y", "x1", "x2")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    res = out.collect()
+    assert len(res) == 40
+    # exact linear data -> residuals vanish (fit is closed-form exact
+    # up to float roundoff)
+    assert all(abs(r["resid"]) < 1e-9 for r in res)
+
+
 def test_bm25_inset_cap_plan_shapes(spark, monkeypatch):
     """The literal branch carries the IN-list in the plan; the join
     branch carries a broadcast join and NO giant literal."""

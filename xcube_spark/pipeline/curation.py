@@ -1061,8 +1061,8 @@ def class_rebalance(
     partitions; for skewed majority classes the per-partition sort is
     the cost — at 100 TB pre-filter with a sampled count threshold or
     accept the one sort, which is still a single shuffle).  The
-    min-class size is a broadcast one-row aggregate, never a driver
-    round-trip.
+    min-class cap rides the L-row per-label count table (broadcast
+    equi-join on the label), never a driver round-trip.
     """
     from pyspark.sql import Window as W
 
@@ -1075,9 +1075,17 @@ def class_rebalance(
                 F.md5(F.col(id_col).cast("string")), F.col(id_col))),
     )
     if per_class is None:
+        # r13: the min-class cap rides a single-partition window over
+        # the MODEL-SIZED per-label count table (L rows) and joins
+        # back on the label key — a BroadcastHashJoin instead of the
+        # former one-row crossJoin's BroadcastNestedLoopJoin.  The cap
+        # is an exact BIGINT either way; results are identical.
         counts = ranked.groupBy("label").agg(F.count("*").alias("__n"))
-        cap = counts.agg(F.min("__n").alias("__cap"))
-        return ranked.crossJoin(F.broadcast(cap)).select(
+        capped = counts.select(
+            "label",
+            F.min("__n").over(W.partitionBy()).alias("__cap"),
+        )
+        return ranked.join(F.broadcast(capped), "label").select(
             id_col, "label", (F.col("__rk") <= F.col("__cap")).alias("kept"))
     return ranked.select(
         id_col, "label", (F.col("__rk") <= per_class).alias("kept"))

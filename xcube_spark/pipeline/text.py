@@ -189,10 +189,13 @@ def tfidf_keywords(
 
     Scale shape: one partial-agg shuffle builds per-(doc, token) term
     frequencies, a second builds the token document-frequency table;
-    the corpus-size scalar rides as a broadcast scalar subquery (no
-    driver round-trip) and the DF table joins back on the token key —
-    at 100 TB the vocabulary table shards across the cluster instead
-    of assuming it fits one executor."""
+    the corpus-size scalar is an exact BIGINT count collected at plan
+    build (r13: the one-row broadcast crossJoin cost the same count
+    job as a broadcast build PLUS a BroadcastNestedLoopJoin on every
+    scored row — the driver fold is value-identical and drops the
+    BNLJ) and the DF table joins back on the token key — at 100 TB
+    the vocabulary table shards across the cluster instead of
+    assuming it fits one executor."""
     from pyspark.sql.window import Window
 
     toks = docs.select(
@@ -202,14 +205,13 @@ def tfidf_keywords(
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("token").agg(
         F.count("*").alias("df"))  # tf rows are (doc, token)-distinct
-    n_docs = docs.agg(F.count("*").alias("__n"))
+    n_docs = docs.count()  # exact BIGINT; recomputed every invocation
     scored = (
         tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             F.col("tf")
-            * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0))
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0))
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("token"))
