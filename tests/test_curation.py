@@ -845,8 +845,8 @@ def test_dsir_weights_favor_target_vocabulary(spark):
 def test_linear_probe_recovers_exact_relation(spark):
     """linear_probe recovers an exactly-linear integer relation
     (y = 3 + 2*x1 + 5*x2): zero residuals, exact predictions — and
-    the plan broadcasts the one-row coefficient table (no corpus
-    shuffle on the prediction pass)."""
+    (r13) the coefficients are driver-folded literals, so the
+    prediction pass is a pure projection with NO join of any kind."""
     from xcube_spark.pipeline.curation import linear_probe
 
     rows = [(i, i % 7 + 1, (i * 3) % 5 + 1) for i in range(50)]
@@ -861,7 +861,8 @@ def test_linear_probe_recovers_exact_relation(spark):
 
     plan = linear_probe(docs, "y", "x1", "x2")._jdf.queryExecution() \
         .executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # prediction pass is a pure projection
 
 
 def test_chunk_split_window_arithmetic_and_coverage(spark):
